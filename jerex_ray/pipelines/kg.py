@@ -1,0 +1,99 @@
+"""The flagship pipeline: transcripts → knowledge-graph triples.
+
+Ray-Data restatement of the reference's ``jerex_test.py`` inference
+path (SURVEY.md §3.1):
+
+    read/synthesize transcripts
+      → hash-repartition on conv_id + vectorized assembly   (shuffle #1)
+      → TokenizeDocs actor pool (sub-word offsets + 700-cap chunking)
+      → RuleScorer actor pool   (J1–J9, whole chain per doc)
+      → explode_triples          (flat triple rows)
+      → canonicalize_triples     (normalized surfaces + stable ids)
+      → groupby(part_key) → atomic partition write + manifest
+                                                             (shuffle #2)
+
+Everything streams; nothing materializes the full corpus. The only
+driver-side data are the tiny per-partition metrics rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from jerex_ray.config import PipelineConfig
+from jerex_ray.runtime import configure_data_context, shuffle_partitions
+from jerex_ray.sinks.parquet_sink import completed_partitions, write_partition
+from jerex_ray.stages.assemble import add_part_key, assemble_documents
+from jerex_ray.stages.canonicalize import canonicalize_triples, dedup_triples
+from jerex_ray.stages.convert import explode_triples
+from jerex_ray.stages.scorer import score_documents
+from jerex_ray.stages.tokenize import tokenize_documents
+
+
+def _with_part_key(transcripts_ds, cfg: PipelineConfig,
+                   skip_partitions: set[int] | None = None):
+    """Tag transcript rows with the persistent output partition key and
+    (on resume) drop rows of already-committed partitions at the READ,
+    before any shuffle or model work."""
+    ds = transcripts_ds.map_batches(
+        add_part_key, batch_format="pyarrow",
+        fn_kwargs={"num_partitions": cfg.num_output_partitions})
+    if skip_partitions:
+        skip = pa.array(sorted(skip_partitions), pa.int32())
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t["part_key"], value_set=skip))),
+            batch_format="pyarrow")
+    return ds
+
+
+def extract_triples(transcripts_ds, config: PipelineConfig | None = None,
+                    *, shuffle_blocks: int | None = None,
+                    skip_partitions: set[int] | None = None):
+    """transcripts Dataset → canonicalized triples Dataset (no sink).
+
+    Note: conversation-level dedup (G6) happens at the sink's
+    per-partition group; callers that skip the sink get chunk-level
+    triples and should dedup themselves if long convs matter."""
+    cfg = config or PipelineConfig()
+    configure_data_context(ds=transcripts_ds)
+    ds = _with_part_key(transcripts_ds, cfg, skip_partitions)
+    docs = assemble_documents(ds, shuffle_blocks=shuffle_blocks)
+    docs = tokenize_documents(docs, cfg, concurrency=cfg.scorer_concurrency)
+    scored = score_documents(docs, cfg)
+    triples = scored.map_batches(explode_triples, batch_format="pyarrow")
+    return triples.map_batches(canonicalize_triples, batch_format="pandas")
+
+
+def run_kg_pipeline(transcripts_ds, out_dir: str,
+                    config: PipelineConfig | None = None,
+                    *, resume: bool = True, shuffle_blocks: int | None = None):
+    """End-to-end run with resumable partitioned sink.
+
+    Returns the per-partition metrics as a pandas DataFrame (the
+    lineage summary). With ``resume=True``, partitions that already
+    have a valid manifest are skipped at the read — no recompute."""
+    import pandas as pd
+
+    cfg = config or PipelineConfig()
+    done = completed_partitions(out_dir) if resume else set()
+    empty_metrics = pd.DataFrame(columns=["part_key", "n_triples", "n_convs",
+                                          "fingerprint"])
+    if done >= set(range(cfg.num_output_partitions)):
+        # every possible partition is committed — nothing to do
+        return empty_metrics
+    if transcripts_ds.count() == 0:
+        # guard: an all-empty corpus loses its schema inside the hash
+        # shuffle (library edge); count() on the raw source is metadata
+        return empty_metrics
+
+    triples = extract_triples(transcripts_ds, cfg,
+                              shuffle_blocks=shuffle_blocks,
+                              skip_partitions=done)
+    metrics = triples.groupby(
+        "part_key",
+        num_partitions=shuffle_partitions(cfg.num_output_partitions)).map_groups(
+        write_partition, batch_format="pandas",
+        fn_kwargs={"out_dir": out_dir, "dedup_fn": dedup_triples})
+    pdf = metrics.to_pandas()  # tiny: one row per partition
+    return pdf.sort_values("part_key").reset_index(drop=True)

@@ -1,0 +1,232 @@
+"""Deterministic synthetic transcript source with planted ground truth.
+
+Produces the graft's authoritative input shape (BASELINE.json
+``input_hint``): Parquet-compatible rows
+``(conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp[us])``.
+
+Every conversation is generated from a per-conv RNG seeded by a stable
+content hash of its conv_id (shard-independent — contrast with the
+reference's global parse-order IDs, ``/root/reference/jerex/datasets.py:41-48``),
+so generation can run distributed via ``ray.data.range(n).map_batches``
+and any shard produces identical rows.
+
+Planted structure (so ground truth is known by construction,
+FIXTURES.md §1): entity mentions are TitleCase token runs from frozen
+lexicons, coreference aliases are surname shortenings, relations are
+cue-verb sentences. Corner cases: filler-only convs (no mentions),
+single-mention convs (no relations), a hot entity ("Acme Corp")
+appearing in ~1/7 of convs (canonicalization skew), and long convs
+exceeding the 700-sub-word ceiling (chunking policy exercise, reference
+``models/__init__.py:57-67``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pyarrow as pa
+
+from jerex_ray.lexicon import CITIES
+from jerex_ray.util import conv_seed
+
+FIRST_NAMES = [
+    "Alice", "Bob", "Carol", "David", "Erin", "Frank", "Grace", "Henry",
+    "Irene", "Jack", "Karen", "Liam", "Mona", "Nathan", "Olga", "Peter",
+    "Quinn", "Rosa", "Sam", "Tina", "Umar", "Vera", "Walt", "Xenia",
+]
+LAST_NAMES = [
+    "Chen", "Smith", "Garcia", "Mueller", "Tanaka", "Okafor", "Silva",
+    "Novak", "Kim", "Patel", "Rossi", "Dubois", "Larsen", "Ivanov",
+    "Costa", "Haddad", "Nguyen", "Berg", "Fischer", "Moreau", "Santos",
+    "Weber", "Yamada", "Zhang",
+]
+ORG_HEADS = [
+    "Vertex", "Nimbus", "Quantum", "Stellar", "Apex", "Orion", "Zenith",
+    "Cobalt", "Falcon", "Aurora", "Titan", "Vector", "Nova", "Summit",
+    "Pioneer", "Atlas", "Horizon", "Cascade", "Meridian", "Polaris",
+]
+ORG_TAILS = ["Corp", "Inc", "Labs", "Systems", "Group", "Ltd"]
+CITY_LIST = sorted(CITIES)
+TOOL_NAMES = [
+    "SearchTool", "GrepTool", "BuildTool", "DeployTool", "QueryTool",
+    "ParseTool", "IndexTool", "MergeTool", "TraceTool", "AuditTool",
+]
+HOT_ORG = ("Acme", "Corp")  # appears in ~1/7 of standard convs
+
+FILLER_TURNS = [
+    "ok thanks for the update .",
+    "please summarize the report when you can .",
+    "sounds good , let me check the logs first .",
+    "the pipeline finished without errors yesterday .",
+    "can you rerun the last step with more memory ?",
+    "sure , i will take a look at the results now .",
+    "that matches what we expected from the earlier run .",
+    "noted , moving on to the next item on the list .",
+]
+LONG_FILLER = ("we reviewed the metrics again and the numbers look stable "
+               "across all of the recent batches so far .")
+
+_EPOCH = _dt.datetime(2026, 1, 1)
+
+
+def _conv_script(idx: int) -> tuple[list[tuple[str, str, str]], list[tuple]]:
+    """Returns (turns, gt_triples) for conversation ``idx``.
+
+    turns: list of (role, text, tool); gt_triples: list of
+    (subj, subj_type, pred, obj, obj_type).
+    """
+    conv_id = conv_id_for(idx)
+    rng = np.random.default_rng(conv_seed(conv_id))
+
+    kind_roll = rng.random()
+    person = f"{FIRST_NAMES[rng.integers(len(FIRST_NAMES))]} {LAST_NAMES[rng.integers(len(LAST_NAMES))]}"
+    surname = person.split()[1]
+    if idx % 7 == 0:
+        org = f"{HOT_ORG[0]} {HOT_ORG[1]}"
+    else:
+        org = f"{ORG_HEADS[rng.integers(len(ORG_HEADS))]} {ORG_TAILS[rng.integers(len(ORG_TAILS))]}"
+    city = CITY_LIST[rng.integers(len(CITY_LIST))]
+    tool = TOOL_NAMES[rng.integers(len(TOOL_NAMES))]
+
+    turns: list[tuple[str, str, str]] = []
+    gt: list[tuple] = []
+
+    def filler(n=1):
+        for _ in range(n):
+            turns.append(("user" if len(turns) % 2 == 0 else "assistant",
+                          FILLER_TURNS[rng.integers(len(FILLER_TURNS))], ""))
+
+    if kind_roll < 0.10:
+        # filler-only conversation: no mentions at all
+        filler(int(rng.integers(2, 6)))
+        return turns, gt
+
+    if kind_roll < 0.15:
+        # single-mention conversation: one entity, no relations
+        turns.append(("user", f"please check the status for {city} today .", ""))
+        filler(1)
+        return turns, gt
+
+    # --- standard conversation ---
+    filler(1)
+    turns.append(("assistant", f"{person} joined {org} this quarter .", ""))
+    gt.append((person, "PER", "works_at", org, "ORG"))
+    turns.append(("user", f"where is {surname} right now ?", ""))
+    turns.append(("assistant", f"{org} is headquartered in {city} .", ""))
+    gt.append((org, "ORG", "located_in", city, "LOC"))
+    turns.append(("tool", f"{surname} ran {tool} on the cluster .", tool.lower()))
+    gt.append((person, "PER", "uses_tool", tool, "TOOL"))
+
+    if 0.15 <= kind_roll < 0.25:
+        # second person at the same org
+        p2 = f"{FIRST_NAMES[rng.integers(len(FIRST_NAMES))]} {LAST_NAMES[rng.integers(len(LAST_NAMES))]}"
+        while p2.split()[1] == surname:
+            p2 = f"{FIRST_NAMES[rng.integers(len(FIRST_NAMES))]} {LAST_NAMES[rng.integers(len(LAST_NAMES))]}"
+        turns.append(("assistant", f"{p2} works at {org} as well .", ""))
+        gt.append((p2, "PER", "works_at", org, "ORG"))
+
+    filler(1)
+
+    if kind_roll >= 0.95:
+        # long conversation: filler past the 700-sub-word ceiling, then a
+        # late repeat of a relation (duplicate triple → dedup exercise,
+        # and mentions in a chunk > 0)
+        for _ in range(80):
+            turns.append(("assistant", LONG_FILLER, ""))
+        turns.append(("assistant", f"{person} joined {org} this quarter .", ""))
+        # duplicate of gt[0]; counted once (scoring.py:16-23 dedup union)
+
+    return turns, gt
+
+
+def conv_id_for(idx: int) -> str:
+    return f"conv-{idx:08d}"
+
+
+def _rows_for_indices(indices: np.ndarray) -> dict[str, np.ndarray]:
+    conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
+    for idx in indices.tolist():
+        conv_id = conv_id_for(idx)
+        turns, _ = _conv_script(idx)
+        base = _EPOCH + _dt.timedelta(hours=int(idx) % 100_000)
+        for t, (role, text, tool) in enumerate(turns):
+            conv_ids.append(conv_id)
+            turn_idxs.append(t)
+            roles.append(role)
+            texts.append(text)
+            tools.append(tool)
+            tss.append(base + _dt.timedelta(minutes=t))
+    return {
+        "conv_id": np.asarray(conv_ids, dtype=object),
+        "turn_idx": np.asarray(turn_idxs, dtype=np.int32),
+        "role": np.asarray(roles, dtype=object),
+        "text": np.asarray(texts, dtype=object),
+        "tool": np.asarray(tools, dtype=object),
+        "ts": np.asarray(tss, dtype="datetime64[us]"),
+    }
+
+
+_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+])
+
+
+def generate_transcripts_table(num_convs: int, start: int = 0) -> pa.Table:
+    """In-memory table for tests / small fixtures."""
+    cols = _rows_for_indices(np.arange(start, start + num_convs))
+    return pa.table(
+        {k: pa.array(v.tolist() if v.dtype == object else v) for k, v in cols.items()},
+        schema=_SCHEMA)
+
+
+def read_synthetic_transcripts(num_convs: int, *, override_num_blocks: int | None = None):
+    """Distributed transcript source: ``ray.data.range`` over conv
+    indices → ``map_batches`` generation. Scales to any corpus size
+    without a driver-side loop."""
+    import ray.data as rd
+
+    def gen(batch: dict[str, np.ndarray]) -> pa.Table:
+        cols = _rows_for_indices(batch["id"])
+        return pa.table(
+            {k: pa.array(v.tolist() if v.dtype == object else v)
+             for k, v in cols.items()}, schema=_SCHEMA)
+
+    ds = rd.range(num_convs, override_num_blocks=override_num_blocks)
+    return ds.map_batches(gen, batch_format="numpy", batch_size=256)
+
+
+def ground_truth_triples(num_convs: int, start: int = 0) -> pa.Table:
+    """Planted (conv_id, subj, subj_type, pred, obj, obj_type) triples,
+    deduplicated per conversation (duplicates count once —
+    reference ``scoring.py:16-23`` / README.md:62)."""
+    conv_ids, subjs, stypes, preds, objs, otypes = [], [], [], [], [], []
+    for idx in range(start, start + num_convs):
+        conv_id = conv_id_for(idx)
+        _, gt = _conv_script(idx)
+        seen = set()
+        for s, st, p, o, ot in gt:
+            key = (s, p, o)
+            if key in seen:
+                continue
+            seen.add(key)
+            conv_ids.append(conv_id)
+            subjs.append(s)
+            stypes.append(st)
+            preds.append(p)
+            objs.append(o)
+            otypes.append(ot)
+    return pa.table({
+        "conv_id": pa.array(conv_ids, pa.string()),
+        "subj": pa.array(subjs, pa.string()),
+        "subj_type": pa.array(stypes, pa.string()),
+        "pred": pa.array(preds, pa.string()),
+        "obj": pa.array(objs, pa.string()),
+        "obj_type": pa.array(otypes, pa.string()),
+    })

@@ -1,0 +1,255 @@
+"""The JEREX scorer stage: candidate spans → mentions → coreference
+clusters → entity types → multi-instance relations, per document.
+
+This actor-pool stage reproduces the reference's whole inference
+forward pass (``/root/reference/jerex/models/joint_models.py:202-244``)
+as one per-document transform, so nothing ping-pongs between stages
+(the reference crosses GPU↔CPU three times per batch; here the whole
+J1–J9 chain runs inside one actor call — SURVEY.md §4 Option A):
+
+* J1/J2 + M1/M3: candidate span enumeration (all spans ≤ max_span_size
+  within a sentence, ``sampling_common.py:77-98``) and mention
+  localization with sigmoid threshold 0.85 (``joint_models.py:85-86``).
+* J3/J4: ordered coref mention pairs with edit distances of decoded
+  phrases (``models/misc.py:8-56``), scored and thresholded.
+* J5: complete-linkage agglomerative clustering, cut at
+  1 - coref_threshold (``misc.py:93-158``); singleton for single valid
+  mention.
+* J6/J7: entity typing of each cluster via its representative
+  (argmax classifier → deterministic decision rule here).
+* J8/J9: ordered cluster pairs × mention cross-products with
+  between-context masks and the multi-instance max-pool over mention
+  pairs per entity pair (``relation_classification_multi_instance.py:89-93``),
+  multi-label threshold 0.6 (``joint_models.py:112-130``).
+
+The model weights are replaced by frozen deterministic rules
+(``jerex_ray/lexicon.py``) because the sandbox ships no torch — a real
+HF checkpoint slots in behind the same interface by overriding the
+three ``_score_*`` hooks. All "logit" arithmetic is vectorized numpy;
+Python loops only run over valid mentions / clusters (small per doc,
+bounded by the 700-sub-word chunk ceiling).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from jerex_ray.cluster import clusters_from_pair_scores
+from jerex_ray.config import PipelineConfig
+from jerex_ray.lexicon import coref_score, entity_type_of, is_name_token, relation_cue
+from jerex_ray.util import get_edit_distance
+
+
+def enumerate_candidate_spans(tok_sent: np.ndarray, max_span_size: int):
+    """M1: all (start, end) spans of width 1..max_span_size that do not
+    cross sentence boundaries (``sampling_common.py:77-98``). Vectorized
+    over all sentences at once. Returns (starts, ends) int32 arrays."""
+    n = tok_sent.shape[0]
+    starts_parts, ends_parts = [], []
+    for size in range(1, max_span_size + 1):
+        if size > n:
+            break
+        s = np.arange(0, n - size + 1, dtype=np.int32)
+        same_sent = tok_sent[s] == tok_sent[s + size - 1]
+        keep = s[same_sent]
+        starts_parts.append(keep)
+        ends_parts.append(keep + size)
+    if not starts_parts:
+        return (np.empty(0, np.int32), np.empty(0, np.int32))
+    return np.concatenate(starts_parts), np.concatenate(ends_parts)
+
+
+class RuleScorer:
+    """Actor-pool UDF over tokenized documents (frozen rule model)."""
+
+    def __init__(self, config: PipelineConfig | None = None):
+        self.config = config or PipelineConfig()
+        self._name_memo: dict[str, bool] = {}
+        self._ed_memo: dict[tuple[str, str], int] = {}
+
+    # --- model hooks (swap these for a real checkpoint) ---
+
+    def _score_mentions(self, phrases: list[str], tok_sent: np.ndarray,
+                        sent_tok_off: np.ndarray,
+                        starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+        """J1/J2 stand-in: sigmoid mention scores for candidate spans.
+        High iff the span is a maximal run of name-shaped tokens."""
+        memo = self._name_memo
+        name = np.empty(len(phrases), dtype=bool)
+        for i, p in enumerate(phrases):
+            v = memo.get(p)
+            if v is None:
+                v = is_name_token(p)
+                if len(memo) < 1_000_000:
+                    memo[p] = v
+            name[i] = v
+        cs = np.concatenate(([0], np.cumsum(name)))
+        all_name = (cs[ends] - cs[starts]) == (ends - starts)
+        sent_begin = sent_tok_off[tok_sent[starts]]
+        sent_end = sent_tok_off[tok_sent[starts] + 1]
+        left_max = (starts == sent_begin) | ~name[np.maximum(starts - 1, 0)]
+        right_max = (ends == sent_end) | ~name[np.minimum(ends, len(phrases) - 1)]
+        maximal = all_name & left_max & right_max
+        return np.where(maximal, 0.95, 0.05)
+
+    def _score_coref_pair(self, p1: str, p2: str) -> float:
+        """J3/J4 stand-in: sigmoid coref score for a decoded-phrase pair.
+        The edit distance is computed on decoded (lowercased) phrases as
+        in ``misc.py:32-34``, lazily — only when the cheap rules don't
+        decide."""
+        if p1 == p2:
+            return coref_score(p1, p2, 0)
+        key = (p1, p2) if p1 <= p2 else (p2, p1)
+        ed = self._ed_memo.get(key)
+        if ed is None:
+            ed = get_edit_distance(p1, p2)
+            if len(self._ed_memo) < 500_000:
+                self._ed_memo[key] = ed
+        return coref_score(p1, p2, ed)
+
+    def _score_relations(self, phrases: list[str],
+                         mentions: list[tuple[int, int, int]],
+                         clusters: list[list[int]],
+                         cluster_types: list[str]) -> list[tuple[int, int, str, float]]:
+        """J8/J9 stand-in. ``mentions[i] = (start, end, sent)`` for valid
+        mention i; ``clusters`` holds valid-mention indices. Returns
+        (head_cluster, tail_cluster, rel_type, score) above threshold,
+        max-pooled over mention pairs per ordered cluster pair (G3)."""
+        out = []
+        thr = self.config.rel_threshold
+        for i1, c1 in enumerate(clusters):
+            for i2, c2 in enumerate(clusters):
+                if i1 == i2:
+                    continue
+                best: dict[str, float] = {}
+                for m1 in c1:
+                    s1, e1, sent1 = mentions[m1]
+                    for m2 in c2:
+                        s2, e2, sent2 = mentions[m2]
+                        if sent1 != sent2 or e1 > s2:
+                            # frozen rule scores only ordered same-sentence
+                            # pairs; cross-sentence pairs get ~0 logits
+                            continue
+                        between = phrases[e1:s2]
+                        r = relation_cue(between, cluster_types[i1], cluster_types[i2])
+                        if r is not None:
+                            best[r] = max(best.get(r, 0.0), 0.95)
+                for r, sc in best.items():
+                    if sc >= thr:
+                        out.append((i1, i2, r, sc))
+        return out
+
+    # --- the per-document dataflow ---
+
+    def _score_doc(self, phrases: list[str], tok_sent: np.ndarray,
+                   sent_tok_off: np.ndarray):
+        cfg = self.config
+        starts, ends = enumerate_candidate_spans(tok_sent, cfg.max_span_size)
+        if starts.size == 0:
+            return [], [], [], [], []
+
+        scores = self._score_mentions(phrases, tok_sent, sent_tok_off, starts, ends)
+        valid = scores >= cfg.mention_threshold          # M3 threshold
+        v_start, v_end = starts[valid], ends[valid]
+        v_sent = tok_sent[v_start]
+        order = np.lexsort((v_end, v_start, v_sent))     # stable mention order
+        v_start, v_end, v_sent = v_start[order], v_end[order], v_sent[order]
+
+        n_valid = len(v_start)
+        mentions = [(int(s), int(e), int(si))
+                    for s, e, si in zip(v_start, v_end, v_sent)]
+        m_phrases = [" ".join(phrases[s:e]).lower() for s, e, _ in mentions]
+
+        # J3/J4: ordered pairs of valid mentions
+        pair_scores: dict[tuple[int, int], float] = {}
+        for i in range(n_valid):
+            for j in range(n_valid):
+                if i != j:
+                    pair_scores[(i, j)] = self._score_coref_pair(
+                        m_phrases[i], m_phrases[j])
+
+        # J5: complete-linkage clusters over valid mentions
+        clusters = clusters_from_pair_scores(
+            list(range(n_valid)), pair_scores, cfg.coref_threshold)
+
+        # J6/J7: entity typing via cluster representative (first mention
+        # in document order — analogue of datasets.py:126-128)
+        reps, types = [], []
+        for c in clusters:
+            rep = min(c, key=lambda m: mentions[m])
+            s, e, _ = mentions[rep]
+            reps.append(" ".join(phrases[s:e]))
+            types.append(entity_type_of(phrases[s:e]))
+
+        relations = self._score_relations(phrases, mentions, clusters, types)
+        return mentions, clusters, reps, types, relations
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in (
+            "doc_id", "conv_id", "part_key",
+            "m_start", "m_end", "m_sent", "m_cluster",
+            "cl_rep", "cl_type", "cl_size",
+            "r_head", "r_tail", "r_type", "r_score")}
+
+        tok_phrase = batch["tok_phrase"].to_pylist()
+        tok_sent_col = batch["tok_sent"]
+        sent_off_col = batch["sent_tok_off"]
+        doc_ids = batch["doc_id"].to_pylist()
+        conv_ids = batch["conv_id"].to_pylist()
+        part_keys = batch["part_key"].to_pylist()
+
+        for d in range(batch.num_rows):
+            phrases = tok_phrase[d]
+            tok_sent = np.asarray(tok_sent_col[d].as_py(), dtype=np.int32)
+            sent_off = np.asarray(sent_off_col[d].as_py(), dtype=np.int32)
+            mentions, clusters, reps, types, relations = self._score_doc(
+                phrases, tok_sent, sent_off)
+
+            m_cluster = [-1] * len(mentions)
+            for ci, c in enumerate(clusters):
+                for m in c:
+                    m_cluster[m] = ci
+
+            out["doc_id"].append(doc_ids[d])
+            out["conv_id"].append(conv_ids[d])
+            out["part_key"].append(part_keys[d])
+            out["m_start"].append([m[0] for m in mentions])
+            out["m_end"].append([m[1] for m in mentions])
+            out["m_sent"].append([m[2] for m in mentions])
+            out["m_cluster"].append(m_cluster)
+            out["cl_rep"].append(reps)
+            out["cl_type"].append(types)
+            out["cl_size"].append([len(c) for c in clusters])
+            out["r_head"].append([r[0] for r in relations])
+            out["r_tail"].append([r[1] for r in relations])
+            out["r_type"].append([r[2] for r in relations])
+            out["r_score"].append([r[3] for r in relations])
+
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "part_key": pa.array(out["part_key"], pa.int32()),
+            "m_start": pa.array(out["m_start"], pa.list_(pa.int32())),
+            "m_end": pa.array(out["m_end"], pa.list_(pa.int32())),
+            "m_sent": pa.array(out["m_sent"], pa.list_(pa.int32())),
+            "m_cluster": pa.array(out["m_cluster"], pa.list_(pa.int32())),
+            "cl_rep": pa.array(out["cl_rep"], pa.list_(pa.string())),
+            "cl_type": pa.array(out["cl_type"], pa.list_(pa.string())),
+            "cl_size": pa.array(out["cl_size"], pa.list_(pa.int32())),
+            "r_head": pa.array(out["r_head"], pa.list_(pa.int32())),
+            "r_tail": pa.array(out["r_tail"], pa.list_(pa.int32())),
+            "r_type": pa.array(out["r_type"], pa.list_(pa.string())),
+            "r_score": pa.array(out["r_score"], pa.list_(pa.float32())),
+        })
+
+
+def score_documents(ds, config: PipelineConfig | None = None, *,
+                    concurrency=None, batch_size: int | None = None):
+    cfg = config or PipelineConfig()
+    return ds.map_batches(
+        RuleScorer, batch_format="pyarrow",
+        batch_size=batch_size or cfg.score_batch_size,
+        concurrency=concurrency or cfg.scorer_concurrency,
+        num_cpus=cfg.actor_num_cpus,
+        fn_constructor_kwargs={"config": cfg})

@@ -1,0 +1,81 @@
+"""Small shared utilities: stable hashing, edit distance, normalization.
+
+Python's builtin ``hash`` is salted per process — everything here uses
+content-stable hashes so results are identical across Ray workers,
+re-sharding and reruns (the reference's global parse-order IDs,
+``/root/reference/jerex/datasets.py:41-48``, are replaced by stable
+content-derived keys per SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def stable_hash64(s: str | bytes) -> int:
+    """Stable unsigned 64-bit content hash."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "big")
+
+
+def stable_hash32(s: str | bytes) -> int:
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return int.from_bytes(hashlib.blake2b(s, digest_size=4).digest(), "big")
+
+
+def conv_seed(conv_id: str) -> int:
+    """Deterministic per-conversation RNG seed (SURVEY.md §2.5: per-doc
+    seeds replace the reference's order-dependent global random state)."""
+    return stable_hash32("seed::" + conv_id)
+
+
+def get_edit_distance(str1: str, str2: str) -> int:
+    """Levenshtein distance, same algorithm as the reference
+    (``/root/reference/jerex/util.py:93-106``)."""
+    if len(str1) > len(str2):
+        str1, str2 = str2, str1
+    if not str1:
+        return len(str2)
+    if str1 == str2:
+        return 0
+    # Wagner-Fischer with numpy row updates, vectorized over the shorter
+    # string. The left-to-right dependency cur[j] = min(..., cur[j-1]+1)
+    # is resolved with a min-accumulate over (c[k] - k):
+    #   final[j] = min_{k<=j}(c[k] + (j-k)) = j + min_{k<=j}(c[k]-k)
+    a = np.frombuffer(str1.encode("utf-32-le"), dtype=np.uint32)
+    b = np.frombuffer(str2.encode("utf-32-le"), dtype=np.uint32)
+    n = a.size
+    idx = np.arange(n + 1, dtype=np.int64)
+    prev = idx.copy()
+    c = np.empty(n + 1, dtype=np.int64)
+    for i2 in range(b.size):
+        c[0] = i2 + 1
+        np.minimum(prev[:-1] + (a != b[i2]), prev[1:] + 1, out=c[1:])
+        prev = np.minimum.accumulate(c - idx) + idx
+    return int(prev[-1])
+
+
+_PUNCT = set(".,;:!?\"'`()[]{}<>|/\\-_=+*&^%$#@~")
+
+
+def normalize_surface(s: str) -> str:
+    """Canonicalization key: casefold, strip punctuation, collapse
+    whitespace. Reference analogue: the cluster representative phrase is
+    the first mention's raw phrase (``datasets.py:126-128``); we add the
+    normalization required by the north rule's canonicalization stage."""
+    out = []
+    for ch in s:
+        if ch in _PUNCT:
+            out.append(" ")
+        else:
+            out.append(ch.lower())
+    return " ".join("".join(out).split())
+
+
+def flatten(list_of_lists):
+    """Reference ``util.py:89-90``."""
+    return [i for p in list_of_lists for i in p]

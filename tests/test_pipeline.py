@@ -1,0 +1,125 @@
+"""End-to-end pipeline tests: P/R vs planted ground truth, dedup,
+canonicalization, resumability (kill/resume → identical output)."""
+
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from jerex_ray.config import PipelineConfig
+from jerex_ray.pipelines.kg import extract_triples, run_kg_pipeline
+from jerex_ray.sinks.parquet_sink import completed_partitions, read_triples
+from jerex_ray.sources.transcripts import (generate_transcripts_table,
+                                           ground_truth_triples)
+from jerex_ray.stages.canonicalize import build_entity_table
+
+N_CONVS = 150
+CFG = PipelineConfig().scaled_for_tests()
+
+
+def _triple_keys(df: pd.DataFrame) -> set:
+    return set(map(tuple, df[["conv_id", "subj", "pred", "obj"]].values))
+
+
+@pytest.fixture(scope="module")
+def pipeline_output(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_out"))
+    ds = rd.from_arrow(generate_transcripts_table(N_CONVS))
+    metrics = run_kg_pipeline(ds, out, CFG, shuffle_blocks=2)
+    return out, metrics
+
+
+def test_triple_pr_vs_ground_truth(pipeline_output):
+    """The P/R≥0.95 gate (BASELINE.json) against planted extractions."""
+    out, _ = pipeline_output
+    pred = read_triples(out).to_pandas()
+    gt = ground_truth_triples(N_CONVS).to_pandas()
+    pk, gk = _triple_keys(pred), _triple_keys(gt)
+    tp = len(pk & gk)
+    precision = tp / max(1, len(pk))
+    recall = tp / max(1, len(gk))
+    assert precision >= 0.95, f"precision {precision}"
+    assert recall >= 0.95, f"recall {recall}"
+
+
+def test_output_deduplicated_and_typed(pipeline_output):
+    out, _ = pipeline_output
+    pred = read_triples(out).to_pandas()
+    # duplicates count once (scoring.py:16-23 / README.md:62)
+    key_cols = ["conv_id", "subj_id", "pred", "obj_id"]
+    assert not pred.duplicated(key_cols).any()
+    assert set(pred["pred"]) <= {"works_at", "located_in", "uses_tool"}
+    assert (pred["score"] >= CFG.rel_threshold).all()
+    # canonical ids are pure functions of the normalized surface
+    sub = pred.groupby("subj_norm")["subj_id"].nunique()
+    assert (sub == 1).all()
+
+
+def test_manifests_match_partitions(pipeline_output):
+    out, metrics = pipeline_output
+    done = completed_partitions(out)
+    assert done == set(metrics["part_key"])
+    pred = read_triples(out).to_pandas()
+    assert len(pred) == metrics["n_triples"].sum()
+
+
+def test_resume_skips_completed_and_is_identical(pipeline_output, tmp_path):
+    """Kill/resume semantics: drop some partition outputs, rerun with
+    resume=True → missing partitions are recomputed, finished ones are
+    untouched, and the final output equals a fresh full run."""
+    out, _ = pipeline_output
+    ref = read_triples(out).to_pandas().sort_values(
+        ["conv_id", "subj", "pred", "obj"]).reset_index(drop=True)
+
+    # simulate a crash that lost partitions 0 and 2
+    out2 = str(tmp_path / "resumed")
+    shutil.copytree(out, out2)
+    for k in (0, 2):
+        shutil.rmtree(f"{out2}/part_key={k}", ignore_errors=True)
+        import os
+        mp = f"{out2}/_manifest/part-{k}.json"
+        if os.path.exists(mp):
+            os.unlink(mp)
+
+    assert completed_partitions(out2) == {1, 3}
+    ds = rd.from_arrow(generate_transcripts_table(N_CONVS))
+    metrics2 = run_kg_pipeline(ds, out2, CFG, resume=True, shuffle_blocks=2)
+    # only the two missing partitions were recomputed
+    assert set(metrics2["part_key"]) == {0, 2}
+
+    got = read_triples(out2).to_pandas().sort_values(
+        ["conv_id", "subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_extract_triples_streaming_no_sink():
+    ds = rd.from_arrow(generate_transcripts_table(40))
+    t = extract_triples(ds, CFG, shuffle_blocks=2).to_pandas()
+    assert len(t) > 0
+    assert {"conv_id", "subj", "pred", "obj", "subj_id", "obj_id",
+            "subj_norm", "obj_norm"} <= set(t.columns)
+
+
+def test_entity_table_two_phase_aggregate():
+    ds = rd.from_arrow(generate_transcripts_table(100))
+    triples = extract_triples(ds, CFG, shuffle_blocks=2)
+    ents = build_entity_table(triples).to_pandas()
+    assert ents["entity_id"].is_unique
+    # the hot entity (Acme Corp, planted in ~1/7 of convs) dominates
+    hot = ents.sort_values("n_occurrences", ascending=False).iloc[0]
+    assert hot["surface"] == "Acme Corp"
+    assert hot["entity_type"] == "ORG"
+    assert hot["norm"] == "acme corp"
+
+
+def test_determinism_across_runs():
+    ds1 = rd.from_arrow(generate_transcripts_table(40))
+    ds2 = rd.from_arrow(generate_transcripts_table(40))
+    a = extract_triples(ds1, CFG, shuffle_blocks=2).to_pandas()
+    b = extract_triples(ds2, CFG, shuffle_blocks=3).to_pandas()
+    cols = ["conv_id", "subj", "subj_type", "pred", "obj", "obj_type"]
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -1,0 +1,185 @@
+"""Stage-level tests: assembly invariants, tokenizer offsets, chunking,
+candidate spans, scorer semantics on crafted documents."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from jerex_ray.config import PipelineConfig
+from jerex_ray.sources.transcripts import generate_transcripts_table
+from jerex_ray.stages.assemble import add_part_key, assemble_documents
+from jerex_ray.stages.scorer import RuleScorer, enumerate_candidate_spans
+from jerex_ray.stages.tokenize import TokenizeDocs, _encode_word, tokenize_documents
+
+
+def _mini_transcripts() -> pa.Table:
+    return generate_transcripts_table(30)
+
+
+def test_assembly_per_turn_text_equality_and_order():
+    """North-rule invariant: per-turn text equality under stable turn
+    ordering, even when input rows arrive shuffled."""
+    tbl = _mini_transcripts()
+    # shuffle rows adversarially
+    perm = np.random.default_rng(1).permutation(tbl.num_rows)
+    shuffled = tbl.take(pa.array(perm))
+
+    ds = rd.from_arrow(shuffled).map_batches(
+        add_part_key, batch_format="pyarrow", fn_kwargs={"num_partitions": 4})
+    docs = assemble_documents(ds, shuffle_blocks=2).to_pandas()
+
+    # reconstruct per conv: texts in turn order must equal input
+    expect = {}
+    pdf = tbl.to_pandas().sort_values(["conv_id", "turn_idx"])
+    for conv_id, g in pdf.groupby("conv_id"):
+        expect[conv_id] = (list(g["text"]), list(g["turn_idx"]))
+
+    assert len(docs) == len(expect)
+    for _, row in docs.iterrows():
+        texts, turn_idxs = expect[row["doc_id"]]
+        assert list(row["text"]) == texts
+        assert list(row["turn_idx"]) == turn_idxs
+        assert list(row["turn_idx"]) == sorted(row["turn_idx"])
+
+
+def test_tokenizer_offsets_contiguous_end_exclusive():
+    """Sub-word offsets mirror reference entities.py:97-98 semantics."""
+    tbl = _mini_transcripts()
+    ds = rd.from_arrow(tbl).map_batches(
+        add_part_key, batch_format="pyarrow", fn_kwargs={"num_partitions": 4})
+    docs = assemble_documents(ds, shuffle_blocks=2)
+    tok = tokenize_documents(docs, PipelineConfig(), concurrency=2).to_pandas()
+    assert len(tok) >= 30
+    for _, row in tok.iterrows():
+        ss, se = list(row["tok_sub_start"]), list(row["tok_sub_end"])
+        enc = list(row["encoding"])
+        # contiguous, end-exclusive, covering the encoding exactly
+        pos = 0
+        for s, e in zip(ss, se):
+            assert s == pos and e > s
+            pos = e
+        assert pos == len(enc) == row["n_subwords"]
+        # per-turn text preserved through tokenization: tokens rejoin
+        joined = " ".join(row["tok_phrase"])
+        assert joined == " ".join(" ".join(t.split()) for t in row["text"])
+
+
+def test_chunking_respects_subword_ceiling():
+    cfg = PipelineConfig()
+    tbl = generate_transcripts_table(200)
+    ds = rd.from_arrow(tbl).map_batches(
+        add_part_key, batch_format="pyarrow", fn_kwargs={"num_partitions": 4})
+    docs = assemble_documents(ds, shuffle_blocks=2)
+    tok = tokenize_documents(docs, cfg, concurrency=2).to_pandas()
+    # long convs exist in 200 and got chunked
+    chunked = tok[tok["doc_id"].str.contains("#")]
+    assert len(chunked) > 0
+    assert (tok["n_subwords"] <= cfg.context_size).all()
+    # chunks of one conv reassemble to the full turn list
+    for conv_id, g in chunked.groupby("conv_id"):
+        g = g.sort_values("chunk_idx")
+        all_turns = [t for turns in g["turn_idx"] for t in turns]
+        assert all_turns == sorted(all_turns)
+        assert len(set(all_turns)) == len(all_turns)
+
+
+def test_unk_fallback_and_piece_split():
+    assert _encode_word("") == [1]
+    assert len(_encode_word("hi")) == 1
+    assert len(_encode_word("a" * 20)) == 3  # ceil(20/8)
+    assert _encode_word("Foo") == _encode_word("foo")  # lowercased
+
+
+def test_candidate_span_enumeration_vs_brute_force():
+    """M1: all spans ≤ max_span_size within a sentence
+    (sampling_common.py:77-98)."""
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        n_sents = int(rng.integers(1, 5))
+        tok_sent = np.concatenate([
+            np.full(int(rng.integers(1, 15)), s, dtype=np.int32)
+            for s in range(n_sents)])
+        max_size = int(rng.integers(1, 11))
+        starts, ends = enumerate_candidate_spans(tok_sent, max_size)
+        got = set(zip(starts.tolist(), ends.tolist()))
+        want = set()
+        n = len(tok_sent)
+        for s in range(n):
+            for e in range(s + 1, min(s + max_size, n) + 1):
+                if tok_sent[s] == tok_sent[e - 1]:
+                    want.add((s, e))
+        assert got == want
+
+
+def _tokenize_rows(turns):
+    """Helper: build a one-doc tokenized batch from raw turn texts."""
+    t = pa.table({
+        "doc_id": pa.array(["c0"]),
+        "part_key": pa.array([0], pa.int32()),
+        "turn_idx": pa.array([list(range(len(turns)))], pa.list_(pa.int32())),
+        "role": pa.array([["user"] * len(turns)], pa.list_(pa.string())),
+        "text": pa.array([turns], pa.list_(pa.string())),
+        "tool": pa.array([[""] * len(turns)], pa.list_(pa.string())),
+        "ts": pa.array([[0] * len(turns)], pa.list_(pa.timestamp("us"))),
+    })
+    return TokenizeDocs()(t)
+
+
+def _score(turns):
+    tok = _tokenize_rows(turns)
+    return RuleScorer()(tok)
+
+
+def test_scorer_mentions_clusters_relations_on_crafted_doc():
+    out = _score([
+        "Alice Chen joined Acme Corp this quarter .",
+        "where is Chen right now ?",
+        "Acme Corp is headquartered in Berlin .",
+    ]).to_pandas().iloc[0]
+
+    # mentions: Alice Chen, Acme Corp (x2), Chen, Berlin
+    n_m = len(out["m_start"])
+    assert n_m == 5
+    # clusters: {Alice Chen, Chen}, {Acme Corp, Acme Corp}, {Berlin}
+    reps = dict(zip(out["cl_rep"], out["cl_type"]))
+    assert reps == {"Alice Chen": "PER", "Acme Corp": "ORG", "Berlin": "LOC"}
+    sizes = sorted(out["cl_size"])
+    assert sizes == [1, 2, 2]
+
+    rels = set(zip(out["r_type"],
+                   [out["cl_rep"][h] for h in out["r_head"]],
+                   [out["cl_rep"][t] for t in out["r_tail"]]))
+    assert rels == {("works_at", "Alice Chen", "Acme Corp"),
+                    ("located_in", "Acme Corp", "Berlin")}
+
+
+def test_scorer_corner_cases_empty_single_nomention():
+    """Empty / single-mention / no-relation docs must not crash and
+    must emit nothing spurious (reference placeholder-row semantics,
+    sampling_common.py:363-371,496-504 → 'emit nothing' here)."""
+    out = _score(["ok thanks for the update ."]).to_pandas().iloc[0]
+    assert len(out["m_start"]) == 0 and len(out["r_type"]) == 0
+
+    out = _score(["please check the status for Berlin today ."]).to_pandas().iloc[0]
+    assert len(out["m_start"]) == 1
+    assert list(out["cl_type"]) == ["LOC"]
+    assert len(out["r_type"]) == 0
+
+    # two mentions, no cue → entities but no relations
+    out = _score(["Alice Chen met Bob Smith ."]).to_pandas().iloc[0]
+    assert len(out["cl_rep"]) == 2
+    assert len(out["r_type"]) == 0
+
+
+def test_scorer_multi_instance_maxpool_via_coref():
+    """uses_tool is only recoverable through the surname alias mention —
+    exercises J8/J9 multi-instance max-pool over mention pairs."""
+    out = _score([
+        "Alice Chen joined Acme Corp this quarter .",
+        "Chen ran GrepTool on the cluster .",
+    ]).to_pandas().iloc[0]
+    rels = set(zip(out["r_type"],
+                   [out["cl_rep"][h] for h in out["r_head"]],
+                   [out["cl_rep"][t] for t in out["r_tail"]]))
+    assert ("uses_tool", "Alice Chen", "GrepTool") in rels
