@@ -1,0 +1,118 @@
+"""Text-analysis operators over a document table: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All are single-pass vectorized ``map_batches`` stages over the
+``documents`` table shape ``(doc_id, text, lang, source, n_chars)``.
+The language-ID stage is a stateful actor (compiled regexes + stopword
+tables built once per actor). These are the first-class training-data
+operators the 100 TB pipeline needs alongside the KG stages.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from jerex_ray.util import stable_hash64
+
+_WS_RE = re.compile(r"\s+")
+_PUNCT_RE = re.compile(r"[^\w\s]", re.U)
+# a BPE-ish word/piece splitter: words, numbers, or single non-space symbols
+_BPE_RE = re.compile(r"\w+|[^\w\s]", re.U)
+
+
+def token_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """Whitespace token count + BPE-ish piece count per document."""
+    texts = batch["text"].fillna("")
+    batch = batch.copy()
+    batch["n_tokens"] = texts.str.split().str.len().fillna(0).astype("int64")
+    batch["n_pieces"] = texts.str.count(_BPE_RE).astype("int64")
+    return batch[["doc_id", "n_tokens", "n_pieces"]]
+
+
+def quality_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """Cheap quality signals: length, punctuation ratio, mean word
+    length, uppercase ratio. All vectorized pandas str kernels."""
+    texts = batch["text"].fillna("")
+    n_chars = texts.str.len().astype("int64")
+    n_punct = texts.str.count(_PUNCT_RE).astype("int64")
+    n_tokens = texts.str.split().str.len().fillna(0).astype("int64")
+    n_upper = texts.str.count(r"[A-Z]").astype("int64")
+    n_ws = texts.str.count(r"\s").astype("int64")
+    out = pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": (n_punct / n_chars.clip(lower=1)).astype("float64"),
+        "upper_ratio": (n_upper / n_chars.clip(lower=1)).astype("float64"),
+        "mean_token_len": np.where(
+            n_tokens > 0,
+            (n_chars - n_ws) / n_tokens.clip(lower=1), 0.0),
+    })
+    return out
+
+
+class LangId:
+    """Stopword-profile language ID (n-gram heuristic) — actor stage.
+
+    Deterministic and tiny: scores each doc against per-language
+    stopword sets; ties and empty docs → 'und'."""
+
+    PROFILES = {
+        "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "was"},
+        "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu"},
+        "fr": {"le", "la", "et", "les", "des", "est", "une", "dans", "que"},
+        "es": {"el", "la", "de", "que", "los", "una", "es", "por", "con"},
+    }
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-zà-ÿ]+")
+        self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        langs = []
+        for text in batch["text"].fillna(""):
+            words = self.word_re.findall(text.lower())
+            if not words:
+                langs.append("und")
+                continue
+            ws = set(words)
+            best_lang, best_score = "und", 0
+            for lang in sorted(self.profiles):
+                score = len(ws & self.profiles[lang])
+                if score > best_score:
+                    best_lang, best_score = lang, score
+            langs.append(best_lang)
+        out = batch[["doc_id"]].copy()
+        out["lang_pred"] = langs
+        return out
+
+
+def fingerprint(batch: pd.DataFrame, *, normalize: bool = True) -> pd.DataFrame:
+    """64-bit content fingerprint of (optionally normalized) text —
+    the key for exact dedup."""
+    texts = batch["text"].fillna("")
+    if normalize:
+        texts = texts.str.lower().str.replace(_WS_RE, " ", regex=True).str.strip()
+    fps = np.fromiter((stable_hash64(t) % (1 << 63) for t in texts),
+                      dtype=np.int64, count=len(texts))
+    out = batch.copy()
+    out["fp"] = fps
+    return out
+
+
+def run_token_stats(docs_ds):
+    return docs_ds.map_batches(token_stats, batch_format="pandas",
+                               batch_size=8192)
+
+
+def run_quality_stats(docs_ds):
+    return docs_ds.map_batches(quality_stats, batch_format="pandas",
+                               batch_size=8192)
+
+
+def run_langid(docs_ds, concurrency=(1, 4)):
+    return docs_ds.map_batches(LangId, batch_format="pandas",
+                               batch_size=4096, concurrency=concurrency)

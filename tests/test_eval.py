@@ -1,0 +1,59 @@
+"""Tests for the evaluation harness (G5/G6 semantics)."""
+
+import pandas as pd
+import ray.data as rd
+
+from jerex_ray.eval.scoring import (evaluate_triples,
+                                    evaluate_triples_distributed,
+                                    score_documents_macro,
+                                    score_documents_micro)
+from jerex_ray.pipelines.kg import extract_triples
+from jerex_ray.config import PipelineConfig
+from jerex_ray.sources.transcripts import (generate_transcripts_table,
+                                           ground_truth_triples)
+
+
+def test_micro_dedup_union_semantics():
+    # duplicates count once (scoring.py:16-23 / README.md:62)
+    gt = [[("a",), ("a",), ("b",)]]
+    pred = [[("a",), ("c",), ("c",)]]
+    m = score_documents_micro(gt, pred)
+    assert (m["tp"], m["fp"], m["fn"]) == (1, 1, 1)
+    assert m["precision"] == 0.5 and m["recall"] == 0.5
+
+
+def test_micro_empty_docs():
+    m = score_documents_micro([[], []], [[], []])
+    assert m == {"precision": 0.0, "recall": 0.0, "f1": 0.0,
+                 "tp": 0, "fp": 0, "fn": 0}
+
+
+def test_macro_per_type_average():
+    gt = [[("x", "T1"), ("y", "T2")]]
+    pred = [[("x", "T1")]]
+    m = score_documents_macro(gt, pred, type_of=lambda t: t[1])
+    # T1 perfect, T2 zero → macro P/R/F1 = 0.5
+    assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["f1"] == 0.5
+
+
+def test_evaluate_triples_driver_and_distributed_agree():
+    pred_tbl = extract_triples(
+        rd.from_arrow(generate_transcripts_table(60)),
+        PipelineConfig().scaled_for_tests(), shuffle_blocks=2).to_pandas()
+    gt_tbl = ground_truth_triples(60).to_pandas()
+
+    local = evaluate_triples(pred_tbl, gt_tbl)
+    dist = evaluate_triples_distributed(
+        rd.from_pandas(pred_tbl), rd.from_pandas(gt_tbl))
+    for k in ("tp", "fp", "fn"):
+        assert local[k] == dist[k], (k, local, dist)
+    assert local["precision"] >= 0.95 and local["recall"] >= 0.95
+
+
+def test_strict_type_variant():
+    pred = pd.DataFrame({
+        "conv_id": ["c"], "subj": ["A"], "subj_type": ["PER"],
+        "pred": ["works_at"], "obj": ["B"], "obj_type": ["ORG"]})
+    gt_wrongtype = pred.assign(subj_type=["ORG"])
+    assert evaluate_triples(pred, gt_wrongtype)["tp"] == 1
+    assert evaluate_triples(pred, gt_wrongtype, strict_types=True)["tp"] == 0

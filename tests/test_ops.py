@@ -1,0 +1,144 @@
+"""Tests for the training-data operators: text stats, dedup family,
+similarity search, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from jerex_ray.ops.ann import brute_force_topk, ivf_topk
+from jerex_ray.ops.dedup import (embedding_near_dups, exact_dedup,
+                                 hamming64, minhash_dedup, ngram_jaccard,
+                                 simhash64, simhash_candidates)
+from jerex_ray.ops.multimodal import (audio_frames, image_features,
+                                      synth_media_table)
+from jerex_ray.ops.textstats import (run_langid, run_quality_stats,
+                                     run_token_stats)
+
+
+def _docs(texts):
+    return rd.from_pandas(pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts}))
+
+
+def test_token_and_quality_stats():
+    out = run_token_stats(_docs(["one two  three", "", "a b"])).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n_tokens"]) == [3, 0, 2]
+    q = run_quality_stats(_docs(["Hello, World!", ""])).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert q.loc[0, "n_chars"] == 13
+    assert q.loc[0, "punct_ratio"] > 0
+    assert q.loc[1, "n_tokens"] == 0
+
+
+def test_langid_heuristic():
+    out = run_langid(_docs([
+        "the cat sat on the mat and it was good",
+        "der hund ist nicht in der stadt und das ist gut",
+        "zzzz qqqq",
+    ])).to_pandas().sort_values("doc_id")
+    assert list(out["lang_pred"]) == ["en", "de", "und"]
+
+
+def test_exact_dedup_keeps_min_doc_id():
+    texts = ["same text", "Same   TEXT", "different", "same text"]
+    kept = exact_dedup(_docs(texts)).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 2]
+
+
+def test_minhash_dedup_finds_near_duplicates():
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    near = base.replace("dark", "cold")
+    texts = [base, near, "completely unrelated content about databases "
+             "and query planners running in production clusters"]
+    kept, edges = minhash_dedup(_docs(texts), threshold=0.6)
+    assert set(zip(edges["doc_a"], edges["doc_b"])) == {(0, 1)}
+    assert sorted(kept.to_pandas()["doc_id"]) == [0, 2]
+    assert ngram_jaccard(base, near) > 0.6
+    assert ngram_jaccard(base, texts[2]) < 0.2
+
+
+def test_simhash_properties_and_candidates():
+    a = ("shared tokens appear in both documents almost entirely alike "
+         "with many common words carrying the same weight throughout "
+         "the entire body of the text in question here")
+    b = " ".join(reversed(a.split()))        # simhash is order-invariant
+    c = ("nothing in common whatsoever besides function words since "
+         "every content term differs completely between these strings "
+         "covering databases planners clusters executors shuffles")
+    assert hamming64(simhash64(a), simhash64(a)) == 0
+    assert hamming64(simhash64(a), simhash64(b)) == 0
+    assert hamming64(simhash64(a), simhash64(c)) > 8
+    pairs = simhash_candidates(_docs([a, b, c]), max_hamming=3)
+    assert set(zip(pairs["doc_a"], pairs["doc_b"])) == {(0, 1)}
+
+
+def test_embedding_near_dups():
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    vecs = list(base) + [base[3] + 0.001 * rng.standard_normal(16).astype(np.float32)]
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}))
+    pairs = embedding_near_dups(ds, threshold=0.99)
+    assert (3, 20) in set(zip(pairs["vec_a"], pairs["vec_b"]))
+
+
+def test_brute_force_topk_matches_numpy_oracle():
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((200, 8)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": range(200), "embedding": [v.tolist() for v in vecs]}))
+    queries = rng.standard_normal((3, 8)).astype(np.float32)
+    got = brute_force_topk(ds, queries, k=5)
+
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qn @ vn.T
+    for qi in range(3):
+        want = set(np.argsort(-sims[qi])[:5].tolist())
+        have = set(got[got["query_idx"] == qi]["vec_id"])
+        assert have == want
+
+
+def test_ivf_topk_reasonable_recall():
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((500, 8)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": range(500), "embedding": [v.tolist() for v in vecs]}))
+    queries = vecs[:4] + 0.01 * rng.standard_normal((4, 8)).astype(np.float32)
+    exact = brute_force_topk(ds, queries, k=5)
+    approx = ivf_topk(ds, queries, k=5, n_cells=8, n_probe=4)
+    # recall@5 over the 4 queries should be decent with 4/8 cells probed
+    hits = 0
+    for qi in range(4):
+        e = set(exact[exact["query_idx"] == qi]["vec_id"])
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        hits += len(e & a)
+    assert hits / 20 >= 0.5
+    # the self-vector must always be found (it's in a probed cell)
+    for qi in range(4):
+        assert qi in set(approx[approx["query_idx"] == qi]["vec_id"])
+
+
+def test_multimodal_plumbing():
+    media = rd.from_arrow(synth_media_table(20))
+    feats = image_features(media).to_pandas()
+    assert len(feats) == 20
+    assert feats["decode_ok"].all()
+    assert all(len(f) == 3 for f in feats["feature"])
+
+    frames = audio_frames(media).to_pandas()
+    assert len(frames) >= 20
+    assert (frames.groupby("media_id")["frame_idx"].min() == 0).all()
+
+
+def test_multimodal_decode_failure_path():
+    t = synth_media_table(3)
+    t = t.set_column(t.schema.get_field_index("payload"), "payload",
+                     pa.array([b"", b"x", b"y"], pa.binary()))
+    feats = image_features(rd.from_arrow(t)).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert not feats.loc[0, "decode_ok"]
+    assert feats.loc[1, "decode_ok"]
