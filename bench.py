@@ -1,0 +1,116 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ..., "num_cpus": N}``.
+
+``--scaling``: runs the headline KG pipeline twice in fresh processes
+at num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox substitute for N vs 4N
+cluster nodes, per BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# queries() entries timed for the headline number (a representative mix:
+# the KG flagship, a dedup, a vector op, and the relational core)
+BENCH_QUERIES = [
+    "kg_triples",
+    "doc_exact_dedup",
+    "dedup_minhash_edges",
+    "ann_topk",
+    "q1_pricing_summary",
+    "q_top_customer_revenue",
+    "q_events_hourly",
+]
+
+
+def _sf_value(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from jerex_ray.pipelines.queries import build_queries
+    from jerex_ray.runtime import configure_data_context
+    configure_data_context()
+
+    qs = build_queries()
+
+    # warm the OS page cache: one untimed pass over the parquet inputs
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings",
+              "events"):
+        with open(f"{SF_DIR}/{t}.parquet", "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        result = qs[name](SF_DIR)
+        # force full materialization of lazy results
+        if hasattr(result, "to_pandas"):
+            result = result.to_pandas()
+        _ = len(result)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_pipeline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_value(SF_DIR),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job at 8 and 32 CPUs in fresh processes (N vs 4N proxy)."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              check=True)
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8) if t_hi > 0 else 0.0
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

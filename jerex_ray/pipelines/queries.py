@@ -1,0 +1,322 @@
+"""The engine's query registry: every operator/pipeline exposed as a
+``(sf_dir) -> result`` callable, plus DuckDB oracle SQL where the
+semantics are SQL-expressible (driver contract, ``__ray_entry__.py``).
+
+KG-construction queries run over the engine's own deterministic
+synthetic transcripts (the graft input shape has no driver-provided
+table; size scales with the sf directory). They are rows-only checks
+(non-SQL-expressible model inference). All relational / text / vector
+queries run over the driver's parquet tables with exact SQL oracles —
+column names match the SQL aliases exactly.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from jerex_ray.config import PipelineConfig
+from jerex_ray.runtime import configure_data_context
+
+
+def _sf_value(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+def _sf_convs(sf_dir: str) -> int:
+    # ~100 convs at sf0.001, 800 at sf0.01, 8000 at sf0.1
+    return max(100, int(_sf_value(sf_dir) * 80_000))
+
+
+def _kg_config() -> PipelineConfig:
+    return PipelineConfig(num_output_partitions=8,
+                          scorer_concurrency=(1, 4), actor_num_cpus=0.5)
+
+
+# ---------- KG pipeline queries (rows-only) ----------
+
+def kg_triples(sf_dir: str):
+    from jerex_ray.pipelines.kg import extract_triples
+    from jerex_ray.sources.transcripts import read_synthetic_transcripts
+    configure_data_context()
+    ds = read_synthetic_transcripts(_sf_convs(sf_dir))
+    t = extract_triples(ds, _kg_config()).to_pandas()
+    cols = ["conv_id", "subj", "subj_type", "pred", "obj", "obj_type",
+            "subj_norm", "obj_norm"]
+    return t[cols].drop_duplicates().sort_values(cols).reset_index(drop=True)
+
+
+def kg_entities(sf_dir: str):
+    from jerex_ray.pipelines.kg import extract_triples
+    from jerex_ray.sources.transcripts import read_synthetic_transcripts
+    from jerex_ray.stages.canonicalize import build_entity_table
+    configure_data_context()
+    ds = read_synthetic_transcripts(_sf_convs(sf_dir))
+    ents = build_entity_table(extract_triples(ds, _kg_config())).to_pandas()
+    return ents.sort_values("norm").reset_index(drop=True)
+
+
+def kg_mentions(sf_dir: str):
+    from jerex_ray.sources.transcripts import read_synthetic_transcripts
+    from jerex_ray.stages.assemble import assemble_documents
+    from jerex_ray.stages.convert import explode_mentions
+    from jerex_ray.stages.scorer import score_documents
+    from jerex_ray.stages.tokenize import tokenize_documents
+    configure_data_context()
+    cfg = _kg_config()
+    ds = read_synthetic_transcripts(_sf_convs(sf_dir))
+    from jerex_ray.pipelines.kg import _with_part_key
+    docs = assemble_documents(_with_part_key(ds, cfg))
+    scored = score_documents(tokenize_documents(docs, cfg), cfg)
+    m = scored.map_batches(explode_mentions, batch_format="pyarrow").to_pandas()
+    return m.sort_values(["conv_id", "doc_id", "start", "end"]) \
+            .reset_index(drop=True)
+
+
+def kg_eval(sf_dir: str):
+    """Triple P/R vs the planted reference extractions (the ≥0.95 gate)."""
+    from jerex_ray.eval.scoring import evaluate_triples
+    from jerex_ray.sources.transcripts import ground_truth_triples
+    pred = kg_triples(sf_dir)
+    gt = ground_truth_triples(_sf_convs(sf_dir)).to_pandas()
+    m = evaluate_triples(pred, gt)
+    return pd.DataFrame([{k: m[k] for k in
+                          ("tp", "fp", "fn", "precision", "recall", "f1")}])
+
+
+# ---------- text / dedup / vector queries (SQL oracles) ----------
+
+def doc_token_stats(sf_dir: str):
+    import ray.data as rd
+    from jerex_ray.ops.textstats import run_token_stats
+    configure_data_context()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return run_token_stats(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+def doc_quality(sf_dir: str):
+    import ray.data as rd
+    from jerex_ray.ops.textstats import run_quality_stats
+    configure_data_context()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return run_quality_stats(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+def doc_exact_dedup(sf_dir: str):
+    import ray.data as rd
+    from jerex_ray.ops.dedup import exact_dedup
+    configure_data_context()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    kept = exact_dedup(ds).to_pandas()
+    return kept[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_langid(sf_dir: str):
+    import ray.data as rd
+    from jerex_ray.ops.textstats import run_langid
+    configure_data_context()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return run_langid(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+def dedup_minhash_edges(sf_dir: str):
+    import ray.data as rd
+    from jerex_ray.ops.dedup import minhash_dedup
+    configure_data_context()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    _, edges = minhash_dedup(ds, threshold=0.7)
+    out = edges[["doc_a", "doc_b"]].sort_values(["doc_a", "doc_b"])
+    return out.reset_index(drop=True)
+
+
+def dedup_simhash_pairs(sf_dir: str):
+    import ray.data as rd
+    from jerex_ray.ops.dedup import simhash_candidates
+    configure_data_context()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return simhash_candidates(ds, max_hamming=3)
+
+
+def ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from jerex_ray.ops.ann import brute_force_topk
+    configure_data_context()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    qdf = qdf.sort_values("vec_id").head(3)
+    queries = np.stack(qdf["embedding"].to_numpy())
+    out = brute_force_topk(ds, queries, k=5)
+    return out[["query_idx", "vec_id"]].astype("int64") \
+        .sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
+
+
+def emb_label_counts(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from jerex_ray.runtime import shuffle_partitions
+    configure_data_context()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label"])
+    out = ds.groupby("label", num_partitions=shuffle_partitions()) \
+            .aggregate(Count(alias_name="n"))
+    return out.to_pandas().sort_values("label").reset_index(drop=True)
+
+
+# ---------- registry ----------
+
+def build_queries() -> dict:
+    from jerex_ray import relational as R
+    return {
+        # KG construction (rows-only: model inference, not SQL)
+        "kg_triples": kg_triples,
+        "kg_entities": kg_entities,
+        "kg_mentions": kg_mentions,
+        "kg_eval": kg_eval,
+        # text analysis / dedup / vectors
+        "doc_token_stats": doc_token_stats,
+        "doc_quality": doc_quality,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_langid": doc_langid,
+        "dedup_minhash_edges": dedup_minhash_edges,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "ann_topk": ann_topk,
+        "emb_label_counts": emb_label_counts,
+        # relational operators
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q_top_customer_revenue": R.q_top_customer_revenue,
+        "q_customers_per_region": R.q_customers_per_region,
+        "q_events_hourly": R.q_events_hourly,
+        "q_priciest_parts": R.q_priciest_parts,
+        "q_supplier_balance": R.q_supplier_balance,
+        "q_distinct_segments": R.q_distinct_segments,
+        "q_urgent_orders": R.q_urgent_orders,
+        "q_customers_without_orders": R.q_customers_without_orders,
+        "q_customers_with_orders_count": R.q_customers_with_orders_count,
+    }
+
+
+_N_TOKENS_SQL = ("array_length(list_filter(regexp_split_to_array(text, '\\s+'), "
+                 "x -> x <> ''))")
+
+
+def build_oracle_sql() -> dict:
+    return {
+        "doc_token_stats": f"""
+            SELECT doc_id,
+                   {_N_TOKENS_SQL} AS n_tokens,
+                   array_length(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_pieces
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   {_N_TOKENS_SQL} AS n_tokens,
+                   CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio,
+                   CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS upper_ratio,
+                   CASE WHEN {_N_TOKENS_SQL} > 0 THEN
+                       CAST(length(text) - (length(text) - length(regexp_replace(text, '\\s', '', 'g'))) AS DOUBLE)
+                           / greatest({_N_TOKENS_SQL}, 1)
+                   ELSE 0.0 END AS mean_token_len
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_exact_dedup": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+            ORDER BY doc_id
+        """,
+        "ann_topk": """
+            SELECT query_idx, vec_id FROM (
+                SELECT q.vec_id AS query_idx, e.vec_id AS vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                    e.vec_id) AS rk
+                FROM embeddings q CROSS JOIN embeddings e
+                WHERE q.vec_id < 3
+            ) WHERE rk <= 5 ORDER BY query_idx, vec_id
+        """,
+        "emb_label_counts": """
+            SELECT label, count(*) AS n FROM embeddings
+            GROUP BY label ORDER BY label
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_top_customer_revenue": """
+            SELECT c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_name
+            ORDER BY revenue DESC, c_name
+            LIMIT 10
+        """,
+        "q_customers_per_region": """
+            SELECT r_name, count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "q_events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
+            ORDER BY event_type, hour
+        """,
+        "q_priciest_parts": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey LIMIT 5
+        """,
+        "q_supplier_balance": """
+            SELECT s_nationkey, count(*) AS n_suppliers,
+                   round(min(s_acctbal), 2) AS min_bal,
+                   round(max(s_acctbal), 2) AS max_bal,
+                   round(sum(s_acctbal), 2) AS sum_bal
+            FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
+        "q_distinct_segments": """
+            SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+        """,
+        "q_urgent_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            ORDER BY o_orderkey
+        """,
+        "q_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "q_customers_with_orders_count": """
+            SELECT count(*) AS n_customers FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+    }
