@@ -86,31 +86,86 @@ def run_bench() -> dict:
     return out
 
 
+SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "320000"))
+
+
+def run_scaling_child() -> dict:
+    """One scaling measurement: the flagship KG extraction over a fixed
+    synthetic transcript corpus large enough that model compute (not
+    fixed session/shuffle overhead) dominates — the honest regime for
+    a throughput-scaling claim."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from jerex_ray.config import PipelineConfig
+    from jerex_ray.pipelines.kg import extract_triples
+    from jerex_ray.runtime import configure_data_context
+    from jerex_ray.sources.transcripts import read_synthetic_transcripts
+    configure_data_context()
+
+    # fixed-size pools sized to the cluster: an autoscaling pool's
+    # ramp-up eats a large fraction of a short run; a real cluster job
+    # provisions its actor fleet once up front
+    cfg = PipelineConfig(num_output_partitions=8)
+
+    def run_once(n_convs: int) -> tuple[int, float]:
+        ds = read_synthetic_transcripts(n_convs)
+        t0 = time.perf_counter()
+        # distributed count: full pipeline executes, only a number
+        # reaches the driver (single-threaded driver pull would be a
+        # serial tail that biases the high-CPU measurement)
+        n = extract_triples(ds, cfg).count()
+        return n, time.perf_counter() - t0
+
+    # untimed warmup: spin up the full worker/actor fleet + page cache
+    run_once(3000)
+    n_triples, dt = run_once(SCALING_CONVS)
+    ray.shutdown()
+    return {"metric": "kg_extraction_sec", "value": round(dt, 3),
+            "unit": "sec", "n_convs": SCALING_CONVS,
+            "n_triples": n_triples,
+            "triples_per_sec": round(n_triples / dt, 1),
+            "num_cpus": NUM_CPUS}
+
+
 def run_scaling() -> dict:
-    """Same job at 8 and 32 CPUs in fresh processes (N vs 4N proxy)."""
-    def run(ncpu: int) -> dict:
+    """Same flagship job at 8 and 32 CPUs in fresh processes — the
+    sandbox substitute for N vs 4N cluster nodes (BASELINE.md)."""
+    def run_one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__),
+                               "--scaling-child"],
                               env=env, capture_output=True, text=True,
                               check=True)
         return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # min of 2: the sandbox shares a host; single runs vary ±30%
+        a, b = run_one(ncpu), run_one(ncpu)
+        return a if a["value"] <= b["value"] else b
 
     lo, hi = run(8), run(32)
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (32 / 8) if t_hi > 0 else 0.0
     return {
         "metric": "scaling_efficiency_8_to_32_cpus",
+        "job": "kg_extraction",
+        "n_convs": lo["n_convs"],
         "sec_8": t_lo,
         "sec_32": t_hi,
-        "queries_8": lo["queries"],
-        "queries_32": hi["queries"],
+        "triples_per_sec_8": lo["triples_per_sec"],
+        "triples_per_sec_32": hi["triples_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "sf": lo["sf"],
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-child" in sys.argv:
+        print(json.dumps(run_scaling_child()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -30,12 +30,17 @@ class PipelineConfig:
     # --- Ray execution knobs (no reference equivalent; ours) ---
     assemble_batch_size: int = 1024   # transcript rows per batch pre-shuffle
     score_batch_size: int = 32        # assembled docs per scorer-actor batch
-    scorer_concurrency: int | tuple[int, int] = (2, 8)  # autoscaling pool:
-                                      # min small so pools never starve the
+    scorer_concurrency: int | tuple[int, int] | None = None  # None = size
+                                      # the autoscaling pool to the cluster
+                                      # (runtime.pool_concurrency); min stays
+                                      # small so pools never starve the
                                       # read/shuffle stages of CPUs
-    actor_num_cpus: float = 1.0       # CPUs reserved per pool actor; <1 lets
-                                      # pools coexist with shuffle aggregators
-                                      # on small clusters
+    tokenizer_concurrency: int | tuple[int, int] | None = None  # same; the
+                                      # two pools are sized separately so
+                                      # fixed-size fleets can't deadlock
+    actor_num_cpus: float = 1.0       # CPUs reserved per pool actor; <1
+                                      # oversubscribes (useful only on tiny
+                                      # test clusters)
     num_output_partitions: int = 16   # triple sink partitions (hash of conv_id)
     salt_buckets: int = 8             # sub-buckets for hot canonicalization keys
 
@@ -52,6 +57,7 @@ class PipelineConfig:
             context_size=self.context_size,
             num_output_partitions=4,
             scorer_concurrency=(1, 2),
+            tokenizer_concurrency=(1, 2),
             actor_num_cpus=0.5,
         )
 

@@ -127,14 +127,20 @@ def evaluate_triples_distributed(pred_ds, gt_ds, *, strict_types: bool = False,
             return out.group_by("k").aggregate([]).rename_columns(["k"])
         return fn
 
+    from jerex_ray.functions.aggregate import grouped_apply
+
     np_ = shuffle_partitions(num_partitions)
     # distinct keys, still distributed (per-batch combiner above bounds
-    # the shuffle; groupby-count is the global dedup)
-    p = (pred_ds.map_batches(keyed("p"), batch_format="pyarrow")
-         .groupby("k", num_partitions=np_).count().drop_columns(["count()"]))
-    g = (gt_ds.map_batches(keyed("g"), batch_format="pyarrow")
-         .groupby("k", num_partitions=np_).count().drop_columns(["count()"]))
-    g = g.rename_columns({"k": "k_gt"})
+    # the shuffle; co-located vectorized drop_duplicates is the global
+    # dedup — no per-group Python)
+    p = grouped_apply(pred_ds.map_batches(keyed("p"), batch_format="pyarrow"),
+                      ["k"], lambda b: b.drop_duplicates("k"),
+                      num_partitions=np_)
+    g = grouped_apply(gt_ds.map_batches(keyed("g"), batch_format="pyarrow"),
+                      ["k"],
+                      lambda b: b.drop_duplicates("k")
+                                 .rename(columns={"k": "k_gt"}),
+                      num_partitions=np_)
     joined = p.join(g, join_type="inner", num_partitions=np_,
                     on=("k",), right_on=("k_gt",))
     tp = joined.count()

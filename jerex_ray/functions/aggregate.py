@@ -1,0 +1,126 @@
+"""Two-phase grouped aggregation: the engine's workhorse combiner.
+
+``ray.data``'s built-in ``groupby().aggregate`` finalizes group-by-group
+in Python (~10-20 ms per group measured on this Ray build), and every
+hash-shuffle spins up one aggregator actor per partition (~1-2 s
+startup each) — both dominate medium-sized aggregates. This module
+implements the classic combiner/reducer with vectorized pandas kernels
+and two reduce strategies:
+
+* ``result_hint="small"`` (default): tree reduce. Per-batch partials →
+  coalescing ``repartition`` (block concat, NO shuffle actors) →
+  per-block merge → single-block final merge. Exact because the merge
+  is associative; right whenever the final result fits one block
+  (millions of groups). Zero shuffle actors, zero per-group Python.
+* ``result_hint="large"``: hash ``repartition(keys=...)`` co-locates
+  keys (verified: one block per key set), then one vectorized
+  per-block merge+finalize. Unbounded result size; pays the shuffle.
+
+Phase 1 also absorbs hot keys: a key with a billion occurrences
+contributes one partial row per batch, not a billion shuffled rows.
+
+Supported fns: sum, count, min, max, mean (kept as sum/count until the
+finalize step, so tree merging stays exact).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from jerex_ray.runtime import shuffle_partitions
+
+_MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def _partial_cols(specs: dict) -> dict:
+    """Internal accumulator columns per output column."""
+    cols = {}
+    for out, (col, fn) in specs.items():
+        if fn == "mean":
+            cols[out] = [(out + "__sum", col, "sum"),
+                         (out + "__cnt", col, "count")]
+        else:
+            cols[out] = [(out, col, fn)]
+    return cols
+
+
+def _partial_fn(keys: list[str], specs: dict):
+    acc = _partial_cols(specs)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            data = {k: df[k] for k in keys if k in df}
+            for outs in acc.values():
+                for name, _, _ in outs:
+                    data[name] = pd.Series(dtype="float64")
+            return pd.DataFrame(data)
+        g = df.groupby(keys, sort=False, dropna=False)
+        parts = {}
+        for outs in acc.values():
+            for name, col, fn in outs:
+                if fn == "count":
+                    parts[name] = g.size() if col is None else g[col].count()
+                else:
+                    parts[name] = getattr(g[col], fn)()
+        return pd.DataFrame(parts).reset_index()
+    return partial
+
+
+def _merge_fn(keys: list[str], specs: dict, finalize: bool):
+    acc = _partial_cols(specs)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        g = df.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for outs in acc.values():
+            for name, _, fn in outs:
+                m = "sum" if fn in ("count",) else _MERGE.get(fn, "sum")
+                cols[name] = getattr(g[name], m)()
+        out = pd.DataFrame(cols).reset_index()
+        if finalize:
+            for o, (col, fn) in specs.items():
+                if fn == "mean":
+                    out[o] = out[o + "__sum"] / out[o + "__cnt"].clip(lower=1)
+                    out = out.drop(columns=[o + "__sum", o + "__cnt"])
+        return out
+    return merge
+
+
+def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple],
+                      *, num_partitions: int | None = None,
+                      batch_size: int = 65536,
+                      result_hint: str = "small"):
+    """``specs``: {out_col: (in_col_or_None, fn)} with fn in
+    sum|count|min|max|mean. Returns a Dataset of one row per key."""
+    if isinstance(keys, str):
+        keys = [keys]
+    partial = ds.map_batches(_partial_fn(keys, specs),
+                             batch_format="pandas", batch_size=batch_size)
+    if result_hint == "large":
+        np_ = shuffle_partitions(num_partitions)
+        shuffled = partial.repartition(np_, keys=keys, sort=False)
+        return shuffled.map_batches(_merge_fn(keys, specs, finalize=True),
+                                    batch_format="pandas", batch_size=None)
+    # tree reduce: coalesce → merge → single-block finalize
+    fan_in = shuffle_partitions(num_partitions or 8)
+    level1 = partial.repartition(fan_in) \
+        .map_batches(_merge_fn(keys, specs, finalize=False),
+                     batch_format="pandas", batch_size=None)
+    return level1.repartition(1) \
+        .map_batches(_merge_fn(keys, specs, finalize=True),
+                     batch_format="pandas", batch_size=None)
+
+
+def grouped_apply(ds, keys: list[str], block_fn,
+                  *, num_partitions: int | None = None):
+    """Hash-co-locate groups, then run a VECTORIZED per-block function
+    that sees every row of each key it receives (a faster
+    ``groupby().map_groups`` for functions expressible over a whole
+    block of complete groups — dedup winners, mode picks, top-1s)."""
+    if isinstance(keys, str):
+        keys = [keys]
+    np_ = shuffle_partitions(num_partitions)
+    ds = ds.repartition(np_, keys=keys, sort=False)
+    return ds.map_batches(block_fn, batch_format="pandas", batch_size=None)

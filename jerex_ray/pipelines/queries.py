@@ -32,8 +32,7 @@ def _sf_convs(sf_dir: str) -> int:
 
 
 def _kg_config() -> PipelineConfig:
-    return PipelineConfig(num_output_partitions=8,
-                          scorer_concurrency=(1, 4), actor_num_cpus=0.5)
+    return PipelineConfig(num_output_partitions=8)
 
 
 # ---------- KG pipeline queries (rows-only) ----------
@@ -90,72 +89,65 @@ def kg_eval(sf_dir: str):
 # ---------- text / dedup / vector queries (SQL oracles) ----------
 
 def doc_token_stats(sf_dir: str):
-    import ray.data as rd
     from jerex_ray.ops.textstats import run_token_stats
-    configure_data_context()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
     return run_token_stats(ds).to_pandas().sort_values("doc_id") \
         .reset_index(drop=True)
 
 
 def doc_quality(sf_dir: str):
-    import ray.data as rd
     from jerex_ray.ops.textstats import run_quality_stats
-    configure_data_context()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
     return run_quality_stats(ds).to_pandas().sort_values("doc_id") \
         .reset_index(drop=True)
 
 
 def doc_exact_dedup(sf_dir: str):
-    import ray.data as rd
     from jerex_ray.ops.dedup import exact_dedup
-    configure_data_context()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
     kept = exact_dedup(ds).to_pandas()
     return kept[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
 def doc_langid(sf_dir: str):
-    import ray.data as rd
     from jerex_ray.ops.textstats import run_langid
-    configure_data_context()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
     return run_langid(ds).to_pandas().sort_values("doc_id") \
         .reset_index(drop=True)
 
 
 def dedup_minhash_edges(sf_dir: str):
-    import ray.data as rd
     from jerex_ray.ops.dedup import minhash_dedup
-    configure_data_context()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
     _, edges = minhash_dedup(ds, threshold=0.7)
     out = edges[["doc_a", "doc_b"]].sort_values(["doc_a", "doc_b"])
     return out.reset_index(drop=True)
 
 
 def dedup_simhash_pairs(sf_dir: str):
-    import ray.data as rd
     from jerex_ray.ops.dedup import simhash_candidates
-    configure_data_context()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
     return simhash_candidates(ds, max_hamming=3)
 
 
 def ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
-    import ray.data as rd
     from jerex_ray.ops.ann import brute_force_topk
-    configure_data_context()
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
     qdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
     qdf = qdf.sort_values("vec_id").head(3)
     queries = np.stack(qdf["embedding"].to_numpy())
@@ -165,11 +157,9 @@ def ann_topk(sf_dir: str):
 
 
 def emb_label_counts(sf_dir: str):
-    import ray.data as rd
     from ray.data.aggregate import Count
-    from jerex_ray.runtime import shuffle_partitions
-    configure_data_context()
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label"])
+    from jerex_ray.runtime import read_parquet_sized, shuffle_partitions
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["label"])
     out = ds.groupby("label", num_partitions=shuffle_partitions()) \
             .aggregate(Count(alias_name="n"))
     return out.to_pandas().sort_values("label").reset_index(drop=True)

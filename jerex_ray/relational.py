@@ -1,11 +1,18 @@
 """Relational pipelines over the driver's TPC-H-ish tables.
 
 These exercise the engine's core relational operators — pruned parquet
-reads, vectorized filter/projection, grouped aggregation, multi-way
-hash joins, semi/anti joins via broadcast key sets, tumbling-window
-aggregation, sort/top-k, distinct — each with an exact DuckDB oracle
-(see ``__ray_entry__.oracle_sql``). Column names match the oracle SQL
-exactly (the driver hashes values under sorted column names).
+reads, vectorized filter/projection, grouped aggregation (the
+partial/final combiner in ``jerex_ray.functions.aggregate``), hash and
+broadcast joins, semi/anti joins via broadcast key sets,
+tumbling-window aggregation, sort/top-k, distinct — each with an exact
+DuckDB oracle (see ``__ray_entry__.oracle_sql``). Column names match
+the oracle SQL aliases exactly (the driver hashes values under sorted
+column names).
+
+Join strategy follows data shape, not test-scale convenience: the
+lineitem⋈orders join is a hash-partitioned ``Dataset.join`` (both
+sides scale with the fact data), while nation/region/customer joins
+broadcast the dimension side (bounded size at any scale).
 
 Money-valued float aggregates are rounded to 2 decimals on BOTH sides:
 distributed summation order makes the last float bits
@@ -14,20 +21,18 @@ non-deterministic, and the oracle compare is value-exact.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
-import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
-from jerex_ray.runtime import configure_data_context, shuffle_partitions
+from jerex_ray.functions.aggregate import grouped_aggregate
+from jerex_ray.functions.join import (broadcast_anti_join, broadcast_join,
+                                      broadcast_semi_join)
+from jerex_ray.runtime import read_parquet_sized, shuffle_partitions
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    configure_data_context()
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _round2(df: pd.DataFrame, cols) -> pd.DataFrame:
@@ -56,22 +61,22 @@ def q1_pricing_summary(sf_dir: str):
             "disc_price": disc,
         })
 
-    out = (ds.map_batches(prep, batch_format="pyarrow")
-           .groupby(["l_returnflag", "l_linestatus"],
-                    num_partitions=shuffle_partitions())
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("l_extendedprice", alias_name="sum_base_price"),
-                      Sum("disc_price", alias_name="sum_disc_price"),
-                      Count(alias_name="count_order")))
+    out = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum"),
+         "sum_base_price": ("l_extendedprice", "sum"),
+         "sum_disc_price": ("disc_price", "sum"),
+         "count_order": (None, "count")})
     df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"])
+    df["count_order"] = df["count_order"].astype("int64")
     return _round2(df, ["sum_qty", "sum_base_price", "sum_disc_price"]) \
         .reset_index(drop=True)
 
 
-# --- 3-way join + groupby + top-k ---
+# --- fact-fact hash join + dimension broadcast join + agg + top-k ---
 
 def q_top_customer_revenue(sf_dir: str, k: int = 10):
-    np_ = shuffle_partitions()
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -82,33 +87,36 @@ def q_top_customer_revenue(sf_dir: str, k: int = 10):
 
     li = li.map_batches(rev, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-
-    j1 = li.join(orders, join_type="inner", num_partitions=np_,
+    # both sides scale with the data → hash-partitioned Dataset.join
+    j1 = li.join(orders, join_type="inner",
+                 num_partitions=shuffle_partitions(8),
                  on=("l_orderkey",), right_on=("o_orderkey",))
-    j2 = j1.join(cust, join_type="inner", num_partitions=np_,
-                 on=("o_custkey",), right_on=("c_custkey",))
-    agg = j2.groupby("c_name", num_partitions=np_) \
-            .aggregate(Sum("revenue", alias_name="revenue"))
+    # customer is a dimension → broadcast
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name"]).to_pandas()
+    j2 = broadcast_join(j1, cust, left_on="o_custkey", right_on="c_custkey")
+    agg = grouped_aggregate(j2, ["c_name"], {"revenue": ("revenue", "sum")})
     df = agg.to_pandas()
     df["revenue"] = df["revenue"].round(2)
     df = df.sort_values(["revenue", "c_name"], ascending=[False, True]).head(k)
     return df.reset_index(drop=True)
 
 
-# --- dimension join chain + count ---
+# --- dimension broadcast join chain + count ---
 
 def q_customers_per_region(sf_dir: str):
-    np_ = shuffle_partitions()
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
-    j = cust.join(nation, join_type="inner", num_partitions=np_,
-                  on=("c_nationkey",), right_on=("n_nationkey",))
-    j = j.join(region, join_type="inner", num_partitions=np_,
-               on=("n_regionkey",), right_on=("r_regionkey",))
-    df = j.groupby("r_name", num_partitions=np_) \
-          .aggregate(Count(alias_name="n_customers")).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   ["r_regionkey", "r_name"]).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")[["n_nationkey", "r_name"]]
+    j = broadcast_join(cust, dim, left_on="c_nationkey",
+                       right_on="n_nationkey")
+    df = grouped_aggregate(j, ["r_name"],
+                           {"n_customers": (None, "count")}).to_pandas()
+    df["n_customers"] = df["n_customers"].astype("int64")
     return df.sort_values("r_name").reset_index(drop=True)
 
 
@@ -122,12 +130,12 @@ def q_events_hourly(sf_dir: str):
         df["hour"] = df["ts"].dt.floor("h")
         return df[["event_type", "hour", "value"]]
 
-    out = (ds.map_batches(bucket, batch_format="pandas")
-           .groupby(["event_type", "hour"],
-                    num_partitions=shuffle_partitions())
-           .aggregate(Count(alias_name="n_events"),
-                      Sum("value", alias_name="sum_value")))
+    out = grouped_aggregate(
+        ds.map_batches(bucket, batch_format="pandas"),
+        ["event_type", "hour"],
+        {"n_events": (None, "count"), "sum_value": ("value", "sum")})
     df = out.to_pandas().sort_values(["event_type", "hour"])
+    df["n_events"] = df["n_events"].astype("int64")
     df["sum_value"] = df["sum_value"].round(2)
     return df.reset_index(drop=True)
 
@@ -146,12 +154,13 @@ def q_priciest_parts(sf_dir: str, k: int = 5):
 
 def q_supplier_balance(sf_dir: str):
     ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
-    out = ds.groupby("s_nationkey", num_partitions=shuffle_partitions()) \
-            .aggregate(Count(alias_name="n_suppliers"),
-                       Min("s_acctbal", alias_name="min_bal"),
-                       Max("s_acctbal", alias_name="max_bal"),
-                       Sum("s_acctbal", alias_name="sum_bal"))
+    out = grouped_aggregate(ds, ["s_nationkey"],
+                            {"n_suppliers": (None, "count"),
+                             "min_bal": ("s_acctbal", "min"),
+                             "max_bal": ("s_acctbal", "max"),
+                             "sum_bal": ("s_acctbal", "sum")})
     df = out.to_pandas().sort_values("s_nationkey")
+    df["n_suppliers"] = df["n_suppliers"].astype("int64")
     return _round2(df, ["min_bal", "max_bal", "sum_bal"]).reset_index(drop=True)
 
 
@@ -159,14 +168,15 @@ def q_supplier_balance(sf_dir: str):
 
 def q_distinct_segments(sf_dir: str):
     ds = _read(sf_dir, "customer", ["c_mktsegment"])
-    vals = ds.unique("c_mktsegment")
-    return pd.DataFrame({"c_mktsegment": sorted(vals)})
+    df = grouped_aggregate(ds, ["c_mktsegment"],
+                           {"n": (None, "count")}).to_pandas()
+    return pd.DataFrame({"c_mktsegment": sorted(df["c_mktsegment"])})
 
 
 # --- filter + projection pushed to the read ---
 
 def q_urgent_orders(sf_dir: str):
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
         filter=(pc.field("o_orderpriority") == "1-URGENT"))
@@ -178,20 +188,16 @@ def q_urgent_orders(sf_dir: str):
 # --- semi / anti join via broadcast key set (guide §Joins) ---
 
 def _order_custkeys(sf_dir: str) -> set:
-    keys = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
-    return set(keys)
+    df = grouped_aggregate(_read(sf_dir, "orders", ["o_custkey"]),
+                           ["o_custkey"], {"n": (None, "count")}).to_pandas()
+    return set(df["o_custkey"])
 
 
 def q_customers_without_orders(sf_dir: str):
     """Anti join: customers having no orders (broadcast key set)."""
-    keys_ref = ray.put(_order_custkeys(sf_dir))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(keys_ref)
-        return df[~df["c_custkey"].isin(keys)]
-
-    df = cust.map_batches(anti, batch_format="pandas").to_pandas()
+    df = broadcast_anti_join(cust, _order_custkeys(sf_dir),
+                             on="c_custkey").to_pandas()
     if df.empty:  # empty Dataset → schema-less frame; restore columns
         return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                              "c_name": pd.Series(dtype="object")})
@@ -200,12 +206,7 @@ def q_customers_without_orders(sf_dir: str):
 
 def q_customers_with_orders_count(sf_dir: str):
     """Semi join + count: number of customers that placed orders."""
-    keys_ref = ray.put(_order_custkeys(sf_dir))
     cust = _read(sf_dir, "customer", ["c_custkey"])
-
-    def semi(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(keys_ref)
-        return df[df["c_custkey"].isin(keys)]
-
-    n = cust.map_batches(semi, batch_format="pandas").count()
+    n = broadcast_semi_join(cust, _order_custkeys(sf_dir),
+                            on="c_custkey").count()
     return pd.DataFrame({"n_customers": [n]})

@@ -68,10 +68,25 @@ def _atomic_write_parquet(table: pa.Table, final_path: str) -> None:
             os.unlink(tmp)
 
 
+def write_partition_block(block: pd.DataFrame, out_dir: str,
+                          dedup_fn=None) -> pd.DataFrame:
+    """Block UDF for ``grouped_apply(keys=["part_key"])``: a block
+    holds one or more complete part_key groups; write each atomically
+    and return one metrics row per partition."""
+    if block.empty:
+        return pd.DataFrame({"part_key": pd.Series(dtype="int64"),
+                             "n_triples": pd.Series(dtype="int64"),
+                             "n_convs": pd.Series(dtype="int64"),
+                             "fingerprint": pd.Series(dtype="object")})
+    outs = [write_partition(g, out_dir, dedup_fn)
+            for _, g in block.groupby("part_key", sort=True)]
+    return pd.concat(outs, ignore_index=True)
+
+
 def write_partition(group: pd.DataFrame, out_dir: str,
                     dedup_fn=None) -> pd.DataFrame:
-    """map_groups UDF: write one part_key group atomically and return a
-    one-row metrics frame (the pipeline's lineage record)."""
+    """Write one part_key group atomically and return a one-row
+    metrics frame (the pipeline's lineage record)."""
     part_key = int(group["part_key"].iloc[0])
     if dedup_fn is not None:
         group = dedup_fn(group)

@@ -33,10 +33,18 @@ def add_part_key(batch: pa.Table, num_partitions: int) -> pa.Table:
     return batch.append_column("part_key", pa.array(keys[inv], pa.int32()))
 
 
-def _assemble_block(t: pa.Table) -> pa.Table:
-    """Segment a conv_id-co-located block into per-conversation rows."""
+DOCS_PER_BLOCK = 500  # assembly yields sub-blocks of this many convs so
+                      # downstream actor pools get one task per sub-block
+                      # (a shuffle partition as one block would cap pool
+                      # parallelism at the shuffle width)
+
+
+def _assemble_block(t: pa.Table):
+    """Segment a conv_id-co-located block into per-conversation rows,
+    yielding sub-blocks of ``DOCS_PER_BLOCK`` conversations."""
     if t.num_rows == 0:
-        return _empty_docs_table()
+        yield _empty_docs_table()
+        return
     t = t.combine_chunks()
     conv = t["conv_id"].to_numpy(zero_copy_only=False)
     turn_idx = t["turn_idx"].to_numpy()
@@ -62,7 +70,7 @@ def _assemble_block(t: pa.Table) -> pa.Table:
         arr = t[col].combine_chunks()
         return pa.ListArray.from_arrays(off, arr)
 
-    return pa.table({
+    full = pa.table({
         "doc_id": doc_ids,
         "part_key": part_key,
         "turn_idx": as_list("turn_idx"),
@@ -71,6 +79,8 @@ def _assemble_block(t: pa.Table) -> pa.Table:
         "tool": as_list("tool"),
         "ts": as_list("ts"),
     })
+    for start in range(0, full.num_rows, DOCS_PER_BLOCK):
+        yield full.slice(start, DOCS_PER_BLOCK)
 
 
 def _empty_docs_table() -> pa.Table:

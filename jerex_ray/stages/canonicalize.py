@@ -74,32 +74,38 @@ def entity_partials(batch: pd.DataFrame) -> pd.DataFrame:
     return part
 
 
-def entity_final(group: pd.DataFrame) -> pd.DataFrame:
-    """Phase 2 (final merge) for one entity_id group: pick the most
-    frequent surface/type (ties → lexicographically smallest — stable
-    across re-sharding)."""
-    sums = group.groupby(["surface", "entity_type"], sort=False)["n"].sum()
-    sums = sums.reset_index().sort_values(
-        ["n", "surface", "entity_type"], ascending=[False, True, True])
-    top = sums.iloc[0]
-    return pd.DataFrame({
-        "entity_id": [group["entity_id"].iloc[0]],
-        "norm": [group["norm"].iloc[0]],
-        "surface": [top["surface"]],
-        "entity_type": [top["entity_type"]],
-        "n_occurrences": [int(group["n"].sum())],
-    })
+def entity_final_block(block: pd.DataFrame) -> pd.DataFrame:
+    """Phase 2 (final merge), vectorized over a block of co-located
+    entity_id groups: sum partial counts, pick the most frequent
+    surface/type per entity (ties → lexicographically smallest —
+    stable across re-sharding)."""
+    if block.empty:
+        return pd.DataFrame({
+            "entity_id": pd.Series(dtype="int64"),
+            "norm": pd.Series(dtype="object"),
+            "surface": pd.Series(dtype="object"),
+            "entity_type": pd.Series(dtype="object"),
+            "n_occurrences": pd.Series(dtype="int64")})
+    sums = (block.groupby(["entity_id", "norm", "surface", "entity_type"],
+                          sort=False)["n"].sum().reset_index())
+    totals = sums.groupby("entity_id", sort=False)["n"].sum() \
+                 .rename("n_occurrences").reset_index()
+    top = sums.sort_values(["entity_id", "n", "surface", "entity_type"],
+                           ascending=[True, False, True, True]) \
+              .drop_duplicates("entity_id")
+    out = top.merge(totals, on="entity_id")
+    out["n_occurrences"] = out["n_occurrences"].astype("int64")
+    return out[["entity_id", "norm", "surface", "entity_type",
+                "n_occurrences"]]
 
 
 def build_entity_table(triples_ds):
     """triples Dataset → canonical entity Dataset via the two-phase
     partial/final aggregate described in the module docstring."""
-    from jerex_ray.runtime import shuffle_partitions
+    from jerex_ray.functions.aggregate import grouped_apply
     partials = triples_ds.map_batches(
         entity_partials, batch_format="pandas", batch_size=65536)
-    return partials.groupby(
-        "entity_id", num_partitions=shuffle_partitions()).map_groups(
-        entity_final, batch_format="pandas")
+    return grouped_apply(partials, ["entity_id"], entity_final_block)
 
 
 def dedup_triples(group: pd.DataFrame) -> pd.DataFrame:

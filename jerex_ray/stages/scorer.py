@@ -160,14 +160,36 @@ class RuleScorer:
         mentions = [(int(s), int(e), int(si))
                     for s, e, si in zip(v_start, v_end, v_sent)]
         m_phrases = [" ".join(phrases[s:e]).lower() for s, e, _ in mentions]
+        m_last = [p.rsplit(" ", 1)[-1] for p in m_phrases]
+        m_nwords = [p.count(" ") + 1 for p in m_phrases]
 
-        # J3/J4: ordered pairs of valid mentions
+        # J3/J4: ordered pairs of valid mentions. The rule score is
+        # symmetric, so each unordered pair is scored once and
+        # mirrored; cheap rules (equality, surname alias, length-gap
+        # bound ed/m > 0.2) decide most pairs without the DP.
         pair_scores: dict[tuple[int, int], float] = {}
         for i in range(n_valid):
-            for j in range(n_valid):
-                if i != j:
-                    pair_scores[(i, j)] = self._score_coref_pair(
-                        m_phrases[i], m_phrases[j])
+            pi, li, ni = m_phrases[i], m_last[i], m_nwords[i]
+            leni = len(pi)
+            for j in range(i + 1, n_valid):
+                pj = m_phrases[j]
+                if pi == pj:
+                    s = 0.98
+                elif li == m_last[j] and (ni == 1 or m_nwords[j] == 1):
+                    s = 0.95
+                else:
+                    m = max(leni, len(pj))
+                    if abs(leni - len(pj)) > 0.2 * m:
+                        s = 0.02  # ed >= length gap > 0.2*m
+                    else:
+                        s = self._score_coref_pair(pi, pj)
+                if s < self.config.coref_threshold:
+                    # below-threshold pairs are indistinguishable from
+                    # missing pairs (distance ≥ cut) for complete
+                    # linkage — omit them, keeping the pair dict tiny
+                    continue
+                pair_scores[(i, j)] = s
+                pair_scores[(j, i)] = s
 
         # J5: complete-linkage clusters over valid mentions
         clusters = clusters_from_pair_scores(
@@ -192,17 +214,27 @@ class RuleScorer:
             "cl_rep", "cl_type", "cl_size",
             "r_head", "r_tail", "r_type", "r_score")}
 
-        tok_phrase = batch["tok_phrase"].to_pylist()
-        tok_sent_col = batch["tok_sent"]
-        sent_off_col = batch["sent_tok_off"]
+        import pyarrow.compute as pc
+
+        def flat_with_offsets(col, dtype=None):
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+            vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            if dtype is not None:
+                vals = vals.astype(dtype)
+            return vals, offs
+
+        phrase_vals, phrase_offs = flat_with_offsets(batch["tok_phrase"])
+        sent_vals, sent_offs = flat_with_offsets(batch["tok_sent"], np.int32)
+        soff_vals, soff_offs = flat_with_offsets(batch["sent_tok_off"], np.int32)
         doc_ids = batch["doc_id"].to_pylist()
         conv_ids = batch["conv_id"].to_pylist()
         part_keys = batch["part_key"].to_pylist()
 
         for d in range(batch.num_rows):
-            phrases = tok_phrase[d]
-            tok_sent = np.asarray(tok_sent_col[d].as_py(), dtype=np.int32)
-            sent_off = np.asarray(sent_off_col[d].as_py(), dtype=np.int32)
+            phrases = phrase_vals[phrase_offs[d]:phrase_offs[d + 1]].tolist()
+            tok_sent = sent_vals[sent_offs[d]:sent_offs[d + 1]]
+            sent_off = soff_vals[soff_offs[d]:soff_offs[d + 1]]
             mentions, clusters, reps, types, relations = self._score_doc(
                 phrases, tok_sent, sent_off)
 
@@ -246,10 +278,12 @@ class RuleScorer:
 
 def score_documents(ds, config: PipelineConfig | None = None, *,
                     concurrency=None, batch_size: int | None = None):
+    from jerex_ray.runtime import pool_concurrency
     cfg = config or PipelineConfig()
     return ds.map_batches(
         RuleScorer, batch_format="pyarrow",
         batch_size=batch_size or cfg.score_batch_size,
-        concurrency=concurrency or cfg.scorer_concurrency,
+        concurrency=concurrency or pool_concurrency(cfg.actor_num_cpus,
+                                                    cpu_fraction=0.55),
         num_cpus=cfg.actor_num_cpus,
         fn_constructor_kwargs={"config": cfg})

@@ -42,6 +42,19 @@ def get_edit_distance(str1: str, str2: str) -> int:
         return len(str2)
     if str1 == str2:
         return 0
+    if len(str2) <= 48:
+        # short strings: plain two-row DP beats numpy's per-op overhead
+        prev = list(range(len(str1) + 1))
+        for i2, c2 in enumerate(str2):
+            cur = [i2 + 1]
+            append = cur.append
+            for i1, c1 in enumerate(str1):
+                if c1 == c2:
+                    append(prev[i1])
+                else:
+                    append(1 + min(prev[i1], prev[i1 + 1], cur[-1]))
+            prev = cur
+        return prev[-1]
     # Wagner-Fischer with numpy row updates, vectorized over the shorter
     # string. The left-to-right dependency cur[j] = min(..., cur[j-1]+1)
     # is resolved with a min-accumulate over (c[k] - k):
