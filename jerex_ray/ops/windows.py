@@ -1,0 +1,168 @@
+"""Windowed aggregates and time-ordered joins over event tables.
+
+Ray Data has no event-time window/watermark machinery (ray_guide
+§Streaming-shaped): windows are expressed as key-partitioned,
+vectorized transforms —
+
+* ``tumbling_window``  — one bucket per row (floor to window), then the
+  engine's combiner aggregate. Scales like any grouped aggregate.
+* ``sliding_window``   — each row exploded into ``size/slide`` window
+  assignments (vectorized repeat), then the combiner aggregate.
+* ``session_windows``  — gap-based sessions per key: keys co-located
+  via hash repartition, then per-block vectorized gaps-and-islands
+  (sort, diff > gap, cumsum) — no per-group Python.
+* ``asof_join``        — for each left row, the latest right row with
+  ``ts_right <= ts_left`` per key: both sides tagged and unioned, keys
+  co-located in ONE shuffle, then per-block ``pandas.merge_asof``.
+  Ordering contract: within a block both sides are sorted by ts before
+  the merge (stated per the guide's as-of pattern).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+
+
+def tumbling_window(events_ds, *, keys: list[str], ts_col: str, every: str,
+                    specs: dict, num_partitions: int | None = None):
+    """Non-overlapping windows of width ``every`` (pandas offset alias,
+    e.g. '1h'); emits one row per (keys..., window_start)."""
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df[ts_col].dt.floor(every)
+        return df
+
+    return grouped_aggregate(
+        events_ds.map_batches(bucket, batch_format="pandas"),
+        list(keys) + ["window_start"], specs, num_partitions=num_partitions)
+
+
+def sliding_window(events_ds, *, keys: list[str], ts_col: str, size: str,
+                   slide: str, specs: dict,
+                   num_partitions: int | None = None):
+    """Overlapping windows of width ``size`` sliding by ``slide``
+    (``size`` must be a multiple of ``slide``). Each row is assigned to
+    size/slide windows — the window whose start is floor(ts, slide) and
+    the k-1 earlier slides."""
+    size_td = pd.Timedelta(size)
+    slide_td = pd.Timedelta(slide)
+    k = int(size_td / slide_td)
+    if k * slide_td != size_td:
+        raise ValueError("size must be a multiple of slide")
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[ts_col].dt.floor(slide)
+        frames = []
+        for i in range(k):
+            f = df.copy()
+            f["window_start"] = base - i * slide_td
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    return grouped_aggregate(
+        events_ds.map_batches(explode, batch_format="pandas"),
+        list(keys) + ["window_start"], specs, num_partitions=num_partitions)
+
+
+def session_windows(events_ds, *, key: str, ts_col: str, gap: str,
+                    num_partitions: int | None = None):
+    """Gap-based sessionization: events of one key whose consecutive
+    gaps are ≤ ``gap`` share a session. Emits one row per session:
+    (key, session_start, session_end, n_events)."""
+    gap_td = pd.Timedelta(gap)
+
+    def sessions_block(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({key: [], "session_start": [],
+                                 "session_end": [],
+                                 "n_events": pd.Series(dtype="int64")})
+        b = block.sort_values([key, ts_col])
+        new_key = b[key].ne(b[key].shift())
+        gap_break = b[ts_col].diff() > gap_td
+        session_id = (new_key | gap_break).cumsum()
+        g = b.groupby(session_id, sort=False)
+        out = pd.DataFrame({
+            key: g[key].first(),
+            "session_start": g[ts_col].min(),
+            "session_end": g[ts_col].max(),
+            "n_events": g.size().astype("int64"),
+        })
+        return out.reset_index(drop=True)
+
+    return grouped_apply(events_ds, [key], sessions_block,
+                         num_partitions=num_partitions)
+
+
+def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
+              right_cols: list[str], num_partitions: int | None = None):
+    """Keyed as-of join (latest right row at-or-before each left row).
+
+    Both sides are reduced to the needed columns, tagged, unioned, and
+    co-located by key in one hash repartition; each block runs a
+    vectorized ``merge_asof`` over its complete key groups."""
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = list(left_schema.names)
+    all_cols = left_cols + ["__rts"] + right_cols + ["__side"]
+
+    def _typed_null(arrow_type, n):
+        import pyarrow.types as pt
+        if pt.is_integer(arrow_type):
+            return pd.array([pd.NA] * n, dtype="Int64")
+        if pt.is_floating(arrow_type):
+            import numpy as np
+            return np.full(n, np.nan)
+        if pt.is_timestamp(arrow_type):
+            return pd.Series([pd.NaT] * n, dtype="datetime64[us]")
+        if pt.is_boolean(arrow_type):
+            return pd.array([pd.NA] * n, dtype="boolean")
+        return pd.array([pd.NA] * n, dtype="string")
+
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_types = dict(zip(right_schema.names, right_schema.types))
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__rts"] = pd.Series(
+            pd.NaT, index=df.index,
+            dtype=right_types[right_ts].to_pandas_dtype())
+        for c in right_cols:
+            df[c] = _typed_null(right_types[c], len(df))
+        df["__side"] = "l"
+        return df[all_cols]
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key, right_ts] + right_cols].rename(
+            columns={right_ts: "__rts"})
+        for c in left_cols:
+            if c not in out.columns:
+                out[c] = _typed_null(left_types[c], len(out))
+        out["__side"] = "r"
+        return out[all_cols]
+
+    left = left_ds.map_batches(tag_left, batch_format="pandas")
+    right = right_ds.map_batches(tag_right, batch_format="pandas")
+    both = left.union(right)
+
+    def join_block(block: pd.DataFrame) -> pd.DataFrame:
+        l = block[block["__side"] == "l"].drop(
+            columns=["__side", "__rts"] + right_cols, errors="ignore")
+        r = block[block["__side"] == "r"][[key, "__rts"] + right_cols]
+        if l.empty:
+            return l
+        l = l.sort_values(left_ts)
+        if r.empty:
+            out = l.copy()
+            out["__rts"] = pd.NaT
+            for c in right_cols:
+                out[c] = None
+            return out.rename(columns={"__rts": f"{right_ts}_right"})
+        r = r.sort_values("__rts")
+        out = pd.merge_asof(l, r, left_on=left_ts, right_on="__rts",
+                            by=key, direction="backward")
+        return out.rename(columns={"__rts": f"{right_ts}_right"})
+
+    return grouped_apply(both, [key], join_block,
+                         num_partitions=num_partitions)

@@ -165,6 +165,52 @@ def emb_label_counts(sf_dir: str):
     return out.to_pandas().sort_values("label").reset_index(drop=True)
 
 
+# ---------- windowed / time-ordered queries ----------
+
+def q_events_sliding(sf_dir: str):
+    from jerex_ray.ops.windows import sliding_window
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+    out = sliding_window(ds, keys=["event_type"], ts_col="ts",
+                         size="2h", slide="1h",
+                         specs={"n_events": (None, "count")}).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["event_type", "window_start"]) \
+        .reset_index(drop=True)
+
+
+def q_events_sessions(sf_dir: str):
+    from jerex_ray.ops.windows import session_windows
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    out = session_windows(ds, key="user_id", ts_col="ts",
+                          gap="30min").to_pandas()
+    return out.sort_values(["user_id", "session_start"]) \
+        .reset_index(drop=True)
+
+
+def q_orders_last_event(sf_dir: str):
+    """As-of join: for each order, the latest event of the same user at
+    or before the order date."""
+    from jerex_ray.ops.windows import asof_join
+    from jerex_ray.runtime import read_parquet_sized
+    orders = read_parquet_sized(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+    orders = orders.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "user_id"}),
+        batch_format="pandas")
+    events = read_parquet_sized(f"{sf_dir}/events.parquet",
+                                columns=["user_id", "ts", "value"])
+    out = asof_join(orders, events, key="user_id", left_ts="o_orderdate",
+                    right_ts="ts", right_cols=["value"]).to_pandas()
+    out = out[["o_orderkey", "ts_right"]].rename(
+        columns={"ts_right": "last_event_ts"})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -195,6 +241,10 @@ def build_queries() -> dict:
         "q_urgent_orders": R.q_urgent_orders,
         "q_customers_without_orders": R.q_customers_without_orders,
         "q_customers_with_orders_count": R.q_customers_with_orders_count,
+        # windowed / time-ordered
+        "q_events_sliding": q_events_sliding,
+        "q_events_sessions": q_events_sessions,
+        "q_orders_last_event": q_orders_last_event,
     }
 
 
@@ -308,5 +358,36 @@ def build_oracle_sql() -> dict:
         "q_customers_with_orders_count": """
             SELECT count(*) AS n_customers FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "q_events_sliding": """
+            SELECT event_type, window_start, count(*) AS n_events FROM (
+                SELECT event_type,
+                       date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start
+                FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+            ) GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "q_events_sessions": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events),
+            s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d)
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
+        "q_orders_last_event": """
+            SELECT o_orderkey,
+                   (SELECT max(e.ts) FROM events e
+                    WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
+                       AS last_event_ts
+            FROM orders o ORDER BY o_orderkey
         """,
     }

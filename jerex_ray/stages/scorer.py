@@ -143,7 +143,7 @@ class RuleScorer:
     # --- the per-document dataflow ---
 
     def _score_doc(self, phrases: list[str], tok_sent: np.ndarray,
-                   sent_tok_off: np.ndarray):
+                   sent_tok_off: np.ndarray, conv_id: str | None = None):
         cfg = self.config
         starts, ends = enumerate_candidate_spans(tok_sent, cfg.max_span_size)
         if starts.size == 0:
@@ -236,7 +236,7 @@ class RuleScorer:
             tok_sent = sent_vals[sent_offs[d]:sent_offs[d + 1]]
             sent_off = soff_vals[soff_offs[d]:soff_offs[d + 1]]
             mentions, clusters, reps, types, relations = self._score_doc(
-                phrases, tok_sent, sent_off)
+                phrases, tok_sent, sent_off, conv_id=conv_ids[d])
 
             m_cluster = [-1] * len(mentions)
             for ci, c in enumerate(clusters):

@@ -1,0 +1,105 @@
+"""DocRED-format source + sub-task (GT-substituted) pipeline tests —
+the reference-parity path (FIXTURES.md §3, SURVEY §3.3)."""
+
+import json
+
+import pytest
+import ray.data as rd
+
+from jerex_ray.config import PipelineConfig
+from jerex_ray.pipelines.subtasks import (coref_pipeline, entity_pipeline,
+                                          mention_pipeline, relation_pipeline)
+from jerex_ray.sources.docred import (docred_ground_truth,
+                                      docred_to_transcripts)
+
+# FIXTURES.md §3 document + a second doc with a surname alias
+DOCS = [
+    {
+        "title": "conv-000",
+        "sents": [["Alice", "Chen", "joined", "Acme", "Corp", "."],
+                  ["Chen", "lives", "in", "Berlin", "."]],
+        "vertexSet": [
+            [{"type": "PER", "pos": [0, 2], "sent_id": 0},
+             {"type": "PER", "pos": [0, 1], "sent_id": 1}],
+            [{"type": "ORG", "pos": [3, 5], "sent_id": 0}],
+            [{"type": "LOC", "pos": [3, 4], "sent_id": 1}],
+        ],
+        "labels": [{"r": "works_at", "h": 0, "t": 1, "evidence": [0]},
+                   {"r": "located_in", "h": 0, "t": 2, "evidence": [1]}],
+    },
+    {
+        "title": "conv-001",
+        "sents": [["Bob", "Smith", "ran", "GrepTool", "yesterday", "."]],
+        "vertexSet": [
+            [{"type": "PER", "pos": [0, 2], "sent_id": 0}],
+            [{"type": "TOOL", "pos": [3, 4], "sent_id": 0}],
+        ],
+        "labels": [{"r": "uses_tool", "h": 0, "t": 1, "evidence": [0]}],
+    },
+]
+
+CFG = PipelineConfig().scaled_for_tests()
+
+
+@pytest.fixture(scope="module")
+def transcripts():
+    return rd.from_arrow(docred_to_transcripts(DOCS))
+
+
+@pytest.fixture(scope="module")
+def gt():
+    return docred_ground_truth(DOCS)
+
+
+def test_docred_roundtrip_text(gt):
+    t = docred_to_transcripts(DOCS).to_pandas()
+    assert list(t[t["conv_id"] == "conv-000"]["text"]) == [
+        "Alice Chen joined Acme Corp .", "Chen lives in Berlin ."]
+    assert len(gt["mentions"]) == 6
+    assert len(gt["clusters"]) == 5
+    assert len(gt["relations"]) == 3
+    # cluster type/phrase = first mention's (datasets.py:126-128)
+    c0 = gt["clusters"].to_pandas().iloc[0]
+    assert c0["phrase"] == "Alice Chen" and c0["entity_type"] == "PER"
+
+
+def test_mention_pipeline_finds_gt_spans(transcripts, gt):
+    pred = mention_pipeline(transcripts, CFG).to_pandas()
+    gtm = gt["mentions"].to_pandas()
+    # identity = word-level span within sentence → compare on
+    # (conv, sent, within-sent span) after converting doc coords
+    got = set()
+    for _, r in pred.iterrows():
+        got.add((r["conv_id"], r["sent_idx"], r["start"], r["end"]))
+    want = set()
+    doc_sent_base = {("conv-000", 0): 0, ("conv-000", 1): 6,
+                     ("conv-001", 0): 0}
+    for _, r in gtm.iterrows():
+        base = doc_sent_base[(r["conv_id"], r["sent_id"])]
+        want.add((r["conv_id"], r["sent_id"],
+                  base + r["start"], base + r["end"]))
+    assert want <= got  # recall of planted mentions is total
+
+
+def test_coref_pipeline_clusters_gt_mentions(transcripts, gt):
+    ents = coref_pipeline(transcripts, gt["mentions"], CFG).to_pandas()
+    conv0 = ents[ents["conv_id"] == "conv-000"]
+    assert dict(zip(conv0["phrase"], conv0["n_mentions"])) == {
+        "Alice Chen": 2, "Acme Corp": 1, "Berlin": 1}
+
+
+def test_entity_pipeline_types_gt_clusters(transcripts, gt):
+    ents = entity_pipeline(transcripts, gt["mentions"], CFG).to_pandas()
+    types = dict(zip(ents["phrase"], ents["entity_type"]))
+    assert types == {"Alice Chen": "PER", "Acme Corp": "ORG",
+                     "Berlin": "LOC", "Bob Smith": "PER",
+                     "GrepTool": "TOOL"}
+
+
+def test_relation_pipeline_over_gt_structure(transcripts, gt):
+    triples = relation_pipeline(transcripts, gt["mentions"], CFG).to_pandas()
+    got = set(zip(triples["conv_id"], triples["subj"],
+                  triples["pred"], triples["obj"]))
+    want = set(zip(*[gt["relations"][c].to_pylist()
+                     for c in ("conv_id", "subj", "pred", "obj")]))
+    assert got == want
