@@ -91,15 +91,38 @@ def _merge_fn(keys: list[str], specs: dict, finalize: bool):
 def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple],
                       *, num_partitions: int | None = None,
                       batch_size: int = 65536,
-                      result_hint: str = "small"):
+                      result_hint: str = "small",
+                      salt_buckets: int = 0):
     """``specs``: {out_col: (in_col_or_None, fn)} with fn in
-    sum|count|min|max|mean. Returns a Dataset of one row per key."""
+    sum|count|min|max|mean. Returns a Dataset of one row per key.
+
+    ``salt_buckets > 0`` (only with ``result_hint="large"``) adds an
+    explicit salted pre-reduce for pathologically hot keys: partials are
+    first reduced under (keys, salt = row_hash % buckets), bounding any
+    single reducer's fan-in to ``#batches / buckets`` rows per key,
+    then merged under the bare keys. The per-batch combiner already
+    bounds fan-in to #batches; salting is for corpora where even that
+    is too much for one reducer."""
     if isinstance(keys, str):
         keys = [keys]
     partial = ds.map_batches(_partial_fn(keys, specs),
                              batch_format="pandas", batch_size=batch_size)
     if result_hint == "large":
         np_ = shuffle_partitions(num_partitions)
+        if salt_buckets > 1:
+            def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.reset_index(drop=True)
+                df["__salt"] = df.index.to_numpy() % salt_buckets
+                return df
+
+            salted = partial.map_batches(add_salt, batch_format="pandas") \
+                .repartition(np_, keys=keys + ["__salt"], sort=False) \
+                .map_batches(_merge_fn(keys + ["__salt"], specs,
+                                       finalize=False),
+                             batch_format="pandas", batch_size=None) \
+                .map_batches(lambda df: df.drop(columns=["__salt"]),
+                             batch_format="pandas")
+            partial = salted
         shuffled = partial.repartition(np_, keys=keys, sort=False)
         return shuffled.map_batches(_merge_fn(keys, specs, finalize=True),
                                     batch_format="pandas", batch_size=None)

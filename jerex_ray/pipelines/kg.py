@@ -63,6 +63,10 @@ def extract_triples(transcripts_ds, config: PipelineConfig | None = None,
     # downstream see many tasks regardless of the shuffle width
     docs = assemble_documents(ds, shuffle_blocks=shuffle_blocks)
     docs = tokenize_documents(docs, cfg, concurrency=cfg.tokenizer_concurrency)
+    # length-bucket within blocks: near-homogeneous batch lengths for
+    # the (batched) scorer — bounded pad waste under a real GPU model
+    from jerex_ray.stages.bucket import length_bucket
+    docs = length_bucket(docs)
     scored = score_documents(docs, cfg)
     triples = scored.map_batches(explode_triples, batch_format="pyarrow")
     return triples.map_batches(canonicalize_triples, batch_format="pandas")

@@ -1,0 +1,52 @@
+"""Skew-handling tests: salted aggregation, hot keys, length bucketing."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from jerex_ray.functions.aggregate import grouped_aggregate
+from jerex_ray.stages.bucket import length_bucket
+
+
+def _skewed(n=50_000, seed=9):
+    rng = np.random.default_rng(seed)
+    # 90% of rows hit one hot key
+    keys = np.where(rng.random(n) < 0.9, "hot",
+                    rng.choice([f"k{i}" for i in range(100)], n))
+    return pd.DataFrame({"k": keys, "v": np.ones(n)})
+
+
+def test_salted_large_aggregate_matches_unsalted():
+    df = _skewed()
+    ds1 = rd.from_pandas(df).repartition(8)
+    ds2 = rd.from_pandas(df).repartition(8)
+    specs = {"n": (None, "count"), "s": ("v", "sum")}
+    plain = grouped_aggregate(ds1, ["k"], specs,
+                              result_hint="large").to_pandas()
+    salted = grouped_aggregate(ds2, ["k"], specs, result_hint="large",
+                               salt_buckets=4).to_pandas()
+    a = plain.sort_values("k").reset_index(drop=True)
+    b = salted.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert int(a[a["k"] == "hot"]["n"].iloc[0]) == (df["k"] == "hot").sum()
+
+
+def test_tree_reduce_matches_pandas_on_skew():
+    df = _skewed(20_000)
+    out = grouped_aggregate(rd.from_pandas(df).repartition(6), ["k"],
+                            {"n": (None, "count")}).to_pandas()
+    want = df.groupby("k").size()
+    got = dict(zip(out["k"], out["n"]))
+    assert got == want.to_dict()
+
+
+def test_length_bucket_sorts_blocks():
+    import pyarrow as pa
+    t = pa.table({"doc_id": [f"d{i}" for i in range(100)],
+                  "n_subwords": pa.array(
+                      np.random.default_rng(1).integers(5, 700, 100),
+                      pa.int32())})
+    out = length_bucket(rd.from_arrow(t))
+    for batch in out.iter_batches(batch_size=None, batch_format="pyarrow"):
+        lens = batch["n_subwords"].to_numpy()
+        assert (np.diff(lens) >= 0).all()
