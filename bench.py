@@ -86,7 +86,7 @@ def run_bench() -> dict:
     return out
 
 
-SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "320000"))
+SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "240000"))
 
 
 def run_scaling_child() -> dict:

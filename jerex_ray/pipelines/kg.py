@@ -59,9 +59,15 @@ def extract_triples(transcripts_ds, config: PipelineConfig | None = None,
     cfg = config or PipelineConfig()
     configure_data_context(ds=transcripts_ds)
     ds = _with_part_key(transcripts_ds, cfg, skip_partitions)
-    # assembly yields DOCS_PER_BLOCK-sized sub-blocks, so actor pools
-    # downstream see many tasks regardless of the shuffle width
+    from jerex_ray.stages.assemble import DOCS_PER_BLOCK
+
     docs = assemble_documents(ds, shuffle_blocks=shuffle_blocks)
+    # actor-pool parallelism is one task per block, and Ray's dynamic
+    # block builder re-coalesces small yielded sub-blocks up to the
+    # target byte size — split to bounded-row blocks (metadata-level,
+    # no shuffle) so pools parallelize past the shuffle width at scale
+    # without adding overhead on small inputs
+    docs = docs.repartition(target_num_rows_per_block=DOCS_PER_BLOCK)
     docs = tokenize_documents(docs, cfg, concurrency=cfg.tokenizer_concurrency)
     # length-bucket within blocks: near-homogeneous batch lengths for
     # the (batched) scorer — bounded pad waste under a real GPU model

@@ -111,5 +111,10 @@ def assemble_documents(ds, *, num_partitions: int | None = None, shuffle_blocks:
     # skipping the aggregator-side sort avoids re-sorting and a library
     # crash on empty shuffle partitions (pa sort_by on schema-less block)
     ds = ds.repartition(nblocks, keys=["conv_id"], sort=False)
+    # num_cpus=0.99: a resource request distinct from downstream actor
+    # pools prevents operator fusion — fused, the per-conv sub-block
+    # generator collapses into the actor task and caps pool parallelism
+    # at the shuffle width
     return ds.map_batches(_assemble_block, batch_format="pyarrow",
-                          batch_size=None, zero_copy_batch=True)
+                          batch_size=None, zero_copy_batch=True,
+                          num_cpus=0.99)
