@@ -1,0 +1,120 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+    python -m jerex_ray synth  --n-convs 10000 --output /tmp/transcripts
+    python -m jerex_ray run    --input /tmp/transcripts --output /tmp/kg
+    python -m jerex_ray eval   --pred /tmp/kg --gt-convs 10000
+    python -m jerex_ray report --pred /tmp/kg --gt-convs 10000 --output /tmp/report.html
+
+Only this module (and bench.py / the test fixture) owns a Ray session;
+library code never calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    return ray
+
+
+def cmd_synth(args) -> int:
+    ray = _ray_session()
+    from jerex_ray.sources.transcripts import read_synthetic_transcripts
+    ds = read_synthetic_transcripts(args.n_convs)
+    ds.write_parquet(args.output)
+    print(json.dumps({"written": args.output, "n_convs": args.n_convs}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_run(args) -> int:
+    ray = _ray_session()
+    import ray.data as rd
+    from jerex_ray.config import PipelineConfig
+    from jerex_ray.pipelines.kg import run_kg_pipeline
+    from jerex_ray.runtime import configure_data_context
+    configure_data_context()
+    cfg = PipelineConfig(num_output_partitions=args.num_partitions)
+    ds = rd.read_parquet(args.input)
+    metrics = run_kg_pipeline(ds, args.output, cfg, resume=not args.no_resume)
+    print(json.dumps({
+        "output": args.output,
+        "partitions_written": int(len(metrics)),
+        "n_triples": int(metrics["n_triples"].sum()) if len(metrics) else 0,
+    }))
+    ray.shutdown()
+    return 0
+
+
+def cmd_eval(args) -> int:
+    ray = _ray_session()
+    from jerex_ray.eval.scoring import evaluate_triples
+    from jerex_ray.sinks.parquet_sink import read_triples
+    from jerex_ray.sources.transcripts import ground_truth_triples
+    pred = read_triples(args.pred).to_pandas()
+    gt = ground_truth_triples(args.gt_convs).to_pandas()
+    m = evaluate_triples(pred, gt, strict_types=args.strict)
+    print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
+                      for k, v in m.items()}))
+    ray.shutdown()
+    return 0 if m["precision"] >= 0.95 and m["recall"] >= 0.95 else 1
+
+
+def cmd_report(args) -> int:
+    ray = _ray_session()
+    from jerex_ray.eval.report import write_examples_report
+    from jerex_ray.sinks.parquet_sink import read_triples
+    from jerex_ray.sources.transcripts import ground_truth_triples
+    pred = read_triples(args.pred).to_pandas()
+    gt = ground_truth_triples(args.gt_convs).to_pandas()
+    path = write_examples_report(pred, gt, args.output, limit=args.limit)
+    print(json.dumps({"report": path}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="jerex_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth", help="write a synthetic transcript corpus")
+    s.add_argument("--n-convs", type=int, default=10_000)
+    s.add_argument("--output", required=True)
+    s.set_defaults(fn=cmd_synth)
+
+    r = sub.add_parser("run", help="run the KG pipeline (resumable)")
+    r.add_argument("--input", required=True)
+    r.add_argument("--output", required=True)
+    r.add_argument("--num-partitions", type=int, default=16)
+    r.add_argument("--no-resume", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    e = sub.add_parser("eval", help="triple P/R vs planted ground truth")
+    e.add_argument("--pred", required=True)
+    e.add_argument("--gt-convs", type=int, required=True)
+    e.add_argument("--strict", action="store_true",
+                   help="rel_nec variant: entity types must match too")
+    e.set_defaults(fn=cmd_eval)
+
+    h = sub.add_parser("report", help="TP/FP/FN examples HTML report")
+    h.add_argument("--pred", required=True)
+    h.add_argument("--gt-convs", type=int, required=True)
+    h.add_argument("--output", required=True)
+    h.add_argument("--limit", type=int, default=50)
+    h.set_defaults(fn=cmd_report)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -86,9 +86,19 @@ def run_kg_pipeline(transcripts_ds, out_dir: str,
     Returns the per-partition metrics as a pandas DataFrame (the
     lineage summary). With ``resume=True``, partitions that already
     have a valid manifest are skipped at the read — no recompute."""
+    import dataclasses
+
     import pandas as pd
 
+    from jerex_ray.sinks.parquet_sink import write_layout_meta
+
     cfg = config or PipelineConfig()
+    # the output's partitioning modulus is part of its layout: adopt the
+    # stored value on resume (a different modulus would hash rows into
+    # partitions the committed manifests don't describe)
+    stored = write_layout_meta(out_dir, cfg.num_output_partitions)
+    if stored != cfg.num_output_partitions:
+        cfg = dataclasses.replace(cfg, num_output_partitions=stored)
     done = completed_partitions(out_dir) if resume else set()
     empty_metrics = pd.DataFrame(columns=["part_key", "n_triples", "n_convs",
                                           "fingerprint"])

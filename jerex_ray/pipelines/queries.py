@@ -86,6 +86,18 @@ def kg_eval(sf_dir: str):
                           ("tp", "fp", "fn", "precision", "recall", "f1")}])
 
 
+def kg_eval_strict(sf_dir: str):
+    """rel_nec variant: both entity types must also match
+    (reference ``joint_evaluator.py:100-105``)."""
+    from jerex_ray.eval.scoring import evaluate_triples
+    from jerex_ray.sources.transcripts import ground_truth_triples
+    pred = kg_triples(sf_dir)
+    gt = ground_truth_triples(_sf_convs(sf_dir)).to_pandas()
+    m = evaluate_triples(pred, gt, strict_types=True)
+    return pd.DataFrame([{k: m[k] for k in
+                          ("tp", "fp", "fn", "precision", "recall", "f1")}])
+
+
 # ---------- text / dedup / vector queries (SQL oracles) ----------
 
 def doc_token_stats(sf_dir: str):
@@ -221,6 +233,7 @@ def build_queries() -> dict:
         "kg_entities": kg_entities,
         "kg_mentions": kg_mentions,
         "kg_eval": kg_eval,
+        "kg_eval_strict": kg_eval_strict,
         # text analysis / dedup / vectors
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,

@@ -37,6 +37,36 @@ import pyarrow.parquet as pq
 from jerex_ray.util import stable_hash64
 
 MANIFEST_DIR = "_manifest"
+META_FILE = "_meta.json"
+
+
+def write_layout_meta(out_dir: str, num_partitions: int) -> int:
+    """Persist the output's partitioning modulus (first writer wins).
+
+    part_key = hash(conv_id) % num_partitions IS the output layout: a
+    resume with a different modulus would assign rows to different
+    partitions than the committed manifests describe and silently
+    corrupt the dataset. Callers must adopt the stored value."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, META_FILE)
+    existing = read_layout_meta(out_dir)
+    if existing is not None:
+        return existing
+    fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"num_partitions": int(num_partitions)}, f)
+    os.replace(tmp, path)
+    return int(num_partitions)
+
+
+def read_layout_meta(out_dir: str) -> int | None:
+    path = os.path.join(out_dir, MANIFEST_DIR, META_FILE)
+    try:
+        with open(path) as f:
+            return int(json.load(f)["num_partitions"])
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return None
 
 
 def completed_partitions(out_dir: str) -> set[int]:
