@@ -16,7 +16,7 @@ PREDICTION_COLUMNS = [
     "doc_id", "conv_id", "part_key",
     "m_start", "m_end", "m_sent", "m_cluster",
     "cl_rep", "cl_type", "cl_size",
-    "r_head", "r_tail", "r_type", "r_score",
+    "r_head", "r_tail", "r_type", "r_score", "r_evidence",
 ]
 
 

@@ -75,6 +75,22 @@ def _empty_triples_table() -> pa.Table:
     })
 
 
+def explode_codalab(batch: pa.Table) -> pa.Table:
+    """DocRED sub-task prediction rows (S11): ``{title, h_idx, t_idx,
+    r, evidence}`` per predicted relation (reference
+    ``classification_evaluator.py:220-231``)."""
+    n_rel = _list_lengths(batch["r_head"])
+    doc_index = np.repeat(np.arange(batch.num_rows), n_rel)
+    idx = pa.array(doc_index)
+    return pa.table({
+        "title": batch["conv_id"].take(idx),
+        "h_idx": _flat_values(batch["r_head"]),
+        "t_idx": _flat_values(batch["r_tail"]),
+        "r": _flat_values(batch["r_type"]),
+        "evidence": _flat_values(batch["r_evidence"]),
+    })
+
+
 def explode_mentions(batch: pa.Table) -> pa.Table:
     """Scored docs → flat mention rows (M5 analogue; word-level orig
     spans are the identity, ``conversion.py:20-25``)."""

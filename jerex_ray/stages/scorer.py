@@ -111,18 +111,21 @@ class RuleScorer:
     def _score_relations(self, phrases: list[str],
                          mentions: list[tuple[int, int, int]],
                          clusters: list[list[int]],
-                         cluster_types: list[str]) -> list[tuple[int, int, str, float]]:
+                         cluster_types: list[str]) -> list[tuple[int, int, str, float, int]]:
         """J8/J9 stand-in. ``mentions[i] = (start, end, sent)`` for valid
         mention i; ``clusters`` holds valid-mention indices. Returns
-        (head_cluster, tail_cluster, rel_type, score) above threshold,
-        max-pooled over mention pairs per ordered cluster pair (G3)."""
+        (head_cluster, tail_cluster, rel_type, score, evidence_sent)
+        above threshold, max-pooled over mention pairs per ordered
+        cluster pair (G3); the evidence sentence is the sentence of the
+        max-pooled mention pair (reference keeps evidence sentences on
+        each Relation, ``entities.py:341-374``)."""
         out = []
         thr = self.config.rel_threshold
         for i1, c1 in enumerate(clusters):
             for i2, c2 in enumerate(clusters):
                 if i1 == i2:
                     continue
-                best: dict[str, float] = {}
+                best: dict[str, tuple[float, int]] = {}
                 for m1 in c1:
                     s1, e1, sent1 = mentions[m1]
                     for m2 in c2:
@@ -134,10 +137,13 @@ class RuleScorer:
                         between = phrases[e1:s2]
                         r = relation_cue(between, cluster_types[i1], cluster_types[i2])
                         if r is not None:
-                            best[r] = max(best.get(r, 0.0), 0.95)
-                for r, sc in best.items():
+                            prev = best.get(r)
+                            if prev is None or 0.95 > prev[0] or (
+                                    0.95 == prev[0] and sent1 < prev[1]):
+                                best[r] = (0.95, sent1)
+                for r, (sc, ev) in best.items():
                     if sc >= thr:
-                        out.append((i1, i2, r, sc))
+                        out.append((i1, i2, r, sc, ev))
         return out
 
     # --- the per-document dataflow ---
@@ -212,7 +218,7 @@ class RuleScorer:
             "doc_id", "conv_id", "part_key",
             "m_start", "m_end", "m_sent", "m_cluster",
             "cl_rep", "cl_type", "cl_size",
-            "r_head", "r_tail", "r_type", "r_score")}
+            "r_head", "r_tail", "r_type", "r_score", "r_evidence")}
 
         import pyarrow.compute as pc
 
@@ -257,6 +263,7 @@ class RuleScorer:
             out["r_tail"].append([r[1] for r in relations])
             out["r_type"].append([r[2] for r in relations])
             out["r_score"].append([r[3] for r in relations])
+            out["r_evidence"].append([r[4] for r in relations])
 
         return pa.table({
             "doc_id": pa.array(out["doc_id"], pa.string()),
@@ -273,6 +280,7 @@ class RuleScorer:
             "r_tail": pa.array(out["r_tail"], pa.list_(pa.int32())),
             "r_type": pa.array(out["r_type"], pa.list_(pa.string())),
             "r_score": pa.array(out["r_score"], pa.list_(pa.float32())),
+            "r_evidence": pa.array(out["r_evidence"], pa.list_(pa.int32())),
         })
 
 

@@ -92,3 +92,22 @@ def normalize_surface(s: str) -> str:
 def flatten(list_of_lists):
     """Reference ``util.py:89-90``."""
     return [i for p in list_of_lists for i in p]
+
+
+def padded_stack(arrays, pad_value=0) -> np.ndarray:
+    """Stack variable-length 1-D/2-D arrays with right padding — the
+    collate primitive a real model path needs (reference
+    ``util.py:43-54`` / ``sampling_common.py:510-523``). Batching
+    happens inside the scorer actor here, so this is only used at the
+    model boundary, never in the Arrow dataflow."""
+    arrays = [np.asarray(a) for a in arrays]
+    if not arrays:
+        return np.empty((0,))
+    ndim = arrays[0].ndim
+    max_shape = tuple(max(a.shape[d] for a in arrays) for d in range(ndim))
+    out = np.full((len(arrays),) + max_shape, pad_value,
+                  dtype=arrays[0].dtype)
+    for i, a in enumerate(arrays):
+        sl = (i,) + tuple(slice(0, s) for s in a.shape)
+        out[sl] = a
+    return out

@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the core kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jerex_ray.cluster import complete_linkage_clusters
+from jerex_ray.ops.dedup import minhash_signature, ngram_jaccard
+from jerex_ray.util import get_edit_distance, normalize_surface, padded_stack
+
+texts = st.text(alphabet="abc d", max_size=25)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts, texts)
+def test_edit_distance_metric_properties(a, b):
+    d = get_edit_distance(a, b)
+    assert d == get_edit_distance(b, a)          # symmetry
+    assert (d == 0) == (a == b)                  # identity
+    assert d >= abs(len(a) - len(b))             # length bound
+    assert d <= max(len(a), len(b))              # upper bound
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts, texts, texts)
+def test_edit_distance_triangle_inequality(a, b, c):
+    assert (get_edit_distance(a, c)
+            <= get_edit_distance(a, b) + get_edit_distance(b, c))
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts)
+def test_normalize_idempotent(s):
+    n = normalize_surface(s)
+    assert normalize_surface(n) == n
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(2, 8), st.floats(0.01, 0.99), st.integers(0, 10_000))
+def test_complete_linkage_partition_invariants(n, thr, seed):
+    rng = np.random.default_rng(seed)
+    d = rng.random((n, n))
+    d = np.maximum(d, d.T)
+    np.fill_diagonal(d, 0)
+    clusters = complete_linkage_clusters(d, thr)
+    flat = sorted(i for c in clusters for i in c)
+    assert flat == list(range(n))                # exact partition
+    # complete linkage guarantee: every within-cluster pair < threshold
+    for c in clusters:
+        for i in c:
+            for j in c:
+                if i != j:
+                    assert d[i, j] < thr
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 1000))
+def test_minhash_estimates_jaccard(seed):
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(40)]
+    a = " ".join(words)
+    # drop a random suffix → known overlap
+    k = int(rng.integers(0, 35))
+    b = " ".join(words[:40 - k] + [f"x{i}" for i in range(k)])
+    true_j = ngram_jaccard(a, b)
+    sa, sb = minhash_signature(a), minhash_signature(b)
+    est = float((sa == sb).mean())
+    assert abs(est - true_j) < 0.35              # 64 hashes → coarse
+
+
+def test_padded_stack_shapes():
+    out = padded_stack([np.array([1, 2]), np.array([3])], pad_value=-1)
+    assert out.tolist() == [[1, 2], [3, -1]]
+    out2 = padded_stack([np.ones((2, 3)), np.ones((1, 5))])
+    assert out2.shape == (2, 2, 5)
+    assert out2[1, 1].sum() == 0
