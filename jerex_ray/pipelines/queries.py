@@ -177,6 +177,32 @@ def emb_label_counts(sf_dir: str):
     return out.to_pandas().sort_values("label").reset_index(drop=True)
 
 
+def emb_near_dups(sf_dir: str):
+    from jerex_ray.ops.dedup import embedding_near_dups
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    out = embedding_near_dups(ds, threshold=0.95)
+    return out[["vec_a", "vec_b"]].astype("int64") \
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def ann_ivf_topk(sf_dir: str):
+    """Approximate IVF top-k (rows-only: recall < 1 by design; the
+    exact brute-force variant is the oracle-checked one)."""
+    import pyarrow.parquet as pq
+    from jerex_ray.ops.ann import ivf_topk
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    qdf = qdf.sort_values("vec_id").head(3)
+    queries = np.stack(qdf["embedding"].to_numpy())
+    out = ivf_topk(ds, queries, k=5)
+    return out[["query_idx", "vec_id"]].astype("int64") \
+        .sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
+
+
 # ---------- windowed / time-ordered queries ----------
 
 def q_events_sliding(sf_dir: str):
@@ -242,6 +268,8 @@ def build_queries() -> dict:
         "dedup_minhash_edges": dedup_minhash_edges,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "ann_topk": ann_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "emb_near_dups": emb_near_dups,
         "emb_label_counts": emb_label_counts,
         # relational operators
         "q1_pricing_summary": R.q1_pricing_summary,

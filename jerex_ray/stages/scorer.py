@@ -284,6 +284,33 @@ class RuleScorer:
         })
 
 
+class HFScorer(RuleScorer):
+    """The real-model actor (GPU path). Not runnable in this sandbox
+    (no torch/transformers); kept as the documented drop-in: load the
+    checkpoint ONCE per actor in ``__init__``, batch-pad inside
+    ``__call__`` with ``jerex_ray.util.padded_stack``, and schedule the
+    pool with ``map_batches(HFScorer, concurrency=N, num_gpus=1,
+    batch_size=B)`` — weights never leave the actor, blocks stay Arrow
+    outside it (reference model load: ``model.py:356-362``; forward:
+    ``joint_models.py:202-244``)."""
+
+    def __init__(self, config=None, *, checkpoint_path: str = ""):
+        super().__init__(config)
+        try:
+            import torch  # noqa: F401
+            import transformers  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "HFScorer needs torch+transformers; this sandbox ships "
+                "neither — RuleScorer provides the frozen semantics"
+            ) from e
+        self.checkpoint_path = checkpoint_path
+        # real implementation: tokenizer + BertModel + 7 head modules
+        # loaded here, _score_mentions/_score_coref_pair/_score_relations
+        # overridden with tensor math (chunked by max_spans /
+        # max_coref_pairs / max_rel_pairs as in configs.py:97-130)
+
+
 def score_documents(ds, config: PipelineConfig | None = None, *,
                     concurrency=None, batch_size: int | None = None):
     from jerex_ray.runtime import pool_concurrency
