@@ -246,6 +246,11 @@ def q_orders_last_event(sf_dir: str):
                     right_ts="ts", right_cols=["value"]).to_pandas()
     out = out[["o_orderkey", "ts_right"]].rename(
         columns={"ts_right": "last_event_ts"})
+    # the union path can promote columns to pandas nullable dtypes;
+    # pin the driver-facing schema to plain numpy dtypes
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["last_event_ts"] = pd.to_datetime(out["last_event_ts"]) \
+        .astype("datetime64[us]")
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 

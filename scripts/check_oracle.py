@@ -33,7 +33,16 @@ def to_pandas(result) -> pd.DataFrame:
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        dt = df[c].dtype
+        if isinstance(dt, pd.api.extensions.ExtensionDtype):
+            # normalize pandas nullable dtypes to numpy equivalents
+            if pd.api.types.is_integer_dtype(dt) or \
+                    pd.api.types.is_float_dtype(dt):
+                df[c] = df[c].astype("float64")
+            else:
+                df[c] = df[c].astype(object)
+            dt = df[c].dtype
+        if dt == object:
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
