@@ -283,6 +283,7 @@ def build_queries() -> dict:
         "q_events_hourly": R.q_events_hourly,
         "q_priciest_parts": R.q_priciest_parts,
         "q_supplier_balance": R.q_supplier_balance,
+        "q_segment_avg_balance": R.q_segment_avg_balance,
         "q_distinct_segments": R.q_distinct_segments,
         "q_urgent_orders": R.q_urgent_orders,
         "q_customers_without_orders": R.q_customers_without_orders,
@@ -386,6 +387,11 @@ def build_oracle_sql() -> dict:
                    round(max(s_acctbal), 2) AS max_bal,
                    round(sum(s_acctbal), 2) AS sum_bal
             FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
+        "q_segment_avg_balance": """
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   round(avg(c_acctbal), 4) AS avg_bal
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "q_distinct_segments": """
             SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment

@@ -164,6 +164,19 @@ def q_supplier_balance(sf_dir: str):
     return _round2(df, ["min_bal", "max_bal", "sum_bal"]).reset_index(drop=True)
 
 
+# --- mean aggregate (sum/count pair through the combiner) ---
+
+def q_segment_avg_balance(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    out = grouped_aggregate(ds, ["c_mktsegment"],
+                            {"n_customers": (None, "count"),
+                             "avg_bal": ("c_acctbal", "mean")})
+    df = out.to_pandas().sort_values("c_mktsegment")
+    df["n_customers"] = df["n_customers"].astype("int64")
+    df["avg_bal"] = df["avg_bal"].round(4)
+    return df.reset_index(drop=True)
+
+
 # --- distinct (shuffle dedup) ---
 
 def q_distinct_segments(sf_dir: str):
