@@ -103,6 +103,8 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple],
     then merged under the bare keys. The per-batch combiner already
     bounds fan-in to #batches; salting is for corpora where even that
     is too much for one reducer."""
+    from jerex_ray.runtime import configure_data_context
+    configure_data_context(ds=ds)
     if isinstance(keys, str):
         keys = [keys]
     partial = ds.map_batches(_partial_fn(keys, specs),
@@ -142,6 +144,8 @@ def grouped_apply(ds, keys: list[str], block_fn,
     that sees every row of each key it receives (a faster
     ``groupby().map_groups`` for functions expressible over a whole
     block of complete groups — dedup winners, mode picks, top-1s)."""
+    from jerex_ray.runtime import configure_data_context
+    configure_data_context(ds=ds)
     if isinstance(keys, str):
         keys = [keys]
     np_ = shuffle_partitions(num_partitions)

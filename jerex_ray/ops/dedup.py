@@ -160,7 +160,8 @@ def minhash_candidate_pairs(docs_ds, *, col: str = "text", k: int = 3,
 
 
 def minhash_dedup(docs_ds, *, threshold: float = 0.8, col: str = "text",
-                  k: int = 3, num_partitions: int | None = None):
+                  k: int = 3, num_partitions: int | None = None,
+                  transitive: bool = False):
     """Full near-dup pipeline: LSH candidates → Jaccard verify →
     survivors keep the min doc_id of each near-dup star.
 
@@ -203,13 +204,26 @@ def minhash_dedup(docs_ds, *, threshold: float = 0.8, col: str = "text",
     edges = pairs.assign(jaccard=jac)
     edges = edges[edges["jaccard"] >= threshold].reset_index(drop=True)
 
-    # min-label propagation (one round; iterate for deep chains)
-    root: dict = {}
-    for a, b in zip(edges["doc_a"], edges["doc_b"]):
-        ra, rb = root.get(a, a), root.get(b, b)
-        r = min(ra, rb)
-        root[a] = root[b] = root.get(r, r)
-    drop = {d for d, r in root.items() if r != d}
+    if transitive:
+        # full transitive closure via the distributed operator
+        # (functions/components.py) — use when edge chains run deep
+        import ray.data as rd
+
+        from jerex_ray.functions.components import connected_components
+        comp = connected_components(
+            rd.from_pandas(edges.rename(
+                columns={"doc_a": "src", "doc_b": "dst"})[["src", "dst"]]),
+            num_partitions=num_partitions)
+        drop = set(comp[comp["node"] != comp["component"]]["node"])
+    else:
+        # single-round min-label star collapse (verified edge sets are
+        # small; catches direct duplicates, not deep chains)
+        root: dict = {}
+        for a, b in zip(edges["doc_a"], edges["doc_b"]):
+            ra, rb = root.get(a, a), root.get(b, b)
+            r = min(ra, rb)
+            root[a] = root[b] = root.get(r, r)
+        drop = {d for d, r in root.items() if r != d}
     drop_ref = ray.put(drop)
 
     def drop_dups(b: pd.DataFrame) -> pd.DataFrame:
