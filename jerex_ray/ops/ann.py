@@ -42,13 +42,25 @@ def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
         ids = batch["vec_id"].to_numpy()
         sims = q @ vecs.T                      # (Q, B)
         kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = {
-            "query_idx": np.repeat(np.arange(q.shape[0]), kk),
-            "vec_id": ids[idx].ravel(),
-            "cosine": np.take_along_axis(sims, idx, axis=1).ravel().astype(np.float64),
-        }
-        return pd.DataFrame(rows)
+        # argpartition pre-filter with a tie margin, then an exact
+        # (-cosine, vec_id) lexsort of the small candidate set so a
+        # boundary tie never drops the globally-correct (smallest
+        # vec_id) candidate before the final merge
+        pre = min(4 * kk, sims.shape[1])
+        cand = np.argpartition(-sims, pre - 1, axis=1)[:, :pre]
+        rows_q, rows_v, rows_c = [], [], []
+        for qi in range(q.shape[0]):
+            ci = cand[qi]
+            order = np.lexsort((ids[ci], -sims[qi, ci]))[:kk]
+            sel = ci[order]
+            rows_q.append(np.full(kk, qi))
+            rows_v.append(ids[sel])
+            rows_c.append(sims[qi, sel].astype(np.float64))
+        return pd.DataFrame({
+            "query_idx": np.concatenate(rows_q),
+            "vec_id": np.concatenate(rows_v),
+            "cosine": np.concatenate(rows_c),
+        })
 
     partials = emb_ds.map_batches(local_topk, batch_format="pandas",
                                   batch_size=4096).to_pandas()

@@ -15,7 +15,7 @@ import re
 import numpy as np
 import pandas as pd
 
-from jerex_ray.util import stable_hash64
+from jerex_ray.util import stable_hash64_batch
 
 _WS_RE = re.compile(r"\s+")
 _PUNCT_RE = re.compile(r"[^\w\s]", re.U)
@@ -69,22 +69,33 @@ class LangId:
 
     def __init__(self):
         self.word_re = re.compile(r"[a-zà-ÿ]+")
-        self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
+        self.langs = sorted(self.PROFILES)          # tie-break order
+        self.profiles = [frozenset(self.PROFILES[k]) for k in self.langs]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        langs = []
-        for text in batch["text"].fillna(""):
-            words = self.word_re.findall(text.lower())
-            if not words:
-                langs.append("und")
-                continue
-            ws = set(words)
-            best_lang, best_score = "und", 0
-            for lang in sorted(self.profiles):
-                score = len(ws & self.profiles[lang])
-                if score > best_score:
-                    best_lang, best_score = lang, score
-            langs.append(best_lang)
+        """Vectorized: explode distinct words per doc once, one
+        ``isin`` + bincount per language profile, argmax with the
+        first-in-sorted-order tie rule."""
+        n = len(batch)
+        texts = batch["text"].fillna("").str.lower()
+        word_lists = texts.str.findall(self.word_re)
+        lens = word_lists.str.len().to_numpy()
+        if lens.sum() == 0:
+            out = batch[["doc_id"]].copy()
+            out["lang_pred"] = "und"
+            return out
+        doc_idx = np.repeat(np.arange(n), lens)
+        flat = pd.DataFrame({"i": doc_idx,
+                             "w": np.concatenate(word_lists.to_numpy())})
+        flat = flat.drop_duplicates()               # distinct words per doc
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for li, prof in enumerate(self.profiles):
+            hits = flat["w"].isin(prof).to_numpy()
+            scores[:, li] = np.bincount(flat["i"].to_numpy()[hits],
+                                        minlength=n)
+        best = scores.argmax(axis=1)                # first max wins ties
+        langs = np.asarray(self.langs, dtype=object)[best]
+        langs = np.where(scores.max(axis=1) > 0, langs, "und")
         out = batch[["doc_id"]].copy()
         out["lang_pred"] = langs
         return out
@@ -96,8 +107,8 @@ def fingerprint(batch: pd.DataFrame, *, normalize: bool = True) -> pd.DataFrame:
     texts = batch["text"].fillna("")
     if normalize:
         texts = texts.str.lower().str.replace(_WS_RE, " ", regex=True).str.strip()
-    fps = np.fromiter((stable_hash64(t) % (1 << 63) for t in texts),
-                      dtype=np.int64, count=len(texts))
+    # unique-then-scatter: one hash per distinct text
+    fps = (stable_hash64_batch(texts) % np.uint64(1 << 63)).astype(np.int64)
     out = batch.copy()
     out["fp"] = fps
     return out

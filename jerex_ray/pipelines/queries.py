@@ -154,16 +154,24 @@ def dedup_simhash_pairs(sf_dir: str):
     return simhash_candidates(ds, max_hamming=3)
 
 
-def ann_topk(sf_dir: str):
+def _query_vectors(sf_dir: str):
+    """The same predicate the oracle uses (``q.vec_id < 3``): query
+    vectors selected by value, their actual vec_id kept as query_idx —
+    never positional indices (non-contiguous ids stay in sync)."""
     import pyarrow.parquet as pq
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    qdf = qdf[qdf["vec_id"] < 3].sort_values("vec_id")
+    return np.stack(qdf["embedding"].to_numpy()), qdf["vec_id"].to_numpy()
+
+
+def ann_topk(sf_dir: str):
     from jerex_ray.ops.ann import brute_force_topk
     from jerex_ray.runtime import read_parquet_sized
     ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
-    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
-    qdf = qdf.sort_values("vec_id").head(3)
-    queries = np.stack(qdf["embedding"].to_numpy())
+    queries, qids = _query_vectors(sf_dir)
     out = brute_force_topk(ds, queries, k=5)
+    out["query_idx"] = qids[out["query_idx"].to_numpy()]
     return out[["query_idx", "vec_id"]].astype("int64") \
         .sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
 
@@ -178,6 +186,21 @@ def emb_label_counts(sf_dir: str):
 
 
 def emb_near_dups(sf_dir: str):
+    """EXACT all-pairs cosine ≥ 0.95 (oracle-checked); the multi-table
+    LSH variant (``embedding_near_dups``) is the 100 TB scale path,
+    exercised by ``emb_near_dups_lsh`` and a planted-recall test."""
+    from jerex_ray.ops.dedup import embedding_near_dups_exact
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    out = embedding_near_dups_exact(ds, threshold=0.95)
+    return out[["vec_a", "vec_b"]].astype("int64") \
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def emb_near_dups_lsh(sf_dir: str):
+    """Multi-table LSH near-dups (approximate-recall scale path;
+    rows-only by design — the exact variant above is oracled)."""
     from jerex_ray.ops.dedup import embedding_near_dups
     from jerex_ray.runtime import read_parquet_sized
     ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
@@ -190,15 +213,13 @@ def emb_near_dups(sf_dir: str):
 def ann_ivf_topk(sf_dir: str):
     """Approximate IVF top-k (rows-only: recall < 1 by design; the
     exact brute-force variant is the oracle-checked one)."""
-    import pyarrow.parquet as pq
     from jerex_ray.ops.ann import ivf_topk
     from jerex_ray.runtime import read_parquet_sized
     ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
-    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
-    qdf = qdf.sort_values("vec_id").head(3)
-    queries = np.stack(qdf["embedding"].to_numpy())
+    queries, qids = _query_vectors(sf_dir)
     out = ivf_topk(ds, queries, k=5)
+    out["query_idx"] = qids[out["query_idx"].to_numpy()]
     return out[["query_idx", "vec_id"]].astype("int64") \
         .sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
 
@@ -275,6 +296,7 @@ def build_queries() -> dict:
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "emb_near_dups": emb_near_dups,
+        "emb_near_dups_lsh": emb_near_dups_lsh,
         "emb_label_counts": emb_label_counts,
         # relational operators
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -325,6 +347,109 @@ def build_oracle_sql() -> dict:
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
             ORDER BY doc_id
+        """,
+        "doc_langid": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           regexp_extract_all(lower(text), '[a-zà-ÿ]+'))) AS w
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       count(*) FILTER (WHERE w IN ('der','die','und','das',
+                           'ist','nicht','ein','mit','zu')) AS de,
+                       count(*) FILTER (WHERE w IN ('the','and','of','to','a',
+                           'in','is','it','that','was')) AS en,
+                       count(*) FILTER (WHERE w IN ('el','la','de','que','los',
+                           'una','es','por','con')) AS es,
+                       count(*) FILTER (WHERE w IN ('le','la','et','les','des',
+                           'est','une','dans','que')) AS fr
+                FROM w GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN s.doc_id IS NULL
+                             OR greatest(de, en, es, fr) = 0 THEN 'und'
+                        WHEN de = greatest(de, en, es, fr) THEN 'de'
+                        WHEN en = greatest(de, en, es, fr) THEN 'en'
+                        WHEN es = greatest(de, en, es, fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+            ORDER BY d.doc_id
+        """,
+        "dedup_minhash_edges": """
+            WITH words AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                            ELSE [array_to_string(ws[i:i+2], ' ')
+                                  for i in range(1, len(ws) - 1)] END AS gs
+                FROM words WHERE len(ws) > 0
+            ),
+            dg AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM grams),
+            cnt AS (SELECT doc_id, count(*) AS c FROM dg GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = doc_a
+            JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.7
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_simhash_pairs": """
+            WITH w AS (
+                SELECT doc_id, unnest(list_distinct(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> ''))) AS w
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT) AS h
+                FROM w
+            ),
+            v AS (
+                SELECT doc_id, b.bit,
+                       sum(CASE WHEN (h >> b.bit) & 1 = 1
+                                THEN 1 ELSE -1 END) AS vote
+                FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ),
+            sim AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN vote > 0
+                                     THEN 1::UBIGINT << bit
+                                     ELSE 0 END) AS UBIGINT) AS sh
+                FROM v GROUP BY doc_id
+            ),
+            all_docs AS (
+                SELECT d.doc_id, coalesce(s.sh, 0::UBIGINT) AS sh
+                FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM all_docs a JOIN all_docs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+              AND ((a.sh >> 0) & 65535 = (b.sh >> 0) & 65535
+                OR (a.sh >> 16) & 65535 = (b.sh >> 16) & 65535
+                OR (a.sh >> 32) & 65535 = (b.sh >> 32) & 65535
+                OR (a.sh >> 48) & 65535 = (b.sh >> 48) & 65535)
+            ORDER BY doc_a, doc_b
+        """,
+        "emb_near_dups": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+            ORDER BY vec_a, vec_b
         """,
         "ann_topk": """
             SELECT query_idx, vec_id FROM (

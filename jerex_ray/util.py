@@ -21,6 +21,39 @@ def stable_hash64(s: str | bytes) -> int:
     return int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "big")
 
 
+def md5_hash64(s: str | bytes) -> int:
+    """Stable unsigned 64-bit hash replicable in ANSI-SQL engines:
+    equals DuckDB ``CAST('0x' || substr(md5(x), 1, 16) AS UBIGINT)``
+    (big-endian first 8 bytes of the md5 digest). Used wherever an
+    oracle query must recompute the same hash in SQL (simhash word
+    votes)."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return int.from_bytes(hashlib.md5(s).digest()[:8], "big")
+
+
+def md5_hash64_batch(strings) -> "np.ndarray":
+    """Vectorized-ish md5_hash64 over an iterable of strings: hashes
+    each UNIQUE value once and scatters back (the unique-then-scatter
+    trick; dup-heavy columns pay one hash per distinct value)."""
+    arr = np.asarray(list(strings), dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    h = np.fromiter((md5_hash64(u) for u in uniq),
+                    dtype=np.uint64, count=len(uniq))
+    return h[inv]
+
+
+def stable_hash64_batch(strings) -> "np.ndarray":
+    """unique-then-scatter blake2b-64 over an iterable of strings."""
+    arr = np.asarray(list(strings), dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    h = np.fromiter((stable_hash64(u) for u in uniq),
+                    dtype=np.uint64, count=len(uniq))
+    return h[inv]
+
+
 def stable_hash32(s: str | bytes) -> int:
     if isinstance(s, str):
         s = s.encode("utf-8")

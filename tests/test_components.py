@@ -53,3 +53,27 @@ def test_isolated_pairs():
     edges = pd.DataFrame({"src": [1, 5], "dst": [2, 6]})
     got = connected_components(rd.from_pandas(edges))
     assert dict(zip(got["node"], got["component"])) == {1: 1, 2: 1, 5: 5, 6: 5}
+
+
+def test_empty_edge_set_returns_empty_frame():
+    import pandas as pd
+    import ray.data as rd
+    from jerex_ray.functions.components import connected_components
+    empty = rd.from_pandas(pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                         "dst": pd.Series(dtype="int64")}))
+    out = connected_components(empty)
+    assert list(out.columns) == ["node", "component"]
+    assert len(out) == 0
+
+
+def test_long_chain_converges_distributed():
+    """A 2000-node path graph: min-label + pointer jumping converges in
+    O(log n) rounds with labels held in Datasets, never driver pandas."""
+    import pandas as pd
+    import ray.data as rd
+    from jerex_ray.functions.components import connected_components
+    n = 600
+    edges = pd.DataFrame({"src": range(n - 1), "dst": range(1, n)})
+    out = connected_components(rd.from_pandas(edges), num_partitions=4)
+    assert len(out) == n
+    assert (out["component"] == 0).all()

@@ -142,3 +142,65 @@ def test_multimodal_decode_failure_path():
         .sort_values("media_id").reset_index(drop=True)
     assert not feats.loc[0, "decode_ok"]
     assert feats.loc[1, "decode_ok"]
+
+
+def test_embedding_near_dups_exact_and_lsh_recall():
+    """Planted near-dup pairs: the exact variant finds ALL of them
+    (matches a numpy all-pairs oracle) and the multi-table LSH scale
+    path recovers >= 95% of them."""
+    from jerex_ray.ops.dedup import embedding_near_dups_exact
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((60, 32)).astype(np.float32)
+    planted = base[:25] + 0.02 * rng.standard_normal((25, 32)).astype(np.float32)
+    vecs = np.concatenate([base, planted])
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": range(len(vecs)),
+        "embedding": [v.tolist() for v in vecs]}))
+
+    vn = vecs.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    iu, ju = np.triu_indices(len(vecs), k=1)
+    want = set(zip(iu[sims[iu, ju] >= 0.95].tolist(),
+                   ju[sims[iu, ju] >= 0.95].tolist()))
+    assert len(want) >= 20          # the plant worked
+
+    exact = embedding_near_dups_exact(ds, threshold=0.95)
+    assert set(zip(exact["vec_a"], exact["vec_b"])) == want
+
+    lsh = embedding_near_dups(ds, threshold=0.95)
+    got = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert got <= want              # verification makes LSH precise
+    assert len(got) >= 0.95 * len(want)
+
+
+def test_minhash_verified_edges_distributed_large_candidate_set():
+    """A candidate set far too large to be 'tiny' (10 cliques x 60
+    identical docs = ~17.7k verified pairs): the distributed
+    explode-join verification returns exactly the clique edges, and
+    pairs/shingles stay Datasets throughout (no driver pair loop)."""
+    from jerex_ray.ops.dedup import minhash_verified_edges
+    texts, ids = [], []
+    for clique in range(10):
+        body = " ".join(f"w{clique}x{i}" for i in range(30))
+        for member in range(60):
+            ids.append(clique * 100 + member)
+            texts.append(body)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    edges = minhash_verified_edges(ds, threshold=0.8).to_pandas()
+    # each clique contributes C(60,2) = 1770 jaccard-1.0 pairs
+    assert len(edges) == 10 * 1770
+    assert (edges["jaccard"] == 1.0).all()
+    assert ((edges["doc_a"] // 100) == (edges["doc_b"] // 100)).all()
+
+
+def test_minhash_dedup_transitive_empty_edges():
+    """High threshold filters out every candidate edge — the transitive
+    path must survive an empty edge set (ADVICE r01: KeyError 'node')."""
+    texts = ["alpha beta gamma delta epsilon zeta", 
+             "alpha beta gamma delta epsilon eta theta iota kappa",
+             "totally different words in this one here now"]
+    kept, edges = minhash_dedup(_docs(texts), threshold=0.999,
+                                transitive=True)
+    assert len(edges) == 0
+    assert sorted(kept.to_pandas()["doc_id"]) == [0, 1, 2]
