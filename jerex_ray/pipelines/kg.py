@@ -50,8 +50,15 @@ def _with_part_key(transcripts_ds, cfg: PipelineConfig,
 
 def extract_triples(transcripts_ds, config: PipelineConfig | None = None,
                     *, shuffle_blocks: int | None = None,
-                    skip_partitions: set[int] | None = None):
+                    skip_partitions: set[int] | None = None,
+                    scorer_cls=None, scorer_kwargs: dict | None = None):
     """transcripts Dataset → canonicalized triples Dataset (no sink).
+
+    ``scorer_cls`` selects the model actor (default ``RuleScorer``;
+    ``NumpyScorer`` for the frozen-weight head-math model, with
+    ``scorer_kwargs={'variant': 'global'}`` for the J10 global
+    relation variant mirroring the reference's model_type registry,
+    ``models/__init__.py:9-24``).
 
     Note: conversation-level dedup (G6) happens at the sink's
     per-partition group; callers that skip the sink get chunk-level
@@ -73,7 +80,8 @@ def extract_triples(transcripts_ds, config: PipelineConfig | None = None,
     # the (batched) scorer — bounded pad waste under a real GPU model
     from jerex_ray.stages.bucket import length_bucket
     docs = length_bucket(docs)
-    scored = score_documents(docs, cfg)
+    scored = score_documents(docs, cfg, scorer_cls=scorer_cls,
+                             scorer_kwargs=scorer_kwargs)
     triples = scored.map_batches(explode_triples, batch_format="pyarrow")
     return triples.map_batches(canonicalize_triples, batch_format="pandas")
 

@@ -48,6 +48,34 @@ def kg_triples(sf_dir: str):
     return t[cols].drop_duplicates().sort_values(cols).reset_index(drop=True)
 
 
+def _kg_triples_with_scorer(sf_dir: str, scorer_cls, **scorer_kwargs):
+    from jerex_ray.pipelines.kg import extract_triples
+    from jerex_ray.sources.transcripts import read_synthetic_transcripts
+    configure_data_context()
+    # the numpy model's O(n²·pairs) per-doc head math is the point, not
+    # the corpus size — a quarter of the rule-scorer conv count keeps
+    # these registry entries cheap while covering the full dataflow
+    ds = read_synthetic_transcripts(max(50, _sf_convs(sf_dir) // 4))
+    t = extract_triples(ds, _kg_config(), scorer_cls=scorer_cls,
+                        scorer_kwargs=scorer_kwargs).to_pandas()
+    cols = ["conv_id", "subj", "subj_type", "pred", "obj", "obj_type",
+            "subj_norm", "obj_norm"]
+    return t[cols].drop_duplicates().sort_values(cols).reset_index(drop=True)
+
+
+def kg_triples_numpy(sf_dir: str):
+    """J1–J9 frozen-random head-math model (rows-only: model
+    inference; chunk-cap parity is pytest-gated)."""
+    from jerex_ray.stages.numpy_scorer import NumpyScorer
+    return _kg_triples_with_scorer(sf_dir, NumpyScorer)
+
+
+def kg_triples_global(sf_dir: str):
+    """J10 global relation variant (reference JointGlobalModel)."""
+    from jerex_ray.stages.numpy_scorer import NumpyScorer
+    return _kg_triples_with_scorer(sf_dir, NumpyScorer, variant="global")
+
+
 def kg_entities(sf_dir: str):
     from jerex_ray.pipelines.kg import extract_triples
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
@@ -282,6 +310,8 @@ def build_queries() -> dict:
     return {
         # KG construction (rows-only: model inference, not SQL)
         "kg_triples": kg_triples,
+        "kg_triples_numpy": kg_triples_numpy,
+        "kg_triples_global": kg_triples_global,
         "kg_entities": kg_entities,
         "kg_mentions": kg_mentions,
         "kg_eval": kg_eval,

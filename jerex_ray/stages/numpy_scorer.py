@@ -1,0 +1,423 @@
+"""NumpyScorer: the full JEREX head math (J1–J11) in numpy with
+frozen random weights, honoring the reference's chunk-cap semantics.
+
+This is the bridge between the frozen ``RuleScorer`` (decision rules,
+no tensor math) and a real GPU checkpoint: every head module of the
+reference runs here with the exact dataflow, shapes, chunking and
+thresholding of the torch originals, just with deterministic
+frozen-random weights instead of trained ones (the sandbox ships no
+torch). In particular the three work-bounding caps are CONSUMED
+exactly as the reference chunks:
+
+* ``max_spans`` — J1 mention max-pool is computed in span chunks
+  (``mention_representation.py:16-22``);
+* ``max_coref_pairs`` — J4 coref logits in pair chunks
+  (``coreference_resolution.py:26-32``);
+* ``max_rel_pairs`` — J9 mention-pair representations in pair chunks
+  (``relation_classification_multi_instance.py:32-51``).
+
+Chunking changes memory, never output — ``tests/test_numpy_scorer.py``
+asserts bit-identical results across cap settings.
+
+Head modules reproduced (reference file:line):
+
+* J1  mention repr: additive −1e30 masked max-pool over sub-word
+  embeddings per candidate span (``mention_representation.py:25-31``).
+* J2  mention localization: [repr ‖ size-emb] → linear → relu →
+  linear → logit (``mention_localization.py:14-22``).
+* J3  coref pair gen: all ORDERED pairs of valid mentions; edit
+  distance of DECODED sub-word phrases (``models/misc.py:28-34``) —
+  the decode hook here is the stub tokenizer's lossless-lowercase
+  decode; a real tokenizer overrides ``_decode_phrase``.
+* J4  coref scorer: [r1 ‖ r2 ‖ ed-emb(clamped <300)] → linear → relu
+  → logit, chunked (``coreference_resolution.py:36-51``).
+* J5  complete-linkage clusters cut at 1−coref_threshold
+  (``misc.py:93-158``; via ``jerex_ray.cluster``).
+* J6  entity repr: max-pool mention reprs per cluster
+  (``entity_representation.py:12-22``).
+* J7  entity clf: relu(linear) → linear → softmax → argmax
+  (``entity_classification.py:13-17``, ``joint_models.py:227``).
+* J8  local entity pairs: ordered cluster pairs × mention
+  cross-products with between-context masks, token/sentence
+  distances, mention-pair→entity-pair index maps (``misc.py:161-264``).
+* J9  multi-instance relation scorer: [ctx-max-pool ‖ m1 ‖ m2 ‖
+  ep-cat-repr ‖ tok-dist-emb ‖ sent-dist-emb] → pair_linear (ctx
+  zeroed for adjacent spans), max-pool over mention pairs per entity
+  pair, ⊕ entity-type embeddings → relu(linear) → multi-label sigmoid
+  (``relation_classification_multi_instance.py:23-109``).
+* J10 global relation variant: [head ‖ tail ‖ type-embs] →
+  relu(linear) → linear → sigmoid
+  (``entity_pair_representation.py:15-27``,
+  ``relation_classification_global.py:10-13``, ``misc.py:59-90``).
+
+Embedding-table sizes follow the reference defaults
+(``configs.py:39-46``): size 30, edit-distance 300, token-distance
+700, sentence-distance 50 — inputs are clamped to the table bound
+exactly where the reference relies on data never exceeding it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from jerex_ray.cluster import clusters_from_pair_scores
+from jerex_ray.config import PipelineConfig
+from jerex_ray.stages.scorer import RuleScorer, enumerate_candidate_spans
+from jerex_ray.types import DEFAULT_TYPES, TypeVocabulary
+from jerex_ray.util import get_edit_distance
+
+_SIZE_EMB = 30          # size_embeddings_count (configs.py:43)
+_ED_EMB = 300           # ed_embeddings_count (configs.py:44)
+_TOKDIST_EMB = 700      # token_dist_embeddings_count (configs.py:45)
+_SENTDIST_EMB = 50      # sentence_dist_embeddings_count (configs.py:46)
+_WORD_BUCKETS = 4096
+
+
+def _relu(x):
+    return np.maximum(x, 0.0)
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _softmax(x):
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+class NumpyScorer(RuleScorer):
+    """Frozen-random-weight JEREX model as a scorer actor.
+
+    ``variant='multi_instance'`` mirrors ``JointMultiInstanceModel``
+    (``joint_models.py:147-244``); ``variant='global'`` mirrors
+    ``JointGlobalModel`` (``joint_models.py:247-319``)."""
+
+    NEEDS_SUBWORDS = True
+
+    def __init__(self, config: PipelineConfig | None = None, *,
+                 variant: str = "multi_instance", seed: int = 13,
+                 hidden_size: int = 32, meta_size: int = 8,
+                 types: TypeVocabulary | None = None):
+        super().__init__(config)
+        if variant not in ("multi_instance", "global"):
+            raise ValueError(f"unknown variant {variant!r}")
+        self.variant = variant
+        self.types = types or DEFAULT_TYPES
+        self.entity_names = list(self.types.entity_index)
+        self.relation_names = list(self.types.relation_index)
+        nE, nR = len(self.entity_names), len(self.relation_names)
+        H, M = hidden_size, meta_size
+        self.H, self.M = H, M
+
+        rng = np.random.default_rng(seed)
+
+        def lin(fan_in, fan_out):
+            w = (rng.standard_normal((fan_in, fan_out)) /
+                 np.sqrt(fan_in)).astype(np.float64)
+            b = (0.1 * rng.standard_normal(fan_out)).astype(np.float64)
+            return w, b
+
+        def emb(count, dim):
+            return rng.standard_normal((count, dim)).astype(np.float64)
+
+        # frozen "encoder": word-bucket + position embeddings with a
+        # ±1-neighbor mix standing in for contextualization
+        self.E_word = emb(_WORD_BUCKETS, H)
+        self.E_pos = emb(self.config.context_size, H)
+        # meta embeddings (reference table sizes)
+        self.E_size = emb(_SIZE_EMB, M)
+        self.E_ed = emb(_ED_EMB, M)
+        self.E_tokdist = emb(_TOKDIST_EMB, M)
+        self.E_sentdist = emb(_SENTDIST_EMB, M)
+        self.E_etype = emb(nE, M)
+        # Final binary/multi-label classifier layers are scaled up so
+        # logits saturate the sigmoid — a trained model's calibrated
+        # confidence, which the frozen-random stand-in must imitate for
+        # the reference-default thresholds (0.85/0.85/0.6) to cut
+        # meaningfully. Biases shift the pass rates to realistic
+        # sparsity (a few mentions per hundred candidates).
+        def scaled(fan_in, fan_out, scale, bias):
+            w, b = lin(fan_in, fan_out)
+            return w * scale, b + bias
+
+        # J2 mention localization
+        self.W_ml1, self.b_ml1 = lin(H + M, H)
+        self.W_ml2, self.b_ml2 = scaled(H, 1, 6.0, -9.0)
+        # J4 coreference (bias raised so both orderings of a near-dup
+        # pair can clear the threshold — complete linkage needs the
+        # weaker direction, and frozen-random scores lack a trained
+        # model's symmetry)
+        self.W_co1, self.b_co1 = lin(2 * H + M, H)
+        self.W_co2, self.b_co2 = scaled(H, 1, 6.0, 4.0)
+        # J7 entity classification
+        self.W_ec1, self.b_ec1 = lin(H, H)
+        self.W_ec2, self.b_ec2 = lin(H, nE)
+        # J9 multi-instance (pair_linear: 5H + 2M; rel_linear: H + 2M)
+        self.W_pair, self.b_pair = lin(5 * H + 2 * M, H)
+        self.W_rel1, self.b_rel1 = lin(H + 2 * M, H)
+        self.W_rel2, self.b_rel2 = scaled(H, nR, 6.0, -4.0)
+        # J10 global (entity_pair_linear: 2H + 2M; classifier H → nR)
+        self.W_gpair, self.b_gpair = lin(2 * H + 2 * M, H)
+        self.W_grel, self.b_grel = scaled(H, nR, 6.0, -9.0)
+
+    # --- frozen encoder ---
+
+    def _embed(self, encoding: np.ndarray) -> np.ndarray:
+        """Deterministic stand-in for the BERT last hidden state: word
+        bucket + position embedding, mixed with immediate neighbors so
+        representations are context-dependent. Positions past the
+        700-sub-word ceiling are clamped (the reference's extended
+        position table would reject them; our tokenizer only exceeds
+        it for a single oversized turn)."""
+        ids = np.asarray(encoding, dtype=np.int64) % _WORD_BUCKETS
+        pos = np.minimum(np.arange(ids.size), len(self.E_pos) - 1)
+        e = self.E_word[ids] + self.E_pos[pos]
+        mixed = e.copy()
+        if ids.size > 1:
+            mixed[1:] += 0.3 * e[:-1]
+            mixed[:-1] += 0.3 * e[1:]
+        return np.tanh(mixed)
+
+    def _decode_phrase(self, phrases: list[str], s: int, e: int) -> str:
+        """Decode hook for J3 (``misc.py:32-34`` decodes the sub-word
+        slice). The stub tokenizer lowercases and re-joins losslessly,
+        so decode(encode(span)) == lowercased surface; a real HF
+        scorer overrides this with ``tokenizer.decode``."""
+        return " ".join(phrases[s:e]).lower().strip()
+
+    # --- J1: chunked masked max-pool ---
+
+    def _mention_reprs(self, h: np.ndarray, ss: np.ndarray,
+                       se: np.ndarray) -> np.ndarray:
+        n = len(ss)
+        out = np.zeros((n, self.H))
+        max_spans = self.config.max_spans or n
+        for i in range(0, n, max_spans):          # the J1 chunk loop
+            for k in range(i, min(i + max_spans, n)):
+                a, b = int(ss[k]), int(se[k])
+                if b > a and a < h.shape[0]:
+                    out[k] = h[a:min(b, h.shape[0])].max(axis=0)
+                # else: fully-masked span keeps the zero row (the
+                # −1e30 additive mask saturates in the reference)
+        return out
+
+    # --- the full per-document forward pass ---
+
+    def _score_doc(self, phrases, tok_sent, sent_tok_off, conv_id=None,
+                   encoding=None, sub_start=None, sub_end=None):
+        cfg = self.config
+        starts, ends = enumerate_candidate_spans(tok_sent, cfg.max_span_size)
+        if starts.size == 0:
+            return [], [], [], [], []
+
+        h = self._embed(encoding)
+        sub_start = np.asarray(sub_start, dtype=np.int64)
+        sub_end = np.asarray(sub_end, dtype=np.int64)
+        cand_ss = sub_start[starts]
+        cand_se = sub_end[ends - 1]
+
+        # J1 + J2: mention localization
+        reprs = self._mention_reprs(h, cand_ss, cand_se)
+        sizes = np.clip(ends - starts, 0, _SIZE_EMB - 1)
+        x = np.concatenate([reprs, self.E_size[sizes]], axis=1)
+        ml_logits = (_relu(x @ self.W_ml1 + self.b_ml1)
+                     @ self.W_ml2 + self.b_ml2).ravel()
+        valid = _sigmoid(ml_logits) >= cfg.mention_threshold   # M3
+        if not valid.any():
+            return [], [], [], [], []
+
+        vsel = np.flatnonzero(valid)
+        v_start, v_end = starts[vsel], ends[vsel]
+        v_sent = tok_sent[v_start]
+        order = np.lexsort((v_end, v_start, v_sent))
+        vsel = vsel[order]
+        v_start, v_end, v_sent = v_start[order], v_end[order], v_sent[order]
+        v_reprs = reprs[vsel]
+        v_ss, v_se = cand_ss[vsel], cand_se[vsel]
+        n = len(vsel)
+        mentions = [(int(s), int(e), int(si))
+                    for s, e, si in zip(v_start, v_end, v_sent)]
+
+        # J3: ordered pairs + decoded-phrase edit distances
+        decoded = [self._decode_phrase(phrases, s, e) for s, e, _ in mentions]
+        if n > 1:
+            ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+            mask = ii != jj
+            pa_, pb_ = ii[mask], jj[mask]      # reference nested-loop order
+            eds = np.empty(len(pa_), dtype=np.int64)
+            memo = self._ed_memo
+            for k, (a, b) in enumerate(zip(pa_.tolist(), pb_.tolist())):
+                d1, d2 = decoded[a], decoded[b]
+                key = (d1, d2) if d1 <= d2 else (d2, d1)
+                ed = memo.get(key)
+                if ed is None:
+                    ed = get_edit_distance(d1, d2)
+                    if len(memo) < 500_000:
+                        memo[key] = ed
+                eds[k] = ed
+            eds = np.clip(eds, 0, _ED_EMB - 1)
+
+            # J4: chunked coref classification
+            P = len(pa_)
+            co_logits = np.empty(P)
+            max_pairs = cfg.max_coref_pairs or P
+            for i in range(0, P, max_pairs):   # the J4 chunk loop
+                sl = slice(i, i + max_pairs)
+                xc = np.concatenate([v_reprs[pa_[sl]], v_reprs[pb_[sl]],
+                                     self.E_ed[eds[sl]]], axis=1)
+                co_logits[sl] = (_relu(xc @ self.W_co1 + self.b_co1)
+                                 @ self.W_co2 + self.b_co2).ravel()
+            co_probs = _sigmoid(co_logits)
+            pair_scores = {(int(a), int(b)): float(p)
+                           for a, b, p in zip(pa_, pb_, co_probs)}
+        else:
+            pair_scores = {}
+
+        # J5: complete-linkage clusters
+        clusters = clusters_from_pair_scores(
+            list(range(n)), pair_scores, cfg.coref_threshold)
+
+        # J6 + J7: entity representation and classification
+        ent_reprs = np.stack([v_reprs[c].max(axis=0) for c in clusters])
+        ent_clf = _softmax(_relu(ent_reprs @ self.W_ec1 + self.b_ec1)
+                           @ self.W_ec2 + self.b_ec2)
+        etype_idx = ent_clf.argmax(axis=1)
+        types = [self.entity_names[t] for t in etype_idx]
+
+        # cluster representative = first mention in document order
+        # (datasets.py:126-128 analogue)
+        reps = []
+        for c in clusters:
+            rep = min(c, key=lambda m: mentions[m])
+            s, e, _ = mentions[rep]
+            reps.append(" ".join(phrases[s:e]))
+
+        if self.variant == "global":
+            relations = self._relations_global(clusters, ent_reprs, etype_idx)
+        else:
+            relations = self._relations_multi_instance(
+                clusters, ent_reprs, etype_idx, mentions, v_reprs,
+                v_ss, v_se, h)
+        return mentions, clusters, reps, types, relations
+
+    # --- J8 + J9: multi-instance relation classification ---
+
+    def _relations_multi_instance(self, clusters, ent_reprs, etype_idx,
+                                  mentions, v_reprs, v_ss, v_se, h):
+        cfg = self.config
+        nC = len(clusters)
+        if nC < 2:
+            return []
+
+        # J8: ordered cluster pairs × mention cross products
+        ep_pairs = []            # (head cluster, tail cluster)
+        ep_mention_ids = []      # per entity pair: mention-pair row ids
+        mp_a, mp_b, mp_ep = [], [], []
+        for i1 in range(nC):
+            for i2 in range(nC):
+                if i1 == i2:
+                    continue
+                rows = []
+                for m1 in clusters[i1]:
+                    for m2 in clusters[i2]:
+                        rows.append(len(mp_a))
+                        mp_a.append(m1)
+                        mp_b.append(m2)
+                        mp_ep.append(len(ep_pairs))
+                ep_pairs.append((i1, i2))
+                ep_mention_ids.append(rows)
+        mp_a = np.asarray(mp_a, dtype=np.int64)
+        mp_b = np.asarray(mp_b, dtype=np.int64)
+        mp_ep = np.asarray(mp_ep, dtype=np.int64)
+        P = len(mp_a)
+
+        # between-context interval per mention pair (create_rel_mask,
+        # sampling_common.py:325-330: sub-word coordinates)
+        s1s, s1e = v_ss[mp_a], v_se[mp_a]
+        s2s, s2e = v_ss[mp_b], v_se[mp_b]
+        succ = s1e < s2s
+        ctx_start = np.where(succ, s1e, s2e)
+        ctx_end = np.where(succ, s2s, s1s)
+
+        # word-level token distance (get_mention_token_dist_tensors,
+        # sampling_common.py:305-314) and sentence distance
+        w1s = np.asarray([mentions[m][0] for m in mp_a])
+        w1e = np.asarray([mentions[m][1] for m in mp_a])
+        w2s = np.asarray([mentions[m][0] for m in mp_b])
+        w2e = np.asarray([mentions[m][1] for m in mp_b])
+        first_s = np.where(w1s < w2s, w1s, w2s)
+        first_e = np.where(w1s < w2s, w1e, w2e)
+        second_s = np.where(w1s < w2s, w2s, w1s)
+        tok_dist = np.clip(second_s - (first_e - 1), 0, _TOKDIST_EMB - 1)
+        sent1 = np.asarray([mentions[m][2] for m in mp_a])
+        sent2 = np.asarray([mentions[m][2] for m in mp_b])
+        sent_dist = np.clip(np.abs(sent1 - sent2), 0, _SENTDIST_EMB - 1)
+
+        # entity-pair repr: concat variant [head ‖ tail]
+        # (EntityPairRepresentationCat, entity_pair_representation.py:30-40)
+        heads = np.asarray([p[0] for p in ep_pairs])
+        tails = np.asarray([p[1] for p in ep_pairs])
+        ep_reprs = np.concatenate([ent_reprs[heads], ent_reprs[tails]],
+                                  axis=1)
+
+        # J9 chunked mention-pair representations
+        local = np.zeros((P, self.H))
+        max_pairs = cfg.max_rel_pairs or P
+        T = h.shape[0]
+        for i in range(0, P, max_pairs):          # the J9 chunk loop
+            for k in range(i, min(i + max_pairs, P)):
+                a, b = int(ctx_start[k]), int(min(ctx_end[k], T))
+                ctx = h[a:b].max(axis=0) if b > a else np.zeros(self.H)
+                # adjacent/overlapping spans ⇒ zero ctx vector
+                # (relation_classification_multi_instance.py:78)
+                xk = np.concatenate([
+                    ctx, v_reprs[mp_a[k]], v_reprs[mp_b[k]],
+                    ep_reprs[mp_ep[k]],
+                    self.E_tokdist[tok_dist[k]],
+                    self.E_sentdist[sent_dist[k]]])
+                local[k] = xk @ self.W_pair + self.b_pair   # no relu here
+
+        # multi-instance max-pool per entity pair (G3)
+        out = []
+        thr = cfg.rel_threshold
+        for p, rows in enumerate(ep_mention_ids):
+            pooled = local[rows].max(axis=0)
+            xr = np.concatenate([pooled, self.E_etype[etype_idx[heads[p]]],
+                                 self.E_etype[etype_idx[tails[p]]]])
+            logits = _relu(xr @ self.W_rel1 + self.b_rel1) \
+                @ self.W_rel2 + self.b_rel2
+            probs = _sigmoid(logits)
+            # deterministic evidence: smallest sentence index among the
+            # pair's mention pairs (the reference emits no evidence at
+            # inference; this engine keeps the column populated)
+            ev = int(min(min(sent1[r], sent2[r]) for r in rows))
+            for r, pr in enumerate(probs):
+                if pr >= thr:
+                    out.append((int(heads[p]), int(tails[p]),
+                                self.relation_names[r], float(pr), ev))
+        return out
+
+    # --- J10: global relation classification ---
+
+    def _relations_global(self, clusters, ent_reprs, etype_idx):
+        cfg = self.config
+        nC = len(clusters)
+        if nC < 2:
+            return []
+        out = []
+        thr = cfg.rel_threshold
+        for i1 in range(nC):
+            for i2 in range(nC):
+                if i1 == i2:
+                    continue
+                x = np.concatenate([ent_reprs[i1], ent_reprs[i2],
+                                    self.E_etype[etype_idx[i1]],
+                                    self.E_etype[etype_idx[i2]]])
+                ep = _relu(x @ self.W_gpair + self.b_gpair)
+                probs = _sigmoid(ep @ self.W_grel + self.b_grel)
+                for r, pr in enumerate(probs):
+                    if pr >= thr:
+                        out.append((i1, i2, self.relation_names[r],
+                                    float(pr), -1))
+        return out

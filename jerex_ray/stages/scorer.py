@@ -63,6 +63,11 @@ def enumerate_candidate_spans(tok_sent: np.ndarray, max_span_size: int):
 class RuleScorer:
     """Actor-pool UDF over tokenized documents (frozen rule model)."""
 
+    # subclasses that consume sub-word encodings (NumpyScorer, a real
+    # HF checkpoint) set this so __call__ extracts the extra columns;
+    # the rule model skips the extraction in its hot path
+    NEEDS_SUBWORDS = False
+
     def __init__(self, config: PipelineConfig | None = None):
         self.config = config or PipelineConfig()
         self._name_memo: dict[str, bool] = {}
@@ -149,7 +154,8 @@ class RuleScorer:
     # --- the per-document dataflow ---
 
     def _score_doc(self, phrases: list[str], tok_sent: np.ndarray,
-                   sent_tok_off: np.ndarray, conv_id: str | None = None):
+                   sent_tok_off: np.ndarray, conv_id: str | None = None,
+                   **_subword_extras):
         cfg = self.config
         starts, ends = enumerate_candidate_spans(tok_sent, cfg.max_span_size)
         if starts.size == 0:
@@ -237,12 +243,24 @@ class RuleScorer:
         conv_ids = batch["conv_id"].to_pylist()
         part_keys = batch["part_key"].to_pylist()
 
+        if self.NEEDS_SUBWORDS:
+            enc_vals, enc_offs = flat_with_offsets(batch["encoding"], np.int32)
+            ss_vals, ss_offs = flat_with_offsets(batch["tok_sub_start"], np.int32)
+            se_vals, se_offs = flat_with_offsets(batch["tok_sub_end"], np.int32)
+
         for d in range(batch.num_rows):
             phrases = phrase_vals[phrase_offs[d]:phrase_offs[d + 1]].tolist()
             tok_sent = sent_vals[sent_offs[d]:sent_offs[d + 1]]
             sent_off = soff_vals[soff_offs[d]:soff_offs[d + 1]]
+            extras = {}
+            if self.NEEDS_SUBWORDS:
+                extras = {
+                    "encoding": enc_vals[enc_offs[d]:enc_offs[d + 1]],
+                    "sub_start": ss_vals[ss_offs[d]:ss_offs[d + 1]],
+                    "sub_end": se_vals[se_offs[d]:se_offs[d + 1]],
+                }
             mentions, clusters, reps, types, relations = self._score_doc(
-                phrases, tok_sent, sent_off, conv_id=conv_ids[d])
+                phrases, tok_sent, sent_off, conv_id=conv_ids[d], **extras)
 
             m_cluster = [-1] * len(mentions)
             for ci, c in enumerate(clusters):
@@ -312,13 +330,20 @@ class HFScorer(RuleScorer):
 
 
 def score_documents(ds, config: PipelineConfig | None = None, *,
-                    concurrency=None, batch_size: int | None = None):
+                    concurrency=None, batch_size: int | None = None,
+                    scorer_cls=None, scorer_kwargs: dict | None = None):
+    """Tokenized docs → scored docs via an actor-pool scorer.
+
+    ``scorer_cls`` selects the model: ``RuleScorer`` (default frozen
+    rules), ``jerex_ray.stages.numpy_scorer.NumpyScorer`` (full J1–J9
+    head math with frozen random weights, honoring the chunk caps), or
+    a real ``HFScorer`` checkpoint."""
     from jerex_ray.runtime import pool_concurrency
     cfg = config or PipelineConfig()
     return ds.map_batches(
-        RuleScorer, batch_format="pyarrow",
+        scorer_cls or RuleScorer, batch_format="pyarrow",
         batch_size=batch_size or cfg.score_batch_size,
         concurrency=concurrency or pool_concurrency(cfg.actor_num_cpus,
                                                     cpu_fraction=0.55),
         num_cpus=cfg.actor_num_cpus,
-        fn_constructor_kwargs={"config": cfg})
+        fn_constructor_kwargs={"config": cfg, **(scorer_kwargs or {})})
