@@ -164,16 +164,21 @@ def _bucket_pairs_block(block: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
 
 
 def minhash_candidate_pairs(docs_ds, *, col: str = "text", k: int = 3,
-                            num_partitions: int | None = None):
-    """documents → distinct candidate near-dup pairs (doc_a < doc_b).
-    Stays a Dataset: global dedup is a hash-co-located block dedup,
-    never a driver collect."""
+                            num_partitions: int | None = None,
+                            distinct: bool = True):
+    """documents → candidate near-dup pairs (doc_a < doc_b). Stays a
+    Dataset: global dedup is a hash-co-located block dedup, never a
+    driver collect. ``distinct=False`` skips that dedup shuffle for
+    consumers that tolerate a pair appearing once per colliding band
+    (the verification pipeline aggregates per pair anyway)."""
     from jerex_ray.functions.aggregate import grouped_apply
     bands = docs_ds.map_batches(
         minhash_bands, batch_format="pandas", batch_size=4096,
         fn_kwargs={"col": col, "k": k})
     pairs = grouped_apply(bands, ["band", "band_hash"], _bucket_pairs_block,
                           num_partitions=num_partitions or 8)
+    if not distinct:
+        return pairs
     # global distinct: co-locate by pair key, vectorized per-block dedup
     return grouped_apply(pairs, ["doc_a", "doc_b"],
                          lambda b: b.drop_duplicates(["doc_a", "doc_b"]),
@@ -245,18 +250,20 @@ def minhash_verified_edges(docs_ds, *, threshold: float = 0.8,
     from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
 
     nparts = num_partitions or 8
+    # distinct=False: pair multiplicity across bands is harmless here
+    # (candidate ids are set-reduced; verified edges come from the
+    # per-pair aggregate, not this table) — saves a dedup shuffle
     pairs = minhash_candidate_pairs(docs_ds, col=col, k=k,
-                                    num_partitions=nparts)
+                                    num_partitions=nparts, distinct=False)
 
-    # candidate doc ids (distinct over both columns) — the small side
-    ids_ds = pairs.map_batches(
+    # candidate doc ids (distinct over both columns) — the small side;
+    # per-batch unique + a driver-side set union (no shuffle: the id
+    # table is bounded by the near-dup doc count)
+    ids_df = pairs.map_batches(
         lambda b: pd.DataFrame(
             {"doc_id": pd.unique(pd.concat([b["doc_a"], b["doc_b"]]))}),
-        batch_format="pandas")
-    cand_ids = grouped_aggregate(ids_ds, ["doc_id"],
-                                 {"n": (None, "count")},
-                                 num_partitions=nparts).to_pandas()
-    cand_set = set(cand_ids["doc_id"].tolist())
+        batch_format="pandas").to_pandas()
+    cand_set = set(ids_df["doc_id"].tolist())
     if not cand_set:
         import ray.data as rd
         return rd.from_pandas(pd.DataFrame(
@@ -269,17 +276,27 @@ def minhash_verified_edges(docs_ds, *, threshold: float = 0.8,
         lambda b: _gram_rows(b, col=col, k=k, id_filter=ray.get(cand_ref)),
         batch_format="pandas", batch_size=4096)
 
-    # per-candidate-doc gram counts (one row per candidate doc → broadcast)
-    counts = grouped_aggregate(grams, ["doc_id"], {"c": ("g", "count")},
-                               num_partitions=nparts).to_pandas()
+    # per-candidate-doc gram counts computed straight from the doc rows
+    # (one row per doc ⇒ a per-batch groupby-count is already total;
+    # never computed from the gram table, whose rows may be re-blocked
+    # mid-doc) — tiny table, no shuffle
+    def _doc_gram_counts(b: pd.DataFrame) -> pd.DataFrame:
+        g = _gram_rows(b, col=col, k=k, id_filter=ray.get(cand_ref))
+        return g.groupby("doc_id", sort=False).size().reset_index(name="c")
+
+    counts = docs_ds.map_batches(_doc_gram_counts,
+                                 batch_format="pandas",
+                                 batch_size=4096).to_pandas()
     count_of = dict(zip(counts["doc_id"].tolist(), counts["c"].tolist()))
     counts_ref = ray.put(count_of)
 
     inter_partial = grouped_apply(grams, ["g"], _gram_pair_counts_block,
                                   num_partitions=nparts)
+    # tree reduce (result_hint small): the pair-intersection table is
+    # bounded by the near-dup pair count, not the corpus — callers with
+    # pathologically dup-heavy corpora can switch to "large"
     inter = grouped_aggregate(inter_partial, ["doc_a", "doc_b"],
-                              {"n": ("n", "sum")}, num_partitions=nparts,
-                              result_hint="large")
+                              {"n": ("n", "sum")}, num_partitions=nparts)
 
     def attach_jaccard(b: pd.DataFrame) -> pd.DataFrame:
         if b.empty:
@@ -307,8 +324,14 @@ def minhash_verified_edges(docs_ds, *, threshold: float = 0.8,
             m = b[b["doc_a"].isin(es) & b["doc_b"].isin(es)]
             return m.assign(jaccard=1.0)[["doc_a", "doc_b", "jaccard"]]
 
-        edges = edges.union(
-            pairs.map_batches(empty_pairs, batch_format="pandas"))
+        # the candidate-pair table carries per-band multiplicity
+        # (distinct=False above) — dedup the filtered empty pairs
+        ep = grouped_apply(
+            pairs.map_batches(empty_pairs, batch_format="pandas"),
+            ["doc_a", "doc_b"],
+            lambda b: b.drop_duplicates(["doc_a", "doc_b"]),
+            num_partitions=nparts)
+        edges = edges.union(ep)
     return edges
 
 

@@ -134,9 +134,34 @@ def docred_ground_truth(docs: list[dict]) -> dict[str, pa.Table]:
 
 
 def read_docred(path: str):
-    """DocRED JSON file → transcripts Dataset (engine-native shape)."""
+    """DocRED JSON-array file → transcripts Dataset. Driver-side parse:
+    right for the reference's fixture files (one ``json.load``-able
+    array, ``datasets.py:57-59``). For corpus-scale DocRED-format data
+    use ``read_docred_jsonl`` — it streams."""
     import ray.data as rd
 
     from jerex_ray.runtime import configure_data_context
     configure_data_context()
     return rd.from_arrow(docred_to_transcripts(parse_docred_file(path)))
+
+
+def read_docred_jsonl(path: str, *, batch_size: int = 256):
+    """Streaming DocRED ingestion: JSONL (one document per line) →
+    transcripts Dataset via ``ray.data.read_json``. Documents never
+    materialize on the driver — each block of parsed docs is converted
+    to transcript rows inside ``map_batches``, so a multi-TB
+    DocRED-format corpus streams block-by-block with backpressure
+    (replaces the reference's whole-file ``json.load``,
+    ``datasets.py:57-59``)."""
+    import ray.data as rd
+
+    from jerex_ray.runtime import configure_data_context
+    configure_data_context()
+    ds = rd.read_json(path)
+
+    def to_transcripts(batch) -> pa.Table:
+        docs = batch.to_pylist() if isinstance(batch, pa.Table) else batch
+        return docred_to_transcripts(docs)
+
+    return ds.map_batches(to_transcripts, batch_format="pyarrow",
+                          batch_size=batch_size)

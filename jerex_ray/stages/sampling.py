@@ -127,6 +127,22 @@ def sample_document(
     neg_rel_pairs = _sample(rng, neg_unrelated,
                             min(len(neg_unrelated), neg_rel_count))
 
+    # --- T9: mention-pair structures for pos + neg entity pairs, with
+    # the reference's offset-concat convention (pos first, then neg
+    # with offsets; ``sampling_joint.py`` builds them separately) ---
+    mention_sents = [int(sid) for _, sid, _, _ in gt_mentions]
+    mi_pos = create_rel_mention_pairs(
+        entities, pos_rel_pairs, pos, mention_sents)
+    mi_neg = create_rel_mention_pairs(
+        entities, neg_rel_pairs, pos, mention_sents,
+        offset_mp=len(mi_pos["rel_mention_pairs"]),
+        offset_ep=len(pos_rel_pairs))
+    rel_mi = {k: mi_pos[k] + mi_neg[k] for k in mi_pos}
+
+    # --- T4: coref candidates (coref-only subtask inference) ---
+    coref_candidates, coref_candidate_eds = create_coref_candidates(
+        pos, phrases)
+
     return {
         "pos_mentions": pos,
         "neg_mentions": neg_mentions,
@@ -134,11 +150,203 @@ def sample_document(
         "pos_coref_eds": pos_coref_eds,
         "neg_coref": neg_coref,
         "neg_coref_eds": neg_coref_eds,
+        "coref_candidates": coref_candidates,
+        "coref_candidate_eds": coref_candidate_eds,
         "entities": entities,
         "pos_rel_pairs": pos_rel_pairs,
         "pos_rel_labels": pos_rel_labels,
         "neg_rel_pairs": neg_rel_pairs,
+        "rel_mi": rel_mi,
     }
+
+
+def create_coref_candidates(pos_mentions: list[tuple[int, int]],
+                            phrases: list[str]):
+    """T4 (``sampling_common.py:154-177``): coref candidates for the
+    coref-only subtask's inference = ALL ordered pairs of ground-truth
+    mentions with edit distances of their stripped phrases. Returns
+    (pairs, eds)."""
+    phrase_of = [" ".join(phrases[s:e]).strip() for s, e in pos_mentions]
+    pairs, eds = [], []
+    n = len(pos_mentions)
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                pairs.append((i, j))
+                eds.append(get_edit_distance(phrase_of[i], phrase_of[j]))
+    return pairs, eds
+
+
+def create_rel_mention_pairs(entities: list[list[int]],
+                             rel_entity_pairs: list[tuple[int, int]],
+                             mention_word_spans: list[tuple[int, int]],
+                             mention_sents: list[int],
+                             mention_sub_spans: list[tuple[int, int]] | None = None,
+                             *, offset_mp: int = 0, offset_ep: int = 0):
+    """T9 (``sampling_common.py:256-294``): cross product of the two
+    clusters' mentions per entity pair, with between-context intervals,
+    token/sentence distances, and the mention-pair→entity-pair index
+    maps the multi-instance classifier gathers by.
+
+    Context intervals are (start, end) sub-word pairs instead of the
+    reference's O(ctx) boolean masks (M9 interval policy); the
+    placeholder/offset conventions are identical. ``offset_mp`` /
+    ``offset_ep`` shift the index maps when positive and negative
+    samples are concatenated (the reference builds them separately and
+    concatenates, ``sampling_joint.py``)."""
+    subs = mention_sub_spans or mention_word_spans
+    ep_mp: list[list[int]] = []
+    mp_ep: list[int] = []
+    mention_pairs: list[tuple[int, int]] = []
+    ctx_intervals: list[tuple[int, int]] = []
+    token_dists: list[int] = []
+    sent_dists: list[int] = []
+
+    for pair_idx, (hi, ti) in enumerate(rel_entity_pairs):
+        pair_mp = []
+        for m1 in entities[hi]:
+            for m2 in entities[ti]:
+                pair_mp.append(len(mention_pairs) + offset_mp)
+                mp_ep.append(pair_idx + offset_ep)
+                mention_pairs.append((m1, m2))
+                s1, s2 = subs[m1], subs[m2]
+                # create_rel_mask (sampling_common.py:325-330)
+                if s1[1] < s2[0]:
+                    ctx_intervals.append((s1[1], s2[0]))
+                else:
+                    ctx_intervals.append((s2[1], s1[0]))
+                # get_mention_token_dist (sampling_common.py:296-302)
+                w1, w2 = mention_word_spans[m1], mention_word_spans[m2]
+                first, second = (w1, w2) if w1[0] < w2[0] else (w2, w1)
+                token_dists.append(max(0, second[0] - (first[1] - 1)))
+                sent_dists.append(abs(mention_sents[m1] - mention_sents[m2]))
+        ep_mp.append(pair_mp)
+
+    return {
+        "rel_entity_pair_mp": ep_mp,
+        "rel_mention_pair_ep": mp_ep,
+        "rel_mention_pairs": mention_pairs,
+        "rel_ctx_intervals": ctx_intervals,
+        "rel_token_distances": token_dists,
+        "rel_sentence_distances": sent_dists,
+    }
+
+
+def tensorize_document(sample: dict, *, ctx_size: int,
+                       n_relation_types: int) -> dict:
+    """T10 (``sampling_common.py:345-507``): combine pos+neg samples
+    into fixed-schema numpy arrays, with the reference's ALL-ZERO
+    sample-mask placeholder-row convention at every empty site — the
+    batch collate (T12 ``padded_stack``) then never sees a zero-length
+    axis, and the placeholder rows are masked out of every loss.
+
+    The six placeholder sites mirrored exactly (shapes per reference):
+
+    * mentions (``:345-372``): empty → spans [[0,0]], masks all-ones,
+      sizes [0], types [0], sample_masks [0]
+    * coref (``:398-420``): empty → pairs [[0,0]], types [0], ed [0],
+      sample_masks [0]
+    * entities (``:423-437``): empty → entities [[0]], masks [[1]],
+      types [0], sample_masks [0]
+    * entity pairs (``:440-450``): empty → pairs [[0,0]],
+      sample_masks [0]
+    * global relations (``:453-470``): empty → pairs [[0,0]],
+      types all-zero row, sample_masks [0]
+    * multi-instance relations (``:473-507``): empty → pair_masks
+      [[0]], ep_mp [[0]], mention_pair_ep [0], mention_pairs [[0,0]],
+      ctx all-ones (interval = whole context), distances [0]
+
+    Context masks are (start, end) intervals; the reference's all-ones
+    placeholder mask is the (0, ctx_size) interval."""
+    from jerex_ray.util import padded_stack
+    out: dict = {}
+
+    # --- mentions ---
+    spans = list(sample["pos_mentions"]) + list(sample["neg_mentions"])
+    if spans:
+        out["mention_spans"] = np.asarray(spans, dtype=np.int64)
+        out["mention_sizes"] = (out["mention_spans"][:, 1]
+                                - out["mention_spans"][:, 0])
+        out["mention_types"] = np.asarray(
+            [1] * len(sample["pos_mentions"])
+            + [0] * len(sample["neg_mentions"]), dtype=np.int64)
+        out["mention_sample_masks"] = np.ones(len(spans), dtype=bool)
+    else:
+        out["mention_spans"] = np.zeros((1, 2), dtype=np.int64)
+        out["mention_sizes"] = np.zeros(1, dtype=np.int64)
+        out["mention_types"] = np.zeros(1, dtype=np.int64)
+        out["mention_sample_masks"] = np.zeros(1, dtype=bool)
+
+    # --- coref pairs ---
+    pairs = list(sample["pos_coref"]) + list(sample["neg_coref"])
+    eds = list(sample["pos_coref_eds"]) + list(sample["neg_coref_eds"])
+    if pairs:
+        out["coref_mention_pairs"] = np.asarray(pairs, dtype=np.int64)
+        out["coref_eds"] = np.asarray(eds, dtype=np.int64)
+        out["coref_types"] = np.asarray(
+            [1] * len(sample["pos_coref"]) + [0] * len(sample["neg_coref"]),
+            dtype=np.int64)
+        out["coref_sample_masks"] = np.ones(len(pairs), dtype=bool)
+    else:
+        out["coref_mention_pairs"] = np.zeros((1, 2), dtype=np.int64)
+        out["coref_eds"] = np.zeros(1, dtype=np.int64)
+        out["coref_types"] = np.zeros(1, dtype=np.int64)
+        out["coref_sample_masks"] = np.zeros(1, dtype=bool)
+
+    # --- entities (clusters) ---
+    entities = sample["entities"]
+    if entities:
+        out["entities"] = padded_stack(
+            [np.asarray(e, dtype=np.int64) for e in entities])
+        out["entity_masks"] = padded_stack(
+            [np.ones(len(e), dtype=bool) for e in entities])
+        out["entity_sample_masks"] = np.ones(len(entities), dtype=bool)
+    else:
+        out["entities"] = np.zeros((1, 1), dtype=np.int64)
+        out["entity_masks"] = np.ones((1, 1), dtype=bool)
+        out["entity_sample_masks"] = np.zeros(1, dtype=bool)
+
+    # --- relation entity pairs + global labels ---
+    rel_pairs = list(sample["pos_rel_pairs"]) + list(sample["neg_rel_pairs"])
+    rel_labels = (list(sample["pos_rel_labels"])
+                  + [[0] * n_relation_types] * len(sample["neg_rel_pairs"]))
+    if rel_pairs:
+        out["rel_entity_pairs"] = np.asarray(rel_pairs, dtype=np.int64)
+        out["rel_types"] = np.asarray(rel_labels, dtype=np.int64)
+        out["rel_sample_masks"] = np.ones(len(rel_pairs), dtype=bool)
+    else:
+        out["rel_entity_pairs"] = np.zeros((1, 2), dtype=np.int64)
+        out["rel_types"] = np.zeros((1, n_relation_types), dtype=np.int64)
+        out["rel_sample_masks"] = np.zeros(1, dtype=bool)
+
+    # --- multi-instance mention-pair structures (T9 output) ---
+    mi = sample.get("rel_mi")
+    if mi and mi["rel_mention_pairs"]:
+        out["rel_entity_pair_mp"] = padded_stack(
+            [np.asarray(e, dtype=np.int64) for e in mi["rel_entity_pair_mp"]])
+        out["rel_pair_masks"] = padded_stack(
+            [np.ones(len(e), dtype=bool) for e in mi["rel_entity_pair_mp"]])
+        out["rel_mention_pair_ep"] = np.asarray(mi["rel_mention_pair_ep"],
+                                                dtype=np.int64)
+        out["rel_mention_pairs"] = np.asarray(mi["rel_mention_pairs"],
+                                              dtype=np.int64)
+        out["rel_ctx_intervals"] = np.asarray(mi["rel_ctx_intervals"],
+                                              dtype=np.int64)
+        out["rel_token_distances"] = np.asarray(mi["rel_token_distances"],
+                                                dtype=np.int64)
+        out["rel_sentence_distances"] = np.asarray(
+            mi["rel_sentence_distances"], dtype=np.int64)
+    else:
+        out["rel_entity_pair_mp"] = np.zeros((1, 1), dtype=np.int64)
+        out["rel_pair_masks"] = np.zeros((1, 1), dtype=bool)
+        out["rel_mention_pair_ep"] = np.zeros(1, dtype=np.int64)
+        out["rel_mention_pairs"] = np.zeros((1, 2), dtype=np.int64)
+        out["rel_ctx_intervals"] = np.asarray([[0, ctx_size]],
+                                              dtype=np.int64)
+        out["rel_token_distances"] = np.zeros(1, dtype=np.int64)
+        out["rel_sentence_distances"] = np.zeros(1, dtype=np.int64)
+
+    return out
 
 
 def _sample(rng: np.random.Generator, items: list, k: int) -> list:

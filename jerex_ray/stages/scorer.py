@@ -177,31 +177,43 @@ class RuleScorer:
 
         # J3/J4: ordered pairs of valid mentions. The rule score is
         # symmetric, so each unordered pair is scored once and
-        # mirrored; cheap rules (equality, surname alias, length-gap
-        # bound ed/m > 0.2) decide most pairs without the DP.
+        # mirrored. The cheap rules (equality, surname alias,
+        # length-gap bound ed/m > 0.2) are evaluated as numpy matrices
+        # over ALL pairs at once; only the undecided remainder enters
+        # the Python edit-distance loop.
         pair_scores: dict[tuple[int, int], float] = {}
-        for i in range(n_valid):
-            pi, li, ni = m_phrases[i], m_last[i], m_nwords[i]
-            leni = len(pi)
-            for j in range(i + 1, n_valid):
-                pj = m_phrases[j]
-                if pi == pj:
-                    s = 0.98
-                elif li == m_last[j] and (ni == 1 or m_nwords[j] == 1):
-                    s = 0.95
-                else:
-                    m = max(leni, len(pj))
-                    if abs(leni - len(pj)) > 0.2 * m:
-                        s = 0.02  # ed >= length gap > 0.2*m
-                    else:
-                        s = self._score_coref_pair(pi, pj)
-                if s < self.config.coref_threshold:
+        thr = self.config.coref_threshold
+        if n_valid > 1:
+            _, ph_inv = np.unique(np.asarray(m_phrases, dtype=object),
+                                  return_inverse=True)
+            _, last_inv = np.unique(np.asarray(m_last, dtype=object),
+                                    return_inverse=True)
+            nw = np.asarray(m_nwords, dtype=np.int64)
+            ln = np.fromiter((len(p) for p in m_phrases),
+                             dtype=np.int64, count=n_valid)
+            iu, ju = np.triu_indices(n_valid, k=1)
+            eq = ph_inv[iu] == ph_inv[ju]
+            alias = (~eq) & (last_inv[iu] == last_inv[ju]) \
+                & ((nw[iu] == 1) | (nw[ju] == 1))
+            gap = np.abs(ln[iu] - ln[ju]) > 0.2 * np.maximum(ln[iu], ln[ju])
+            if 0.98 >= thr:
+                for k in np.flatnonzero(eq):
+                    i, j = int(iu[k]), int(ju[k])
+                    pair_scores[(i, j)] = pair_scores[(j, i)] = 0.98
+            if 0.95 >= thr:
+                for k in np.flatnonzero(alias):
+                    i, j = int(iu[k]), int(ju[k])
+                    pair_scores[(i, j)] = pair_scores[(j, i)] = 0.95
+            # undecided: neither equal, alias, nor gap-excluded
+            # (gap ⇒ ed/m > 0.2 ⇒ score 0.02, below any real threshold)
+            for k in np.flatnonzero(~(eq | alias | gap)):
+                i, j = int(iu[k]), int(ju[k])
+                s = self._score_coref_pair(m_phrases[i], m_phrases[j])
+                if s >= thr:
                     # below-threshold pairs are indistinguishable from
                     # missing pairs (distance ≥ cut) for complete
                     # linkage — omit them, keeping the pair dict tiny
-                    continue
-                pair_scores[(i, j)] = s
-                pair_scores[(j, i)] = s
+                    pair_scores[(i, j)] = pair_scores[(j, i)] = s
 
         # J5: complete-linkage clusters over valid mentions
         clusters = clusters_from_pair_scores(

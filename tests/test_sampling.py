@@ -98,3 +98,115 @@ def test_distributed_sampling_stage():
     assert list(row["pos_mention_start"]) == [0, 3, 6, 9]
     assert list(row["pos_rel_head"]) == [0, 0]
     assert len(row["neg_mention_start"]) > 0
+
+
+# ---- T4 / T9 / T10 ----
+
+def _sample_full(gt_mentions, gt_relations):
+    phrases, tok_sent, sent_off = _doc_arrays()
+    return sample_document(conv_id="conv-x", phrases=phrases,
+                           tok_sent=tok_sent, sent_tok_off=sent_off,
+                           gt_mentions=gt_mentions, gt_relations=gt_relations,
+                           relation_types=REL_TYPES)
+
+
+def test_t4_coref_candidates_all_ordered_gt_pairs():
+    s = _sample_full(GT_MENTIONS, GT_RELATIONS)
+    n = len(s["pos_mentions"])
+    assert len(s["coref_candidates"]) == n * (n - 1)
+    assert all(i != j for i, j in s["coref_candidates"])
+    # symmetric ED values for mirrored pairs
+    ed = dict(zip(s["coref_candidates"], s["coref_candidate_eds"]))
+    for (i, j), v in ed.items():
+        assert ed[(j, i)] == v
+
+
+def test_t9_mention_pair_structures():
+    s = _sample_full(GT_MENTIONS, GT_RELATIONS)
+    mi = s["rel_mi"]
+    pairs = s["pos_rel_pairs"] + s["neg_rel_pairs"]
+    # one index-map row per entity pair; cross-product sizes
+    assert len(mi["rel_entity_pair_mp"]) == len(pairs)
+    for k, (hi, ti) in enumerate(pairs):
+        expect = len(s["entities"][hi]) * len(s["entities"][ti])
+        assert len(mi["rel_entity_pair_mp"][k]) == expect
+    # the flat maps are consistent: ep_mp lists index rel_mention_pairs
+    # rows whose rel_mention_pair_ep points back at the entity pair
+    for k, rows in enumerate(mi["rel_entity_pair_mp"]):
+        for r in rows:
+            assert mi["rel_mention_pair_ep"][r] == k
+    # pair (0,1) = cluster {Alice Chen, Chen} x {Acme Corp}: mention
+    # pair (0, 2) has the context interval between subword spans 2..3
+    # ("joined") and token distance 2
+    first = mi["rel_entity_pair_mp"][0][0]
+    assert mi["rel_mention_pairs"][first] == (0, 2)
+    assert mi["rel_ctx_intervals"][first] == (2, 3)
+    assert mi["rel_token_distances"][first] == 2
+    assert mi["rel_sentence_distances"][first] == 0
+
+
+def test_t10_placeholder_rows_empty_document():
+    """No mentions at all: every site gets its all-zero-sample-mask
+    placeholder row (sampling_common.py:345-507 six sites)."""
+    from jerex_ray.stages.sampling import tensorize_document
+    s = _sample_full([], [])
+    # no GT mentions -> no positives; negatives still sampled from
+    # candidate spans, so force the fully-empty corner by clearing them
+    s = dict(s, neg_mentions=[], neg_coref=[], neg_coref_eds=[],
+             neg_rel_pairs=[])
+    t = tensorize_document(s, ctx_size=700, n_relation_types=3)
+    assert t["mention_spans"].tolist() == [[0, 0]]
+    assert not t["mention_sample_masks"].any()
+    assert t["coref_mention_pairs"].tolist() == [[0, 0]]
+    assert not t["coref_sample_masks"].any()
+    assert t["entities"].tolist() == [[0]]
+    assert t["entity_masks"].tolist() == [[True]]   # masks are ONES here
+    assert not t["entity_sample_masks"].any()
+    assert t["rel_entity_pairs"].tolist() == [[0, 0]]
+    assert t["rel_types"].shape == (1, 3) and not t["rel_types"].any()
+    assert not t["rel_sample_masks"].any()
+    assert t["rel_pair_masks"].tolist() == [[False]]
+    assert t["rel_ctx_intervals"].tolist() == [[0, 700]]  # all-ones mask
+
+
+def test_t10_one_mention_document():
+    """Single mention: mentions real, coref/relations placeholder."""
+    from jerex_ray.stages.sampling import tensorize_document
+    s = _sample_full([(0, 0, 0, 2)], [])
+    s = dict(s, neg_mentions=[], neg_coref=[], neg_coref_eds=[],
+             neg_rel_pairs=[])
+    t = tensorize_document(s, ctx_size=700, n_relation_types=3)
+    assert t["mention_sample_masks"].all()
+    assert t["mention_spans"].tolist() == [[0, 2]]
+    assert not t["coref_sample_masks"].any()         # no pairs possible
+    assert t["entity_sample_masks"].all()            # one singleton cluster
+    assert not t["rel_sample_masks"].any()           # no entity pairs
+
+
+def test_t10_no_relation_document():
+    """Clusters but no relations: entity sites real, both relation
+    sites placeholder (with negatives cleared)."""
+    from jerex_ray.stages.sampling import tensorize_document
+    s = _sample_full(GT_MENTIONS, [])
+    s = dict(s, neg_rel_pairs=[], rel_mi={k: [] for k in s["rel_mi"]})
+    t = tensorize_document(s, ctx_size=700, n_relation_types=3)
+    assert t["entity_sample_masks"].all()
+    assert not t["rel_sample_masks"].any()
+    assert t["rel_mention_pairs"].tolist() == [[0, 0]]
+    assert t["rel_token_distances"].tolist() == [0]
+
+
+def test_t10_full_document_roundtrip():
+    from jerex_ray.stages.sampling import tensorize_document
+    s = _sample_full(GT_MENTIONS, GT_RELATIONS)
+    t = tensorize_document(s, ctx_size=700, n_relation_types=3)
+    n_m = len(s["pos_mentions"]) + len(s["neg_mentions"])
+    assert t["mention_spans"].shape == (n_m, 2)
+    assert t["mention_sample_masks"].all()
+    assert t["mention_types"].sum() == len(s["pos_mentions"])
+    n_p = len(s["pos_rel_pairs"]) + len(s["neg_rel_pairs"])
+    assert t["rel_entity_pairs"].shape == (n_p, 2)
+    assert t["rel_pair_masks"].shape[0] == n_p
+    # padded index-map rows gather real mention-pair rows
+    assert t["rel_mention_pairs"].shape[0] == len(
+        s["rel_mi"]["rel_mention_pairs"])

@@ -103,3 +103,28 @@ def test_relation_pipeline_over_gt_structure(transcripts, gt):
     want = set(zip(*[gt["relations"][c].to_pylist()
                      for c in ("conv_id", "subj", "pred", "obj")]))
     assert got == want
+
+
+def test_streaming_docred_jsonl_multi_block(tmp_path):
+    """read_docred_jsonl streams a multi-block JSONL corpus and yields
+    the same transcript rows as the driver-side array parser."""
+    import copy
+    from jerex_ray.sources.docred import read_docred_jsonl
+
+    docs = []
+    for k in range(40):          # enough lines for several blocks
+        d = copy.deepcopy(DOCS[k % 2])
+        d["title"] = f"conv-{k:03d}"
+        docs.append(d)
+    p = tmp_path / "corpus.jsonl"
+    with open(p, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+    got = read_docred_jsonl(str(p)).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = docred_to_transcripts(docs).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got["conv_id"].nunique() == 40
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)
