@@ -76,6 +76,28 @@ def kg_triples_global(sf_dir: str):
     return _kg_triples_with_scorer(sf_dir, NumpyScorer, variant="global")
 
 
+def kg_train_loss(sf_dir: str):
+    """Full reference train path (T1–T10 sampling → J-head forward →
+    G4 joint masked loss) as a streaming pipeline over silver GT
+    distilled from the rule scorer. Rows-only: one corpus-mean loss
+    row (float means are batch-order sensitive in the last bits)."""
+    from jerex_ray.pipelines.kg import _with_part_key
+    from jerex_ray.pipelines.train import (silver_gt_from_rule_scorer,
+                                           training_objective)
+    from jerex_ray.sources.transcripts import read_synthetic_transcripts
+    from jerex_ray.stages.assemble import assemble_documents
+    from jerex_ray.stages.tokenize import tokenize_documents
+    configure_data_context()
+    cfg = _kg_config()
+    n = max(50, _sf_convs(sf_dir) // 8)
+    gt_m, gt_r = silver_gt_from_rule_scorer(
+        read_synthetic_transcripts(n), cfg)
+    tok = tokenize_documents(assemble_documents(_with_part_key(
+        read_synthetic_transcripts(n), cfg)), cfg)
+    _, mean = training_objective(tok, gt_m, gt_r, config=cfg)
+    return mean.round(6)
+
+
 def kg_entities(sf_dir: str):
     from jerex_ray.pipelines.kg import extract_triples
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
@@ -312,6 +334,7 @@ def build_queries() -> dict:
         "kg_triples": kg_triples,
         "kg_triples_numpy": kg_triples_numpy,
         "kg_triples_global": kg_triples_global,
+        "kg_train_loss": kg_train_loss,
         "kg_entities": kg_entities,
         "kg_mentions": kg_mentions,
         "kg_eval": kg_eval,

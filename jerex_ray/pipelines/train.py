@@ -1,0 +1,214 @@
+"""Distributed training objective: the full reference train path as a
+Ray Data pipeline (T11 orchestration).
+
+Per document, inside one actor-pool stage (GT broadcast once per
+actor, model weights built once per actor):
+
+    sample_document  (T1–T9: pos/neg mentions, coref pairs, entities,
+                      relations, mention-pair structures)
+      → tensorize_document  (T10 placeholder-row tensors)
+      → forward_train       (J1–J9/J10 head math over the samples)
+      → joint_loss          (G4 masked objective, loss.py:11-88)
+
+emitting one loss row per document; the corpus objective is a
+combiner-aggregate mean. This is the Ray Data shape of the reference's
+DataLoader + LightningModule.training_step
+(``/root/reference/jerex/model.py:107-135``) — an actual optimizer
+loop would wrap it in Ray Train, swapping joint_loss for a backward
+pass; everything up to the loss is shared.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from jerex_ray.config import PipelineConfig
+from jerex_ray.types import DEFAULT_TYPES, TypeVocabulary
+
+
+class TrainingLossStage:
+    """Actor-pool UDF: tokenized docs + broadcast GT → per-doc losses."""
+
+    def __init__(self, gt_ref, *, types: TypeVocabulary | None = None,
+                 config: PipelineConfig | None = None,
+                 variant: str = "multi_instance", seed: int = 13, **knobs):
+        import ray
+
+        from jerex_ray.stages.numpy_scorer import NumpyScorer
+        self._gt = ray.get(gt_ref)   # conv → (mentions, relations, cl_types)
+        self.types = types or DEFAULT_TYPES
+        self.config = config or PipelineConfig()
+        self.scorer = NumpyScorer(self.config, variant=variant, seed=seed,
+                                  types=self.types)
+        self.knobs = knobs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from jerex_ray.stages.numpy_scorer import training_step
+        from jerex_ray.stages.sampling import sample_document
+
+        rel_types = list(self.types.relation_index)
+        out = {k: [] for k in ("conv_id", "doc_id", "loss", "mention_loss",
+                               "coref_loss", "entity_loss", "rel_loss")}
+        pdf = batch.to_pandas()
+        for _, row in pdf.iterrows():
+            conv = row["conv_id"]
+            gt_m, gt_r, cl_types = self._gt.get(conv, ([], [], []))
+            sample = sample_document(
+                conv_id=conv, phrases=list(row["tok_phrase"]),
+                tok_sent=np.asarray(row["tok_sent"], np.int32),
+                sent_tok_off=np.asarray(row["sent_tok_off"], np.int32),
+                gt_mentions=gt_m, gt_relations=gt_r,
+                relation_types=rel_types, **self.knobs)
+            losses = training_step(
+                self.scorer, encoding=np.asarray(row["encoding"], np.int32),
+                sub_start=np.asarray(row["tok_sub_start"], np.int64),
+                sub_end=np.asarray(row["tok_sub_end"], np.int64),
+                sample=sample, entity_type_targets=cl_types)
+            out["conv_id"].append(conv)
+            out["doc_id"].append(row["doc_id"])
+            for k in ("loss", "mention_loss", "coref_loss", "entity_loss",
+                      "rel_loss"):
+                out[k].append(float(losses.get(k, 0.0)))
+        return pa.table({
+            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            **{k: pa.array(out[k], pa.float64())
+               for k in ("loss", "mention_loss", "coref_loss",
+                         "entity_loss", "rel_loss")},
+        })
+
+
+def build_gt_dict(gt_mentions: pa.Table, gt_relations: pa.Table,
+                  types: TypeVocabulary | None = None) -> dict:
+    """GT tables → conv_id-keyed dict the stage broadcasts.
+
+    ``gt_mentions``: (conv_id, cluster, sent_id, start, end[,
+    entity_type]); ``gt_relations``: (conv_id, head, tail, pred).
+    Cluster type = first mention's type (``datasets.py:126-128``),
+    mapped to the dense type index."""
+    types = types or DEFAULT_TYPES
+    gt: dict = {}
+
+    mdf = gt_mentions.to_pandas().sort_values(
+        ["conv_id", "sent_id", "start", "end"])
+    has_type = "entity_type" in mdf.columns
+    for conv, g in mdf.groupby("conv_id", sort=False):
+        mentions = [(int(c), int(s), int(a), int(b))
+                    for c, s, a, b in zip(g["cluster"], g["sent_id"],
+                                          g["start"], g["end"])]
+        cl_first: dict[int, str] = {}
+        if has_type:
+            for c, t in zip(g["cluster"], g["entity_type"]):
+                cl_first.setdefault(int(c), t)
+        cl_ids = sorted({m[0] for m in mentions})
+        cl_types = [types.entity_id(cl_first[c])
+                    if c in cl_first and cl_first[c] in types.entity_types
+                    else 0
+                    for c in cl_ids]
+        gt[conv] = (mentions, [], cl_types)
+
+    rdf = gt_relations.to_pandas()
+    for conv, g in rdf.groupby("conv_id", sort=False):
+        if conv not in gt:
+            gt[conv] = ([], [], [])
+        gt[conv] = (gt[conv][0],
+                    [(int(h), int(t), p) for h, t, p in
+                     zip(g["head"], g["tail"], g["pred"])],
+                    gt[conv][2])
+    return gt
+
+
+def training_objective(tokenized_ds, gt_mentions: pa.Table,
+                       gt_relations: pa.Table, *,
+                       types: TypeVocabulary | None = None,
+                       config: PipelineConfig | None = None,
+                       variant: str = "multi_instance", seed: int = 13,
+                       concurrency=(1, 4), **knobs):
+    """tokenized docs + GT tables → (per-doc loss Dataset,
+    corpus-mean loss DataFrame). The mean is a combiner aggregate
+    (one row), per-doc losses stream."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    gt_ref = ray.put(build_gt_dict(gt_mentions, gt_relations, types))
+    per_doc = tokenized_ds.map_batches(
+        TrainingLossStage, batch_format="pyarrow", batch_size=64,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"gt_ref": gt_ref, "types": types,
+                               "config": config, "variant": variant,
+                               "seed": seed, **knobs})
+    per_doc = per_doc.materialize()
+    mean = grouped_aggregate(
+        per_doc.map_batches(lambda df: df.assign(__all=0),
+                            batch_format="pandas"),
+        ["__all"],
+        {k: (k, "mean") for k in ("loss", "mention_loss", "coref_loss",
+                                  "entity_loss", "rel_loss")}).to_pandas()
+    mean = mean.drop(columns=["__all"])
+    mean.insert(0, "n_docs", per_doc.count())
+    return per_doc, mean
+
+
+def silver_gt_from_rule_scorer(transcripts_ds,
+                               config: PipelineConfig | None = None):
+    """Silver ground truth distilled from the frozen RuleScorer: its
+    mentions/clusters/relations become the GT tables the training
+    objective consumes (a distillation-style setup; real corpora
+    supply annotated tables instead). Returns (gt_mentions,
+    gt_relations) arrow tables with conv-level (sentence-relative)
+    mention coordinates."""
+    from jerex_ray.pipelines.kg import _with_part_key
+    from jerex_ray.stages.assemble import assemble_documents
+    from jerex_ray.stages.scorer import score_documents
+    from jerex_ray.stages.tokenize import tokenize_documents
+
+    cfg = config or PipelineConfig()
+    docs = assemble_documents(_with_part_key(transcripts_ds, cfg))
+    tok = tokenize_documents(docs, cfg).materialize()
+    offs = {r["doc_id"]: np.asarray(r["sent_tok_off"], np.int64)
+            for r in tok.select_columns(
+                ["doc_id", "sent_tok_off"]).to_pandas().to_dict("records")}
+    scored = score_documents(tok, cfg).to_pandas()
+
+    m_rows = {"conv_id": [], "cluster": [], "sent_id": [], "start": [],
+              "end": [], "entity_type": []}
+    r_rows = {"conv_id": [], "head": [], "tail": [], "pred": []}
+    for _, row in scored.iterrows():
+        conv = row["conv_id"]
+        off = offs[row["doc_id"]]
+        # scored mentions carry doc-word offsets; GT tables use
+        # sentence-relative coordinates (the sampler re-bases them)
+        for s, e, sent, cl in zip(row["m_start"], row["m_end"],
+                                  row["m_sent"], row["m_cluster"]):
+            base = int(off[int(sent)])
+            m_rows["conv_id"].append(conv)
+            m_rows["cluster"].append(int(cl))
+            m_rows["sent_id"].append(int(sent))
+            m_rows["start"].append(int(s) - base)
+            m_rows["end"].append(int(e) - base)
+            m_rows["entity_type"].append(
+                row["cl_type"][int(cl)]
+                if 0 <= int(cl) < len(row["cl_type"]) else "PER")
+        for h, t, r in zip(row["r_head"], row["r_tail"], row["r_type"]):
+            r_rows["conv_id"].append(conv)
+            r_rows["head"].append(int(h))
+            r_rows["tail"].append(int(t))
+            r_rows["pred"].append(r)
+    gt_m = pa.table({
+        "conv_id": pa.array(m_rows["conv_id"], pa.string()),
+        "cluster": pa.array(m_rows["cluster"], pa.int32()),
+        "sent_id": pa.array(m_rows["sent_id"], pa.int32()),
+        "start": pa.array(m_rows["start"], pa.int32()),
+        "end": pa.array(m_rows["end"], pa.int32()),
+        "entity_type": pa.array(m_rows["entity_type"], pa.string()),
+    })
+    gt_r = pa.table({
+        "conv_id": pa.array(r_rows["conv_id"], pa.string()),
+        "head": pa.array(r_rows["head"], pa.int32()),
+        "tail": pa.array(r_rows["tail"], pa.int32()),
+        "pred": pa.array(r_rows["pred"], pa.string()),
+    })
+    return gt_m, gt_r

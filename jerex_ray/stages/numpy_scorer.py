@@ -98,7 +98,8 @@ class NumpyScorer(RuleScorer):
     def __init__(self, config: PipelineConfig | None = None, *,
                  variant: str = "multi_instance", seed: int = 13,
                  hidden_size: int = 32, meta_size: int = 8,
-                 types: TypeVocabulary | None = None):
+                 types: TypeVocabulary | None = None,
+                 checkpoint_path: str | None = None):
         super().__init__(config)
         if variant not in ("multi_instance", "global"):
             raise ValueError(f"unknown variant {variant!r}")
@@ -160,6 +161,33 @@ class NumpyScorer(RuleScorer):
         # J10 global (entity_pair_linear: 2H + 2M; classifier H → nR)
         self.W_gpair, self.b_gpair = lin(2 * H + 2 * M, H)
         self.W_grel, self.b_grel = scaled(H, nR, 6.0, -9.0)
+
+        if checkpoint_path:
+            self.load_checkpoint(checkpoint_path)
+
+    # --- S10: model checkpoint IO (reference model.py:206-212,356-362
+    # saves/loads the HF checkpoint; here the checkpoint is the full
+    # frozen weight set as one .npz, loaded ONCE per actor) ---
+
+    _WEIGHT_NAMES = (
+        "E_word", "E_pos", "E_size", "E_ed", "E_tokdist", "E_sentdist",
+        "E_etype", "W_ml1", "b_ml1", "W_ml2", "b_ml2", "W_co1", "b_co1",
+        "W_co2", "b_co2", "W_ec1", "b_ec1", "W_ec2", "b_ec2", "W_pair",
+        "b_pair", "W_rel1", "b_rel1", "W_rel2", "b_rel2", "W_gpair",
+        "b_gpair", "W_grel", "b_grel")
+
+    def save_checkpoint(self, path: str) -> None:
+        """Write every weight tensor to one ``.npz`` (shared-path
+        checkpoint the actor pool loads from)."""
+        np.savez(path, **{n: getattr(self, n) for n in self._WEIGHT_NAMES})
+
+    def load_checkpoint(self, path: str) -> None:
+        """Replace the frozen-random weights with a saved set — the
+        numpy analogue of ``from_pretrained`` in actor ``__init__``
+        (weights load once per actor, never per batch)."""
+        with np.load(path) as z:
+            for n in self._WEIGHT_NAMES:
+                setattr(self, n, z[n])
 
     # --- frozen encoder ---
 
@@ -421,3 +449,159 @@ class NumpyScorer(RuleScorer):
                         out.append((i1, i2, self.relation_names[r],
                                     float(pr), -1))
         return out
+
+
+def forward_train(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
+                  tensors: dict, entity_type_targets) -> dict:
+    """The reference's ``_forward_train`` (``joint_models.py:176-199``)
+    over T10 tensors: logits for the SAMPLED structures (pos+neg
+    mentions, coref pairs, GT clusters, pos+neg entity pairs) with the
+    same placeholder-row conventions — placeholder mention rows pool
+    over the whole context (the all-ones mask), every placeholder is
+    excluded from the loss by its sample mask, and relation
+    classification consumes GT entity types (not predictions), exactly
+    as in training.
+
+    Returns the logits dict ``training_step`` feeds to the joint loss.
+    """
+    cfg = scorer.config
+    t = tensors
+    h = scorer._embed(encoding)
+    T = h.shape[0]
+    sub_start = np.asarray(sub_start, dtype=np.int64)
+    sub_end = np.asarray(sub_end, dtype=np.int64)
+    sub_of = np.append(sub_start, T)      # word boundary → sub-word offset
+
+    # mention spans (word coords) → sub-word spans; placeholder (0,0)
+    # rows pool the whole context (all-ones placeholder mask semantics)
+    spans = t["mention_spans"]
+    n_m = len(spans)
+    ss = np.where(spans[:, 1] > spans[:, 0],
+                  sub_start[np.minimum(spans[:, 0], len(sub_start) - 1)], 0)
+    se = np.where(spans[:, 1] > spans[:, 0],
+                  sub_end[np.minimum(spans[:, 1] - 1, len(sub_end) - 1)], T)
+    reprs = scorer._mention_reprs(h, ss, se)
+
+    sizes = np.clip(t["mention_sizes"], 0, _SIZE_EMB - 1)
+    x = np.concatenate([reprs, scorer.E_size[sizes]], axis=1)
+    mention_logits = (_relu(x @ scorer.W_ml1 + scorer.b_ml1)
+                      @ scorer.W_ml2 + scorer.b_ml2).ravel()
+
+    # coref pairs index the sampled mention rows (positives first)
+    pairs = t["coref_mention_pairs"]
+    eds = np.clip(t["coref_eds"], 0, _ED_EMB - 1)
+    P = len(pairs)
+    coref_logits = np.empty(P)
+    max_pairs = cfg.max_coref_pairs or P
+    for i in range(0, P, max_pairs):          # the J4 chunk loop
+        sl = slice(i, i + max_pairs)
+        xc = np.concatenate([reprs[pairs[sl, 0]], reprs[pairs[sl, 1]],
+                             scorer.E_ed[eds[sl]]], axis=1)
+        coref_logits[sl] = (_relu(xc @ scorer.W_co1 + scorer.b_co1)
+                            @ scorer.W_co2 + scorer.b_co2).ravel()
+
+    # entity (cluster) reprs: masked max over member mention reprs
+    ents, emasks = t["entities"], t["entity_masks"]
+    gathered = reprs[ents]                          # (E, max_m, H)
+    gathered = np.where(emasks[:, :, None], gathered, -1e30)
+    ent_reprs = gathered.max(axis=1)
+    ent_reprs[~emasks.any(axis=1)] = 0.0
+    entity_logits = (_relu(ent_reprs @ scorer.W_ec1 + scorer.b_ec1)
+                     @ scorer.W_ec2 + scorer.b_ec2)
+
+    # relations: GT entity types (training convention,
+    # joint_models.py:192-193), T9 structures, J9 chunked loop
+    etypes = np.clip(np.asarray(entity_type_targets, dtype=np.int64),
+                     0, len(scorer.entity_names) - 1)
+    rp = t["rel_entity_pairs"]
+    n_p = len(rp)
+    head_t = etypes[np.clip(rp[:, 0], 0, len(etypes) - 1)] \
+        if len(etypes) else np.zeros(n_p, dtype=np.int64)
+    tail_t = etypes[np.clip(rp[:, 1], 0, len(etypes) - 1)] \
+        if len(etypes) else np.zeros(n_p, dtype=np.int64)
+
+    if scorer.variant == "global":
+        xg = np.concatenate([ent_reprs[np.clip(rp[:, 0], 0, len(ent_reprs) - 1)],
+                             ent_reprs[np.clip(rp[:, 1], 0, len(ent_reprs) - 1)],
+                             scorer.E_etype[head_t],
+                             scorer.E_etype[tail_t]], axis=1)
+        ep = _relu(xg @ scorer.W_gpair + scorer.b_gpair)
+        rel_logits = ep @ scorer.W_grel + scorer.b_grel
+    else:
+        ep_cat = np.concatenate(
+            [ent_reprs[np.clip(rp[:, 0], 0, len(ent_reprs) - 1)],
+             ent_reprs[np.clip(rp[:, 1], 0, len(ent_reprs) - 1)]], axis=1)
+        mp = t["rel_mention_pairs"]
+        mp_ep = t["rel_mention_pair_ep"]
+        ctx_iv = t["rel_ctx_intervals"]
+        td = np.clip(t["rel_token_distances"], 0, _TOKDIST_EMB - 1)
+        sd = np.clip(t["rel_sentence_distances"], 0, _SENTDIST_EMB - 1)
+        n_mp = len(mp)
+        local = np.zeros((n_mp, scorer.H))
+        max_rel = cfg.max_rel_pairs or n_mp
+        for i in range(0, n_mp, max_rel):     # the J9 chunk loop
+            for k in range(i, min(i + max_rel, n_mp)):
+                a = int(np.clip(sub_of[min(ctx_iv[k, 0],
+                                           len(sub_of) - 1)], 0, T))
+                b = int(np.clip(sub_of[min(ctx_iv[k, 1],
+                                           len(sub_of) - 1)], 0, T))
+                ctx = h[a:b].max(axis=0) if b > a else np.zeros(scorer.H)
+                xk = np.concatenate([
+                    ctx, reprs[min(mp[k, 0], n_m - 1)],
+                    reprs[min(mp[k, 1], n_m - 1)],
+                    ep_cat[min(mp_ep[k], n_p - 1)],
+                    scorer.E_tokdist[td[k]], scorer.E_sentdist[sd[k]]])
+                local[k] = xk @ scorer.W_pair + scorer.b_pair
+
+        # multi-instance max-pool per entity pair via the index maps
+        ep_mp, pmask = t["rel_entity_pair_mp"], t["rel_pair_masks"]
+        pooled = local[np.clip(ep_mp, 0, max(n_mp - 1, 0))]
+        pooled = np.where(pmask[:, :, None], pooled, -1e30)
+        pooled = pooled.max(axis=1)
+        pooled[~pmask.any(axis=1)] = 0.0
+        xr = np.concatenate([pooled, scorer.E_etype[head_t],
+                             scorer.E_etype[tail_t]], axis=1)
+        rel_logits = _relu(xr @ scorer.W_rel1 + scorer.b_rel1) \
+            @ scorer.W_rel2 + scorer.b_rel2
+
+    return {
+        "mention_logits": mention_logits,
+        "coref_logits": coref_logits,
+        "entity_logits": entity_logits,
+        "rel_logits": rel_logits,
+    }
+
+
+def training_step(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
+                  sample: dict, entity_type_targets,
+                  n_relation_types: int | None = None) -> dict:
+    """One full reference training step for one document: T10
+    tensorization → ``forward_train`` → joint masked loss (G4,
+    ``loss.py:11-88``). Returns the loss dict; placeholder rows never
+    contribute (their sample masks are zero)."""
+    from jerex_ray.functions.losses import joint_loss
+    from jerex_ray.stages.sampling import tensorize_document
+
+    nR = n_relation_types or len(scorer.relation_names)
+    t = tensorize_document(sample, ctx_size=scorer.config.context_size,
+                           n_relation_types=nR)
+    logits = forward_train(scorer, encoding=encoding, sub_start=sub_start,
+                           sub_end=sub_end, tensors=t,
+                           entity_type_targets=entity_type_targets)
+    return joint_loss(
+        mention_logits=logits["mention_logits"],
+        mention_targets=t["mention_types"],
+        mention_mask=t["mention_sample_masks"],
+        coref_logits=logits["coref_logits"],
+        coref_targets=t["coref_types"],
+        coref_mask=t["coref_sample_masks"],
+        entity_logits=logits["entity_logits"],
+        entity_targets=np.clip(np.asarray(entity_type_targets,
+                                          dtype=np.int64),
+                               0, len(scorer.entity_names) - 1)
+        if len(np.atleast_1d(entity_type_targets)) == len(logits["entity_logits"])
+        else np.zeros(len(logits["entity_logits"]), dtype=np.int64),
+        entity_mask=t["entity_sample_masks"],
+        rel_logits=logits["rel_logits"],
+        rel_targets=t["rel_types"],
+        rel_mask=t["rel_sample_masks"])

@@ -107,3 +107,107 @@ def test_pipeline_integration_numpy_scorer():
 def test_decoded_phrase_is_lowercased_detokenization():
     sc = NumpyScorer(_cfg())
     assert sc._decode_phrase(["Alice", "SMITH"], 0, 2) == "alice smith"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """S10: save weights once, actors load the checkpoint path in
+    __init__ and reproduce the saver's outputs exactly; a
+    different-seed model without the checkpoint differs."""
+    import numpy as np
+    batch = _tokenized_batch()
+    cfg = _cfg()
+    src = NumpyScorer(cfg, seed=13)
+    ckpt = str(tmp_path / "model.npz")
+    src.save_checkpoint(ckpt)
+
+    loaded = _score(batch, cfg, seed=99, checkpoint_path=ckpt)
+    pd.testing.assert_frame_equal(loaded, _score(batch, cfg, seed=13))
+    other = _score(batch, cfg, seed=99)
+    assert not other.equals(loaded)
+
+    # distributed: the pool loads the shared checkpoint once per actor
+    from jerex_ray.stages.scorer import score_documents
+    ds = score_documents(rd.from_arrow(batch), cfg, concurrency=2,
+                         scorer_cls=NumpyScorer,
+                         scorer_kwargs={"seed": 99,
+                                        "checkpoint_path": ckpt})
+    dist = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist, loaded)
+
+
+# ---- train path: T10 tensors -> forward_train -> joint loss ----
+
+def _train_doc():
+    """The docred fixture doc through sample_document."""
+    from jerex_ray.stages.sampling import sample_document
+    phrases = ["Alice", "Chen", "joined", "Acme", "Corp", ".",
+               "Chen", "lives", "in", "Berlin", "."]
+    tok_sent = np.array([0] * 6 + [1] * 5, dtype=np.int32)
+    sent_off = np.array([0, 6, 11], dtype=np.int32)
+    gt_mentions = [(0, 0, 0, 2), (0, 1, 0, 1), (1, 0, 3, 5), (2, 1, 3, 4)]
+    gt_relations = [(0, 1, "works_at"), (0, 2, "located_in")]
+    sample = sample_document(
+        conv_id="conv-x", phrases=phrases, tok_sent=tok_sent,
+        sent_tok_off=sent_off, gt_mentions=gt_mentions,
+        gt_relations=gt_relations,
+        relation_types=["works_at", "located_in", "uses_tool"])
+    # stub tokenizer: every word here is one sub-word
+    n = len(phrases)
+    enc = np.arange(2, 2 + n, dtype=np.int32)
+    sub_start = np.arange(n, dtype=np.int64)
+    sub_end = sub_start + 1
+    entity_types = [0, 1, 2]        # PER, ORG, LOC (DEFAULT_TYPES order)
+    return sample, enc, sub_start, sub_end, entity_types
+
+
+def test_training_step_produces_reference_objective():
+    from jerex_ray.stages.numpy_scorer import training_step
+    sample, enc, ss, se, et = _train_doc()
+    sc = NumpyScorer(_cfg())
+    out = training_step(sc, encoding=enc, sub_start=ss, sub_end=se,
+                        sample=sample, entity_type_targets=et)
+    assert np.isfinite(out["loss"]) and out["loss"] > 0
+    for k in ("mention_loss", "coref_loss", "entity_loss", "rel_loss"):
+        assert k in out and np.isfinite(out[k])
+    # joint weighting (1, 1, 0.25, 1)
+    expect = (out["mention_loss"] + out["coref_loss"]
+              + 0.25 * out["entity_loss"] + out["rel_loss"])
+    assert abs(out["loss"] - expect) < 1e-12
+
+
+def test_training_forward_chunk_cap_parity():
+    from jerex_ray.stages.numpy_scorer import forward_train
+    from jerex_ray.stages.sampling import tensorize_document
+    sample, enc, ss, se, et = _train_doc()
+    t = tensorize_document(sample, ctx_size=700, n_relation_types=3)
+    base = forward_train(NumpyScorer(_cfg()), encoding=enc, sub_start=ss,
+                         sub_end=se, tensors=t, entity_type_targets=et)
+    capped = forward_train(
+        NumpyScorer(_cfg(max_spans=2, max_coref_pairs=3, max_rel_pairs=4)),
+        encoding=enc, sub_start=ss, sub_end=se, tensors=t,
+        entity_type_targets=et)
+    for k in base:
+        # chunked BLAS matmuls differ in the last float bit (summation
+        # order), exactly like the reference's torch chunking — outputs
+        # must agree to full float64 precision, not bit-identity
+        np.testing.assert_allclose(base[k], capped[k], rtol=1e-10,
+                                   atol=1e-10)
+
+
+def test_training_step_empty_document_zero_loss():
+    """Placeholder rows (all-zero sample masks) contribute nothing."""
+    from jerex_ray.stages.numpy_scorer import training_step
+    from jerex_ray.stages.sampling import sample_document
+    sample = sample_document(
+        conv_id="conv-e", phrases=["just", "plain", "words"],
+        tok_sent=np.zeros(3, np.int32),
+        sent_tok_off=np.array([0, 3], np.int32),
+        gt_mentions=[], gt_relations=[],
+        relation_types=["works_at", "located_in", "uses_tool"])
+    sample = dict(sample, neg_mentions=[], neg_coref=[], neg_coref_eds=[],
+                  neg_rel_pairs=[])
+    sc = NumpyScorer(_cfg())
+    out = training_step(sc, encoding=np.arange(2, 5, dtype=np.int32),
+                        sub_start=np.arange(3), sub_end=np.arange(1, 4),
+                        sample=sample, entity_type_targets=[])
+    assert out["loss"] == 0.0

@@ -1,0 +1,62 @@
+"""Distributed training-objective pipeline (T11 orchestration):
+sample → tensorize → forward → joint loss over Ray Data."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from jerex_ray.config import PipelineConfig
+from jerex_ray.pipelines.kg import _with_part_key
+from jerex_ray.pipelines.train import (silver_gt_from_rule_scorer,
+                                       training_objective)
+from jerex_ray.sources.docred import docred_to_transcripts
+from jerex_ray.sources.transcripts import generate_transcripts_table
+from jerex_ray.stages.assemble import assemble_documents
+from jerex_ray.stages.tokenize import tokenize_documents
+
+CFG = PipelineConfig().scaled_for_tests()
+
+
+def _tokenized(transcripts):
+    return tokenize_documents(
+        assemble_documents(_with_part_key(transcripts, CFG)), CFG,
+        concurrency=(1, 2))
+
+
+def test_training_objective_over_silver_gt():
+    transcripts = rd.from_arrow(generate_transcripts_table(20))
+    gt_m, gt_r = silver_gt_from_rule_scorer(
+        rd.from_arrow(generate_transcripts_table(20)), CFG)
+    assert gt_m.num_rows > 0 and gt_r.num_rows > 0
+    per_doc, mean = training_objective(_tokenized(transcripts), gt_m, gt_r,
+                                       config=CFG, concurrency=(1, 2))
+    pdf = per_doc.to_pandas()
+    # chunked long convs yield one doc row per chunk
+    assert pdf["conv_id"].nunique() == 20 and len(pdf) >= 20
+    assert np.isfinite(pdf["loss"]).all() and (pdf["loss"] > 0).all()
+    assert len(mean) == 1
+    assert abs(mean.iloc[0]["loss"] - pdf["loss"].mean()) < 1e-9
+    assert mean.iloc[0]["n_docs"] == len(pdf)
+
+
+def test_training_objective_docs_without_gt_get_placeholder_losses():
+    """A doc absent from the GT dict samples only placeholders +
+    negatives; the pipeline must not crash and its mention loss uses
+    only negative targets."""
+    doc = {"title": "conv-no-gt",
+           "sents": [["plain", "words", "here", "."]]}
+    transcripts = rd.from_arrow(docred_to_transcripts([doc]))
+    gt_m = pa.table({"conv_id": pa.array([], pa.string()),
+                     "cluster": pa.array([], pa.int32()),
+                     "sent_id": pa.array([], pa.int32()),
+                     "start": pa.array([], pa.int32()),
+                     "end": pa.array([], pa.int32())})
+    gt_r = pa.table({"conv_id": pa.array([], pa.string()),
+                     "head": pa.array([], pa.int32()),
+                     "tail": pa.array([], pa.int32()),
+                     "pred": pa.array([], pa.string())})
+    per_doc, mean = training_objective(_tokenized(transcripts), gt_m, gt_r,
+                                       config=CFG, concurrency=(1, 2))
+    pdf = per_doc.to_pandas()
+    assert len(pdf) == 1
+    assert np.isfinite(pdf["loss"]).all()
