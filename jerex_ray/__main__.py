@@ -45,7 +45,13 @@ def cmd_run(args) -> int:
     configure_data_context()
     cfg = PipelineConfig(num_output_partitions=args.num_partitions)
     ds = rd.read_parquet(args.input)
-    metrics = run_kg_pipeline(ds, args.output, cfg, resume=not args.no_resume)
+    scorer_cls = scorer_kwargs = None
+    if getattr(args, "model_type", "rule") != "rule":
+        from jerex_ray.registry import resolve_model
+        scorer_cls, scorer_kwargs = resolve_model(args.model_type)
+    metrics = run_kg_pipeline(ds, args.output, cfg, resume=not args.no_resume,
+                              scorer_cls=scorer_cls,
+                              scorer_kwargs=scorer_kwargs)
     print(json.dumps({
         "output": args.output,
         "partitions_written": int(len(metrics)),
@@ -96,6 +102,10 @@ def main(argv=None) -> int:
     r.add_argument("--output", required=True)
     r.add_argument("--num-partitions", type=int, default=16)
     r.add_argument("--no-resume", action="store_true")
+    r.add_argument("--model-type", default="rule",
+                   help="scorer from the model registry: rule | "
+                        "joint_multi_instance | joint_global | hf "
+                        "(reference models/__init__.py:9-24 analogue)")
     r.set_defaults(fn=cmd_run)
 
     e = sub.add_parser("eval", help="triple P/R vs planted ground truth")

@@ -101,17 +101,51 @@ class LangId:
         return out
 
 
-def fingerprint(batch: pd.DataFrame, *, normalize: bool = True) -> pd.DataFrame:
+def fingerprint(batch: pd.DataFrame, *, normalize: bool = True,
+                algo: str = "blake2b") -> pd.DataFrame:
     """64-bit content fingerprint of (optionally normalized) text —
-    the key for exact dedup."""
+    the key for exact dedup. ``algo='md5'`` uses the SQL-replicable
+    md5-derived hash (DuckDB ``substr(md5(x), 1, 16)``) so an oracle
+    can recompute identical fingerprints."""
+    from jerex_ray.util import md5_hash64_batch
     texts = batch["text"].fillna("")
     if normalize:
         texts = texts.str.lower().str.replace(_WS_RE, " ", regex=True).str.strip()
     # unique-then-scatter: one hash per distinct text
-    fps = (stable_hash64_batch(texts) % np.uint64(1 << 63)).astype(np.int64)
+    hash_batch = md5_hash64_batch if algo == "md5" else stable_hash64_batch
+    fps = (hash_batch(texts) % np.uint64(1 << 63)).astype(np.int64)
     out = batch.copy()
     out["fp"] = fps
     return out
+
+
+def top_ngrams(docs_ds, *, n: int = 2, k: int = 10,
+               num_partitions: int | None = None) -> pd.DataFrame:
+    """Corpus-wide top-k word n-grams by count: per-batch explode +
+    partial count (combiner), one small groupby, driver-side top-k on
+    the merged counts (result is ≤ distinct-ngram rows, already
+    combiner-bounded)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        grams = []
+        for t in batch["text"].fillna(""):
+            ws = t.lower().split()
+            grams.extend(" ".join(ws[i:i + n])
+                         for i in range(len(ws) - n + 1))
+        out = pd.DataFrame({"ngram": grams})
+        return out.groupby("ngram", sort=False).size().reset_index(name="c")
+
+    counts = grouped_aggregate(
+        docs_ds.map_batches(explode, batch_format="pandas",
+                            batch_size=8192),
+        ["ngram"], {"n_occurrences": ("c", "sum")},
+        num_partitions=num_partitions)
+    df = counts.to_pandas()
+    df["n_occurrences"] = df["n_occurrences"].astype("int64")
+    return df.sort_values(["n_occurrences", "ngram"],
+                          ascending=[False, True]).head(k) \
+             .reset_index(drop=True)
 
 
 def run_token_stats(docs_ds):

@@ -88,7 +88,8 @@ def extract_triples(transcripts_ds, config: PipelineConfig | None = None,
 
 def run_kg_pipeline(transcripts_ds, out_dir: str,
                     config: PipelineConfig | None = None,
-                    *, resume: bool = True, shuffle_blocks: int | None = None):
+                    *, resume: bool = True, shuffle_blocks: int | None = None,
+                    scorer_cls=None, scorer_kwargs: dict | None = None):
     """End-to-end run with resumable partitioned sink.
 
     Returns the per-partition metrics as a pandas DataFrame (the
@@ -120,7 +121,9 @@ def run_kg_pipeline(transcripts_ds, out_dir: str,
 
     triples = extract_triples(transcripts_ds, cfg,
                               shuffle_blocks=shuffle_blocks,
-                              skip_partitions=done)
+                              skip_partitions=done,
+                              scorer_cls=scorer_cls,
+                              scorer_kwargs=scorer_kwargs)
     from jerex_ray.functions.aggregate import grouped_apply
     metrics = grouped_apply(
         triples, ["part_key"],

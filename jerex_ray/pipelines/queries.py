@@ -186,6 +186,27 @@ def doc_langid(sf_dir: str):
         .reset_index(drop=True)
 
 
+def doc_fingerprint(sf_dir: str):
+    """md5-derived 64-bit normalized-text fingerprints (SQL-replicable
+    hash — the oracle recomputes them bit-for-bit)."""
+    from jerex_ray.ops.textstats import fingerprint
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: fingerprint(b, algo="md5")[["doc_id", "fp"]],
+        batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_top_bigrams(sf_dir: str):
+    from jerex_ray.ops.textstats import top_ngrams
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return top_ngrams(ds, n=2, k=10)
+
+
 def dedup_minhash_edges(sf_dir: str):
     from jerex_ray.ops.dedup import minhash_dedup
     from jerex_ray.runtime import read_parquet_sized
@@ -344,6 +365,8 @@ def build_queries() -> dict:
         "doc_quality": doc_quality,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_langid": doc_langid,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_top_bigrams": doc_top_bigrams,
         "dedup_minhash_edges": dedup_minhash_edges,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "ann_topk": ann_topk,
@@ -429,6 +452,29 @@ def build_oracle_sql() -> dict:
                         ELSE 'fr' END AS lang_pred
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
             ORDER BY d.doc_id
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(regexp_replace(
+                            trim(lower(text)), '\\s+', ' ', 'g')), 1, 16)
+                         AS UBIGINT) % 9223372036854775808 AS BIGINT) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_top_bigrams": """
+            WITH words AS (
+                SELECT list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT unnest([array_to_string(ws[i:i+1], ' ')
+                               for i in range(1, len(ws))]) AS ngram
+                FROM words WHERE len(ws) >= 2
+            )
+            SELECT ngram, count(*) AS n_occurrences
+            FROM grams GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram LIMIT 10
         """,
         "dedup_minhash_edges": """
             WITH words AS (

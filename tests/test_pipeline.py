@@ -123,3 +123,35 @@ def test_determinism_across_runs():
     a = a[cols].sort_values(cols).reset_index(drop=True)
     b = b[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_stage_and_model_registry_assembly():
+    """§2.10 extension surface: the same KG dataflow assembled from
+    the string-keyed stage registry matches extract_triples, and the
+    model registry mirrors the reference's model_type lookup."""
+    import pandas as pd
+    import ray.data as rd
+    from jerex_ray.config import PipelineConfig
+    from jerex_ray.pipelines.kg import extract_triples
+    from jerex_ray.registry import build_pipeline, resolve_model
+    from jerex_ray.sources.transcripts import generate_transcripts_table
+    from jerex_ray.stages.numpy_scorer import NumpyScorer
+    from jerex_ray.stages.scorer import RuleScorer
+
+    cls, kw = resolve_model("joint_global")
+    assert cls is NumpyScorer and kw == {"variant": "global"}
+    assert resolve_model("rule")[0] is RuleScorer
+    import pytest
+    with pytest.raises(KeyError):
+        resolve_model("nope")
+
+    cfg = PipelineConfig().scaled_for_tests()
+    tbl = generate_transcripts_table(12)
+    spec = ["part_key", "assemble", "tokenize", "length_bucket",
+            "score:rule", "triples", "canonicalize"]
+    via_registry = build_pipeline(rd.from_arrow(tbl), spec, cfg).to_pandas()
+    direct = extract_triples(rd.from_arrow(tbl), cfg).to_pandas()
+    cols = ["conv_id", "subj", "pred", "obj"]
+    a = via_registry[cols].sort_values(cols).reset_index(drop=True)
+    b = direct[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
