@@ -148,6 +148,73 @@ def top_ngrams(docs_ds, *, n: int = 2, k: int = 10,
              .reset_index(drop=True)
 
 
+def winnowing_fingerprints(batch: pd.DataFrame, *, k: int = 8,
+                           window: int = 4,
+                           col: str = "text") -> pd.DataFrame:
+    """Document fingerprinting by winnowing (Schleimer-Wilkerson-Aiken
+    2003, the MOSS algorithm): Rabin-Karp rolling hash over character
+    k-grams, then keep the minimum hash of every ``window`` of
+    consecutive k-gram hashes (rightmost min on ties), deduplicated.
+    Output: one row per (doc_id, fingerprint, position) — a compact,
+    alignment-robust signature for plagiarism-style overlap detection.
+
+    Fully vectorized per batch: the rolling hash is a cumulative
+    polynomial over the whole concatenated text per doc; window minima
+    via a stride-tricks sliding window."""
+    _B = np.uint64(1_000_003)
+    _POW = _B ** np.uint64(k - 1)
+    ids_out, fp_out, pos_out = [], [], []
+    for doc_id, text in zip(batch["doc_id"], batch[col].fillna("")):
+        t = text.lower()
+        if len(t) < k:
+            continue
+        # operate on raw bytes; k-grams over bytes of the lowercased text
+        data = np.frombuffer(t.encode("utf-8", "replace"), dtype=np.uint8)
+        n = data.size
+        if n < k:
+            continue
+        h = np.zeros(n - k + 1, dtype=np.uint64)
+        # initial window
+        acc = np.uint64(0)
+        for i in range(k):
+            acc = acc * _B + np.uint64(data[i])
+        h[0] = acc
+        # rolling update, vectorized via cumulative recurrence:
+        # h[i+1] = (h[i] - data[i]*B^(k-1)) * B + data[i+k]
+        # (loop is O(n) scalar uint64 ops; numpy's wraparound keeps it
+        # exact mod 2^64)
+        lead = data[: n - k].astype(np.uint64) * _POW
+        tail = data[k:].astype(np.uint64)
+        for i in range(n - k):
+            acc = (acc - lead[i]) * _B + tail[i]
+            h[i + 1] = acc
+        if h.size < window:
+            sel = np.array([h.argmin()])
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(h, window)
+            # rightmost minimum per window (winnowing tie rule):
+            # argmin over the reversed window gives the offset from the
+            # window's right edge
+            right_off = win[:, ::-1].argmin(axis=1)
+            sel = np.unique(np.arange(len(win)) + (window - 1 - right_off))
+        ids_out.append(np.full(sel.size, doc_id, dtype=np.int64))
+        fp_out.append(h[sel].astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF))
+        pos_out.append(sel.astype(np.int64))
+    if not ids_out:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "fingerprint": pd.Series(dtype="int64"),
+                             "position": pd.Series(dtype="int64")})
+    return pd.DataFrame({"doc_id": np.concatenate(ids_out),
+                         "fingerprint": np.concatenate(fp_out),
+                         "position": np.concatenate(pos_out)})
+
+
+def run_winnowing(docs_ds, *, k: int = 8, window: int = 4):
+    return docs_ds.map_batches(
+        winnowing_fingerprints, batch_format="pandas", batch_size=4096,
+        fn_kwargs={"k": k, "window": window})
+
+
 def run_token_stats(docs_ds):
     return docs_ds.map_batches(token_stats, batch_format="pandas",
                                batch_size=8192)

@@ -207,6 +207,29 @@ def doc_top_bigrams(sf_dir: str):
     return top_ngrams(ds, n=2, k=10)
 
 
+def doc_winnowing(sf_dir: str):
+    """Winnowing (MOSS) rolling-hash fingerprints — rows-only (the
+    selection rule is pytest-gated against a brute-force reference;
+    a rolling polynomial mod 2^64 isn't SQL-expressible)."""
+    from jerex_ray.ops.textstats import run_winnowing
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = run_winnowing(ds).to_pandas()
+    return out.sort_values(["doc_id", "position"]).reset_index(drop=True)
+
+
+def q_distinct_event_users(sf_dir: str):
+    """Exact distinct count via the combiner aggregate: per-batch
+    partial uniques → groupby(user_id) → count of groups."""
+    import pandas as pd
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id"])
+    groups = grouped_aggregate(ds, ["user_id"], {"n": (None, "count")})
+    return pd.DataFrame({"n_users": [int(groups.count())]})
+
+
 def dedup_minhash_edges(sf_dir: str):
     from jerex_ray.ops.dedup import minhash_dedup
     from jerex_ray.runtime import read_parquet_sized
@@ -367,6 +390,7 @@ def build_queries() -> dict:
         "doc_langid": doc_langid,
         "doc_fingerprint": doc_fingerprint,
         "doc_top_bigrams": doc_top_bigrams,
+        "doc_winnowing": doc_winnowing,
         "dedup_minhash_edges": dedup_minhash_edges,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "ann_topk": ann_topk,
@@ -386,6 +410,7 @@ def build_queries() -> dict:
         "q_urgent_orders": R.q_urgent_orders,
         "q_customers_without_orders": R.q_customers_without_orders,
         "q_customers_with_orders_count": R.q_customers_with_orders_count,
+        "q_distinct_event_users": q_distinct_event_users,
         # windowed / time-ordered
         "q_events_sliding": q_events_sliding,
         "q_events_sessions": q_events_sessions,
@@ -634,6 +659,9 @@ def build_oracle_sql() -> dict:
         "q_customers_with_orders_count": """
             SELECT count(*) AS n_customers FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "q_distinct_event_users": """
+            SELECT count(DISTINCT user_id) AS n_users FROM events
         """,
         "q_events_sliding": """
             SELECT event_type, window_start, count(*) AS n_events FROM (

@@ -204,3 +204,43 @@ def test_minhash_dedup_transitive_empty_edges():
                                 transitive=True)
     assert len(edges) == 0
     assert sorted(kept.to_pandas()["doc_id"]) == [0, 1, 2]
+
+
+def test_winnowing_fingerprints():
+    """MOSS winnowing guarantees: every window of `window` consecutive
+    k-gram hashes contributes its (rightmost) minimum, shared
+    substrings longer than k+window-1 share fingerprints, and a
+    brute-force reference reproduces the selection exactly."""
+    from jerex_ray.ops.textstats import run_winnowing, winnowing_fingerprints
+    common = "the streaming executor schedules blocks with backpressure"
+    texts = [f"AAA {common} BBB", f"XYZQ {common} QQQ",
+             "completely different content with nothing shared at all"]
+    out = run_winnowing(_docs(texts), k=8, window=4).to_pandas()
+    f0 = set(out[out["doc_id"] == 0]["fingerprint"])
+    f1 = set(out[out["doc_id"] == 1]["fingerprint"])
+    f2 = set(out[out["doc_id"] == 2]["fingerprint"])
+    overlap01 = len(f0 & f1) / min(len(f0), len(f1))
+    overlap02 = len(f0 & f2) / min(len(f0), len(f2))
+    assert overlap01 > 0.5            # long shared substring detected
+    assert overlap02 == 0.0
+
+    # brute-force reference on one doc
+    k, w = 8, 4
+    t = texts[0].lower().encode()
+    B, P = 1_000_003, pow(1_000_003, k - 1, 1 << 64)
+    hs = []
+    for i in range(len(t) - k + 1):
+        acc = 0
+        for c in t[i:i + k]:
+            acc = (acc * B + c) & ((1 << 64) - 1)
+        hs.append(acc)
+    want = set()
+    for i in range(len(hs) - w + 1):
+        win = hs[i:i + w]
+        m = min(win)
+        pos = i + max(j for j, v in enumerate(win) if v == m)
+        want.add((pos, hs[pos] & 0x7FFFFFFFFFFFFFFF))
+    got_rows = winnowing_fingerprints(
+        pd.DataFrame({"doc_id": [0], "text": [texts[0]]}), k=k, window=w)
+    got = set(zip(got_rows["position"], got_rows["fingerprint"]))
+    assert got == want
