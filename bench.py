@@ -63,15 +63,20 @@ def run_bench() -> dict:
             while f.read(1 << 24):
                 pass
 
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        result = qs[name](SF_DIR)
-        # force full materialization of lazy results
-        if hasattr(result, "to_pandas"):
-            result = result.to_pandas()
-        _ = len(result)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):       # min-of-N: the shared host adds
+            t0 = time.perf_counter()   # ±30-80% run-to-run noise
+            result = qs[name](SF_DIR)
+            # force full materialization of lazy results
+            if hasattr(result, "to_pandas"):
+                result = result.to_pandas()
+            _ = len(result)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

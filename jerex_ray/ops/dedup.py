@@ -86,17 +86,54 @@ def _hash_params(seed: int = 7):
 _A, _B = _hash_params()
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of k-word shingles (word-level shingling)."""
-    words = text.lower().split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    if not grams:
+_POLY_B = np.int64(0x5DEECE66D)      # odd multiplier; int64 wraparound
+                                      # polynomial over word hashes
+
+
+def _gram_hashes_from_words(wh: np.ndarray, k: int) -> np.ndarray:
+    """Distinct k-gram hashes from per-word hashes: a vectorized
+    wraparound polynomial over k-word windows (deterministic gram id;
+    grams are compared by identity only, so the polynomial replaces
+    hashing each joined gram string — ~k× fewer digest calls and the
+    window combine is pure numpy)."""
+    if wh.size == 0:
         return np.empty(0, dtype=np.int64)
-    return np.fromiter((stable_hash64(g) % _MERSENNE for g in set(grams)),
-                       dtype=np.int64)
+    if wh.size < k:
+        acc = wh[0]
+        for j in range(1, wh.size):
+            acc = acc * _POLY_B + wh[j]
+        return np.unique(np.asarray([acc % _MERSENNE], dtype=np.int64))
+    acc = wh[: wh.size - k + 1].copy()
+    for j in range(1, k):
+        acc = acc * _POLY_B + wh[j: wh.size - k + 1 + j]
+    return np.unique(acc % _MERSENNE)
+
+
+def _doc_shingle_arrays(texts, k: int = 3) -> list[np.ndarray]:
+    """Per-doc distinct shingle-hash arrays for a whole batch: every
+    UNIQUE word across the batch is digested once (unique-then-scatter),
+    gram hashes come from the vectorized polynomial."""
+    doc_words = [t.lower().split() for t in texts]
+    flat = [w for ws in doc_words for w in ws]
+    if flat:
+        uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                              return_inverse=True)
+        hu = np.fromiter((stable_hash64(u) % _MERSENNE for u in uniq),
+                         dtype=np.int64, count=len(uniq))
+        flat_h = hu[inv]
+    else:
+        flat_h = np.empty(0, dtype=np.int64)
+    out, off = [], 0
+    for ws in doc_words:
+        wh = flat_h[off:off + len(ws)]
+        off += len(ws)
+        out.append(_gram_hashes_from_words(wh, k))
+    return out
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of the distinct k-word shingles of one text."""
+    return _doc_shingle_arrays([text], k)[0]
 
 
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
@@ -110,17 +147,30 @@ def minhash_signature(text: str, k: int = 3) -> np.ndarray:
 
 def minhash_bands(batch: pd.DataFrame, *, col: str = "text",
                   k: int = 3) -> pd.DataFrame:
-    """Explode each doc to one row per LSH band."""
-    doc_ids, bands, band_hashes = [], [], []
-    for doc_id, text in zip(batch["doc_id"], batch[col].fillna("")):
-        sig = minhash_signature(text, k)
-        for b in range(N_BANDS):
-            chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
-            doc_ids.append(doc_id)
-            bands.append(b)
-            band_hashes.append(stable_hash64(chunk.tobytes()) % (1 << 63))
-    return pd.DataFrame({"doc_id": doc_ids, "band": bands,
-                         "band_hash": band_hashes})
+    """Explode each doc to one row per LSH band. Batch-vectorized:
+    unique words across the batch digest once; signatures and band
+    hashes come from numpy matrix ops per doc."""
+    gram_arrays = _doc_shingle_arrays(batch[col].fillna(""), k)
+    n = len(gram_arrays)
+    sigs = np.empty((n, N_HASHES), dtype=np.int64)
+    for i, h in enumerate(gram_arrays):
+        if h.size == 0:
+            sigs[i] = _MERSENNE
+        else:
+            sigs[i] = ((_A[:, None] * h[None, :] + _B[:, None])
+                       % _MERSENNE).min(axis=1)
+    # band hash: wraparound polynomial over each band's rows — one
+    # vectorized pass, no per-band digest calls
+    rows = sigs.reshape(n, N_BANDS, ROWS_PER_BAND)
+    acc = rows[:, :, 0].copy()
+    for j in range(1, ROWS_PER_BAND):
+        acc = acc * _POLY_B + rows[:, :, j]
+    band_hash = (acc % np.int64((1 << 63) - 1)) & np.int64(0x7FFFFFFFFFFFFFFF)
+    return pd.DataFrame({
+        "doc_id": np.repeat(np.asarray(batch["doc_id"]), N_BANDS),
+        "band": np.tile(np.arange(N_BANDS, dtype=np.int64), n),
+        "band_hash": band_hash.ravel(),
+    })
 
 
 def ngram_jaccard(text1: str, text2: str, k: int = 3) -> float:
@@ -192,8 +242,8 @@ def _gram_rows(batch: pd.DataFrame, *, col: str, k: int,
     rows = batch[["doc_id", col]]
     if id_filter is not None:
         rows = rows[rows["doc_id"].isin(id_filter)]
-    for doc_id, text in zip(rows["doc_id"], rows[col].fillna("")):
-        g = _shingle_hashes(text, k)
+    gram_arrays = _doc_shingle_arrays(rows[col].fillna(""), k)
+    for doc_id, g in zip(rows["doc_id"], gram_arrays):
         ids_out.append(np.full(g.size, doc_id, dtype=np.int64))
         grams_out.append(g)
     if not ids_out:
