@@ -313,7 +313,9 @@ def minhash_verified_edges(docs_ds, *, threshold: float = 0.8,
         lambda b: pd.DataFrame(
             {"doc_id": pd.unique(pd.concat([b["doc_a"], b["doc_b"]]))}),
         batch_format="pandas").to_pandas()
-    cand_set = set(ids_df["doc_id"].tolist())
+    # an all-empty pair Dataset can surface schema-less (no doc_id col)
+    cand_set = (set(ids_df["doc_id"].tolist())
+                if "doc_id" in ids_df.columns else set())
     if not cand_set:
         import ray.data as rd
         return rd.from_pandas(pd.DataFrame(
@@ -402,18 +404,29 @@ def minhash_dedup(docs_ds, *, threshold: float = 0.8, col: str = "text",
     edges_ds = minhash_verified_edges(docs_ds, threshold=threshold, col=col,
                                       k=k, num_partitions=num_partitions)
 
+    def _edges_pdf() -> pd.DataFrame:
+        pdf = edges_ds.to_pandas()
+        if "doc_a" not in pdf.columns:   # schema-less all-empty Dataset
+            pdf = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                "doc_b": pd.Series(dtype="int64"),
+                                "jaccard": pd.Series(dtype="float64")})
+        return pdf
+
     if transitive:
         from jerex_ray.functions.components import connected_components
         comp = connected_components(
             edges_ds.map_batches(
                 lambda b: b.rename(
-                    columns={"doc_a": "src", "doc_b": "dst"})[["src", "dst"]],
+                    columns={"doc_a": "src", "doc_b": "dst"})[["src", "dst"]]
+                if "doc_a" in b.columns else
+                pd.DataFrame({"src": pd.Series(dtype="int64"),
+                              "dst": pd.Series(dtype="int64")}),
                 batch_format="pandas"),
             num_partitions=num_partitions)
         drop = set(comp[comp["node"] != comp["component"]]["node"])
-        edges = edges_ds.to_pandas()
+        edges = _edges_pdf()
     else:
-        edges = edges_ds.to_pandas()
+        edges = _edges_pdf()
         # single-round min-label star collapse (verified edge sets are
         # small; catches direct duplicates, not deep chains)
         root: dict = {}

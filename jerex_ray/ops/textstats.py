@@ -142,6 +142,10 @@ def top_ngrams(docs_ds, *, n: int = 2, k: int = 10,
         ["ngram"], {"n_occurrences": ("c", "sum")},
         num_partitions=num_partitions)
     df = counts.to_pandas()
+    if df.empty or "n_occurrences" not in df.columns:
+        # empty corpora surface schema-less through the aggregate
+        return pd.DataFrame({"ngram": pd.Series(dtype="object"),
+                             "n_occurrences": pd.Series(dtype="int64")})
     df["n_occurrences"] = df["n_occurrences"].astype("int64")
     return df.sort_values(["n_occurrences", "ngram"],
                           ascending=[False, True]).head(k) \

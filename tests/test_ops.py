@@ -244,3 +244,26 @@ def test_winnowing_fingerprints():
         pd.DataFrame({"doc_id": [0], "text": [texts[0]]}), k=k, window=w)
     got = set(zip(got_rows["position"], got_rows["fingerprint"]))
     assert got == want
+
+
+def test_all_ops_survive_empty_input():
+    """An empty corpus must flow through every operator (schema-less
+    empty blocks are a production condition after aggressive filters —
+    ADVICE r01 class of bug)."""
+    from jerex_ray.ops.dedup import (embedding_near_dups,
+                                     embedding_near_dups_exact,
+                                     minhash_dedup)
+    from jerex_ray.ops.textstats import run_winnowing, top_ngrams
+    empty = _docs([])
+    assert len(exact_dedup(empty).to_pandas()) == 0
+    kept, edges = minhash_dedup(empty)
+    assert len(edges) == 0 and len(kept.to_pandas()) == 0
+    assert len(simhash_candidates(empty)) == 0
+    assert len(run_winnowing(empty).to_pandas()) == 0
+    tn = top_ngrams(empty)
+    assert len(tn) == 0 and list(tn.columns) == ["ngram", "n_occurrences"]
+    emptyv = rd.from_pandas(pd.DataFrame({
+        "vec_id": pd.Series(dtype="int64"),
+        "embedding": pd.Series(dtype="object")}))
+    assert len(embedding_near_dups(emptyv)) == 0
+    assert len(embedding_near_dups_exact(emptyv)) == 0
