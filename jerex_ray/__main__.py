@@ -88,6 +88,38 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Corpus dedup over a (doc_id, text) parquet table: exact
+    fingerprint or MinHash-LSH near-dup; writes the kept rows as
+    partitioned parquet plus a JSON summary line."""
+    ray = _ray_session()
+    import ray.data as rd
+
+    from jerex_ray.runtime import configure_data_context
+    configure_data_context()
+    ds = rd.read_parquet(args.input)
+    n_in = ds.count()
+    if args.method == "exact":
+        from jerex_ray.ops.dedup import exact_dedup
+        kept = exact_dedup(rd.read_parquet(args.input))
+        n_edges = None
+    else:
+        from jerex_ray.ops.dedup import minhash_dedup
+        kept, edges = minhash_dedup(rd.read_parquet(args.input),
+                                    threshold=args.threshold,
+                                    transitive=args.transitive)
+        n_edges = int(len(edges))
+    kept.write_parquet(args.output)
+    n_out = rd.read_parquet(args.output).count()
+    out = {"input_rows": int(n_in), "kept_rows": int(n_out),
+           "dropped": int(n_in - n_out), "method": args.method}
+    if n_edges is not None:
+        out["near_dup_edges"] = n_edges
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jerex_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -114,6 +146,19 @@ def main(argv=None) -> int:
     e.add_argument("--strict", action="store_true",
                    help="rel_nec variant: entity types must match too")
     e.set_defaults(fn=cmd_eval)
+
+    d = sub.add_parser("dedup", help="exact / minhash near-dup corpus dedup")
+    d.add_argument("--input", required=True,
+                   help="parquet dir/file with (doc_id, text)")
+    d.add_argument("--output", required=True)
+    d.add_argument("--method", choices=["exact", "minhash"],
+                   default="exact")
+    d.add_argument("--threshold", type=float, default=0.8,
+                   help="minhash jaccard threshold")
+    d.add_argument("--transitive", action="store_true",
+                   help="transitive closure via distributed "
+                        "connected components")
+    d.set_defaults(fn=cmd_dedup)
 
     h = sub.add_parser("report", help="TP/FP/FN examples HTML report")
     h.add_argument("--pred", required=True)

@@ -558,21 +558,34 @@ def _simhash_block_pairs(block: pd.DataFrame, max_hamming: int,
         "hamming": pd.Series(np.concatenate(h_out), dtype="int64")})
 
 
-def simhash_candidates(docs_ds, *, max_hamming: int = 3, col: str = "text",
-                       num_partitions: int | None = None) -> pd.DataFrame:
-    """SimHash near-dup pairs: equal 16-bit band (4 bands, exploded into
-    one shuffle) → vectorized in-bucket Hamming verify. Returns the
-    verified pair table (driver-side; pairs are tiny vs the corpus)."""
+def simhash_candidates_ds(docs_ds, *, max_hamming: int = 3,
+                          col: str = "text",
+                          num_partitions: int | None = None):
+    """SimHash near-dup pairs as a DATASET — the scale path: equal
+    16-bit band (4 bands, exploded into one shuffle) → vectorized
+    in-bucket Hamming verify → global dedup by pair-key co-location.
+    Pairs never materialize on the driver (a near-dup-heavy corpus
+    makes the pair table corpus-sized)."""
     from jerex_ray.functions.aggregate import grouped_apply
     bands = docs_ds.map_batches(_explode_simhash_bands, batch_format="pandas",
                                 batch_size=4096, fn_kwargs={"col": col})
     pairs = grouped_apply(bands, ["band", "band_val"],
                           lambda b: _simhash_block_pairs(b, max_hamming),
                           num_partitions=num_partitions or 8)
-    allp = pairs.to_pandas()
+    return grouped_apply(pairs, ["doc_a", "doc_b"],
+                         lambda b: b.drop_duplicates(["doc_a", "doc_b"])
+                         if "doc_a" in b.columns else b,
+                         num_partitions=num_partitions or 8)
+
+
+def simhash_candidates(docs_ds, *, max_hamming: int = 3, col: str = "text",
+                       num_partitions: int | None = None) -> pd.DataFrame:
+    """Driver-facing wrapper over ``simhash_candidates_ds`` (use the
+    Dataset variant when the pair table can be large)."""
+    allp = simhash_candidates_ds(docs_ds, max_hamming=max_hamming, col=col,
+                                 num_partitions=num_partitions).to_pandas()
     if len(allp) == 0:
         return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
-    allp = allp.drop_duplicates(["doc_a", "doc_b"])
     return allp[["doc_a", "doc_b", "hamming"]].sort_values(
         ["doc_a", "doc_b"]).reset_index(drop=True)
 
