@@ -267,3 +267,33 @@ def test_all_ops_survive_empty_input():
         "embedding": pd.Series(dtype="object")}))
     assert len(embedding_near_dups(emptyv)) == 0
     assert len(embedding_near_dups_exact(emptyv)) == 0
+
+
+def test_minhash_verified_edges_match_bruteforce_jaccard():
+    """Distributed explode-join verification == brute-force pairwise
+    ngram_jaccard on randomized corpora with planted mutations."""
+    from jerex_ray.ops.dedup import minhash_verified_edges
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(40)]
+    base_docs = [" ".join(rng.choice(vocab, size=30)) for _ in range(12)]
+    texts = list(base_docs)
+    for i in range(6):                 # mutated near-dups of docs 0..5
+        words = base_docs[i].split()
+        j = rng.integers(0, len(words))
+        words[j] = "mutant"
+        texts.append(" ".join(words))
+    thr = 0.6
+    edges = minhash_verified_edges(_docs(texts), threshold=thr).to_pandas()
+    got = {(a, b) for a, b in zip(edges["doc_a"], edges["doc_b"])}
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if ngram_jaccard(texts[i], texts[j]) >= thr:
+                want.add((i, j))
+    assert want  # mutations planted something
+    assert got == want
+    # jaccard values match the scalar kernel exactly
+    for _, r in edges.iterrows():
+        assert abs(r["jaccard"]
+                   - ngram_jaccard(texts[int(r["doc_a"])],
+                                   texts[int(r["doc_b"])])) < 1e-12

@@ -74,3 +74,49 @@ def test_padded_stack_shapes():
     out2 = padded_stack([np.ones((2, 3)), np.ones((1, 5))])
     assert out2.shape == (2, 2, 5)
     assert out2[1, 1].sum() == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet="abcdefgh ", min_size=30, max_size=120),
+       st.integers(4, 10), st.integers(2, 6))
+def test_winnowing_guarantee(t, k, w):
+    """The winnowing guarantee (Schleimer et al. 2003 §2): at least
+    one fingerprint is selected from every window, so any two
+    positions at distance < w share... concretely: selected positions
+    are never more than w apart, and every selected hash is the min of
+    some window."""
+    import pandas as pd
+    from jerex_ray.ops.textstats import winnowing_fingerprints
+    out = winnowing_fingerprints(
+        pd.DataFrame({"doc_id": [0], "text": [t]}), k=k, window=w)
+    data = t.lower().encode()
+    n_hashes = len(data) - k + 1
+    if n_hashes < 1:
+        assert len(out) == 0
+        return
+    pos = sorted(out["position"])
+    assert len(pos) >= 1
+    # gap property: consecutive selections within one window length
+    for a, b in zip(pos, pos[1:]):
+        assert b - a <= w
+    # coverage of first/last windows
+    assert pos[0] <= w - 1
+    if n_hashes >= w:
+        assert pos[-1] >= n_hashes - w
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 1000))
+def test_gram_hash_polynomial_matches_scalar(seed):
+    """Batch shingle arrays == per-text shingle arrays (the
+    unique-then-scatter + polynomial path is exact)."""
+    import numpy as np
+    from jerex_ray.ops.dedup import _doc_shingle_arrays, _shingle_hashes
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "y2"]
+    texts = [" ".join(vocab[i] for i in rng.integers(0, len(vocab),
+                                                     rng.integers(0, 9)))
+             for _ in range(6)]
+    batch = _doc_shingle_arrays(texts, k=3)
+    for t, got in zip(texts, batch):
+        np.testing.assert_array_equal(got, _shingle_hashes(t, 3))
