@@ -186,6 +186,42 @@ def doc_langid(sf_dir: str):
         .reset_index(drop=True)
 
 
+def doc_name_mentions(sf_dir: str):
+    """Rule mention localization (M1 candidate spans + the maximal
+    name-token-run rule of ``RuleScorer._score_mentions``) run over the
+    documents table with each token's first character uppercased — a
+    deterministic SQL-reconstructible casing, so a gaps-and-islands
+    oracle verifies the mention operator exactly: maximal runs of
+    name-shaped tokens (regex + stopword breaks) of width ≤ 10."""
+    import numpy as np
+    from jerex_ray.config import PipelineConfig
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.stages.scorer import RuleScorer
+
+    def mentions(batch: pd.DataFrame) -> pd.DataFrame:
+        scorer = RuleScorer(PipelineConfig())
+        ids, starts, ends = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            toks = [t[0].upper() + t[1:] for t in text.split()]
+            if not toks:
+                continue
+            tok_sent = np.zeros(len(toks), dtype=np.int32)
+            sent_off = np.asarray([0, len(toks)], dtype=np.int32)
+            ms, _, _, _, _ = scorer._score_doc(toks, tok_sent, sent_off)
+            for s, e, _sent in ms:
+                ids.append(doc_id)
+                starts.append(s)
+                ends.append(e)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "m_start": pd.Series(starts, dtype="int64"),
+                             "m_end": pd.Series(ends, dtype="int64")})
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = ds.map_batches(mentions, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "m_start"]).reset_index(drop=True)
+
+
 def doc_fingerprint(sf_dir: str):
     """md5-derived 64-bit normalized-text fingerprints (SQL-replicable
     hash — the oracle recomputes them bit-for-bit)."""
@@ -388,6 +424,7 @@ def build_queries() -> dict:
         "doc_quality": doc_quality,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_langid": doc_langid,
+        "doc_name_mentions": doc_name_mentions,
         "doc_fingerprint": doc_fingerprint,
         "doc_top_bigrams": doc_top_bigrams,
         "doc_winnowing": doc_winnowing,
@@ -477,6 +514,44 @@ def build_oracle_sql() -> dict:
                         ELSE 'fr' END AS lang_pred
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
             ORDER BY d.doc_id
+        """,
+        "doc_name_mentions": """
+            WITH w AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id, unnest(ws) AS tok,
+                       unnest(range(len(ws))) AS pos
+                FROM w
+            ),
+            f AS (
+                SELECT doc_id, pos,
+                       (regexp_matches(upper(substr(tok, 1, 1)) ||
+                                       substr(tok, 2),
+                                       '^[A-Z][A-Za-z0-9]*$')
+                        AND upper(substr(tok, 1, 1)) || substr(tok, 2)
+                            NOT IN ('The','A','An','It','He','She','They',
+                                    'We','I','You','This','That','These',
+                                    'Those','There','Here','What','Where',
+                                    'When','Who','Why','How','Yes','No',
+                                    'Ok','Okay','Please','Thanks','Hello',
+                                    'Hi')) AS isname
+                FROM t
+            ),
+            g AS (
+                SELECT doc_id, pos, isname,
+                       pos - ROW_NUMBER() OVER (
+                           PARTITION BY doc_id, isname ORDER BY pos) AS grp
+                FROM f
+            )
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS m_start,
+                   CAST(max(pos) + 1 AS BIGINT) AS m_end
+            FROM g WHERE isname
+            GROUP BY doc_id, grp
+            HAVING count(*) <= 10
+            ORDER BY doc_id, m_start
         """,
         "doc_fingerprint": """
             SELECT doc_id,
