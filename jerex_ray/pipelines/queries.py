@@ -222,6 +222,61 @@ def doc_name_mentions(sf_dir: str):
     return out.sort_values(["doc_id", "m_start"]).reset_index(drop=True)
 
 
+def doc_entity_canonical(sf_dir: str):
+    """Canonical entity table (the §2.6 canonicalization join + J7-rule
+    entity typing) built from the rule-localized mentions of the
+    documents table: per-batch partial counts → hash-co-located final
+    merge picking the most frequent surface per canonical id
+    (``stages/canonicalize.entity_final_block``, ties lexicographic).
+    Entity ids use the md5-derived hash so the SQL oracle recomputes
+    the whole table — ids, surface election, types, counts — exactly."""
+    import numpy as np
+    from jerex_ray.config import PipelineConfig
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.lexicon import entity_type_of
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.stages.canonicalize import entity_final_block
+    from jerex_ray.stages.scorer import RuleScorer
+    from jerex_ray.util import md5_hash64_batch
+
+    def mention_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        scorer = RuleScorer(PipelineConfig())
+        norms, surfaces, etypes = [], [], []
+        for text in batch["text"].fillna(""):
+            toks = [t[0].upper() + t[1:] for t in text.split()]
+            if not toks:
+                continue
+            ms, _, _, _, _ = scorer._score_doc(
+                toks, np.zeros(len(toks), dtype=np.int32),
+                np.asarray([0, len(toks)], dtype=np.int32))
+            for s, e, _sent in ms:
+                surface = " ".join(toks[s:e])
+                surfaces.append(surface)
+                norms.append(surface.lower())
+                etypes.append(entity_type_of(toks[s:e]))
+        if not norms:
+            return pd.DataFrame({
+                "entity_id": pd.Series(dtype="int64"),
+                "norm": pd.Series(dtype="object"),
+                "surface": pd.Series(dtype="object"),
+                "entity_type": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64")})
+        df = pd.DataFrame({
+            "entity_id": (md5_hash64_batch(norms)
+                          % np.uint64(1 << 63)).astype(np.int64),
+            "norm": norms, "surface": surfaces, "entity_type": etypes})
+        return df.groupby(["entity_id", "norm", "surface", "entity_type"],
+                          sort=False).size().reset_index(name="n")
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    partials = ds.map_batches(mention_partials, batch_format="pandas")
+    ents = grouped_apply(partials, ["entity_id"],
+                         entity_final_block).to_pandas()
+    ents["n_occurrences"] = ents["n_occurrences"].astype("int64")
+    return ents.sort_values("norm").reset_index(drop=True)
+
+
 def doc_fingerprint(sf_dir: str):
     """md5-derived 64-bit normalized-text fingerprints (SQL-replicable
     hash — the oracle recomputes them bit-for-bit)."""
@@ -425,6 +480,7 @@ def build_queries() -> dict:
         "doc_exact_dedup": doc_exact_dedup,
         "doc_langid": doc_langid,
         "doc_name_mentions": doc_name_mentions,
+        "doc_entity_canonical": doc_entity_canonical,
         "doc_fingerprint": doc_fingerprint,
         "doc_top_bigrams": doc_top_bigrams,
         "doc_winnowing": doc_winnowing,
@@ -552,6 +608,88 @@ def build_oracle_sql() -> dict:
             GROUP BY doc_id, grp
             HAVING count(*) <= 10
             ORDER BY doc_id, m_start
+        """,
+        "doc_entity_canonical": """
+            WITH w AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id, unnest(ws) AS tok,
+                       unnest(range(len(ws))) AS pos
+                FROM w
+            ),
+            c AS (
+                SELECT doc_id, pos,
+                       upper(substr(tok, 1, 1)) || substr(tok, 2) AS cap
+                FROM t
+            ),
+            f AS (
+                SELECT doc_id, pos, cap,
+                       (regexp_matches(cap, '^[A-Z][A-Za-z0-9]*$')
+                        AND cap NOT IN ('The','A','An','It','He','She',
+                            'They','We','I','You','This','That','These',
+                            'Those','There','Here','What','Where','When',
+                            'Who','Why','How','Yes','No','Ok','Okay',
+                            'Please','Thanks','Hello','Hi')) AS isname
+                FROM c
+            ),
+            g AS (
+                SELECT doc_id, pos, cap, isname,
+                       pos - ROW_NUMBER() OVER (
+                           PARTITION BY doc_id, isname ORDER BY pos) AS grp
+                FROM f
+            ),
+            runs AS (
+                SELECT doc_id, grp,
+                       string_agg(cap, ' ' ORDER BY pos) AS surface,
+                       arg_max(cap, pos) AS last_tok,
+                       count(*) AS n_toks
+                FROM g WHERE isname GROUP BY doc_id, grp
+                HAVING count(*) <= 10
+            ),
+            m AS (
+                SELECT surface, lower(surface) AS norm,
+                       CASE WHEN last_tok IN ('Corp','Inc','Labs',
+                                'Systems','Group','Ltd') THEN 'ORG'
+                            WHEN last_tok LIKE '%Tool' THEN 'TOOL'
+                            WHEN n_toks = 1 AND surface IN ('Berlin',
+                                'Paris','London','Tokyo','Osaka','Madrid',
+                                'Rome','Vienna','Zurich','Geneva','Oslo',
+                                'Stockholm','Helsinki','Lisbon','Dublin',
+                                'Prague','Warsaw','Budapest','Athens',
+                                'Seoul','Taipei','Singapore','Sydney',
+                                'Auckland','Toronto','Montreal','Chicago',
+                                'Boston','Seattle','Austin','Denver',
+                                'Portland','Atlanta','Dallas','Houston',
+                                'Phoenix','Miami','Nairobi','Cairo',
+                                'Lagos','Mumbai','Delhi','Jakarta')
+                                THEN 'LOC'
+                            ELSE 'PER' END AS entity_type
+                FROM runs
+            ),
+            counts AS (
+                SELECT CAST(CAST('0x' || substr(md5(norm), 1, 16)
+                            AS UBIGINT) % 9223372036854775808 AS BIGINT)
+                           AS entity_id,
+                       norm, surface, entity_type, count(*) AS n
+                FROM m GROUP BY ALL
+            ),
+            tot AS (
+                SELECT entity_id, CAST(sum(n) AS BIGINT) AS n_occurrences
+                FROM counts GROUP BY entity_id
+            ),
+            top AS (
+                SELECT entity_id, norm, surface, entity_type,
+                       ROW_NUMBER() OVER (PARTITION BY entity_id
+                           ORDER BY n DESC, surface, entity_type) AS rk
+                FROM counts
+            )
+            SELECT top.entity_id, top.norm, top.surface, top.entity_type,
+                   tot.n_occurrences
+            FROM top JOIN tot USING (entity_id) WHERE rk = 1
+            ORDER BY norm
         """,
         "doc_fingerprint": """
             SELECT doc_id,
