@@ -331,6 +331,27 @@ def dedup_minhash_edges(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def dedup_components(sf_dir: str):
+    """Distributed connected components (BSP min-label propagation +
+    pointer jumping over raw Ray task grids) over the exact-Jaccard
+    near-dup edges — oracled by a recursive-CTE transitive closure in
+    SQL."""
+    from jerex_ray.functions.components import connected_components
+    from jerex_ray.ops.dedup import minhash_verified_edges
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    edges = minhash_verified_edges(ds, threshold=0.7)
+    comp = connected_components(
+        edges.map_batches(
+            lambda b: b.rename(columns={"doc_a": "src", "doc_b": "dst"})
+            [["src", "dst"]] if "doc_a" in b.columns else
+            pd.DataFrame({"src": pd.Series(dtype="int64"),
+                          "dst": pd.Series(dtype="int64")}),
+            batch_format="pandas"))
+    return comp.astype("int64").sort_values("node").reset_index(drop=True)
+
+
 def dedup_simhash_pairs(sf_dir: str):
     from jerex_ray.ops.dedup import simhash_candidates
     from jerex_ray.runtime import read_parquet_sized
@@ -485,6 +506,7 @@ def build_queries() -> dict:
         "doc_top_bigrams": doc_top_bigrams,
         "doc_winnowing": doc_winnowing,
         "dedup_minhash_edges": dedup_minhash_edges,
+        "dedup_components": dedup_components,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -741,6 +763,47 @@ def build_oracle_sql() -> dict:
             JOIN cnt cb ON cb.doc_id = doc_b
             WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.7
             ORDER BY doc_a, doc_b
+        """,
+        "dedup_components": """
+            WITH RECURSIVE words AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                            ELSE [array_to_string(ws[i:i+2], ' ')
+                                  for i in range(1, len(ws) - 1)] END AS gs
+                FROM words WHERE len(ws) > 0
+            ),
+            dg AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM grams),
+            cnt AS (SELECT doc_id, count(*) AS c FROM dg GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            edges AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN cnt ca ON ca.doc_id = doc_a
+                JOIN cnt cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.7
+            ),
+            sym AS (
+                SELECT doc_a AS a, doc_b AS b FROM edges
+                UNION ALL
+                SELECT doc_b AS a, doc_a AS b FROM edges
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT a AS node, least(a, min(b)) AS component
+            FROM reach GROUP BY a ORDER BY node
         """,
         "dedup_simhash_pairs": """
             WITH w AS (
