@@ -159,7 +159,13 @@ def silver_gt_from_rule_scorer(transcripts_ds,
     objective consumes (a distillation-style setup; real corpora
     supply annotated tables instead). Returns (gt_mentions,
     gt_relations) arrow tables with conv-level (sentence-relative)
-    mention coordinates."""
+    mention coordinates.
+
+    Scale note: GT is the BROADCAST side of the training stage by
+    contract (one dict shipped to every actor), so this helper may
+    collect it — annotated corpora are mention-table sized, not
+    transcript sized. For GT too large to broadcast, shard the
+    training run by conv-id range and broadcast per shard."""
     from jerex_ray.pipelines.kg import _with_part_key
     from jerex_ray.stages.assemble import assemble_documents
     from jerex_ray.stages.scorer import score_documents

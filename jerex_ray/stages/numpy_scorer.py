@@ -588,6 +588,13 @@ def training_step(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
     logits = forward_train(scorer, encoding=encoding, sub_start=sub_start,
                            sub_end=sub_end, tensors=t,
                            entity_type_targets=entity_type_targets)
+    # entity targets aligned to the (possibly placeholder-padded)
+    # entity rows; a placeholder row gets target 0 and a zero mask
+    et = np.clip(np.asarray(entity_type_targets, dtype=np.int64).ravel(),
+                 0, len(scorer.entity_names) - 1)
+    n_ent = len(logits["entity_logits"])
+    if et.size != n_ent:
+        et = np.zeros(n_ent, dtype=np.int64)
     return joint_loss(
         mention_logits=logits["mention_logits"],
         mention_targets=t["mention_types"],
@@ -596,11 +603,7 @@ def training_step(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
         coref_targets=t["coref_types"],
         coref_mask=t["coref_sample_masks"],
         entity_logits=logits["entity_logits"],
-        entity_targets=np.clip(np.asarray(entity_type_targets,
-                                          dtype=np.int64),
-                               0, len(scorer.entity_names) - 1)
-        if len(np.atleast_1d(entity_type_targets)) == len(logits["entity_logits"])
-        else np.zeros(len(logits["entity_logits"]), dtype=np.int64),
+        entity_targets=et,
         entity_mask=t["entity_sample_masks"],
         rel_logits=logits["rel_logits"],
         rel_targets=t["rel_types"],
