@@ -321,6 +321,19 @@ def q_distinct_event_users(sf_dir: str):
     return pd.DataFrame({"n_users": [int(groups.count())]})
 
 
+def q_events_value_quantiles(sf_dir: str):
+    """Exact type-7 quantiles via three-pass pivot-grid selection (no
+    sort shuffle; see ``ops/quantiles.py``) — oracled against DuckDB
+    ``quantile_cont``."""
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["value"])
+    qs = [0.25, 0.5, 0.75, 0.99]
+    vals = distributed_quantiles(ds, "value", qs)
+    return pd.DataFrame([{f"q{int(q * 100)}": round(v, 6)
+                          for q, v in zip(qs, vals)}])
+
+
 def dedup_minhash_edges(sf_dir: str):
     from jerex_ray.ops.dedup import minhash_dedup
     from jerex_ray.runtime import read_parquet_sized
@@ -526,6 +539,7 @@ def build_queries() -> dict:
         "q_customers_without_orders": R.q_customers_without_orders,
         "q_customers_with_orders_count": R.q_customers_with_orders_count,
         "q_distinct_event_users": q_distinct_event_users,
+        "q_events_value_quantiles": q_events_value_quantiles,
         # windowed / time-ordered
         "q_events_sliding": q_events_sliding,
         "q_events_sessions": q_events_sessions,
@@ -938,6 +952,13 @@ def build_oracle_sql() -> dict:
         """,
         "q_distinct_event_users": """
             SELECT count(DISTINCT user_id) AS n_users FROM events
+        """,
+        "q_events_value_quantiles": """
+            SELECT round(quantile_cont(value, 0.25), 6) AS q25,
+                   round(quantile_cont(value, 0.50), 6) AS q50,
+                   round(quantile_cont(value, 0.75), 6) AS q75,
+                   round(quantile_cont(value, 0.99), 6) AS q99
+            FROM events
         """,
         "q_events_sliding": """
             SELECT event_type, window_start, count(*) AS n_events FROM (

@@ -297,3 +297,23 @@ def test_minhash_verified_edges_match_bruteforce_jaccard():
         assert abs(r["jaccard"]
                    - ngram_jaccard(texts[int(r["doc_a"])],
                                    texts[int(r["doc_b"])])) < 1e-12
+
+
+def test_distributed_quantiles_exact_type7():
+    """Three-pass pivot-grid selection == numpy type-7 quantiles,
+    including medians landing inside duplicate runs and tiny inputs."""
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([rng.standard_normal(5000) * 10,
+                           np.full(2000, 3.25),
+                           rng.exponential(2.0, 1000)])
+    rng.shuffle(vals)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = distributed_quantiles(ds, "v", qs, sample_size=512)
+    want = np.quantile(vals, qs)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    tiny = rd.from_pandas(pd.DataFrame({"v": [4.0, 1.0, 3.0]}))
+    got = distributed_quantiles(tiny, "v", [0.5])
+    assert got == [3.0]
