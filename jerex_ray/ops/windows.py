@@ -166,3 +166,77 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
 
     return grouped_apply(both, [key], join_block,
                          num_partitions=num_partitions)
+
+
+def range_join_agg(left_ds, right_ds, *, key: str, left_ts: str,
+                   right_ts: str, lower, upper, value_col: str,
+                   num_partitions: int | None = None):
+    """Keyed RANGE join, aggregated: for every left row, count and sum
+    the right rows of the same key whose timestamp falls in
+    ``[left_ts - lower, left_ts + upper]`` (inclusive bounds).
+
+    Same single-shuffle shape as ``asof_join``: both sides reduced,
+    tagged and co-located by key; each block answers all its left rows
+    with two vectorized ``searchsorted`` probes against the key
+    group's time-sorted right rows plus a prefix-sum for the value
+    aggregate — O((L+R) log R) per group, no pair materialization
+    (an emitted pair table is corpus × window sized; the aggregate is
+    the scale-sane primitive)."""
+    import numpy as np
+
+    lower = pd.to_timedelta(lower)
+    upper = pd.to_timedelta(upper)
+    left_cols = list(left_ds.schema().names)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__rts"] = pd.Series(pd.NaT, index=df.index,
+                                dtype="datetime64[us]")
+        df["__val"] = np.nan
+        df["__side"] = "l"
+        return df[left_cols + ["__rts", "__val", "__side"]]
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key, right_ts, value_col]].rename(
+            columns={right_ts: "__rts", value_col: "__val"})
+        for c in left_cols:
+            if c not in out.columns:
+                out[c] = pd.NA
+        out["__side"] = "r"
+        return out[left_cols + ["__rts", "__val", "__side"]]
+
+    both = left_ds.map_batches(tag_left, batch_format="pandas").union(
+        right_ds.map_batches(tag_right, batch_format="pandas"))
+
+    def join_block(block: pd.DataFrame) -> pd.DataFrame:
+        l = block[block["__side"] == "l"].drop(
+            columns=["__side", "__rts", "__val"])
+        r = block[block["__side"] == "r"][[key, "__rts", "__val"]]
+        if l.empty:
+            return l.assign(n_matches=pd.Series(dtype="int64"),
+                            sum_value=pd.Series(dtype="float64"))
+        outs = []
+        r_by_key = {k: g for k, g in r.groupby(key, sort=False)}
+        for k, g in l.groupby(key, sort=False):
+            rg = r_by_key.get(k)
+            g = g.copy()
+            if rg is None or rg.empty:
+                g["n_matches"] = 0
+                g["sum_value"] = 0.0
+            else:
+                rts = rg["__rts"].to_numpy(dtype="datetime64[us]")
+                order = np.argsort(rts, kind="stable")
+                rts = rts[order]
+                vals = rg["__val"].to_numpy(dtype=np.float64)[order]
+                csum = np.concatenate(([0.0], np.cumsum(vals)))
+                lts = g[left_ts].to_numpy(dtype="datetime64[us]")
+                lo = np.searchsorted(rts, lts - lower, side="left")
+                hi = np.searchsorted(rts, lts + upper, side="right")
+                g["n_matches"] = (hi - lo).astype(np.int64)
+                g["sum_value"] = csum[hi] - csum[lo]
+            outs.append(g)
+        return pd.concat(outs, ignore_index=True)
+
+    from jerex_ray.functions.aggregate import grouped_apply
+    return grouped_apply(both, [key], join_block,
+                         num_partitions=num_partitions)

@@ -334,6 +334,32 @@ def q_events_value_quantiles(sf_dir: str):
                           for q, v in zip(qs, vals)}])
 
 
+def q_orders_events_window(sf_dir: str):
+    """Range join (aggregated): per order, count + sum of the same
+    user's events within the 7 days up to the order date — the keyed
+    range-join primitive (``ops/windows.range_join_agg``), oracled by
+    a correlated-subquery SQL equivalent."""
+    from jerex_ray.ops.windows import range_join_agg
+    from jerex_ray.runtime import read_parquet_sized
+    orders = read_parquet_sized(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+    orders = orders.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "user_id"}),
+        batch_format="pandas")
+    events = read_parquet_sized(f"{sf_dir}/events.parquet",
+                                columns=["user_id", "ts", "value"])
+    out = range_join_agg(orders, events, key="user_id",
+                         left_ts="o_orderdate", right_ts="ts",
+                         lower="7D", upper="0D",
+                         value_col="value").to_pandas()
+    out = out[["o_orderkey", "n_matches", "sum_value"]]
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["n_matches"] = out["n_matches"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def dedup_minhash_edges(sf_dir: str):
     from jerex_ray.ops.dedup import minhash_dedup
     from jerex_ray.runtime import read_parquet_sized
@@ -540,6 +566,7 @@ def build_queries() -> dict:
         "q_customers_with_orders_count": R.q_customers_with_orders_count,
         "q_distinct_event_users": q_distinct_event_users,
         "q_events_value_quantiles": q_events_value_quantiles,
+        "q_orders_events_window": q_orders_events_window,
         # windowed / time-ordered
         "q_events_sliding": q_events_sliding,
         "q_events_sessions": q_events_sessions,
@@ -959,6 +986,19 @@ def build_oracle_sql() -> dict:
                    round(quantile_cont(value, 0.75), 6) AS q75,
                    round(quantile_cont(value, 0.99), 6) AS q99
             FROM events
+        """,
+        "q_orders_events_window": """
+            SELECT o_orderkey,
+                   (SELECT count(*) FROM events e
+                    WHERE e.user_id = o.o_custkey
+                      AND e.ts BETWEEN o.o_orderdate - INTERVAL 7 DAY
+                                   AND o.o_orderdate) AS n_matches,
+                   (SELECT round(coalesce(sum(e.value), 0), 2)
+                    FROM events e
+                    WHERE e.user_id = o.o_custkey
+                      AND e.ts BETWEEN o.o_orderdate - INTERVAL 7 DAY
+                                   AND o.o_orderdate) AS sum_value
+            FROM orders o ORDER BY o_orderkey
         """,
         "q_events_sliding": """
             SELECT event_type, window_start, count(*) AS n_events FROM (

@@ -83,3 +83,39 @@ def test_asof_join_matches_merge_asof():
     assert len(a) == len(b) == 80
     av, bv = a["value"].astype(float), b["value"].astype(float)
     assert ((av == bv) | (av.isna() & bv.isna())).all()
+
+
+def test_range_join_agg_matches_pandas():
+    """Keyed range join (count+sum in [ts-lower, ts+upper]) vs a
+    brute-force pandas reference, including empty-window rows and
+    inclusive bounds."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from jerex_ray.ops.windows import range_join_agg
+    rng = np.random.default_rng(9)
+    base = pd.Timestamp("2026-01-01")
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, 40),
+        "lts": [base + pd.Timedelta(minutes=int(m))
+                for m in rng.integers(0, 500, 40)],
+        "left_id": range(40)})
+    right = pd.DataFrame({
+        "k": rng.integers(0, 6, 200),
+        "rts": [base + pd.Timedelta(minutes=int(m))
+                for m in rng.integers(0, 500, 200)],
+        "value": rng.random(200).round(3)})
+    got = range_join_agg(rd.from_pandas(left), rd.from_pandas(right),
+                         key="k", left_ts="lts", right_ts="rts",
+                         lower="30min", upper="10min",
+                         value_col="value").to_pandas() \
+        .sort_values("left_id").reset_index(drop=True)
+    lo, up = pd.Timedelta("30min"), pd.Timedelta("10min")
+    for _, row in got.iterrows():
+        m = right[(right["k"] == row["k"])
+                  & (right["rts"] >= row["lts"] - lo)
+                  & (right["rts"] <= row["lts"] + up)]
+        assert row["n_matches"] == len(m)
+        assert abs(row["sum_value"] - m["value"].sum()) < 1e-9
+    assert len(got) == 40
+    assert (got["n_matches"] == 0).any()   # some empty windows exist
