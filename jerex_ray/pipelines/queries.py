@@ -148,6 +148,61 @@ def kg_eval_strict(sf_dir: str):
                           ("tp", "fp", "fn", "precision", "recall", "f1")}])
 
 
+class _CapMentionStage:
+    """Actor-pool UDF shared by the two mention-derived oracled queries:
+    first-char-uppercase each token (the SQL-reconstructible casing),
+    run the REAL rule mention localizer (``RuleScorer._score_doc``),
+    and emit either raw spans (``mode='spans'``) or canonical-entity
+    partial counts (``mode='partials'``). The scorer lives in the
+    actor so its memo caches amortize across batches."""
+
+    def __init__(self, *, mode: str):
+        from jerex_ray.stages.scorer import RuleScorer
+        self.mode = mode
+        self.scorer = RuleScorer(PipelineConfig())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from jerex_ray.lexicon import entity_type_of
+        from jerex_ray.util import md5_hash64_batch
+
+        ids, starts, ends = [], [], []
+        norms, surfaces, etypes = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            toks = [t[0].upper() + t[1:] for t in text.split()]
+            if not toks:
+                continue
+            ms, _, _, _, _ = self.scorer._score_doc(
+                toks, np.zeros(len(toks), dtype=np.int32),
+                np.asarray([0, len(toks)], dtype=np.int32))
+            for s, e, _sent in ms:
+                if self.mode == "spans":
+                    ids.append(doc_id)
+                    starts.append(s)
+                    ends.append(e)
+                else:
+                    surface = " ".join(toks[s:e])
+                    surfaces.append(surface)
+                    norms.append(surface.lower())
+                    etypes.append(entity_type_of(toks[s:e]))
+        if self.mode == "spans":
+            return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                 "m_start": pd.Series(starts, dtype="int64"),
+                                 "m_end": pd.Series(ends, dtype="int64")})
+        if not norms:
+            return pd.DataFrame({
+                "entity_id": pd.Series(dtype="int64"),
+                "norm": pd.Series(dtype="object"),
+                "surface": pd.Series(dtype="object"),
+                "entity_type": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64")})
+        df = pd.DataFrame({
+            "entity_id": (md5_hash64_batch(norms)
+                          % np.uint64(1 << 63)).astype(np.int64),
+            "norm": norms, "surface": surfaces, "entity_type": etypes})
+        return df.groupby(["entity_id", "norm", "surface", "entity_type"],
+                          sort=False).size().reset_index(name="n")
+
+
 # ---------- text / dedup / vector queries (SQL oracles) ----------
 
 def doc_token_stats(sf_dir: str):
@@ -193,32 +248,12 @@ def doc_name_mentions(sf_dir: str):
     deterministic SQL-reconstructible casing, so a gaps-and-islands
     oracle verifies the mention operator exactly: maximal runs of
     name-shaped tokens (regex + stopword breaks) of width ≤ 10."""
-    import numpy as np
-    from jerex_ray.config import PipelineConfig
     from jerex_ray.runtime import read_parquet_sized
-    from jerex_ray.stages.scorer import RuleScorer
-
-    def mentions(batch: pd.DataFrame) -> pd.DataFrame:
-        scorer = RuleScorer(PipelineConfig())
-        ids, starts, ends = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
-            toks = [t[0].upper() + t[1:] for t in text.split()]
-            if not toks:
-                continue
-            tok_sent = np.zeros(len(toks), dtype=np.int32)
-            sent_off = np.asarray([0, len(toks)], dtype=np.int32)
-            ms, _, _, _, _ = scorer._score_doc(toks, tok_sent, sent_off)
-            for s, e, _sent in ms:
-                ids.append(doc_id)
-                starts.append(s)
-                ends.append(e)
-        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
-                             "m_start": pd.Series(starts, dtype="int64"),
-                             "m_end": pd.Series(ends, dtype="int64")})
-
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-    out = ds.map_batches(mentions, batch_format="pandas").to_pandas()
+    out = ds.map_batches(_CapMentionStage, batch_format="pandas",
+                         batch_size=4096, concurrency=(1, 4),
+                         fn_constructor_kwargs={"mode": "spans"}).to_pandas()
     return out.sort_values(["doc_id", "m_start"]).reset_index(drop=True)
 
 
@@ -230,47 +265,15 @@ def doc_entity_canonical(sf_dir: str):
     (``stages/canonicalize.entity_final_block``, ties lexicographic).
     Entity ids use the md5-derived hash so the SQL oracle recomputes
     the whole table — ids, surface election, types, counts — exactly."""
-    import numpy as np
-    from jerex_ray.config import PipelineConfig
     from jerex_ray.functions.aggregate import grouped_apply
-    from jerex_ray.lexicon import entity_type_of
     from jerex_ray.runtime import read_parquet_sized
     from jerex_ray.stages.canonicalize import entity_final_block
-    from jerex_ray.stages.scorer import RuleScorer
-    from jerex_ray.util import md5_hash64_batch
-
-    def mention_partials(batch: pd.DataFrame) -> pd.DataFrame:
-        scorer = RuleScorer(PipelineConfig())
-        norms, surfaces, etypes = [], [], []
-        for text in batch["text"].fillna(""):
-            toks = [t[0].upper() + t[1:] for t in text.split()]
-            if not toks:
-                continue
-            ms, _, _, _, _ = scorer._score_doc(
-                toks, np.zeros(len(toks), dtype=np.int32),
-                np.asarray([0, len(toks)], dtype=np.int32))
-            for s, e, _sent in ms:
-                surface = " ".join(toks[s:e])
-                surfaces.append(surface)
-                norms.append(surface.lower())
-                etypes.append(entity_type_of(toks[s:e]))
-        if not norms:
-            return pd.DataFrame({
-                "entity_id": pd.Series(dtype="int64"),
-                "norm": pd.Series(dtype="object"),
-                "surface": pd.Series(dtype="object"),
-                "entity_type": pd.Series(dtype="object"),
-                "n": pd.Series(dtype="int64")})
-        df = pd.DataFrame({
-            "entity_id": (md5_hash64_batch(norms)
-                          % np.uint64(1 << 63)).astype(np.int64),
-            "norm": norms, "surface": surfaces, "entity_type": etypes})
-        return df.groupby(["entity_id", "norm", "surface", "entity_type"],
-                          sort=False).size().reset_index(name="n")
 
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
-    partials = ds.map_batches(mention_partials, batch_format="pandas")
+    partials = ds.map_batches(_CapMentionStage, batch_format="pandas",
+                              batch_size=4096, concurrency=(1, 4),
+                              fn_constructor_kwargs={"mode": "partials"})
     ents = grouped_apply(partials, ["entity_id"],
                          entity_final_block).to_pandas()
     ents["n_occurrences"] = ents["n_occurrences"].astype("int64")
