@@ -98,19 +98,21 @@ def cmd_dedup(args) -> int:
     from jerex_ray.runtime import configure_data_context
     configure_data_context()
     ds = rd.read_parquet(args.input)
-    n_in = ds.count()
+    n_in = ds.count()       # metadata-only (parquet row counts)
     if args.method == "exact":
         from jerex_ray.ops.dedup import exact_dedup
-        kept = exact_dedup(rd.read_parquet(args.input))
+        kept = exact_dedup(ds)
         n_edges = None
     else:
         from jerex_ray.ops.dedup import minhash_dedup
-        kept, edges = minhash_dedup(rd.read_parquet(args.input),
-                                    threshold=args.threshold,
+        kept, edges = minhash_dedup(ds, threshold=args.threshold,
                                     transitive=args.transitive)
         n_edges = int(len(edges))
+    # one materialization serves both the write and the kept count —
+    # no re-read of input or output
+    kept = kept.materialize()
     kept.write_parquet(args.output)
-    n_out = rd.read_parquet(args.output).count()
+    n_out = kept.count()
     out = {"input_rows": int(n_in), "kept_rows": int(n_out),
            "dropped": int(n_in - n_out), "method": args.method}
     if n_edges is not None:

@@ -54,6 +54,13 @@ def _split_by(df: pd.DataFrame, col: str, P: int) -> list[pd.DataFrame]:
     return [df[part == p] for p in range(P)]
 
 
+def _as_returns(parts: list[pd.DataFrame], P: int):
+    """Ray returns a bare object for num_returns=1 but a tuple for
+    num_returns=P>1 — shape the return accordingly so P=1 callers get
+    a DataFrame ref, not a ref to a 1-tuple."""
+    return parts[0] if P == 1 else tuple(parts)
+
+
 @ray.remote
 def _route_edges(block: pd.DataFrame, src: str, dst: str, P: int):
     """Symmetrize an edge block and split by hash(dst)."""
@@ -61,12 +68,12 @@ def _route_edges(block: pd.DataFrame, src: str, dst: str, P: int):
         # empty blocks can arrive schema-less from the Dataset boundary
         empty = pd.DataFrame({"u": pd.Series(dtype="int64"),
                               "v": pd.Series(dtype="int64")})
-        return tuple([empty] * P) if P > 1 else empty
+        return _as_returns([empty] * P, P)
     a = block[[src, dst]].rename(columns={src: "u", dst: "v"})
     b = block[[dst, src]].rename(columns={dst: "u", src: "v"})
     sym = pd.concat([a, b], ignore_index=True)
     sym = sym.astype({"u": "int64", "v": "int64"})
-    return tuple(_split_by(sym, "v", P))
+    return _as_returns(_split_by(sym, "v", P), P)
 
 
 @ray.remote
@@ -93,7 +100,7 @@ def _nbr_messages(edge_part: pd.DataFrame, label_part: pd.DataFrame, P: int):
                         how="inner")
     msgs = m[["u", "label"]].rename(columns={"u": "node", "label": "cand"})
     msgs = msgs.groupby("node", sort=False)["cand"].min().reset_index()
-    return tuple(_split_by(msgs, "node", P))
+    return _as_returns(_split_by(msgs, "node", P), P)
 
 
 @ray.remote
@@ -109,7 +116,7 @@ def _min_merge(label_part: pd.DataFrame, *msg_shards):
 @ray.remote
 def _jump_request(label_part: pd.DataFrame, P: int):
     """Route (node, label) rows to the partition owning ``label``."""
-    return tuple(_split_by(label_part, "label", P))
+    return _as_returns(_split_by(label_part, "label", P), P)
 
 
 @ray.remote
@@ -123,7 +130,7 @@ def _jump_answer(label_part: pd.DataFrame, P: int, *request_shards):
     newlab = m["tgt_label"].fillna(m["label"]).astype("int64")
     out = pd.DataFrame({"node": m["node"].astype("int64"),
                         "label": newlab})
-    return tuple(_split_by(out, "node", P))
+    return _as_returns(_split_by(out, "node", P), P)
 
 
 @ray.remote

@@ -42,20 +42,20 @@ def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
         ids = batch["vec_id"].to_numpy()
         sims = q @ vecs.T                      # (Q, B)
         kk = min(k, sims.shape[1])
-        # argpartition pre-filter with a tie margin, then an exact
-        # (-cosine, vec_id) lexsort of the small candidate set so a
-        # boundary tie never drops the globally-correct (smallest
-        # vec_id) candidate before the final merge
-        pre = min(4 * kk, sims.shape[1])
-        cand = np.argpartition(-sims, pre - 1, axis=1)[:, :pre]
         rows_q, rows_v, rows_c = [], [], []
         for qi in range(q.shape[0]):
-            ci = cand[qi]
-            order = np.lexsort((ids[ci], -sims[qi, ci]))[:kk]
+            s = sims[qi]
+            # exact boundary handling: find the k-th largest cosine,
+            # take EVERY candidate at-or-above it (however many tie),
+            # then resolve ties by (-cosine, vec_id) lexsort — the
+            # globally-correct smallest-id winner always survives
+            kth = np.partition(s, s.size - kk)[s.size - kk]
+            ci = np.flatnonzero(s >= kth)
+            order = np.lexsort((ids[ci], -s[ci]))[:kk]
             sel = ci[order]
             rows_q.append(np.full(kk, qi))
             rows_v.append(ids[sel])
-            rows_c.append(sims[qi, sel].astype(np.float64))
+            rows_c.append(s[sel].astype(np.float64))
         return pd.DataFrame({
             "query_idx": np.concatenate(rows_q),
             "vec_id": np.concatenate(rows_v),

@@ -253,18 +253,32 @@ def _gram_rows(batch: pd.DataFrame, *, col: str, k: int,
                          "g": np.concatenate(grams_out)})
 
 
-def _gram_pair_counts_block(block: pd.DataFrame) -> pd.DataFrame:
+def _gram_pair_counts_block(block: pd.DataFrame,
+                            cap: int = 2000) -> pd.DataFrame:
     """Per co-located gram block: partial pair-intersection counts.
-    For each gram, every ordered doc pair sharing it contributes 1."""
+    For each gram, every ordered doc pair sharing it contributes 1.
+    A gram shared by > ``cap`` candidate docs (a boilerplate phrase in
+    a dup-heavy corpus) would emit C(m,2) pairs — it is truncated to
+    the ``cap`` smallest doc ids with a logged drop count (pairs among
+    the retained docs keep their exact counts; pairs involving only
+    dropped docs lose this gram's vote, biasing their jaccard DOWN —
+    never creating false edges)."""
     a_out, b_out = [], []
     hot = block[block.duplicated("g", keep=False)]
+    dropped = 0
     for _, grp in hot.groupby("g", sort=False):
         ids = np.sort(grp["doc_id"].unique())
         if ids.size < 2:
             continue
+        if ids.size > cap:
+            dropped += ids.size - cap
+            ids = ids[:cap]
         iu, ju = np.triu_indices(ids.size, k=1)
         a_out.append(ids[iu])
         b_out.append(ids[ju])
+    if dropped:
+        logger.warning("gram-pair cap=%d truncated %d docs on hot grams",
+                       cap, dropped)
     if not a_out:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                              "doc_b": pd.Series(dtype="int64"),
@@ -428,7 +442,10 @@ def minhash_dedup(docs_ds, *, threshold: float = 0.8, col: str = "text",
     else:
         edges = _edges_pdf()
         # single-round min-label star collapse (verified edge sets are
-        # small; catches direct duplicates, not deep chains)
+        # small; catches direct duplicates, not deep chains). Edges are
+        # sorted FIRST: the drop set must not depend on block arrival
+        # order (determinism under re-sharding)
+        edges = edges.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
         root: dict = {}
         for a, b in zip(edges["doc_a"], edges["doc_b"]):
             ra, rb = root.get(a, a), root.get(b, b)

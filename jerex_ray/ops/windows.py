@@ -228,6 +228,9 @@ def range_join_agg(left_ds, right_ds, *, key: str, left_ts: str,
                 order = np.argsort(rts, kind="stable")
                 rts = rts[order]
                 vals = rg["__val"].to_numpy(dtype=np.float64)[order]
+                # SQL sum semantics: NULL values are ignored (count
+                # still counts the row); NaN must not poison the prefix
+                vals = np.nan_to_num(vals, nan=0.0)
                 csum = np.concatenate(([0.0], np.cumsum(vals)))
                 lts = g[left_ts].to_numpy(dtype="datetime64[us]")
                 lo = np.searchsorted(rts, lts - lower, side="left")

@@ -54,7 +54,13 @@ class TrainingLossStage:
         pdf = batch.to_pandas()
         for _, row in pdf.iterrows():
             conv = row["conv_id"]
-            gt_m, gt_r, cl_types = self._gt.get(conv, ([], [], []))
+            # GT coordinates are DOC-scoped: a conversation chunked at
+            # the 700-sub-word ceiling has per-chunk sentence/cluster
+            # indices, so lookup is by doc_id first (silver GT is
+            # emitted per chunk); plain conv_id works for unchunked
+            # externally-annotated corpora
+            gt_m, gt_r, cl_types = self._gt.get(
+                row["doc_id"], self._gt.get(conv, ([], [], [])))
             sample = sample_document(
                 conv_id=conv, phrases=list(row["tok_phrase"]),
                 tok_sent=np.asarray(row["tok_sent"], np.int32),
@@ -183,7 +189,10 @@ def silver_gt_from_rule_scorer(transcripts_ds,
               "end": [], "entity_type": []}
     r_rows = {"conv_id": [], "head": [], "tail": [], "pred": []}
     for _, row in scored.iterrows():
-        conv = row["conv_id"]
+        # key the GT by DOC id (= conv_id, or conv#k for chunked
+        # conversations): sentence/cluster indices are chunk-local, so
+        # chunk-scoped GT is the only coordinate-consistent keying
+        conv = row["doc_id"]
         off = offs[row["doc_id"]]
         # scored mentions carry doc-word offsets; GT tables use
         # sentence-relative coordinates (the sampler re-bases them)

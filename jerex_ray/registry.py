@@ -75,7 +75,9 @@ def _ensure_builtin():
     global _BUILTIN
     if _BUILTIN:
         return
-    _BUILTIN = True
+    # flag is set only AFTER successful registration: a transient
+    # import failure must surface again on the next call, not leave an
+    # empty registry behind
 
     from jerex_ray.stages.assemble import assemble_documents
     from jerex_ray.stages.bucket import length_bucket
@@ -115,3 +117,5 @@ def _ensure_builtin():
     STAGE_REGISTRY.setdefault(
         "canonicalize", lambda ds, cfg: ds.map_batches(
             canonicalize_triples, batch_format="pandas"))
+
+    _BUILTIN = True

@@ -588,13 +588,20 @@ def training_step(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
     logits = forward_train(scorer, encoding=encoding, sub_start=sub_start,
                            sub_end=sub_end, tensors=t,
                            entity_type_targets=entity_type_targets)
-    # entity targets aligned to the (possibly placeholder-padded)
-    # entity rows; a placeholder row gets target 0 and a zero mask
+    # entity targets aligned to the entity rows; the only legitimate
+    # mismatch is the no-entity placeholder (one all-zero-mask row, no
+    # targets) — anything else is caller error and must not silently
+    # train against type 0
     et = np.clip(np.asarray(entity_type_targets, dtype=np.int64).ravel(),
                  0, len(scorer.entity_names) - 1)
     n_ent = len(logits["entity_logits"])
     if et.size != n_ent:
-        et = np.zeros(n_ent, dtype=np.int64)
+        if et.size == 0 and not t["entity_sample_masks"].any():
+            et = np.zeros(n_ent, dtype=np.int64)   # masked placeholder
+        else:
+            raise ValueError(
+                f"entity_type_targets has {et.size} entries for "
+                f"{n_ent} sampled entity rows (GT/sample mismatch)")
     return joint_loss(
         mention_logits=logits["mention_logits"],
         mention_targets=t["mention_types"],

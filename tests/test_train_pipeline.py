@@ -60,3 +60,23 @@ def test_training_objective_docs_without_gt_get_placeholder_losses():
     pdf = per_doc.to_pandas()
     assert len(pdf) == 1
     assert np.isfinite(pdf["loss"]).all()
+
+
+def test_training_objective_chunked_long_conversation():
+    """A conversation past the 700-sub-word ceiling chunks into
+    multiple docs; GT must be chunk-scoped (doc_id keyed) or sentence
+    indices from sibling chunks crash the sampler (round-2 review
+    finding)."""
+    import pandas as pd
+    doc = {"title": "conv-long",
+           "sents": [[f"w{i}a", f"w{i}b", "filler", "words", "here",
+                      "extend", "the", "turn", "considerably", "now"]
+                     for i in range(80)]}
+    transcripts = rd.from_arrow(docred_to_transcripts([doc]))
+    gt_m, gt_r = silver_gt_from_rule_scorer(
+        rd.from_arrow(docred_to_transcripts([doc])), CFG)
+    per_doc, mean = training_objective(_tokenized(transcripts), gt_m, gt_r,
+                                       config=CFG, concurrency=(1, 2))
+    pdf = per_doc.to_pandas()
+    assert len(pdf) > 1                    # actually chunked
+    assert np.isfinite(pdf["loss"]).all()
