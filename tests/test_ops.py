@@ -317,3 +317,15 @@ def test_distributed_quantiles_exact_type7():
     tiny = rd.from_pandas(pd.DataFrame({"v": [4.0, 1.0, 3.0]}))
     got = distributed_quantiles(tiny, "v", [0.5])
     assert got == [3.0]
+
+
+def test_brute_force_topk_massive_ties_pick_smallest_ids():
+    """Dozens of identical vectors (a dedup corpus reality): the local
+    pre-filter must keep the smallest vec_ids through any tie count."""
+    v = np.ones(8, dtype=np.float32)
+    vecs = [v] * 60 + [np.arange(1, 9, dtype=np.float32)] * 5
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": range(len(vecs)),
+        "embedding": [x.tolist() for x in vecs]}))
+    out = brute_force_topk(ds, np.stack([v]), k=5)
+    assert list(out["vec_id"]) == [0, 1, 2, 3, 4]
