@@ -28,6 +28,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # the KG flagship, a dedup, a vector op, and the relational core)
 BENCH_QUERIES = [
     "kg_triples",
+    "kg_triples_numpy",
     "doc_exact_dedup",
     "dedup_minhash_edges",
     "ann_topk",

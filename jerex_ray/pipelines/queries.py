@@ -52,10 +52,10 @@ def _kg_triples_with_scorer(sf_dir: str, scorer_cls, **scorer_kwargs):
     from jerex_ray.pipelines.kg import extract_triples
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
     configure_data_context()
-    # the numpy model's O(n²·pairs) per-doc head math is the point, not
-    # the corpus size — a quarter of the rule-scorer conv count keeps
-    # these registry entries cheap while covering the full dataflow
-    ds = read_synthetic_transcripts(max(50, _sf_convs(sf_dir) // 4))
+    # full rule-scorer corpus: the chunk interiors are vectorized
+    # (reduceat segment-max + one matmul per chunk), so the head-math
+    # model runs the same conv count as kg_triples
+    ds = read_synthetic_transcripts(_sf_convs(sf_dir))
     t = extract_triples(ds, _kg_config(), scorer_cls=scorer_cls,
                         scorer_kwargs=scorer_kwargs).to_pandas()
     cols = ["conv_id", "subj", "subj_type", "pred", "obj", "obj_type",

@@ -77,6 +77,44 @@ def _relu(x):
     return np.maximum(x, 0.0)
 
 
+def _segment_max(h: np.ndarray, a: np.ndarray, b: np.ndarray, H: int,
+                 budget: int = 1 << 18) -> np.ndarray:
+    """Max-pool ``h[a_k:b_k]`` per segment k as ONE vectorized op:
+    concatenate all segment indices and ``np.maximum.reduceat`` at the
+    segment starts — the numpy analogue of the reference processing a
+    chunk as one tensor op (``mention_representation.py:16-22``).
+    Empty segments (b ≤ a) keep a zero row (the reference's −1e30
+    additive mask saturates to the same). ``budget`` bounds the
+    concatenated gather (rows of h replicated across overlapping
+    segments) so a pathological chunk of whole-context segments cannot
+    allocate an unbounded scratch matrix."""
+    n = len(a)
+    out = np.zeros((n, H))
+    if n == 0:
+        return out
+    T = h.shape[0]
+    a = np.clip(np.asarray(a, dtype=np.int64), 0, T)
+    b = np.clip(np.asarray(b, dtype=np.int64), 0, T)
+    lens = b - a
+    valid = np.flatnonzero(lens > 0)
+    if valid.size == 0:
+        return out
+    offsets = np.concatenate(([0], np.cumsum(lens[valid])))
+    start = 0
+    while start < valid.size:
+        stop = int(np.searchsorted(offsets, offsets[start] + budget,
+                                   side="right")) - 1
+        stop = max(stop, start + 1)          # always ≥ one segment
+        rows = valid[start:stop]
+        L = lens[rows]
+        seg_starts = np.concatenate(([0], np.cumsum(L)[:-1]))
+        flat = (np.arange(int(L.sum())) - np.repeat(seg_starts, L)
+                + np.repeat(a[rows], L))
+        out[rows] = np.maximum.reduceat(h[flat], seg_starts, axis=0)
+        start = stop
+    return out
+
+
 def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
@@ -222,12 +260,10 @@ class NumpyScorer(RuleScorer):
         out = np.zeros((n, self.H))
         max_spans = self.config.max_spans or n
         for i in range(0, n, max_spans):          # the J1 chunk loop
-            for k in range(i, min(i + max_spans, n)):
-                a, b = int(ss[k]), int(se[k])
-                if b > a and a < h.shape[0]:
-                    out[k] = h[a:min(b, h.shape[0])].max(axis=0)
-                # else: fully-masked span keeps the zero row (the
-                # −1e30 additive mask saturates in the reference)
+            sl = slice(i, min(i + max_spans, n))
+            # the whole chunk pools as one reduceat, mirroring the
+            # reference's single masked-max tensor op per chunk
+            out[sl] = _segment_max(h, ss[sl], se[sl], self.H)
         return out
 
     # --- the full per-document forward pass ---
@@ -338,26 +374,17 @@ class NumpyScorer(RuleScorer):
         if nC < 2:
             return []
 
-        # J8: ordered cluster pairs × mention cross products
-        ep_pairs = []            # (head cluster, tail cluster)
-        ep_mention_ids = []      # per entity pair: mention-pair row ids
-        mp_a, mp_b, mp_ep = [], [], []
-        for i1 in range(nC):
-            for i2 in range(nC):
-                if i1 == i2:
-                    continue
-                rows = []
-                for m1 in clusters[i1]:
-                    for m2 in clusters[i2]:
-                        rows.append(len(mp_a))
-                        mp_a.append(m1)
-                        mp_b.append(m2)
-                        mp_ep.append(len(ep_pairs))
-                ep_pairs.append((i1, i2))
-                ep_mention_ids.append(rows)
-        mp_a = np.asarray(mp_a, dtype=np.int64)
-        mp_b = np.asarray(mp_b, dtype=np.int64)
-        mp_ep = np.asarray(mp_ep, dtype=np.int64)
+        # J8: ordered cluster pairs × mention cross products, built with
+        # repeat/tile per pair (reference order: m1 outer, m2 inner)
+        memb = [np.asarray(c, dtype=np.int64) for c in clusters]
+        sizes = np.asarray([m.size for m in memb], dtype=np.int64)
+        heads, tails = np.where(~np.eye(nC, dtype=bool))   # row-major
+        mp_a = np.concatenate([np.repeat(memb[i1], sizes[i2])
+                               for i1, i2 in zip(heads, tails)])
+        mp_b = np.concatenate([np.tile(memb[i2], sizes[i1])
+                               for i1, i2 in zip(heads, tails)])
+        ep_counts = sizes[heads] * sizes[tails]
+        mp_ep = np.repeat(np.arange(len(heads), dtype=np.int64), ep_counts)
         P = len(mp_a)
 
         # between-context interval per mention pair (create_rel_mask,
@@ -370,61 +397,60 @@ class NumpyScorer(RuleScorer):
 
         # word-level token distance (get_mention_token_dist_tensors,
         # sampling_common.py:305-314) and sentence distance
-        w1s = np.asarray([mentions[m][0] for m in mp_a])
-        w1e = np.asarray([mentions[m][1] for m in mp_a])
-        w2s = np.asarray([mentions[m][0] for m in mp_b])
-        w2e = np.asarray([mentions[m][1] for m in mp_b])
-        first_s = np.where(w1s < w2s, w1s, w2s)
+        m_start = np.asarray([m[0] for m in mentions], dtype=np.int64)
+        m_end = np.asarray([m[1] for m in mentions], dtype=np.int64)
+        m_sent = np.asarray([m[2] for m in mentions], dtype=np.int64)
+        w1s, w1e = m_start[mp_a], m_end[mp_a]
+        w2s, w2e = m_start[mp_b], m_end[mp_b]
         first_e = np.where(w1s < w2s, w1e, w2e)
         second_s = np.where(w1s < w2s, w2s, w1s)
         tok_dist = np.clip(second_s - (first_e - 1), 0, _TOKDIST_EMB - 1)
-        sent1 = np.asarray([mentions[m][2] for m in mp_a])
-        sent2 = np.asarray([mentions[m][2] for m in mp_b])
+        sent1, sent2 = m_sent[mp_a], m_sent[mp_b]
         sent_dist = np.clip(np.abs(sent1 - sent2), 0, _SENTDIST_EMB - 1)
 
         # entity-pair repr: concat variant [head ‖ tail]
         # (EntityPairRepresentationCat, entity_pair_representation.py:30-40)
-        heads = np.asarray([p[0] for p in ep_pairs])
-        tails = np.asarray([p[1] for p in ep_pairs])
         ep_reprs = np.concatenate([ent_reprs[heads], ent_reprs[tails]],
                                   axis=1)
 
-        # J9 chunked mention-pair representations
-        local = np.zeros((P, self.H))
+        # J9 chunked mention-pair representations — each chunk is ONE
+        # segment-max + ONE feature-matrix assembly + ONE matmul, the
+        # numpy mirror of the reference's per-chunk tensor op
+        # (relation_classification_multi_instance.py:32-51)
+        local = np.empty((P, self.H))
         max_pairs = cfg.max_rel_pairs or P
         T = h.shape[0]
         for i in range(0, P, max_pairs):          # the J9 chunk loop
-            for k in range(i, min(i + max_pairs, P)):
-                a, b = int(ctx_start[k]), int(min(ctx_end[k], T))
-                ctx = h[a:b].max(axis=0) if b > a else np.zeros(self.H)
-                # adjacent/overlapping spans ⇒ zero ctx vector
-                # (relation_classification_multi_instance.py:78)
-                xk = np.concatenate([
-                    ctx, v_reprs[mp_a[k]], v_reprs[mp_b[k]],
-                    ep_reprs[mp_ep[k]],
-                    self.E_tokdist[tok_dist[k]],
-                    self.E_sentdist[sent_dist[k]]])
-                local[k] = xk @ self.W_pair + self.b_pair   # no relu here
+            sl = slice(i, min(i + max_pairs, P))
+            # adjacent/overlapping spans ⇒ empty interval ⇒ zero ctx
+            # vector (relation_classification_multi_instance.py:78)
+            ctx = _segment_max(h, ctx_start[sl],
+                               np.minimum(ctx_end[sl], T), self.H)
+            x = np.concatenate([
+                ctx, v_reprs[mp_a[sl]], v_reprs[mp_b[sl]],
+                ep_reprs[mp_ep[sl]],
+                self.E_tokdist[tok_dist[sl]],
+                self.E_sentdist[sent_dist[sl]]], axis=1)
+            local[sl] = x @ self.W_pair + self.b_pair   # no relu here
 
-        # multi-instance max-pool per entity pair (G3)
-        out = []
-        thr = cfg.rel_threshold
-        for p, rows in enumerate(ep_mention_ids):
-            pooled = local[rows].max(axis=0)
-            xr = np.concatenate([pooled, self.E_etype[etype_idx[heads[p]]],
-                                 self.E_etype[etype_idx[tails[p]]]])
-            logits = _relu(xr @ self.W_rel1 + self.b_rel1) \
-                @ self.W_rel2 + self.b_rel2
-            probs = _sigmoid(logits)
-            # deterministic evidence: smallest sentence index among the
-            # pair's mention pairs (the reference emits no evidence at
-            # inference; this engine keeps the column populated)
-            ev = int(min(min(sent1[r], sent2[r]) for r in rows))
-            for r, pr in enumerate(probs):
-                if pr >= thr:
-                    out.append((int(heads[p]), int(tails[p]),
-                                self.relation_names[r], float(pr), ev))
-        return out
+        # multi-instance max-pool per entity pair (G3): mention-pair
+        # rows are contiguous per entity pair ⇒ one reduceat
+        ep_row_starts = np.concatenate(
+            ([0], np.cumsum(ep_counts)[:-1])).astype(np.int64)
+        pooled = np.maximum.reduceat(local, ep_row_starts, axis=0)
+        xr = np.concatenate([pooled, self.E_etype[etype_idx[heads]],
+                             self.E_etype[etype_idx[tails]]], axis=1)
+        logits = _relu(xr @ self.W_rel1 + self.b_rel1) \
+            @ self.W_rel2 + self.b_rel2
+        probs = _sigmoid(logits)
+        # deterministic evidence: smallest sentence index among the
+        # pair's mention pairs (the reference emits no evidence at
+        # inference; this engine keeps the column populated)
+        ev = np.minimum.reduceat(np.minimum(sent1, sent2), ep_row_starts)
+        pi, ri = np.nonzero(probs >= cfg.rel_threshold)
+        return [(int(heads[p]), int(tails[p]), self.relation_names[r],
+                 float(probs[p, r]), int(ev[p]))
+                for p, r in zip(pi, ri)]
 
     # --- J10: global relation classification ---
 
@@ -433,22 +459,16 @@ class NumpyScorer(RuleScorer):
         nC = len(clusters)
         if nC < 2:
             return []
-        out = []
-        thr = cfg.rel_threshold
-        for i1 in range(nC):
-            for i2 in range(nC):
-                if i1 == i2:
-                    continue
-                x = np.concatenate([ent_reprs[i1], ent_reprs[i2],
-                                    self.E_etype[etype_idx[i1]],
-                                    self.E_etype[etype_idx[i2]]])
-                ep = _relu(x @ self.W_gpair + self.b_gpair)
-                probs = _sigmoid(ep @ self.W_grel + self.b_grel)
-                for r, pr in enumerate(probs):
-                    if pr >= thr:
-                        out.append((i1, i2, self.relation_names[r],
-                                    float(pr), -1))
-        return out
+        heads, tails = np.where(~np.eye(nC, dtype=bool))   # row-major
+        x = np.concatenate([ent_reprs[heads], ent_reprs[tails],
+                            self.E_etype[etype_idx[heads]],
+                            self.E_etype[etype_idx[tails]]], axis=1)
+        ep = _relu(x @ self.W_gpair + self.b_gpair)
+        probs = _sigmoid(ep @ self.W_grel + self.b_grel)
+        pi, ri = np.nonzero(probs >= cfg.rel_threshold)
+        return [(int(heads[p]), int(tails[p]), self.relation_names[r],
+                 float(probs[p, r]), -1)
+                for p, r in zip(pi, ri)]
 
 
 def forward_train(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
@@ -539,19 +559,23 @@ def forward_train(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
         n_mp = len(mp)
         local = np.zeros((n_mp, scorer.H))
         max_rel = cfg.max_rel_pairs or n_mp
+        # word-interval → sub-word interval, vectorized once
+        ctx_a = np.clip(sub_of[np.minimum(ctx_iv[:, 0], len(sub_of) - 1)],
+                        0, T) if n_mp else np.empty(0, np.int64)
+        ctx_b = np.clip(sub_of[np.minimum(ctx_iv[:, 1], len(sub_of) - 1)],
+                        0, T) if n_mp else np.empty(0, np.int64)
+        mp_a_idx = np.minimum(mp[:, 0], n_m - 1) if n_mp else mp[:, 0]
+        mp_b_idx = np.minimum(mp[:, 1], n_m - 1) if n_mp else mp[:, 1]
+        ep_idx = np.minimum(mp_ep, max(n_p - 1, 0))
         for i in range(0, n_mp, max_rel):     # the J9 chunk loop
-            for k in range(i, min(i + max_rel, n_mp)):
-                a = int(np.clip(sub_of[min(ctx_iv[k, 0],
-                                           len(sub_of) - 1)], 0, T))
-                b = int(np.clip(sub_of[min(ctx_iv[k, 1],
-                                           len(sub_of) - 1)], 0, T))
-                ctx = h[a:b].max(axis=0) if b > a else np.zeros(scorer.H)
-                xk = np.concatenate([
-                    ctx, reprs[min(mp[k, 0], n_m - 1)],
-                    reprs[min(mp[k, 1], n_m - 1)],
-                    ep_cat[min(mp_ep[k], n_p - 1)],
-                    scorer.E_tokdist[td[k]], scorer.E_sentdist[sd[k]]])
-                local[k] = xk @ scorer.W_pair + scorer.b_pair
+            sl = slice(i, min(i + max_rel, n_mp))
+            ctx = _segment_max(h, ctx_a[sl], ctx_b[sl], scorer.H)
+            x = np.concatenate([
+                ctx, reprs[mp_a_idx[sl]], reprs[mp_b_idx[sl]],
+                ep_cat[ep_idx[sl]],
+                scorer.E_tokdist[td[sl]],
+                scorer.E_sentdist[sd[sl]]], axis=1)
+            local[sl] = x @ scorer.W_pair + scorer.b_pair
 
         # multi-instance max-pool per entity pair via the index maps
         ep_mp, pmask = t["rel_entity_pair_mp"], t["rel_pair_masks"]
