@@ -139,15 +139,25 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple],
 
 
 def grouped_apply(ds, keys: list[str], block_fn,
-                  *, num_partitions: int | None = None):
+                  *, num_partitions: int | None = None,
+                  single_block: bool = False):
     """Hash-co-locate groups, then run a VECTORIZED per-block function
     that sees every row of each key it receives (a faster
     ``groupby().map_groups`` for functions expressible over a whole
-    block of complete groups — dedup winners, mode picks, top-1s)."""
+    block of complete groups — dedup winners, mode picks, top-1s).
+
+    ``single_block=True`` is the small-side fast path: a plain
+    ``repartition(1)`` (block concat, no hash-shuffle aggregator
+    actors, whose startup dominates small jobs) trivially co-locates
+    every key in the one block. Callers set it from a KNOWN size bound
+    (e.g. doc count from parquet metadata), never as a guess."""
     from jerex_ray.runtime import configure_data_context
     configure_data_context(ds=ds)
     if isinstance(keys, str):
         keys = [keys]
-    np_ = shuffle_partitions(num_partitions)
-    ds = ds.repartition(np_, keys=keys, sort=False)
+    if single_block:
+        ds = ds.repartition(1)
+    else:
+        np_ = shuffle_partitions(num_partitions)
+        ds = ds.repartition(np_, keys=keys, sort=False)
     return ds.map_batches(block_fn, batch_format="pandas", batch_size=None)

@@ -32,9 +32,13 @@ edge partitions.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import ray
+
+logger = logging.getLogger(__name__)
 
 
 def _empty_labels() -> pd.DataFrame:
@@ -203,6 +207,15 @@ def connected_components_ds(edges_ds, *, src: str = "src", dst: str = "dst",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_rounds while labels were still moving: the
+        # result may carry non-minimal component ids — never let that
+        # pass silently for a correctness-bearing output
+        logger.warning(
+            "connected_components_ds: %d rounds exhausted with %d labels "
+            "still changing — result may be UNCONVERGED; raise max_rounds "
+            "(O(log diameter) rounds suffice for converged output)",
+            max_rounds, changed)
 
     # hand the P label blocks back as a Dataset without collecting them
     return rd.from_pandas_refs(

@@ -98,15 +98,18 @@ def _gram_hashes_from_words(wh: np.ndarray, k: int) -> np.ndarray:
     window combine is pure numpy)."""
     if wh.size == 0:
         return np.empty(0, dtype=np.int64)
-    if wh.size < k:
-        acc = wh[0]
-        for j in range(1, wh.size):
-            acc = acc * _POLY_B + wh[j]
-        return np.unique(np.asarray([acc % _MERSENNE], dtype=np.int64))
-    acc = wh[: wh.size - k + 1].copy()
-    for j in range(1, k):
-        acc = acc * _POLY_B + wh[j: wh.size - k + 1 + j]
-    return np.unique(acc % _MERSENNE)
+    # the polynomial intentionally wraps mod 2^64 — silence the
+    # overflow warning (and survive np.seterr(over='raise') hosts)
+    with np.errstate(over="ignore"):
+        if wh.size < k:
+            acc = wh[0]
+            for j in range(1, wh.size):
+                acc = acc * _POLY_B + wh[j]
+            return np.unique(np.asarray([acc % _MERSENNE], dtype=np.int64))
+        acc = wh[: wh.size - k + 1].copy()
+        for j in range(1, k):
+            acc = acc * _POLY_B + wh[j: wh.size - k + 1 + j]
+        return np.unique(acc % _MERSENNE)
 
 
 def _doc_shingle_arrays(texts, k: int = 3) -> list[np.ndarray]:
@@ -162,10 +165,12 @@ def minhash_bands(batch: pd.DataFrame, *, col: str = "text",
     # band hash: wraparound polynomial over each band's rows — one
     # vectorized pass, no per-band digest calls
     rows = sigs.reshape(n, N_BANDS, ROWS_PER_BAND)
-    acc = rows[:, :, 0].copy()
-    for j in range(1, ROWS_PER_BAND):
-        acc = acc * _POLY_B + rows[:, :, j]
-    band_hash = (acc % np.int64((1 << 63) - 1)) & np.int64(0x7FFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):      # intended mod-2^64 wraparound
+        acc = rows[:, :, 0].copy()
+        for j in range(1, ROWS_PER_BAND):
+            acc = acc * _POLY_B + rows[:, :, j]
+        band_hash = (acc % np.int64((1 << 63) - 1)) \
+            & np.int64(0x7FFFFFFFFFFFFFFF)
     return pd.DataFrame({
         "doc_id": np.repeat(np.asarray(batch["doc_id"]), N_BANDS),
         "band": np.tile(np.arange(N_BANDS, dtype=np.int64), n),
@@ -215,190 +220,280 @@ def _bucket_pairs_block(block: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
 
 def minhash_candidate_pairs(docs_ds, *, col: str = "text", k: int = 3,
                             num_partitions: int | None = None,
-                            distinct: bool = True):
+                            distinct: bool = True,
+                            small: bool = False):
     """documents → candidate near-dup pairs (doc_a < doc_b). Stays a
     Dataset: global dedup is a hash-co-located block dedup, never a
     driver collect. ``distinct=False`` skips that dedup shuffle for
     consumers that tolerate a pair appearing once per colliding band
-    (the verification pipeline aggregates per pair anyway)."""
+    (the verification pipeline aggregates per pair anyway).
+    ``small=True`` (caller KNOWS the corpus is small, e.g. from parquet
+    row counts) swaps each hash shuffle for a single-block concat."""
     from jerex_ray.functions.aggregate import grouped_apply
     bands = docs_ds.map_batches(
         minhash_bands, batch_format="pandas", batch_size=4096,
         fn_kwargs={"col": col, "k": k})
     pairs = grouped_apply(bands, ["band", "band_hash"], _bucket_pairs_block,
-                          num_partitions=num_partitions or 8)
+                          num_partitions=num_partitions or 8,
+                          single_block=small)
     if not distinct:
         return pairs
     # global distinct: co-locate by pair key, vectorized per-block dedup
     return grouped_apply(pairs, ["doc_a", "doc_b"],
                          lambda b: b.drop_duplicates(["doc_a", "doc_b"]),
-                         num_partitions=num_partitions or 8)
+                         num_partitions=num_partitions or 8,
+                         single_block=small)
 
 
 def _gram_rows(batch: pd.DataFrame, *, col: str, k: int,
-               id_filter=None) -> pd.DataFrame:
-    """Explode docs to (doc_id, gram-hash) rows, distinct per doc."""
-    ids_out, grams_out = [], []
+               id_filter=None, with_counts: bool = False) -> pd.DataFrame:
+    """Explode docs to (doc_id, gram-hash) rows, distinct per doc.
+    ``with_counts=True`` carries each doc's distinct-gram count ``c``
+    on every row (so jaccard can be computed fully distributed, no
+    broadcast count dict) and emits one sentinel row (g=-1, c=0) for
+    an empty doc (two empty candidate docs meet in the sentinel gram
+    group and get jaccard 1.0 downstream)."""
+    ids_out, grams_out, c_out = [], [], []
     rows = batch[["doc_id", col]]
     if id_filter is not None:
         rows = rows[rows["doc_id"].isin(id_filter)]
     gram_arrays = _doc_shingle_arrays(rows[col].fillna(""), k)
     for doc_id, g in zip(rows["doc_id"], gram_arrays):
+        if g.size == 0 and with_counts:
+            ids_out.append(np.asarray([doc_id], dtype=np.int64))
+            grams_out.append(np.asarray([-1], dtype=np.int64))
+            c_out.append(np.zeros(1, dtype=np.int64))
+            continue
         ids_out.append(np.full(g.size, doc_id, dtype=np.int64))
         grams_out.append(g)
+        if with_counts:
+            c_out.append(np.full(g.size, g.size, dtype=np.int64))
+    cols = {"doc_id": pd.Series(dtype="int64"),
+            "g": pd.Series(dtype="int64")}
+    if with_counts:
+        cols["c"] = pd.Series(dtype="int64")
     if not ids_out:
-        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                             "g": pd.Series(dtype="int64")})
-    return pd.DataFrame({"doc_id": np.concatenate(ids_out),
-                         "g": np.concatenate(grams_out)})
+        return pd.DataFrame(cols)
+    out = {"doc_id": np.concatenate(ids_out), "g": np.concatenate(grams_out)}
+    if with_counts:
+        out["c"] = np.concatenate(c_out)
+    return pd.DataFrame(out)
 
 
 def _gram_pair_counts_block(block: pd.DataFrame,
                             cap: int = 2000) -> pd.DataFrame:
-    """Per co-located gram block: partial pair-intersection counts.
-    For each gram, every ordered doc pair sharing it contributes 1.
-    A gram shared by > ``cap`` candidate docs (a boilerplate phrase in
-    a dup-heavy corpus) would emit C(m,2) pairs — it is truncated to
-    the ``cap`` smallest doc ids with a logged drop count (pairs among
-    the retained docs keep their exact counts; pairs involving only
+    """Per co-located gram block: partial pair-intersection counts,
+    each pair row carrying both docs' total gram counts (ca, cb) so
+    the jaccard finalize needs no broadcast lookup. For each gram,
+    every ordered doc pair sharing it contributes 1. A gram shared by
+    > ``cap`` candidate docs (a boilerplate phrase in a dup-heavy
+    corpus) would emit C(m,2) pairs — it is truncated to the ``cap``
+    smallest doc ids with a logged drop count (pairs among the
+    retained docs keep their exact counts; pairs involving only
     dropped docs lose this gram's vote, biasing their jaccard DOWN —
     never creating false edges)."""
-    a_out, b_out = [], []
+    a_out, b_out, ca_out, cb_out = [], [], [], []
     hot = block[block.duplicated("g", keep=False)]
     dropped = 0
     for _, grp in hot.groupby("g", sort=False):
-        ids = np.sort(grp["doc_id"].unique())
+        # grams are distinct per doc ⇒ each doc appears once per gram
+        ids = grp["doc_id"].to_numpy()
+        cs = grp["c"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, cs = ids[order], cs[order]
         if ids.size < 2:
             continue
         if ids.size > cap:
             dropped += ids.size - cap
-            ids = ids[:cap]
+            ids, cs = ids[:cap], cs[:cap]
         iu, ju = np.triu_indices(ids.size, k=1)
         a_out.append(ids[iu])
         b_out.append(ids[ju])
+        ca_out.append(cs[iu])
+        cb_out.append(cs[ju])
     if dropped:
         logger.warning("gram-pair cap=%d truncated %d docs on hot grams",
                        cap, dropped)
     if not a_out:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                              "doc_b": pd.Series(dtype="int64"),
-                             "n": pd.Series(dtype="int64")})
+                             "n": pd.Series(dtype="int64"),
+                             "ca": pd.Series(dtype="int64"),
+                             "cb": pd.Series(dtype="int64")})
     df = pd.DataFrame({"doc_a": np.concatenate(a_out),
-                       "doc_b": np.concatenate(b_out)})
-    return df.groupby(["doc_a", "doc_b"], sort=False) \
+                       "doc_b": np.concatenate(b_out),
+                       "ca": np.concatenate(ca_out),
+                       "cb": np.concatenate(cb_out)})
+    return df.groupby(["doc_a", "doc_b", "ca", "cb"], sort=False) \
              .size().reset_index(name="n")
+
+
+def _candidate_docs_semijoin(docs_ds, ids_ds, *, col: str, nparts: int):
+    """Distributed semi-join: keep only doc rows whose doc_id appears
+    in the candidate-id Dataset, by co-locating docs and ids on doc_id
+    (one doc-table shuffle; nothing id- or doc-sized touches the
+    driver). The scale path for dup-HEAVY corpora whose candidate set
+    approaches the corpus size."""
+    from jerex_ray.functions.aggregate import grouped_apply
+
+    docs_tagged = docs_ds.map_batches(
+        lambda b: b[["doc_id", col]].assign(__m=np.int8(0)),
+        batch_format="pandas")
+    ids_tagged = ids_ds.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"],
+                                col: "", "__m": np.int8(1)})
+        if "doc_id" in b.columns else
+        pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                      col: pd.Series(dtype="object"),
+                      "__m": pd.Series(dtype="int8")}),
+        batch_format="pandas")
+
+    def keep_marked(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty or "__m" not in block.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 col: pd.Series(dtype="object")})
+        marked = block.loc[block["__m"] == 1, "doc_id"]
+        out = block[(block["__m"] == 0) & block["doc_id"].isin(marked)]
+        return out[["doc_id", col]]
+
+    return grouped_apply(docs_tagged.union(ids_tagged), ["doc_id"],
+                         keep_marked, num_partitions=nparts)
+
+
+_SINGLE_BLOCK_DOCS = 20_000      # bands table ≤ 16×docs rows: concat-able
+_SINGLE_BLOCK_CANDS = 5_000      # gram table ≤ cands×grams/doc rows
 
 
 def minhash_verified_edges(docs_ds, *, threshold: float = 0.8,
                            col: str = "text", k: int = 3,
-                           num_partitions: int | None = None):
+                           num_partitions: int | None = None,
+                           broadcast_threshold: int = 200_000):
     """LSH candidates → DISTRIBUTED exact Jaccard verification.
 
     Returns a Dataset of (doc_a, doc_b, jaccard) edges with
-    jaccard ≥ threshold. Dataflow (nothing pair- or shingle-sized ever
-    reaches the driver; only the candidate-DOC id set is broadcast,
-    bounded by the corpus's near-dup doc count):
+    jaccard ≥ threshold. Dataflow — nothing pair-, shingle-, or
+    count-sized ever reaches the driver:
 
     1. LSH candidate pairs (distributed, §above).
-    2. candidate doc ids: distinct ids of the pair table (tiny rows).
-    3. grams of candidate docs only → co-locate by gram →
-       per-pair intersection counts (combiner per block) →
-       ``groupby(pair).sum``.
-    4. jaccard = inter / (|A| + |B| - inter) via a broadcast per-doc
-       gram-count lookup (one int per candidate doc).
-    Pairs of two EMPTY docs (no grams) get jaccard 1.0, matching
-    ``ngram_jaccard``.
+    2. candidate doc ids, distinct via a hash-co-located dedup.
+       ≤ ``broadcast_threshold`` ids: broadcast once as a set
+       (``ray.put``) and filter map-side. Above it (dup-HEAVY corpus,
+       candidate set approaching corpus size): a distributed semi-join
+       of the doc table against the id Dataset — no driver set/dict.
+    3. ONE shingle pass over candidate docs emits (doc_id, g, c) gram
+       rows with the doc's distinct-gram count carried on every row
+       (empty docs emit a g=-1 sentinel with c=0).
+    4. co-locate by gram → per-pair partial intersection counts
+       (combiner per block, carrying ca/cb) → ``groupby(pair)`` sum.
+    5. jaccard = n / (ca + cb − n), computed from the carried counts —
+       no broadcast lookup. Pairs of two EMPTY docs (ca = cb = 0) get
+       jaccard 1.0, matching ``ngram_jaccard``.
     """
     import ray
 
     from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
 
     nparts = num_partitions or 8
+    # small-vs-large decision BEFORE anything id-sized can reach the
+    # driver. First gate: total doc count (metadata-cheap for parquet
+    # sources, an upper bound on candidate ids). Only past it, pay one
+    # materialized pass to bound the candidate-id count by 2×pairs.
+    n_docs = docs_ds.count()
+    small = n_docs <= broadcast_threshold
     # distinct=False: pair multiplicity across bands is harmless here
     # (candidate ids are set-reduced; verified edges come from the
     # per-pair aggregate, not this table) — saves a dedup shuffle
     pairs = minhash_candidate_pairs(docs_ds, col=col, k=k,
-                                    num_partitions=nparts, distinct=False)
+                                    num_partitions=nparts, distinct=False,
+                                    small=n_docs <= _SINGLE_BLOCK_DOCS)
+    if not small:
+        pairs = pairs.materialize()
+        n_pairs = pairs.count()
+        if n_pairs == 0:
+            import ray.data as rd
+            return rd.from_pandas(pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64"),
+                 "jaccard": pd.Series(dtype="float64")}))
+        small = 2 * n_pairs <= broadcast_threshold
 
-    # candidate doc ids (distinct over both columns) — the small side;
-    # per-batch unique + a driver-side set union (no shuffle: the id
-    # table is bounded by the near-dup doc count)
-    ids_df = pairs.map_batches(
-        lambda b: pd.DataFrame(
-            {"doc_id": pd.unique(pd.concat([b["doc_a"], b["doc_b"]]))}),
-        batch_format="pandas").to_pandas()
-    # an all-empty pair Dataset can surface schema-less (no doc_id col)
-    cand_set = (set(ids_df["doc_id"].tolist())
-                if "doc_id" in ids_df.columns else set())
-    if not cand_set:
-        import ray.data as rd
-        return rd.from_pandas(pd.DataFrame(
-            {"doc_a": pd.Series(dtype="int64"),
-             "doc_b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}))
-    cand_ref = ray.put(cand_set)
+    if small:
+        # small path: per-batch unique → one bounded driver set union
+        ids_df = pairs.map_batches(
+            lambda b: pd.DataFrame(
+                {"doc_id": pd.unique(pd.concat([b["doc_a"], b["doc_b"]]))})
+            if "doc_a" in b.columns else
+            pd.DataFrame({"doc_id": pd.Series(dtype="int64")}),
+            batch_format="pandas").to_pandas()
+        cand_set = (set(ids_df["doc_id"].tolist())
+                    if "doc_id" in ids_df.columns else set())
+        if not cand_set:
+            import ray.data as rd
+            return rd.from_pandas(pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64"),
+                 "jaccard": pd.Series(dtype="float64")}))
+        cand_ref = ray.put(cand_set)
+        grams = docs_ds.map_batches(
+            lambda b: _gram_rows(b, col=col, k=k,
+                                 id_filter=ray.get(cand_ref),
+                                 with_counts=True),
+            batch_format="pandas", batch_size=4096)
+    else:
+        # dup-heavy path: distinct ids as a DATASET (hash-co-located
+        # dedup of the id table) + doc semi-join — driver never holds
+        # an id set or count dict
+        ids_ds = grouped_apply(
+            pairs.map_batches(
+                lambda b: pd.DataFrame(
+                    {"doc_id": pd.unique(pd.concat([b["doc_a"],
+                                                    b["doc_b"]]))})
+                if "doc_a" in b.columns else
+                pd.DataFrame({"doc_id": pd.Series(dtype="int64")}),
+                batch_format="pandas"),
+            ["doc_id"],
+            lambda b: (b.drop_duplicates("doc_id")
+                       if "doc_id" in b.columns else b),
+            num_partitions=nparts)
+        cand_docs = _candidate_docs_semijoin(docs_ds, ids_ds, col=col,
+                                             nparts=nparts)
+        grams = cand_docs.map_batches(
+            lambda b: _gram_rows(b, col=col, k=k, with_counts=True)
+            if col in b.columns else
+            pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "g": pd.Series(dtype="int64"),
+                          "c": pd.Series(dtype="int64")}),
+            batch_format="pandas", batch_size=4096)
 
-    grams = docs_ds.map_batches(
-        lambda b: _gram_rows(b, col=col, k=k, id_filter=ray.get(cand_ref)),
-        batch_format="pandas", batch_size=4096)
-
-    # per-candidate-doc gram counts computed straight from the doc rows
-    # (one row per doc ⇒ a per-batch groupby-count is already total;
-    # never computed from the gram table, whose rows may be re-blocked
-    # mid-doc) — tiny table, no shuffle
-    def _doc_gram_counts(b: pd.DataFrame) -> pd.DataFrame:
-        g = _gram_rows(b, col=col, k=k, id_filter=ray.get(cand_ref))
-        return g.groupby("doc_id", sort=False).size().reset_index(name="c")
-
-    counts = docs_ds.map_batches(_doc_gram_counts,
-                                 batch_format="pandas",
-                                 batch_size=4096).to_pandas()
-    count_of = dict(zip(counts["doc_id"].tolist(), counts["c"].tolist()))
-    counts_ref = ray.put(count_of)
-
+    # short-circuit: cand_set exists only on the small path
+    few_cands = small and len(cand_set) <= _SINGLE_BLOCK_CANDS
     inter_partial = grouped_apply(grams, ["g"], _gram_pair_counts_block,
-                                  num_partitions=nparts)
+                                  num_partitions=nparts,
+                                  single_block=few_cands)
     # tree reduce (result_hint small): the pair-intersection table is
     # bounded by the near-dup pair count, not the corpus — callers with
     # pathologically dup-heavy corpora can switch to "large"
     inter = grouped_aggregate(inter_partial, ["doc_a", "doc_b"],
-                              {"n": ("n", "sum")}, num_partitions=nparts)
+                              {"n": ("n", "sum"), "ca": ("ca", "max"),
+                               "cb": ("cb", "max")},
+                              num_partitions=nparts)
 
     def attach_jaccard(b: pd.DataFrame) -> pd.DataFrame:
-        if b.empty:
+        if b.empty or "doc_a" not in b.columns:
             return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                                  "doc_b": pd.Series(dtype="int64"),
                                  "jaccard": pd.Series(dtype="float64")})
-        cmap = ray.get(counts_ref)
-        ca = b["doc_a"].map(cmap).to_numpy(dtype=np.float64)
-        cb = b["doc_b"].map(cmap).to_numpy(dtype=np.float64)
+        ca = b["ca"].to_numpy(dtype=np.float64)
+        cb = b["cb"].to_numpy(dtype=np.float64)
         n = b["n"].to_numpy(dtype=np.float64)
-        j = n / (ca + cb - n)
+        both_empty = (ca == 0) & (cb == 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(both_empty, 1.0, n / (ca + cb - n))
         out = b.assign(jaccard=j)
         out = out[out["jaccard"] >= threshold]
         return out[["doc_a", "doc_b", "jaccard"]]
 
-    edges = inter.map_batches(attach_jaccard, batch_format="pandas")
-
-    # both-empty candidate pairs: jaccard 1.0 by definition
-    empty_ids = cand_set - set(count_of)
-    if empty_ids and threshold <= 1.0:
-        empty_ref = ray.put(empty_ids)
-
-        def empty_pairs(b: pd.DataFrame) -> pd.DataFrame:
-            es = ray.get(empty_ref)
-            m = b[b["doc_a"].isin(es) & b["doc_b"].isin(es)]
-            return m.assign(jaccard=1.0)[["doc_a", "doc_b", "jaccard"]]
-
-        # the candidate-pair table carries per-band multiplicity
-        # (distinct=False above) — dedup the filtered empty pairs
-        ep = grouped_apply(
-            pairs.map_batches(empty_pairs, batch_format="pandas"),
-            ["doc_a", "doc_b"],
-            lambda b: b.drop_duplicates(["doc_a", "doc_b"]),
-            num_partitions=nparts)
-        edges = edges.union(ep)
-    return edges
+    return inter.map_batches(attach_jaccard, batch_format="pandas")
 
 
 def minhash_dedup(docs_ds, *, threshold: float = 0.8, col: str = "text",

@@ -43,15 +43,22 @@ def _type7_positions(n: int, qs: list[float]) -> list[tuple[int, int, float]]:
 def distributed_quantiles(ds, col: str, qs: list[float], *,
                           sample_size: int = 8192,
                           seed: int = 17) -> list[float]:
-    """Exact type-7 quantiles of ``ds[col]`` (see module docstring)."""
-    n = ds.count()
+    """Exact type-7 quantiles of ``ds[col]`` (see module docstring).
+    NaN/NULL values are ignored, matching DuckDB ``quantile_cont`` —
+    they would otherwise break the sorted-rank invariants."""
+    def _count_valid(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"n": [int(np.count_nonzero(~np.isnan(v)))]})
+
+    n = int(ds.map_batches(_count_valid, batch_format="pandas",
+                           batch_size=65536).to_pandas()["n"].sum())
     if n == 0:
         return [float("nan")] * len(qs)
 
     # pass 1: pivot grid from a sample (+ a global min/max backstop)
     frac = min(1.0, sample_size / n)
     sample = ds.random_sample(frac, seed=seed).to_pandas()
-    pivots = np.unique(sample[col].to_numpy(dtype=np.float64)) \
+    pivots = np.unique(sample[col].dropna().to_numpy(dtype=np.float64)) \
         if len(sample) else np.empty(0)
 
     # pass 2: exact global ranks of every pivot (vectorized per batch)
@@ -59,7 +66,8 @@ def distributed_quantiles(ds, col: str, qs: list[float], *,
 
     def rank_counts(batch: pd.DataFrame) -> pd.DataFrame:
         p = ray.get(piv_ref)
-        v = np.sort(batch[col].to_numpy(dtype=np.float64))
+        v = batch[col].to_numpy(dtype=np.float64)
+        v = np.sort(v[~np.isnan(v)])
         lt = np.searchsorted(v, p, side="left")
         le = np.searchsorted(v, p, side="right")
         return pd.DataFrame({"idx": np.arange(p.size),

@@ -178,20 +178,23 @@ def winnowing_fingerprints(batch: pd.DataFrame, *, k: int = 8,
         if n < k:
             continue
         h = np.zeros(n - k + 1, dtype=np.uint64)
-        # initial window
-        acc = np.uint64(0)
-        for i in range(k):
-            acc = acc * _B + np.uint64(data[i])
-        h[0] = acc
-        # rolling update, vectorized via cumulative recurrence:
-        # h[i+1] = (h[i] - data[i]*B^(k-1)) * B + data[i+k]
-        # (loop is O(n) scalar uint64 ops; numpy's wraparound keeps it
-        # exact mod 2^64)
-        lead = data[: n - k].astype(np.uint64) * _POW
-        tail = data[k:].astype(np.uint64)
-        for i in range(n - k):
-            acc = (acc - lead[i]) * _B + tail[i]
-            h[i + 1] = acc
+        # the rolling hash intentionally wraps mod 2^64 — errstate
+        # keeps logs clean and survives np.seterr(over='raise') hosts
+        with np.errstate(over="ignore"):
+            # initial window
+            acc = np.uint64(0)
+            for i in range(k):
+                acc = acc * _B + np.uint64(data[i])
+            h[0] = acc
+            # rolling update, vectorized via cumulative recurrence:
+            # h[i+1] = (h[i] - data[i]*B^(k-1)) * B + data[i+k]
+            # (loop is O(n) scalar uint64 ops; numpy's wraparound keeps
+            # it exact mod 2^64)
+            lead = data[: n - k].astype(np.uint64) * _POW
+            tail = data[k:].astype(np.uint64)
+            for i in range(n - k):
+                acc = (acc - lead[i]) * _B + tail[i]
+                h[i + 1] = acc
         if h.size < window:
             sel = np.array([h.argmin()])
         else:

@@ -364,6 +364,14 @@ def q_orders_events_window(sf_dir: str):
 
 
 def dedup_minhash_edges(sf_dir: str):
+    """ORACLE CAVEAT (shared with dedup_components): the SQL oracle is
+    exact all-pairs Jaccard, while this pipeline's recall is
+    LSH-bounded — 16 bands × 4 rows miss a jaccard-0.7 pair that never
+    enters the candidate set with probability ≈ (1 − 0.7⁴)¹⁶ ≈ 1%.
+    Parity is deterministic for the driver's fixture corpus (verified
+    every round); a FUTURE fixture change that fails this oracle is
+    most likely an unlucky LSH miss, not a verification bug — check
+    recall before debugging the dataflow."""
     from jerex_ray.ops.dedup import minhash_dedup
     from jerex_ray.runtime import read_parquet_sized
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
@@ -377,7 +385,8 @@ def dedup_components(sf_dir: str):
     """Distributed connected components (BSP min-label propagation +
     pointer jumping over raw Ray task grids) over the exact-Jaccard
     near-dup edges — oracled by a recursive-CTE transitive closure in
-    SQL."""
+    SQL. Inherits the LSH probabilistic-recall caveat documented on
+    ``dedup_minhash_edges`` (a missed edge can split a component)."""
     from jerex_ray.functions.components import connected_components
     from jerex_ray.ops.dedup import minhash_verified_edges
     from jerex_ray.runtime import read_parquet_sized

@@ -194,6 +194,32 @@ def test_minhash_verified_edges_distributed_large_candidate_set():
     assert ((edges["doc_a"] // 100) == (edges["doc_b"] // 100)).all()
 
 
+def test_minhash_verified_edges_semijoin_path_matches_broadcast():
+    """The dup-heavy scale path (broadcast_threshold=0 forces the
+    distributed doc⋉candidate-id semi-join; no driver-side id set or
+    count dict is ever built) returns exactly the edges of the
+    broadcast path, including the empty-doc sentinel pairs (two empty
+    docs ⇒ jaccard 1.0)."""
+    from jerex_ray.ops.dedup import minhash_verified_edges
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = [base, base.replace("sigma", "sigmoid"), "", "",
+             "unrelated words entirely about different topics and things "
+             "nobody would ever confuse with the greek alphabet runs"]
+    ds = _docs(texts)
+    broadcast = minhash_verified_edges(ds, threshold=0.7).to_pandas()
+    semijoin = minhash_verified_edges(
+        ds, threshold=0.7, broadcast_threshold=0).to_pandas()
+    key = ["doc_a", "doc_b"]
+    assert (set(map(tuple, semijoin[key].values))
+            == set(map(tuple, broadcast[key].values)))
+    got = dict(zip(map(tuple, semijoin[key].values), semijoin["jaccard"]))
+    assert got[(2, 3)] == 1.0          # both-empty pair
+    assert got[(0, 1)] >= 0.7          # near-dup pair, exact jaccard
+    exp = dict(zip(map(tuple, broadcast[key].values), broadcast["jaccard"]))
+    assert got == exp
+
+
 def test_minhash_dedup_transitive_empty_edges():
     """High threshold filters out every candidate edge — the transitive
     path must survive an empty edge set (ADVICE r01: KeyError 'node')."""
@@ -317,6 +343,25 @@ def test_distributed_quantiles_exact_type7():
     tiny = rd.from_pandas(pd.DataFrame({"v": [4.0, 1.0, 3.0]}))
     got = distributed_quantiles(tiny, "v", [0.5])
     assert got == [3.0]
+
+
+def test_distributed_quantiles_ignore_nan():
+    """NaNs are ignored (DuckDB quantile_cont NULL semantics) — they
+    must not poison the sorted-rank invariants (ADVICE r02)."""
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    rng = np.random.default_rng(9)
+    vals = rng.standard_normal(3000)
+    mixed = np.concatenate([vals, np.full(500, np.nan)])
+    rng.shuffle(mixed)
+    ds = rd.from_pandas(pd.DataFrame({"v": mixed}))
+    qs = [0.0, 0.25, 0.5, 0.75, 1.0]
+    got = distributed_quantiles(ds, "v", qs, sample_size=256)
+    want = np.nanquantile(mixed, qs)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    all_nan = rd.from_pandas(pd.DataFrame({"v": [np.nan, np.nan]}))
+    assert all(np.isnan(v) for v in
+               distributed_quantiles(all_nan, "v", [0.5]))
 
 
 def test_brute_force_topk_massive_ties_pick_smallest_ids():
