@@ -32,6 +32,7 @@ pre-aggregation and the candidate-doc restriction.
 from __future__ import annotations
 
 import logging
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 import pandas as pd
@@ -704,79 +705,257 @@ def simhash_candidates(docs_ds, *, max_hamming: int = 3, col: str = "text",
 
 # ---------- embedding cosine near-dup ----------
 
+@_lru_cache(maxsize=8)
+def _lsh_planes(seed: int, dim: int, n_planes: int) -> np.ndarray:
+    """Projection planes, generated once per worker process (seeded ⇒
+    identical everywhere) instead of once per batch."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
 def embedding_near_dups(emb_ds, *, threshold: float = 0.95,
                         n_projections: int = 10, n_tables: int = 12,
                         seed: int = 11, cap: int = 2000,
-                        num_partitions: int | None = None) -> pd.DataFrame:
+                        num_partitions: int | None = None,
+                        broadcast_threshold: int = 200_000) -> pd.DataFrame:
     """Near-duplicate vectors by cosine — the 100 TB scale path.
 
     Multi-table sign-projection LSH (OR-construction): a pair at cosine
     θ matches one table's bucket with p(θ)^P (p = 1 − arccos(θ)/π);
     with T tables recall = 1 − (1 − p^P)^T. Defaults (P=10, T=12) give
-    ≈ 0.994 recall at θ = 0.95 (the single-table variant this replaces
-    had ≈ 0.3). Candidates are verified by exact cosine inside each
-    bucket; pairs are deduped by a hash-co-located block dedup, never a
-    driver collect (only the final verified pair table is returned).
+    ≈ 0.994 recall at θ = 0.95.
+
+    Dataflow (the bucket shuffle moves ONLY (vec_id, table, bucket)
+    rows — vectors are never replicated through the T-table explode,
+    which would be T× the corpus's vector bytes through one
+    all-to-all):
+
+    1. bucketize: T bucket-id rows per vector, no vector payload;
+    2. co-locate by (table, bucket) → candidate pairs (id-only, capped
+       per bucket with logged drops);
+    3. dedup pairs by pair key;
+    4. exact-cosine verify: candidate vectors are attached once —
+       broadcast id→row matrix when the candidate set is small
+       (bounded by the near-dup vec count), else two co-located joins
+       of the pair table against the (1×) vector table.
     Input shape: (vec_id, embedding list<float>)."""
     from jerex_ray.functions.aggregate import grouped_apply
 
+    n_vecs = emb_ds.count()
+    small = n_vecs <= _SINGLE_BLOCK_DOCS
+
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((vecs.shape[1],
-                                      n_tables * n_projections))
+        planes = _lsh_planes(seed, vecs.shape[1], n_tables * n_projections)
         signs = (vecs @ planes) > 0
         weights = 1 << np.arange(n_projections)
-        norms = np.linalg.norm(vecs, axis=1)
-        normed = (vecs / np.clip(norms[:, None], 1e-12, None)) \
-            .astype(np.float32)
-        frames = []
+        n = len(batch)
+        buckets = np.empty((n, n_tables), dtype=np.int64)
         for t in range(n_tables):
             block = signs[:, t * n_projections:(t + 1) * n_projections]
-            bucket = block.dot(weights).astype(np.int64)
-            frames.append(pd.DataFrame({
-                "vec_id": batch["vec_id"],
-                "table": t,
-                "bucket": bucket,
-                "vec": list(normed),
-            }))
-        return pd.concat(frames, ignore_index=True)
+            buckets[:, t] = block.dot(weights)
+        return pd.DataFrame({
+            "vec_id": np.repeat(batch["vec_id"].to_numpy(), n_tables),
+            "table": np.tile(np.arange(n_tables, dtype=np.int64), n),
+            "bucket": buckets.ravel(),
+        })
 
     def bucket_pairs_block(block: pd.DataFrame) -> pd.DataFrame:
-        frames = []
+        a_out, b_out = [], []
         dup = block[block.duplicated(["table", "bucket"], keep=False)]
         dropped = 0
         for _, g in dup.groupby(["table", "bucket"], sort=False):
-            g = g.sort_values("vec_id")
-            if len(g) > cap:
-                dropped += len(g) - cap
-                g = g.head(cap)
-            ids = g["vec_id"].to_numpy()
-            m = np.stack(g["vec"].to_numpy())
-            sims = m @ m.T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            mask = sims[iu, ju] >= threshold
-            frames.append(pd.DataFrame({
-                "vec_a": ids[iu[mask]], "vec_b": ids[ju[mask]],
-                "cosine": sims[iu, ju][mask].astype(np.float64)}))
+            ids = np.sort(g["vec_id"].unique())
+            if ids.size > cap:
+                dropped += ids.size - cap
+                ids = ids[:cap]
+            if ids.size < 2:
+                continue
+            iu, ju = np.triu_indices(ids.size, k=1)
+            a_out.append(ids[iu])
+            b_out.append(ids[ju])
         if dropped:
             logger.warning("embedding LSH bucket cap=%d truncated %d vecs",
                            cap, dropped)
-        if not frames:
-            return pd.DataFrame({"vec_a": [], "vec_b": [],
-                                 "cosine": pd.Series(dtype="float64")})
-        return pd.concat(frames, ignore_index=True)
+        if not a_out:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"vec_a": np.concatenate(a_out),
+                             "vec_b": np.concatenate(b_out)})
 
-    b = emb_ds.map_batches(bucketize, batch_format="pandas", batch_size=4096)
+    b = emb_ds.map_batches(bucketize, batch_format="pandas",
+                           batch_size=4096)
     pairs = grouped_apply(b, ["table", "bucket"], bucket_pairs_block,
-                          num_partitions=num_partitions)
-    deduped = grouped_apply(pairs, ["vec_a", "vec_b"],
-                            lambda d: d.drop_duplicates(["vec_a", "vec_b"]),
-                            num_partitions=num_partitions)
-    out = deduped.to_pandas()
+                          num_partitions=num_partitions,
+                          single_block=small)
+    pairs = grouped_apply(pairs, ["vec_a", "vec_b"],
+                          lambda d: (d.drop_duplicates(["vec_a", "vec_b"])
+                                     if "vec_a" in d.columns else d),
+                          num_partitions=num_partitions,
+                          single_block=small)
+
+    if n_vecs <= broadcast_threshold:
+        out = _verify_pairs_broadcast(emb_ds, pairs, threshold)
+    else:
+        out = _verify_pairs_joined(emb_ds, pairs, threshold,
+                                   num_partitions=num_partitions)
     if len(out) == 0:
         return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def _normed_matrix(batch: pd.DataFrame, id_filter=None):
+    rows = batch
+    if id_filter is not None:
+        rows = rows[rows["vec_id"].isin(id_filter)]
+    if not len(rows):
+        return None
+    vecs = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+    vecs /= np.clip(np.linalg.norm(vecs, axis=1, keepdims=True),
+                    1e-12, None)
+    return rows["vec_id"].to_numpy(), vecs.astype(np.float32)
+
+
+def _verify_pairs_broadcast(emb_ds, pairs_ds, threshold: float) -> pd.DataFrame:
+    """Exact-cosine verify with the CANDIDATE vectors broadcast once
+    (bounded by the near-dup candidate count, not the corpus)."""
+    import ray
+
+    ids_df = pairs_ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"vec_id": pd.unique(pd.concat([b["vec_a"], b["vec_b"]]))})
+        if "vec_a" in b.columns else
+        pd.DataFrame({"vec_id": pd.Series(dtype="int64")}),
+        batch_format="pandas").to_pandas()
+    cand = (set(ids_df["vec_id"].tolist())
+            if "vec_id" in ids_df.columns else set())
+    if not cand:
+        return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
+    cand_ref = ray.put(cand)
+    mats = emb_ds.map_batches(
+        lambda b: (lambda m: pd.DataFrame(
+            {"vec_id": m[0], "vec": list(m[1])}) if m is not None else
+            pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                          "vec": pd.Series(dtype="object")}))(
+            _normed_matrix(b, ray.get(cand_ref))),
+        batch_format="pandas").to_pandas()
+    lookup_ids = mats["vec_id"].to_numpy()
+    lookup = np.stack(mats["vec"].to_numpy()) if len(mats) else np.empty((0, 1))
+    order = np.argsort(lookup_ids)
+    lookup_ids, lookup = lookup_ids[order], lookup[order]
+    mat_ref = ray.put((lookup_ids, lookup))
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "vec_a" not in b.columns:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        ids, m = ray.get(mat_ref)
+        ia = np.searchsorted(ids, b["vec_a"].to_numpy())
+        ib = np.searchsorted(ids, b["vec_b"].to_numpy())
+        cos = np.einsum("ij,ij->i", m[ia].astype(np.float64),
+                        m[ib].astype(np.float64))
+        out = b.assign(cosine=cos)
+        return out[out["cosine"] >= threshold][["vec_a", "vec_b", "cosine"]]
+
+    return pairs_ds.map_batches(verify, batch_format="pandas").to_pandas()
+
+
+def _verify_pairs_joined(emb_ds, pairs_ds, threshold: float, *,
+                         num_partitions: int | None = None) -> pd.DataFrame:
+    """Exact-cosine verify for candidate sets too large to broadcast:
+    two co-located joins attach each side's normalized vector (the
+    vector table crosses each shuffle exactly once — never T×). Union
+    rows keep int64 keys via -1 sentinels (never NaN-promoted floats),
+    with ``__m`` marking vector rows; vectors travel as float32 BYTES
+    (a plain binary column shuffles cleanly where arrow tensor
+    extension types choke on empty blocks)."""
+    from jerex_ray.functions.aggregate import grouped_apply
+
+    _EMPTY_VEC = b""
+
+    def vec_rows(b: pd.DataFrame) -> pd.DataFrame:
+        m = _normed_matrix(b)
+        if m is None:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "vec": pd.Series(dtype="object")})
+        return pd.DataFrame({"vec_id": m[0],
+                             "vec": [row.tobytes() for row in m[1]]})
+
+    vec_rows_ds = emb_ds.map_batches(vec_rows, batch_format="pandas",
+                                     batch_size=4096)
+
+    def attach(side: str, pairs, carry: list[str]):
+        """One co-located join round: key on ``side``, append that
+        side's vector as a new object column ``v_<side>``."""
+        vcol = "v_" + side
+
+        def tag_pairs(b: pd.DataFrame) -> pd.DataFrame:
+            if b.empty or side not in b.columns:
+                return pd.DataFrame(
+                    {"key": pd.Series(dtype="int64"),
+                     **{c: pd.Series(dtype="int64") for c in
+                        ("vec_a", "vec_b")},
+                     **{c: pd.Series(dtype="object") for c in carry},
+                     "vec": pd.Series(dtype="object"),
+                     "__m": pd.Series(dtype="int8")})
+            out = b.copy()
+            out["key"] = out[side]
+            out["vec"] = [_EMPTY_VEC] * len(out)
+            out["__m"] = np.int8(0)
+            return out[["key", "vec_a", "vec_b", *carry, "vec", "__m"]]
+
+        def tag_vecs(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"key": b["vec_id"]})
+            out["vec_a"] = np.int64(-1)
+            out["vec_b"] = np.int64(-1)
+            for c in carry:
+                out[c] = [_EMPTY_VEC] * len(out)
+            out["vec"] = b["vec"].to_numpy()
+            out["__m"] = np.int8(1)
+            return out
+
+        def join_block(block: pd.DataFrame) -> pd.DataFrame:
+            cols = ["vec_a", "vec_b", *carry, vcol]
+            if block.empty or "__m" not in block.columns:
+                return pd.DataFrame(
+                    {c: pd.Series(dtype="object" if c in carry
+                                  or c == vcol else "int64")
+                     for c in cols})
+            vrows = block[block["__m"] == 1]
+            lookup = dict(zip(vrows["key"].to_numpy(),
+                              vrows["vec"].to_numpy()))
+            prows = block[block["__m"] == 0]
+            keep = prows["key"].isin(lookup)
+            prows = prows[keep]
+            out = prows[["vec_a", "vec_b", *carry]].copy()
+            out[vcol] = [lookup[k] for k in prows["key"].to_numpy()]
+            return out
+
+        return grouped_apply(
+            pairs.map_batches(tag_pairs, batch_format="pandas")
+                 .union(vec_rows_ds.map_batches(tag_vecs,
+                                                batch_format="pandas")),
+            ["key"], join_block, num_partitions=num_partitions)
+
+    with_a = attach("vec_a", pairs_ds, carry=[])
+    with_b = attach("vec_b", with_a, carry=["v_vec_a"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "v_vec_a" not in b.columns \
+                or "v_vec_b" not in b.columns:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        va = np.stack([np.frombuffer(x, dtype=np.float32)
+                       for x in b["v_vec_a"]]).astype(np.float64)
+        vb = np.stack([np.frombuffer(x, dtype=np.float32)
+                       for x in b["v_vec_b"]]).astype(np.float64)
+        cos = np.einsum("ij,ij->i", va, vb)
+        out = b.assign(cosine=cos)
+        return out[out["cosine"] >= threshold][["vec_a", "vec_b", "cosine"]]
+
+    return with_b.map_batches(finish, batch_format="pandas").to_pandas()
 
 
 def embedding_near_dups_exact(emb_ds, *, threshold: float = 0.95) -> pd.DataFrame:
