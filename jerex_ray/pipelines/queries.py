@@ -98,6 +98,33 @@ def kg_train_loss(sf_dir: str):
     return mean.round(6)
 
 
+def kg_train_step(sf_dir: str):
+    """Synchronous data-parallel AdamW training of the head parameters
+    (analytic numpy backward, reference schedule model.py:188-204):
+    three epochs over silver GT; returns the per-epoch corpus-mean
+    loss history. Rows-only: model training is not SQL-expressible;
+    the gradient itself is finite-difference-checked in pytest and the
+    loss must decrease across epochs (asserted here)."""
+    from jerex_ray.pipelines.kg import _with_part_key
+    from jerex_ray.pipelines.train import (silver_gt_from_rule_scorer,
+                                           train_epochs)
+    from jerex_ray.sources.transcripts import read_synthetic_transcripts
+    from jerex_ray.stages.assemble import assemble_documents
+    from jerex_ray.stages.tokenize import tokenize_documents
+    configure_data_context()
+    cfg = _kg_config()
+    n = max(50, _sf_convs(sf_dir) // 16)
+    gt_m, gt_r = silver_gt_from_rule_scorer(
+        read_synthetic_transcripts(n), cfg)
+    tok = tokenize_documents(assemble_documents(_with_part_key(
+        read_synthetic_transcripts(n), cfg)), cfg)
+    hist, _ = train_epochs(tok, gt_m, gt_r, epochs=3, lr=5e-3,
+                           warmup_ratio=0.0, config=cfg)
+    losses = hist["loss"].to_numpy()
+    assert (np.diff(losses) < 0).all(), f"loss not decreasing: {losses}"
+    return hist[["epoch", "n_docs", "loss", "lr"]].round(6)
+
+
 def kg_entities(sf_dir: str):
     from jerex_ray.pipelines.kg import extract_triples
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
@@ -542,6 +569,7 @@ def build_queries() -> dict:
         "kg_triples_numpy": kg_triples_numpy,
         "kg_triples_global": kg_triples_global,
         "kg_train_loss": kg_train_loss,
+        "kg_train_step": kg_train_step,
         "kg_entities": kg_entities,
         "kg_mentions": kg_mentions,
         "kg_eval": kg_eval,

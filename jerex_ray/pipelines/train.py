@@ -44,36 +44,68 @@ class TrainingLossStage:
                                   types=self.types)
         self.knobs = knobs
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from jerex_ray.stages.numpy_scorer import training_step
+    def _doc_steps(self, batch: pa.Table):
+        """Yield (conv_id, doc_id, sample, step_kwargs) per document,
+        iterating the Arrow lists via flat values + offsets (zero-copy
+        numeric slices; no pandas conversion, no iterrows) — same
+        pattern as RuleScorer.__call__."""
+        import pyarrow.compute as pc
+
         from jerex_ray.stages.sampling import sample_document
 
         rel_types = list(self.types.relation_index)
-        out = {k: [] for k in ("conv_id", "doc_id", "loss", "mention_loss",
-                               "coref_loss", "entity_loss", "rel_loss")}
-        pdf = batch.to_pandas()
-        for _, row in pdf.iterrows():
-            conv = row["conv_id"]
+
+        def flat_with_offsets(col, dtype=None):
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+            vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            if dtype is not None:
+                vals = vals.astype(dtype)
+            return vals, offs
+
+        phrase_vals, phrase_offs = flat_with_offsets(batch["tok_phrase"])
+        sent_vals, sent_offs = flat_with_offsets(batch["tok_sent"], np.int32)
+        soff_vals, soff_offs = flat_with_offsets(batch["sent_tok_off"],
+                                                 np.int32)
+        enc_vals, enc_offs = flat_with_offsets(batch["encoding"], np.int32)
+        ss_vals, ss_offs = flat_with_offsets(batch["tok_sub_start"], np.int64)
+        se_vals, se_offs = flat_with_offsets(batch["tok_sub_end"], np.int64)
+        conv_ids = batch["conv_id"].to_pylist()
+        doc_ids = batch["doc_id"].to_pylist()
+
+        for d in range(batch.num_rows):
+            conv, doc_id = conv_ids[d], doc_ids[d]
             # GT coordinates are DOC-scoped: a conversation chunked at
             # the 700-sub-word ceiling has per-chunk sentence/cluster
             # indices, so lookup is by doc_id first (silver GT is
             # emitted per chunk); plain conv_id works for unchunked
             # externally-annotated corpora
             gt_m, gt_r, cl_types = self._gt.get(
-                row["doc_id"], self._gt.get(conv, ([], [], [])))
+                doc_id, self._gt.get(conv, ([], [], [])))
             sample = sample_document(
-                conv_id=conv, phrases=list(row["tok_phrase"]),
-                tok_sent=np.asarray(row["tok_sent"], np.int32),
-                sent_tok_off=np.asarray(row["sent_tok_off"], np.int32),
+                conv_id=conv,
+                phrases=phrase_vals[phrase_offs[d]:phrase_offs[d + 1]]
+                .tolist(),
+                tok_sent=sent_vals[sent_offs[d]:sent_offs[d + 1]],
+                sent_tok_off=soff_vals[soff_offs[d]:soff_offs[d + 1]],
                 gt_mentions=gt_m, gt_relations=gt_r,
                 relation_types=rel_types, **self.knobs)
-            losses = training_step(
-                self.scorer, encoding=np.asarray(row["encoding"], np.int32),
-                sub_start=np.asarray(row["tok_sub_start"], np.int64),
-                sub_end=np.asarray(row["tok_sub_end"], np.int64),
-                sample=sample, entity_type_targets=cl_types)
+            yield conv, doc_id, sample, {
+                "encoding": enc_vals[enc_offs[d]:enc_offs[d + 1]],
+                "sub_start": ss_vals[ss_offs[d]:ss_offs[d + 1]],
+                "sub_end": se_vals[se_offs[d]:se_offs[d + 1]],
+                "entity_type_targets": cl_types,
+            }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from jerex_ray.stages.numpy_scorer import training_step
+
+        out = {k: [] for k in ("conv_id", "doc_id", "loss", "mention_loss",
+                               "coref_loss", "entity_loss", "rel_loss")}
+        for conv, doc_id, sample, kw in self._doc_steps(batch):
+            losses = training_step(self.scorer, sample=sample, **kw)
             out["conv_id"].append(conv)
-            out["doc_id"].append(row["doc_id"])
+            out["doc_id"].append(doc_id)
             for k in ("loss", "mention_loss", "coref_loss", "entity_loss",
                       "rel_loss"):
                 out[k].append(float(losses.get(k, 0.0)))
@@ -83,6 +115,49 @@ class TrainingLossStage:
             **{k: pa.array(out[k], pa.float64())
                for k in ("loss", "mention_loss", "coref_loss",
                          "entity_loss", "rel_loss")},
+        })
+
+
+class TrainingGradStage(TrainingLossStage):
+    """Actor-pool UDF for one SYNCHRONOUS data-parallel training step:
+    per document, cached forward → joint masked loss → analytic
+    backward over the head parameters; the batch's gradients and
+    losses are pre-reduced inside the actor (the combiner pattern) and
+    emitted as ONE flat row — only #batches tiny rows reach the
+    reducer, never per-doc gradient tensors. ``weights_ref`` broadcasts
+    the current weights once per actor per step."""
+
+    def __init__(self, gt_ref, *, weights_ref=None, **kwargs):
+        super().__init__(gt_ref, **kwargs)
+        if weights_ref is not None:
+            import ray
+            self.scorer.set_weights(ray.get(weights_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from jerex_ray.stages.numpy_scorer import (flatten_grads,
+                                                   training_step_grads)
+
+        grad_sum = None
+        loss_sums = {k: 0.0 for k in ("loss", "mention_loss", "coref_loss",
+                                      "entity_loss", "rel_loss")}
+        n = 0
+        for conv, doc_id, sample, kw in self._doc_steps(batch):
+            losses, grads = training_step_grads(self.scorer, sample=sample,
+                                                **kw)
+            flat = flatten_grads(grads)
+            grad_sum = flat if grad_sum is None else grad_sum + flat
+            for k in loss_sums:
+                loss_sums[k] += float(losses.get(k, 0.0))
+            n += 1
+        if grad_sum is None:
+            from jerex_ray.stages.numpy_scorer import _zero_grads
+            grad_sum = flatten_grads(_zero_grads(self.scorer))
+        return pa.table({
+            "n_docs": pa.array([n], pa.int64()),
+            **{k + "_sum": pa.array([loss_sums[k]], pa.float64())
+               for k in loss_sums},
+            "grad": pa.array([grad_sum.tolist()],
+                             pa.list_(pa.float64())),
         })
 
 
@@ -158,8 +233,137 @@ def training_objective(tokenized_ds, gt_mentions: pa.Table,
     return per_doc, mean
 
 
+def train_epochs(tokenized_ds, gt_mentions: pa.Table,
+                 gt_relations: pa.Table, *, epochs: int = 3,
+                 lr: float = 5e-5, weight_decay: float = 0.01,
+                 warmup_ratio: float = 0.1,
+                 types: TypeVocabulary | None = None,
+                 config: PipelineConfig | None = None,
+                 variant: str = "multi_instance", seed: int = 13,
+                 concurrency=(1, 4), **knobs):
+    """Synchronous data-parallel training of the HEAD parameters: per
+    epoch, every document's analytic gradient is computed in the actor
+    pool (pre-reduced per batch), summed in one tiny aggregate, and
+    applied by driver-side AdamW under the reference's linear
+    warmup/decay schedule (``model.py:188-204``, lr/decay defaults
+    ``configs.py:88-92``); updated weights broadcast via ``ray.put``
+    for the next epoch. The frozen encoder stand-in mirrors the
+    reference's BERT-vs-heads split. Returns (history DataFrame with
+    the per-epoch corpus-mean loss BEFORE each update, trained
+    weights dict)."""
+    import ray
+
+    from jerex_ray.functions.optim import AdamW
+    from jerex_ray.stages.numpy_scorer import (TRAINABLE, NumpyScorer,
+                                               unflatten_grads)
+
+    gt_ref = ray.put(build_gt_dict(gt_mentions, gt_relations, types))
+    template = NumpyScorer(config or PipelineConfig(), variant=variant,
+                           seed=seed, types=types)
+    weights = template.get_weights(TRAINABLE)
+    opt = AdamW(weights, lr=lr, weight_decay=weight_decay,
+                warmup=int(warmup_ratio * epochs), total=epochs)
+    tokenized_ds = tokenized_ds.materialize()
+
+    hist = {"epoch": [], "n_docs": [], "loss": [], "mention_loss": [],
+            "coref_loss": [], "entity_loss": [], "rel_loss": [], "lr": []}
+    for ep in range(epochs):
+        wref = ray.put({n: w.copy() for n, w in weights.items()})
+        rows = tokenized_ds.map_batches(
+            TrainingGradStage, batch_format="pyarrow", batch_size=64,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"gt_ref": gt_ref, "weights_ref": wref,
+                                   "types": types, "config": config,
+                                   "variant": variant, "seed": seed,
+                                   **knobs}).to_pandas()
+        n = int(rows["n_docs"].sum())
+        if n == 0:
+            break
+        grad = np.sum(np.stack([np.asarray(g, np.float64)
+                                for g in rows["grad"]]), axis=0) / n
+        hist["epoch"].append(ep)
+        hist["n_docs"].append(n)
+        for k in ("loss", "mention_loss", "coref_loss", "entity_loss",
+                  "rel_loss"):
+            hist[k].append(float(rows[k + "_sum"].sum()) / n)
+        hist["lr"].append(opt.step(unflatten_grads(grad, template)))
+    return pd.DataFrame(hist), weights
+
+
+def _explode_gt_mentions(batch: pa.Table) -> pa.Table:
+    """Scored docs → silver GT mention rows, vectorized with pyarrow
+    list offsets + numpy gathers (no per-row Python). Coordinates are
+    re-based to sentence-relative via the passthrough ``sent_tok_off``
+    column; GT is keyed by DOC id (chunk-scoped — sentence/cluster
+    indices are chunk-local for conversations chunked at the
+    700-sub-word ceiling)."""
+    import pyarrow.compute as pc
+
+    n_m = pc.list_value_length(batch["m_start"]) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(batch["m_start"])), n_m)
+
+    def flat(col, dtype=np.int64):
+        return pc.list_flatten(batch[col]) \
+            .to_numpy(zero_copy_only=False).astype(dtype)
+
+    m_start, m_end = flat("m_start"), flat("m_end")
+    m_sent, m_cluster = flat("m_sent"), flat("m_cluster")
+
+    # sentence base offset per mention: index the flattened offsets
+    soff_lens = pc.list_value_length(batch["sent_tok_off"]) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    soff_starts = np.concatenate(([0], np.cumsum(soff_lens)[:-1]))
+    soff_vals = flat("sent_tok_off")
+    base = soff_vals[soff_starts[doc_idx] + m_sent] \
+        if len(doc_idx) else np.empty(0, np.int64)
+
+    # cluster entity type per mention (guard out-of-range with "PER",
+    # matching the driver-loop predecessor)
+    cl_lens = pc.list_value_length(batch["cl_type"]) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    cl_starts = np.concatenate(([0], np.cumsum(cl_lens)[:-1]))
+    cl_vals = pc.list_flatten(batch["cl_type"]).to_pylist()
+    cl_vals.append("PER")
+    in_range = (m_cluster >= 0) & (m_cluster < cl_lens[doc_idx]) \
+        if len(doc_idx) else np.empty(0, bool)
+    type_idx = np.where(in_range, cl_starts[doc_idx] + m_cluster,
+                        len(cl_vals) - 1)
+    etypes = [cl_vals[i] for i in type_idx]
+
+    conv = pc.take(batch["doc_id"].combine_chunks()
+                   if hasattr(batch["doc_id"], "combine_chunks")
+                   else batch["doc_id"], pa.array(doc_idx))
+    return pa.table({
+        "conv_id": pc.cast(conv, pa.string()),
+        "cluster": pa.array(m_cluster, pa.int32()),
+        "sent_id": pa.array(m_sent, pa.int32()),
+        "start": pa.array(m_start - base, pa.int32()),
+        "end": pa.array(m_end - base, pa.int32()),
+        "entity_type": pa.array(etypes, pa.string()),
+    })
+
+
+def _explode_gt_relations(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    n_r = pc.list_value_length(batch["r_head"]) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(batch["r_head"])), n_r)
+    conv = pc.take(batch["doc_id"].combine_chunks()
+                   if hasattr(batch["doc_id"], "combine_chunks")
+                   else batch["doc_id"], pa.array(doc_idx))
+    return pa.table({
+        "conv_id": pc.cast(conv, pa.string()),
+        "head": pc.cast(pc.list_flatten(batch["r_head"]), pa.int32()),
+        "tail": pc.cast(pc.list_flatten(batch["r_tail"]), pa.int32()),
+        "pred": pc.cast(pc.list_flatten(batch["r_type"]), pa.string()),
+    })
+
+
 def silver_gt_from_rule_scorer(transcripts_ds,
-                               config: PipelineConfig | None = None):
+                               config: PipelineConfig | None = None,
+                               output_dir: str | None = None):
     """Silver ground truth distilled from the frozen RuleScorer: its
     mentions/clusters/relations become the GT tables the training
     objective consumes (a distillation-style setup; real corpora
@@ -167,11 +371,14 @@ def silver_gt_from_rule_scorer(transcripts_ds,
     gt_relations) arrow tables with conv-level (sentence-relative)
     mention coordinates.
 
-    Scale note: GT is the BROADCAST side of the training stage by
-    contract (one dict shipped to every actor), so this helper may
-    collect it — annotated corpora are mention-table sized, not
-    transcript sized. For GT too large to broadcast, shard the
-    training run by conv-id range and broadcast per shard."""
+    The distillation is a DISTRIBUTED map_batches explode over the
+    scored Dataset — the full scored corpus never materializes on the
+    driver; only the GT tables (mention-table sized, the broadcast
+    side of training by contract) are collected. ``output_dir`` also
+    writes them as partitioned parquet (``mentions/``, ``relations/``)
+    so a training run can broadcast from file instead of recomputing.
+    For GT too large to broadcast, shard the training run by conv-id
+    range and broadcast per shard."""
     from jerex_ray.pipelines.kg import _with_part_key
     from jerex_ray.stages.assemble import assemble_documents
     from jerex_ray.stages.scorer import score_documents
@@ -179,51 +386,31 @@ def silver_gt_from_rule_scorer(transcripts_ds,
 
     cfg = config or PipelineConfig()
     docs = assemble_documents(_with_part_key(transcripts_ds, cfg))
-    tok = tokenize_documents(docs, cfg).materialize()
-    offs = {r["doc_id"]: np.asarray(r["sent_tok_off"], np.int64)
-            for r in tok.select_columns(
-                ["doc_id", "sent_tok_off"]).to_pandas().to_dict("records")}
-    scored = score_documents(tok, cfg).to_pandas()
+    tok = tokenize_documents(docs, cfg)
+    scored = score_documents(tok, cfg).materialize()
 
-    m_rows = {"conv_id": [], "cluster": [], "sent_id": [], "start": [],
-              "end": [], "entity_type": []}
-    r_rows = {"conv_id": [], "head": [], "tail": [], "pred": []}
-    for _, row in scored.iterrows():
-        # key the GT by DOC id (= conv_id, or conv#k for chunked
-        # conversations): sentence/cluster indices are chunk-local, so
-        # chunk-scoped GT is the only coordinate-consistent keying
-        conv = row["doc_id"]
-        off = offs[row["doc_id"]]
-        # scored mentions carry doc-word offsets; GT tables use
-        # sentence-relative coordinates (the sampler re-bases them)
-        for s, e, sent, cl in zip(row["m_start"], row["m_end"],
-                                  row["m_sent"], row["m_cluster"]):
-            base = int(off[int(sent)])
-            m_rows["conv_id"].append(conv)
-            m_rows["cluster"].append(int(cl))
-            m_rows["sent_id"].append(int(sent))
-            m_rows["start"].append(int(s) - base)
-            m_rows["end"].append(int(e) - base)
-            m_rows["entity_type"].append(
-                row["cl_type"][int(cl)]
-                if 0 <= int(cl) < len(row["cl_type"]) else "PER")
-        for h, t, r in zip(row["r_head"], row["r_tail"], row["r_type"]):
-            r_rows["conv_id"].append(conv)
-            r_rows["head"].append(int(h))
-            r_rows["tail"].append(int(t))
-            r_rows["pred"].append(r)
-    gt_m = pa.table({
-        "conv_id": pa.array(m_rows["conv_id"], pa.string()),
-        "cluster": pa.array(m_rows["cluster"], pa.int32()),
-        "sent_id": pa.array(m_rows["sent_id"], pa.int32()),
-        "start": pa.array(m_rows["start"], pa.int32()),
-        "end": pa.array(m_rows["end"], pa.int32()),
-        "entity_type": pa.array(m_rows["entity_type"], pa.string()),
-    })
-    gt_r = pa.table({
-        "conv_id": pa.array(r_rows["conv_id"], pa.string()),
-        "head": pa.array(r_rows["head"], pa.int32()),
-        "tail": pa.array(r_rows["tail"], pa.int32()),
-        "pred": pa.array(r_rows["pred"], pa.string()),
-    })
+    gt_m_ds = scored.map_batches(_explode_gt_mentions,
+                                 batch_format="pyarrow")
+    gt_r_ds = scored.map_batches(_explode_gt_relations,
+                                 batch_format="pyarrow")
+    if output_dir:
+        gt_m_ds.write_parquet(f"{output_dir}/mentions")
+        gt_r_ds.write_parquet(f"{output_dir}/relations")
+
+    def collect_typed(ds, schema: pa.Schema) -> pa.Table:
+        # an all-empty Dataset surfaces SCHEMA-LESS through to_pandas —
+        # fall back to the declared schema so consumers keep columns
+        pdf = ds.to_pandas()
+        if not set(schema.names) <= set(pdf.columns):
+            return schema.empty_table()
+        return pa.Table.from_pandas(pdf[list(schema.names)], schema=schema,
+                                    preserve_index=False)
+
+    gt_m = collect_typed(gt_m_ds, pa.schema([
+        ("conv_id", pa.string()), ("cluster", pa.int32()),
+        ("sent_id", pa.int32()), ("start", pa.int32()),
+        ("end", pa.int32()), ("entity_type", pa.string())]))
+    gt_r = collect_typed(gt_r_ds, pa.schema([
+        ("conv_id", pa.string()), ("head", pa.int32()),
+        ("tail", pa.int32()), ("pred", pa.string())]))
     return gt_m, gt_r

@@ -227,6 +227,18 @@ class NumpyScorer(RuleScorer):
             for n in self._WEIGHT_NAMES:
                 setattr(self, n, z[n])
 
+    def set_weights(self, weights: dict) -> None:
+        """Override a subset of weights in place (the per-step weight
+        broadcast of the synchronous data-parallel training loop)."""
+        for n, w in weights.items():
+            if n not in self._WEIGHT_NAMES:
+                raise KeyError(f"unknown weight {n!r}")
+            setattr(self, n, np.array(w, copy=True))
+
+    def get_weights(self, names=None) -> dict:
+        return {n: np.array(getattr(self, n), copy=True)
+                for n in (names or self._WEIGHT_NAMES)}
+
     # --- frozen encoder ---
 
     def _embed(self, encoding: np.ndarray) -> np.ndarray:
@@ -472,7 +484,8 @@ class NumpyScorer(RuleScorer):
 
 
 def forward_train(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
-                  tensors: dict, entity_type_targets) -> dict:
+                  tensors: dict, entity_type_targets,
+                  cache: dict | None = None) -> dict:
     """The reference's ``_forward_train`` (``joint_models.py:176-199``)
     over T10 tensors: logits for the SAMPLED structures (pos+neg
     mentions, coref pairs, GT clusters, pos+neg entity pairs) with the
@@ -503,22 +516,25 @@ def forward_train(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
     reprs = scorer._mention_reprs(h, ss, se)
 
     sizes = np.clip(t["mention_sizes"], 0, _SIZE_EMB - 1)
-    x = np.concatenate([reprs, scorer.E_size[sizes]], axis=1)
-    mention_logits = (_relu(x @ scorer.W_ml1 + scorer.b_ml1)
-                      @ scorer.W_ml2 + scorer.b_ml2).ravel()
+    x_ml = np.concatenate([reprs, scorer.E_size[sizes]], axis=1)
+    z_ml = x_ml @ scorer.W_ml1 + scorer.b_ml1
+    mention_logits = (_relu(z_ml) @ scorer.W_ml2 + scorer.b_ml2).ravel()
 
     # coref pairs index the sampled mention rows (positives first)
     pairs = t["coref_mention_pairs"]
     eds = np.clip(t["coref_eds"], 0, _ED_EMB - 1)
     P = len(pairs)
     coref_logits = np.empty(P)
+    x_co = np.empty((P, 2 * scorer.H + scorer.M))
+    z_co = np.empty((P, scorer.H))
     max_pairs = cfg.max_coref_pairs or P
     for i in range(0, P, max_pairs):          # the J4 chunk loop
         sl = slice(i, i + max_pairs)
         xc = np.concatenate([reprs[pairs[sl, 0]], reprs[pairs[sl, 1]],
                              scorer.E_ed[eds[sl]]], axis=1)
-        coref_logits[sl] = (_relu(xc @ scorer.W_co1 + scorer.b_co1)
-                            @ scorer.W_co2 + scorer.b_co2).ravel()
+        zc = xc @ scorer.W_co1 + scorer.b_co1
+        coref_logits[sl] = (_relu(zc) @ scorer.W_co2 + scorer.b_co2).ravel()
+        x_co[sl], z_co[sl] = xc, zc
 
     # entity (cluster) reprs: masked max over member mention reprs
     ents, emasks = t["entities"], t["entity_masks"]
@@ -526,8 +542,8 @@ def forward_train(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
     gathered = np.where(emasks[:, :, None], gathered, -1e30)
     ent_reprs = gathered.max(axis=1)
     ent_reprs[~emasks.any(axis=1)] = 0.0
-    entity_logits = (_relu(ent_reprs @ scorer.W_ec1 + scorer.b_ec1)
-                     @ scorer.W_ec2 + scorer.b_ec2)
+    z_ec = ent_reprs @ scorer.W_ec1 + scorer.b_ec1
+    entity_logits = _relu(z_ec) @ scorer.W_ec2 + scorer.b_ec2
 
     # relations: GT entity types (training convention,
     # joint_models.py:192-193), T9 structures, J9 chunked loop
@@ -545,8 +561,10 @@ def forward_train(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
                              ent_reprs[np.clip(rp[:, 1], 0, len(ent_reprs) - 1)],
                              scorer.E_etype[head_t],
                              scorer.E_etype[tail_t]], axis=1)
-        ep = _relu(xg @ scorer.W_gpair + scorer.b_gpair)
-        rel_logits = ep @ scorer.W_grel + scorer.b_grel
+        z_g = xg @ scorer.W_gpair + scorer.b_gpair
+        rel_logits = _relu(z_g) @ scorer.W_grel + scorer.b_grel
+        if cache is not None:
+            cache.update(xg=xg, z_g=z_g)
     else:
         ep_cat = np.concatenate(
             [ent_reprs[np.clip(rp[:, 0], 0, len(ent_reprs) - 1)],
@@ -567,6 +585,7 @@ def forward_train(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
         mp_a_idx = np.minimum(mp[:, 0], n_m - 1) if n_mp else mp[:, 0]
         mp_b_idx = np.minimum(mp[:, 1], n_m - 1) if n_mp else mp[:, 1]
         ep_idx = np.minimum(mp_ep, max(n_p - 1, 0))
+        x_pair = np.empty((n_mp, 5 * scorer.H + 2 * scorer.M))
         for i in range(0, n_mp, max_rel):     # the J9 chunk loop
             sl = slice(i, min(i + max_rel, n_mp))
             ctx = _segment_max(h, ctx_a[sl], ctx_b[sl], scorer.H)
@@ -576,18 +595,30 @@ def forward_train(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
                 scorer.E_tokdist[td[sl]],
                 scorer.E_sentdist[sd[sl]]], axis=1)
             local[sl] = x @ scorer.W_pair + scorer.b_pair
+            x_pair[sl] = x
 
         # multi-instance max-pool per entity pair via the index maps
         ep_mp, pmask = t["rel_entity_pair_mp"], t["rel_pair_masks"]
-        pooled = local[np.clip(ep_mp, 0, max(n_mp - 1, 0))]
-        pooled = np.where(pmask[:, :, None], pooled, -1e30)
-        pooled = pooled.max(axis=1)
-        pooled[~pmask.any(axis=1)] = 0.0
+        ep_mp_c = np.clip(ep_mp, 0, max(n_mp - 1, 0))
+        gathered_mp = np.where(pmask[:, :, None], local[ep_mp_c], -1e30)
+        pool_arg = gathered_mp.argmax(axis=1)          # (n_p, H)
+        pooled = gathered_mp.max(axis=1)
+        has_mp = pmask.any(axis=1)
+        pooled[~has_mp] = 0.0
         xr = np.concatenate([pooled, scorer.E_etype[head_t],
                              scorer.E_etype[tail_t]], axis=1)
-        rel_logits = _relu(xr @ scorer.W_rel1 + scorer.b_rel1) \
-            @ scorer.W_rel2 + scorer.b_rel2
+        z_r = xr @ scorer.W_rel1 + scorer.b_rel1
+        rel_logits = _relu(z_r) @ scorer.W_rel2 + scorer.b_rel2
+        if cache is not None:
+            cache.update(x_pair=x_pair, local=local, ep_mp_c=ep_mp_c,
+                         pool_arg=pool_arg, has_mp=has_mp, xr=xr, z_r=z_r,
+                         td=td, sd=sd, n_mp=n_mp)
 
+    if cache is not None:
+        cache.update(x_ml=x_ml, z_ml=z_ml, sizes=sizes,
+                     pairs=pairs, eds=eds, x_co=x_co, z_co=z_co,
+                     ent_reprs=ent_reprs, z_ec=z_ec,
+                     head_t=head_t, tail_t=tail_t)
     return {
         "mention_logits": mention_logits,
         "coref_logits": coref_logits,
@@ -639,3 +670,194 @@ def training_step(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
         rel_logits=logits["rel_logits"],
         rel_targets=t["rel_types"],
         rel_mask=t["rel_sample_masks"])
+
+
+# --- analytic backward pass over the HEAD parameters ---
+#
+# The encoder stand-in (E_word, E_pos) stays FROZEN, mirroring the
+# reference's BERT-vs-heads separation when fine-tuning only heads;
+# consequently every gradient path ENDS at the mention
+# representations (they are functions of frozen h only), and each
+# head's backward is self-contained given its cached forward
+# intermediates. Loss gradients follow loss.py:11-88 exactly:
+# masked-mean BCE (sigmoid(x) − t), masked-mean softmax CE
+# (softmax − onehot), multi-label BCE summed over types — each scaled
+# by its task weight (configs.py:71-77).
+
+TRAINABLE = ("E_size", "E_ed", "E_tokdist", "E_sentdist", "E_etype",
+             "W_ml1", "b_ml1", "W_ml2", "b_ml2",
+             "W_co1", "b_co1", "W_co2", "b_co2",
+             "W_ec1", "b_ec1", "W_ec2", "b_ec2",
+             "W_pair", "b_pair", "W_rel1", "b_rel1", "W_rel2", "b_rel2",
+             "W_gpair", "b_gpair", "W_grel", "b_grel")
+
+
+def _zero_grads(scorer: NumpyScorer) -> dict:
+    return {n: np.zeros_like(getattr(scorer, n)) for n in TRAINABLE}
+
+
+def flatten_grads(grads: dict) -> np.ndarray:
+    """Fixed-order flat vector (one Arrow list cell per batch row)."""
+    return np.concatenate([np.asarray(grads[n], np.float64).ravel()
+                           for n in TRAINABLE])
+
+
+def unflatten_grads(flat: np.ndarray, scorer: NumpyScorer) -> dict:
+    out, off = {}, 0
+    for n in TRAINABLE:
+        shape = getattr(scorer, n).shape
+        size = int(np.prod(shape))
+        out[n] = flat[off:off + size].reshape(shape)
+        off += size
+    return out
+
+
+def _mlp_backward(dlogits, x, z, W1, W2, grads, names):
+    """Backward through logits = relu(x@W1+b1)@W2+b2. Accumulates into
+    ``grads`` under ``names`` = (W1, b1, W2, b2); returns dx."""
+    nW1, nb1, nW2, nb2 = names
+    a1 = _relu(z)
+    grads[nW2] += a1.T @ dlogits
+    grads[nb2] += dlogits.sum(axis=0)
+    dz = (dlogits @ W2.T) * (z > 0)
+    grads[nW1] += x.T @ dz
+    grads[nb1] += dz.sum(axis=0)
+    return dz @ W1.T
+
+
+def backward_train(scorer: NumpyScorer, *, tensors: dict, cache: dict,
+                   entity_type_targets,
+                   task_weights=None) -> dict:
+    """Gradients of the joint masked loss w.r.t. every TRAINABLE head
+    parameter, given the ``cache`` filled by ``forward_train``.
+    Max-pools route gradient to the (first) argmax element, relu uses
+    the z>0 subgradient — matching torch autograd conventions."""
+    from jerex_ray.functions.losses import DEFAULT_TASK_WEIGHTS
+
+    w = task_weights or DEFAULT_TASK_WEIGHTS
+    t = tensors
+    H, M = scorer.H, scorer.M
+    g = _zero_grads(scorer)
+
+    # --- mention head ---
+    m_mask = np.asarray(t["mention_sample_masks"], np.float64)
+    if m_mask.sum() > 0:
+        logits = (_relu(cache["z_ml"]) @ scorer.W_ml2
+                  + scorer.b_ml2).ravel()
+        dl = (_sigmoid(logits) - np.asarray(t["mention_types"], np.float64))
+        dl = (dl * m_mask / m_mask.sum() * w[0])[:, None]
+        dx = _mlp_backward(dl, cache["x_ml"], cache["z_ml"],
+                           scorer.W_ml1, scorer.W_ml2, g,
+                           ("W_ml1", "b_ml1", "W_ml2", "b_ml2"))
+        np.add.at(g["E_size"], cache["sizes"], dx[:, H:])
+
+    # --- coref head ---
+    c_mask = np.asarray(t["coref_sample_masks"], np.float64)
+    if c_mask.sum() > 0:
+        logits = (_relu(cache["z_co"]) @ scorer.W_co2
+                  + scorer.b_co2).ravel()
+        dl = (_sigmoid(logits) - np.asarray(t["coref_types"], np.float64))
+        dl = (dl * c_mask / c_mask.sum() * w[1])[:, None]
+        dx = _mlp_backward(dl, cache["x_co"], cache["z_co"],
+                           scorer.W_co1, scorer.W_co2, g,
+                           ("W_co1", "b_co1", "W_co2", "b_co2"))
+        np.add.at(g["E_ed"], cache["eds"], dx[:, 2 * H:])
+
+    # --- entity head (softmax CE; input ent_reprs is frozen-derived) ---
+    e_mask = np.asarray(t["entity_sample_masks"], np.float64)
+    if e_mask.sum() > 0:
+        logits = _relu(cache["z_ec"]) @ scorer.W_ec2 + scorer.b_ec2
+        probs = _softmax(logits)
+        et = np.clip(np.asarray(entity_type_targets, np.int64).ravel(),
+                     0, logits.shape[1] - 1)
+        if et.size != logits.shape[0]:
+            et = np.zeros(logits.shape[0], dtype=np.int64)
+        onehot = np.zeros_like(probs)
+        onehot[np.arange(len(et)), et] = 1.0
+        dl = (probs - onehot) * (e_mask / e_mask.sum() * w[2])[:, None]
+        _mlp_backward(dl, cache["ent_reprs"], cache["z_ec"],
+                      scorer.W_ec1, scorer.W_ec2, g,
+                      ("W_ec1", "b_ec1", "W_ec2", "b_ec2"))
+
+    # --- relation head ---
+    r_mask = np.asarray(t["rel_sample_masks"], np.float64)
+    if r_mask.sum() > 0:
+        scale = r_mask / r_mask.sum() * w[3]
+        targets = np.asarray(t["rel_types"], np.float64)
+        head_t, tail_t = cache["head_t"], cache["tail_t"]
+        if scorer.variant == "global":
+            logits = _relu(cache["z_g"]) @ scorer.W_grel + scorer.b_grel
+            dl = (_sigmoid(logits) - targets) * scale[:, None]
+            dx = _mlp_backward(dl, cache["xg"], cache["z_g"],
+                               scorer.W_gpair, scorer.W_grel, g,
+                               ("W_gpair", "b_gpair", "W_grel", "b_grel"))
+            np.add.at(g["E_etype"], head_t, dx[:, 2 * H:2 * H + M])
+            np.add.at(g["E_etype"], tail_t, dx[:, 2 * H + M:])
+        else:
+            logits = _relu(cache["z_r"]) @ scorer.W_rel2 + scorer.b_rel2
+            dl = (_sigmoid(logits) - targets) * scale[:, None]
+            dxr = _mlp_backward(dl, cache["xr"], cache["z_r"],
+                                scorer.W_rel1, scorer.W_rel2, g,
+                                ("W_rel1", "b_rel1", "W_rel2", "b_rel2"))
+            np.add.at(g["E_etype"], head_t, dxr[:, H:H + M])
+            np.add.at(g["E_etype"], tail_t, dxr[:, H + M:])
+            # max-pool backward: route each (pair, dim) gradient to the
+            # argmax mention-pair row; pairs with no valid mention pair
+            # pooled a constant 0 ⇒ no gradient
+            dpooled = dxr[:, :H] * cache["has_mp"][:, None]
+            n_p = len(dpooled)
+            if n_p and cache["n_mp"]:
+                rows = np.take_along_axis(
+                    cache["ep_mp_c"], cache["pool_arg"], axis=1)  # (n_p, H)
+                dlocal = np.zeros_like(cache["local"])
+                cols = np.tile(np.arange(H), n_p)
+                np.add.at(dlocal, (rows.ravel(), cols), dpooled.ravel())
+                # local = x_pair @ W_pair + b_pair (no relu)
+                g["W_pair"] += cache["x_pair"].T @ dlocal
+                g["b_pair"] += dlocal.sum(axis=0)
+                dxp = dlocal @ scorer.W_pair.T
+                np.add.at(g["E_tokdist"], cache["td"],
+                          dxp[:, 5 * H:5 * H + M])
+                np.add.at(g["E_sentdist"], cache["sd"],
+                          dxp[:, 5 * H + M:])
+    return g
+
+
+def training_step_grads(scorer: NumpyScorer, *, encoding, sub_start,
+                        sub_end, sample: dict, entity_type_targets,
+                        n_relation_types: int | None = None
+                        ) -> tuple[dict, dict]:
+    """One document's (losses, gradients): T10 tensorization → cached
+    ``forward_train`` → joint masked loss → ``backward_train``."""
+    from jerex_ray.functions.losses import joint_loss
+    from jerex_ray.stages.sampling import tensorize_document
+
+    nR = n_relation_types or len(scorer.relation_names)
+    t = tensorize_document(sample, ctx_size=scorer.config.context_size,
+                           n_relation_types=nR)
+    cache: dict = {}
+    logits = forward_train(scorer, encoding=encoding, sub_start=sub_start,
+                           sub_end=sub_end, tensors=t,
+                           entity_type_targets=entity_type_targets,
+                           cache=cache)
+    et = np.clip(np.asarray(entity_type_targets, dtype=np.int64).ravel(),
+                 0, len(scorer.entity_names) - 1)
+    n_ent = len(logits["entity_logits"])
+    if et.size != n_ent:
+        et = np.zeros(n_ent, dtype=np.int64)
+    losses = joint_loss(
+        mention_logits=logits["mention_logits"],
+        mention_targets=t["mention_types"],
+        mention_mask=t["mention_sample_masks"],
+        coref_logits=logits["coref_logits"],
+        coref_targets=t["coref_types"],
+        coref_mask=t["coref_sample_masks"],
+        entity_logits=logits["entity_logits"],
+        entity_targets=et,
+        entity_mask=t["entity_sample_masks"],
+        rel_logits=logits["rel_logits"],
+        rel_targets=t["rel_types"],
+        rel_mask=t["rel_sample_masks"])
+    grads = backward_train(scorer, tensors=t, cache=cache,
+                           entity_type_targets=et)
+    return losses, grads

@@ -233,7 +233,7 @@ class RuleScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {k: [] for k in (
-            "doc_id", "conv_id", "part_key",
+            "doc_id", "conv_id", "part_key", "sent_tok_off",
             "m_start", "m_end", "m_sent", "m_cluster",
             "cl_rep", "cl_type", "cl_size",
             "r_head", "r_tail", "r_type", "r_score", "r_evidence")}
@@ -282,6 +282,10 @@ class RuleScorer:
             out["doc_id"].append(doc_ids[d])
             out["conv_id"].append(conv_ids[d])
             out["part_key"].append(part_keys[d])
+            # sentence offsets pass through so downstream explodes can
+            # re-base doc-word coords without re-joining the tokenized
+            # table (silver-GT distillation)
+            out["sent_tok_off"].append(sent_off.tolist())
             out["m_start"].append([m[0] for m in mentions])
             out["m_end"].append([m[1] for m in mentions])
             out["m_sent"].append([m[2] for m in mentions])
@@ -299,6 +303,8 @@ class RuleScorer:
             "doc_id": pa.array(out["doc_id"], pa.string()),
             "conv_id": pa.array(out["conv_id"], pa.string()),
             "part_key": pa.array(out["part_key"], pa.int32()),
+            "sent_tok_off": pa.array(out["sent_tok_off"],
+                                     pa.list_(pa.int32())),
             "m_start": pa.array(out["m_start"], pa.list_(pa.int32())),
             "m_end": pa.array(out["m_end"], pa.list_(pa.int32())),
             "m_sent": pa.array(out["m_sent"], pa.list_(pa.int32())),

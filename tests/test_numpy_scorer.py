@@ -211,3 +211,69 @@ def test_training_step_empty_document_zero_loss():
                         sub_start=np.arange(3), sub_end=np.arange(1, 4),
                         sample=sample, entity_type_targets=[])
     assert out["loss"] == 0.0
+
+
+# ---- analytic backward pass vs finite differences ----
+
+def _loss_of(sc, sample, enc, ss, se, et):
+    from jerex_ray.stages.numpy_scorer import training_step
+    return training_step(sc, encoding=enc, sub_start=ss, sub_end=se,
+                         sample=sample, entity_type_targets=et)["loss"]
+
+
+def _gradient_check(variant):
+    from jerex_ray.stages.numpy_scorer import (TRAINABLE,
+                                               training_step_grads)
+    sample, enc, ss, se, et = _train_doc()
+    sc = NumpyScorer(_cfg(), variant=variant)
+    _, grads = training_step_grads(sc, encoding=enc, sub_start=ss,
+                                   sub_end=se, sample=sample,
+                                   entity_type_targets=et)
+    rng = np.random.default_rng(0)
+    eps = 1e-6
+    checked = 0
+    for name in TRAINABLE:
+        flat = getattr(sc, name).reshape(-1)
+        for i in rng.choice(flat.size, size=min(3, flat.size),
+                            replace=False):
+            orig = flat[i]
+            flat[i] = orig + eps
+            lp = _loss_of(sc, sample, enc, ss, se, et)
+            flat[i] = orig - eps
+            lm = _loss_of(sc, sample, enc, ss, se, et)
+            flat[i] = orig
+            num = (lp - lm) / (2 * eps)
+            ana = grads[name].reshape(-1)[i]
+            assert abs(num - ana) < 1e-6 + 1e-4 * abs(ana), \
+                f"{name}[{i}]: numeric {num} vs analytic {ana}"
+            checked += 1
+    assert checked >= 60
+
+
+def test_backward_matches_finite_differences_multi_instance():
+    """Every trainable head parameter's analytic gradient matches a
+    central finite difference of the joint masked loss."""
+    _gradient_check("multi_instance")
+
+
+def test_backward_matches_finite_differences_global():
+    _gradient_check("global")
+
+
+def test_adamw_linear_schedule():
+    """AdamW warmup/decay factors follow the reference schedule
+    (transformers get_linear_schedule_with_warmup) and decoupled decay
+    skips bias parameters."""
+    from jerex_ray.functions.optim import AdamW, linear_warmup_lr
+    assert linear_warmup_lr(0, base_lr=1.0, warmup=2, total=10) == 0.0
+    assert linear_warmup_lr(1, base_lr=1.0, warmup=2, total=10) == 0.5
+    assert linear_warmup_lr(2, base_lr=1.0, warmup=2, total=10) == 1.0
+    assert linear_warmup_lr(6, base_lr=1.0, warmup=2, total=10) == 0.5
+    assert linear_warmup_lr(10, base_lr=1.0, warmup=2, total=10) == 0.0
+
+    params = {"W_x": np.ones(3), "b_x": np.ones(3)}
+    opt = AdamW(params, lr=0.1, weight_decay=0.5)
+    opt.step({"W_x": np.zeros(3), "b_x": np.zeros(3)})
+    # zero gradient: only decoupled decay moves W, never the bias
+    assert np.all(params["W_x"] < 1.0)
+    assert np.all(params["b_x"] == 1.0)
