@@ -1,33 +1,187 @@
 """Multimodal column plumbing: opaque binary payloads with typed
 metadata, processed by actor-pool stages.
 
-The container ships no image/audio codecs, so the decode kernels are
-STUBS (deterministic fakes clearly marked below) — but the Ray-side
-plumbing is real and tested: schema (``payload: binary`` + metadata
-columns), small batches for wide rows, actor-pool stage shape, and the
-output layout a real decoder would produce. Swap ``_decode_image`` /
-``_decode_audio`` for PIL/librosa kernels when the libs exist.
+The decode kernels are REAL pure-python/numpy codecs for formats whose
+specs are public and simple enough to implement without external libs
+(this container ships no PIL/librosa):
+
+* images — PPM (P6 binary, netpbm spec) and BMP (24-bit uncompressed
+  Windows BITMAPINFOHEADER); dispatch on the magic bytes;
+* audio — PCM16 WAV via the stdlib ``wave`` module.
+
+Payloads in other formats (JPEG/PNG/MP3/…) raise ``ValueError`` from
+the decoders, surfaced as ``decode_ok=False`` rows — the slot where a
+PIL/ffmpeg kernel drops in unchanged. The Ray-side plumbing is the
+production shape: ``payload: binary`` + metadata columns, small
+batches for wide rows, actor-pool stages with per-actor setup.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
+
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
-from jerex_ray.util import stable_hash32
 
+# ---------- image codecs (pure python/numpy, public formats) ----------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM (P6)."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("PPM P6 needs 3 channels")
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (H, W, 3) uint8. Handles whitespace and
+    ``#`` comments in the header per the netpbm spec."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(data[start:pos]))
+    pos += 1                                  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    need = w * h * 3
+    raster = data[pos:pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit uncompressed BMP (bottom-up BGR
+    rows padded to 4 bytes, BITMAPINFOHEADER)."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("BMP writer needs 3 channels")
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    bgr = np.ascontiguousarray(img[::-1, :, ::-1], dtype=np.uint8)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, :w * 3] = bgr.reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (H, W, 3) uint8 RGB."""
+    if not data.startswith(b"BM") or len(data) < 54:
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    flipped = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    need = row_bytes * h
+    raster = data[offset:offset + need]
+    if len(raster) != need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, row_bytes)
+    bgr = rows[:, :w * 3].reshape(h, w, 3)
+    img = bgr[:, :, ::-1]
+    return img[::-1] if flipped else img
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes; raises ValueError for anything that is
+    not a supported format (the caller records decode_ok=False)."""
+    if not payload:
+        raise ValueError("empty image payload")
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
+    raise ValueError("unsupported image format (PPM/BMP implemented; "
+                     "JPEG/PNG need an external codec)")
+
+
+# ---------- audio codec (stdlib wave, PCM16) ----------
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples → WAV bytes."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (int16 mono samples, sample rate). Multi-channel
+    input is averaged to mono."""
+    if not payload:
+        raise ValueError("empty audio payload")
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            nch, width, rate = (wf.getnchannels(), wf.getsampwidth(),
+                                wf.getframerate())
+            if width != 2:
+                raise ValueError("only PCM16 WAV supported")
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError, struct.error) as e:
+        raise ValueError(f"not a WAV payload: {e}") from e
+    samples = np.frombuffer(raw, dtype="<i2")
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1).astype(np.int16)
+    return samples, rate
+
+
+# ---------- synthetic media (REAL encoded payloads) ----------
 
 def synth_media_table(n: int, *, kind: str = "image", seed: int = 21) -> pa.Table:
-    """Deterministic synthetic media rows (payload = seeded bytes)."""
+    """Deterministic synthetic media rows with REAL payloads: images
+    alternate PPM/BMP encodings of seeded pixels; audio rows are PCM16
+    WAV of a seeded sine + noise at 8 kHz."""
     rng = np.random.default_rng(seed)
     payloads, widths, heights, durations = [], [], [], []
     for i in range(n):
-        size = int(rng.integers(64, 2048))
-        payloads.append(rng.integers(0, 256, size=size, dtype=np.uint8).tobytes())
-        widths.append(int(rng.integers(16, 512)))
-        heights.append(int(rng.integers(16, 512)))
-        durations.append(float(rng.random() * 30))
+        if kind == "audio":
+            dur = float(rng.random() * 8 + 0.5)
+            rate = 8000
+            t = np.arange(int(dur * rate)) / rate
+            freq = float(rng.integers(100, 1000))
+            wave_f = (np.sin(2 * np.pi * freq * t) * 8000
+                      + rng.normal(0, 500, t.size))
+            payloads.append(encode_wav(wave_f.astype(np.int16), rate))
+            widths.append(0)
+            heights.append(0)
+            durations.append(dur)
+        else:
+            w = int(rng.integers(16, 96))
+            h = int(rng.integers(16, 96))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(img) if i % 2 == 0
+                            else encode_bmp(img))
+            widths.append(w)
+            heights.append(h)
+            durations.append(0.0)
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
         "kind": pa.array([kind] * n, pa.string()),
@@ -38,20 +192,13 @@ def synth_media_table(n: int, *, kind: str = "image", seed: int = 21) -> pa.Tabl
     })
 
 
-def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decode — deterministic fake pixels derived from the payload
-    hash. A real implementation raises on undecodable bytes; keep that
-    contract by validating payload length."""
-    if not payload:
-        raise ValueError("empty image payload")
-    rng = np.random.default_rng(stable_hash32(payload[:64]))
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
-
+# ---------- actor-pool stages ----------
 
 class ImageFeatures:
-    """Actor stage: decode → resize → global feature vector.
+    """Actor stage: decode → nearest-neighbor resize → global feature
+    vector (per-channel means of the resized image).
 
-    Real-world shape: model/codec loaded once in __init__, small
+    Real-world shape: codec/model state built once in __init__, small
     batches (wide binary rows), numpy work per batch."""
 
     def __init__(self, *, target: int = 32):
@@ -59,18 +206,15 @@ class ImageFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, ok = [], []
-        payloads = batch["payload"].to_pylist()
-        widths = batch["width"].to_pylist()
-        heights = batch["height"].to_pylist()
-        for p, w, h in zip(payloads, widths, heights):
+        for p in batch["payload"].to_pylist():
             try:
-                img = _decode_image(p, w, h)
+                img = _decode_image(p)
+                h, w = img.shape[:2]
                 t = self.target
-                # nearest-neighbor resize (pure numpy)
                 yi = (np.arange(t) * h // t)
                 xi = (np.arange(t) * w // t)
                 small = img[yi][:, xi]
-                feat = small.mean(axis=(0, 1)).astype(np.float32)  # RGB means
+                feat = small.mean(axis=(0, 1)).astype(np.float32)
                 feats.append(feat.tolist())
                 ok.append(True)
             except ValueError:
@@ -84,31 +228,42 @@ class ImageFeatures:
 
 
 class AudioFrames:
-    """Actor stage: frame-sample an audio payload (stubbed decode).
-
-    Emits one row per sampled frame — a flat_map-shaped output built
-    vectorized inside map_batches."""
+    """Actor stage: decode WAV → one row per sampled frame with its
+    RMS energy (frame length = 1/fps seconds) — a flat_map-shaped
+    output built vectorized inside map_batches."""
 
     def __init__(self, *, fps: float = 1.0):
         self.fps = fps
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        media_ids, frame_idxs, energies = [], [], []
+        media_ids, frame_idxs, energies, oks = [], [], [], []
         ids = batch["media_id"].to_pylist()
-        durs = batch["duration_s"].to_pylist()
-        payloads = batch["payload"].to_pylist()
-        for mid, dur, p in zip(ids, durs, payloads):
-            n_frames = max(1, int(dur * self.fps))
-            rng = np.random.default_rng(stable_hash32(p[:64] if p else b"x"))
-            vals = rng.random(n_frames)          # STUB frame energies
-            for fi in range(n_frames):
+        for mid, p in zip(ids, batch["payload"].to_pylist()):
+            try:
+                samples, rate = decode_wav(p)
+            except ValueError:
                 media_ids.append(mid)
-                frame_idxs.append(fi)
-                energies.append(float(vals[fi]))
+                frame_idxs.append(0)
+                energies.append(0.0)
+                oks.append(False)
+                continue
+            frame_len = max(1, int(rate / self.fps))
+            n_frames = max(1, int(np.ceil(samples.size / frame_len)))
+            x = samples.astype(np.float64)
+            pad = n_frames * frame_len - x.size
+            if pad:
+                x = np.concatenate([x, np.zeros(pad)])
+            rms = np.sqrt((x.reshape(n_frames, frame_len) ** 2)
+                          .mean(axis=1))
+            media_ids.extend([mid] * n_frames)
+            frame_idxs.extend(range(n_frames))
+            energies.extend(rms.astype(np.float32).tolist())
+            oks.extend([True] * n_frames)
         return pa.table({
             "media_id": pa.array(media_ids, pa.int64()),
             "frame_idx": pa.array(frame_idxs, pa.int32()),
             "energy": pa.array(energies, pa.float32()),
+            "decode_ok": pa.array(oks, pa.bool_()),
         })
 
 

@@ -125,6 +125,40 @@ def kg_train_step(sf_dir: str):
     return hist[["epoch", "n_docs", "loss", "lr"]].round(6)
 
 
+def media_image_features(sf_dir: str):
+    """Actor-pool image decode (REAL pure-python PPM/BMP codecs) →
+    resize → per-channel mean features over a deterministic synthetic
+    media table (no media parquet in the driver's tables). Rows-only:
+    binary codecs are not SQL-expressible; round-trip exactness is
+    pytest-gated (test_multimodal_codec_roundtrips)."""
+    import ray.data as rd
+
+    from jerex_ray.ops.multimodal import image_features, synth_media_table
+    configure_data_context()
+    n = max(50, _sf_convs(sf_dir) // 4)
+    media = rd.from_arrow(synth_media_table(n, kind="image"))
+    out = image_features(media).to_pandas()
+    assert out["decode_ok"].all()
+    return out.drop(columns=["decode_ok"]) \
+        .sort_values("media_id").reset_index(drop=True)
+
+
+def media_audio_frames(sf_dir: str):
+    """Actor-pool WAV decode (stdlib wave) → per-second RMS energy
+    frames (flat_map-shaped). Rows-only, pytest-gated like the image
+    path."""
+    import ray.data as rd
+
+    from jerex_ray.ops.multimodal import audio_frames, synth_media_table
+    configure_data_context()
+    n = max(50, _sf_convs(sf_dir) // 8)
+    media = rd.from_arrow(synth_media_table(n, kind="audio"))
+    out = audio_frames(media).to_pandas()
+    assert out["decode_ok"].all()
+    return out.drop(columns=["decode_ok"]) \
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def kg_entities(sf_dir: str):
     from jerex_ray.pipelines.kg import extract_triples
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
@@ -570,6 +604,8 @@ def build_queries() -> dict:
         "kg_triples_global": kg_triples_global,
         "kg_train_loss": kg_train_loss,
         "kg_train_step": kg_train_step,
+        "media_image_features": media_image_features,
+        "media_audio_frames": media_audio_frames,
         "kg_entities": kg_entities,
         "kg_mentions": kg_mentions,
         "kg_eval": kg_eval,
