@@ -77,41 +77,50 @@ def _relu(x):
     return np.maximum(x, 0.0)
 
 
-def _segment_max(h: np.ndarray, a: np.ndarray, b: np.ndarray, H: int,
-                 budget: int = 1 << 18) -> np.ndarray:
-    """Max-pool ``h[a_k:b_k]`` per segment k as ONE vectorized op:
-    concatenate all segment indices and ``np.maximum.reduceat`` at the
-    segment starts — the numpy analogue of the reference processing a
-    chunk as one tensor op (``mention_representation.py:16-22``).
-    Empty segments (b ≤ a) keep a zero row (the reference's −1e30
-    additive mask saturates to the same). ``budget`` bounds the
-    concatenated gather (rows of h replicated across overlapping
-    segments) so a pathological chunk of whole-context segments cannot
-    allocate an unbounded scratch matrix."""
+def _sparse_max_table(h: np.ndarray) -> list[np.ndarray]:
+    """Sparse table for O(1) range-max queries over the rows of ``h``:
+    ``st[k][i] = max(h[i : i + 2^k])`` elementwise. Build is
+    O(T log T · H) once per document; every J1/J9 interval max then
+    costs two gathers + one elementwise maximum — replacing the
+    concatenated-gather reduceat, whose work grew with the SUM of
+    interval lengths (the dominant cost for J9's wide between-contexts
+    × thousands of mention pairs)."""
+    st = [h]
+    T = h.shape[0]
+    k = 1
+    while (1 << k) <= T:
+        prev = st[-1]
+        half = 1 << (k - 1)
+        n = T - (1 << k) + 1
+        st.append(np.maximum(prev[:n], prev[half:half + n]))
+        k += 1
+    return st
+
+
+def _range_max(st: list[np.ndarray], a: np.ndarray, b: np.ndarray,
+               H: int) -> np.ndarray:
+    """Max-pool ``h[a_k:b_k]`` per row via the sparse table; empty
+    ranges (b ≤ a) give zero rows (the reference's additive −1e30 mask
+    saturates to the same)."""
     n = len(a)
     out = np.zeros((n, H))
     if n == 0:
         return out
-    T = h.shape[0]
+    T = st[0].shape[0]
     a = np.clip(np.asarray(a, dtype=np.int64), 0, T)
     b = np.clip(np.asarray(b, dtype=np.int64), 0, T)
     lens = b - a
     valid = np.flatnonzero(lens > 0)
     if valid.size == 0:
         return out
-    offsets = np.concatenate(([0], np.cumsum(lens[valid])))
-    start = 0
-    while start < valid.size:
-        stop = int(np.searchsorted(offsets, offsets[start] + budget,
-                                   side="right")) - 1
-        stop = max(stop, start + 1)          # always ≥ one segment
-        rows = valid[start:stop]
-        L = lens[rows]
-        seg_starts = np.concatenate(([0], np.cumsum(L)[:-1]))
-        flat = (np.arange(int(L.sum())) - np.repeat(seg_starts, L)
-                + np.repeat(a[rows], L))
-        out[rows] = np.maximum.reduceat(h[flat], seg_starts, axis=0)
-        start = stop
+    av, bv = a[valid], b[valid]
+    # exact floor(log2(len)) via frexp (len = m·2^e, 0.5 ≤ m < 1)
+    _, exp = np.frexp((bv - av).astype(np.float64))
+    ks = exp.astype(np.int64) - 1
+    for k in np.unique(ks):
+        m = ks == k
+        s = st[k]
+        out[valid[m]] = np.maximum(s[av[m]], s[bv[m] - (1 << int(k))])
     return out
 
 
@@ -266,16 +275,18 @@ class NumpyScorer(RuleScorer):
 
     # --- J1: chunked masked max-pool ---
 
-    def _mention_reprs(self, h: np.ndarray, ss: np.ndarray,
+    def _mention_reprs(self, st: list[np.ndarray], ss: np.ndarray,
                        se: np.ndarray) -> np.ndarray:
+        """``st`` is the per-doc sparse max table
+        (``_sparse_max_table(h)``)."""
         n = len(ss)
         out = np.zeros((n, self.H))
         max_spans = self.config.max_spans or n
         for i in range(0, n, max_spans):          # the J1 chunk loop
             sl = slice(i, min(i + max_spans, n))
-            # the whole chunk pools as one reduceat, mirroring the
-            # reference's single masked-max tensor op per chunk
-            out[sl] = _segment_max(h, ss[sl], se[sl], self.H)
+            # the whole chunk pools as one range-max query batch,
+            # mirroring the reference's single masked-max tensor op
+            out[sl] = _range_max(st, ss[sl], se[sl], self.H)
         return out
 
     # --- the full per-document forward pass ---
@@ -288,13 +299,14 @@ class NumpyScorer(RuleScorer):
             return [], [], [], [], []
 
         h = self._embed(encoding)
+        st = _sparse_max_table(h)
         sub_start = np.asarray(sub_start, dtype=np.int64)
         sub_end = np.asarray(sub_end, dtype=np.int64)
         cand_ss = sub_start[starts]
         cand_se = sub_end[ends - 1]
 
         # J1 + J2: mention localization
-        reprs = self._mention_reprs(h, cand_ss, cand_se)
+        reprs = self._mention_reprs(st, cand_ss, cand_se)
         sizes = np.clip(ends - starts, 0, _SIZE_EMB - 1)
         x = np.concatenate([reprs, self.E_size[sizes]], axis=1)
         ml_logits = (_relu(x @ self.W_ml1 + self.b_ml1)
@@ -374,30 +386,34 @@ class NumpyScorer(RuleScorer):
         else:
             relations = self._relations_multi_instance(
                 clusters, ent_reprs, etype_idx, mentions, v_reprs,
-                v_ss, v_se, h)
+                v_ss, v_se, st)
         return mentions, clusters, reps, types, relations
 
     # --- J8 + J9: multi-instance relation classification ---
 
     def _relations_multi_instance(self, clusters, ent_reprs, etype_idx,
-                                  mentions, v_reprs, v_ss, v_se, h):
+                                  mentions, v_reprs, v_ss, v_se, st):
         cfg = self.config
         nC = len(clusters)
         if nC < 2:
             return []
 
-        # J8: ordered cluster pairs × mention cross products, built with
-        # repeat/tile per pair (reference order: m1 outer, m2 inner)
+        # J8: ordered cluster pairs × mention cross products, built as
+        # ONE flat arithmetic construction (reference order preserved:
+        # entity pairs row-major, m1 outer / m2 inner within a pair)
         memb = [np.asarray(c, dtype=np.int64) for c in clusters]
         sizes = np.asarray([m.size for m in memb], dtype=np.int64)
+        mem_flat = np.concatenate(memb)
+        cs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
         heads, tails = np.where(~np.eye(nC, dtype=bool))   # row-major
-        mp_a = np.concatenate([np.repeat(memb[i1], sizes[i2])
-                               for i1, i2 in zip(heads, tails)])
-        mp_b = np.concatenate([np.tile(memb[i2], sizes[i1])
-                               for i1, i2 in zip(heads, tails)])
         ep_counts = sizes[heads] * sizes[tails]
+        P = int(ep_counts.sum())
         mp_ep = np.repeat(np.arange(len(heads), dtype=np.int64), ep_counts)
-        P = len(mp_a)
+        ep_offsets = np.concatenate(([0], np.cumsum(ep_counts)[:-1]))
+        within = np.arange(P, dtype=np.int64) - ep_offsets[mp_ep]
+        s2_of = sizes[tails][mp_ep]
+        mp_a = mem_flat[cs[heads][mp_ep] + within // s2_of]
+        mp_b = mem_flat[cs[tails][mp_ep] + within % s2_of]
 
         # between-context interval per mention pair (create_rel_mask,
         # sampling_common.py:325-330: sub-word coordinates)
@@ -426,18 +442,18 @@ class NumpyScorer(RuleScorer):
                                   axis=1)
 
         # J9 chunked mention-pair representations — each chunk is ONE
-        # segment-max + ONE feature-matrix assembly + ONE matmul, the
-        # numpy mirror of the reference's per-chunk tensor op
-        # (relation_classification_multi_instance.py:32-51)
+        # range-max query batch + ONE feature-matrix assembly + ONE
+        # matmul, the numpy mirror of the reference's per-chunk tensor
+        # op (relation_classification_multi_instance.py:32-51)
         local = np.empty((P, self.H))
         max_pairs = cfg.max_rel_pairs or P
-        T = h.shape[0]
+        T = st[0].shape[0]
         for i in range(0, P, max_pairs):          # the J9 chunk loop
             sl = slice(i, min(i + max_pairs, P))
             # adjacent/overlapping spans ⇒ empty interval ⇒ zero ctx
             # vector (relation_classification_multi_instance.py:78)
-            ctx = _segment_max(h, ctx_start[sl],
-                               np.minimum(ctx_end[sl], T), self.H)
+            ctx = _range_max(st, ctx_start[sl],
+                             np.minimum(ctx_end[sl], T), self.H)
             x = np.concatenate([
                 ctx, v_reprs[mp_a[sl]], v_reprs[mp_b[sl]],
                 ep_reprs[mp_ep[sl]],
@@ -500,6 +516,7 @@ def forward_train(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
     cfg = scorer.config
     t = tensors
     h = scorer._embed(encoding)
+    st = _sparse_max_table(h)
     T = h.shape[0]
     sub_start = np.asarray(sub_start, dtype=np.int64)
     sub_end = np.asarray(sub_end, dtype=np.int64)
@@ -513,7 +530,7 @@ def forward_train(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
                   sub_start[np.minimum(spans[:, 0], len(sub_start) - 1)], 0)
     se = np.where(spans[:, 1] > spans[:, 0],
                   sub_end[np.minimum(spans[:, 1] - 1, len(sub_end) - 1)], T)
-    reprs = scorer._mention_reprs(h, ss, se)
+    reprs = scorer._mention_reprs(st, ss, se)
 
     sizes = np.clip(t["mention_sizes"], 0, _SIZE_EMB - 1)
     x_ml = np.concatenate([reprs, scorer.E_size[sizes]], axis=1)
@@ -588,7 +605,7 @@ def forward_train(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
         x_pair = np.empty((n_mp, 5 * scorer.H + 2 * scorer.M))
         for i in range(0, n_mp, max_rel):     # the J9 chunk loop
             sl = slice(i, min(i + max_rel, n_mp))
-            ctx = _segment_max(h, ctx_a[sl], ctx_b[sl], scorer.H)
+            ctx = _range_max(st, ctx_a[sl], ctx_b[sl], scorer.H)
             x = np.concatenate([
                 ctx, reprs[mp_a_idx[sl]], reprs[mp_b_idx[sl]],
                 ep_cat[ep_idx[sl]],

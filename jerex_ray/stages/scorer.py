@@ -320,31 +320,183 @@ class RuleScorer:
         })
 
 
-class HFScorer(RuleScorer):
-    """The real-model actor (GPU path). Not runnable in this sandbox
-    (no torch/transformers); kept as the documented drop-in: load the
-    checkpoint ONCE per actor in ``__init__``, batch-pad inside
-    ``__call__`` with ``jerex_ray.util.padded_stack``, and schedule the
-    pool with ``map_batches(HFScorer, concurrency=N, num_gpus=1,
-    batch_size=B)`` — weights never leave the actor, blocks stay Arrow
-    outside it (reference model load: ``model.py:356-362``; forward:
-    ``joint_models.py:202-244``)."""
+# torch-Linear stores (out, in); the numpy heads store (in, out).
+# Maps reference checkpoint state-dict entries (module names from
+# jerex/models/modules/*.py) onto NumpyScorer weight attributes.
+_HF_WEIGHT_MAP = {
+    "mention_localization.linear.weight": ("W_ml1", True),
+    "mention_localization.linear.bias": ("b_ml1", False),
+    "mention_localization.mention_classifier.weight": ("W_ml2", True),
+    "mention_localization.mention_classifier.bias": ("b_ml2", False),
+    "mention_localization.size_embeddings.weight": ("E_size", False),
+    "coreference_resolution.coref_linear.weight": ("W_co1", True),
+    "coreference_resolution.coref_linear.bias": ("b_co1", False),
+    "coreference_resolution.coref_classifier.weight": ("W_co2", True),
+    "coreference_resolution.coref_classifier.bias": ("b_co2", False),
+    "coreference_resolution.coref_ed_embeddings.weight": ("E_ed", False),
+    "entity_classification.linear.weight": ("W_ec1", True),
+    "entity_classification.linear.bias": ("b_ec1", False),
+    "entity_classification.entity_classifier.weight": ("W_ec2", True),
+    "entity_classification.entity_classifier.bias": ("b_ec2", False),
+    "relation_classification.pair_linear.weight": ("W_pair", True),
+    "relation_classification.pair_linear.bias": ("b_pair", False),
+    "relation_classification.rel_linear.weight": ("W_rel1", True),
+    "relation_classification.rel_linear.bias": ("b_rel1", False),
+    "relation_classification.token_distance_embeddings.weight":
+        ("E_tokdist", False),
+    "relation_classification.sentence_distance_embeddings.weight":
+        ("E_sentdist", False),
+    "relation_classification.entity_type_embeddings.weight":
+        ("E_etype", False),
+    # global variant (JointGlobalModel): parametrized entity-pair repr
+    # + flat classifier (entity_pair_representation.py:10-11,
+    # relation_classification_global.py:8)
+    "entity_pair_representation.entity_pair_linear.weight":
+        ("W_gpair", True),
+    "entity_pair_representation.entity_pair_linear.bias":
+        ("b_gpair", False),
+    "entity_pair_representation.entity_embeddings.weight":
+        ("E_etype", False),
+}
 
-    def __init__(self, config=None, *, checkpoint_path: str = ""):
-        super().__init__(config)
+
+def load_head_weights_from_state_dict(scorer, state_dict: dict,
+                                      prefix: str = "model.") -> int:
+    """Copy every recognized HEAD weight from a reference checkpoint
+    state dict (name → numpy array) into the scorer's numpy head
+    slots, transposing torch Linear layouts. Encoder (``bert.*``)
+    entries are ignored here — the torch encoder consumes them.
+    Returns the number of mapped tensors. Pure numpy, so the mapping
+    itself is testable without torch."""
+    import numpy as np
+
+    # rel_classifier names the FINAL linear of whichever relation
+    # module the checkpoint's model type uses — multi-instance
+    # (W_rel2) or global (W_grel); resolve by the scorer's variant
+    variant = getattr(scorer, "variant", "multi_instance")
+    final = ("W_rel2", "b_rel2") if variant == "multi_instance" \
+        else ("W_grel", "b_grel")
+    mapping = dict(_HF_WEIGHT_MAP)
+    mapping["relation_classification.rel_classifier.weight"] = \
+        (final[0], True)
+    mapping["relation_classification.rel_classifier.bias"] = \
+        (final[1], False)
+
+    mapped = 0
+    for key, arr in state_dict.items():
+        name = key[len(prefix):] if key.startswith(prefix) else key
+        target = mapping.get(name)
+        if target is None:
+            continue
+        attr, transpose = target
+        w = np.asarray(arr, dtype=np.float64)
+        setattr(scorer, attr, w.T.copy() if transpose else w.copy())
+        mapped += 1
+    return mapped
+
+
+class HFScorer:
+    """The real-checkpoint actor (GPU path): torch BERT encoder + the
+    reference's trained head weights running through the SAME numpy
+    head dataflow as :class:`NumpyScorer` (which reproduces
+    ``joint_models.py:202-244`` including the max_spans /
+    max_coref_pairs / max_rel_pairs chunk caps). Per actor, ONCE in
+    ``__init__``: tokenizer + encoder load, head weights copied out of
+    the checkpoint into numpy; per batch only tensor math runs.
+    Schedule with ``map_batches(HFScorer, concurrency=N, num_gpus=1,
+    batch_size=B)`` — weights never leave the actor, blocks stay
+    Arrow outside it (reference load: ``model.py:356-362``).
+
+    Not runnable in this sandbox (no torch/transformers) — the guard
+    raises NotImplementedError; the import-skipped test in
+    ``tests/test_stages.py`` exercises it where torch exists, and the
+    checkpoint weight MAPPING is tested torch-free. NOTE: a real run
+    also swaps the whitespace stub in ``stages/tokenize.py`` for the
+    checkpoint's tokenizer so sub-word encodings match the encoder."""
+
+    def __new__(cls, config=None, *, checkpoint_path: str = "",
+                variant: str = "multi_instance", device: str = "cpu",
+                types=None):
         try:
             import torch  # noqa: F401
             import transformers  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
                 "HFScorer needs torch+transformers; this sandbox ships "
-                "neither — RuleScorer provides the frozen semantics"
+                "neither — NumpyScorer provides the full head dataflow "
+                "with frozen weights, RuleScorer the frozen semantics"
             ) from e
-        self.checkpoint_path = checkpoint_path
-        # real implementation: tokenizer + BertModel + 7 head modules
-        # loaded here, _score_mentions/_score_coref_pair/_score_relations
-        # overridden with tensor math (chunked by max_spans /
-        # max_coref_pairs / max_rel_pairs as in configs.py:97-130)
+        return super().__new__(cls)
+
+    def __init__(self, config=None, *, checkpoint_path: str = "",
+                 variant: str = "multi_instance", device: str = "cpu",
+                 types=None):
+        import torch
+        import transformers
+
+        from jerex_ray.stages.numpy_scorer import NumpyScorer
+
+        # compose rather than subclass so the guard can fire before
+        # any NumpyScorer weight allocation happens
+        self._impl = NumpyScorer(config, variant=variant, types=types)
+        self.config = self._impl.config
+        self._tokenizer = transformers.AutoTokenizer.from_pretrained(
+            checkpoint_path)
+        self._encoder = transformers.AutoModel.from_pretrained(
+            checkpoint_path).to(device).eval()
+        self._device = device
+        state = torch.load(f"{checkpoint_path}/heads.pt",
+                           map_location="cpu")
+        sd = {k: v.numpy() for k, v in state.items()}
+        n = load_head_weights_from_state_dict(self._impl, sd)
+        if n == 0:
+            raise ValueError("checkpoint contains no recognized head "
+                             "weights")
+        self._impl.H = self._impl.W_ml1.shape[0] - self._impl.E_size.shape[1]
+        self._impl.M = self._impl.E_size.shape[1]
+        impl = self._impl
+        scorer = self
+
+        # real contextual embeddings: BERT last hidden state
+        def _embed(encoding):
+            with torch.no_grad():
+                ids = torch.as_tensor(encoding, dtype=torch.long,
+                                      device=scorer._device)[None]
+                h = scorer._encoder(input_ids=ids)["last_hidden_state"]
+            return h[0].cpu().numpy().astype(np.float64)
+
+        # reference decode hook (misc.py:32-34): tokenizer.decode of
+        # the mention's sub-word slice, stripped
+        def _decode_phrase(phrases, s, e):
+            enc, ss, se = scorer._cur
+            return scorer._tokenizer.decode(
+                enc[ss[s]:se[e - 1]].tolist()).strip()
+
+        orig_score_doc = impl._score_doc
+
+        def _score_doc(phrases, tok_sent, sent_tok_off, conv_id=None,
+                       encoding=None, sub_start=None, sub_end=None):
+            # stash the doc's encoding so the decode hook can slice the
+            # mention's sub-words exactly as the reference does
+            scorer._cur = (np.asarray(encoding),
+                           np.asarray(sub_start, np.int64),
+                           np.asarray(sub_end, np.int64))
+            try:
+                return orig_score_doc(phrases, tok_sent, sent_tok_off,
+                                      conv_id=conv_id, encoding=encoding,
+                                      sub_start=sub_start, sub_end=sub_end)
+            finally:
+                scorer._cur = None
+
+        impl._embed = _embed
+        impl._decode_phrase = _decode_phrase
+        impl._score_doc = _score_doc
+        self._cur = None
+
+    NEEDS_SUBWORDS = True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._impl(batch)
 
 
 def score_documents(ds, config: PipelineConfig | None = None, *,

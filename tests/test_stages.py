@@ -183,3 +183,96 @@ def test_scorer_multi_instance_maxpool_via_coref():
                    [out["cl_rep"][h] for h in out["r_head"]],
                    [out["cl_rep"][t] for t in out["r_tail"]]))
     assert ("uses_tool", "Alice Chen", "GrepTool") in rels
+
+
+# ---- HF checkpoint path (guarded; mapping testable torch-free) ----
+
+def test_hf_weight_mapping_torch_free():
+    """The checkpoint→numpy head-weight mapping (the load half of the
+    real-model path) runs without torch: Linear weights land
+    TRANSPOSED into the (in, out) numpy layout, embeddings land as-is,
+    encoder entries are ignored, and the 'model.' prefix is
+    stripped."""
+    import numpy as np
+
+    from jerex_ray.stages.numpy_scorer import NumpyScorer
+    from jerex_ray.stages.scorer import load_head_weights_from_state_dict
+
+    sc = NumpyScorer()
+    rng = np.random.default_rng(1)
+    w_ml1_torch = rng.standard_normal(sc.W_ml1.T.shape)   # (out, in)
+    e_size = rng.standard_normal(sc.E_size.shape)
+    w_rel2_torch = rng.standard_normal(sc.W_rel2.T.shape)
+    sd = {
+        "model.mention_localization.linear.weight": w_ml1_torch,
+        "model.mention_localization.size_embeddings.weight": e_size,
+        "model.relation_classification.rel_classifier.weight":
+            w_rel2_torch,
+        "model.bert.encoder.layer.0.attention.self.query.weight":
+            rng.standard_normal((4, 4)),                 # ignored
+    }
+    n = load_head_weights_from_state_dict(sc, sd)
+    assert n == 3
+    np.testing.assert_array_equal(sc.W_ml1, w_ml1_torch.T)
+    np.testing.assert_array_equal(sc.E_size, e_size)
+    # rel_classifier resolves by variant: MI → W_rel2, global → W_grel
+    np.testing.assert_array_equal(sc.W_rel2, w_rel2_torch.T)
+    scg = NumpyScorer(variant="global")
+    w_grel_torch = rng.standard_normal(scg.W_grel.T.shape)
+    n = load_head_weights_from_state_dict(
+        scg, {"model.relation_classification.rel_classifier.weight":
+              w_grel_torch})
+    assert n == 1
+    np.testing.assert_array_equal(scg.W_grel, w_grel_torch.T)
+
+
+def test_hf_scorer_guard_without_torch():
+    import pytest
+
+    from jerex_ray.stages.scorer import HFScorer
+    try:
+        import torch  # noqa: F401
+        pytest.skip("torch present; guard not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        HFScorer(checkpoint_path="/nonexistent")
+
+
+def test_hf_scorer_end_to_end_with_torch():
+    """Full real-checkpoint drive — runs only where torch+transformers
+    exist (skipped in this sandbox). Saves a tiny random encoder +
+    head state dict, loads it through HFScorer, and scores the
+    fixture batch through score_documents."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    import tempfile
+
+    import numpy as np
+    import ray.data as rd
+
+    from jerex_ray.config import PipelineConfig
+    from jerex_ray.stages.numpy_scorer import NumpyScorer
+    from jerex_ray.stages.scorer import HFScorer, score_documents
+
+    with tempfile.TemporaryDirectory() as d:
+        cfg = transformers.BertConfig(hidden_size=32, num_hidden_layers=1,
+                                      num_attention_heads=2,
+                                      intermediate_size=64,
+                                      vocab_size=1000)
+        transformers.BertModel(cfg).save_pretrained(d)
+        tok = transformers.BertTokenizerFast(
+            vocab_file=None, tokenizer_file=None)  # minimal tokenizer
+        tok.save_pretrained(d)
+        tmpl = NumpyScorer(PipelineConfig(), hidden_size=32, meta_size=8)
+        heads = {}
+        for key, (attr, transpose) in __import__(
+                "jerex_ray.stages.scorer",
+                fromlist=["_HF_WEIGHT_MAP"])._HF_WEIGHT_MAP.items():
+            w = getattr(tmpl, attr)
+            heads[key] = torch.tensor(w.T if transpose else w)
+        torch.save(heads, f"{d}/heads.pt")
+        sc = HFScorer(PipelineConfig(), checkpoint_path=d)
+        assert sc._impl.H == 32
