@@ -240,14 +240,17 @@ def train_epochs(tokenized_ds, gt_mentions: pa.Table,
                  types: TypeVocabulary | None = None,
                  config: PipelineConfig | None = None,
                  variant: str = "multi_instance", seed: int = 13,
-                 concurrency=(1, 4), **knobs):
+                 concurrency=(1, 4), resample_per_epoch: bool = True,
+                 **knobs):
     """Synchronous data-parallel training of the HEAD parameters: per
     epoch, every document's analytic gradient is computed in the actor
     pool (pre-reduced per batch), summed in one tiny aggregate, and
     applied by driver-side AdamW under the reference's linear
     warmup/decay schedule (``model.py:188-204``, lr/decay defaults
     ``configs.py:88-92``); updated weights broadcast via ``ray.put``
-    for the next epoch. The frozen encoder stand-in mirrors the
+    for the next epoch. ``resample_per_epoch`` re-seeds the negative
+    samplers each epoch, mirroring the reference's fresh sampled
+    dataset per epoch (``data_module.py:114-127``). The frozen encoder stand-in mirrors the
     reference's BERT-vs-heads split. Returns (history DataFrame with
     the per-epoch corpus-mean loss BEFORE each update, trained
     weights dict)."""
@@ -272,10 +275,12 @@ def train_epochs(tokenized_ds, gt_mentions: pa.Table,
         rows = tokenized_ds.map_batches(
             TrainingGradStage, batch_format="pyarrow", batch_size=64,
             concurrency=concurrency,
-            fn_constructor_kwargs={"gt_ref": gt_ref, "weights_ref": wref,
-                                   "types": types, "config": config,
-                                   "variant": variant, "seed": seed,
-                                   **knobs}).to_pandas()
+            fn_constructor_kwargs={
+                "gt_ref": gt_ref, "weights_ref": wref,
+                "types": types, "config": config,
+                "variant": variant, "seed": seed,
+                "epoch": ep if resample_per_epoch else 0,
+                **knobs}).to_pandas()
         n = int(rows["n_docs"].sum())
         if n == 0:
             break

@@ -49,9 +49,16 @@ def sample_document(
     neg_coref_count: int = 200,
     neg_rel_count: int = 200,
     overlap_ratio: float = 0.5,
+    epoch: int = 0,
 ) -> dict:
-    """All samplers for one document; deterministic via conv_seed."""
-    rng = np.random.default_rng(conv_seed(conv_id))
+    """All samplers for one document; deterministic via conv_seed.
+    ``epoch`` re-seeds the negative sampling per training epoch — the
+    engine's analogue of the reference's per-epoch dataset re-sampling
+    (``data_module.py:114-127`` builds a fresh sampled dataset each
+    epoch); epoch 0 reproduces the historical draws exactly."""
+    rng = np.random.default_rng(
+        conv_seed(conv_id) if epoch == 0
+        else [conv_seed(conv_id), epoch])
 
     # --- T1: positive mentions in doc-word coordinates ---
     pos = []

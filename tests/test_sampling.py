@@ -210,3 +210,28 @@ def test_t10_full_document_roundtrip():
     # padded index-map rows gather real mention-pair rows
     assert t["rel_mention_pairs"].shape[0] == len(
         s["rel_mi"]["rel_mention_pairs"])
+
+
+def test_sample_document_epoch_reseeds_negatives():
+    """epoch k>0 draws DIFFERENT negative samples (the reference's
+    per-epoch dataset re-sampling analogue); epoch 0 reproduces the
+    historical draws bit-for-bit."""
+    import numpy as np
+
+    from jerex_ray.stages.sampling import sample_document
+    kwargs = dict(
+        conv_id="conv-ep", phrases=["Alice", "Chen", "joined", "Acme",
+                                    "Corp", "today", "and", "then",
+                                    "left", "again"],
+        tok_sent=np.zeros(10, np.int32),
+        sent_tok_off=np.array([0, 10], np.int32),
+        gt_mentions=[(0, 0, 0, 2), (1, 0, 3, 5)],
+        gt_relations=[(0, 1, "works_at")],
+        relation_types=["works_at", "located_in"],
+        neg_mention_count=5)     # quota < candidates ⇒ draws are random
+    base = sample_document(**kwargs)
+    again = sample_document(**kwargs, epoch=0)
+    assert base["neg_mentions"] == again["neg_mentions"]
+    other = sample_document(**kwargs, epoch=1)
+    assert base["pos_mentions"] == other["pos_mentions"]  # GT unchanged
+    assert base["neg_mentions"] != other["neg_mentions"]
