@@ -49,6 +49,9 @@ def cmd_run(args) -> int:
     if getattr(args, "model_type", "rule") != "rule":
         from jerex_ray.registry import resolve_model
         scorer_cls, scorer_kwargs = resolve_model(args.model_type)
+        if getattr(args, "checkpoint", None):
+            scorer_kwargs = {**(scorer_kwargs or {}),
+                             "checkpoint_path": args.checkpoint}
     metrics = run_kg_pipeline(ds, args.output, cfg, resume=not args.no_resume,
                               scorer_cls=scorer_cls,
                               scorer_kwargs=scorer_kwargs)
@@ -84,6 +87,45 @@ def cmd_report(args) -> int:
     gt = ground_truth_triples(args.gt_convs).to_pandas()
     path = write_examples_report(pred, gt, args.output, limit=args.limit)
     print(json.dumps({"report": path}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_train(args) -> int:
+    """The reference's ``jerex_train.py`` analogue: distill silver GT
+    from the rule scorer (or read annotated GT parquet), then run the
+    synchronous data-parallel AdamW loop over the head parameters and
+    save the trained weights as an .npz checkpoint."""
+    ray = _ray_session()
+    import ray.data as rd
+
+    from jerex_ray.config import PipelineConfig
+    from jerex_ray.pipelines.kg import _with_part_key
+    from jerex_ray.pipelines.train import (silver_gt_from_rule_scorer,
+                                           train_epochs)
+    from jerex_ray.runtime import configure_data_context
+    from jerex_ray.stages.assemble import assemble_documents
+    from jerex_ray.stages.numpy_scorer import NumpyScorer
+    from jerex_ray.stages.tokenize import tokenize_documents
+    configure_data_context()
+    cfg = PipelineConfig()
+    ds = rd.read_parquet(args.input)
+    gt_m, gt_r = silver_gt_from_rule_scorer(rd.read_parquet(args.input),
+                                            cfg)
+    tok = tokenize_documents(
+        assemble_documents(_with_part_key(ds, cfg)), cfg)
+    hist, weights = train_epochs(tok, gt_m, gt_r, epochs=args.epochs,
+                                 lr=args.lr, warmup_ratio=args.warmup,
+                                 config=cfg, variant=args.model_type)
+    model = NumpyScorer(cfg, variant=args.model_type)
+    model.set_weights(weights)
+    model.save_checkpoint(args.checkpoint)
+    print(json.dumps({
+        "checkpoint": args.checkpoint,
+        "epochs": int(len(hist)),
+        "loss_first": round(float(hist["loss"].iloc[0]), 6),
+        "loss_last": round(float(hist["loss"].iloc[-1]), 6),
+    }))
     ray.shutdown()
     return 0
 
@@ -140,6 +182,9 @@ def main(argv=None) -> int:
                    help="scorer from the model registry: rule | "
                         "joint_multi_instance | joint_global | hf "
                         "(reference models/__init__.py:9-24 analogue)")
+    r.add_argument("--checkpoint", default=None,
+                   help=".npz weight checkpoint (from `train`) loaded "
+                        "once per scorer actor")
     r.set_defaults(fn=cmd_run)
 
     e = sub.add_parser("eval", help="triple P/R vs planted ground truth")
@@ -148,6 +193,21 @@ def main(argv=None) -> int:
     e.add_argument("--strict", action="store_true",
                    help="rel_nec variant: entity types must match too")
     e.set_defaults(fn=cmd_eval)
+
+    t = sub.add_parser("train", help="train head weights on silver GT "
+                                     "(AdamW, reference schedule)")
+    t.add_argument("--input", required=True,
+                   help="transcripts parquet (silver GT is distilled "
+                        "from the rule scorer)")
+    t.add_argument("--checkpoint", required=True,
+                   help="output .npz weight checkpoint")
+    t.add_argument("--epochs", type=int, default=3)
+    t.add_argument("--lr", type=float, default=5e-3)
+    t.add_argument("--warmup", type=float, default=0.0,
+                   help="warmup fraction of total epochs")
+    t.add_argument("--model-type", default="multi_instance",
+                   choices=["multi_instance", "global"])
+    t.set_defaults(fn=cmd_train)
 
     d = sub.add_parser("dedup", help="exact / minhash near-dup corpus dedup")
     d.add_argument("--input", required=True,

@@ -130,4 +130,8 @@ def run_kg_pipeline(transcripts_ds, out_dir: str,
         lambda b: write_partition_block(b, out_dir, dedup_triples),
         num_partitions=shuffle_partitions(cfg.num_output_partitions))
     pdf = metrics.to_pandas()  # tiny: one row per partition
+    if "part_key" not in pdf.columns:
+        # a model that extracts zero triples yields an all-empty
+        # metrics Dataset, which collects schema-less (library edge)
+        return empty_metrics
     return pdf.sort_values("part_key").reset_index(drop=True)
