@@ -1,0 +1,81 @@
+"""Deterministic dataset splitting and stratified sampling — the
+train/val/test plumbing of a large-scale training-data pipeline.
+
+Both operators are pure vectorized ``map_batches`` (split) or a
+map + per-group top-k (stratified sample) keyed on the md5-derived
+64-bit hash (``jerex_ray.util.md5_hash64``), chosen so an ANSI-SQL
+oracle recomputes the exact assignment:
+``CAST('0x' || substr(md5(key), 1, 16) AS UBIGINT)``. Hash-based
+splits are the standard at corpus scale: no shuffle, no global state,
+stable under resharding/reruns, and a document keeps its split when
+the corpus grows (unlike fraction-of-row-count splits).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from jerex_ray.util import md5_hash64_batch
+
+
+def assign_split(batch: pd.DataFrame, *, key: str = "doc_id",
+                 fractions: tuple = (0.8, 0.1, 0.1),
+                 names: tuple = ("train", "valid", "test"),
+                 buckets: int = 1_000_000) -> pd.DataFrame:
+    """Add a ``split`` column from the md5 hash of ``key`` modulo
+    ``buckets``: the first ``fractions[0]`` share of bucket space is
+    ``names[0]``, and so on. Fractions are resolved to integer bucket
+    boundaries (floor of the cumulative share)."""
+    if len(fractions) != len(names):
+        raise ValueError("fractions and names must align")
+    bounds = np.floor(np.cumsum(fractions) * buckets).astype(np.int64)
+    bounds[-1] = buckets                       # close the last interval
+    h = md5_hash64_batch(batch[key].astype(str)) % np.uint64(buckets)
+    idx = np.searchsorted(bounds, h.astype(np.int64), side="right")
+    out = batch.copy()
+    out["split"] = np.asarray(names, dtype=object)[np.minimum(
+        idx, len(names) - 1)]
+    return out
+
+
+def hash_split(docs_ds, *, key: str = "doc_id",
+               fractions: tuple = (0.8, 0.1, 0.1),
+               names: tuple = ("train", "valid", "test")):
+    """documents → documents + ``split`` column (no shuffle)."""
+    return docs_ds.map_batches(
+        assign_split, batch_format="pandas", batch_size=8192,
+        fn_kwargs={"key": key, "fractions": fractions, "names": names})
+
+
+def stratified_sample(ds, *, group: str, n_per_group: int,
+                      key: str = "doc_id",
+                      num_partitions: int | None = None):
+    """Keep the ``n_per_group`` rows with the smallest md5 key hash in
+    every ``group`` value — a deterministic stratified sample
+    (hash-ordering ≈ uniform random, but stable across runs and
+    resharding). Per-batch top-k pre-reduction bounds the shuffle to
+    ``n_per_group × #groups`` rows per batch before the co-located
+    final top-k — a hot group never ships more than its quota."""
+    from jerex_ray.functions.aggregate import grouped_apply
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        # arrow-friendly int64 column whose ORDER matches the unsigned
+        # hash: flip the sign bit (order-preserving uint64 → int64)
+        h = md5_hash64_batch(b[key].astype(str))
+        b["__h"] = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return (b.sort_values([group, "__h"])
+                 .groupby(group, sort=False).head(n_per_group))
+
+    def final_topk(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty or "__h" not in block.columns:
+            return block
+        out = (block.sort_values([group, "__h"])
+                    .groupby(group, sort=False).head(n_per_group))
+        return out.drop(columns=["__h"])
+
+    partial = ds.map_batches(partial_topk, batch_format="pandas",
+                             batch_size=8192)
+    return grouped_apply(partial, [group], final_topk,
+                         num_partitions=num_partitions)

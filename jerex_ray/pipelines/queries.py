@@ -345,6 +345,35 @@ def doc_entity_canonical(sf_dir: str):
     return ents.sort_values("norm").reset_index(drop=True)
 
 
+def doc_split(sf_dir: str):
+    """Deterministic hash-based train/valid/test split (md5-derived so
+    the SQL oracle reproduces the exact assignment): no shuffle, no
+    global state, stable under resharding and corpus growth."""
+    from jerex_ray.ops.split import hash_split
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    out = hash_split(ds).to_pandas()
+    return out[["doc_id", "split"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+def doc_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the 20 smallest-md5-hash docs
+    per language — per-batch top-k pre-reduction bounds the shuffle to
+    each group's quota (a hot group never ships more than n rows per
+    batch)."""
+    from jerex_ray.ops.split import stratified_sample
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+    out = stratified_sample(ds, group="lang", n_per_group=20).to_pandas()
+    return out[["doc_id", "lang"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def doc_fingerprint(sf_dir: str):
     """md5-derived 64-bit normalized-text fingerprints (SQL-replicable
     hash — the oracle recomputes them bit-for-bit)."""
@@ -622,6 +651,8 @@ def build_queries() -> dict:
         "doc_name_mentions": doc_name_mentions,
         "doc_entity_canonical": doc_entity_canonical,
         "doc_fingerprint": doc_fingerprint,
+        "doc_split": doc_split,
+        "doc_stratified_sample": doc_stratified_sample,
         "doc_top_bigrams": doc_top_bigrams,
         "doc_winnowing": doc_winnowing,
         "dedup_minhash_edges": dedup_minhash_edges,
@@ -833,6 +864,32 @@ def build_oracle_sql() -> dict:
                    tot.n_occurrences
             FROM top JOIN tot USING (entity_id) WHERE rk = 1
             ORDER BY norm
+        """,
+        "doc_split": """
+            WITH h AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 16) AS UBIGINT)
+                       % 1000000 AS b
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN b < 800000 THEN 'train'
+                        WHEN b < 900000 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM h ORDER BY doc_id
+        """,
+        "doc_stratified_sample": """
+            WITH h AS (
+                SELECT doc_id, lang,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 16) AS UBIGINT) AS hv
+                FROM documents),
+            r AS (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY hv, doc_id) AS rk
+                FROM h)
+            SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY doc_id
         """,
         "doc_fingerprint": """
             SELECT doc_id,

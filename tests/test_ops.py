@@ -451,3 +451,39 @@ def test_brute_force_topk_massive_ties_pick_smallest_ids():
         "embedding": [x.tolist() for x in vecs]}))
     out = brute_force_topk(ds, np.stack([v]), k=5)
     assert list(out["vec_id"]) == [0, 1, 2, 3, 4]
+
+
+def test_hash_split_deterministic_and_proportional():
+    """md5-keyed split: assignment is a pure function of the key
+    (identical under resharding and corpus growth), fractions land
+    within sampling tolerance, and every row gets exactly one split."""
+    from jerex_ray.ops.split import hash_split
+    df = pd.DataFrame({"doc_id": range(5000), "text": "x"})
+    out = hash_split(rd.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["valid"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # growth stability: the first 1000 docs keep their split
+    small = hash_split(rd.from_pandas(df.head(1000))).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (small["split"] == out.head(1000)["split"]).all()
+
+
+def test_stratified_sample_exact_quota_per_group():
+    from jerex_ray.ops.split import stratified_sample
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "doc_id": range(3000),
+        "lang": rng.choice(["en", "de", "fr"], size=3000,
+                           p=[0.8, 0.15, 0.05])})
+    out = stratified_sample(rd.from_pandas(df), group="lang",
+                            n_per_group=30).to_pandas()
+    counts = out.groupby("lang").size()
+    assert (counts == 30).all()
+    # determinism under different sharding
+    out2 = stratified_sample(
+        rd.from_pandas(df.sample(frac=1.0, random_state=7)),
+        group="lang", n_per_group=30).to_pandas()
+    assert (set(out["doc_id"]) == set(out2["doc_id"]))
