@@ -100,23 +100,24 @@ def cmd_train(args) -> int:
     import ray.data as rd
 
     from jerex_ray.config import PipelineConfig
-    from jerex_ray.pipelines.kg import _with_part_key
     from jerex_ray.pipelines.train import (silver_gt_from_rule_scorer,
                                            train_epochs)
     from jerex_ray.runtime import configure_data_context
-    from jerex_ray.stages.assemble import assemble_documents
     from jerex_ray.stages.numpy_scorer import NumpyScorer
-    from jerex_ray.stages.tokenize import tokenize_documents
     configure_data_context()
     cfg = PipelineConfig()
-    ds = rd.read_parquet(args.input)
-    gt_m, gt_r = silver_gt_from_rule_scorer(rd.read_parquet(args.input),
-                                            cfg)
-    tok = tokenize_documents(
-        assemble_documents(_with_part_key(ds, cfg)), cfg)
+    # the distillation pass already assembles + tokenizes the corpus —
+    # reuse its materialized tokenized Dataset for the training loop
+    gt_m, gt_r, tok = silver_gt_from_rule_scorer(
+        rd.read_parquet(args.input), cfg, return_tokenized=True)
     hist, weights = train_epochs(tok, gt_m, gt_r, epochs=args.epochs,
                                  lr=args.lr, warmup_ratio=args.warmup,
                                  config=cfg, variant=args.model_type)
+    if not len(hist):
+        print(json.dumps({"error": "no trainable documents in input",
+                          "input": args.input}))
+        ray.shutdown()
+        return 1
     model = NumpyScorer(cfg, variant=args.model_type)
     model.set_weights(weights)
     model.save_checkpoint(args.checkpoint)

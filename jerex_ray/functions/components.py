@@ -181,6 +181,7 @@ def connected_components_ds(edges_ds, *, src: str = "src", dst: str = "dst",
 
     labels = [_init_labels.remote(edge_parts[p], P) for p in range(P)]
 
+    changed = -1          # sentinel: max_rounds <= 0 skips the loop
     for _ in range(max_rounds):
         msgs = [_nbr_messages.options(num_returns=P)
                 .remote(edge_parts[p], labels[p], P) for p in range(P)]
@@ -212,10 +213,10 @@ def connected_components_ds(edges_ds, *, src: str = "src", dst: str = "dst",
         # result may carry non-minimal component ids — never let that
         # pass silently for a correctness-bearing output
         logger.warning(
-            "connected_components_ds: %d rounds exhausted with %d labels "
+            "connected_components_ds: %d rounds exhausted with %s labels "
             "still changing — result may be UNCONVERGED; raise max_rounds "
             "(O(log diameter) rounds suffice for converged output)",
-            max_rounds, changed)
+            max_rounds, "unknown" if changed < 0 else changed)
 
     # hand the P label blocks back as a Dataset without collecting them
     return rd.from_pandas_refs(

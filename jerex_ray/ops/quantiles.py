@@ -48,15 +48,22 @@ def distributed_quantiles(ds, col: str, qs: list[float], *,
     they would otherwise break the sorted-rank invariants."""
     def _count_valid(batch: pd.DataFrame) -> pd.DataFrame:
         v = batch[col].to_numpy(dtype=np.float64)
-        return pd.DataFrame({"n": [int(np.count_nonzero(~np.isnan(v)))]})
+        return pd.DataFrame({"n": [int(np.count_nonzero(~np.isnan(v)))],
+                             "rows": [len(batch)]})
 
-    n = int(ds.map_batches(_count_valid, batch_format="pandas",
-                           batch_size=65536).to_pandas()["n"].sum())
+    counts = ds.map_batches(_count_valid, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+    n = int(counts["n"].sum())
+    total_rows = int(counts["rows"].sum())
     if n == 0:
         return [float("nan")] * len(qs)
 
-    # pass 1: pivot grid from a sample (+ a global min/max backstop)
-    frac = min(1.0, sample_size / n)
+    # pass 1: pivot grid from a sample. The fraction is sized by TOTAL
+    # rows (random_sample draws from all rows): scaling by the
+    # NaN-excluded count would collect a huge share of a NaN-sparse
+    # dataset to the driver; fewer valid pivots merely widens the
+    # pass-3 brackets, which the small valid count bounds anyway
+    frac = min(1.0, sample_size / max(total_rows, 1))
     sample = ds.random_sample(frac, seed=seed).to_pandas()
     pivots = np.unique(sample[col].dropna().to_numpy(dtype=np.float64)) \
         if len(sample) else np.empty(0)

@@ -81,19 +81,14 @@ def kg_train_loss(sf_dir: str):
     G4 joint masked loss) as a streaming pipeline over silver GT
     distilled from the rule scorer. Rows-only: one corpus-mean loss
     row (float means are batch-order sensitive in the last bits)."""
-    from jerex_ray.pipelines.kg import _with_part_key
     from jerex_ray.pipelines.train import (silver_gt_from_rule_scorer,
                                            training_objective)
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
-    from jerex_ray.stages.assemble import assemble_documents
-    from jerex_ray.stages.tokenize import tokenize_documents
     configure_data_context()
     cfg = _kg_config()
     n = max(50, _sf_convs(sf_dir) // 8)
-    gt_m, gt_r = silver_gt_from_rule_scorer(
-        read_synthetic_transcripts(n), cfg)
-    tok = tokenize_documents(assemble_documents(_with_part_key(
-        read_synthetic_transcripts(n), cfg)), cfg)
+    gt_m, gt_r, tok = silver_gt_from_rule_scorer(
+        read_synthetic_transcripts(n), cfg, return_tokenized=True)
     _, mean = training_objective(tok, gt_m, gt_r, config=cfg)
     return mean.round(6)
 
@@ -105,19 +100,14 @@ def kg_train_step(sf_dir: str):
     loss history. Rows-only: model training is not SQL-expressible;
     the gradient itself is finite-difference-checked in pytest and the
     loss must decrease across epochs (asserted here)."""
-    from jerex_ray.pipelines.kg import _with_part_key
     from jerex_ray.pipelines.train import (silver_gt_from_rule_scorer,
                                            train_epochs)
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
-    from jerex_ray.stages.assemble import assemble_documents
-    from jerex_ray.stages.tokenize import tokenize_documents
     configure_data_context()
     cfg = _kg_config()
     n = max(50, _sf_convs(sf_dir) // 16)
-    gt_m, gt_r = silver_gt_from_rule_scorer(
-        read_synthetic_transcripts(n), cfg)
-    tok = tokenize_documents(assemble_documents(_with_part_key(
-        read_synthetic_transcripts(n), cfg)), cfg)
+    gt_m, gt_r, tok = silver_gt_from_rule_scorer(
+        read_synthetic_transcripts(n), cfg, return_tokenized=True)
     # fixed samples across epochs: the monotonic-decrease assertion
     # must not depend on per-epoch negative re-draws (the resampling
     # path is pytest-covered)

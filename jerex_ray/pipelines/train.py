@@ -49,19 +49,11 @@ class TrainingLossStage:
         iterating the Arrow lists via flat values + offsets (zero-copy
         numeric slices; no pandas conversion, no iterrows) — same
         pattern as RuleScorer.__call__."""
-        import pyarrow.compute as pc
-
         from jerex_ray.stages.sampling import sample_document
+        from jerex_ray.util import \
+            arrow_flat_with_offsets as flat_with_offsets
 
         rel_types = list(self.types.relation_index)
-
-        def flat_with_offsets(col, dtype=None):
-            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
-            offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
-            vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
-            if dtype is not None:
-                vals = vals.astype(dtype)
-            return vals, offs
 
         phrase_vals, phrase_offs = flat_with_offsets(batch["tok_phrase"])
         sent_vals, sent_offs = flat_with_offsets(batch["tok_sent"], np.int32)
@@ -281,6 +273,9 @@ def train_epochs(tokenized_ds, gt_mentions: pa.Table,
                 "variant": variant, "seed": seed,
                 "epoch": ep if resample_per_epoch else 0,
                 **knobs}).to_pandas()
+        # empty corpus: an all-empty Dataset collects schema-less
+        if "n_docs" not in rows.columns:
+            break
         n = int(rows["n_docs"].sum())
         if n == 0:
             break
@@ -368,7 +363,8 @@ def _explode_gt_relations(batch: pa.Table) -> pa.Table:
 
 def silver_gt_from_rule_scorer(transcripts_ds,
                                config: PipelineConfig | None = None,
-                               output_dir: str | None = None):
+                               output_dir: str | None = None,
+                               return_tokenized: bool = False):
     """Silver ground truth distilled from the frozen RuleScorer: its
     mentions/clusters/relations become the GT tables the training
     objective consumes (a distillation-style setup; real corpora
@@ -383,7 +379,9 @@ def silver_gt_from_rule_scorer(transcripts_ds,
     writes them as partitioned parquet (``mentions/``, ``relations/``)
     so a training run can broadcast from file instead of recomputing.
     For GT too large to broadcast, shard the training run by conv-id
-    range and broadcast per shard."""
+    range and broadcast per shard. ``return_tokenized=True`` also
+    returns the (materialized) tokenized Dataset so a training run can
+    reuse it instead of re-assembling and re-tokenizing the corpus."""
     from jerex_ray.pipelines.kg import _with_part_key
     from jerex_ray.stages.assemble import assemble_documents
     from jerex_ray.stages.scorer import score_documents
@@ -392,6 +390,8 @@ def silver_gt_from_rule_scorer(transcripts_ds,
     cfg = config or PipelineConfig()
     docs = assemble_documents(_with_part_key(transcripts_ds, cfg))
     tok = tokenize_documents(docs, cfg)
+    if return_tokenized:
+        tok = tok.materialize()      # computed once, reused by training
     scored = score_documents(tok, cfg).materialize()
 
     gt_m_ds = scored.map_batches(_explode_gt_mentions,
@@ -418,4 +418,6 @@ def silver_gt_from_rule_scorer(transcripts_ds,
     gt_r = collect_typed(gt_r_ds, pa.schema([
         ("conv_id", pa.string()), ("head", pa.int32()),
         ("tail", pa.int32()), ("pred", pa.string())]))
+    if return_tokenized:
+        return gt_m, gt_r, tok
     return gt_m, gt_r

@@ -618,7 +618,6 @@ def forward_train(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
         ep_mp, pmask = t["rel_entity_pair_mp"], t["rel_pair_masks"]
         ep_mp_c = np.clip(ep_mp, 0, max(n_mp - 1, 0))
         gathered_mp = np.where(pmask[:, :, None], local[ep_mp_c], -1e30)
-        pool_arg = gathered_mp.argmax(axis=1)          # (n_p, H)
         pooled = gathered_mp.max(axis=1)
         has_mp = pmask.any(axis=1)
         pooled[~has_mp] = 0.0
@@ -627,8 +626,12 @@ def forward_train(scorer: NumpyScorer, *, encoding, sub_start, sub_end,
         z_r = xr @ scorer.W_rel1 + scorer.b_rel1
         rel_logits = _relu(z_r) @ scorer.W_rel2 + scorer.b_rel2
         if cache is not None:
+            # argmax (the max-pool backward routing) only on the grad
+            # path — it is a second full reduction over the largest
+            # relation-head intermediate
             cache.update(x_pair=x_pair, local=local, ep_mp_c=ep_mp_c,
-                         pool_arg=pool_arg, has_mp=has_mp, xr=xr, z_r=z_r,
+                         pool_arg=gathered_mp.argmax(axis=1),
+                         has_mp=has_mp, xr=xr, z_r=z_r,
                          td=td, sd=sd, n_mp=n_mp)
 
     if cache is not None:

@@ -238,15 +238,7 @@ class RuleScorer:
             "cl_rep", "cl_type", "cl_size",
             "r_head", "r_tail", "r_type", "r_score", "r_evidence")}
 
-        import pyarrow.compute as pc
-
-        def flat_with_offsets(col, dtype=None):
-            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
-            offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
-            vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
-            if dtype is not None:
-                vals = vals.astype(dtype)
-            return vals, offs
+        from jerex_ray.util import arrow_flat_with_offsets as flat_with_offsets
 
         phrase_vals, phrase_offs = flat_with_offsets(batch["tok_phrase"])
         sent_vals, sent_offs = flat_with_offsets(batch["tok_sent"], np.int32)

@@ -144,3 +144,19 @@ def padded_stack(arrays, pad_value=0) -> np.ndarray:
         sl = (i,) + tuple(slice(0, s) for s in a.shape)
         out[sl] = a
     return out
+
+
+def arrow_flat_with_offsets(col, dtype=None):
+    """Arrow list column → (flat values ndarray, int64 row offsets):
+    the zero-copy-when-possible iteration primitive shared by the
+    scorer and training stages (slice row d as
+    ``vals[offs[d]:offs[d + 1]]``)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    if dtype is not None:
+        vals = vals.astype(dtype)
+    return vals, offs
