@@ -120,6 +120,90 @@ def _decode_image(payload: bytes) -> np.ndarray:
                      "JPEG/PNG need an external codec)")
 
 
+def encode_ppm_stream(frames: list[np.ndarray]) -> bytes:
+    """Video as a netpbm PPM STREAM: concatenated P6 images (the
+    documented multi-image convention of the netpbm formats)."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def decode_ppm_stream(payload: bytes, *, max_frames: int | None = None):
+    """PPM stream → list of (H, W, 3) uint8 frames. Frame boundaries
+    come from each header's own dimensions; ``max_frames`` bounds the
+    decode for sampling use."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a PPM stream")
+    frames, pos = [], 0
+    while pos < len(payload):
+        if payload[pos:pos + 2] != b"P6":
+            raise ValueError(f"garbage between frames at byte {pos}")
+        frame = decode_ppm(payload[pos:])
+        frames.append(frame)
+        # advance past this frame: header length = everything before
+        # the raster = total consumed − raster size, recomputed by
+        # re-encoding the header deterministically is fragile; instead
+        # scan: find the raster start (3 header fields + 1 whitespace)
+        p, fields = pos + 2, 0
+        while fields < 3:
+            while payload[p:p + 1].isspace():
+                p += 1
+            if payload[p:p + 1] == b"#":
+                while p < len(payload) and payload[p] != 0x0A:
+                    p += 1
+                continue
+            while not payload[p:p + 1].isspace():
+                p += 1
+            fields += 1
+        pos = p + 1 + frame.shape[0] * frame.shape[1] * 3
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    return frames
+
+
+class VideoFrameSample:
+    """Actor stage: decode a PPM-stream video payload, keep every
+    ``stride``-th frame, and emit one row per sampled frame with its
+    per-channel means — the frame-sample operator of a multimodal
+    training-data pipeline (flat_map shape)."""
+
+    def __init__(self, *, stride: int = 2):
+        self.stride = max(1, stride)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media_ids, frame_idxs, feats, oks = [], [], [], []
+        ids = batch["media_id"].to_pylist()
+        for mid, p in zip(ids, batch["payload"].to_pylist()):
+            try:
+                frames = decode_ppm_stream(p)
+            except ValueError:
+                media_ids.append(mid)
+                frame_idxs.append(0)
+                feats.append([0.0, 0.0, 0.0])
+                oks.append(False)
+                continue
+            for fi in range(0, len(frames), self.stride):
+                media_ids.append(mid)
+                frame_idxs.append(fi)
+                feats.append(frames[fi].mean(axis=(0, 1))
+                             .astype(np.float32).tolist())
+                oks.append(True)
+        return pa.table({
+            "media_id": pa.array(media_ids, pa.int64()),
+            "frame_idx": pa.array(frame_idxs, pa.int32()),
+            "feature": pa.array(feats, pa.list_(pa.float32())),
+            "decode_ok": pa.array(oks, pa.bool_()),
+        })
+
+
+def video_frame_sample(media_ds, *, stride: int = 2,
+                       concurrency=(1, 4), batch_size: int = 16):
+    """Tiny batches: video payloads are the widest rows."""
+    return media_ds.map_batches(VideoFrameSample, batch_format="pyarrow",
+                                batch_size=batch_size,
+                                concurrency=concurrency,
+                                fn_kwargs=None,
+                                fn_constructor_kwargs={"stride": stride})
+
+
 # ---------- audio codec (stdlib wave, PCM16) ----------
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
@@ -162,7 +246,17 @@ def synth_media_table(n: int, *, kind: str = "image", seed: int = 21) -> pa.Tabl
     rng = np.random.default_rng(seed)
     payloads, widths, heights, durations = [], [], [], []
     for i in range(n):
-        if kind == "audio":
+        if kind == "video":
+            w = int(rng.integers(16, 48))
+            h = int(rng.integers(16, 48))
+            n_frames = int(rng.integers(4, 16))
+            frames = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                      for _ in range(n_frames)]
+            payloads.append(encode_ppm_stream(frames))
+            widths.append(w)
+            heights.append(h)
+            durations.append(float(n_frames))     # 1 fps nominal
+        elif kind == "audio":
             dur = float(rng.random() * 8 + 0.5)
             rate = 8000
             t = np.arange(int(dur * rate)) / rate

@@ -153,6 +153,22 @@ def media_audio_frames(sf_dir: str):
         .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+def media_video_frames(sf_dir: str):
+    """Actor-pool video frame-sample over netpbm PPM streams
+    (concatenated P6 frames — real decode): every 2nd frame's channel
+    means. Rows-only; codec round-trips are pytest-gated."""
+    import ray.data as rd
+
+    from jerex_ray.ops.multimodal import synth_media_table, video_frame_sample
+    configure_data_context()
+    n = max(50, _sf_convs(sf_dir) // 16)
+    media = rd.from_arrow(synth_media_table(n, kind="video"))
+    out = video_frame_sample(media, stride=2).to_pandas()
+    assert out["decode_ok"].all()
+    return out.drop(columns=["decode_ok"]) \
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def kg_entities(sf_dir: str):
     from jerex_ray.pipelines.kg import extract_triples
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
@@ -629,6 +645,7 @@ def build_queries() -> dict:
         "kg_train_step": kg_train_step,
         "media_image_features": media_image_features,
         "media_audio_frames": media_audio_frames,
+        "media_video_frames": media_video_frames,
         "kg_entities": kg_entities,
         "kg_mentions": kg_mentions,
         "kg_eval": kg_eval,

@@ -487,3 +487,46 @@ def test_stratified_sample_exact_quota_per_group():
         rd.from_pandas(df.sample(frac=1.0, random_state=7)),
         group="lang", n_per_group=30).to_pandas()
     assert (set(out["doc_id"]) == set(out2["doc_id"]))
+
+
+def test_video_ppm_stream_frame_sample():
+    """Video = netpbm PPM stream (concatenated P6 frames): the stream
+    codec round-trips exactly, the frame-sample stage keeps every
+    stride-th frame with its true channel means, and garbage fails
+    decode_ok."""
+    from jerex_ray.ops.multimodal import (decode_ppm_stream,
+                                          encode_ppm_stream,
+                                          synth_media_table,
+                                          video_frame_sample)
+    rng = np.random.default_rng(6)
+    frames = [rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+              for _ in range(5)]
+    back = decode_ppm_stream(encode_ppm_stream(frames))
+    assert len(back) == 5
+    for a, b in zip(frames, back):
+        np.testing.assert_array_equal(a, b)
+
+    media = rd.from_arrow(synth_media_table(6, kind="video"))
+    out = video_frame_sample(media, stride=2).to_pandas()
+    assert out["decode_ok"].all()
+    # every sampled index is even and frame 0 always present
+    assert (out["frame_idx"] % 2 == 0).all()
+    assert (out.groupby("media_id")["frame_idx"].min() == 0).all()
+
+    # exactness on a constant frame
+    flat = np.full((8, 8, 3), [5, 50, 200], dtype=np.uint8)
+    t = pa.table({"media_id": pa.array([1], pa.int64()),
+                  "kind": pa.array(["video"]),
+                  "payload": pa.array([encode_ppm_stream([flat, flat])],
+                                      pa.binary()),
+                  "width": pa.array([8], pa.int32()),
+                  "height": pa.array([8], pa.int32()),
+                  "duration_s": pa.array([2.0], pa.float32())})
+    f = video_frame_sample(rd.from_arrow(t), stride=1).to_pandas()
+    assert len(f) == 2
+    np.testing.assert_allclose(np.stack(f["feature"]), [[5, 50, 200]] * 2)
+
+    bad = t.set_column(t.schema.get_field_index("payload"), "payload",
+                       pa.array([b"\x00\x01garbage"], pa.binary()))
+    f = video_frame_sample(rd.from_arrow(bad)).to_pandas()
+    assert not f["decode_ok"].any()
