@@ -357,8 +357,13 @@ class NumpyScorer(RuleScorer):
                 co_logits[sl] = (_relu(xc @ self.W_co1 + self.b_co1)
                                  @ self.W_co2 + self.b_co2).ravel()
             co_probs = _sigmoid(co_logits)
-            pair_scores = {(int(a), int(b)): float(p)
-                           for a, b, p in zip(pa_, pb_, co_probs)}
+            # below-threshold pairs are indistinguishable from missing
+            # pairs for complete linkage (distance ≥ cut either way) —
+            # omit them, keeping the Python dict tiny (same filter as
+            # RuleScorer)
+            keep = np.flatnonzero(co_probs >= cfg.coref_threshold)
+            pair_scores = {(int(pa_[k]), int(pb_[k])): float(co_probs[k])
+                           for k in keep}
         else:
             pair_scores = {}
 
