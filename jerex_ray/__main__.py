@@ -106,10 +106,23 @@ def cmd_train(args) -> int:
     from jerex_ray.stages.numpy_scorer import NumpyScorer
     configure_data_context()
     cfg = PipelineConfig()
-    # the distillation pass already assembles + tokenizes the corpus —
-    # reuse its materialized tokenized Dataset for the training loop
-    gt_m, gt_r, tok = silver_gt_from_rule_scorer(
-        rd.read_parquet(args.input), cfg, return_tokenized=True)
+    if args.gt_dir:
+        # annotated corpus: GT tables from parquet (the layout
+        # silver_gt_from_rule_scorer's output_dir writes)
+        import pyarrow.parquet as pq
+
+        from jerex_ray.pipelines.kg import _with_part_key
+        from jerex_ray.stages.assemble import assemble_documents
+        from jerex_ray.stages.tokenize import tokenize_documents
+        gt_m = pq.read_table(f"{args.gt_dir}/mentions")
+        gt_r = pq.read_table(f"{args.gt_dir}/relations")
+        tok = tokenize_documents(assemble_documents(_with_part_key(
+            rd.read_parquet(args.input), cfg)), cfg)
+    else:
+        # the distillation pass already assembles + tokenizes the
+        # corpus — reuse its materialized tokenized Dataset
+        gt_m, gt_r, tok = silver_gt_from_rule_scorer(
+            rd.read_parquet(args.input), cfg, return_tokenized=True)
     hist, weights = train_epochs(tok, gt_m, gt_r, epochs=args.epochs,
                                  lr=args.lr, warmup_ratio=args.warmup,
                                  config=cfg, variant=args.model_type)
@@ -202,6 +215,11 @@ def main(argv=None) -> int:
                         "from the rule scorer)")
     t.add_argument("--checkpoint", required=True,
                    help="output .npz weight checkpoint")
+    t.add_argument("--gt-dir", default=None,
+                   help="annotated GT parquet dir (mentions/ + "
+                        "relations/, the silver-GT output layout); "
+                        "default distills silver GT from the rule "
+                        "scorer")
     t.add_argument("--epochs", type=int, default=3)
     t.add_argument("--lr", type=float, default=5e-3)
     t.add_argument("--warmup", type=float, default=0.0,

@@ -277,3 +277,20 @@ def test_adamw_linear_schedule():
     # zero gradient: only decoupled decay moves W, never the bias
     assert np.all(params["W_x"] < 1.0)
     assert np.all(params["b_x"] == 1.0)
+
+
+def test_sparse_table_range_max_matches_bruteforce():
+    """The O(1) range-max structure behind J1/J9 pooling: every query
+    == the direct slice max; empty and out-of-range intervals give
+    zero rows."""
+    from jerex_ray.stages.numpy_scorer import _range_max, _sparse_max_table
+    rng = np.random.default_rng(11)
+    h = rng.standard_normal((97, 5))
+    st = _sparse_max_table(h)
+    a = rng.integers(0, 120, size=400)
+    b = rng.integers(-5, 130, size=400)
+    out = _range_max(st, a, b, 5)
+    for k in range(400):
+        lo, hi = int(np.clip(a[k], 0, 97)), int(np.clip(b[k], 0, 97))
+        want = h[lo:hi].max(axis=0) if hi > lo else np.zeros(5)
+        np.testing.assert_array_equal(out[k], want)
