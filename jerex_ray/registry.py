@@ -118,4 +118,19 @@ def _ensure_builtin():
         "canonicalize", lambda ds, cfg: ds.map_batches(
             canonicalize_triples, batch_format="pandas"))
 
+    # document-table stages (LLM-data ops) — composable into cleaning
+    # pipelines: ["dedup:exact", "langid", "split"] etc.
+    from jerex_ray.ops.dedup import exact_dedup
+    from jerex_ray.ops.split import hash_split
+    from jerex_ray.ops.textstats import (run_langid, run_quality_stats,
+                                         run_token_stats)
+    STAGE_REGISTRY.setdefault("dedup:exact",
+                              lambda ds, cfg: exact_dedup(ds))
+    STAGE_REGISTRY.setdefault("split", lambda ds, cfg: hash_split(ds))
+    STAGE_REGISTRY.setdefault("langid", lambda ds, cfg: run_langid(ds))
+    STAGE_REGISTRY.setdefault("token_stats",
+                              lambda ds, cfg: run_token_stats(ds))
+    STAGE_REGISTRY.setdefault("quality_stats",
+                              lambda ds, cfg: run_quality_stats(ds))
+
     _BUILTIN = True

@@ -155,3 +155,23 @@ def test_stage_and_model_registry_assembly():
     a = via_registry[cols].sort_values(cols).reset_index(drop=True)
     b = direct[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_registry_document_cleaning_pipeline():
+    """The stage registry composes a document-cleaning DAG from names:
+    exact dedup → langid → split, driven purely by config strings."""
+    import pandas as pd
+
+    from jerex_ray.registry import build_pipeline
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["the cat sat on the mat and it was good"] * 2
+        + ["der hund ist nicht in der stadt und das ist gut",
+           "the dog ran through the yard all day long",
+           "els gats i els gossos corren pel parc cada dia",
+           "the cat sat on the mat and it was good"]})
+    out = build_pipeline(rd.from_pandas(docs),
+                         ["dedup:exact", "langid", "split"]).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4]   # dups 1 and 5 dropped
+    assert {"lang_pred", "split"} <= set(out.columns)
+    assert set(out["split"]) <= {"train", "valid", "test"}
