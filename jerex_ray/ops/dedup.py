@@ -9,20 +9,27 @@ Scale shapes (ray_guide patterns + standard MinHash/LSH from Broder
   doc_id (deterministic winner).
 * minhash-lsh: per-batch shingle→minhash signatures (numpy) → explode
   to (band, band_hash, doc_id) rows → ``groupby(band, band_hash)`` →
-  candidate pairs per bucket → DISTRIBUTED exact n-gram Jaccard verify
-  (explode grams of candidate docs → co-locate by gram → pair
-  intersection counts → jaccard from per-doc gram counts; no pair or
-  shingle table ever materializes on the driver) → survivors are
-  near-dup edges; duplicates = non-min members of each near-dup star
-  (or full transitive closure via the distributed connected-components
-  operator).
+  candidate pairs per bucket → DISTRIBUTED exact n-gram Jaccard verify:
+  ONE shingle pass over candidate docs emits (doc_id, gram, count)
+  rows with each doc's gram count carried along → co-locate by gram →
+  per-pair intersection partials (carrying both counts) →
+  ``groupby(pair).sum`` → jaccard finalized from the carried counts —
+  no pair, shingle, or count table ever materializes on the driver.
+  Candidate filtering broadcasts an id set only while the doc count
+  bounds it; past ``broadcast_threshold`` it switches to a distributed
+  doc⋉id semi-join (dup-HEAVY corpora). Duplicates = non-min members
+  of each near-dup star (or full transitive closure via the
+  distributed connected-components operator).
 * simhash: 64-bit signature from md5-derived word hashes (md5 so a SQL
   oracle can recompute it bit-for-bit); near-dup candidates = equal
   16-bit bands (4 tables), verified by vectorized Hamming distance ≤ k.
 * embedding cosine: multi-table sign-projection LSH (OR-construction
-  across tables for high recall at θ≈0.95) with exact cosine verify
-  within buckets; plus an exact all-pairs baseline
-  (``embedding_near_dups_exact``) used as the oracle-checked query.
+  across tables for high recall at θ≈0.95). The bucket shuffle moves
+  ONLY (vec_id, table, bucket) rows — never T×-replicated vectors;
+  exact-cosine verification attaches candidate vectors once
+  (broadcast when small, two co-located 1× joins when not). Plus an
+  exact all-pairs baseline (``embedding_near_dups_exact``) used as
+  the oracle-checked query.
 
 Every stage is a vectorized ``map_batches``; the only shuffles are the
 bucket/gram groupbys, whose fan-in is bounded by per-batch

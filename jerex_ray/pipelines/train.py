@@ -258,6 +258,11 @@ def train_epochs(tokenized_ds, gt_mentions: pa.Table,
     weights = template.get_weights(TRAINABLE)
     opt = AdamW(weights, lr=lr, weight_decay=weight_decay,
                 warmup=int(warmup_ratio * epochs), total=epochs)
+    # epoch cache: materialize once so epochs re-read object-store
+    # blocks (spilling to disk if needed) instead of re-running
+    # assembly+tokenization per epoch. For corpora far beyond the
+    # object store, write the tokenized table to parquet once and pass
+    # `read_parquet(...)` here — each epoch then streams from storage.
     tokenized_ds = tokenized_ds.materialize()
 
     hist = {"epoch": [], "n_docs": [], "loss": [], "mention_loss": [],
