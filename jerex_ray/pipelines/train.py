@@ -263,36 +263,68 @@ def train_epochs(tokenized_ds, gt_mentions: pa.Table,
     # assembly+tokenization per epoch. For corpora far beyond the
     # object store, write the tokenized table to parquet once and pass
     # `read_parquet(...)` here — each epoch then streams from storage.
-    tokenized_ds = tokenized_ds.materialize()
+    blocks = tokenized_ds.materialize().to_arrow_refs()
+
+    # PERSISTENT raw-actor fleet (the Dataset API would re-create its
+    # actor pool every epoch — an iterative algorithm is the one place
+    # the brief's "drop to raw actors" escape hatch applies): workers
+    # build GT + scorer once; per epoch only the weight dict ships
+    worker_cls = ray.remote(num_cpus=1)(_GradWorker)
+    if isinstance(concurrency, tuple):
+        n_workers = concurrency[-1]
+    else:
+        n_workers = concurrency or 4
+    n_workers = max(1, min(n_workers, max(len(blocks), 1)))
+    # box the GT ref: a top-level ObjectRef argument would be
+    # auto-resolved by Ray, but the stage broadcasts the REF itself
+    workers = [worker_cls.remote([gt_ref], types=types, config=config,
+                                 variant=variant, seed=seed, **knobs)
+               for _ in range(n_workers)]
 
     hist = {"epoch": [], "n_docs": [], "loss": [], "mention_loss": [],
             "coref_loss": [], "entity_loss": [], "rel_loss": [], "lr": []}
-    for ep in range(epochs):
-        wref = ray.put({n: w.copy() for n, w in weights.items()})
-        rows = tokenized_ds.map_batches(
-            TrainingGradStage, batch_format="pyarrow", batch_size=64,
-            concurrency=concurrency,
-            fn_constructor_kwargs={
-                "gt_ref": gt_ref, "weights_ref": wref,
-                "types": types, "config": config,
-                "variant": variant, "seed": seed,
-                "epoch": ep if resample_per_epoch else 0,
-                **knobs}).to_pandas()
-        # empty corpus: an all-empty Dataset collects schema-less
-        if "n_docs" not in rows.columns:
-            break
-        n = int(rows["n_docs"].sum())
-        if n == 0:
-            break
-        grad = np.sum(np.stack([np.asarray(g, np.float64)
-                                for g in rows["grad"]]), axis=0) / n
-        hist["epoch"].append(ep)
-        hist["n_docs"].append(n)
-        for k in ("loss", "mention_loss", "coref_loss", "entity_loss",
-                  "rel_loss"):
-            hist[k].append(float(rows[k + "_sum"].sum()) / n)
-        hist["lr"].append(opt.step(unflatten_grads(grad, template)))
+    loss_keys = ("loss", "mention_loss", "coref_loss", "entity_loss",
+                 "rel_loss")
+    try:
+        for ep in range(epochs):
+            wref = ray.put({n: w.copy() for n, w in weights.items()})
+            futures = [workers[i % n_workers].grads.remote(
+                blocks[i], wref, ep if resample_per_epoch else 0)
+                for i in range(len(blocks))]
+            results = ray.get(futures)
+            n = sum(r[0] for r in results)
+            if n == 0:
+                break
+            grad = np.sum([r[2] for r in results if r[0]], axis=0) / n
+            hist["epoch"].append(ep)
+            hist["n_docs"].append(n)
+            for k in loss_keys:
+                hist[k].append(sum(r[1][k] for r in results) / n)
+            hist["lr"].append(opt.step(unflatten_grads(grad, template)))
+    finally:
+        for w in workers:
+            ray.kill(w)
     return pd.DataFrame(hist), weights
+
+
+class _GradWorker:
+    """Long-lived training worker: GT dict + scorer built once; each
+    ``grads`` call scores one tokenized block under the given weights
+    and returns its pre-reduced (n_docs, loss sums, gradient sum)."""
+
+    def __init__(self, gt_ref_box, **stage_kwargs):
+        self.stage = TrainingGradStage(gt_ref_box[0], **stage_kwargs)
+
+    def grads(self, block: pa.Table, weights: dict, epoch: int):
+        self.stage.scorer.set_weights(weights)
+        self.stage.knobs["epoch"] = epoch
+        out = self.stage(block)
+        n = int(out["n_docs"][0].as_py())
+        loss_sums = {k: float(out[k + "_sum"][0].as_py())
+                     for k in ("loss", "mention_loss", "coref_loss",
+                               "entity_loss", "rel_loss")}
+        grad = np.asarray(out["grad"][0].as_py(), dtype=np.float64)
+        return n, loss_sums, grad
 
 
 def _explode_gt_mentions(batch: pa.Table) -> pa.Table:
