@@ -222,6 +222,65 @@ def run_winnowing(docs_ds, *, k: int = 8, window: int = 4):
         fn_kwargs={"k": k, "window": window})
 
 
+def winnowing_fingerprints_md5(batch: pd.DataFrame, *, k: int = 8,
+                               window: int = 4,
+                               col: str = "text") -> pd.DataFrame:
+    """SQL-replicable winnowing variant: the character-k-gram hashes
+    are md5-derived (identical to DuckDB ``CAST('0x' ||
+    substr(md5(substr(t, i+1, k)), 1, 16) AS UBIGINT) % 2^63``)
+    instead of the rolling polynomial, so an ANSI-SQL oracle can
+    recompute the selected fingerprints bit-for-bit. Selection rule is
+    the same winnowing rule (rightmost minimum per window of
+    ``window`` consecutive gram hashes, deduplicated); grams are
+    CHARACTER substrings of the lowercased text (matching SQL
+    ``substr`` semantics), not UTF-8 bytes. Docs shorter than ``k``
+    characters emit no rows; docs with fewer than ``window`` grams
+    form a single window over all grams.
+
+    The rolling-hash twin (``winnowing_fingerprints``) stays the scale
+    path — O(n) scalar hash updates vs one md5 per distinct gram here.
+    All grams in the batch are hashed in ONE unique-then-scatter pass.
+    """
+    from jerex_ray.util import md5_hash64_batch
+    all_grams: list = []
+    spans: list = []  # (doc_id, offset into all_grams, n_grams)
+    for doc_id, text in zip(batch["doc_id"], batch[col].fillna("")):
+        t = text.lower()
+        n = len(t) - k + 1
+        if n < 1:
+            continue
+        spans.append((doc_id, len(all_grams), n))
+        all_grams.extend(t[i:i + k] for i in range(n))
+    if not spans:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "fingerprint": pd.Series(dtype="int64"),
+                             "position": pd.Series(dtype="int64")})
+    hashes = (md5_hash64_batch(all_grams)
+              % np.uint64(1 << 63)).astype(np.int64)
+    ids_out, fp_out, pos_out = [], [], []
+    for doc_id, off, n in spans:
+        h = hashes[off:off + n]
+        if n <= window:
+            # one window covering every gram; rightmost min
+            sel = np.array([n - 1 - int(h[::-1].argmin())])
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(h, window)
+            right_off = win[:, ::-1].argmin(axis=1)
+            sel = np.unique(np.arange(len(win)) + (window - 1 - right_off))
+        ids_out.append(np.full(sel.size, doc_id, dtype=np.int64))
+        fp_out.append(h[sel])
+        pos_out.append(sel.astype(np.int64))
+    return pd.DataFrame({"doc_id": np.concatenate(ids_out),
+                         "fingerprint": np.concatenate(fp_out),
+                         "position": np.concatenate(pos_out)})
+
+
+def run_winnowing_md5(docs_ds, *, k: int = 8, window: int = 4):
+    return docs_ds.map_batches(
+        winnowing_fingerprints_md5, batch_format="pandas",
+        batch_size=1024, fn_kwargs={"k": k, "window": window})
+
+
 def run_token_stats(docs_ds):
     return docs_ds.map_batches(token_stats, batch_format="pandas",
                                batch_size=8192)

@@ -413,6 +413,20 @@ def doc_winnowing(sf_dir: str):
     return out.sort_values(["doc_id", "position"]).reset_index(drop=True)
 
 
+def doc_winnowing_md5(sf_dir: str):
+    """Winnowing with md5-derived character-k-gram hashes — the
+    SQL-oracled twin of ``doc_winnowing`` (the oracle recomputes each
+    gram hash via ``substr(md5(substr(t, i+1, 8)), 1, 16)`` and the
+    rightmost-min-per-window selection via a windows×grams join).
+    The rolling-hash variant stays the scale path."""
+    from jerex_ray.ops.textstats import run_winnowing_md5
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = run_winnowing_md5(ds).to_pandas()
+    return out.sort_values(["doc_id", "position"]).reset_index(drop=True)
+
+
 def q_distinct_event_users(sf_dir: str):
     """Exact distinct count via the combiner aggregate: per-batch
     partial uniques → groupby(user_id) → count of groups."""
@@ -662,6 +676,7 @@ def build_queries() -> dict:
         "doc_stratified_sample": doc_stratified_sample,
         "doc_top_bigrams": doc_top_bigrams,
         "doc_winnowing": doc_winnowing,
+        "doc_winnowing_md5": doc_winnowing_md5,
         "dedup_minhash_edges": dedup_minhash_edges,
         "dedup_components": dedup_components,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -920,6 +935,43 @@ def build_oracle_sql() -> dict:
             SELECT ngram, count(*) AS n_occurrences
             FROM grams GROUP BY ngram
             ORDER BY n_occurrences DESC, ngram LIMIT 10
+        """,
+        "doc_winnowing_md5": """
+            WITH d AS (
+                SELECT doc_id, lower(text) AS t,
+                       length(lower(text)) - 8 + 1 AS n
+                FROM documents WHERE length(lower(text)) >= 8
+            ),
+            g AS (
+                SELECT doc_id, unnest(range(n)) AS position, t FROM d
+            ),
+            h AS (
+                SELECT doc_id, position,
+                       CAST(CAST('0x' || substr(md5(substr(
+                                t, CAST(position + 1 AS INTEGER), 8)), 1, 16)
+                            AS UBIGINT) % 9223372036854775808 AS BIGINT) AS fp
+                FROM g
+            ),
+            w AS (
+                SELECT doc_id, unnest(range(greatest(n - 3, 1))) AS s FROM d
+            ),
+            p AS (
+                SELECT h.doc_id, w.s, h.position, h.fp
+                FROM h JOIN w ON h.doc_id = w.doc_id
+                 AND h.position >= w.s AND h.position < w.s + 4
+            ),
+            wm AS (SELECT doc_id, s, min(fp) AS mfp
+                   FROM p GROUP BY doc_id, s),
+            sel AS (
+                SELECT p.doc_id, max(p.position) AS position
+                FROM p JOIN wm ON p.doc_id = wm.doc_id AND p.s = wm.s
+                              AND p.fp = wm.mfp
+                GROUP BY p.doc_id, p.s
+            )
+            SELECT DISTINCT h.doc_id, h.fp AS fingerprint, h.position
+            FROM sel JOIN h ON h.doc_id = sel.doc_id
+                           AND h.position = sel.position
+            ORDER BY h.doc_id, h.position
         """,
         "dedup_minhash_edges": """
             WITH words AS (

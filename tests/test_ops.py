@@ -349,6 +349,39 @@ def test_winnowing_fingerprints():
     assert got == want
 
 
+def test_winnowing_md5_matches_bruteforce():
+    """The SQL-oracled md5 variant reproduces a brute-force winnowing
+    over md5-derived character-gram hashes (rightmost min per window,
+    single window when n_grams <= window), and emits nothing for
+    docs shorter than k characters."""
+    from jerex_ray.ops.textstats import winnowing_fingerprints_md5
+    from jerex_ray.util import md5_hash64
+    texts = ["The Streaming Executor schedules blocks with backpressure",
+             "tiny gram",        # 9 chars -> 2 grams < window
+             "short",            # < k chars -> no rows
+             "aaaaaaaaaaaaaaaa"]  # all-equal hashes -> rightmost ties
+    k, w = 8, 4
+    got_rows = winnowing_fingerprints_md5(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        k=k, window=w)
+    for doc_id, text in enumerate(texts):
+        t = text.lower()
+        n = len(t) - k + 1
+        want = set()
+        if n >= 1:
+            hs = [md5_hash64(t[i:i + k]) % (1 << 63) for i in range(n)]
+            for s in range(max(n - w + 1, 1)):
+                win = hs[s:s + w]
+                m = min(win)
+                pos = s + max(j for j, v in enumerate(win) if v == m)
+                want.add((pos, hs[pos]))
+        sub = got_rows[got_rows["doc_id"] == doc_id]
+        assert set(zip(sub["position"], sub["fingerprint"])) == want
+    # the all-equal-hash doc keeps only rightmost-per-window positions
+    sub3 = got_rows[got_rows["doc_id"] == 3]
+    assert list(sub3["position"]) == list(range(w - 1, 16 - k + 1))
+
+
 def test_all_ops_survive_empty_input():
     """An empty corpus must flow through every operator (schema-less
     empty blocks are a production condition after aggressive filters —
