@@ -475,9 +475,40 @@ def minhash_verified_edges(docs_ds, *, threshold: float = 0.8,
 
     # short-circuit: cand_set exists only on the small path
     few_cands = small and len(cand_set) <= _SINGLE_BLOCK_CANDS
+    return _jaccard_edges_from_grams(grams, threshold=threshold,
+                                     nparts=nparts,
+                                     single_block=few_cands)
+
+
+def _attach_jaccard(b: pd.DataFrame, *, threshold: float) -> pd.DataFrame:
+    """Finalize per-pair intersection counts into jaccard edges
+    (``n / (ca + cb − n)``; two empty docs ⇒ 1.0 per ``ngram_jaccard``)."""
+    if b.empty or "doc_a" not in b.columns:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    ca = b["ca"].to_numpy(dtype=np.float64)
+    cb = b["cb"].to_numpy(dtype=np.float64)
+    n = b["n"].to_numpy(dtype=np.float64)
+    both_empty = (ca == 0) & (cb == 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        j = np.where(both_empty, 1.0, n / (ca + cb - n))
+    out = b.assign(jaccard=j)
+    out = out[out["jaccard"] >= threshold]
+    return out[["doc_a", "doc_b", "jaccard"]]
+
+
+def _jaccard_edges_from_grams(grams, *, threshold: float, nparts: int,
+                              single_block: bool = False):
+    """(doc_id, g, c) gram rows → (doc_a, doc_b, jaccard) edge Dataset:
+    co-locate by gram → per-block partial pair-intersection counts
+    (combiner, carrying ca/cb) → ``groupby(pair)`` sum → jaccard
+    filter. Shared tail of the LSH-verified and exact paths."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+
     inter_partial = grouped_apply(grams, ["g"], _gram_pair_counts_block,
                                   num_partitions=nparts,
-                                  single_block=few_cands)
+                                  single_block=single_block)
     # tree reduce (result_hint small): the pair-intersection table is
     # bounded by the near-dup pair count, not the corpus — callers with
     # pathologically dup-heavy corpora can switch to "large"
@@ -485,23 +516,32 @@ def minhash_verified_edges(docs_ds, *, threshold: float = 0.8,
                               {"n": ("n", "sum"), "ca": ("ca", "max"),
                                "cb": ("cb", "max")},
                               num_partitions=nparts)
+    return inter.map_batches(_attach_jaccard, batch_format="pandas",
+                             fn_kwargs={"threshold": threshold})
 
-    def attach_jaccard(b: pd.DataFrame) -> pd.DataFrame:
-        if b.empty or "doc_a" not in b.columns:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64"),
-                                 "jaccard": pd.Series(dtype="float64")})
-        ca = b["ca"].to_numpy(dtype=np.float64)
-        cb = b["cb"].to_numpy(dtype=np.float64)
-        n = b["n"].to_numpy(dtype=np.float64)
-        both_empty = (ca == 0) & (cb == 0)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            j = np.where(both_empty, 1.0, n / (ca + cb - n))
-        out = b.assign(jaccard=j)
-        out = out[out["jaccard"] >= threshold]
-        return out[["doc_a", "doc_b", "jaccard"]]
 
-    return inter.map_batches(attach_jaccard, batch_format="pandas")
+def jaccard_edges_exact(docs_ds, *, threshold: float = 0.7,
+                        col: str = "text", k: int = 3,
+                        num_partitions: int | None = None):
+    """EXACT n-gram Jaccard near-dup edges — no LSH prefilter.
+
+    Guaranteed-recall twin of ``minhash_verified_edges``: any pair with
+    jaccard ≥ threshold > 0 shares at least one word k-gram, so scoring
+    every gram-sharing pair (one gram-hash co-location shuffle, partial
+    pair counts per gram group, one pair aggregate) finds ALL edges.
+    The trade: without the LSH filter every gram-sharing pair is
+    scored, so hot grams (boilerplate) dominate — the per-gram doc cap
+    in ``_gram_pair_counts_block`` bounds that with logged drops
+    (bias DOWN only). Use minhash for recall ≈ 0.99 at a fraction of
+    the pairs; use this when exactness is the contract."""
+    nparts = num_partitions or 8
+    n_docs = docs_ds.count()
+    grams = docs_ds.map_batches(
+        lambda b: _gram_rows(b, col=col, k=k, with_counts=True),
+        batch_format="pandas", batch_size=4096)
+    return _jaccard_edges_from_grams(grams, threshold=threshold,
+                                     nparts=nparts,
+                                     single_block=n_docs <= _SINGLE_BLOCK_CANDS)
 
 
 def minhash_dedup(docs_ds, *, threshold: float = 0.8, col: str = "text",

@@ -495,6 +495,23 @@ def dedup_minhash_edges(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def dedup_jaccard_edges(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup edges (no LSH prefilter) — the
+    guaranteed-recall twin of ``dedup_minhash_edges``. Unlike the
+    minhash query, parity with the all-pairs SQL oracle is
+    deterministic for ANY corpus (no probabilistic-recall caveat)."""
+    from jerex_ray.ops.dedup import jaccard_edges_exact
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    edges = jaccard_edges_exact(ds, threshold=0.7).to_pandas()
+    if "doc_a" not in edges.columns:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64")})
+    out = edges[["doc_a", "doc_b"]].sort_values(["doc_a", "doc_b"])
+    return out.reset_index(drop=True)
+
+
 def dedup_components(sf_dir: str):
     """Distributed connected components (BSP min-label propagation +
     pointer jumping over raw Ray task grids) over the exact-Jaccard
@@ -678,6 +695,7 @@ def build_queries() -> dict:
         "doc_winnowing": doc_winnowing,
         "doc_winnowing_md5": doc_winnowing_md5,
         "dedup_minhash_edges": dedup_minhash_edges,
+        "dedup_jaccard_edges": dedup_jaccard_edges,
         "dedup_components": dedup_components,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "ann_topk": ann_topk,
@@ -709,6 +727,38 @@ def build_queries() -> dict:
 
 _N_TOKENS_SQL = ("array_length(list_filter(regexp_split_to_array(text, '\\s+'), "
                  "x -> x <> ''))")
+
+# Exact all-pairs word-3-gram Jaccard edges at θ=0.7 — the oracle for
+# BOTH dedup_minhash_edges (LSH recall caveat documented on the query)
+# and dedup_jaccard_edges (exact path, deterministic parity).
+_EXACT_JACCARD_EDGES_SQL = """
+    WITH words AS (
+        SELECT doc_id, list_filter(
+            regexp_split_to_array(lower(text), '\\s+'),
+            x -> x <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                    ELSE [array_to_string(ws[i:i+2], ' ')
+                          for i in range(1, len(ws) - 1)] END AS gs
+        FROM words WHERE len(ws) > 0
+    ),
+    dg AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM grams),
+    cnt AS (SELECT doc_id, count(*) AS c FROM dg GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.7
+    ORDER BY doc_a, doc_b
+"""
 
 
 def build_oracle_sql() -> dict:
@@ -973,34 +1023,10 @@ def build_oracle_sql() -> dict:
                            AND h.position = sel.position
             ORDER BY h.doc_id, h.position
         """,
-        "dedup_minhash_edges": """
-            WITH words AS (
-                SELECT doc_id, list_filter(
-                    regexp_split_to_array(lower(text), '\\s+'),
-                    x -> x <> '') AS ws
-                FROM documents
-            ),
-            grams AS (
-                SELECT doc_id,
-                       CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-                            ELSE [array_to_string(ws[i:i+2], ' ')
-                                  for i in range(1, len(ws) - 1)] END AS gs
-                FROM words WHERE len(ws) > 0
-            ),
-            dg AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM grams),
-            cnt AS (SELECT doc_id, count(*) AS c FROM dg GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id
-            )
-            SELECT doc_a, doc_b
-            FROM inter
-            JOIN cnt ca ON ca.doc_id = doc_a
-            JOIN cnt cb ON cb.doc_id = doc_b
-            WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.7
-            ORDER BY doc_a, doc_b
-        """,
+        "dedup_minhash_edges": _EXACT_JACCARD_EDGES_SQL,
+        # same SQL — but for the exact engine path the parity is
+        # deterministic for ANY corpus (no LSH-recall caveat)
+        "dedup_jaccard_edges": _EXACT_JACCARD_EDGES_SQL,
         "dedup_components": """
             WITH RECURSIVE words AS (
                 SELECT doc_id, list_filter(

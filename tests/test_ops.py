@@ -349,6 +349,36 @@ def test_winnowing_fingerprints():
     assert got == want
 
 
+def test_exact_jaccard_edges_match_bruteforce():
+    """jaccard_edges_exact = brute-force all-pairs ngram_jaccard >= θ —
+    including pairs an LSH prefilter could miss (guaranteed recall),
+    docs repeated verbatim, and single-word docs (whole-text gram
+    fallback)."""
+    import itertools
+
+    from jerex_ray.ops.dedup import jaccard_edges_exact
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base,
+             base + " tail",
+             base.replace("quick", "slow"),
+             "totally different content here with nothing shared",
+             "totally different content here with nothing shared",
+             "word",
+             base]
+    got = jaccard_edges_exact(_docs(texts), threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"])) \
+        if "doc_a" in got.columns else set()
+    want = {(a, b) for a, b in itertools.combinations(range(len(texts)), 2)
+            if ngram_jaccard(texts[a], texts[b], k=3) >= 0.5}
+    assert got_pairs == want
+    assert (0, 6) in got_pairs and (3, 4) in got_pairs
+    # reported jaccard values are the exact set jaccards
+    for _, r in got.iterrows():
+        assert abs(r["jaccard"] -
+                   ngram_jaccard(texts[int(r["doc_a"])],
+                                 texts[int(r["doc_b"])], k=3)) < 1e-12
+
+
 def test_winnowing_md5_matches_bruteforce():
     """The SQL-oracled md5 variant reproduces a brute-force winnowing
     over md5-derived character-gram hashes (rightmost min per window,
