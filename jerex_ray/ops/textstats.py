@@ -32,15 +32,26 @@ def token_stats(batch: pd.DataFrame) -> pd.DataFrame:
     return batch[["doc_id", "n_tokens", "n_pieces"]]
 
 
+# whole-token, case-insensitive English stopword match: a token is a
+# maximal non-whitespace run, so boundary lookarounds make the count
+# exact (and SQL-replicable via list_filter + lower(x) IN (...))
+_EN_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it",
+                 "that", "was")
+_STOPWORD_RE = re.compile(
+    r"(?i)(?:^|(?<=\s))(?:" + "|".join(_EN_STOPWORDS) + r")(?=\s|$)")
+
+
 def quality_stats(batch: pd.DataFrame) -> pd.DataFrame:
     """Cheap quality signals: length, punctuation ratio, mean word
-    length, uppercase ratio. All vectorized pandas str kernels."""
+    length, uppercase ratio, stopword ratio. All vectorized pandas
+    str kernels."""
     texts = batch["text"].fillna("")
     n_chars = texts.str.len().astype("int64")
     n_punct = texts.str.count(_PUNCT_RE).astype("int64")
     n_tokens = texts.str.split().str.len().fillna(0).astype("int64")
     n_upper = texts.str.count(r"[A-Z]").astype("int64")
     n_ws = texts.str.count(r"\s").astype("int64")
+    n_stop = texts.str.count(_STOPWORD_RE).astype("int64")
     out = pd.DataFrame({
         "doc_id": batch["doc_id"],
         "n_chars": n_chars,
@@ -50,6 +61,8 @@ def quality_stats(batch: pd.DataFrame) -> pd.DataFrame:
         "mean_token_len": np.where(
             n_tokens > 0,
             (n_chars - n_ws) / n_tokens.clip(lower=1), 0.0),
+        "stopword_ratio": (n_stop / n_tokens.clip(lower=1))
+            .astype("float64"),
     })
     return out
 

@@ -780,7 +780,14 @@ def build_oracle_sql() -> dict:
                    CASE WHEN {_N_TOKENS_SQL} > 0 THEN
                        CAST(length(text) - (length(text) - length(regexp_replace(text, '\\s', '', 'g'))) AS DOUBLE)
                            / greatest({_N_TOKENS_SQL}, 1)
-                   ELSE 0.0 END AS mean_token_len
+                   ELSE 0.0 END AS mean_token_len,
+                   CAST(len(list_filter(
+                            list_filter(regexp_split_to_array(text, '\\s+'),
+                                        x -> x <> ''),
+                            x -> lower(x) IN ('the','and','of','to','a',
+                                              'in','is','it','that','was')))
+                        AS DOUBLE) / greatest({_N_TOKENS_SQL}, 1)
+                       AS stopword_ratio
             FROM documents ORDER BY doc_id
         """,
         "doc_exact_dedup": """

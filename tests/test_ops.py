@@ -25,9 +25,17 @@ def test_token_and_quality_stats():
     out = run_token_stats(_docs(["one two  three", "", "a b"])).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert list(out["n_tokens"]) == [3, 0, 2]
-    q = run_quality_stats(_docs(["Hello, World!", ""])).to_pandas() \
+    q = run_quality_stats(
+        _docs(["Hello, World!", "", "The cat sat on the mat",
+               "And another, toe Inn"])).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert q.loc[0, "n_chars"] == 13
+    # whole-token stopword matches only: "The"+"the" of 6 tokens;
+    # "And" counts, "another,"/"toe"/"Inn" do not
+    assert q.loc[0, "stopword_ratio"] == 0.0
+    assert q.loc[1, "stopword_ratio"] == 0.0
+    assert q.loc[2, "stopword_ratio"] == 2 / 6
+    assert q.loc[3, "stopword_ratio"] == 1 / 4
     assert q.loc[0, "punct_ratio"] > 0
     assert q.loc[1, "n_tokens"] == 0
 
