@@ -64,7 +64,7 @@ from jerex_ray.cluster import clusters_from_pair_scores
 from jerex_ray.config import PipelineConfig
 from jerex_ray.stages.scorer import RuleScorer, enumerate_candidate_spans
 from jerex_ray.types import DEFAULT_TYPES, TypeVocabulary
-from jerex_ray.util import get_edit_distance
+from jerex_ray.util import edit_distances_batch, get_edit_distance
 
 _SIZE_EMB = 30          # size_embeddings_count (configs.py:43)
 _ED_EMB = 300           # ed_embeddings_count (configs.py:44)
@@ -335,15 +335,27 @@ class NumpyScorer(RuleScorer):
             pa_, pb_ = ii[mask], jj[mask]      # reference nested-loop order
             eds = np.empty(len(pa_), dtype=np.int64)
             memo = self._ed_memo
+            # memo lookups first; the doc's memo-missing phrase pairs
+            # are Levenshtein'd in ONE batched numpy DP
+            # (edit_distances_batch), not a Python loop per pair
+            missing: dict[tuple[str, str], list[int]] = {}
             for k, (a, b) in enumerate(zip(pa_.tolist(), pb_.tolist())):
                 d1, d2 = decoded[a], decoded[b]
                 key = (d1, d2) if d1 <= d2 else (d2, d1)
                 ed = memo.get(key)
                 if ed is None:
-                    ed = get_edit_distance(d1, d2)
-                    if len(memo) < 500_000:
+                    missing.setdefault(key, []).append(k)
+                else:
+                    eds[k] = ed
+            if missing:
+                keys = list(missing)
+                vals = edit_distances_batch(keys)
+                cache = len(memo) < 500_000
+                for key, ed in zip(keys, vals.tolist()):
+                    if cache:
                         memo[key] = ed
-                eds[k] = ed
+                    for k in missing[key]:
+                        eds[k] = ed
             eds = np.clip(eds, 0, _ED_EMB - 1)
 
             # J4: chunked coref classification

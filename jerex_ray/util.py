@@ -105,6 +105,61 @@ def get_edit_distance(str1: str, str2: str) -> int:
     return int(prev[-1])
 
 
+def edit_distances_batch(pairs: list[tuple[str, str]]) -> "np.ndarray":
+    """Levenshtein over MANY string pairs at once: one padded uint32
+    matrix per side, one vectorized Wagner-Fischer row update per DP
+    row ACROSS all pairs (the left-to-right ``cur[j-1]+1`` dependency
+    resolved with the same min-accumulate identity as the scalar
+    numpy path in ``get_edit_distance``). Each pair's result is read
+    off at its own (len_a, len_b) cell, so padding never leaks into a
+    shorter pair's answer. Replaces P Python DP loops with
+    ``max_len_b`` numpy ops of width ``P × max_len_a`` — the win that
+    makes per-doc coref ED (J3) vectorizable."""
+    P = len(pairs)
+    out = np.zeros(P, dtype=np.int64)
+    a_strs: list[str] = []
+    b_strs: list[str] = []
+    idxs: list[int] = []
+    for i, (x, y) in enumerate(pairs):
+        if len(x) > len(y):
+            x, y = y, x
+        if not x:
+            out[i] = len(y)
+        elif x == y:
+            out[i] = 0
+        else:
+            a_strs.append(x)
+            b_strs.append(y)
+            idxs.append(i)
+    if not a_strs:
+        return out
+    la = np.asarray([len(s) for s in a_strs], dtype=np.int64)
+    lb = np.asarray([len(s) for s in b_strs], dtype=np.int64)
+    A, B = int(la.max()), int(lb.max())
+    n = len(a_strs)
+    am = np.zeros((n, A), dtype=np.uint32)
+    bm = np.zeros((n, B), dtype=np.uint32)
+    for r, s in enumerate(a_strs):
+        am[r, :la[r]] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    for r, s in enumerate(b_strs):
+        bm[r, :lb[r]] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    idx = np.arange(A + 1, dtype=np.int64)
+    prev = np.broadcast_to(idx, (n, A + 1)).copy()
+    res = np.empty(n, dtype=np.int64)
+    c = np.empty_like(prev)
+    rows = np.arange(n)
+    for i2 in range(B):
+        c[:, 0] = i2 + 1
+        np.minimum(prev[:, :-1] + (am != bm[:, i2:i2 + 1]),
+                   prev[:, 1:] + 1, out=c[:, 1:])
+        prev = np.minimum.accumulate(c - idx, axis=1) + idx
+        done = lb == i2 + 1
+        if done.any():
+            res[done] = prev[rows[done], la[done]]
+    out[np.asarray(idxs, dtype=np.int64)] = res
+    return out
+
+
 _PUNCT = set(".,;:!?\"'`()[]{}<>|/\\-_=+*&^%$#@~")
 
 

@@ -39,6 +39,24 @@ def test_edit_distance_edges():
     assert get_edit_distance("kitten", "sitting") == 3
 
 
+def test_edit_distances_batch_matches_scalar():
+    """The batched multi-pair Levenshtein (one vectorized DP across
+    all pairs, per-pair result read at its own (len_a, len_b) cell)
+    equals the scalar path on random pairs of mixed lengths, empties,
+    equal strings, and >48-char strings (both scalar code paths)."""
+    from jerex_ray.util import edit_distances_batch
+    rng = random.Random(7)
+    alphabet = "abcdef .ü"
+    pairs = [("", ""), ("", "abc"), ("same", "same"),
+             ("x" * 60, "x" * 59 + "y")]
+    pairs += [("".join(rng.choices(alphabet, k=rng.randint(0, 30))),
+               "".join(rng.choices(alphabet, k=rng.randint(0, 30))))
+              for _ in range(200)]
+    got = edit_distances_batch(pairs)
+    assert [int(v) for v in got] == \
+        [get_edit_distance(a, b) for a, b in pairs]
+
+
 def test_normalize_surface():
     assert normalize_surface("  Acme,  Corp. ") == "acme corp"
     assert normalize_surface("ACME-CORP") == "acme corp"
