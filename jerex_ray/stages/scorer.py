@@ -38,7 +38,7 @@ import pyarrow as pa
 from jerex_ray.cluster import clusters_from_pair_scores
 from jerex_ray.config import PipelineConfig
 from jerex_ray.lexicon import coref_score, entity_type_of, is_name_token, relation_cue
-from jerex_ray.util import get_edit_distance
+from jerex_ray.util import edit_distances_batch, get_edit_distance
 
 
 def enumerate_candidate_spans(tok_sent: np.ndarray, max_span_size: int):
@@ -205,15 +205,41 @@ class RuleScorer:
                     i, j = int(iu[k]), int(ju[k])
                     pair_scores[(i, j)] = pair_scores[(j, i)] = 0.95
             # undecided: neither equal, alias, nor gap-excluded
-            # (gap ⇒ ed/m > 0.2 ⇒ score 0.02, below any real threshold)
-            for k in np.flatnonzero(~(eq | alias | gap)):
-                i, j = int(iu[k]), int(ju[k])
-                s = self._score_coref_pair(m_phrases[i], m_phrases[j])
-                if s >= thr:
-                    # below-threshold pairs are indistinguishable from
-                    # missing pairs (distance ≥ cut) for complete
-                    # linkage — omit them, keeping the pair dict tiny
-                    pair_scores[(i, j)] = pair_scores[(j, i)] = s
+            # (gap ⇒ ed/m > 0.2 ⇒ score 0.02, below any real threshold).
+            # Their edit distances come from the memo where known; the
+            # doc's memo misses run as ONE batched numpy DP.
+            und = np.flatnonzero(~(eq | alias | gap))
+            if und.size:
+                memo = self._ed_memo
+                eds = np.empty(und.size, dtype=np.int64)
+                missing: dict[tuple[str, str], list[int]] = {}
+                for t, k in enumerate(und.tolist()):
+                    p1, p2 = m_phrases[int(iu[k])], m_phrases[int(ju[k])]
+                    key = (p1, p2) if p1 <= p2 else (p2, p1)
+                    ed = memo.get(key)
+                    if ed is None:
+                        missing.setdefault(key, []).append(t)
+                    else:
+                        eds[t] = ed
+                if missing:
+                    mkeys = list(missing)
+                    vals = edit_distances_batch(mkeys)
+                    cache = len(memo) < 500_000
+                    for key, ed in zip(mkeys, vals.tolist()):
+                        if cache:
+                            memo[key] = ed
+                        for t in missing[key]:
+                            eds[t] = ed
+                for t, k in enumerate(und.tolist()):
+                    i, j = int(iu[k]), int(ju[k])
+                    s = coref_score(m_phrases[i], m_phrases[j],
+                                    int(eds[t]))
+                    if s >= thr:
+                        # below-threshold pairs are indistinguishable
+                        # from missing pairs (distance ≥ cut) for
+                        # complete linkage — omit them, keeping the
+                        # pair dict tiny
+                        pair_scores[(i, j)] = pair_scores[(j, i)] = s
 
         # J5: complete-linkage clusters over valid mentions
         clusters = clusters_from_pair_scores(
