@@ -168,10 +168,57 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> dict:
+    """Per-operator wall/remote-time breakdown of the flagship KG
+    extraction (``ds.stats()``) — the measure-don't-guess loop: run
+    after any stage change and check that wall time stays dominated by
+    the scorer's useful compute, not shuffle or assembly overhead."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from jerex_ray.config import PipelineConfig
+    from jerex_ray.pipelines.kg import extract_triples
+    from jerex_ray.runtime import configure_data_context
+    from jerex_ray.sources.transcripts import read_synthetic_transcripts
+    configure_data_context()
+    n_convs = int(os.environ.get("GRAFT_STATS_CONVS", "8000"))
+    t0 = time.perf_counter()
+    mat = extract_triples(read_synthetic_transcripts(n_convs),
+                          PipelineConfig()).materialize()
+    wall = time.perf_counter() - t0
+    ops: list[dict] = []
+    # parse the human-readable stats into (operator, pipeline-seconds,
+    # total-remote-seconds) rows
+    op_re = re.compile(r"^Operator \d+ (.+?): .*?in ([0-9.]+)s")
+    rw_re = re.compile(r"Remote wall time:.* ([0-9.]+(?:us|ms|s)) total")
+    unit = {"us": 1e-6, "ms": 1e-3, "s": 1.0}
+    for line in mat.stats().splitlines():
+        m = op_re.match(line.strip())
+        if m:
+            ops.append({"operator": m.group(1)[:70],
+                        "pipeline_sec": float(m.group(2))})
+        else:
+            m = rw_re.search(line)
+            if m and ops and "remote_sec" not in ops[-1]:
+                v = m.group(1)
+                suffix = "us" if v.endswith("us") else (
+                    "ms" if v.endswith("ms") else "s")
+                ops[-1]["remote_sec"] = round(
+                    float(v[:-len(suffix)]) * unit[suffix], 3)
+    ray.shutdown()
+    return {"metric": "kg_extraction_stage_stats", "wall_sec": round(wall, 3),
+            "n_convs": n_convs, "num_cpus": NUM_CPUS, "operators": ops}
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         print(json.dumps(run_scaling_child()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        print(json.dumps(run_stats(), indent=1))
     else:
         print(json.dumps(run_bench()))
