@@ -132,6 +132,61 @@ def fingerprint(batch: pd.DataFrame, *, normalize: bool = True,
     return out
 
 
+def repetition_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. '21 §A1.1):
+    the duplicate-word fraction (1 − distinct/total words) and the
+    fraction of the document's bigrams taken by its most frequent
+    bigram. High values flag boilerplate / degenerate repetition.
+
+    Vectorized across the batch: one flat (doc, word) explode, one
+    drop-duplicates + bincount for distinct words, one flat bigram
+    construction + groupby-max for the top-bigram share — no per-doc
+    Python loop."""
+    n_docs = len(batch)
+    texts = batch["text"].fillna("").str.lower()
+    word_lists = texts.str.split()
+    lens = word_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
+    out = pd.DataFrame({
+        "doc_id": batch["doc_id"].astype("int64"),
+        "n_tokens": lens,
+        "dup_word_frac": np.zeros(n_docs, dtype=np.float64),
+        "top_bigram_frac": np.zeros(n_docs, dtype=np.float64),
+    })
+    if lens.sum() == 0:
+        return out
+    doc_idx = np.repeat(np.arange(n_docs), lens)
+    flat = np.concatenate([w for w in word_lists.to_numpy() if w]) \
+        if n_docs else np.empty(0, object)
+    words = pd.DataFrame({"i": doc_idx, "w": flat})
+    n_distinct = np.bincount(words.drop_duplicates()["i"].to_numpy(),
+                             minlength=n_docs)
+    nz = lens > 0
+    out.loc[nz, "dup_word_frac"] = 1.0 - n_distinct[nz] / lens[nz]
+    # bigrams: adjacent word pairs within a doc — positions where the
+    # next flat element belongs to the same doc
+    if len(flat) > 1:
+        same = doc_idx[:-1] == doc_idx[1:]
+        if same.any():
+            bi = pd.DataFrame({
+                "i": doc_idx[:-1][same],
+                "g": pd.Series(flat[:-1][same]).str.cat(
+                    pd.Series(flat[1:][same]), sep=" ").to_numpy(),
+            })
+            top = bi.groupby(["i", "g"], sort=False).size() \
+                .groupby(level=0).max()
+            total = np.maximum(lens - 1, 1)
+            frac = np.zeros(n_docs, dtype=np.float64)
+            frac[top.index.to_numpy()] = top.to_numpy()
+            out["top_bigram_frac"] = frac / total
+            out.loc[lens < 2, "top_bigram_frac"] = 0.0
+    return out
+
+
+def run_repetition_stats(docs_ds):
+    return docs_ds.map_batches(repetition_stats, batch_format="pandas",
+                               batch_size=8192)
+
+
 def top_ngrams(docs_ds, *, n: int = 2, k: int = 10,
                num_partitions: int | None = None) -> pd.DataFrame:
     """Corpus-wide top-k word n-grams by count: per-batch explode +

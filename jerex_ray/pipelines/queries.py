@@ -427,6 +427,53 @@ def doc_winnowing_md5(sf_dir: str):
     return out.sort_values(["doc_id", "position"]).reset_index(drop=True)
 
 
+def doc_pack_batches(sf_dir: str):
+    """Token-budget sequence packing (concat-and-chunk over the
+    doc_id-ordered stream per source) via the distributed keyed
+    exclusive prefix sum of ``ops/pack.py`` — oracled by a SQL window
+    running sum."""
+    from jerex_ray.ops.pack import pack_documents
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "source"])
+    out = pack_documents(ds, budget=512).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination: train-split docs sharing a word
+    8-gram with the test split (md5 hash split), with the count of
+    distinct shared grams. One broadcast + one streaming pass."""
+    from jerex_ray.ops.decontam import contaminated_docs
+    from jerex_ray.ops.split import hash_split
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    split = hash_split(ds)
+    train = split.map_batches(
+        lambda b: b.loc[b["split"] != "test", ["doc_id", "text"]],
+        batch_format="pandas")
+    evald = split.map_batches(
+        lambda b: b.loc[b["split"] == "test", ["doc_id", "text"]],
+        batch_format="pandas")
+    out = contaminated_docs(train, evald, n=8).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (duplicate-word
+    fraction, top-bigram share) — vectorized explode, SQL-oracled."""
+    from jerex_ray.ops.textstats import run_repetition_stats
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return run_repetition_stats(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def q_distinct_event_users(sf_dir: str):
     """Exact distinct count via the combiner aggregate: per-batch
     partial uniques → groupby(user_id) → count of groups."""
@@ -694,6 +741,9 @@ def build_queries() -> dict:
         "doc_top_bigrams": doc_top_bigrams,
         "doc_winnowing": doc_winnowing,
         "doc_winnowing_md5": doc_winnowing_md5,
+        "doc_pack_batches": doc_pack_batches,
+        "doc_decontaminate": doc_decontaminate,
+        "doc_repetition": doc_repetition,
         "dedup_minhash_edges": dedup_minhash_edges,
         "dedup_jaccard_edges": dedup_jaccard_edges,
         "dedup_components": dedup_components,
@@ -1029,6 +1079,85 @@ def build_oracle_sql() -> dict:
             FROM sel JOIN h ON h.doc_id = sel.doc_id
                            AND h.position = sel.position
             ORDER BY h.doc_id, h.position
+        """,
+        "doc_pack_batches": f"""
+            WITH t AS (
+                SELECT doc_id, source, {_N_TOKENS_SQL} AS n_tokens
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, source, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS off
+                FROM t
+            )
+            SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(off // 512 AS BIGINT) AS pack_id,
+                   CAST(off % 512 AS BIGINT) AS pack_offset
+            FROM s ORDER BY doc_id
+        """,
+        "doc_decontaminate": """
+            WITH h AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 16) AS UBIGINT)
+                           % 1000000 AS b,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            eg AS (
+                SELECT DISTINCT unnest([array_to_string(ws[i:i+7], ' ')
+                                        for i in range(1, len(ws) - 6)])
+                           AS g
+                FROM h WHERE b >= 900000 AND len(ws) >= 8
+            ),
+            tg AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           [array_to_string(ws[i:i+7], ' ')
+                            for i in range(1, len(ws) - 6)])) AS g
+                FROM h WHERE b < 900000 AND len(ws) >= 8
+            )
+            SELECT doc_id, count(*) AS n_hits
+            FROM tg WHERE g IN (SELECT g FROM eg)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_repetition": """
+            WITH w AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, len(ws) AS n_tokens,
+                       len(list_distinct(ws)) AS n_distinct
+                FROM w
+            ),
+            bg AS (
+                SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ')
+                                       for i in range(1, len(ws))]) AS g
+                FROM w WHERE len(ws) >= 2
+            ),
+            bgc AS (
+                SELECT doc_id, g, count(*) AS c FROM bg
+                GROUP BY doc_id, g
+            ),
+            top AS (
+                SELECT doc_id, max(c) AS top_c, sum(c) AS total
+                FROM bgc GROUP BY doc_id
+            )
+            SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+                   1.0 - CAST(t.n_distinct AS DOUBLE)
+                       / greatest(t.n_tokens, 1) AS dup_word_frac,
+                   COALESCE(CAST(top.top_c AS DOUBLE) / top.total, 0.0)
+                       AS top_bigram_frac
+            FROM tok t LEFT JOIN top ON t.doc_id = top.doc_id
+            ORDER BY t.doc_id
         """,
         "dedup_minhash_edges": _EXACT_JACCARD_EDGES_SQL,
         # same SQL — but for the exact engine path the parity is
