@@ -75,20 +75,45 @@ class RuleScorer:
 
     # --- model hooks (swap these for a real checkpoint) ---
 
-    def _score_mentions(self, phrases: list[str], tok_sent: np.ndarray,
-                        sent_tok_off: np.ndarray,
-                        starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
-        """J1/J2 stand-in: sigmoid mention scores for candidate spans.
-        High iff the span is a maximal run of name-shaped tokens."""
+    def _batch_name_flags(self, phrase_vals: np.ndarray) -> np.ndarray:
+        """Name-shape flags for EVERY token in the batch in one
+        unique-then-scatter: the regex+stopword rule runs once per
+        distinct surface in the batch (memoized across batches), then
+        scatters to all positions — replacing a per-token Python dict
+        loop inside every document."""
+        if phrase_vals.size == 0:
+            return np.zeros(0, dtype=bool)
+        uniq, inv = np.unique(phrase_vals, return_inverse=True)
         memo = self._name_memo
-        name = np.empty(len(phrases), dtype=bool)
-        for i, p in enumerate(phrases):
+        flags = np.empty(len(uniq), dtype=bool)
+        cache = len(memo) < 1_000_000
+        for i, p in enumerate(uniq.tolist()):
             v = memo.get(p)
             if v is None:
                 v = is_name_token(p)
-                if len(memo) < 1_000_000:
+                if cache:
                     memo[p] = v
-            name[i] = v
+            flags[i] = v
+        return flags[inv]
+
+    def _score_mentions(self, phrases: list[str], tok_sent: np.ndarray,
+                        sent_tok_off: np.ndarray,
+                        starts: np.ndarray, ends: np.ndarray,
+                        name: np.ndarray | None = None) -> np.ndarray:
+        """J1/J2 stand-in: sigmoid mention scores for candidate spans.
+        High iff the span is a maximal run of name-shaped tokens.
+        ``name`` is the batch-precomputed flag slice when called from
+        ``__call__``; direct callers fall back to the per-token memo."""
+        if name is None:
+            memo = self._name_memo
+            name = np.empty(len(phrases), dtype=bool)
+            for i, p in enumerate(phrases):
+                v = memo.get(p)
+                if v is None:
+                    v = is_name_token(p)
+                    if len(memo) < 1_000_000:
+                        memo[p] = v
+                name[i] = v
         cs = np.concatenate(([0], np.cumsum(name)))
         all_name = (cs[ends] - cs[starts]) == (ends - starts)
         sent_begin = sent_tok_off[tok_sent[starts]]
@@ -155,13 +180,15 @@ class RuleScorer:
 
     def _score_doc(self, phrases: list[str], tok_sent: np.ndarray,
                    sent_tok_off: np.ndarray, conv_id: str | None = None,
+                   name_flags: np.ndarray | None = None,
                    **_subword_extras):
         cfg = self.config
         starts, ends = enumerate_candidate_spans(tok_sent, cfg.max_span_size)
         if starts.size == 0:
             return [], [], [], [], []
 
-        scores = self._score_mentions(phrases, tok_sent, sent_tok_off, starts, ends)
+        scores = self._score_mentions(phrases, tok_sent, sent_tok_off,
+                                      starts, ends, name=name_flags)
         valid = scores >= cfg.mention_threshold          # M3 threshold
         v_start, v_end = starts[valid], ends[valid]
         v_sent = tok_sent[v_start]
@@ -277,6 +304,12 @@ class RuleScorer:
             enc_vals, enc_offs = flat_with_offsets(batch["encoding"], np.int32)
             ss_vals, ss_offs = flat_with_offsets(batch["tok_sub_start"], np.int32)
             se_vals, se_offs = flat_with_offsets(batch["tok_sub_end"], np.int32)
+        else:
+            # rule path: one batch-wide unique-then-scatter computes
+            # every token's name flag up front (model subclasses embed
+            # sub-words instead and take no name_flags)
+            name_all = self._batch_name_flags(np.asarray(phrase_vals,
+                                                         dtype=object))
 
         for d in range(batch.num_rows):
             phrases = phrase_vals[phrase_offs[d]:phrase_offs[d + 1]].tolist()
@@ -289,6 +322,9 @@ class RuleScorer:
                     "sub_start": ss_vals[ss_offs[d]:ss_offs[d + 1]],
                     "sub_end": se_vals[se_offs[d]:se_offs[d + 1]],
                 }
+            else:
+                extras = {"name_flags":
+                          name_all[phrase_offs[d]:phrase_offs[d + 1]]}
             mentions, clusters, reps, types, relations = self._score_doc(
                 phrases, tok_sent, sent_off, conv_id=conv_ids[d], **extras)
 
