@@ -220,6 +220,72 @@ def top_ngrams(docs_ds, *, n: int = 2, k: int = 10,
              .reset_index(drop=True)
 
 
+def unigram_logppl(docs_ds, *, num_partitions: int | None = None):
+    """CCNet-style LM quality score (Wenzek et al. '19 use a KenLM
+    5-gram; the unigram variant keeps the same shape): per document,
+    the mean negative log2 probability of its words under the CORPUS
+    unigram distribution. Low = typical text, high = atypical/noisy.
+
+    Two passes, both scale-shaped: corpus word counts reduce through
+    the combiner ``grouped_aggregate`` (vocabulary-sized result), the
+    log-prob table broadcasts once via ``ray.put`` (vocabularies are
+    small by Zipf, the correct broadcast side), then ONE streaming
+    ``map_batches`` scores every doc — flat word explode, one
+    C-speed dict map, one bincount mean. Out-of-vocabulary words (a
+    pre-trained LM table, not the corpus-self one) score as a single
+    count smoothed over the total."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"w": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        flat = np.concatenate([w for w in words.to_numpy() if w])
+        out = pd.DataFrame({"w": flat})
+        return out.groupby("w", sort=False).size().reset_index(name="c")
+
+    counts = grouped_aggregate(
+        docs_ds.map_batches(explode, batch_format="pandas",
+                            batch_size=8192),
+        ["w"], {"n": ("c", "sum")},
+        num_partitions=num_partitions).to_pandas()
+    if counts.empty or "n" not in counts.columns:
+        logp = {}
+        total = 1
+    else:
+        total = int(counts["n"].sum())
+        logp = dict(zip(counts["w"],
+                        -np.log2(counts["n"].to_numpy(np.float64) / total)))
+    oov = -np.log2(1.0 / max(total, 1))
+    ref = ray.put((logp, oov))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        table, oov_lp = ray.get(ref)
+        words = batch["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        n = len(batch)
+        out = pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+                            "n_tokens": lens,
+                            "logppl": np.zeros(n, dtype=np.float64)})
+        if lens.sum() == 0:
+            return out
+        doc_idx = np.repeat(np.arange(n), lens)
+        flat = pd.Series(np.concatenate(
+            [w for w in words.to_numpy() if w]))
+        vals = flat.map(table).fillna(oov_lp).to_numpy(np.float64)
+        sums = np.bincount(doc_idx, weights=vals, minlength=n)
+        nz = lens > 0
+        out.loc[nz, "logppl"] = sums[nz] / lens[nz]
+        return out
+
+    return docs_ds.map_batches(score, batch_format="pandas",
+                               batch_size=8192)
+
+
 def winnowing_fingerprints(batch: pd.DataFrame, *, k: int = 8,
                            window: int = 4,
                            col: str = "text") -> pd.DataFrame:

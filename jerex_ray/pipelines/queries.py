@@ -463,6 +463,21 @@ def doc_decontaminate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_unigram_logppl(sf_dir: str):
+    """CCNet-style unigram-LM quality score: per-doc mean −log2 word
+    probability under the corpus unigram distribution; rounded to 6
+    decimals on both sides (summation order differs between the
+    distributed mean and SQL avg in the last float bits)."""
+    from jerex_ray.ops.textstats import unigram_logppl
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = unigram_logppl(ds).to_pandas()
+    out["logppl"] = out["logppl"].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_repetition(sf_dir: str):
     """Gopher-style repetition quality signals (duplicate-word
     fraction, top-bigram share) — vectorized explode, SQL-oracled."""
@@ -744,6 +759,7 @@ def build_queries() -> dict:
         "doc_pack_batches": doc_pack_batches,
         "doc_decontaminate": doc_decontaminate,
         "doc_repetition": doc_repetition,
+        "doc_unigram_logppl": doc_unigram_logppl,
         "dedup_minhash_edges": dedup_minhash_edges,
         "dedup_jaccard_edges": dedup_jaccard_edges,
         "dedup_components": dedup_components,
@@ -1125,6 +1141,31 @@ def build_oracle_sql() -> dict:
             SELECT doc_id, count(*) AS n_hits
             FROM tg WHERE g IN (SELECT g FROM eg)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_unigram_logppl": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(text), '\\s+'), x -> x <> '')) AS w
+                FROM documents
+            ),
+            cnt AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+            tot AS (SELECT sum(c) AS t FROM cnt),
+            lp AS (
+                SELECT w, -log2(CAST(c AS DOUBLE) / t) AS l
+                FROM cnt CROSS JOIN tot
+            ),
+            per AS (
+                SELECT w.doc_id, count(*) AS n_tokens,
+                       round(avg(lp.l), 6) AS logppl
+                FROM w JOIN lp ON w.w = lp.w
+                GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   COALESCE(per.logppl, 0.0) AS logppl
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            ORDER BY d.doc_id
         """,
         "doc_repetition": """
             WITH w AS (

@@ -136,6 +136,25 @@ def test_repetition_stats_vs_bruteforce():
             assert row["top_bigram_frac"] == 0.0
 
 
+def test_unigram_logppl_vs_bruteforce():
+    from collections import Counter
+
+    from jerex_ray.ops.textstats import unigram_logppl
+
+    texts = ["a a b c", "b b b", "", "c d d a"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(4), "text": texts}))
+    out = unigram_logppl(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    cnt = Counter(w for t in texts for w in t.split())
+    total = sum(cnt.values())
+    for i, t in enumerate(texts):
+        ws = t.split()
+        want = (np.mean([-np.log2(cnt[w] / total) for w in ws])
+                if ws else 0.0)
+        assert np.isclose(out.loc[i, "logppl"], want)
+        assert out.loc[i, "n_tokens"] == len(ws)
+
+
 def test_repetition_stats_dataset_and_empty():
     out = run_repetition_stats(rd.from_pandas(pd.DataFrame({
         "doc_id": [0, 1], "text": ["a a b", None]}))).to_pandas()
