@@ -77,10 +77,11 @@ class GTSubstitutingScorer(RuleScorer):
             clusters_of.append(cl)
         return mentions, clusters_of
 
-    def _score_doc(self, phrases, tok_sent, sent_off, conv_id=None):
+    def _score_doc(self, phrases, tok_sent, sent_off, conv_id=None,
+                   name_flags=None):
         if self.task == "mention":
             return super()._score_doc(phrases, tok_sent, sent_off,
-                                      conv_id=conv_id)
+                                      conv_id=conv_id, name_flags=name_flags)
         n_sents = len(sent_off) - 1
         mentions, gt_cluster_of = self._gt_doc_mentions(
             conv_id, sent_off, n_sents)
