@@ -415,6 +415,96 @@ def run_winnowing_md5(docs_ds, *, k: int = 8, window: int = 4):
         batch_size=1024, fn_kwargs={"k": k, "window": window})
 
 
+def tfidf_top_terms(docs_ds, *, top: int = 3,
+                    num_partitions: int | None = None):
+    """Per-document top-``top`` terms by smoothed tf-idf
+    (sklearn-style idf = ln((1+N)/(1+df)) + 1; tf = count/len).
+
+    Two passes, both scale-shaped: document frequencies reduce through
+    the combiner ``grouped_aggregate`` (one (doc,term)-distinct explode
+    per batch → vocabulary-sized result), the idf table broadcasts once
+    via ``ray.put``, then ONE streaming ``map_batches`` ranks each
+    doc's terms. The output carries only integers and strings
+    (tf_count, doc_freq, rank) — the float score exists transiently for
+    ordering, with ties broken on term asc, so the result is
+    SQL-oracle exact. idf values are computed with ``math.log`` (glibc,
+    the same libm DuckDB's ``ln`` binds) so the ordering matches the
+    oracle bit-for-bit."""
+    import math
+
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    def doc_terms(batch: pd.DataFrame) -> pd.DataFrame:
+        """Per-term distinct-doc counts + a doc-count sentinel row."""
+        words = batch["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(np.int64)
+        sentinel = pd.DataFrame({"term": [""], "c": [len(batch)]})
+        if lens.sum() == 0:
+            return sentinel
+        flat = pd.DataFrame({
+            "doc": np.repeat(np.arange(len(batch)), lens),
+            "term": np.concatenate([w for w in words.to_numpy() if w])})
+        out = (flat.drop_duplicates()
+               .groupby("term", sort=False).size().reset_index(name="c"))
+        # sentinel: total docs in batch under the never-a-word "" key
+        return pd.concat([out, sentinel], ignore_index=True)
+
+    df_counts = grouped_aggregate(
+        docs_ds.map_batches(doc_terms, batch_format="pandas",
+                            batch_size=8192),
+        ["term"], {"df": ("c", "sum")},
+        num_partitions=num_partitions).to_pandas()
+    empty = pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"),
+        "term": pd.Series(dtype="object"),
+        "tf_count": pd.Series(dtype="int64"),
+        "doc_freq": pd.Series(dtype="int64"),
+        "rank": pd.Series(dtype="int64")})
+    if df_counts.empty or "df" not in df_counts.columns:
+        return ray.data.from_pandas(empty)
+    n_docs = int(df_counts.loc[df_counts["term"] == "", "df"].sum())
+    vocab = df_counts[df_counts["term"] != ""]
+    idf = {t: math.log((1.0 + n_docs) / (1.0 + d)) + 1.0
+           for t, d in zip(vocab["term"], vocab["df"].astype(int))}
+    dfreq = dict(zip(vocab["term"], vocab["df"].astype(int)))
+    ref = ray.put((idf, dfreq))
+
+    def rank_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        idf_t, df_t = ray.get(ref)
+        words = batch["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(np.int64)
+        cols = ["doc_id", "term", "tf_count", "doc_freq", "rank"]
+        if lens.sum() == 0:
+            return empty[cols].copy()
+        ids = batch["doc_id"].astype("int64").to_numpy()
+        flat = pd.DataFrame({
+            "doc": np.repeat(np.arange(len(batch)), lens),
+            "term": np.concatenate([w for w in words.to_numpy() if w])})
+        tf = (flat.groupby(["doc", "term"], sort=False)
+              .size().reset_index(name="tf_count"))
+        score = (tf["tf_count"].to_numpy(np.float64)
+                 / lens[tf["doc"].to_numpy()]) \
+            * tf["term"].map(idf_t).to_numpy(np.float64)
+        # score desc, term asc within doc — ties (same tf, same df)
+        # are mathematically exact and break on the term
+        order = np.lexsort((tf["term"].to_numpy(), -score,
+                            tf["doc"].to_numpy()))
+        tf = tf.iloc[order]
+        tf["rank"] = tf.groupby("doc", sort=False).cumcount() + 1
+        tf = tf[tf["rank"] <= top]
+        return pd.DataFrame({
+            "doc_id": ids[tf["doc"].to_numpy()],
+            "term": tf["term"].to_numpy(),
+            "tf_count": tf["tf_count"].to_numpy(np.int64),
+            "doc_freq": tf["term"].map(df_t).to_numpy(np.int64),
+            "rank": tf["rank"].to_numpy(np.int64)})
+
+    return docs_ds.map_batches(rank_batch, batch_format="pandas",
+                               batch_size=8192)
+
+
 def run_token_stats(docs_ds):
     return docs_ds.map_batches(token_stats, batch_format="pandas",
                                batch_size=8192)

@@ -489,6 +489,59 @@ def doc_repetition(sf_dir: str):
         .reset_index(drop=True)
 
 
+def doc_heavy_hitters(sf_dir: str):
+    """Exact corpus heavy hitters (count·k > total) via a Misra–Gries
+    candidate pass + an exact verify pass — integer-only output, so
+    the SQL oracle matches bit-for-bit."""
+    from jerex_ray.ops.sketch import heavy_hitters
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return heavy_hitters(ds, k=40, capacity=256)
+
+
+def doc_tfidf_top(sf_dir: str):
+    """Per-doc top-3 terms by smoothed tf-idf; output carries only
+    integers/strings (ranking floats are transient, ties break on the
+    term) so the oracle compare is exact."""
+    from jerex_ray.ops.textstats import tfidf_top_terms
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = tfidf_top_terms(ds, top=3).to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+def emb_label_centroids(sf_dir: str):
+    """Mean embedding per label as flat (label, dim, centroid) rows —
+    partial sums reduce per batch, vectors never ride a shuffle;
+    rounded to 6 decimals on both sides (summation order)."""
+    from jerex_ray.ops.embed import label_centroids
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["label", "embedding"])
+    return label_centroids(ds)
+
+
+def emb_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means (deterministic smallest-id init,
+    per-iteration broadcast + partial-sum reduce). Iterative model
+    fitting — not SQL-expressible; rows-only for the driver, with the
+    monotone-inertia Lloyd invariant pytest-gated
+    (tests/test_embed.py)."""
+    from jerex_ray.ops.embed import kmeans
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    assign, history = kmeans(ds, k=8, iters=5)
+    out = assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert all(b <= a + 1e-9 for a, b in zip(history, history[1:])), \
+        "Lloyd inertia must be non-increasing"
+    return out
+
+
 def q_distinct_event_users(sf_dir: str):
     """Exact distinct count via the combiner aggregate: per-batch
     partial uniques → groupby(user_id) → count of groups."""
@@ -760,6 +813,10 @@ def build_queries() -> dict:
         "doc_decontaminate": doc_decontaminate,
         "doc_repetition": doc_repetition,
         "doc_unigram_logppl": doc_unigram_logppl,
+        "doc_heavy_hitters": doc_heavy_hitters,
+        "doc_tfidf_top": doc_tfidf_top,
+        "emb_label_centroids": emb_label_centroids,
+        "emb_kmeans": emb_kmeans,
         "dedup_minhash_edges": dedup_minhash_edges,
         "dedup_jaccard_edges": dedup_jaccard_edges,
         "dedup_components": dedup_components,
@@ -1141,6 +1198,55 @@ def build_oracle_sql() -> dict:
             SELECT doc_id, count(*) AS n_hits
             FROM tg WHERE g IN (SELECT g FROM eg)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_heavy_hitters": """
+            WITH w AS (
+                SELECT unnest(list_filter(regexp_split_to_array(
+                    lower(text), '\\s+'), x -> x <> '')) AS term
+                FROM documents
+            ),
+            cnt AS (SELECT term, count(*) AS n_occurrences
+                    FROM w GROUP BY 1),
+            tot AS (SELECT sum(n_occurrences) AS n FROM cnt)
+            SELECT term, n_occurrences FROM cnt, tot
+            WHERE n_occurrences * 40 > n
+            ORDER BY n_occurrences DESC, term
+        """,
+        "doc_tfidf_top": """
+            WITH w AS (
+                SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                    lower(text), '\\s+'), x -> x <> '')) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tfc
+                   FROM w GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS len FROM w GROUP BY 1),
+            df AS (SELECT term, count(DISTINCT doc_id) AS dfc
+                   FROM w GROUP BY 1),
+            nd AS (SELECT count(*) AS n FROM documents),
+            s AS (
+                SELECT tf.doc_id, tf.term, tf.tfc, df.dfc,
+                       (CAST(tf.tfc AS DOUBLE) / dl.len)
+                       * (ln((1.0 + nd.n) / (1.0 + df.dfc)) + 1.0) AS sc
+                FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+                CROSS JOIN nd
+            )
+            SELECT doc_id, term, tfc AS tf_count, dfc AS doc_freq,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY sc DESC, term) AS BIGINT) AS rank
+            FROM s QUALIFY rank <= 3 ORDER BY doc_id, rank
+        """,
+        "emb_label_centroids": """
+            WITH e AS (
+                SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   round(avg(CAST(v AS DOUBLE)), 6) AS centroid
+            FROM e GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "doc_unigram_logppl": """
             WITH w AS (

@@ -1,0 +1,142 @@
+"""Sketch (Misra–Gries heavy hitters) and embedding-analytics ops."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from jerex_ray.ops.embed import kmeans, label_centroids
+from jerex_ray.ops.sketch import heavy_hitters, misra_gries
+
+RNG = np.random.default_rng(11)
+
+
+def _zipf_corpus(n_docs=200, planted=("alpha", 10), vocab=40):
+    """Synthetic docs from a skewed vocabulary + one planted rare-ish
+    word (~``planted[1]`` occurrences total — below any heavy
+    threshold coarser than total/planted[1])."""
+    words = [f"w{i}" for i in range(vocab)]
+    p = 1.0 / np.arange(1, vocab + 1)
+    p /= p.sum()
+    docs = []
+    step = max(1, n_docs // planted[1])
+    for i in range(n_docs):
+        ws = list(RNG.choice(words, size=30, p=p))
+        if i % step == 0:
+            ws.append(planted[0])
+        docs.append(" ".join(ws))
+    return pd.DataFrame({"doc_id": np.arange(n_docs, dtype="int64"),
+                         "text": docs})
+
+
+def _exact_heavy(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    flat = np.concatenate(df["text"].str.lower().str.split().to_numpy())
+    vc = pd.Series(flat).value_counts()
+    hot = vc[vc * k > len(flat)]
+    return (pd.DataFrame({"term": hot.index, "n_occurrences": hot.values})
+            .sort_values(["n_occurrences", "term"],
+                         ascending=[False, True]).reset_index(drop=True))
+
+
+def test_misra_gries_capacity_and_guarantee():
+    words = np.array(["a"] * 50 + ["b"] * 30 + [f"x{i}" for i in range(100)])
+    RNG.shuffle(words)
+    out = misra_gries(words, capacity=8)
+    assert len(out) <= 8
+    # any word with count > n/(capacity+1) = 20 must survive
+    assert {"a", "b"} <= set(out["term"])
+
+
+def test_heavy_hitters_matches_exact_counts():
+    df = _zipf_corpus()
+    got = heavy_hitters(rd.from_pandas(df), k=25, capacity=64)
+    want = _exact_heavy(df, k=25)
+    pd.testing.assert_frame_equal(got, want)
+    assert "alpha" not in set(got["term"])  # planted word is sub-threshold
+    low_k = heavy_hitters(rd.from_pandas(df), k=1000, capacity=1024)
+    assert "alpha" in set(low_k["term"])
+
+
+def test_heavy_hitters_batch_boundary_independence():
+    df = _zipf_corpus(n_docs=97)
+    a = heavy_hitters(rd.from_pandas(df), k=25, capacity=64)
+    b = heavy_hitters(rd.from_pandas(df).repartition(7), k=25, capacity=64)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_heavy_hitters_capacity_guard_and_empty():
+    with pytest.raises(ValueError):
+        heavy_hitters(rd.from_pandas(_zipf_corpus(5)), k=40, capacity=8)
+    empty = heavy_hitters(
+        rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": [""]})), k=10)
+    assert len(empty) == 0
+
+
+def test_label_centroids_match_numpy_groupby_mean():
+    n, d = 120, 8
+    vecs = RNG.normal(size=(n, d)).astype(np.float32)
+    labels = RNG.integers(0, 4, size=n).astype(np.int32)
+    df = pd.DataFrame({"label": labels, "embedding": list(vecs)})
+    got = label_centroids(rd.from_pandas(df).repartition(5))
+    for lab in np.unique(labels):
+        want = vecs[labels == lab].astype(np.float64).mean(axis=0)
+        sub = got[got["label"] == lab].sort_values("dim")
+        np.testing.assert_allclose(sub["centroid"].to_numpy(), want,
+                                   atol=5e-7)
+
+
+def test_kmeans_monotone_inertia_and_blob_recovery():
+    # two well-separated blobs -> k=2 must split them exactly
+    a = RNG.normal(loc=0.0, scale=0.05, size=(40, 4))
+    b = RNG.normal(loc=5.0, scale=0.05, size=(40, 4))
+    vecs = np.vstack([a, b]).astype(np.float32)
+    ids = np.arange(80, dtype="int64")
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    assign, hist = kmeans(rd.from_pandas(df).repartition(4), k=2, iters=6)
+    assert all(later <= earlier + 1e-9
+               for earlier, later in zip(hist, hist[1:]))
+    out = assign.to_pandas().sort_values("vec_id")
+    first, second = (out["cluster"].to_numpy()[:40],
+                     out["cluster"].to_numpy()[40:])
+    assert len(set(first)) == 1 and len(set(second)) == 1
+    assert first[0] != second[0]
+
+
+def test_kmeans_deterministic_across_partitionings():
+    vecs = RNG.normal(size=(60, 6)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(60, dtype="int64"),
+                       "embedding": list(vecs)})
+    a, ha = kmeans(rd.from_pandas(df), k=4, iters=4)
+    b, hb = kmeans(rd.from_pandas(df).repartition(6), k=4, iters=4)
+    pd.testing.assert_frame_equal(
+        a.to_pandas().sort_values("vec_id").reset_index(drop=True),
+        b.to_pandas().sort_values("vec_id").reset_index(drop=True))
+    np.testing.assert_allclose(ha, hb, rtol=1e-12)
+
+
+def test_tfidf_top_terms_matches_brute_force():
+    import math
+
+    from jerex_ray.ops.textstats import tfidf_top_terms
+
+    df = _zipf_corpus(n_docs=40)
+    got = tfidf_top_terms(rd.from_pandas(df).repartition(3), top=3) \
+        .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+    split = df["text"].str.lower().str.split()
+    n_docs = len(df)
+    dfreq = pd.Series(np.concatenate(
+        [list(set(w)) for w in split])).value_counts()
+    rows = []
+    for did, ws in zip(df["doc_id"], split):
+        vc = pd.Series(ws).value_counts()
+        scored = sorted(
+            ((-(vc[t] / len(ws)) * (math.log((1 + n_docs) / (1 + dfreq[t]))
+                                    + 1.0), t) for t in vc.index))
+        for r, (_, t) in enumerate(scored[:3], start=1):
+            rows.append((did, t, int(vc[t]), int(dfreq[t]), r))
+    want = pd.DataFrame(rows, columns=["doc_id", "term", "tf_count",
+                                       "doc_freq", "rank"]) \
+        .astype({"doc_id": "int64", "tf_count": "int64",
+                 "doc_freq": "int64", "rank": "int64"})
+    pd.testing.assert_frame_equal(got, want)
