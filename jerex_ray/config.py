@@ -43,6 +43,12 @@ class PipelineConfig:
                                       # test clusters)
     num_output_partitions: int = 16   # triple sink partitions (hash of conv_id)
     salt_buckets: int = 8             # sub-buckets for hot canonicalization keys
+    assembly_locality: str = "shuffle"  # "auto": assemble convs block-locally
+                                      # and shuffle only block-boundary convs
+                                      # (transcript tables are normally
+                                      # conv-contiguous on disk); requires a
+                                      # re-traversable input plan. "shuffle":
+                                      # always hash-repartition (any layout).
 
     # --- canonicalization ---
     hot_key_threshold: int = 10_000   # per-batch partial-count above which a key is salted

@@ -68,7 +68,8 @@ def extract_triples(transcripts_ds, config: PipelineConfig | None = None,
     ds = _with_part_key(transcripts_ds, cfg, skip_partitions)
     from jerex_ray.stages.assemble import DOCS_PER_BLOCK
 
-    docs = assemble_documents(ds, shuffle_blocks=shuffle_blocks)
+    docs = assemble_documents(ds, shuffle_blocks=shuffle_blocks,
+                              locality=cfg.assembly_locality)
     # actor-pool parallelism is one task per block, and Ray's dynamic
     # block builder re-coalesces small yielded sub-blocks up to the
     # target byte size — split to bounded-row blocks (metadata-level,
