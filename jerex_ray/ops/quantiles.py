@@ -132,3 +132,132 @@ def distributed_quantiles(ds, col: str, qs: list[float], *,
         v_lo, v_hi = resolved[lo], resolved[hi]
         out.append(v_lo + (v_hi - v_lo) * f)
     return out
+
+
+def grouped_quantiles(ds, key: str, col: str, qs: list[float], *,
+                      sample_size: int = 8192,
+                      seed: int = 17) -> pd.DataFrame:
+    """Exact type-7 quantiles of ``col`` PER ``key`` group, in the same
+    three shuffle-free passes as ``distributed_quantiles`` — every
+    group rides the same pass, so the pass count stays three no matter
+    how many groups there are (vs. one full scan per group if the
+    scalar operator were looped).
+
+    Per-pass state is (groups × pivots) rank counts and (groups ×
+    brackets) interiors — both tiny for categorical keys. NaN values
+    are ignored per group (``quantile_cont`` NULL semantics). Returns a
+    DataFrame (key, q, value) sorted by (key, q)."""
+    def valid_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(dtype=np.float64)
+        g = batch[key]
+        ok = ~np.isnan(v)
+        out = pd.DataFrame({key: g[ok]}).groupby(key, sort=False) \
+            .size().reset_index(name="n")
+        out["rows"] = 0
+        return pd.concat(
+            [out, pd.DataFrame({key: [None], "n": [0],
+                                "rows": [len(batch)]})], ignore_index=True)
+
+    counts = ds.map_batches(valid_counts, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+    total_rows = int(counts["rows"].sum())
+    n_by = counts[counts[key].notna()].groupby(key)["n"].sum()
+    groups = sorted(n_by.index)
+    if not groups:
+        return pd.DataFrame({key: [], "q": [], "value": []})
+
+    # pass 1: per-group pivot grids from one shared sample
+    frac = min(1.0, sample_size / max(total_rows, 1))
+    sample = ds.random_sample(frac, seed=seed).to_pandas()
+    pivots = {}
+    for g in groups:
+        sub = sample.loc[sample[key] == g, col].dropna() \
+            if len(sample) else pd.Series(dtype=np.float64)
+        pivots[g] = np.unique(sub.to_numpy(dtype=np.float64))
+    piv_ref = ray.put(pivots)
+
+    # pass 2: per-(group, pivot) exact global rank counts
+    def rank_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        pv = ray.get(piv_ref)
+        frames = []
+        for g, sub in batch.groupby(key, sort=False):
+            p = pv.get(g)
+            if p is None or not p.size:
+                continue
+            v = sub[col].to_numpy(dtype=np.float64)
+            v = np.sort(v[~np.isnan(v)])
+            frames.append(pd.DataFrame({
+                key: g, "idx": np.arange(p.size),
+                "lt": np.searchsorted(v, p, "left").astype(np.int64),
+                "le": np.searchsorted(v, p, "right").astype(np.int64)}))
+        if not frames:
+            return pd.DataFrame({key: pd.Series(dtype="object"),
+                                 "idx": pd.Series(dtype="int64"),
+                                 "lt": pd.Series(dtype="int64"),
+                                 "le": pd.Series(dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(rank_counts, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    resolved: dict[tuple, float] = {}
+    brackets: dict[tuple, tuple[float, float]] = {}
+    ranks = {g: _type7_positions(int(n_by[g]), qs) for g in groups}
+    cnts = {}
+    for g in groups:
+        p = pivots[g]
+        if p.size and len(parts):
+            agg = parts[parts[key] == g].groupby("idx")[["lt", "le"]] \
+                .sum().sort_index()
+            cnt_lt, cnt_le = agg["lt"].to_numpy(), agg["le"].to_numpy()
+        else:
+            cnt_lt = cnt_le = np.empty(0, dtype=np.int64)
+        cnts[g] = (cnt_lt, cnt_le)
+        for r in sorted({r for lo, hi, _ in ranks[g] for r in (lo, hi)}):
+            j = np.searchsorted(cnt_le, r, "right") if p.size else 0
+            if j < p.size and cnt_lt[j] <= r:
+                resolved[(g, r)] = float(p[j])
+            else:
+                brackets[(g, r)] = (float(p[j - 1]) if j > 0 else -np.inf,
+                                    float(p[j]) if j < p.size else np.inf)
+
+    if brackets:
+        by_group: dict = {}
+        for (g, r), iv in brackets.items():
+            by_group.setdefault(g, set()).add(iv)
+        br_ref = ray.put({g: sorted(v) for g, v in by_group.items()})
+
+        def in_brackets(batch: pd.DataFrame) -> pd.DataFrame:
+            bv = ray.get(br_ref)
+            frames = []
+            for g, sub in batch.groupby(key, sort=False):
+                ivs = bv.get(g)
+                if not ivs:
+                    continue
+                vs = sub[col].to_numpy(dtype=np.float64)
+                keep = np.zeros(vs.size, dtype=bool)
+                for lo_v, hi_v in ivs:
+                    keep |= (vs > lo_v) & (vs < hi_v)
+                frames.append(pd.DataFrame({key: g, col: vs[keep]}))
+            if not frames:
+                return pd.DataFrame({key: pd.Series(dtype="object"),
+                                     col: pd.Series(dtype="float64")})
+            return pd.concat(frames, ignore_index=True)
+
+        inside = ds.map_batches(in_brackets, batch_format="pandas",
+                                batch_size=65536).to_pandas()
+        for (g, r), (lo_v, hi_v) in brackets.items():
+            p = pivots[g]
+            cnt_lt, cnt_le = cnts[g]
+            base = int(cnt_le[np.searchsorted(p, lo_v)]) \
+                if np.isfinite(lo_v) else 0
+            sub = inside[inside[key] == g][col].to_numpy(np.float64) \
+                if len(inside) else np.empty(0)
+            seg = np.sort(sub[(sub > lo_v) & (sub < hi_v)])
+            resolved[(g, r)] = float(seg[r - base])
+
+    rows = []
+    for g in groups:
+        for q, (lo, hi, f) in zip(qs, ranks[g]):
+            v_lo, v_hi = resolved[(g, lo)], resolved[(g, hi)]
+            rows.append((g, q, v_lo + (v_hi - v_lo) * f))
+    return pd.DataFrame(rows, columns=[key, "q", "value"])

@@ -566,6 +566,18 @@ def q_events_value_quantiles(sf_dir: str):
                           for q, v in zip(qs, vals)}])
 
 
+def q_events_quantiles_by_type(sf_dir: str):
+    """Exact per-group type-7 quantiles — every group shares the same
+    three shuffle-free passes (``ops/quantiles.grouped_quantiles``)."""
+    from jerex_ray.ops.quantiles import grouped_quantiles
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    out = grouped_quantiles(ds, "event_type", "value", [0.25, 0.5, 0.75])
+    out["value"] = out["value"].round(6)
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
 def q_orders_events_window(sf_dir: str):
     """Range join (aggregated): per order, count + sum of the same
     user's events within the 7 days up to the order date — the keyed
@@ -840,6 +852,7 @@ def build_queries() -> dict:
         "q_customers_with_orders_count": R.q_customers_with_orders_count,
         "q_distinct_event_users": q_distinct_event_users,
         "q_events_value_quantiles": q_events_value_quantiles,
+        "q_events_quantiles_by_type": q_events_quantiles_by_type,
         "q_orders_events_window": q_orders_events_window,
         # windowed / time-ordered
         "q_events_sliding": q_events_sliding,
@@ -1491,6 +1504,20 @@ def build_oracle_sql() -> dict:
                    round(quantile_cont(value, 0.75), 6) AS q75,
                    round(quantile_cont(value, 0.99), 6) AS q99
             FROM events
+        """,
+        "q_events_quantiles_by_type": """
+            SELECT event_type, CAST(0.25 AS DOUBLE) AS q,
+                   round(quantile_cont(value, 0.25), 6) AS value
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+                   round(quantile_cont(value, 0.50), 6) AS value
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, CAST(0.75 AS DOUBLE) AS q,
+                   round(quantile_cont(value, 0.75), 6) AS value
+            FROM events GROUP BY event_type
+            ORDER BY event_type, q
         """,
         "q_orders_events_window": """
             SELECT o_orderkey,

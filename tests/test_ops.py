@@ -601,3 +601,29 @@ def test_video_ppm_stream_frame_sample():
                        pa.array([b"\x00\x01garbage"], pa.binary()))
     f = video_frame_sample(rd.from_arrow(bad)).to_pandas()
     assert not f["decode_ok"].any()
+
+
+def test_grouped_quantiles_match_numpy_per_group():
+    """Grouped pivot-grid selection == per-group numpy type-7, with
+    NaNs, duplicate runs, and a group absent from the pivot sample."""
+    from jerex_ray.ops.quantiles import grouped_quantiles
+    rng = np.random.default_rng(13)
+    frames = []
+    for g, n in (("a", 4000), ("b", 900), ("c", 7)):
+        v = rng.standard_normal(n) * (1 + len(g))
+        v[: n // 10] = 1.5  # duplicate run
+        frames.append(pd.DataFrame({"k": g, "v": v}))
+    frames.append(pd.DataFrame({"k": "a", "v": [np.nan] * 50}))
+    df = pd.concat(frames, ignore_index=True).sample(
+        frac=1.0, random_state=3).reset_index(drop=True)
+    qs = [0.1, 0.5, 0.9]
+    got = grouped_quantiles(rd.from_pandas(df).repartition(5),
+                            "k", "v", qs, sample_size=256)
+    for g in ("a", "b", "c"):
+        sub = df.loc[df["k"] == g, "v"].dropna().to_numpy()
+        want = np.quantile(sub, qs)
+        vals = got[got["k"] == g].sort_values("q")["value"].to_numpy()
+        # numpy lerps from the nearer end for f>0.5; a 1-ULP formula
+        # difference is expected (and invisible under the oracle's
+        # 6-decimal rounding)
+        np.testing.assert_allclose(vals, want, rtol=1e-15, atol=1e-15)
