@@ -542,6 +542,24 @@ def emb_kmeans(sf_dir: str):
     return out
 
 
+_BM25_QUERIES = ["spark join fast", "dup", "window stream query sort"]
+
+
+def doc_bm25_scores(sf_dir: str):
+    """Okapi BM25 of every doc against three fixed queries — one
+    combiner stats pass + broadcast idf + one streaming scoring pass;
+    scores rounded to 6 decimals on both sides (per-doc term-sum
+    order differs between engines in the last float bits)."""
+    from jerex_ray.ops.bm25 import bm25_scores
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = bm25_scores(ds, _BM25_QUERIES).to_pandas()
+    out["score"] = out["score"].round(6)
+    return out.sort_values(["query_idx", "doc_id"]).reset_index(drop=True)
+
+
 def q_distinct_event_users(sf_dir: str):
     """Exact distinct count via the combiner aggregate: per-batch
     partial uniques → groupby(user_id) → count of groups."""
@@ -827,6 +845,7 @@ def build_queries() -> dict:
         "doc_unigram_logppl": doc_unigram_logppl,
         "doc_heavy_hitters": doc_heavy_hitters,
         "doc_tfidf_top": doc_tfidf_top,
+        "doc_bm25_scores": doc_bm25_scores,
         "emb_label_centroids": emb_label_centroids,
         "emb_kmeans": emb_kmeans,
         "dedup_minhash_edges": dedup_minhash_edges,
@@ -1249,6 +1268,39 @@ def build_oracle_sql() -> dict:
                        PARTITION BY doc_id
                        ORDER BY sc DESC, term) AS BIGINT) AS rank
             FROM s QUALIFY rank <= 3 ORDER BY doc_id, rank
+        """,
+        "doc_bm25_scores": """
+            WITH q(query_idx, term) AS (VALUES
+                (0, 'spark'), (0, 'join'), (0, 'fast'),
+                (1, 'dup'),
+                (2, 'window'), (2, 'stream'), (2, 'query'), (2, 'sort')),
+            w AS (
+                SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                    lower(text), '\\s+'), x -> x <> '')) AS term
+                FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS len FROM w GROUP BY 1),
+            nd AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM w) AS total),
+            df AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM w
+                   WHERE term IN (SELECT term FROM q) GROUP BY 1),
+            tf AS (SELECT doc_id, term, count(*) AS tfc FROM w
+                   WHERE term IN (SELECT term FROM q) GROUP BY 1, 2)
+            SELECT q.query_idx, tf.doc_id,
+                   round(sum(
+                       ln(1.0 + (nd.n - COALESCE(df.dfc, 0) + 0.5)
+                                / (COALESCE(df.dfc, 0) + 0.5))
+                       * (tf.tfc * (1.2 + 1.0))
+                       / (tf.tfc + 1.2 * (1.0 - 0.75
+                          + 0.75 * (dl.len
+                                    / (CAST(nd.total AS DOUBLE) / nd.n))))
+                   ), 6) AS score
+            FROM q JOIN tf USING (term)
+                 JOIN dl ON tf.doc_id = dl.doc_id
+                 LEFT JOIN df ON df.term = q.term
+                 CROSS JOIN nd
+            GROUP BY q.query_idx, tf.doc_id
+            ORDER BY q.query_idx, tf.doc_id
         """,
         "emb_label_centroids": """
             WITH e AS (

@@ -140,3 +140,47 @@ def test_tfidf_top_terms_matches_brute_force():
         .astype({"doc_id": "int64", "tf_count": "int64",
                  "doc_freq": "int64", "rank": "int64"})
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_bm25_matches_brute_force():
+    import math
+
+    from jerex_ray.ops.bm25 import bm25_scores, bm25_topk
+
+    df = _zipf_corpus(n_docs=60)
+    queries = ["w0 w5 alpha", "w12"]
+    got = bm25_scores(rd.from_pandas(df).repartition(4), queries) \
+        .to_pandas().sort_values(["query_idx", "doc_id"]) \
+        .reset_index(drop=True)
+
+    split = df["text"].str.lower().str.split()
+    n = len(df)
+    lens = split.str.len()
+    avgdl = lens.sum() / n
+    dfreq = pd.Series(np.concatenate(
+        [list(set(w)) for w in split])).value_counts()
+    k1, b = 1.2, 0.75
+    rows = []
+    for qi, q in enumerate(queries):
+        terms = sorted(set(q.split()))
+        for did, ws in zip(df["doc_id"], split):
+            s = 0.0
+            for t in terms:
+                tf = ws.count(t)
+                if tf == 0:
+                    continue
+                idf = math.log(1 + (n - dfreq.get(t, 0) + 0.5)
+                               / (dfreq.get(t, 0) + 0.5))
+                s += idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * (len(ws) / avgdl)))
+            if s > 0:
+                rows.append((qi, did, s))
+    want = pd.DataFrame(rows, columns=["query_idx", "doc_id", "score"]) \
+        .astype({"query_idx": "int64", "doc_id": "int64"})
+    pd.testing.assert_frame_equal(got, want, rtol=1e-12)
+
+    top = bm25_topk(rd.from_pandas(df), queries, k=5)
+    assert (top.groupby("query_idx").size() <= 5).all()
+    w0 = want[want["query_idx"] == 0].sort_values(
+        ["score", "doc_id"], ascending=[False, True]).head(5)
+    assert list(top[top["query_idx"] == 0]["doc_id"]) == list(w0["doc_id"])
