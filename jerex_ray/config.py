@@ -43,6 +43,13 @@ class PipelineConfig:
                                       # test clusters)
     num_output_partitions: int = 16   # triple sink partitions (hash of conv_id)
     salt_buckets: int = 8             # sub-buckets for hot canonicalization keys
+    fused_scoring: bool = True        # one tokenize+score actor pool: the
+                                      # encoded-doc intermediate never ships
+                                      # through the object store and only one
+                                      # actor fleet starts. False = separate
+                                      # pools (needed only when the scorer
+                                      # runs on different resources, e.g.
+                                      # num_gpus=1 for a real HF checkpoint).
     assembly_locality: str = "shuffle"  # "auto": assemble convs block-locally
                                       # and shuffle only block-boundary convs
                                       # (transcript tables are normally

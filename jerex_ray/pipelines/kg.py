@@ -48,6 +48,30 @@ def _with_part_key(transcripts_ds, cfg: PipelineConfig,
     return ds
 
 
+class TokenizeAndScore:
+    """Fused tokenizer+scorer actor: one pool instead of two.
+
+    The tokenized representation (per-token sub-word ids + offsets) is
+    a transient between the two stages — fusing keeps it inside the
+    actor's heap instead of shipping every encoded document through
+    the object store to a second pool, and halves actor-fleet startup.
+    Length-bucketing (``stages/bucket.py``) happens within the fused
+    batch: same semantics (it only orders docs to homogenize scorer
+    batch lengths), narrower scope."""
+
+    def __init__(self, config=None, scorer_cls=None,
+                 scorer_kwargs: dict | None = None):
+        from jerex_ray.stages.scorer import RuleScorer
+        from jerex_ray.stages.tokenize import TokenizeDocs
+        self.tokenize = TokenizeDocs(config)
+        self.score = (scorer_cls or RuleScorer)(
+            config=config, **(scorer_kwargs or {}))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from jerex_ray.stages.bucket import _sort_block_by_length
+        return self.score(_sort_block_by_length(self.tokenize(batch)))
+
+
 def extract_triples(transcripts_ds, config: PipelineConfig | None = None,
                     *, shuffle_blocks: int | None = None,
                     skip_partitions: set[int] | None = None,
@@ -76,13 +100,25 @@ def extract_triples(transcripts_ds, config: PipelineConfig | None = None,
     # no shuffle) so pools parallelize past the shuffle width at scale
     # without adding overhead on small inputs
     docs = docs.repartition(target_num_rows_per_block=DOCS_PER_BLOCK)
-    docs = tokenize_documents(docs, cfg, concurrency=cfg.tokenizer_concurrency)
-    # length-bucket within blocks: near-homogeneous batch lengths for
-    # the (batched) scorer — bounded pad waste under a real GPU model
-    from jerex_ray.stages.bucket import length_bucket
-    docs = length_bucket(docs)
-    scored = score_documents(docs, cfg, scorer_cls=scorer_cls,
-                             scorer_kwargs=scorer_kwargs)
+    if cfg.fused_scoring:
+        from jerex_ray.runtime import pool_concurrency
+        scored = docs.map_batches(
+            TokenizeAndScore, batch_format="pyarrow",
+            batch_size=cfg.score_batch_size,
+            concurrency=cfg.scorer_concurrency
+            or pool_concurrency(cfg.actor_num_cpus, cpu_fraction=0.75),
+            num_cpus=cfg.actor_num_cpus,
+            fn_constructor_kwargs={"config": cfg, "scorer_cls": scorer_cls,
+                                   "scorer_kwargs": scorer_kwargs})
+    else:
+        docs = tokenize_documents(docs, cfg,
+                                  concurrency=cfg.tokenizer_concurrency)
+        # length-bucket within blocks: near-homogeneous batch lengths
+        # for the (batched) scorer — bounded pad waste on a GPU model
+        from jerex_ray.stages.bucket import length_bucket
+        docs = length_bucket(docs)
+        scored = score_documents(docs, cfg, scorer_cls=scorer_cls,
+                                 scorer_kwargs=scorer_kwargs)
     triples = scored.map_batches(explode_triples, batch_format="pyarrow")
     return triples.map_batches(canonicalize_triples, batch_format="pandas")
 
