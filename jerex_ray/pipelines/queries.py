@@ -860,6 +860,7 @@ def build_queries() -> dict:
         # relational operators
         "q1_pricing_summary": R.q1_pricing_summary,
         "q_top_customer_revenue": R.q_top_customer_revenue,
+        "q_building_revenue": R.q_building_revenue,
         "q_customers_per_region": R.q_customers_per_region,
         "q_events_hourly": R.q_events_hourly,
         "q_priciest_parts": R.q_priciest_parts,
@@ -1537,6 +1538,20 @@ def build_oracle_sql() -> dict:
                    round(o_totalprice, 2) AS o_totalprice
             FROM orders WHERE o_orderpriority = '1-URGENT'
             ORDER BY o_orderkey
+        """,
+        "q_building_revenue": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                       AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
         "q_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer

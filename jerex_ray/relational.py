@@ -198,6 +198,51 @@ def q_urgent_orders(sf_dir: str):
     return df.sort_values("o_orderkey").reset_index(drop=True)
 
 
+# --- TPC-H Q3 shape: selective dim filter + two-fact hash join + agg ---
+
+def q_building_revenue(sf_dir: str, k: int = 10):
+    """Shipping-priority style query: BUILDING-segment orders placed
+    before a date, revenue from lineitems shipped after it. Filters
+    and projections push to the reads; customer is a broadcast
+    dimension (filtered FIRST — only matching custkeys ship), the
+    lineitem⋈orders fact join is hash-partitioned."""
+    cutoff = pd.Timestamp("1998-06-01")
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment"]).to_pandas()
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING",
+                            "c_custkey"])
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < pa.scalar(cutoff,
+                                                    pa.timestamp("us"))))
+    orders = broadcast_semi_join(orders, building, on="o_custkey")
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pc.field("l_shipdate") > pa.scalar(cutoff,
+                                                   pa.timestamp("us"))))
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": r})
+
+    j = li.map_batches(rev, batch_format="pyarrow").join(
+        orders, join_type="inner",
+        num_partitions=shuffle_partitions(8),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = grouped_aggregate(j, ["l_orderkey", "o_orderdate"],
+                            {"revenue": ("revenue", "sum")})
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df = df.sort_values(["revenue", "l_orderkey"],
+                        ascending=[False, True]).head(k)
+    return df[["l_orderkey", "o_orderdate", "revenue"]] \
+        .reset_index(drop=True)
+
+
 # --- semi / anti join via broadcast key set (guide §Joins) ---
 
 def _order_custkeys(sf_dir: str) -> set:
