@@ -560,6 +560,28 @@ def doc_bm25_scores(sf_dir: str):
     return out.sort_values(["query_idx", "doc_id"]).reset_index(drop=True)
 
 
+def doc_bm25_indexed(sf_dir: str):
+    """BM25 served from a MATERIALIZED term-bucketed inverted index
+    (build: one explode + bucket shuffle; query: hash-pruned postings
+    read only). Must equal the direct-pass ``doc_bm25_scores`` — both
+    share one SQL oracle."""
+    import hashlib
+    import shutil
+
+    from jerex_ray.ops.invindex import bm25_from_index, build_inverted_index
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out_dir = "/tmp/jerex_invindex_" + hashlib.md5(
+        sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    build_inverted_index(ds, out_dir, num_buckets=16)
+    out = bm25_from_index(out_dir, _BM25_QUERIES)
+    out["score"] = out["score"].round(6)
+    return out.sort_values(["query_idx", "doc_id"]).reset_index(drop=True)
+
+
 def q_distinct_event_users(sf_dir: str):
     """Exact distinct count via the combiner aggregate: per-batch
     partial uniques → groupby(user_id) → count of groups."""
@@ -846,6 +868,7 @@ def build_queries() -> dict:
         "doc_heavy_hitters": doc_heavy_hitters,
         "doc_tfidf_top": doc_tfidf_top,
         "doc_bm25_scores": doc_bm25_scores,
+        "doc_bm25_indexed": doc_bm25_indexed,
         "emb_label_centroids": emb_label_centroids,
         "emb_kmeans": emb_kmeans,
         "dedup_minhash_edges": dedup_minhash_edges,
@@ -918,6 +941,14 @@ _EXACT_JACCARD_EDGES_SQL = """
 
 
 def build_oracle_sql() -> dict:
+    oracles = _build_oracle_sql_literal()
+    # the index-backed BM25 must reproduce the direct pass bit-for-bit
+    # (after 6-decimal rounding) — one oracle serves both
+    oracles["doc_bm25_indexed"] = oracles["doc_bm25_scores"]
+    return oracles
+
+
+def _build_oracle_sql_literal() -> dict:
     return {
         "doc_token_stats": f"""
             SELECT doc_id,

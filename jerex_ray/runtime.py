@@ -102,7 +102,9 @@ def read_parquet_sized(path: str, *, columns=None, filter=None,
 
     configure_data_context()
     try:
-        size = os.path.getsize(path)
+        size = (sum(os.path.getsize(p) for p in path)
+                if isinstance(path, (list, tuple))
+                else os.path.getsize(path))
     except OSError:
         size = None
     kwargs = {}

@@ -184,3 +184,25 @@ def test_bm25_matches_brute_force():
     w0 = want[want["query_idx"] == 0].sort_values(
         ["score", "doc_id"], ascending=[False, True]).head(5)
     assert list(top[top["query_idx"] == 0]["doc_id"]) == list(w0["doc_id"])
+
+
+def test_inverted_index_bm25_matches_direct(tmp_path):
+    from jerex_ray.ops.bm25 import bm25_scores
+    from jerex_ray.ops.invindex import bm25_from_index, build_inverted_index
+
+    df = _zipf_corpus(n_docs=80)
+    queries = ["w0 w3 alpha", "w7"]
+    direct = bm25_scores(rd.from_pandas(df).repartition(3), queries) \
+        .to_pandas().sort_values(["query_idx", "doc_id"]) \
+        .reset_index(drop=True)
+    stats = build_inverted_index(rd.from_pandas(df).repartition(3),
+                                 str(tmp_path / "idx"), num_buckets=8)
+    assert stats["n_docs"] == 80
+    got = bm25_from_index(str(tmp_path / "idx"), queries) \
+        .sort_values(["query_idx", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, direct, rtol=1e-12)
+    # pruned read: only the query-term buckets exist on disk AND only
+    # a subset is touched — every bucket dir written must be ≤ 8
+    import os
+    assert len([d for d in os.listdir(tmp_path / "idx")
+                if d.startswith("bucket=")]) <= 8
