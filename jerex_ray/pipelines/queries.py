@@ -489,6 +489,36 @@ def doc_repetition(sf_dir: str):
         .reset_index(drop=True)
 
 
+def doc_quality_filter(sf_dir: str):
+    """Percentile-based corpus filter (CCNet keeps the best LM-scored
+    fraction): docs whose unigram logppl is at or below the corpus
+    P90. Composition of three scale-shaped ops — the scoring pass, the
+    exact three-pass quantile over the (metadata-sized, materialized)
+    per-doc score table, and one broadcast-threshold filter. Scores
+    are rounded to 6 decimals BEFORE the quantile on both sides so the
+    threshold comparison is reproducible."""
+    import ray.data as rd
+
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    from jerex_ray.ops.textstats import unigram_logppl
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    scored = unigram_logppl(ds).map_batches(
+        lambda df: df.assign(logppl=df["logppl"].round(6))
+        [["doc_id", "logppl"]],
+        batch_format="pandas").materialize()  # per-doc metadata table
+    p90 = distributed_quantiles(scored, "logppl", [0.9])[0]
+    kept = scored.map_batches(
+        lambda df: df.loc[df["logppl"] <= p90, ["doc_id"]],
+        batch_format="pandas").to_pandas()
+    if "doc_id" not in kept.columns:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    return kept.astype("int64").sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def doc_heavy_hitters(sf_dir: str):
     """Exact corpus heavy hitters (count·k > total) via a Misra–Gries
     candidate pass + an exact verify pass — integer-only output, so
@@ -701,6 +731,37 @@ def dedup_components(sf_dir: str):
     return comp.astype("int64").sort_values("node").reset_index(drop=True)
 
 
+def dedup_survivors(sf_dir: str):
+    """The production artifact of the near-dup pipeline: which docs
+    REMAIN after MinHash→verify→connected-components clustering with a
+    keep-smallest-doc_id policy. The loser set (near-dup docs that are
+    not their component's minimum) is broadcast-sized by construction —
+    the corpus itself streams through one anti-join filter."""
+    from jerex_ray.functions.components import connected_components
+    from jerex_ray.functions.join import broadcast_anti_join
+    from jerex_ray.ops.dedup import minhash_verified_edges
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    edges = minhash_verified_edges(ds, threshold=0.7)
+    comp = connected_components(
+        edges.map_batches(
+            lambda b: b.rename(columns={"doc_a": "src", "doc_b": "dst"})
+            [["src", "dst"]] if "doc_a" in b.columns else
+            pd.DataFrame({"src": pd.Series(dtype="int64"),
+                          "dst": pd.Series(dtype="int64")}),
+            batch_format="pandas"))
+    losers = set(comp.loc[comp["node"] != comp["component"], "node"]
+                 .astype("int64")) if len(comp) else set()
+    ids = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+    out = broadcast_anti_join(ids, losers, on="doc_id").to_pandas()
+    if "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    return out.astype("int64").sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def dedup_simhash_pairs(sf_dir: str):
     from jerex_ray.ops.dedup import simhash_candidates
     from jerex_ray.runtime import read_parquet_sized
@@ -865,6 +926,7 @@ def build_queries() -> dict:
         "doc_decontaminate": doc_decontaminate,
         "doc_repetition": doc_repetition,
         "doc_unigram_logppl": doc_unigram_logppl,
+        "doc_quality_filter": doc_quality_filter,
         "doc_heavy_hitters": doc_heavy_hitters,
         "doc_tfidf_top": doc_tfidf_top,
         "doc_bm25_scores": doc_bm25_scores,
@@ -874,6 +936,7 @@ def build_queries() -> dict:
         "dedup_minhash_edges": dedup_minhash_edges,
         "dedup_jaccard_edges": dedup_jaccard_edges,
         "dedup_components": dedup_components,
+        "dedup_survivors": dedup_survivors,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1263,6 +1326,31 @@ def _build_oracle_sql_literal() -> dict:
             FROM tg WHERE g IN (SELECT g FROM eg)
             GROUP BY doc_id ORDER BY doc_id
         """,
+        "doc_quality_filter": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(text), '\\s+'), x -> x <> '')) AS w
+                FROM documents
+            ),
+            cnt AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+            tot AS (SELECT sum(c) AS t FROM cnt),
+            lp AS (
+                SELECT w, -log2(CAST(c AS DOUBLE) / t) AS l
+                FROM cnt CROSS JOIN tot
+            ),
+            per AS (
+                SELECT w.doc_id, round(avg(lp.l), 6) AS logppl
+                FROM w JOIN lp ON w.w = lp.w GROUP BY w.doc_id
+            ),
+            scores AS (
+                SELECT d.doc_id, COALESCE(per.logppl, 0.0) AS logppl
+                FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            ),
+            thr AS (SELECT quantile_cont(logppl, 0.9) AS t FROM scores)
+            SELECT doc_id FROM scores, thr WHERE logppl <= t
+            ORDER BY doc_id
+        """,
         "doc_heavy_hitters": """
             WITH w AS (
                 SELECT unnest(list_filter(regexp_split_to_array(
@@ -1447,6 +1535,54 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT a AS node, least(a, min(b)) AS component
             FROM reach GROUP BY a ORDER BY node
+        """,
+        "dedup_survivors": """
+            WITH RECURSIVE words AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                            ELSE [array_to_string(ws[i:i+2], ' ')
+                                  for i in range(1, len(ws) - 1)] END AS gs
+                FROM words WHERE len(ws) > 0
+            ),
+            dg AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM grams),
+            cnt AS (SELECT doc_id, count(*) AS c FROM dg GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            edges AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN cnt ca ON ca.doc_id = doc_a
+                JOIN cnt cb ON cb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.7
+            ),
+            sym AS (
+                SELECT doc_a AS a, doc_b AS b FROM edges
+                UNION ALL
+                SELECT doc_b AS a, doc_a AS b FROM edges
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            losers AS (
+                SELECT a FROM (
+                    SELECT a, least(a, min(b)) AS comp
+                    FROM reach GROUP BY a
+                ) WHERE comp < a
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT a FROM losers)
+            ORDER BY doc_id
         """,
         "dedup_simhash_pairs": """
             WITH w AS (
