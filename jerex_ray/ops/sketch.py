@@ -128,3 +128,92 @@ def heavy_hitters(docs_ds, *, column: str = "text", k: int = 40,
     hot = counts[counts["n_occurrences"] * k > total]
     return hot.sort_values(["n_occurrences", "term"],
                            ascending=[False, True]).reset_index(drop=True)
+
+
+# --- HyperLogLog: mergeable approximate count-distinct ---
+#
+# Flajolet/Fusy/Gandouet/Meunier '07 ("HyperLogLog: the analysis of a
+# near-optimal cardinality estimation algorithm") with the standard
+# 64-bit-hash variant: register index = top p bits of the md5-derived
+# 64-bit hash, rho = leading-zero run of the remaining 64-p bits + 1.
+# Registers are the textbook mergeable sketch: per-batch partials are
+# elementwise-max'd in a tree reduce — the ONLY thing that ever moves
+# is one 2^p-byte register array per block, so distinct-counting a
+# 100 TB column shuffles kilobytes. Estimator: bias-corrected harmonic
+# mean with the small-range linear-counting correction (E <= 2.5m and
+# V > 0 -> m*ln(m/V)) — in that regime the estimate depends only on
+# WHICH registers are hit, which DuckDB can recompute exactly
+# (md5-derived register index = `CAST('0x'||substr(md5(x),1,16) AS
+# UBIGINT) >> (64-p)`), so `q_events_hll_users` is fully SQL-oracled,
+# not rows-only; the general regime is pytest-gated to the published
+# ~1.04/sqrt(m) relative-error bound.
+
+
+def _hll_registers(hashes: np.ndarray, p: int) -> tuple:
+    """(register index, rho) per hash — exact 64-bit bit arithmetic
+    (bit length via 32-bit halves + frexp, exact below 2^53)."""
+    h = hashes.astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)          # suffix in the top 64-p bits
+    hi = (w >> np.uint64(32)).astype(np.float64)
+    lo = (w & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    _, e_hi = np.frexp(hi)
+    _, e_lo = np.frexp(lo)
+    bl = np.where(hi > 0, 32 + e_hi, e_lo)     # bit length of w (0 for 0)
+    rho = np.where(w > 0, 64 - bl + 1, 64 - p + 1)
+    return idx, rho.astype(np.int64)
+
+
+def hll_partial_registers(values, p: int) -> np.ndarray:
+    """One batch's register array (uint8, length 2^p)."""
+    from jerex_ray.util import md5_hash64_batch
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    vals = np.asarray(values)
+    if vals.size == 0:
+        return regs
+    h = md5_hash64_batch(v if isinstance(v, str) else str(v)
+                         for v in vals.tolist())
+    idx, rho = _hll_registers(h, p)
+    np.maximum.at(regs, idx, np.minimum(rho, 255).astype(np.uint8))
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> tuple[float, int]:
+    """(cardinality estimate, #registers set). Linear counting in the
+    small range, bias-corrected harmonic mean otherwise."""
+    regs = np.asarray(regs, dtype=np.float64)
+    m = regs.size
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    E = alpha * m * m / np.sum(np.exp2(-regs))
+    V = int((regs == 0).sum())
+    if E <= 2.5 * m and V > 0:
+        est = m * np.log(m / V)
+    else:
+        est = E
+    return float(est), m - V
+
+
+def hll_distinct(ds, *, column: str, p: int = 12) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT column) over a Dataset: per-batch
+    register partials -> tree-reduce elementwise max -> estimate.
+    Returns one row: (estimate, registers_set, p)."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"regs": [hll_partial_registers(batch[column].to_numpy(), p)]})
+
+    def merge(block: pd.DataFrame) -> pd.DataFrame:
+        stacked = np.stack([np.asarray(r, dtype=np.uint8)
+                            for r in block["regs"].to_numpy()])
+        return pd.DataFrame({"regs": [np.maximum.reduce(stacked)]})
+
+    merged = (ds.map_batches(partial, batch_format="pandas",
+                             batch_size=65536)
+              .repartition(8).map_batches(merge, batch_format="pandas",
+                                          batch_size=None)
+              .repartition(1).map_batches(merge, batch_format="pandas",
+                                          batch_size=None))
+    regs = np.asarray(merged.to_pandas()["regs"].iloc[0], dtype=np.uint8)
+    est, nset = hll_estimate(regs)
+    return pd.DataFrame({"estimate": [round(est, 6)],
+                         "registers_set": [np.int64(nset)],
+                         "p": [np.int64(p)]})

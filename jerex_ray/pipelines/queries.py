@@ -623,6 +623,75 @@ def q_distinct_event_users(sf_dir: str):
     return pd.DataFrame({"n_users": [int(groups.count())]})
 
 
+def q_events_hll_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id): per-batch
+    register partials → tree-reduce max-merge → estimate
+    (``ops/sketch.hll_distinct``). ORACLE CAVEAT: parity holds in the
+    linear-counting regime (distinct ≲ 2.5·2^p = 10240 at p=12),
+    where the estimate depends only on WHICH md5-derived registers
+    are hit — which the SQL recomputes exactly. A future fixture with
+    ≳10k distinct users would leave that regime and the oracle would
+    need the full harmonic-mean estimator; check the regime before
+    debugging a mismatch as a dataflow bug."""
+    from jerex_ray.ops.sketch import hll_distinct
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+    return hll_distinct(ds, column="user_id", p=12)
+
+
+def q_events_props_agg(sf_dir: str):
+    """Semi-structured ETL: extract the integer ``k`` field out of the
+    JSON ``props`` column with ONE ``pyarrow.compute.extract_regex``
+    kernel per batch (``ops/jsonx.py`` — no per-row ``json.loads``),
+    then the combiner group-aggregate per event type. Oracled against
+    DuckDB ``json_extract_string`` end to end."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.ops.jsonx import extract_json_int
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props"])
+    ds = ds.map_batches(
+        lambda t: extract_json_int(t, json_col="props", key="k",
+                                   out="k_val"),
+        batch_format="pyarrow")
+    out = grouped_aggregate(
+        ds, ["event_type"],
+        {"n": (None, "count"), "sum_k": ("k_val", "sum"),
+         "min_k": ("k_val", "min"), "max_k": ("k_val", "max")}
+    ).to_pandas()
+    for c in ("n", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    out["avg_k"] = (out["sum_k"] / out["n"]).round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def doc_pagerank(sf_dir: str):
+    """PageRank centrality over the exact-Jaccard near-dup graph
+    (``ops/graph.pagerank``, broadcast mode, d=0.85, 5 iterations) —
+    the centrality-weighted canonical-pick input for dedup survivor
+    selection. Oracled by a chained-CTE DuckDB recomputation of the
+    same 5 power iterations over the same (deterministic, exact — no
+    LSH caveat) edge set, 6-decimal rounding on both sides."""
+    import ray
+
+    from jerex_ray.ops.dedup import jaccard_edges_exact
+    from jerex_ray.ops.graph import pagerank
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    edges = jaccard_edges_exact(ds, threshold=0.7).to_pandas()
+    if "doc_a" not in edges.columns or edges.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "pr": pd.Series(dtype="float64")})
+    pr = pagerank(ray.data.from_pandas(edges[["doc_a", "doc_b"]]),
+                  damping=0.85, iters=5)
+    pr["pr"] = pr["pr"].round(6)
+    pr = pr.rename(columns={"node": "doc_id"})
+    pr["doc_id"] = pr["doc_id"].astype("int64")
+    return pr.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_events_value_quantiles(sf_dir: str):
     """Exact type-7 quantiles via three-pass pivot-grid selection (no
     sort shuffle; see ``ops/quantiles.py``) — oracled against DuckDB
@@ -959,6 +1028,9 @@ def build_queries() -> dict:
         "q_distinct_event_users": q_distinct_event_users,
         "q_events_value_quantiles": q_events_value_quantiles,
         "q_events_quantiles_by_type": q_events_quantiles_by_type,
+        "q_events_hll_users": q_events_hll_users,
+        "q_events_props_agg": q_events_props_agg,
+        "doc_pagerank": doc_pagerank,
         "q_orders_events_window": q_orders_events_window,
         # windowed / time-ordered
         "q_events_sliding": q_events_sliding,
@@ -1001,6 +1073,34 @@ _EXACT_JACCARD_EDGES_SQL = """
     WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.7
     ORDER BY doc_a, doc_b
 """
+
+
+def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Chained-CTE recomputation of ``doc_pagerank``: the exact-Jaccard
+    edge CTE, undirected explode, degree table, then one CTE per power
+    iteration — the SQL mirror of ``ops/graph.pagerank``."""
+    sql = f"""
+        WITH edges AS ({_EXACT_JACCARD_EDGES_SQL}),
+        dir AS (SELECT doc_a AS u, doc_b AS v FROM edges
+                UNION ALL SELECT doc_b, doc_a FROM edges),
+        deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS dg
+                FROM dir GROUP BY u),
+        r0 AS (SELECT u AS node, 1.0 / (SELECT count(*) FROM deg) AS pr
+               FROM deg)"""
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql += f""",
+        r{k} AS (SELECT dir.v AS node,
+                        (1.0 - {damping}) / (SELECT count(*) FROM deg)
+                        + {damping} * sum({prev}.pr / deg.dg) AS pr
+                 FROM dir JOIN {prev} ON {prev}.node = dir.u
+                          JOIN deg ON deg.u = dir.u
+                 GROUP BY dir.v)"""
+        prev = f"r{k}"
+    sql += f"""
+        SELECT node AS doc_id, round(pr, 6) AS pr
+        FROM {prev} ORDER BY doc_id"""
+    return sql
 
 
 def build_oracle_sql() -> dict:
@@ -1753,6 +1853,34 @@ def _build_oracle_sql_literal() -> dict:
             FROM events GROUP BY event_type
             ORDER BY event_type, q
         """,
+        # HLL parity: exact only in the linear-counting regime — the
+        # estimate then depends only on which md5-derived registers are
+        # hit, which this SQL recomputes (see q_events_hll_users doc)
+        "q_events_hll_users": """
+            WITH regs AS (
+                SELECT DISTINCT
+                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                           1, 16) AS UBIGINT) >> 52 AS r
+                FROM events),
+            v AS (SELECT count(*) AS nset FROM regs)
+            SELECT round(4096 * ln(4096.0 / (4096 - nset)), 6) AS estimate,
+                   CAST(nset AS BIGINT) AS registers_set,
+                   CAST(12 AS BIGINT) AS p
+            FROM v
+        """,
+        "q_events_props_agg": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS max_k,
+                   round(avg(CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)), 6) AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_pagerank": _pagerank_oracle_sql(),
         "q_orders_events_window": """
             SELECT o_orderkey,
                    (SELECT count(*) FROM events e

@@ -1,0 +1,95 @@
+"""Tests for the graph (PageRank), HLL sketch, and JSON-extraction ops."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from jerex_ray.ops.graph import pagerank
+from jerex_ray.ops.jsonx import extract_json_int, extract_json_string
+from jerex_ray.ops.sketch import (hll_distinct, hll_estimate,
+                                  hll_partial_registers)
+
+
+def _dense_pagerank(edges, damping=0.85, iters=5):
+    """In-memory reference: same semantics (undirected, subgraph of
+    nodes with >=1 edge, no dangling term)."""
+    nodes = sorted({u for e in edges for u in e})
+    pos = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, b in edges:
+        deg[pos[a]] += 1
+        deg[pos[b]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        s = np.zeros(n)
+        for a, b in edges:
+            s[pos[b]] += r[pos[a]] / deg[pos[a]]
+            s[pos[a]] += r[pos[b]] / deg[pos[b]]
+        r = (1.0 - damping) / n + damping * s
+    return pd.DataFrame({"node": nodes, "pr": r})
+
+
+def _edge_ds(edges):
+    return rd.from_pandas(pd.DataFrame(
+        {"doc_a": [a for a, _ in edges], "doc_b": [b for _, b in edges]}))
+
+
+def test_pagerank_matches_dense_reference():
+    rng = np.random.default_rng(7)
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.integers(0, 30, size=(60, 2)) if a < b})
+    ref = _dense_pagerank(edges)
+    got = pagerank(_edge_ds(edges), iters=5)
+    assert list(got["node"]) == list(ref["node"])
+    np.testing.assert_allclose(got["pr"], ref["pr"], rtol=0, atol=1e-12)
+    # ranks are a probability distribution over the subgraph
+    assert abs(got["pr"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_join_mode_matches_broadcast():
+    rng = np.random.default_rng(11)
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.integers(0, 20, size=(40, 2)) if a < b})
+    b = pagerank(_edge_ds(edges), iters=3, mode="broadcast")
+    j = pagerank(_edge_ds(edges), iters=3, mode="join")
+    assert list(b["node"]) == list(j["node"])
+    np.testing.assert_allclose(b["pr"], j["pr"], rtol=0, atol=1e-12)
+
+
+def test_pagerank_empty_edges():
+    out = pagerank(_edge_ds([]), iters=3)
+    assert len(out) == 0 and list(out.columns) == ["node", "pr"]
+
+
+def test_hll_accuracy_and_merge():
+    # single-shot accuracy: 1.04/sqrt(4096) ~ 1.6% std error; gate at 4 sigma
+    vals = np.array([f"user-{i}" for i in range(20000)], dtype=object)
+    regs = hll_partial_registers(vals, 12)
+    est, _ = hll_estimate(regs)
+    assert abs(est - 20000) / 20000 < 0.065
+    # mergeability: max-merge of disjoint halves == one-shot registers
+    r1 = hll_partial_registers(vals[:9000], 12)
+    r2 = hll_partial_registers(vals[9000:], 12)
+    np.testing.assert_array_equal(np.maximum(r1, r2), regs)
+    # duplicates never change the sketch
+    r3 = hll_partial_registers(np.concatenate([vals, vals[:5000]]), 12)
+    np.testing.assert_array_equal(r3, regs)
+
+
+def test_hll_distinct_linear_counting_exactish():
+    # small cardinality -> linear counting, estimate within 2%
+    df = pd.DataFrame({"user_id": np.arange(4000) % 120})
+    out = hll_distinct(rd.from_pandas(df), column="user_id", p=12)
+    assert int(out["registers_set"].iloc[0]) <= 120
+    assert abs(out["estimate"].iloc[0] - 120) / 120 < 0.02
+
+
+def test_extract_json_int_and_string():
+    t = pa.table({"props": ['{"k": 69}', '{"k":-3, "s": "x y"}',
+                            '{"other": 1}', None, '{ "k" : 12 }']})
+    out = extract_json_int(t, json_col="props", key="k", out="k_val")
+    assert out["k_val"].to_pylist() == [69, -3, None, None, 12]
+    out2 = extract_json_string(t, json_col="props", key="s", out="s_val")
+    assert out2["s_val"].to_pylist() == [None, "x y", None, None, None]
