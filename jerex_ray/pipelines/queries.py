@@ -692,6 +692,40 @@ def doc_pagerank(sf_dir: str):
     return pr.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_dup_spans(sf_dir: str):
+    """Substring-level dedup (Lee et al. '22): maximal word spans
+    covered by 8-grams occurring ≥2 times corpus-wide
+    (``ops/substr.duplicate_spans``) — gram explode → combiner count →
+    membership filter → per-doc gaps-and-islands merge. Oracled by a
+    lateral-unnest + HAVING + window-function SQL recomputation
+    (integer coordinates, bit-exact)."""
+    from jerex_ray.ops.substr import duplicate_spans
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = duplicate_spans(ds, n=8, min_count=2).to_pandas()
+    if "doc_id" not in out.columns or out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "start": pd.Series(dtype="int64"),
+                             "end": pd.Series(dtype="int64")})
+    for c in ("doc_id", "start", "end"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "start"]).reset_index(drop=True)
+
+
+def doc_dup_ratio(sf_dir: str):
+    """Per-doc fraction of words covered by cross-corpus duplicate
+    8-gram spans — the substring-dedup quality signal
+    (``ops/substr.duplicate_ratio``)."""
+    from jerex_ray.ops.substr import duplicate_ratio, duplicate_spans
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    spans = duplicate_spans(ds, n=8, min_count=2)
+    out = duplicate_ratio(ds, spans)
+    return out[["doc_id", "n_words", "covered", "dup_ratio"]]
+
+
 def q_events_value_quantiles(sf_dir: str):
     """Exact type-7 quantiles via three-pass pivot-grid selection (no
     sort shuffle; see ``ops/quantiles.py``) — oracled against DuckDB
@@ -1031,6 +1065,8 @@ def build_queries() -> dict:
         "q_events_hll_users": q_events_hll_users,
         "q_events_props_agg": q_events_props_agg,
         "doc_pagerank": doc_pagerank,
+        "doc_dup_spans": doc_dup_spans,
+        "doc_dup_ratio": doc_dup_ratio,
         "q_orders_events_window": q_orders_events_window,
         # windowed / time-ordered
         "q_events_sliding": q_events_sliding,
@@ -1103,8 +1139,58 @@ def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
     return sql
 
 
+def _dup_islands_cte(n: int = 8, min_count: int = 2) -> str:
+    """Shared CTE chain for the substring-dedup oracles: rolling word
+    n-grams (lateral unnest), duplicate filter, gaps-and-islands span
+    merge. Positions are 1-indexed inside; the final selects convert
+    to the engine's 0-based end-exclusive coordinates."""
+    return f"""
+        words AS (
+            SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS ws
+            FROM documents),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(ws[i:i+{n - 1}], ' ') AS g
+            FROM words,
+                 LATERAL (SELECT unnest(range(1, len(ws) - {n} + 2)) AS i) t
+        ),
+        dup AS (SELECT g FROM grams GROUP BY g
+                HAVING count(*) >= {min_count}),
+        hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER
+                            (PARTITION BY doc_id ORDER BY pos) <= {n}
+                        THEN 0 ELSE 1 END AS brk
+            FROM hits),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM flagged),
+        spans AS (
+            SELECT doc_id, min(pos) - 1 AS s, max(pos) + {n} - 1 AS e
+            FROM isl GROUP BY doc_id, grp)"""
+
+
 def build_oracle_sql() -> dict:
     oracles = _build_oracle_sql_literal()
+    oracles["doc_dup_spans"] = f"""
+        WITH {_dup_islands_cte()}
+        SELECT doc_id, s AS start, e AS "end"
+        FROM spans ORDER BY doc_id, s"""
+    oracles["doc_dup_ratio"] = f"""
+        WITH {_dup_islands_cte()},
+        cov AS (SELECT doc_id, sum(e - s) AS covered
+                FROM spans GROUP BY doc_id),
+        tot AS (SELECT doc_id, len(ws) AS n_words FROM words)
+        SELECT tot.doc_id, tot.n_words,
+               CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered,
+               round(CAST(coalesce(cov.covered, 0) AS DOUBLE)
+                     / greatest(tot.n_words, 1), 6) AS dup_ratio
+        FROM tot LEFT JOIN cov ON cov.doc_id = tot.doc_id
+        ORDER BY tot.doc_id"""
     # the index-backed BM25 must reproduce the direct pass bit-for-bit
     # (after 6-decimal rounding) — one oracle serves both
     oracles["doc_bm25_indexed"] = oracles["doc_bm25_scores"]

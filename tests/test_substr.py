@@ -1,0 +1,75 @@
+"""Tests for substring-level dedup (ops/substr.py)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from jerex_ray.ops.substr import duplicate_ratio, duplicate_spans
+
+
+def _docs(texts):
+    return rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+
+
+def _spans(ds, **kw):
+    out = duplicate_spans(_docs(ds) if isinstance(ds, list) else ds,
+                          **kw).to_pandas()
+    if "doc_id" not in out.columns:
+        return []
+    return sorted(map(tuple, out[["doc_id", "start", "end"]].values))
+
+
+def test_planted_cross_doc_duplicate():
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    texts = [f"unique{i} one{i} two{i} three{i} {boiler} "
+             f"tail{i} end{i} x{i} y{i} z{i}" for i in range(2)]
+    texts.append("completely different words nine ten eleven twelve "
+                 "thirteen fourteen fifteen sixteen")
+    spans = _spans(texts, n=8, min_count=2)
+    # the boilerplate occupies words 4..12 in both docs; doc 2 clean
+    assert (0, 4, 12) in spans and (1, 4, 12) in spans
+    assert not any(d == 2 for d, _, _ in spans)
+
+
+def test_within_doc_repetition_counts():
+    eight = "a b c d e f g h"
+    text = f"{eight} filler1 filler2 filler3 {eight}"
+    spans = _spans([text], n=8, min_count=2)
+    # both occurrences of the repeated 8-gram are flagged
+    assert (0, 0, 8) in spans and (0, 11, 19) in spans
+
+
+def test_adjacent_intervals_merge():
+    # a 10-word duplicated passage yields 3 overlapping 8-grams that
+    # must merge into ONE maximal span
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    texts = [f"head{i} {passage} tail{i}" for i in range(2)]
+    spans = _spans(texts, n=8, min_count=2)
+    assert spans == [(0, 1, 11), (1, 1, 11)]
+
+
+def test_no_duplicates_and_short_docs():
+    assert _spans(["one two", "three four"], n=8) == []
+    texts = ["w%d x%d y%d z%d a%d b%d c%d d%d e%d" % ((i,) * 9)
+             for i in range(3)]
+    assert _spans(texts, n=8, min_count=2) == []
+
+
+def test_join_path_matches_broadcast():
+    boiler = "j1 j2 j3 j4 j5 j6 j7 j8 j9"
+    texts = [f"pre{i} {boiler} post{i}" for i in range(4)]
+    a = _spans(texts, n=8, min_count=2, broadcast_threshold=10**9)
+    b = _spans(texts, n=8, min_count=2, broadcast_threshold=0)
+    assert a == b and len(a) == 4
+
+
+def test_duplicate_ratio():
+    boiler = "r1 r2 r3 r4 r5 r6 r7 r8"
+    texts = [f"{boiler} u{i} v{i}" for i in range(2)] + ["solo doc here"]
+    docs = _docs(texts)
+    out = duplicate_ratio(docs, duplicate_spans(docs, n=8, min_count=2))
+    out = out.set_index("doc_id")
+    assert out.loc[0, "covered"] == 8 and out.loc[0, "n_words"] == 10
+    assert abs(out.loc[0, "dup_ratio"] - 0.8) < 1e-9
+    assert out.loc[2, "covered"] == 0 and out.loc[2, "dup_ratio"] == 0.0
