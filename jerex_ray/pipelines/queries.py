@@ -640,6 +640,21 @@ def q_events_hll_users(sf_dir: str):
     return hll_distinct(ds, column="user_id", p=12)
 
 
+def q_events_hll_by_type(sf_dir: str):
+    """Grouped HLL: approximate distinct users PER event type from the
+    same md5-derived registers (``ops/sketch.hll_distinct_by`` —
+    register rows through the combiner, per-group estimate co-located).
+    Same linear-counting oracle-parity regime as q_events_hll_users."""
+    from jerex_ray.ops.sketch import hll_distinct_by
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+    out = hll_distinct_by(ds, column="user_id", group="event_type", p=12)
+    out = out.rename(columns={"g": "event_type"})
+    out["registers_set"] = out["registers_set"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_events_props_agg(sf_dir: str):
     """Semi-structured ETL: extract the integer ``k`` field out of the
     JSON ``props`` column with ONE ``pyarrow.compute.extract_regex``
@@ -1063,6 +1078,7 @@ def build_queries() -> dict:
         "q_events_value_quantiles": q_events_value_quantiles,
         "q_events_quantiles_by_type": q_events_quantiles_by_type,
         "q_events_hll_users": q_events_hll_users,
+        "q_events_hll_by_type": q_events_hll_by_type,
         "q_events_props_agg": q_events_props_agg,
         "doc_pagerank": doc_pagerank,
         "doc_dup_spans": doc_dup_spans,
@@ -1953,6 +1969,19 @@ def _build_oracle_sql_literal() -> dict:
                    CAST(nset AS BIGINT) AS registers_set,
                    CAST(12 AS BIGINT) AS p
             FROM v
+        """,
+        "q_events_hll_by_type": """
+            WITH regs AS (
+                SELECT DISTINCT event_type,
+                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                           1, 16) AS UBIGINT) >> 52 AS r
+                FROM events),
+            c AS (SELECT event_type, count(*) AS nset
+                  FROM regs GROUP BY event_type)
+            SELECT event_type,
+                   round(4096 * ln(4096.0 / (4096 - nset)), 6) AS estimate,
+                   CAST(nset AS BIGINT) AS registers_set
+            FROM c ORDER BY event_type
         """,
         "q_events_props_agg": """
             SELECT event_type, count(*) AS n,

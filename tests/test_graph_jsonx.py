@@ -93,3 +93,20 @@ def test_extract_json_int_and_string():
     assert out["k_val"].to_pylist() == [69, -3, None, None, 12]
     out2 = extract_json_string(t, json_col="props", key="s", out="s_val")
     assert out2["s_val"].to_pylist() == [None, "x y", None, None, None]
+
+
+def test_hll_distinct_by_group():
+    from jerex_ray.ops.sketch import hll_distinct_by
+    rng = np.random.default_rng(3)
+    # group "big" exits the linear-counting regime; "small" stays in it
+    big = pd.DataFrame({"g": "big",
+                        "u": rng.integers(0, 15000, size=60000)})
+    small = pd.DataFrame({"g": "small", "u": rng.integers(0, 80, size=500)})
+    df = pd.concat([big, small], ignore_index=True)
+    out = hll_distinct_by(rd.from_pandas(df), column="u", group="g", p=12) \
+        .set_index("g")
+    exact = df.groupby("g")["u"].nunique()
+    for g in ("big", "small"):
+        err = abs(out.loc[g, "estimate"] - exact[g]) / exact[g]
+        assert err < 0.08, (g, out.loc[g, "estimate"], exact[g])
+    assert abs(out.loc["small", "estimate"] - exact["small"]) < 2
