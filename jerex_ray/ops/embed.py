@@ -147,3 +147,90 @@ def kmeans(emb_ds, *, k: int = 8, iters: int = 10,
     assign_ds = emb_ds.map_batches(assign, batch_format="pandas",
                                    batch_size=4096)
     return assign_ds, history
+
+
+# --- distributed moments + PCA ---
+
+def _moment_partials(emb_ds, vec_col: str):
+    """One streaming pass reducing each batch to (n, Σx, XᵀX) — the
+    sufficient statistics for mean/covariance/PCA. Partials are
+    (1 + d + d²) floats per batch regardless of batch size, so a
+    100 TB embedding table reduces to a driver-sized frame."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _matrix(batch[vec_col])
+        if mat.size == 0:
+            return pd.DataFrame({"n": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="object"),
+                                 "xtx": pd.Series(dtype="object")})
+        return pd.DataFrame({"n": [np.int64(mat.shape[0])],
+                             "s": [mat.sum(axis=0)],
+                             "xtx": [(mat.T @ mat).ravel()]})
+
+    parts = emb_ds.map_batches(partial, batch_format="pandas",
+                               batch_size=4096).to_pandas()
+    if parts.empty:
+        return 0, None, None
+    n = int(parts["n"].sum())
+    s = np.sum([np.asarray(v) for v in parts["s"]], axis=0)
+    xtx_flat = np.sum([np.asarray(v) for v in parts["xtx"]], axis=0)
+    d = s.size
+    return n, s, xtx_flat.reshape(d, d)
+
+
+def dim_stats(emb_ds, *, vec_col: str = "embedding",
+              decimals: int = 6) -> pd.DataFrame:
+    """Per-dimension mean and sample variance from the one-pass
+    sufficient statistics — SQL-oracled against DuckDB
+    avg/var_samp over the unnested vector elements."""
+    n, s, xtx = _moment_partials(emb_ds, vec_col)
+    if n == 0:
+        return pd.DataFrame({"dim": pd.Series(dtype="int64"),
+                             "mean": pd.Series(dtype="float64"),
+                             "var": pd.Series(dtype="float64")})
+    mean = s / n
+    var = (np.diag(xtx) - n * mean * mean) / max(n - 1, 1)
+    return pd.DataFrame({"dim": np.arange(s.size, dtype=np.int64),
+                         "mean": np.round(mean, decimals),
+                         "var": np.round(var, decimals)})
+
+
+def pca_fit(emb_ds, *, k: int = 8, vec_col: str = "embedding"):
+    """Principal components from the same one-pass moments: the d×d
+    covariance eigendecomposition runs on the driver (d is the
+    embedding width — tiny), mirroring how k-means keeps centroids
+    driver-side while vectors stream. Eigenvector signs are fixed so
+    each component's largest-|coefficient| entry is positive
+    (deterministic across LAPACK builds). Returns (mean, components
+    [k×d], explained_variance [k])."""
+    n, s, xtx = _moment_partials(emb_ds, vec_col)
+    if n == 0:
+        raise ValueError("pca_fit: empty dataset")
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / max(n - 1, 1)
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T               # (k, d)
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return mean, comps, w[order]
+
+
+def pca_project(emb_ds, mean: np.ndarray, comps: np.ndarray, *,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                decimals: int = 6):
+    """Project every vector onto the fitted components in one
+    streaming ``map_batches`` (mean/components ride the closure →
+    object store once, not per batch). Returns a Dataset of
+    (id, proj list<double>)."""
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _matrix(batch[vec_col])
+        if mat.size == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "proj": pd.Series(dtype="object")})
+        proj = np.round((mat - mean) @ comps.T, decimals)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "proj": list(proj)})
+
+    return emb_ds.map_batches(project, batch_format="pandas",
+                              batch_size=4096)

@@ -707,6 +707,41 @@ def doc_pagerank(sf_dir: str):
     return pr.sort_values("doc_id").reset_index(drop=True)
 
 
+def emb_dim_stats(sf_dir: str):
+    """Per-dimension mean/variance of the embedding table from ONE
+    streaming moments pass (``ops/embed.dim_stats`` — each batch
+    reduces to (n, Σx, XᵀX)); oracled against DuckDB avg/var_samp
+    over lateral-unnested vector elements, 6-decimal rounding."""
+    from jerex_ray.ops.embed import dim_stats
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+    return dim_stats(ds)
+
+
+def emb_pca(sf_dir: str):
+    """Distributed PCA: covariance from the same one-pass moments,
+    d×d eigendecomposition on the driver (d = embedding width),
+    deterministic sign convention, then a streaming projection pass.
+    Rows-only (eigendecomposition is not SQL-expressible); the
+    orthonormality/variance-ordering/centering invariants are
+    pytest-gated (test_sketch_embed.py)."""
+    from jerex_ray.ops.embed import pca_fit, pca_project
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    mean, comps, _ = pca_fit(ds, k=8)
+    proj = pca_project(ds, mean, comps).to_pandas()
+    out = pd.DataFrame({
+        "vec_id": np.repeat(proj["vec_id"].to_numpy(np.int64),
+                            comps.shape[0]),
+        "component": np.tile(np.arange(comps.shape[0], dtype=np.int64),
+                             len(proj)),
+        "value": np.concatenate([np.asarray(p) for p in proj["proj"]]),
+    })
+    return out.sort_values(["vec_id", "component"]).reset_index(drop=True)
+
+
 def doc_dup_spans(sf_dir: str):
     """Substring-level dedup (Lee et al. '22): maximal word spans
     covered by 8-grams occurring ≥2 times corpus-wide
@@ -1083,6 +1118,8 @@ def build_queries() -> dict:
         "doc_pagerank": doc_pagerank,
         "doc_dup_spans": doc_dup_spans,
         "doc_dup_ratio": doc_dup_ratio,
+        "emb_dim_stats": emb_dim_stats,
+        "emb_pca": emb_pca,
         "q_orders_events_window": q_orders_events_window,
         # windowed / time-ordered
         "q_events_sliding": q_events_sliding,
@@ -1996,6 +2033,14 @@ def _build_oracle_sql_literal() -> dict:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "doc_pagerank": _pagerank_oracle_sql(),
+        "emb_dim_stats": """
+            SELECT i - 1 AS dim,
+                   round(avg(embedding[i]), 6) AS mean,
+                   round(var_samp(embedding[i]), 6) AS var
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+            GROUP BY i ORDER BY dim
+        """,
         "q_orders_events_window": """
             SELECT o_orderkey,
                    (SELECT count(*) FROM events e

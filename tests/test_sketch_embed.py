@@ -206,3 +206,45 @@ def test_inverted_index_bm25_matches_direct(tmp_path):
     import os
     assert len([d for d in os.listdir(tmp_path / "idx")
                 if d.startswith("bucket=")]) <= 8
+
+
+def test_pca_invariants_match_inmemory():
+    import ray.data as rd
+
+    from jerex_ray.ops.embed import dim_stats, pca_fit, pca_project
+    rng = np.random.default_rng(5)
+    # anisotropic data: variance concentrated along a planted direction
+    d, n = 16, 400
+    base = rng.standard_normal((n, d))
+    planted = rng.standard_normal(d)
+    planted /= np.linalg.norm(planted)
+    mat = base + 4.0 * np.outer(rng.standard_normal(n), planted)
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": [v.astype(np.float32) for v in mat]})
+    ds = rd.from_pandas(df)
+
+    mean, comps, ev = pca_fit(ds, k=4)
+    # orthonormal rows, descending explained variance
+    np.testing.assert_allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+    assert np.all(np.diff(ev) <= 1e-9)
+    # top component aligns with the planted direction
+    assert abs(comps[0] @ planted) > 0.99
+    # matches in-memory PCA on the same float32-rounded data
+    m64 = np.asarray([np.asarray(v, np.float64) for v in df["embedding"]])
+    cov = np.cov(m64, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    ref = v[:, np.argsort(w)[::-1][:4]].T
+    for i in range(4):
+        assert min(np.linalg.norm(comps[i] - ref[i]),
+                   np.linalg.norm(comps[i] + ref[i])) < 1e-6
+    # projection is centered: column means of projections ~ 0
+    proj = pca_project(ds, mean, comps).to_pandas()
+    pm = np.stack([np.asarray(p) for p in proj["proj"]])
+    np.testing.assert_allclose(pm.mean(axis=0), 0, atol=1e-5)
+    # dim_stats agrees with numpy moments
+    st = dim_stats(ds)
+    np.testing.assert_allclose(st["mean"], np.round(m64.mean(axis=0), 6),
+                               atol=1e-9)
+    np.testing.assert_allclose(st["var"],
+                               np.round(m64.var(axis=0, ddof=1), 6),
+                               atol=1e-9)
