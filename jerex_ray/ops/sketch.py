@@ -212,7 +212,11 @@ def hll_distinct(ds, *, column: str, p: int = 12) -> pd.DataFrame:
                                           batch_size=None)
               .repartition(1).map_batches(merge, batch_format="pandas",
                                           batch_size=None))
-    regs = np.asarray(merged.to_pandas()["regs"].iloc[0], dtype=np.uint8)
+    out = merged.to_pandas()
+    if out.empty:          # empty input Dataset → zero registers
+        regs = np.zeros(1 << p, dtype=np.uint8)
+    else:
+        regs = np.asarray(out["regs"].iloc[0], dtype=np.uint8)
     est, nset = hll_estimate(regs)
     return pd.DataFrame({"estimate": [round(est, 6)],
                          "registers_set": [np.int64(nset)],

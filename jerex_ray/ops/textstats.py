@@ -518,3 +518,50 @@ def run_quality_stats(docs_ds):
 def run_langid(docs_ds, concurrency=(1, 4)):
     return docs_ds.map_batches(LangId, batch_format="pandas",
                                batch_size=4096, concurrency=concurrency)
+
+
+def build_vocab(docs_ds, *, top: int = 1000,
+                num_partitions: int | None = None) -> pd.DataFrame:
+    """Frequency-ranked vocabulary (the word-level analogue of
+    tokenizer training): global word counts via the combiner
+    aggregate, then deterministic token-id assignment in
+    (count DESC, word ASC) order. The full count table stays a
+    Dataset; only per-block top-``top`` survivors (already globally
+    counted, so block-local head() is exact) reach the single-block
+    final ranking — the corpus never sorts. SQL-oracled via
+    ``row_number() OVER (ORDER BY cnt DESC, word)``."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.split()
+        nonempty = [w for w in words.to_numpy() if w]
+        if not nonempty:
+            return pd.DataFrame({"word": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        vc = pd.Series(np.concatenate(nonempty)).value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(),
+                             "c": vc.to_numpy(np.int64)})
+
+    counts = grouped_aggregate(
+        docs_ds.map_batches(explode, batch_format="pandas",
+                            batch_size=8192),
+        ["word"], {"cnt": ("c", "sum")}, num_partitions=num_partitions)
+
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "word"],
+                              ascending=[False, True]).head(top)
+
+    final = counts.map_batches(partial_top, batch_format="pandas",
+                               batch_size=None) \
+        .repartition(1) \
+        .map_batches(partial_top, batch_format="pandas",
+                     batch_size=None).to_pandas()
+    if final.empty or "word" not in final.columns:
+        return pd.DataFrame({"token_id": pd.Series(dtype="int64"),
+                             "word": pd.Series(dtype="object"),
+                             "cnt": pd.Series(dtype="int64")})
+    final = final.sort_values(["cnt", "word"], ascending=[False, True]) \
+        .head(top).reset_index(drop=True)
+    final["token_id"] = np.arange(len(final), dtype=np.int64)
+    final["cnt"] = final["cnt"].astype("int64")
+    return final[["token_id", "word", "cnt"]]

@@ -707,6 +707,18 @@ def doc_pagerank(sf_dir: str):
     return pr.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_vocab(sf_dir: str):
+    """Frequency-ranked vocabulary over the documents table
+    (``ops/textstats.build_vocab``): combiner word counts →
+    block-local exact top-k → deterministic (count DESC, word ASC)
+    token-id assignment. Oracled via SQL row_number()."""
+    from jerex_ray.ops.textstats import build_vocab
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return build_vocab(ds, top=200)
+
+
 def emb_dim_stats(sf_dir: str):
     """Per-dimension mean/variance of the embedding table from ONE
     streaming moments pass (``ops/embed.dim_stats`` — each batch
@@ -1120,6 +1132,7 @@ def build_queries() -> dict:
         "doc_dup_ratio": doc_dup_ratio,
         "emb_dim_stats": emb_dim_stats,
         "emb_pca": emb_pca,
+        "doc_vocab": doc_vocab,
         "q_orders_events_window": q_orders_events_window,
         # windowed / time-ordered
         "q_events_sliding": q_events_sliding,
@@ -2033,6 +2046,20 @@ def _build_oracle_sql_literal() -> dict:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "doc_pagerank": _pagerank_oracle_sql(),
+        "doc_vocab": """
+            WITH w AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents),
+            c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+            r AS (SELECT word, cnt,
+                         row_number() OVER (ORDER BY cnt DESC, word) - 1
+                             AS token_id
+                  FROM c)
+            SELECT token_id, word, cnt FROM r
+            WHERE token_id < 200 ORDER BY token_id
+        """,
         "emb_dim_stats": """
             SELECT i - 1 AS dim,
                    round(avg(embedding[i]), 6) AS mean,

@@ -110,3 +110,27 @@ def test_hll_distinct_by_group():
         err = abs(out.loc[g, "estimate"] - exact[g]) / exact[g]
         assert err < 0.08, (g, out.loc[g, "estimate"], exact[g])
     assert abs(out.loc["small", "estimate"] - exact["small"]) < 2
+
+
+def test_build_vocab_ranking_and_ties():
+    from jerex_ray.ops.textstats import build_vocab
+    docs = rd.from_pandas(pd.DataFrame({
+        "text": ["b a a", "c b a", "", None]}))
+    out = build_vocab(docs, top=2)
+    # a:3 b:2 c:1 -> top 2; token ids dense from 0
+    assert list(out["word"]) == ["a", "b"]
+    assert list(out["token_id"]) == [0, 1]
+    assert list(out["cnt"]) == [3, 2]
+    # tie broken by word ascending
+    tie = build_vocab(rd.from_pandas(pd.DataFrame(
+        {"text": ["z y", "y z"]})), top=5)
+    assert list(tie["word"]) == ["y", "z"]
+
+
+def test_hll_distinct_empty_input():
+    from jerex_ray.ops.sketch import hll_distinct
+    out = hll_distinct(rd.from_pandas(
+        pd.DataFrame({"user_id": pd.Series(dtype="int64")})),
+        column="user_id", p=12)
+    assert out["estimate"].iloc[0] == 0.0
+    assert int(out["registers_set"].iloc[0]) == 0
