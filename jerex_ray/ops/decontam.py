@@ -125,3 +125,39 @@ def decontaminate(train_ds, eval_ds, *, n: int = 8, col: str = "text",
                                 broadcast=broadcast)
     bad = set(pd.Series(flagged.to_pandas()["doc_id"]).tolist())
     return broadcast_anti_join(train_ds, bad, on="doc_id")
+
+
+def contaminated_docs_bloom(train_ds, eval_ds, *, n: int = 8,
+                            col: str = "text", m_bits: int = 1 << 20,
+                            k: int = 4):
+    """Bloom-filter membership variant of ``contaminated_docs`` — the
+    middle scale regime: the eval gram SET is too big to broadcast as
+    Python strings, but its BITS fit every worker (10 bits/gram at
+    1e-2 FPR vs ~60 bytes/gram of set). One-sided error: every truly
+    contaminated doc is flagged (no false negatives, guaranteed by the
+    filter); a clean doc is flagged with probability ≤ its distinct
+    grams × the per-probe FPR ≈ (1 − e^{−k·n_eval/m})^k. n_hits may
+    therefore over-count by false-positive grams; use the exact paths
+    when the output feeds deletion without review."""
+    from jerex_ray.ops.sketch import bloom_build, bloom_contains
+
+    eg = eval_ds.map_batches(
+        lambda b: _doc_distinct_ngrams(b, n=n, col=col)[["gram"]]
+        .drop_duplicates(),
+        batch_format="pandas", batch_size=4096)
+    bits = bloom_build(eg, column="gram", m_bits=m_bits, k=k)
+    ref = ray.put(bits)
+
+    def hits(batch: pd.DataFrame) -> pd.DataFrame:
+        g = _doc_distinct_ngrams(batch, n=n, col=col)
+        if g.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_hits": pd.Series(dtype="int64")})
+        mask = bloom_contains(ray.get(ref), g["gram"].to_numpy(), k=k)
+        out = g[mask].groupby("doc_id", sort=False).size() \
+            .reset_index(name="n_hits")
+        out["n_hits"] = out["n_hits"].astype("int64")
+        return out
+
+    return train_ds.map_batches(hits, batch_format="pandas",
+                                batch_size=4096)

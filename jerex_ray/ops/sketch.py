@@ -274,3 +274,88 @@ def hll_distinct_by(ds, *, column: str, group: str,
     out = grouped_apply(merged, ["g"], estimate_block,
                         num_partitions=num_partitions).to_pandas()
     return out.sort_values("g").reset_index(drop=True)
+
+
+# --- Bloom filter: mergeable approximate membership ---
+#
+# Bloom '70 ("Space/time trade-offs in hash coding with allowable
+# errors"). Same mergeable-sketch dataflow as the HLL above: each batch
+# reduces its keys to one m-bit array (packed uint64), partials OR-
+# merge in a tree reduce, and the final filter broadcasts once via
+# ray.put for streaming membership tests. k index functions come from
+# double hashing (Kirsch & Mitzenmacher '06: h1 + i*h2 is as good as k
+# independent hashes) over the md5-derived 64-bit key hash. One-sided
+# error: NO false negatives ever; false-positive rate ~(1-e^{-kn/m})^k,
+# pytest-gated. This is the decontamination/membership scale path when
+# even the distinct-gram table of the small side is too big to
+# broadcast as a Python set but its BITS fit everywhere (a 1e9-gram
+# eval set at 10 bits/key is 1.25 GB of filter vs ~60+ GB of set).
+
+
+def _bloom_positions(hashes: np.ndarray, m_bits: int, k: int):
+    """(n, k) bit positions via double hashing; h2 forced odd so the
+    stride cycles the full (power-of-two) table."""
+    h = hashes.astype(np.uint64)
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    h2 = ((h >> np.uint64(32)).astype(np.int64) | 1)
+    i = np.arange(k, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % m_bits
+
+
+def bloom_partial(values, *, m_bits: int, k: int) -> np.ndarray:
+    """One batch's packed filter (uint64[m_bits/64])."""
+    from jerex_ray.util import md5_hash64_batch
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    vals = np.asarray(values)
+    if vals.size == 0:
+        return words
+    h = md5_hash64_batch(v if isinstance(v, str) else str(v)
+                         for v in vals.tolist())
+    pos = _bloom_positions(h, m_bits, k).ravel()
+    np.bitwise_or.at(words, pos // 64,
+                     np.uint64(1) << (pos % 64).astype(np.uint64))
+    return words
+
+
+def bloom_build(ds, *, column: str, m_bits: int = 1 << 20,
+                k: int = 4) -> np.ndarray:
+    """Build the filter over a Dataset column: per-batch partials →
+    tree-reduce bitwise OR. ``m_bits`` must be a multiple of 64."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bits": [bloom_partial(
+            batch[column].to_numpy(), m_bits=m_bits, k=k)]})
+
+    def merge(block: pd.DataFrame) -> pd.DataFrame:
+        stacked = np.stack([np.asarray(b, dtype=np.uint64)
+                            for b in block["bits"].to_numpy()])
+        return pd.DataFrame({"bits": [np.bitwise_or.reduce(stacked,
+                                                           axis=0)]})
+
+    merged = (ds.map_batches(partial, batch_format="pandas",
+                             batch_size=65536)
+              .repartition(8).map_batches(merge, batch_format="pandas",
+                                          batch_size=None)
+              .repartition(1).map_batches(merge, batch_format="pandas",
+                                          batch_size=None)).to_pandas()
+    if merged.empty:
+        return np.zeros(m_bits // 64, dtype=np.uint64)
+    return np.asarray(merged["bits"].iloc[0], dtype=np.uint64)
+
+
+def bloom_contains(bits: np.ndarray, values, *, k: int = 4) -> np.ndarray:
+    """Vectorized membership test (bool array; may have false
+    positives, never false negatives)."""
+    from jerex_ray.util import md5_hash64_batch
+    vals = np.asarray(values)
+    if vals.size == 0:
+        return np.zeros(0, dtype=bool)
+    m_bits = bits.size * 64
+    h = md5_hash64_batch(v if isinstance(v, str) else str(v)
+                         for v in vals.tolist())
+    pos = _bloom_positions(h, m_bits, k)
+    hit = (bits[pos // 64] >> (pos % 64).astype(np.uint64)) \
+        & np.uint64(1)
+    return hit.astype(bool).all(axis=1)

@@ -463,6 +463,36 @@ def doc_decontaminate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_decontaminate_bloom(sf_dir: str):
+    """Bloom-filter variant of doc_decontaminate — the middle scale
+    regime (eval gram bits broadcast instead of a Python set). ORACLE
+    CAVEAT: the filter is one-sided (no false negatives); with the
+    query's m=2^20 bits, k=4 and the fixture's eval-gram count the
+    false-positive probability per distinct gram is ~1e-13, so parity
+    with the exact SQL oracle is expected for any realistic fixture —
+    a mismatch showing EXTRA rows/hits is an unlucky false positive,
+    not a dataflow bug (missing rows WOULD be a bug)."""
+    from jerex_ray.ops.decontam import contaminated_docs_bloom
+    from jerex_ray.ops.split import hash_split
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    split = hash_split(ds)
+    train = split.map_batches(
+        lambda b: b.loc[b["split"] != "test", ["doc_id", "text"]],
+        batch_format="pandas")
+    evald = split.map_batches(
+        lambda b: b.loc[b["split"] == "test", ["doc_id", "text"]],
+        batch_format="pandas")
+    out = contaminated_docs_bloom(train, evald, n=8).to_pandas()
+    if "doc_id" not in out.columns or out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_hits": pd.Series(dtype="int64")})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_unigram_logppl(sf_dir: str):
     """CCNet-style unigram-LM quality score: per-doc mean −log2 word
     probability under the corpus unigram distribution; rounded to 6
@@ -1089,6 +1119,7 @@ def build_queries() -> dict:
         "doc_winnowing_md5": doc_winnowing_md5,
         "doc_pack_batches": doc_pack_batches,
         "doc_decontaminate": doc_decontaminate,
+        "doc_decontaminate_bloom": doc_decontaminate_bloom,
         "doc_repetition": doc_repetition,
         "doc_unigram_logppl": doc_unigram_logppl,
         "doc_quality_filter": doc_quality_filter,
@@ -1242,6 +1273,8 @@ def _dup_islands_cte(n: int = 8, min_count: int = 2) -> str:
 
 def build_oracle_sql() -> dict:
     oracles = _build_oracle_sql_literal()
+    # one-sided Bloom parity (see doc_decontaminate_bloom docstring)
+    oracles["doc_decontaminate_bloom"] = oracles["doc_decontaminate"]
     oracles["doc_dup_spans"] = f"""
         WITH {_dup_islands_cte()}
         SELECT doc_id, s AS start, e AS "end"

@@ -161,3 +161,47 @@ def test_repetition_stats_dataset_and_empty():
     assert len(out) == 2
     assert np.isclose(out.loc[0, "dup_word_frac"], 1 / 3)
     assert out.loc[1, "n_tokens"] == 0
+
+
+def test_bloom_decontamination_matches_exact():
+    import ray.data as rd
+
+    from jerex_ray.ops.decontam import (contaminated_docs,
+                                        contaminated_docs_bloom)
+    eval_texts = ["the quick brown fox jumps over the lazy dog today",
+                  "benchmark answer alpha beta gamma delta epsilon zeta"]
+    train_texts = [
+        "prefix words the quick brown fox jumps over the lazy dog today end",
+        "totally unrelated content one two three four five six seven eight",
+        "benchmark answer alpha beta gamma delta epsilon zeta trailing",
+    ] + [f"clean doc {i} filler{i} a{i} b{i} c{i} d{i} e{i} f{i} g{i}"
+         for i in range(30)]
+    train = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(train_texts), dtype=np.int64),
+         "text": train_texts}))
+    evald = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(eval_texts), dtype=np.int64),
+         "text": eval_texts}))
+    exact = contaminated_docs(train, evald, n=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    bloom = contaminated_docs_bloom(train, evald, n=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # at this eval size the FPR is ~1e-14: bloom must equal exact,
+    # and the no-false-negative guarantee must hold structurally
+    pd.testing.assert_frame_equal(exact, bloom)
+    assert set(exact["doc_id"]) == {0, 2}
+
+
+def test_bloom_filter_no_false_negatives_and_fpr():
+    import ray.data as rd
+
+    from jerex_ray.ops.sketch import bloom_build, bloom_contains
+    keys = pd.DataFrame({"k": [f"key-{i}" for i in range(5000)]})
+    bits = bloom_build(rd.from_pandas(keys), column="k",
+                       m_bits=1 << 16, k=4)
+    # every inserted key must test positive
+    assert bloom_contains(bits, keys["k"].to_numpy(), k=4).all()
+    # FPR near the analytic bound: n=5000, m=65536, k=4 -> ~2.4%
+    probe = np.array([f"other-{i}" for i in range(20000)], dtype=object)
+    fpr = bloom_contains(bits, probe, k=4).mean()
+    assert fpr < 0.06, fpr
