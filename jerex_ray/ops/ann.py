@@ -137,3 +137,119 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, *,
     res = pd.DataFrame(out, columns=["query_idx", "vec_id", "cosine"])
     return res.sort_values(["query_idx", "cosine", "vec_id"],
                            ascending=[True, False, True]).reset_index(drop=True)
+
+
+# --- product quantization (Jégou/Douze/Schmid '11, "Product
+# quantization for nearest neighbor search") ---
+#
+# The memory-scale path past IVF: vectors compress to m uint8 codes
+# (64 float32 dims -> 8 bytes at m=8), so a 100 TB float corpus fits a
+# ~3 TB code table that co-locates with the search tasks. Training
+# runs Lloyd per subspace on a driver-side SAMPLE (standard PQ
+# practice — codebooks are k·d floats, sample-trained); encoding and
+# asymmetric-distance (ADC) search are streaming map_batches passes:
+# each query precomputes an (m, k) lookup table once, a batch's
+# distances are m gathers + a sum, and only per-block top-k partials
+# reduce. Cosine ranking is preserved by normalizing both sides and
+# searching squared L2 (monotone in cosine on the unit sphere).
+
+
+def _lloyd(mat: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+    cents = mat[rng.choice(len(mat), size=min(k, len(mat)),
+                           replace=False)].copy()
+    if len(cents) < k:     # tiny sample: pad with jittered repeats
+        reps = cents[rng.integers(0, len(cents), size=k - len(cents))]
+        cents = np.vstack([cents, reps + 1e-6 * rng.standard_normal(
+            (k - len(cents), mat.shape[1]))])
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            sel = assign == j
+            if sel.any():
+                cents[j] = mat[sel].mean(axis=0)
+    return cents
+
+
+def pq_train(emb_ds, *, m: int = 8, k: int = 16, sample: int = 20000,
+             iters: int = 10, seed: int = 7,
+             vec_col: str = "embedding") -> np.ndarray:
+    """Codebooks (m, k, d/m) from Lloyd per subspace over a sample.
+    Vectors are normalized first (cosine contract)."""
+    df = emb_ds.limit(sample).to_pandas()
+    mat = _normalize(_as_matrix(df[vec_col]).astype(np.float64))
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    return np.stack([_lloyd(mat[:, j * sub:(j + 1) * sub], k, iters, rng)
+                     for j in range(m)])
+
+
+def pq_encode(emb_ds, codebooks: np.ndarray, *, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """(id, codes uint8[m]) per vector — one streaming pass; the
+    codebooks ride the closure into the object store once."""
+    m, k, sub = codebooks.shape
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(_as_matrix(batch[vec_col]).astype(np.float64))
+        codes = np.empty((len(mat), m), dtype=np.uint8)
+        for j in range(m):
+            x = mat[:, j * sub:(j + 1) * sub]
+            d = ((x[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "codes": list(codes)})
+
+    return emb_ds.map_batches(encode, batch_format="pandas",
+                              batch_size=4096)
+
+
+def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
+            *, k: int = 10, id_col: str = "vec_id") -> pd.DataFrame:
+    """ADC top-k: per-query (m, kc) LUT of squared subspace distances,
+    batch distance = sum of m LUT gathers, per-block partial top-k,
+    tiny final merge. Returns (query_idx, vec_id, adc_dist) ascending
+    distance, ties by vec_id."""
+    import heapq
+
+    m, kc, sub = codebooks.shape
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    # LUT[q, j, c] = ||q_j - codebook[j, c]||²
+    luts = np.stack([
+        ((qn[:, j * sub:(j + 1) * sub][:, None, :]
+          - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+        for j in range(m)], axis=1)                    # (Q, m, kc)
+    lut_ref = ray.put(luts)
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(lut_ref)
+        codes = np.stack(batch["codes"].to_numpy()).astype(np.int64)
+        ids = batch[id_col].to_numpy()
+        rows_q, rows_v, rows_d = [], [], []
+        for qi in range(lut.shape[0]):
+            dist = lut[qi][np.arange(m)[None, :], codes].sum(axis=1)
+            kk = min(k, dist.size)
+            kth = np.partition(dist, kk - 1)[kk - 1]
+            ci = np.flatnonzero(dist <= kth)
+            order = np.lexsort((ids[ci], dist[ci]))[:kk]
+            sel = ci[order]
+            rows_q.append(np.full(kk, qi))
+            rows_v.append(ids[sel])
+            rows_d.append(dist[sel])
+        return pd.DataFrame({"query_idx": np.concatenate(rows_q),
+                             "vec_id": np.concatenate(rows_v),
+                             "adc_dist": np.concatenate(rows_d)})
+
+    partials = codes_ds.map_batches(local_topk, batch_format="pandas",
+                                    batch_size=8192).to_pandas()
+    out = []
+    for qi, g in partials.groupby("query_idx"):
+        top = heapq.nsmallest(k, g.itertuples(index=False),
+                              key=lambda r: (r.adc_dist, r.vec_id))
+        out.extend(top)
+    res = pd.DataFrame(out)
+    return res.sort_values(["query_idx", "adc_dist", "vec_id"]) \
+        .reset_index(drop=True)

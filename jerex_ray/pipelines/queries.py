@@ -987,6 +987,25 @@ def ann_topk(sf_dir: str):
         .sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
 
 
+def emb_pq_topk(sf_dir: str):
+    """Product-quantization ANN (``ops/ann.pq_train/pq_encode/
+    pq_topk``): sample-trained subspace codebooks, uint8 codes, ADC
+    search. Rows-only (approximate by design — same status as
+    ann_ivf_topk); recall vs brute force is pytest-gated
+    (test_ops.py::test_pq_recall_and_determinism)."""
+    from jerex_ray.ops.ann import pq_encode, pq_topk, pq_train
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    queries, qids = _query_vectors(sf_dir)
+    books = pq_train(ds, m=8, k=64)
+    codes = pq_encode(ds, books).materialize()
+    out = pq_topk(codes, books, queries, k=5)
+    out["query_idx"] = qids[out["query_idx"].to_numpy()]
+    return out[["query_idx", "vec_id"]].astype("int64") \
+        .sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
+
+
 def emb_label_counts(sf_dir: str):
     from ray.data.aggregate import Count
     from jerex_ray.runtime import read_parquet_sized, shuffle_partitions
@@ -1136,6 +1155,7 @@ def build_queries() -> dict:
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "emb_pq_topk": emb_pq_topk,
         "emb_near_dups": emb_near_dups,
         "emb_near_dups_lsh": emb_near_dups_lsh,
         "emb_label_counts": emb_label_counts,

@@ -627,3 +627,40 @@ def test_grouped_quantiles_match_numpy_per_group():
         # difference is expected (and invisible under the oracle's
         # 6-decimal rounding)
         np.testing.assert_allclose(vals, want, rtol=1e-15, atol=1e-15)
+
+
+def test_pq_recall_and_determinism():
+    from jerex_ray.ops.ann import (brute_force_topk, pq_encode, pq_topk,
+                                   pq_train)
+    rng = np.random.default_rng(17)
+    # clustered vectors: PQ should easily retrieve same-cluster items
+    centers = rng.standard_normal((6, 32)) * 3
+    vecs = np.concatenate([
+        centers[i] + 0.3 * rng.standard_normal((80, 32))
+        for i in range(6)]).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": list(vecs)}))
+    queries = vecs[[0, 80, 160]]     # one query per distinct cluster
+    exact = brute_force_topk(ds, queries, k=10)
+    books = pq_train(ds, m=8, k=64, sample=480)
+    assert books.shape == (8, 64, 4)
+    codes = pq_encode(ds, books).materialize()
+    # the PQ contract is recall@R for re-ranking: the true top-10 must
+    # sit inside the top-50 ADC candidates
+    approx = pq_topk(codes, books, queries, k=50)
+    hits = 0
+    for qi in range(3):
+        e = set(exact.loc[exact["query_idx"] == qi, "vec_id"])
+        a = set(approx.loc[approx["query_idx"] == qi, "vec_id"])
+        hits += len(e & a)
+    assert hits / 30 >= 0.9, hits / 30
+    # top-10 ADC results stay within the query's cluster (80/cluster)
+    top10 = pq_topk(codes, books, queries, k=10)
+    for qi in range(3):
+        ids = top10.loc[top10["query_idx"] == qi, "vec_id"].to_numpy()
+        assert (ids // 80 == qi).mean() >= 0.9
+    # deterministic across runs
+    approx2 = pq_topk(codes, books, queries, k=50)
+    pd.testing.assert_frame_equal(approx.reset_index(drop=True),
+                                  approx2.reset_index(drop=True))
