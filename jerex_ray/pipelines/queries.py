@@ -784,6 +784,99 @@ def emb_pca(sf_dir: str):
     return out.sort_values(["vec_id", "component"]).reset_index(drop=True)
 
 
+def doc_pretrain_corpus(sf_dir: str):
+    """END-TO-END pretraining-data pipeline, composed from the
+    individually-verified pieces and verified as a whole by ONE
+    composed SQL oracle:
+
+      near-dup survivors (exact-Jaccard edges → connected components →
+      keep smallest doc_id) → train split (md5 bucket < 0.9) → 8-gram
+      decontamination against the test split → P90 unigram-quality
+      filter (scores over the FULL corpus, as the standalone op) →
+      token-budget sequence packing (512/pack, per source).
+
+    Dataflow: the loser and contaminated id sets are broadcast-sized
+    by construction; the quality scores are corpus-sized and attach
+    via a hash-partitioned Dataset.join; the split predicate is
+    stateless md5; packing is the distributed keyed prefix sum. The
+    corpus streams through one filter chain — nothing corpus-sized is
+    ever collected."""
+    import ray
+
+    from jerex_ray.functions.components import connected_components
+    from jerex_ray.ops.dedup import jaccard_edges_exact
+    from jerex_ray.ops.decontam import contaminated_docs
+    from jerex_ray.ops.pack import pack_documents
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    from jerex_ray.ops.split import hash_split
+    from jerex_ray.ops.textstats import unigram_logppl
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+
+    dt = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    # 1. near-dup losers (broadcast-sized: only near-dup non-minima)
+    edges = jaccard_edges_exact(dt, threshold=0.7)
+    comp = connected_components(
+        edges.map_batches(
+            lambda b: b.rename(columns={"doc_a": "src", "doc_b": "dst"})
+            [["src", "dst"]] if "doc_a" in b.columns else
+            pd.DataFrame({"src": pd.Series(dtype="int64"),
+                          "dst": pd.Series(dtype="int64")}),
+            batch_format="pandas"))
+    losers = set(comp.loc[comp["node"] != comp["component"], "node"]
+                 .astype("int64")) if len(comp) else set()
+
+    # 2+3. md5 split and decontamination of train vs test grams
+    split = hash_split(dt)
+    train = split.map_batches(
+        lambda b: b.loc[b["split"] != "test", ["doc_id", "text"]],
+        batch_format="pandas")
+    evald = split.map_batches(
+        lambda b: b.loc[b["split"] == "test", ["doc_id", "text"]],
+        batch_format="pandas")
+    contam_df = contaminated_docs(train, evald, n=8).to_pandas()
+    contam = set(contam_df["doc_id"].astype("int64")) \
+        if "doc_id" in contam_df.columns else set()
+
+    # 4. P90 quality threshold over the FULL corpus (standalone-op
+    # semantics: scores rounded to 6 decimals BEFORE the quantile)
+    scored = unigram_logppl(dt).map_batches(
+        lambda df: df.assign(logppl=df["logppl"].round(6))
+        [["doc_id", "logppl"]],
+        batch_format="pandas").materialize()
+    p90 = distributed_quantiles(scored, "logppl", [0.9])[0]
+
+    # 5. one streaming filter chain over the corpus, then packing
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "source"])
+    joined = docs.join(scored, join_type="inner", num_partitions=8,
+                       on=("doc_id",), right_on=("doc_id",))
+    losers_ref, contam_ref = ray.put(losers), ray.put(contam)
+
+    def eligible(df: pd.DataFrame) -> pd.DataFrame:
+        from jerex_ray.util import md5_hash64_batch
+        b = md5_hash64_batch(df["doc_id"].astype(str)) \
+            % np.uint64(1_000_000)
+        keep = (b < 900_000) \
+            & ~df["doc_id"].isin(ray.get(losers_ref)) \
+            & ~df["doc_id"].isin(ray.get(contam_ref)) \
+            & (df["logppl"].to_numpy() <= p90)
+        return df.loc[keep, ["doc_id", "text", "source"]]
+
+    out = pack_documents(joined.map_batches(eligible,
+                                            batch_format="pandas"),
+                         budget=512).to_pandas()
+    if "doc_id" not in out.columns or out.empty:
+        return pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "source": pd.Series(dtype="object"),
+            "n_tokens": pd.Series(dtype="int64"),
+            "pack_id": pd.Series(dtype="int64"),
+            "pack_offset": pd.Series(dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_dup_spans(sf_dir: str):
     """Substring-level dedup (Lee et al. '22): maximal word spans
     covered by 8-grams occurring ≥2 times corpus-wide
@@ -1181,6 +1274,7 @@ def build_queries() -> dict:
         "doc_pagerank": doc_pagerank,
         "doc_dup_spans": doc_dup_spans,
         "doc_dup_ratio": doc_dup_ratio,
+        "doc_pretrain_corpus": doc_pretrain_corpus,
         "emb_dim_stats": emb_dim_stats,
         "emb_pca": emb_pca,
         "doc_vocab": doc_vocab,
@@ -1291,8 +1385,104 @@ def _dup_islands_cte(n: int = 8, min_count: int = 2) -> str:
             FROM isl GROUP BY doc_id, grp)"""
 
 
+def _pretrain_corpus_oracle_sql() -> str:
+    """ONE SQL statement recomputing the whole composed pipeline of
+    ``doc_pretrain_corpus``: exact-Jaccard components (recursive CTE) →
+    md5 split → 8-gram decontamination → P90 unigram-quality filter →
+    per-source packing window. Each CTE chain mirrors the standalone
+    query's oracle; the composition is their intersection feeding the
+    pack window."""
+    return """
+        WITH RECURSIVE
+        jw AS (SELECT doc_id, list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '') AS ws
+               FROM documents),
+        jg AS (SELECT doc_id,
+                      CASE WHEN len(ws) < 3
+                           THEN [array_to_string(ws, ' ')]
+                           ELSE [array_to_string(ws[i:i+2], ' ')
+                                 for i in range(1, len(ws) - 1)]
+                      END AS gs
+               FROM jw WHERE len(ws) > 0),
+        jdg AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM jg),
+        jcnt AS (SELECT doc_id, count(*) AS c FROM jdg GROUP BY doc_id),
+        jinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          count(*) AS i
+                   FROM jdg a JOIN jdg b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+        jedges AS (SELECT doc_a, doc_b FROM jinter
+                   JOIN jcnt ca ON ca.doc_id = doc_a
+                   JOIN jcnt cb ON cb.doc_id = doc_b
+                   WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.7),
+        sym AS (SELECT doc_a AS a, doc_b AS b FROM jedges
+                UNION ALL SELECT doc_b, doc_a FROM jedges),
+        reach(a, b) AS (SELECT a, b FROM sym
+                        UNION
+                        SELECT r.a, s.b FROM reach r
+                        JOIN sym s ON r.b = s.a),
+        losers AS (SELECT a FROM (
+                       SELECT a, least(a, min(b)) AS comp
+                       FROM reach GROUP BY a) WHERE comp < a),
+        spl AS (SELECT doc_id,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 16) AS UBIGINT)
+                           % 1000000 AS b
+                FROM documents),
+        eg AS (SELECT DISTINCT
+                      unnest([array_to_string(ws[i:i+7], ' ')
+                              for i in range(1, len(ws) - 6)]) AS g
+               FROM jw JOIN spl USING (doc_id)
+               WHERE b >= 900000 AND len(ws) >= 8),
+        tg AS (SELECT jw.doc_id,
+                      unnest(list_distinct(
+                          [array_to_string(ws[i:i+7], ' ')
+                           for i in range(1, len(ws) - 6)])) AS g
+               FROM jw JOIN spl USING (doc_id)
+               WHERE b < 900000 AND len(ws) >= 8),
+        contam AS (SELECT DISTINCT doc_id FROM tg
+                   WHERE g IN (SELECT g FROM eg)),
+        qw AS (SELECT doc_id, unnest(ws) AS w FROM jw),
+        qc AS (SELECT w, count(*) AS c FROM qw GROUP BY w),
+        qt AS (SELECT sum(c) AS t FROM qc),
+        qlp AS (SELECT w, -log2(CAST(c AS DOUBLE) / t) AS l
+                FROM qc CROSS JOIN qt),
+        per AS (SELECT qw.doc_id, round(avg(qlp.l), 6) AS logppl
+                FROM qw JOIN qlp ON qw.w = qlp.w GROUP BY qw.doc_id),
+        scores AS (SELECT d.doc_id, COALESCE(per.logppl, 0.0) AS logppl
+                   FROM documents d
+                   LEFT JOIN per ON d.doc_id = per.doc_id),
+        thr AS (SELECT quantile_cont(logppl, 0.9) AS t FROM scores),
+        elig AS (
+            SELECT d.doc_id, d.source,
+                   array_length(list_filter(
+                       regexp_split_to_array(d.text, '\\s+'),
+                       x -> x <> '')) AS n_tokens
+            FROM documents d
+            JOIN spl ON spl.doc_id = d.doc_id
+            JOIN scores ON scores.doc_id = d.doc_id, thr
+            WHERE spl.b < 900000
+              AND d.doc_id NOT IN (SELECT a FROM losers)
+              AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+              AND scores.logppl <= thr.t),
+        s AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS off
+            FROM elig)
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(off // 512 AS BIGINT) AS pack_id,
+               CAST(off % 512 AS BIGINT) AS pack_offset
+        FROM s ORDER BY doc_id
+    """
+
+
 def build_oracle_sql() -> dict:
     oracles = _build_oracle_sql_literal()
+    oracles["doc_pretrain_corpus"] = _pretrain_corpus_oracle_sql()
     # one-sided Bloom parity (see doc_decontaminate_bloom docstring)
     oracles["doc_decontaminate_bloom"] = oracles["doc_decontaminate"]
     oracles["doc_dup_spans"] = f"""
