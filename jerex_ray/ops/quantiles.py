@@ -261,3 +261,40 @@ def grouped_quantiles(ds, key: str, col: str, qs: list[float], *,
             v_lo, v_hi = resolved[(g, lo)], resolved[(g, hi)]
             rows.append((g, q, v_lo + (v_hi - v_lo) * f))
     return pd.DataFrame(rows, columns=[key, "q", "value"])
+
+
+def grouped_quantile_buckets(ds, key: str, col: str,
+                             qs: list[float] | None = None, *,
+                             decimals: int = 6):
+    """Assign every row its per-group quantile bucket (1..len(qs)+1) —
+    the scale-safe NTILE analogue: boundaries come from ONE
+    ``grouped_quantiles`` pass (value-based, deterministic under ties,
+    unlike row-rank NTILE), broadcast once, and the corpus streams
+    through a single vectorized searchsorted. Boundaries are rounded
+    to ``decimals`` on BOTH engine and oracle sides so the comparison
+    is reproducible across interpolation ULPs. Returns a Dataset."""
+    import ray
+
+    qs = qs or [0.25, 0.5, 0.75]
+    bounds = grouped_quantiles(ds, key, col, qs)
+    table = {g: np.sort(sub["value"].to_numpy(np.float64).round(decimals))
+             for g, sub in bounds.groupby(key)}
+    ref = ray.put(table)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(ref)
+        out = batch.copy()
+        vals = batch[col].to_numpy(np.float64)
+        bucket = np.ones(len(batch), dtype=np.int64)
+        for g, idx in batch.groupby(key).indices.items():
+            b = t.get(g)
+            if b is None:
+                continue
+            # bucket = 1 + number of boundaries strictly below value
+            # (value <= b_k -> bucket k+1), i.e. searchsorted left
+            bucket[idx] = 1 + np.searchsorted(b, vals[idx], side="left")
+        out["bucket"] = bucket
+        return out
+
+    return ds.map_batches(assign, batch_format="pandas",
+                          batch_size=65536)

@@ -936,6 +936,21 @@ def q_events_quantiles_by_type(sf_dir: str):
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
 
 
+def q_events_value_buckets(sf_dir: str):
+    """Per-group quartile-bucket assignment (the scale-safe NTILE
+    analogue: value-based boundaries from one grouped-quantiles pass,
+    broadcast, one streaming searchsorted —
+    ``ops/quantiles.grouped_quantile_buckets``)."""
+    from jerex_ray.ops.quantiles import grouped_quantile_buckets
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+    out = grouped_quantile_buckets(ds, "event_type", "value").to_pandas()
+    out = out[["event_id", "event_type", "bucket"]]
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_orders_events_window(sf_dir: str):
     """Range join (aggregated): per order, count + sum of the same
     user's events within the 7 days up to the order date — the keyed
@@ -1268,6 +1283,7 @@ def build_queries() -> dict:
         "q_distinct_event_users": q_distinct_event_users,
         "q_events_value_quantiles": q_events_value_quantiles,
         "q_events_quantiles_by_type": q_events_quantiles_by_type,
+        "q_events_value_buckets": q_events_value_buckets,
         "q_events_hll_users": q_events_hll_users,
         "q_events_hll_by_type": q_events_hll_by_type,
         "q_events_props_agg": q_events_props_agg,
@@ -2247,6 +2263,21 @@ def _build_oracle_sql_literal() -> dict:
                    round(quantile_cont(value, 0.75), 6) AS value
             FROM events GROUP BY event_type
             ORDER BY event_type, q
+        """,
+        "q_events_value_buckets": """
+            WITH b AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.25), 6) AS b1,
+                       round(quantile_cont(value, 0.50), 6) AS b2,
+                       round(quantile_cont(value, 0.75), 6) AS b3
+                FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   CASE WHEN e.value <= b.b1 THEN 1
+                        WHEN e.value <= b.b2 THEN 2
+                        WHEN e.value <= b.b3 THEN 3
+                        ELSE 4 END AS bucket
+            FROM events e JOIN b USING (event_type)
+            ORDER BY e.event_id
         """,
         # HLL parity: exact only in the linear-counting regime — the
         # estimate then depends only on which md5-derived registers are

@@ -119,3 +119,24 @@ def test_range_join_agg_matches_pandas():
         assert abs(row["sum_value"] - m["value"].sum()) < 1e-9
     assert len(got) == 40
     assert (got["n_matches"] == 0).any()   # some empty windows exist
+
+
+def test_grouped_quantile_buckets():
+    import ray.data as rd
+
+    from jerex_ray.ops.quantiles import grouped_quantile_buckets
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"k": np.repeat(["a", "b"], 200),
+                       "v": np.concatenate([rng.normal(0, 1, 200),
+                                            rng.normal(5, 2, 200)])})
+    out = grouped_quantile_buckets(rd.from_pandas(df), "k", "v") \
+        .to_pandas()
+    # each group splits ~evenly into 4 buckets
+    for g, sub in out.groupby("k"):
+        counts = sub["bucket"].value_counts().sort_index()
+        assert list(counts.index) == [1, 2, 3, 4]
+        assert counts.min() >= 45 and counts.max() <= 55
+    # bucket is monotone in value within a group
+    for g, sub in out.groupby("k"):
+        s = sub.sort_values("v")
+        assert (np.diff(s["bucket"].to_numpy()) >= 0).all()
