@@ -161,3 +161,30 @@ def grouped_apply(ds, keys: list[str], block_fn,
         np_ = shuffle_partitions(num_partitions)
         ds = ds.repartition(np_, keys=keys, sort=False)
     return ds.map_batches(block_fn, batch_format="pandas", batch_size=None)
+
+
+def grouped_topk(ds, keys: list[str], *, order_by: str, k: int,
+                 ascending: bool = False, tie_cols: list[str] | None = None,
+                 num_partitions: int | None = None):
+    """Exact top-``k`` rows per key group, without a global sort: each
+    batch contributes at most k rows per key it sees (the top-k
+    combiner), the survivors co-locate by key, and the same vectorized
+    sort+head finishes per block. Ties are broken by ``tie_cols``
+    ascending (pass the row's unique id for full determinism).
+    Shuffle volume is ≤ k × keys-per-batch rows, never the corpus."""
+    if isinstance(keys, str):
+        keys = [keys]
+    tie = tie_cols or []
+    by = [order_by] + tie
+    asc = [ascending] + [True] * len(tie)
+
+    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.sort_values(by, ascending=asc) \
+            .groupby(keys, sort=False).head(k)
+
+    partial = ds.map_batches(topk_block, batch_format="pandas",
+                             batch_size=65536)
+    return grouped_apply(partial, keys, topk_block,
+                         num_partitions=num_partitions)

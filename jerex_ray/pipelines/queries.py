@@ -936,6 +936,26 @@ def q_events_quantiles_by_type(sf_dir: str):
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
 
 
+def q_top_parts_per_brand(sf_dir: str):
+    """Exact grouped top-k (``functions/aggregate.grouped_topk``):
+    the 3 priciest parts per brand, ties by p_partkey — per-batch
+    top-k combiner then co-located finish; oracled by SQL
+    row_number() PARTITION BY."""
+    from jerex_ray.functions.aggregate import grouped_topk
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/part.parquet",
+                            columns=["p_brand", "p_partkey",
+                                     "p_retailprice"])
+    out = grouped_topk(ds, ["p_brand"], order_by="p_retailprice", k=3,
+                       tie_cols=["p_partkey"]).to_pandas()
+    out = out[["p_brand", "p_partkey", "p_retailprice"]]
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["p_retailprice"] = out["p_retailprice"].round(2)
+    return out.sort_values(["p_brand", "p_partkey"]) \
+        .reset_index(drop=True)
+
+
 def q_events_value_buckets(sf_dir: str):
     """Per-group quartile-bucket assignment (the scale-safe NTILE
     analogue: value-based boundaries from one grouped-quantiles pass,
@@ -1284,6 +1304,7 @@ def build_queries() -> dict:
         "q_events_value_quantiles": q_events_value_quantiles,
         "q_events_quantiles_by_type": q_events_quantiles_by_type,
         "q_events_value_buckets": q_events_value_buckets,
+        "q_top_parts_per_brand": q_top_parts_per_brand,
         "q_events_hll_users": q_events_hll_users,
         "q_events_hll_by_type": q_events_hll_by_type,
         "q_events_props_agg": q_events_props_agg,
@@ -2263,6 +2284,17 @@ def _build_oracle_sql_literal() -> dict:
                    round(quantile_cont(value, 0.75), 6) AS value
             FROM events GROUP BY event_type
             ORDER BY event_type, q
+        """,
+        "q_top_parts_per_brand": """
+            SELECT p_brand, p_partkey, round(p_retailprice, 2)
+                       AS p_retailprice
+            FROM (SELECT p_brand, p_partkey, p_retailprice,
+                         row_number() OVER (
+                             PARTITION BY p_brand
+                             ORDER BY p_retailprice DESC, p_partkey)
+                             AS rn
+                  FROM part)
+            WHERE rn <= 3 ORDER BY p_brand, p_partkey
         """,
         "q_events_value_buckets": """
             WITH b AS (

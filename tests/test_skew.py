@@ -50,3 +50,29 @@ def test_length_bucket_sorts_blocks():
     for batch in out.iter_batches(batch_size=None, batch_format="pyarrow"):
         lens = batch["n_subwords"].to_numpy()
         assert (np.diff(lens) >= 0).all()
+
+
+def test_grouped_topk_exact_and_skewed():
+    import ray.data as rd
+
+    from jerex_ray.functions.aggregate import grouped_topk
+    rng = np.random.default_rng(8)
+    # skewed: one hot key with 5000 rows, many cold keys with 3
+    hot = pd.DataFrame({"k": "hot", "v": rng.standard_normal(5000),
+                        "id": np.arange(5000)})
+    cold = pd.DataFrame({"k": [f"c{i}" for i in range(50) for _ in range(3)],
+                         "v": rng.standard_normal(150),
+                         "id": np.arange(5000, 5150)})
+    df = pd.concat([hot, cold], ignore_index=True)
+    ds = rd.from_pandas(df).repartition(8)
+    out = grouped_topk(ds, ["k"], order_by="v", k=4,
+                       tie_cols=["id"]).to_pandas()
+    ref = df.sort_values(["v", "id"], ascending=[False, True]) \
+        .groupby("k", sort=False).head(4)
+    for key, sub in ref.groupby("k"):
+        got = out.loc[out["k"] == key].sort_values(
+            ["v", "id"], ascending=[False, True])
+        assert list(got["id"]) == list(sub["id"]), key
+    # cold keys with fewer than k rows keep all rows
+    assert (out.groupby("k").size().loc[[f"c{i}" for i in range(50)]]
+            == 3).all()
