@@ -133,4 +133,14 @@ def _ensure_builtin():
     STAGE_REGISTRY.setdefault("quality_stats",
                               lambda ds, cfg: run_quality_stats(ds))
 
+    from jerex_ray.ops.substr import duplicate_spans
+    STAGE_REGISTRY.setdefault("dup_spans",
+                              lambda ds, cfg: duplicate_spans(ds))
+
+    def _buckets(ds, cfg):
+        from jerex_ray.ops.quantiles import grouped_quantile_buckets
+        return grouped_quantile_buckets(ds, "event_type", "value")
+
+    STAGE_REGISTRY.setdefault("value_buckets", _buckets)
+
     _BUILTIN = True
