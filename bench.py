@@ -64,7 +64,7 @@ def run_bench() -> dict:
             while f.read(1 << 24):
                 pass
 
-    repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = None
