@@ -120,3 +120,53 @@ def test_gram_hash_polynomial_matches_scalar(seed):
     batch = _doc_shingle_arrays(texts, k=3)
     for t, got in zip(texts, batch):
         np.testing.assert_array_equal(got, _shingle_hashes(t, 3))
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 60)),
+                max_size=40),
+       st.integers(2, 6))
+def test_dup_span_islands_match_bruteforce(pairs, n):
+    import pandas as pd
+
+    from jerex_ray.ops.substr import _islands_fn
+    df = pd.DataFrame({"doc_id": [a for a, _ in pairs],
+                       "pos": [b for _, b in pairs]}).drop_duplicates()
+    got = _islands_fn(n)(df)
+    got_set = set(map(tuple, got[["doc_id", "start", "end"]].values)) \
+        if len(got) else set()
+    expect = set()
+    for doc in set(df["doc_id"]) if len(df) else set():
+        ivs = sorted((p, p + n) for p in df.loc[df["doc_id"] == doc, "pos"])
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        expect |= {(doc, s, e) for s, e in merged}
+    assert got_set == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=40),
+       st.integers(4, 14))
+def test_hll_register_bit_arithmetic(hs, p):
+    from jerex_ray.ops.sketch import _hll_registers
+    idx, rho = _hll_registers(np.array(hs, dtype=np.uint64), p)
+    for h, i, r in zip(hs, idx, rho):
+        assert i == h >> (64 - p)
+        w = (h << p) & ((1 << 64) - 1)
+        assert r == ((64 - w.bit_length() + 1) if w else (64 - p + 1))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=30),
+       st.integers(1, 6))
+def test_bloom_positions_in_range_and_deterministic(hs, k):
+    from jerex_ray.ops.sketch import _bloom_positions
+    h = np.array(hs, dtype=np.uint64)
+    pos = _bloom_positions(h, 1 << 12, k)
+    assert pos.shape == (len(hs), k)
+    assert (pos >= 0).all() and (pos < (1 << 12)).all()
+    np.testing.assert_array_equal(pos, _bloom_positions(h, 1 << 12, k))
