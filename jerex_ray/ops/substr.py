@@ -104,7 +104,9 @@ def duplicate_spans(docs_ds, *, n: int = 8, min_count: int = 2,
                                 batch_size=4096).materialize()
     counts = grouped_aggregate(grams, ["h"], {"c": (None, "count")},
                                num_partitions=num_partitions)
-    dup = counts.filter(expr=f"c >= {int(min_count)}")
+    # materialize once: count(), the broadcast collect, and the join
+    # path would otherwise each re-run the whole gram+aggregate lineage
+    dup = counts.filter(expr=f"c >= {int(min_count)}").materialize()
 
     n_dup = dup.count()
     if n_dup == 0:
