@@ -20,6 +20,7 @@ vectorized transforms —
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
@@ -242,4 +243,36 @@ def range_join_agg(left_ds, right_ds, *, key: str, left_ts: str,
 
     from jerex_ray.functions.aggregate import grouped_apply
     return grouped_apply(both, [key], join_block,
+                         num_partitions=num_partitions)
+
+
+def lag_delta(events_ds, *, key: str, ts_col: str, id_col: str,
+              num_partitions: int | None = None):
+    """Per-key previous-event time delta (the LAG window function):
+    rows co-locate by key via the hash shuffle, each block sorts its
+    complete key groups once and takes one vectorized diff. Delta is
+    in whole seconds (floor), NULL (-1 sentinel avoided: pandas NaT →
+    <NA> preserved) for each key's first event."""
+    from jerex_ray.functions.aggregate import grouped_apply
+
+    def deltas(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 key: pd.Series(dtype="int64"),
+                                 "delta_s": pd.Series(dtype="float64")})
+        b = block.sort_values([key, ts_col, id_col])
+        ts = b[ts_col].to_numpy()
+        same = np.empty(len(b), dtype=bool)
+        same[0] = False
+        if len(b) > 1:
+            same[1:] = b[key].to_numpy()[1:] == b[key].to_numpy()[:-1]
+        delta = np.full(len(b), np.nan)
+        if len(b) > 1:
+            d = (ts[1:] - ts[:-1]) / np.timedelta64(1, "s")
+            delta[1:] = np.where(same[1:], np.floor(d), np.nan)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                             key: b[key].to_numpy(),
+                             "delta_s": delta})
+
+    return grouped_apply(events_ds, [key], deltas,
                          num_partitions=num_partitions)

@@ -936,6 +936,51 @@ def q_events_quantiles_by_type(sf_dir: str):
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
 
 
+def q_events_time_since_prev(sf_dir: str):
+    """LAG window function: per event, whole seconds since the same
+    user's previous event (NULL for each user's first) —
+    ``ops/windows.lag_delta``: hash co-location by user, one in-block
+    sort + vectorized diff."""
+    from jerex_ray.ops.windows import lag_delta
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+    out = lag_delta(ds, key="user_id", ts_col="ts",
+                    id_col="event_id").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["delta_s"] = out["delta_s"].astype("float64")
+    return out[["event_id", "user_id", "delta_s"]] \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+def q_events_type_pivot(sf_dir: str):
+    """Pivot (conditional aggregation): one row per user with a count
+    column per event type. The per-(user, type) counts reduce through
+    the combiner; the pivot itself is a vectorized per-block reshape
+    over co-located users (``grouped_apply``) — never a driver-side
+    table."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    counts = grouped_aggregate(ds, ["user_id", "event_type"],
+                               {"n": (None, "count")})
+
+    def pivot_block(df: pd.DataFrame) -> pd.DataFrame:
+        wide = df.pivot_table(index="user_id", columns="event_type",
+                              values="n", aggfunc="sum", fill_value=0)
+        wide = wide.reindex(columns=types, fill_value=0).reset_index()
+        wide.columns = ["user_id"] + [f"n_{t}" for t in types]
+        return wide.astype("int64")
+
+    out = grouped_apply(counts, ["user_id"], pivot_block).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_top_parts_per_brand(sf_dir: str):
     """Exact grouped top-k (``functions/aggregate.grouped_topk``):
     the 3 priciest parts per brand, ties by p_partkey — per-batch
@@ -1305,6 +1350,8 @@ def build_queries() -> dict:
         "q_events_quantiles_by_type": q_events_quantiles_by_type,
         "q_events_value_buckets": q_events_value_buckets,
         "q_top_parts_per_brand": q_top_parts_per_brand,
+        "q_events_time_since_prev": q_events_time_since_prev,
+        "q_events_type_pivot": q_events_type_pivot,
         "q_events_hll_users": q_events_hll_users,
         "q_events_hll_by_type": q_events_hll_by_type,
         "q_events_props_agg": q_events_props_agg,
@@ -2284,6 +2331,27 @@ def _build_oracle_sql_literal() -> dict:
                    round(quantile_cont(value, 0.75), 6) AS value
             FROM events GROUP BY event_type
             ORDER BY event_type, q
+        """,
+        "q_events_time_since_prev": """
+            SELECT event_id, user_id,
+                   floor(epoch(ts) - epoch(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)))
+                       AS delta_s
+            FROM events ORDER BY event_id
+        """,
+        "q_events_type_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "q_top_parts_per_brand": """
             SELECT p_brand, p_partkey, round(p_retailprice, 2)

@@ -140,3 +140,25 @@ def test_grouped_quantile_buckets():
     for g, sub in out.groupby("k"):
         s = sub.sort_values("v")
         assert (np.diff(s["bucket"].to_numpy()) >= 0).all()
+
+
+def test_lag_delta_matches_pandas():
+    import ray.data as rd
+
+    from jerex_ray.ops.windows import lag_delta
+    rng = np.random.default_rng(12)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 20, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s")})
+    out = lag_delta(rd.from_pandas(df).repartition(6), key="user_id",
+                    ts_col="ts", id_col="event_id").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["delta_s"] = ref.groupby("user_id")["ts"].diff() \
+        .dt.total_seconds().apply(np.floor)
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    np.testing.assert_allclose(out["delta_s"], ref["delta_s"],
+                               equal_nan=True)
