@@ -936,6 +936,40 @@ def q_events_quantiles_by_type(sf_dir: str):
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
 
 
+def q_user_activity_outer(sf_dir: str):
+    """FULL OUTER join of two grouped fact aggregates (order totals ⟗
+    event totals per user): both sides reduce through the combiner
+    first, then a hash-partitioned ``Dataset.join(full_outer)`` —
+    missing sides surface as 0/NULL exactly as the SQL."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    orders = read_parquet_sized(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "value"])
+    o_agg = grouped_aggregate(
+        orders.map_batches(
+            lambda df: df.rename(columns={"o_custkey": "user_id"}),
+            batch_format="pandas"),
+        ["user_id"],
+        {"n_orders": (None, "count"),
+         "total_spent": ("o_totalprice", "sum")}).materialize()
+    e_agg = grouped_aggregate(
+        ev, ["user_id"],
+        {"n_events": (None, "count"),
+         "sum_value": ("value", "sum")}).materialize()
+    out = o_agg.join(e_agg, join_type="full_outer", num_partitions=8,
+                     on=("user_id",), right_on=("user_id",)).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    for c in ("n_orders", "n_events"):
+        out[c] = out[c].fillna(0).astype("int64")
+    out["total_spent"] = out["total_spent"].astype("float64").round(2)
+    out["sum_value"] = out["sum_value"].astype("float64").round(2)
+    cols = ["user_id", "n_orders", "total_spent", "n_events", "sum_value"]
+    return out[cols].sort_values("user_id").reset_index(drop=True)
+
+
 def q_events_time_since_prev(sf_dir: str):
     """LAG window function: per event, whole seconds since the same
     user's previous event (NULL for each user's first) —
@@ -1352,6 +1386,7 @@ def build_queries() -> dict:
         "q_top_parts_per_brand": q_top_parts_per_brand,
         "q_events_time_since_prev": q_events_time_since_prev,
         "q_events_type_pivot": q_events_type_pivot,
+        "q_user_activity_outer": q_user_activity_outer,
         "q_events_hll_users": q_events_hll_users,
         "q_events_hll_by_type": q_events_hll_by_type,
         "q_events_props_agg": q_events_props_agg,
@@ -2331,6 +2366,21 @@ def _build_oracle_sql_literal() -> dict:
                    round(quantile_cont(value, 0.75), 6) AS value
             FROM events GROUP BY event_type
             ORDER BY event_type, q
+        """,
+        "q_user_activity_outer": """
+            WITH o AS (SELECT o_custkey AS user_id, count(*) AS n_orders,
+                              round(sum(o_totalprice), 2) AS total_spent
+                       FROM orders GROUP BY o_custkey),
+            e AS (SELECT user_id, count(*) AS n_events,
+                         round(sum(value), 2) AS sum_value
+                  FROM events GROUP BY user_id)
+            SELECT COALESCE(o.user_id, e.user_id) AS user_id,
+                   COALESCE(o.n_orders, 0) AS n_orders,
+                   o.total_spent,
+                   COALESCE(e.n_events, 0) AS n_events,
+                   e.sum_value
+            FROM o FULL OUTER JOIN e ON o.user_id = e.user_id
+            ORDER BY user_id
         """,
         "q_events_time_since_prev": """
             SELECT event_id, user_id,
