@@ -134,3 +134,40 @@ def test_hll_distinct_empty_input():
         column="user_id", p=12)
     assert out["estimate"].iloc[0] == 0.0
     assert int(out["registers_set"].iloc[0]) == 0
+
+
+def test_new_ops_deterministic_under_resharding():
+    """Partitioning must never change results: HLL registers (max-merge
+    is commutative), duplicate spans (integer coordinates), PageRank
+    (float sums agree to 1e-12 across shard layouts)."""
+    from jerex_ray.ops.sketch import hll_distinct
+    from jerex_ray.ops.substr import duplicate_spans
+    rng = np.random.default_rng(31)
+    texts = [" ".join(map(str, rng.integers(0, 30, size=20)))
+             for _ in range(40)]
+    texts += texts[:6]          # planted duplicates
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                         "text": texts})
+    ev = pd.DataFrame({"user_id": rng.integers(0, 500, size=3000)})
+
+    outs = []
+    for parts in (1, 7):
+        d = rd.from_pandas(docs).repartition(parts)
+        spans = duplicate_spans(d, n=8, min_count=2).to_pandas()
+        spans = sorted(map(tuple, spans.values)) if len(spans) else []
+        h = hll_distinct(rd.from_pandas(ev).repartition(parts),
+                         column="user_id", p=12)
+        outs.append((spans, float(h["estimate"].iloc[0]),
+                     int(h["registers_set"].iloc[0])))
+    assert outs[0] == outs[1]
+
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.integers(0, 25, size=(50, 2)) if a < b})
+    prs = []
+    for parts in (1, 5):
+        e = rd.from_pandas(pd.DataFrame(
+            {"doc_a": [a for a, _ in edges],
+             "doc_b": [b for _, b in edges]})).repartition(parts)
+        prs.append(pagerank(e, iters=4))
+    assert list(prs[0]["node"]) == list(prs[1]["node"])
+    np.testing.assert_allclose(prs[0]["pr"], prs[1]["pr"], atol=1e-12)
