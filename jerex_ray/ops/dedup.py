@@ -1041,3 +1041,50 @@ def embedding_near_dups_exact(emb_ds, *, threshold: float = 0.95) -> pd.DataFram
     if len(out) == 0:
         return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def incremental_exact_dedup(incoming_ds, base_ds, *,
+                            broadcast_threshold: int = 5_000_000,
+                            num_partitions: int | None = None):
+    """Exact dedup of an INCOMING shard against an already-ingested
+    BASE corpus plus itself — the streaming-ingest production shape:
+    the base is consulted only through its (distinct) normalized-text
+    fingerprint index, never rescanned per incoming doc.
+
+    * base index: one streaming pass → per-batch distinct fingerprints
+      → global distinct through the combiner (fingerprint-sized, not
+      corpus-sized when dup-heavy).
+    * incoming: fingerprint per doc; drop docs whose fingerprint is in
+      the base index (broadcast set under ``broadcast_threshold``,
+      hash ``left_anti`` Dataset.join above it); among the remainder,
+      the existing keep-smallest-doc_id reduce dedups within the shard.
+
+    Returns the surviving incoming docs (doc_id + fingerprint)."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_apply
+
+    base_fp = base_ds.map_batches(
+        lambda b: add_fingerprint(b)[["fp"]].drop_duplicates(),
+        batch_format="pandas", batch_size=8192).materialize()
+    inc = incoming_ds.map_batches(add_fingerprint,
+                                  batch_format="pandas",
+                                  batch_size=8192)
+    n_base = base_fp.count()
+    if n_base == 0:
+        fresh = inc
+    elif n_base <= broadcast_threshold:
+        ref = ray.put(set(base_fp.to_pandas()["fp"].tolist()))
+
+        def drop_known(df: pd.DataFrame) -> pd.DataFrame:
+            return df[~df["fp"].isin(ray.get(ref))]
+
+        fresh = inc.map_batches(drop_known, batch_format="pandas")
+    else:
+        fresh = inc.join(base_fp.map_batches(
+            lambda b: b.drop_duplicates("fp"), batch_format="pandas",
+            batch_size=None).materialize(),
+            join_type="left_anti", num_partitions=8,
+            on=("fp",), right_on=("fp",))
+    return grouped_apply(fresh, ["fp"], _keep_min_doc_block,
+                         num_partitions=num_partitions)

@@ -1164,6 +1164,35 @@ def dedup_survivors(sf_dir: str):
         .reset_index(drop=True)
 
 
+def dedup_incremental(sf_dir: str):
+    """Streaming-ingest dedup (``ops/dedup.incremental_exact_dedup``):
+    the md5-lower half of the corpus plays the already-ingested BASE,
+    the upper half the INCOMING shard; incoming docs survive iff their
+    normalized text is new to the base AND they are their shard's
+    smallest-doc_id holder of it. The base is consulted only through
+    its fingerprint index."""
+    from jerex_ray.ops.dedup import incremental_exact_dedup
+    from jerex_ray.ops.split import assign_split
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    halves = ds.map_batches(
+        assign_split, batch_format="pandas",
+        fn_kwargs={"fractions": (0.5, 0.5), "names": ("base", "inc")})
+    base = halves.map_batches(
+        lambda b: b.loc[b["split"] == "base", ["doc_id", "text"]],
+        batch_format="pandas")
+    inc = halves.map_batches(
+        lambda b: b.loc[b["split"] == "inc", ["doc_id", "text"]],
+        batch_format="pandas")
+    out = incremental_exact_dedup(inc, base).to_pandas()
+    if "doc_id" not in out.columns or out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    return out[["doc_id"]].astype("int64").sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def dedup_simhash_pairs(sf_dir: str):
     from jerex_ray.ops.dedup import simhash_candidates
     from jerex_ray.runtime import read_parquet_sized
@@ -1359,6 +1388,7 @@ def build_queries() -> dict:
         "dedup_jaccard_edges": dedup_jaccard_edges,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
+        "dedup_incremental": dedup_incremental,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2366,6 +2396,21 @@ def _build_oracle_sql_literal() -> dict:
                    round(quantile_cont(value, 0.75), 6) AS value
             FROM events GROUP BY event_type
             ORDER BY event_type, q
+        """,
+        "dedup_incremental": """
+            WITH h AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 16) AS UBIGINT)
+                           % 1000000 AS b,
+                       regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+                           AS k
+                FROM documents),
+            base AS (SELECT DISTINCT k FROM h WHERE b < 500000),
+            inc AS (SELECT doc_id, k FROM h WHERE b >= 500000)
+            SELECT min(doc_id) AS doc_id FROM inc
+            WHERE k NOT IN (SELECT k FROM base)
+            GROUP BY k ORDER BY doc_id
         """,
         "q_user_activity_outer": """
             WITH o AS (SELECT o_custkey AS user_id, count(*) AS n_orders,

@@ -664,3 +664,24 @@ def test_pq_recall_and_determinism():
     approx2 = pq_topk(codes, books, queries, k=50)
     pd.testing.assert_frame_equal(approx.reset_index(drop=True),
                                   approx2.reset_index(drop=True))
+
+
+def test_incremental_exact_dedup_paths_match():
+    from jerex_ray.ops.dedup import incremental_exact_dedup
+    base = _docs(["alpha beta", "gamma delta", "shared text here"])
+    inc_texts = ["  Shared   TEXT here ",   # known to base (normalized)
+                 "brand new one", "brand new one",  # within-shard dup
+                 "another fresh"]
+    inc = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(100, 100 + len(inc_texts), dtype=np.int64),
+        "text": inc_texts}))
+    a = incremental_exact_dedup(inc, base).to_pandas()
+    assert sorted(a["doc_id"]) == [101, 103]
+    # join (anti) path must match the broadcast path
+    b = incremental_exact_dedup(inc, base, broadcast_threshold=0) \
+        .to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # empty base keeps all distinct incoming
+    c = incremental_exact_dedup(
+        inc, _docs([]), broadcast_threshold=10).to_pandas()
+    assert sorted(c["doc_id"]) == [100, 101, 103]
