@@ -234,3 +234,68 @@ def pca_project(emb_ds, mean: np.ndarray, comps: np.ndarray, *,
 
     return emb_ds.map_batches(project, batch_format="pandas",
                               batch_size=4096)
+
+
+def semdedup(emb_ds, *, k: int = 8, threshold: float = 0.95,
+             iters: int = 6, vec_col: str = "embedding",
+             id_col: str = "vec_id",
+             num_partitions: int | None = None):
+    """SemDeDup (Abbas et al. '23, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means clusters
+    the embedding space, then ONLY within-cluster cosine pairs are
+    checked — all-pairs work drops from O(N²) to Σ|cluster|², the
+    paper's entire point. Losers (cosine ≥ threshold to a
+    smaller-id cluster-mate) are dropped; returns the surviving ids
+    as a Dataset of (vec_id, cluster).
+
+    Dataflow: the existing distributed Lloyd's assigns clusters; the
+    (id, cluster, normalized vector) rows hash-co-locate by cluster;
+    each cluster resolves its survivors with one vectorized gram
+    matrix. Partitioning assumption (documented, standard for
+    SemDeDup): a single semantic cluster fits one worker's memory —
+    at web scale k is chosen ~N/50k to bound cluster sizes."""
+    from jerex_ray.functions.aggregate import grouped_apply
+
+    assign_ds, _ = kmeans(emb_ds, k=k, iters=iters,
+                          vec_col=vec_col, id_col=id_col)
+    # attach the normalized vector to its assignment (co-located join
+    # on vec_id; both sides corpus-sized)
+    import ray
+
+    def norm_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _matrix(batch[vec_col])
+        if mat.size:
+            mat = mat / np.clip(np.linalg.norm(mat, axis=1,
+                                               keepdims=True),
+                                1e-12, None)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "nvec": [v.astype(np.float32).tobytes()
+                                      for v in mat]})
+
+    vec_rows = emb_ds.map_batches(norm_rows, batch_format="pandas",
+                                  batch_size=4096).materialize()
+    joined = assign_ds.materialize().join(
+        vec_rows, join_type="inner", num_partitions=8,
+        on=(id_col,), right_on=(id_col,))
+
+    def prune(block: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_cl = [], []
+        for cl, sub in block.groupby("cluster", sort=False):
+            sub = sub.sort_values(id_col)
+            ids = sub[id_col].to_numpy()
+            mat = np.stack([np.frombuffer(b, dtype=np.float32)
+                            for b in sub["nvec"]]).astype(np.float64)
+            sims = mat @ mat.T
+            # loser: similar (>= threshold) to ANY smaller-id mate
+            tri = np.triu(sims >= threshold, k=1)
+            loser = tri.any(axis=0)
+            out_ids.append(ids[~loser])
+            out_cl.append(np.full((~loser).sum(), cl, dtype=np.int64))
+        if not out_ids:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64")})
+        return pd.DataFrame({id_col: np.concatenate(out_ids),
+                             "cluster": np.concatenate(out_cl)})
+
+    return grouped_apply(joined, ["cluster"], prune,
+                         num_partitions=num_partitions)

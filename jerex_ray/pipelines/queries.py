@@ -1242,6 +1242,27 @@ def emb_pq_topk(sf_dir: str):
         .sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
 
 
+def emb_semdedup(sf_dir: str):
+    """SemDeDup survivors (``ops/embed.semdedup``): k-means buckets
+    the space, only within-cluster cosine pairs are checked. Rows-only
+    (k-means bucketing is approximate by design — a cross-cluster
+    near-dup pair survives, exactly as in the paper); the exact
+    all-pairs twin ``emb_near_dups`` IS oracled, and the planted-dup
+    behavior is pytest-gated."""
+    from jerex_ray.ops.embed import semdedup
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    out = semdedup(ds, k=8, threshold=0.95).to_pandas()
+    if "vec_id" not in out.columns or out.empty:
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "cluster": pd.Series(dtype="int64")})
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def emb_label_counts(sf_dir: str):
     from ray.data.aggregate import Count
     from jerex_ray.runtime import read_parquet_sized, shuffle_partitions
@@ -1395,6 +1416,7 @@ def build_queries() -> dict:
         "emb_pq_topk": emb_pq_topk,
         "emb_near_dups": emb_near_dups,
         "emb_near_dups_lsh": emb_near_dups_lsh,
+        "emb_semdedup": emb_semdedup,
         "emb_label_counts": emb_label_counts,
         # relational operators
         "q1_pricing_summary": R.q1_pricing_summary,
