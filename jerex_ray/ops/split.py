@@ -79,3 +79,38 @@ def stratified_sample(ds, *, group: str, n_per_group: int,
                              batch_size=8192)
     return grouped_apply(partial, [group], final_topk,
                          num_partitions=num_partitions)
+
+
+def mixture_sample(docs_ds, *, weights: dict, default: float = 1.0,
+                   key: str = "doc_id", source_col: str = "source",
+                   buckets: int = 1_000_000):
+    """Deterministic data mixing (the pretraining-recipe step that
+    up/down-samples sources to target proportions): a doc with source
+    weight ``w`` is emitted ``floor(w)`` times, plus one more iff its
+    md5 bucket falls under the fractional remainder — so an epoch of
+    the mixture contains each source at exactly its weight in
+    expectation, reproducibly (no RNG state, stable under resharding
+    and reruns, a doc keeps its fate when the corpus grows). Output
+    rows carry ``copy_idx`` (0-based) so downstream packing can
+    distinguish repeats. One stateless vectorized pass; SQL-oracled
+    via the same md5-bucket predicate + ``unnest(range(n))``."""
+    wts = dict(weights)
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[source_col].map(wts).fillna(default) \
+            .to_numpy(np.float64)
+        base = np.floor(w)
+        h = md5_hash64_batch(batch[key].astype(str)) % np.uint64(buckets)
+        frac = (w - base) * buckets
+        n = (base + (h.astype(np.float64) < frac)).astype(np.int64)
+        keep = n > 0
+        idx = np.repeat(np.arange(len(batch))[keep], n[keep])
+        out = batch.iloc[idx].reset_index(drop=True)
+        copy_idx = np.concatenate(
+            [np.arange(c, dtype=np.int64) for c in n[keep]]) \
+            if keep.any() else np.empty(0, dtype=np.int64)
+        out["copy_idx"] = copy_idx
+        return out
+
+    return docs_ds.map_batches(expand, batch_format="pandas",
+                               batch_size=8192)

@@ -393,6 +393,23 @@ def doc_fingerprint(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_mixture_sample(sf_dir: str):
+    """Deterministic data mixing (``ops/split.mixture_sample``):
+    src0 upsampled 2.25×, src1 downsampled to 0.5×, everything else
+    kept 1× — each doc's copy count is a pure function of its md5
+    bucket, so the mixture is reproducible and SQL-oracled exactly."""
+    from jerex_ray.ops.split import mixture_sample
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source"])
+    out = mixture_sample(ds, weights={"src0": 2.25, "src1": 0.5}) \
+        .to_pandas()
+    out = out[["doc_id", "source", "copy_idx"]]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["copy_idx"] = out["copy_idx"].astype("int64")
+    return out.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+
+
 def doc_top_bigrams(sf_dir: str):
     from jerex_ray.ops.textstats import top_ngrams
     from jerex_ray.runtime import read_parquet_sized
@@ -1390,6 +1407,7 @@ def build_queries() -> dict:
         "doc_fingerprint": doc_fingerprint,
         "doc_split": doc_split,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_mixture_sample": doc_mixture_sample,
         "doc_top_bigrams": doc_top_bigrams,
         "doc_winnowing": doc_winnowing,
         "doc_winnowing_md5": doc_winnowing_md5,
@@ -2418,6 +2436,26 @@ def _build_oracle_sql_literal() -> dict:
                    round(quantile_cont(value, 0.75), 6) AS value
             FROM events GROUP BY event_type
             ORDER BY event_type, q
+        """,
+        "doc_mixture_sample": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       CASE source WHEN 'src0' THEN 2.25
+                                   WHEN 'src1' THEN 0.5
+                                   ELSE 1.0 END AS wt,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 16) AS UBIGINT)
+                           % 1000000 AS b
+                FROM documents),
+            n AS (SELECT doc_id, source,
+                         CAST(floor(wt)
+                              + CASE WHEN b < (wt - floor(wt)) * 1000000
+                                     THEN 1 ELSE 0 END AS BIGINT)
+                             AS n_copies
+                  FROM w)
+            SELECT doc_id, source, unnest(range(n_copies)) AS copy_idx
+            FROM n WHERE n_copies > 0
+            ORDER BY doc_id, copy_idx
         """,
         "dedup_incremental": """
             WITH h AS (

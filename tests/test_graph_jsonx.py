@@ -171,3 +171,30 @@ def test_new_ops_deterministic_under_resharding():
         prs.append(pagerank(e, iters=4))
     assert list(prs[0]["node"]) == list(prs[1]["node"])
     np.testing.assert_allclose(prs[0]["pr"], prs[1]["pr"], atol=1e-12)
+
+
+def test_mixture_sample_weights_and_determinism():
+    from jerex_ray.ops.split import mixture_sample
+    n = 3000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "source": np.where(np.arange(n) % 2 == 0,
+                                          "a", "b")})
+    ds = rd.from_pandas(df)
+    out = mixture_sample(ds, weights={"a": 2.5, "b": 0.25}) \
+        .to_pandas()
+    a = out[out["source"] == "a"]
+    b = out[out["source"] == "b"]
+    # expectation: a emitted ~2.5x (1500*2.5=3750), b ~0.25x (375)
+    assert abs(len(a) - 3750) < 150 and abs(len(b) - 375) < 80
+    # every 'a' doc appears at least floor(2.5)=2 times, at most 3
+    per = a.groupby("doc_id").size()
+    assert per.min() == 2 and per.max() == 3 and len(per) == 1500
+    # copy_idx dense from 0 per doc
+    assert (a.groupby("doc_id")["copy_idx"].min() == 0).all()
+    assert (a.groupby("doc_id")["copy_idx"].max() == per - 1).all()
+    # deterministic under resharding
+    out2 = mixture_sample(ds.repartition(7),
+                          weights={"a": 2.5, "b": 0.25}).to_pandas()
+    k = ["doc_id", "copy_idx"]
+    assert sorted(map(tuple, out[k].values)) \
+        == sorted(map(tuple, out2[k].values))
