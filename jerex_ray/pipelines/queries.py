@@ -953,6 +953,23 @@ def q_events_quantiles_by_type(sf_dir: str):
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
 
 
+def q_events_global_rank(sf_dir: str):
+    """Global ORDER BY row number over the whole table without a
+    single-place sort (``relational.global_rank``): exact-quantile
+    range buckets → bucket offsets → co-located in-bucket sort."""
+    from jerex_ray.relational import global_rank
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+    out = global_rank(ds, value_col="value", id_col="event_id") \
+        .to_pandas()
+    out = out[["event_id", "rnk"]]
+    out["event_id"] = out["event_id"].astype("int64")
+    out["rnk"] = out["rnk"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_user_activity_outer(sf_dir: str):
     """FULL OUTER join of two grouped fact aggregates (order totals ⟗
     event totals per user): both sides reduce through the combiner
@@ -1457,6 +1474,7 @@ def build_queries() -> dict:
         "q_events_time_since_prev": q_events_time_since_prev,
         "q_events_type_pivot": q_events_type_pivot,
         "q_user_activity_outer": q_user_activity_outer,
+        "q_events_global_rank": q_events_global_rank,
         "q_events_hll_users": q_events_hll_users,
         "q_events_hll_by_type": q_events_hll_by_type,
         "q_events_props_agg": q_events_props_agg,
@@ -2471,6 +2489,12 @@ def _build_oracle_sql_literal() -> dict:
             SELECT min(doc_id) AS doc_id FROM inc
             WHERE k NOT IN (SELECT k FROM base)
             GROUP BY k ORDER BY doc_id
+        """,
+        "q_events_global_rank": """
+            SELECT event_id,
+                   row_number() OVER (ORDER BY value, event_id) - 1
+                       AS rnk
+            FROM events ORDER BY event_id
         """,
         "q_user_activity_outer": """
             WITH o AS (SELECT o_custkey AS user_id, count(*) AS n_orders,

@@ -21,6 +21,7 @@ non-deterministic, and the oracle compare is value-exact.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -268,3 +269,67 @@ def q_customers_with_orders_count(sf_dir: str):
     n = broadcast_semi_join(cust, _order_custkeys(sf_dir),
                             on="c_custkey").count()
     return pd.DataFrame({"n_customers": [n]})
+
+
+def global_rank(ds, *, value_col: str, id_col: str,
+                num_buckets: int = 64,
+                num_partitions: int | None = None):
+    """Global ORDER BY row number (dense 0-based rank by
+    ``(value_col, id_col)``) without ever sorting the corpus in one
+    place — the distributed sort-rank shape:
+
+    1. exact quantile pivots of ``value_col`` (the shuffle-free
+       three-pass selector, ``ops/quantiles.py``) define range buckets;
+    2. one combiner pass counts rows per bucket → bucket offsets
+       (driver-side, ``num_buckets`` scalars);
+    3. rows hash-co-locate by bucket; each block sorts its complete
+       buckets locally and adds the bucket's global offset.
+
+    Equal values always share a bucket (searchsorted on value only),
+    so the in-bucket ``(value, id)`` sort makes ranks exact and ties
+    deterministic. SQL parity: ``row_number() OVER (ORDER BY value,
+    id) - 1``."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.ops.quantiles import distributed_quantiles
+
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    pivots = np.unique(np.asarray(
+        distributed_quantiles(ds, value_col, qs), dtype=np.float64))
+    piv_ref = ray.put(pivots)
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(piv_ref)
+        out = df.copy()
+        out["__bucket"] = np.searchsorted(
+            p, df[value_col].to_numpy(np.float64), side="left") \
+            .astype(np.int64)
+        return out
+
+    bucketed = ds.map_batches(with_bucket, batch_format="pandas",
+                              batch_size=65536).materialize()
+    counts = grouped_aggregate(bucketed, ["__bucket"],
+                               {"n": (None, "count")}).to_pandas()
+    counts = counts.sort_values("__bucket")
+    offsets = dict(zip(
+        counts["__bucket"].astype(int),
+        np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1]))
+        .astype(np.int64)))
+    off_ref = ray.put(offsets)
+
+    def rank_block(block: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        parts = []
+        for b, sub in block.groupby("__bucket", sort=False):
+            sub = sub.sort_values([value_col, id_col])
+            sub = sub.drop(columns=["__bucket"])
+            sub["rnk"] = offs[int(b)] + np.arange(len(sub),
+                                                  dtype=np.int64)
+            parts.append(sub)
+        return pd.concat(parts, ignore_index=True) if parts \
+            else block.drop(columns=["__bucket"]).assign(
+                rnk=pd.Series(dtype="int64"))
+
+    return grouped_apply(bucketed, ["__bucket"], rank_block,
+                         num_partitions=num_partitions)

@@ -76,3 +76,23 @@ def test_grouped_topk_exact_and_skewed():
     # cold keys with fewer than k rows keep all rows
     assert (out.groupby("k").size().loc[[f"c{i}" for i in range(50)]]
             == 3).all()
+
+
+def test_global_rank_with_heavy_value_ties():
+    import ray.data as rd
+
+    from jerex_ray.relational import global_rank
+    rng = np.random.default_rng(14)
+    # heavy ties: only 10 distinct values over 2000 rows, so tied
+    # runs straddle many quantile pivots
+    df = pd.DataFrame({"id": np.arange(2000, dtype=np.int64),
+                       "v": rng.integers(0, 10, 2000).astype(float)})
+    out = global_rank(rd.from_pandas(df).repartition(9),
+                      value_col="v", id_col="id",
+                      num_buckets=16).to_pandas()
+    ref = df.sort_values(["v", "id"]).reset_index(drop=True)
+    ref["rnk"] = np.arange(len(ref), dtype=np.int64)
+    got = out.sort_values("id").reset_index(drop=True)
+    want = ref.sort_values("id").reset_index(drop=True)
+    np.testing.assert_array_equal(got["rnk"], want["rnk"])
+    assert sorted(out["rnk"]) == list(range(2000))
