@@ -114,3 +114,37 @@ def mixture_sample(docs_ds, *, weights: dict, default: float = 1.0,
 
     return docs_ds.map_batches(expand, batch_format="pandas",
                                batch_size=8192)
+
+
+def weighted_sample(docs_ds, *, k: int, weights: dict | None = None,
+                    default: float = 1.0, key: str = "doc_id",
+                    source_col: str = "source",
+                    buckets: int = 1_000_000):
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    '06, "Weighted random sampling with a reservoir"): each row gets
+    priority u^(1/w) with u a deterministic md5-derived uniform — the
+    top-k priorities are exactly a weighted sample. Distributed as a
+    top-k combiner: each batch keeps only its local top-k, one
+    single-block merge finishes; deterministic (no RNG state), stable
+    under resharding, SQL-oracled via ``pow(u, 1/w) ORDER BY``."""
+    wts = weights or {}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = md5_hash64_batch(batch[key].astype(str)) % np.uint64(buckets)
+        u = (h.astype(np.float64) + 0.5) / buckets
+        w = batch[source_col].map(wts).fillna(default) \
+            .to_numpy(np.float64) if source_col in batch.columns \
+            else np.full(len(batch), default)
+        out = batch.copy()
+        out["__prio"] = u ** (1.0 / np.maximum(w, 1e-12))
+        return out.sort_values(["__prio", key],
+                               ascending=[False, True]).head(k)
+
+    top = docs_ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536) \
+        .repartition(1) \
+        .map_batches(lambda df: df.sort_values(["__prio", key],
+                                               ascending=[False, True])
+                     .head(k).drop(columns=["__prio"]),
+                     batch_format="pandas", batch_size=None)
+    return top

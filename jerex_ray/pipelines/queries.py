@@ -410,6 +410,22 @@ def doc_mixture_sample(sf_dir: str):
     return out.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
 
 
+def doc_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    priorities over deterministic md5 uniforms, ``ops/split.
+    weighted_sample``): 50 docs, src0 weighted 4×, src1 0.5×."""
+    from jerex_ray.ops.split import weighted_sample
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source"])
+    out = weighted_sample(ds, k=50,
+                          weights={"src0": 4.0, "src1": 0.5}) \
+        .to_pandas()
+    out = out[["doc_id", "source"]]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_top_bigrams(sf_dir: str):
     from jerex_ray.ops.textstats import top_ngrams
     from jerex_ray.runtime import read_parquet_sized
@@ -1425,6 +1441,7 @@ def build_queries() -> dict:
         "doc_split": doc_split,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_mixture_sample": doc_mixture_sample,
+        "doc_weighted_sample": doc_weighted_sample,
         "doc_top_bigrams": doc_top_bigrams,
         "doc_winnowing": doc_winnowing,
         "doc_winnowing_md5": doc_winnowing_md5,
@@ -2454,6 +2471,20 @@ def _build_oracle_sql_literal() -> dict:
                    round(quantile_cont(value, 0.75), 6) AS value
             FROM events GROUP BY event_type
             ORDER BY event_type, q
+        """,
+        "doc_weighted_sample": """
+            WITH u AS (
+                SELECT doc_id, source,
+                       (CAST(CAST('0x' || substr(md5(CAST(doc_id AS
+                            VARCHAR)), 1, 16) AS UBIGINT) % 1000000
+                            AS DOUBLE) + 0.5) / 1000000 AS uu,
+                       CASE source WHEN 'src0' THEN 4.0
+                                   WHEN 'src1' THEN 0.5
+                                   ELSE 1.0 END AS wt
+                FROM documents)
+            SELECT doc_id, source FROM u
+            ORDER BY pow(uu, 1.0 / wt) DESC, doc_id
+            LIMIT 50
         """,
         "doc_mixture_sample": """
             WITH w AS (

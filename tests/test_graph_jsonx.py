@@ -198,3 +198,22 @@ def test_mixture_sample_weights_and_determinism():
     k = ["doc_id", "copy_idx"]
     assert sorted(map(tuple, out[k].values)) \
         == sorted(map(tuple, out2[k].values))
+
+
+def test_weighted_sample_determinism_and_bias():
+    from jerex_ray.ops.split import weighted_sample
+    n = 4000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "source": np.where(np.arange(n) % 2 == 0,
+                                          "hot", "cold")})
+    ds = rd.from_pandas(df)
+    out = weighted_sample(ds, k=400,
+                          weights={"hot": 8.0, "cold": 1.0}).to_pandas()
+    assert len(out) == 400 and out["doc_id"].is_unique
+    # heavy weight dominates the sample (hot inclusion prob >> cold)
+    frac_hot = (out["source"] == "hot").mean()
+    assert frac_hot > 0.75, frac_hot
+    # deterministic under resharding
+    out2 = weighted_sample(ds.repartition(7), k=400,
+                           weights={"hot": 8.0, "cold": 1.0}).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
