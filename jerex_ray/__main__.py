@@ -178,6 +178,30 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_pretrain(args) -> int:
+    """The composed pretraining-data pipeline over a (doc_id, text,
+    source) parquet table: near-dup survivors → train split →
+    decontaminate → quality filter → token packing; writes the packed
+    assignment table as parquet plus a JSON summary."""
+    ray = _ray_session()
+    import ray.data as rd
+
+    from jerex_ray.pipelines.pretrain import pretrain_corpus
+    from jerex_ray.runtime import configure_data_context
+    configure_data_context()
+    ds = rd.read_parquet(args.input)
+    n_in = ds.count()
+    out = pretrain_corpus(ds, pack_budget=args.pack_budget).materialize()
+    out.write_parquet(args.output)
+    n_out = out.count()
+    print(json.dumps({"input_rows": int(n_in), "packed_rows": int(n_out),
+                      "dropped": int(n_in - n_out),
+                      "pack_budget": args.pack_budget,
+                      "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jerex_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -240,6 +264,14 @@ def main(argv=None) -> int:
                    help="transitive closure via distributed "
                         "connected components")
     d.set_defaults(fn=cmd_dedup)
+
+    pt = sub.add_parser("pretrain", help="composed pretraining-data "
+                        "pipeline: dedup -> split -> decontaminate -> "
+                        "quality filter -> pack")
+    pt.add_argument("--input", required=True)
+    pt.add_argument("--output", required=True)
+    pt.add_argument("--pack-budget", type=int, default=512)
+    pt.set_defaults(fn=cmd_pretrain)
 
     h = sub.add_parser("report", help="TP/FP/FN examples HTML report")
     h.add_argument("--pred", required=True)

@@ -828,78 +828,18 @@ def doc_pretrain_corpus(sf_dir: str):
       filter (scores over the FULL corpus, as the standalone op) →
       token-budget sequence packing (512/pack, per source).
 
-    Dataflow: the loser and contaminated id sets are broadcast-sized
-    by construction; the quality scores are corpus-sized and attach
-    via a hash-partitioned Dataset.join; the split predicate is
-    stateless md5; packing is the distributed keyed prefix sum. The
-    corpus streams through one filter chain — nothing corpus-sized is
-    ever collected."""
-    import ray
-
-    from jerex_ray.functions.components import connected_components
-    from jerex_ray.ops.dedup import jaccard_edges_exact
-    from jerex_ray.ops.decontam import contaminated_docs
-    from jerex_ray.ops.pack import pack_documents
-    from jerex_ray.ops.quantiles import distributed_quantiles
-    from jerex_ray.ops.split import hash_split
-    from jerex_ray.ops.textstats import unigram_logppl
+    Dataflow: see ``pipelines/pretrain.pretrain_corpus`` (shared with
+    the ``pretrain`` CLI subcommand) — the loser/contaminated id sets
+    are broadcast-sized by construction, quality scores attach via a
+    hash-partitioned Dataset.join, the split predicate is stateless
+    md5, packing is the distributed keyed prefix sum; nothing
+    corpus-sized is ever collected."""
+    from jerex_ray.pipelines.pretrain import pretrain_corpus
     from jerex_ray.runtime import read_parquet_sized
     configure_data_context()
-
-    dt = read_parquet_sized(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text"])
-    # 1. near-dup losers (broadcast-sized: only near-dup non-minima)
-    edges = jaccard_edges_exact(dt, threshold=0.7)
-    comp = connected_components(
-        edges.map_batches(
-            lambda b: b.rename(columns={"doc_a": "src", "doc_b": "dst"})
-            [["src", "dst"]] if "doc_a" in b.columns else
-            pd.DataFrame({"src": pd.Series(dtype="int64"),
-                          "dst": pd.Series(dtype="int64")}),
-            batch_format="pandas"))
-    losers = set(comp.loc[comp["node"] != comp["component"], "node"]
-                 .astype("int64")) if len(comp) else set()
-
-    # 2+3. md5 split and decontamination of train vs test grams
-    split = hash_split(dt)
-    train = split.map_batches(
-        lambda b: b.loc[b["split"] != "test", ["doc_id", "text"]],
-        batch_format="pandas")
-    evald = split.map_batches(
-        lambda b: b.loc[b["split"] == "test", ["doc_id", "text"]],
-        batch_format="pandas")
-    contam_df = contaminated_docs(train, evald, n=8).to_pandas()
-    contam = set(contam_df["doc_id"].astype("int64")) \
-        if "doc_id" in contam_df.columns else set()
-
-    # 4. P90 quality threshold over the FULL corpus (standalone-op
-    # semantics: scores rounded to 6 decimals BEFORE the quantile)
-    scored = unigram_logppl(dt).map_batches(
-        lambda df: df.assign(logppl=df["logppl"].round(6))
-        [["doc_id", "logppl"]],
-        batch_format="pandas").materialize()
-    p90 = distributed_quantiles(scored, "logppl", [0.9])[0]
-
-    # 5. one streaming filter chain over the corpus, then packing
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "text", "source"])
-    joined = docs.join(scored, join_type="inner", num_partitions=8,
-                       on=("doc_id",), right_on=("doc_id",))
-    losers_ref, contam_ref = ray.put(losers), ray.put(contam)
-
-    def eligible(df: pd.DataFrame) -> pd.DataFrame:
-        from jerex_ray.util import md5_hash64_batch
-        b = md5_hash64_batch(df["doc_id"].astype(str)) \
-            % np.uint64(1_000_000)
-        keep = (b < 900_000) \
-            & ~df["doc_id"].isin(ray.get(losers_ref)) \
-            & ~df["doc_id"].isin(ray.get(contam_ref)) \
-            & (df["logppl"].to_numpy() <= p90)
-        return df.loc[keep, ["doc_id", "text", "source"]]
-
-    out = pack_documents(joined.map_batches(eligible,
-                                            batch_format="pandas"),
-                         budget=512).to_pandas()
+    out = pretrain_corpus(docs).to_pandas()
     if "doc_id" not in out.columns or out.empty:
         return pd.DataFrame({
             "doc_id": pd.Series(dtype="int64"),
