@@ -565,3 +565,49 @@ def build_vocab(docs_ds, *, top: int = 1000,
     final["token_id"] = np.arange(len(final), dtype=np.int64)
     final["cnt"] = final["cnt"].astype("int64")
     return final[["token_id", "word", "cnt"]]
+
+
+def chunk_documents(docs_ds, *, chunk_words: int = 64,
+                    overlap: int = 16, col: str = "text",
+                    id_col: str = "doc_id"):
+    """Fixed-size word-window chunking with overlap (the long-document
+    preprocessing step before tokenization/packing): a doc of n words
+    yields 1 chunk if n <= chunk_words, else ceil((n-c)/s)+1 chunks at
+    stride s = chunk_words - overlap, the last one right-clipped.
+    Pure per-doc integer arithmetic in one streaming ``map_batches``
+    (no shuffle — a doc's text lives in one row); SQL-oracled
+    bit-exactly (integer coordinates + joined word slices)."""
+    if not 0 <= overlap < chunk_words:
+        raise ValueError("need 0 <= overlap < chunk_words")
+    stride = chunk_words - overlap
+
+    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch[col].fillna("").str.lower().str.split()
+        ids, cidx, starts, ends, texts = [], [], [], [], []
+        for doc, ws in zip(batch[id_col].to_numpy(), words.to_numpy()):
+            n = len(ws) if ws is not None else 0
+            if n == 0:
+                continue
+            k = 1 if n <= chunk_words else (n - chunk_words
+                                            + stride - 1) // stride + 1
+            s = np.arange(k, dtype=np.int64) * stride
+            e = np.minimum(s + chunk_words, n)
+            ids.append(np.full(k, doc, dtype=np.int64))
+            cidx.append(np.arange(k, dtype=np.int64))
+            starts.append(s)
+            ends.append(e)
+            texts.extend(" ".join(ws[a:b]) for a, b in zip(s, e))
+        if not ids:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "chunk_idx": pd.Series(dtype="int64"),
+                                 "start": pd.Series(dtype="int64"),
+                                 "end": pd.Series(dtype="int64"),
+                                 "chunk_text": pd.Series(dtype="object")})
+        return pd.DataFrame({id_col: np.concatenate(ids),
+                             "chunk_idx": np.concatenate(cidx),
+                             "start": np.concatenate(starts),
+                             "end": np.concatenate(ends),
+                             "chunk_text": texts})
+
+    return docs_ds.map_batches(chunks, batch_format="pandas",
+                               batch_size=4096)

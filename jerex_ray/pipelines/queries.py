@@ -410,6 +410,22 @@ def doc_mixture_sample(sf_dir: str):
     return out.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
 
 
+def doc_chunks(sf_dir: str):
+    """Fixed-size word-window chunking with overlap
+    (``ops/textstats.chunk_documents``, 24-word chunks / 8 overlap so
+    the ~30-word fixture docs split): one streaming pass, integer
+    coordinates + joined word slices, oracled bit-exactly."""
+    from jerex_ray.ops.textstats import chunk_documents
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = chunk_documents(ds, chunk_words=24, overlap=8).to_pandas()
+    for c in ("doc_id", "chunk_idx", "start", "end"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "chunk_idx"]) \
+        .reset_index(drop=True)
+
+
 def doc_weighted_sample(sf_dir: str):
     """Weighted sampling without replacement (Efraimidis–Spirakis
     priorities over deterministic md5 uniforms, ``ops/split.
@@ -1382,6 +1398,7 @@ def build_queries() -> dict:
         "doc_stratified_sample": doc_stratified_sample,
         "doc_mixture_sample": doc_mixture_sample,
         "doc_weighted_sample": doc_weighted_sample,
+        "doc_chunks": doc_chunks,
         "doc_top_bigrams": doc_top_bigrams,
         "doc_winnowing": doc_winnowing,
         "doc_winnowing_md5": doc_winnowing_md5,
@@ -2411,6 +2428,27 @@ def _build_oracle_sql_literal() -> dict:
                    round(quantile_cont(value, 0.75), 6) AS value
             FROM events GROUP BY event_type
             ORDER BY event_type, q
+        """,
+        "doc_chunks": """
+            WITH w AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents),
+            k AS (
+                SELECT doc_id, ws, len(ws) AS n,
+                       CASE WHEN len(ws) <= 24 THEN 1
+                            ELSE (len(ws) - 24 + 16 - 1) // 16 + 1
+                       END AS n_chunks
+                FROM w WHERE len(ws) > 0)
+            SELECT doc_id, i AS chunk_idx,
+                   i * 16 AS start,
+                   least(i * 16 + 24, n) AS "end",
+                   array_to_string(
+                       ws[i * 16 + 1 : least(i * 16 + 24, n)], ' ')
+                       AS chunk_text
+            FROM k, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) t
+            ORDER BY doc_id, chunk_idx
         """,
         "doc_weighted_sample": """
             WITH u AS (

@@ -217,3 +217,25 @@ def test_weighted_sample_determinism_and_bias():
     out2 = weighted_sample(ds.repartition(7), k=400,
                            weights={"hot": 8.0, "cold": 1.0}).to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_chunk_documents_edges():
+    from jerex_ray.ops.textstats import chunk_documents
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [" ".join(f"w{i}" for i in range(n))
+                 for n in (5, 8, 9, 0)]}))
+    out = chunk_documents(docs, chunk_words=8, overlap=3).to_pandas()
+    got = {d: sorted(map(tuple, sub[["chunk_idx", "start", "end"]]
+                         .values))
+           for d, sub in out.groupby("doc_id")}
+    assert got[0] == [(0, 0, 5)]                 # short doc: one chunk
+    assert got[1] == [(0, 0, 8)]                 # exact fit: one chunk
+    assert got[2] == [(0, 0, 8), (1, 5, 9)]      # one extra clipped
+    assert 3 not in got                          # empty doc: no chunks
+    # chunks cover the doc and overlap by exactly `overlap`
+    sub = out[out["doc_id"] == 2].sort_values("chunk_idx")
+    assert sub.iloc[0]["end"] - sub.iloc[1]["start"] == 3
+    # reconstructed text matches the original words
+    row = sub.iloc[1]
+    assert row["chunk_text"] == " ".join(f"w{i}" for i in range(5, 9))
