@@ -942,6 +942,46 @@ def q_events_global_rank(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_events_expectations(sf_dir: str):
+    """Data-quality expectations (``ops/validate.column_expectations``):
+    per-column null counts, min/max and range-violation counts in one
+    combiner pass — the pre-ingest guardrail."""
+    from jerex_ray.ops.validate import column_expectations
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "value"])
+    out = column_expectations(ds, {"value": (0.0, 50.0),
+                                   "user_id": (0, None)})
+    out["vmin"] = out["vmin"].round(6)
+    out["vmax"] = out["vmax"].round(6)
+    return out.sort_values("column").reset_index(drop=True)
+
+
+def doc_snapshot_diff(sf_dir: str):
+    """Change-data-capture (``ops/validate.snapshot_diff``): the OLD
+    snapshot is doc_id < 450, the NEW is doc_id >= 50 with every
+    doc_id % 7 == 0 text suffixed ' v2' (a deterministic simulated
+    edit) — output is the delta: added / removed / changed keys."""
+    from jerex_ray.ops.validate import snapshot_diff
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    old = ds.map_batches(lambda b: b[b["doc_id"] < 450],
+                         batch_format="pandas")
+
+    def as_new(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"] >= 50].copy()
+        edit = b["doc_id"] % 7 == 0
+        b.loc[edit, "text"] = b.loc[edit, "text"] + " v2"
+        return b
+
+    new = ds.map_batches(as_new, batch_format="pandas")
+    out = snapshot_diff(old, new).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_user_activity_outer(sf_dir: str):
     """FULL OUTER join of two grouped fact aggregates (order totals ⟗
     event totals per user): both sides reduce through the combiner
@@ -1449,6 +1489,8 @@ def build_queries() -> dict:
         "q_events_type_pivot": q_events_type_pivot,
         "q_user_activity_outer": q_user_activity_outer,
         "q_events_global_rank": q_events_global_rank,
+        "q_events_expectations": q_events_expectations,
+        "doc_snapshot_diff": doc_snapshot_diff,
         "q_events_hll_users": q_events_hll_users,
         "q_events_hll_by_type": q_events_hll_by_type,
         "q_events_props_agg": q_events_props_agg,
@@ -2504,6 +2546,43 @@ def _build_oracle_sql_literal() -> dict:
                    row_number() OVER (ORDER BY value, event_id) - 1
                        AS rnk
             FROM events ORDER BY event_id
+        """,
+        "q_events_expectations": """
+            SELECT 'user_id' AS "column", count(*) AS n_rows,
+                   count(*) FILTER (user_id IS NULL) AS n_null,
+                   round(CAST(min(user_id) AS DOUBLE), 6) AS vmin,
+                   round(CAST(max(user_id) AS DOUBLE), 6) AS vmax,
+                   count(*) FILTER (user_id < 0) AS n_out_of_range
+            FROM events
+            UNION ALL
+            SELECT 'value', count(*),
+                   count(*) FILTER (value IS NULL),
+                   round(min(value), 6), round(max(value), 6),
+                   count(*) FILTER (value < 0.0 OR value > 50.0)
+            FROM events
+            ORDER BY "column"
+        """,
+        "doc_snapshot_diff": """
+            WITH old AS (
+                SELECT doc_id,
+                       regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+                           AS k
+                FROM documents WHERE doc_id < 450),
+            new AS (
+                SELECT doc_id,
+                       regexp_replace(trim(lower(
+                           CASE WHEN doc_id % 7 = 0
+                                THEN text || ' v2' ELSE text END)),
+                           '\\s+', ' ', 'g') AS k
+                FROM documents WHERE doc_id >= 50)
+            SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+                   CASE WHEN old.doc_id IS NULL THEN 'added'
+                        WHEN new.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+            WHERE old.doc_id IS NULL OR new.doc_id IS NULL
+               OR old.k <> new.k
+            ORDER BY doc_id
         """,
         "q_user_activity_outer": """
             WITH o AS (SELECT o_custkey AS user_id, count(*) AS n_orders,

@@ -239,3 +239,25 @@ def test_chunk_documents_edges():
     # reconstructed text matches the original words
     row = sub.iloc[1]
     assert row["chunk_text"] == " ".join(f"w{i}" for i in range(5, 9))
+
+
+def test_column_expectations_and_snapshot_diff():
+    from jerex_ray.ops.validate import column_expectations, snapshot_diff
+    df = pd.DataFrame({"id": np.arange(10, dtype=np.int64),
+                       "v": [1.0, 2.0, np.nan, -5.0, 99.0,
+                             3.0, 4.0, np.nan, 5.0, 6.0]})
+    out = column_expectations(rd.from_pandas(df).repartition(3),
+                              {"v": (0.0, 10.0)}).set_index("column")
+    assert out.loc["v", "n_rows"] == 10
+    assert out.loc["v", "n_null"] == 2
+    assert out.loc["v", "vmin"] == -5.0 and out.loc["v", "vmax"] == 99.0
+    assert out.loc["v", "n_out_of_range"] == 2   # -5 and 99
+
+    old = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a", "b", "c"]}))
+    new = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [2, 3, 4], "text": ["b", "C CHANGED", "d"]}))
+    diff = snapshot_diff(old, new).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(map(tuple, diff.values)) == [
+        (1, "removed"), (3, "changed"), (4, "added")]
