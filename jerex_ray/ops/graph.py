@@ -140,3 +140,128 @@ def pagerank(edges_ds, *, src: str = "doc_a", dst: str = "doc_b",
     out = deg_ds.to_pandas()[["u", "pr"]] \
         .rename(columns={"u": "node"})
     return out.sort_values("node").reset_index(drop=True)
+
+
+def triangle_counts(edges_ds, *, src: str = "a", dst: str = "b",
+                    num_partitions: int | None = None):
+    """Per-node triangle participation counts over an undirected simple
+    graph, as a Dataset ``(node, n_triangles)``.
+
+    Degree-ordered wedge-join (Suri & Vassilvitskii WWW'11; Cohen's
+    MapReduce graph-twiddling '09): orient every edge from its
+    lower-(degree, id) endpoint to the higher one, generate wedges only
+    at each node's ORIENTED out-neighborhood (bounded by O(√E) per
+    node — the whole point of degree ordering: a celebrity node with
+    10⁶ fans creates zero wedges because its fans point AT it), then
+    close wedges against the oriented edge table with one
+    hash-partitioned join. Every stage is a Dataset transform:
+
+    1. dedup/canonicalize edges (grouped key-only aggregate);
+    2. degrees: endpoint explode → grouped count;
+    3. orientation: two hash joins attach endpoint degrees, one
+       vectorized flip;
+    4. wedges: co-locate by wedge apex, per-block self-merge of each
+       apex's out-neighborhood (quadratic ONLY in oriented out-degree);
+    5. close: wedges ⋈ oriented edges on (lo, hi);
+    6. per-node counts: 3-way corner explode → grouped count.
+
+    The reference has no graph algorithms (SURVEY.md §2.7); engine
+    extension, same charter as ``pagerank`` above.
+    """
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import shuffle_partitions
+
+    np_ = shuffle_partitions(num_partitions)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src].to_numpy()
+        b = df[dst].to_numpy()
+        keep = a != b                         # drop self-loops
+        a, b = a[keep], b[keep]
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+    edges = grouped_aggregate(
+        edges_ds.map_batches(canon, batch_format="pandas"),
+        ["a", "b"], {"n": (None, "count")},
+        num_partitions=num_partitions, result_hint="large") \
+        .map_batches(lambda df: df[["a", "b"]], batch_format="pandas") \
+        .materialize()
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [df["a"].to_numpy(), df["b"].to_numpy()])})
+
+    deg = grouped_aggregate(
+        edges.map_batches(endpoints, batch_format="pandas"),
+        ["node"], {"deg": (None, "count")},
+        num_partitions=num_partitions, result_hint="large").materialize()
+
+    # attach degrees to both endpoints (hash joins — |V| is unbounded,
+    # so no broadcast), then orient low→high by (degree, id)
+    j = edges.join(deg, join_type="inner", num_partitions=np_,
+                   on=("a",), right_on=("node",)) \
+        .map_batches(lambda df: df.rename(columns={"deg": "deg_a"})
+                     [["a", "b", "deg_a"]], batch_format="pandas")
+    j = j.join(deg, join_type="inner", num_partitions=np_,
+               on=("b",), right_on=("node",)) \
+        .map_batches(lambda df: df.rename(columns={"deg": "deg_b"})
+                     [["a", "b", "deg_a", "deg_b"]], batch_format="pandas")
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df["a"].to_numpy(), df["b"].to_numpy()
+        da = df["deg_a"].to_numpy(np.int64)
+        db = df["deg_b"].to_numpy(np.int64)
+        fwd = (da < db) | ((da == db) & (a < b))
+        return pd.DataFrame({
+            "lo": np.where(fwd, a, b), "hi": np.where(fwd, b, a),
+            "deg_hi": np.where(fwd, db, da)})
+
+    oriented = j.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges_block(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({"lo": pd.Series(dtype="int64"),
+                                 "hi": pd.Series(dtype="int64"),
+                                 "apex": pd.Series(dtype="int64")})
+        # self-merge each apex's out-neighborhood; oriented out-degree
+        # is O(√E), so the quadratic blowup is bounded per apex
+        nb = block[["lo", "hi", "deg_hi"]]
+        m = nb.merge(nb, on="lo")
+        first = (m["deg_hi_x"].to_numpy() < m["deg_hi_y"].to_numpy()) | \
+            ((m["deg_hi_x"].to_numpy() == m["deg_hi_y"].to_numpy()) &
+             (m["hi_x"].to_numpy() < m["hi_y"].to_numpy()))
+        m = m[first]
+        # wedge (v, w) closes iff oriented edge v→w exists; emit in
+        # the SAME (degree, id) orientation as the edge table
+        return pd.DataFrame({"lo": m["hi_x"].to_numpy(),
+                             "hi": m["hi_y"].to_numpy(),
+                             "apex": m["lo"].to_numpy()})
+
+    wedges = grouped_apply(oriented, ["lo"], wedges_block,
+                           num_partitions=num_partitions)
+    # Ray's hash join drops the schema of all-empty partitions
+    # (ArrowInvalid "no match for key field") — a triangle-free graph
+    # (star) produces ZERO wedges. Union one sentinel wedge that can
+    # never close: oriented edges always have lo ≠ hi (self-loops are
+    # dropped), so the (s, s) key matches nothing and the inner join
+    # silently discards it.
+    import ray
+
+    s = np.int64(-(2 ** 62))
+    sentinel = ray.data.from_pandas(pd.DataFrame(
+        {"lo": [s], "hi": [s], "apex": [s]}))
+    wedges = wedges.union(sentinel)
+    closed = wedges.join(
+        oriented.map_batches(lambda df: df[["lo", "hi"]],
+                             batch_format="pandas"),
+        join_type="inner", num_partitions=np_, on=("lo", "hi"))
+
+    def corners(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [df["apex"].to_numpy(), df["lo"].to_numpy(),
+             df["hi"].to_numpy()])})
+
+    return grouped_aggregate(
+        closed.map_batches(corners, batch_format="pandas"),
+        ["node"], {"n_triangles": (None, "count")},
+        num_partitions=num_partitions, result_hint="large")

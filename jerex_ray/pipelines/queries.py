@@ -1408,6 +1408,41 @@ def q_orders_last_event(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_part_triangles(sf_dir: str):
+    """Per-node triangle counts over the part co-purchase graph (parts
+    are adjacent iff they appear in the same order): the distributed
+    degree-ordered wedge-join operator (``ops/graph.triangle_counts``)
+    against an exact 3-way self-join SQL oracle. ~116k edges / ~414k
+    triangles at sf0.01 — dense enough that the degree orientation
+    matters (the apex-quadratic wedge stage sees oriented out-degrees,
+    not raw degrees)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.ops.graph import triangle_counts
+    from jerex_ray.runtime import read_parquet_sized
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    # co-occurrence edges: per-order part pairs (grouped_apply would
+    # also work; a per-block self-merge after key co-location is the
+    # same shape triangle_counts itself uses for wedges)
+    from jerex_ray.functions.aggregate import grouped_apply
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"a": m["l_partkey_x"].to_numpy(),
+                             "b": m["l_partkey_y"].to_numpy()})
+
+    edges = grouped_apply(li, ["l_orderkey"], pairs_block)
+    out = triangle_counts(edges, src="a", dst="b").to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["n_triangles"] = out["n_triangles"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -1506,6 +1541,11 @@ def build_queries() -> dict:
         "q_events_sliding": q_events_sliding,
         "q_events_sessions": q_events_sessions,
         "q_orders_last_event": q_orders_last_event,
+        # multi-table join shapes / rollup / set ops / graph
+        "q5_regional_supplier_revenue": R.q5_regional_supplier_revenue,
+        "q_revenue_rollup": R.q_revenue_rollup,
+        "q_user_presence": R.q_user_presence,
+        "q_part_triangles": q_part_triangles,
     }
 
 
@@ -2752,5 +2792,63 @@ def _build_oracle_sql_literal() -> dict:
                     WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
                        AS last_event_ts
             FROM orders o ORDER BY o_orderkey
+        """,
+        "q5_regional_supplier_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "q_revenue_rollup": """
+            SELECT coalesce(r_name, 'ALL') AS r_name,
+                   coalesce(n_name, 'ALL') AS n_name,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY r_name, n_name
+        """,
+        "q_user_presence": """
+            WITH eu AS (SELECT DISTINCT user_id FROM events),
+                 ou AS (SELECT DISTINCT o_custkey AS user_id FROM orders)
+            SELECT user_id, 'both' AS tag
+            FROM (SELECT user_id FROM eu INTERSECT SELECT user_id FROM ou)
+            UNION ALL
+            SELECT user_id, 'events_only'
+            FROM (SELECT user_id FROM eu EXCEPT SELECT user_id FROM ou)
+            UNION ALL
+            SELECT user_id, 'orders_only'
+            FROM (SELECT user_id FROM ou EXCEPT SELECT user_id FROM eu)
+            ORDER BY user_id, tag
+        """,
+        "q_part_triangles": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            corners AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT node, count(*) AS n_triangles
+            FROM corners GROUP BY node ORDER BY node
         """,
     }

@@ -333,3 +333,143 @@ def global_rank(ds, *, value_col: str, id_col: str,
 
     return grouped_apply(bucketed, ["__bucket"], rank_block,
                          num_partitions=num_partitions)
+
+
+# --- TPC-H Q5 shape: 6-table join with a cross-fact equality predicate ---
+
+def q5_regional_supplier_revenue(sf_dir: str, *, region: str = "ASIA",
+                                 year: int = 1996):
+    """Revenue per nation where the ordering customer and the supplying
+    supplier share a nation inside one region (the TPC-H Q5 shape:
+    customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region).
+
+    Join strategy by data shape: lineitem⋈orders is the fact-fact
+    hash-partitioned join; supplier/customer/nation/region are
+    dimensions (bounded at any scale) and broadcast. The
+    c_nationkey = s_nationkey predicate is a vectorized post-join
+    filter — it cannot prune the fact join (either side alone doesn't
+    determine it), exactly like the reference SQL plan. The orders date
+    filter prunes at the read side before the wide join."""
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{year + 1}-01-01")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda df: df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        [["o_orderkey", "o_custkey"]],
+        batch_format="pandas")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"], "revenue": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    j = li.join(orders, join_type="inner",
+                num_partitions=shuffle_partitions(8),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    # dimension sides: nation⋈region filtered to the target region
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nat = nation.merge(reg[reg["r_name"] == region], left_on="n_regionkey",
+                       right_on="r_regionkey")[["n_nationkey", "n_name"]]
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    # suppliers restricted to the region up front (semi-join pushdown)
+    supp = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey") \
+        [["s_suppkey", "s_nationkey", "n_name"]]
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+
+    j = broadcast_join(j, supp, left_on="l_suppkey", right_on="s_suppkey")
+    j = broadcast_join(j, cust, left_on="o_custkey", right_on="c_custkey")
+    j = j.map_batches(
+        lambda df: df[df["c_nationkey"] == df["s_nationkey"]]
+        [["n_name", "revenue"]],
+        batch_format="pandas")
+    df = grouped_aggregate(j, ["n_name"],
+                           {"revenue": ("revenue", "sum")}).to_pandas()
+    df = _round2(df, ["revenue"])
+    return df.sort_values(["revenue", "n_name"],
+                          ascending=[False, True]).reset_index(drop=True)
+
+
+# --- ROLLUP: multi-level grouped aggregation from the finest level ---
+
+def q_revenue_rollup(sf_dir: str):
+    """Order revenue by (region, nation) with ROLLUP totals — the
+    (r_name, n_name), (r_name), and grand-total levels in one result,
+    NULL levels rendered as 'ALL'.
+
+    Scale shape: only the FINEST level aggregates over the fact table
+    (one distributed combiner + shuffle); every coarser level
+    re-aggregates the finest RESULT, which is dimension-bounded
+    (|regions × nations|), on the driver. This is the standard rollup
+    decomposition — no second pass over the data."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = (cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+               .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+           [["c_custkey", "n_name", "r_name"]])
+    j = broadcast_join(orders, dim, left_on="o_custkey",
+                       right_on="c_custkey")
+    finest = grouped_aggregate(j, ["r_name", "n_name"],
+                               {"revenue": ("o_totalprice", "sum")}) \
+        .to_pandas()
+    lvl1 = finest.groupby("r_name", as_index=False)["revenue"].sum()
+    lvl1["n_name"] = "ALL"
+    total = pd.DataFrame({"r_name": ["ALL"], "n_name": ["ALL"],
+                          "revenue": [finest["revenue"].sum()]})
+    out = pd.concat([finest, lvl1[["r_name", "n_name", "revenue"]], total],
+                    ignore_index=True)
+    out = _round2(out, ["revenue"])
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+# --- set operations: INTERSECT / EXCEPT via a distributed presence agg ---
+
+def q_user_presence(sf_dir: str):
+    """Classify every user id as 'both' / 'events_only' / 'orders_only'
+    — the INTERSECT and both EXCEPT directions of the two distinct key
+    sets in ONE dataflow: tag each side with presence indicator
+    columns, union the (potentially corpus-sized) streams, and take a
+    grouped max of the indicators. No driver-side sets, no broadcast —
+    set semantics reduce to one combiner-backed groupby."""
+    events = _read(sf_dir, "events", ["user_id"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def tag(col, e, o):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            u = df[col].drop_duplicates()    # per-batch combiner
+            return pd.DataFrame({"user_id": u.to_numpy(),
+                                 "e": np.int64(e), "o": np.int64(o)})
+        return fn
+
+    tagged = events.map_batches(tag("user_id", 1, 0),
+                                batch_format="pandas") \
+        .union(orders.map_batches(tag("o_custkey", 0, 1),
+                                  batch_format="pandas"))
+    agg = grouped_aggregate(tagged, ["user_id"],
+                            {"e": ("e", "max"), "o": ("o", "max")})
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        tagv = np.where(df["e"].to_numpy() > 0,
+                        np.where(df["o"].to_numpy() > 0,
+                                 "both", "events_only"),
+                        "orders_only")
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                             "tag": tagv})
+
+    df = agg.map_batches(classify, batch_format="pandas").to_pandas()
+    df["user_id"] = df["user_id"].astype("int64")
+    return df.sort_values(["user_id", "tag"]).reset_index(drop=True)

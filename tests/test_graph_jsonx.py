@@ -261,3 +261,57 @@ def test_column_expectations_and_snapshot_diff():
         .sort_values("doc_id").reset_index(drop=True)
     assert list(map(tuple, diff.values)) == [
         (1, "removed"), (3, "changed"), (4, "added")]
+
+
+# ---------- triangle counting ----------
+
+def _brute_triangles(edges):
+    """Per-node triangle counts by brute force over canonical edges."""
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({u for e in es for u in e})
+    from collections import Counter
+    cnt = Counter()
+    import itertools
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in es and (x, z) in es and (y, z) in es:
+            cnt[x] += 1
+            cnt[y] += 1
+            cnt[z] += 1
+    return pd.DataFrame(
+        {"node": sorted(cnt), "n_triangles": [cnt[n] for n in sorted(cnt)]})
+
+
+def test_triangle_counts_match_brute_force():
+    from jerex_ray.ops.graph import triangle_counts
+    rng = np.random.default_rng(11)
+    edges = [tuple(rng.integers(0, 30, 2)) for _ in range(150)]
+    # include duplicates and reversed duplicates: the op canonicalizes
+    edges += [(b, a) for a, b in edges[:20]]
+    got = triangle_counts(
+        rd.from_pandas(pd.DataFrame({"a": [a for a, _ in edges],
+                                     "b": [b for _, b in edges]})),
+        src="a", dst="b").to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+    got["node"] = got["node"].astype("int64")
+    got["n_triangles"] = got["n_triangles"].astype("int64")
+    want = _brute_triangles(edges)
+    pd.testing.assert_frame_equal(got, want.astype(
+        {"node": "int64", "n_triangles": "int64"}))
+
+
+def test_triangle_counts_star_has_none_clique_has_all():
+    from jerex_ray.ops.graph import triangle_counts
+    # star K1,5: no triangles at all → empty result
+    star = pd.DataFrame({"a": [0] * 5, "b": [1, 2, 3, 4, 5]})
+    out = triangle_counts(rd.from_pandas(star), src="a", dst="b") \
+        .to_pandas()
+    assert len(out) == 0
+    # K5: every node in C(4,2)=6 triangles
+    import itertools
+    k5 = list(itertools.combinations(range(5), 2))
+    out = triangle_counts(
+        rd.from_pandas(pd.DataFrame({"a": [a for a, _ in k5],
+                                     "b": [b for _, b in k5]})),
+        src="a", dst="b").to_pandas().sort_values("node")
+    assert list(out["node"]) == [0, 1, 2, 3, 4]
+    assert list(out["n_triangles"].astype(int)) == [6] * 5
