@@ -351,6 +351,38 @@ def doc_entity_canonical(sf_dir: str):
     return ents.sort_values("norm").reset_index(drop=True)
 
 
+def kg_entity_link(sf_dir: str):
+    """Entity linking (north-rule stage): canonical corpus entities
+    resolved against a KB — here the canonical entity table of the
+    ``doc_id % 10 == 0`` document shard (a deterministic stand-in for
+    a curated KB) — exact on normalized surface, then best
+    Levenshtein ≤ 2 for the misses (``ops/linking.link_entities``).
+    The SQL oracle recomputes BOTH tables from scratch and links with
+    DuckDB's ``levenshtein`` under the identical (dist, kb_norm,
+    kb_id) tie-break."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.ops.linking import link_entities
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.stages.canonicalize import entity_final_block
+
+    def canon_entities(docs):
+        partials = docs.map_batches(
+            _CapMentionStage, batch_format="pandas", batch_size=4096,
+            concurrency=(1, 4), fn_constructor_kwargs={"mode": "partials"})
+        return grouped_apply(partials, ["entity_id"], entity_final_block)
+
+    corpus = canon_entities(read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+    kb_docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"]).map_batches(
+        lambda df: df[df["doc_id"] % 10 == 0], batch_format="pandas")
+    kb = canon_entities(kb_docs).to_pandas() \
+        .rename(columns={"entity_id": "kb_id", "norm": "kb_norm"})
+    out = link_entities(corpus, kb, max_dist=2).to_pandas()
+    return out.sort_values(["norm", "kb_norm"]).reset_index(drop=True)
+
+
 def doc_split(sf_dir: str):
     """Deterministic hash-based train/valid/test split (md5-derived so
     the SQL oracle reproduces the exact assignment): no shuffle, no
@@ -1542,6 +1574,7 @@ def build_queries() -> dict:
         "q_events_sessions": q_events_sessions,
         "q_orders_last_event": q_orders_last_event,
         # multi-table join shapes / rollup / set ops / graph
+        "kg_entity_link": kg_entity_link,
         "q5_regional_supplier_revenue": R.q5_regional_supplier_revenue,
         "q_revenue_rollup": R.q_revenue_rollup,
         "q_user_presence": R.q_user_presence,
@@ -1583,6 +1616,96 @@ _EXACT_JACCARD_EDGES_SQL = """
     WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.7
     ORDER BY doc_a, doc_b
 """
+
+
+def _canonical_entities_sql(where: str = "TRUE") -> str:
+    """SQL reconstruction of the canonical entity table
+    (``doc_entity_canonical``) over ``documents`` rows matching
+    ``where`` — shared by the canonicalization oracle and the entity
+    linking oracle (which builds its KB from a doc shard). Emits
+    (entity_id, norm, surface, entity_type, n_occurrences), unordered
+    (callers append ORDER BY)."""
+    return f"""
+            WITH w AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+                FROM documents WHERE {where}
+            ),
+            t AS (
+                SELECT doc_id, unnest(ws) AS tok,
+                       unnest(range(len(ws))) AS pos
+                FROM w
+            ),
+            c AS (
+                SELECT doc_id, pos,
+                       upper(substr(tok, 1, 1)) || substr(tok, 2) AS cap
+                FROM t
+            ),
+            f AS (
+                SELECT doc_id, pos, cap,
+                       (regexp_matches(cap, '^[A-Z][A-Za-z0-9]*$')
+                        AND cap NOT IN ('The','A','An','It','He','She',
+                            'They','We','I','You','This','That','These',
+                            'Those','There','Here','What','Where','When',
+                            'Who','Why','How','Yes','No','Ok','Okay',
+                            'Please','Thanks','Hello','Hi')) AS isname
+                FROM c
+            ),
+            g AS (
+                SELECT doc_id, pos, cap, isname,
+                       pos - ROW_NUMBER() OVER (
+                           PARTITION BY doc_id, isname ORDER BY pos) AS grp
+                FROM f
+            ),
+            runs AS (
+                SELECT doc_id, grp,
+                       string_agg(cap, ' ' ORDER BY pos) AS surface,
+                       arg_max(cap, pos) AS last_tok,
+                       count(*) AS n_toks
+                FROM g WHERE isname GROUP BY doc_id, grp
+                HAVING count(*) <= 10
+            ),
+            m AS (
+                SELECT surface, lower(surface) AS norm,
+                       CASE WHEN last_tok IN ('Corp','Inc','Labs',
+                                'Systems','Group','Ltd') THEN 'ORG'
+                            WHEN last_tok LIKE '%Tool' THEN 'TOOL'
+                            WHEN n_toks = 1 AND surface IN ('Berlin',
+                                'Paris','London','Tokyo','Osaka','Madrid',
+                                'Rome','Vienna','Zurich','Geneva','Oslo',
+                                'Stockholm','Helsinki','Lisbon','Dublin',
+                                'Prague','Warsaw','Budapest','Athens',
+                                'Seoul','Taipei','Singapore','Sydney',
+                                'Auckland','Toronto','Montreal','Chicago',
+                                'Boston','Seattle','Austin','Denver',
+                                'Portland','Atlanta','Dallas','Houston',
+                                'Phoenix','Miami','Nairobi','Cairo',
+                                'Lagos','Mumbai','Delhi','Jakarta')
+                                THEN 'LOC'
+                            ELSE 'PER' END AS entity_type
+                FROM runs
+            ),
+            counts AS (
+                SELECT CAST(CAST('0x' || substr(md5(norm), 1, 16)
+                            AS UBIGINT) % 9223372036854775808 AS BIGINT)
+                           AS entity_id,
+                       norm, surface, entity_type, count(*) AS n
+                FROM m GROUP BY ALL
+            ),
+            tot AS (
+                SELECT entity_id, CAST(sum(n) AS BIGINT) AS n_occurrences
+                FROM counts GROUP BY entity_id
+            ),
+            top AS (
+                SELECT entity_id, norm, surface, entity_type,
+                       ROW_NUMBER() OVER (PARTITION BY entity_id
+                           ORDER BY n DESC, surface, entity_type) AS rk
+                FROM counts
+            )
+            SELECT top.entity_id, top.norm, top.surface, top.entity_type,
+                   tot.n_occurrences
+            FROM top JOIN tot USING (entity_id) WHERE rk = 1
+    """
 
 
 def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
@@ -1870,88 +1993,8 @@ def _build_oracle_sql_literal() -> dict:
             HAVING count(*) <= 10
             ORDER BY doc_id, m_start
         """,
-        "doc_entity_canonical": """
-            WITH w AS (
-                SELECT doc_id, list_filter(
-                    regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
-                FROM documents
-            ),
-            t AS (
-                SELECT doc_id, unnest(ws) AS tok,
-                       unnest(range(len(ws))) AS pos
-                FROM w
-            ),
-            c AS (
-                SELECT doc_id, pos,
-                       upper(substr(tok, 1, 1)) || substr(tok, 2) AS cap
-                FROM t
-            ),
-            f AS (
-                SELECT doc_id, pos, cap,
-                       (regexp_matches(cap, '^[A-Z][A-Za-z0-9]*$')
-                        AND cap NOT IN ('The','A','An','It','He','She',
-                            'They','We','I','You','This','That','These',
-                            'Those','There','Here','What','Where','When',
-                            'Who','Why','How','Yes','No','Ok','Okay',
-                            'Please','Thanks','Hello','Hi')) AS isname
-                FROM c
-            ),
-            g AS (
-                SELECT doc_id, pos, cap, isname,
-                       pos - ROW_NUMBER() OVER (
-                           PARTITION BY doc_id, isname ORDER BY pos) AS grp
-                FROM f
-            ),
-            runs AS (
-                SELECT doc_id, grp,
-                       string_agg(cap, ' ' ORDER BY pos) AS surface,
-                       arg_max(cap, pos) AS last_tok,
-                       count(*) AS n_toks
-                FROM g WHERE isname GROUP BY doc_id, grp
-                HAVING count(*) <= 10
-            ),
-            m AS (
-                SELECT surface, lower(surface) AS norm,
-                       CASE WHEN last_tok IN ('Corp','Inc','Labs',
-                                'Systems','Group','Ltd') THEN 'ORG'
-                            WHEN last_tok LIKE '%Tool' THEN 'TOOL'
-                            WHEN n_toks = 1 AND surface IN ('Berlin',
-                                'Paris','London','Tokyo','Osaka','Madrid',
-                                'Rome','Vienna','Zurich','Geneva','Oslo',
-                                'Stockholm','Helsinki','Lisbon','Dublin',
-                                'Prague','Warsaw','Budapest','Athens',
-                                'Seoul','Taipei','Singapore','Sydney',
-                                'Auckland','Toronto','Montreal','Chicago',
-                                'Boston','Seattle','Austin','Denver',
-                                'Portland','Atlanta','Dallas','Houston',
-                                'Phoenix','Miami','Nairobi','Cairo',
-                                'Lagos','Mumbai','Delhi','Jakarta')
-                                THEN 'LOC'
-                            ELSE 'PER' END AS entity_type
-                FROM runs
-            ),
-            counts AS (
-                SELECT CAST(CAST('0x' || substr(md5(norm), 1, 16)
-                            AS UBIGINT) % 9223372036854775808 AS BIGINT)
-                           AS entity_id,
-                       norm, surface, entity_type, count(*) AS n
-                FROM m GROUP BY ALL
-            ),
-            tot AS (
-                SELECT entity_id, CAST(sum(n) AS BIGINT) AS n_occurrences
-                FROM counts GROUP BY entity_id
-            ),
-            top AS (
-                SELECT entity_id, norm, surface, entity_type,
-                       ROW_NUMBER() OVER (PARTITION BY entity_id
-                           ORDER BY n DESC, surface, entity_type) AS rk
-                FROM counts
-            )
-            SELECT top.entity_id, top.norm, top.surface, top.entity_type,
-                   tot.n_occurrences
-            FROM top JOIN tot USING (entity_id) WHERE rk = 1
-            ORDER BY norm
-        """,
+        "doc_entity_canonical": _canonical_entities_sql()
+        + " ORDER BY norm",
         "doc_split": """
             WITH h AS (
                 SELECT doc_id,
@@ -2792,6 +2835,34 @@ def _build_oracle_sql_literal() -> dict:
                     WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
                        AS last_event_ts
             FROM orders o ORDER BY o_orderkey
+        """,
+        "kg_entity_link": f"""
+            WITH corpus AS ({_canonical_entities_sql()}),
+                 kb AS (SELECT entity_id AS kb_id, norm AS kb_norm
+                        FROM ({_canonical_entities_sql(
+                            "doc_id % 10 = 0")})),
+                 exact AS (
+                    SELECT c.entity_id, c.norm, k.kb_id, k.kb_norm,
+                           0 AS dist, 'exact' AS method
+                    FROM corpus c JOIN kb k ON c.norm = k.kb_norm),
+                 fz AS (
+                    SELECT c.entity_id, c.norm, k.kb_id, k.kb_norm,
+                           levenshtein(c.norm, k.kb_norm) AS dist
+                    FROM corpus c, kb k
+                    WHERE c.norm NOT IN (SELECT kb_norm FROM kb)),
+                 best AS (
+                    SELECT entity_id, norm, kb_id, kb_norm, dist,
+                           'fuzzy' AS method,
+                           ROW_NUMBER() OVER (PARTITION BY entity_id
+                               ORDER BY dist, kb_norm, kb_id) AS rk
+                    FROM fz WHERE dist <= 2)
+            SELECT entity_id, norm, kb_id, kb_norm,
+                   CAST(dist AS BIGINT) AS dist, method
+            FROM (SELECT * FROM exact
+                  UNION ALL
+                  SELECT entity_id, norm, kb_id, kb_norm, dist, method
+                  FROM best WHERE rk = 1)
+            ORDER BY norm, kb_norm
         """,
         "q5_regional_supplier_revenue": """
             SELECT n_name,

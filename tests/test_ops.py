@@ -685,3 +685,40 @@ def test_incremental_exact_dedup_paths_match():
     c = incremental_exact_dedup(
         inc, _docs([]), broadcast_threshold=10).to_pandas()
     assert sorted(c["doc_id"]) == [100, 101, 103]
+
+
+# ---------- entity linking ----------
+
+def test_link_entities_exact_fuzzy_and_unlinked():
+    import ray.data as rd
+
+    from jerex_ray.ops.linking import link_entities
+
+    ents = pd.DataFrame({
+        "entity_id": [1, 2, 3, 4],
+        "norm": ["acme corp", "acme cort",          # exact / 1-edit
+                 "zzzzzzzzzz",                       # unlinked
+                 "bob chen"]})                       # 2-edit → rob shen
+    kb = pd.DataFrame({"kb_id": [10, 11],
+                       "kb_norm": ["acme corp", "rob shen"]})
+    out = link_entities(rd.from_pandas(ents), kb, max_dist=2) \
+        .to_pandas().sort_values("entity_id").reset_index(drop=True)
+    assert list(out["entity_id"]) == [1, 2, 4]
+    assert list(out["method"]) == ["exact", "fuzzy", "fuzzy"]
+    assert list(out["dist"]) == [0, 1, 2]
+    assert list(out["kb_id"]) == [10, 10, 11]
+
+
+def test_link_entities_tie_break_is_dist_then_norm_then_id():
+    import ray.data as rd
+
+    from jerex_ray.ops.linking import link_entities
+
+    # "abcd" is 1 edit from both "abcx" and "abcy": kb_norm breaks it
+    kb = pd.DataFrame({"kb_id": [7, 5],
+                       "kb_norm": ["abcy", "abcx"]})
+    out = link_entities(
+        rd.from_pandas(pd.DataFrame({"entity_id": [1], "norm": ["abcd"]})),
+        kb, max_dist=2).to_pandas()
+    assert list(out["kb_norm"]) == ["abcx"]
+    assert list(out["kb_id"]) == [5]
