@@ -1440,6 +1440,40 @@ def q_orders_last_event(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_events_stream_late(sf_dir: str):
+    """Streaming-window late-data side channel: per-shard watermarks
+    (``id % 8`` partitioned log), arrival = ts + md5-jitter, allowed
+    lateness 30 min — events below their shard's watermark at arrival
+    are LATE (``ops/streaming.watermark_tag``). The SQL oracle
+    recomputes arrival, the per-shard running max over strictly
+    earlier arrivals, and the same cutoff."""
+    from jerex_ray.ops.streaming import watermark_tag
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+    out = watermark_tag(ds, lateness="30min").to_pandas()
+    out = out[out["is_late"]][["event_id", "shard", "ts"]]
+    out["event_id"] = out["event_id"].astype("int64")
+    out["shard"] = out["shard"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_events_stream_windows(sf_dir: str):
+    """Finalized hourly tumbling windows over the ON-TIME stream (the
+    companion of ``q_events_stream_late``): late rows are excluded
+    from their window's aggregate, exactly the Beam/Flink
+    allowed-lateness drop rule."""
+    from jerex_ray.ops.streaming import stream_window_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "value"])
+    out = stream_window_aggregate(ds, window="1h",
+                                  lateness="30min").to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
 def q_part_triangles(sf_dir: str):
     """Per-node triangle counts over the part co-purchase graph (parts
     are adjacent iff they appear in the same order): the distributed
@@ -1579,6 +1613,8 @@ def build_queries() -> dict:
         "q_revenue_rollup": R.q_revenue_rollup,
         "q_user_presence": R.q_user_presence,
         "q_part_triangles": q_part_triangles,
+        "q_events_stream_late": q_events_stream_late,
+        "q_events_stream_windows": q_events_stream_windows,
     }
 
 
@@ -2900,6 +2936,45 @@ def _build_oracle_sql_literal() -> dict:
             SELECT user_id, 'orders_only'
             FROM (SELECT user_id FROM ou EXCEPT SELECT user_id FROM eu)
             ORDER BY user_id, tag
+        """,
+        "q_events_stream_late": """
+            WITH a AS (
+                SELECT event_id, ts, event_id % 8 AS shard,
+                       ts + to_seconds(CAST(
+                           CAST('0x' || substr(md5(CAST(event_id AS
+                               VARCHAR)), 1, 16) AS UBIGINT) % 3600
+                           AS BIGINT)) AS arrival_ts
+                FROM events),
+            t AS (
+                SELECT *, max(ts) OVER (PARTITION BY shard
+                           ORDER BY arrival_ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS wm
+                FROM a)
+            SELECT event_id, shard, ts
+            FROM t WHERE ts < wm - INTERVAL 30 MINUTE
+            ORDER BY event_id
+        """,
+        "q_events_stream_windows": """
+            WITH a AS (
+                SELECT event_id, ts, value, event_id % 8 AS shard,
+                       ts + to_seconds(CAST(
+                           CAST('0x' || substr(md5(CAST(event_id AS
+                               VARCHAR)), 1, 16) AS UBIGINT) % 3600
+                           AS BIGINT)) AS arrival_ts
+                FROM events),
+            t AS (
+                SELECT *, max(ts) OVER (PARTITION BY shard
+                           ORDER BY arrival_ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS wm
+                FROM a)
+            SELECT date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM t
+            WHERE wm IS NULL OR ts >= wm - INTERVAL 30 MINUTE
+            GROUP BY 1 ORDER BY 1
         """,
         "q_part_triangles": """
             WITH e AS (

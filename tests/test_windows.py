@@ -162,3 +162,79 @@ def test_lag_delta_matches_pandas():
     ref = ref.sort_values("event_id").reset_index(drop=True)
     np.testing.assert_allclose(out["delta_s"], ref["delta_s"],
                                equal_nan=True)
+
+
+# ---------- streaming watermark / late side channel ----------
+
+def test_watermark_tag_late_semantics_hand_case():
+    import ray.data as rd
+
+    from jerex_ray.ops.streaming import watermark_tag
+
+    # one shard (n_shards=1); explicit arrival column
+    t0 = pd.Timestamp("2024-01-01")
+    rows = pd.DataFrame({
+        "event_id": [0, 1, 2, 3, 4],
+        "ts": [t0, t0 + pd.Timedelta("2h"),
+               t0 + pd.Timedelta("1h"),          # 1h behind wm → late
+               t0 + pd.Timedelta("90min"),       # exactly wm → on time
+               t0 + pd.Timedelta("3h")],
+        "arrival": [t0, t0 + pd.Timedelta("2h"),
+                    t0 + pd.Timedelta("2h01min"),
+                    t0 + pd.Timedelta("2h02min"),
+                    t0 + pd.Timedelta("3h")],
+    })
+    out = watermark_tag(rd.from_pandas(rows), lateness="30min",
+                        n_shards=1, arrival_col="arrival").to_pandas()
+    out = out.sort_values("event_id")
+    # wm after event 1 = 2h - 30min = 90min; event 2 ts=1h < 90min →
+    # late; event 3 ts=90min is NOT strictly below → on time; the
+    # first event has no watermark → never late
+    assert list(out["is_late"]) == [False, False, True, False, False]
+
+
+def test_watermark_shards_are_independent():
+    import ray.data as rd
+
+    from jerex_ray.ops.streaming import watermark_tag
+
+    t0 = pd.Timestamp("2024-01-01")
+    # shard 0 (even ids) advances far; shard 1 (odd ids) stays early.
+    # The late odd event would be late under a GLOBAL watermark but is
+    # on time for its own shard.
+    rows = pd.DataFrame({
+        "event_id": [0, 2, 1, 3],
+        "ts": [t0, t0 + pd.Timedelta("10h"),
+               t0, t0 + pd.Timedelta("5min")],
+        "arrival": [t0, t0 + pd.Timedelta("10h"),
+                    t0 + pd.Timedelta("10h"), t0 + pd.Timedelta("11h")],
+    })
+    out = watermark_tag(rd.from_pandas(rows), lateness="30min",
+                        n_shards=2, arrival_col="arrival").to_pandas()
+    assert not out["is_late"].any()
+
+
+def test_stream_window_aggregate_excludes_late_rows():
+    import ray.data as rd
+
+    from jerex_ray.ops.streaming import stream_window_aggregate
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = pd.DataFrame({
+        "event_id": [0, 1, 2],
+        "ts": [t0 + pd.Timedelta("10min"), t0 + pd.Timedelta("5h"),
+               t0 + pd.Timedelta("20min")],   # arrives after wm → late
+        "arrival": [t0 + pd.Timedelta("10min"), t0 + pd.Timedelta("5h"),
+                    t0 + pd.Timedelta("5h01min")],
+        "value": [1.0, 2.0, 100.0],
+    })
+    from jerex_ray.ops.streaming import watermark_tag
+    tagged = watermark_tag(rd.from_pandas(rows), lateness="30min",
+                           n_shards=1, arrival_col="arrival",
+                           keep_cols=["value"]).to_pandas()
+    assert list(tagged.sort_values("event_id")["is_late"]) == \
+        [False, False, True]
+    # windows via the composed aggregate (md5-jitter path exercised by
+    # the oracled query; here just the hand case through tagging)
+    d = tagged[~tagged["is_late"]]
+    assert d["value"].sum() == 3.0
