@@ -359,3 +359,98 @@ def bloom_contains(bits: np.ndarray, values, *, k: int = 4) -> np.ndarray:
     hit = (bits[pos // 64] >> (pos % 64).astype(np.uint64)) \
         & np.uint64(1)
     return hit.astype(bool).all(axis=1)
+
+
+# ---------- count-min sketch (Cormode & Muthukrishnan '05) ----------
+#
+# The additive sibling of the HLL registers above: a depth×width
+# counter matrix where row j counts values by md5("j|" + value) %
+# width. Counters are MERGEABLE BY ADDITION, so a 100 TB column
+# reduces to one depth×width int64 matrix per block, tree-summed —
+# kilobytes through the object store, never the column. Estimates
+# (min over rows at the value's buckets) are one-sided: never below
+# the true count, above it only through collisions. The estimate is a
+# DETERMINISTIC function of the data (md5-derived buckets), so the
+# oracled query recomputes counters AND estimates exactly in SQL —
+# same verification pattern as q_events_hll_users.
+
+
+def _cms_buckets(values: np.ndarray, *, depth: int, width: int
+                 ) -> np.ndarray:
+    """(n, depth) bucket indices, row j hashing md5(f"{j}|{v}")."""
+    from jerex_ray.util import md5_hash64_batch
+    n = len(values)
+    out = np.empty((n, depth), dtype=np.int64)
+    svals = [v if isinstance(v, str) else str(v) for v in values.tolist()]
+    for j in range(depth):
+        h = md5_hash64_batch(f"{j}|{v}" for v in svals)
+        out[:, j] = (h % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_partial(values, *, depth: int = 4, width: int = 1024
+                ) -> np.ndarray:
+    """One batch's (depth, width) int64 counter matrix."""
+    counters = np.zeros((depth, width), dtype=np.int64)
+    vals = np.asarray(values)
+    if vals.size == 0:
+        return counters
+    b = _cms_buckets(vals, depth=depth, width=width)
+    for j in range(depth):
+        np.add.at(counters[j], b[:, j], 1)
+    return counters
+
+
+def cms_query(counters: np.ndarray, values, *, width: int | None = None
+              ) -> np.ndarray:
+    """Point estimates: min over rows of the value's counters."""
+    counters = np.asarray(counters, dtype=np.int64)
+    depth, w = counters.shape
+    vals = np.asarray(values)
+    if vals.size == 0:
+        return np.empty(0, dtype=np.int64)
+    b = _cms_buckets(vals, depth=depth, width=w)
+    ests = np.stack([counters[j][b[:, j]] for j in range(depth)], axis=1)
+    return ests.min(axis=1)
+
+
+def cms_build(ds, *, column: str, depth: int = 4, width: int = 1024
+              ) -> np.ndarray:
+    """Distributed build: per-batch partials → tree-reduce SUM."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = cms_partial(batch[column].to_numpy(), depth=depth, width=width)
+        return pd.DataFrame({"c": [c.ravel()]})
+
+    def merge(block: pd.DataFrame) -> pd.DataFrame:
+        stacked = np.stack([np.asarray(r, dtype=np.int64)
+                            for r in block["c"].to_numpy()])
+        return pd.DataFrame({"c": [stacked.sum(axis=0)]})
+
+    merged = (ds.map_batches(partial, batch_format="pandas",
+                             batch_size=65536)
+              .repartition(8).map_batches(merge, batch_format="pandas",
+                                          batch_size=None)
+              .repartition(1).map_batches(merge, batch_format="pandas",
+                                          batch_size=None))
+    out = merged.to_pandas()
+    if out.empty:
+        return np.zeros((depth, width), dtype=np.int64)
+    return np.asarray(out["c"].iloc[0], dtype=np.int64) \
+        .reshape(depth, width)
+
+
+def cms_counts_by(ds, *, column: str, depth: int = 4, width: int = 1024
+                  ) -> pd.DataFrame:
+    """CMS point estimates for every distinct value of ``column``:
+    one distributed counter build + one distinct-values aggregate
+    (both combiner-backed; the distinct set is assumed
+    dimension-bounded — categorical columns), then a vectorized
+    estimate per distinct value. Returns (value, cms_count)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    counters = cms_build(ds, column=column, depth=depth, width=width)
+    distinct = grouped_aggregate(ds, [column], {"n": (None, "count")}) \
+        .to_pandas()
+    vals = distinct[column].to_numpy()
+    return pd.DataFrame({
+        column: vals,
+        "cms_count": cms_query(counters, vals).astype("int64")})

@@ -1440,6 +1440,25 @@ def q_orders_last_event(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_events_cms_counts(sf_dir: str):
+    """Count-min sketch per-type counts (``ops/sketch.cms_counts_by``):
+    distributed additive-counter build (tree-reduce SUM of depth×width
+    matrices — kilobytes through the object store, never the column),
+    point estimates = min over rows. md5-derived buckets make the
+    estimate a deterministic function of the data, so the SQL oracle
+    recomputes counters AND estimates exactly — including any
+    collision inflation (the estimate is one-sided ≥ truth, which the
+    pytest property gate also asserts)."""
+    from jerex_ray.ops.sketch import cms_counts_by
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type"])
+    out = cms_counts_by(ds, column="event_type", depth=4, width=1024)
+    out["cms_count"] = out["cms_count"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_events_stream_late(sf_dir: str):
     """Streaming-window late-data side channel: per-shard watermarks
     (``id % 8`` partitioned log), arrival = ts + md5-jitter, allowed
@@ -1613,6 +1632,7 @@ def build_queries() -> dict:
         "q_revenue_rollup": R.q_revenue_rollup,
         "q_user_presence": R.q_user_presence,
         "q_part_triangles": q_part_triangles,
+        "q_events_cms_counts": q_events_cms_counts,
         "q_events_stream_late": q_events_stream_late,
         "q_events_stream_windows": q_events_stream_windows,
     }
@@ -2936,6 +2956,27 @@ def _build_oracle_sql_literal() -> dict:
             SELECT user_id, 'orders_only'
             FROM (SELECT user_id FROM ou EXCEPT SELECT user_id FROM eu)
             ORDER BY user_id, tag
+        """,
+        "q_events_cms_counts": """
+            WITH rows_ AS (SELECT unnest(range(4)) AS j),
+            b AS (
+                SELECT j, CAST(CAST('0x' || substr(md5(
+                           CAST(j AS VARCHAR) || '|' || event_type),
+                           1, 16) AS UBIGINT) % 1024 AS BIGINT) AS bucket
+                FROM events, rows_),
+            counters AS (
+                SELECT j, bucket, count(*) AS c
+                FROM b GROUP BY j, bucket),
+            types AS (SELECT DISTINCT event_type FROM events),
+            tb AS (
+                SELECT t.event_type, r.j,
+                       CAST(CAST('0x' || substr(md5(
+                           CAST(r.j AS VARCHAR) || '|' || t.event_type),
+                           1, 16) AS UBIGINT) % 1024 AS BIGINT) AS bucket
+                FROM types t, rows_ r)
+            SELECT tb.event_type, CAST(min(c.c) AS BIGINT) AS cms_count
+            FROM tb JOIN counters c ON c.j = tb.j AND c.bucket = tb.bucket
+            GROUP BY tb.event_type ORDER BY event_type
         """,
         "q_events_stream_late": """
             WITH a AS (

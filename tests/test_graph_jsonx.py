@@ -315,3 +315,36 @@ def test_triangle_counts_star_has_none_clique_has_all():
         src="a", dst="b").to_pandas().sort_values("node")
     assert list(out["node"]) == [0, 1, 2, 3, 4]
     assert list(out["n_triangles"].astype(int)) == [6] * 5
+
+
+# ---------- count-min sketch ----------
+
+def test_cms_is_one_sided_and_exact_without_collisions():
+    from jerex_ray.ops.sketch import cms_build, cms_query
+
+    rng = np.random.default_rng(5)
+    vals = np.array([f"v{i}" for i in rng.integers(0, 20, 5000)])
+    ds = rd.from_pandas(pd.DataFrame({"x": vals}))
+    # wide sketch: 20 distinct values over 4×4096 buckets — collisions
+    # vanishingly unlikely, estimates must be EXACT
+    counters = cms_build(ds, column="x", depth=4, width=4096)
+    uniq, true = np.unique(vals, return_counts=True)
+    est = cms_query(counters, uniq)
+    assert (est == true).all()
+    # narrow sketch: collisions possible, estimate NEVER below truth
+    counters = cms_build(ds, column="x", depth=2, width=8)
+    est = cms_query(counters, uniq)
+    assert (est >= true).all()
+
+
+def test_cms_partials_merge_by_addition():
+    from jerex_ray.ops.sketch import cms_partial, cms_query
+
+    a = np.array(["x", "y", "x"])
+    b = np.array(["y", "z"])
+    whole = cms_partial(np.concatenate([a, b]), depth=3, width=64)
+    merged = cms_partial(a, depth=3, width=64) \
+        + cms_partial(b, depth=3, width=64)
+    assert (whole == merged).all()
+    assert list(cms_query(merged, np.array(["x", "y", "z", "w"]))) \
+        == [2, 2, 1, 0]
