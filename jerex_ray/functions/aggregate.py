@@ -188,3 +188,41 @@ def grouped_topk(ds, keys: list[str], *, order_by: str, k: int,
                              batch_size=65536)
     return grouped_apply(partial, keys, topk_block,
                          num_partitions=num_partitions)
+
+
+def grouped_mode(ds, keys: list[str], *, value_col: str,
+                 num_partitions: int | None = None):
+    """Most frequent ``value_col`` per key group (deterministic ties:
+    lexicographically smallest value). Two-phase like every aggregate
+    here: per-batch (key, value) partial counts bound a hot value's
+    shuffle fan-in to #batches; the final block sums partials and
+    elects per key. Returns (keys..., mode_value, mode_count)."""
+    if isinstance(keys, str):
+        keys = [keys]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(columns=keys + [value_col, "__n"])
+        return (df.groupby(keys + [value_col], sort=False)
+                  .size().reset_index(name="__n"))
+
+    def elect(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            out = pd.DataFrame(columns=keys + ["mode_value", "mode_count"])
+            out["mode_count"] = out["mode_count"].astype("int64")
+            return out
+        sums = (block.groupby(keys + [value_col], sort=False)["__n"]
+                .sum().reset_index())
+        top = sums.sort_values(keys + ["__n", value_col],
+                               ascending=[True] * len(keys)
+                               + [False, True]) \
+            .drop_duplicates(keys)
+        top = top.rename(columns={value_col: "mode_value",
+                                  "__n": "mode_count"})
+        top["mode_count"] = top["mode_count"].astype("int64")
+        return top[keys + ["mode_value", "mode_count"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536)
+    return grouped_apply(partials, keys, elect,
+                         num_partitions=num_partitions)

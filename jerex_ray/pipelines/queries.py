@@ -1440,6 +1440,21 @@ def q_orders_last_event(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_events_mode_by_user(sf_dir: str):
+    """Grouped mode (most frequent event_type per user,
+    lexicographic tie-break) — the two-phase partial-count election
+    (``functions/aggregate.grouped_mode``), oracled via
+    row_number-over-counts SQL."""
+    from jerex_ray.functions.aggregate import grouped_mode
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    out = grouped_mode(ds, ["user_id"], value_col="event_type").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_events_cms_counts(sf_dir: str):
     """Count-min sketch per-type counts (``ops/sketch.cms_counts_by``):
     distributed additive-counter build (tree-reduce SUM of depth×width
@@ -1632,6 +1647,7 @@ def build_queries() -> dict:
         "q_revenue_rollup": R.q_revenue_rollup,
         "q_user_presence": R.q_user_presence,
         "q_part_triangles": q_part_triangles,
+        "q_events_mode_by_user": q_events_mode_by_user,
         "q_events_cms_counts": q_events_cms_counts,
         "q_events_stream_late": q_events_stream_late,
         "q_events_stream_windows": q_events_stream_windows,
@@ -2956,6 +2972,19 @@ def _build_oracle_sql_literal() -> dict:
             SELECT user_id, 'orders_only'
             FROM (SELECT user_id FROM ou EXCEPT SELECT user_id FROM eu)
             ORDER BY user_id, tag
+        """,
+        "q_events_mode_by_user": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY user_id, event_type),
+            r AS (
+                SELECT user_id, event_type AS mode_value,
+                       CAST(n AS BIGINT) AS mode_count,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type) AS rk
+                FROM c)
+            SELECT user_id, mode_value, mode_count
+            FROM r WHERE rk = 1 ORDER BY user_id
         """,
         "q_events_cms_counts": """
             WITH rows_ AS (SELECT unnest(range(4)) AS j),

@@ -96,3 +96,29 @@ def test_global_rank_with_heavy_value_ties():
     want = ref.sort_values("id").reset_index(drop=True)
     np.testing.assert_array_equal(got["rnk"], want["rnk"])
     assert sorted(out["rnk"]) == list(range(2000))
+
+
+def test_grouped_mode_ties_and_hot_keys():
+    import ray.data as rd
+
+    from jerex_ray.functions.aggregate import grouped_mode
+
+    rng = np.random.default_rng(9)
+    # hot key 0 with a deliberate tie between 'a' and 'b'
+    df = pd.DataFrame({
+        "k": np.concatenate([np.zeros(400, dtype=np.int64),
+                             rng.integers(1, 20, 300)]),
+        "v": (["a"] * 200 + ["b"] * 200
+              + [f"v{i}" for i in rng.integers(0, 5, 300)])})
+    out = grouped_mode(rd.from_pandas(df), ["k"], value_col="v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    # tie at key 0: lexicographically smallest wins
+    assert out.loc[0, "mode_value"] == "a"
+    assert out.loc[0, "mode_count"] == 200
+    # parity with a pandas reference on the rest
+    want = (df.groupby(["k", "v"]).size().reset_index(name="n")
+            .sort_values(["k", "n", "v"], ascending=[True, False, True])
+            .drop_duplicates("k").reset_index(drop=True))
+    got = out.set_index("k")["mode_value"]
+    for k, v in want.set_index("k")["v"].items():
+        assert got[k] == v
