@@ -370,3 +370,64 @@ def image_features(media_ds, *, concurrency=(1, 4), batch_size: int = 64):
 def audio_frames(media_ds, *, concurrency=(1, 4), batch_size: int = 64):
     return media_ds.map_batches(AudioFrames, batch_format="pyarrow",
                                 batch_size=batch_size, concurrency=concurrency)
+
+
+# ---------- image resize (pure numpy nearest-neighbor) ----------
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample to (out_h, out_w): pure index
+    arithmetic (the standard pixel-center mapping
+    src = floor((dst + 0.5) * in/out)), no codec libs."""
+    h, w = img.shape[:2]
+    ri = np.minimum(((np.arange(out_h) + 0.5) * h / out_h)
+                    .astype(np.int64), h - 1)
+    ci = np.minimum(((np.arange(out_w) + 0.5) * w / out_w)
+                    .astype(np.int64), w - 1)
+    return img[ri[:, None], ci[None, :]]
+
+
+class ImageResize:
+    """Actor stage: decode → nearest-neighbor resize to a fixed
+    (target_h, target_w) → re-encode PPM. The resize-to-fixed-shape
+    stage every multimodal training pipeline needs before batching
+    tensors; bad payloads flow to the side channel as
+    decode_ok=False rows, never exceptions."""
+
+    def __init__(self, *, target_h: int = 32, target_w: int = 32):
+        self.th, self.tw = target_h, target_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_ids, payloads, hs, ws, oks = [], [], [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            out_ids.append(mid)
+            try:
+                img = _decode_image(p)
+                resized = resize_nearest(img, self.th, self.tw)
+                payloads.append(encode_ppm(resized))
+                hs.append(self.th)
+                ws.append(self.tw)
+                oks.append(True)
+            except ValueError:
+                payloads.append(b"")
+                hs.append(0)
+                ws.append(0)
+                oks.append(False)
+        return pa.table({
+            "media_id": pa.array(out_ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array(ws, pa.int32()),
+            "decode_ok": pa.array(oks, pa.bool_()),
+        })
+
+
+def image_resize(media_ds, *, target_h: int = 32, target_w: int = 32,
+                 concurrency=(1, 4), batch_size: int = 64):
+    """Small batches: binary payloads are wide rows; a batch ×
+    concurrency must fit a worker heap (brief's memory-aware rule)."""
+    return media_ds.map_batches(
+        ImageResize, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"target_h": target_h,
+                               "target_w": target_w})

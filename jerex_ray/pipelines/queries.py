@@ -137,6 +137,24 @@ def media_image_features(sf_dir: str):
         .sort_values("media_id").reset_index(drop=True)
 
 
+def media_image_resize(sf_dir: str):
+    """Actor-pool decode → nearest-neighbor resize to 16×16 →
+    re-encode PPM (``ops/multimodal.image_resize``) — the
+    fixed-shape stage before tensor batching. Rows-only (binary
+    codecs are not SQL-expressible); pixel-exactness of the resize is
+    pytest-gated (test_image_resize_roundtrip_and_bad_payload)."""
+    import ray.data as rd
+
+    from jerex_ray.ops.multimodal import image_resize, synth_media_table
+    configure_data_context()
+    n = max(50, _sf_convs(sf_dir) // 4)
+    media = rd.from_arrow(synth_media_table(n, kind="image"))
+    out = image_resize(media, target_h=16, target_w=16).to_pandas()
+    assert out["decode_ok"].all()
+    out["payload_len"] = out["payload"].str.len().astype("int64")
+    return out[["media_id", "height", "width", "payload_len"]]         .sort_values("media_id").reset_index(drop=True)
+
+
 def media_audio_frames(sf_dir: str):
     """Actor-pool WAV decode (stdlib wave) → per-second RMS energy
     frames (flat_map-shaped). Rows-only, pytest-gated like the image
@@ -1440,6 +1458,39 @@ def q_orders_last_event(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_events_running_total(sf_dir: str):
+    """Per-user running total of event value (cumulative window sum):
+    hash co-location by user, one vectorized in-block sort + grouped
+    cumsum — the distributed keyed prefix-sum shape (``ops/pack.py``
+    uses the same for token budgets). Oracled by
+    ``SUM() OVER (PARTITION BY user ORDER BY ts, id)``."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "value"])
+
+    def running(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "running_value": pd.Series(
+                                     dtype="float64")})
+        b = block.sort_values(["user_id", "ts", "event_id"])
+        out = pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(),
+            "user_id": b["user_id"].to_numpy(),
+            "running_value": b.groupby("user_id", sort=False)["value"]
+            .cumsum().round(2).to_numpy()})
+        return out
+
+    out = grouped_apply(ds, ["user_id"], running).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_events_mode_by_user(sf_dir: str):
     """Grouped mode (most frequent event_type per user,
     lexicographic tie-break) — the two-phase partial-count election
@@ -1647,6 +1698,8 @@ def build_queries() -> dict:
         "q_revenue_rollup": R.q_revenue_rollup,
         "q_user_presence": R.q_user_presence,
         "q_part_triangles": q_part_triangles,
+        "media_image_resize": media_image_resize,
+        "q_events_running_total": q_events_running_total,
         "q_events_mode_by_user": q_events_mode_by_user,
         "q_events_cms_counts": q_events_cms_counts,
         "q_events_stream_late": q_events_stream_late,
@@ -2972,6 +3025,12 @@ def _build_oracle_sql_literal() -> dict:
             SELECT user_id, 'orders_only'
             FROM (SELECT user_id FROM ou EXCEPT SELECT user_id FROM eu)
             ORDER BY user_id, tag
+        """,
+        "q_events_running_total": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id), 2) AS running_value
+            FROM events ORDER BY event_id
         """,
         "q_events_mode_by_user": """
             WITH c AS (

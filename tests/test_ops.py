@@ -722,3 +722,35 @@ def test_link_entities_tie_break_is_dist_then_norm_then_id():
         kb, max_dist=2).to_pandas()
     assert list(out["kb_norm"]) == ["abcx"]
     assert list(out["kb_id"]) == [5]
+
+
+def test_image_resize_roundtrip_and_bad_payload():
+    import ray.data as rd
+
+    from jerex_ray.ops.multimodal import (decode_ppm, image_resize,
+                                          resize_nearest,
+                                          synth_media_table)
+
+    # identity resize: same dims → identical pixels
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
+    assert (resize_nearest(img, 10, 14) == img).all()
+    # down+up stays uint8 with exact nearest-pixel values
+    small = resize_nearest(img, 5, 7)
+    assert small.shape == (5, 7, 3)
+    assert (small == img[1::2, 1::2]).all()     # pixel-center mapping
+
+    tbl = synth_media_table(6, kind="image")
+    ds = rd.from_arrow(tbl)
+    out = image_resize(ds, target_h=8, target_w=8).to_pandas()
+    assert len(out) == 6 and out["decode_ok"].all()
+    assert (out["height"] == 8).all() and (out["width"] == 8).all()
+    for p in out["payload"]:
+        assert decode_ppm(p).shape == (8, 8, 3)
+
+    import pyarrow as pa
+    bad = rd.from_arrow(pa.table({
+        "media_id": pa.array([99], pa.int64()),
+        "payload": pa.array([b"garbage-not-an-image"], pa.binary())}))
+    out = image_resize(bad).to_pandas()
+    assert not out["decode_ok"].iloc[0]
