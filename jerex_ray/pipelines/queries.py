@@ -1695,6 +1695,7 @@ def build_queries() -> dict:
         # multi-table join shapes / rollup / set ops / graph
         "kg_entity_link": kg_entity_link,
         "q5_regional_supplier_revenue": R.q5_regional_supplier_revenue,
+        "q18_large_volume_orders": R.q18_large_volume_orders,
         "q_revenue_rollup": R.q_revenue_rollup,
         "q_user_presence": R.q_user_presence,
         "q_part_triangles": q_part_triangles,
@@ -3001,6 +3002,18 @@ def _build_oracle_sql_literal() -> dict:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "q18_large_volume_orders": """
+            WITH s AS (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 250)
+            SELECT c_name, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(sum_qty, 2) AS sum_qty
+            FROM s JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
         """,
         "q_revenue_rollup": """
             SELECT coalesce(r_name, 'ALL') AS r_name,

@@ -473,3 +473,39 @@ def q_user_presence(sf_dir: str):
     df = agg.map_batches(classify, batch_format="pandas").to_pandas()
     df["user_id"] = df["user_id"].astype("int64")
     return df.sort_values(["user_id", "tag"]).reset_index(drop=True)
+
+
+# --- TPC-H Q18 shape: HAVING-filtered aggregate joined back to facts ---
+
+def q18_large_volume_orders(sf_dir: str, *, min_qty: float = 250.0):
+    """Orders whose total line quantity exceeds ``min_qty``, with the
+    ordering customer (the TPC-H Q18 shape: aggregate → HAVING filter
+    → join back to the fact and dimension tables).
+
+    Scale shape: the per-order quantity aggregate is combiner-backed
+    and stays a Dataset (order count is fact-scale); the HAVING filter
+    is a vectorized map, and the surviving keys rejoin ``orders`` via
+    a hash-partitioned ``Dataset.join`` — survivor cardinality is
+    data-dependent, so no broadcast is assumed. Customer is the one
+    dimension broadcast."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    per_order = grouped_aggregate(li, ["l_orderkey"],
+                                  {"sum_qty": ("l_quantity", "sum")},
+                                  result_hint="large")
+    big = per_order.map_batches(
+        lambda df: df[df["sum_qty"] > min_qty], batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    j = big.join(orders, join_type="inner",
+                 num_partitions=shuffle_partitions(8),
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    j = broadcast_join(j, cust, left_on="o_custkey", right_on="c_custkey")
+    # Dataset.join drops the right-side key column (it equals the left
+    # key); surface the surviving l_orderkey under the output name
+    df = j.to_pandas().rename(columns={"l_orderkey": "o_orderkey"})
+    df = df[["c_name", "o_orderkey", "o_totalprice", "sum_qty"]]
+    df = _round2(df, ["o_totalprice", "sum_qty"])
+    df["o_orderkey"] = df["o_orderkey"].astype("int64")
+    return df.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).reset_index(drop=True)
