@@ -172,3 +172,45 @@ def run_kg_pipeline(transcripts_ds, out_dir: str,
         # metrics Dataset, which collects schema-less (library edge)
         return empty_metrics
     return pdf.sort_values("part_key").reset_index(drop=True)
+
+
+def graph_tables(triples_ds):
+    """Materialize the KG as graph tables (north rule: "graph
+    materialize"): from the canonicalized triple stream,
+
+    * ``nodes``: one row per canonical entity — id, elected surface,
+      type, occurrence count (``canonicalize.build_entity_table``,
+      the two-phase partial/final aggregate);
+    * ``edges``: one row per distinct (subj_id, pred, obj_id) with
+      ``n_support`` (how many conversations assert it) and
+      ``score_max`` — the global edge aggregate on top of the
+      per-conversation G6 dedup, combiner-backed like every grouped
+      aggregate here.
+
+    Both stay Datasets (never collected); at 100 TB the node and edge
+    tables are the bounded artifacts a downstream graph store ingests.
+    """
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.stages.canonicalize import build_entity_table
+
+    nodes = build_entity_table(triples_ds)
+    edges = grouped_aggregate(
+        triples_ds, ["subj_id", "pred", "obj_id"],
+        {"n_support": (None, "count"), "score_max": ("score", "max")},
+        result_hint="large")
+    return nodes, edges
+
+
+def materialize_graph(triples_ds, out_dir: str):
+    """Write the graph tables as parquet directories
+    (``<out_dir>/nodes``, ``<out_dir>/edges`` — one file per block, so
+    a downstream reader parallelizes over files). Returns
+    (n_nodes, n_edges)."""
+    import os
+
+    nodes, edges = graph_tables(triples_ds)
+    nodes = nodes.materialize()
+    edges = edges.materialize()
+    nodes.write_parquet(os.path.join(out_dir, "nodes"))
+    edges.write_parquet(os.path.join(out_dir, "edges"))
+    return nodes.count(), edges.count()

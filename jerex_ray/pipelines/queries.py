@@ -214,6 +214,27 @@ def kg_mentions(sf_dir: str):
             .reset_index(drop=True)
 
 
+def kg_graph_edges(sf_dir: str):
+    """The materialized KG edge table (north rule "graph materialize"):
+    distinct (subj_id, pred, obj_id) with conversation support counts
+    and max score — the global aggregate over the canonicalized triple
+    stream (``pipelines/kg.graph_tables``). Rows-only: the input is
+    the synthetic transcript corpus, not a registered SQL table; edge
+    grouping correctness is pytest-gated
+    (test_graph_tables_support_counts)."""
+    from jerex_ray.pipelines.kg import extract_triples, graph_tables
+    from jerex_ray.sources.transcripts import read_synthetic_transcripts
+    configure_data_context()
+    cfg = _kg_config()
+    triples = extract_triples(read_synthetic_transcripts(
+        _sf_convs(sf_dir)), cfg)
+    _, edges = graph_tables(triples)
+    out = edges.to_pandas()
+    out["n_support"] = out["n_support"].astype("int64")
+    out["score_max"] = out["score_max"].round(6)
+    return out.sort_values(["subj_id", "pred", "obj_id"])         .reset_index(drop=True)
+
+
 def kg_eval(sf_dir: str):
     """Triple P/R vs the planted reference extractions (the ≥0.95 gate)."""
     from jerex_ray.eval.scoring import evaluate_triples
@@ -1699,6 +1720,7 @@ def build_queries() -> dict:
         "q_revenue_rollup": R.q_revenue_rollup,
         "q_user_presence": R.q_user_presence,
         "q_part_triangles": q_part_triangles,
+        "kg_graph_edges": kg_graph_edges,
         "media_image_resize": media_image_resize,
         "q_events_running_total": q_events_running_total,
         "q_events_mode_by_user": q_events_mode_by_user,

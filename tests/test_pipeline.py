@@ -175,3 +175,41 @@ def test_registry_document_cleaning_pipeline():
     assert sorted(out["doc_id"]) == [0, 2, 3, 4]   # dups 1 and 5 dropped
     assert {"lang_pred", "split"} <= set(out.columns)
     assert set(out["split"]) <= {"train", "valid", "test"}
+
+
+def test_graph_tables_support_counts(tmp_path):
+    import ray.data as rd
+
+    from jerex_ray.pipelines.kg import graph_tables, materialize_graph
+
+    triples = pd.DataFrame({
+        "conv_id": ["c1", "c2", "c3", "c1"],
+        "subj": ["Alice Chen", "Alice Chen", "Bob", "Bob"],
+        "subj_type": ["PER"] * 4,
+        "subj_norm": ["alice chen", "alice chen", "bob", "bob"],
+        "subj_id": [1, 1, 2, 2],
+        "pred": ["works_at", "works_at", "lives_in", "lives_in"],
+        "obj": ["Acme Corp", "Acme Corp", "Berlin", "Paris"],
+        "obj_type": ["ORG", "ORG", "LOC", "LOC"],
+        "obj_norm": ["acme corp", "acme corp", "berlin", "paris"],
+        "obj_id": [5, 5, 6, 7],
+        "score": [0.9, 0.8, 0.7, 0.6],
+    })
+    nodes, edges = graph_tables(rd.from_pandas(triples))
+    ndf = nodes.to_pandas().sort_values("entity_id").reset_index(drop=True)
+    edf = edges.to_pandas().sort_values(
+        ["subj_id", "pred", "obj_id"]).reset_index(drop=True)
+    # nodes: unique per canonical id, both subj and obj sides counted
+    assert list(ndf["entity_id"]) == [1, 2, 5, 6, 7]
+    assert ndf.set_index("entity_id")["n_occurrences"].to_dict() == \
+        {1: 2, 2: 2, 5: 2, 6: 1, 7: 1}
+    # edges: (1, works_at, 5) supported twice with max score 0.9
+    assert len(edf) == 3
+    top = edf[(edf["subj_id"] == 1)].iloc[0]
+    assert top["n_support"] == 2 and abs(top["score_max"] - 0.9) < 1e-12
+    # writer produces readable parquet dirs
+    n_nodes, n_edges = materialize_graph(rd.from_pandas(triples),
+                                         str(tmp_path))
+    assert (n_nodes, n_edges) == (5, 3)
+    back = rd.read_parquet(str(tmp_path / "edges")).to_pandas()
+    assert len(back) == 3
