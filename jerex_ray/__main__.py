@@ -64,6 +64,33 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Materialize the node/edge graph tables from a finished triple
+    output directory (the 'graph materialize' step as its own job)."""
+    ray = _ray_session()
+    import os
+
+    import ray.data as rd
+
+    from jerex_ray.pipelines.kg import materialize_graph
+    from jerex_ray.runtime import configure_data_context
+    from jerex_ray.sinks.parquet_sink import completed_partitions
+    configure_data_context()
+    paths = [os.path.join(args.pred, f"part_key={k}", "triples.parquet")
+             for k in sorted(completed_partitions(args.pred))]
+    if not paths:
+        print(json.dumps({"output": args.output, "n_nodes": 0,
+                          "n_edges": 0}))
+        ray.shutdown()
+        return 0
+    triples = rd.read_parquet(paths)   # streams; never one big table
+    n_nodes, n_edges = materialize_graph(triples, args.output)
+    print(json.dumps({"output": args.output,
+                      "n_nodes": int(n_nodes), "n_edges": int(n_edges)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_eval(args) -> int:
     ray = _ray_session()
     from jerex_ray.eval.scoring import evaluate_triples
@@ -224,6 +251,12 @@ def main(argv=None) -> int:
                    help=".npz weight checkpoint (from `train`) loaded "
                         "once per scorer actor")
     r.set_defaults(fn=cmd_run)
+
+    g = sub.add_parser("graph", help="materialize node/edge graph tables "
+                       "from a triple output dir")
+    g.add_argument("--pred", required=True)
+    g.add_argument("--output", required=True)
+    g.set_defaults(fn=cmd_graph)
 
     e = sub.add_parser("eval", help="triple P/R vs planted ground truth")
     e.add_argument("--pred", required=True)
