@@ -1479,6 +1479,58 @@ def q_orders_last_event(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_events_checksum(sf_dir: str):
+    """Order-independent table checksum — the cross-system validation
+    primitive for verifying a 100 TB copy/migration without moving the
+    data twice: checksum := (Σ over rows of md5_64(key-fields) mod
+    2⁶³) mod 2⁶³. Commutative/associative, so per-batch partial sums
+    tree-reduce and NO row order, sharding, or engine needs to match;
+    the SQL oracle recomputes the identical number from the identical
+    definition."""
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id",
+                                     "event_type"])
+    MOD = 1 << 63
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from jerex_ray.util import md5_hash64_batch
+        if df.empty:
+            return pd.DataFrame({"c": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        keys = (df["event_id"].astype(str) + "|"
+                + df["user_id"].astype(str) + "|"
+                + df["event_type"].astype(str))
+        h = md5_hash64_batch(keys.to_numpy()) % np.uint64(MOD)
+        return pd.DataFrame({"c": [np.int64(int(h.sum()) % MOD)],
+                             "n": [np.int64(len(df))]})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    # the collected object is #batches rows — exact final mod on the
+    # driver (python ints, no overflow)
+    total = int(sum(int(x) for x in parts["c"])) % MOD
+    return pd.DataFrame({"checksum": [np.int64(total)],
+                         "n_rows": [np.int64(parts["n"].sum())]})
+
+
+def q_events_type_share(sf_dir: str):
+    """Share-of-total per event type (grouped sum ÷ grand total): one
+    combiner-backed grouped aggregate; the division happens on the
+    group-count-bounded result."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    g = grouped_aggregate(ds, ["event_type"],
+                          {"sum_value": ("value", "sum")}).to_pandas()
+    g["share"] = (g["sum_value"] / g["sum_value"].sum()).round(6)
+    g["sum_value"] = g["sum_value"].round(2)
+    return g.sort_values("event_type").reset_index(drop=True)
+
+
 def q_events_running_total(sf_dir: str):
     """Per-user running total of event value (cumulative window sum):
     hash co-location by user, one vectorized in-block sort + grouped
@@ -1722,6 +1774,8 @@ def build_queries() -> dict:
         "q_part_triangles": q_part_triangles,
         "kg_graph_edges": kg_graph_edges,
         "media_image_resize": media_image_resize,
+        "q_events_checksum": q_events_checksum,
+        "q_events_type_share": q_events_type_share,
         "q_events_running_total": q_events_running_total,
         "q_events_mode_by_user": q_events_mode_by_user,
         "q_events_cms_counts": q_events_cms_counts,
@@ -3060,6 +3114,24 @@ def _build_oracle_sql_literal() -> dict:
             SELECT user_id, 'orders_only'
             FROM (SELECT user_id FROM ou EXCEPT SELECT user_id FROM eu)
             ORDER BY user_id, tag
+        """,
+        "q_events_checksum": """
+            SELECT CAST(sum(CAST(
+                       CAST('0x' || substr(md5(
+                           CAST(event_id AS VARCHAR) || '|' ||
+                           CAST(user_id AS VARCHAR) || '|' ||
+                           event_type), 1, 16) AS UBIGINT)
+                       % 9223372036854775808 AS HUGEINT))
+                   % 9223372036854775808 AS BIGINT) AS checksum,
+                   count(*) AS n_rows
+            FROM events
+        """,
+        "q_events_type_share": """
+            SELECT event_type,
+                   round(sum(value), 2) AS sum_value,
+                   round(sum(value) / sum(sum(value)) OVER (), 6)
+                       AS share
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q_events_running_total": """
             SELECT event_id, user_id,
