@@ -73,18 +73,31 @@ def link_entities(entities_ds, kb: pd.DataFrame, *, max_dist: int = 2,
         frames = [exact[out_cols]]
         if len(miss):
             un = miss["norm"].to_numpy()
-            kn = kbl["kb_norm"].to_numpy()
+            # length band via searchsorted over the length-sorted KB —
+            # O(n log m + candidates), never an n×m matrix (a 65k-row
+            # batch against a 1M-entry KB would otherwise allocate
+            # 65 GB of band booleans)
+            kn_all = kbl["kb_norm"].to_numpy()
+            lk_all = np.char.str_len(kn_all.astype(str))
+            order = np.argsort(lk_all, kind="stable")
+            kn = kn_all[order]
+            kb_ids_sorted = kbl["kb_id"].to_numpy()[order]
+            lk = lk_all[order]
             lu = np.char.str_len(un.astype(str))
-            lk = np.char.str_len(kn.astype(str))
-            ui, ki = np.nonzero(
-                np.abs(lu[:, None] - lk[None, :]) <= max_dist)
+            lo = np.searchsorted(lk, lu - max_dist, side="left")
+            hi = np.searchsorted(lk, lu + max_dist, side="right")
+            counts = np.maximum(hi - lo, 0)
+            ui = np.repeat(np.arange(len(un)), counts)
+            offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            ki = np.arange(counts.sum(), dtype=np.int64) \
+                - np.repeat(offs, counts) + np.repeat(lo, counts)
             if len(ui):
                 dists = edit_distances_batch(
                     list(zip(un[ui].tolist(), kn[ki].tolist())))
                 cand = pd.DataFrame({
                     "entity_id": miss["entity_id"].to_numpy()[ui],
                     "norm": un[ui],
-                    "kb_id": kbl["kb_id"].to_numpy()[ki],
+                    "kb_id": kb_ids_sorted[ki],
                     "kb_norm": kn[ki],
                     "dist": dists.astype(np.int64)})
                 cand = cand[cand["dist"] <= max_dist]
