@@ -46,7 +46,15 @@ def watermark_tag(events_ds, *, id_col: str = "event_id",
                   num_partitions: int | None = None):
     """Tag every event with its shard and an ``is_late`` flag under
     per-shard watermark semantics. Returns a Dataset with
-    (id, ts, shard, is_late, *keep_cols)."""
+    (id, ts, shard, is_late, *keep_cols).
+
+    Scale note: watermark order is sequential WITHIN a shard (that is
+    the semantics, not an implementation detail), and each shard
+    co-locates into one block — so ``n_shards`` bounds both the
+    parallelism AND the per-block memory, exactly like a Kafka
+    topic's partition count. Size it as ``total_rows /
+    target_block_rows`` for big replays (the default 8 suits the
+    test corpora; a 100 TB replay wants thousands)."""
     from jerex_ray.functions.aggregate import grouped_apply
 
     late_td = pd.Timedelta(lateness)
