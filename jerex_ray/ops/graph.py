@@ -186,6 +186,15 @@ def triangle_counts(edges_ds, *, src: str = "a", dst: str = "b",
         num_partitions=num_partitions, result_hint="large") \
         .map_batches(lambda df: df[["a", "b"]], batch_format="pandas") \
         .materialize()
+    # a self-loop-only or empty input leaves ZERO canonical edges, and
+    # all-empty partitions lose their schema through Dataset.join (the
+    # same library edge the wedge sentinel below works around) — an
+    # empty graph has no triangles, return the typed empty result
+    if edges.count() == 0:
+        import ray
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node": pd.Series(dtype="int64"),
+             "n_triangles": pd.Series(dtype="int64")}))
 
     def endpoints(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": np.concatenate(

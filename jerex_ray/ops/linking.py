@@ -45,14 +45,24 @@ def link_entities(entities_ds, kb: pd.DataFrame, *, max_dist: int = 2,
     """
     import ray
 
-    kb = kb[["kb_id", "kb_norm"]].drop_duplicates("kb_norm") \
-        .reset_index(drop=True)
-    kb_ref = ray.put(kb)
+    # duplicate kb_norm rows: smallest kb_id wins — the SAME tie-break
+    # the fuzzy path applies ((dist, kb_norm, kb_id) ascending), so the
+    # linked id never depends on KB row order
+    kb = kb[["kb_id", "kb_norm"]].sort_values(["kb_norm", "kb_id"]) \
+        .drop_duplicates("kb_norm").reset_index(drop=True)
+    # the length-sorted view is a pure function of the KB: compute it
+    # ONCE here and broadcast it alongside, not per batch (a 1M-entry
+    # KB would otherwise pay an O(m log m) argsort in every task)
+    _kn_all = kb["kb_norm"].to_numpy()
+    _lk_all = np.char.str_len(_kn_all.astype(str))
+    _order = np.argsort(_lk_all, kind="stable")
+    kb_ref = ray.put((kb, _kn_all[_order], kb["kb_id"].to_numpy()[_order],
+                      _lk_all[_order]))
 
     def link(batch: pd.DataFrame) -> pd.DataFrame:
         from jerex_ray.util import edit_distances_batch
 
-        kbl = ray.get(kb_ref)
+        kbl, kn, kb_ids_sorted, lk = ray.get(kb_ref)
         out_cols = ["entity_id", "norm", "kb_id", "kb_norm", "dist",
                     "method"]
         if batch.empty or kbl.empty:
@@ -73,16 +83,10 @@ def link_entities(entities_ds, kb: pd.DataFrame, *, max_dist: int = 2,
         frames = [exact[out_cols]]
         if len(miss):
             un = miss["norm"].to_numpy()
-            # length band via searchsorted over the length-sorted KB —
-            # O(n log m + candidates), never an n×m matrix (a 65k-row
-            # batch against a 1M-entry KB would otherwise allocate
-            # 65 GB of band booleans)
-            kn_all = kbl["kb_norm"].to_numpy()
-            lk_all = np.char.str_len(kn_all.astype(str))
-            order = np.argsort(lk_all, kind="stable")
-            kn = kn_all[order]
-            kb_ids_sorted = kbl["kb_id"].to_numpy()[order]
-            lk = lk_all[order]
+            # length band via searchsorted over the broadcast
+            # length-sorted KB — O(n log m + candidates), never an
+            # n×m matrix (a 65k-row batch against a 1M-entry KB would
+            # otherwise allocate 65 GB of band booleans)
             lu = np.char.str_len(un.astype(str))
             lo = np.searchsorted(lk, lu - max_dist, side="left")
             hi = np.searchsorted(lk, lu + max_dist, side="right")

@@ -194,8 +194,16 @@ def graph_tables(triples_ds):
     from jerex_ray.stages.canonicalize import build_entity_table
 
     nodes = build_entity_table(triples_ds)
+    # G6 first: a >700-sub-word conversation is chunked, and a triple
+    # extracted in two chunks of ONE conversation must count once —
+    # collapse to (conv, triple) before counting supporting convs
+    # (both aggregates are combiner-backed; the first bounds the
+    # second's input to distinct conv-triples)
+    per_conv = grouped_aggregate(
+        triples_ds, ["conv_id", "subj_id", "pred", "obj_id"],
+        {"score": ("score", "max")}, result_hint="large")
     edges = grouped_aggregate(
-        triples_ds, ["subj_id", "pred", "obj_id"],
+        per_conv, ["subj_id", "pred", "obj_id"],
         {"n_support": (None, "count"), "score_max": ("score", "max")},
         result_hint="large")
     return nodes, edges

@@ -348,3 +348,14 @@ def test_cms_partials_merge_by_addition():
     assert (whole == merged).all()
     assert list(cms_query(merged, np.array(["x", "y", "z", "w"]))) \
         == [2, 2, 1, 0]
+
+
+def test_triangle_counts_self_loops_only_is_empty():
+    from jerex_ray.ops.graph import triangle_counts
+    out = triangle_counts(
+        rd.from_pandas(pd.DataFrame({"a": [1, 2], "b": [1, 2]})),
+        src="a", dst="b").to_pandas()
+    # schema may be dropped by the empty-Dataset collect (library
+    # edge, documented in the verify notes) — the contract is "no
+    # rows, no crash"
+    assert len(out) == 0

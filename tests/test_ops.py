@@ -754,3 +754,15 @@ def test_image_resize_roundtrip_and_bad_payload():
         "payload": pa.array([b"garbage-not-an-image"], pa.binary())}))
     out = image_resize(bad).to_pandas()
     assert not out["decode_ok"].iloc[0]
+
+
+def test_link_entities_duplicate_kb_norm_smallest_id_wins():
+    import ray.data as rd
+
+    from jerex_ray.ops.linking import link_entities
+
+    kb = pd.DataFrame({"kb_id": [9, 3], "kb_norm": ["acme", "acme"]})
+    out = link_entities(
+        rd.from_pandas(pd.DataFrame({"entity_id": [1], "norm": ["acme"]})),
+        kb).to_pandas()
+    assert list(out["kb_id"]) == [3]

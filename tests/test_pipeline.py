@@ -183,17 +183,24 @@ def test_graph_tables_support_counts(tmp_path):
     from jerex_ray.pipelines.kg import graph_tables, materialize_graph
 
     triples = pd.DataFrame({
-        "conv_id": ["c1", "c2", "c3", "c1"],
-        "subj": ["Alice Chen", "Alice Chen", "Bob", "Bob"],
-        "subj_type": ["PER"] * 4,
-        "subj_norm": ["alice chen", "alice chen", "bob", "bob"],
-        "subj_id": [1, 1, 2, 2],
-        "pred": ["works_at", "works_at", "lives_in", "lives_in"],
-        "obj": ["Acme Corp", "Acme Corp", "Berlin", "Paris"],
-        "obj_type": ["ORG", "ORG", "LOC", "LOC"],
-        "obj_norm": ["acme corp", "acme corp", "berlin", "paris"],
-        "obj_id": [5, 5, 6, 7],
-        "score": [0.9, 0.8, 0.7, 0.6],
+        # last row duplicates c1's triple — a chunked long conv
+        # re-emitting it; n_support must still count c1 ONCE
+        "conv_id": ["c1", "c2", "c3", "c1", "c1"],
+        "subj": ["Alice Chen", "Alice Chen", "Bob", "Bob",
+                 "Alice Chen"],
+        "subj_type": ["PER"] * 5,
+        "subj_norm": ["alice chen", "alice chen", "bob", "bob",
+                      "alice chen"],
+        "subj_id": [1, 1, 2, 2, 1],
+        "pred": ["works_at", "works_at", "lives_in", "lives_in",
+                 "works_at"],
+        "obj": ["Acme Corp", "Acme Corp", "Berlin", "Paris",
+                "Acme Corp"],
+        "obj_type": ["ORG", "ORG", "LOC", "LOC", "ORG"],
+        "obj_norm": ["acme corp", "acme corp", "berlin", "paris",
+                     "acme corp"],
+        "obj_id": [5, 5, 6, 7, 5],
+        "score": [0.9, 0.8, 0.7, 0.6, 0.85],
     })
     nodes, edges = graph_tables(rd.from_pandas(triples))
     ndf = nodes.to_pandas().sort_values("entity_id").reset_index(drop=True)
@@ -202,7 +209,7 @@ def test_graph_tables_support_counts(tmp_path):
     # nodes: unique per canonical id, both subj and obj sides counted
     assert list(ndf["entity_id"]) == [1, 2, 5, 6, 7]
     assert ndf.set_index("entity_id")["n_occurrences"].to_dict() == \
-        {1: 2, 2: 2, 5: 2, 6: 1, 7: 1}
+        {1: 3, 2: 2, 5: 3, 6: 1, 7: 1}
     # edges: (1, works_at, 5) supported twice with max score 0.9
     assert len(edf) == 3
     top = edf[(edf["subj_id"] == 1)].iloc[0]
