@@ -238,3 +238,40 @@ def test_stream_window_aggregate_excludes_late_rows():
     # the oracled query; here just the hand case through tagging)
     d = tagged[~tagged["is_late"]]
     assert d["value"].sum() == 3.0
+
+
+def test_watermark_tag_matches_sequential_reference_randomized():
+    """Randomized parity: the distributed watermark tagger equals a
+    per-shard sequential replay (the semantics spec) across 30 random
+    event sets with random jitter and shard counts."""
+    import ray.data as rd
+
+    from jerex_ray.ops.streaming import watermark_tag
+
+    rng = np.random.default_rng(17)
+    t0 = pd.Timestamp("2024-01-01")
+    for trial in range(30):
+        n = int(rng.integers(1, 60))
+        n_shards = int(rng.integers(1, 4))
+        ids = np.arange(n)
+        ts = t0 + pd.to_timedelta(rng.integers(0, 7200, n), unit="s")
+        arrival = ts + pd.to_timedelta(rng.integers(0, 3600, n),
+                                       unit="s")
+        late_td = pd.Timedelta(minutes=int(rng.integers(1, 90)))
+        df = pd.DataFrame({"event_id": ids, "ts": ts,
+                           "arrival": arrival})
+        got = watermark_tag(rd.from_pandas(df),
+                            lateness=str(late_td), n_shards=n_shards,
+                            arrival_col="arrival").to_pandas() \
+            .sort_values("event_id")["is_late"].to_numpy()
+        # sequential replay per shard
+        want = np.zeros(n, dtype=bool)
+        for s in range(n_shards):
+            m = ids % n_shards == s
+            sub = df[m].sort_values(["arrival", "event_id"])
+            wm = None
+            for i, row in sub.iterrows():
+                if wm is not None and row["ts"] < wm - late_td:
+                    want[row["event_id"]] = True
+                wm = row["ts"] if wm is None else max(wm, row["ts"])
+        assert (got == want).all(), f"trial {trial}"
