@@ -97,8 +97,11 @@ def session_windows(events_ds, *, key: str, ts_col: str, gap: str,
 
 
 def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
-              right_cols: list[str], num_partitions: int | None = None):
-    """Keyed as-of join (latest right row at-or-before each left row).
+              right_cols: list[str], num_partitions: int | None = None,
+              direction: str = "backward"):
+    """Keyed as-of join: per left row, the latest right row at-or-before
+    (``direction="backward"``, default) or the earliest right row
+    at-or-after (``direction="forward"``) its timestamp.
 
     Both sides are reduced to the needed columns, tagged, unioned, and
     co-located by key in one hash repartition; each block runs a
@@ -162,7 +165,7 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
             return out.rename(columns={"__rts": f"{right_ts}_right"})
         r = r.sort_values("__rts")
         out = pd.merge_asof(l, r, left_on=left_ts, right_on="__rts",
-                            by=key, direction="backward")
+                            by=key, direction=direction)
         return out.rename(columns={"__rts": f"{right_ts}_right"})
 
     return grouped_apply(both, [key], join_block,

@@ -1632,6 +1632,72 @@ def q_events_stream_windows(sf_dir: str):
     return out.sort_values("window_start").reset_index(drop=True)
 
 
+def q_orders_next_event(sf_dir: str):
+    """Forward as-of join: for each order, the EARLIEST event of the
+    same user at or after the order date (``asof_join`` with
+    direction='forward' — same single-shuffle union/co-locate/
+    merge_asof dataflow as the backward twin)."""
+    from jerex_ray.ops.windows import asof_join
+    from jerex_ray.runtime import read_parquet_sized
+    orders = read_parquet_sized(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+    orders = orders.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "user_id"}),
+        batch_format="pandas")
+    events = read_parquet_sized(f"{sf_dir}/events.parquet",
+                                columns=["user_id", "ts", "value"])
+    out = asof_join(orders, events, key="user_id", left_ts="o_orderdate",
+                    right_ts="ts", right_cols=["value"],
+                    direction="forward").to_pandas()
+    out = out[["o_orderkey", "ts_right"]].rename(
+        columns={"ts_right": "next_event_ts"})
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["next_event_ts"] = pd.to_datetime(out["next_event_ts"]) \
+        .astype("datetime64[us]")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_events_value_mad(sf_dir: str):
+    """Robust scale statistics: median + median absolute deviation of
+    the event values — TWO passes of the shuffle-free exact-quantile
+    selector (``ops/quantiles.distributed_quantiles``): the first
+    finds the median, the second runs over |v − median| computed
+    vectorized per batch. Oracled against nested quantile_cont."""
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["value"])
+    med = distributed_quantiles(ds, "value", [0.5])[0]
+    dev = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"dev": (df["value"] - med).abs()}),
+        batch_format="pandas")
+    mad = distributed_quantiles(dev, "dev", [0.5])[0]
+    return pd.DataFrame({"med": [round(float(med), 6)],
+                         "mad": [round(float(mad), 6)]})
+
+
+def q_events_distinct_users_by_type(sf_dir: str):
+    """EXACT distinct users per event type (the exact twin of the
+    HLL-sketched ``q_events_hll_by_type``): distinct (type, user)
+    pairs via one combiner-backed grouped aggregate, then a count per
+    type over the pair-bounded result."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+    pairs = grouped_aggregate(ds, ["event_type", "user_id"],
+                              {"n": (None, "count")},
+                              result_hint="large")
+    out = grouped_aggregate(pairs, ["event_type"],
+                            {"n_users": (None, "count")}).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_part_triangles(sf_dir: str):
     """Per-node triangle counts over the part co-purchase graph (parts
     are adjacent iff they appear in the same order): the distributed
@@ -1772,6 +1838,9 @@ def build_queries() -> dict:
         "q_revenue_rollup": R.q_revenue_rollup,
         "q_user_presence": R.q_user_presence,
         "q_part_triangles": q_part_triangles,
+        "q_orders_next_event": q_orders_next_event,
+        "q_events_value_mad": q_events_value_mad,
+        "q_events_distinct_users_by_type": q_events_distinct_users_by_type,
         "kg_graph_edges": kg_graph_edges,
         "media_image_resize": media_image_resize,
         "q_events_checksum": q_events_checksum,
@@ -3211,6 +3280,25 @@ def _build_oracle_sql_literal() -> dict:
             FROM t
             WHERE wm IS NULL OR ts >= wm - INTERVAL 30 MINUTE
             GROUP BY 1 ORDER BY 1
+        """,
+        "q_orders_next_event": """
+            SELECT o_orderkey,
+                   (SELECT min(e.ts) FROM events e
+                    WHERE e.user_id = o.o_custkey
+                      AND e.ts >= o.o_orderdate) AS next_event_ts
+            FROM orders o ORDER BY o_orderkey
+        """,
+        "q_events_value_mad": """
+            SELECT round(quantile_cont(value, 0.5), 6) AS med,
+                   round(quantile_cont(abs(value -
+                       (SELECT quantile_cont(value, 0.5) FROM events)),
+                       0.5), 6) AS mad
+            FROM events
+        """,
+        "q_events_distinct_users_by_type": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q_part_triangles": """
             WITH e AS (

@@ -275,3 +275,25 @@ def test_watermark_tag_matches_sequential_reference_randomized():
                     want[row["event_id"]] = True
                 wm = row["ts"] if wm is None else max(wm, row["ts"])
         assert (got == want).all(), f"trial {trial}"
+
+
+def test_asof_join_forward_direction():
+    import ray.data as rd
+
+    from jerex_ray.ops.windows import asof_join
+
+    t0 = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({"k": [1, 1, 2], "lt": [t0, t0 + pd.Timedelta("2h"),
+                                                t0]})
+    right = pd.DataFrame({"k": [1, 1, 2],
+                          "rt": [t0 + pd.Timedelta("1h"),
+                                 t0 + pd.Timedelta("3h"),
+                                 t0 - pd.Timedelta("1h")],
+                          "v": [10.0, 20.0, 30.0]})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    key="k", left_ts="lt", right_ts="rt",
+                    right_cols=["v"], direction="forward").to_pandas()
+    out = out.sort_values(["k", "lt"]).reset_index(drop=True)
+    # k=1 @t0 → first right at-or-after = 1h (10.0); @2h → 3h (20.0);
+    # k=2 @t0 → nothing after → NaN
+    assert list(out["v"].fillna(-1)) == [10.0, 20.0, -1]
