@@ -253,3 +253,153 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
     res = pd.DataFrame(out)
     return res.sort_values(["query_idx", "adc_dist", "vec_id"]) \
         .reset_index(drop=True)
+
+
+# --- IVF-PQ with exact re-rank (Jégou et al. '11 §V: IVFADC) ---
+#
+# The composition the billion-scale systems actually deploy: a coarse
+# IVF quantizer prunes the corpus to n_probe cells, PQ codes of the
+# RESIDUAL (v − centroid(cell)) give 8-byte vectors inside cells, ADC
+# scans the probed cells' codes, and the top candidate pool is
+# re-ranked with exact cosine on the original vectors. Memory story at
+# 100 TB: the float corpus is read ONCE to encode; search touches only
+# the code table (~3 TB at m=8) plus a candidate-bounded exact gather.
+
+
+def ivfpq_encode(emb_ds, *, n_cells: int = 16, m: int = 8, kc: int = 16,
+                 sample: int = 20000, iters: int = 8, seed: int = 7,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Train coarse centroids + residual PQ codebooks on a sample,
+    then one streaming encode pass. Returns (codes_ds, centroids,
+    codebooks); codes_ds rows are (id, cell:int32, codes:uint8[m])."""
+    df = emb_ds.limit(sample).to_pandas()
+    mat = _normalize(_as_matrix(df[vec_col]).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    n_cells = min(n_cells, len(mat))
+    cents = _normalize(_lloyd(mat, n_cells, iters, rng))
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    resid = mat - cents[(mat @ cents.T).argmax(axis=1)]
+    books = np.stack([_lloyd(resid[:, j * sub:(j + 1) * sub], kc,
+                             iters, rng) for j in range(m)])
+    cents_ref = ray.put(cents)
+    books_ref = ray.put(books)
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref)
+        b = ray.get(books_ref)
+        vecs = _normalize(_as_matrix(batch[vec_col]).astype(np.float64))
+        cell = (vecs @ c.T).argmax(axis=1)
+        r = vecs - c[cell]
+        codes = np.empty((len(vecs), m), dtype=np.uint8)
+        for j in range(m):
+            x = r[:, j * sub:(j + 1) * sub]
+            dj = ((x[:, None, :] - b[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = dj.argmin(axis=1).astype(np.uint8)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "cell": cell.astype(np.int32),
+                             "codes": list(codes)})
+
+    codes_ds = emb_ds.map_batches(encode, batch_format="pandas",
+                                  batch_size=4096)
+    return codes_ds, cents, books
+
+
+def ivfpq_topk(emb_ds, queries: np.ndarray, *, k: int = 10,
+               n_cells: int = 16, n_probe: int = 4, m: int = 8,
+               kc: int = 16, rerank: int = 4, seed: int = 7,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> pd.DataFrame:
+    """IVF-ADC search + exact re-rank: probe the n_probe nearest
+    cells, ADC-scan their codes (per-cell residual LUTs), pool
+    ``k * rerank`` candidates per query, then ONE broadcast-filter
+    pass gathers the candidates' float vectors for an exact cosine
+    re-rank. Returns (query_idx, vec_id, cosine) — the cosines are
+    exact; only recall is approximate."""
+    import heapq
+
+    codes_ds, cents, books = ivfpq_encode(
+        emb_ds, n_cells=n_cells, m=m, kc=kc, seed=seed,
+        id_col=id_col, vec_col=vec_col)
+    codes_ds = codes_ds.materialize()     # encoded once, scanned once
+    n_cells = len(cents)
+    sub = books.shape[2]
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :min(n_probe, n_cells)]
+    # residual LUT per (query, probed cell): ||(q − c)_j − cb[j,·]||²
+    Q, P = probe.shape
+    luts = np.empty((Q, P, books.shape[0], kc))
+    for qi in range(Q):
+        for pi in range(P):
+            r = qn[qi] - cents[probe[qi, pi]]
+            for j in range(books.shape[0]):
+                luts[qi, pi, j] = ((r[j * sub:(j + 1) * sub][None, :]
+                                    - books[j]) ** 2).sum(axis=1)
+    search_ref = ray.put((probe, luts))
+    pool = k * rerank
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        pr, lt = ray.get(search_ref)
+        codes = np.stack(batch["codes"].to_numpy()).astype(np.int64)
+        cell = batch["cell"].to_numpy()
+        ids = batch[id_col].to_numpy()
+        mm = codes.shape[1]
+        rows_q, rows_v, rows_d = [], [], []
+        for qi in range(pr.shape[0]):
+            for pi, c in enumerate(pr[qi]):
+                sel = np.flatnonzero(cell == c)
+                if not sel.size:
+                    continue
+                dist = lt[qi, pi][np.arange(mm)[None, :],
+                                  codes[sel]].sum(axis=1)
+                kk = min(pool, dist.size)
+                idx = np.argpartition(dist, kk - 1)[:kk]
+                rows_q.append(np.full(kk, qi))
+                rows_v.append(ids[sel][idx])
+                rows_d.append(dist[idx])
+        if not rows_q:
+            return pd.DataFrame({"query_idx": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "adc_dist": pd.Series(dtype="float64")})
+        return pd.DataFrame({"query_idx": np.concatenate(rows_q),
+                             "vec_id": np.concatenate(rows_v),
+                             "adc_dist": np.concatenate(rows_d)})
+
+    partials = codes_ds.map_batches(local, batch_format="pandas",
+                                    batch_size=8192).to_pandas()
+    cand: dict[int, set] = {}
+    for qi, g in partials.groupby("query_idx"):
+        top = heapq.nsmallest(pool, g.itertuples(index=False),
+                              key=lambda r: (r.adc_dist, r.vec_id))
+        cand[int(qi)] = {int(t.vec_id) for t in top}
+    all_ids = set().union(*cand.values()) if cand else set()
+    ids_ref = ray.put(all_ids)
+
+    # exact re-rank: one broadcast-filter pass gathers candidate
+    # vectors (candidate-bounded: ≤ Q·k·rerank rows)
+    def gather(batch: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(ids_ref)
+        sel = batch[batch[id_col].isin(want)]
+        return pd.DataFrame({id_col: sel[id_col].to_numpy(),
+                             "vec": list(_normalize(
+                                 _as_matrix(sel[vec_col])))})
+
+    got = emb_ds.map_batches(gather, batch_format="pandas",
+                             batch_size=4096).to_pandas()
+    if got.empty:
+        return pd.DataFrame(columns=["query_idx", "vec_id", "cosine"])
+    vec_by_id = dict(zip(got[id_col], got["vec"]))
+    out = []
+    for qi, ids_set in sorted(cand.items()):
+        ids_l = sorted(ids_set)
+        mat = np.stack([vec_by_id[i] for i in ids_l])
+        sims = mat @ qn[qi]
+        order = np.lexsort((ids_l, -sims))[:k]
+        for oi in order:
+            out.append((qi, ids_l[oi], float(sims[oi])))
+    res = pd.DataFrame(out, columns=["query_idx", "vec_id", "cosine"])
+    return res.sort_values(["query_idx", "cosine", "vec_id"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)

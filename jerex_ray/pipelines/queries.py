@@ -1428,6 +1428,23 @@ def ann_ivf_topk(sf_dir: str):
         .sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
 
 
+def ann_ivfpq_topk(sf_dir: str):
+    """IVF-PQ with exact re-rank (IVFADC, Jégou '11 §V) — the
+    composed billion-scale ANN path: coarse cells prune, residual PQ
+    codes scan, a candidate-bounded exact pass re-ranks. Rows-only
+    (recall < 1 by design; returned cosines are exact and the recall
+    floor is pytest-gated, test_ivfpq_topk_recall_and_exact_cosines)."""
+    from jerex_ray.ops.ann import ivfpq_topk
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    queries, qids = _query_vectors(sf_dir)
+    out = ivfpq_topk(ds, queries, k=5, m=8)
+    out["query_idx"] = qids[out["query_idx"].to_numpy()]
+    return out[["query_idx", "vec_id"]].astype("int64") \
+        .sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
+
+
 # ---------- windowed / time-ordered queries ----------
 
 def q_events_sliding(sf_dir: str):
@@ -1787,6 +1804,7 @@ def build_queries() -> dict:
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
         "emb_pq_topk": emb_pq_topk,
         "emb_near_dups": emb_near_dups,
         "emb_near_dups_lsh": emb_near_dups_lsh,

@@ -766,3 +766,34 @@ def test_link_entities_duplicate_kb_norm_smallest_id_wins():
         rd.from_pandas(pd.DataFrame({"entity_id": [1], "norm": ["acme"]})),
         kb).to_pandas()
     assert list(out["kb_id"]) == [3]
+
+
+def test_ivfpq_topk_recall_and_exact_cosines():
+    import ray.data as rd
+
+    from jerex_ray.ops.ann import brute_force_topk, ivfpq_topk
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((500, 16)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": range(500), "embedding": [v.tolist() for v in vecs]}))
+    queries = vecs[:4] + 0.01 * rng.standard_normal((4, 16)) \
+        .astype(np.float32)
+    exact = brute_force_topk(ds, queries, k=5)
+    approx = ivfpq_topk(ds, queries, k=5, n_cells=8, n_probe=4,
+                        m=4, kc=16, rerank=8)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    hits = 0
+    for qi in range(4):
+        e = set(exact[exact["query_idx"] == qi]["vec_id"])
+        sub = approx[approx["query_idx"] == qi]
+        a = set(sub["vec_id"])
+        hits += len(e & a)
+        # the returned cosines are EXACT (re-rank contract)
+        for _, r in sub.iterrows():
+            true_cos = float(qn[qi] @ vn[int(r["vec_id"])])
+            assert abs(true_cos - r["cosine"]) < 1e-6
+        # self-vector found (nearest cell is probed first)
+        assert qi in a
+    assert hits / 20 >= 0.5
