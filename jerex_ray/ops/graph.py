@@ -173,19 +173,8 @@ def triangle_counts(edges_ds, *, src: str = "a", dst: str = "b",
 
     np_ = shuffle_partitions(num_partitions)
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[src].to_numpy()
-        b = df[dst].to_numpy()
-        keep = a != b                         # drop self-loops
-        a, b = a[keep], b[keep]
-        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
-
-    edges = grouped_aggregate(
-        edges_ds.map_batches(canon, batch_format="pandas"),
-        ["a", "b"], {"n": (None, "count")},
-        num_partitions=num_partitions, result_hint="large") \
-        .map_batches(lambda df: df[["a", "b"]], batch_format="pandas") \
-        .materialize()
+    edges = _canonical_edges(edges_ds, src=src, dst=dst,
+                             num_partitions=num_partitions)
     # a self-loop-only or empty input leaves ZERO canonical edges, and
     # all-empty partitions lose their schema through Dataset.join (the
     # same library edge the wedge sentinel below works around) — an
@@ -273,4 +262,100 @@ def triangle_counts(edges_ds, *, src: str = "a", dst: str = "b",
     return grouped_aggregate(
         closed.map_batches(corners, batch_format="pandas"),
         ["node"], {"n_triangles": (None, "count")},
+        num_partitions=num_partitions, result_hint="large")
+
+
+def _canonical_edges(edges_ds, *, src: str, dst: str,
+                     num_partitions: int | None = None):
+    """Dedup + canonicalize an undirected edge list: (a<b), self-loops
+    dropped, one row per edge — the shared front door of
+    ``triangle_counts`` and ``kcore``. Returns a MATERIALIZED Dataset
+    (every caller iterates it)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src].to_numpy()
+        b = df[dst].to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+    return grouped_aggregate(
+        edges_ds.map_batches(canon, batch_format="pandas"),
+        ["a", "b"], {"n": (None, "count")},
+        num_partitions=num_partitions, result_hint="large") \
+        .map_batches(lambda df: df[["a", "b"]], batch_format="pandas") \
+        .materialize()
+
+
+def kcore(edges_ds, *, k: int, src: str = "a", dst: str = "b",
+          max_rounds: int = 8, num_partitions: int | None = None):
+    """Nodes of the k-core (the maximal subgraph where every node has
+    degree ≥ k) with their in-core degrees, by iterative peeling
+    (Matula & Beck '83): each round drops nodes below k and the edges
+    touching them, until a fixpoint or ``max_rounds``.
+
+    BSP shape, same as ``functions/components.py``: per round one
+    combiner-backed degree aggregate + two hash joins filter the edge
+    Dataset against the surviving-node Dataset — node membership never
+    becomes a driver-side set. Rounds materialize their (shrinking)
+    edge table; the round count on real graphs is small (the peel
+    cascades). An unconverged exit logs a warning (the result is then
+    "after max_rounds peels", a superset of the true k-core).
+
+    k-core is the standard near-dup-graph cleaner: spam rings and
+    template farms form high-core clusters that survive peeling while
+    organic near-dup pairs (core 1) fall out.
+    """
+    import logging
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import shuffle_partitions
+
+    np_ = shuffle_partitions(num_partitions)
+    edges = _canonical_edges(edges_ds, src=src, dst=dst,
+                             num_partitions=num_partitions)
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [df["a"].to_numpy(), df["b"].to_numpy()])})
+
+    def empty_result():
+        import ray
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node": pd.Series(dtype="int64"),
+             "deg": pd.Series(dtype="int64")}))
+
+    n_edges = edges.count()
+    if n_edges == 0:
+        return empty_result()
+    deg = None
+    for rnd in range(max_rounds):
+        deg = grouped_aggregate(
+            edges.map_batches(endpoints, batch_format="pandas"),
+            ["node"], {"deg": (None, "count")},
+            num_partitions=num_partitions, result_hint="large")
+        alive = deg.map_batches(lambda df: df[df["deg"] >= k][["node"]],
+                                batch_format="pandas").materialize()
+        if alive.count() == 0:
+            return empty_result()
+        kept = edges.join(alive, join_type="inner", num_partitions=np_,
+                          on=("a",), right_on=("node",)) \
+            .join(alive, join_type="inner", num_partitions=np_,
+                  on=("b",), right_on=("node",)) \
+            .map_batches(lambda df: df[["a", "b"]],
+                         batch_format="pandas").materialize()
+        n_kept = kept.count()
+        if n_kept == n_edges:          # fixpoint: nobody fell below k
+            break
+        edges, n_edges = kept, n_kept
+    else:
+        logging.getLogger(__name__).warning(
+            "kcore: max_rounds=%d reached without a fixpoint — result "
+            "is the %d-round peel (a superset of the true %d-core)",
+            max_rounds, max_rounds, k)
+    # final degrees over the surviving edges
+    return grouped_aggregate(
+        edges.map_batches(endpoints, batch_format="pandas"),
+        ["node"], {"deg": (None, "count")},
         num_partitions=num_partitions, result_hint="large")

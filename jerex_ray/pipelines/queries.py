@@ -1615,6 +1615,36 @@ def q_events_cms_counts(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_part_kcore(sf_dir: str):
+    """k-core of the part co-purchase graph (k=80): BSP iterative
+    peeling (``ops/graph.kcore``) — per round a combiner degree
+    aggregate + two hash joins against the surviving-node Dataset.
+    Converges in ~5 rounds on this graph; the SQL oracle replays
+    exactly max_rounds=8 chained peel CTEs (a converged fixpoint makes
+    the extra rounds no-ops on both sides)."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.ops.graph import kcore
+    from jerex_ray.runtime import read_parquet_sized
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"a": m["l_partkey_x"].to_numpy(),
+                             "b": m["l_partkey_y"].to_numpy()})
+
+    edges = grouped_apply(li, ["l_orderkey"], pairs_block)
+    out = kcore(edges, k=80, max_rounds=8).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["deg"] = out["deg"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_events_stream_late(sf_dir: str):
     """Streaming-window late-data side channel: per-shard watermarks
     (``id % 8`` partitioned log), arrival = ts + md5-jitter, allowed
@@ -1856,6 +1886,7 @@ def build_queries() -> dict:
         "q_revenue_rollup": R.q_revenue_rollup,
         "q_user_presence": R.q_user_presence,
         "q_part_triangles": q_part_triangles,
+        "q_part_kcore": q_part_kcore,
         "q_orders_next_event": q_orders_next_event,
         "q_events_value_mad": q_events_value_mad,
         "q_events_distinct_users_by_type": q_events_distinct_users_by_type,
@@ -1995,6 +2026,38 @@ def _canonical_entities_sql(where: str = "TRUE") -> str:
                    tot.n_occurrences
             FROM top JOIN tot USING (entity_id) WHERE rk = 1
     """
+
+
+def _kcore_oracle_sql(k: int = 80, rounds: int = 8) -> str:
+    """Chained-CTE replay of ``q_part_kcore``: the co-purchase edge
+    CTE, then one (degree → alive → filtered-edge) CTE triple per peel
+    round, finally the surviving nodes with in-core degrees."""
+    # AS MATERIALIZED: without it DuckDB inlines every CTE reference,
+    # re-opening the parquet once per mention — 8 chained rounds blow
+    # the open-file limit and redo the self-join 2^8 times
+    sql = """
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        )"""
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+        d{r} AS MATERIALIZED (SELECT u, count(*) AS dg FROM (
+            SELECT a AS u FROM {prev} UNION ALL SELECT b FROM {prev})
+            GROUP BY u),
+        a{r} AS MATERIALIZED (SELECT u FROM d{r} WHERE dg >= {k}),
+        e{r} AS MATERIALIZED (SELECT a, b FROM {prev}
+                 WHERE a IN (SELECT u FROM a{r})
+                   AND b IN (SELECT u FROM a{r}))"""
+        prev = f"e{r}"
+    sql += f"""
+        SELECT u AS node, count(*) AS deg FROM (
+            SELECT a AS u FROM {prev} UNION ALL SELECT b FROM {prev})
+        GROUP BY u ORDER BY node"""
+    return sql
 
 
 def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
@@ -3318,6 +3381,7 @@ def _build_oracle_sql_literal() -> dict:
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "q_part_kcore": _kcore_oracle_sql(k=80, rounds=8),
         "q_part_triangles": """
             WITH e AS (
                 SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b

@@ -359,3 +359,46 @@ def test_triangle_counts_self_loops_only_is_empty():
     # edge, documented in the verify notes) — the contract is "no
     # rows, no crash"
     assert len(out) == 0
+
+
+# ---------- k-core ----------
+
+def _brute_kcore(edges, k):
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        from collections import Counter
+        deg = Counter()
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        drop = {u for u, d in deg.items() if d < k}
+        if not drop:
+            return {u: d for u, d in deg.items()}
+        es = {(a, b) for a, b in es if a not in drop and b not in drop}
+
+
+def test_kcore_matches_brute_force():
+    from jerex_ray.ops.graph import kcore
+
+    rng = np.random.default_rng(23)
+    edges = [tuple(rng.integers(0, 25, 2)) for _ in range(120)]
+    got = kcore(rd.from_pandas(pd.DataFrame(
+        {"a": [a for a, _ in edges], "b": [b for _, b in edges]})),
+        k=4, max_rounds=30).to_pandas()
+    want = _brute_kcore(edges, 4)
+    assert dict(zip(got["node"].astype(int),
+                    got["deg"].astype(int))) == want
+
+
+def test_kcore_cascade_peels_chain_to_nothing():
+    from jerex_ray.ops.graph import kcore
+
+    # a path graph has empty 2-core: every peel removes the endpoints
+    chain = pd.DataFrame({"a": range(9), "b": range(1, 10)})
+    out = kcore(rd.from_pandas(chain), k=2, max_rounds=10).to_pandas()
+    assert len(out) == 0
+    # a cycle IS its own 2-core (fixpoint in one round)
+    cyc = pd.DataFrame({"a": list(range(10)),
+                        "b": [(i + 1) % 10 for i in range(10)]})
+    out = kcore(rd.from_pandas(cyc), k=2, max_rounds=10).to_pandas()
+    assert len(out) == 10 and (out["deg"] == 2).all()
