@@ -214,6 +214,75 @@ def kg_mentions(sf_dir: str):
             .reset_index(drop=True)
 
 
+def kg_distant_supervision(sf_dir: str):
+    """Distant-supervision relation labeling (Mintz et al. ACL'09):
+    entity pairs co-occurring in a corpus document are labeled with
+    the relation a KB asserts for them — here the KB is the PER×ORG
+    co-occurrence pairs of the ``doc_id % 3 == 0`` shard. The classic
+    silver-training-data generator for relation extractors. Dataflow:
+    one rule-mention actor pass → distinct per-doc typed entities →
+    per-doc pair generation (co-located self-merge) → broadcast
+    semi-join against the KB pair set (KB-bounded). The SQL oracle
+    rebuilds both sides from the shared mention-runs CTE."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+
+    def doc_entities(docs):
+        rows = docs.map_batches(
+            _CapMentionStage, batch_format="pandas", batch_size=4096,
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"mode": "doc_norms"})
+        return grouped_aggregate(rows, ["doc_id", "norm", "entity_type"],
+                                 {"n": (None, "count")},
+                                 result_hint="large")
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "subj_norm": pd.Series(dtype="object"),
+                                 "obj_norm": pd.Series(dtype="object")})
+        per = df[df["entity_type"] == "PER"][["doc_id", "norm"]]
+        org = df[df["entity_type"] == "ORG"][["doc_id", "norm"]]
+        m = per.merge(org, on="doc_id", suffixes=("_s", "_o"))
+        return pd.DataFrame({"doc_id": m["doc_id"].to_numpy(),
+                             "subj_norm": m["norm_s"].to_numpy(),
+                             "obj_norm": m["norm_o"].to_numpy()})
+
+    corpus = doc_entities(read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+    kb_docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"]).map_batches(
+        lambda df: df[df["doc_id"] % 3 == 0], batch_format="pandas")
+    kb = doc_entities(kb_docs).to_pandas()
+    kb_pairs = set(map(tuple, pairs_block(kb)
+                       [["subj_norm", "obj_norm"]].values))
+    import ray
+    kb_ref = ray.put(kb_pairs)
+
+    cand = grouped_apply(corpus, ["doc_id"], pairs_block)
+
+    def against_kb(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = ray.get(kb_ref)
+        keep = [(s, o) in pairs for s, o in
+                zip(df["subj_norm"], df["obj_norm"])]
+        out = df[np.asarray(keep, dtype=bool)].copy() if len(df) else df
+        out["rel"] = "works_at"
+        return out
+
+    out = cand.map_batches(against_kb, batch_format="pandas").to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "subj_norm": pd.Series(dtype="object"),
+                            "obj_norm": pd.Series(dtype="object"),
+                            "rel": pd.Series(dtype="object")})
+    out = out.drop_duplicates(["doc_id", "subj_norm", "obj_norm"])
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "subj_norm", "obj_norm", "rel"]] \
+        .sort_values(["doc_id", "subj_norm", "obj_norm"]) \
+        .reset_index(drop=True)
+
+
 def kg_graph_edges(sf_dir: str):
     """The materialized KG edge table (north rule "graph materialize"):
     distinct (subj_id, pred, obj_id) with conversation support counts
@@ -291,9 +360,17 @@ class _CapMentionStage:
                     ends.append(e)
                 else:
                     surface = " ".join(toks[s:e])
+                    ids.append(doc_id)
                     surfaces.append(surface)
                     norms.append(surface.lower())
                     etypes.append(entity_type_of(toks[s:e]))
+        if self.mode == "doc_norms":
+            # per-doc typed mentions (distant supervision / per-doc
+            # entity sets); dedup happens downstream
+            return pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "norm": pd.Series(norms, dtype="object"),
+                "entity_type": pd.Series(etypes, dtype="object")})
         if self.mode == "spans":
             return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                                  "m_start": pd.Series(starts, dtype="int64"),
@@ -1890,6 +1967,7 @@ def build_queries() -> dict:
         "q_orders_next_event": q_orders_next_event,
         "q_events_value_mad": q_events_value_mad,
         "q_events_distinct_users_by_type": q_events_distinct_users_by_type,
+        "kg_distant_supervision": kg_distant_supervision,
         "kg_graph_edges": kg_graph_edges,
         "media_image_resize": media_image_resize,
         "q_events_checksum": q_events_checksum,
@@ -1938,13 +2016,13 @@ _EXACT_JACCARD_EDGES_SQL = """
 """
 
 
-def _canonical_entities_sql(where: str = "TRUE") -> str:
-    """SQL reconstruction of the canonical entity table
-    (``doc_entity_canonical``) over ``documents`` rows matching
-    ``where`` — shared by the canonicalization oracle and the entity
-    linking oracle (which builds its KB from a doc shard). Emits
-    (entity_id, norm, surface, entity_type, n_occurrences), unordered
-    (callers append ORDER BY)."""
+def _doc_mentions_sql(where: str = "TRUE") -> str:
+    """Per-document mention runs over ``documents`` rows matching
+    ``where``: the gaps-and-islands reconstruction of the rule mention
+    localizer, one row per mention with its typed normalized surface —
+    (doc_id, surface, norm, entity_type). The shared base of the
+    canonicalization, entity-linking, and distant-supervision
+    oracles."""
     return f"""
             WITH w AS (
                 SELECT doc_id, list_filter(
@@ -1986,7 +2064,7 @@ def _canonical_entities_sql(where: str = "TRUE") -> str:
                 HAVING count(*) <= 10
             ),
             m AS (
-                SELECT surface, lower(surface) AS norm,
+                SELECT doc_id, surface, lower(surface) AS norm,
                        CASE WHEN last_tok IN ('Corp','Inc','Labs',
                                 'Systems','Group','Ltd') THEN 'ORG'
                             WHEN last_tok LIKE '%Tool' THEN 'TOOL'
@@ -2004,13 +2082,26 @@ def _canonical_entities_sql(where: str = "TRUE") -> str:
                                 THEN 'LOC'
                             ELSE 'PER' END AS entity_type
                 FROM runs
-            ),
+            )
+            SELECT doc_id, surface, norm, entity_type FROM m
+    """
+
+
+def _canonical_entities_sql(where: str = "TRUE") -> str:
+    """SQL reconstruction of the canonical entity table
+    (``doc_entity_canonical``) over ``documents`` rows matching
+    ``where`` — shared by the canonicalization oracle and the entity
+    linking oracle (which builds its KB from a doc shard). Emits
+    (entity_id, norm, surface, entity_type, n_occurrences), unordered
+    (callers append ORDER BY)."""
+    return f"""
+            WITH m AS ({_doc_mentions_sql(where)}),
             counts AS (
                 SELECT CAST(CAST('0x' || substr(md5(norm), 1, 16)
                             AS UBIGINT) % 9223372036854775808 AS BIGINT)
                            AS entity_id,
                        norm, surface, entity_type, count(*) AS n
-                FROM m GROUP BY ALL
+                FROM m GROUP BY entity_id, norm, surface, entity_type
             ),
             tot AS (
                 SELECT entity_id, CAST(sum(n) AS BIGINT) AS n_occurrences
@@ -3187,6 +3278,27 @@ def _build_oracle_sql_literal() -> dict:
                     WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
                        AS last_event_ts
             FROM orders o ORDER BY o_orderkey
+        """,
+        "kg_distant_supervision": f"""
+            WITH dm AS ({_doc_mentions_sql()}),
+            de AS (SELECT DISTINCT doc_id, norm, entity_type FROM dm),
+            kbm AS (SELECT DISTINCT doc_id, norm, entity_type
+                    FROM ({_doc_mentions_sql("doc_id % 3 = 0")})),
+            kb_pairs AS (
+                SELECT DISTINCT p.norm AS subj_norm, o.norm AS obj_norm
+                FROM kbm p JOIN kbm o ON p.doc_id = o.doc_id
+                WHERE p.entity_type = 'PER' AND o.entity_type = 'ORG'),
+            cand AS (
+                SELECT d1.doc_id, d1.norm AS subj_norm,
+                       d2.norm AS obj_norm
+                FROM de d1 JOIN de d2 ON d1.doc_id = d2.doc_id
+                WHERE d1.entity_type = 'PER'
+                  AND d2.entity_type = 'ORG')
+            SELECT DISTINCT c.doc_id, c.subj_norm, c.obj_norm,
+                   'works_at' AS rel
+            FROM cand c JOIN kb_pairs k
+              ON c.subj_norm = k.subj_norm AND c.obj_norm = k.obj_norm
+            ORDER BY c.doc_id, c.subj_norm, c.obj_norm
         """,
         "kg_entity_link": f"""
             WITH corpus AS ({_canonical_entities_sql()}),
