@@ -283,6 +283,82 @@ def kg_distant_supervision(sf_dir: str):
         .reset_index(drop=True)
 
 
+def kg_distant_negatives(sf_dir: str):
+    """The negative half of the distant-supervision training set
+    (Mintz '09 §4): co-occurring PER×ORG pairs the KB does NOT
+    assert, capped at 2 per document by a deterministic md5 priority
+    (negative sampling must be reproducible across reruns and
+    shards — no RNG). Same dataflow as ``kg_distant_supervision``
+    with the broadcast set flipped to an anti-join + a vectorized
+    per-doc top-k."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+
+    def doc_entities(docs):
+        rows = docs.map_batches(
+            _CapMentionStage, batch_format="pandas", batch_size=4096,
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"mode": "doc_norms"})
+        return grouped_aggregate(rows, ["doc_id", "norm", "entity_type"],
+                                 {"n": (None, "count")},
+                                 result_hint="large")
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "subj_norm": pd.Series(dtype="object"),
+                                 "obj_norm": pd.Series(dtype="object")})
+        per = df[df["entity_type"] == "PER"][["doc_id", "norm"]]
+        org = df[df["entity_type"] == "ORG"][["doc_id", "norm"]]
+        m = per.merge(org, on="doc_id", suffixes=("_s", "_o"))
+        return pd.DataFrame({"doc_id": m["doc_id"].to_numpy(),
+                             "subj_norm": m["norm_s"].to_numpy(),
+                             "obj_norm": m["norm_o"].to_numpy()})
+
+    corpus = doc_entities(read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+    kb_docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"]).map_batches(
+        lambda df: df[df["doc_id"] % 3 == 0], batch_format="pandas")
+    kb = doc_entities(kb_docs).to_pandas()
+    kb_pairs = set(map(tuple, pairs_block(kb)
+                       [["subj_norm", "obj_norm"]].values))
+    import ray
+    kb_ref = ray.put(kb_pairs)
+
+    def negatives_block(df: pd.DataFrame) -> pd.DataFrame:
+        from jerex_ray.util import md5_hash64_batch
+        pairs = pairs_block(df).drop_duplicates(
+            ["doc_id", "subj_norm", "obj_norm"])
+        if pairs.empty:
+            pairs["priority"] = pd.Series(dtype="uint64")
+            return pairs
+        known = ray.get(kb_ref)
+        keep = [(s, o) not in known for s, o in
+                zip(pairs["subj_norm"], pairs["obj_norm"])]
+        neg = pairs[np.asarray(keep, dtype=bool)].copy()
+        if neg.empty:
+            neg["priority"] = pd.Series(dtype="uint64")
+            return neg
+        neg["priority"] = md5_hash64_batch(
+            neg["doc_id"].astype(str) + "|" + neg["subj_norm"]
+            + "|" + neg["obj_norm"])
+        neg = neg.sort_values(["doc_id", "priority", "subj_norm",
+                               "obj_norm"])
+        return neg.groupby("doc_id", sort=False).head(2)
+
+    out = grouped_apply(corpus, ["doc_id"], negatives_block).to_pandas()
+    if "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "subj_norm": pd.Series(dtype="object"),
+                             "obj_norm": pd.Series(dtype="object")})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "subj_norm", "obj_norm"]] \
+        .sort_values(["doc_id", "subj_norm", "obj_norm"]) \
+        .reset_index(drop=True)
+
+
 def kg_graph_edges(sf_dir: str):
     """The materialized KG edge table (north rule "graph materialize"):
     distinct (subj_id, pred, obj_id) with conversation support counts
@@ -1968,6 +2044,7 @@ def build_queries() -> dict:
         "q_events_value_mad": q_events_value_mad,
         "q_events_distinct_users_by_type": q_events_distinct_users_by_type,
         "kg_distant_supervision": kg_distant_supervision,
+        "kg_distant_negatives": kg_distant_negatives,
         "kg_graph_edges": kg_graph_edges,
         "media_image_resize": media_image_resize,
         "q_events_checksum": q_events_checksum,
@@ -3299,6 +3376,39 @@ def _build_oracle_sql_literal() -> dict:
             FROM cand c JOIN kb_pairs k
               ON c.subj_norm = k.subj_norm AND c.obj_norm = k.obj_norm
             ORDER BY c.doc_id, c.subj_norm, c.obj_norm
+        """,
+        "kg_distant_negatives": f"""
+            WITH dm AS ({_doc_mentions_sql()}),
+            de AS (SELECT DISTINCT doc_id, norm, entity_type FROM dm),
+            kbm AS (SELECT DISTINCT doc_id, norm, entity_type
+                    FROM ({_doc_mentions_sql("doc_id % 3 = 0")})),
+            kb_pairs AS (
+                SELECT DISTINCT p.norm AS subj_norm, o.norm AS obj_norm
+                FROM kbm p JOIN kbm o ON p.doc_id = o.doc_id
+                WHERE p.entity_type = 'PER' AND o.entity_type = 'ORG'),
+            cand AS (
+                SELECT DISTINCT d1.doc_id, d1.norm AS subj_norm,
+                       d2.norm AS obj_norm
+                FROM de d1 JOIN de d2 ON d1.doc_id = d2.doc_id
+                WHERE d1.entity_type = 'PER'
+                  AND d2.entity_type = 'ORG'),
+            neg AS (
+                SELECT c.* FROM cand c
+                ANTI JOIN kb_pairs k
+                  ON c.subj_norm = k.subj_norm
+                 AND c.obj_norm = k.obj_norm),
+            ranked AS (
+                SELECT doc_id, subj_norm, obj_norm,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY
+                           CAST('0x' || substr(md5(
+                               CAST(doc_id AS VARCHAR) || '|' ||
+                               subj_norm || '|' || obj_norm), 1, 16)
+                               AS UBIGINT),
+                           subj_norm, obj_norm) AS rk
+                FROM neg)
+            SELECT doc_id, subj_norm, obj_norm
+            FROM ranked WHERE rk <= 2
+            ORDER BY doc_id, subj_norm, obj_norm
         """,
         "kg_entity_link": f"""
             WITH corpus AS ({_canonical_entities_sql()}),
