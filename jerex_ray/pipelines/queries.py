@@ -359,6 +359,69 @@ def kg_distant_negatives(sf_dir: str):
         .reset_index(drop=True)
 
 
+def kg_pair_pmi(sf_dir: str):
+    """Pointwise mutual information of PER×ORG document co-occurrence
+    — the classic association score for ranking candidate KG edges
+    (Church & Hanks '90): pmi = ln(N·c(s,o) / (df(s)·df(o))) over
+    per-document entity sets. All three count tables come from
+    combiner-backed aggregates; the entity document frequencies (a
+    vocabulary-bounded table) broadcast into the final vectorized
+    score pass."""
+    import math
+
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    n_docs = docs.count()
+    rows = docs.map_batches(
+        _CapMentionStage, batch_format="pandas", batch_size=4096,
+        concurrency=(1, 4), fn_constructor_kwargs={"mode": "doc_norms"})
+    de = grouped_aggregate(rows, ["doc_id", "norm", "entity_type"],
+                           {"n": (None, "count")}, result_hint="large") \
+        .materialize()
+
+    # document frequency per (norm, type) — vocabulary-bounded
+    df_tbl = grouped_aggregate(de, ["norm", "entity_type"],
+                               {"df": (None, "count")}).to_pandas()
+    df_map = dict(zip(df_tbl["norm"], df_tbl["df"].astype(int)))
+    df_ref = ray.put(df_map)
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        per = df[df["entity_type"] == "PER"][["doc_id", "norm"]]
+        org = df[df["entity_type"] == "ORG"][["doc_id", "norm"]]
+        m = per.merge(org, on="doc_id", suffixes=("_s", "_o"))
+        return pd.DataFrame({"subj_norm": m["norm_s"].to_numpy(),
+                             "obj_norm": m["norm_o"].to_numpy()})
+
+    pair_counts = grouped_aggregate(
+        grouped_apply(de, ["doc_id"], pairs_block),
+        ["subj_norm", "obj_norm"], {"n_ab": (None, "count")},
+        result_hint="large")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dfm = ray.get(df_ref)
+        if df.empty:
+            out = df.copy()
+            out["pmi"] = pd.Series(dtype="float64")
+            return out
+        s = df["subj_norm"].map(dfm).to_numpy(np.float64)
+        o = df["obj_norm"].map(dfm).to_numpy(np.float64)
+        out = df.copy()
+        out["pmi"] = np.round(np.log(
+            n_docs * df["n_ab"].to_numpy(np.float64) / (s * o)), 6)
+        return out
+
+    out = pair_counts.map_batches(score, batch_format="pandas") \
+        .to_pandas()
+    out["n_ab"] = out["n_ab"].astype("int64")
+    return out.sort_values(["subj_norm", "obj_norm"]) \
+        .reset_index(drop=True)
+
+
 def kg_graph_edges(sf_dir: str):
     """The materialized KG edge table (north rule "graph materialize"):
     distinct (subj_id, pred, obj_id) with conversation support counts
@@ -2044,6 +2107,7 @@ def build_queries() -> dict:
         "q_events_value_mad": q_events_value_mad,
         "q_events_distinct_users_by_type": q_events_distinct_users_by_type,
         "kg_distant_supervision": kg_distant_supervision,
+        "kg_pair_pmi": kg_pair_pmi,
         "kg_distant_negatives": kg_distant_negatives,
         "kg_graph_edges": kg_graph_edges,
         "media_image_resize": media_image_resize,
@@ -3376,6 +3440,28 @@ def _build_oracle_sql_literal() -> dict:
             FROM cand c JOIN kb_pairs k
               ON c.subj_norm = k.subj_norm AND c.obj_norm = k.obj_norm
             ORDER BY c.doc_id, c.subj_norm, c.obj_norm
+        """,
+        "kg_pair_pmi": f"""
+            WITH dm AS ({_doc_mentions_sql()}),
+            de AS (SELECT DISTINCT doc_id, norm, entity_type FROM dm),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            dfreq AS (SELECT norm, count(DISTINCT doc_id) AS df
+                      FROM de GROUP BY norm),
+            pairs AS (
+                SELECT d1.norm AS subj_norm, d2.norm AS obj_norm,
+                       count(*) AS n_ab
+                FROM de d1 JOIN de d2 ON d1.doc_id = d2.doc_id
+                WHERE d1.entity_type = 'PER'
+                  AND d2.entity_type = 'ORG'
+                GROUP BY d1.norm, d2.norm)
+            SELECT p.subj_norm, p.obj_norm,
+                   CAST(p.n_ab AS BIGINT) AS n_ab,
+                   round(ln(n.n_docs * p.n_ab /
+                            (ds.df * dobj.df)), 6) AS pmi
+            FROM pairs p, n
+            JOIN dfreq ds ON ds.norm = p.subj_norm
+            JOIN dfreq dobj ON dobj.norm = p.obj_norm
+            ORDER BY p.subj_norm, p.obj_norm
         """,
         "kg_distant_negatives": f"""
             WITH dm AS ({_doc_mentions_sql()}),
