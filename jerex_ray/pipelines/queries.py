@@ -422,6 +422,20 @@ def kg_pair_pmi(sf_dir: str):
         .reset_index(drop=True)
 
 
+def doc_redact_persons(sf_dir: str):
+    """PII scrubbing: every PER-typed rule mention replaced by
+    ``[NAME]`` (``_RedactStage`` actor pool; tokens re-joined with
+    single spaces — the canonical reassembly). The SQL oracle rebuilds
+    the identical redacted string from the shared mention-runs CTE
+    plus a per-position PER-run membership join."""
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = ds.map_batches(_RedactStage, batch_format="pandas",
+                         batch_size=4096, concurrency=(1, 4)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def kg_graph_edges(sf_dir: str):
     """The materialized KG edge table (north rule "graph materialize"):
     distinct (subj_id, pred, obj_id) with conversation support counts
@@ -527,6 +541,44 @@ class _CapMentionStage:
             "norm": norms, "surface": surfaces, "entity_type": etypes})
         return df.groupby(["entity_id", "norm", "surface", "entity_type"],
                           sort=False).size().reset_index(name="n")
+
+
+class _RedactStage:
+    """Actor-pool PII scrubber: run the rule mention localizer (same
+    capitalized-token convention as ``_CapMentionStage``), then
+    replace every token of a PER-typed mention with ``[NAME]`` in the
+    ORIGINAL token stream and re-join with single spaces (the
+    canonical reassembly the SQL oracle reproduces). The anonymization
+    pass every shared-corpus pipeline needs before release."""
+
+    def __init__(self):
+        from jerex_ray.stages.scorer import RuleScorer
+        self.scorer = RuleScorer(PipelineConfig())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from jerex_ray.lexicon import entity_type_of
+
+        ids, reds, n_redacted = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            orig = text.split()
+            toks = [t[0].upper() + t[1:] for t in orig]
+            n = 0
+            if toks:
+                ms, _, _, _, _ = self.scorer._score_doc(
+                    toks, np.zeros(len(toks), dtype=np.int32),
+                    np.asarray([0, len(toks)], dtype=np.int32))
+                for s, e, _sent in ms:
+                    if entity_type_of(toks[s:e]) == "PER":
+                        for i in range(s, e):
+                            orig[i] = "[NAME]"
+                        n += 1
+            ids.append(doc_id)
+            reds.append(" ".join(orig))
+            n_redacted.append(n)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "redacted": pd.Series(reds, dtype="object"),
+            "n_redacted": pd.Series(n_redacted, dtype="int64")})
 
 
 # ---------- text / dedup / vector queries (SQL oracles) ----------
@@ -2106,6 +2158,7 @@ def build_queries() -> dict:
         "q_orders_next_event": q_orders_next_event,
         "q_events_value_mad": q_events_value_mad,
         "q_events_distinct_users_by_type": q_events_distinct_users_by_type,
+        "doc_redact_persons": doc_redact_persons,
         "kg_distant_supervision": kg_distant_supervision,
         "kg_pair_pmi": kg_pair_pmi,
         "kg_distant_negatives": kg_distant_negatives,
@@ -2198,6 +2251,7 @@ def _doc_mentions_sql(where: str = "TRUE") -> str:
             ),
             runs AS (
                 SELECT doc_id, grp,
+                       min(pos) AS m_start, max(pos) + 1 AS m_end,
                        string_agg(cap, ' ' ORDER BY pos) AS surface,
                        arg_max(cap, pos) AS last_tok,
                        count(*) AS n_toks
@@ -2205,7 +2259,8 @@ def _doc_mentions_sql(where: str = "TRUE") -> str:
                 HAVING count(*) <= 10
             ),
             m AS (
-                SELECT doc_id, surface, lower(surface) AS norm,
+                SELECT doc_id, m_start, m_end, surface,
+                       lower(surface) AS norm,
                        CASE WHEN last_tok IN ('Corp','Inc','Labs',
                                 'Systems','Group','Ltd') THEN 'ORG'
                             WHEN last_tok LIKE '%Tool' THEN 'TOOL'
@@ -2224,7 +2279,8 @@ def _doc_mentions_sql(where: str = "TRUE") -> str:
                             ELSE 'PER' END AS entity_type
                 FROM runs
             )
-            SELECT doc_id, surface, norm, entity_type FROM m
+            SELECT doc_id, m_start, m_end, surface, norm, entity_type
+            FROM m
     """
 
 
@@ -3419,6 +3475,50 @@ def _build_oracle_sql_literal() -> dict:
                     WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
                        AS last_event_ts
             FROM orders o ORDER BY o_orderkey
+        """,
+        "doc_redact_persons": f"""
+            WITH dm AS ({_doc_mentions_sql()}),
+            per AS (SELECT doc_id, m_start, m_end FROM dm
+                    WHERE entity_type = 'PER'),
+            w AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(text, '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id, unnest(ws) AS tok,
+                       unnest(range(len(ws))) AS pos
+                FROM w
+            ),
+            cover AS (
+                SELECT DISTINCT doc_id, unnest(range(m_start, m_end))
+                       AS pos
+                FROM per
+            ),
+            red AS (
+                SELECT t.doc_id, t.pos,
+                       CASE WHEN c.pos IS NOT NULL THEN '[NAME]'
+                            ELSE t.tok END AS tok2
+                FROM t LEFT JOIN cover c
+                  ON t.doc_id = c.doc_id AND t.pos = c.pos
+            ),
+            cnt AS (
+                SELECT doc_id, count(*) AS n_redacted FROM per
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.redacted, '') AS redacted,
+                   CAST(coalesce(cnt.n_redacted, 0) AS BIGINT)
+                       AS n_redacted
+            FROM documents d
+            LEFT JOIN (SELECT doc_id,
+                              string_agg(tok2, ' ' ORDER BY pos)
+                                  AS redacted
+                       FROM red GROUP BY doc_id) r
+              ON r.doc_id = d.doc_id
+            LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "kg_distant_supervision": f"""
             WITH dm AS ({_doc_mentions_sql()}),
