@@ -1608,6 +1608,41 @@ def ann_topk(sf_dir: str):
         .sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
 
 
+def emb_knn_predict(sf_dir: str):
+    """kNN label prediction: exact cosine top-5 neighbors per query
+    vector (excluding the query row itself), majority label with
+    smallest-label tie-break — the distributed exact-kNN classifier
+    (brute-force partial top-k per block + label vote on the
+    k-bounded result). Oracled by a row_number + count window SQL."""
+    from jerex_ray.ops.ann import brute_force_topk
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    queries, qids = _query_vectors(sf_dir)
+    # k+1 then drop self: the query rows are corpus members
+    top = brute_force_topk(ds, queries, k=6)
+    top["query_idx"] = qids[top["query_idx"].to_numpy()]
+    top = top[top["query_idx"] != top["vec_id"]]
+    top = top.sort_values(["query_idx", "cosine", "vec_id"],
+                          ascending=[True, False, True]) \
+        .groupby("query_idx", sort=False).head(5)
+    labels = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "label"]).to_pandas()
+    j = top.merge(labels, on="vec_id")
+    votes = j.groupby(["query_idx", "label"]).size() \
+        .reset_index(name="n")
+    votes = votes.sort_values(["query_idx", "n", "label"],
+                              ascending=[True, False, True]) \
+        .drop_duplicates("query_idx")
+    out = votes.rename(columns={"label": "pred_label",
+                                "n": "n_votes"})
+    out["query_idx"] = out["query_idx"].astype("int64")
+    out["pred_label"] = out["pred_label"].astype("int64")
+    out["n_votes"] = out["n_votes"].astype("int64")
+    return out[["query_idx", "pred_label", "n_votes"]] \
+        .sort_values("query_idx").reset_index(drop=True)
+
+
 def emb_pq_topk(sf_dir: str):
     """Product-quantization ANN (``ops/ann.pq_train/pq_encode/
     pq_topk``): sample-trained subspace codebooks, uint8 codes, ADC
@@ -2101,6 +2136,7 @@ def build_queries() -> dict:
         "dedup_incremental": dedup_incremental,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "ann_topk": ann_topk,
+        "emb_knn_predict": emb_knn_predict,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "emb_pq_topk": emb_pq_topk,
@@ -3081,6 +3117,31 @@ def _build_oracle_sql_literal() -> dict:
                 FROM embeddings q CROSS JOIN embeddings e
                 WHERE q.vec_id < 3
             ) WHERE rk <= 5 ORDER BY query_idx, vec_id
+        """,
+        "emb_knn_predict": """
+            WITH nn AS (
+                SELECT query_idx, vec_id FROM (
+                    SELECT q.vec_id AS query_idx, e.vec_id AS vec_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   e.embedding, q.embedding) DESC,
+                                        e.vec_id) AS rk
+                    FROM embeddings q CROSS JOIN embeddings e
+                    WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+                ) WHERE rk <= 5),
+            votes AS (
+                SELECT nn.query_idx, e.label, count(*) AS n
+                FROM nn JOIN embeddings e ON e.vec_id = nn.vec_id
+                GROUP BY nn.query_idx, e.label),
+            best AS (
+                SELECT query_idx, label AS pred_label,
+                       CAST(n AS BIGINT) AS n_votes,
+                       row_number() OVER (PARTITION BY query_idx
+                           ORDER BY n DESC, label) AS rk
+                FROM votes)
+            SELECT query_idx, pred_label, n_votes
+            FROM best WHERE rk = 1 ORDER BY query_idx
         """,
         "emb_label_counts": """
             SELECT label, count(*) AS n FROM embeddings
