@@ -220,3 +220,29 @@ def test_graph_tables_support_counts(tmp_path):
     assert (n_nodes, n_edges) == (5, 3)
     back = rd.read_parquet(str(tmp_path / "edges")).to_pandas()
     assert len(back) == 3
+
+
+def test_corrupt_manifest_recomputes_only_that_partition(
+        pipeline_output, tmp_path):
+    """A truncated/garbage manifest must invalidate exactly its own
+    partition: the rerun recomputes it (and nothing else) and the
+    final output is identical."""
+    import os
+
+    out, _ = pipeline_output
+    ref = read_triples(out).to_pandas().sort_values(
+        ["conv_id", "subj", "pred", "obj"]).reset_index(drop=True)
+
+    out2 = str(tmp_path / "corrupted")
+    shutil.copytree(out, out2)
+    with open(f"{out2}/_manifest/part-1.json", "w") as f:
+        f.write("{ not json !!")
+    assert completed_partitions(out2) == {0, 2, 3}
+
+    ds = rd.from_arrow(generate_transcripts_table(N_CONVS))
+    metrics2 = run_kg_pipeline(ds, out2, CFG, resume=True,
+                               shuffle_blocks=2)
+    assert set(metrics2["part_key"]) == {1}
+    got = read_triples(out2).to_pandas().sort_values(
+        ["conv_id", "subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
