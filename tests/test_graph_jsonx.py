@@ -402,3 +402,21 @@ def test_kcore_cascade_peels_chain_to_nothing():
                         "b": [(i + 1) % 10 for i in range(10)]})
     out = kcore(rd.from_pandas(cyc), k=2, max_rounds=10).to_pandas()
     assert len(out) == 10 and (out["deg"] == 2).all()
+
+
+def test_triangles_and_kcore_deterministic_under_resharding():
+    from jerex_ray.ops.graph import kcore, triangle_counts
+    rng = np.random.default_rng(41)
+    edges = pd.DataFrame(rng.integers(0, 40, size=(300, 2)),
+                         columns=["a", "b"])
+    outs = []
+    for parts in (1, 9):
+        e = rd.from_pandas(edges).repartition(parts)
+        t = triangle_counts(e, src="a", dst="b").to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        kc = kcore(rd.from_pandas(edges).repartition(parts),
+                   k=5, max_rounds=20).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        outs.append((t, kc))
+    pd.testing.assert_frame_equal(outs[0][0], outs[1][0])
+    pd.testing.assert_frame_equal(outs[0][1], outs[1][1])
