@@ -457,6 +457,27 @@ def kg_graph_edges(sf_dir: str):
     return out.sort_values(["subj_id", "pred", "obj_id"])         .reset_index(drop=True)
 
 
+def kg_graph_pagerank(sf_dir: str):
+    """Entity centrality over the materialized KG: PageRank on the
+    (subj_id → obj_id) edge table from ``graph_tables`` — the
+    canonical-representative ranking signal (which entities the graph
+    "agrees about" most). Rows-only (synthetic-transcript input);
+    PageRank itself is SQL-oracled on the documents graph
+    (``doc_pagerank``) and dense-reference-tested."""
+    from jerex_ray.ops.graph import pagerank
+    from jerex_ray.pipelines.kg import extract_triples, graph_tables
+    from jerex_ray.sources.transcripts import read_synthetic_transcripts
+    configure_data_context()
+    cfg = _kg_config()
+    triples = extract_triples(read_synthetic_transcripts(
+        _sf_convs(sf_dir)), cfg)
+    _, edges = graph_tables(triples)
+    out = pagerank(edges, src="subj_id", dst="obj_id", iters=5)
+    out["pr"] = out["pr"].round(6)
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def kg_eval(sf_dir: str):
     """Triple P/R vs the planted reference extractions (the ≥0.95 gate)."""
     from jerex_ray.eval.scoring import evaluate_triples
@@ -2199,6 +2220,7 @@ def build_queries() -> dict:
         "kg_pair_pmi": kg_pair_pmi,
         "kg_distant_negatives": kg_distant_negatives,
         "kg_graph_edges": kg_graph_edges,
+        "kg_graph_pagerank": kg_graph_pagerank,
         "media_image_resize": media_image_resize,
         "q_events_checksum": q_events_checksum,
         "q_events_type_share": q_events_type_share,
