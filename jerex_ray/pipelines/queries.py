@@ -422,6 +422,41 @@ def kg_pair_pmi(sf_dir: str):
         .reset_index(drop=True)
 
 
+def doc_corpus_stats(sf_dir: str):
+    """The release-card summary every published dataset ships: doc
+    count, token totals/mean, exact p50/p95 token counts (shuffle-free
+    quantile selector), and distinct language count — one combiner
+    aggregate + one quantile pass over a single pruned read, one row
+    out."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].fillna("").str.split().str.len()
+        return pd.DataFrame({"n_tokens": n.astype("float64"),
+                             "lang": df["lang"]})
+
+    toks = ds.map_batches(tok_counts, batch_format="pandas") \
+        .materialize()
+    agg = grouped_aggregate(toks, ["lang"],
+                            {"n_docs": (None, "count"),
+                             "n_tokens": ("n_tokens", "sum")}).to_pandas()
+    p50, p95 = distributed_quantiles(toks, "n_tokens", [0.5, 0.95])
+    n_docs = int(agg["n_docs"].sum())
+    total = float(agg["n_tokens"].sum())
+    return pd.DataFrame({
+        "n_docs": [np.int64(n_docs)],
+        "total_tokens": [np.int64(total)],
+        "mean_tokens": [round(total / max(n_docs, 1), 6)],
+        "p50_tokens": [round(float(p50), 6)],
+        "p95_tokens": [round(float(p95), 6)],
+        "n_langs": [np.int64(len(agg))]})
+
+
 def doc_redact_persons(sf_dir: str):
     """PII scrubbing: every PER-typed rule mention replaced by
     ``[NAME]`` (``_RedactStage`` actor pool; tokens re-joined with
@@ -2215,6 +2250,7 @@ def build_queries() -> dict:
         "q_orders_next_event": q_orders_next_event,
         "q_events_value_mad": q_events_value_mad,
         "q_events_distinct_users_by_type": q_events_distinct_users_by_type,
+        "doc_corpus_stats": doc_corpus_stats,
         "doc_redact_persons": doc_redact_persons,
         "kg_distant_supervision": kg_distant_supervision,
         "kg_pair_pmi": kg_pair_pmi,
@@ -3559,6 +3595,19 @@ def _build_oracle_sql_literal() -> dict:
                        AS last_event_ts
             FROM orders o ORDER BY o_orderkey
         """,
+        "doc_corpus_stats": """
+            WITH n AS (
+                SELECT CAST({_N_TOKENS_SQL} AS DOUBLE) AS n_tokens,
+                       lang
+                FROM documents)
+            SELECT count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(sum(n_tokens) / count(*), 6) AS mean_tokens,
+                   round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens,
+                   count(DISTINCT lang) AS n_langs
+            FROM n
+        """.replace("{_N_TOKENS_SQL}", _N_TOKENS_SQL),
         "doc_redact_persons": f"""
             WITH dm AS ({_doc_mentions_sql()}),
             per AS (SELECT doc_id, m_start, m_end FROM dm
