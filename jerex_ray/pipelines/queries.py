@@ -422,6 +422,29 @@ def kg_pair_pmi(sf_dir: str):
         .reset_index(drop=True)
 
 
+def doc_normalize_text(sf_dir: str):
+    """Canonical text normalization (the step before any
+    hashing/dedup in a multilingual corpus): unicode NFC + lowercase
+    + whitespace collapse + trim, vectorized per batch. Parity with
+    DuckDB's ``nfc_normalize`` verified character-for-character."""
+    import unicodedata
+
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").map(
+            lambda s: unicodedata.normalize("NFC", s))
+        t = t.str.lower().str.split().str.join(" ")
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "norm_text": t.to_numpy()})
+
+    out = ds.map_batches(norm, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_corpus_stats(sf_dir: str):
     """The release-card summary every published dataset ships: doc
     count, token totals/mean, exact p50/p95 token counts (shuffle-free
@@ -2250,6 +2273,7 @@ def build_queries() -> dict:
         "q_orders_next_event": q_orders_next_event,
         "q_events_value_mad": q_events_value_mad,
         "q_events_distinct_users_by_type": q_events_distinct_users_by_type,
+        "doc_normalize_text": doc_normalize_text,
         "doc_corpus_stats": doc_corpus_stats,
         "doc_redact_persons": doc_redact_persons,
         "kg_distant_supervision": kg_distant_supervision,
@@ -3594,6 +3618,15 @@ def _build_oracle_sql_literal() -> dict:
                     WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
                        AS last_event_ts
             FROM orders o ORDER BY o_orderkey
+        """,
+        "doc_normalize_text": """
+            SELECT doc_id,
+                   array_to_string(list_filter(
+                       regexp_split_to_array(
+                           lower(nfc_normalize(coalesce(text, ''))),
+                           '\\s+'),
+                       x -> x <> ''), ' ') AS norm_text
+            FROM documents ORDER BY doc_id
         """,
         "doc_corpus_stats": """
             WITH n AS (
