@@ -1878,6 +1878,80 @@ def q_orders_last_event(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_events_outliers(sf_dir: str):
+    """Per-type z-score outliers (|value − μ_type| > 3σ_type): the
+    two-pass standardization shape — one combiner pass computes
+    group moments (group-count-bounded), which broadcast back into a
+    vectorized row filter. Returns the outlier event ids."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+
+    def sq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "v": df["value"],
+                             "v2": df["value"] ** 2})
+
+    mom = grouped_aggregate(ds.map_batches(sq, batch_format="pandas"),
+                            ["event_type"],
+                            {"n": (None, "count"), "s": ("v", "sum"),
+                             "s2": ("v2", "sum")}).to_pandas()
+    mom["mu"] = mom["s"] / mom["n"]
+    # sample stddev (n-1), matching stddev_samp
+    mom["sd"] = np.sqrt((mom["s2"] - mom["n"] * mom["mu"] ** 2)
+                        / (mom["n"] - 1))
+    stats = dict(zip(mom["event_type"],
+                     zip(mom["mu"], mom["sd"])))
+    ref = ray.put(stats)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        mu = df["event_type"].map(lambda t: st[t][0]).to_numpy()
+        sd = df["event_type"].map(lambda t: st[t][1]).to_numpy()
+        keep = np.abs(df["value"].to_numpy() - mu) > 3 * sd
+        out = df[keep][["event_id", "event_type"]].copy()
+        return out
+
+    out = ds.map_batches(flag, batch_format="pandas").to_pandas()
+    if "event_id" not in out.columns:
+        out = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                            "event_type": pd.Series(dtype="object")})
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def doc_word_entropy(sf_dir: str):
+    """Shannon entropy of each document's word distribution (nats,
+    rounded to 6) — the repetitiveness/quality signal: low-entropy
+    docs are boilerplate or keyword stuffing. One vectorized pass:
+    per-doc value_counts → −Σ p ln p."""
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            ws = text.lower().split()
+            if not ws:
+                outs.append((doc_id, 0.0))
+                continue
+            _, counts = np.unique(np.asarray(ws, dtype=object),
+                                  return_counts=True)
+            p = counts / counts.sum()
+            outs.append((doc_id, round(float(-(p * np.log(p)).sum()), 6)))
+        return pd.DataFrame(outs, columns=["doc_id", "entropy"])
+
+    out = ds.map_batches(ent, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_events_checksum(sf_dir: str):
     """Order-independent table checksum — the cross-system validation
     primitive for verifying a 100 TB copy/migration without moving the
@@ -2282,6 +2356,8 @@ def build_queries() -> dict:
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
         "media_image_resize": media_image_resize,
+        "q_events_outliers": q_events_outliers,
+        "doc_word_entropy": doc_word_entropy,
         "q_events_checksum": q_events_checksum,
         "q_events_type_share": q_events_type_share,
         "q_events_running_total": q_events_running_total,
@@ -3837,6 +3913,33 @@ def _build_oracle_sql_literal() -> dict:
             SELECT user_id, 'orders_only'
             FROM (SELECT user_id FROM ou EXCEPT SELECT user_id FROM eu)
             ORDER BY user_id, tag
+        """,
+        "q_events_outliers": """
+            WITH s AS (
+                SELECT event_type, avg(value) AS mu,
+                       stddev_samp(value) AS sd
+                FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type
+            FROM events e JOIN s ON s.event_type = e.event_type
+            WHERE abs(e.value - s.mu) > 3 * s.sd
+            ORDER BY e.event_id
+        """,
+        "doc_word_entropy": """
+            WITH words AS (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '')) AS w
+                FROM documents),
+            c AS (SELECT doc_id, w, count(*) AS n
+                  FROM words GROUP BY doc_id, w),
+            tot AS (SELECT doc_id, sum(n) AS t FROM c GROUP BY doc_id),
+            h AS (SELECT c.doc_id,
+                         round(-sum((n / t) * ln(n / t)), 6) AS entropy
+                  FROM c JOIN tot ON tot.doc_id = c.doc_id
+                  GROUP BY c.doc_id)
+            SELECT d.doc_id, coalesce(h.entropy, 0.0) AS entropy
+            FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "q_events_checksum": """
             SELECT CAST(sum(CAST(
