@@ -1935,17 +1935,25 @@ def doc_word_entropy(sf_dir: str):
                             columns=["doc_id", "text"])
 
     def ent(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-            ws = text.lower().split()
-            if not ws:
-                outs.append((doc_id, 0.0))
-                continue
-            _, counts = np.unique(np.asarray(ws, dtype=object),
-                                  return_counts=True)
-            p = counts / counts.sum()
-            outs.append((doc_id, round(float(-(p * np.log(p)).sum()), 6)))
-        return pd.DataFrame(outs, columns=["doc_id", "entropy"])
+        df = df.reset_index(drop=True)
+        # vectorized explode → per-(doc, word) counts → segment sums;
+        # no Python loop over rows (same shape as the langid kernel)
+        ex = df["text"].fillna("").str.lower().str.split().explode()
+        ex = ex[ex.notna() & (ex != "")]
+        ent_col = np.zeros(len(df))
+        if len(ex):
+            c = (pd.DataFrame({"i": ex.index.to_numpy(),
+                               "w": ex.to_numpy()})
+                 .groupby(["i", "w"], sort=False).size()
+                 .reset_index(name="n"))
+            t = c.groupby("i", sort=False)["n"].transform("sum") \
+                .to_numpy(np.float64)
+            p = c["n"].to_numpy(np.float64) / t
+            h = pd.Series(-(p * np.log(p))).groupby(
+                c["i"].to_numpy(), sort=False).sum()
+            ent_col[h.index.to_numpy()] = h.to_numpy()
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "entropy": np.round(ent_col, 6)})
 
     out = ds.map_batches(ent, batch_format="pandas").to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
