@@ -1904,14 +1904,14 @@ def q_events_outliers(sf_dir: str):
     # sample stddev (n-1), matching stddev_samp
     mom["sd"] = np.sqrt((mom["s2"] - mom["n"] * mom["mu"] ** 2)
                         / (mom["n"] - 1))
-    stats = dict(zip(mom["event_type"],
-                     zip(mom["mu"], mom["sd"])))
-    ref = ray.put(stats)
+    mu_map = dict(zip(mom["event_type"], mom["mu"]))
+    sd_map = dict(zip(mom["event_type"], mom["sd"]))
+    ref = ray.put((mu_map, sd_map))
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
-        st = ray.get(ref)
-        mu = df["event_type"].map(lambda t: st[t][0]).to_numpy()
-        sd = df["event_type"].map(lambda t: st[t][1]).to_numpy()
+        mus, sds = ray.get(ref)
+        mu = df["event_type"].map(mus).to_numpy(np.float64)
+        sd = df["event_type"].map(sds).to_numpy(np.float64)
         keep = np.abs(df["value"].to_numpy() - mu) > 3 * sd
         out = df[keep][["event_id", "event_type"]].copy()
         return out
