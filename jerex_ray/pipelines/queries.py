@@ -494,6 +494,61 @@ def doc_redact_persons(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def kg_fuzzy_name_pairs(sf_dir: str):
+    """Blocked fuzzy self-join (record linkage, Fellegi-Sunter-style
+    blocking): distinct PER surface norms, blocked by first token
+    (surname-variant candidates share it by construction), all
+    within-block pairs scored with ONE batched Levenshtein DP, kept
+    at distance ≤ 3. The blocking key bounds the quadratic stage to
+    each block's name-group size — the classic candidate-generation
+    trade every linkage system makes (vs. the broadcast-KB linking of
+    ``kg_entity_link``, this one is corpus×corpus)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+
+    rows = read_parquet_sized(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"]).map_batches(
+        _CapMentionStage, batch_format="pandas", batch_size=4096,
+        concurrency=(1, 4), fn_constructor_kwargs={"mode": "doc_norms"})
+    names = grouped_aggregate(
+        rows.map_batches(
+            lambda df: df[df["entity_type"] == "PER"][["norm"]],
+            batch_format="pandas"),
+        ["norm"], {"n": (None, "count")}, result_hint="large")
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        from jerex_ray.util import edit_distances_batch
+        empty = pd.DataFrame({"norm_a": pd.Series(dtype="object"),
+                              "norm_b": pd.Series(dtype="object"),
+                              "dist": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        d = df[["norm", "__blk"]]
+        m = d.merge(d, on="__blk")
+        m = m[m["norm_x"] < m["norm_y"]]
+        if m.empty:
+            return empty
+        dists = edit_distances_batch(
+            list(zip(m["norm_x"].tolist(), m["norm_y"].tolist())))
+        keep = dists <= 3
+        return pd.DataFrame({"norm_a": m["norm_x"].to_numpy()[keep],
+                             "norm_b": m["norm_y"].to_numpy()[keep],
+                             "dist": dists[keep].astype("int64")})
+
+    blocked = names.map_batches(
+        lambda df: df.assign(
+            __blk=df["norm"].str.split().str[0].fillna("")),
+        batch_format="pandas")
+    out = grouped_apply(blocked, ["__blk"], block_pairs).to_pandas()
+    if "norm_a" not in out.columns:
+        return pd.DataFrame({"norm_a": pd.Series(dtype="object"),
+                             "norm_b": pd.Series(dtype="object"),
+                             "dist": pd.Series(dtype="int64")})
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values(["norm_a", "norm_b"]).reset_index(drop=True)
+
+
 def kg_graph_edges(sf_dir: str):
     """The materialized KG edge table (north rule "graph materialize"):
     distinct (subj_id, pred, obj_id) with conversation support counts
@@ -2360,6 +2415,7 @@ def build_queries() -> dict:
         "doc_redact_persons": doc_redact_persons,
         "kg_distant_supervision": kg_distant_supervision,
         "kg_pair_pmi": kg_pair_pmi,
+        "kg_fuzzy_name_pairs": kg_fuzzy_name_pairs,
         "kg_distant_negatives": kg_distant_negatives,
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
@@ -3789,6 +3845,18 @@ def _build_oracle_sql_literal() -> dict:
             FROM cand c JOIN kb_pairs k
               ON c.subj_norm = k.subj_norm AND c.obj_norm = k.obj_norm
             ORDER BY c.doc_id, c.subj_norm, c.obj_norm
+        """,
+        "kg_fuzzy_name_pairs": f"""
+            WITH dm AS ({_doc_mentions_sql()}),
+            names AS (SELECT DISTINCT norm FROM dm
+                      WHERE entity_type = 'PER'),
+            b AS (SELECT norm, split_part(norm, ' ', 1) AS blk
+                  FROM names)
+            SELECT a.norm AS norm_a, bb.norm AS norm_b,
+                   CAST(levenshtein(a.norm, bb.norm) AS BIGINT) AS dist
+            FROM b a JOIN b bb ON a.blk = bb.blk AND a.norm < bb.norm
+            WHERE levenshtein(a.norm, bb.norm) <= 3
+            ORDER BY norm_a, norm_b
         """,
         "kg_pair_pmi": f"""
             WITH dm AS ({_doc_mentions_sql()}),
