@@ -2015,6 +2015,42 @@ def doc_word_entropy(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_orders_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: customers grouped by first-order year
+    (cohort), counted once per active year — the derive-a-dimension-
+    then-join-back shape: a combiner min per customer builds the
+    cohort table (customer-scaled, stays a Dataset), a hash join
+    attaches it to the fact stream, and two grouped aggregates
+    produce the year×year matrix."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized, shuffle_partitions
+    configure_data_context()
+    orders = read_parquet_sized(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderdate"])
+
+    def year(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "yr": df["o_orderdate"].dt.year.astype("int64")})
+
+    yrs = orders.map_batches(year, batch_format="pandas").materialize()
+    first = grouped_aggregate(yrs, ["o_custkey"], {"cohort": ("yr", "min")},
+                              result_hint="large")
+    j = yrs.join(first, join_type="inner",
+                 num_partitions=shuffle_partitions(8), on=("o_custkey",))
+    active = grouped_aggregate(j, ["cohort", "yr", "o_custkey"],
+                               {"n": (None, "count")},
+                               result_hint="large")
+    out = grouped_aggregate(active, ["cohort", "yr"],
+                            {"n_customers": (None, "count")}).to_pandas()
+    out = out.rename(columns={"yr": "active_year"})
+    out["cohort"] = out["cohort"].astype("int64")
+    out["active_year"] = out["active_year"].astype("int64")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values(["cohort", "active_year"]) \
+        .reset_index(drop=True)
+
+
 def q_events_checksum(sf_dir: str):
     """Order-independent table checksum — the cross-system validation
     primitive for verifying a 100 TB copy/migration without moving the
@@ -2420,6 +2456,7 @@ def build_queries() -> dict:
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
         "media_image_resize": media_image_resize,
+        "q_orders_cohort_retention": q_orders_cohort_retention,
         "q_events_outliers": q_events_outliers,
         "doc_word_entropy": doc_word_entropy,
         "q_events_checksum": q_events_checksum,
@@ -3989,6 +4026,17 @@ def _build_oracle_sql_literal() -> dict:
             SELECT user_id, 'orders_only'
             FROM (SELECT user_id FROM ou EXCEPT SELECT user_id FROM eu)
             ORDER BY user_id, tag
+        """,
+        "q_orders_cohort_retention": """
+            WITH f AS (
+                SELECT o_custkey,
+                       min(year(o_orderdate)) AS cohort
+                FROM orders GROUP BY o_custkey)
+            SELECT f.cohort, year(o.o_orderdate) AS active_year,
+                   count(DISTINCT o.o_custkey) AS n_customers
+            FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+            GROUP BY f.cohort, active_year
+            ORDER BY cohort, active_year
         """,
         "q_events_outliers": """
             WITH s AS (
