@@ -382,6 +382,11 @@ def ivfpq_topk(emb_ds, queries: np.ndarray, *, k: int = 10,
     def gather(batch: pd.DataFrame) -> pd.DataFrame:
         want = ray.get(ids_ref)
         sel = batch[batch[id_col].isin(want)]
+        if sel.empty:
+            # batches holding none of the ≤Q·k·rerank candidates are
+            # the NORM at scale (candidates are corpus-rare rows)
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "vec": pd.Series(dtype="object")})
         return pd.DataFrame({id_col: sel[id_col].to_numpy(),
                              "vec": list(_normalize(
                                  _as_matrix(sel[vec_col])))})

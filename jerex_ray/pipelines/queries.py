@@ -214,53 +214,69 @@ def kg_mentions(sf_dir: str):
             .reset_index(drop=True)
 
 
+def _doc_entity_sets(sf_dir: str):
+    """Distinct (doc_id, norm, entity_type) Dataset over ``documents``
+    — ONE rule-mention actor pass + one combiner aggregate,
+    MATERIALIZED so every consumer (distant-supervision positives and
+    negatives, PMI, the KB shard) reuses it instead of re-running the
+    scorer (the most expensive stage)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+
+    rows = read_parquet_sized(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"]).map_batches(
+        _CapMentionStage, batch_format="pandas", batch_size=4096,
+        concurrency=(1, 4), fn_constructor_kwargs={"mode": "doc_norms"})
+    return grouped_aggregate(rows, ["doc_id", "norm", "entity_type"],
+                             {"n": (None, "count")},
+                             result_hint="large").materialize()
+
+
+def _per_org_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Within-document PER×ORG pair generation (vectorized self-merge
+    on doc_id) — shared by the distant-supervision and PMI queries."""
+    if df.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "subj_norm": pd.Series(dtype="object"),
+                             "obj_norm": pd.Series(dtype="object")})
+    per = df[df["entity_type"] == "PER"][["doc_id", "norm"]]
+    org = df[df["entity_type"] == "ORG"][["doc_id", "norm"]]
+    m = per.merge(org, on="doc_id", suffixes=("_s", "_o"))
+    return pd.DataFrame({"doc_id": m["doc_id"].to_numpy(),
+                         "subj_norm": m["norm_s"].to_numpy(),
+                         "obj_norm": m["norm_o"].to_numpy()})
+
+
+def _kb_pair_set(de_ds) -> set:
+    """KB = the PER×ORG co-occurrence pairs of the ``doc_id % 3 == 0``
+    shard, FILTERED from the already-computed corpus entity sets (the
+    scorer never runs twice)."""
+    kb = de_ds.map_batches(lambda df: df[df["doc_id"] % 3 == 0],
+                           batch_format="pandas").to_pandas()
+    if "doc_id" not in kb.columns:
+        return set()
+    return set(map(tuple, _per_org_pairs_block(kb)
+                   [["subj_norm", "obj_norm"]].values))
+
+
 def kg_distant_supervision(sf_dir: str):
     """Distant-supervision relation labeling (Mintz et al. ACL'09):
     entity pairs co-occurring in a corpus document are labeled with
     the relation a KB asserts for them — here the KB is the PER×ORG
     co-occurrence pairs of the ``doc_id % 3 == 0`` shard. The classic
     silver-training-data generator for relation extractors. Dataflow:
-    one rule-mention actor pass → distinct per-doc typed entities →
+    the SHARED materialized doc-entity pass (``_doc_entity_sets``) →
     per-doc pair generation (co-located self-merge) → broadcast
     semi-join against the KB pair set (KB-bounded). The SQL oracle
     rebuilds both sides from the shared mention-runs CTE."""
-    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
-    from jerex_ray.runtime import read_parquet_sized
-
-    def doc_entities(docs):
-        rows = docs.map_batches(
-            _CapMentionStage, batch_format="pandas", batch_size=4096,
-            concurrency=(1, 4),
-            fn_constructor_kwargs={"mode": "doc_norms"})
-        return grouped_aggregate(rows, ["doc_id", "norm", "entity_type"],
-                                 {"n": (None, "count")},
-                                 result_hint="large")
-
-    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "subj_norm": pd.Series(dtype="object"),
-                                 "obj_norm": pd.Series(dtype="object")})
-        per = df[df["entity_type"] == "PER"][["doc_id", "norm"]]
-        org = df[df["entity_type"] == "ORG"][["doc_id", "norm"]]
-        m = per.merge(org, on="doc_id", suffixes=("_s", "_o"))
-        return pd.DataFrame({"doc_id": m["doc_id"].to_numpy(),
-                             "subj_norm": m["norm_s"].to_numpy(),
-                             "obj_norm": m["norm_o"].to_numpy()})
-
-    corpus = doc_entities(read_parquet_sized(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
-    kb_docs = read_parquet_sized(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text"]).map_batches(
-        lambda df: df[df["doc_id"] % 3 == 0], batch_format="pandas")
-    kb = doc_entities(kb_docs).to_pandas()
-    kb_pairs = set(map(tuple, pairs_block(kb)
-                       [["subj_norm", "obj_norm"]].values))
     import ray
-    kb_ref = ray.put(kb_pairs)
 
-    cand = grouped_apply(corpus, ["doc_id"], pairs_block)
+    from jerex_ray.functions.aggregate import grouped_apply
+
+    de = _doc_entity_sets(sf_dir)
+    kb_ref = ray.put(_kb_pair_set(de))
+    cand = grouped_apply(de, ["doc_id"], _per_org_pairs_block)
 
     def against_kb(df: pd.DataFrame) -> pd.DataFrame:
         pairs = ray.get(kb_ref)
@@ -288,48 +304,19 @@ def kg_distant_negatives(sf_dir: str):
     (Mintz '09 §4): co-occurring PER×ORG pairs the KB does NOT
     assert, capped at 2 per document by a deterministic md5 priority
     (negative sampling must be reproducible across reruns and
-    shards — no RNG). Same dataflow as ``kg_distant_supervision``
-    with the broadcast set flipped to an anti-join + a vectorized
-    per-doc top-k."""
-    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
-    from jerex_ray.runtime import read_parquet_sized
-
-    def doc_entities(docs):
-        rows = docs.map_batches(
-            _CapMentionStage, batch_format="pandas", batch_size=4096,
-            concurrency=(1, 4),
-            fn_constructor_kwargs={"mode": "doc_norms"})
-        return grouped_aggregate(rows, ["doc_id", "norm", "entity_type"],
-                                 {"n": (None, "count")},
-                                 result_hint="large")
-
-    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "subj_norm": pd.Series(dtype="object"),
-                                 "obj_norm": pd.Series(dtype="object")})
-        per = df[df["entity_type"] == "PER"][["doc_id", "norm"]]
-        org = df[df["entity_type"] == "ORG"][["doc_id", "norm"]]
-        m = per.merge(org, on="doc_id", suffixes=("_s", "_o"))
-        return pd.DataFrame({"doc_id": m["doc_id"].to_numpy(),
-                             "subj_norm": m["norm_s"].to_numpy(),
-                             "obj_norm": m["norm_o"].to_numpy()})
-
-    corpus = doc_entities(read_parquet_sized(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
-    kb_docs = read_parquet_sized(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text"]).map_batches(
-        lambda df: df[df["doc_id"] % 3 == 0], batch_format="pandas")
-    kb = doc_entities(kb_docs).to_pandas()
-    kb_pairs = set(map(tuple, pairs_block(kb)
-                       [["subj_norm", "obj_norm"]].values))
+    shards — no RNG). Same shared dataflow as
+    ``kg_distant_supervision`` with the broadcast set flipped to an
+    anti-join + a vectorized per-doc top-k."""
     import ray
-    kb_ref = ray.put(kb_pairs)
+
+    from jerex_ray.functions.aggregate import grouped_apply
+
+    de = _doc_entity_sets(sf_dir)
+    kb_ref = ray.put(_kb_pair_set(de))
 
     def negatives_block(df: pd.DataFrame) -> pd.DataFrame:
         from jerex_ray.util import md5_hash64_batch
-        pairs = pairs_block(df).drop_duplicates(
+        pairs = _per_org_pairs_block(df).drop_duplicates(
             ["doc_id", "subj_norm", "obj_norm"])
         if pairs.empty:
             pairs["priority"] = pd.Series(dtype="uint64")
@@ -348,7 +335,7 @@ def kg_distant_negatives(sf_dir: str):
                                "obj_norm"])
         return neg.groupby("doc_id", sort=False).head(2)
 
-    out = grouped_apply(corpus, ["doc_id"], negatives_block).to_pandas()
+    out = grouped_apply(de, ["doc_id"], negatives_block).to_pandas()
     if "doc_id" not in out.columns:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "subj_norm": pd.Series(dtype="object"),
@@ -363,42 +350,35 @@ def kg_pair_pmi(sf_dir: str):
     """Pointwise mutual information of PER×ORG document co-occurrence
     — the classic association score for ranking candidate KG edges
     (Church & Hanks '90): pmi = ln(N·c(s,o) / (df(s)·df(o))) over
-    per-document entity sets. All three count tables come from
-    combiner-backed aggregates; the entity document frequencies (a
-    vocabulary-bounded table) broadcast into the final vectorized
-    score pass."""
-    import math
-
+    per-document entity sets. Document frequency is per NORM across
+    all entity types — count of distinct docs, exactly the oracle's
+    count(DISTINCT doc_id) — from two combiner aggregates over the
+    SHARED doc-entity pass; the vocabulary-bounded df table
+    broadcasts into the final vectorized score pass."""
     import ray
 
     from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
     from jerex_ray.runtime import read_parquet_sized
 
-    docs = read_parquet_sized(f"{sf_dir}/documents.parquet",
-                              columns=["doc_id", "text"])
-    n_docs = docs.count()
-    rows = docs.map_batches(
-        _CapMentionStage, batch_format="pandas", batch_size=4096,
-        concurrency=(1, 4), fn_constructor_kwargs={"mode": "doc_norms"})
-    de = grouped_aggregate(rows, ["doc_id", "norm", "entity_type"],
-                           {"n": (None, "count")}, result_hint="large") \
-        .materialize()
+    n_docs = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"]).count()
+    de = _doc_entity_sets(sf_dir)
 
-    # document frequency per (norm, type) — vocabulary-bounded
-    df_tbl = grouped_aggregate(de, ["norm", "entity_type"],
+    # df(norm) = #distinct docs mentioning the norm under ANY type:
+    # collapse (doc, norm) first, then count per norm
+    dn = grouped_aggregate(
+        de.map_batches(lambda df: df[["doc_id", "norm"]],
+                       batch_format="pandas"),
+        ["doc_id", "norm"], {"n": (None, "count")}, result_hint="large")
+    df_tbl = grouped_aggregate(dn, ["norm"],
                                {"df": (None, "count")}).to_pandas()
-    df_map = dict(zip(df_tbl["norm"], df_tbl["df"].astype(int)))
-    df_ref = ray.put(df_map)
-
-    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
-        per = df[df["entity_type"] == "PER"][["doc_id", "norm"]]
-        org = df[df["entity_type"] == "ORG"][["doc_id", "norm"]]
-        m = per.merge(org, on="doc_id", suffixes=("_s", "_o"))
-        return pd.DataFrame({"subj_norm": m["norm_s"].to_numpy(),
-                             "obj_norm": m["norm_o"].to_numpy()})
+    df_ref = ray.put(dict(zip(df_tbl["norm"], df_tbl["df"].astype(int))))
 
     pair_counts = grouped_aggregate(
-        grouped_apply(de, ["doc_id"], pairs_block),
+        grouped_apply(de, ["doc_id"], _per_org_pairs_block)
+        .map_batches(lambda df: df[["subj_norm", "obj_norm"]]
+                     if "subj_norm" in df.columns else df,
+                     batch_format="pandas"),
         ["subj_norm", "obj_norm"], {"n_ab": (None, "count")},
         result_hint="large")
 
@@ -571,12 +551,16 @@ def kg_graph_edges(sf_dir: str):
 
 
 def kg_graph_pagerank(sf_dir: str):
-    """Entity centrality over the materialized KG: PageRank on the
-    (subj_id → obj_id) edge table from ``graph_tables`` — the
-    canonical-representative ranking signal (which entities the graph
-    "agrees about" most). Rows-only (synthetic-transcript input);
-    PageRank itself is SQL-oracled on the documents graph
-    (``doc_pagerank``) and dense-reference-tested."""
+    """Entity centrality over the materialized KG: UNDIRECTED
+    PageRank on the (subj_id, obj_id) edge table from
+    ``graph_tables`` — co-occurrence centrality, deliberately
+    symmetric: a subject asserting many facts and an object asserted
+    by many both rank high (and the similarity-graph PageRank's
+    no-dangling-mass invariant holds, ``ops/graph.py`` module notes —
+    a directed KG run would silently lose the mass of sink-only
+    entities). Rows-only (synthetic-transcript input); PageRank
+    itself is SQL-oracled on the documents graph (``doc_pagerank``)
+    and dense-reference-tested."""
     from jerex_ray.ops.graph import pagerank
     from jerex_ray.pipelines.kg import extract_triples, graph_tables
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
@@ -1877,6 +1861,9 @@ def ann_ivfpq_topk(sf_dir: str):
                             columns=["vec_id", "embedding"])
     queries, qids = _query_vectors(sf_dir)
     out = ivfpq_topk(ds, queries, k=5, m=8)
+    if out.empty:      # graceful-empty contract (object-dtype frame)
+        return pd.DataFrame({"query_idx": pd.Series(dtype="int64"),
+                             "vec_id": pd.Series(dtype="int64")})
     out["query_idx"] = qids[out["query_idx"].to_numpy()]
     return out[["query_idx", "vec_id"]].astype("int64") \
         .sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
