@@ -2002,6 +2002,53 @@ def doc_word_entropy(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_events_funnel(sf_dir: str):
+    """Sequential funnel analysis (view → click ≤24h → purchase
+    ≤24h): the ordered-pattern-matching shape — each stage is a
+    grouped min over the PREVIOUS stage's anchor timestamps attached
+    to the fact stream by a hash join, with a vectorized window
+    filter. Per-user state never leaves the cluster; only the three
+    stage counts return."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized, shuffle_partitions
+    configure_data_context()
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts"]) \
+        .materialize()
+    W = pd.Timedelta("24h")
+    np_ = shuffle_partitions(8)
+
+    def typed(t):
+        return ev.map_batches(
+            lambda df, _t=t: df[df["event_type"] == _t]
+            [["user_id", "ts"]], batch_format="pandas")
+
+    t0 = grouped_aggregate(typed("view"), ["user_id"],
+                           {"t0": ("ts", "min")}, result_hint="large") \
+        .materialize()
+    s2 = typed("click").join(t0, join_type="inner", num_partitions=np_,
+                             on=("user_id",))
+    t1 = grouped_aggregate(
+        s2.map_batches(
+            lambda df: df[(df["ts"] > df["t0"])
+                          & (df["ts"] <= df["t0"] + W)]
+            [["user_id", "ts"]], batch_format="pandas"),
+        ["user_id"], {"t1": ("ts", "min")}, result_hint="large") \
+        .materialize()
+    s3 = typed("purchase").join(t1, join_type="inner",
+                                num_partitions=np_, on=("user_id",))
+    reached = grouped_aggregate(
+        s3.map_batches(
+            lambda df: df[(df["ts"] > df["t1"])
+                          & (df["ts"] <= df["t1"] + W)]
+            [["user_id"]], batch_format="pandas"),
+        ["user_id"], {"n": (None, "count")}, result_hint="large")
+    return pd.DataFrame({
+        "stage": ["1_view", "2_click_24h", "3_purchase_24h"],
+        "n_users": np.array([t0.count(), t1.count(), reached.count()],
+                            dtype="int64")})
+
+
 def q_orders_cohort_retention(sf_dir: str):
     """Cohort retention matrix: customers grouped by first-order year
     (cohort), counted once per active year — the derive-a-dimension-
@@ -2443,6 +2490,7 @@ def build_queries() -> dict:
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
         "media_image_resize": media_image_resize,
+        "q_events_funnel": q_events_funnel,
         "q_orders_cohort_retention": q_orders_cohort_retention,
         "q_events_outliers": q_events_outliers,
         "doc_word_entropy": doc_word_entropy,
@@ -4013,6 +4061,28 @@ def _build_oracle_sql_literal() -> dict:
             SELECT user_id, 'orders_only'
             FROM (SELECT user_id FROM ou EXCEPT SELECT user_id FROM eu)
             ORDER BY user_id, tag
+        """,
+        "q_events_funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            c AS (
+                SELECT v.user_id, min(e.ts) AS t1
+                FROM events e JOIN v ON v.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t0
+                  AND e.ts <= v.t0 + INTERVAL 24 HOUR
+                GROUP BY v.user_id),
+            p AS (
+                SELECT c.user_id
+                FROM events e JOIN c ON c.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t1
+                  AND e.ts <= c.t1 + INTERVAL 24 HOUR
+                GROUP BY c.user_id)
+            SELECT '1_view' AS stage,
+                   (SELECT count(*) FROM v) AS n_users
+            UNION ALL SELECT '2_click_24h', (SELECT count(*) FROM c)
+            UNION ALL SELECT '3_purchase_24h', (SELECT count(*) FROM p)
+            ORDER BY stage
         """,
         "q_orders_cohort_retention": """
             WITH f AS (
