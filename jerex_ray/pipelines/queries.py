@@ -2002,6 +2002,40 @@ def doc_word_entropy(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Pearson correlation of line quantity vs extended price, from
+    ONE combiner pass of co-moments (n, Σx, Σy, Σx², Σy², Σxy) — the
+    distributed covariance shape; only six scalars reduce. Oracled
+    against DuckDB ``corr`` to 6 decimals."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_extendedprice"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy(np.float64)
+        y = df["l_extendedprice"].to_numpy(np.float64)
+        return pd.DataFrame({"__all": [0], "n": [np.int64(len(x))],
+                             "sx": [x.sum()], "sy": [y.sum()],
+                             "sxx": [(x * x).sum()],
+                             "syy": [(y * y).sum()],
+                             "sxy": [(x * y).sum()]})
+
+    m = grouped_aggregate(
+        ds.map_batches(moments, batch_format="pandas"),
+        ["__all"],
+        {k: (k, "sum") for k in ("n", "sx", "sy", "sxx", "syy",
+                                 "sxy")}).to_pandas().iloc[0]
+    n = float(m["n"])
+    cov = m["sxy"] - m["sx"] * m["sy"] / n
+    vx = m["sxx"] - m["sx"] ** 2 / n
+    vy = m["syy"] - m["sy"] ** 2 / n
+    r = cov / np.sqrt(vx * vy)
+    return pd.DataFrame({"n": [np.int64(n)],
+                         "corr_qty_price": [round(float(r), 6)]})
+
+
 def q_events_funnel(sf_dir: str):
     """Sequential funnel analysis (view → click ≤24h → purchase
     ≤24h): the ordered-pattern-matching shape — each stage is a
@@ -2490,6 +2524,7 @@ def build_queries() -> dict:
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
         "media_image_resize": media_image_resize,
+        "q_lineitem_corr": q_lineitem_corr,
         "q_events_funnel": q_events_funnel,
         "q_orders_cohort_retention": q_orders_cohort_retention,
         "q_events_outliers": q_events_outliers,
@@ -4061,6 +4096,12 @@ def _build_oracle_sql_literal() -> dict:
             SELECT user_id, 'orders_only'
             FROM (SELECT user_id FROM ou EXCEPT SELECT user_id FROM eu)
             ORDER BY user_id, tag
+        """,
+        "q_lineitem_corr": """
+            SELECT count(*) AS n,
+                   round(corr(l_quantity, l_extendedprice), 6)
+                       AS corr_qty_price
+            FROM lineitem
         """,
         "q_events_funnel": """
             WITH v AS (
