@@ -2403,6 +2403,55 @@ def q_part_triangles(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def doc_bpe_pair_counts(sf_dir: str):
+    """First-round BPE pair statistics (Sennrich et al. 2016),
+    fully distributed: combiner word-frequency aggregate → per-block
+    vectorized char-pair partials (NUL-joined codepoint array, two
+    shifted views — no per-word loop) → grouped sum. SQL-oracled via
+    a words × char-position lateral in DuckDB."""
+    from jerex_ray.ops.bpe import pair_counts
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return pair_counts(ds)
+
+
+def doc_bpe_merges(sf_dir: str):
+    """Learned BPE merge list (40 merges, min pair freq 2): the
+    distributed word-frequency count feeds the driver-side greedy
+    merge loop (inherently sequential; input is vocabulary-bounded,
+    not corpus-bounded). Rows-only: the iterative merge recurrence
+    is not SQL-expressible (DuckDB replace() has different overlap
+    semantics than left-to-right BPE merging); parity vs an
+    independent full-recount reference trainer is pytest-gated
+    (test_bpe.py)."""
+    from jerex_ray.ops.bpe import train_bpe, word_freqs
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    wf = word_freqs(ds).to_pandas()
+    return train_bpe(wf, num_merges=40)
+
+
+def doc_bpe_tokens(sf_dir: str):
+    """Tokenize the corpus with the learned merges: broadcast-apply
+    actor stage (ranks built once per actor, per-actor word memo) →
+    per-doc word/token/distinct-token counts. Rows-only (encoding is
+    the same non-SQL recurrence); losslessness and the GPT-2 merge
+    convention are pytest-gated."""
+    from jerex_ray.ops.bpe import apply_bpe, train_bpe, word_freqs
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    wf = word_freqs(ds).to_pandas()
+    merges = train_bpe(wf, num_merges=40)
+    out = apply_bpe(ds, merges).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -2536,6 +2585,9 @@ def build_queries() -> dict:
         "q_events_cms_counts": q_events_cms_counts,
         "q_events_stream_late": q_events_stream_late,
         "q_events_stream_windows": q_events_stream_windows,
+        "doc_bpe_pair_counts": doc_bpe_pair_counts,
+        "doc_bpe_merges": doc_bpe_merges,
+        "doc_bpe_tokens": doc_bpe_tokens,
     }
 
 
@@ -4300,5 +4352,19 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "doc_bpe_pair_counts": """
+            WITH w AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents),
+            wf AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+            p AS (SELECT substr(word, i, 1) AS a,
+                         substr(word, i + 1, 1) AS b, freq
+                  FROM wf, LATERAL (SELECT unnest(range(1, length(word)))
+                                    AS i) t)
+            SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM p GROUP BY a, b ORDER BY a, b
         """,
     }

@@ -1,0 +1,136 @@
+"""BPE trainer/encoder tests: distributed pair counts vs a naive
+count, incremental trainer vs a full-recount reference, GPT-2 merge
+conventions, losslessness, and edge cases."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from jerex_ray.ops.bpe import (apply_bpe, encode_word, pair_counts,
+                               train_bpe, word_freqs)
+
+
+def _docs(texts):
+    return rd.from_pandas(pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts}))
+
+
+def _naive_pair_counts(texts):
+    from collections import Counter
+    wf = Counter(w for t in texts for w in t.lower().split())
+    pc = Counter()
+    for w, f in wf.items():
+        for a, b in zip(w, w[1:]):
+            pc[(a, b)] += f
+    return pc
+
+
+def _reference_train(wordfreq: pd.DataFrame, num_merges, min_freq=2):
+    """Sennrich-style trainer with FULL pair recounts each round —
+    slow but obviously correct; the oracle for the incremental one."""
+    words = {i: list(w) for i, w in enumerate(wordfreq["word"])}
+    freqs = dict(enumerate(wordfreq["freq"].astype(int)))
+    merges = []
+    for rank in range(num_merges):
+        stats = {}
+        for i, syms in words.items():
+            for p in zip(syms, syms[1:]):
+                stats[p] = stats.get(p, 0) + freqs[i]
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), f = best
+        if f < min_freq:
+            break
+        for i, syms in words.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+        merges.append((rank, a, b, f))
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "freq"])
+
+
+def test_pair_counts_match_naive():
+    texts = ["the fast cat", "the the fat bat", "abba abba cab", ""]
+    got = pair_counts(_docs(texts))
+    want = _naive_pair_counts(texts)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[(r["a"], r["b"])] == r["cnt"]
+
+
+def test_train_matches_full_recount_reference():
+    rng = np.random.default_rng(7)
+    vocab = ["banana", "bandana", "ananas", "cabana", "nab", "ban",
+             "a", "bb", "stream", "streams", "streaming", "dream"]
+    wf = pd.DataFrame({"word": vocab,
+                       "freq": rng.integers(1, 50, len(vocab))})
+    fast = train_bpe(wf, num_merges=25, min_freq=2)
+    slow = _reference_train(wf, 25, min_freq=2)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+def test_first_merge_is_argmax_of_pair_counts():
+    texts = ["the fast key order sort", "the the key key stream"]
+    pc = pair_counts(_docs(texts))
+    wf = word_freqs(_docs(texts)).to_pandas()
+    merges = train_bpe(wf, num_merges=1, min_freq=1)
+    top = pc.sort_values(["cnt", "a", "b"],
+                         ascending=[False, True, True]).iloc[0]
+    assert (merges.loc[0, "left"], merges.loc[0, "right"],
+            merges.loc[0, "freq"]) == (top["a"], top["b"], top["cnt"])
+
+
+def test_encode_nonoverlapping_left_to_right():
+    # merging (a,a) in "aaaa" must yield [aa, aa]; in "aaa" → [aa, a]
+    ranks = {("a", "a"): 0}
+    assert encode_word("aaaa", ranks) == ["aa", "aa"]
+    assert encode_word("aaa", ranks) == ["aa", "a"]
+    # rank order decides: (a,b) before (b,c)
+    ranks = {("a", "b"): 0, ("b", "c"): 1}
+    assert encode_word("abc", ranks) == ["ab", "c"]
+    ranks = {("b", "c"): 0, ("a", "b"): 1}
+    assert encode_word("abc", ranks) == ["a", "bc"]
+
+
+def test_apply_is_lossless_and_counts_consistent():
+    texts = ["banana bandana cabana", "stream streams streaming",
+             "", "a"]
+    ds = _docs(texts)
+    wf = word_freqs(ds).to_pandas()
+    merges = train_bpe(wf, num_merges=10, min_freq=1)
+    ranks = {(r["left"], r["right"]): r["rank"]
+             for _, r in merges.iterrows()}
+    for t in texts:
+        for w in t.split():
+            assert "".join(encode_word(w, ranks)) == w
+    out = apply_bpe(ds, merges, concurrency=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n_words"]) == [3, 3, 0, 1]
+    exp_tokens = [sum(len(encode_word(w, ranks)) for w in t.split())
+                  for t in texts]
+    assert list(out["n_tokens"]) == exp_tokens
+    assert out.loc[2, "n_distinct_tokens"] == 0
+    # merges strictly reduce (or hold) token counts vs char count
+    for i, t in enumerate(texts):
+        assert out.loc[i, "n_tokens"] <= sum(len(w) for w in t.split())
+
+
+def test_train_stops_when_below_min_freq():
+    wf = pd.DataFrame({"word": ["ab", "cd"], "freq": [1, 1]})
+    assert len(train_bpe(wf, num_merges=10, min_freq=2)) == 0
+    m = train_bpe(wf, num_merges=10, min_freq=1)
+    assert len(m) == 2  # each pair mergeable once, then no pairs left
+
+
+def test_empty_and_single_char_corpus():
+    assert pair_counts(_docs(["", "  "])).empty
+    assert pair_counts(_docs(["a b c", "a"])).empty
+    wf = word_freqs(_docs(["a b c", "a"])).to_pandas()
+    assert len(train_bpe(wf, num_merges=5, min_freq=1)) == 0
