@@ -279,3 +279,55 @@ def lag_delta(events_ds, *, key: str, ts_col: str, id_col: str,
 
     return grouped_apply(events_ds, [key], deltas,
                          num_partitions=num_partitions)
+
+
+def transition_matrix(events_ds, *, key: str, ts_col: str, id_col: str,
+                      type_col: str,
+                      num_partitions: int | None = None) -> pd.DataFrame:
+    """First-order Markov transition matrix over per-key ordered event
+    sequences (the LEAD window shape): rows co-locate by key via the
+    hash shuffle, each block sorts its complete key groups once and
+    counts (state, next-state) pairs from two shifted views; the
+    per-block partials reduce through the combiner aggregate. Only the
+    |types|²-bounded count table reaches the driver, where row
+    probabilities are normalized (cnt / Σ cnt per source state).
+
+    Order within a key is (ts, id) — the id tiebreak makes equal-ts
+    sequences deterministic. Returns DataFrame[prev_type, next_type,
+    cnt, prob] with prob rounded to 6 decimals (oracle parity)."""
+
+    def partial(block: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"prev_type": pd.Series(dtype="object"),
+                              "next_type": pd.Series(dtype="object"),
+                              "c": pd.Series(dtype="int64")})
+        if block.empty:
+            return empty
+        b = block.sort_values([key, ts_col, id_col])
+        ks = b[key].to_numpy()
+        ty = b[type_col].to_numpy()
+        if len(b) < 2:
+            return empty
+        same = ks[1:] == ks[:-1]
+        if not same.any():
+            return empty
+        prev, nxt = ty[:-1][same], ty[1:][same]
+        df = pd.DataFrame({"prev_type": prev, "next_type": nxt})
+        g = df.value_counts().reset_index(name="c")
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    counts = grouped_aggregate(
+        grouped_apply(events_ds, [key], partial,
+                      num_partitions=num_partitions),
+        ["prev_type", "next_type"], {"cnt": ("c", "sum")},
+        num_partitions=num_partitions).to_pandas()
+    if counts.empty or "prev_type" not in counts.columns:
+        return pd.DataFrame({"prev_type": pd.Series(dtype="object"),
+                             "next_type": pd.Series(dtype="object"),
+                             "cnt": pd.Series(dtype="int64"),
+                             "prob": pd.Series(dtype="float64")})
+    counts["cnt"] = counts["cnt"].astype("int64")
+    totals = counts.groupby("prev_type")["cnt"].transform("sum")
+    counts["prob"] = (counts["cnt"] / totals).round(6)
+    return counts.sort_values(["prev_type", "next_type"]) \
+        .reset_index(drop=True)

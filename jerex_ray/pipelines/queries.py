@@ -2403,6 +2403,22 @@ def q_part_triangles(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_events_markov(sf_dir: str):
+    """First-order Markov transition matrix of event types per user
+    (``ops/windows.transition_matrix``): one hash shuffle co-locates
+    users, per-block sort + shifted-view pair counts reduce through
+    the combiner; only the |types|² count table reaches the driver.
+    SQL-oracled via LEAD OVER (PARTITION BY user ORDER BY ts, id)."""
+    from jerex_ray.ops.windows import transition_matrix
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    return transition_matrix(ds, key="user_id", ts_col="ts",
+                             id_col="event_id", type_col="event_type")
+
+
 def doc_bpe_pair_counts(sf_dir: str):
     """First-round BPE pair statistics (Sennrich et al. 2016),
     fully distributed: combiner word-frequency aggregate → per-block
@@ -2585,6 +2601,7 @@ def build_queries() -> dict:
         "q_events_cms_counts": q_events_cms_counts,
         "q_events_stream_late": q_events_stream_late,
         "q_events_stream_windows": q_events_stream_windows,
+        "q_events_markov": q_events_markov,
         "doc_bpe_pair_counts": doc_bpe_pair_counts,
         "doc_bpe_merges": doc_bpe_merges,
         "doc_bpe_tokens": doc_bpe_tokens,
@@ -4352,6 +4369,21 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "q_events_markov": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+                FROM events),
+            t AS (SELECT event_type AS prev_type, nxt AS next_type,
+                         count(*) AS cnt
+                  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+            SELECT prev_type, next_type, CAST(cnt AS BIGINT) AS cnt,
+                   round(cnt * 1.0 / sum(cnt) OVER
+                             (PARTITION BY prev_type), 6) AS prob
+            FROM t ORDER BY prev_type, next_type
         """,
         "doc_bpe_pair_counts": """
             WITH w AS (

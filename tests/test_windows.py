@@ -297,3 +297,31 @@ def test_asof_join_forward_direction():
     # k=1 @t0 → first right at-or-after = 1h (10.0); @2h → 3h (20.0);
     # k=2 @t0 → nothing after → NaN
     assert list(out["v"].fillna(-1)) == [10.0, 20.0, -1]
+
+
+def test_transition_matrix_counts_and_probs():
+    import ray.data as rd
+    from jerex_ray.ops.windows import transition_matrix
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:01",
+                         "2024-01-01 00:02", "2024-01-01 00:03",
+                         "2024-01-01 00:00", "2024-01-01 00:05"])
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "ts": ts,
+        "event_type": ["a", "b", "a", "b", "a", "c"]})
+    out = transition_matrix(rd.from_pandas(df), key="user_id",
+                            ts_col="ts", id_col="event_id",
+                            type_col="event_type")
+    # user 1: a→b, b→a, a→b ; user 2: a→c
+    got = {(r["prev_type"], r["next_type"]): (r["cnt"], r["prob"])
+           for _, r in out.iterrows()}
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 3
+    # single-row keys and empty input produce no transitions
+    empty = transition_matrix(
+        rd.from_pandas(df.head(1)), key="user_id", ts_col="ts",
+        id_col="event_id", type_col="event_type")
+    assert empty.empty
