@@ -359,3 +359,94 @@ def kcore(edges_ds, *, k: int, src: str = "a", dst: str = "b",
         edges.map_batches(endpoints, batch_format="pandas"),
         ["node"], {"deg": (None, "count")},
         num_partitions=num_partitions, result_hint="large")
+
+
+def bipartite_jaccard(pairs_ds, *, left_col: str, right_col: str,
+                      top_k: int = 50,
+                      num_partitions: int | None = None) -> pd.DataFrame:
+    """Jaccard-weighted one-mode projection of a bipartite graph — the
+    collaborative-filtering / link-prediction primitive (Liben-Nowell
+    & Kleinberg 2003): for every pair of LEFT nodes sharing at least
+    one RIGHT neighbor, |N(a)∩N(b)| (shared) and Jaccard
+    shared / (|N(a)|+|N(b)|−shared).
+
+    Dataflow: distinct (left,right) incidences reduce through the
+    combiner; RIGHT nodes co-locate via one hash shuffle and each
+    block emits its per-right-node left-pair wedges from a vectorized
+    self-merge; wedge partials reduce to shared counts; left-node
+    degree table (node-bounded, dimension-sized) broadcasts into the
+    pair stream. Only the top-k rows (ordered by rounded Jaccard DESC,
+    then pair — deterministic under ties) reach the caller: per-block
+    exact head after the global count, corpus never sorts.
+
+    Skew note: a right node of degree d emits d(d−1)/2 wedges — cap
+    hub fan-out upstream (or sample) for power-law right degrees."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+
+    inc = grouped_aggregate(pairs_ds, [left_col, right_col],
+                            {"n": (None, "count")},
+                            num_partitions=num_partitions) \
+        .drop_columns(["n"])
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        m = df.merge(df, on=right_col)
+        la, lb = f"{left_col}_x", f"{left_col}_y"
+        m = m[m[la] < m[lb]]
+        g = m.groupby([la, lb], sort=False).size().reset_index(name="c")
+        return pd.DataFrame({"a": g[la].to_numpy(),
+                             "b": g[lb].to_numpy(),
+                             "c": g["c"].to_numpy(np.int64)})
+
+    shared = grouped_aggregate(
+        grouped_apply(inc, [right_col], wedges,
+                      num_partitions=num_partitions),
+        ["a", "b"], {"shared": ("c", "sum")},
+        num_partitions=num_partitions)
+
+    deg = grouped_aggregate(inc, [left_col], {"d": (None, "count")},
+                            num_partitions=num_partitions).to_pandas()
+
+    from jerex_ray.functions.join import broadcast_join
+    out = broadcast_join(shared, deg.rename(
+        columns={left_col: "a", "d": "da"}), left_on="a", right_on="a")
+    out = broadcast_join(out, deg.rename(
+        columns={left_col: "b", "d": "db"}), left_on="b", right_on="b")
+
+    EMPTY = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "shared": pd.Series(dtype="int64"),
+                          "jaccard": pd.Series(dtype="float64")})
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return EMPTY
+        df = df.copy()
+        df["jaccard"] = (df["shared"] /
+                         (df["da"] + df["db"] - df["shared"])).round(6)
+        return df[["a", "b", "shared", "jaccard"]]
+
+    def head_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return EMPTY
+        return df.sort_values(["jaccard", "a", "b"],
+                              ascending=[False, True, True]).head(top_k)
+
+    final = out.map_batches(score, batch_format="pandas") \
+        .map_batches(head_block, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(head_block, batch_format="pandas",
+                     batch_size=None).to_pandas()
+    if final.empty or "a" not in final.columns:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "shared": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    final["shared"] = final["shared"].astype("int64")
+    return final.sort_values(["jaccard", "a", "b"],
+                             ascending=[False, True, True]) \
+        .head(top_k).reset_index(drop=True)

@@ -2403,6 +2403,25 @@ def q_part_triangles(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_supplier_jaccard(sf_dir: str):
+    """Link-prediction scores over the supplier–part bipartite graph
+    (``ops/graph.bipartite_jaccard``): top-50 supplier pairs by
+    part-set Jaccard — per-part wedge self-merge after one hash
+    shuffle, combiner-reduced shared counts, broadcast degree join,
+    block-local exact head. Oracled via a SQL self-join on shared
+    parts with a deterministic (rounded jaccard DESC, pair) order."""
+    from jerex_ray.ops.graph import bipartite_jaccard
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_partkey"])
+    out = bipartite_jaccard(ds, left_col="l_suppkey",
+                            right_col="l_partkey", top_k=50)
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    return out
+
+
 def q_events_markov(sf_dir: str):
     """First-order Markov transition matrix of event types per user
     (``ops/windows.transition_matrix``): one hash shuffle co-locates
@@ -2602,6 +2621,7 @@ def build_queries() -> dict:
         "q_events_stream_late": q_events_stream_late,
         "q_events_stream_windows": q_events_stream_windows,
         "q_events_markov": q_events_markov,
+        "q_supplier_jaccard": q_supplier_jaccard,
         "doc_bpe_pair_counts": doc_bpe_pair_counts,
         "doc_bpe_merges": doc_bpe_merges,
         "doc_bpe_tokens": doc_bpe_tokens,
@@ -4369,6 +4389,19 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "q_supplier_jaccard": """
+            WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                        FROM lineitem),
+            deg AS (SELECT s, count(*) AS d FROM sp GROUP BY s),
+            cn AS (SELECT x.s AS a, y.s AS b, count(*) AS shared
+                   FROM sp x JOIN sp y ON x.p = y.p AND x.s < y.s
+                   GROUP BY 1, 2)
+            SELECT a, b, CAST(shared AS BIGINT) AS shared,
+                   round(shared * 1.0 / (da.d + db.d - shared), 6)
+                       AS jaccard
+            FROM cn JOIN deg da ON da.s = a JOIN deg db ON db.s = b
+            ORDER BY jaccard DESC, a, b LIMIT 50
         """,
         "q_events_markov": """
             WITH seq AS (

@@ -420,3 +420,36 @@ def test_triangles_and_kcore_deterministic_under_resharding():
         outs.append((t, kc))
     pd.testing.assert_frame_equal(outs[0][0], outs[1][0])
     pd.testing.assert_frame_equal(outs[0][1], outs[1][1])
+
+
+def test_bipartite_jaccard_vs_bruteforce():
+    import itertools
+    import ray.data as rd
+    from jerex_ray.ops.graph import bipartite_jaccard
+    rng = np.random.default_rng(11)
+    rows = pd.DataFrame({
+        "s": rng.integers(0, 12, 300),
+        "p": rng.integers(0, 25, 300)})
+    out = bipartite_jaccard(rd.from_pandas(rows), left_col="s",
+                            right_col="p", top_k=10)
+    nbrs = {s: set(g["p"]) for s, g in rows.groupby("s")}
+    exp = []
+    for a, b in itertools.combinations(sorted(nbrs), 2):
+        sh = len(nbrs[a] & nbrs[b])
+        if sh:
+            exp.append((a, b, sh,
+                        round(sh / len(nbrs[a] | nbrs[b]), 6)))
+    exp.sort(key=lambda r: (-r[3], r[0], r[1]))
+    exp = exp[:10]
+    got = list(map(tuple, out[["a", "b", "shared", "jaccard"]]
+                   .itertuples(index=False)))
+    assert got == exp
+
+
+def test_bipartite_jaccard_empty_and_disjoint():
+    import ray.data as rd
+    from jerex_ray.ops.graph import bipartite_jaccard
+    disjoint = pd.DataFrame({"s": [1, 2, 3], "p": [10, 20, 30]})
+    out = bipartite_jaccard(rd.from_pandas(disjoint), left_col="s",
+                            right_col="p", top_k=5)
+    assert out.empty
