@@ -2591,6 +2591,10 @@ def build_queries() -> dict:
         "kg_entity_link": kg_entity_link,
         "q5_regional_supplier_revenue": R.q5_regional_supplier_revenue,
         "q18_large_volume_orders": R.q18_large_volume_orders,
+        "q4_order_priority": R.q4_order_priority,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q14_promo_revenue": R.q14_promo_revenue,
+        "q15_top_supplier": R.q15_top_supplier,
         "q_revenue_rollup": R.q_revenue_rollup,
         "q_user_presence": R.q_user_presence,
         "q_part_triangles": q_part_triangles,
@@ -4389,6 +4393,49 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate >
+                                o.o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q14_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS promo_share
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= DATE '1997-03-01'
+              AND l_shipdate < DATE '1997-04-01'
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM r JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+            ORDER BY s_suppkey
         """,
         "q_supplier_jaccard": """
             WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p

@@ -509,3 +509,147 @@ def q18_large_volume_orders(sf_dir: str, *, min_qty: float = 250.0):
     df["o_orderkey"] = df["o_orderkey"].astype("int64")
     return df.sort_values(["o_totalprice", "o_orderkey"],
                           ascending=[False, True]).reset_index(drop=True)
+
+
+# --- Q4 shape: EXISTS semi-join with a correlated date predicate ---
+
+def q4_order_priority(sf_dir: str, *, quarter_start: str = "1996-01-01"):
+    """Order-priority checking (the TPC-H Q4 shape): count orders per
+    priority placed in one quarter that have at least one LATE line
+    (shipped > 30 days after the order date). The EXISTS predicate
+    correlates with ``o_orderdate``, so it cannot become a broadcast
+    key-set semi-join: the quarter's orders hash-join lineitem once,
+    the lateness filter is vectorized, and DISTINCT order survivors
+    reduce through the key-only combiner before the tiny priority
+    count."""
+    lo = pd.Timestamp(quarter_start)
+    hi = lo + pd.DateOffset(months=3)
+    late_after = pd.Timedelta(days=30)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda df: df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)],
+        batch_format="pandas")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    j = orders.join(li, join_type="inner",
+                    num_partitions=shuffle_partitions(8),
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+    j = j.map_batches(
+        lambda df: df.loc[df["l_shipdate"] > df["o_orderdate"] + late_after,
+                          ["o_orderkey", "o_orderpriority"]],
+        batch_format="pandas")
+    distinct = grouped_aggregate(j, ["o_orderkey", "o_orderpriority"],
+                                 {"n": (None, "count")},
+                                 result_hint="large")
+    out = grouped_aggregate(distinct, ["o_orderpriority"],
+                            {"order_count": (None, "count")}).to_pandas()
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# --- Q6 shape: pure filter + scalar aggregate (no shuffle at all) ---
+
+def q6_forecast_revenue(sf_dir: str, *, year: int = 1997):
+    """Forecasting-revenue-change (the TPC-H Q6 shape): one pruned
+    scan, three vectorized predicates, and a scalar sum — the
+    degenerate aggregate where the combiner reduces everything to one
+    number per block and the driver adds a handful of partials. No
+    shuffle anywhere."""
+    lo = pa.scalar(pd.Timestamp(f"{year}-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(f"{year + 1}-01-01"), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                            pc.less(t["l_shipdate"], hi)),
+                    pc.and_(pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                                    pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+                            pc.less(t["l_quantity"], pa.scalar(24.0))))
+        t = t.filter(m)
+        s = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        v = 0.0 if s.as_py() is None else float(s.as_py())
+        return pa.table({"part": pa.array([v], pa.float64())})
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue": [round(float(parts["part"].sum()), 2)]})
+
+
+# --- Q14 shape: broadcast dimension join + conditional aggregate ---
+
+def q14_promo_revenue(sf_dir: str, *, month_start: str = "1997-03-01"):
+    """Promotion-effect (the TPC-H Q14 shape): share of one month's
+    revenue from PROMO-type parts. Part is the broadcast dimension
+    (only p_partkey/p_type ship); the conditional sum reduces to two
+    scalars per block — the whole month collapses without a shuffle."""
+    lo = pd.Timestamp(month_start)
+    hi = lo + pd.DateOffset(months=1)
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+    li = li.map_batches(
+        lambda df: df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)],
+        batch_format="pandas")
+    j = broadcast_join(li, part, left_on="l_partkey", right_on="p_partkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy() \
+            * (1.0 - df["l_discount"].to_numpy())
+        promo = rev[(df["p_type"] == "PROMO").to_numpy()].sum()
+        return pd.DataFrame({"promo": [promo], "total": [rev.sum()]})
+
+    parts = j.map_batches(partial, batch_format="pandas").to_pandas()
+    total = float(parts["total"].sum())
+    promo = float(parts["promo"].sum())
+    share = 0.0 if total == 0 else 100.0 * promo / total
+    return pd.DataFrame({"promo_share": [round(share, 6)]})
+
+
+# --- Q15 shape: aggregate → global argmax (with ties) → join back ---
+
+def q15_top_supplier(sf_dir: str, *, quarter_start: str = "1996-01-01"):
+    """Top-supplier (the TPC-H Q15 shape): per-supplier revenue for a
+    quarter, then every supplier tied at the maximum. The revenue
+    aggregate is combiner-backed; the argmax is a two-scalar reduce
+    over block maxima (never a sort), and only the tied survivors
+    join the supplier dimension. Revenue rounds to 2 decimals BEFORE
+    the max comparison on both engine and oracle sides — float sum
+    order must not decide the winner."""
+    lo = pd.Timestamp(quarter_start)
+    hi = lo + pd.DateOffset(months=3)
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        return pd.DataFrame({
+            "l_suppkey": df["l_suppkey"].to_numpy(),
+            "rev": df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy())})
+
+    rev = grouped_aggregate(li.map_batches(prep, batch_format="pandas"),
+                            ["l_suppkey"], {"total_revenue": ("rev", "sum")})
+    rev = rev.map_batches(
+        lambda df: df.assign(total_revenue=df["total_revenue"].round(2)),
+        batch_format="pandas")
+    blocks = rev.map_batches(
+        lambda df: pd.DataFrame(
+            {"m": [df["total_revenue"].max() if len(df) else float("-inf")]}),
+        batch_format="pandas", batch_size=None).to_pandas()
+    if blocks.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "s_name": pd.Series(dtype="object"),
+                             "total_revenue": pd.Series(dtype="float64")})
+    mx = float(blocks["m"].max())
+    top = rev.map_batches(
+        lambda df: df[df["total_revenue"] == mx], batch_format="pandas")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = broadcast_join(top, supp, left_on="l_suppkey",
+                         right_on="s_suppkey").to_pandas()
+    out = out.rename(columns={"l_suppkey": "s_suppkey"})
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out[["s_suppkey", "s_name", "total_revenue"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
