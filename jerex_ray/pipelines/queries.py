@@ -2403,6 +2403,83 @@ def q_part_triangles(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_events_regression(sf_dir: str):
+    """Per-group ordinary-least-squares fit of event value against
+    time (days since 1995-01-01), from ONE combiner pass of grouped
+    co-moments (n, Σx, Σy, Σx², Σy², Σxy per event type — five
+    scalars per group reduce, never the rows). Slope/intercept/R²
+    close over the |types|-bounded table on the driver. Time is
+    rescaled to days BEFORE the moments (both sides) so the normal
+    equations don't cancel catastrophically at epoch-second
+    magnitudes. Oracled vs DuckDB regr_slope/regr_intercept/regr_r2."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"])
+    epoch0 = pd.Timestamp("1995-01-01")
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        # resolution-safe (blocks may arrive as datetime64[us] or [ns])
+        x = ((df["ts"] - epoch0) / pd.Timedelta(days=1)) \
+            .to_numpy(np.float64)
+        y = df["value"].to_numpy(np.float64)
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "n": 1, "sx": x, "sy": y, "sxx": x * x,
+                          "syy": y * y, "sxy": x * y})
+        return g.groupby("event_type", sort=False, as_index=False).sum()
+
+    m = grouped_aggregate(
+        ds.map_batches(moments, batch_format="pandas"),
+        ["event_type"],
+        {k: (k, "sum") for k in ("n", "sx", "sy", "sxx", "syy",
+                                 "sxy")}).to_pandas()
+    n = m["n"].to_numpy(np.float64)
+    vx = m["sxx"] - m["sx"] ** 2 / n
+    vy = m["syy"] - m["sy"] ** 2 / n
+    cov = m["sxy"] - m["sx"] * m["sy"] / n
+    slope = cov / vx
+    out = pd.DataFrame({
+        "event_type": m["event_type"],
+        "n": m["n"].astype("int64"),
+        "slope": slope.round(6),
+        "intercept": (m["sy"] / n - slope * m["sx"] / n).round(6),
+        "r2": (cov * cov / (vx * vy)).round(6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_events_moving_avg(sf_dir: str):
+    """Row-frame window aggregate (ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW): per-user 4-row moving average of event value in
+    (ts, id) order — users co-locate in one hash shuffle, each block
+    runs a vectorized grouped rolling mean. Oracled vs the SQL
+    window frame."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "value"])
+
+    def mavg(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "mavg": pd.Series(dtype="float64")})
+        b = block.sort_values(["user_id", "ts", "event_id"])
+        r = b.groupby("user_id", sort=False)["value"] \
+            .rolling(4, min_periods=1).mean() \
+            .reset_index(level=0, drop=True)
+        return pd.DataFrame({"event_id": b["event_id"].to_numpy(),
+                             "user_id": b["user_id"].to_numpy(),
+                             "mavg": r.to_numpy().round(6)})
+
+    out = grouped_apply(ds, ["user_id"], mavg).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_supplier_jaccard(sf_dir: str):
     """Link-prediction scores over the supplier–part bipartite graph
     (``ops/graph.bipartite_jaccard``): top-50 supplier pairs by
@@ -2626,6 +2703,8 @@ def build_queries() -> dict:
         "q_events_stream_windows": q_events_stream_windows,
         "q_events_markov": q_events_markov,
         "q_supplier_jaccard": q_supplier_jaccard,
+        "q_events_regression": q_events_regression,
+        "q_events_moving_avg": q_events_moving_avg,
         "doc_bpe_pair_counts": doc_bpe_pair_counts,
         "doc_bpe_merges": doc_bpe_merges,
         "doc_bpe_tokens": doc_bpe_tokens,
@@ -4393,6 +4472,27 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "q_events_regression": """
+            WITH e AS (
+                SELECT event_type,
+                       (epoch(ts) - epoch(TIMESTAMP '1995-01-01'))
+                           / 86400.0 AS x,
+                       value AS y
+                FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(regr_slope(y, x), 6) AS slope,
+                   round(regr_intercept(y, x), 6) AS intercept,
+                   round(regr_r2(y, x), 6) AS r2
+            FROM e GROUP BY event_type ORDER BY event_type
+        """,
+        "q_events_moving_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+                       AS mavg
+            FROM events ORDER BY event_id
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, count(*) AS order_count
