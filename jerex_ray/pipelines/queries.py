@@ -2403,6 +2403,24 @@ def q_part_triangles(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def doc_bigram_logppl(sf_dir: str):
+    """Add-k smoothed bigram-LM quality score (the CCNet shape one
+    order above ``doc_unigram_logppl``): per-doc mean −log2 P(w|prev)
+    with P = (c(w₁w₂)+k)/(c(w₁·)+kV), k=0.5. Bigram counts reduce
+    through the combiner; the vocabulary²-bounded table broadcasts
+    once; one streaming pass scores. Oracled against the identical
+    formula in SQL (positions via a char... word-index lateral)."""
+    from jerex_ray.ops.textstats import bigram_logppl
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = bigram_logppl(ds).to_pandas()
+    out["logppl"] = out["logppl"].round(6)
+    out["n_bigrams"] = out["n_bigrams"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_events_regression(sf_dir: str):
     """Per-group ordinary-least-squares fit of event value against
     time (days since 1995-01-01), from ONE combiner pass of grouped
@@ -2705,6 +2723,7 @@ def build_queries() -> dict:
         "q_supplier_jaccard": q_supplier_jaccard,
         "q_events_regression": q_events_regression,
         "q_events_moving_avg": q_events_moving_avg,
+        "doc_bigram_logppl": doc_bigram_logppl,
         "doc_bpe_pair_counts": doc_bpe_pair_counts,
         "doc_bpe_merges": doc_bpe_merges,
         "doc_bpe_tokens": doc_bpe_tokens,
@@ -4472,6 +4491,39 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "doc_bigram_logppl": """
+            WITH w AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents),
+            pos AS (
+                SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                FROM w, LATERAL (SELECT unnest(range(1, len(ws)))
+                                 AS i) t),
+            bg AS (SELECT w1, w2, count(*) AS c2 FROM pos
+                   GROUP BY w1, w2),
+            ctx AS (SELECT w1, count(*) AS c1 FROM pos GROUP BY w1),
+            v AS (SELECT count(DISTINCT x) AS nv
+                  FROM (SELECT unnest(ws) AS x FROM w)),
+            lp AS (
+                SELECT p.doc_id,
+                       -(log2(bg.c2 + 0.5) - log2(ctx.c1 + 0.5 * v.nv))
+                           AS l
+                FROM pos p
+                JOIN bg ON bg.w1 = p.w1 AND bg.w2 = p.w2
+                JOIN ctx ON ctx.w1 = p.w1
+                CROSS JOIN v),
+            per AS (SELECT doc_id, count(*) AS n_bigrams,
+                           round(avg(l), 6) AS logppl
+                    FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_bigrams, 0) AS BIGINT)
+                       AS n_bigrams,
+                   coalesce(per.logppl, 0.0) AS logppl
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            ORDER BY d.doc_id
         """,
         "q_events_regression": """
             WITH e AS (
