@@ -2403,6 +2403,59 @@ def q_part_triangles(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def doc_logreg_grad2(sf_dir: str):
+    """Two-epoch gradient parity for the distributed logistic
+    regression (``ops/logreg``): w₀=0 → one full-batch pass → step
+    (lr=2) → second pass; returns the second mean gradient. Each pass
+    is one streaming map_batches emitting (d+2)-float partials — the
+    SQL oracle replays the same two rounds in chained CTEs with
+    exp()."""
+    from jerex_ray.ops.logreg import epoch_pass, feature_table
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+    feats = feature_table(ds).materialize()
+    g0, _, _ = epoch_pass(feats, np.zeros(4))
+    g1, _, _ = epoch_pass(feats, -2.0 * g0)
+    return pd.DataFrame({
+        "g_bias": [round(float(g1[0]), 6)],
+        "g_punct_ratio": [round(float(g1[1]), 6)],
+        "g_mean_token_len": [round(float(g1[2]), 6)],
+        "g_stopword_ratio": [round(float(g1[3]), 6)]})
+
+
+def doc_quality_logreg(sf_dir: str):
+    """Train the English-vs-rest quality classifier to convergence
+    (30 full-batch GD epochs, one streaming pass each, feature blocks
+    materialized once). Rows-only: the iterated exp/step recurrence
+    isn't practical SQL past two rounds (the two-round prefix IS
+    oracled via ``doc_logreg_grad2``); monotone loss decrease and a
+    finite-difference gradient check are pytest-gated
+    (test_logreg.py). Features are z-scored by a one-pass streaming
+    moments stage first (fixed-lr GD is then stable by construction).
+    The synthetic ``lang`` label carries only weak text signal, so
+    the honest outcome is accuracy slightly above the majority base
+    rate — the query demonstrates the training dataflow, not a
+    separable task. Returns weights (standardized space), final
+    loss, train accuracy."""
+    from jerex_ray.ops.logreg import (FEATURES, accuracy, feature_table,
+                                      standardize, train_logreg)
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+    feats, _, _ = standardize(feature_table(ds))
+    feats = feats.materialize()
+    w, hist = train_logreg(feats, epochs=30, lr=1.0)
+    row = {"w_bias": [round(float(w[0]), 6)]}
+    for j, c in enumerate(FEATURES):
+        row[f"w_{c}"] = [round(float(w[j + 1]), 6)]
+    row["final_loss"] = [round(float(hist["loss"].iloc[-1]), 6)]
+    row["train_acc"] = [round(accuracy(feats, w), 6)]
+    return pd.DataFrame(row)
+
+
 def doc_bigram_logppl(sf_dir: str):
     """Add-k smoothed bigram-LM quality score (the CCNet shape one
     order above ``doc_unigram_logppl``): per-doc mean −log2 P(w|prev)
@@ -2724,6 +2777,8 @@ def build_queries() -> dict:
         "q_events_regression": q_events_regression,
         "q_events_moving_avg": q_events_moving_avg,
         "doc_bigram_logppl": doc_bigram_logppl,
+        "doc_logreg_grad2": doc_logreg_grad2,
+        "doc_quality_logreg": doc_quality_logreg,
         "doc_bpe_pair_counts": doc_bpe_pair_counts,
         "doc_bpe_merges": doc_bpe_merges,
         "doc_bpe_tokens": doc_bpe_tokens,
@@ -4491,6 +4546,41 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "doc_logreg_grad2": f"""
+            WITH f AS (
+                SELECT CAST(length(text) - length(regexp_replace(text,
+                           '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                           / greatest(length(text), 1) AS x1,
+                       CASE WHEN {_N_TOKENS_SQL} > 0 THEN
+                           CAST(length(regexp_replace(text, '\\s', '',
+                               'g')) AS DOUBLE)
+                               / greatest({_N_TOKENS_SQL}, 1)
+                       ELSE 0.0 END AS x2,
+                       CAST(len(list_filter(
+                            list_filter(regexp_split_to_array(text,
+                                '\\s+'), x -> x <> ''),
+                            x -> lower(x) IN ('the','and','of','to','a',
+                                'in','is','it','that','was')))
+                            AS DOUBLE) / greatest({_N_TOKENS_SQL}, 1)
+                           AS x3,
+                       CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                FROM documents),
+            g0 AS (
+                SELECT avg(0.5 - y) AS b, avg(x1 * (0.5 - y)) AS p1,
+                       avg(x2 * (0.5 - y)) AS p2,
+                       avg(x3 * (0.5 - y)) AS p3
+                FROM f),
+            s AS (
+                SELECT y, x1, x2, x3,
+                       1.0 / (1.0 + exp(2.0 * (g0.b + g0.p1 * x1
+                           + g0.p2 * x2 + g0.p3 * x3))) AS pr
+                FROM f CROSS JOIN g0)
+            SELECT round(avg(pr - y), 6) AS g_bias,
+                   round(avg(x1 * (pr - y)), 6) AS g_punct_ratio,
+                   round(avg(x2 * (pr - y)), 6) AS g_mean_token_len,
+                   round(avg(x3 * (pr - y)), 6) AS g_stopword_ratio
+            FROM s
         """,
         "doc_bigram_logppl": """
             WITH w AS (
