@@ -2403,6 +2403,100 @@ def q_part_triangles(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_user_event_type_set(sf_dir: str):
+    """Collect-set aggregate (string_agg DISTINCT … ORDER BY): per
+    user, the alphabetized comma-joined set of event types seen in
+    the first two days. The set is |types|-bounded, so the engine
+    builds it VECTORIZED from the pivot booleans (5 numpy selects) —
+    never a per-group Python join — after the (user, type) combiner
+    count and one hash co-location."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    types = ["click", "error", "purchase", "signup", "view"]
+    cutoff = pd.Timestamp("2024-01-03")
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts"])
+    ds = ds.map_batches(
+        lambda df: df.loc[df["ts"] < cutoff, ["user_id", "event_type"]],
+        batch_format="pandas")
+    counts = grouped_aggregate(ds, ["user_id", "event_type"],
+                               {"n": (None, "count")})
+
+    def set_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "types": pd.Series(dtype="object")})
+        wide = df.pivot_table(index="user_id", columns="event_type",
+                              values="n", aggfunc="sum", fill_value=0)
+        wide = wide.reindex(columns=types, fill_value=0)
+        s = np.full(len(wide), "", dtype=object)
+        for t in types:
+            m = wide[t].to_numpy() > 0
+            s = np.where(m, np.where(s == "", t, s + "," + t), s)
+        return pd.DataFrame({"user_id": wide.index.to_numpy(),
+                             "types": s})
+
+    out = grouped_apply(counts, ["user_id"], set_block).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_customer_rfm(sf_dir: str):
+    """RFM segmentation (recency / frequency / monetary tercile
+    buckets — classic CRM corpus partitioning): per-customer metrics
+    from one combiner aggregate over orders, exact tercile thresholds
+    from the three-pass distributed quantile operator (no sort
+    shuffle), vectorized bucket assignment against the broadcast
+    thresholds, and a 27-cell segment count. Thresholds round to 6 on
+    both sides; monetary rounds to 2 before bucketing (float sum
+    order must not move a boundary)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    import ray.data as rd
+    anchor = pd.Timestamp("1998-12-31")
+    ds = read_parquet_sized(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_totalprice"])
+    per = grouped_aggregate(ds, ["o_custkey"],
+                            {"frequency": (None, "count"),
+                             "monetary": ("o_totalprice", "sum"),
+                             "last_order": ("o_orderdate", "max")})
+
+    def metrics(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "recency": (anchor - df["last_order"])
+            .dt.days.to_numpy(np.float64),
+            "frequency": df["frequency"].to_numpy(np.float64),
+            "monetary": df["monetary"].round(2).to_numpy(np.float64)})
+
+    m = per.map_batches(metrics, batch_format="pandas").materialize()
+    qs = [1 / 3, 2 / 3]
+    th = {c: [round(v, 6) for v in distributed_quantiles(m, c, qs)]
+          for c in ("recency", "frequency", "monetary")}
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"o_custkey": df["o_custkey"].to_numpy()}
+        for c, (t1, t2) in th.items():
+            v = df[c].to_numpy(np.float64)
+            out[f"{c[0]}_bucket"] = (1 + (v > t1).astype(np.int64)
+                                     + (v > t2).astype(np.int64))
+        return pd.DataFrame(out)
+
+    seg = grouped_aggregate(
+        m.map_batches(bucket, batch_format="pandas"),
+        ["r_bucket", "f_bucket", "m_bucket"],
+        {"n_customers": (None, "count")}).to_pandas()
+    seg["n_customers"] = seg["n_customers"].astype("int64")
+    for c in ("r_bucket", "f_bucket", "m_bucket"):
+        seg[c] = seg[c].astype("int64")
+    return seg.sort_values(["r_bucket", "f_bucket", "m_bucket"]) \
+        .reset_index(drop=True)
+
+
 def doc_logreg_grad2(sf_dir: str):
     """Two-epoch gradient parity for the distributed logistic
     regression (``ops/logreg``): w₀=0 → one full-batch pass → step
@@ -2779,6 +2873,8 @@ def build_queries() -> dict:
         "doc_bigram_logppl": doc_bigram_logppl,
         "doc_logreg_grad2": doc_logreg_grad2,
         "doc_quality_logreg": doc_quality_logreg,
+        "q_user_event_type_set": q_user_event_type_set,
+        "q_customer_rfm": q_customer_rfm,
         "doc_bpe_pair_counts": doc_bpe_pair_counts,
         "doc_bpe_merges": doc_bpe_merges,
         "doc_bpe_tokens": doc_bpe_tokens,
@@ -4546,6 +4642,42 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "q_user_event_type_set": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ','
+                              ORDER BY event_type) AS types
+            FROM events WHERE ts < TIMESTAMP '2024-01-03'
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "q_customer_rfm": """
+            WITH per AS (
+                SELECT o_custkey,
+                       CAST(date_diff('day', max(o_orderdate),
+                            DATE '1998-12-31') AS DOUBLE) AS recency,
+                       CAST(count(*) AS DOUBLE) AS frequency,
+                       round(sum(o_totalprice), 2) AS monetary
+                FROM orders GROUP BY o_custkey),
+            th AS (
+                SELECT round(quantile_cont(recency, 1.0/3), 6) AS r1,
+                       round(quantile_cont(recency, 2.0/3), 6) AS r2,
+                       round(quantile_cont(frequency, 1.0/3), 6) AS f1,
+                       round(quantile_cont(frequency, 2.0/3), 6) AS f2,
+                       round(quantile_cont(monetary, 1.0/3), 6) AS m1,
+                       round(quantile_cont(monetary, 2.0/3), 6) AS m2
+                FROM per)
+            SELECT CAST(1 + CAST(recency > r1 AS INT)
+                       + CAST(recency > r2 AS INT) AS BIGINT)
+                       AS r_bucket,
+                   CAST(1 + CAST(frequency > f1 AS INT)
+                       + CAST(frequency > f2 AS INT) AS BIGINT)
+                       AS f_bucket,
+                   CAST(1 + CAST(monetary > m1 AS INT)
+                       + CAST(monetary > m2 AS INT) AS BIGINT)
+                       AS m_bucket,
+                   count(*) AS n_customers
+            FROM per CROSS JOIN th
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "doc_logreg_grad2": f"""
             WITH f AS (
