@@ -2403,6 +2403,129 @@ def q_part_triangles(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_events_unpivot(sf_dir: str):
+    """Pivot → UNPIVOT roundtrip: the per-user wide count matrix
+    (conditional aggregation) melts back to long form through the
+    streaming ``relational.melt`` reshape (row-local, no shuffle).
+    Zero cells survive the roundtrip, so the oracle is the users ×
+    types cross join with coalesced counts."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.relational import melt
+    from jerex_ray.runtime import read_parquet_sized
+    import ray.data as rd
+    configure_data_context()
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    counts = grouped_aggregate(ds, ["user_id", "event_type"],
+                               {"n": (None, "count")})
+
+    def pivot_block(df: pd.DataFrame) -> pd.DataFrame:
+        wide = df.pivot_table(index="user_id", columns="event_type",
+                              values="n", aggfunc="sum", fill_value=0)
+        wide = wide.reindex(columns=types, fill_value=0).reset_index()
+        wide.columns = ["user_id"] + types
+        return wide.astype("int64")
+
+    wide = grouped_apply(counts, ["user_id"], pivot_block)
+    out = melt(wide, id_cols=["user_id"], value_cols=types,
+               var_name="event_type", value_name="n").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["user_id", "event_type"]) \
+        .reset_index(drop=True)
+
+
+def q_events_geomean(sf_dir: str):
+    """Per-type geometric mean of event value — the log-domain
+    aggregate: one combiner pass over (Σln v, n), exp of the mean on
+    the |types|-bounded result. Oracled via exp(avg(ln v))."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"] > 0]
+        return pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                             "lnv": np.log(df["value"].to_numpy(
+                                 np.float64))})
+
+    m = grouped_aggregate(ds.map_batches(prep, batch_format="pandas"),
+                          ["event_type"], {"s": ("lnv", "sum"),
+                                           "n": (None, "count")}) \
+        .to_pandas()
+    out = pd.DataFrame({
+        "event_type": m["event_type"],
+        "n": m["n"].astype("int64"),
+        "geomean": np.exp(m["s"].to_numpy(np.float64)
+                          / m["n"].to_numpy(np.float64)).round(6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_events_dod_overlap(sf_dir: str):
+    """Day-over-day active-user overlap (the retention-curve
+    primitive): per day, |active(d−1) ∩ active(d)| and its Jaccard.
+    Users co-locate once; each block walks its users' sorted distinct
+    days with one vectorized diff (a consecutive-day hit marks day d)
+    — no self-join, nothing user-sized leaves the cluster. Daily
+    totals come from the same distinct (day, user) pass."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                             "day": df["ts"].dt.floor("D").to_numpy()})
+
+    du = grouped_aggregate(ds.map_batches(day, batch_format="pandas"),
+                           ["user_id", "day"], {"n": (None, "count")},
+                           result_hint="large").materialize()
+    daily = grouped_aggregate(du, ["day"],
+                              {"n_active": (None, "count")}).to_pandas()
+
+    def both_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"day": pd.Series(
+                dtype="datetime64[us]"),
+                "c": pd.Series(dtype="int64")})
+        b = df.sort_values(["user_id", "day"])
+        u = b["user_id"].to_numpy()
+        d = b["day"].to_numpy()
+        same = u[1:] == u[:-1]
+        consec = (d[1:] - d[:-1]) == np.timedelta64(1, "D")
+        hit = d[1:][same & consec]
+        if not len(hit):
+            return pd.DataFrame({"day": pd.Series(
+                dtype="datetime64[us]"),
+                "c": pd.Series(dtype="int64")})
+        g = pd.Series(hit).value_counts()
+        return pd.DataFrame({"day": g.index.to_numpy(),
+                             "c": g.to_numpy(np.int64)})
+
+    both = grouped_aggregate(
+        grouped_apply(du, ["user_id"], both_block),
+        ["day"], {"n_both": ("c", "sum")}).to_pandas()
+
+    daily = daily.sort_values("day").reset_index(drop=True)
+    prev = daily.copy()
+    prev["day"] = prev["day"] + pd.Timedelta(days=1)
+    out = daily.merge(prev, on="day", how="inner",
+                      suffixes=("", "_prev"))
+    out = out.merge(both, on="day", how="left")
+    out["n_both"] = out["n_both"].fillna(0).astype("int64")
+    denom = (out["n_active_prev"] + out["n_active"]
+             - out["n_both"]).to_numpy(np.float64)
+    out["jaccard"] = (out["n_both"] / denom).round(6)
+    out["n_active"] = out["n_active"].astype("int64")
+    out["n_active_prev"] = out["n_active_prev"].astype("int64")
+    return out[["day", "n_active_prev", "n_active", "n_both",
+                "jaccard"]].sort_values("day").reset_index(drop=True)
+
+
 def q_user_event_type_set(sf_dir: str):
     """Collect-set aggregate (string_agg DISTINCT … ORDER BY): per
     user, the alphabetized comma-joined set of event types seen in
@@ -2875,6 +2998,9 @@ def build_queries() -> dict:
         "doc_quality_logreg": doc_quality_logreg,
         "q_user_event_type_set": q_user_event_type_set,
         "q_customer_rfm": q_customer_rfm,
+        "q_events_unpivot": q_events_unpivot,
+        "q_events_geomean": q_events_geomean,
+        "q_events_dod_overlap": q_events_dod_overlap,
         "doc_bpe_pair_counts": doc_bpe_pair_counts,
         "doc_bpe_merges": doc_bpe_merges,
         "doc_bpe_tokens": doc_bpe_tokens,
@@ -4642,6 +4768,46 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "q_events_unpivot": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            t AS (SELECT unnest(['click','error','purchase','signup',
+                                 'view']) AS event_type),
+            c AS (SELECT user_id, event_type, count(*) AS n
+                  FROM events GROUP BY 1, 2)
+            SELECT u.user_id, t.event_type,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM u CROSS JOIN t
+            LEFT JOIN c ON c.user_id = u.user_id
+                       AND c.event_type = t.event_type
+            ORDER BY u.user_id, t.event_type
+        """,
+        "q_events_geomean": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(exp(avg(ln(value))), 6) AS geomean
+            FROM events WHERE value > 0
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "q_events_dod_overlap": """
+            WITH du AS (SELECT DISTINCT user_id,
+                               date_trunc('day', ts) AS day
+                        FROM events),
+            daily AS (SELECT day, count(*) AS n_active FROM du
+                      GROUP BY day),
+            b AS (SELECT a.day + INTERVAL 1 DAY AS day,
+                         count(*) AS n_both
+                  FROM du a JOIN du c ON c.user_id = a.user_id
+                       AND c.day = a.day + INTERVAL 1 DAY
+                  GROUP BY 1)
+            SELECT d.day, p.n_active AS n_active_prev, d.n_active,
+                   CAST(coalesce(b.n_both, 0) AS BIGINT) AS n_both,
+                   round(coalesce(b.n_both, 0) * 1.0
+                         / (p.n_active + d.n_active
+                            - coalesce(b.n_both, 0)), 6) AS jaccard
+            FROM daily d
+            JOIN daily p ON p.day = d.day - INTERVAL 1 DAY
+            LEFT JOIN b ON b.day = d.day
+            ORDER BY d.day
         """,
         "q_user_event_type_set": """
             SELECT user_id,

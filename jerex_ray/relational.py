@@ -653,3 +653,18 @@ def q15_top_supplier(sf_dir: str, *, quarter_start: str = "1996-01-01"):
     out["s_suppkey"] = out["s_suppkey"].astype("int64")
     return out[["s_suppkey", "s_name", "total_revenue"]] \
         .sort_values("s_suppkey").reset_index(drop=True)
+
+
+# --- UNPIVOT: wide → long reshape as a streaming batch transform ---
+
+def melt(ds, *, id_cols: list[str], value_cols: list[str],
+         var_name: str = "variable", value_name: str = "value"):
+    """UNPIVOT (the inverse of the conditional-aggregation pivot):
+    each row explodes into len(value_cols) rows. Purely row-local —
+    a vectorized per-batch reshape, no shuffle, streams at any
+    scale."""
+    def m(df: pd.DataFrame) -> pd.DataFrame:
+        return df.melt(id_vars=id_cols, value_vars=value_cols,
+                       var_name=var_name, value_name=value_name)
+
+    return ds.map_batches(m, batch_format="pandas")
