@@ -2403,6 +2403,94 @@ def q_part_triangles(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def doc_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher SIGIR'09): BM25 lexical ranks fused with dense cosine
+    ranks as Σ 1/(60+r), top-10. The retrievers run distributed
+    (combiner BM25 stats + one scoring pass; broadcast query vector +
+    per-block float64 matmul), each reduced by block-local →
+    single-block exact top-100 on (ROUNDED score DESC, id) — rounding
+    BEFORE ranking makes the cut deterministic across engines (both
+    sides agree at 6 decimals, so rounded ties break by id
+    identically). Only the two 100-row lists reach the driver. The
+    synthetic tables pair row-wise (vec_id ≡ doc_id). Rank 0 encodes
+    'absent from that retriever's top-100'."""
+    from jerex_ray.ops.bm25 import bm25_scores
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    L, K, topn = 100, 60, 10
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+
+    def lex_head(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64")})
+        if "score" in df.columns:
+            out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                                "s": df["score"].round(6).to_numpy()})
+        else:
+            out = df
+        return out.sort_values(["s", "doc_id"],
+                               ascending=[False, True]).head(L)
+
+    lex = bm25_scores(docs, ["spark join fast"]) \
+        .map_batches(lex_head, batch_format="pandas", batch_size=None) \
+        .repartition(1) \
+        .map_batches(lex_head, batch_format="pandas",
+                     batch_size=None).to_pandas()
+
+    qrow = emb.map_batches(
+        lambda df: df[df["vec_id"] == 0], batch_format="pandas") \
+        .to_pandas()
+    qv = np.asarray(list(qrow["embedding"].iloc[0]), np.float64)
+    qv = qv / np.linalg.norm(qv)
+    import ray
+    qref = ray.put(qv)
+
+    def dense_head(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64")})
+        if "embedding" in df.columns:
+            m = np.stack([np.asarray(v, np.float64)
+                          for v in df["embedding"].to_numpy()])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            s = (m @ ray.get(qref)).round(6)
+            out = pd.DataFrame({"doc_id": df["vec_id"].to_numpy(), "s": s})
+        else:
+            out = df
+        return out.sort_values(["s", "doc_id"],
+                               ascending=[False, True]).head(L)
+
+    dense = emb.map_batches(dense_head, batch_format="pandas",
+                            batch_size=4096) \
+        .repartition(1) \
+        .map_batches(dense_head, batch_format="pandas",
+                     batch_size=None).to_pandas()
+
+    for df in (lex, dense):
+        df.sort_values(["s", "doc_id"], ascending=[False, True],
+                       inplace=True)
+        df["r"] = np.arange(1, len(df) + 1)
+    fused = lex[["doc_id", "r"]].rename(columns={"r": "r_lex"}) \
+        .merge(dense[["doc_id", "r"]].rename(columns={"r": "r_dense"}),
+               on="doc_id", how="outer")
+    fused = fused.fillna(0).astype({"r_lex": "int64",
+                                    "r_dense": "int64",
+                                    "doc_id": "int64"})
+    contrib = np.where(fused["r_lex"] > 0,
+                       1.0 / (K + fused["r_lex"]), 0.0) \
+        + np.where(fused["r_dense"] > 0,
+                   1.0 / (K + fused["r_dense"]), 0.0)
+    fused["rrf"] = np.round(contrib, 6)
+    return fused.sort_values(["rrf", "doc_id"],
+                             ascending=[False, True]).head(topn) \
+        [["doc_id", "r_lex", "r_dense", "rrf"]].reset_index(drop=True)
+
+
 def q_events_unpivot(sf_dir: str):
     """Pivot → UNPIVOT roundtrip: the per-user wide count matrix
     (conditional aggregation) melts back to long form through the
@@ -2999,6 +3087,7 @@ def build_queries() -> dict:
         "q_user_event_type_set": q_user_event_type_set,
         "q_customer_rfm": q_customer_rfm,
         "q_events_unpivot": q_events_unpivot,
+        "doc_hybrid_rrf": doc_hybrid_rrf,
         "q_events_geomean": q_events_geomean,
         "q_events_dod_overlap": q_events_dod_overlap,
         "doc_bpe_pair_counts": doc_bpe_pair_counts,
@@ -4768,6 +4857,64 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "doc_hybrid_rrf": """
+            WITH w AS (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '')) AS term
+                FROM documents),
+            dl AS (SELECT doc_id, count(*) AS len FROM w GROUP BY 1),
+            nd AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM w) AS total),
+            q(term) AS (VALUES ('spark'), ('join'), ('fast')),
+            df AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM w
+                   WHERE term IN (SELECT term FROM q) GROUP BY 1),
+            tf AS (SELECT doc_id, term, count(*) AS tfc FROM w
+                   WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+            s_lex AS (
+                SELECT tf.doc_id,
+                       round(sum(
+                           ln(1.0 + (nd.n - COALESCE(df.dfc, 0) + 0.5)
+                                    / (COALESCE(df.dfc, 0) + 0.5))
+                           * (tf.tfc * (1.2 + 1.0))
+                           / (tf.tfc + 1.2 * (1.0 - 0.75
+                              + 0.75 * (dl.len
+                                 / (CAST(nd.total AS DOUBLE) / nd.n))))
+                       ), 6) AS s
+                FROM q JOIN tf USING (term)
+                     JOIN dl ON tf.doc_id = dl.doc_id
+                     LEFT JOIN df ON df.term = q.term
+                     CROSS JOIN nd
+                GROUP BY tf.doc_id),
+            lexr AS (SELECT doc_id, r FROM (
+                SELECT doc_id, row_number() OVER
+                    (ORDER BY s DESC, doc_id) AS r FROM s_lex)
+                WHERE r <= 100),
+            dn AS (SELECT vec_id AS doc_id,
+                          round(list_cosine_similarity(
+                              CAST(embedding AS DOUBLE[]),
+                              (SELECT CAST(embedding AS DOUBLE[])
+                               FROM embeddings WHERE vec_id = 0)), 6)
+                              AS s
+                   FROM embeddings),
+            denser AS (SELECT doc_id, r FROM (
+                SELECT doc_id, row_number() OVER
+                    (ORDER BY s DESC, doc_id) AS r FROM dn)
+                WHERE r <= 100),
+            fused AS (
+                SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+                       coalesce(l.r, 0) AS r_lex,
+                       coalesce(d.r, 0) AS r_dense,
+                       round(coalesce(1.0 / (60 + l.r), 0)
+                             + coalesce(1.0 / (60 + d.r), 0), 6)
+                           AS rrf
+                FROM lexr l FULL OUTER JOIN denser d
+                     ON d.doc_id = l.doc_id)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(r_lex AS BIGINT) AS r_lex,
+                   CAST(r_dense AS BIGINT) AS r_dense, rrf
+            FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
         """,
         "q_events_unpivot": """
             WITH u AS (SELECT DISTINCT user_id FROM events),
