@@ -724,3 +724,107 @@ def bigram_logppl(docs_ds, *, k: float = 0.5,
 
     return docs_ds.map_batches(score, batch_format="pandas",
                                batch_size=8192)
+
+
+def source_kl(docs_ds, *, k: float = 0.5,
+              num_partitions: int | None = None) -> pd.DataFrame:
+    """Per-source KL divergence (bits) from each source's add-k
+    smoothed unigram distribution to the corpus-wide one — the
+    domain-drift / mixture-health scan (Kullback–Leibler '51;
+    smoothing per Chen & Goodman '96).
+
+    Exact WITHOUT the source×vocab cross product: present words
+    reduce through one combiner pass; the missing-word mass has the
+    closed form p₀·[M·log2 p₀ − (S_all − S_present)] since every
+    missing word shares p₀ = k/(n_s+kV) — so only a vocab-bounded
+    corpus-count table broadcasts (same contract as
+    ``unigram_logppl``) and per-source scalars shuffle."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "word": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        flat = np.concatenate([w for w in words.to_numpy() if w])
+        src = np.repeat(batch["source"].to_numpy(), lens)
+        g = pd.DataFrame({"source": src, "word": flat}) \
+            .groupby(["source", "word"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    sw = grouped_aggregate(
+        docs_ds.map_batches(explode, batch_format="pandas",
+                            batch_size=8192),
+        ["source", "word"], {"n": ("c", "sum")},
+        num_partitions=num_partitions).materialize()
+
+    cw = grouped_aggregate(sw, ["word"], {"cq": ("n", "sum")},
+                           num_partitions=num_partitions).to_pandas()
+    if cw.empty or "word" not in cw.columns:
+        return pd.DataFrame({"source": pd.Series(dtype="object"),
+                             "kl_bits": pd.Series(dtype="float64")})
+    N = int(cw["cq"].sum())
+    V = len(cw)
+    logq = dict(zip(
+        cw["word"],
+        np.log2((cw["cq"].to_numpy(np.float64) + k) / (N + k * V))))
+    S_all = float(np.sum(np.log2(
+        (cw["cq"].to_numpy(np.float64) + k) / (N + k * V))))
+    ref = ray.put(logq)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "source": pd.Series(dtype="object"),
+            "ns": pd.Series(dtype="int64"),
+            "present": pd.Series(dtype="int64"),
+            # Σ c·log2 q and Σ c (for p-term) carried per source; the
+            # p terms need n_s, so we ship raw (word-count, log q)
+            # sums and close on the driver
+            "s_logq": pd.Series(dtype="float64"),
+            "s_c_sq": pd.Series(dtype="float64"),
+            "s_c": pd.Series(dtype="float64")})
+        if not len(df):
+            return empty
+        lq_map = ray.get(ref)
+        lq = df["word"].map(lq_map).to_numpy(np.float64)
+        c = df["n"].to_numpy(np.float64)
+        g = pd.DataFrame({"source": df["source"].to_numpy(),
+                          "ns": c.astype(np.int64), "present": 1,
+                          "s_logq": lq,
+                          # carry Σ(c+k)·log2(c+k) and Σ(c+k)·log2 q
+                          "s_c_sq": (c + k) * np.log2(c + k),
+                          "s_c": (c + k) * lq})
+        return g.groupby("source", sort=False, as_index=False).sum()
+
+    agg = grouped_aggregate(
+        sw.map_batches(partial, batch_format="pandas", batch_size=8192),
+        ["source"], {"ns": ("ns", "sum"), "present": ("present", "sum"),
+                     "s_logq": ("s_logq", "sum"),
+                     "s_c_sq": ("s_c_sq", "sum"),
+                     "s_c": ("s_c", "sum")},
+        num_partitions=num_partitions).to_pandas()
+
+    ns = agg["ns"].to_numpy(np.float64)
+    denom = ns + k * V
+    # present mass: Σ p·log2(p/q) with p=(c+k)/denom:
+    #   (1/denom)·[Σ(c+k)log2(c+k) − Σ(c+k)log2 denom − Σ(c+k)log2 q]
+    cpk = agg["s_c"].to_numpy(np.float64)          # Σ(c+k)·log2 q
+    csq = agg["s_c_sq"].to_numpy(np.float64)       # Σ(c+k)·log2(c+k)
+    present = agg["present"].to_numpy(np.float64)
+    sum_cpk = ns + k * present                     # Σ(c+k) present
+    present_mass = (csq - sum_cpk * np.log2(denom) - cpk) / denom
+    # missing mass: M words at p0=k/denom each
+    M = V - present
+    p0 = k / denom
+    s_present_logq = agg["s_logq"].to_numpy(np.float64)
+    missing_mass = p0 * (M * np.log2(p0) - (S_all - s_present_logq))
+    out = pd.DataFrame({"source": agg["source"],
+                        "kl_bits": (present_mass
+                                    + missing_mass).round(6)})
+    return out.sort_values("source").reset_index(drop=True)

@@ -107,3 +107,96 @@ def snapshot_diff(old_ds, new_ds, *, key: str = "doc_id",
         return out[out["status"] != "unchanged"]
 
     return joined.map_batches(classify, batch_format="pandas")
+
+
+def benford_digits(ds, col: str, *, scale: int = 100,
+                   num_partitions: int | None = None) -> pd.DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic bulk-numeric data-quality probe (Benford '38; Nigrini's
+    audit usage). The digit is taken from the EXACT integer rendering
+    of round(value·scale) (fixed-point money), never from log10 —
+    float log at power-of-ten boundaries is the one place two engines
+    can round a digit differently. One combiner pass; 9-row result."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    def digits(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(np.float64)
+        v = v[np.isfinite(v) & (v > 0)]
+        if not len(v):
+            return pd.DataFrame({"digit": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        ints = np.rint(v * scale).astype(np.int64)
+        d = pd.Series(ints.astype(str)).str[0].astype(np.int64)
+        g = d.value_counts()
+        return pd.DataFrame({"digit": g.index.to_numpy(np.int64),
+                             "c": g.to_numpy(np.int64)})
+
+    out = grouped_aggregate(
+        ds.map_batches(digits, batch_format="pandas", batch_size=8192),
+        ["digit"], {"n": ("c", "sum")},
+        num_partitions=num_partitions).to_pandas()
+    if out.empty or "digit" not in out.columns:
+        return pd.DataFrame({"digit": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64"),
+                             "share": pd.Series(dtype="float64"),
+                             "benford_p": pd.Series(dtype="float64")})
+    out["n"] = out["n"].astype("int64")
+    out["digit"] = out["digit"].astype("int64")
+    total = int(out["n"].sum())
+    out["share"] = (out["n"] / total).round(6)
+    out["benford_p"] = np.log10(
+        1.0 + 1.0 / out["digit"].to_numpy(np.float64)).round(6)
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+def profile_columns(ds, cols: list[str],
+                    num_partitions: int | None = None) -> pd.DataFrame:
+    """Schema-profiling pass: per column, row count, exact distinct
+    count, and min/max (rendered as strings; int/str columns render
+    injectively — floats belong in the moments/quantile operators).
+    ONE explode to (column, value) rows + ONE shuffle serves every
+    column: the distinct table per column is what min/max and the
+    distinct count both read."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            frames.append(pd.DataFrame({
+                "column": c,
+                "val": df[c].astype(str).to_numpy(),
+                "c": np.int64(1)}))
+        return pd.concat(frames, ignore_index=True)
+
+    dv = grouped_aggregate(
+        ds.map_batches(explode, batch_format="pandas", batch_size=8192),
+        ["column", "val"], {"n": ("c", "sum")},
+        num_partitions=num_partitions)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"column": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "n_distinct": pd.Series(dtype="int64"),
+                                 "min_val": pd.Series(dtype="object"),
+                                 "max_val": pd.Series(dtype="object")})
+        g = df.groupby("column", sort=False)
+        return pd.DataFrame({
+            "column": g.size().index.to_numpy(),
+            "n": g["n"].sum().to_numpy(np.int64),
+            "n_distinct": g.size().to_numpy(np.int64),
+            "min_val": g["val"].min().to_numpy(),
+            "max_val": g["val"].max().to_numpy()})
+
+    parts = dv.map_batches(fold, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return parts
+    g = parts.groupby("column", sort=False)
+    out = pd.DataFrame({
+        "column": g.size().index.to_numpy(),
+        "n": g["n"].sum().to_numpy(np.int64),
+        "n_distinct": g["n_distinct"].sum().to_numpy(np.int64),
+        "min_val": g["min_val"].min().to_numpy(),
+        "max_val": g["max_val"].max().to_numpy()})
+    return out.sort_values("column").reset_index(drop=True)

@@ -2403,6 +2403,47 @@ def q_part_triangles(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def doc_source_kl(sf_dir: str):
+    """Per-source KL divergence (bits) from each source's smoothed
+    unigram distribution to the corpus distribution — mixture-health
+    scan. Engine uses the closed-form missing-mass identity (no
+    source×vocab cross product); the oracle brute-forces the full
+    grid in SQL. Both exact; 6-decimal parity."""
+    from jerex_ray.ops.textstats import source_kl
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+    return source_kl(ds)
+
+
+def q_orders_benford(sf_dir: str):
+    """Benford first-digit audit of order totals: digit shares vs
+    log10(1+1/d) expectations. Digit extracted from the EXACT
+    fixed-point integer rendering (never float log10 — the one place
+    engines can disagree at power-of-ten boundaries). One combiner
+    pass, 9-row result, SQL-oracled."""
+    from jerex_ray.ops.validate import benford_digits
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/orders.parquet",
+                            columns=["o_totalprice"])
+    return benford_digits(ds, "o_totalprice")
+
+
+def q_orders_profile(sf_dir: str):
+    """Schema-profiling pass over orders (row count, exact distinct
+    count, min/max per column) from ONE explode + ONE shuffle shared
+    by all profiled columns. String/int columns only (floats belong
+    in the moments/quantile operators). SQL-oracled per column."""
+    from jerex_ray.ops.validate import profile_columns
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    ds = read_parquet_sized(f"{sf_dir}/orders.parquet", columns=cols)
+    return profile_columns(ds, cols)
+
+
 def doc_hybrid_rrf(sf_dir: str):
     """Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
     Buettcher SIGIR'09): BM25 lexical ranks fused with dense cosine
@@ -3088,6 +3129,9 @@ def build_queries() -> dict:
         "q_customer_rfm": q_customer_rfm,
         "q_events_unpivot": q_events_unpivot,
         "doc_hybrid_rrf": doc_hybrid_rrf,
+        "doc_source_kl": doc_source_kl,
+        "q_orders_benford": q_orders_benford,
+        "q_orders_profile": q_orders_profile,
         "q_events_geomean": q_events_geomean,
         "q_events_dod_overlap": q_events_dod_overlap,
         "doc_bpe_pair_counts": doc_bpe_pair_counts,
@@ -4857,6 +4901,61 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "doc_source_kl": """
+            WITH w AS (
+                SELECT source, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents),
+            cw AS (SELECT word, count(*) AS cq FROM w GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM w) AS n,
+                           (SELECT count(*) FROM cw) AS v),
+            sw AS (SELECT source, word, count(*) AS cp FROM w
+                   GROUP BY 1, 2),
+            st AS (SELECT source, count(*) AS ns FROM w GROUP BY 1),
+            grid AS (
+                SELECT st.source, cw.cq, coalesce(sw.cp, 0) AS cp,
+                       st.ns
+                FROM st CROSS JOIN cw
+                LEFT JOIN sw ON sw.source = st.source
+                            AND sw.word = cw.word),
+            terms AS (
+                SELECT source,
+                       ((cp + 0.5) / (ns + 0.5 * t.v))
+                       * log2(((cp + 0.5) / (ns + 0.5 * t.v))
+                              / ((cq + 0.5) / (t.n + 0.5 * t.v)))
+                           AS term
+                FROM grid CROSS JOIN tot t)
+            SELECT source, round(sum(term), 6) AS kl_bits
+            FROM terms GROUP BY source ORDER BY source
+        """,
+        "q_orders_benford": """
+            WITH d AS (
+                SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                           AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit
+                FROM orders
+                WHERE isfinite(o_totalprice) AND o_totalprice > 0),
+            c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+            t AS (SELECT sum(n) AS total FROM c)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   round(n * 1.0 / t.total, 6) AS share,
+                   round(log10(1.0 + 1.0 / digit), 6) AS benford_p
+            FROM c CROSS JOIN t ORDER BY digit
+        """,
+        "q_orders_profile": """
+            WITH v AS (
+                SELECT 'o_custkey' AS "column",
+                       CAST(o_custkey AS VARCHAR) AS val FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', o_orderstatus FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', o_orderpriority FROM orders)
+            SELECT "column", count(*) AS n,
+                   count(DISTINCT val) AS n_distinct,
+                   min(val) AS min_val, max(val) AS max_val
+            FROM v GROUP BY "column" ORDER BY "column"
         """,
         "doc_hybrid_rrf": """
             WITH w AS (

@@ -169,3 +169,45 @@ def test_bigram_logppl_unseen_fallback():
     train = _docs(["a b a b", "b c"])
     scored = ts.bigram_logppl(train, k=0.5).to_pandas()
     assert np.isfinite(scored["logppl"]).all()
+
+
+def test_source_kl_matches_bruteforce():
+    import math
+    from collections import Counter
+    from jerex_ray.ops.textstats import source_kl
+    import ray.data as rd
+    texts = ["the cat sat", "the dog ran far", "zz qq zz", "qq zz", ""]
+    srcs = ["a", "a", "b", "b", "b"]
+    ds = rd.from_pandas(pd.DataFrame({"source": srcs, "text": texts}))
+    out = source_kl(ds, k=0.5)
+    corpus = Counter(w for t in texts for w in t.split())
+    N, V, k = sum(corpus.values()), len(corpus), 0.5
+    for src in ("a", "b"):
+        sc = Counter(w for t, s in zip(texts, srcs) if s == src
+                     for w in t.split())
+        ns = sum(sc.values())
+        kl = sum(((sc[w] + k) / (ns + k * V))
+                 * math.log2(((sc[w] + k) / (ns + k * V))
+                             / ((corpus[w] + k) / (N + k * V)))
+                 for w in corpus)
+        got = float(out.loc[out["source"] == src, "kl_bits"].iloc[0])
+        assert abs(got - round(kl, 6)) < 2e-6, (src, got, kl)
+
+
+def test_benford_and_profile():
+    import ray.data as rd
+    from jerex_ray.ops.validate import benford_digits, profile_columns
+    df = pd.DataFrame({"x": [1.23, 19.99, 0.05, 912.0, -3.0, 0.0,
+                             100.0, 2.50]})
+    out = benford_digits(rd.from_pandas(df), "x")
+    # digits of 123,1999,5,91200,10000,250 → 1,1,5,9,1,2
+    got = dict(zip(out["digit"], out["n"]))
+    assert got == {1: 3, 2: 1, 5: 1, 9: 1}
+    assert abs(out.loc[out["digit"] == 1, "benford_p"].iloc[0]
+               - 0.30103) < 1e-5
+    assert abs(out["share"].sum() - 1.0) < 1e-5
+    prof = profile_columns(rd.from_pandas(pd.DataFrame({
+        "a": [1, 2, 2, 3], "b": ["x", "x", "y", "z"]})), ["a", "b"])
+    p = prof.set_index("column")
+    assert p.loc["a", "n"] == 4 and p.loc["a", "n_distinct"] == 3
+    assert p.loc["b", "min_val"] == "x" and p.loc["b", "max_val"] == "z"
