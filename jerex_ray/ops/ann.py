@@ -408,3 +408,72 @@ def ivfpq_topk(emb_ds, queries: np.ndarray, *, k: int = 10,
     return res.sort_values(["query_idx", "cosine", "vec_id"],
                            ascending=[True, False, True]) \
         .reset_index(drop=True)
+
+
+def mmr_select(emb_ds, query: np.ndarray, *, k: int = 10,
+               lam: float = 0.7) -> pd.DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    SIGIR'98): greedily pick k vectors maximizing
+    λ·cos(v,q) − (1−λ)·max_{s∈selected} cos(v,s) — the diversity
+    re-ranker behind RAG context packing and dedup-aware retrieval.
+
+    Each round is one streaming pass: the query and the ≤k selected
+    vectors broadcast (tiny), every block emits its best candidate
+    (score, vec_id) — float64 math, ties to the smallest vec_id — and
+    the driver reduces block winners. k passes total; nothing
+    corpus-sized leaves the cluster. The selection recurrence is
+    inherently sequential (same contract as BPE merges), so rows-only:
+    parity vs a brute-force reference is pytest-gated."""
+    import ray
+
+    qn = np.asarray(query, np.float64)
+    qn = qn / np.linalg.norm(qn)
+    sel_ids: list[int] = []
+    sel_vecs: list[np.ndarray] = []
+    sel_scores: list[float] = []
+
+    for _ in range(k):
+        ref = ray.put((qn, np.array(sel_vecs) if sel_vecs else None,
+                       set(sel_ids), lam))
+
+        def best(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                  "score": pd.Series(dtype="float64"),
+                                  "vec": pd.Series(dtype="object")})
+            if df.empty or "embedding" not in df.columns:
+                return empty
+            q, S, taken, lmb = ray.get(ref)
+            ids = df["vec_id"].to_numpy()
+            keep = ~pd.Series(ids).isin(taken).to_numpy()
+            if not keep.any():
+                return empty
+            m = np.stack([np.asarray(v, np.float64)
+                          for v in df["embedding"].to_numpy()])[keep]
+            ids = ids[keep]
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            rel = m @ q
+            if S is None:
+                score = lmb * rel
+            else:
+                score = lmb * rel - (1.0 - lmb) * (m @ S.T).max(axis=1)
+            order = np.lexsort((ids, -score))[0]
+            return pd.DataFrame({"vec_id": [int(ids[order])],
+                                 "score": [float(score[order])],
+                                 "vec": [m[order].tolist()]})
+
+        winners = emb_ds.map_batches(best, batch_format="pandas",
+                                     batch_size=4096).to_pandas()
+        if winners.empty or "vec_id" not in winners.columns:
+            break
+        winners = winners.sort_values(["score", "vec_id"],
+                                      ascending=[False, True])
+        wid = int(winners["vec_id"].iloc[0])
+        sel_ids.append(wid)
+        sel_scores.append(float(winners["score"].iloc[0]))
+        # winner's (already normalized) vector rides back with the
+        # block partial — no second scan per round
+        sel_vecs.append(np.asarray(winners["vec"].iloc[0], np.float64))
+
+    return pd.DataFrame({"rank": np.arange(len(sel_ids), dtype=np.int64),
+                         "vec_id": np.array(sel_ids, dtype=np.int64),
+                         "mmr_score": np.round(sel_scores, 6)})

@@ -2403,6 +2403,26 @@ def q_part_triangles(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def emb_mmr_select(sf_dir: str):
+    """Maximal Marginal Relevance diverse top-10 (λ=0.7) against the
+    vec-0 query — k streaming argmax passes, selected set broadcast,
+    winner's vector carried back with the block partial. Rows-only:
+    the greedy recurrence is sequential by definition (like BPE
+    merges); brute-force parity is pytest-gated
+    (test_mmr_matches_bruteforce)."""
+    from jerex_ray.ops.ann import mmr_select
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]) \
+        .materialize()
+    qrow = emb.map_batches(
+        lambda df: df[df["vec_id"] == 0], batch_format="pandas") \
+        .to_pandas()
+    q = np.asarray(list(qrow["embedding"].iloc[0]), np.float64)
+    return mmr_select(emb, q, k=10, lam=0.7)
+
+
 def doc_source_kl(sf_dir: str):
     """Per-source KL divergence (bits) from each source's smoothed
     unigram distribution to the corpus distribution — mixture-health
@@ -3130,6 +3150,7 @@ def build_queries() -> dict:
         "q_events_unpivot": q_events_unpivot,
         "doc_hybrid_rrf": doc_hybrid_rrf,
         "doc_source_kl": doc_source_kl,
+        "emb_mmr_select": emb_mmr_select,
         "q_orders_benford": q_orders_benford,
         "q_orders_profile": q_orders_profile,
         "q_events_geomean": q_events_geomean,
