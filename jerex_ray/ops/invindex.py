@@ -159,3 +159,86 @@ def bm25_from_index(index_dir: str, queries: list[str], *,
         return empty
     return pd.concat(rows, ignore_index=True).astype(
         {"query_idx": "int64", "doc_id": "int64", "score": "float64"})
+
+
+def phrase_search(docs_ds, phrase: str, *, col: str = "text",
+                  num_partitions: int | None = None) -> pd.DataFrame:
+    """Positional phrase query — the adjacency predicate over a
+    positional postings list (Manning/Raghavan/Schütze IR ch.2): a
+    document matches where the phrase's terms occur at consecutive
+    word positions. One vectorized postings explode (within-doc
+    positions from a cumsum-offset arange, no per-row loop), pruned to
+    the phrase's terms BEFORE the shuffle (the broadcast term set is
+    the pushdown), one doc co-location, then a per-block sorted-array
+    adjacency intersection. Returns (doc_id, n_matches ≥ 1)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    L = len(terms)
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch[col].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(np.int64)
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "term_idx": pd.Series(dtype="int64"),
+                              "pos": pd.Series(dtype="int64")})
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate([w for w in words.to_numpy() if w])
+        doc = np.repeat(batch["doc_id"].to_numpy(), lens)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        pos = np.arange(len(flat), dtype=np.int64) - starts
+        # one vectorized select per phrase slot (L is tiny); repeated
+        # terms get one posting per slot they can fill
+        frames = []
+        for i, t in enumerate(terms):
+            m = flat == t
+            if m.any():
+                frames.append(pd.DataFrame({
+                    "doc_id": doc[m],
+                    "term_idx": np.int64(i),
+                    "pos": pos[m]}))
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    posts = docs_ds.map_batches(postings, batch_format="pandas",
+                                batch_size=4096)
+
+    def match_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        # a phrase start at (doc, p) needs term i at p+i for all i:
+        # shift every posting back by its term index and count how
+        # many DISTINCT terms land on each (doc, start) anchor
+        anchor = df["pos"].to_numpy(np.int64) \
+            - df["term_idx"].to_numpy(np.int64)
+        keep = anchor >= 0
+        g = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[keep],
+                          "anchor": anchor[keep],
+                          "term_idx": df["term_idx"].to_numpy()[keep]}) \
+            .drop_duplicates()
+        full = g.groupby(["doc_id", "anchor"], sort=False).size()
+        hits = full[full == L].reset_index()
+        if hits.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        out = hits.groupby("doc_id", sort=False).size() \
+            .reset_index(name="c")
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    matched = grouped_apply(posts, ["doc_id"], match_block,
+                            num_partitions=num_partitions)
+    out = grouped_aggregate(matched, ["doc_id"],
+                            {"n_matches": ("c", "sum")},
+                            num_partitions=num_partitions).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_matches": pd.Series(dtype="int64")})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_matches"] = out["n_matches"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

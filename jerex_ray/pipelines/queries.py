@@ -2403,6 +2403,20 @@ def q_part_triangles(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def doc_phrase_search(sf_dir: str):
+    """Positional phrase query 'key order' over the corpus
+    (``ops/invindex.phrase_search``): postings explode with within-doc
+    positions, term-set pushdown before the shuffle, per-block anchor
+    intersection (posting shifted by its phrase slot). Oracled via a
+    positional self-join in SQL."""
+    from jerex_ray.ops.invindex import phrase_search
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return phrase_search(ds, "key order")
+
+
 def emb_mmr_select(sf_dir: str):
     """Maximal Marginal Relevance diverse top-10 (λ=0.7) against the
     vec-0 query — k streaming argmax passes, selected set broadcast,
@@ -3151,6 +3165,7 @@ def build_queries() -> dict:
         "doc_hybrid_rrf": doc_hybrid_rrf,
         "doc_source_kl": doc_source_kl,
         "emb_mmr_select": emb_mmr_select,
+        "doc_phrase_search": doc_phrase_search,
         "q_orders_benford": q_orders_benford,
         "q_orders_profile": q_orders_profile,
         "q_events_geomean": q_events_geomean,
@@ -4922,6 +4937,22 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "doc_phrase_search": """
+            WITH d AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents),
+            p AS (SELECT doc_id, unnest(ws) AS word,
+                         generate_subscripts(ws, 1) AS pos
+                  FROM d),
+            a AS (SELECT doc_id, pos FROM p WHERE word = 'key'),
+            b AS (SELECT doc_id, pos FROM p WHERE word = 'order')
+            SELECT a.doc_id, count(*) AS n_matches
+            FROM a JOIN b ON b.doc_id = a.doc_id
+                         AND b.pos = a.pos + 1
+            GROUP BY a.doc_id ORDER BY a.doc_id
         """,
         "doc_source_kl": """
             WITH w AS (

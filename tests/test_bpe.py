@@ -246,3 +246,26 @@ def test_mmr_matches_bruteforce():
     # the 1st when a more marginal candidate exists (holds for this
     # seed), and all picks are distinct
     assert len(set(got["vec_id"])) == 6
+
+
+def test_phrase_search_matches_bruteforce():
+    from jerex_ray.ops.invindex import phrase_search
+    texts = ["the fast key order sort", "key order key order",
+             "order key", "key", "", "batch batch batch",
+             "a key order b key order c"]
+    ds = _docs(texts)
+    out = phrase_search(ds, "key order")
+    got = dict(zip(out["doc_id"], out["n_matches"]))
+    def brute(t, ph):
+        ws, ps = t.split(), ph.split()
+        return sum(ws[i:i+len(ps)] == ps
+                   for i in range(len(ws) - len(ps) + 1))
+    exp = {i: brute(t, "key order") for i, t in enumerate(texts)
+           if brute(t, "key order")}
+    assert got == exp
+    # repeated-term phrase
+    out2 = phrase_search(ds, "batch batch")
+    assert dict(zip(out2["doc_id"], out2["n_matches"])) == {5: 2}
+    # 3-term phrase
+    out3 = phrase_search(ds, "fast key order")
+    assert dict(zip(out3["doc_id"], out3["n_matches"])) == {0: 1}
