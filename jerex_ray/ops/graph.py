@@ -450,3 +450,129 @@ def bipartite_jaccard(pairs_ds, *, left_col: str, right_col: str,
     return final.sort_values(["jaccard", "a", "b"],
                              ascending=[False, True, True]) \
         .head(top_k).reset_index(drop=True)
+
+
+# --- single-source BFS levels (hop distance) ---
+
+def bfs_levels(edges_ds, source: int, *, src: str = "a", dst: str = "b",
+               undirected: bool = True, max_rounds: int = 32,
+               num_partitions: int | None = None) -> pd.DataFrame:
+    """Single-source BFS: (node, level) for every node reachable from
+    ``source``, level = hop distance. Frontier-expansion BSP over the
+    same raw-task grid as ``functions/components.py`` (and for the
+    same reason — an iterative algorithm re-shuffling bounded state):
+
+    * edges are directed (both directions when ``undirected``) and
+      hash-partitioned ONCE by source endpoint ``u``;
+    * the level table lives as P ``(node, level)`` blocks co-partitioned
+      with the edges by ``hash(node)``, never on the driver during the
+      loop;
+    * round r: each partition joins its CURRENT frontier against its
+      local out-edges, routes the neighbor candidates to their owners,
+      and the owner absorbs only unseen nodes at level r — the new
+      frontier. Empty global frontier = exact termination (every
+      reachable node is labeled with its true hop distance; no level
+      cap can truncate semantics below ``max_rounds``, which only
+      guards pathological path graphs).
+
+    Per-round traffic is frontier-sized, not graph-sized; the static
+    edge partitions bound the join side. The driver-facing return is
+    the node-count-bounded level table sorted by node (the source
+    alone when it has no edges)."""
+    import ray
+
+    from jerex_ray.functions.components import (_as_returns, _part_of,
+                                                _split_by)
+
+    P = num_partitions or 8
+    source = int(source)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "level": pd.Series(dtype="int64")})
+
+    @ray.remote
+    def route_out(block: pd.DataFrame):
+        e = pd.DataFrame({"u": pd.Series(dtype="int64"),
+                          "v": pd.Series(dtype="int64")})
+        if not block.empty and src in block.columns:
+            a = block[[src, dst]].rename(columns={src: "u", dst: "v"})
+            frames = [a]
+            if undirected:
+                frames.append(block[[dst, src]]
+                              .rename(columns={dst: "u", src: "v"}))
+            e = pd.concat(frames, ignore_index=True) \
+                .astype({"u": "int64", "v": "int64"}).drop_duplicates()
+        return _as_returns(_split_by(e, "u", P), P)
+
+    @ray.remote
+    def concat_edges(*shards):
+        return pd.concat(list(shards), ignore_index=True) \
+            .drop_duplicates()
+
+    @ray.remote
+    def expand(edge_part: pd.DataFrame, frontier: pd.DataFrame):
+        """Frontier nodes owned here ⋈ local out-edges → neighbor
+        candidates routed to their owners."""
+        if frontier.empty or edge_part.empty:
+            msgs = pd.DataFrame({"node": pd.Series(dtype="int64")})
+        else:
+            m = edge_part.merge(frontier[["node"]].drop_duplicates(),
+                                left_on="u", right_on="node")
+            msgs = pd.DataFrame({"node": pd.unique(m["v"])}) \
+                .astype({"node": "int64"})
+        return _as_returns(_split_by(msgs, "node", P), P)
+
+    @ray.remote(num_returns=2)
+    def absorb(level_part: pd.DataFrame, level: int, *msg_shards):
+        """Keep only unseen candidates; they join the level table at
+        ``level`` and form this partition's next frontier."""
+        cand = pd.concat(list(msg_shards), ignore_index=True) \
+            .drop_duplicates()
+        new = cand[~cand["node"].isin(level_part["node"])]
+        fresh = pd.DataFrame({"node": new["node"].to_numpy(),
+                              "level": np.int64(level)}) \
+            .astype({"node": "int64", "level": "int64"})
+        return (pd.concat([level_part, fresh], ignore_index=True),
+                fresh)
+
+    @ray.remote
+    def nrows(df: pd.DataFrame) -> int:
+        return len(df)
+
+    blocks = edges_ds.to_pandas_refs()
+    routed = [route_out.options(num_returns=P).remote(b) for b in blocks]
+    if P == 1:
+        routed = [[r] for r in routed]
+    edge_parts = [concat_edges.remote(*[r[p] for r in routed])
+                  for p in range(P)]
+
+    owner = int(_part_of(np.array([source], dtype=np.int64), P)[0])
+    seed = pd.DataFrame({"node": [source], "level": [0]}) \
+        .astype({"node": "int64", "level": "int64"})
+    levels = [ray.put(seed if p == owner else _empty()) for p in range(P)]
+    frontier = [ray.put(seed if p == owner else _empty())
+                for p in range(P)]
+
+    for r in range(1, max_rounds + 1):
+        msgs = [expand.options(num_returns=P)
+                .remote(edge_parts[p], frontier[p]) for p in range(P)]
+        if P == 1:
+            msgs = [[m] for m in msgs]
+        pairs = [absorb.remote(levels[q], r,
+                               *[msgs[p][q] for p in range(P)])
+                 for q in range(P)]
+        levels = [pr[0] for pr in pairs]
+        frontier = [pr[1] for pr in pairs]
+        grew = sum(ray.get([nrows.remote(f) for f in frontier]))
+        if grew == 0:
+            break
+    else:
+        import logging
+        logging.getLogger(__name__).warning(
+            "bfs_levels: %d rounds exhausted with a non-empty frontier "
+            "— levels beyond the cap are MISSING; raise max_rounds",
+            max_rounds)
+
+    out = pd.concat(ray.get(levels), ignore_index=True)
+    return out.sort_values("node").reset_index(drop=True)

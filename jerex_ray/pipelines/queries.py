@@ -2417,6 +2417,135 @@ def doc_phrase_search(sf_dir: str):
     return phrase_search(ds, "key order")
 
 
+def q_part_skyline(sf_dir: str):
+    """2-D Pareto frontier over parts — cheapest-yet-largest
+    (minimize p_retailprice, maximize p_size) — via the distributive
+    block-local skyline prune (``relational.skyline_2d``). Oracled
+    with the textbook NOT EXISTS dominance predicate."""
+    from jerex_ray.relational import skyline_2d
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_retailprice",
+                                     "p_size"])
+    out = skyline_2d(ds, min_col="p_retailprice", max_col="p_size")
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return out[["p_partkey", "p_retailprice", "p_size"]] \
+        .sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_part_bfs(sf_dir: str):
+    """Single-source hop distances over the part co-purchase graph
+    (parts adjacent iff they share an order) from part 1 —
+    frontier-expansion BSP (``ops/graph.bfs_levels``: edges
+    hash-partitioned once, per-round traffic frontier-sized, exact
+    termination on empty frontier). Oracled by a recursive-CTE BFS
+    whose level cap only has to exceed the graph's eccentricity (the
+    dense co-purchase graph has diameter ≤ ~4; the Ray side
+    terminates naturally)."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.ops.graph import bfs_levels
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"a": m["l_partkey_x"].to_numpy(),
+                             "b": m["l_partkey_y"].to_numpy()})
+
+    edges = grouped_apply(li, ["l_orderkey"], pairs_block)
+    out = bfs_levels(edges, 1, src="a", dst="b")
+    out["node"] = out["node"].astype("int64")
+    out["level"] = out["level"].astype("int64")
+    return out
+
+
+def q_events_percent_rank(sf_dir: str):
+    """percent_rank() of each event's value within its event_type —
+    the rank window function distributed as one hash co-location per
+    type plus a vectorized in-block min-rank ((rank−1)/(n−1) is an
+    exact integer division on both sides, so no rounding is
+    needed)."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+
+    def pr_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "event_type": pd.Series(dtype="object"),
+                                 "pr": pd.Series(dtype="float64")})
+        g = df.groupby("event_type", sort=False)["value"]
+        r = g.rank(method="min").to_numpy(np.float64)
+        n = g.transform("size").to_numpy(np.float64)
+        pr = np.where(n > 1, (r - 1.0) / np.maximum(n - 1.0, 1.0), 0.0)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "event_type": df["event_type"].to_numpy(),
+                             "pr": pr})
+
+    out = grouped_apply(ds, ["event_type"], pr_block).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out[["event_id", "event_type", "pr"]] \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+def q_events_state_intervals(sf_dir: str):
+    """SCD-2-style run collapse: per user, consecutive events of the
+    same type (ordered by ts, event_id) fold into one validity
+    interval (run index, first/last ts, count) — gaps-and-islands via
+    one user co-location and a vectorized change-flag cumsum, the
+    dimension-history builder of a warehouse load."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def runs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "run": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype="object"),
+                "first_ts": pd.Series(dtype="datetime64[us]"),
+                "last_ts": pd.Series(dtype="datetime64[us]"),
+                "n_events": pd.Series(dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        chg = ((df["event_type"] != df["event_type"].shift())
+               | (df["user_id"] != df["user_id"].shift())).to_numpy()
+        # the cumsum restarts per user: subtract the run count carried
+        # in from earlier users (run index is 1-based within user)
+        glob = np.cumsum(chg).astype(np.int64)
+        d = df.assign(glob=glob)
+        base = d.groupby("user_id", sort=False)["glob"] \
+            .transform("min").to_numpy()
+        d["run"] = d["glob"].to_numpy() - base + 1
+        g = d.groupby(["user_id", "run"], sort=True)
+        out = g.agg(event_type=("event_type", "first"),
+                    first_ts=("ts", "min"), last_ts=("ts", "max"),
+                    n_events=("event_id", "size")).reset_index()
+        return out
+
+    out = grouped_apply(ds, ["user_id"], runs_block).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["run"] = out["run"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[["user_id", "run", "event_type", "first_ts", "last_ts",
+                "n_events"]] \
+        .sort_values(["user_id", "run"]).reset_index(drop=True)
+
+
 def emb_mmr_select(sf_dir: str):
     """Maximal Marginal Relevance diverse top-10 (λ=0.7) against the
     vec-0 query — k streaming argmax passes, selected set broadcast,
@@ -3166,6 +3295,10 @@ def build_queries() -> dict:
         "doc_source_kl": doc_source_kl,
         "emb_mmr_select": emb_mmr_select,
         "doc_phrase_search": doc_phrase_search,
+        "q_part_skyline": q_part_skyline,
+        "q_part_bfs": q_part_bfs,
+        "q_events_percent_rank": q_events_percent_rank,
+        "q_events_state_intervals": q_events_state_intervals,
         "q_orders_benford": q_orders_benford,
         "q_orders_profile": q_orders_profile,
         "q_events_geomean": q_events_geomean,
@@ -4937,6 +5070,60 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "q_part_skyline": """
+            SELECT p_partkey, p_retailprice,
+                   CAST(p_size AS BIGINT) AS p_size
+            FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size))
+            ORDER BY p_partkey
+        """,
+        "q_part_bfs": """
+            WITH RECURSIVE pairs AS MATERIALIZED (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey <> b.l_partkey),
+            bfs(node, lvl) AS (
+                SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT p.v, bfs.lvl + 1
+                FROM bfs JOIN pairs p ON p.u = bfs.node
+                WHERE bfs.lvl < 12)
+            SELECT node, min(lvl) AS level
+            FROM bfs GROUP BY node ORDER BY node
+        """,
+        "q_events_percent_rank": """
+            SELECT event_id, event_type,
+                   percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS pr
+            FROM events ORDER BY event_id
+        """,
+        "q_events_state_intervals": """
+            WITH x AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(event_type) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id)
+                            IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM events),
+            y AS (
+                SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                          AS run
+                FROM x)
+            SELECT user_id, run, event_type,
+                   min(ts) AS first_ts, max(ts) AS last_ts,
+                   count(*) AS n_events
+            FROM y GROUP BY user_id, run, event_type
+            ORDER BY user_id, run
         """,
         "doc_phrase_search": """
             WITH d AS (

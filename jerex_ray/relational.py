@@ -668,3 +668,38 @@ def melt(ds, *, id_cols: list[str], value_cols: list[str],
                        var_name=var_name, value_name=value_name)
 
     return ds.map_batches(m, batch_format="pandas")
+
+
+# --- 2-D skyline (Pareto frontier) ---
+
+def skyline_2d(ds, *, min_col: str, max_col: str) -> pd.DataFrame:
+    """2-D skyline: rows no other row dominates (other.min_col ≤ and
+    other.max_col ≥ with at least one strict). Börzsönyi et al.'s
+    block-nested-loop shape made distributive: dominance is transitive
+    and closed under union, so each block first prunes to its OWN
+    frontier — sort unique coordinate pairs by (min_col asc, max_col
+    desc) and keep points whose max_col strictly beats the running max
+    of every earlier point (earlier = weakly better on min_col) — then
+    one final identical prune over the unioned survivors. Survivors of
+    a random block are O(log n), so the union is driver-safe at any
+    block count; the per-block prune is two vectorized sorts, no pair
+    loop. Duplicate coordinate pairs all survive (equal points never
+    dominate each other); rows with NaN in either column are dropped
+    (dominance is undefined against NaN)."""
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[min_col, max_col])
+        if df.empty:
+            return df
+        u = df[[min_col, max_col]].drop_duplicates() \
+            .sort_values([min_col, max_col], ascending=[True, False])
+        y = u[max_col].to_numpy(dtype=np.float64)
+        prev = np.concatenate(([-np.inf],
+                               np.maximum.accumulate(y)[:-1]))
+        kept = u[y > prev]
+        # re-attach every row carrying a surviving coordinate pair
+        return df.merge(kept, on=[min_col, max_col], how="inner")
+
+    cand = ds.map_batches(local_skyline, batch_format="pandas") \
+        .to_pandas()
+    return local_skyline(cand).reset_index(drop=True)

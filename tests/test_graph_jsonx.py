@@ -453,3 +453,66 @@ def test_bipartite_jaccard_empty_and_disjoint():
     out = bipartite_jaccard(rd.from_pandas(disjoint), left_col="s",
                             right_col="p", top_k=5)
     assert out.empty
+
+
+def test_bfs_levels_matches_bruteforce():
+    import collections
+    import ray.data as rd
+    from jerex_ray.ops.graph import bfs_levels
+    rng = np.random.default_rng(7)
+    edges = pd.DataFrame({"a": rng.integers(0, 40, 120),
+                          "b": rng.integers(0, 40, 120)})
+    edges = edges[edges["a"] != edges["b"]].reset_index(drop=True)
+    got = bfs_levels(rd.from_pandas(edges).repartition(4), 0,
+                     num_partitions=3)
+    adj = collections.defaultdict(set)
+    for a, b in edges.itertuples(index=False):
+        adj[a].add(b); adj[b].add(a)
+    exp, frontier, lvl = {0: 0}, {0}, 0
+    while frontier:
+        lvl += 1
+        frontier = {v for u in frontier for v in adj[u]
+                    if v not in exp}
+        for v in frontier:
+            exp[v] = lvl
+    assert dict(zip(got["node"], got["level"])) == exp
+
+
+def test_bfs_levels_chain_and_isolated():
+    import ray.data as rd
+    from jerex_ray.ops.graph import bfs_levels
+    chain = pd.DataFrame({"a": [0, 1, 2, 10], "b": [1, 2, 3, 11]})
+    got = bfs_levels(rd.from_pandas(chain), 0, num_partitions=2)
+    # disconnected 10-11 never reached; chain levels exact
+    assert dict(zip(got["node"], got["level"])) == {0: 0, 1: 1,
+                                                    2: 2, 3: 3}
+    # a source with no edges is level 0 alone
+    alone = bfs_levels(rd.from_pandas(chain), 99, num_partitions=2)
+    assert dict(zip(alone["node"], alone["level"])) == {99: 0}
+    # directed mode never walks an edge backwards
+    fwd = bfs_levels(rd.from_pandas(chain), 3, undirected=False,
+                     num_partitions=2)
+    assert dict(zip(fwd["node"], fwd["level"])) == {3: 0}
+
+
+def test_skyline_2d_matches_bruteforce():
+    import ray.data as rd
+    from jerex_ray.relational import skyline_2d
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"id": np.arange(400),
+                       "x": rng.integers(0, 25, 400).astype(float),
+                       "y": rng.integers(0, 25, 400).astype(float)})
+    # plant an exact duplicate of an extreme point (ties must BOTH
+    # survive) and a NaN row (must be dropped, not dominate)
+    df.loc[0, ["x", "y"]] = [0.0, 24.0]
+    df.loc[1, ["x", "y"]] = [0.0, 24.0]
+    df.loc[2, "y"] = np.nan
+    got = skyline_2d(rd.from_pandas(df).repartition(5),
+                     min_col="x", max_col="y")
+    pts = df.dropna(subset=["x", "y"])
+    def dominated(p):
+        return bool(((pts["x"] <= p.x) & (pts["y"] >= p.y)
+                     & ((pts["x"] < p.x) | (pts["y"] > p.y))).any())
+    exp = sorted(p.id for p in pts.itertuples() if not dominated(p))
+    assert sorted(got["id"]) == exp
+    assert {0, 1} <= set(got["id"])
