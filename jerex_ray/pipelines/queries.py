@@ -2546,6 +2546,212 @@ def q_events_state_intervals(sf_dir: str):
         .sort_values(["user_id", "run"]).reset_index(drop=True)
 
 
+def q_events_chi2(sf_dir: str):
+    """Chi-square independence audit of event_type × hour-of-day: ONE
+    combiner-reduced grid aggregate is the only pass over the data;
+    marginals and the (observed−expected)²/expected contributions are
+    computed on the tiny types×24 grid. The corpus-health question
+    'does traffic mix shift by hour?' as a single-shuffle operator."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def hour(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "hr": df["ts"].dt.hour.astype("int64")})
+
+    grid = grouped_aggregate(ds.map_batches(hour, batch_format="pandas"),
+                             ["event_type", "hr"],
+                             {"obs": (None, "count")}).to_pandas()
+    grid["obs"] = grid["obs"].astype("int64")
+    r = grid.groupby("event_type")["obs"].transform("sum") \
+        .to_numpy(np.float64)
+    c = grid.groupby("hr")["obs"].transform("sum").to_numpy(np.float64)
+    n = float(grid["obs"].sum())
+    e = r * c / n
+    o = grid["obs"].to_numpy(np.float64)
+    grid["expected"] = np.round(e, 6)
+    grid["contrib"] = np.round((o - e) * (o - e) / e, 6)
+    return grid[["event_type", "hr", "obs", "expected", "contrib"]] \
+        .sort_values(["event_type", "hr"]).reset_index(drop=True)
+
+
+def q_user_event_paths(sf_dir: str):
+    """Per-user ordered event-type path string (clickstream
+    sequence materialization): one user co-location, vectorized
+    in-block sort + join — the feature a sequence-mining or
+    next-event model trains on."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "path": pd.Series(dtype="object")})
+        d = df.sort_values(["user_id", "ts", "event_id"])
+        out = d.groupby("user_id", sort=False)["event_type"] \
+            .agg(">".join).reset_index(name="path")
+        return out
+
+    out = grouped_apply(ds, ["user_id"], paths).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_user_coverage(sf_dir: str):
+    """Per-user activity coverage: union of [ts, ts+300 s) intervals
+    merged into islands (overlap-merge via running-max of interval
+    ends), reporting island count and total covered seconds — the
+    interval-union operator behind uptime/abuse-rate metrics."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+    width_us = 300 * 1_000_000
+
+    def cover(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "n_islands": pd.Series(dtype="int64"),
+                "covered_sec": pd.Series(dtype="int64")})
+        d = df.sort_values(["user_id", "ts"])
+        s = d["ts"].astype("int64").to_numpy()          # µs since epoch
+        e = s + width_us
+        uid = d["user_id"].to_numpy()
+        newu = np.concatenate(([True], uid[1:] != uid[:-1]))
+        # running max of e over the user's PREVIOUS intervals: per-user
+        # cummax, shifted one row (users are contiguous after the sort,
+        # so the global shift only leaks across user boundaries — and
+        # those rows are forced open below)
+        pmax = pd.Series(e).groupby(pd.Series(uid).values) \
+            .cummax().shift().to_numpy()
+        pmax[newu] = -np.inf
+        island_open = s > pmax
+        isl = np.cumsum(island_open)
+        g = pd.DataFrame({"user_id": uid, "isl": isl, "s": s, "e": e}) \
+            .groupby(["user_id", "isl"], sort=True) \
+            .agg(lo=("s", "min"), hi=("e", "max")).reset_index()
+        cov = ((g["hi"] - g["lo"]) // 1_000_000).astype("int64")
+        out = g.assign(cov=cov).groupby("user_id", sort=True) \
+            .agg(n_islands=("isl", "size"), covered_sec=("cov", "sum")) \
+            .reset_index()
+        return out.astype({"user_id": "int64", "n_islands": "int64",
+                           "covered_sec": "int64"})
+
+    out = grouped_apply(ds, ["user_id"], cover).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_events_trimmed_mean(sf_dir: str):
+    """10–90 % trimmed (winsor-bounded) mean of value per event_type —
+    robust central tendency: exact distributed per-group quantiles
+    (``ops/quantiles.grouped_quantiles``, three shuffle-free passes)
+    give the bounds, then ONE filtered combiner aggregate computes the
+    in-bounds mean. No sort, no per-group scan."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.ops.quantiles import grouped_quantiles
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    qs = grouped_quantiles(ds, "event_type", "value", [0.1, 0.9])
+    lo = qs[qs["q"] == 0.1].set_index("event_type")["value"].to_dict()
+    hi = qs[qs["q"] == 0.9].set_index("event_type")["value"].to_dict()
+
+    def inb(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        l = df["event_type"].map(lo).to_numpy(np.float64)
+        h = df["event_type"].map(hi).to_numpy(np.float64)
+        keep = (v >= l) & (v <= h)
+        return df[keep]
+
+    out = grouped_aggregate(
+        ds.map_batches(inb, batch_format="pandas"),
+        ["event_type"],
+        {"n": (None, "count"), "s": ("value", "sum")}).to_pandas()
+    out["trimmed_mean"] = (out["s"] / out["n"]).round(6)
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "n", "trimmed_mean"]] \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+def q_user_twap(sf_dir: str):
+    """Per-user time-weighted average value (TWAP): each event's value
+    weighted by the exact microseconds until the user's next event
+    (last event carries no weight) — the time-series aggregate where
+    plain AVG is wrong whenever sampling is irregular. Single-user
+    events (no interval) and all-zero spans are excluded on both
+    sides."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "value"])
+
+    def twap(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "twap": pd.Series(dtype="float64")})
+        if df.empty:
+            return empty
+        d = df.sort_values(["user_id", "ts", "event_id"])
+        t = d["ts"].astype("int64").to_numpy()
+        uid = d["user_id"].to_numpy()
+        dt = np.concatenate((t[1:] - t[:-1], [0])).astype(np.float64)
+        last = np.concatenate((uid[1:] != uid[:-1], [True]))
+        dt[last] = 0.0
+        w = d["value"].to_numpy(np.float64) * dt
+        g = pd.DataFrame({"user_id": uid, "w": w, "dt": dt}) \
+            .groupby("user_id", sort=True).sum().reset_index()
+        g = g[g["dt"] > 0]
+        if g.empty:
+            return empty
+        return pd.DataFrame({"user_id": g["user_id"].astype("int64"),
+                             "twap": (g["w"] / g["dt"]).round(6)})
+
+    out = grouped_apply(ds, ["user_id"], twap).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def kg_name_components(sf_dir: str):
+    """Entity resolution closure: the blocked fuzzy name pairs
+    (``kg_fuzzy_name_pairs``) become an undirected graph and each PER
+    surface resolves to the lexicographically smallest name in its
+    connected component — name→dense-id by sorted rank (so min id IS
+    min name), then the BSP component operator
+    (``functions/components.py``), then the id→name join back. The
+    name vocabulary is bounded (distinct surfaces, not corpus rows),
+    so the rank table broadcasts. Oracled by a recursive-CTE closure
+    over the same levenshtein-blocked pairs."""
+    import ray.data as rd
+
+    from jerex_ray.functions.components import connected_components
+    configure_data_context()
+    pairs = kg_fuzzy_name_pairs(sf_dir)
+    if pairs.empty:
+        return pd.DataFrame({"norm": pd.Series(dtype="object"),
+                             "canonical": pd.Series(dtype="object")})
+    names = sorted(set(pairs["norm_a"]) | set(pairs["norm_b"]))
+    rank = {nm: i for i, nm in enumerate(names)}
+    edges = pd.DataFrame({
+        "src": pairs["norm_a"].map(rank).astype("int64"),
+        "dst": pairs["norm_b"].map(rank).astype("int64")})
+    comp = connected_components(rd.from_pandas(edges))
+    inv = np.array(names, dtype=object)
+    out = pd.DataFrame({"norm": inv[comp["node"].to_numpy()],
+                        "canonical": inv[comp["component"].to_numpy()]})
+    return out.sort_values("norm").reset_index(drop=True)
+
+
 def emb_mmr_select(sf_dir: str):
     """Maximal Marginal Relevance diverse top-10 (λ=0.7) against the
     vec-0 query — k streaming argmax passes, selected set broadcast,
@@ -3299,6 +3505,12 @@ def build_queries() -> dict:
         "q_part_bfs": q_part_bfs,
         "q_events_percent_rank": q_events_percent_rank,
         "q_events_state_intervals": q_events_state_intervals,
+        "q_events_chi2": q_events_chi2,
+        "q_user_event_paths": q_user_event_paths,
+        "q_user_coverage": q_user_coverage,
+        "q_events_trimmed_mean": q_events_trimmed_mean,
+        "q_user_twap": q_user_twap,
+        "kg_name_components": kg_name_components,
         "q_orders_benford": q_orders_benford,
         "q_orders_profile": q_orders_profile,
         "q_events_geomean": q_events_geomean,
@@ -4735,6 +4947,28 @@ def _build_oracle_sql_literal() -> dict:
             WHERE levenshtein(a.norm, bb.norm) <= 3
             ORDER BY norm_a, norm_b
         """,
+        "kg_name_components": f"""
+            WITH RECURSIVE dm AS ({_doc_mentions_sql()}),
+            names AS (SELECT DISTINCT norm FROM dm
+                      WHERE entity_type = 'PER'),
+            blk AS (SELECT norm, split_part(norm, ' ', 1) AS b
+                    FROM names),
+            edges AS MATERIALIZED (
+                SELECT x.norm AS na, y.norm AS nb
+                FROM blk x JOIN blk y
+                  ON x.b = y.b AND x.norm < y.norm
+                WHERE levenshtein(x.norm, y.norm) <= 3),
+            sym AS MATERIALIZED (
+                SELECT na AS a, nb AS b FROM edges
+                UNION ALL
+                SELECT nb AS a, na AS b FROM edges),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+            SELECT a AS norm, least(a, min(b)) AS canonical
+            FROM reach GROUP BY a ORDER BY norm
+        """,
         "kg_pair_pmi": f"""
             WITH dm AS ({_doc_mentions_sql()}),
             de AS (SELECT DISTINCT doc_id, norm, entity_type FROM dm),
@@ -5070,6 +5304,79 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "q_events_chi2": """
+            WITH o AS (SELECT event_type,
+                              CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+                              count(*) AS obs
+                       FROM events GROUP BY 1, 2),
+            rt AS (SELECT event_type, CAST(sum(obs) AS DOUBLE) AS r
+                   FROM o GROUP BY 1),
+            ct AS (SELECT hr, CAST(sum(obs) AS DOUBLE) AS c
+                   FROM o GROUP BY 1),
+            n AS (SELECT CAST(sum(obs) AS DOUBLE) AS n FROM o)
+            SELECT o.event_type, o.hr, CAST(o.obs AS BIGINT) AS obs,
+                   round(rt.r * ct.c / n.n, 6) AS expected,
+                   round((o.obs - rt.r * ct.c / n.n)
+                         * (o.obs - rt.r * ct.c / n.n)
+                         / (rt.r * ct.c / n.n), 6) AS contrib
+            FROM o JOIN rt USING (event_type) JOIN ct USING (hr), n
+            ORDER BY o.event_type, o.hr
+        """,
+        "q_user_event_paths": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS path
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "q_user_coverage": """
+            WITH iv AS (SELECT user_id, ts AS s,
+                               ts + INTERVAL 300 SECOND AS e
+                        FROM events),
+            x AS (SELECT user_id, s, e,
+                         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pmax
+                  FROM iv),
+            y AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax
+                                 THEN 1 ELSE 0 END AS opens
+                  FROM x),
+            z AS (SELECT *, sum(opens) OVER (PARTITION BY user_id
+                                             ORDER BY s, e
+                                             ROWS UNBOUNDED PRECEDING)
+                            AS isl
+                  FROM y),
+            i AS (SELECT user_id, isl,
+                         date_diff('microsecond', min(s), max(e))
+                             // 1000000 AS cov
+                  FROM z GROUP BY user_id, isl)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(sum(cov) AS BIGINT) AS covered_sec
+            FROM i GROUP BY user_id ORDER BY user_id
+        """,
+        "q_events_trimmed_mean": """
+            WITH b AS (SELECT event_type,
+                              quantile_cont(value, 0.1) AS lo,
+                              quantile_cont(value, 0.9) AS hi
+                       FROM events GROUP BY event_type)
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(e.value), 6) AS trimmed_mean
+            FROM events e JOIN b USING (event_type)
+            WHERE e.value >= b.lo AND e.value <= b.hi
+            GROUP BY e.event_type ORDER BY e.event_type
+        """,
+        "q_user_twap": """
+            WITH x AS (SELECT user_id, value,
+                              CAST(date_diff('microsecond', ts,
+                                   lead(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id))
+                                   AS DOUBLE) AS dt
+                       FROM events)
+            SELECT user_id,
+                   round(sum(value * dt) / sum(dt), 6) AS twap
+            FROM x WHERE dt IS NOT NULL
+            GROUP BY user_id HAVING sum(dt) > 0
+            ORDER BY user_id
         """,
         "q_part_skyline": """
             SELECT p_partkey, p_retailprice,

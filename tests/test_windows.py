@@ -325,3 +325,68 @@ def test_transition_matrix_counts_and_probs():
         rd.from_pandas(df.head(1)), key="user_id", ts_col="ts",
         id_col="event_id", type_col="event_type")
     assert empty.empty
+
+
+def test_user_coverage_matches_bruteforce():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_user_coverage
+    out = q_user_coverage("/root/testdata/sf0.001")
+    df = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    W = 300 * 1_000_000
+    for uid, g in df.groupby("user_id"):
+        ivs = sorted((int(t), int(t) + W)
+                     for t in g["ts"].astype("int64"))
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        row = out[out["user_id"] == uid].iloc[0]
+        assert row["n_islands"] == len(merged)
+        assert row["covered_sec"] == sum((e - s) // 1_000_000
+                                         for s, e in merged)
+
+
+def test_user_twap_matches_bruteforce():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_user_twap
+    out = q_user_twap("/root/testdata/sf0.001") \
+        .set_index("user_id")["twap"]
+    df = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["event_id", "ts", "user_id", "value"]) \
+        .to_pandas()
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("int64").to_numpy()
+        v = g["value"].to_numpy()
+        if len(g) < 2:
+            assert uid not in out.index
+            continue
+        dt = (t[1:] - t[:-1]).astype(float)
+        if dt.sum() <= 0:
+            assert uid not in out.index
+            continue
+        exp = round(float((v[:-1] * dt).sum() / dt.sum()), 6)
+        assert abs(out[uid] - exp) < 1e-9, uid
+
+
+def test_events_chi2_identities():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_events_chi2
+    out = q_events_chi2("/root/testdata/sf0.001")
+    df = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ct = pd.crosstab(df["event_type"], df["ts"].dt.hour)
+    # observed grid matches and expected sums to N per margin
+    n = ct.to_numpy().sum()
+    assert int(out["obs"].sum()) == n
+    assert abs(out["expected"].sum() - n) < 1e-3
+    # spot-check one cell's contribution
+    r = ct.sum(axis=1); c = ct.sum(axis=0)
+    et, hr = out.iloc[0]["event_type"], int(out.iloc[0]["hr"])
+    e = r[et] * c[hr] / n
+    o = ct.loc[et, hr]
+    assert abs(out.iloc[0]["contrib"] - round((o - e) ** 2 / e, 6)) \
+        < 1e-9
