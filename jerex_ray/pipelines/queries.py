@@ -2752,6 +2752,133 @@ def kg_name_components(sf_dir: str):
     return out.sort_values("norm").reset_index(drop=True)
 
 
+def q_events_rolling_median(sf_dir: str):
+    """Exact rolling median of value per user over the current + 4
+    preceding events — the robust smoother (rank statistics resist the
+    spikes a moving average chases). One user co-location, then
+    pandas' O(w·log w) rolling-median kernel per block; both sides
+    midpoint-interpolate even windows, so the doubles agree
+    bit-for-bit before the 6-decimal rounding."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "value"])
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "med5": pd.Series(dtype="float64")})
+        d = df.sort_values(["user_id", "ts", "event_id"])
+        m = d.groupby("user_id", sort=False)["value"] \
+            .rolling(5, min_periods=1).median() \
+            .reset_index(drop=True).to_numpy()
+        return pd.DataFrame({"event_id": d["event_id"].to_numpy(),
+                             "med5": np.round(m, 6)})
+
+    out = grouped_apply(ds, ["user_id"], med).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_events_since_anchor(sf_dir: str):
+    """Per-event microseconds since the user's most recent 'purchase'
+    (at or before the event) — the recency feature of every
+    feature-engineering pipeline, computed as a per-user forward fill
+    of anchor timestamps after one co-location. Events with no prior
+    purchase are excluded on both sides (no NULL rows to hash)."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def since(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                              "user_id": pd.Series(dtype="int64"),
+                              "since_us": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        d = df.sort_values(["user_id", "ts", "event_id"])
+        t = d["ts"].astype("int64")
+        anchor = t.where(d["event_type"].to_numpy() == "purchase") \
+            .groupby(d["user_id"].to_numpy()).ffill()
+        keep = anchor.notna().to_numpy()
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "event_id": d["event_id"].to_numpy()[keep],
+            "user_id": d["user_id"].to_numpy()[keep],
+            "since_us": (t.to_numpy()[keep]
+                         - anchor.to_numpy()[keep].astype(np.int64))})
+
+    out = grouped_apply(ds, ["user_id"], since).to_pandas()
+    for c in ("event_id", "user_id", "since_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_revenue_cube(sf_dir: str):
+    """Order revenue by CUBE(region, nation): all four grouping sets
+    in one result, 'ALL' marking the collapsed level. Same scale shape
+    as the ROLLUP decomposition — one distributed combiner aggregate
+    at the finest level, every coarser set re-aggregated from that
+    dimension-bounded result."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.functions.join import broadcast_join
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+
+    def _read(t, cols):
+        return read_parquet_sized(f"{sf_dir}/{t}.parquet", columns=cols)
+
+    orders = _read("orders", ["o_custkey", "o_totalprice"])
+    cust = _read("customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read("nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read("region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = (cust.merge(nation, left_on="c_nationkey",
+                      right_on="n_nationkey")
+               .merge(reg, left_on="n_regionkey",
+                      right_on="r_regionkey")
+           [["c_custkey", "n_name", "r_name"]])
+    j = broadcast_join(orders, dim, left_on="o_custkey",
+                       right_on="c_custkey")
+    finest = grouped_aggregate(j, ["r_name", "n_name"],
+                               {"revenue": ("o_totalprice", "sum")}) \
+        .to_pandas()
+    by_r = finest.groupby("r_name", as_index=False)["revenue"].sum()
+    by_r["n_name"] = "ALL"
+    by_n = finest.groupby("n_name", as_index=False)["revenue"].sum()
+    by_n["r_name"] = "ALL"
+    total = pd.DataFrame({"r_name": ["ALL"], "n_name": ["ALL"],
+                          "revenue": [finest["revenue"].sum()]})
+    out = pd.concat([finest, by_r[["r_name", "n_name", "revenue"]],
+                     by_n[["r_name", "n_name", "revenue"]], total],
+                    ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+def dedup_component_sizes(sf_dir: str):
+    """Near-dup cluster-size histogram — the release-audit view of the
+    dedup graph (how much of the corpus sits in 2-clusters vs one
+    giant blob): component sizes from the BSP closure, then a
+    two-level count-of-counts. Inherits dedup_components' LSH recall
+    caveat."""
+    comp = dedup_components(sf_dir)
+    if comp.empty:
+        return pd.DataFrame({"size": pd.Series(dtype="int64"),
+                             "n_components": pd.Series(dtype="int64")})
+    sizes = comp.groupby("component").size()
+    out = sizes.value_counts().sort_index().reset_index()
+    out.columns = ["size", "n_components"]
+    return out.astype({"size": "int64", "n_components": "int64"}) \
+        .reset_index(drop=True)
+
+
 def emb_mmr_select(sf_dir: str):
     """Maximal Marginal Relevance diverse top-10 (λ=0.7) against the
     vec-0 query — k streaming argmax passes, selected set broadcast,
@@ -3511,6 +3638,10 @@ def build_queries() -> dict:
         "q_events_trimmed_mean": q_events_trimmed_mean,
         "q_user_twap": q_user_twap,
         "kg_name_components": kg_name_components,
+        "q_events_rolling_median": q_events_rolling_median,
+        "q_events_since_anchor": q_events_since_anchor,
+        "q_revenue_cube": q_revenue_cube,
+        "dedup_component_sizes": dedup_component_sizes,
         "q_orders_benford": q_orders_benford,
         "q_orders_profile": q_orders_profile,
         "q_events_geomean": q_events_geomean,
@@ -3876,6 +4007,15 @@ def build_oracle_sql() -> dict:
     # the index-backed BM25 must reproduce the direct pass bit-for-bit
     # (after 6-decimal rounding) — one oracle serves both
     oracles["doc_bm25_indexed"] = oracles["doc_bm25_scores"]
+    # cluster-size histogram over the SAME closure the components
+    # oracle computes (nested WITH RECURSIVE inside a subquery)
+    oracles["dedup_component_sizes"] = f"""
+        WITH sizes AS (
+            SELECT component, count(*) AS sz
+            FROM ({oracles["dedup_components"]}) GROUP BY component)
+        SELECT CAST(sz AS BIGINT) AS size,
+               CAST(count(*) AS BIGINT) AS n_components
+        FROM sizes GROUP BY sz ORDER BY size"""
     return oracles
 
 
@@ -5304,6 +5444,38 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "q_events_rolling_median": """
+            SELECT event_id,
+                   round(median(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+                       AS med5
+            FROM events ORDER BY event_id
+        """,
+        "q_events_since_anchor": """
+            WITH x AS (
+                SELECT event_id, user_id, ts,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN ts END) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS anchor
+                FROM events)
+            SELECT event_id, user_id,
+                   date_diff('microsecond', anchor, ts) AS since_us
+            FROM x WHERE anchor IS NOT NULL
+            ORDER BY event_id
+        """,
+        "q_revenue_cube": """
+            SELECT COALESCE(r_name, 'ALL') AS r_name,
+                   COALESCE(n_name, 'ALL') AS n_name,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY CUBE (r_name, n_name)
+            ORDER BY r_name, n_name
         """,
         "q_events_chi2": """
             WITH o AS (SELECT event_type,

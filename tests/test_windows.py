@@ -390,3 +390,41 @@ def test_events_chi2_identities():
     o = ct.loc[et, hr]
     assert abs(out.iloc[0]["contrib"] - round((o - e) ** 2 / e, 6)) \
         < 1e-9
+
+
+def test_rolling_median_matches_bruteforce():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_events_rolling_median
+    out = q_events_rolling_median("/root/testdata/sf0.001") \
+        .set_index("event_id")["med5"]
+    df = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["event_id", "ts", "user_id", "value"]) \
+        .to_pandas()
+    import statistics
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        vals = g["value"].tolist()
+        for i, eid in enumerate(g["event_id"]):
+            exp = round(statistics.median(vals[max(0, i - 4):i + 1]), 6)
+            assert abs(out[eid] - exp) < 1e-9
+
+
+def test_since_anchor_matches_bruteforce():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_events_since_anchor
+    out = q_events_since_anchor("/root/testdata/sf0.001")
+    got = dict(zip(out["event_id"], out["since_us"]))
+    df = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type"]).to_pandas()
+    exp = {}
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        anchor = None
+        for _, r in g.iterrows():
+            t = int(r["ts"].value) // 1000   # ns → µs
+            if r["event_type"] == "purchase":
+                anchor = t
+            if anchor is not None:
+                exp[int(r["event_id"])] = t - anchor
+    assert got == exp
