@@ -2879,6 +2879,82 @@ def dedup_component_sizes(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_events_top_trigrams(sf_dir: str):
+    """Sequential pattern mining lite: corpus-wide counts of
+    consecutive event-type TRIPLES per user timeline, top 20 with a
+    full lexicographic tie-break. One user co-location, vectorized
+    shift-explode (no per-row loop), combiner-reduced counts (≤
+    |types|³ rows), driver top-k on the tiny result."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def tri(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"t1": pd.Series(dtype="object"),
+                              "t2": pd.Series(dtype="object"),
+                              "t3": pd.Series(dtype="object")})
+        if df.empty:
+            return empty
+        d = df.sort_values(["user_id", "ts", "event_id"])
+        t = d["event_type"].to_numpy()
+        u = d["user_id"].to_numpy()
+        if len(d) < 3:
+            return empty
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        return pd.DataFrame({"t1": t[:-2][same], "t2": t[1:-1][same],
+                             "t3": t[2:][same]})
+
+    tris = grouped_apply(ds, ["user_id"], tri)
+    counts = grouped_aggregate(tris, ["t1", "t2", "t3"],
+                               {"n": (None, "count")}).to_pandas()
+    counts["n"] = counts["n"].astype("int64")
+    out = counts.sort_values(["n", "t1", "t2", "t3"],
+                             ascending=[False, True, True, True]) \
+        .head(20)
+    return out[["t1", "t2", "t3", "n"]].reset_index(drop=True)
+
+
+def doc_source_gini(sf_dir: str):
+    """Per-source Gini coefficient of document token counts — the
+    concentration audit ('is one source's length distribution
+    dominated by a few giants?') — via the rank formula
+    G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n. Sources are bounded, so one
+    hash co-location puts each source's lengths in one block; runs of
+    equal lengths make the formula order-invariant within ties."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def lengths(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].fillna("").str.split().str.len() \
+            .to_numpy(np.int64)
+        return pd.DataFrame({"source": df["source"], "x": n})
+
+    def gini(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "gini": pd.Series(dtype="float64")})
+        rows = []
+        for src, g in df.groupby("source", sort=False):
+            x = np.sort(g["x"].to_numpy(np.float64))
+            n = len(x)
+            s = x.sum()
+            val = 0.0 if s == 0 or n == 0 else \
+                2.0 * float(np.arange(1, n + 1) @ x) / (n * s) \
+                - (n + 1.0) / n
+            rows.append((src, round(val, 6)))
+        return pd.DataFrame(rows, columns=["source", "gini"])
+
+    out = grouped_apply(ds.map_batches(lengths, batch_format="pandas"),
+                        ["source"], gini).to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def emb_mmr_select(sf_dir: str):
     """Maximal Marginal Relevance diverse top-10 (λ=0.7) against the
     vec-0 query — k streaming argmax passes, selected set broadcast,
@@ -3642,6 +3718,8 @@ def build_queries() -> dict:
         "q_events_since_anchor": q_events_since_anchor,
         "q_revenue_cube": q_revenue_cube,
         "dedup_component_sizes": dedup_component_sizes,
+        "q_events_top_trigrams": q_events_top_trigrams,
+        "doc_source_gini": doc_source_gini,
         "q_orders_benford": q_orders_benford,
         "q_orders_profile": q_orders_profile,
         "q_events_geomean": q_events_geomean,
@@ -5087,6 +5165,21 @@ def _build_oracle_sql_literal() -> dict:
             WHERE levenshtein(a.norm, bb.norm) <= 3
             ORDER BY norm_a, norm_b
         """,
+        "doc_source_gini": f"""
+            WITH d AS (SELECT source,
+                              CAST({_N_TOKENS_SQL} AS DOUBLE) AS x
+                       FROM documents),
+            r AS (SELECT source, x,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY x) AS i,
+                         count(*) OVER (PARTITION BY source) AS n,
+                         sum(x) OVER (PARTITION BY source) AS s
+                  FROM d)
+            SELECT source,
+                   round(2.0 * sum(i * x) / (max(n) * max(s))
+                         - (max(n) + 1.0) / max(n), 6) AS gini
+            FROM r GROUP BY source ORDER BY source
+        """,
         "kg_name_components": f"""
             WITH RECURSIVE dm AS ({_doc_mentions_sql()}),
             names AS (SELECT DISTINCT norm FROM dm
@@ -5444,6 +5537,19 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "q_events_top_trigrams": """
+            WITH s AS (
+                SELECT user_id, event_type AS t1,
+                       lead(event_type, 1) OVER w AS t2,
+                       lead(event_type, 2) OVER w AS t3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE t3 IS NOT NULL
+            GROUP BY t1, t2, t3
+            ORDER BY n DESC, t1, t2, t3
+            LIMIT 20
         """,
         "q_events_rolling_median": """
             SELECT event_id,

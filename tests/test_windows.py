@@ -428,3 +428,36 @@ def test_since_anchor_matches_bruteforce():
             if anchor is not None:
                 exp[int(r["event_id"])] = t - anchor
     assert got == exp
+
+
+def test_top_trigrams_matches_bruteforce():
+    import collections
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_events_top_trigrams
+    out = q_events_top_trigrams("/root/testdata/sf0.001")
+    df = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type"]).to_pandas()
+    cnt = collections.Counter()
+    for uid, g in df.groupby("user_id"):
+        t = g.sort_values(["ts", "event_id"])["event_type"].tolist()
+        for i in range(len(t) - 2):
+            cnt[(t[i], t[i + 1], t[i + 2])] += 1
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [((r.t1, r.t2, r.t3), r.n) for r in out.itertuples()]
+    assert got == exp
+
+
+def test_source_gini_matches_bruteforce():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import doc_source_gini
+    out = doc_source_gini("/root/testdata/sf0.001") \
+        .set_index("source")["gini"]
+    df = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                       columns=["source", "text"]).to_pandas()
+    for src, g in df.groupby("source"):
+        x = np.sort([len(t.split()) for t in g["text"].fillna("")])
+        n, s = len(x), x.sum()
+        exp = round(2.0 * float((np.arange(1, n + 1) * x).sum())
+                    / (n * s) - (n + 1.0) / n, 6)
+        assert abs(out[src] - exp) < 1e-9
