@@ -2955,6 +2955,45 @@ def doc_source_gini(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def kg_coworker_pairs(sf_dir: str):
+    """Graph-pattern (motif) join over the distant-supervision KG:
+    (PER a)-[works_at]->(ORG)<-[works_at]-(PER b) — co-worker pairs
+    with the count of shared ORGs. The wedge join is one ORG
+    co-location with a within-block self-merge (the same
+    apex-quadratic shape as ``triangle_counts``' wedge stage), then a
+    combiner count per pair; distinct edges first, so a pair counts
+    each shared ORG once regardless of mention frequency."""
+    import ray.data as rd
+
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    configure_data_context()
+    sup = kg_distant_supervision(sf_dir)
+    empty = pd.DataFrame({"per_a": pd.Series(dtype="object"),
+                          "per_b": pd.Series(dtype="object"),
+                          "n_orgs": pd.Series(dtype="int64")})
+    if sup.empty:
+        return empty
+    edges = sup[["subj_norm", "obj_norm"]].drop_duplicates()
+
+    def mate(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"per_a": pd.Series(dtype="object"),
+                                 "per_b": pd.Series(dtype="object")})
+        m = df.merge(df, on="obj_norm")
+        m = m[m["subj_norm_x"] < m["subj_norm_y"]]
+        return pd.DataFrame({"per_a": m["subj_norm_x"].to_numpy(),
+                             "per_b": m["subj_norm_y"].to_numpy()})
+
+    wedges = grouped_apply(rd.from_pandas(edges), ["obj_norm"], mate)
+    out = grouped_aggregate(wedges, ["per_a", "per_b"],
+                            {"n_orgs": (None, "count")}).to_pandas()
+    if out.empty or "per_a" not in out.columns:
+        return empty
+    out["n_orgs"] = out["n_orgs"].astype("int64")
+    return out[["per_a", "per_b", "n_orgs"]] \
+        .sort_values(["per_a", "per_b"]).reset_index(drop=True)
+
+
 def emb_mmr_select(sf_dir: str):
     """Maximal Marginal Relevance diverse top-10 (λ=0.7) against the
     vec-0 query — k streaming argmax passes, selected set broadcast,
@@ -3720,6 +3759,7 @@ def build_queries() -> dict:
         "dedup_component_sizes": dedup_component_sizes,
         "q_events_top_trigrams": q_events_top_trigrams,
         "doc_source_gini": doc_source_gini,
+        "kg_coworker_pairs": kg_coworker_pairs,
         "q_orders_benford": q_orders_benford,
         "q_orders_profile": q_orders_profile,
         "q_events_geomean": q_events_geomean,
@@ -4087,6 +4127,16 @@ def build_oracle_sql() -> dict:
     oracles["doc_bm25_indexed"] = oracles["doc_bm25_scores"]
     # cluster-size histogram over the SAME closure the components
     # oracle computes (nested WITH RECURSIVE inside a subquery)
+    # motif join over the SAME distant-supervision edges its oracle
+    # derives — a wedge self-join on the shared ORG
+    oracles["kg_coworker_pairs"] = f"""
+        WITH sup AS ({oracles["kg_distant_supervision"]}),
+        e AS (SELECT DISTINCT subj_norm, obj_norm FROM sup)
+        SELECT a.subj_norm AS per_a, b.subj_norm AS per_b,
+               CAST(count(*) AS BIGINT) AS n_orgs
+        FROM e a JOIN e b ON a.obj_norm = b.obj_norm
+                         AND a.subj_norm < b.subj_norm
+        GROUP BY per_a, per_b ORDER BY per_a, per_b"""
     oracles["dedup_component_sizes"] = f"""
         WITH sizes AS (
             SELECT component, count(*) AS sz
