@@ -2994,6 +2994,139 @@ def kg_coworker_pairs(sf_dir: str):
         .sort_values(["per_a", "per_b"]).reset_index(drop=True)
 
 
+def q_user_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user (plus total
+    active days) — the gaps-and-islands idiom on the DATE axis: one
+    user co-location, distinct epoch-days, the day−rank island key,
+    vectorized run-length reduction."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+
+    def streaks(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "max_streak": pd.Series(dtype="int64"),
+                "n_active_days": pd.Series(dtype="int64")})
+        day = (df["ts"].astype("int64") // 86_400_000_000).to_numpy()
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                          "day": day}).drop_duplicates() \
+            .sort_values(["user_id", "day"])
+        u = d["user_id"].to_numpy()
+        dy = d["day"].to_numpy()
+        rn = d.groupby("user_id", sort=False).cumcount().to_numpy()
+        isl = dy - rn                       # constant within a run
+        runs = pd.DataFrame({"user_id": u, "isl": isl}) \
+            .groupby(["user_id", "isl"], sort=False).size() \
+            .reset_index(name="len")
+        out = runs.groupby("user_id", sort=True) \
+            .agg(max_streak=("len", "max"),
+                 n_active_days=("len", "sum")).reset_index()
+        return out.astype({"user_id": "int64", "max_streak": "int64",
+                           "n_active_days": "int64"})
+
+    out = grouped_apply(ds, ["user_id"], streaks).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_events_rolling_dau7(sf_dir: str):
+    """Trailing-7-day distinct active users per observed day — the
+    rolling-DAU dashboard series, windowed-distinct made
+    shuffle-friendly: dedup (day, user) once (combiner), EXPLODE each
+    active day to the 7 days it contributes to (vectorized repeat),
+    dedup (target_day, user) again, count per day, keep observed
+    days (broadcast day set — bounded by the calendar)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+
+    def day_user(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": (df["ts"].astype("int64")
+                    // 86_400_000_000).to_numpy(),
+            "user_id": df["user_id"].to_numpy()}).drop_duplicates()
+
+    du = grouped_aggregate(
+        ds.map_batches(day_user, batch_format="pandas"),
+        ["day", "user_id"], {"n": (None, "count")}).materialize()
+    # observed-day filter: calendar-bounded, safe to broadcast
+    day_arr = np.sort(grouped_aggregate(
+        du, ["day"], {"n": (None, "count")}).to_pandas()["day"]
+        .to_numpy(np.int64))
+
+    def explode7(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64")})
+        d = np.repeat(df["day"].to_numpy(np.int64), 7) \
+            + np.tile(np.arange(7, dtype=np.int64), len(df))
+        u = np.repeat(df["user_id"].to_numpy(np.int64), 7)
+        keep = np.isin(d, day_arr)
+        return pd.DataFrame({"day": d[keep], "user_id": u[keep]}) \
+            .drop_duplicates()
+
+    contrib = grouped_aggregate(
+        du.map_batches(explode7, batch_format="pandas"),
+        ["day", "user_id"], {"n": (None, "count")})
+    out = grouped_aggregate(contrib, ["day"],
+                            {"dau7": (None, "count")}).to_pandas()
+    out["day"] = pd.to_datetime(out["day"] * 86_400_000_000,
+                                unit="us").dt.date.astype(str)
+    out["dau7"] = out["dau7"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def q_referential_integrity(sf_dir: str):
+    """Distributed referential-integrity audit, fact-vs-fact (neither
+    side broadcastable at scale): tag each table's keyed rows, ONE
+    hash co-location per check aggregates (rows_left, rows_right) per
+    key, and tiny per-block partials reduce to the orphan counts —
+    lineitem rows with no parent order, orders with no lineitems, and
+    events whose user is absent from customer."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+
+    def _tag(path, col, side):
+        ds = read_parquet_sized(path, columns=[col])
+        return ds.map_batches(
+            lambda df, c=col, s=side: pd.DataFrame(
+                {"k": df[c].to_numpy(np.int64),
+                 "nl": np.int64(1 if s == "l" else 0),
+                 "nr": np.int64(1 if s == "r" else 0)}),
+            batch_format="pandas")
+
+    def orphans(left_path, left_col, right_path, right_col):
+        tagged = _tag(left_path, left_col, "l") \
+            .union(_tag(right_path, right_col, "r"))
+        per_key = grouped_aggregate(tagged, ["k"],
+                                    {"nl": ("nl", "sum"),
+                                     "nr": ("nr", "sum")})
+        parts = per_key.map_batches(
+            lambda df: pd.DataFrame({
+                "lo": [int(df.loc[df["nr"] == 0, "nl"].sum())],
+                "ro": [int((df["nl"] == 0).mul(df["nr"] > 0).sum())]}),
+            batch_format="pandas").to_pandas()
+        return int(parts["lo"].sum()), int(parts["ro"].sum())
+
+    li_orph, ord_childless = orphans(
+        f"{sf_dir}/lineitem.parquet", "l_orderkey",
+        f"{sf_dir}/orders.parquet", "o_orderkey")
+    ev_orph, _ = orphans(f"{sf_dir}/events.parquet", "user_id",
+                         f"{sf_dir}/customer.parquet", "c_custkey")
+    out = pd.DataFrame({
+        "check_name": ["event_user_orphans", "lineitem_orphans",
+                       "orders_childless"],
+        "n": [ev_orph, li_orph, ord_childless]})
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def emb_mmr_select(sf_dir: str):
     """Maximal Marginal Relevance diverse top-10 (λ=0.7) against the
     vec-0 query — k streaming argmax passes, selected set broadcast,
@@ -3760,6 +3893,9 @@ def build_queries() -> dict:
         "q_events_top_trigrams": q_events_top_trigrams,
         "doc_source_gini": doc_source_gini,
         "kg_coworker_pairs": kg_coworker_pairs,
+        "q_user_streaks": q_user_streaks,
+        "q_events_rolling_dau7": q_events_rolling_dau7,
+        "q_referential_integrity": q_referential_integrity,
         "q_orders_benford": q_orders_benford,
         "q_orders_profile": q_orders_profile,
         "q_events_geomean": q_events_geomean,
@@ -5587,6 +5723,52 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "q_user_streaks": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(ts AS DATE) AS day FROM events),
+            r AS (SELECT user_id, day,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS rn
+                  FROM d),
+            g AS (SELECT user_id,
+                         day - CAST(rn AS INTEGER) AS grp,
+                         count(*) AS len
+                  FROM r GROUP BY user_id, day - CAST(rn AS INTEGER))
+            SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak,
+                   CAST(sum(len) AS BIGINT) AS n_active_days
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "q_events_rolling_dau7": """
+            WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+                               user_id FROM events),
+            days AS (SELECT DISTINCT day FROM du)
+            SELECT CAST(d.day AS VARCHAR) AS day,
+                   CAST(count(DISTINCT u.user_id) AS BIGINT) AS dau7
+            FROM days d JOIN du u
+              ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day ORDER BY day
+        """,
+        "q_referential_integrity": """
+            SELECT * FROM (
+                SELECT 'event_user_orphans' AS check_name,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events e
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = e.user_id)
+                UNION ALL
+                SELECT 'lineitem_orphans',
+                       CAST(count(*) AS BIGINT)
+                FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)
+                UNION ALL
+                SELECT 'orders_childless',
+                       CAST(count(*) AS BIGINT)
+                FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey))
+            ORDER BY check_name
         """,
         "q_events_top_trigrams": """
             WITH s AS (

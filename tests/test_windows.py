@@ -461,3 +461,58 @@ def test_source_gini_matches_bruteforce():
         exp = round(2.0 * float((np.arange(1, n + 1) * x).sum())
                     / (n * s) - (n + 1.0) / n, 6)
         assert abs(out[src] - exp) < 1e-9
+
+
+def test_user_streaks_matches_bruteforce():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_user_streaks
+    out = q_user_streaks("/root/testdata/sf0.001").set_index("user_id")
+    df = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    for uid, g in df.groupby("user_id"):
+        days = sorted({int(t.value // (86_400 * 10**9))
+                       for t in g["ts"]})
+        best = run = 1
+        for a, b in zip(days, days[1:]):
+            run = run + 1 if b == a + 1 else 1
+            best = max(best, run)
+        assert out.loc[uid, "max_streak"] == best
+        assert out.loc[uid, "n_active_days"] == len(days)
+
+
+def test_rolling_dau7_matches_bruteforce():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_events_rolling_dau7
+    out = q_events_rolling_dau7("/root/testdata/sf0.001")
+    df = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    df["day"] = df["ts"].astype("int64") // 86_400_000_000
+    pairs = df[["day", "user_id"]].drop_duplicates()
+    for _, r in out.iterrows():
+        d = pd.Timestamp(r["day"]).value // (86_400 * 10**9)
+        exp = pairs[(pairs["day"] >= d - 6) & (pairs["day"] <= d)] \
+            ["user_id"].nunique()
+        assert r["dau7"] == exp
+
+
+def test_referential_integrity_counts():
+    import duckdb
+    from jerex_ray.pipelines.queries import q_referential_integrity
+    out = q_referential_integrity("/root/testdata/sf0.001") \
+        .set_index("check_name")["n"]
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    ev = con.sql(f"""SELECT count(*) FROM '{sf}/events.parquet' e
+        WHERE user_id NOT IN (SELECT c_custkey
+                              FROM '{sf}/customer.parquet')""").fetchone()[0]
+    li = con.sql(f"""SELECT count(*) FROM '{sf}/lineitem.parquet' l
+        WHERE l_orderkey NOT IN (SELECT o_orderkey
+                                 FROM '{sf}/orders.parquet')""").fetchone()[0]
+    oc = con.sql(f"""SELECT count(*) FROM '{sf}/orders.parquet' o
+        WHERE o_orderkey NOT IN (SELECT l_orderkey
+                                 FROM '{sf}/lineitem.parquet')""").fetchone()[0]
+    assert out["event_user_orphans"] == ev
+    # the synthetic tables genuinely carry orphans at sf0.001 — the
+    # audit must COUNT them, not assume TPC-H's closed-world keys
+    assert out["lineitem_orphans"] == li
+    assert out["orders_childless"] == oc
