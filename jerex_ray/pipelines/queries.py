@@ -3127,6 +3127,145 @@ def q_referential_integrity(sf_dir: str):
     return out
 
 
+def q_part_clustering(sf_dir: str):
+    """Local clustering coefficient per node of the co-purchase graph
+    — cc(v) = 2·T(v)/(deg(v)·(deg(v)−1)) — composing the
+    degree-ordered triangle operator with a distinct-edge degree
+    count; nodes in zero triangles keep cc = 0 (left join, not an
+    inner join that would silently drop them)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.ops.graph import triangle_counts
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"a": m["l_partkey_x"].to_numpy(),
+                             "b": m["l_partkey_y"].to_numpy()})
+
+    raw = grouped_apply(li, ["l_orderkey"], pairs_block)
+    edges = grouped_aggregate(raw, ["a", "b"],
+                              {"n": (None, "count")}).materialize()
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "a" not in df.columns:
+            return pd.DataFrame({"node": pd.Series(dtype="int64")})
+        return pd.DataFrame({"node": np.concatenate(
+            [df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)])})
+
+    deg = grouped_aggregate(
+        edges.map_batches(endpoints, batch_format="pandas"),
+        ["node"], {"degree": (None, "count")}).to_pandas()
+    tri = triangle_counts(edges, src="a", dst="b").to_pandas()
+    out = deg.merge(tri, on="node", how="left")
+    out["n_triangles"] = out["n_triangles"].fillna(0).astype("int64")
+    out = out[out["degree"] >= 2]
+    d = out["degree"].to_numpy(np.float64)
+    out["cc"] = np.round(2.0 * out["n_triangles"].to_numpy(np.float64)
+                         / (d * (d - 1.0)), 6)
+    out["node"] = out["node"].astype("int64")
+    out["degree"] = out["degree"].astype("int64")
+    return out[["node", "degree", "n_triangles", "cc"]] \
+        .sort_values("node").reset_index(drop=True)
+
+
+def q_events_hourly_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the hourly event-count series ('is
+    this hour's load predicted by the last?'): the combiner hourly
+    aggregate is the only corpus pass; the calendar-bounded series
+    shifts and correlates on the driver. Gaps (hours with zero
+    events) follow observed-hours semantics on both sides."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts"])
+
+    def hour(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hr": df["ts"].dt.floor("h")})
+
+    h = grouped_aggregate(ds.map_batches(hour, batch_format="pandas"),
+                          ["hr"], {"n": (None, "count")}).to_pandas() \
+        .sort_values("hr")
+    x = h["n"].to_numpy(np.float64)
+    n_pairs = max(len(x) - 1, 0)
+    if n_pairs < 2:
+        r = float("nan")
+    else:
+        r = float(np.corrcoef(x[1:], x[:-1])[0, 1])
+    return pd.DataFrame({"n_pairs": pd.array([n_pairs], dtype="int64"),
+                         "autocorr_lag1": [round(r, 6)]})
+
+
+def doc_source_vocab_jaccard(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources — the corpus
+    comparison behind domain-mixing decisions ('how lexically close
+    are these two crawls?'). Distinct (source, word) via one combiner
+    aggregate, per-word source-pair explode after a word co-location
+    (pairs per word are bounded by |sources|²), pair counts reduced by
+    a second combiner; vocabulary sizes join on the driver
+    (|sources| rows)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def words(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["text"].fillna("").str.lower().str.split()
+        lens = w.str.len().fillna(0).to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "w": pd.Series(dtype="object")})
+        flat = np.concatenate([v for v in w.to_numpy() if v])
+        src = np.repeat(df["source"].to_numpy(), lens)
+        return pd.DataFrame({"source": src, "w": flat}) \
+            .drop_duplicates()
+
+    ws = grouped_aggregate(ds.map_batches(words, batch_format="pandas"),
+                           ["source", "w"],
+                           {"n": (None, "count")}).materialize()
+    vocab = grouped_aggregate(ws, ["source"],
+                              {"c": (None, "count")}).to_pandas() \
+        .set_index("source")["c"].to_dict()
+
+    def mate(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source_a": pd.Series(dtype="object"),
+                              "source_b": pd.Series(dtype="object")})
+        if df.empty or "w" not in df.columns:
+            return empty
+        d = df[["source", "w"]]
+        m = d.merge(d, on="w")
+        m = m[m["source_x"] < m["source_y"]]
+        if m.empty:
+            return empty
+        return pd.DataFrame({"source_a": m["source_x"].to_numpy(),
+                             "source_b": m["source_y"].to_numpy()})
+
+    pairs = grouped_apply(ws, ["w"], mate)
+    inter = grouped_aggregate(pairs, ["source_a", "source_b"],
+                              {"shared": (None, "count")}).to_pandas()
+    if inter.empty or "source_a" not in inter.columns:
+        return pd.DataFrame({"source_a": pd.Series(dtype="object"),
+                             "source_b": pd.Series(dtype="object"),
+                             "shared": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    i = inter["shared"].to_numpy(np.float64)
+    ca = inter["source_a"].map(vocab).to_numpy(np.float64)
+    cb = inter["source_b"].map(vocab).to_numpy(np.float64)
+    inter["jaccard"] = np.round(i / (ca + cb - i), 6)
+    inter["shared"] = inter["shared"].astype("int64")
+    return inter[["source_a", "source_b", "shared", "jaccard"]] \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
 def emb_mmr_select(sf_dir: str):
     """Maximal Marginal Relevance diverse top-10 (λ=0.7) against the
     vec-0 query — k streaming argmax passes, selected set broadcast,
@@ -3896,6 +4035,9 @@ def build_queries() -> dict:
         "q_user_streaks": q_user_streaks,
         "q_events_rolling_dau7": q_events_rolling_dau7,
         "q_referential_integrity": q_referential_integrity,
+        "q_part_clustering": q_part_clustering,
+        "q_events_hourly_autocorr": q_events_hourly_autocorr,
+        "doc_source_vocab_jaccard": doc_source_vocab_jaccard,
         "q_orders_benford": q_orders_benford,
         "q_orders_profile": q_orders_profile,
         "q_events_geomean": q_events_geomean,
@@ -5723,6 +5865,72 @@ def _build_oracle_sql_literal() -> dict:
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node ORDER BY node
+        """,
+        "q_part_clustering": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+            deg AS (
+                SELECT node, count(*) AS degree
+                FROM (SELECT a AS node FROM e
+                      UNION ALL SELECT b FROM e)
+                GROUP BY node),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+            corners AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri),
+            t AS (SELECT node, count(*) AS n_triangles
+                  FROM corners GROUP BY node)
+            SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+                   CAST(COALESCE(t.n_triangles, 0) AS BIGINT)
+                       AS n_triangles,
+                   round(2.0 * COALESCE(t.n_triangles, 0)
+                         / (d.degree * (d.degree - 1.0)), 6) AS cc
+            FROM deg d LEFT JOIN t USING (node)
+            WHERE d.degree >= 2
+            ORDER BY d.node
+        """,
+        "q_events_hourly_autocorr": """
+            WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+                              count(*) AS n
+                       FROM events GROUP BY 1),
+            x AS (SELECT CAST(n AS DOUBLE) AS n,
+                         lag(CAST(n AS DOUBLE)) OVER (ORDER BY hr)
+                             AS prev
+                  FROM h)
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(corr(n, prev), 6) AS autocorr_lag1
+            FROM x WHERE prev IS NOT NULL
+        """,
+        "doc_source_vocab_jaccard": """
+            WITH ws AS (
+                SELECT DISTINCT source,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS w
+                FROM documents),
+            cnt AS (SELECT source, count(*) AS c
+                    FROM ws GROUP BY source),
+            inter AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       count(*) AS i
+                FROM ws a JOIN ws b
+                  ON a.w = b.w AND a.source < b.source
+                GROUP BY 1, 2)
+            SELECT source_a, source_b, CAST(i AS BIGINT) AS shared,
+                   round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6)
+                       AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.source = source_a
+            JOIN cnt cb ON cb.source = source_b
+            ORDER BY source_a, source_b
         """,
         "q_user_streaks": """
             WITH d AS (SELECT DISTINCT user_id,

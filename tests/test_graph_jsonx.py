@@ -516,3 +516,48 @@ def test_skyline_2d_matches_bruteforce():
     exp = sorted(p.id for p in pts.itertuples() if not dominated(p))
     assert sorted(got["id"]) == exp
     assert {0, 1} <= set(got["id"])
+
+
+def test_part_clustering_identities():
+    from jerex_ray.pipelines.queries import q_part_clustering
+    out = q_part_clustering("/root/testdata/sf0.001")
+    # cc bounded in [0,1]; triangle-free nodes carry cc=0, and any
+    # node with a triangle needs degree >= 2
+    assert ((out["cc"] >= 0) & (out["cc"] <= 1)).all()
+    z = out[out["n_triangles"] == 0]
+    assert (z["cc"] == 0).all()
+    assert (out.loc[out["n_triangles"] > 0, "degree"] >= 2).all()
+    # hand-check one node against networkx-free brute force
+    import duckdb
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    e = con.sql(f"""SELECT DISTINCT a.l_partkey a, b.l_partkey b
+        FROM '{sf}/lineitem.parquet' a JOIN '{sf}/lineitem.parquet' b
+        ON a.l_orderkey=b.l_orderkey AND a.l_partkey<b.l_partkey""") \
+        .df()
+    adj = {}
+    for a, b in e.itertuples(index=False):
+        adj.setdefault(a, set()).add(b); adj.setdefault(b, set()).add(a)
+    node = int(out.iloc[0]["node"])
+    nb = sorted(adj[node])
+    t = sum(1 for i, u in enumerate(nb) for v in nb[i + 1:]
+            if v in adj[u])
+    d = len(nb)
+    assert int(out.iloc[0]["n_triangles"]) == t
+    assert abs(out.iloc[0]["cc"] - round(2 * t / (d * (d - 1)), 6)) \
+        < 1e-9
+
+
+def test_source_vocab_jaccard_bruteforce():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import doc_source_vocab_jaccard
+    out = doc_source_vocab_jaccard("/root/testdata/sf0.001")
+    df = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                       columns=["source", "text"]).to_pandas()
+    vocab = {s: set(w for t in g["text"].fillna("")
+                    for w in t.lower().split())
+             for s, g in df.groupby("source")}
+    for r in out.itertuples():
+        a, b = vocab[r.source_a], vocab[r.source_b]
+        assert r.shared == len(a & b)
+        assert abs(r.jaccard - round(len(a & b) / len(a | b), 6)) < 1e-9
