@@ -3266,6 +3266,185 @@ def doc_source_vocab_jaccard(sf_dir: str):
         .sort_values(["source_a", "source_b"]).reset_index(drop=True)
 
 
+def q_user_entry_exit(sf_dir: str):
+    """Entry/exit analysis: each user's first and last event (type and
+    value) under the total (ts, event_id) order — the arg_min/arg_max
+    pair per group, one co-location and a vectorized head/tail pick
+    per user run."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+
+    def firstlast(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "first_type": pd.Series(dtype="object"),
+                "first_value": pd.Series(dtype="float64"),
+                "last_type": pd.Series(dtype="object"),
+                "last_value": pd.Series(dtype="float64")})
+        d = df.sort_values(["user_id", "ts", "event_id"])
+        g = d.groupby("user_id", sort=True)
+        f = g.nth(0)
+        l = g.nth(-1)
+        return pd.DataFrame({
+            "user_id": f["user_id"].to_numpy(np.int64),
+            "first_type": f["event_type"].to_numpy(),
+            "first_value": f["value"].to_numpy(np.float64),
+            "last_type": l["event_type"].to_numpy(),
+            "last_value": l["value"].to_numpy(np.float64)})
+
+    out = grouped_apply(ds, ["user_id"], firstlast).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_events_type_lift(sf_dir: str):
+    """Market-basket lift between event types over user-day baskets —
+    lift(A,B) = P(A,B)/(P(A)·P(B)) — association strength the
+    recommender/anomaly teams read. Distinct (user, day, type) via one
+    combiner, within-basket pair explode after a basket co-location
+    (pairs per basket ≤ |types|²), counts reduced again; the |types|²
+    lift table finishes on the driver."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id", "event_type"])
+
+    def basket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "day": (df["ts"].astype("int64")
+                    // 86_400_000_000).to_numpy(),
+            "t": df["event_type"].to_numpy()}).drop_duplicates()
+
+    b = grouped_aggregate(ds.map_batches(basket, batch_format="pandas"),
+                          ["user_id", "day", "t"],
+                          {"n": (None, "count")}).materialize()
+    n_baskets = int(grouped_aggregate(
+        b, ["user_id", "day"], {"n": (None, "count")}).count())
+    tcnt = grouped_aggregate(b, ["t"], {"c": (None, "count")}) \
+        .to_pandas().set_index("t")["c"].to_dict()
+
+    def mate(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"ta": pd.Series(dtype="object"),
+                              "tb": pd.Series(dtype="object")})
+        if df.empty or "t" not in df.columns:
+            return empty
+        d = df[["user_id", "day", "t"]]
+        m = d.merge(d, on=["user_id", "day"])
+        m = m[m["t_x"] < m["t_y"]]
+        if m.empty:
+            return empty
+        return pd.DataFrame({"ta": m["t_x"].to_numpy(),
+                             "tb": m["t_y"].to_numpy()})
+
+    pairs = grouped_apply(b, ["user_id", "day"], mate)
+    ab = grouped_aggregate(pairs, ["ta", "tb"],
+                           {"n_ab": (None, "count")}).to_pandas()
+    if ab.empty or "ta" not in ab.columns:
+        return pd.DataFrame({"ta": pd.Series(dtype="object"),
+                             "tb": pd.Series(dtype="object"),
+                             "n_ab": pd.Series(dtype="int64"),
+                             "lift": pd.Series(dtype="float64")})
+    na = ab["ta"].map(tcnt).to_numpy(np.float64)
+    nb = ab["tb"].map(tcnt).to_numpy(np.float64)
+    ab["lift"] = np.round(ab["n_ab"].to_numpy(np.float64) * n_baskets
+                          / (na * nb), 6)
+    ab["n_ab"] = ab["n_ab"].astype("int64")
+    return ab[["ta", "tb", "n_ab", "lift"]] \
+        .sort_values(["ta", "tb"]).reset_index(drop=True)
+
+
+def q_part_abc(sf_dir: str):
+    """ABC (Pareto 80/15/5) classification of parts by revenue — the
+    inventory-policy classic — with the cumulative revenue computed as
+    a DISTRIBUTED exclusive prefix sum in EXACT integer cents (2-dp
+    money → int64, so Ray's partial-sum order and SQL's window cumsum
+    agree bit-for-bit and the 0.80/0.95 thresholds are exact integer
+    comparisons, no float-boundary hazard): revenue per part (one
+    combiner), exact-quantile range buckets over the per-part table,
+    per-bucket sums → offsets, in-bucket sort + cumsum. Descending
+    order is the reversed ascending (cents ASC, partkey DESC) order,
+    so cum_desc = total − cum_asc_exclusive."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_extendedprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(np.int64),
+            "cents": np.round(df["l_extendedprice"].to_numpy(np.float64)
+                              * 100).astype(np.int64)})
+
+    pr = grouped_aggregate(li.map_batches(cents, batch_format="pandas"),
+                           ["l_partkey"],
+                           {"cents": ("cents", "sum")}).materialize()
+
+    n_buckets = 32
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    pivots = np.unique(np.asarray(
+        distributed_quantiles(pr, "cents", qs), dtype=np.float64))
+    piv_ref = ray.put(pivots)
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(piv_ref)
+        out = df.copy()
+        out["__b"] = np.searchsorted(
+            p, df["cents"].to_numpy(np.float64), side="left") \
+            .astype(np.int64)
+        return out
+
+    bucketed = pr.map_batches(with_bucket,
+                              batch_format="pandas").materialize()
+    bsum = grouped_aggregate(bucketed, ["__b"],
+                             {"s": ("cents", "sum")}).to_pandas() \
+        .sort_values("__b")
+    tot = int(bsum["s"].sum())
+    offs = dict(zip(bsum["__b"].astype(int),
+                    np.concatenate(([0],
+                        np.cumsum(bsum["s"].to_numpy(np.int64))[:-1]))))
+    off_ref = ray.put(offs)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "__b" not in df.columns:
+            return pd.DataFrame({
+                "l_partkey": pd.Series(dtype="int64"),
+                "cents": pd.Series(dtype="int64"),
+                "cum_cents": pd.Series(dtype="int64"),
+                "abc_class": pd.Series(dtype="object")})
+        o = ray.get(off_ref)
+        outs = []
+        for bk, g in df.groupby("__b", sort=False):
+            # ascending = reversed descending: cents ASC, partkey DESC
+            g = g.sort_values(["cents", "l_partkey"],
+                              ascending=[True, False])
+            c = g["cents"].to_numpy(np.int64)
+            asc_excl = int(o[int(bk)]) \
+                + np.concatenate(([0], np.cumsum(c)[:-1]))
+            cum = tot - asc_excl          # inclusive, in DESC order
+            cls = np.where(cum * 10 <= tot * 8, "A",
+                           np.where(cum * 20 <= tot * 19, "B", "C"))
+            outs.append(pd.DataFrame({
+                "l_partkey": g["l_partkey"].to_numpy(np.int64),
+                "cents": c, "cum_cents": cum, "abc_class": cls}))
+        return pd.concat(outs, ignore_index=True)
+
+    out = grouped_apply(bucketed, ["__b"], classify).to_pandas()
+    for c in ("l_partkey", "cents", "cum_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
 def emb_mmr_select(sf_dir: str):
     """Maximal Marginal Relevance diverse top-10 (λ=0.7) against the
     vec-0 query — k streaming argmax passes, selected set broadcast,
@@ -4045,6 +4224,9 @@ def build_queries() -> dict:
         "doc_bpe_pair_counts": doc_bpe_pair_counts,
         "doc_bpe_merges": doc_bpe_merges,
         "doc_bpe_tokens": doc_bpe_tokens,
+        "q_user_entry_exit": q_user_entry_exit,
+        "q_events_type_lift": q_events_type_lift,
+        "q_part_abc": q_part_abc,
     }
 
 
@@ -5956,6 +6138,60 @@ def _build_oracle_sql_literal() -> dict:
             FROM days d JOIN du u
               ON u.day BETWEEN d.day - 6 AND d.day
             GROUP BY d.day ORDER BY day
+        """,
+        "q_user_entry_exit": """
+            WITH r AS (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn_f,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn_l
+                FROM events)
+            SELECT f.user_id,
+                   f.event_type AS first_type, f.value AS first_value,
+                   l.event_type AS last_type, l.value AS last_value
+            FROM r f JOIN r l ON f.user_id = l.user_id
+            WHERE f.rn_f = 1 AND l.rn_l = 1
+            ORDER BY f.user_id
+        """,
+        "q_events_type_lift": """
+            WITH b AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day,
+                              event_type AS t
+                       FROM events),
+            nb AS (SELECT count(*) AS n
+                   FROM (SELECT DISTINCT user_id, day FROM b)),
+            tc AS (SELECT t, count(*) AS c FROM b GROUP BY t),
+            ab AS (SELECT a.t AS ta, b2.t AS tb, count(*) AS n_ab
+                   FROM b a JOIN b b2
+                     ON a.user_id = b2.user_id AND a.day = b2.day
+                        AND a.t < b2.t
+                   GROUP BY 1, 2)
+            SELECT ta, tb, CAST(n_ab AS BIGINT) AS n_ab,
+                   round(CAST(n_ab AS DOUBLE) * (SELECT n FROM nb)
+                         / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)),
+                         6) AS lift
+            FROM ab JOIN tc ca ON ca.t = ta JOIN tc cb ON cb.t = tb
+            ORDER BY ta, tb
+        """,
+        "q_part_abc": """
+            WITH pr AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM lineitem GROUP BY l_partkey),
+            c AS (SELECT l_partkey, cents,
+                         sum(cents) OVER (
+                             ORDER BY cents DESC, l_partkey ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_cents,
+                         sum(cents) OVER () AS tot
+                  FROM pr)
+            SELECT l_partkey, cents,
+                   CAST(cum_cents AS BIGINT) AS cum_cents,
+                   CASE WHEN cum_cents * 10 <= tot * 8 THEN 'A'
+                        WHEN cum_cents * 20 <= tot * 19 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM c ORDER BY l_partkey
         """,
         "q_referential_integrity": """
             SELECT * FROM (

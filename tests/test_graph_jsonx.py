@@ -561,3 +561,68 @@ def test_source_vocab_jaccard_bruteforce():
         a, b = vocab[r.source_a], vocab[r.source_b]
         assert r.shared == len(a & b)
         assert abs(r.jaccard - round(len(a & b) / len(a | b), 6)) < 1e-9
+
+
+def test_user_entry_exit_bruteforce():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_user_entry_exit
+    out = q_user_entry_exit("/root/testdata/sf0.001")
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    g = ev.groupby("user_id")
+    f, l = g.head(1).set_index("user_id"), g.tail(1).set_index("user_id")
+    assert len(out) == ev["user_id"].nunique()
+    for r in out.itertuples():
+        assert r.first_type == f.loc[r.user_id, "event_type"]
+        assert r.last_type == l.loc[r.user_id, "event_type"]
+        assert r.first_value == f.loc[r.user_id, "value"]
+        assert r.last_value == l.loc[r.user_id, "value"]
+
+
+def test_events_type_lift_bruteforce():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_events_type_lift
+    out = q_events_type_lift("/root/testdata/sf0.001")
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["ts", "user_id", "event_type"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    b = ev[["user_id", "day", "event_type"]].drop_duplicates()
+    n_baskets = len(b[["user_id", "day"]].drop_duplicates())
+    tcnt = b["event_type"].value_counts().to_dict()
+    # lifts self-consistent and pairs symmetric-ordered
+    assert (out["ta"] < out["tb"]).all()
+    for r in out.itertuples():
+        got = round(r.n_ab * n_baskets / (tcnt[r.ta] * tcnt[r.tb]), 6)
+        assert abs(r.lift - got) < 1e-9
+    # spot-check one pair count by brute force
+    r0 = out.iloc[0]
+    sa = b[b["event_type"] == r0["ta"]].set_index(["user_id", "day"]).index
+    sb = b[b["event_type"] == r0["tb"]].set_index(["user_id", "day"]).index
+    assert r0["n_ab"] == len(set(sa) & set(sb))
+
+
+def test_part_abc_invariants():
+    import numpy as np
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_part_abc
+    out = q_part_abc("/root/testdata/sf0.001")
+    li = pq.read_table("/root/testdata/sf0.001/lineitem.parquet",
+                       columns=["l_partkey", "l_extendedprice"]).to_pandas()
+    cents = (np.round(li["l_extendedprice"].to_numpy(np.float64) * 100)
+             .astype(np.int64))
+    per = (li.assign(c=cents).groupby("l_partkey")["c"].sum()
+           .astype("int64"))
+    tot = int(per.sum())
+    assert len(out) == len(per)
+    assert int(out["cents"].sum()) == tot
+    # exact per-part cents and the inclusive descending-cumsum parity
+    d = out.sort_values(["cents", "l_partkey"],
+                        ascending=[False, True]).reset_index(drop=True)
+    assert (d["cum_cents"].to_numpy() ==
+            np.cumsum(d["cents"].to_numpy())).all()
+    cum = d["cum_cents"].to_numpy(np.int64)
+    cls = np.where(cum * 10 <= tot * 8, "A",
+                   np.where(cum * 20 <= tot * 19, "B", "C"))
+    assert (d["abc_class"].to_numpy() == cls).all()
+    for r in out.itertuples():
+        assert per.loc[r.l_partkey] == r.cents
