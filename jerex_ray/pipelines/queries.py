@@ -4151,6 +4151,10 @@ def build_queries() -> dict:
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q14_promo_revenue": R.q14_promo_revenue,
         "q15_top_supplier": R.q15_top_supplier,
+        "q10_returned_items": R.q10_returned_items,
+        "q13_order_distribution": R.q13_order_distribution,
+        "q7_nation_volume": R.q7_nation_volume,
+        "q22_idle_balance": R.q22_idle_balance,
         "q_revenue_rollup": R.q_revenue_rollup,
         "q_user_presence": R.q_user_presence,
         "q_part_triangles": q_part_triangles,
@@ -6698,6 +6702,68 @@ def _build_oracle_sql_literal() -> dict:
               AND l_shipdate < DATE '1998-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "q10_returned_items": """
+            WITH r AS (
+                SELECT o.o_custkey AS c_custkey,
+                       round(sum(l.l_extendedprice * (1 - l.l_discount)),
+                             2) AS revenue
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= DATE '1996-01-01'
+                  AND o.o_orderdate < DATE '1996-04-01'
+                GROUP BY 1)
+            SELECT r.c_custkey, c.c_name, r.revenue, c.c_acctbal,
+                   n.n_name
+            FROM r JOIN customer c ON c.c_custkey = r.c_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY r.revenue DESC, r.c_custkey LIMIT 20
+        """,
+        "q13_order_distribution": """
+            WITH c AS (SELECT c.c_custkey,
+                              count(o.o_orderkey) AS c_count
+                       FROM customer c
+                       LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                       GROUP BY c.c_custkey)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM c GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)),
+                         2) AS revenue
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            WHERE l.l_shipdate >= DATE '1996-01-01'
+              AND l.l_shipdate < DATE '1998-01-01'
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q22_idle_balance": """
+            WITH pos AS (
+                SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer WHERE round(c_acctbal * 100) > 0),
+            th AS (SELECT CAST(sum(cents) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS n FROM pos)
+            SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c.c_acctbal), 2) AS totacctbal
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE CAST(round(c.c_acctbal * 100) AS BIGINT)
+                      * (SELECT n FROM th) > (SELECT s FROM th)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= DATE '2000-01-01')
+            GROUP BY n.n_name ORDER BY n.n_name
         """,
         "q14_promo_revenue": """
             SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'

@@ -703,3 +703,220 @@ def skyline_2d(ds, *, min_col: str, max_col: str) -> pd.DataFrame:
     cand = ds.map_batches(local_skyline, batch_format="pandas") \
         .to_pandas()
     return local_skyline(cand).reset_index(drop=True)
+
+
+# --- Q10 shape: quarter's returned-item revenue loss per customer ---
+
+def q10_returned_items(sf_dir: str, *, quarter_start: str = "1996-01-01",
+                       k: int = 20):
+    """Returned-item reporting (the TPC-H Q10 shape): revenue lost to
+    'R'-flagged lineitems of one quarter's orders, per customer, top-k.
+
+    Scale shape: both fact reads are pruned AND filtered at the scan
+    (returnflag pushdown on lineitem, the quarter window on orders);
+    the fact-fact join is hash-partitioned; customer/nation are
+    broadcast dimensions attached only to the aggregated per-customer
+    rows (customer-cardinality, not fact-cardinality)."""
+    lo = pd.Timestamp(quarter_start)
+    hi = lo + pd.DateOffset(months=3)
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pc.field("o_orderdate")
+                 >= pa.scalar(lo, pa.timestamp("us")))
+                & (pc.field("o_orderdate")
+                   < pa.scalar(hi, pa.timestamp("us")))))
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == "R"))
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": r})
+
+    j = li.map_batches(rev, batch_format="pyarrow").join(
+        orders, join_type="inner",
+        num_partitions=shuffle_partitions(8),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = grouped_aggregate(j, ["o_custkey"],
+                                 {"revenue": ("revenue", "sum")})
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal",
+                  "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name"]).to_pandas()
+    cust = cust.merge(nat, left_on="c_nationkey",
+                      right_on="n_nationkey")
+    df = broadcast_join(per_cust, cust, left_on="o_custkey",
+                        right_on="c_custkey").to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df["c_custkey"] = df["o_custkey"].astype("int64")
+    df = df.sort_values(["revenue", "c_custkey"],
+                        ascending=[False, True]).head(k)
+    return df[["c_custkey", "c_name", "revenue", "c_acctbal",
+               "n_name"]].reset_index(drop=True)
+
+
+# --- Q13 shape: order-count distribution incl. zero-order customers ---
+
+def q13_order_distribution(sf_dir: str):
+    """Customer distribution (the TPC-H Q13 shape): how many customers
+    placed exactly N orders, INCLUDING the zero-order bucket. Order
+    counts per customer reduce through the combiner (fact → customer
+    cardinality); the second groupby is over tiny count values. The
+    zero bucket is the one driver-side scalar: total customers minus
+    customers that ordered (two counts, no outer join of the fact
+    table against the dimension)."""
+    per_cust = grouped_aggregate(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        ["o_custkey"], {"c_count": (None, "count")},
+        result_hint="large")
+    dist = grouped_aggregate(per_cust, ["c_count"],
+                             {"custdist": (None, "count")}).to_pandas()
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    n_with = int(dist["custdist"].sum())
+    if n_customers > n_with:
+        dist = pd.concat([dist, pd.DataFrame(
+            {"c_count": [0], "custdist": [n_customers - n_with]})],
+            ignore_index=True)
+    dist["c_count"] = dist["c_count"].astype("int64")
+    dist["custdist"] = dist["custdist"].astype("int64")
+    return dist.sort_values(["custdist", "c_count"],
+                            ascending=[False, False]) \
+        .reset_index(drop=True)
+
+
+# --- Q7 shape: volume shipping between two nations by year ---
+
+def q7_nation_volume(sf_dir: str, *, nation_a: str = "NATION_3",
+                     nation_b: str = "NATION_8",
+                     year_lo: int = 1996, year_hi: int = 1997):
+    """Volume shipping (the TPC-H Q7 shape): revenue between two
+    nations per (supplier nation, customer nation, ship year), both
+    directions. Supplier and customer nation lookups are broadcast
+    maps restricted to the two nations (their semi-join filters both
+    facts BEFORE the hash join); only the pruned, revenue-projected
+    lineitem rows and the nation-filtered orders shuffle."""
+    lo = pa.scalar(pd.Timestamp(f"{year_lo}-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(f"{year_hi + 1}-01-01"),
+                   pa.timestamp("us"))
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat = nat[nat["n_name"].isin([nation_a, nation_b])]
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    sup = sup[["s_suppkey", "n_name"]].rename(
+        columns={"n_name": "supp_nation"})
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.merge(nat, left_on="c_nationkey",
+                      right_on="n_nationkey")
+    cust = cust[["c_custkey", "n_name"]].rename(
+        columns={"n_name": "cust_nation"})
+
+    _o_schema = pa.schema([("o_orderkey", pa.int64()),
+                           ("cust_nation", pa.string())])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust, left_on="o_custkey",
+                            right_on="c_custkey") \
+        .select_columns(["o_orderkey", "cust_nation"]) \
+        .map_batches(lambda t: t.cast(_o_schema), batch_format="pyarrow")
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= lo)
+                & (pc.field("l_shipdate") < hi)))
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "l_year": pc.year(t["l_shipdate"]),
+                         "revenue": r})
+
+    # cast both join inputs to explicit arrow schemas: the broadcast
+    # merge emits pandas object-dtype string columns, and an all-empty
+    # block surfaces SCHEMA-LESS through Dataset.join (pyarrow "No
+    # match for key field" in aggregator finalize — round-2/3 notes);
+    # materialize so the join sees settled, typed blocks
+    _l_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("l_suppkey", pa.int64()),
+                           ("l_year", pa.int64()),
+                           ("revenue", pa.float64()),
+                           ("supp_nation", pa.string())])
+    li = broadcast_join(li.map_batches(rev, batch_format="pyarrow"),
+                        sup, left_on="l_suppkey", right_on="s_suppkey") \
+        .map_batches(lambda t: t.cast(_l_schema),
+                     batch_format="pyarrow").materialize()
+    orders = orders.materialize()
+    j = li.join(orders, join_type="inner",
+                num_partitions=shuffle_partitions(8),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    j = j.map_batches(
+        lambda df: df[df["supp_nation"] != df["cust_nation"]],
+        batch_format="pandas")
+    out = grouped_aggregate(j, ["supp_nation", "cust_nation", "l_year"],
+                            {"revenue": ("revenue", "sum")}).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    out["l_year"] = out["l_year"].astype("int64")
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+
+
+# --- Q22 shape: above-average idle balances per nation ---
+
+def q22_idle_balance(sf_dir: str, *, since: str = "2000-01-01"):
+    """Global-sales-opportunity (the TPC-H Q22 shape): customers whose
+    balance beats the average POSITIVE balance and who placed no order
+    since ``since`` (this corpus has no fully order-less customers, so
+    the anti-join is windowed to stay non-trivial), counted and summed
+    per nation. The average threshold is compared in exact integer
+    cents cross-multiplied by the count (balance·n > Σcents), so the
+    Ray partial-sum order and the SQL aggregate agree bit-for-bit — no
+    float-boundary hazard. The recent-orders key set is the anti-join
+    broadcast (distinct custkeys are customer-bounded)."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_nationkey"])
+
+    def cents_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["c_acctbal"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        pos = c[c > 0]
+        return pd.DataFrame({"s": [int(pos.sum())],
+                             "n": [int(len(pos))]})
+
+    parts = cust.map_batches(cents_partial,
+                             batch_format="pandas").to_pandas()
+    sum_cents, n_pos = int(parts["s"].sum()), int(parts["n"].sum())
+
+    recent = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=(pc.field("o_orderdate")
+                >= pa.scalar(pd.Timestamp(since), pa.timestamp("us"))))
+    ordered = set(grouped_aggregate(
+        recent, ["o_custkey"],
+        {"n": (None, "count")}).to_pandas()["o_custkey"])
+    rich = broadcast_anti_join(cust, ordered, on="c_custkey")
+    rich = rich.map_batches(
+        lambda df: df[np.round(df["c_acctbal"].to_numpy(np.float64)
+                               * 100).astype(np.int64) * n_pos
+                      > sum_cents],
+        batch_format="pandas")
+    agg = grouped_aggregate(rich, ["c_nationkey"],
+                            {"numcust": (None, "count"),
+                             "totacctbal": ("c_acctbal", "sum")}) \
+        .to_pandas()
+    if agg.empty or "c_nationkey" not in agg.columns:
+        return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                             "numcust": pd.Series(dtype="int64"),
+                             "totacctbal": pd.Series(dtype="float64")})
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name"]).to_pandas()
+    agg = agg.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    agg["numcust"] = agg["numcust"].astype("int64")
+    agg["totacctbal"] = agg["totacctbal"].round(2)
+    return agg[["n_name", "numcust", "totacctbal"]] \
+        .sort_values("n_name").reset_index(drop=True)
