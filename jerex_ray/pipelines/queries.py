@@ -4043,6 +4043,87 @@ def doc_bpe_tokens(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_events_ewma(sf_dir: str, *, alpha: float = 0.1):
+    """Per-row exponentially-weighted moving average of event value
+    per user in (ts, id) order — the standard feature-engineering
+    smoother (e_t = α·v_t + (1−α)·e_{t−1}, adjust=False semantics).
+
+    Scale shape: users co-locate in ONE hash shuffle; each block runs
+    a rank-stepped recursion — one vectorized ``α·v + (1−α)·e_prev``
+    update per within-user rank, across ALL of the block's users at
+    once (the loop is over max series length, not rows). The update
+    performs bit-identical float64 ops to the oracle's recursive CTE,
+    so the round-6 compare is exact, not approximate."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    beta = 1.0 - alpha
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "value"])
+
+    def ewma(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "ewma": pd.Series(dtype="float64")})
+        b = block.sort_values(["user_id", "ts", "event_id"])
+        v = b["value"].to_numpy(np.float64)
+        uid = b["user_id"].to_numpy()
+        # rows of a user are contiguous after the sort → rn is the
+        # offset from the user's first row, and idx-1 is the user's
+        # previous row wherever rn > 0
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_user)
+        lens = np.diff(np.r_[starts, len(v)])
+        rn = np.arange(len(v)) - np.repeat(starts, lens)
+        e = v.copy()
+        for r in range(1, int(rn.max()) + 1 if len(rn) else 0):
+            idx = np.flatnonzero(rn == r)
+            e[idx] = alpha * v[idx] + beta * e[idx - 1]
+        # DuckDB round() is half-AWAY-from-zero; np.round is half-even
+        # — mirror the oracle's rule so exact .5 boundaries agree
+        r = np.copysign(np.floor(np.abs(e) * 1e6 + 0.5), e) / 1e6
+        return pd.DataFrame({"event_id": b["event_id"].to_numpy(),
+                             "ewma": r})
+
+    out = grouped_apply(ds, ["user_id"], ewma).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def emb_knn_graph(sf_dir: str, *, k: int = 5):
+    """Exact cosine k-NN graph over the whole embedding corpus (the
+    primitive under SemDeDup clustering and graph-ANN index builds):
+    each vector's top-k neighbors excluding itself.
+
+    Scale shape: the corpus matrix broadcasts ONCE (``ray.put`` inside
+    ``brute_force_topk``) and every block scores its rows against it
+    with one float matmul — exact boundary/tie handling is the
+    oracle-proven partial-top-k kernel (``ops/ann.brute_force_topk``).
+    The all-pairs scan is quadratic by definition; the documented
+    100 TB path is the IVF variant (``ann_ivf_topk``) per shard.
+    Oracled by the cross-join row_number SQL."""
+    from jerex_ray.ops.ann import brute_force_topk
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    df = ds.to_pandas()
+    order = np.argsort(df["vec_id"].to_numpy())
+    ids = df["vec_id"].to_numpy()[order]
+    mat = np.stack(df["embedding"].to_numpy()[order])
+    # k+1 then drop self: every query row is a corpus member
+    top = brute_force_topk(ds, mat, k=k + 1)
+    top["src"] = ids[top["query_idx"].to_numpy()]
+    top = top[top["src"] != top["vec_id"]]
+    top = top.sort_values(["src", "cosine", "vec_id"],
+                          ascending=[True, False, True]) \
+        .groupby("src", sort=False).head(k)
+    return pd.DataFrame({"src": top["src"].to_numpy().astype("int64"),
+                         "dst": top["vec_id"].to_numpy().astype("int64")}) \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -4148,6 +4229,14 @@ def build_queries() -> dict:
         "q5_regional_supplier_revenue": R.q5_regional_supplier_revenue,
         "q18_large_volume_orders": R.q18_large_volume_orders,
         "q4_order_priority": R.q4_order_priority,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q8_market_share": R.q8_market_share,
+        "q9_product_profit": R.q9_product_profit,
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
+        "q21_waiting_suppliers": R.q21_waiting_suppliers,
+        "q_events_ewma": q_events_ewma,
+        "emb_knn_graph": emb_knn_graph,
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q14_promo_revenue": R.q14_promo_revenue,
         "q15_top_supplier": R.q15_top_supplier,
@@ -5811,6 +5900,124 @@ def _build_oracle_sql_literal() -> dict:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey, revenue, o_orderdate FROM (
+                SELECT l_orderkey AS o_orderkey, o_orderdate,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS revenue
+                FROM customer
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE c_mktsegment = 'BUILDING'
+                  AND o_orderdate < DATE '1998-06-01'
+                  AND l_shipdate > DATE '1998-06-01'
+                GROUP BY l_orderkey, o_orderdate)
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "q8_market_share": """
+            SELECT o_year, round(nation_volume / volume, 6) AS mkt_share
+            FROM (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       sum(CASE WHEN n2.n_name = 'NATION_12'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0 END) AS nation_volume,
+                       sum(l_extendedprice * (1 - l_discount)) AS volume
+                FROM lineitem
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON n1.n_nationkey = c_nationkey
+                JOIN region ON r_regionkey = n1.n_regionkey
+                JOIN part ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation n2 ON n2.n_nationkey = s_nationkey
+                WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                GROUP BY 1)
+            ORDER BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, 2
+            ORDER BY n_name, o_year DESC
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#1'
+              AND l_quantity < (
+                  SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = lineitem.l_partkey)
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 30)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 5 AND 35)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 10 AND 40)
+        """,
+        "q21_waiting_suppliers": """
+            WITH per_os AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_shipdate >
+                           o_orderdate + INTERVAL 60 DAY
+                           THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY l_orderkey, l_suppkey),
+            per_o AS (
+                SELECT l_orderkey, count(*) AS n_supp,
+                       sum(late) AS n_late
+                FROM per_os GROUP BY l_orderkey)
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM per_os
+            JOIN per_o USING (l_orderkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE late = 1 AND n_supp > 1 AND n_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "q_events_ewma": """
+            WITH RECURSIVE ord AS MATERIALIZED (
+                SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM events),
+            e AS (
+                SELECT user_id, event_id, rn, value AS ewma
+                FROM ord WHERE rn = 1
+                UNION ALL
+                SELECT o.user_id, o.event_id, o.rn,
+                       0.1 * o.value + 0.9 * e.ewma
+                FROM e JOIN ord o
+                ON o.user_id = e.user_id AND o.rn = e.rn + 1)
+            SELECT event_id, round(ewma, 6) AS ewma FROM e
+            ORDER BY event_id
+        """,
+        "emb_knn_graph": """
+            SELECT src, dst FROM (
+                SELECT q.vec_id AS src, e.vec_id AS dst,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding, q.embedding) DESC,
+                                    e.vec_id) AS rk
+                FROM embeddings q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.vec_id
+            ) WHERE rk <= 5 ORDER BY src, dst
         """,
         "q18_large_volume_orders": """
             WITH s AS (

@@ -920,3 +920,312 @@ def q22_idle_balance(sf_dir: str, *, since: str = "2000-01-01"):
     agg["totacctbal"] = agg["totacctbal"].round(2)
     return agg[["n_name", "numcust", "totacctbal"]] \
         .sort_values("n_name").reset_index(drop=True)
+
+
+# --- Q3 shape: segment-filtered 3-way join + per-order revenue top-k ---
+
+def q3_shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
+                         cutoff: str = "1998-06-01", k: int = 10):
+    """Shipping-priority (the TPC-H Q3 shape): unshipped revenue per
+    order for one market segment — orders placed before the cutoff
+    whose lines ship after it, top-k by revenue.
+
+    Scale shape: the segment's customer keys are a broadcast semi-join
+    (customer is dimension-sized), both date filters are vectorized at
+    the pruned reads, and the one fact–fact exchange is the
+    hash-partitioned orders⋈lineitem join; per-order revenue reduces
+    through the combiner before the tiny driver-side head."""
+    cut = pd.Timestamp(cutoff)
+    seg = _read(sf_dir, "customer",
+                ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_keys = set(seg.loc[seg["c_mktsegment"] == segment, "c_custkey"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda df: df[df["o_orderdate"] < cut], batch_format="pandas")
+    orders = broadcast_semi_join(orders, seg_keys, on="o_custkey")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"],
+                                pa.scalar(cut, pa.timestamp("us"))))
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    j = li.join(orders, join_type="inner",
+                num_partitions=shuffle_partitions(8),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = grouped_aggregate(j, ["l_orderkey", "o_orderdate"],
+                            {"revenue": ("revenue", "sum")},
+                            result_hint="large").to_pandas()
+    agg = agg.rename(columns={"l_orderkey": "o_orderkey"})
+    agg["revenue"] = agg["revenue"].round(2)
+    agg["o_orderkey"] = agg["o_orderkey"].astype("int64")
+    agg = agg.sort_values(["revenue", "o_orderkey"],
+                          ascending=[False, True]).head(k)
+    return agg[["o_orderkey", "revenue", "o_orderdate"]] \
+        .reset_index(drop=True)
+
+
+# --- Q8 shape: one nation's market share within a region, by year ---
+
+def q8_market_share(sf_dir: str, *, region: str = "ASIA",
+                    nation: str = "NATION_12", ptype: str = "PROMO"):
+    """National market share (the TPC-H Q8 shape): for orders from
+    customers in one region on parts of one type, the yearly share of
+    revenue supplied by one nation.
+
+    Scale shape: every non-fact input (region→nation→customer chain,
+    part type keys, supplier→nation flags) broadcasts as key sets /
+    dicts; lineitem⋈orders is the single hash-partitioned fact
+    exchange; the share is a conditional-sum / sum aggregate reduced
+    per year through the combiner, so only (year, 2 floats) partials
+    reach the driver."""
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region",
+                ["r_regionkey", "r_name"]).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    region_nations = set(nat.loc[nat["r_name"] == region, "n_nationkey"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust_keys = set(
+        cust.loc[cust["c_nationkey"].isin(region_nations), "c_custkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    part_keys = set(part.loc[part["p_type"] == ptype, "p_partkey"])
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp.merge(nat[["n_nationkey", "n_name"]],
+                      left_on="s_nationkey", right_on="n_nationkey")
+    target_supp = set(supp.loc[supp["n_name"] == nation, "s_suppkey"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = broadcast_semi_join(orders, cust_keys, on="o_custkey")
+    orders = orders.map_batches(
+        lambda df: pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"],
+             "o_year": df["o_orderdate"].dt.year.astype("int64")}),
+        batch_format="pandas")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+    li = broadcast_semi_join(li, part_keys, on="l_partkey")
+    supp_ref = __import__("ray").put(target_supp)
+
+    def vol(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        v = (df["l_extendedprice"].to_numpy(np.float64)
+             * (1.0 - df["l_discount"].to_numpy(np.float64)))
+        hit = df["l_suppkey"].isin(_ray.get(supp_ref)).to_numpy()
+        return pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(),
+                             "volume": v,
+                             "nation_volume": np.where(hit, v, 0.0)})
+
+    li = li.map_batches(vol, batch_format="pandas")
+    j = li.join(orders, join_type="inner",
+                num_partitions=shuffle_partitions(8),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = grouped_aggregate(j, ["o_year"],
+                            {"nation_volume": ("nation_volume", "sum"),
+                             "volume": ("volume", "sum")}).to_pandas()
+    agg["mkt_share"] = (agg["nation_volume"] / agg["volume"]).round(6)
+    agg["o_year"] = agg["o_year"].astype("int64")
+    return agg[["o_year", "mkt_share"]].sort_values("o_year") \
+        .reset_index(drop=True)
+
+
+# --- Q9 shape: product-line profit by supplier nation and year ---
+
+def q9_product_profit(sf_dir: str, *, color: str = "red"):
+    """Product-type profit (the TPC-H Q9 shape, adapted: the driver's
+    tables carry no partsupp, so profit is discounted revenue without
+    the supplycost term — the join/aggregate topology is Q9's): lines
+    on parts whose name contains ``color``, profit rolled up by the
+    supplying nation and order year.
+
+    Scale shape: part-name keys and supplier→nation names broadcast;
+    lineitem⋈orders hash-partitioned; (nation, year) aggregate is
+    combiner-reduced."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    part_keys = set(
+        part.loc[part["p_name"].str.contains(color), "p_partkey"])
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name"]).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp.merge(nat, left_on="s_nationkey",
+                      right_on="n_nationkey")[["s_suppkey", "n_name"]]
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+    li = broadcast_semi_join(li, part_keys, on="l_partkey")
+
+    def profit(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(),
+             "l_suppkey": df["l_suppkey"].to_numpy(),
+             "amount": df["l_extendedprice"].to_numpy(np.float64)
+             * (1.0 - df["l_discount"].to_numpy(np.float64))})
+
+    li = li.map_batches(profit, batch_format="pandas")
+    li = broadcast_join(li, supp, left_on="l_suppkey",
+                        right_on="s_suppkey")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda df: pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"],
+             "o_year": df["o_orderdate"].dt.year.astype("int64")}),
+        batch_format="pandas")
+    j = li.join(orders, join_type="inner",
+                num_partitions=shuffle_partitions(8),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = grouped_aggregate(j, ["n_name", "o_year"],
+                            {"sum_profit": ("amount", "sum")}).to_pandas()
+    agg["sum_profit"] = agg["sum_profit"].round(2)
+    agg["o_year"] = agg["o_year"].astype("int64")
+    return agg.sort_values(["n_name", "o_year"],
+                           ascending=[True, False]).reset_index(drop=True)
+
+
+# --- Q17 shape: correlated per-part average as a filter ---
+
+def q17_small_quantity_revenue(sf_dir: str, *, brand: str = "Brand#1"):
+    """Small-quantity-order revenue (the TPC-H Q17 shape): average
+    yearly revenue lost if orders below 20% of a part's average
+    quantity were not taken, for one brand.
+
+    Scale shape: the brand's part keys broadcast; the correlated
+    scalar subquery (per-part avg quantity) is a combiner-backed
+    aggregate whose result is brand-bounded (|part|/|brands|) and
+    broadcasts back as a dict — the reference Q17 plan's build side;
+    the final scalar sum never shuffles."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    part_keys = set(part.loc[part["p_brand"] == brand, "p_partkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    li = broadcast_semi_join(li, part_keys, on="l_partkey")
+    avg = grouped_aggregate(li, ["l_partkey"],
+                            {"avg_qty": ("l_quantity", "mean")}) \
+        .to_pandas()
+    thresh = {int(k): 0.2 * v for k, v in
+              zip(avg["l_partkey"], avg["avg_qty"])}
+    t_ref = __import__("ray").put(thresh)
+
+    def below(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        lim = df["l_partkey"].map(_ray.get(t_ref)).to_numpy(np.float64)
+        keep = df["l_quantity"].to_numpy(np.float64) < lim
+        return pd.DataFrame(
+            {"l_extendedprice": df["l_extendedprice"].to_numpy()[keep]})
+
+    li = li.map_batches(below, batch_format="pandas")
+    total = grouped_aggregate(
+        li.map_batches(lambda df: df.assign(g=0), batch_format="pandas"),
+        ["g"], {"s": ("l_extendedprice", "sum")}).to_pandas()
+    avg_yearly = round(float(total["s"].sum()) / 7.0, 2)
+    return pd.DataFrame({"avg_yearly": [avg_yearly]})
+
+
+# --- Q19 shape: disjunctive multi-clause join predicate ---
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """Discounted revenue under OR-of-conjunctions predicates (the
+    TPC-H Q19 shape): three (brand, size-range, quantity-range)
+    clauses OR-ed across the part⋈lineitem join.
+
+    Scale shape: part attributes broadcast as a (partkey→brand,size)
+    frame, the disjunction evaluates as three vectorized boolean
+    masks per batch, and the scalar sum never shuffles."""
+    clauses = [("Brand#1", 1, 15, 1.0, 30.0),
+               ("Brand#2", 10, 30, 5.0, 35.0),
+               ("Brand#3", 20, 50, 10.0, 40.0)]
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+    li = broadcast_join(li, part, left_on="l_partkey",
+                        right_on="p_partkey")
+
+    def pred(df: pd.DataFrame) -> pd.DataFrame:
+        qty = df["l_quantity"].to_numpy(np.float64)
+        size = df["p_size"].to_numpy()
+        brand = df["p_brand"].to_numpy()
+        keep = np.zeros(len(df), dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in clauses:
+            keep |= ((brand == b) & (size >= s_lo) & (size <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        v = (df["l_extendedprice"].to_numpy(np.float64)
+             * (1.0 - df["l_discount"].to_numpy(np.float64)))[keep]
+        return pd.DataFrame({"g": [0], "revenue": [float(v.sum())],
+                             "n": [int(keep.sum())]})
+
+    parts = li.map_batches(pred, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"revenue": [round(float(parts["revenue"].sum()),
+                                           2)],
+                         "n_lines": [int(parts["n"].sum())]})
+
+
+# --- Q21 shape: sole-late-supplier detection on multi-supplier orders ---
+
+def q21_waiting_suppliers(sf_dir: str, *, late_days: int = 60,
+                          k: int = 20):
+    """Suppliers who kept orders waiting (the TPC-H Q21 shape, adapted:
+    the driver's lineitem has no commit/receipt dates, so "late" is
+    shipped more than ``late_days`` after the order date): count, per
+    supplier, fulfilled multi-supplier orders where that supplier was
+    the ONLY late one.
+
+    Scale shape: Q21's exists/not-exists pair is re-expressed as two
+    combiner-backed aggregates — per-(order, supplier) lateness, then
+    per-order supplier/late counts — joined back on the order key in
+    one hash-partitioned exchange; nothing order-shaped reaches the
+    driver until the per-supplier count head."""
+    late = pd.Timedelta(days=late_days)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda df: df.loc[df["o_orderstatus"] == "F",
+                          ["o_orderkey", "o_orderdate"]],
+        batch_format="pandas")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = li.join(orders, join_type="inner",
+                num_partitions=shuffle_partitions(8),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    j = j.map_batches(
+        lambda df: pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(),
+             "l_suppkey": df["l_suppkey"].to_numpy(),
+             "is_late": (df["l_shipdate"]
+                         > df["o_orderdate"] + late).astype("int64")}),
+        batch_format="pandas")
+    per_os = grouped_aggregate(j, ["l_orderkey", "l_suppkey"],
+                               {"late": ("is_late", "max")},
+                               result_hint="large")
+    per_o = grouped_aggregate(per_os, ["l_orderkey"],
+                              {"n_supp": (None, "count"),
+                               "n_late": ("late", "sum")},
+                              result_hint="large")
+    jj = per_os.join(per_o, join_type="inner",
+                     num_partitions=shuffle_partitions(8),
+                     on=("l_orderkey",), right_on=("l_orderkey",))
+    jj = jj.map_batches(
+        lambda df: df.loc[(df["late"] == 1) & (df["n_supp"] > 1)
+                          & (df["n_late"] == 1), ["l_suppkey"]],
+        batch_format="pandas")
+    cnt = grouped_aggregate(jj, ["l_suppkey"],
+                            {"numwait": (None, "count")}).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    cnt = cnt.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    cnt["numwait"] = cnt["numwait"].astype("int64")
+    return cnt.sort_values(["numwait", "s_name"],
+                           ascending=[False, True]).head(k) \
+        [["s_name", "numwait"]].reset_index(drop=True)
