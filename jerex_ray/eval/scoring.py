@@ -147,3 +147,29 @@ def evaluate_triples_distributed(pred_ds, gt_ds, *, strict_types: bool = False,
     n_p = p.count()
     n_g = g.count()
     return _prf(tp, n_p - tp, n_g - tp)
+
+
+def evaluate_triples_evidence(pred: pd.DataFrame, gt: pd.DataFrame) -> dict:
+    """Evidence-aware triple P/R: a predicted triple counts as TP only
+    if its key matches AND its predicted evidence turn is one of the
+    turns that actually express the relation (DocRED's evidence
+    supervision translated to the joint eval — the reference parses
+    evidence onto each Relation, ``datasets.py:144-159`` /
+    ``entities.py:341-374``, but never scores it; this closes that
+    gap). ``pred`` must carry a scalar ``evidence`` turn column,
+    ``gt`` a list-valued ``evidence`` column."""
+    g = {}
+    for row, evs in zip(map(tuple, gt[TRIPLE_KEY].values),
+                        gt["evidence"]):
+        g[row] = {int(e) for e in evs}
+    keys = list(map(tuple, pred[TRIPLE_KEY].values))
+    evs = pred["evidence"].astype(int).tolist()
+    seen = set()
+    tp = 0
+    for k, e in zip(keys, evs):
+        if k in seen:
+            continue
+        seen.add(k)
+        if k in g and e in g[k]:
+            tp += 1
+    return _prf(tp, len(seen) - tp, len(g) - tp)

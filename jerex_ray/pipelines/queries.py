@@ -598,6 +598,26 @@ def kg_eval_strict(sf_dir: str):
                           ("tp", "fp", "fn", "precision", "recall", "f1")}])
 
 
+def kg_eval_evidence(sf_dir: str):
+    """Evidence-aware triple P/R: TP requires the predicted evidence
+    turn to be one of the turns that express the relation (the scorer
+    emits the max-pooled mention pair's sentence mapped to its global
+    turn; chunked long convs exercise the chunk→conv turn mapping and
+    the duplicate-plant evidence union). Rows-only like kg_eval."""
+    from jerex_ray.eval.scoring import evaluate_triples_evidence
+    from jerex_ray.pipelines.kg import extract_triples
+    from jerex_ray.sources.transcripts import (ground_truth_triples,
+                                               read_synthetic_transcripts)
+    from jerex_ray.stages.canonicalize import dedup_triples
+    configure_data_context()
+    ds = read_synthetic_transcripts(_sf_convs(sf_dir))
+    pred = dedup_triples(extract_triples(ds, _kg_config()).to_pandas())
+    gt = ground_truth_triples(_sf_convs(sf_dir)).to_pandas()
+    m = evaluate_triples_evidence(pred, gt)
+    return pd.DataFrame([{k: m[k] for k in
+                          ("tp", "fp", "fn", "precision", "recall", "f1")}])
+
+
 class _CapMentionStage:
     """Actor-pool UDF shared by the two mention-derived oracled queries:
     first-char-uppercase each token (the SQL-reconstructible casing),
@@ -4142,6 +4162,7 @@ def build_queries() -> dict:
         "kg_mentions": kg_mentions,
         "kg_eval": kg_eval,
         "kg_eval_strict": kg_eval_strict,
+        "kg_eval_evidence": kg_eval_evidence,
         # text analysis / dedup / vectors
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,

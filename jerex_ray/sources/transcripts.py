@@ -75,7 +75,10 @@ def _conv_script(idx: int) -> tuple[list[tuple[str, str, str]], list[tuple]]:
     """Returns (turns, gt_triples) for conversation ``idx``.
 
     turns: list of (role, text, tool); gt_triples: list of
-    (subj, subj_type, pred, obj, obj_type).
+    (subj, subj_type, pred, obj, obj_type, evidence_turn) — the turn
+    index that expresses the relation (reference keeps evidence
+    sentences on each Relation, ``entities.py:341-374`` /
+    ``datasets.py:144-159``).
     """
     conv_id = conv_id_for(idx)
     rng = np.random.default_rng(conv_seed(conv_id))
@@ -112,12 +115,12 @@ def _conv_script(idx: int) -> tuple[list[tuple[str, str, str]], list[tuple]]:
     # --- standard conversation ---
     filler(1)
     turns.append(("assistant", f"{person} joined {org} this quarter .", ""))
-    gt.append((person, "PER", "works_at", org, "ORG"))
+    gt.append((person, "PER", "works_at", org, "ORG", len(turns) - 1))
     turns.append(("user", f"where is {surname} right now ?", ""))
     turns.append(("assistant", f"{org} is headquartered in {city} .", ""))
-    gt.append((org, "ORG", "located_in", city, "LOC"))
+    gt.append((org, "ORG", "located_in", city, "LOC", len(turns) - 1))
     turns.append(("tool", f"{surname} ran {tool} on the cluster .", tool.lower()))
-    gt.append((person, "PER", "uses_tool", tool, "TOOL"))
+    gt.append((person, "PER", "uses_tool", tool, "TOOL", len(turns) - 1))
 
     if 0.15 <= kind_roll < 0.25:
         # second person at the same org
@@ -125,7 +128,7 @@ def _conv_script(idx: int) -> tuple[list[tuple[str, str, str]], list[tuple]]:
         while p2.split()[1] == surname:
             p2 = f"{FIRST_NAMES[rng.integers(len(FIRST_NAMES))]} {LAST_NAMES[rng.integers(len(LAST_NAMES))]}"
         turns.append(("assistant", f"{p2} works at {org} as well .", ""))
-        gt.append((p2, "PER", "works_at", org, "ORG"))
+        gt.append((p2, "PER", "works_at", org, "ORG", len(turns) - 1))
 
     filler(1)
 
@@ -136,7 +139,10 @@ def _conv_script(idx: int) -> tuple[list[tuple[str, str, str]], list[tuple]]:
         for _ in range(80):
             turns.append(("assistant", LONG_FILLER, ""))
         turns.append(("assistant", f"{person} joined {org} this quarter .", ""))
-        # duplicate of gt[0]; counted once (scoring.py:16-23 dedup union)
+        # duplicate of gt[0]; counted once (scoring.py:16-23 dedup
+        # union) — but the late turn is a second valid EVIDENCE for
+        # the triple (ground_truth_triples merges evidence on dedup)
+        gt.append((person, "PER", "works_at", org, "ORG", len(turns) - 1))
 
     return turns, gt
 
@@ -205,23 +211,30 @@ def read_synthetic_transcripts(num_convs: int, *, override_num_blocks: int | Non
 def ground_truth_triples(num_convs: int, start: int = 0) -> pa.Table:
     """Planted (conv_id, subj, subj_type, pred, obj, obj_type) triples,
     deduplicated per conversation (duplicates count once —
-    reference ``scoring.py:16-23`` / README.md:62)."""
+    reference ``scoring.py:16-23`` / README.md:62). ``evidence`` holds
+    EVERY turn index that expresses the triple (a duplicate plant
+    merges its turn into the first row's list)."""
     conv_ids, subjs, stypes, preds, objs, otypes = [], [], [], [], [], []
+    evidences: list[list[int]] = []
     for idx in range(start, start + num_convs):
         conv_id = conv_id_for(idx)
         _, gt = _conv_script(idx)
-        seen = set()
-        for s, st, p, o, ot in gt:
+        seen: dict[tuple, int] = {}
+        for s, st, p, o, ot, ev in gt:
             key = (s, p, o)
             if key in seen:
+                row = seen[key]
+                if ev not in evidences[row]:
+                    evidences[row].append(ev)
                 continue
-            seen.add(key)
+            seen[key] = len(conv_ids)
             conv_ids.append(conv_id)
             subjs.append(s)
             stypes.append(st)
             preds.append(p)
             objs.append(o)
             otypes.append(ot)
+            evidences.append([ev])
     return pa.table({
         "conv_id": pa.array(conv_ids, pa.string()),
         "subj": pa.array(subjs, pa.string()),
@@ -229,4 +242,5 @@ def ground_truth_triples(num_convs: int, start: int = 0) -> pa.Table:
         "pred": pa.array(preds, pa.string()),
         "obj": pa.array(objs, pa.string()),
         "obj_type": pa.array(otypes, pa.string()),
+        "evidence": pa.array(evidences, pa.list_(pa.int32())),
     })

@@ -112,7 +112,11 @@ def dedup_triples(group: pd.DataFrame) -> pd.DataFrame:
     """Exact dedup on (conv_id, subj_id, pred, obj_id), keeping max
     score — the G6 'duplicates count once' rule
     (``/root/reference/jerex/evaluation/scoring.py:16-23``) applied at
-    the conversation level (chunked long convs can re-emit a triple)."""
-    idx = group.groupby(["conv_id", "subj_id", "pred", "obj_id"],
-                        sort=False)["score"].idxmax()
-    return group.loc[idx.sort_values()]
+    the conversation level (chunked long convs can re-emit a triple).
+    Score ties break on the EARLIEST evidence turn so the surviving
+    row is deterministic under any block arrival order."""
+    ordered = group.sort_values(["score", "evidence"],
+                                ascending=[False, True], kind="stable")
+    out = ordered.drop_duplicates(["conv_id", "subj_id", "pred",
+                                   "obj_id"])
+    return out.sort_index()

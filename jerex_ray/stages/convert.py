@@ -59,6 +59,7 @@ def explode_triples(batch: pa.Table) -> pa.Table:
         "obj": obj,
         "obj_type": obj_type,
         "score": _flat_values(batch["r_score"]),
+        "evidence": _flat_values(batch["r_evidence_turn"]),
     })
 
 
@@ -72,6 +73,7 @@ def _empty_triples_table() -> pa.Table:
         "obj": pa.array([], pa.string()),
         "obj_type": pa.array([], pa.string()),
         "score": pa.array([], pa.float32()),
+        "evidence": pa.array([], pa.int32()),
     })
 
 

@@ -289,13 +289,21 @@ class RuleScorer:
             "doc_id", "conv_id", "part_key", "sent_tok_off",
             "m_start", "m_end", "m_sent", "m_cluster",
             "cl_rep", "cl_type", "cl_size",
-            "r_head", "r_tail", "r_type", "r_score", "r_evidence")}
+            "r_head", "r_tail", "r_type", "r_score", "r_evidence",
+            "r_evidence_turn")}
 
         from jerex_ray.util import arrow_flat_with_offsets as flat_with_offsets
 
         phrase_vals, phrase_offs = flat_with_offsets(batch["tok_phrase"])
         sent_vals, sent_offs = flat_with_offsets(batch["tok_sent"], np.int32)
         soff_vals, soff_offs = flat_with_offsets(batch["sent_tok_off"], np.int32)
+        # original conv turn index per doc sentence (sentences ARE turn
+        # ordinals; chunked docs carry their chunk's global turn list) —
+        # maps chunk-local evidence sentences to conv-level turns
+        has_turns = "turn_idx" in batch.schema.names
+        if has_turns:
+            turn_vals, turn_offs = flat_with_offsets(batch["turn_idx"],
+                                                     np.int32)
         doc_ids = batch["doc_id"].to_pylist()
         conv_ids = batch["conv_id"].to_pylist()
         part_keys = batch["part_key"].to_pylist()
@@ -352,6 +360,15 @@ class RuleScorer:
             out["r_type"].append([r[2] for r in relations])
             out["r_score"].append([r[3] for r in relations])
             out["r_evidence"].append([r[4] for r in relations])
+            if has_turns:
+                t_d = turn_vals[turn_offs[d]:turn_offs[d + 1]]
+                # -1 = model emitted no evidence sentence (J10 global
+                # variant) — pass the sentinel through, never index
+                out["r_evidence_turn"].append(
+                    [int(t_d[r[4]]) if 0 <= r[4] < len(t_d) else -1
+                     for r in relations])
+            else:
+                out["r_evidence_turn"].append([r[4] for r in relations])
 
         return pa.table({
             "doc_id": pa.array(out["doc_id"], pa.string()),
@@ -371,6 +388,8 @@ class RuleScorer:
             "r_type": pa.array(out["r_type"], pa.list_(pa.string())),
             "r_score": pa.array(out["r_score"], pa.list_(pa.float32())),
             "r_evidence": pa.array(out["r_evidence"], pa.list_(pa.int32())),
+            "r_evidence_turn": pa.array(out["r_evidence_turn"],
+                                        pa.list_(pa.int32())),
         })
 
 

@@ -57,3 +57,32 @@ def test_strict_type_variant():
     gt_wrongtype = pred.assign(subj_type=["ORG"])
     assert evaluate_triples(pred, gt_wrongtype)["tp"] == 1
     assert evaluate_triples(pred, gt_wrongtype, strict_types=True)["tp"] == 0
+
+
+def test_evidence_eval_perfect_on_planted_turns():
+    """The scorer's evidence (earliest same-sentence mention pair,
+    mapped chunk→conv turn) must hit the planted turn for every
+    triple; 200 convs include chunked long convs whose duplicate
+    plant exercises the GT evidence union and the dedup tie-break."""
+    from jerex_ray.eval.scoring import evaluate_triples_evidence
+    from jerex_ray.stages.canonicalize import dedup_triples
+    pred = dedup_triples(extract_triples(
+        rd.from_arrow(generate_transcripts_table(200)),
+        PipelineConfig().scaled_for_tests(), shuffle_blocks=2).to_pandas())
+    gt = ground_truth_triples(200).to_pandas()
+    m = evaluate_triples_evidence(pred, gt)
+    assert m["precision"] == 1.0 and m["recall"] == 1.0, m
+
+
+def test_evidence_eval_rejects_wrong_turn():
+    pred = pd.DataFrame({
+        "conv_id": ["c", "c"], "subj": ["A", "A"],
+        "pred": ["works_at", "uses_tool"], "obj": ["B", "T"],
+        "evidence": [3, 9]})
+    gt = pd.DataFrame({
+        "conv_id": ["c", "c"], "subj": ["A", "A"],
+        "pred": ["works_at", "uses_tool"], "obj": ["B", "T"],
+        "evidence": [[3, 7], [2]]})
+    from jerex_ray.eval.scoring import evaluate_triples_evidence
+    m = evaluate_triples_evidence(pred, gt)
+    assert m["tp"] == 1 and m["fp"] == 1 and m["fn"] == 1
