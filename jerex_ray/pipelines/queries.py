@@ -598,6 +598,44 @@ def kg_eval_strict(sf_dir: str):
                           ("tp", "fp", "fn", "precision", "recall", "f1")}])
 
 
+def doc_shuffle_order(sf_dir: str, *, seed: int = 42):
+    """Reproducible global training-order shuffle: every doc gets a
+    deterministic position 0..N−1 by ranking an md5(seed-salted id)
+    key — the epoch-shuffle a pretraining loader needs, stable under
+    resharding and restart (unlike ``random_shuffle``, the order is a
+    pure function of ids + seed, so a resumed job replays it).
+
+    Scale shape: the rank is ``relational.global_rank`` — exact
+    quantile pivots bucket the key space, one combiner pass counts
+    buckets, blocks sort only their own buckets and add broadcast
+    offsets; the corpus is never sorted in one place. A new epoch is
+    a new seed. Oracled by the SQL row_number over the identical
+    md5-derived key."""
+    from jerex_ray.relational import global_rank
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.util import md5_hash64_batch
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        h = md5_hash64_batch(f"{i}:{seed}" for i in ids)
+        # ranking key as float64, mirrored by the oracle's CAST(...
+        # AS DOUBLE): >2^53 hashes collide in float — the (key, id)
+        # in-bucket sort breaks those ties identically on both sides
+        return pd.DataFrame({"doc_id": ids.astype("int64"),
+                             "shuffle_key": h.astype(np.float64)})
+
+    ranked = global_rank(ds.map_batches(key, batch_format="pandas"),
+                         value_col="shuffle_key", id_col="doc_id")
+    out = ranked.to_pandas()[["doc_id", "rnk"]] \
+        .rename(columns={"rnk": "pos"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["pos"] = out["pos"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def kg_eval_evidence(sf_dir: str):
     """Evidence-aware triple P/R: TP requires the predicted evidence
     turn to be one of the turns that express the relation (the scorer
@@ -4258,6 +4296,7 @@ def build_queries() -> dict:
         "q21_waiting_suppliers": R.q21_waiting_suppliers,
         "q_events_ewma": q_events_ewma,
         "emb_knn_graph": emb_knn_graph,
+        "doc_shuffle_order": doc_shuffle_order,
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q14_promo_revenue": R.q14_promo_revenue,
         "q15_top_supplier": R.q15_top_supplier,
@@ -6027,6 +6066,14 @@ def _build_oracle_sql_literal() -> dict:
                 ON o.user_id = e.user_id AND o.rn = e.rn + 1)
             SELECT event_id, round(ewma, 6) AS ewma FROM e
             ORDER BY event_id
+        """,
+        "doc_shuffle_order": """
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY CAST(CAST('0x' || substr(
+                           md5(doc_id || ':42'), 1, 16) AS UBIGINT)
+                           AS DOUBLE), doc_id) - 1 AS pos
+            FROM documents ORDER BY doc_id
         """,
         "emb_knn_graph": """
             SELECT src, dst FROM (
