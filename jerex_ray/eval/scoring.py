@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -173,3 +174,98 @@ def evaluate_triples_evidence(pred: pd.DataFrame, gt: pd.DataFrame) -> dict:
         if k in g and e in g[k]:
             tp += 1
     return _prf(tp, len(seen) - tp, len(g) - tp)
+
+
+def pred_structures_from_scored(scored: pd.DataFrame) -> dict:
+    """Scored-doc rows → per-conv predicted structures under the
+    chunk-invariant mention identity (turn, within-turn word span).
+
+    Chunked long convs emit per-chunk clusters; chunks of one conv are
+    closed under the same canonical-representative linking the triple
+    canonicalization stage uses (normalized surface + type), so the
+    conv-level cluster identity matches what an unchunked forward pass
+    would produce."""
+    out: dict = {}
+    cols = ["conv_id", "sent_tok_off", "m_start", "m_end", "m_sent",
+            "m_turn", "m_cluster", "cl_rep", "cl_type",
+            "r_head", "r_tail", "r_type"]
+    for (conv, soff, ms, me, msent, mturn, mcl, reps, ctypes,
+         rh, rt, rt2) in zip(*(scored[c] for c in cols)):
+        st = out.setdefault(conv, {"mentions": set(), "clusters": {},
+                                   "cl_types": {}, "relations": set()})
+        soff = np.asarray(soff)
+        keys = []
+        for s, e, si, ti in zip(ms, me, msent, mturn):
+            base = int(soff[int(si)])
+            keys.append((int(ti), int(s) - base, int(e) - base))
+        st["mentions"].update(keys)
+        # doc-local cluster id → conv-level merge key
+        ckey = [(str(r).lower(), t) for r, t in zip(reps, ctypes)]
+        for span, ci in zip(keys, mcl):
+            st["clusters"].setdefault(ckey[int(ci)], set()).add(span)
+            st["cl_types"][ckey[int(ci)]] = ctypes[int(ci)]
+        for h, t, r in zip(rh, rt, rt2):
+            st["relations"].add((ckey[int(h)], ckey[int(t)], r))
+    return out
+
+
+def joint_metrics(scored: pd.DataFrame, gt: dict) -> pd.DataFrame:
+    """The reference's joint evaluation tables (mention, coreference,
+    typed-entity, relation, strict rel_nec — ``joint_evaluator.py``)
+    over a whole corpus: micro P/R/F1 per level, plus per-type macro
+    for the typed levels. ``gt`` comes from
+    ``ground_truth_structures``; convs absent from predictions (e.g.
+    filler-only) count as empty documents."""
+    pred = pred_structures_from_scored(scored)
+    convs = sorted(gt)
+
+    def pred_of(c):
+        return pred.get(c, {"mentions": set(), "clusters": {},
+                            "cl_types": {}, "relations": set()})
+
+    def cl_fs(st):
+        return {k: frozenset(v) for k, v in st["clusters"].items()}
+
+    g_m = [list(gt[c]["mentions"]) for c in convs]
+    p_m = [list(pred_of(c)["mentions"]) for c in convs]
+    g_c = [list(map(frozenset, gt[c]["clusters"])) for c in convs]
+    p_c = [list(cl_fs(pred_of(c)).values()) for c in convs]
+    g_e = [[(frozenset(cl), ty) for cl, ty in gt[c]["entities"]]
+           for c in convs]
+    p_e = [[(fs, pred_of(c)["cl_types"][k])
+            for k, fs in cl_fs(pred_of(c)).items()] for c in convs]
+    g_r, p_r, g_rn, p_rn = [], [], [], []
+    for c in convs:
+        g_r.append([(frozenset(h), frozenset(t), r)
+                    for h, _ht, t, _tt, r in gt[c]["relations"]])
+        g_rn.append([(frozenset(h), ht, frozenset(t), tt, r)
+                     for h, ht, t, tt, r in gt[c]["relations"]])
+        st = pred_of(c)
+        fs = cl_fs(st)
+        p_r.append([(fs[h], fs[t], r) for h, t, r in st["relations"]])
+        p_rn.append([(fs[h], st["cl_types"][h], fs[t],
+                      st["cl_types"][t], r)
+                     for h, t, r in st["relations"]])
+
+    rows = []
+
+    def add(level, avg, m):
+        rows.append({"level": level, "average": avg,
+                     "precision": round(m["precision"], 6),
+                     "recall": round(m["recall"], 6),
+                     "f1": round(m["f1"], 6),
+                     # macro averages carry no meaningful counts
+                     "tp": int(m.get("tp", -1)),
+                     "fp": int(m.get("fp", -1)),
+                     "fn": int(m.get("fn", -1))})
+
+    add("mention", "micro", score_documents_micro(g_m, p_m))
+    add("coref", "micro", score_documents_micro(g_c, p_c))
+    add("entity", "micro", score_documents_micro(g_e, p_e))
+    add("entity", "macro",
+        score_documents_macro(g_e, p_e, type_of=lambda e: e[1]))
+    add("relation", "micro", score_documents_micro(g_r, p_r))
+    add("relation", "macro",
+        score_documents_macro(g_r, p_r, type_of=lambda r: r[2]))
+    add("rel_nec", "micro", score_documents_micro(g_rn, p_rn))
+    return pd.DataFrame(rows)

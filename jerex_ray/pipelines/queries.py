@@ -598,6 +598,34 @@ def kg_eval_strict(sf_dir: str):
                           ("tp", "fp", "fn", "precision", "recall", "f1")}])
 
 
+def kg_joint_metrics(sf_dir: str):
+    """The reference's FULL joint evaluation (``joint_evaluator.py``
+    tables — the north-star's 'mention, coref, entity, relation F1
+    from its joint eval tests'): micro P/R/F1 at all four levels plus
+    entity/relation macro and the strict rel_nec variant, over the
+    synthetic corpus with conv-level structural ground truth
+    (``ground_truth_structures``). Mention identity is the
+    chunk-invariant (turn, within-turn word span); chunked long convs
+    close clusters across chunks by canonical representative. Rows-only
+    (model inference, not SQL); the values are pinned by pytest."""
+    from jerex_ray.eval.scoring import joint_metrics
+    from jerex_ray.sources.transcripts import (ground_truth_structures,
+                                               read_synthetic_transcripts)
+    from jerex_ray.stages.assemble import assemble_documents
+    from jerex_ray.stages.scorer import score_documents
+    from jerex_ray.stages.tokenize import tokenize_documents
+    configure_data_context()
+    cfg = _kg_config()
+    n = _sf_convs(sf_dir)
+    from jerex_ray.pipelines.kg import _with_part_key
+    docs = assemble_documents(_with_part_key(
+        read_synthetic_transcripts(n), cfg))
+    scored = score_documents(tokenize_documents(docs, cfg), cfg) \
+        .to_pandas()
+    return joint_metrics(scored, ground_truth_structures(n)) \
+        .sort_values(["level", "average"]).reset_index(drop=True)
+
+
 def doc_shuffle_order(sf_dir: str, *, seed: int = 42):
     """Reproducible global training-order shuffle: every doc gets a
     deterministic position 0..N−1 by ranking an md5(seed-salted id)
@@ -4201,6 +4229,7 @@ def build_queries() -> dict:
         "kg_eval": kg_eval,
         "kg_eval_strict": kg_eval_strict,
         "kg_eval_evidence": kg_eval_evidence,
+        "kg_joint_metrics": kg_joint_metrics,
         # text analysis / dedup / vectors
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,

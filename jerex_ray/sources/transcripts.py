@@ -70,8 +70,26 @@ LONG_FILLER = ("we reviewed the metrics again and the numbers look stable "
 
 _EPOCH = _dt.datetime(2026, 1, 1)
 
+# (idx, entities) of the most recent _conv_script call — lets
+# _conv_entities piggyback on the deterministic generator without
+# changing the (turns, gt) return shape its existing callers unpack
+_LAST_ENTITIES: list = [(-1, [])]
+
+
+def _conv_entities(idx: int) -> list[tuple]:
+    """Planted entities of conversation ``idx`` as (phrase, type,
+    alias_phrases): every surface the corpus expresses for the entity
+    (surname aliases of persons). Replays the deterministic script."""
+    last_idx, ents = _LAST_ENTITIES[0]
+    if last_idx != idx:
+        _conv_script(idx)
+        _, ents = _LAST_ENTITIES[0]
+    return ents
+
 
 def _conv_script(idx: int) -> tuple[list[tuple[str, str, str]], list[tuple]]:
+    # NOTE: also exposes the planted ENTITIES via _conv_entities(idx)
+    # (phrase, type, aliases) — derived in lockstep below.
     """Returns (turns, gt_triples) for conversation ``idx``.
 
     turns: list of (role, text, tool); gt_triples: list of
@@ -95,6 +113,8 @@ def _conv_script(idx: int) -> tuple[list[tuple[str, str, str]], list[tuple]]:
 
     turns: list[tuple[str, str, str]] = []
     gt: list[tuple] = []
+    ents: list[tuple] = []
+    _LAST_ENTITIES[0] = (idx, ents)
 
     def filler(n=1):
         for _ in range(n):
@@ -110,9 +130,14 @@ def _conv_script(idx: int) -> tuple[list[tuple[str, str, str]], list[tuple]]:
         # single-mention conversation: one entity, no relations
         turns.append(("user", f"please check the status for {city} today .", ""))
         filler(1)
+        ents.append((city, "LOC", ()))
         return turns, gt
 
     # --- standard conversation ---
+    ents.append((person, "PER", (surname,)))
+    ents.append((org, "ORG", ()))
+    ents.append((city, "LOC", ()))
+    ents.append((tool, "TOOL", ()))
     filler(1)
     turns.append(("assistant", f"{person} joined {org} this quarter .", ""))
     gt.append((person, "PER", "works_at", org, "ORG", len(turns) - 1))
@@ -129,6 +154,7 @@ def _conv_script(idx: int) -> tuple[list[tuple[str, str, str]], list[tuple]]:
             p2 = f"{FIRST_NAMES[rng.integers(len(FIRST_NAMES))]} {LAST_NAMES[rng.integers(len(LAST_NAMES))]}"
         turns.append(("assistant", f"{p2} works at {org} as well .", ""))
         gt.append((p2, "PER", "works_at", org, "ORG", len(turns) - 1))
+        ents.append((p2, "PER", (p2.split()[1],)))
 
     filler(1)
 
@@ -244,3 +270,68 @@ def ground_truth_triples(num_convs: int, start: int = 0) -> pa.Table:
         "obj_type": pa.array(otypes, pa.string()),
         "evidence": pa.array(evidences, pa.list_(pa.int32())),
     })
+
+
+def _phrase_occurrences(turn_tokens: list[list[str]],
+                        words: list[str]) -> list[tuple[int, int, int]]:
+    n = len(words)
+    out = []
+    for ti, toks in enumerate(turn_tokens):
+        for i in range(len(toks) - n + 1):
+            if toks[i:i + n] == words:
+                out.append((ti, i, i + n))
+    return out
+
+
+def ground_truth_structures(num_convs: int, start: int = 0) -> dict:
+    """Conv-level ground truth at ALL FOUR of the reference's joint
+    eval levels (``joint_evaluator.py`` tables): mentions, coreference
+    clusters, typed entities, relations.
+
+    Identities follow the reference's (``conversion.py:4-10``) with the
+    chunk-invariant mention key (turn, within-turn word span): a
+    mention is every occurrence of a planted entity surface (surname
+    aliases of persons included, full-name occurrences excluded from
+    alias matches); a cluster is the frozenset of the entity's mention
+    keys; an entity is (cluster, type); a relation is (head cluster,
+    tail cluster, type) — plus types for the strict rel_nec variant.
+
+    Returns {conv_id: {"mentions": [...], "clusters": [...],
+    "entities": [...], "relations": [...]}} (relations carry
+    (head, head_type, tail, tail_type, rtype))."""
+    out = {}
+    for idx in range(start, start + num_convs):
+        conv_id = conv_id_for(idx)
+        turns, gt = _conv_script(idx)
+        ents = _conv_entities(idx)
+        turn_tokens = [t[1].split() for t in turns]
+        clusters, types, by_phrase = [], [], {}
+        for phrase, typ, aliases in ents:
+            spans = _phrase_occurrences(turn_tokens, phrase.split())
+            covered = set(spans)
+            for al in aliases:
+                for ti, i, j in _phrase_occurrences(turn_tokens,
+                                                    al.split()):
+                    inside = any(ti == t2 and i >= s2 and j <= e2
+                                 for (t2, s2, e2) in covered)
+                    if not inside:
+                        spans.append((ti, i, j))
+            cl = frozenset(spans)
+            clusters.append(cl)
+            types.append(typ)
+            by_phrase[phrase] = (cl, typ)
+        rels = []
+        seen = set()
+        for s, st, p, o, ot, _ev in gt:
+            key = (s, p, o)
+            if key in seen:
+                continue
+            seen.add(key)
+            rels.append((by_phrase[s][0], st, by_phrase[o][0], ot, p))
+        out[conv_id] = {
+            "mentions": [m for cl in clusters for m in cl],
+            "clusters": list(clusters),
+            "entities": list(zip(clusters, types)),
+            "relations": rels,
+        }
+    return out

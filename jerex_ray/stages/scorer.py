@@ -287,7 +287,7 @@ class RuleScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {k: [] for k in (
             "doc_id", "conv_id", "part_key", "sent_tok_off",
-            "m_start", "m_end", "m_sent", "m_cluster",
+            "m_start", "m_end", "m_sent", "m_turn", "m_cluster",
             "cl_rep", "cl_type", "cl_size",
             "r_head", "r_tail", "r_type", "r_score", "r_evidence",
             "r_evidence_turn")}
@@ -351,6 +351,11 @@ class RuleScorer:
             out["m_start"].append([m[0] for m in mentions])
             out["m_end"].append([m[1] for m in mentions])
             out["m_sent"].append([m[2] for m in mentions])
+            if has_turns:
+                t_d2 = turn_vals[turn_offs[d]:turn_offs[d + 1]]
+                out["m_turn"].append([int(t_d2[m[2]]) for m in mentions])
+            else:
+                out["m_turn"].append([m[2] for m in mentions])
             out["m_cluster"].append(m_cluster)
             out["cl_rep"].append(reps)
             out["cl_type"].append(types)
@@ -379,6 +384,7 @@ class RuleScorer:
             "m_start": pa.array(out["m_start"], pa.list_(pa.int32())),
             "m_end": pa.array(out["m_end"], pa.list_(pa.int32())),
             "m_sent": pa.array(out["m_sent"], pa.list_(pa.int32())),
+            "m_turn": pa.array(out["m_turn"], pa.list_(pa.int32())),
             "m_cluster": pa.array(out["m_cluster"], pa.list_(pa.int32())),
             "cl_rep": pa.array(out["cl_rep"], pa.list_(pa.string())),
             "cl_type": pa.array(out["cl_type"], pa.list_(pa.string())),

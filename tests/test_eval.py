@@ -86,3 +86,19 @@ def test_evidence_eval_rejects_wrong_turn():
     from jerex_ray.eval.scoring import evaluate_triples_evidence
     m = evaluate_triples_evidence(pred, gt)
     assert m["tp"] == 1 and m["fp"] == 1 and m["fn"] == 1
+
+
+def test_joint_metrics_all_levels_perfect_on_synthetic_corpus():
+    """The reference's four-level joint eval (mention/coref/entity/
+    relation + rel_nec) over 300 convs, incl. chunked long convs
+    whose clusters must close across chunks via the canonical-
+    representative link."""
+    from jerex_ray.pipelines.queries import kg_joint_metrics
+    import os
+    m = kg_joint_metrics("/root/testdata/sf0.001")
+    assert set(m["level"]) == {"mention", "coref", "entity",
+                               "relation", "rel_nec"}
+    assert (m["f1"] == 1.0).all(), m.to_string()
+    micro = m[m["average"] == "micro"]
+    assert (micro["tp"] > 0).all() and (micro["fp"] == 0).all() \
+        and (micro["fn"] == 0).all()
