@@ -598,6 +598,47 @@ def kg_eval_strict(sf_dir: str):
                           ("tp", "fp", "fn", "precision", "recall", "f1")}])
 
 
+def q_events_welch_ttest(sf_dir: str):
+    """Welch's unequal-variance t statistic of event value, each type
+    vs the REST of the stream — the A/B-test primitive. One combiner
+    pass reduces the corpus to per-type (n, Σv, Σv²); the complement's
+    moments are total-minus-type, so only #types rows reach the
+    driver and no second scan happens. Oracled by the identical
+    closed form in SQL (round-6 absorbs summation-order float dust)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        g = df.groupby("event_type", sort=False)
+        return pd.DataFrame({
+            "event_type": list(g.groups),
+            "n": g.size().to_numpy(np.int64),
+            "s": g["value"].sum().to_numpy(np.float64),
+            "ss": [float((v[ix] ** 2).sum())
+                   for ix in (g.indices[k] for k in g.groups)]})
+
+    st = grouped_aggregate(ds.map_batches(moments, batch_format="pandas"),
+                           ["event_type"],
+                           {"n": ("n", "sum"), "s": ("s", "sum"),
+                            "ss": ("ss", "sum")}).to_pandas()
+    tn, ts_, tss = st["n"].sum(), st["s"].sum(), st["ss"].sum()
+    n1 = st["n"].to_numpy(np.float64)
+    s1 = st["s"].to_numpy(np.float64)
+    ss1 = st["ss"].to_numpy(np.float64)
+    n2, s2, ss2 = tn - n1, ts_ - s1, tss - ss1
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+    v2 = (ss2 - s2 * s2 / n2) / (n2 - 1)
+    t = (s1 / n1 - s2 / n2) / np.sqrt(v1 / n1 + v2 / n2)
+    out = pd.DataFrame({"event_type": st["event_type"],
+                        "n": st["n"].astype("int64"),
+                        "t_stat": np.round(t, 6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def kg_joint_metrics(sf_dir: str):
     """The reference's FULL joint evaluation (``joint_evaluator.py``
     tables — the north-star's 'mention, coref, entity, relation F1
@@ -4230,6 +4271,7 @@ def build_queries() -> dict:
         "kg_eval_strict": kg_eval_strict,
         "kg_eval_evidence": kg_eval_evidence,
         "kg_joint_metrics": kg_joint_metrics,
+        "q_events_welch_ttest": q_events_welch_ttest,
         # text analysis / dedup / vectors
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
@@ -6095,6 +6137,25 @@ def _build_oracle_sql_literal() -> dict:
                 ON o.user_id = e.user_id AND o.rn = e.rn + 1)
             SELECT event_id, round(ewma, 6) AS ewma FROM e
             ORDER BY event_id
+        """,
+        "q_events_welch_ttest": """
+            WITH st AS (
+                SELECT event_type, count(*) AS n,
+                       sum(CAST(value AS DOUBLE)) AS s,
+                       sum(CAST(value AS DOUBLE) * value) AS ss
+                FROM events GROUP BY event_type),
+            tot AS (
+                SELECT sum(n) AS n, sum(s) AS s, sum(ss) AS ss FROM st)
+            SELECT event_type, CAST(st.n AS BIGINT) AS n,
+                   round((st.s / st.n - (tot.s - st.s) / (tot.n - st.n))
+                         / sqrt(((st.ss - st.s * st.s / st.n)
+                                 / (st.n - 1)) / st.n
+                                + (((tot.ss - st.ss)
+                                    - (tot.s - st.s) * (tot.s - st.s)
+                                      / (tot.n - st.n))
+                                   / (tot.n - st.n - 1))
+                                  / (tot.n - st.n)), 6) AS t_stat
+            FROM st, tot ORDER BY event_type
         """,
         "doc_shuffle_order": """
             SELECT doc_id,
