@@ -99,3 +99,32 @@ def test_knn_graph_edges_exact_vs_brute_force():
     # each node has exactly k out-edges and never a self loop
     assert (out.groupby("src").size() == 5).all()
     assert (out["src"] != out["dst"]).all()
+
+
+def test_welch_ttest_matches_direct_formula():
+    from jerex_ray.pipelines.queries import q_events_welch_ttest
+    out = q_events_welch_ttest(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    for _, row in out.iterrows():
+        a = ev.loc[ev.event_type == row["event_type"],
+                   "value"].to_numpy(np.float64)
+        b = ev.loc[ev.event_type != row["event_type"],
+                   "value"].to_numpy(np.float64)
+        t = (a.mean() - b.mean()) / np.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+        assert row["n"] == len(a)
+        assert abs(row["t_stat"] - t) < 1e-5, (row["event_type"], t)
+
+
+def test_shuffle_order_is_seeded_permutation():
+    from jerex_ray.pipelines.queries import doc_shuffle_order
+    a = doc_shuffle_order(SF, seed=42)
+    n = len(a)
+    assert sorted(a["pos"]) == list(range(n))
+    b = doc_shuffle_order(SF, seed=43)
+    # a different seed is a different epoch order (identity would mean
+    # the seed never reached the key), same-seed rerun is identical
+    assert (a["pos"].to_numpy() != b["pos"].to_numpy()).any()
+    a2 = doc_shuffle_order(SF, seed=42)
+    assert (a["pos"].to_numpy() == a2["pos"].to_numpy()).all()
