@@ -4365,6 +4365,11 @@ def build_queries() -> dict:
         "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
         "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
         "q21_waiting_suppliers": R.q21_waiting_suppliers,
+        "q2_min_cost_supplier": R.q2_min_cost_supplier,
+        "q11_important_parts": R.q11_important_parts,
+        "q12_priority_lines": R.q12_priority_lines,
+        "q16_part_supplier_counts": R.q16_part_supplier_counts,
+        "q20_dominant_suppliers": R.q20_dominant_suppliers,
         "q_events_ewma": q_events_ewma,
         "emb_knn_graph": emb_knn_graph,
         "doc_shuffle_order": doc_shuffle_order,
@@ -6120,6 +6125,87 @@ def _build_oracle_sql_literal() -> dict:
             WHERE late = 1 AND n_supp > 1 AND n_late = 1
             GROUP BY s_name
             ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "q2_min_cost_supplier": """
+            WITH ps AS MATERIALIZED (
+                SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS cost
+                FROM lineitem
+                WHERE l_suppkey IN (
+                    SELECT s_suppkey FROM supplier
+                    JOIN nation ON n_nationkey = s_nationkey
+                    JOIN region ON r_regionkey = n_regionkey
+                    WHERE r_name = 'EUROPE')
+                GROUP BY 1, 2)
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                   round(cost, 6) AS cost
+            FROM ps
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE p_size <= 5 AND p_type = 'LARGE'
+              AND cost = (SELECT min(cost) FROM ps p2
+                          WHERE p2.l_partkey = ps.l_partkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q11_important_parts": """
+            WITH nv AS MATERIALIZED (
+                SELECT l_partkey,
+                       sum(l_extendedprice * (1 - l_discount)) AS value
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                WHERE n_name = 'NATION_12'
+                GROUP BY 1)
+            SELECT l_partkey, round(value, 2) AS value
+            FROM nv
+            WHERE value > 2.0 * (SELECT avg(value) FROM nv)
+            ORDER BY value DESC, l_partkey
+        """,
+        "q12_priority_lines": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "q16_part_supplier_counts": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q20_dominant_suppliers": """
+            WITH pq AS MATERIALIZED (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+                FROM lineitem
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part
+                    WHERE p_name LIKE 'small%')
+                  AND l_shipdate >= DATE '1997-01-01'
+                  AND l_shipdate < DATE '1998-01-01'
+                GROUP BY 1, 2),
+            pt AS (SELECT l_partkey, sum(qty) AS total
+                   FROM pq GROUP BY 1)
+            SELECT s_name, s_acctbal
+            FROM supplier
+            WHERE s_suppkey IN (
+                SELECT l_suppkey FROM pq JOIN pt USING (l_partkey)
+                WHERE qty > 0.3 * total)
+            ORDER BY s_name
         """,
         "q_events_ewma": """
             WITH RECURSIVE ord AS MATERIALIZED (

@@ -1229,3 +1229,260 @@ def q21_waiting_suppliers(sf_dir: str, *, late_days: int = 60,
     return cnt.sort_values(["numwait", "s_name"],
                            ascending=[False, True]).head(k) \
         [["s_name", "numwait"]].reset_index(drop=True)
+
+
+# --- Q2 shape: min-cost supplier per part (correlated MIN + equality) ---
+
+def q2_min_cost_supplier(sf_dir: str, *, region: str = "EUROPE",
+                         max_size: int = 5, ptype: str = "LARGE",
+                         k: int = 100):
+    """Minimum-cost supplier per part (the TPC-H Q2 shape, adapted:
+    the driver's tables carry no partsupp, so the supply relation is
+    derived from shipping history — per (part, supplier) the minimum
+    observed unit price ``l_extendedprice / l_quantity``): for small
+    parts of one type, the region's cheapest supplier(s), richest
+    accounts first.
+
+    Scale shape: the derived supply relation is a hash-partitioned
+    combiner aggregate over the fact table; the region's supplier keys
+    broadcast; the correlated per-part MIN is a second combiner
+    aggregate whose result is part-bounded and broadcasts back as a
+    dict (Q2's scalar-subquery build side); the equality filter runs
+    map-side, so nothing fact-shaped reaches the driver. The unit
+    price is one IEEE division on both engines, so the MIN-equality
+    compares bit-identical doubles."""
+    import ray
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region",
+                ["r_regionkey", "r_name"]).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_acctbal",
+                  "s_nationkey"]).to_pandas()
+    supp = supp.merge(nat[["n_nationkey", "n_name", "r_name"]],
+                      left_on="s_nationkey", right_on="n_nationkey")
+    supp = supp.loc[supp["r_name"] == region,
+                    ["s_suppkey", "s_name", "s_acctbal", "n_name"]]
+    supp_keys = set(supp["s_suppkey"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice",
+                "l_quantity"])
+    li = broadcast_semi_join(li, supp_keys, on="l_suppkey")
+    li = li.map_batches(
+        lambda df: pd.DataFrame(
+            {"l_partkey": df["l_partkey"].to_numpy(),
+             "l_suppkey": df["l_suppkey"].to_numpy(),
+             "unit": df["l_extendedprice"].to_numpy(np.float64)
+             / df["l_quantity"].to_numpy(np.float64)}),
+        batch_format="pandas")
+    ps = grouped_aggregate(li, ["l_partkey", "l_suppkey"],
+                           {"cost": ("unit", "min")},
+                           result_hint="large")
+    part_min = grouped_aggregate(ps, ["l_partkey"],
+                                 {"min_cost": ("cost", "min")}) \
+        .to_pandas()
+    min_ref = ray.put(dict(zip(part_min["l_partkey"].astype(int),
+                               part_min["min_cost"])))
+
+    def at_min(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["l_partkey"].map(ray.get(min_ref)).to_numpy(np.float64)
+        return df.loc[df["cost"].to_numpy(np.float64) == lo]
+
+    best = ps.map_batches(at_min, batch_format="pandas").to_pandas()
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_name", "p_size", "p_type"]).to_pandas()
+    part = part.loc[(part["p_size"] <= max_size)
+                    & (part["p_type"] == ptype),
+                    ["p_partkey", "p_name"]]
+    out = best.merge(part, left_on="l_partkey", right_on="p_partkey") \
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    # DuckDB round() is half-away-from-zero; numpy is half-even — a
+    # unit price landing exactly on a 1e-6 tie must round the same way
+    c = out["cost"].to_numpy(np.float64)
+    out["cost"] = np.copysign(np.floor(np.abs(c) * 1e6 + 0.5), c) / 1e6
+    out = out.sort_values(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                          ascending=[False, True, True, True]).head(k)
+    return out[["s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                "cost"]].reset_index(drop=True)
+
+
+# --- Q11 shape: group value share vs a global scalar threshold ---
+
+def q11_important_parts(sf_dir: str, *, nation: str = "NATION_12",
+                        mult: float = 2.0):
+    """Important parts in one nation's supply stream (the TPC-H Q11
+    shape, adapted: no partsupp, so a part's "value" is its discounted
+    revenue from that nation's suppliers): parts whose value exceeds
+    ``mult`` × the per-part average value — the HAVING-vs-global-scalar
+    pattern.
+
+    Scale shape: the nation's supplier keys broadcast; the per-part
+    value is one hash-partitioned combiner aggregate; the global
+    threshold is a tiny second-level aggregate over the (part-bounded)
+    result, after which the filter is driver-side on a dimension-sized
+    frame — nothing fact-shaped ever collects."""
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name"]).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    supp_keys = set(supp.loc[supp["n_name"] == nation, "s_suppkey"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+    li = broadcast_semi_join(li, supp_keys, on="l_suppkey")
+    li = li.map_batches(
+        lambda df: pd.DataFrame(
+            {"l_partkey": df["l_partkey"].to_numpy(),
+             "value": df["l_extendedprice"].to_numpy(np.float64)
+             * (1.0 - df["l_discount"].to_numpy(np.float64))}),
+        batch_format="pandas")
+    nv = grouped_aggregate(li, ["l_partkey"],
+                           {"value": ("value", "sum")},
+                           result_hint="large").to_pandas()
+    thresh = mult * float(nv["value"].mean())
+    out = nv.loc[nv["value"] > thresh].copy()
+    out["value"] = out["value"].round(2)
+    return out.sort_values(["value", "l_partkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+# --- Q12 shape: priority CASE-counts per line class after a fact join ---
+
+def q12_priority_lines(sf_dir: str, *, year: int = 1997):
+    """Order-priority line counts per return flag (the TPC-H Q12
+    shape, adapted: the driver's lineitem has no ship mode, so lines
+    group by ``l_returnflag``; "late" commit semantics reduce to the
+    ship-year window): per flag, how many lines belong to
+    high-priority orders (1-URGENT / 2-HIGH) vs all others.
+
+    Scale shape: the single hash-partitioned fact⋈fact join, then a
+    CASE-sum combiner — two int64 partials per flag per batch reach
+    the reducer."""
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{year + 1}-01-01")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_shipdate"])
+    li = li.map_batches(
+        lambda df: df.loc[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi),
+                          ["l_orderkey", "l_returnflag"]],
+        batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = li.join(orders, join_type="inner",
+                num_partitions=shuffle_partitions(8),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    j = j.map_batches(
+        lambda df: pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"].to_numpy(),
+             "hi": df["o_orderpriority"]
+             .isin(["1-URGENT", "2-HIGH"]).astype("int64").to_numpy()}),
+        batch_format="pandas")
+    agg = grouped_aggregate(
+        j.map_batches(lambda df: df.assign(lo=1 - df["hi"]),
+                      batch_format="pandas"),
+        ["l_returnflag"],
+        {"high_line_count": ("hi", "sum"),
+         "low_line_count": ("lo", "sum")}).to_pandas()
+    for c in ("high_line_count", "low_line_count"):
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values("l_returnflag").reset_index(drop=True)
+
+
+# --- Q16 shape: distinct-supplier counts per part class, anti-joined ---
+
+def q16_part_supplier_counts(sf_dir: str, *, excl_brand: str = "Brand#1",
+                             sizes=(1, 4, 9, 16, 25, 36, 49)):
+    """Supplier counts per (brand, type, size) (the TPC-H Q16 shape,
+    adapted: the part-supplier relation is derived from shipping
+    history, and the "customer complaints" exclusion is suppliers with
+    negative account balance): COUNT(DISTINCT supplier) per part
+    class, excluding one brand and non-square sizes.
+
+    Scale shape: the distinct (part, supplier) pair set is one
+    hash-partitioned combiner aggregate over the fact table; the
+    excluded supplier keys anti-join map-side from a broadcast set;
+    part attributes broadcast-join; the final count lands on a
+    class-bounded frame."""
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = set(supp.loc[supp["s_acctbal"] < 0, "s_suppkey"])
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    li = broadcast_anti_join(li, bad, on="l_suppkey")
+    pairs = grouped_aggregate(li, ["l_partkey", "l_suppkey"],
+                              {"n": (None, "count")},
+                              result_hint="large")
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    part = part.loc[(part["p_brand"] != excl_brand)
+                    & (part["p_size"].isin(list(sizes)))]
+    pairs = broadcast_join(pairs, part, left_on="l_partkey",
+                           right_on="p_partkey")
+    # a supplier shipping several parts of one class counts once:
+    # dedup (class, supplier) before counting
+    class_supp = grouped_aggregate(
+        pairs, ["p_brand", "p_type", "p_size", "l_suppkey"],
+        {"n": (None, "count")}, result_hint="large")
+    cnt = grouped_aggregate(class_supp, ["p_brand", "p_type", "p_size"],
+                            {"supplier_cnt": (None, "count")}).to_pandas()
+    cnt["supplier_cnt"] = cnt["supplier_cnt"].astype("int64")
+    cnt["p_size"] = cnt["p_size"].astype("int64")
+    return cnt.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+
+
+# --- Q20 shape: nested correlated-share threshold → supplier semi-join ---
+
+def q20_dominant_suppliers(sf_dir: str, *, prefix: str = "small",
+                           year: int = 1997, share: float = 0.3):
+    """Suppliers dominating a part's yearly volume (the TPC-H Q20
+    shape, adapted: no partsupp availqty, so "excess stock" becomes
+    shipping more than ``share`` of a part's total ``year`` volume):
+    distinct suppliers who, for some part named ``prefix``…, shipped
+    more than that fraction — Q20's nested IN chain with a correlated
+    quantity threshold.
+
+    Scale shape: the prefix part keys broadcast; per-(part, supplier)
+    and per-part quantity sums are chained combiner aggregates (the
+    second one part-bounded, broadcast back as a dict); the share
+    filter runs map-side and only qualifying supplier keys — bounded
+    by the supplier dimension — reach the driver. Quantities are
+    small integers in doubles, so the threshold compare is exact."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    part_keys = set(
+        part.loc[part["p_name"].str.startswith(prefix), "p_partkey"])
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{year + 1}-01-01")
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+    li = broadcast_semi_join(li, part_keys, on="l_partkey")
+    li = li.map_batches(
+        lambda df: df.loc[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi),
+                          ["l_partkey", "l_suppkey", "l_quantity"]],
+        batch_format="pandas")
+    pq_ = grouped_aggregate(li, ["l_partkey", "l_suppkey"],
+                            {"qty": ("l_quantity", "sum")},
+                            result_hint="large")
+    totals = grouped_aggregate(pq_, ["l_partkey"],
+                               {"total": ("qty", "sum")}).to_pandas()
+    tot_ref = ray.put(dict(zip(totals["l_partkey"].astype(int),
+                               totals["total"])))
+
+    def dominant(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df["l_partkey"].map(ray.get(tot_ref)).to_numpy(np.float64)
+        keep = df["qty"].to_numpy(np.float64) > share * tot
+        return df.loc[keep, ["l_suppkey"]]
+
+    winners = pq_.map_batches(dominant, batch_format="pandas").to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_acctbal"]).to_pandas()
+    out = supp.loc[supp["s_suppkey"].isin(set(winners["l_suppkey"])),
+                   ["s_name", "s_acctbal"]]
+    return out.sort_values("s_name").reset_index(drop=True)

@@ -128,3 +128,75 @@ def test_shuffle_order_is_seeded_permutation():
     assert (a["pos"].to_numpy() != b["pos"].to_numpy()).any()
     a2 = doc_shuffle_order(SF, seed=42)
     assert (a["pos"].to_numpy() == a2["pos"].to_numpy()).all()
+
+
+def test_q2_every_row_is_the_part_min_over_region_suppliers():
+    from jerex_ray.relational import q2_min_cost_supplier
+    out = q2_min_cost_supplier(SF, region="EUROPE", max_size=5,
+                               ptype="LARGE")
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey",
+                                "l_extendedprice",
+                                "l_quantity"]).to_pandas()
+    sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{SF}/region.parquet").to_pandas()
+    eu = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey") \
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    eu = set(eu.loc[eu["r_name"] == "EUROPE", "s_suppkey"])
+    li = li[li["l_suppkey"].isin(eu)].copy()
+    li["unit"] = li["l_extendedprice"] / li["l_quantity"]
+    ps = li.groupby(["l_partkey", "l_suppkey"])["unit"].min()
+    pmin = ps.groupby("l_partkey").min()
+    for _, row in out.iterrows():
+        got = ps.loc[(row["p_partkey"],
+                      out.merge(pq.read_table(
+                          f"{SF}/supplier.parquet").to_pandas(),
+                          left_on="s_name", right_on="s_name")
+                      .loc[_, "s_suppkey"])]
+        assert np.isclose(got, pmin.loc[row["p_partkey"]])
+    # s_acctbal is descending (primary sort key)
+    assert (np.diff(out["s_acctbal"].to_numpy()) <= 1e-9).all()
+
+
+def test_q12_counts_partition_the_year_lines():
+    from jerex_ray.relational import q12_priority_lines
+    out = q12_priority_lines(SF, year=1997)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_returnflag",
+                                "l_shipdate"]).to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderkey",
+                                "o_orderpriority"]).to_pandas()
+    li = li[(li["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1998-01-01"))]
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    hi = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    for _, row in out.iterrows():
+        m = j["l_returnflag"] == row["l_returnflag"]
+        assert row["high_line_count"] == int((m & hi).sum())
+        assert row["low_line_count"] == int((m & ~hi).sum())
+    assert (out["high_line_count"] + out["low_line_count"]).sum() == len(j)
+
+
+def test_q20_winners_exceed_the_share_and_losers_do_not():
+    from jerex_ray.relational import q20_dominant_suppliers
+    out = q20_dominant_suppliers(SF, prefix="small", year=1997,
+                                 share=0.3)
+    part = pq.read_table(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    keys = set(part.loc[part["p_name"].str.startswith("small"),
+                        "p_partkey"])
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey", "l_quantity",
+                                "l_shipdate"]).to_pandas()
+    li = li[li["l_partkey"].isin(keys)
+            & (li["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1998-01-01"))]
+    pq_ = li.groupby(["l_partkey", "l_suppkey"])["l_quantity"].sum()
+    tot = pq_.groupby("l_partkey").sum()
+    winners = {s for (p, s), q in pq_.items() if q > 0.3 * tot.loc[p]}
+    sup = pq.read_table(f"{SF}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    exp = set(sup.loc[sup["s_suppkey"].isin(winners), "s_name"])
+    assert set(out["s_name"]) == exp
