@@ -28,19 +28,34 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
 
 
-def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
+def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10, *,
+                     query_labels: np.ndarray | None = None) -> pd.DataFrame:
     """Exact cosine top-k of each query against the whole dataset.
 
     Returns (query_idx, vec_id, cosine) with k rows per query, ordered
-    by descending cosine then vec_id (deterministic ties)."""
+    by descending cosine then vec_id (deterministic ties).
+
+    ``query_labels`` (one int per query row) switches on hard-negative
+    mining: dataset rows whose ``label`` equals the query's label are
+    excluded from that query's candidates (contrastive-negative
+    selection) — the mask costs one broadcast int vector and one
+    boolean compare per batch, the scan stays a single pass."""
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     q_ref = ray.put(qn)
+    ql_ref = (ray.put(np.asarray(query_labels))
+              if query_labels is not None else None)
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
         q = ray.get(q_ref)
         vecs = _normalize(_as_matrix(batch["embedding"]))
         ids = batch["vec_id"].to_numpy()
         sims = q @ vecs.T                      # (Q, B)
+        if ql_ref is not None:
+            qlab = ray.get(ql_ref)
+            blab = batch["label"].to_numpy()
+            # same-label candidates sort past every real cosine (≥ -1)
+            sims = np.where(qlab[:, None] == blab[None, :],
+                            np.float32(-2.0), sims)
         kk = min(k, sims.shape[1])
         rows_q, rows_v, rows_c = [], [], []
         for qi in range(q.shape[0]):
@@ -64,6 +79,10 @@ def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
 
     partials = emb_ds.map_batches(local_topk, batch_format="pandas",
                                   batch_size=4096).to_pandas()
+    if ql_ref is not None:
+        # a batch with fewer than k valid candidates pads with the
+        # -2 sentinel; drop those before the final merge
+        partials = partials[partials["cosine"] > -1.5]
     out = []
     for qi, g in partials.groupby("query_idx"):
         top = heapq.nsmallest(k, g.itertuples(index=False),

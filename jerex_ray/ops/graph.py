@@ -576,3 +576,141 @@ def bfs_levels(edges_ds, source: int, *, src: str = "a", dst: str = "b",
 
     out = pd.concat(ray.get(levels), ignore_index=True)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def sssp_distances(edges_ds, source: int, *, src: str = "a",
+                   dst: str = "b", weight: str = "w",
+                   undirected: bool = True, max_rounds: int = 64,
+                   num_partitions: int | None = None) -> pd.DataFrame:
+    """Single-source shortest paths with non-negative edge weights:
+    (node, dist) for every node reachable from ``source``. The
+    Bellman-Ford frontier relaxation on the same raw-task BSP grid as
+    ``bfs_levels`` (an iterative algorithm re-shuffling bounded
+    node-sized state — exactly what the Dataset API can't express):
+
+    * weighted edges hash-partitioned ONCE by source endpoint, with
+      parallel edges collapsed to their minimum weight;
+    * the distance table lives as P ``(node, dist)`` blocks
+      co-partitioned by ``hash(node)``;
+    * round r: frontier ⋈ local out-edges → tentative ``dist + w``
+      per neighbor, pre-reduced to the per-neighbor MIN inside the
+      sender (the combiner pattern) before routing to the owner; the
+      owner absorbs only strict improvements — the new frontier.
+      No improvement anywhere = exact termination (Bellman-Ford
+      fixpoint; every reachable node carries its true shortest
+      distance).
+
+    Per-round traffic is frontier-neighborhood-sized; with integer (or
+    identically-derived float) weights the relaxation arithmetic is
+    engine-exact, so results compare bit-for-bit with a recursive-CTE
+    oracle. ``max_rounds`` only guards adversarial long-path graphs
+    (#rounds ≤ longest shortest-path edge count) and WARNS when it
+    truncates. No counterpart in the reference (SURVEY.md §2.7):
+    engine extension, weighted sibling of ``bfs_levels``."""
+    import ray
+
+    from jerex_ray.functions.components import (_as_returns, _part_of,
+                                                _split_by)
+    P = num_partitions or 8
+    source = int(source)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="float64")})
+
+    @ray.remote
+    def route_out(block: pd.DataFrame):
+        e = pd.DataFrame({"u": pd.Series(dtype="int64"),
+                          "v": pd.Series(dtype="int64"),
+                          "w": pd.Series(dtype="float64")})
+        if not block.empty and src in block.columns:
+            a = block[[src, dst, weight]].rename(
+                columns={src: "u", dst: "v", weight: "w"})
+            frames = [a]
+            if undirected:
+                frames.append(block[[dst, src, weight]].rename(
+                    columns={dst: "u", src: "v", weight: "w"}))
+            e = pd.concat(frames, ignore_index=True) \
+                .astype({"u": "int64", "v": "int64", "w": "float64"})
+            e = e.groupby(["u", "v"], as_index=False)["w"].min()
+        return _as_returns(_split_by(e, "u", P), P)
+
+    @ray.remote
+    def concat_edges(*shards):
+        df = pd.concat(list(shards), ignore_index=True)
+        if df.empty:
+            return df
+        return df.groupby(["u", "v"], as_index=False)["w"].min()
+
+    @ray.remote
+    def relax(edge_part: pd.DataFrame, frontier: pd.DataFrame):
+        """Frontier ⋈ local out-edges → per-neighbor min tentative
+        distance, routed to the neighbor's owner."""
+        if frontier.empty or edge_part.empty:
+            msgs = _empty()
+        else:
+            m = edge_part.merge(frontier, left_on="u", right_on="node")
+            cand = pd.DataFrame({"node": m["v"].to_numpy(),
+                                 "dist": m["dist"].to_numpy()
+                                 + m["w"].to_numpy()})
+            msgs = cand.groupby("node", as_index=False)["dist"].min() \
+                .astype({"node": "int64"})
+        return _as_returns(_split_by(msgs, "node", P), P)
+
+    @ray.remote(num_returns=2)
+    def absorb(dist_part: pd.DataFrame, *msg_shards):
+        """Keep strict improvements; they update the distance table
+        and form this partition's next frontier."""
+        cand = pd.concat(list(msg_shards), ignore_index=True)
+        if cand.empty:
+            return dist_part, _empty()
+        cand = cand.groupby("node", as_index=False)["dist"].min()
+        m = cand.merge(dist_part, on="node", how="left",
+                       suffixes=("", "_cur"))
+        better = m["dist_cur"].isna() | (m["dist"] < m["dist_cur"])
+        fresh = m.loc[better, ["node", "dist"]] \
+            .astype({"node": "int64", "dist": "float64"})
+        if fresh.empty:
+            return dist_part, _empty()
+        keep = dist_part[~dist_part["node"].isin(fresh["node"])]
+        return (pd.concat([keep, fresh], ignore_index=True), fresh)
+
+    @ray.remote
+    def nrows(df: pd.DataFrame) -> int:
+        return len(df)
+
+    blocks = edges_ds.to_pandas_refs()
+    routed = [route_out.options(num_returns=P).remote(b) for b in blocks]
+    if P == 1:
+        routed = [[r] for r in routed]
+    edge_parts = [concat_edges.remote(*[r[p] for r in routed])
+                  for p in range(P)]
+
+    owner = int(_part_of(np.array([source], dtype=np.int64), P)[0])
+    seed = pd.DataFrame({"node": [source], "dist": [0.0]}) \
+        .astype({"node": "int64", "dist": "float64"})
+    dists = [ray.put(seed if p == owner else _empty()) for p in range(P)]
+    frontier = [ray.put(seed if p == owner else _empty())
+                for p in range(P)]
+
+    for _ in range(max_rounds):
+        msgs = [relax.options(num_returns=P)
+                .remote(edge_parts[p], frontier[p]) for p in range(P)]
+        if P == 1:
+            msgs = [[m] for m in msgs]
+        pairs = [absorb.remote(dists[q], *[msgs[p][q] for p in range(P)])
+                 for q in range(P)]
+        dists = [pr[0] for pr in pairs]
+        frontier = [pr[1] for pr in pairs]
+        improved = sum(ray.get([nrows.remote(f) for f in frontier]))
+        if improved == 0:
+            break
+    else:
+        import logging
+        logging.getLogger(__name__).warning(
+            "sssp_distances: %d rounds exhausted while distances were "
+            "still improving — result may be non-minimal; raise "
+            "max_rounds", max_rounds)
+
+    out = pd.concat(ray.get(dists), ignore_index=True)
+    return out.sort_values("node").reset_index(drop=True)

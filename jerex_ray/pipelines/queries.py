@@ -4251,6 +4251,150 @@ def emb_knn_graph(sf_dir: str, *, k: int = 5):
         .sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def emb_hard_negatives(sf_dir: str, *, k: int = 5):
+    """Contrastive hard-negative mining: for every anchor vector, the
+    k most cosine-similar vectors carrying a DIFFERENT label — the
+    batch-construction primitive for contrastive/metric training
+    (hardest negatives dominate the gradient signal).
+
+    Scale shape: one broadcast of the anchor matrix + labels, one
+    streaming pass over the corpus with a label-masked variant of the
+    oracle-proven partial-top-k kernel (``ops/ann.brute_force_topk``)
+    — the mask is one boolean compare per batch, so hard-negative
+    mining costs exactly what the kNN graph costs. Oracled by the
+    label-inequality cross-join row_number SQL."""
+    from jerex_ray.ops.ann import brute_force_topk
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+    df = ds.to_pandas()
+    order = np.argsort(df["vec_id"].to_numpy())
+    ids = df["vec_id"].to_numpy()[order]
+    labels = df["label"].to_numpy()[order]
+    mat = np.stack(df["embedding"].to_numpy()[order])
+    top = brute_force_topk(ds, mat, k=k, query_labels=labels)
+    top["src"] = ids[top["query_idx"].to_numpy()]
+    return pd.DataFrame({"src": top["src"].to_numpy().astype("int64"),
+                         "dst": top["vec_id"].to_numpy().astype("int64")}) \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def emb_label_outliers(sf_dir: str, *, frac: float = 0.05):
+    """Label-conditional outlier flagging (the data-cleaning pass that
+    catches mislabeled / off-distribution examples): the ``frac``
+    least-typical vectors per label, by cosine similarity to their own
+    label's centroid — a rank cutoff, not a score threshold, so the
+    decision is count-exact and immune to float-boundary flakiness.
+
+    Scale shape: centroids come from the oracle-proven partial-sum
+    pass (``ops/embed.label_centroids``, round-6 parity) and broadcast
+    as one tiny matrix; similarities are one vectorized pass; the
+    per-label rank cutoff is a ``grouped_apply`` over (vec_id, label,
+    cos) rows — 3 scalar columns, never the vectors — with the
+    per-label take bounded by ``frac`` × label size."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.ops.embed import label_centroids
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+    cdf = label_centroids(ds)
+    cents = {int(lab): g.sort_values("dim")["centroid"]
+             .to_numpy(np.float64)
+             for lab, g in cdf.groupby("label")}
+    c_ref = ray.put(cents)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(c_ref)
+        if batch.empty:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "label": pd.Series(dtype="int64"),
+                                 "cos_sim": pd.Series(dtype="float64")})
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        labels = batch["label"].to_numpy()
+        cos = np.empty(len(batch), dtype=np.float64)
+        for lab in np.unique(labels):
+            m = labels == lab
+            c = cmap[int(lab)]
+            v = mat[m]
+            # dot / (|v|·|c|) — the same op order as the oracle's
+            # list_cosine_similarity, so parity holds to summation
+            # noise (≪ the round-6 output grid and any rank gap)
+            cos[m] = (v @ c) / (np.linalg.norm(v, axis=1)
+                                * np.linalg.norm(c))
+        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(),
+                             "label": labels.astype("int64"),
+                             "cos_sim": cos})
+
+    scored = ds.map_batches(score, batch_format="pandas")
+
+    def cutoff(df: pd.DataFrame) -> pd.DataFrame:
+        # a block holds one or more WHOLE label groups — cut per label
+        return df.sort_values(["cos_sim", "vec_id"]) \
+            .groupby("label", sort=False, group_keys=False) \
+            .apply(lambda g: g.head(int(np.ceil(frac * len(g)))))
+
+    out = grouped_apply(scored, ["label"], cutoff).to_pandas()
+    out["cos_sim"] = out["cos_sim"].round(6)
+    out["label"] = out["label"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out[["label", "vec_id", "cos_sim"]] \
+        .sort_values(["label", "vec_id"]).reset_index(drop=True)
+
+
+def q_part_sssp(sf_dir: str):
+    """Weighted single-source shortest paths over the part co-purchase
+    graph from part 1: edge cost 1 between strongly-tied parts
+    (co-purchased in ≥2 distinct orders), cost 2 for weak ties — the
+    weighted sibling of ``q_part_bfs``.
+
+    Scale shape: per-order pair generation is block-local
+    (``grouped_apply``), shared-order counts reduce through the
+    combiner, and the relaxation runs on the Bellman-Ford BSP grid
+    (``ops/graph.sssp_distances``) with per-round traffic bounded by
+    the improving frontier. Integer costs make the relaxation
+    arithmetic engine-exact; oracled by a recursive-CTE with UNION
+    dedup."""
+    from jerex_ray.functions.aggregate import (grouped_aggregate,
+                                               grouped_apply)
+    from jerex_ray.ops.graph import sssp_distances
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"a": m["l_partkey_x"].to_numpy(),
+                             "b": m["l_partkey_y"].to_numpy()})
+
+    pairs = grouped_apply(li, ["l_orderkey"], pairs_block)
+    cnt = grouped_aggregate(pairs, ["a", "b"], {"cnt": (None, "count")},
+                            result_hint="large")
+    weighted = cnt.map_batches(
+        lambda df: pd.DataFrame(
+            {"a": df["a"].to_numpy(),
+             "b": df["b"].to_numpy(),
+             "w": np.where(df["cnt"].to_numpy() >= 2, 1.0, 2.0)})
+        if not df.empty else pd.DataFrame(
+            {"a": pd.Series(dtype="int64"),
+             "b": pd.Series(dtype="int64"),
+             "w": pd.Series(dtype="float64")}),
+        batch_format="pandas")
+    out = sssp_distances(weighted, 1, src="a", dst="b", weight="w")
+    out["node"] = out["node"].astype("int64")
+    out["dist"] = out["dist"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -4372,6 +4516,9 @@ def build_queries() -> dict:
         "q20_dominant_suppliers": R.q20_dominant_suppliers,
         "q_events_ewma": q_events_ewma,
         "emb_knn_graph": emb_knn_graph,
+        "emb_hard_negatives": emb_hard_negatives,
+        "emb_label_outliers": emb_label_outliers,
+        "q_part_sssp": q_part_sssp,
         "doc_shuffle_order": doc_shuffle_order,
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q14_promo_revenue": R.q14_promo_revenue,
@@ -6125,6 +6272,63 @@ def _build_oracle_sql_literal() -> dict:
             WHERE late = 1 AND n_supp > 1 AND n_late = 1
             GROUP BY s_name
             ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "emb_hard_negatives": """
+            SELECT src, dst FROM (
+                SELECT q.vec_id AS src, e.vec_id AS dst,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding, q.embedding) DESC,
+                                    e.vec_id) AS rk
+                FROM embeddings q JOIN embeddings e
+                  ON e.label <> q.label
+            ) WHERE rk <= 5 ORDER BY src, dst
+        """,
+        "emb_label_outliers": """
+            WITH e AS (
+                SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings),
+            c AS MATERIALIZED (
+                SELECT label, list(round(av, 6) ORDER BY dim)
+                           AS centroid
+                FROM (SELECT label, dim, avg(CAST(v AS DOUBLE)) AS av
+                      FROM e GROUP BY 1, 2)
+                GROUP BY label),
+            d AS MATERIALIZED (
+                SELECT vec_id, emb.label,
+                       list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]), centroid)
+                           AS cos_sim,
+                       count(*) OVER (PARTITION BY emb.label) AS n,
+                       row_number() OVER (PARTITION BY emb.label
+                           ORDER BY list_cosine_similarity(
+                               CAST(embedding AS DOUBLE[]), centroid),
+                                    vec_id) AS rk
+                FROM embeddings emb JOIN c USING (label))
+            SELECT CAST(label AS BIGINT) AS label, vec_id,
+                   round(cos_sim, 6) AS cos_sim
+            FROM d WHERE rk <= ceil(0.05 * n)
+            ORDER BY label, vec_id
+        """,
+        "q_part_sssp": """
+            WITH RECURSIVE pairs AS MATERIALIZED (
+                SELECT a.l_partkey AS u, b.l_partkey AS v,
+                       CASE WHEN count(DISTINCT a.l_orderkey) >= 2
+                            THEN 1 ELSE 2 END AS w
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey <> b.l_partkey
+                GROUP BY 1, 2),
+            sp(node, dist) AS (
+                SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT p.v, sp.dist + p.w
+                FROM sp JOIN pairs p ON p.u = sp.node
+                WHERE sp.dist < 24)
+            SELECT node, min(dist) AS dist
+            FROM sp GROUP BY node ORDER BY node
         """,
         "q2_min_cost_supplier": """
             WITH ps AS MATERIALIZED (

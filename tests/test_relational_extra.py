@@ -200,3 +200,69 @@ def test_q20_winners_exceed_the_share_and_losers_do_not():
                         columns=["s_suppkey", "s_name"]).to_pandas()
     exp = set(sup.loc[sup["s_suppkey"].isin(winners), "s_name"])
     assert set(out["s_name"]) == exp
+
+
+def test_hard_negatives_are_topk_among_other_labels():
+    from jerex_ray.pipelines.queries import emb_hard_negatives
+    out = emb_hard_negatives(SF, k=5)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    lab_of = dict(zip(ids, labels))
+    for src, g in out.groupby("src"):
+        i = int(np.searchsorted(ids, src))
+        mask = labels != labels[i]
+        order = np.lexsort((ids[mask], -sims[i][mask]))
+        expect = set(ids[mask][order][:5])
+        assert set(g["dst"]) == expect, src
+        assert all(lab_of[d] != labels[i] for d in g["dst"])
+
+
+def test_label_outliers_flag_the_least_typical_per_label():
+    from jerex_ray.pipelines.queries import emb_label_outliers
+    out = emb_label_outliers(SF, frac=0.05)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    for lab, g in emb.groupby("label"):
+        take = int(np.ceil(0.05 * len(g)))
+        flagged = out[out["label"] == lab]
+        assert len(flagged) == take
+        # flagged similarities are the per-label minimum block
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        c = mat.mean(axis=0).round(6)
+        cos = (mat @ c) / (np.linalg.norm(mat, axis=1)
+                           * np.linalg.norm(c))
+        cut = np.sort(cos)[take - 1]
+        assert (np.sort(cos[np.isin(g["vec_id"].to_numpy(),
+                                    flagged["vec_id"])])
+                <= cut + 1e-9).all()
+
+
+def test_sssp_matches_dijkstra_on_a_known_graph():
+    import ray.data as rd
+    from jerex_ray.ops.graph import sssp_distances
+    import heapq as hq
+    edges = pd.DataFrame({
+        "a": [1, 1, 2, 3, 4, 5, 7],
+        "b": [2, 3, 4, 4, 5, 6, 8],
+        "w": [2.0, 1.0, 2.0, 5.0, 1.0, 3.0, 1.0]})
+    out = sssp_distances(rd.from_pandas(edges), 1, num_partitions=3)
+    adj = {}
+    for _, r in edges.iterrows():
+        adj.setdefault(int(r.a), []).append((int(r.b), r.w))
+        adj.setdefault(int(r.b), []).append((int(r.a), r.w))
+    dist, pqueue = {1: 0.0}, [(0.0, 1)]
+    while pqueue:
+        d, u = hq.heappop(pqueue)
+        if d > dist.get(u, np.inf):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, np.inf):
+                dist[v] = nd
+                hq.heappush(pqueue, (nd, v))
+    got = dict(zip(out["node"], out["dist"]))
+    assert got == dist            # 7/8 unreachable: absent from both
