@@ -828,3 +828,47 @@ def source_kl(docs_ds, *, k: float = 0.5,
                         "kl_bits": (present_mass
                                     + missing_mass).round(6)})
     return out.sort_values("source").reset_index(drop=True)
+
+
+def feature_hash(ds, *, n_buckets: int = 32, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Hashing-trick featurization (Weinberger et al. '09): every word
+    occurrence lands in ``md5(word) % n_buckets`` with a ±1 sign drawn
+    from an independent md5 bit, summed per (doc, bucket) — fixed-width
+    sparse features with no vocabulary pass and no shuffle (each doc's
+    row is complete inside its batch). Emits only nonzero buckets as
+    long-form (doc, bucket, feat) rows.
+
+    md5-derived hash and sign mean a SQL oracle can replay the exact
+    same buckets/signs (``util.md5_hash64`` ≡ DuckDB
+    ``CAST('0x'||substr(md5(w),1,16) AS UBIGINT)``); signs use bit 8 so
+    they are independent of the bucket bits for small ``n_buckets``.
+
+    Engine extension (SURVEY.md §2.8 adjacency): the featurizer that
+    feeds ``doc_quality_logreg``-style models at corpus scale."""
+    from jerex_ray.util import md5_hash64_batch
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "bucket": pd.Series(dtype="int64"),
+                              "feat": pd.Series(dtype="int64")})
+        if batch.empty:
+            return empty
+        words = batch[text_col].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).astype(int).to_numpy()
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate([w for w in words if len(w)])
+        doc = np.repeat(batch[id_col].to_numpy(np.int64), lens)
+        h = md5_hash64_batch(flat).astype(np.uint64)
+        bucket = (h % np.uint64(n_buckets)).astype(np.int64)
+        sign = np.where((h >> np.uint64(8)) % np.uint64(2) == 1, 1, -1) \
+            .astype(np.int64)
+        df = pd.DataFrame({id_col: doc, "bucket": bucket, "sign": sign})
+        agg = df.groupby([id_col, "bucket"], as_index=False)["sign"].sum()
+        agg = agg[agg["sign"] != 0]
+        return pd.DataFrame({id_col: agg[id_col].to_numpy(),
+                             "bucket": agg["bucket"].to_numpy(),
+                             "feat": agg["sign"].to_numpy()})
+
+    return ds.map_batches(per_batch, batch_format="pandas")

@@ -4395,6 +4395,102 @@ def q_part_sssp(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def doc_feature_hash(sf_dir: str, *, n_buckets: int = 32):
+    """Hashing-trick bag-of-words featurization of every document
+    (``ops/textstats.feature_hash``): md5 bucket + independent md5
+    sign bit, nonzero (doc, bucket, feat) rows. One streaming pass,
+    no vocabulary, no shuffle; oracled bit-for-bit via the md5-replay
+    SQL."""
+    from jerex_ray.ops.textstats import feature_hash
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = feature_hash(ds, n_buckets=n_buckets).to_pandas()
+    for c in ("doc_id", "bucket", "feat"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+
+
+def q_events_max_concurrency(sf_dir: str):
+    """Peak concurrent sessions (each event occupies
+    [ts, ts + value minutes)): the classic +1/−1 endpoint sweep, made
+    distributed — endpoint explode, per-timestamp net delta (combiner
+    aggregate), then the EXACT distributed prefix sum over time
+    (quantile range buckets → per-bucket totals → broadcast offsets →
+    in-bucket cumsum), with the max and its earliest timestamp
+    composed from per-bucket (total, best, best_t) partials on the
+    driver — 2×#events endpoint rows never collect. Integer deltas
+    and integer-microsecond times make every comparison engine-exact.
+    The within-timestamp peak always lands on the post-group value
+    (ends at t sort before starts only across groups; inside one t the
+    running value dips then rises), so per-t grouping is lossless."""
+    import ray
+
+    from jerex_ray.functions.aggregate import (grouped_aggregate,
+                                               grouped_apply)
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"t_us": pd.Series(dtype="int64"),
+                                 "d": pd.Series(dtype="int64")})
+        start = df["ts"].astype("int64").to_numpy()
+        # DuckDB CAST(DOUBLE AS BIGINT) rounds half-away-from-zero;
+        # numpy astype truncates — mirror the cast (durations > 0)
+        dur = np.floor(df["value"].to_numpy(np.float64)
+                       * 60000000.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "t_us": np.concatenate([start, start + dur]),
+            "d": np.concatenate([np.ones(len(df), dtype=np.int64),
+                                 -np.ones(len(df), dtype=np.int64)])})
+
+    nd = grouped_aggregate(ds.map_batches(endpoints,
+                                          batch_format="pandas"),
+                           ["t_us"], {"nd": ("d", "sum")},
+                           result_hint="large").materialize()
+    qs = [i / 16 for i in range(1, 16)]
+    pivots = np.unique(np.asarray(
+        distributed_quantiles(nd, "t_us", qs), dtype=np.float64))
+    piv_ref = ray.put(pivots)
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__b"] = np.searchsorted(
+            ray.get(piv_ref), df["t_us"].to_numpy(np.float64),
+            side="left").astype(np.int64)
+        return out
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for b, g in df.groupby("__b", sort=False):
+            g = g.sort_values("t_us")
+            cum = g["nd"].to_numpy(np.int64).cumsum()
+            i = int(np.argmax(cum))          # first peak in the bucket
+            rows.append((int(b), int(cum[-1]), int(cum[i]),
+                         int(g["t_us"].to_numpy()[i])))
+        return pd.DataFrame(rows, columns=["__b", "total", "best",
+                                           "best_t"])
+
+    parts = grouped_apply(nd.map_batches(with_bucket,
+                                         batch_format="pandas"),
+                          ["__b"], bucket_partial).to_pandas() \
+        .sort_values("__b")
+    offsets = np.concatenate(
+        ([0], parts["total"].to_numpy(np.int64).cumsum()[:-1]))
+    cand = offsets + parts["best"].to_numpy(np.int64)
+    peak = int(cand.max())
+    first = int(np.argmax(cand == peak))     # buckets are time-ordered
+    at_us = int(parts["best_t"].to_numpy()[first])
+    return pd.DataFrame({
+        "max_concurrency": pd.Series([peak], dtype="int64"),
+        "at_ts": [pd.Timestamp(at_us, unit="us")]})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -4519,6 +4615,8 @@ def build_queries() -> dict:
         "emb_hard_negatives": emb_hard_negatives,
         "emb_label_outliers": emb_label_outliers,
         "q_part_sssp": q_part_sssp,
+        "doc_feature_hash": doc_feature_hash,
+        "q_events_max_concurrency": q_events_max_concurrency,
         "doc_shuffle_order": doc_shuffle_order,
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q14_promo_revenue": R.q14_promo_revenue,
@@ -6272,6 +6370,39 @@ def _build_oracle_sql_literal() -> dict:
             WHERE late = 1 AND n_supp > 1 AND n_late = 1
             GROUP BY s_name
             ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "doc_feature_hash": """
+            WITH w AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(unnest(
+                           string_split(lower(text), ' '))), 1, 16)
+                           AS UBIGINT) AS h
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id,
+                       CAST(h % 32 AS BIGINT) AS bucket,
+                       sum(CASE WHEN (h >> 8) % 2 = 1
+                           THEN 1 ELSE -1 END) AS feat
+                FROM w GROUP BY 1, 2
+            )
+            SELECT doc_id, bucket, CAST(feat AS BIGINT) AS feat
+            FROM f WHERE feat <> 0
+            ORDER BY doc_id, bucket
+        """,
+        "q_events_max_concurrency": """
+            WITH ep AS (
+                SELECT epoch_us(ts) AS t, 1 AS d FROM events
+                UNION ALL
+                SELECT epoch_us(ts)
+                       + CAST(value * 60000000.0 AS BIGINT), -1
+                FROM events),
+            g AS (SELECT t, sum(d) AS nd FROM ep GROUP BY t),
+            c AS (SELECT t,
+                         sum(nd) OVER (ORDER BY t) AS cum FROM g)
+            SELECT CAST(cum AS BIGINT) AS max_concurrency,
+                   make_timestamp(t) AS at_ts
+            FROM c ORDER BY cum DESC, t LIMIT 1
         """,
         "emb_hard_negatives": """
             SELECT src, dst FROM (

@@ -266,3 +266,40 @@ def test_sssp_matches_dijkstra_on_a_known_graph():
                 hq.heappush(pqueue, (nd, v))
     got = dict(zip(out["node"], out["dist"]))
     assert got == dist            # 7/8 unreachable: absent from both
+
+
+def test_feature_hash_replays_md5_buckets_and_signs():
+    from jerex_ray.pipelines.queries import doc_feature_hash
+    from jerex_ray.util import md5_hash64
+    out = doc_feature_hash(SF, n_buckets=32)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    for _, r in docs.head(5).iterrows():
+        feats = {}
+        for w in r["text"].lower().split():
+            h = md5_hash64(w)
+            b = h % 32
+            feats[b] = feats.get(b, 0) + (1 if (h >> 8) % 2 else -1)
+        feats = {b: v for b, v in feats.items() if v != 0}
+        got = out[out["doc_id"] == r["doc_id"]]
+        assert dict(zip(got["bucket"], got["feat"])) == feats
+
+
+def test_max_concurrency_matches_serial_sweep():
+    from jerex_ray.pipelines.queries import q_events_max_concurrency
+    out = q_events_max_concurrency(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    start = ev["ts"].astype("int64").to_numpy()
+    dur = np.floor(ev["value"].to_numpy(np.float64)
+                   * 60000000.0 + 0.5).astype(np.int64)
+    t = np.concatenate([start, start + dur])
+    d = np.concatenate([np.ones(len(ev), dtype=np.int64),
+                        -np.ones(len(ev), dtype=np.int64)])
+    df = pd.DataFrame({"t": t, "d": d}).groupby("t", as_index=False) \
+        .sum().sort_values("t")
+    cum = df["d"].to_numpy().cumsum()
+    i = int(np.argmax(cum))
+    assert int(out["max_concurrency"][0]) == int(cum[i])
+    assert out["at_ts"][0] == pd.Timestamp(int(df["t"].to_numpy()[i]),
+                                           unit="us")
