@@ -226,3 +226,48 @@ def grouped_mode(ds, keys: list[str], *, value_col: str,
                               batch_size=65536)
     return grouped_apply(partials, keys, elect,
                          num_partitions=num_partitions)
+
+
+def partial_states(ds, keys: list[str], specs: dict[str, tuple],
+                   *, num_partitions: int | None = None,
+                   batch_size: int = 65536):
+    """Grouped aggregation STOPPED at the mergeable partial state —
+    the combiner's accumulator columns (mean kept as sum/count), one
+    row per key per partition after a hash co-location. The state is a
+    plain Dataset: write it to parquet next to the result and the next
+    ingest increment never re-reads history (incremental view
+    maintenance). Finish or fold increments with ``merge_states``."""
+    if isinstance(keys, str):
+        keys = [keys]
+    from jerex_ray.runtime import configure_data_context
+    configure_data_context(ds=ds)
+    partial = ds.map_batches(_partial_fn(keys, specs),
+                             batch_format="pandas", batch_size=batch_size)
+    np_ = shuffle_partitions(num_partitions)
+    return partial.repartition(np_, keys=keys, sort=False) \
+        .map_batches(_merge_fn(keys, specs, finalize=False),
+                     batch_format="pandas", batch_size=None)
+
+
+def merge_states(states, keys: list[str], specs: dict[str, tuple],
+                 *, num_partitions: int | None = None,
+                 finalize: bool = True):
+    """Fold any number of ``partial_states`` Datasets into one —
+    ``finalize=True`` yields the final aggregate (what a full
+    recompute over the union of the inputs would return, exactly:
+    the merge is associative and commutative), ``finalize=False``
+    yields the folded state for the next increment. Union + hash
+    co-location + one vectorized per-block merge; cost scales with
+    the STATE size (keys), never the ingested history."""
+    if isinstance(keys, str):
+        keys = [keys]
+    states = list(states)
+    u = states[0]
+    if len(states) > 1:
+        u = u.union(*states[1:])
+    from jerex_ray.runtime import configure_data_context
+    configure_data_context(ds=u)
+    np_ = shuffle_partitions(num_partitions)
+    return u.repartition(np_, keys=keys, sort=False) \
+        .map_batches(_merge_fn(keys, specs, finalize=finalize),
+                     batch_format="pandas", batch_size=None)

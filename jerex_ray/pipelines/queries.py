@@ -4491,6 +4491,114 @@ def q_events_max_concurrency(sf_dir: str):
         "at_ts": [pd.Timestamp(at_us, unit="us")]})
 
 
+def q_events_incremental_hourly(sf_dir: str):
+    """Incremental view maintenance of the hourly-by-type rollup:
+    the history (event_id % 10 ≠ 0) is folded ONCE into mergeable
+    partial states (``functions/aggregate.partial_states``), the
+    incoming shard (event_id % 10 = 0) into its own, and
+    ``merge_states`` folds state+delta into the final view — the
+    invariant (and the oracle) is exact equality with a full
+    recompute over all events, including the mean's sum/count state
+    split. Cost of an increment scales with |keys| + |delta|, never
+    the ingested history."""
+    from jerex_ray.functions.aggregate import merge_states, partial_states
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "event_type",
+                                     "value"])
+
+    def prep(which):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["event_id"].to_numpy() % 10 == 0)
+            if which == "base":
+                m = ~m
+            d = df.loc[m]
+            return pd.DataFrame({
+                "event_type": d["event_type"].to_numpy(),
+                "hour": d["ts"].dt.floor("h").to_numpy(),
+                "value": d["value"].to_numpy(np.float64)})
+        return fn
+
+    keys = ["event_type", "hour"]
+    specs = {"n_events": (None, "count"),
+             "sum_value": ("value", "sum"),
+             "avg_value": ("value", "mean")}
+    base = partial_states(
+        ds.map_batches(prep("base"), batch_format="pandas"), keys, specs) \
+        .materialize()                       # the "stored" state
+    delta = partial_states(
+        ds.map_batches(prep("delta"), batch_format="pandas"), keys, specs)
+    out = merge_states([base, delta], keys, specs).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    out["avg_value"] = out["avg_value"].round(6)
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def emb_triplets(sf_dir: str):
+    """Training-triplet construction for metric learning: per anchor,
+    one deterministic pseudo-random SAME-label positive (smallest
+    md5("anchor:candidate") — reproducible across runs and replayable
+    by the SQL oracle) and the HARDEST different-label negative (the
+    label-masked top-1 cosine kernel). (anchor, pos, neg) feeds a
+    triplet/InfoNCE loss directly.
+
+    Scale shape: positives are label-co-located pair ranking inside
+    ``grouped_apply`` blocks (quadratic in LABEL size — fine for
+    classed corpora; document sharding for web-scale labels);
+    negatives are the one-pass broadcast-matrix scan shared with
+    ``emb_hard_negatives``."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.ops.ann import brute_force_topk
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.util import md5_hash64_batch
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+    df = ds.to_pandas()
+    order = np.argsort(df["vec_id"].to_numpy())
+    ids = df["vec_id"].to_numpy()[order]
+    labels = df["label"].to_numpy()[order]
+    mat = np.stack(df["embedding"].to_numpy()[order])
+
+    def positives(block: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_p = [], []
+        for _, g in block.groupby("label", sort=False):
+            gid = g["vec_id"].to_numpy(np.int64)
+            n = len(gid)
+            if n < 2:
+                continue
+            a = np.repeat(gid, n)
+            p = np.tile(gid, n)
+            keep = a != p
+            a, p = a[keep], p[keep]
+            h = md5_hash64_batch(
+                [f"{x}:{y}" for x, y in zip(a, p)]).astype(np.uint64)
+            pick = pd.DataFrame({"a": a, "p": p, "h": h}) \
+                .sort_values(["a", "h", "p"]) \
+                .groupby("a", sort=False).head(1)
+            out_a.append(pick["a"].to_numpy())
+            out_p.append(pick["p"].to_numpy())
+        if not out_a:
+            return pd.DataFrame({"anchor": pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64")})
+        return pd.DataFrame({"anchor": np.concatenate(out_a),
+                             "pos": np.concatenate(out_p)})
+
+    pos = grouped_apply(
+        ds.map_batches(lambda d: d[["vec_id", "label"]],
+                       batch_format="pandas"),
+        ["label"], positives).to_pandas()
+    top = brute_force_topk(ds, mat, k=1, query_labels=labels)
+    neg = pd.DataFrame({"anchor": ids[top["query_idx"].to_numpy()],
+                        "neg": top["vec_id"].to_numpy()})
+    out = pos.merge(neg, on="anchor")
+    for c in ("anchor", "pos", "neg"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("anchor").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -4617,6 +4725,8 @@ def build_queries() -> dict:
         "q_part_sssp": q_part_sssp,
         "doc_feature_hash": doc_feature_hash,
         "q_events_max_concurrency": q_events_max_concurrency,
+        "q_events_incremental_hourly": q_events_incremental_hourly,
+        "emb_triplets": emb_triplets,
         "doc_shuffle_order": doc_shuffle_order,
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q14_promo_revenue": R.q14_promo_revenue,
@@ -6389,6 +6499,42 @@ def _build_oracle_sql_literal() -> dict:
             SELECT doc_id, bucket, CAST(feat AS BIGINT) AS feat
             FROM f WHERE feat <> 0
             ORDER BY doc_id, bucket
+        """,
+        "emb_triplets": """
+            WITH pos AS MATERIALIZED (
+                SELECT anchor, pos FROM (
+                    SELECT a.vec_id AS anchor, p.vec_id AS pos,
+                           row_number() OVER (
+                               PARTITION BY a.vec_id
+                               ORDER BY CAST('0x' || substr(md5(
+                                   a.vec_id || ':' || p.vec_id), 1, 16)
+                                   AS UBIGINT), p.vec_id) AS rk
+                    FROM embeddings a JOIN embeddings p
+                      ON p.label = a.label AND p.vec_id <> a.vec_id)
+                WHERE rk = 1),
+            neg AS MATERIALIZED (
+                SELECT anchor, neg FROM (
+                    SELECT q.vec_id AS anchor, e.vec_id AS neg,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   e.embedding, q.embedding) DESC,
+                                        e.vec_id) AS rk
+                    FROM embeddings q JOIN embeddings e
+                      ON e.label <> q.label)
+                WHERE rk = 1)
+            SELECT anchor, pos, neg
+            FROM pos JOIN neg USING (anchor)
+            ORDER BY anchor
+        """,
+        "q_events_incremental_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY event_type, hour
         """,
         "q_events_max_concurrency": """
             WITH ep AS (

@@ -303,3 +303,60 @@ def test_max_concurrency_matches_serial_sweep():
     assert int(out["max_concurrency"][0]) == int(cum[i])
     assert out["at_ts"][0] == pd.Timestamp(int(df["t"].to_numpy()[i]),
                                            unit="us")
+
+
+def test_incremental_hourly_equals_full_recompute():
+    from jerex_ray.pipelines.queries import q_events_incremental_hourly
+    out = q_events_incremental_hourly(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type", "value"]).to_pandas()
+    ev["hour"] = ev["ts"].dt.floor("h")
+    full = ev.groupby(["event_type", "hour"], as_index=False) \
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"),
+             avg_value=("value", "mean")) \
+        .sort_values(["event_type", "hour"]).reset_index(drop=True)
+    assert len(out) == len(full)
+    assert (out["n_events"].to_numpy()
+            == full["n_events"].to_numpy()).all()
+    assert np.allclose(out["sum_value"], full["sum_value"].round(2))
+    assert np.allclose(out["avg_value"], full["avg_value"], atol=2e-6)
+
+
+def test_merge_states_is_associative_across_split_points():
+    import ray.data as rd
+    from jerex_ray.functions.aggregate import (grouped_aggregate,
+                                               merge_states,
+                                               partial_states)
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"k": rng.randint(0, 5, 200),
+                       "v": rng.randn(200)})
+    keys, specs = ["k"], {"n": (None, "count"), "m": ("v", "mean")}
+    full = grouped_aggregate(rd.from_pandas(df), keys, specs) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    for cut in (1, 50, 199):
+        s1 = partial_states(rd.from_pandas(df.iloc[:cut]), keys, specs)
+        s2 = partial_states(rd.from_pandas(df.iloc[cut:]), keys, specs)
+        got = merge_states([s1, s2], keys, specs).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert (got["n"].to_numpy() == full["n"].to_numpy()).all()
+        assert np.allclose(got["m"], full["m"])
+
+
+def test_triplets_have_valid_labels_and_hardest_negative():
+    from jerex_ray.pipelines.queries import emb_triplets
+    out = emb_triplets(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    lab = dict(zip(emb["vec_id"], emb["label"]))
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    assert len(out) == len(emb)          # every anchor gets a triplet
+    for _, r in out.head(40).iterrows():
+        assert lab[r["anchor"]] == lab[r["pos"]] != lab[r["neg"]]
+        i = int(np.searchsorted(ids, r["anchor"]))
+        mask = labels != labels[i]
+        best = np.lexsort((ids[mask], -sims[i][mask]))[0]
+        assert ids[mask][best] == r["neg"]
