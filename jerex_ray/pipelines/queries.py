@@ -4599,6 +4599,67 @@ def emb_triplets(sf_dir: str):
     return out.sort_values("anchor").reset_index(drop=True)
 
 
+def q_events_cusum(sf_dir: str):
+    """CUSUM change-point detection per event type: the timestamp
+    where the cumulative deviation from the type's mean peaks in
+    magnitude (the classic level-shift locator). Computed in EXACT
+    scaled integers — cusum_k · n = Σ_{i≤k} (n·cents_i) − k·Σcents —
+    so the argmax is an integer comparison with zero float-boundary
+    hazard on either engine.
+
+    Scale shape: one combiner pass for per-type (n, Σcents), broadcast
+    of that tiny frame, then the keyed ordered prefix sum
+    (hash co-location by type + in-block sort/cumsum, the
+    ``q_events_running_total`` shape). Ties on |cusum| break on
+    earliest (ts, event_id)."""
+    import ray
+
+    from jerex_ray.functions.aggregate import (grouped_aggregate,
+                                               grouped_apply)
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "event_type",
+                                     "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "ts": df["ts"].to_numpy(),
+            "event_type": df["event_type"].to_numpy(),
+            "cents": np.round(df["value"].to_numpy(np.float64)
+                              * 100).astype(np.int64)})
+
+    cds = ds.map_batches(cents, batch_format="pandas")
+    stats = grouped_aggregate(cds, ["event_type"],
+                              {"n": (None, "count"),
+                               "s": ("cents", "sum")}).to_pandas()
+    st_ref = ray.put({t: (int(n), int(s)) for t, n, s in
+                      zip(stats["event_type"], stats["n"], stats["s"])})
+
+    def peak(block: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        sm = ray.get(st_ref)
+        for t, g in block.groupby("event_type", sort=False):
+            n, s = sm[t]
+            g = g.sort_values(["ts", "event_id"])
+            # n·cusum_k = Σ_{i≤k} n·cents_i − k·s, all int64
+            cum = (np.int64(n) * g["cents"].to_numpy(np.int64)).cumsum() \
+                - np.arange(1, len(g) + 1, dtype=np.int64) * np.int64(s)
+            i = int(np.argmax(np.abs(cum)))   # first peak wins
+            v = float(cum[i]) / (n * 100.0)
+            # half-away rounding mirrors DuckDB round()
+            rows.append((t, int(g["event_id"].to_numpy()[i]),
+                         float(np.copysign(
+                             np.floor(abs(v) * 1e6 + 0.5), v)) / 1e6))
+        return pd.DataFrame(rows, columns=["event_type", "at_event_id",
+                                           "peak_cusum"])
+
+    out = grouped_apply(cds, ["event_type"], peak).to_pandas()
+    out["at_event_id"] = out["at_event_id"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -4727,6 +4788,7 @@ def build_queries() -> dict:
         "q_events_max_concurrency": q_events_max_concurrency,
         "q_events_incremental_hourly": q_events_incremental_hourly,
         "emb_triplets": emb_triplets,
+        "q_events_cusum": q_events_cusum,
         "doc_shuffle_order": doc_shuffle_order,
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q14_promo_revenue": R.q14_promo_revenue,
@@ -6499,6 +6561,29 @@ def _build_oracle_sql_literal() -> dict:
             SELECT doc_id, bucket, CAST(feat AS BIGINT) AS feat
             FROM f WHERE feat <> 0
             ORDER BY doc_id, bucket
+        """,
+        "q_events_cusum": """
+            WITH c AS MATERIALIZED (
+                SELECT event_id, ts, event_type,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents
+                FROM events),
+            s AS (SELECT event_type, count(*) AS n, sum(cents) AS sc
+                  FROM c GROUP BY 1),
+            p AS (
+                SELECT c.event_type, event_id, ts, n,
+                       sum(n * cents) OVER w
+                       - row_number() OVER w * sc AS cum
+                FROM c JOIN s USING (event_type)
+                WINDOW w AS (PARTITION BY c.event_type
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING))
+            SELECT event_type, at_event_id, peak_cusum FROM (
+                SELECT event_type, event_id AS at_event_id,
+                       round(cum / (n * 100.0), 6) AS peak_cusum,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY abs(cum) DESC, ts, event_id) AS rk
+                FROM p)
+            WHERE rk = 1 ORDER BY event_type
         """,
         "emb_triplets": """
             WITH pos AS MATERIALIZED (

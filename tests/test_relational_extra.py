@@ -360,3 +360,22 @@ def test_triplets_have_valid_labels_and_hardest_negative():
         mask = labels != labels[i]
         best = np.lexsort((ids[mask], -sims[i][mask]))[0]
         assert ids[mask][best] == r["neg"]
+
+
+def test_cusum_matches_serial_integer_recursion():
+    from jerex_ray.pipelines.queries import q_events_cusum
+    out = q_events_cusum(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "event_type",
+                                "value"]).to_pandas()
+    ev["cents"] = np.round(ev["value"].to_numpy(np.float64)
+                           * 100).astype(np.int64)
+    for t, g in ev.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        n, s = len(g), int(g["cents"].sum())
+        cum = (np.int64(n) * g["cents"].to_numpy(np.int64)).cumsum() \
+            - np.arange(1, n + 1, dtype=np.int64) * np.int64(s)
+        i = int(np.argmax(np.abs(cum)))
+        row = out[out["event_type"] == t].iloc[0]
+        assert row["at_event_id"] == g["event_id"].to_numpy()[i]
+        assert abs(row["peak_cusum"] - cum[i] / (n * 100.0)) < 1e-6
