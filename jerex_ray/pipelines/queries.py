@@ -4660,6 +4660,116 @@ def q_events_cusum(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _round_half_away(x, decimals: int):
+    """DuckDB ``round()`` is half-away-from-zero; numpy/python round
+    half-even — mirror DuckDB wherever rounded values feed comparisons
+    or output hashes."""
+    x = np.asarray(x, dtype=np.float64)
+    s = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s
+
+
+def q_events_psi(sf_dir: str, *, n_buckets: int = 10):
+    """Population Stability Index between the reference half
+    (event_id % 2 = 0) and the current half of the value stream — the
+    standard drift monitor for feature pipelines. Bucket boundaries
+    are the reference half's exact type-7 deciles (the shuffle-free
+    quantile selection), rounded half-away to 4 dp on BOTH engines so
+    every 2-dp value compares identically against them; shares are
+    Laplace-smoothed so empty current buckets stay finite.
+
+    Scale shape: three quantile passes + two counting passes, all
+    combiner-reduced; only (buckets × 2) counts reach the driver."""
+    import ray
+
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+    ref = ds.map_batches(
+        lambda df: df.loc[df["event_id"] % 2 == 0, ["value"]],
+        batch_format="pandas")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    pivots = _round_half_away(distributed_quantiles(ref, "value", qs), 4)
+    piv_ref = ray.put(np.asarray(pivots, dtype=np.float64))
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(piv_ref)
+        half = (df["event_id"].to_numpy() % 2).astype(np.int64)
+        b = np.searchsorted(p, df["value"].to_numpy(np.float64),
+                            side="left").astype(np.int64)
+        g = pd.DataFrame({"half": half, "bucket": b}) \
+            .groupby(["half", "bucket"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    c = grouped_aggregate(ds.map_batches(counts, batch_format="pandas"),
+                          ["half", "bucket"], {"n": ("n", "sum")}) \
+        .to_pandas()
+    full = pd.MultiIndex.from_product(
+        [[0, 1], range(n_buckets)], names=["half", "bucket"]).to_frame(
+        index=False)
+    c = full.merge(c, on=["half", "bucket"], how="left").fillna(0)
+    piv = c.pivot(index="bucket", columns="half", values="n") \
+        .sort_index()
+    n0, n1 = float(piv[0].sum()), float(piv[1].sum())
+    p = (piv[0].to_numpy(np.float64) + 0.5) / (n0 + 0.5 * n_buckets)
+    q = (piv[1].to_numpy(np.float64) + 0.5) / (n1 + 0.5 * n_buckets)
+    psi = float(((p - q) * np.log(p / q)).sum())
+    return pd.DataFrame({
+        "psi": [float(_round_half_away(psi, 6))],
+        "n_ref": pd.Series([int(n0)], dtype="int64"),
+        "n_cur": pd.Series([int(n1)], dtype="int64")})
+
+
+def q_events_debounce(sf_dir: str, *, gap_minutes: int = 5):
+    """Debounce: drop events repeating the same (user, type) within
+    ``gap_minutes`` of the PREVIOUS KEPT event (the sensor/telemetry
+    dedup that exact-key dedup can't express) — per key the serial
+    rule "keep iff ts − last_kept_ts > gap". Hash co-location per
+    user + in-block vectorized group scan; integer-microsecond
+    comparisons are engine-exact. Note the chained semantics: a burst
+    A,B,C at 3-minute spacing keeps only A (B is dropped, so C
+    compares against A) — the oracle replays this with a recursive
+    CTE, not a lag filter."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id",
+                                     "event_type", "ts"])
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def keep(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64")})
+        b = block.sort_values(["user_id", "event_type", "ts",
+                               "event_id"])
+        t = b["ts"].astype("int64").to_numpy()
+        out = []
+        # serial scan per (user, type) run — runs are short (events
+        # per user-type), the heavy lifting was the co-location
+        uid = b["user_id"].to_numpy()
+        ety = b["event_type"].to_numpy()
+        new_run = np.ones(len(b), dtype=bool)
+        new_run[1:] = (uid[1:] != uid[:-1]) | (ety[1:] != ety[:-1])
+        bounds = np.append(np.flatnonzero(new_run), len(b))
+        eid = b["event_id"].to_numpy()
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            last = None
+            for i in range(s, e):
+                if last is None or t[i] - last > gap_us:
+                    out.append(eid[i])
+                    last = t[i]
+        return pd.DataFrame({"event_id": np.asarray(out,
+                                                    dtype=np.int64)})
+
+    out = grouped_apply(ds, ["user_id"], keep).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -4789,6 +4899,8 @@ def build_queries() -> dict:
         "q_events_incremental_hourly": q_events_incremental_hourly,
         "emb_triplets": emb_triplets,
         "q_events_cusum": q_events_cusum,
+        "q_events_psi": q_events_psi,
+        "q_events_debounce": q_events_debounce,
         "doc_shuffle_order": doc_shuffle_order,
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q14_promo_revenue": R.q14_promo_revenue,
@@ -6561,6 +6673,64 @@ def _build_oracle_sql_literal() -> dict:
             SELECT doc_id, bucket, CAST(feat AS BIGINT) AS feat
             FROM f WHERE feat <> 0
             ORDER BY doc_id, bucket
+        """,
+        "q_events_psi": """
+            WITH pr AS MATERIALIZED (
+                SELECT round(unnest(quantile_cont(value,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])), 4)
+                    AS p
+                FROM events WHERE event_id % 2 = 0),
+            bkt AS MATERIALIZED (
+                SELECT event_id % 2 AS half,
+                       (SELECT count(*) FROM pr WHERE p < value)
+                           AS bucket
+                FROM events),
+            c AS (SELECT half, bucket, count(*) AS n
+                  FROM bkt GROUP BY 1, 2),
+            grid AS (SELECT h.half, g.bucket
+                     FROM (SELECT unnest([0, 1]) AS half) h,
+                          (SELECT unnest(generate_series(0, 9))
+                               AS bucket) g),
+            f AS (SELECT grid.half, grid.bucket,
+                         coalesce(n, 0) AS n
+                  FROM grid LEFT JOIN c
+                    ON c.half = grid.half AND c.bucket = grid.bucket),
+            tot AS (SELECT half, sum(n) AS nt FROM f GROUP BY 1),
+            sh AS (SELECT f.bucket,
+                          max(CASE WHEN f.half = 0
+                              THEN (n + 0.5) / (nt + 5.0) END) AS p,
+                          max(CASE WHEN f.half = 1
+                              THEN (n + 0.5) / (nt + 5.0) END) AS q
+                   FROM f JOIN tot USING (half) GROUP BY 1)
+            SELECT round(sum((p - q) * ln(p / q)), 6) AS psi,
+                   (SELECT count(*) FROM events
+                    WHERE event_id % 2 = 0) AS n_ref,
+                   (SELECT count(*) FROM events
+                    WHERE event_id % 2 = 1) AS n_cur
+            FROM sh
+        """,
+        "q_events_debounce": """
+            WITH RECURSIVE ord AS MATERIALIZED (
+                SELECT event_id, user_id, event_type,
+                       epoch_us(ts) AS t,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS rn
+                FROM events),
+            k AS (
+                SELECT event_id, user_id, event_type, t, rn,
+                       t AS last_t, TRUE AS kept
+                FROM ord WHERE rn = 1
+                UNION ALL
+                SELECT o.event_id, o.user_id, o.event_type, o.t, o.rn,
+                       CASE WHEN o.t - k.last_t > 300000000
+                            THEN o.t ELSE k.last_t END,
+                       o.t - k.last_t > 300000000
+                FROM k JOIN ord o
+                  ON o.user_id = k.user_id
+                 AND o.event_type = k.event_type
+                 AND o.rn = k.rn + 1)
+            SELECT event_id FROM k WHERE kept ORDER BY event_id
         """,
         "q_events_cusum": """
             WITH c AS MATERIALIZED (

@@ -379,3 +379,33 @@ def test_cusum_matches_serial_integer_recursion():
         row = out[out["event_type"] == t].iloc[0]
         assert row["at_event_id"] == g["event_id"].to_numpy()[i]
         assert abs(row["peak_cusum"] - cum[i] / (n * 100.0)) < 1e-6
+
+
+def test_debounce_chained_semantics():
+    from jerex_ray.pipelines.queries import q_events_debounce
+    out = set(q_events_debounce(SF, gap_minutes=5)["event_id"])
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "event_type",
+                                "ts"]).to_pandas()
+    gap = 5 * 60_000_000
+    expect = set()
+    for _, g in ev.groupby(["user_id", "event_type"]):
+        g = g.sort_values(["ts", "event_id"])
+        last = None
+        for _, r in g.iterrows():
+            t = int(r["ts"].value // 1000)   # ns → us
+            if last is None or t - last > gap:
+                expect.add(int(r["event_id"]))
+                last = t
+    assert out == expect
+
+
+def test_psi_is_zero_for_identical_halves_and_positive_for_shifted():
+    import ray.data as rd
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    # identical distributions → smoothed PSI ≈ 0
+    from jerex_ray.pipelines.queries import q_events_psi
+    out = q_events_psi(SF)
+    assert out["n_ref"][0] + out["n_cur"][0] == len(
+        pq.read_table(f"{SF}/events.parquet", columns=["event_id"]))
+    assert 0.0 <= out["psi"][0] < 0.5   # same generator → tiny drift
