@@ -1088,3 +1088,234 @@ def incremental_exact_dedup(incoming_ds, base_ds, *,
             on=("fp",), right_on=("fp",))
     return grouped_apply(fresh, ["fp"], _keep_min_doc_block,
                          num_partitions=num_partitions)
+
+
+def jaccard_edges_prefix(docs_ds, *, threshold: float = 0.7,
+                         col: str = "text", k: int = 3,
+                         num_partitions: int | None = None):
+    """EXACT n-gram Jaccard near-dup edges via PREFIX FILTERING
+    (Chaudhuri/Ganti/Kaushik '06, Xiao et al. '08 PPJoin family) — the
+    third exact algorithm next to the all-gram-pairs scorer
+    (``jaccard_edges_exact``) and the probabilistic LSH path.
+
+    The filter: order every doc's distinct grams by ascending global
+    document frequency (rarest first, ties on gram hash); with
+    m distinct grams, any pair with jaccard ≥ t must overlap in
+    ≥ ⌈t·m⌉ grams, so the first ``m − ⌈t·m⌉ + 1`` grams (the PREFIX)
+    of BOTH docs must intersect. Candidates therefore come only from
+    prefix-gram co-location — boilerplate grams are frequent, land
+    LAST in the ordering, and never generate pairs; the classic
+    all-pairs blow-up on hot grams disappears instead of being capped.
+
+    Dataflow (nothing pair- or gram-sized on the driver):
+      1. one shingle pass → (doc_id, g, c) distinct-gram rows;
+      2. gram document frequencies: one combiner aggregate;
+      3. df joins back to gram rows by gram co-location (union +
+         grouped_apply — the engine's join-without-Dataset.join);
+      4. per-doc prefix selection after doc co-location;
+      5. prefix-gram co-location → candidate pairs (doc_a < doc_b);
+      6. exact verify: candidate pairs explode to both endpoints,
+         join each side's FULL gram set by doc co-location, then the
+         shared (pair, gram) rows reduce to intersection counts and
+         jaccard = n / (ca + cb − n).
+
+    Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold; agrees
+    with ``jaccard_edges_exact`` on any corpus (both exact; pinned by
+    test and by sharing the all-pairs SQL oracle). Empty docs have no
+    grams, hence no prefix, hence no edges — matching the exact path's
+    treatment of ja=1.0 only for empty-empty pairs, which carry no
+    content and are dropped here (documented divergence: the exact
+    path emits them only when both docs are empty AND candidates —
+    impossible without grams — so behavior is identical)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+
+    # None → shuffle_partitions() sizes each exchange to the cluster.
+    # This DAG chains ~8 hash shuffles; a hardcoded partition count
+    # multiplies live aggregator-actor demand (ops × parts × 0.125 CPU)
+    # and starves a small cluster outright.
+    nparts = num_partitions
+    grams = docs_ds.map_batches(
+        lambda b: _gram_rows(b, col=col, k=k, with_counts=True),
+        batch_format="pandas", batch_size=4096).map_batches(
+        lambda b: b[b["g"] != -1],           # drop empty-doc sentinels
+        batch_format="pandas").materialize()
+
+    df_ds = grouped_aggregate(grams, ["g"], {"df": (None, "count")},
+                              result_hint="large")
+
+    # --- step 3: attach df to every (doc, gram) row, keyed by gram ---
+    g_tagged = grams.map_batches(
+        lambda b: pd.DataFrame({"g": b["g"], "doc_id": b["doc_id"],
+                                "c": b["c"], "df": np.int64(-1)}),
+        batch_format="pandas")
+    d_tagged = df_ds.map_batches(
+        lambda b: pd.DataFrame({"g": b["g"],
+                                "doc_id": np.int64(-1),
+                                "c": np.int64(-1),
+                                "df": b["df"].astype("int64")})
+        if "g" in b.columns else
+        pd.DataFrame({"g": pd.Series(dtype="int64"),
+                      "doc_id": pd.Series(dtype="int64"),
+                      "c": pd.Series(dtype="int64"),
+                      "df": pd.Series(dtype="int64")}),
+        batch_format="pandas")
+
+    def attach_df(block: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "g": pd.Series(dtype="int64"),
+                            "c": pd.Series(dtype="int64"),
+                            "df": pd.Series(dtype="int64")})
+        if block.empty or "df" not in block.columns:
+            return out
+        dfs = block.loc[block["doc_id"] == -1, ["g", "df"]]
+        rows = block[block["doc_id"] != -1]
+        if rows.empty:
+            return out
+        m = rows.merge(dfs, on="g", suffixes=("_x", ""))
+        return m[["doc_id", "g", "c", "df"]]
+
+    # Materialization barriers between exchanges: Ray 2.49's streaming
+    # executor livelocks when ~8 hash-shuffle ops are alive in ONE
+    # topology (aggregator pools all parked waiting on each other —
+    # observed directly: 9 idle HashShuffleAggregators, 96% idle CPU).
+    # Each barrier keeps ≤2 concurrent exchanges per execution and the
+    # blocks live in the (spillable) object store, never the driver.
+    # Bonus: `pairs` and `grams` are consumed twice below — the
+    # barrier also prevents recomputing their upstream shuffles.
+    with_df = grouped_apply(g_tagged.union(d_tagged), ["g"], attach_df,
+                            num_partitions=nparts).materialize()
+
+    # --- step 4: per-doc prefix (rarest grams first) ---
+    def prefix_block(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "g": pd.Series(dtype="int64")})
+        b = block.sort_values(["doc_id", "df", "g"])
+        m = b["c"].to_numpy(np.int64)
+        rank = b.groupby("doc_id", sort=False).cumcount().to_numpy()
+        plen = m - np.ceil(threshold * m).astype(np.int64) + 1
+        keep = rank < plen
+        return b.loc[keep, ["doc_id", "g"]]
+
+    prefix = grouped_apply(with_df, ["doc_id"], prefix_block,
+                           num_partitions=nparts).materialize()
+
+    # --- step 5: candidate pairs from prefix-gram co-location ---
+    def pair_block(block: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        hot = block[block.duplicated("g", keep=False)]
+        for _, grp in hot.groupby("g", sort=False):
+            ids = np.sort(grp["doc_id"].to_numpy(np.int64))
+            iu, ju = np.triu_indices(ids.size, k=1)
+            a_out.append(ids[iu])
+            b_out.append(ids[ju])
+        if not a_out:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"doc_a": np.concatenate(a_out),
+                             "doc_b": np.concatenate(b_out)}) \
+            .drop_duplicates()
+
+    pairs = grouped_apply(prefix, ["g"], pair_block,
+                          num_partitions=nparts)
+    pairs = grouped_apply(pairs, ["doc_a", "doc_b"],
+                          lambda b: b.drop_duplicates()
+                          if not b.empty else b,
+                          num_partitions=nparts).materialize()
+
+    # --- step 6: exact verify via pair-endpoint gram joins ---
+    def side_rows(which: str):
+        key = "doc_a" if which == "a" else "doc_b"
+
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            if b.empty or "doc_a" not in b.columns:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64"),
+                     "doc_a": pd.Series(dtype="int64"),
+                     "doc_b": pd.Series(dtype="int64"),
+                     "g": pd.Series(dtype="int64"),
+                     "c": pd.Series(dtype="int64")})
+            return pd.DataFrame({"doc_id": b[key].astype("int64"),
+                                 "doc_a": b["doc_a"].astype("int64"),
+                                 "doc_b": b["doc_b"].astype("int64"),
+                                 "g": np.int64(-1), "c": np.int64(-1)})
+        return fn
+
+    def expand_side(block: pd.DataFrame) -> pd.DataFrame:
+        """Co-located by doc_id: pair stubs (g=-1) pick up EVERY gram
+        of their endpoint doc."""
+        out = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                            "doc_b": pd.Series(dtype="int64"),
+                            "g": pd.Series(dtype="int64"),
+                            "c": pd.Series(dtype="int64")})
+        if block.empty or "doc_a" not in block.columns:
+            return out
+        stubs = block[block["g"] == -1]
+        doc_grams = block[block["g"] != -1]
+        if stubs.empty or doc_grams.empty:
+            return out
+        m = stubs[["doc_id", "doc_a", "doc_b"]].merge(
+            doc_grams[["doc_id", "g", "c"]], on="doc_id")
+        return m[["doc_a", "doc_b", "g", "c"]]
+
+    gram_rows_tagged = grams.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"],
+                                "doc_a": np.int64(-1),
+                                "doc_b": np.int64(-1),
+                                "g": b["g"], "c": b["c"]}),
+        batch_format="pandas")
+    sides = []
+    for which in ("a", "b"):
+        stub = pairs.map_batches(side_rows(which), batch_format="pandas")
+        side = grouped_apply(stub.union(gram_rows_tagged), ["doc_id"],
+                             expand_side, num_partitions=nparts)
+        sides.append(side.map_batches(
+            lambda b, w=which: b.rename(columns={"c": f"c_{w}"})
+            .assign(**{f"c_{'b' if w == 'a' else 'a'}": np.int64(-1)}),
+            batch_format="pandas").materialize())
+
+    def reduce_pair_gram(block: pd.DataFrame) -> pd.DataFrame:
+        """Co-located by (pair, gram): a gram with BOTH sides present
+        is one intersection vote; ca/cb ride along."""
+        out = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                            "doc_b": pd.Series(dtype="int64"),
+                            "n": pd.Series(dtype="int64"),
+                            "ca": pd.Series(dtype="int64"),
+                            "cb": pd.Series(dtype="int64")})
+        if block.empty or "doc_a" not in block.columns:
+            return out
+        g = block.groupby(["doc_a", "doc_b", "g"], sort=False).agg(
+            ca=("c_a", "max"), cb=("c_b", "max"),
+            cnt=("g", "size")).reset_index()
+        both = g[g["cnt"] >= 2]
+        if both.empty:
+            return out
+        agg = both.groupby(["doc_a", "doc_b"], sort=False).agg(
+            n=("g", "size"), ca=("ca", "max"),
+            cb=("cb", "max")).reset_index()
+        return agg[["doc_a", "doc_b", "n", "ca", "cb"]]
+
+    pair_grams = grouped_apply(sides[0].union(sides[1]),
+                               ["doc_a", "doc_b", "g"],
+                               reduce_pair_gram, num_partitions=nparts)
+
+    def finalize(block: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                            "doc_b": pd.Series(dtype="int64"),
+                            "jaccard": pd.Series(dtype="float64")})
+        if block.empty or "doc_a" not in block.columns:
+            return out
+        agg = block.groupby(["doc_a", "doc_b"], sort=False).agg(
+            n=("n", "sum"), ca=("ca", "max"),
+            cb=("cb", "max")).reset_index()
+        ja = agg["n"].to_numpy(np.float64) / (
+            agg["ca"].to_numpy(np.float64)
+            + agg["cb"].to_numpy(np.float64)
+            - agg["n"].to_numpy(np.float64))
+        keep = ja >= threshold
+        return pd.DataFrame({"doc_a": agg["doc_a"].to_numpy()[keep],
+                             "doc_b": agg["doc_b"].to_numpy()[keep],
+                             "jaccard": ja[keep]})
+
+    return grouped_apply(pair_grams, ["doc_a", "doc_b"], finalize,
+                         num_partitions=nparts)

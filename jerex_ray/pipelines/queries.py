@@ -1741,6 +1741,27 @@ def dedup_jaccard_edges(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def dedup_jaccard_prefix(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup edges via PREFIX FILTERING
+    (``ops/dedup.jaccard_edges_prefix``, the PPJoin-family scale path:
+    candidates only from rarest-gram co-location, hot boilerplate
+    grams never pair) — third algorithm for the same contract; shares
+    the all-pairs SQL oracle with ``dedup_jaccard_edges`` and is
+    pinned equal to it by pytest."""
+    from jerex_ray.ops.dedup import jaccard_edges_prefix
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    edges = jaccard_edges_prefix(ds, threshold=0.7).to_pandas()
+    if "doc_a" not in edges.columns:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64")})
+    out = edges[["doc_a", "doc_b"]].astype("int64") \
+        .sort_values(["doc_a", "doc_b"])
+    return out.reset_index(drop=True)
+
+
 def dedup_components(sf_dir: str):
     """Distributed connected components (BSP min-label propagation +
     pointer jumping over raw Ray task grids) over the exact-Jaccard
@@ -4821,6 +4842,7 @@ def build_queries() -> dict:
         "emb_kmeans": emb_kmeans,
         "dedup_minhash_edges": dedup_minhash_edges,
         "dedup_jaccard_edges": dedup_jaccard_edges,
+        "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -5769,6 +5791,7 @@ def _build_oracle_sql_literal() -> dict:
         # same SQL — but for the exact engine path the parity is
         # deterministic for ANY corpus (no LSH-recall caveat)
         "dedup_jaccard_edges": _EXACT_JACCARD_EDGES_SQL,
+        "dedup_jaccard_prefix": _EXACT_JACCARD_EDGES_SQL,
         "dedup_components": """
             WITH RECURSIVE words AS (
                 SELECT doc_id, list_filter(

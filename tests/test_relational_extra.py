@@ -409,3 +409,41 @@ def test_psi_is_zero_for_identical_halves_and_positive_for_shifted():
     assert out["n_ref"][0] + out["n_cur"][0] == len(
         pq.read_table(f"{SF}/events.parquet", columns=["event_id"]))
     assert 0.0 <= out["psi"][0] < 0.5   # same generator → tiny drift
+
+
+def test_prefix_filter_equals_exact_jaccard_path():
+    import ray.data as rd
+    from jerex_ray.ops.dedup import (jaccard_edges_exact,
+                                     jaccard_edges_prefix)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = rd.from_arrow(docs)
+    a = jaccard_edges_exact(rd.from_arrow(docs), threshold=0.7) \
+        .to_pandas()
+    b = jaccard_edges_prefix(ds, threshold=0.7).to_pandas()
+    key = lambda df: (set(zip(df["doc_a"], df["doc_b"]))
+                      if "doc_a" in df.columns else set())
+    assert key(a) == key(b)
+    if "jaccard" in b.columns and len(b):
+        assert (b["jaccard"] >= 0.7).all()
+
+
+def test_prefix_filter_finds_planted_near_dups_despite_boilerplate():
+    import ray.data as rd
+    from jerex_ray.ops.dedup import jaccard_edges_prefix
+    boiler = "terms of service apply to this document " * 3
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [boiler + base,
+                 boiler + base + " iota",     # near-dup of 0
+                 boiler + "one two three four five six seven",
+                 boiler + "red green blue yellow purple orange pink",
+                 boiler + base + " iota",     # exact dup of 1
+                 boiler + "unrelated words entirely different content"]})
+    edges = jaccard_edges_prefix(rd.from_pandas(docs), threshold=0.6) \
+        .to_pandas()
+    got = set(zip(edges["doc_a"], edges["doc_b"]))
+    assert (0, 1) in got and (1, 4) in got and (0, 4) in got
+    # docs 2/3/5 share only boilerplate — below threshold, no edge
+    assert not any(2 in e or 3 in e or 5 in e for e in got)
