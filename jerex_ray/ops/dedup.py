@@ -1319,3 +1319,120 @@ def jaccard_edges_prefix(docs_ds, *, threshold: float = 0.7,
 
     return grouped_apply(pair_grams, ["doc_a", "doc_b"], finalize,
                          num_partitions=nparts)
+
+
+def sorted_neighborhood_pairs(docs_ds, *, window: int = 3,
+                              key_chars: int = 24,
+                              num_buckets: int = 64,
+                              num_partitions: int | None = None):
+    """Sorted-neighborhood blocking (Hernández & Stolfo '95): order the
+    corpus by a normalized key (first ``key_chars`` lowercased chars)
+    and emit every pair within ``window`` positions — the classic
+    low-tech candidate generator that catches prefix-similar records
+    LSH misses and costs exactly window × corpus pairs.
+
+    Distributed rank without a global sort (the ``global_rank`` shape,
+    generalized to STRING keys): the key's first 6 UTF-8 bytes pack
+    big-endian into a float64 — order-consistent with the full
+    lexicographic key, so exact-quantile range buckets on the number
+    put every full-key tie in one bucket; each co-located bucket sorts
+    locally by (key, doc_id) and adds its global offset. Pairing ships
+    each ranked row to its own anchor plus the ``window`` anchors
+    above; each anchor group pairs its self row with the buddies.
+    Nothing corpus-sized touches the driver (``num_buckets`` scalars).
+    """
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.ops.quantiles import distributed_quantiles
+
+    def with_key(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["text"].fillna("").str.lower().str.slice(0, key_chars)
+        # UTF-8 byte order == code-point order, so the 6-byte prefix
+        # is order-consistent with the full key for any input
+        pre = np.asarray(key.str.encode("utf-8").to_numpy(),
+                         dtype="S6") \
+            .view(np.uint8).reshape(-1, 6).astype(np.float64)
+        keynum = pre @ (256.0 ** np.arange(5, -1, -1))
+        return pd.DataFrame({"doc_id": df["doc_id"], "key": key,
+                             "keynum": keynum})
+
+    keyed = docs_ds.map_batches(with_key, batch_format="pandas",
+                                batch_size=65536)
+
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    pivots = np.unique(np.asarray(
+        distributed_quantiles(keyed, "keynum", qs), dtype=np.float64))
+    piv_ref = ray.put(pivots)
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(piv_ref)
+        out = df.copy()
+        out["__bucket"] = np.searchsorted(
+            p, df["keynum"].to_numpy(np.float64), side="left") \
+            .astype(np.int64)
+        return out
+
+    bucketed = keyed.map_batches(with_bucket, batch_format="pandas",
+                                 batch_size=65536).materialize()
+    counts = grouped_aggregate(bucketed, ["__bucket"],
+                               {"n": (None, "count")}).to_pandas()
+    counts = counts.sort_values("__bucket")
+    offsets = dict(zip(
+        counts["__bucket"].astype(int),
+        np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1]))
+        .astype(np.int64)))
+    off_ref = ray.put(offsets)
+
+    def rank_block(block: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "rnk": pd.Series(dtype="int64")})
+        if block.empty or "doc_id" not in block.columns:
+            return out
+        offs = ray.get(off_ref)
+        parts = []
+        for bk, sub in block.groupby("__bucket", sort=False):
+            s = sub.sort_values(["key", "doc_id"])
+            parts.append(pd.DataFrame(
+                {"doc_id": s["doc_id"].to_numpy(),
+                 "rnk": offs[int(bk)]
+                 + np.arange(len(s), dtype=np.int64)}))
+        return pd.concat(parts, ignore_index=True)
+
+    ranked = grouped_apply(bucketed, ["__bucket"], rank_block,
+                           num_partitions=num_partitions).materialize()
+
+    def to_anchors(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "rnk" not in df.columns:
+            return pd.DataFrame({"anchor": pd.Series(dtype="int64"),
+                                 "rnk": pd.Series(dtype="int64"),
+                                 "doc_id": pd.Series(dtype="int64")})
+        r = df["rnk"].to_numpy(np.int64)
+        d = df["doc_id"].to_numpy(np.int64)
+        reps = window + 1
+        anchor = np.repeat(r, reps) + np.tile(
+            np.arange(reps, dtype=np.int64), len(r))
+        return pd.DataFrame({"anchor": anchor,
+                             "rnk": np.repeat(r, reps),
+                             "doc_id": np.repeat(d, reps)})
+
+    def pair_block(block: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                            "doc_b": pd.Series(dtype="int64"),
+                            "rank_gap": pd.Series(dtype="int64")})
+        if block.empty or "anchor" not in block.columns:
+            return out
+        selfs = block[block["rnk"] == block["anchor"]]
+        buddies = block[block["rnk"] < block["anchor"]]
+        if selfs.empty or buddies.empty:
+            return out
+        m = buddies.merge(selfs[["anchor", "doc_id"]], on="anchor",
+                          suffixes=("_lo", "_hi"))
+        return pd.DataFrame(
+            {"doc_a": m["doc_id_lo"].to_numpy(np.int64),
+             "doc_b": m["doc_id_hi"].to_numpy(np.int64),
+             "rank_gap": (m["anchor"] - m["rnk"]).to_numpy(np.int64)})
+
+    return grouped_apply(
+        ranked.map_batches(to_anchors, batch_format="pandas"),
+        ["anchor"], pair_block, num_partitions=num_partitions)

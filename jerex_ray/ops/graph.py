@@ -714,3 +714,133 @@ def sssp_distances(edges_ds, source: int, *, src: str = "a",
 
     out = pd.concat(ray.get(dists), ignore_index=True)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def degree_assortativity(edges_ds, *, src: str = "a", dst: str = "b",
+                         num_partitions: int | None = None) -> pd.DataFrame:
+    """Newman degree assortativity (Newman '02, PRL 89.208701): the
+    Pearson correlation of endpoint degrees over the DIRECTED STUBS of
+    the undirected simple graph — positive r means hubs link to hubs
+    (social-network shape), negative means hubs link to leaves
+    (web/biology shape). A one-number corpus-health diagnostic for the
+    near-dup graphs this engine builds.
+
+    Scale shape — the naive plan joins degrees onto every edge TWICE;
+    this one needs a single edge-sized co-location by exploiting stub
+    symmetry. Over stubs (u,v): x = deg(u), y = deg(v), and
+      Σx = Σy = Σ_u deg(u)²           (node u appears deg(u) times)
+      Σx² = Σy² = Σ_u deg(u)³
+      Σxy = Σ_u deg(u) · S(u),  S(u) = Σ_{v∈N(u)} deg(v)
+    so the only edge-sized exchange computes S(u): stubs co-locate
+    with the degree table on the NEIGHBOR endpoint, reduce to per-u
+    sums. Everything after is node-sized, finishing in combiner
+    partial sums — six scalars reach the driver.
+
+    Returns one row: (n_nodes, n_edges, r) with r rounded to 6
+    decimals (NaN → None when the graph is degree-regular).
+    """
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+
+    edges = _canonical_edges(edges_ds, src=src, dst=dst,
+                             num_partitions=num_partitions)
+    stubs = _directed_edges(edges, src="a", dst="b", undirected=True)
+    deg = grouped_aggregate(stubs, ["u"], {"deg": (None, "count")},
+                            num_partitions=num_partitions,
+                            result_hint="large").materialize()
+
+    # one edge-sized co-location on the neighbor endpoint: stubs keyed
+    # by v pick up deg(v), reduce immediately to per-u partial sums
+    stub_tagged = stubs.map_batches(
+        lambda b: pd.DataFrame({"node": b["v"], "u": b["u"],
+                                "deg": np.int64(-1)}),
+        batch_format="pandas")
+    deg_tagged = deg.map_batches(
+        lambda b: pd.DataFrame({"node": b["u"], "u": np.int64(-1),
+                                "deg": b["deg"].astype("int64")})
+        if "u" in b.columns else
+        pd.DataFrame({"node": pd.Series(dtype="int64"),
+                      "u": pd.Series(dtype="int64"),
+                      "deg": pd.Series(dtype="int64")}),
+        batch_format="pandas")
+
+    def nbr_deg_block(block: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"u": pd.Series(dtype="int64"),
+                            "s_nbr": pd.Series(dtype="float64")})
+        if block.empty or "node" not in block.columns:
+            return out
+        d = block.loc[block["u"] == -1, ["node", "deg"]]
+        s = block[block["u"] != -1]
+        if s.empty or d.empty:
+            return out
+        m = s[["node", "u"]].merge(d, on="node")
+        g = m.groupby("u", sort=False)["deg"].sum()
+        return pd.DataFrame({"u": g.index.to_numpy(np.int64),
+                             "s_nbr": g.to_numpy(np.float64)})
+
+    s_nbr = grouped_apply(stub_tagged.union(deg_tagged), ["node"],
+                          nbr_deg_block, num_partitions=num_partitions)
+    s_nbr = grouped_aggregate(s_nbr, ["u"], {"s_nbr": ("s_nbr", "sum")},
+                              num_partitions=num_partitions,
+                              result_hint="large").materialize()
+
+    # node-sized: co-locate deg(u) with S(u), emit scalar partials
+    def scalar_partials(block: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"__all": pd.Series(dtype="int64"),
+                            "n": pd.Series(dtype="float64"),
+                            "sx": pd.Series(dtype="float64"),
+                            "sxx": pd.Series(dtype="float64"),
+                            "sxy": pd.Series(dtype="float64")})
+        if block.empty or "u" not in block.columns:
+            return out
+        d = block.loc[block["s_nbr"].isna(), ["u", "deg"]]
+        s = block.loc[block["s_nbr"].notna(), ["u", "s_nbr"]]
+        if d.empty:
+            return out
+        m = d.merge(s, on="u", how="left")
+        dv = m["deg"].to_numpy(np.float64)
+        sn = m["s_nbr"].fillna(0.0).to_numpy(np.float64)
+        return pd.DataFrame({"__all": [np.int64(0)],
+                             "n": [dv.sum()],
+                             "sx": [(dv * dv).sum()],
+                             "sxx": [(dv ** 3).sum()],
+                             "sxy": [(dv * sn).sum()]})
+
+    deg_u = deg.map_batches(
+        lambda b: pd.DataFrame({"u": b["u"],
+                                "deg": b["deg"].astype("int64"),
+                                "s_nbr": np.float64(np.nan)})
+        if "u" in b.columns else
+        pd.DataFrame({"u": pd.Series(dtype="int64"),
+                      "deg": pd.Series(dtype="int64"),
+                      "s_nbr": pd.Series(dtype="float64")}),
+        batch_format="pandas")
+    s_u = s_nbr.map_batches(
+        lambda b: pd.DataFrame({"u": b["u"], "deg": np.int64(-1),
+                                "s_nbr": b["s_nbr"].astype("float64")})
+        if "u" in b.columns else
+        pd.DataFrame({"u": pd.Series(dtype="int64"),
+                      "deg": pd.Series(dtype="int64"),
+                      "s_nbr": pd.Series(dtype="float64")}),
+        batch_format="pandas")
+
+    joined = grouped_apply(deg_u.union(s_u), ["u"],
+                           lambda b: b, num_partitions=num_partitions)
+    m = grouped_aggregate(
+        joined.map_batches(scalar_partials, batch_format="pandas",
+                           batch_size=None),
+        ["__all"],
+        {k: (k, "sum") for k in ("n", "sx", "sxx", "sxy")}).to_pandas()
+    n_edges = int(edges.count())
+    n_nodes = int(deg.count())
+    if m.empty:
+        return pd.DataFrame({"n_nodes": [0], "n_edges": [0],
+                             "r": [None]})
+    row = m.iloc[0]
+    n = float(row["n"])                     # #stubs = 2·#edges
+    cov = row["sxy"] - row["sx"] * row["sx"] / n
+    var = row["sxx"] - row["sx"] ** 2 / n   # Σx²−(Σx)²/n, x and y alike
+    r = cov / var if var > 0 else float("nan")
+    return pd.DataFrame({"n_nodes": [np.int64(n_nodes)],
+                         "n_edges": [np.int64(n_edges)],
+                         "r": [None if np.isnan(r)
+                               else round(float(r), 6)]})

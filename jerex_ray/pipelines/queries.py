@@ -4791,6 +4791,232 @@ def q_events_debounce(sf_dir: str, *, gap_minutes: int = 5):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_part_assortativity(sf_dir: str):
+    """Newman degree assortativity of the part co-purchase graph
+    (``ops/graph.degree_assortativity``): Pearson correlation of
+    endpoint degrees over directed stubs, computed with ONE edge-sized
+    co-location via stub symmetry (Σx, Σx², Σxy all reduce to
+    node-sized sums of deg², deg³, deg·S(u)). Oracled against DuckDB
+    ``corr`` over the stub self-join."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.ops.graph import degree_assortativity
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"a": m["l_partkey_x"].to_numpy(),
+                             "b": m["l_partkey_y"].to_numpy()})
+
+    edges = grouped_apply(li, ["l_orderkey"], pairs_block)
+    return degree_assortativity(edges)
+
+
+def q_events_moments(sf_dir: str):
+    """Sample skewness and excess kurtosis of event value per type —
+    the higher-moment distribution profile (G1/G2 with the standard
+    bias adjustments, matching DuckDB/SciPy). Numerically it is the
+    TWO-PASS shape: pass 1 reduces to per-type means (combiner), the
+    broadcast means recenter pass 2's central-power sums Σ(v−μ)^{2,3,4}
+    — raw-power sums would cancel catastrophically at corpus scale.
+    Only #types rows ever reach the driver."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    st = grouped_aggregate(ds, ["event_type"],
+                           {"n": (None, "count"),
+                            "s": ("value", "sum")}).to_pandas()
+    mu = dict(zip(st["event_type"],
+                  st["s"].to_numpy(np.float64)
+                  / st["n"].to_numpy(np.float64)))
+    mu_ref = ray.put(mu)
+
+    def central(df: pd.DataFrame) -> pd.DataFrame:
+        mean = ray.get(mu_ref)
+        v = df["value"].to_numpy(np.float64)
+        c = v - df["event_type"].map(mean).to_numpy(np.float64)
+        g = pd.DataFrame({"event_type": df["event_type"],
+                          "c2": c * c, "c3": c ** 3, "c4": c ** 4}) \
+            .groupby("event_type", sort=False).sum()
+        return g.reset_index()
+
+    cs = grouped_aggregate(ds.map_batches(central, batch_format="pandas"),
+                           ["event_type"],
+                           {"c2": ("c2", "sum"), "c3": ("c3", "sum"),
+                            "c4": ("c4", "sum")}).to_pandas()
+    cs = cs.merge(st[["event_type", "n"]], on="event_type")
+    n = cs["n"].to_numpy(np.float64)
+    m2 = cs["c2"].to_numpy(np.float64) / n
+    m3 = cs["c3"].to_numpy(np.float64) / n
+    m4 = cs["c4"].to_numpy(np.float64) / n
+    skew = (m3 / m2 ** 1.5) * np.sqrt(n * (n - 1)) / (n - 2)
+    g2 = m4 / (m2 * m2) - 3.0
+    kurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    out = pd.DataFrame({"event_type": cs["event_type"],
+                        "n": cs["n"].astype("int64"),
+                        "skew": np.round(skew, 6),
+                        "kurt": np.round(kurt, 6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_events_holt(sf_dir: str, *, alpha: float = 0.2, gamma: float = 0.1):
+    """Holt double-exponential smoothing (level + trend) of event value
+    per user in (ts, id) order — the forecasting-feature counterpart of
+    ``q_events_ewma``. Emits each user's FINAL level and trend.
+
+    Scale shape: users co-locate in ONE hash shuffle; each block runs
+    the coupled two-state recursion rank-stepped — one vectorized
+    update per within-user rank across ALL the block's users (the loop
+    is over max series length, not rows). Update order is bit-identical
+    to the oracle's recursive CTE:
+      l_t = α·v_t + (1−α)·(l_{t−1} + b_{t−1})
+      b_t = γ·(l_t − l_{t−1}) + (1−γ)·b_{t−1}
+    seeded l_1 = v_1, b_1 = 0."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "value"])
+
+    def holt(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "level": pd.Series(dtype="float64"),
+                                 "trend": pd.Series(dtype="float64")})
+        b = block.sort_values(["user_id", "ts", "event_id"])
+        v = b["value"].to_numpy(np.float64)
+        uid = b["user_id"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_user)
+        lens = np.diff(np.r_[starts, len(v)])
+        rn = np.arange(len(v)) - np.repeat(starts, lens)
+        lev = v.copy()
+        tr = np.zeros_like(v)
+        for r in range(1, int(rn.max()) + 1 if len(rn) else 0):
+            idx = np.flatnonzero(rn == r)
+            prev_l = lev[idx - 1]
+            prev_b = tr[idx - 1]
+            lev[idx] = alpha * v[idx] + (1.0 - alpha) * (prev_l + prev_b)
+            tr[idx] = gamma * (lev[idx] - prev_l) + (1.0 - gamma) * prev_b
+        last = starts + lens - 1
+        # DuckDB round() is half-away-from-zero; mirror it
+        rl = np.copysign(np.floor(np.abs(lev[last]) * 1e6 + 0.5),
+                         lev[last]) / 1e6
+        rt = np.copysign(np.floor(np.abs(tr[last]) * 1e6 + 0.5),
+                         tr[last]) / 1e6
+        return pd.DataFrame({"user_id": uid[last],
+                             "n": lens.astype("int64"),
+                             "level": rl, "trend": rt})
+
+    out = grouped_apply(ds, ["user_id"], holt).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def doc_nb_model(sf_dir: str, *, top_k: int = 20):
+    """Multinomial naive-Bayes training over the documents table
+    (class = lang, features = whitespace words, Laplace α = 1): the
+    classic distributed text-classifier fit — ONE combiner pass to
+    (lang, word) counts, node-sized class totals, vocabulary size from
+    a distinct count. Emits the top-``top_k`` highest-count words per
+    class with their smoothed log-likelihoods log((c+1)/(N_c+V)) and
+    the class log-prior (ties on count break word-ascending, exactly
+    reproducible in SQL)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_topk
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                                 "w": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        flat = np.concatenate([w for w in words.to_numpy() if w])
+        lang = np.repeat(batch["lang"].to_numpy(), lens)
+        g = pd.DataFrame({"lang": lang, "w": flat}) \
+            .groupby(["lang", "w"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    counts = grouped_aggregate(
+        ds.map_batches(explode, batch_format="pandas", batch_size=8192),
+        ["lang", "w"], {"n": ("c", "sum")}, result_hint="large") \
+        .materialize()
+    vocab_v = grouped_aggregate(counts, ["w"],
+                                {"k": (None, "count")},
+                                result_hint="large").count()
+    cls = grouped_aggregate(counts, ["lang"],
+                            {"tok": ("n", "sum"),
+                             "types": (None, "count")}).to_pandas()
+    ndocs = grouped_aggregate(ds, ["lang"],
+                              {"docs": (None, "count")}).to_pandas()
+    total_docs = int(ndocs["docs"].sum())
+
+    top = grouped_topk(counts, ["lang"], order_by="n", k=top_k,
+                       tie_cols=["w"]).to_pandas()
+    top = top.merge(cls[["lang", "tok"]], on="lang") \
+        .merge(ndocs, on="lang")
+    loglik = np.log(top["n"].to_numpy(np.float64) + 1.0) \
+        - np.log(top["tok"].to_numpy(np.float64) + float(vocab_v))
+    logprior = np.log(top["docs"].to_numpy(np.float64)) \
+        - np.log(float(total_docs))
+    out = pd.DataFrame({"lang": top["lang"], "word": top["w"],
+                        "n": top["n"].astype("int64"),
+                        "loglik": np.round(loglik, 6),
+                        "logprior": np.round(logprior, 6)})
+    return out.sort_values(["lang", "n", "word"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+
+def doc_sorted_neighborhood(sf_dir: str, *, window: int = 3,
+                            key_chars: int = 24):
+    """Sorted-neighborhood blocking (Hernández & Stolfo '95) — the
+    third candidate-generation strategy next to LSH and prefix
+    filtering: docs sort by a normalized key (first ``key_chars``
+    lowercased characters), and every pair within ``window`` positions
+    becomes a candidate (doc_a, doc_b, rank_gap).
+
+    Scale shape: the global rank comes from ONE key-ordered exchange
+    (per-block sort + block-offset scan — no driver data); pair
+    generation then ships each row to its own rank-anchor plus the
+    ``window`` anchors above it, so pairs materialize co-located,
+    bounded by window × corpus. Oracled by the row_number self-join."""
+    from jerex_ray.ops.dedup import sorted_neighborhood_pairs
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = sorted_neighborhood_pairs(ds, window=window,
+                                    key_chars=key_chars).to_pandas()
+    if "doc_a" not in out.columns:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "rank_gap": pd.Series(dtype="int64")})
+    out = out.astype({"doc_a": "int64", "doc_b": "int64",
+                      "rank_gap": "int64"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -4843,6 +5069,11 @@ def build_queries() -> dict:
         "dedup_minhash_edges": dedup_minhash_edges,
         "dedup_jaccard_edges": dedup_jaccard_edges,
         "dedup_jaccard_prefix": dedup_jaccard_prefix,
+        "doc_sorted_neighborhood": doc_sorted_neighborhood,
+        "doc_nb_model": doc_nb_model,
+        "q_part_assortativity": q_part_assortativity,
+        "q_events_moments": q_events_moments,
+        "q_events_holt": q_events_holt,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -5792,6 +6023,97 @@ def _build_oracle_sql_literal() -> dict:
         # deterministic for ANY corpus (no LSH-recall caveat)
         "dedup_jaccard_edges": _EXACT_JACCARD_EDGES_SQL,
         "dedup_jaccard_prefix": _EXACT_JACCARD_EDGES_SQL,
+        "doc_sorted_neighborhood": """
+            WITH r AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY substr(lower(coalesce(text, '')),
+                                           1, 24), doc_id) - 1 AS rnk
+                FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   b.rnk - a.rnk AS rank_gap
+            FROM r a JOIN r b
+              ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+            ORDER BY doc_a, doc_b
+        """,
+        "doc_nb_model": """
+            WITH w AS (
+                SELECT lang, unnest(list_filter(
+                    regexp_split_to_array(lower(coalesce(text, '')),
+                                          '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents),
+            c AS (SELECT lang, word, count(*) AS n
+                  FROM w GROUP BY lang, word),
+            v AS (SELECT count(DISTINCT word) AS vocab FROM c),
+            tok AS (SELECT lang, sum(n) AS tok FROM c GROUP BY lang),
+            d AS (SELECT lang, count(*) AS docs
+                  FROM documents GROUP BY lang),
+            tot AS (SELECT sum(docs) AS total FROM d),
+            ranked AS (
+                SELECT lang, word, n, row_number() OVER (
+                    PARTITION BY lang ORDER BY n DESC, word) AS rk
+                FROM c)
+            SELECT r.lang, r.word, r.n,
+                   round(ln(r.n + 1.0)
+                         - ln(t.tok + (SELECT vocab FROM v)), 6)
+                       AS loglik,
+                   round(ln(CAST(d.docs AS DOUBLE))
+                         - ln((SELECT total FROM tot)), 6) AS logprior
+            FROM ranked r
+            JOIN tok t ON t.lang = r.lang
+            JOIN d ON d.lang = r.lang
+            WHERE r.rk <= 20
+            ORDER BY r.lang, r.n DESC, r.word
+        """,
+        "q_part_assortativity": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+            stubs AS (
+                SELECT a AS u, b AS v FROM e
+                UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT u, count(*) AS deg FROM stubs GROUP BY u)
+            SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                   (SELECT count(*) FROM e) AS n_edges,
+                   round(corr(CAST(d1.deg AS DOUBLE),
+                              CAST(d2.deg AS DOUBLE)), 6) AS r
+            FROM stubs s
+            JOIN deg d1 ON s.u = d1.u
+            JOIN deg d2 ON s.v = d2.u
+        """,
+        "q_events_moments": """
+            SELECT event_type, count(*) AS n,
+                   round(skewness(CAST(value AS DOUBLE)), 6) AS skew,
+                   round(kurtosis(CAST(value AS DOUBLE)), 6) AS kurt
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_events_holt": """
+            WITH RECURSIVE ord AS MATERIALIZED (
+                SELECT user_id, CAST(value AS DOUBLE) AS value,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM events),
+            h AS (
+                SELECT user_id, rn, value AS lev,
+                       CAST(0.0 AS DOUBLE) AS tr
+                FROM ord WHERE rn = 1
+                UNION ALL
+                SELECT o.user_id, o.rn,
+                       0.2 * o.value + 0.8 * (h.lev + h.tr),
+                       0.1 * ((0.2 * o.value + 0.8 * (h.lev + h.tr))
+                              - h.lev) + 0.9 * h.tr
+                FROM h JOIN ord o
+                  ON o.user_id = h.user_id AND o.rn = h.rn + 1),
+            last AS (
+                SELECT user_id, max(rn) AS n FROM ord GROUP BY user_id)
+            SELECT l.user_id, l.n,
+                   round(h.lev, 6) AS level, round(h.tr, 6) AS trend
+            FROM last l JOIN h ON h.user_id = l.user_id AND h.rn = l.n
+            ORDER BY l.user_id
+        """,
         "dedup_components": """
             WITH RECURSIVE words AS (
                 SELECT doc_id, list_filter(

@@ -447,3 +447,98 @@ def test_prefix_filter_finds_planted_near_dups_despite_boilerplate():
     assert (0, 1) in got and (1, 4) in got and (0, 4) in got
     # docs 2/3/5 share only boilerplate — below threshold, no edge
     assert not any(2 in e or 3 in e or 5 in e for e in got)
+
+
+def test_holt_rank_stepped_equals_sequential_recursion():
+    from jerex_ray.pipelines.queries import q_events_holt
+    out = q_events_holt(SF).set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts",
+                                "value"]).to_pandas()
+    for uid, g in list(ev.groupby("user_id"))[:20]:
+        v = g.sort_values(["ts", "event_id"])["value"] \
+            .to_numpy(np.float64)
+        lev, tr = v[0], 0.0
+        for x in v[1:]:
+            new_l = 0.2 * x + 0.8 * (lev + tr)
+            tr = 0.1 * (new_l - lev) + 0.9 * tr
+            lev = new_l
+        assert abs(out.loc[uid, "level"] - round(lev, 6)) < 2e-6
+        assert abs(out.loc[uid, "trend"] - round(tr, 6)) < 2e-6
+        assert out.loc[uid, "n"] == len(v)
+
+
+def test_moments_match_scipy_style_adjusted_formulas():
+    from jerex_ray.pipelines.queries import q_events_moments
+    out = q_events_moments(SF).set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    for t, g in ev.groupby("event_type"):
+        v = g["value"].to_numpy(np.float64)
+        n = len(v)
+        m = v.mean()
+        m2 = ((v - m) ** 2).mean()
+        m3 = ((v - m) ** 3).mean()
+        m4 = ((v - m) ** 4).mean()
+        G1 = (m3 / m2 ** 1.5) * np.sqrt(n * (n - 1)) / (n - 2)
+        G2 = ((n + 1) * (m4 / m2 ** 2 - 3) + 6) * (n - 1) \
+            / ((n - 2) * (n - 3))
+        assert abs(out.loc[t, "skew"] - round(G1, 6)) < 2e-6
+        assert abs(out.loc[t, "kurt"] - round(G2, 6)) < 2e-6
+
+
+def test_sorted_neighborhood_matches_serial_rank_windows():
+    import ray.data as rd
+    from jerex_ray.ops.dedup import sorted_neighborhood_pairs
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    got = sorted_neighborhood_pairs(rd.from_pandas(docs),
+                                    window=3).to_pandas()
+    key = docs["text"].fillna("").str.lower().str.slice(0, 24)
+    order = docs.assign(key=key).sort_values(["key", "doc_id"])
+    ids = order["doc_id"].to_numpy()
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, min(i + 4, len(ids))):
+            want.add((ids[i], ids[j], j - i))
+    assert set(zip(got["doc_a"], got["doc_b"], got["rank_gap"])) == want
+
+
+def test_nb_model_logliks_are_valid_and_topk_is_exact():
+    from jerex_ray.pipelines.queries import doc_nb_model
+    out = doc_nb_model(SF)
+    # per class: exactly top-20 (or fewer), logprior constant, loglik
+    # strictly negative, counts non-increasing under the tie order
+    for lang, g in out.groupby("lang"):
+        assert len(g) <= 20
+        assert g["logprior"].nunique() == 1
+        assert (g["loglik"] < 0).all()
+        n = g["n"].to_numpy()
+        assert (np.diff(n) <= 0).all()
+    # priors across classes sum to ~1
+    pri = out.groupby("lang")["logprior"].first().to_numpy()
+    assert abs(np.exp(pri).sum() - 1.0) < 1e-4
+
+
+def test_assortativity_matches_numpy_corrcoef_on_random_graph():
+    import ray.data as rd
+    from jerex_ray.ops.graph import degree_assortativity
+    rng = np.random.RandomState(11)
+    E = set()
+    while len(E) < 250:
+        a, b = rng.randint(0, 50, 2)
+        if a != b:
+            E.add((min(a, b), max(a, b)))
+    E = sorted(E)
+    out = degree_assortativity(
+        rd.from_pandas(pd.DataFrame(E, columns=["a", "b"])))
+    deg = {}
+    for a, b in E:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in E] + [deg[b] for a, b in E]
+    ys = [deg[b] for a, b in E] + [deg[a] for a, b in E]
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert abs(out["r"][0] - round(r, 6)) < 2e-6
+    assert out["n_nodes"][0] == len(deg)
+    assert out["n_edges"][0] == len(E)
