@@ -5017,6 +5017,180 @@ def doc_sorted_neighborhood(sf_dir: str, *, window: int = 3,
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def doc_nb_predict(sf_dir: str):
+    """Naive-Bayes inference chained on the ``doc_nb_model`` fit: every
+    document classified by argmax over classes of
+    logprior + Σ_w cnt·log((n_{c,w}+1)/(N_c+V)), OOV words contributing
+    the smoothed floor −log(N_c+V). The model (full (lang, word) count
+    table) broadcasts ONCE — vocabulary-bounded like the unigram-LM
+    table — and each batch classifies vectorized: word→row index map,
+    one (words × classes) gather, one ``np.add.at`` scatter per class
+    column. Ties break lang-ascending (both engines)."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                                 "w": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        flat = np.concatenate([w for w in words.to_numpy() if w])
+        lang = np.repeat(batch["lang"].to_numpy(), lens)
+        g = pd.DataFrame({"lang": lang, "w": flat}) \
+            .groupby(["lang", "w"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    counts = grouped_aggregate(
+        ds.map_batches(explode, batch_format="pandas", batch_size=8192),
+        ["lang", "w"], {"n": ("c", "sum")}, result_hint="large") \
+        .to_pandas()
+    ndocs = grouped_aggregate(ds, ["lang"],
+                              {"docs": (None, "count")}).to_pandas()
+    langs = sorted(ndocs["lang"])
+    lidx = {l: i for i, l in enumerate(langs)}
+    total_docs = float(ndocs["docs"].sum())
+    logprior = np.full(len(langs), -np.inf)
+    for l, d in zip(ndocs["lang"], ndocs["docs"]):
+        logprior[lidx[l]] = np.log(float(d)) - np.log(total_docs)
+    vocab = sorted(set(counts["w"])) if len(counts) else []
+    widx = {w: i for i, w in enumerate(vocab)}
+    V = float(len(vocab))
+    tok = counts.groupby("lang")["n"].sum()
+    denom = np.array([np.log(float(tok.get(l, 0)) + V) for l in langs])
+    # loglik matrix (V+1 rows; last row = OOV floor log(1)−log(N_c+V))
+    L = np.tile(-denom, (len(vocab) + 1, 1))
+    if len(counts):
+        r = counts["w"].map(widx).to_numpy(np.int64)
+        cidx = counts["lang"].map(lidx).to_numpy(np.int64)
+        L[r, cidx] = np.log(counts["n"].to_numpy(np.float64) + 1.0) \
+            - denom[cidx]
+    model = ray.put((widx, L, logprior, langs))
+
+    def classify(batch: pd.DataFrame) -> pd.DataFrame:
+        wmap, mat, prior, cls = ray.get(model)
+        words = batch["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        scores = np.tile(prior, (len(batch), 1))
+        if lens.sum() > 0:
+            flat = np.concatenate(
+                [w if w else [] for w in words.to_numpy()])
+            owner = np.repeat(np.arange(len(batch)), lens)
+            rows = pd.Series(flat).map(wmap) \
+                .fillna(len(mat) - 1).to_numpy(np.int64)
+            np.add.at(scores, owner, mat[rows])
+        best = np.argmin(  # argmax score, ties → smallest lang index
+            np.where(scores == scores.max(axis=1, keepdims=True),
+                     np.arange(len(cls)), len(cls)), axis=1)
+        s = scores[np.arange(len(batch)), best]
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"],
+             "pred_lang": np.asarray(cls, dtype=object)[best],
+             "score": np.copysign(np.floor(np.abs(s) * 1e6 + 0.5),
+                                  s) / 1e6})
+
+    out = ds.map_batches(classify, batch_format="pandas",
+                         batch_size=4096).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def emb_mutual_nn(sf_dir: str):
+    """Mutual nearest-neighbor pairs (reciprocal top-1 cosine) — the
+    high-precision pairing primitive under bitext mining and
+    dedup canonicalization: (a, b) kept iff a is b's single nearest
+    neighbor AND b is a's. Reuses the oracle-proven partial-top-k
+    kernel for the top-1 scan, then one pair-keyed combiner count
+    keeps the pairs seen from BOTH directions."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.ops.ann import brute_force_topk
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    df = ds.to_pandas()
+    order = np.argsort(df["vec_id"].to_numpy())
+    ids = df["vec_id"].to_numpy()[order]
+    mat = np.stack(df["embedding"].to_numpy()[order])
+    top = brute_force_topk(ds, mat, k=2)
+    top["src"] = ids[top["query_idx"].to_numpy(np.int64)]
+    top = top[top["src"] != top["vec_id"]]
+    nn1 = top.sort_values(["src", "cosine", "vec_id"],
+                          ascending=[True, False, True]) \
+        .drop_duplicates("src")
+    lo = np.minimum(nn1["src"].to_numpy(np.int64),
+                    nn1["vec_id"].to_numpy(np.int64))
+    hi = np.maximum(nn1["src"].to_numpy(np.int64),
+                    nn1["vec_id"].to_numpy(np.int64))
+    g = pd.DataFrame({"lo": lo, "hi": hi}) \
+        .groupby(["lo", "hi"]).size().reset_index(name="k")
+    m = g[g["k"] == 2]
+    return pd.DataFrame({"vec_a": m["lo"].to_numpy(np.int64),
+                         "vec_b": m["hi"].to_numpy(np.int64)}) \
+        .sort_values("vec_a").reset_index(drop=True)
+
+
+def q_events_interpolate(sf_dir: str):
+    """Per-user hourly gap filling with linear interpolation — the
+    time-series regularization step before any windowed model: observed
+    hours carry their mean value, missing hours between a user's first
+    and last observation interpolate linearly between the neighboring
+    observed hours. Users co-locate in ONE hash shuffle; each block
+    builds the hour spines vectorized (searchsorted against the
+    observed hours — no per-hour loop), with the interpolation
+    expression bit-matching the oracle's window-function arithmetic."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def interp(block: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                            "hour": pd.Series(dtype="int64"),
+                            "value": pd.Series(dtype="float64"),
+                            "observed": pd.Series(dtype="int64")})
+        if block.empty:
+            return out
+        b = block.copy()
+        b["hour"] = b["ts"].dt.floor("h") \
+            .astype("datetime64[us]").astype("int64") // 3_600_000_000
+        obs = b.groupby(["user_id", "hour"], sort=True)["value"] \
+            .mean().reset_index()
+        parts = []
+        for uid, g in obs.groupby("user_id", sort=False):
+            oh = g["hour"].to_numpy(np.int64)
+            ov = g["value"].to_numpy(np.float64)
+            h = np.arange(oh[0], oh[-1] + 1, dtype=np.int64)
+            idx = np.searchsorted(oh, h, side="right") - 1
+            seen = oh[idx] == h
+            nxt = np.minimum(idx + 1, len(oh) - 1)
+            frac = (h - oh[idx]).astype(np.float64) \
+                / np.maximum(oh[nxt] - oh[idx], 1).astype(np.float64)
+            v = np.where(seen, ov[idx],
+                         ov[idx] + (ov[nxt] - ov[idx]) * frac)
+            parts.append(pd.DataFrame(
+                {"user_id": np.full(len(h), uid, dtype=np.int64),
+                 "hour": h,
+                 "value": np.copysign(np.floor(np.abs(v) * 1e6 + 0.5),
+                                      v) / 1e6,
+                 "observed": seen.astype(np.int64)}))
+        return pd.concat(parts, ignore_index=True)
+
+    out = grouped_apply(ds, ["user_id"], interp).to_pandas()
+    out = out.astype({"user_id": "int64", "hour": "int64",
+                      "observed": "int64"})
+    return out.sort_values(["user_id", "hour"]).reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -5074,6 +5248,9 @@ def build_queries() -> dict:
         "q_part_assortativity": q_part_assortativity,
         "q_events_moments": q_events_moments,
         "q_events_holt": q_events_holt,
+        "doc_nb_predict": doc_nb_predict,
+        "emb_mutual_nn": emb_mutual_nn,
+        "q_events_interpolate": q_events_interpolate,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -6083,6 +6260,103 @@ def _build_oracle_sql_literal() -> dict:
             FROM stubs s
             JOIN deg d1 ON s.u = d1.u
             JOIN deg d2 ON s.v = d2.u
+        """,
+        "doc_nb_predict": """
+            WITH wl AS (
+                SELECT doc_id, lang, unnest(list_filter(
+                    regexp_split_to_array(lower(coalesce(text, '')),
+                                          '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents),
+            wc AS (SELECT doc_id, word, count(*) AS cnt
+                   FROM wl GROUP BY doc_id, word),
+            c AS (SELECT lang, word, count(*) AS n
+                  FROM wl GROUP BY lang, word),
+            v AS (SELECT count(DISTINCT word) AS vocab FROM c),
+            tok AS (SELECT lang, sum(n) AS tok FROM c GROUP BY lang),
+            d AS (SELECT lang, count(*) AS docs
+                  FROM documents GROUP BY lang),
+            tot AS (SELECT sum(docs) AS total FROM d),
+            ws AS (
+                SELECT wc.doc_id, t.lang,
+                       sum(wc.cnt * (ln(coalesce(c.n, 0) + 1.0)
+                           - ln(t.tok + (SELECT vocab FROM v)))) AS s
+                FROM wc CROSS JOIN tok t
+                LEFT JOIN c ON c.lang = t.lang AND c.word = wc.word
+                GROUP BY wc.doc_id, t.lang),
+            sc AS (
+                SELECT doc.doc_id, d.lang,
+                       coalesce(ws.s, 0)
+                       + ln(CAST(d.docs AS DOUBLE))
+                       - ln((SELECT total FROM tot)) AS score
+                FROM documents doc CROSS JOIN d
+                LEFT JOIN ws ON ws.doc_id = doc.doc_id
+                            AND ws.lang = d.lang),
+            r AS (SELECT doc_id, lang, score, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score DESC, lang) AS rk
+                  FROM sc)
+            SELECT doc_id, lang AS pred_lang,
+                   round(score, 6) AS score
+            FROM r WHERE rk = 1 ORDER BY doc_id
+        """,
+        "emb_mutual_nn": """
+            WITH nn AS (
+                SELECT src, dst FROM (
+                    SELECT q.vec_id AS src, e.vec_id AS dst,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   e.embedding, q.embedding) DESC,
+                                        e.vec_id) AS rk
+                    FROM embeddings q CROSS JOIN embeddings e
+                    WHERE e.vec_id <> q.vec_id
+                ) WHERE rk = 1)
+            SELECT a.src AS vec_a, a.dst AS vec_b
+            FROM nn a JOIN nn b
+              ON b.src = a.dst AND b.dst = a.src
+            WHERE a.src < a.dst
+            ORDER BY vec_a
+        """,
+        "q_events_interpolate": """
+            WITH o AS (
+                SELECT user_id,
+                       CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           // 3600 AS h,
+                       avg(CAST(value AS DOUBLE)) AS v
+                FROM events GROUP BY user_id, 2),
+            b AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                  FROM o GROUP BY user_id),
+            spine AS (
+                SELECT user_id, unnest(generate_series(h0, h1)) AS h
+                FROM b),
+            j AS (SELECT s.user_id, s.h, o.v
+                  FROM spine s LEFT JOIN o
+                    ON o.user_id = s.user_id AND o.h = s.h),
+            f AS (
+                SELECT user_id, h, v,
+                       last_value(v IGNORE NULLS) OVER w1 AS pv,
+                       last_value(CASE WHEN v IS NOT NULL THEN h END
+                                  IGNORE NULLS) OVER w1 AS ph,
+                       first_value(v IGNORE NULLS) OVER w2 AS nv,
+                       first_value(CASE WHEN v IS NOT NULL THEN h END
+                                   IGNORE NULLS) OVER w2 AS nh
+                FROM j WINDOW
+                    w1 AS (PARTITION BY user_id ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW),
+                    w2 AS (PARTITION BY user_id ORDER BY h
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING))
+            SELECT user_id, h AS hour,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                         ELSE pv + (nv - pv)
+                              * (CAST(h - ph AS DOUBLE)
+                                 / CAST(nh - ph AS DOUBLE)) END,
+                         6) AS value,
+                   CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END
+                       AS observed
+            FROM f ORDER BY user_id, hour
         """,
         "q_events_moments": """
             SELECT event_type, count(*) AS n,

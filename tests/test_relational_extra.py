@@ -542,3 +542,57 @@ def test_assortativity_matches_numpy_corrcoef_on_random_graph():
     assert abs(out["r"][0] - round(r, 6)) < 2e-6
     assert out["n_nodes"][0] == len(deg)
     assert out["n_edges"][0] == len(E)
+
+
+def test_nb_predict_recovers_training_lang_on_separable_corpus():
+    from jerex_ray.pipelines.queries import doc_nb_predict
+    out = doc_nb_predict(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    m = out.merge(docs, on="doc_id")
+    # NB trained on lang labels should mostly reproduce them (the
+    # synthetic corpus has lang-correlated vocabularies); never
+    # require perfection — just far above the majority-class floor
+    acc = (m["pred_lang"] == m["lang"]).mean()
+    maj = docs["lang"].value_counts(normalize=True).max()
+    assert len(out) == len(docs)
+    assert acc >= min(0.9, maj + 0.05)
+
+
+def test_mutual_nn_pairs_are_reciprocal_top1():
+    from jerex_ray.pipelines.queries import emb_mutual_nn
+    out = emb_mutual_nn(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    # serial top-1 with (sim desc, id asc) tie order
+    order = np.lexsort((ids[np.newaxis, :].repeat(len(ids), 0),
+                        -sims), axis=1)[:, 0]
+    nn1 = {ids[i]: ids[order[i]] for i in range(len(ids))}
+    want = {(min(a, b), max(a, b)) for a, b in nn1.items()
+            if nn1.get(b) == a}
+    assert set(zip(out["vec_a"], out["vec_b"])) == want
+
+
+def test_interpolate_fills_gaps_linearly_and_keeps_observed():
+    from jerex_ray.pipelines.queries import q_events_interpolate
+    out = q_events_interpolate(SF)
+    # spine is contiguous per user and endpoints are observed
+    for uid, g in out.groupby("user_id"):
+        h = g["hour"].to_numpy()
+        assert (np.diff(h) == 1).all()
+        assert g["observed"].iloc[0] == 1 and g["observed"].iloc[-1] == 1
+    # every gap value lies between its observed neighbors
+    for uid, g in list(out.groupby("user_id"))[:5]:
+        v = g["value"].to_numpy()
+        obs = g["observed"].to_numpy().astype(bool)
+        oi = np.flatnonzero(obs)
+        for a, b in zip(oi[:-1], oi[1:]):
+            if b - a > 1:
+                lo, hi = sorted((v[a], v[b]))
+                seg = v[a + 1:b]
+                assert ((seg >= lo - 1e-9) & (seg <= hi + 1e-9)).all()
