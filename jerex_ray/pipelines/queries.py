@@ -5191,6 +5191,250 @@ def q_events_interpolate(sf_dir: str):
     return out.sort_values(["user_id", "hour"]).reset_index(drop=True)
 
 
+def q_lineitem_ols2(sf_dir: str):
+    """Two-feature grouped OLS (extendedprice ~ quantity + discount per
+    returnflag) by the exact normal equations, TWO-PASS for numeric
+    parity: pass 1 reduces to per-group means (combiner), the broadcast
+    means recenter pass 2's five centered-product sums (Σx̃₁², Σx̃₂²,
+    Σx̃₁x̃₂, Σx̃₁ỹ, Σx̃₂ỹ — raw-power sums would cancel catastrophically
+    and did flip the 6th decimal at sf0.01), then the 2×2 Cramer solve
+    on the |groups|-bounded driver table. The oracle replays the
+    identical two-pass arithmetic in SQL (no multivariate regr_*
+    exists)."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity",
+                                     "l_discount", "l_extendedprice"])
+
+    st = grouped_aggregate(ds, ["l_returnflag"],
+                           {"n": (None, "count"),
+                            "s1": ("l_quantity", "sum"),
+                            "s2": ("l_discount", "sum"),
+                            "sy": ("l_extendedprice", "sum")}) \
+        .to_pandas()
+    nn = st["n"].to_numpy(np.float64)
+    mu = {rf: (s1 / k, s2 / k, sy / k)
+          for rf, s1, s2, sy, k in zip(
+              st["l_returnflag"], st["s1"].to_numpy(np.float64),
+              st["s2"].to_numpy(np.float64),
+              st["sy"].to_numpy(np.float64), nn)}
+    mu_ref = ray.put(mu)
+
+    def central(df: pd.DataFrame) -> pd.DataFrame:
+        means = ray.get(mu_ref)
+        m1 = df["l_returnflag"].map({k: v[0] for k, v in means.items()})
+        m2 = df["l_returnflag"].map({k: v[1] for k, v in means.items()})
+        my = df["l_returnflag"].map({k: v[2] for k, v in means.items()})
+        x1 = df["l_quantity"].to_numpy(np.float64) - m1.to_numpy()
+        x2 = df["l_discount"].to_numpy(np.float64) - m2.to_numpy()
+        y = df["l_extendedprice"].to_numpy(np.float64) - my.to_numpy()
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"].to_numpy(),
+                          "c11": x1 * x1, "c22": x2 * x2,
+                          "c12": x1 * x2, "c1y": x1 * y,
+                          "c2y": x2 * y})
+        return g.groupby("l_returnflag", sort=False, as_index=False) \
+            .sum()
+
+    m = grouped_aggregate(
+        ds.map_batches(central, batch_format="pandas"),
+        ["l_returnflag"],
+        {k: (k, "sum") for k in ("c11", "c22", "c12", "c1y", "c2y")}) \
+        .to_pandas().merge(st, on="l_returnflag")
+    n = m["n"].to_numpy(np.float64)
+    S11, S22, S12 = m["c11"], m["c22"], m["c12"]
+    S1y, S2y = m["c1y"], m["c2y"]
+    det = S11 * S22 - S12 * S12
+    b1 = (S22 * S1y - S12 * S2y) / det
+    b2 = (S11 * S2y - S12 * S1y) / det
+    b0 = m["sy"] / n - b1 * m["s1"] / n - b2 * m["s2"] / n
+    out = pd.DataFrame({"l_returnflag": m["l_returnflag"],
+                        "n": m["n"].astype("int64"),
+                        "b_qty": b1.round(6),
+                        "b_disc": b2.round(6),
+                        "intercept": b0.round(6)})
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_events_auc(sf_dir: str):
+    """Exact ROC AUC of event value as a score for 'is this a purchase'
+    — the Mann-Whitney U statistic with full tie handling (average
+    ranks), the model-eval primitive computed WITHOUT a global sort:
+    ``relational.global_rank`` assigns exact ranks through quantile
+    range buckets, equal scores then co-locate so each value group
+    reduces to (n, n_pos, min-rank, max-rank); the tie-averaged rank is
+    (min+max)/2 and only three scalars reach the driver."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.relational import global_rank
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "value": df["value"].astype("float64"),
+            "pos": (df["event_type"] == "purchase").astype("int64")})
+
+    ranked = global_rank(ds.map_batches(flag, batch_format="pandas"),
+                         value_col="value", id_col="event_id")
+    g = grouped_aggregate(ranked, ["value"],
+                          {"n": (None, "count"), "np": ("pos", "sum"),
+                           "rmin": ("rnk", "min"),
+                           "rmax": ("rnk", "max")},
+                          result_hint="large")
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "np" not in df.columns:
+            return pd.DataFrame({"__all": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64"),
+                                 "p": pd.Series(dtype="int64"),
+                                 "t": pd.Series(dtype="int64")})
+        ar = (df["rmin"].to_numpy(np.float64)
+              + df["rmax"].to_numpy(np.float64)) / 2.0 + 1.0
+        return pd.DataFrame({"__all": [np.int64(0)],
+                             "s": [(df["np"].to_numpy(np.float64)
+                                    * ar).sum()],
+                             "p": [np.int64(df["np"].sum())],
+                             "t": [np.int64(df["n"].sum())]})
+
+    m = grouped_aggregate(g.map_batches(partials, batch_format="pandas",
+                                        batch_size=None),
+                          ["__all"], {"s": ("s", "sum"),
+                                      "p": ("p", "sum"),
+                                      "t": ("t", "sum")}).to_pandas()
+    P = float(m["p"][0])
+    N = float(m["t"][0]) - P
+    auc = (float(m["s"][0]) - P * (P + 1.0) / 2.0) / (P * N)
+    return pd.DataFrame({"n_pos": [np.int64(P)], "n_neg": [np.int64(N)],
+                         "auc": [round(auc, 6)]})
+
+
+def doc_hapax(sf_dir: str):
+    """Per-source hapax-legomenon profile (vocabulary size, words
+    occurring exactly once, hapax ratio) — the corpus-maturity
+    diagnostic (a shrinking hapax share signals saturation/duplication).
+    One combiner pass to (source, word) counts, then a vocab-bounded
+    aggregate of count==1 indicators per source."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "w": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        flat = np.concatenate([w for w in words.to_numpy() if w])
+        src = np.repeat(batch["source"].to_numpy(), lens)
+        g = pd.DataFrame({"source": src, "w": flat}) \
+            .groupby(["source", "w"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    counts = grouped_aggregate(
+        ds.map_batches(explode, batch_format="pandas", batch_size=8192),
+        ["source", "w"], {"n": ("c", "sum")}, result_hint="large")
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "n" not in df.columns:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "vocab": pd.Series(dtype="int64"),
+                                 "hapax": pd.Series(dtype="int64")})
+        g = df.assign(one=(df["n"] == 1).astype("int64")) \
+            .groupby("source", sort=False) \
+            .agg(vocab=("n", "size"), hapax=("one", "sum"))
+        return g.reset_index()
+
+    out = grouped_aggregate(
+        counts.map_batches(flags, batch_format="pandas"),
+        ["source"], {"vocab": ("vocab", "sum"),
+                     "hapax": ("hapax", "sum")}).to_pandas()
+    out["vocab"] = out["vocab"].astype("int64")
+    out["hapax"] = out["hapax"].astype("int64")
+    out["hapax_ratio"] = (out["hapax"] / out["vocab"]).round(6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def doc_zipf_slope(sf_dir: str, *, top_k: int = 1000):
+    """Zipf's-law fit per source: OLS slope of ln(frequency) against
+    ln(rank) over the top-``top_k`` words (natural text ≈ −1; flatter
+    slopes flag templated/duplicated corpora). Combiner word counts →
+    exact distributed top-k (the ≤ k×keys-shuffle combiner) → per-source
+    co-located rank assignment and OLS co-moment partials; slopes close
+    over the |sources|-bounded driver table, same centered arithmetic
+    as DuckDB regr_slope (the oracle)."""
+    from jerex_ray.functions.aggregate import (grouped_aggregate,
+                                               grouped_apply,
+                                               grouped_topk)
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "w": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        flat = np.concatenate([w for w in words.to_numpy() if w])
+        src = np.repeat(batch["source"].to_numpy(), lens)
+        g = pd.DataFrame({"source": src, "w": flat}) \
+            .groupby(["source", "w"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    counts = grouped_aggregate(
+        ds.map_batches(explode, batch_format="pandas", batch_size=8192),
+        ["source", "w"], {"n": ("c", "sum")}, result_hint="large")
+    top = grouped_topk(counts, ["source"], order_by="n", k=top_k,
+                       tie_cols=["w"])
+
+    def ols_partials(block: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "sx": pd.Series(dtype="float64"),
+                "sy": pd.Series(dtype="float64"),
+                "sxx": pd.Series(dtype="float64"),
+                "sxy": pd.Series(dtype="float64")}
+        if block.empty or "source" not in block.columns:
+            return pd.DataFrame(cols)
+        parts = []
+        for src, g in block.groupby("source", sort=False):
+            s = g.sort_values(["n", "w"], ascending=[False, True])
+            x = np.log(np.arange(1, len(s) + 1, dtype=np.float64))
+            y = np.log(s["n"].to_numpy(np.float64))
+            parts.append(pd.DataFrame(
+                {"source": [src], "n": [np.int64(len(s))],
+                 "sx": [x.sum()], "sy": [y.sum()],
+                 "sxx": [(x * x).sum()], "sxy": [(x * y).sum()]}))
+        return pd.concat(parts, ignore_index=True)
+
+    m = grouped_apply(top, ["source"], ols_partials).to_pandas()
+    n = m["n"].to_numpy(np.float64)
+    vx = m["sxx"] - m["sx"] ** 2 / n
+    cov = m["sxy"] - m["sx"] * m["sy"] / n
+    slope = cov / vx
+    out = pd.DataFrame({"source": m["source"],
+                        "n_terms": m["n"].astype("int64"),
+                        "slope": slope.round(6),
+                        "intercept": (m["sy"] / n
+                                      - slope * m["sx"] / n).round(6)})
+    return out.sort_values("source").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -5251,6 +5495,10 @@ def build_queries() -> dict:
         "doc_nb_predict": doc_nb_predict,
         "emb_mutual_nn": emb_mutual_nn,
         "q_events_interpolate": q_events_interpolate,
+        "q_lineitem_ols2": q_lineitem_ols2,
+        "q_events_auc": q_events_auc,
+        "doc_hapax": doc_hapax,
+        "doc_zipf_slope": doc_zipf_slope,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -6260,6 +6508,111 @@ def _build_oracle_sql_literal() -> dict:
             FROM stubs s
             JOIN deg d1 ON s.u = d1.u
             JOIN deg d2 ON s.v = d2.u
+        """,
+        "q_lineitem_ols2": """
+            WITH mu AS (
+                SELECT l_returnflag, count(*) AS n,
+                       sum(CAST(l_quantity AS DOUBLE)) AS s1,
+                       sum(CAST(l_discount AS DOUBLE)) AS s2,
+                       sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+                       sum(CAST(l_quantity AS DOUBLE)) / count(*)
+                           AS m1,
+                       sum(CAST(l_discount AS DOUBLE)) / count(*)
+                           AS m2,
+                       sum(CAST(l_extendedprice AS DOUBLE)) / count(*)
+                           AS my
+                FROM lineitem GROUP BY l_returnflag),
+            c AS (
+                SELECT l.l_returnflag, mu.n, mu.s1, mu.s2, mu.sy,
+                       sum((CAST(l_quantity AS DOUBLE) - m1)
+                           * (CAST(l_quantity AS DOUBLE) - m1))
+                           AS c11,
+                       sum((CAST(l_discount AS DOUBLE) - m2)
+                           * (CAST(l_discount AS DOUBLE) - m2))
+                           AS c22,
+                       sum((CAST(l_quantity AS DOUBLE) - m1)
+                           * (CAST(l_discount AS DOUBLE) - m2))
+                           AS c12,
+                       sum((CAST(l_quantity AS DOUBLE) - m1)
+                           * (CAST(l_extendedprice AS DOUBLE) - my))
+                           AS c1y,
+                       sum((CAST(l_discount AS DOUBLE) - m2)
+                           * (CAST(l_extendedprice AS DOUBLE) - my))
+                           AS c2y
+                FROM lineitem l JOIN mu
+                  ON mu.l_returnflag = l.l_returnflag
+                GROUP BY l.l_returnflag, mu.n, mu.s1, mu.s2, mu.sy),
+            b AS (
+                SELECT l_returnflag, n, s1, s2, sy,
+                       (c22 * c1y - c12 * c2y)
+                           / (c11 * c22 - c12 * c12) AS b1,
+                       (c11 * c2y - c12 * c1y)
+                           / (c11 * c22 - c12 * c12) AS b2
+                FROM c)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   round(b1, 6) AS b_qty, round(b2, 6) AS b_disc,
+                   round(sy / n - b1 * s1 / n - b2 * s2 / n, 6)
+                       AS intercept
+            FROM b ORDER BY l_returnflag
+        """,
+        "q_events_auc": """
+            WITH s AS (
+                SELECT event_id, CAST(value AS DOUBLE) AS v,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS pos
+                FROM events),
+            r AS (SELECT v, pos, row_number() OVER (
+                      ORDER BY v, event_id) AS rn FROM s),
+            g AS (SELECT v, count(*) AS n, sum(pos) AS np,
+                         avg(CAST(rn AS DOUBLE)) AS ar
+                  FROM r GROUP BY v),
+            agg AS (SELECT sum(np * ar) AS s, sum(np) AS p,
+                           sum(n) AS t
+                    FROM g)
+            SELECT CAST(p AS BIGINT) AS n_pos,
+                   CAST(t - p AS BIGINT) AS n_neg,
+                   round((s - p * (p + 1.0) / 2.0)
+                         / (p * (t - p)), 6) AS auc
+            FROM agg
+        """,
+        "doc_hapax": """
+            WITH w AS (
+                SELECT source, unnest(list_filter(
+                    regexp_split_to_array(lower(coalesce(text, '')),
+                                          '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents),
+            c AS (SELECT source, word, count(*) AS n
+                  FROM w GROUP BY source, word)
+            SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hapax,
+                   round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6)
+                       AS hapax_ratio
+            FROM c GROUP BY source ORDER BY source
+        """,
+        "doc_zipf_slope": """
+            WITH w AS (
+                SELECT source, unnest(list_filter(
+                    regexp_split_to_array(lower(coalesce(text, '')),
+                                          '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents),
+            c AS (SELECT source, word, count(*) AS n
+                  FROM w GROUP BY source, word),
+            r AS (SELECT source, n, row_number() OVER (
+                      PARTITION BY source
+                      ORDER BY n DESC, word) AS rk
+                  FROM c)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                   round(regr_slope(ln(CAST(n AS DOUBLE)),
+                                    ln(CAST(rk AS DOUBLE))), 6)
+                       AS slope,
+                   round(regr_intercept(ln(CAST(n AS DOUBLE)),
+                                        ln(CAST(rk AS DOUBLE))), 6)
+                       AS intercept
+            FROM r WHERE rk <= 1000 GROUP BY source ORDER BY source
         """,
         "doc_nb_predict": """
             WITH wl AS (

@@ -596,3 +596,53 @@ def test_interpolate_fills_gaps_linearly_and_keeps_observed():
                 lo, hi = sorted((v[a], v[b]))
                 seg = v[a + 1:b]
                 assert ((seg >= lo - 1e-9) & (seg <= hi + 1e-9)).all()
+
+
+def test_ols2_matches_numpy_lstsq():
+    from jerex_ray.pipelines.queries import q_lineitem_ols2
+    out = q_lineitem_ols2(SF).set_index("l_returnflag")
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_returnflag", "l_quantity",
+                                "l_discount",
+                                "l_extendedprice"]).to_pandas()
+    for rf, g in li.groupby("l_returnflag"):
+        X = np.c_[np.ones(len(g)),
+                  g["l_quantity"].to_numpy(np.float64),
+                  g["l_discount"].to_numpy(np.float64)]
+        y = g["l_extendedprice"].to_numpy(np.float64)
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        assert abs(out.loc[rf, "intercept"] - beta[0]) < 1e-3
+        assert abs(out.loc[rf, "b_qty"] - beta[1]) < 1e-5
+        assert abs(out.loc[rf, "b_disc"] - beta[2]) < 1e-2
+
+
+def test_auc_matches_serial_mann_whitney():
+    from jerex_ray.pipelines.queries import q_events_auc
+    out = q_events_auc(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    pos = ev[ev["event_type"] == "purchase"]["value"].to_numpy()
+    neg = ev[ev["event_type"] != "purchase"]["value"].to_numpy()
+    wins = sum((neg < p).sum() + 0.5 * (neg == p).sum() for p in pos)
+    auc = wins / (len(pos) * len(neg))
+    assert out["n_pos"][0] == len(pos)
+    assert out["n_neg"][0] == len(neg)
+    assert abs(out["auc"][0] - round(auc, 6)) < 2e-6
+
+
+def test_hapax_and_zipf_agree_with_pandas_recount():
+    from jerex_ray.pipelines.queries import doc_hapax, doc_zipf_slope
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    rows = docs.assign(w=docs["text"].fillna("").str.lower()
+                       .str.split()).explode("w").dropna(subset=["w"])
+    rows = rows[rows["w"] != ""]
+    cnt = rows.groupby(["source", "w"]).size()
+    hap = doc_hapax(SF).set_index("source")
+    for src, g in cnt.groupby(level=0):
+        assert hap.loc[src, "vocab"] == len(g)
+        assert hap.loc[src, "hapax"] == int((g == 1).sum())
+    zipf = doc_zipf_slope(SF)
+    # natural-ish synthetic text: slope strictly negative everywhere
+    assert (zipf["slope"] < 0).all()
+    assert (zipf["n_terms"] <= 1000).all()
