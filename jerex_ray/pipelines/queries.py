@@ -5435,6 +5435,160 @@ def doc_zipf_slope(sf_dir: str, *, top_k: int = 1000):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_events_decayed_sum(sf_dir: str, *, tau_days: float = 1.0):
+    """Exponentially time-decayed per-user value sum as of the stream's
+    end (w = exp(−Δt/τ), τ = 1 day) — the standard recency-weighted
+    engagement feature. One combiner pass: the global max timestamp is
+    a scalar pre-pass, every batch weights locally in integer
+    microseconds (no float epoch drift), per-user partials reduce."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+    tmax = int(ds.map_batches(
+        lambda b: pd.DataFrame({"t_us": b["ts"]
+                                .astype("datetime64[us]")
+                                .astype("int64")}),
+        batch_format="pandas").max("t_us"))
+    scale = tau_days * 86400.0 * 1e6
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        w = np.exp(-((tmax - t).astype(np.float64) / scale))
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                          "wsum": w * df["value"].to_numpy(np.float64),
+                          "wtot": w})
+        return g.groupby("user_id", sort=False, as_index=False).sum()
+
+    out = grouped_aggregate(
+        ds.map_batches(weigh, batch_format="pandas"),
+        ["user_id"], {"wsum": ("wsum", "sum"),
+                      "wtot": ("wtot", "sum")}).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["wsum"] = out["wsum"].round(6)
+    out["wtot"] = out["wtot"].round(6)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_events_winsorized_mean(sf_dir: str, *, lo: float = 0.05,
+                             hi: float = 0.95):
+    """Winsorized mean of event value per type (values clamped to the
+    exact type-7 [p05, p95] before averaging) — the robust-mean sibling
+    of the trimmed mean, keeping every row's vote but bounding
+    influence. The per-group bounds come from the shuffle-free exact
+    grouped-quantile selector (three passes for ALL groups at once);
+    clamping and the mean are then one more combiner pass."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.ops.quantiles import grouped_quantiles
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    qdf = grouped_quantiles(ds, "event_type", "value", [lo, hi])
+    bounds = {}
+    for t, g in qdf.groupby("event_type"):
+        v = g.sort_values("q")["value"].to_numpy(np.float64)
+        bounds[t] = (v[0], v[-1])
+    b_ref = ray.put(bounds)
+
+    def clamp(df: pd.DataFrame) -> pd.DataFrame:
+        bl = ray.get(b_ref)
+        lo_v = df["event_type"].map({k: v[0] for k, v in bl.items()}) \
+            .to_numpy(np.float64)
+        hi_v = df["event_type"].map({k: v[1] for k, v in bl.items()}) \
+            .to_numpy(np.float64)
+        v = np.clip(df["value"].to_numpy(np.float64), lo_v, hi_v)
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "n": 1, "s": v})
+        return g.groupby("event_type", sort=False, as_index=False) \
+            .sum()
+
+    m = grouped_aggregate(
+        ds.map_batches(clamp, batch_format="pandas"),
+        ["event_type"], {"n": ("n", "sum"),
+                         "s": ("s", "sum")}).to_pandas()
+    out = pd.DataFrame({
+        "event_type": m["event_type"],
+        "n": m["n"].astype("int64"),
+        "winsorized_mean": (m["s"].to_numpy(np.float64)
+                            / m["n"].to_numpy(np.float64)).round(6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_user_als_step(sf_dir: str, *, rank: int = 2, lam: float = 0.1):
+    """One exact ALS half-step of a rank-2 matrix factorization over
+    the user × event-type count matrix — the collaborative-filtering
+    training primitive: item factors are FIXED md5-derived constants
+    (so the SQL oracle replays them bit-for-bit), and each user's
+    factor solves the ridge normal equations
+    x_u = (Σ_i f_i f_iᵀ + λI)⁻¹ Σ_i c_ui f_i over the user's observed
+    items, by the closed 2×2 Cramer solve. Dataflow: one combiner pass
+    to (user, type) counts, the |types|-bounded factor table broadcasts,
+    per-user sums reduce — users never co-reside, no shuffle beyond the
+    count aggregate."""
+    import hashlib
+
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    counts = grouped_aggregate(ds, ["user_id", "event_type"],
+                               {"c": (None, "count")},
+                               result_hint="large").materialize()
+
+    def factor(t: str, j: int) -> float:
+        h = hashlib.md5(f"{t}|{j}".encode()).hexdigest()[:8]
+        return (int(h, 16) % 1000000) / 1000000.0 - 0.5
+
+    types = sorted(set(
+        counts.map_batches(
+            lambda b: pd.DataFrame({"event_type": b["event_type"]
+                                    .unique()}),
+            batch_format="pandas").to_pandas()["event_type"]))
+    fmap = {t: (factor(t, 1), factor(t, 2)) for t in types}
+    f_ref = ray.put(fmap)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        fm = ray.get(f_ref)
+        if df.empty or "c" not in df.columns:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 **{k: pd.Series(dtype="float64")
+                                    for k in ("a11", "a12", "a22",
+                                              "b1", "b2")}})
+        f1 = df["event_type"].map({k: v[0] for k, v in fm.items()}) \
+            .to_numpy(np.float64)
+        f2 = df["event_type"].map({k: v[1] for k, v in fm.items()}) \
+            .to_numpy(np.float64)
+        c = df["c"].to_numpy(np.float64)
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                          "a11": f1 * f1, "a12": f1 * f2,
+                          "a22": f2 * f2, "b1": c * f1, "b2": c * f2})
+        return g.groupby("user_id", sort=False, as_index=False).sum()
+
+    m = grouped_aggregate(
+        counts.map_batches(partials, batch_format="pandas"),
+        ["user_id"],
+        {k: (k, "sum") for k in ("a11", "a12", "a22", "b1", "b2")}) \
+        .to_pandas()
+    a11 = m["a11"].to_numpy(np.float64) + lam
+    a22 = m["a22"].to_numpy(np.float64) + lam
+    a12 = m["a12"].to_numpy(np.float64)
+    b1 = m["b1"].to_numpy(np.float64)
+    b2 = m["b2"].to_numpy(np.float64)
+    det = a11 * a22 - a12 * a12
+    out = pd.DataFrame({"user_id": m["user_id"].astype("int64"),
+                        "x1": ((a22 * b1 - a12 * b2) / det).round(6),
+                        "x2": ((a11 * b2 - a12 * b1) / det).round(6)})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -5499,6 +5653,9 @@ def build_queries() -> dict:
         "q_events_auc": q_events_auc,
         "doc_hapax": doc_hapax,
         "doc_zipf_slope": doc_zipf_slope,
+        "q_events_decayed_sum": q_events_decayed_sum,
+        "q_events_winsorized_mean": q_events_winsorized_mean,
+        "q_user_als_step": q_user_als_step,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -6554,6 +6711,65 @@ def _build_oracle_sql_literal() -> dict:
                    round(sy / n - b1 * s1 / n - b2 * s2 / n, 6)
                        AS intercept
             FROM b ORDER BY l_returnflag
+        """,
+        "q_events_decayed_sum": """
+            WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+            w AS (
+                SELECT user_id,
+                       exp(-(CAST((SELECT tmax FROM t)
+                                  - epoch_us(ts) AS DOUBLE)
+                             / 86400000000.0)) AS wt,
+                       CAST(value AS DOUBLE) AS v
+                FROM events)
+            SELECT user_id, round(sum(wt * v), 6) AS wsum,
+                   round(sum(wt), 6) AS wtot
+            FROM w GROUP BY user_id ORDER BY user_id
+        """,
+        "q_events_winsorized_mean": """
+            WITH b AS (
+                SELECT event_type,
+                       quantile_cont(CAST(value AS DOUBLE), 0.05)
+                           AS lo,
+                       quantile_cont(CAST(value AS DOUBLE), 0.95)
+                           AS hi
+                FROM events GROUP BY event_type)
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(CASE
+                       WHEN CAST(value AS DOUBLE) < lo THEN lo
+                       WHEN CAST(value AS DOUBLE) > hi THEN hi
+                       ELSE CAST(value AS DOUBLE) END), 6)
+                       AS winsorized_mean
+            FROM events e JOIN b USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type
+        """,
+        "q_user_als_step": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS c
+                FROM events GROUP BY user_id, event_type),
+            f AS (
+                SELECT DISTINCT event_type,
+                       (CAST('0x' || substr(md5(event_type || '|1'),
+                                            1, 8) AS UBIGINT)
+                        % 1000000) / 1000000.0 - 0.5 AS f1,
+                       (CAST('0x' || substr(md5(event_type || '|2'),
+                                            1, 8) AS UBIGINT)
+                        % 1000000) / 1000000.0 - 0.5 AS f2
+                FROM events),
+            p AS (
+                SELECT user_id,
+                       sum(f1 * f1) AS a11s, sum(f1 * f2) AS a12,
+                       sum(f2 * f2) AS a22s,
+                       sum(c * f1) AS b1, sum(c * f2) AS b2
+                FROM c JOIN f USING (event_type)
+                GROUP BY user_id)
+            SELECT user_id,
+                   round(((a22s + 0.1) * b1 - a12 * b2)
+                         / ((a11s + 0.1) * (a22s + 0.1)
+                            - a12 * a12), 6) AS x1,
+                   round(((a11s + 0.1) * b2 - a12 * b1)
+                         / ((a11s + 0.1) * (a22s + 0.1)
+                            - a12 * a12), 6) AS x2
+            FROM p ORDER BY user_id
         """,
         "q_events_auc": """
             WITH s AS (

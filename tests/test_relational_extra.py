@@ -646,3 +646,55 @@ def test_hapax_and_zipf_agree_with_pandas_recount():
     # natural-ish synthetic text: slope strictly negative everywhere
     assert (zipf["slope"] < 0).all()
     assert (zipf["n_terms"] <= 1000).all()
+
+
+def test_decayed_sum_matches_serial_weighting():
+    from jerex_ray.pipelines.queries import q_events_decayed_sum
+    out = q_events_decayed_sum(SF).set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "value"]).to_pandas()
+    t = ev["ts"].astype("datetime64[us]").astype("int64")
+    tmax = t.max()
+    w = np.exp(-((tmax - t).to_numpy(np.float64) / 86400000000.0))
+    ref = pd.DataFrame({"user_id": ev["user_id"],
+                        "ws": w * ev["value"].to_numpy(np.float64),
+                        "wt": w}).groupby("user_id").sum()
+    for uid in ref.index:
+        assert abs(out.loc[uid, "wsum"] - round(ref.loc[uid, "ws"], 6)) < 2e-6
+        assert abs(out.loc[uid, "wtot"] - round(ref.loc[uid, "wt"], 6)) < 2e-6
+
+
+def test_winsorized_mean_between_min_and_max_and_robust():
+    from jerex_ray.pipelines.queries import q_events_winsorized_mean
+    out = q_events_winsorized_mean(SF).set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    for t, g in ev.groupby("event_type"):
+        v = g["value"].to_numpy(np.float64)
+        lo, hi = np.quantile(v, [0.05, 0.95])
+        ref = np.clip(v, lo, hi).mean()
+        assert abs(out.loc[t, "winsorized_mean"] - ref) < 1e-4
+        assert out.loc[t, "n"] == len(v)
+
+
+def test_als_step_solves_per_user_ridge_normal_equations():
+    import hashlib
+    from jerex_ray.pipelines.queries import q_user_als_step
+    out = q_user_als_step(SF).set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    cnt = ev.groupby(["user_id", "event_type"]).size()
+
+    def factor(t, j):
+        h = hashlib.md5(f"{t}|{j}".encode()).hexdigest()[:8]
+        return (int(h, 16) % 1000000) / 1000000.0 - 0.5
+
+    for uid, g in cnt.groupby(level=0):
+        F = np.array([[factor(t, 1), factor(t, 2)]
+                      for (_, t) in g.index])
+        c = g.to_numpy(np.float64)
+        A = F.T @ F + 0.1 * np.eye(2)
+        b = F.T @ c
+        x = np.linalg.solve(A, b)
+        assert abs(out.loc[uid, "x1"] - x[0]) < 1e-5
+        assert abs(out.loc[uid, "x2"] - x[1]) < 1e-5
