@@ -5589,6 +5589,148 @@ def q_user_als_step(sf_dir: str, *, rank: int = 2, lam: float = 0.1):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_user_features(sf_dir: str):
+    """Feature-store assembly: one wide per-user training-feature row
+    (event count, mean value, distinct event types, active days, span
+    days) — the materialization shape every downstream model consumes.
+    Everything reduces in ONE combiner pass except distinct types and
+    active days, which pre-dedup under (user, key) co-location first
+    (the dedup-explode-dedup shape) so no count-distinct state grows
+    unbounded."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts",
+                                     "value"])
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].astype("datetime64[us]").astype("int64") \
+            // 86_400_000_000
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                          "n": 1,
+                          "s": df["value"].to_numpy(np.float64),
+                          "dmin": d, "dmax": d})
+        return g.groupby("user_id", sort=False, as_index=False) \
+            .agg(n=("n", "sum"), s=("s", "sum"),
+                 dmin=("dmin", "min"), dmax=("dmax", "max"))
+
+    b = grouped_aggregate(ds.map_batches(base, batch_format="pandas"),
+                          ["user_id"],
+                          {"n": ("n", "sum"), "s": ("s", "sum"),
+                           "dmin": ("dmin", "min"),
+                           "dmax": ("dmax", "max")}).to_pandas()
+
+    types = grouped_aggregate(ds, ["user_id", "event_type"],
+                              {"k": (None, "count")},
+                              result_hint="large")
+    n_types = grouped_aggregate(types, ["user_id"],
+                                {"n_types": (None, "count")}) \
+        .to_pandas()
+
+    def day_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].astype("datetime64[us]").astype("int64") \
+            // 86_400_000_000
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                             "day": d}).drop_duplicates()
+
+    days = grouped_aggregate(
+        ds.map_batches(day_rows, batch_format="pandas"),
+        ["user_id", "day"], {"k": (None, "count")},
+        result_hint="large")
+    n_days = grouped_aggregate(days, ["user_id"],
+                               {"n_days": (None, "count")}).to_pandas()
+
+    out = b.merge(n_types, on="user_id").merge(n_days, on="user_id")
+    mv = out["s"].to_numpy(np.float64) / out["n"].to_numpy(np.float64)
+    res = pd.DataFrame({
+        "user_id": out["user_id"].astype("int64"),
+        "n_events": out["n"].astype("int64"),
+        # half-away mirror: np.round is half-even, DuckDB half-away,
+        # and means of 2-decimal values DO land on exact .5 boundaries
+        "mean_value": np.copysign(np.floor(np.abs(mv) * 1e6 + 0.5),
+                                  mv) / 1e6,
+        "n_types": out["n_types"].astype("int64"),
+        "active_days": out["n_days"].astype("int64"),
+        "span_days": (out["dmax"] - out["dmin"]).astype("int64")})
+    return res.sort_values("user_id").reset_index(drop=True)
+
+
+def q_events_dp_counts(sf_dir: str, *, epsilon: float = 1.0):
+    """Differentially-private count release per event type (Laplace
+    mechanism, sensitivity 1): noise is SEEDED — the md5 of the type
+    maps to a uniform in (0,1), inverted through the Laplace CDF — so
+    the release is reproducible, auditable, and the SQL oracle replays
+    the identical noise bit-for-bit. The aggregate is one combiner
+    count; the noise adds per released row (|types|-bounded), which is
+    exactly where DP noise belongs at scale — never per record."""
+    import hashlib
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type"])
+    m = grouped_aggregate(ds, ["event_type"],
+                          {"n": (None, "count")}).to_pandas()
+
+    def laplace(t: str) -> float:
+        h = hashlib.md5(f"dp|{t}".encode()).hexdigest()[:13]
+        u = (int(h, 16) % 1000000007) / 1000000007.0 - 0.5
+        # inverse CDF: -b*sign(u)*ln(1-2|u|), b = 1/eps
+        return -(1.0 / epsilon) * np.sign(u) * np.log(1.0 - 2.0 * abs(u))
+
+    noise = np.array([laplace(t) for t in m["event_type"]])
+    out = pd.DataFrame({
+        "event_type": m["event_type"],
+        "true_n": m["n"].astype("int64"),
+        "dp_n": (m["n"].to_numpy(np.float64) + noise).round(6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def doc_sentence_stats(sf_dir: str):
+    """Per-document sentence segmentation profile (sentence count,
+    mean and max words per sentence) by the deterministic [.!?]+ rule
+    — the readability-style quality signal upstream models filter on.
+    Fully vectorized: one regex split per batch, explode, two grouped
+    reductions; oracled by the identical regexp split in SQL."""
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        sents = batch["text"].fillna("").str.split(r"[.!?]+", regex=True)
+        ids = batch["doc_id"].to_numpy()
+        lens = sents.str.len().fillna(0).to_numpy(np.int64)
+        flat = [s for lst in sents.to_numpy() for s in lst]
+        owner = np.repeat(np.arange(len(batch)), lens)
+        words = pd.Series(flat).str.split().str.len() \
+            .fillna(0).to_numpy(np.int64)
+        keep = words > 0
+        owner, words = owner[keep], words[keep]
+        g = pd.DataFrame({"i": owner, "w": words}).groupby("i")["w"] \
+            .agg(["size", "mean", "max"])
+        n = np.zeros(len(batch), dtype=np.int64)
+        mean = np.zeros(len(batch), dtype=np.float64)
+        mx = np.zeros(len(batch), dtype=np.int64)
+        n[g.index] = g["size"].to_numpy(np.int64)
+        mean[g.index] = g["mean"].to_numpy(np.float64)
+        mx[g.index] = g["max"].to_numpy(np.int64)
+        # DuckDB round() is half-away-from-zero; mirror it
+        mean_r = np.copysign(np.floor(np.abs(mean) * 1e6 + 0.5),
+                             mean) / 1e6
+        return pd.DataFrame({"doc_id": ids, "n_sentences": n,
+                             "mean_words": mean_r,
+                             "max_words": mx})
+
+    out = ds.map_batches(stats, batch_format="pandas",
+                         batch_size=4096).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_sentences": "int64",
+                      "max_words": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -5656,6 +5798,9 @@ def build_queries() -> dict:
         "q_events_decayed_sum": q_events_decayed_sum,
         "q_events_winsorized_mean": q_events_winsorized_mean,
         "q_user_als_step": q_user_als_step,
+        "q_user_features": q_user_features,
+        "q_events_dp_counts": q_events_dp_counts,
+        "doc_sentence_stats": doc_sentence_stats,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -6711,6 +6856,62 @@ def _build_oracle_sql_literal() -> dict:
                    round(sy / n - b1 * s1 / n - b2 * s2 / n, 6)
                        AS intercept
             FROM b ORDER BY l_returnflag
+        """,
+        "q_user_features": """
+            WITH d AS (
+                SELECT user_id, event_type, CAST(value AS DOUBLE) AS v,
+                       CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                           AS day
+                FROM events)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(v) / count(*), 6) AS mean_value,
+                   CAST(count(DISTINCT event_type) AS BIGINT)
+                       AS n_types,
+                   CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+                   CAST(max(day) - min(day) AS BIGINT) AS span_days
+            FROM d GROUP BY user_id ORDER BY user_id
+        """,
+        "q_events_dp_counts": """
+            WITH c AS (
+                SELECT event_type, count(*) AS n
+                FROM events GROUP BY event_type),
+            u AS (
+                SELECT event_type, n,
+                       (CAST('0x' || substr(md5('dp|' || event_type),
+                                            1, 13) AS UBIGINT)
+                        % 1000000007) / 1000000007.0 - 0.5 AS u
+                FROM c)
+            SELECT event_type, CAST(n AS BIGINT) AS true_n,
+                   round(n + (-(1.0 / 1.0) * sign(u)
+                              * ln(1.0 - 2.0 * abs(u))), 6) AS dp_n
+            FROM u ORDER BY event_type
+        """,
+        "doc_sentence_stats": """
+            WITH s AS (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                    coalesce(text, ''), '[.!?]+')) AS sent
+                FROM documents),
+            w AS (
+                SELECT doc_id, len(list_filter(
+                    regexp_split_to_array(sent, '\\s+'),
+                    x -> x <> '')) AS words
+                FROM s),
+            k AS (SELECT doc_id, words FROM w WHERE words > 0),
+            agg AS (
+                SELECT doc_id, count(*) AS n_sentences,
+                       round(sum(CAST(words AS DOUBLE)) / count(*), 6)
+                           AS mean_words,
+                       max(words) AS max_words
+                FROM k GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_sentences, 0) AS BIGINT)
+                       AS n_sentences,
+                   coalesce(a.mean_words, 0.0) AS mean_words,
+                   CAST(coalesce(a.max_words, 0) AS BIGINT)
+                       AS max_words
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "q_events_decayed_sum": """
             WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events),

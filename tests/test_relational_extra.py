@@ -698,3 +698,50 @@ def test_als_step_solves_per_user_ridge_normal_equations():
         x = np.linalg.solve(A, b)
         assert abs(out.loc[uid, "x1"] - x[0]) < 1e-5
         assert abs(out.loc[uid, "x2"] - x[1]) < 1e-5
+
+
+def test_user_features_match_pandas_recompute():
+    from jerex_ray.pipelines.queries import q_user_features
+    out = q_user_features(SF).set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "ts",
+                                "value"]).to_pandas()
+    day = ev["ts"].astype("datetime64[us]").astype("int64") \
+        // 86_400_000_000
+    ev = ev.assign(day=day)
+    for uid, g in ev.groupby("user_id"):
+        assert out.loc[uid, "n_events"] == len(g)
+        assert abs(out.loc[uid, "mean_value"]
+                   - round(g["value"].mean(), 6)) < 2e-6
+        assert out.loc[uid, "n_types"] == g["event_type"].nunique()
+        assert out.loc[uid, "active_days"] == g["day"].nunique()
+        assert out.loc[uid, "span_days"] == g["day"].max() - g["day"].min()
+
+
+def test_dp_counts_noise_is_seeded_laplace_and_bounded():
+    import hashlib
+    from jerex_ray.pipelines.queries import q_events_dp_counts
+    out = q_events_dp_counts(SF)
+    for _, row in out.iterrows():
+        h = hashlib.md5(f"dp|{row['event_type']}".encode()) \
+            .hexdigest()[:13]
+        u = (int(h, 16) % 1000000007) / 1000000007.0 - 0.5
+        want = -1.0 * np.sign(u) * np.log(1.0 - 2.0 * abs(u))
+        assert abs((row["dp_n"] - row["true_n"]) - want) < 2e-6
+
+
+def test_sentence_stats_agree_with_serial_split():
+    import re
+    from jerex_ray.pipelines.queries import doc_sentence_stats
+    out = doc_sentence_stats(SF).set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    for _, r in docs.head(50).iterrows():
+        ws = [len(s.split()) for s in re.split(r"[.!?]+", r["text"] or "")
+              if len(s.split()) > 0]
+        did = r["doc_id"]
+        assert out.loc[did, "n_sentences"] == len(ws)
+        if ws:
+            assert out.loc[did, "max_words"] == max(ws)
+            assert abs(out.loc[did, "mean_words"]
+                       - round(sum(ws) / len(ws), 6)) < 2e-6
