@@ -5731,6 +5731,154 @@ def doc_sentence_stats(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_orders_streak(sf_dir: str):
+    """Longest run of strictly-increasing order totals per customer in
+    (date, key) order — the gaps-and-islands shape applied to
+    monotonicity (streak features feed churn/LTV models). Customers
+    co-locate in ONE hash shuffle; each block computes runs vectorized:
+    a boolean "rise" vector, island ids by cumulative sum of breaks,
+    max island length per customer. Oracled by the SQL islands
+    construction (row_number difference over the rise flag)."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderkey",
+                                     "o_orderdate", "o_totalprice"])
+
+    def streaks(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({"o_custkey": pd.Series(dtype="int64"),
+                                 "n_orders": pd.Series(dtype="int64"),
+                                 "max_streak": pd.Series(dtype="int64")})
+        b = block.sort_values(["o_custkey", "o_orderdate",
+                               "o_orderkey"])
+        cust = b["o_custkey"].to_numpy()
+        price = b["o_totalprice"].to_numpy(np.float64)
+        same = np.r_[False, cust[1:] == cust[:-1]]
+        rise = np.r_[False, price[1:] > price[:-1]] & same
+        # island id increments whenever the run breaks
+        island = np.cumsum(~rise)
+        runs = pd.DataFrame({"cust": cust, "island": island}) \
+            .groupby(["cust", "island"], sort=False).size()
+        mx = runs.groupby(level=0).max()
+        cnt = pd.Series(cust).value_counts()
+        return pd.DataFrame({"o_custkey": mx.index.to_numpy(np.int64),
+                             "n_orders": cnt.loc[mx.index]
+                             .to_numpy(np.int64),
+                             "max_streak": mx.to_numpy(np.int64)})
+
+    out = grouped_apply(ds, ["o_custkey"], streaks).to_pandas()
+    out = out.astype({"o_custkey": "int64", "n_orders": "int64",
+                      "max_streak": "int64"})
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def doc_simpson_diversity(sf_dir: str):
+    """Simpson lexical diversity per source, 1 − Σ p(w)² (the
+    probability two random tokens differ) — the repetition-sensitive
+    corpus-health twin of word entropy. One combiner pass to (source,
+    word) counts, a vocab-bounded Σc² reduce, |sources| scalars out."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "w": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        flat = np.concatenate([w for w in words.to_numpy() if w])
+        src = np.repeat(batch["source"].to_numpy(), lens)
+        g = pd.DataFrame({"source": src, "w": flat}) \
+            .groupby(["source", "w"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    counts = grouped_aggregate(
+        ds.map_batches(explode, batch_format="pandas", batch_size=8192),
+        ["source", "w"], {"n": ("c", "sum")}, result_hint="large")
+
+    def sq(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "n" not in df.columns:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "tok": pd.Series(dtype="int64"),
+                                 "sq": pd.Series(dtype="float64")})
+        c = df["n"].to_numpy(np.float64)
+        g = pd.DataFrame({"source": df["source"].to_numpy(),
+                          "tok": df["n"].to_numpy(np.int64),
+                          "sq": c * c}) \
+            .groupby("source", sort=False, as_index=False).sum()
+        return g
+
+    m = grouped_aggregate(counts.map_batches(sq, batch_format="pandas"),
+                          ["source"], {"tok": ("tok", "sum"),
+                                       "sq": ("sq", "sum")}).to_pandas()
+    tok = m["tok"].to_numpy(np.float64)
+    out = pd.DataFrame({
+        "source": m["source"],
+        "n_tokens": m["tok"].astype("int64"),
+        "simpson": (1.0 - m["sq"].to_numpy(np.float64)
+                    / (tok * tok)).round(6)})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_events_entropy_rate(sf_dir: str):
+    """Per-user Markov entropy rate of the event-type sequence:
+    H = −Σᵢ p(i) Σⱼ p(j|i) log₂ p(j|i) over the user's observed
+    transitions — how predictable a user's behavior is (0 =
+    deterministic cycling). Transition counts come from the same
+    co-located shifted-view pair pass as the transition matrix; the
+    entropy closes over per-user |types|²-bounded tables. Oracled by
+    the LEAD-based SQL transition counts and the identical closed
+    form."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+
+    def entropy(block: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                            "n_transitions": pd.Series(dtype="int64"),
+                            "entropy_rate": pd.Series(dtype="float64")})
+        if block.empty:
+            return out
+        b = block.sort_values(["user_id", "ts", "event_id"])
+        uid = b["user_id"].to_numpy()
+        et = b["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        pairs = pd.DataFrame({"user_id": uid[:-1][same],
+                              "a": et[:-1][same], "b": et[1:][same]})
+        if pairs.empty:
+            return out
+        c = pairs.groupby(["user_id", "a", "b"], sort=False) \
+            .size().reset_index(name="n")
+        rows = []
+        for u, g in c.groupby("user_id", sort=False):
+            n = g["n"].to_numpy(np.float64)
+            tot = n.sum()
+            ca = g.groupby("a")["n"].transform("sum") \
+                .to_numpy(np.float64)
+            # Σ_ij (n_ij/tot) * log2(n_ij / c_a)  (p(i)·p(j|i) form)
+            h = -np.sum((n / tot) * (np.log2(n) - np.log2(ca)))
+            rows.append((u, int(tot), h))
+        r = pd.DataFrame(rows, columns=["user_id", "n_transitions",
+                                        "entropy_rate"])
+        r["entropy_rate"] = np.round(r["entropy_rate"], 6)
+        return r
+
+    out = grouped_apply(ds, ["user_id"], entropy).to_pandas()
+    out = out.astype({"user_id": "int64", "n_transitions": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -5801,6 +5949,9 @@ def build_queries() -> dict:
         "q_user_features": q_user_features,
         "q_events_dp_counts": q_events_dp_counts,
         "doc_sentence_stats": doc_sentence_stats,
+        "q_orders_streak": q_orders_streak,
+        "doc_simpson_diversity": doc_simpson_diversity,
+        "q_events_entropy_rate": q_events_entropy_rate,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -6856,6 +7007,69 @@ def _build_oracle_sql_literal() -> dict:
                    round(sy / n - b1 * s1 / n - b2 * s2 / n, 6)
                        AS intercept
             FROM b ORDER BY l_returnflag
+        """,
+        "q_orders_streak": """
+            WITH o AS (
+                SELECT o_custkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS rn,
+                       CASE WHEN o_totalprice > lag(o_totalprice)
+                           OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+                           THEN 0 ELSE 1 END AS brk
+                FROM orders),
+            i AS (
+                SELECT o_custkey, rn,
+                       sum(brk) OVER (PARTITION BY o_custkey
+                                      ORDER BY rn) AS island
+                FROM o),
+            runs AS (
+                SELECT o_custkey, island, count(*) AS len
+                FROM i GROUP BY o_custkey, island),
+            c AS (SELECT o_custkey, count(*) AS n_orders
+                  FROM orders GROUP BY o_custkey)
+            SELECT c.o_custkey, CAST(c.n_orders AS BIGINT) AS n_orders,
+                   CAST(max(r.len) AS BIGINT) AS max_streak
+            FROM runs r JOIN c USING (o_custkey)
+            GROUP BY c.o_custkey, c.n_orders ORDER BY c.o_custkey
+        """,
+        "doc_simpson_diversity": """
+            WITH w AS (
+                SELECT source, unnest(list_filter(
+                    regexp_split_to_array(lower(coalesce(text, '')),
+                                          '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents),
+            c AS (SELECT source, word, count(*) AS n
+                  FROM w GROUP BY source, word)
+            SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+                   round(1.0 - sum(CAST(n AS DOUBLE) * n)
+                         / (CAST(sum(n) AS DOUBLE) * sum(n)), 6)
+                       AS simpson
+            FROM c GROUP BY source ORDER BY source
+        """,
+        "q_events_entropy_rate": """
+            WITH t AS (
+                SELECT user_id, event_type AS a,
+                       lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS b
+                FROM events),
+            c AS (SELECT user_id, a, b, count(*) AS n
+                  FROM t WHERE b IS NOT NULL
+                  GROUP BY user_id, a, b),
+            ca AS (SELECT user_id, a, sum(n) AS cn
+                   FROM c GROUP BY user_id, a),
+            tot AS (SELECT user_id, sum(n) AS tot
+                    FROM c GROUP BY user_id)
+            SELECT c.user_id, CAST(tot.tot AS BIGINT)
+                       AS n_transitions,
+                   round(-sum((CAST(c.n AS DOUBLE) / tot.tot)
+                              * (log2(CAST(c.n AS DOUBLE))
+                                 - log2(CAST(ca.cn AS DOUBLE)))), 6)
+                       AS entropy_rate
+            FROM c JOIN ca USING (user_id, a)
+            JOIN tot USING (user_id)
+            GROUP BY c.user_id, tot.tot ORDER BY c.user_id
         """,
         "q_user_features": """
             WITH d AS (

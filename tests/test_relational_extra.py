@@ -745,3 +745,60 @@ def test_sentence_stats_agree_with_serial_split():
             assert out.loc[did, "max_words"] == max(ws)
             assert abs(out.loc[did, "mean_words"]
                        - round(sum(ws) / len(ws), 6)) < 2e-6
+
+
+def test_streaks_match_serial_run_detection():
+    from jerex_ray.pipelines.queries import q_orders_streak
+    out = q_orders_streak(SF).set_index("o_custkey")
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_custkey", "o_orderkey",
+                                "o_orderdate",
+                                "o_totalprice"]).to_pandas()
+    for cust, g in list(od.groupby("o_custkey"))[:30]:
+        p = g.sort_values(["o_orderdate", "o_orderkey"])["o_totalprice"] \
+            .to_numpy()
+        best = cur = 1
+        for i in range(1, len(p)):
+            cur = cur + 1 if p[i] > p[i - 1] else 1
+            best = max(best, cur)
+        assert out.loc[cust, "max_streak"] == best
+        assert out.loc[cust, "n_orders"] == len(p)
+
+
+def test_simpson_diversity_formula_and_bounds():
+    from jerex_ray.pipelines.queries import doc_simpson_diversity
+    out = doc_simpson_diversity(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    rows = docs.assign(w=docs["text"].fillna("").str.lower()
+                       .str.split()).explode("w").dropna(subset=["w"])
+    rows = rows[rows["w"] != ""]
+    for src, g in list(rows.groupby("source"))[:5]:
+        c = g["w"].value_counts().to_numpy(np.float64)
+        tot = c.sum()
+        want = 1.0 - (c * c).sum() / (tot * tot)
+        got = out.set_index("source").loc[src, "simpson"]
+        assert abs(got - round(want, 6)) < 2e-6
+    assert ((out["simpson"] > 0) & (out["simpson"] < 1)).all()
+
+
+def test_entropy_rate_zero_for_deterministic_cycle():
+    import ray.data as rd
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.pipelines.queries import q_events_entropy_rate
+    out = q_events_entropy_rate(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts",
+                                "event_type"]).to_pandas()
+    # serial recompute for a few users
+    for uid, g in list(ev.groupby("user_id"))[:5]:
+        et = g.sort_values(["ts", "event_id"])["event_type"].to_numpy()
+        pairs = pd.DataFrame({"a": et[:-1], "b": et[1:]})
+        c = pairs.groupby(["a", "b"]).size()
+        tot = c.sum()
+        ca = c.groupby(level=0).sum()
+        h = -sum((n / tot) * (np.log2(n) - np.log2(ca[a]))
+                 for (a, b), n in c.items())
+        got = out.set_index("user_id").loc[uid, "entropy_rate"]
+        assert abs(got - round(h, 6)) < 2e-6
+        assert out.set_index("user_id").loc[uid, "n_transitions"] == tot
