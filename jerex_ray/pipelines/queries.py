@@ -5879,6 +5879,131 @@ def q_events_entropy_rate(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_events_peak_hours(sf_dir: str):
+    """Diurnal profile per event type: the peak hour-of-day (mode,
+    ties → smallest hour) and its traffic share — the load-shaping /
+    anomaly-baseline primitive. One combiner pass over (type, hour)
+    cells; the 24-row-per-type table closes on the driver."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["ts"].astype("datetime64[us]").astype("int64")
+             // 3_600_000_000) % 24
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "hour": h.to_numpy(np.int64)}) \
+            .groupby(["event_type", "hour"], sort=False).size() \
+            .reset_index(name="n")
+        return g
+
+    m = grouped_aggregate(ds.map_batches(cells, batch_format="pandas"),
+                          ["event_type", "hour"],
+                          {"n": ("n", "sum")}).to_pandas()
+    tot = m.groupby("event_type")["n"].transform("sum")
+    m = m.assign(tot=tot).sort_values(["event_type", "n", "hour"],
+                                      ascending=[True, False, True])
+    top = m.drop_duplicates("event_type")
+    share = top["n"].to_numpy(np.float64) / top["tot"].to_numpy(np.float64)
+    out = pd.DataFrame({
+        "event_type": top["event_type"],
+        "peak_hour": top["hour"].astype("int64"),
+        "peak_n": top["n"].astype("int64"),
+        "peak_share": np.copysign(np.floor(np.abs(share) * 1e6 + 0.5),
+                                  share) / 1e6})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_orders_interarrival(sf_dir: str):
+    """Median days between consecutive orders per customer (orders in
+    (date, key) order) — the repurchase-cadence feature. Customers
+    co-locate in ONE hash shuffle; each block computes lag diffs and
+    the exact type-7 median vectorized per customer. Customers with
+    one order have no gaps and are excluded (matching the SQL lag
+    semantics)."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderkey",
+                                     "o_orderdate"])
+
+    def gaps(block: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"o_custkey": pd.Series(dtype="int64"),
+                            "n_gaps": pd.Series(dtype="int64"),
+                            "median_gap_days":
+                                pd.Series(dtype="float64")})
+        if block.empty:
+            return out
+        b = block.sort_values(["o_custkey", "o_orderdate",
+                               "o_orderkey"])
+        cust = b["o_custkey"].to_numpy()
+        d = b["o_orderdate"].astype("datetime64[us]").astype("int64") \
+            .to_numpy() // 86_400_000_000
+        same = cust[1:] == cust[:-1]
+        gap = (d[1:] - d[:-1])[same].astype(np.float64)
+        who = cust[1:][same]
+        if len(gap) == 0:
+            return out
+        rows = []
+        gdf = pd.DataFrame({"c": who, "g": gap})
+        for c, g in gdf.groupby("c", sort=False):
+            v = np.sort(g["g"].to_numpy(np.float64))
+            # type-7 median == quantile_cont(0.5)
+            mid = 0.5 * (len(v) - 1)
+            lo, hi = int(np.floor(mid)), int(np.ceil(mid))
+            med = v[lo] + (v[hi] - v[lo]) * (mid - lo)
+            rows.append((c, len(v), round(float(med), 6)))
+        return pd.DataFrame(rows, columns=["o_custkey", "n_gaps",
+                                           "median_gap_days"])
+
+    out = grouped_apply(ds, ["o_custkey"], gaps).to_pandas()
+    out = out.astype({"o_custkey": "int64", "n_gaps": "int64"})
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def doc_readability(sf_dir: str):
+    """Flesch reading-ease per document with a DETERMINISTIC syllable
+    rule (count of [aeiouy]+ runs per word — reproducible in SQL, no
+    dictionary): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words). Sentences split on [.!?]+, empty sentences
+    dropped; docs with no words emit NULL. Fully vectorized — one
+    regex pass per batch for each of the three counts."""
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch["text"].fillna("").str.lower()
+        words = txt.str.count(r"\S+").to_numpy(np.float64)
+        sylls = txt.str.count(r"[aeiouy]+").to_numpy(np.float64)
+        sents = txt.str.split(r"[.!?]+", regex=True) \
+            .map(lambda ss: sum(1 for s in ss if s.split())) \
+            .to_numpy(np.float64)
+        ok = (words > 0) & (sents > 0)
+        f = 206.835 \
+            - 1.015 * (words / np.maximum(sents, 1.0)) \
+            - 84.6 * (sylls / np.maximum(words, 1.0))
+        f_r = np.copysign(np.floor(np.abs(f) * 1e6 + 0.5), f) / 1e6
+        # docs with no words/sentences are dropped (SQL WHERE parity —
+        # avoids NaN-vs-NULL hash ambiguity in the compare)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_words": words.astype(np.int64),
+            "n_syllables": sylls.astype(np.int64),
+            "n_sentences": sents.astype(np.int64),
+            "flesch": f_r})[ok]
+
+    out = ds.map_batches(score, batch_format="pandas",
+                         batch_size=4096).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_words": "int64",
+                      "n_syllables": "int64", "n_sentences": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -5952,6 +6077,9 @@ def build_queries() -> dict:
         "q_orders_streak": q_orders_streak,
         "doc_simpson_diversity": doc_simpson_diversity,
         "q_events_entropy_rate": q_events_entropy_rate,
+        "q_events_peak_hours": q_events_peak_hours,
+        "q_orders_interarrival": q_orders_interarrival,
+        "doc_readability": doc_readability,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -7007,6 +7135,71 @@ def _build_oracle_sql_literal() -> dict:
                    round(sy / n - b1 * s1 / n - b2 * s2 / n, 6)
                        AS intercept
             FROM b ORDER BY l_returnflag
+        """,
+        "q_events_peak_hours": """
+            WITH h AS (
+                SELECT event_type,
+                       (CAST(epoch_us(ts) AS BIGINT) // 3600000000)
+                           % 24 AS hour
+                FROM events),
+            c AS (SELECT event_type, hour, count(*) AS n
+                  FROM h GROUP BY event_type, hour),
+            t AS (SELECT event_type, sum(n) AS tot
+                  FROM c GROUP BY event_type),
+            r AS (SELECT c.event_type, c.hour, c.n, t.tot,
+                         row_number() OVER (PARTITION BY c.event_type
+                             ORDER BY c.n DESC, c.hour) AS rk
+                  FROM c JOIN t USING (event_type))
+            SELECT event_type, CAST(hour AS BIGINT) AS peak_hour,
+                   CAST(n AS BIGINT) AS peak_n,
+                   round(CAST(n AS DOUBLE) / tot, 6) AS peak_share
+            FROM r WHERE rk = 1 ORDER BY event_type
+        """,
+        "q_orders_interarrival": """
+            WITH d AS (
+                SELECT o_custkey,
+                       CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                            AS BIGINT) // 86400000000 AS day,
+                       o_orderkey
+                FROM orders),
+            g AS (
+                SELECT o_custkey,
+                       day - lag(day) OVER (PARTITION BY o_custkey
+                           ORDER BY day, o_orderkey) AS gap
+                FROM d)
+            SELECT o_custkey, CAST(count(gap) AS BIGINT) AS n_gaps,
+                   round(quantile_cont(CAST(gap AS DOUBLE), 0.5), 6)
+                       AS median_gap_days
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "doc_readability": """
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(coalesce(text, ''),
+                                              '\\S+'))
+                           AS n_words,
+                       len(regexp_extract_all(lower(coalesce(text,
+                                                             '')),
+                                              '[aeiouy]+'))
+                           AS n_syllables,
+                       len(list_filter(
+                           regexp_split_to_array(coalesce(text, ''),
+                                                 '[.!?]+'),
+                           x -> len(list_filter(
+                               regexp_split_to_array(x, '\\s+'),
+                               y -> y <> '')) > 0)) AS n_sentences
+                FROM documents)
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_syllables AS BIGINT) AS n_syllables,
+                   CAST(n_sentences AS BIGINT) AS n_sentences,
+                   round(206.835
+                         - 1.015 * (CAST(n_words AS DOUBLE)
+                                    / n_sentences)
+                         - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                   / n_words), 6) AS flesch
+            FROM s WHERE n_words > 0 AND n_sentences > 0
+            ORDER BY doc_id
         """,
         "q_orders_streak": """
             WITH o AS (

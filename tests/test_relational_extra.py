@@ -802,3 +802,59 @@ def test_entropy_rate_zero_for_deterministic_cycle():
         got = out.set_index("user_id").loc[uid, "entropy_rate"]
         assert abs(got - round(h, 6)) < 2e-6
         assert out.set_index("user_id").loc[uid, "n_transitions"] == tot
+
+
+def test_peak_hours_match_pandas_mode_with_tie_rule():
+    from jerex_ray.pipelines.queries import q_events_peak_hours
+    out = q_events_peak_hours(SF).set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    h = (ev["ts"].astype("datetime64[us]").astype("int64")
+         // 3_600_000_000) % 24
+    for t, g in ev.assign(h=h).groupby("event_type"):
+        vc = g["h"].value_counts()
+        best_n = vc.max()
+        best_h = min(hh for hh, n in vc.items() if n == best_n)
+        assert out.loc[t, "peak_hour"] == best_h
+        assert out.loc[t, "peak_n"] == best_n
+        assert abs(out.loc[t, "peak_share"]
+                   - best_n / len(g)) < 2e-6
+
+
+def test_interarrival_median_matches_serial():
+    from jerex_ray.pipelines.queries import q_orders_interarrival
+    out = q_orders_interarrival(SF).set_index("o_custkey")
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_custkey", "o_orderkey",
+                                "o_orderdate"]).to_pandas()
+    d = od["o_orderdate"].astype("datetime64[us]").astype("int64") \
+        // 86_400_000_000
+    od = od.assign(day=d)
+    for cust, g in list(od.groupby("o_custkey"))[:30]:
+        days = g.sort_values(["day", "o_orderkey"])["day"].to_numpy()
+        gaps = np.diff(days).astype(float)
+        if len(gaps) == 0:
+            assert cust not in out.index
+            continue
+        assert out.loc[cust, "n_gaps"] == len(gaps)
+        assert abs(out.loc[cust, "median_gap_days"]
+                   - np.quantile(gaps, 0.5)) < 1e-9
+
+
+def test_readability_formula_and_filtering():
+    import re
+    from jerex_ray.pipelines.queries import doc_readability
+    out = doc_readability(SF).set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    for _, r in docs.head(30).iterrows():
+        t = (r["text"] or "")
+        w = len(re.findall(r"\S+", t))
+        sy = len(re.findall(r"[aeiouy]+", t.lower()))
+        se = sum(1 for s in re.split(r"[.!?]+", t) if s.split())
+        if w == 0 or se == 0:
+            assert r["doc_id"] not in out.index
+            continue
+        want = 206.835 - 1.015 * (w / se) - 84.6 * (sy / w)
+        assert out.loc[r["doc_id"], "n_words"] == w
+        assert abs(out.loc[r["doc_id"], "flesch"] - want) < 1e-4
