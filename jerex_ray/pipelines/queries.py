@@ -6004,6 +6004,57 @@ def doc_readability(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def emb_centroid_drift(sf_dir: str):
+    """Embedding drift monitor: per label, the cosine between the
+    centroid of the even-vec_id half and the odd-vec_id half (a
+    deterministic A/B split standing in for two ingestion epochs) —
+    cosine ≈ 1 means the embedding distribution is stable. One
+    combiner pass reduces to per-(label, half) dimension sums +
+    counts; the |labels|×2×dim table closes on the driver."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy()
+        half = (df["vec_id"].to_numpy(np.int64) % 2)
+        rows = []
+        for (l, h) in {(l, h) for l, h in zip(lab, half)}:
+            m = (lab == l) & (half == h)
+            s = mat[m].sum(axis=0)
+            rows.append({"label": l, "half": int(h),
+                         "n": int(m.sum()),
+                         **{f"d{i}": s[i] for i in range(mat.shape[1])}})
+        return pd.DataFrame(rows)
+
+    first = ds.take_batch(1, batch_format="pandas")
+    dim = len(first["embedding"].iloc[0])
+    m = grouped_aggregate(
+        ds.map_batches(partials, batch_format="pandas",
+                       batch_size=8192),
+        ["label", "half"],
+        {"n": ("n", "sum"),
+         **{f"d{i}": (f"d{i}", "sum") for i in range(dim)}}) \
+        .to_pandas()
+    dcols = [f"d{i}" for i in range(dim)]
+    rows = []
+    for l, g in m.groupby("label"):
+        g = g.sort_values("half")
+        if len(g) != 2:
+            continue
+        a = g.iloc[0][dcols].to_numpy(np.float64) / g.iloc[0]["n"]
+        b = g.iloc[1][dcols].to_numpy(np.float64) / g.iloc[1]["n"]
+        cos = float(a @ b / np.sqrt((a @ a) * (b @ b)))
+        rows.append((int(l), int(g.iloc[0]["n"]), int(g.iloc[1]["n"]),
+                     round(cos, 6)))
+    out = pd.DataFrame(rows, columns=["label", "n_even", "n_odd",
+                                      "centroid_cosine"])
+    return out.sort_values("label").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -6080,6 +6131,7 @@ def build_queries() -> dict:
         "q_events_peak_hours": q_events_peak_hours,
         "q_orders_interarrival": q_orders_interarrival,
         "doc_readability": doc_readability,
+        "emb_centroid_drift": emb_centroid_drift,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -7135,6 +7187,35 @@ def _build_oracle_sql_literal() -> dict:
                    round(sy / n - b1 * s1 / n - b2 * s2 / n, 6)
                        AS intercept
             FROM b ORDER BY l_returnflag
+        """,
+        "emb_centroid_drift": """
+            WITH d AS (
+                SELECT label, vec_id % 2 AS half, i,
+                       avg(embedding[i]) AS mu
+                FROM embeddings,
+                     LATERAL (SELECT unnest(range(1,
+                         len(embedding) + 1)) AS i) t
+                GROUP BY label, vec_id % 2, i),
+            n AS (
+                SELECT label, vec_id % 2 AS half, count(*) AS n
+                FROM embeddings GROUP BY label, vec_id % 2),
+            p AS (
+                SELECT a.label,
+                       sum(a.mu * b.mu) AS ab,
+                       sum(a.mu * a.mu) AS aa,
+                       sum(b.mu * b.mu) AS bb
+                FROM d a JOIN d b
+                  ON a.label = b.label AND a.i = b.i
+                 AND a.half = 0 AND b.half = 1
+                GROUP BY a.label)
+            SELECT p.label,
+                   CAST(ne.n AS BIGINT) AS n_even,
+                   CAST(no.n AS BIGINT) AS n_odd,
+                   round(ab / sqrt(aa * bb), 6) AS centroid_cosine
+            FROM p
+            JOIN n ne ON ne.label = p.label AND ne.half = 0
+            JOIN n no ON no.label = p.label AND no.half = 1
+            ORDER BY p.label
         """,
         "q_events_peak_hours": """
             WITH h AS (

@@ -858,3 +858,21 @@ def test_readability_formula_and_filtering():
         want = 206.835 - 1.015 * (w / se) - 84.6 * (sy / w)
         assert out.loc[r["doc_id"], "n_words"] == w
         assert abs(out.loc[r["doc_id"], "flesch"] - want) < 1e-4
+
+
+def test_centroid_drift_matches_numpy_and_is_near_one_for_same_dist():
+    from jerex_ray.pipelines.queries import emb_centroid_drift
+    out = emb_centroid_drift(SF).set_index("label")
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding",
+                                 "label"]).to_pandas()
+    for lab, g in emb.groupby("label"):
+        ev = np.stack(g[g["vec_id"] % 2 == 0]["embedding"].to_numpy())
+        od = np.stack(g[g["vec_id"] % 2 == 1]["embedding"].to_numpy())
+        a, b = ev.mean(axis=0), od.mean(axis=0)
+        cos = a @ b / np.sqrt((a @ a) * (b @ b))
+        assert abs(out.loc[lab, "centroid_cosine"] - round(cos, 6)) < 2e-6
+        assert out.loc[lab, "n_even"] == len(ev)
+        assert out.loc[lab, "n_odd"] == len(od)
+        # synthetic labels are weakly clustered — just bound validity
+        assert -1.0 <= out.loc[lab, "centroid_cosine"] <= 1.0
