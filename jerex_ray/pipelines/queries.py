@@ -6055,6 +6055,115 @@ def emb_centroid_drift(sf_dir: str):
     return out.sort_values("label").reset_index(drop=True)
 
 
+def q_part_powerlaw_alpha(sf_dir: str, *, dmin: int = 2):
+    """Power-law exponent of the co-purchase degree distribution by the
+    continuous MLE (Clauset-Shalizi-Newman '09 eq. 3.1):
+    α = 1 + n / Σ ln(d/d_min) over nodes with degree ≥ d_min — the
+    scale-free-ness diagnostic for the graphs dedup builds. Degrees
+    come from one combiner aggregate over exploded endpoints; the MLE
+    reduces to two scalars (n, Σln)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.ops.graph import _canonical_edges, _directed_edges
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"a": m["l_partkey_x"].to_numpy(),
+                             "b": m["l_partkey_y"].to_numpy()})
+
+    edges = _canonical_edges(grouped_apply(li, ["l_orderkey"],
+                                           pairs_block),
+                             src="a", dst="b")
+    deg = grouped_aggregate(_directed_edges(edges, src="a", dst="b",
+                                            undirected=True),
+                            ["u"], {"deg": (None, "count")},
+                            result_hint="large")
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "deg" not in df.columns:
+            return pd.DataFrame({"__all": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "slog": pd.Series(dtype="float64")})
+        d = df["deg"].to_numpy(np.float64)
+        d = d[d >= dmin]
+        if len(d) == 0:
+            return pd.DataFrame({"__all": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "slog": pd.Series(dtype="float64")})
+        return pd.DataFrame({"__all": [np.int64(0)],
+                             "n": [np.int64(len(d))],
+                             "slog": [np.sum(np.log(d / float(dmin)))]})
+
+    m = grouped_aggregate(
+        deg.map_batches(partials, batch_format="pandas",
+                        batch_size=None),
+        ["__all"], {"n": ("n", "sum"),
+                    "slog": ("slog", "sum")}).to_pandas()
+    n = float(m["n"][0])
+    alpha = 1.0 + n / float(m["slog"][0])
+    return pd.DataFrame({"n_tail_nodes": [np.int64(n)],
+                         "alpha": [round(alpha, 6)]})
+
+
+def emb_quantization_error(sf_dir: str):
+    """Int8 scalar-quantization audit per label: vectors quantize to
+    round(v / scale · 127) with a GLOBAL per-corpus scale (max |v|
+    over all dims — one combiner max), and the per-label mean squared
+    reconstruction error says which regions of the space the
+    quantizer hurts — the deploy-time embedding-compression
+    diagnostic. Rounding uses the half-away rule in BOTH engines (the
+    numpy default would silently flip .5 boundaries vs SQL)."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding", "label"])
+
+    def absmax(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.abs(np.stack(df["embedding"].to_numpy())
+                     .astype(np.float64))
+        return pd.DataFrame({"__all": [np.int64(0)],
+                             "mx": [float(mat.max())]})
+
+    scale = float(grouped_aggregate(
+        ds.map_batches(absmax, batch_format="pandas"),
+        ["__all"], {"mx": ("mx", "max")}).to_pandas()["mx"][0])
+    s_ref = ray.put(scale)
+
+    def sqerr(df: pd.DataFrame) -> pd.DataFrame:
+        sc = ray.get(s_ref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        z = mat / sc * 127.0
+        q = np.copysign(np.floor(np.abs(z) + 0.5), z)  # half-away
+        rec = q / 127.0 * sc
+        se = ((mat - rec) ** 2).sum(axis=1)
+        g = pd.DataFrame({"label": df["label"].to_numpy(),
+                          "n": 1, "se": se, "d": mat.shape[1]})
+        return g.groupby("label", sort=False, as_index=False) \
+            .agg(n=("n", "sum"), se=("se", "sum"), d=("d", "max"))
+
+    m = grouped_aggregate(
+        ds.map_batches(sqerr, batch_format="pandas", batch_size=8192),
+        ["label"], {"n": ("n", "sum"), "se": ("se", "sum"),
+                    "d": ("d", "max")}).to_pandas()
+    mse = m["se"].to_numpy(np.float64) \
+        / (m["n"].to_numpy(np.float64) * m["d"].to_numpy(np.float64))
+    out = pd.DataFrame({"label": m["label"].astype("int64"),
+                        "n": m["n"].astype("int64"),
+                        "mse": np.round(mse, 12)})
+    return out.sort_values("label").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -6132,6 +6241,8 @@ def build_queries() -> dict:
         "q_orders_interarrival": q_orders_interarrival,
         "doc_readability": doc_readability,
         "emb_centroid_drift": emb_centroid_drift,
+        "q_part_powerlaw_alpha": q_part_powerlaw_alpha,
+        "emb_quantization_error": emb_quantization_error,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -7187,6 +7298,41 @@ def _build_oracle_sql_literal() -> dict:
                    round(sy / n - b1 * s1 / n - b2 * s2 / n, 6)
                        AS intercept
             FROM b ORDER BY l_returnflag
+        """,
+        "q_part_powerlaw_alpha": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+            stubs AS (SELECT a AS u FROM e
+                      UNION ALL SELECT b FROM e),
+            deg AS (SELECT u, count(*) AS deg FROM stubs GROUP BY u),
+            t AS (SELECT CAST(deg AS DOUBLE) AS d
+                  FROM deg WHERE deg >= 2)
+            SELECT CAST(count(*) AS BIGINT) AS n_tail_nodes,
+                   round(1.0 + count(*) / sum(ln(d / 2.0)), 6)
+                       AS alpha
+            FROM t
+        """,
+        "emb_quantization_error": """
+            WITH s AS (
+                SELECT max(list_aggregate(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE))), 'max')) AS sc
+                FROM embeddings),
+            r AS (
+                SELECT label, len(embedding) AS d,
+                       list_sum(list_transform(embedding, x ->
+                           pow(CAST(x AS DOUBLE)
+                               - round(CAST(x AS DOUBLE)
+                                       / sc * 127.0)
+                                 / 127.0 * sc,
+                               2))) AS se
+                FROM embeddings, s)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(se) / (count(*) * max(d)), 12) AS mse
+            FROM r GROUP BY label ORDER BY label
         """,
         "emb_centroid_drift": """
             WITH d AS (

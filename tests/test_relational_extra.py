@@ -876,3 +876,37 @@ def test_centroid_drift_matches_numpy_and_is_near_one_for_same_dist():
         assert out.loc[lab, "n_odd"] == len(od)
         # synthetic labels are weakly clustered — just bound validity
         assert -1.0 <= out.loc[lab, "centroid_cosine"] <= 1.0
+
+
+def test_powerlaw_alpha_matches_closed_form():
+    from jerex_ray.pipelines.queries import q_part_powerlaw_alpha
+    out = q_part_powerlaw_alpha(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    deg = {}
+    for _, g in li.drop_duplicates().groupby("l_orderkey"):
+        ps = sorted(set(g["l_partkey"]))
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                deg.setdefault((a, b), 0)
+    nodes = {}
+    for a, b in deg:
+        nodes[a] = nodes.get(a, 0) + 1
+        nodes[b] = nodes.get(b, 0) + 1
+    d = np.array([v for v in nodes.values() if v >= 2], dtype=float)
+    alpha = 1.0 + len(d) / np.sum(np.log(d / 2.0))
+    assert out["n_tail_nodes"][0] == len(d)
+    assert abs(out["alpha"][0] - round(alpha, 6)) < 2e-6
+
+
+def test_quantization_error_is_bounded_by_step_variance():
+    from jerex_ray.pipelines.queries import emb_quantization_error
+    out = emb_quantization_error(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["embedding"]).to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    scale = np.abs(mat).max()
+    step = scale / 127.0
+    # per-coordinate squared error ≤ (step/2)²; uniform average ≈ step²/12
+    assert (out["mse"] <= (step / 2.0) ** 2 + 1e-12).all()
+    assert (out["mse"] > 0).all()
