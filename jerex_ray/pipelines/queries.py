@@ -6164,6 +6164,129 @@ def emb_quantization_error(sf_dir: str):
     return out.sort_values("label").reset_index(drop=True)
 
 
+_RAKE_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it",
+                   "for", "on", "with", "as", "at", "by", "an")
+
+
+def doc_rake_keywords(sf_dir: str, *, top_k: int = 10):
+    """RAKE keyword extraction per source (Rose et al. '10): phrases
+    are maximal runs of non-stopword words within sentences; each
+    word scores degree/frequency (degree = Σ length of phrases it
+    appears in), a phrase scores the sum of its words' scores, and the
+    top-``top_k`` phrases per source surface (score desc — ROUNDED
+    before ranking so float dust can't flip ranks across engines —
+    then phrase asc).
+
+    Dataflow: phrase assembly is doc-local (one vectorized double
+    explode + island ids per batch, NO shuffle); word degree/frequency
+    reduce through one (source, word) combiner; the vocab-bounded
+    score table broadcasts back; identical phrases aggregate under
+    (source, phrase) co-location and the exact top-k combiner
+    finishes."""
+    import ray
+
+    from jerex_ray.functions.aggregate import (grouped_aggregate,
+                                               grouped_topk)
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "source"])
+    stops = set(_RAKE_STOPWORDS)
+
+    def word_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized islands pass: one row per phrase WORD with the
+        phrase's island id and length — no per-token Python loop."""
+        empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                              "island": pd.Series(dtype="int64"),
+                              "w": pd.Series(dtype="object"),
+                              "plen": pd.Series(dtype="int64")})
+        txt = batch["text"].fillna("").str.lower()
+        sents = txt.str.split(r"[.!?]+", regex=True)
+        slens = sents.str.len().fillna(0).to_numpy(np.int64)
+        if slens.sum() == 0:
+            return empty
+        src_s = np.repeat(batch["source"].to_numpy(), slens)
+        flat_s = [s for lst in sents.to_numpy() for s in lst]
+        words = pd.Series(flat_s, dtype="object").str.split()
+        wlens = words.str.len().fillna(0).to_numpy(np.int64)
+        if wlens.sum() == 0:
+            return empty
+        sent_idx = np.repeat(np.arange(len(flat_s)), wlens)
+        src_w = np.repeat(src_s, wlens)
+        flat_w = np.concatenate([w for w in words.to_numpy() if w])
+        stop = pd.Series(flat_w).isin(stops).to_numpy()
+        new_sent = np.r_[True, sent_idx[1:] != sent_idx[:-1]]
+        island = np.cumsum(stop | new_sent)
+        keep = ~stop
+        if not keep.any():
+            return empty
+        df = pd.DataFrame({"source": src_w[keep],
+                           "island": island[keep].astype(np.int64),
+                           "w": flat_w[keep]})
+        df["plen"] = df.groupby("island", sort=False)["w"] \
+            .transform("size").astype("int64")
+        return df
+
+    def word_stats(batch: pd.DataFrame) -> pd.DataFrame:
+        df = word_rows(batch)
+        if df.empty:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "w": pd.Series(dtype="object"),
+                                 "freq": pd.Series(dtype="int64"),
+                                 "deg": pd.Series(dtype="int64")})
+        g = df.groupby(["source", "w"], sort=False) \
+            .agg(freq=("plen", "size"), deg=("plen", "sum")) \
+            .reset_index()
+        return g.astype({"freq": "int64", "deg": "int64"})
+
+    stats = grouped_aggregate(
+        ds.map_batches(word_stats, batch_format="pandas",
+                       batch_size=4096),
+        ["source", "w"], {"freq": ("freq", "sum"),
+                          "deg": ("deg", "sum")},
+        result_hint="large").to_pandas()
+    score_map = {(s, w): d / f for s, w, f, d in zip(
+        stats["source"], stats["w"],
+        stats["freq"].to_numpy(np.float64),
+        stats["deg"].to_numpy(np.float64))}
+    sm_ref = ray.put(score_map)
+
+    def phrase_scores(batch: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(sm_ref)
+        df = word_rows(batch)
+        if df.empty:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "phrase": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        df["ws"] = pd.Series(
+            list(zip(df["source"], df["w"]))).map(sm).to_numpy()
+        g = df.groupby(["source", "island"], sort=False) \
+            .agg(phrase=("w", " ".join), score=("ws", "sum")) \
+            .reset_index()
+        # round BEFORE the (source, phrase) aggregate and the rank so
+        # float summation dust can't flip ranks across engines
+        g["score"] = g["score"].round(6)
+        out = g.groupby(["source", "phrase"], sort=False) \
+            .agg(n=("score", "size"), score=("score", "max")) \
+            .reset_index()
+        return out.astype({"n": "int64"})
+
+    agg = grouped_aggregate(
+        ds.map_batches(phrase_scores, batch_format="pandas",
+                       batch_size=4096),
+        ["source", "phrase"], {"n": ("n", "sum"),
+                               "score": ("score", "max")},
+        result_hint="large")
+    top = grouped_topk(agg, ["source"], order_by="score", k=top_k,
+                       tie_cols=["phrase"]).to_pandas()
+    out = top[["source", "phrase", "n", "score"]] \
+        .astype({"n": "int64"})
+    return out.sort_values(["source", "score", "phrase"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -6243,6 +6366,7 @@ def build_queries() -> dict:
         "emb_centroid_drift": emb_centroid_drift,
         "q_part_powerlaw_alpha": q_part_powerlaw_alpha,
         "emb_quantization_error": emb_quantization_error,
+        "doc_rake_keywords": doc_rake_keywords,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -7298,6 +7422,73 @@ def _build_oracle_sql_literal() -> dict:
                    round(sy / n - b1 * s1 / n - b2 * s2 / n, 6)
                        AS intercept
             FROM b ORDER BY l_returnflag
+        """,
+        "doc_rake_keywords": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       regexp_split_to_array(lower(coalesce(text,
+                                                            '')),
+                                             '[.!?]+') AS sents
+                FROM documents),
+            s AS (
+                SELECT doc_id, source, i AS sent_id,
+                       list_filter(regexp_split_to_array(sents[i],
+                                                         '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM d, LATERAL (SELECT unnest(range(1,
+                    len(sents) + 1)) AS i) t),
+            w AS (
+                SELECT doc_id, source, sent_id, j AS pos,
+                       ws[j] AS word,
+                       CASE WHEN ws[j] IN ('the', 'and', 'of', 'to',
+                           'a', 'in', 'is', 'it', 'for', 'on',
+                           'with', 'as', 'at', 'by', 'an')
+                           THEN 1 ELSE 0 END AS stop
+                FROM s, LATERAL (SELECT unnest(range(1,
+                    len(ws) + 1)) AS j) u),
+            isl AS (
+                SELECT *, sum(stop) OVER (PARTITION BY doc_id,
+                    sent_id ORDER BY pos) AS grp
+                FROM w),
+            ph AS (
+                SELECT doc_id, source, sent_id, grp,
+                       string_agg(word, ' ' ORDER BY pos) AS phrase,
+                       count(*) AS plen
+                FROM isl WHERE stop = 0
+                GROUP BY doc_id, source, sent_id, grp),
+            pw AS (
+                SELECT i.source, i.word, i.doc_id, i.sent_id, i.grp,
+                       p.plen
+                FROM isl i JOIN ph p
+                  ON p.doc_id = i.doc_id AND p.sent_id = i.sent_id
+                 AND p.grp = i.grp
+                WHERE i.stop = 0),
+            stats AS (
+                SELECT source, word, count(*) AS freq,
+                       sum(plen) AS deg
+                FROM pw GROUP BY source, word),
+            inst AS (
+                SELECT pw.source, pw.doc_id, pw.sent_id, pw.grp,
+                       round(sum(CAST(st.deg AS DOUBLE) / st.freq),
+                             6) AS score
+                FROM pw JOIN stats st
+                  ON st.source = pw.source AND st.word = pw.word
+                GROUP BY pw.source, pw.doc_id, pw.sent_id, pw.grp),
+            agg AS (
+                SELECT i.source, p.phrase, count(*) AS n,
+                       max(i.score) AS score
+                FROM inst i JOIN ph p
+                  ON p.doc_id = i.doc_id AND p.sent_id = i.sent_id
+                 AND p.grp = i.grp AND p.source = i.source
+                GROUP BY i.source, p.phrase),
+            r AS (
+                SELECT source, phrase, n, score,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY score DESC, phrase) AS rk
+                FROM agg)
+            SELECT source, phrase, CAST(n AS BIGINT) AS n, score
+            FROM r WHERE rk <= 10
+            ORDER BY source, score DESC, phrase
         """,
         "q_part_powerlaw_alpha": """
             WITH e AS (

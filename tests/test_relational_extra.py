@@ -910,3 +910,46 @@ def test_quantization_error_is_bounded_by_step_variance():
     # per-coordinate squared error ≤ (step/2)²; uniform average ≈ step²/12
     assert (out["mse"] <= (step / 2.0) ** 2 + 1e-12).all()
     assert (out["mse"] > 0).all()
+
+
+def test_rake_matches_serial_reference_implementation():
+    import re
+    from jerex_ray.pipelines.queries import (_RAKE_STOPWORDS,
+                                             doc_rake_keywords)
+    out = doc_rake_keywords(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text",
+                                  "source"]).to_pandas()
+    stops = set(_RAKE_STOPWORDS)
+    from collections import defaultdict
+    freq = defaultdict(int)
+    deg = defaultdict(int)
+    inst = []          # (source, phrase tuple)
+    for _, r in docs.iterrows():
+        for sent in re.split(r"[.!?]+", (r["text"] or "").lower()):
+            run = []
+            for w in sent.split() + ["."]:   # sentinel flush
+                if w in stops or w == ".":
+                    if run:
+                        for x in run:
+                            freq[(r["source"], x)] += 1
+                            deg[(r["source"], x)] += len(run)
+                        inst.append((r["source"], tuple(run)))
+                        run = []
+                else:
+                    run.append(w)
+    scored = defaultdict(lambda: [0, 0.0])
+    for src, ws in inst:
+        sc = round(sum(deg[(src, x)] / freq[(src, x)] for x in ws), 6)
+        key = (src, " ".join(ws))
+        scored[key][0] += 1
+        scored[key][1] = sc
+    for src in docs["source"].unique():
+        cand = sorted(((v[1], k[1], v[0]) for k, v in scored.items()
+                       if k[0] == src),
+                      key=lambda t: (-t[0], t[1]))[:10]
+        got = out[out["source"] == src]
+        assert list(got["phrase"]) == [c[1] for c in cand]
+        assert list(got["n"]) == [c[2] for c in cand]
+        assert np.allclose(got["score"], [c[0] for c in cand],
+                           atol=2e-6)
