@@ -6287,6 +6287,87 @@ def doc_rake_keywords(sf_dir: str, *, top_k: int = 10):
         .reset_index(drop=True)
 
 
+def q_events_type_drift(sf_dir: str):
+    """Categorical drift between the even- and odd-event_id halves of
+    the stream (deterministic A/B standing in for two ingestion
+    epochs): per-type share in each half plus the per-type absolute
+    share gap whose half-sum is the total-variation distance — the
+    schema-free companion to the value-based PSI monitor. One combiner
+    pass over (type, half) cells; |types|×2 rows close on the
+    driver."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "half": (df["event_id"].to_numpy(np.int64)
+                                   % 2)}) \
+            .groupby(["event_type", "half"], sort=False).size() \
+            .reset_index(name="n")
+        return g
+
+    m = grouped_aggregate(ds.map_batches(cells, batch_format="pandas"),
+                          ["event_type", "half"],
+                          {"n": ("n", "sum")}).to_pandas()
+    tot = m.groupby("half")["n"].sum()
+    piv = m.pivot_table(index="event_type", columns="half", values="n",
+                        fill_value=0, aggfunc="sum")
+    a = piv.get(0, pd.Series(0, index=piv.index)) \
+        .to_numpy(np.float64) / float(tot.get(0, 1))
+    b = piv.get(1, pd.Series(0, index=piv.index)) \
+        .to_numpy(np.float64) / float(tot.get(1, 1))
+    half_away = lambda x: np.copysign(
+        np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+    out = pd.DataFrame({"event_type": piv.index,
+                        "share_even": half_away(a),
+                        "share_odd": half_away(b),
+                        "abs_gap": half_away(np.abs(a - b))})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def doc_ttr(sf_dir: str):
+    """Per-document type-token ratio (distinct words / total words) —
+    the oldest lexical-richness signal, cheap enough to run on every
+    ingest batch. Fully doc-local and vectorized (one explode +
+    nunique per doc); docs with no words are dropped (SQL WHERE
+    parity)."""
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def ttr(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(np.int64)
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "n_tokens": pd.Series(dtype="int64"),
+                              "n_types": pd.Series(dtype="int64"),
+                              "ttr": pd.Series(dtype="float64")})
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate([w for w in words.to_numpy() if w])
+        owner = np.repeat(batch["doc_id"].to_numpy(), lens)
+        g = pd.DataFrame({"doc_id": owner, "w": flat}) \
+            .groupby("doc_id")["w"].agg(["size", "nunique"])
+        ratio = g["nunique"].to_numpy(np.float64) \
+            / g["size"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "doc_id": g.index.to_numpy(np.int64),
+            "n_tokens": g["size"].to_numpy(np.int64),
+            "n_types": g["nunique"].to_numpy(np.int64),
+            "ttr": np.copysign(np.floor(np.abs(ratio) * 1e6 + 0.5),
+                               ratio) / 1e6})
+
+    out = ds.map_batches(ttr, batch_format="pandas",
+                         batch_size=4096).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_tokens": "int64",
+                      "n_types": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -6367,6 +6448,8 @@ def build_queries() -> dict:
         "q_part_powerlaw_alpha": q_part_powerlaw_alpha,
         "emb_quantization_error": emb_quantization_error,
         "doc_rake_keywords": doc_rake_keywords,
+        "q_events_type_drift": q_events_type_drift,
+        "doc_ttr": doc_ttr,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -7422,6 +7505,43 @@ def _build_oracle_sql_literal() -> dict:
                    round(sy / n - b1 * s1 / n - b2 * s2 / n, 6)
                        AS intercept
             FROM b ORDER BY l_returnflag
+        """,
+        "q_events_type_drift": """
+            WITH c AS (
+                SELECT event_type, event_id % 2 AS half,
+                       count(*) AS n
+                FROM events GROUP BY event_type, event_id % 2),
+            t AS (SELECT half, sum(n) AS tot FROM c GROUP BY half),
+            p AS (
+                SELECT et.event_type,
+                       coalesce(e.n, 0)
+                           / (SELECT CAST(tot AS DOUBLE) FROM t
+                              WHERE half = 0) AS a,
+                       coalesce(o.n, 0)
+                           / (SELECT CAST(tot AS DOUBLE) FROM t
+                              WHERE half = 1) AS b
+                FROM (SELECT DISTINCT event_type FROM events) et
+                LEFT JOIN c e ON e.event_type = et.event_type
+                             AND e.half = 0
+                LEFT JOIN c o ON o.event_type = et.event_type
+                             AND o.half = 1)
+            SELECT event_type, round(a, 6) AS share_even,
+                   round(b, 6) AS share_odd,
+                   round(abs(a - b), 6) AS abs_gap
+            FROM p ORDER BY event_type
+        """,
+        "doc_ttr": """
+            WITH w AS (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(coalesce(text, '')),
+                                          '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT word) AS BIGINT) AS n_types,
+                   round(count(DISTINCT word)
+                         / CAST(count(*) AS DOUBLE), 6) AS ttr
+            FROM w GROUP BY doc_id ORDER BY doc_id
         """,
         "doc_rake_keywords": """
             WITH d AS (

@@ -953,3 +953,36 @@ def test_rake_matches_serial_reference_implementation():
         assert list(got["n"]) == [c[2] for c in cand]
         assert np.allclose(got["score"], [c[0] for c in cand],
                            atol=2e-6)
+
+
+def test_type_drift_shares_sum_to_one_and_match_pandas():
+    from jerex_ray.pipelines.queries import q_events_type_drift
+    out = q_events_type_drift(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type"]).to_pandas()
+    ev["half"] = ev["event_id"] % 2
+    for col, h in (("share_even", 0), ("share_odd", 1)):
+        sub = ev[ev["half"] == h]
+        vc = sub["event_type"].value_counts(normalize=True)
+        for _, r in out.iterrows():
+            assert abs(r[col] - vc.get(r["event_type"], 0.0)) < 2e-6
+        assert abs(out[col].sum() - 1.0) < 1e-4
+    tvd = 0.5 * out["abs_gap"].sum()
+    assert 0.0 <= tvd < 0.2    # same generator both halves
+
+
+def test_ttr_matches_pandas_and_is_bounded():
+    from jerex_ray.pipelines.queries import doc_ttr
+    out = doc_ttr(SF).set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    for _, r in docs.head(40).iterrows():
+        ws = (r["text"] or "").lower().split()
+        if not ws:
+            assert r["doc_id"] not in out.index
+            continue
+        assert out.loc[r["doc_id"], "n_tokens"] == len(ws)
+        assert out.loc[r["doc_id"], "n_types"] == len(set(ws))
+        assert abs(out.loc[r["doc_id"], "ttr"]
+                   - len(set(ws)) / len(ws)) < 2e-6
+    assert ((out["ttr"] > 0) & (out["ttr"] <= 1)).all()
