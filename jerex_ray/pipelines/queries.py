@@ -6368,6 +6368,103 @@ def doc_ttr(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_events_burstiness(sf_dir: str):
+    """Fano factor (index of dispersion) of hourly event counts per
+    type — variance/mean of the hour-bucket counts over the stream's
+    OBSERVED span: ≈1 is Poisson traffic, ≫1 is bursty. Hour cells
+    reduce in one combiner pass; unobserved hours inside the global
+    span count as ZERO (both engines build the same dense span), so
+    the statistic is well-defined and not survivorship-biased."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].astype("datetime64[us]").astype("int64") \
+            // 3_600_000_000
+        return pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                             "hour": h.to_numpy(np.int64)}) \
+            .groupby(["event_type", "hour"], sort=False).size() \
+            .reset_index(name="n")
+
+    m = grouped_aggregate(ds.map_batches(cells, batch_format="pandas"),
+                          ["event_type", "hour"],
+                          {"n": ("n", "sum")}).to_pandas()
+    span = int(m["hour"].max() - m["hour"].min() + 1)
+    rows = []
+    for t, g in m.groupby("event_type"):
+        n = g["n"].to_numpy(np.float64)
+        total = n.sum()
+        # dense span: zeros for unobserved hours
+        mean = total / span
+        # var over span hours: Σ(n−μ)² = Σn² − 2μΣn + span·μ²
+        var = (np.sum(n * n) - 2.0 * mean * total
+               + span * mean * mean) / span
+        rows.append((t, int(total), round(float(mean), 6),
+                     round(float(var / mean), 6)))
+    out = pd.DataFrame(rows, columns=["event_type", "n_events",
+                                      "mean_per_hour", "fano"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_events_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test per event type: is the above/below-
+    global-median sequence of values (in (ts, id) order) random?
+    Emits runs count and the z statistic
+    z = (R − μ_R)/σ_R, μ_R = 2·n₊·n₋/n + 1 — the randomness audit for
+    suspected autocorrelated or batched telemetry. The global median
+    comes from the shuffle-free exact-quantile selector; runs count
+    per type from co-located islands (values equal to the median drop,
+    the classical convention)."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "ts",
+                                     "value"])
+    med = float(distributed_quantiles(ds, "value", [0.5])[0])
+
+    def runs(block: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                            "n_pos": pd.Series(dtype="int64"),
+                            "n_neg": pd.Series(dtype="int64"),
+                            "n_runs": pd.Series(dtype="int64"),
+                            "z": pd.Series(dtype="float64")})
+        if block.empty:
+            return out
+        b = block[block["value"] != med] \
+            .sort_values(["event_type", "ts", "event_id"])
+        if b.empty:
+            return out
+        et = b["event_type"].to_numpy()
+        up = (b["value"].to_numpy(np.float64) > med)
+        new_t = np.r_[True, et[1:] != et[:-1]]
+        flip = np.r_[True, up[1:] != up[:-1]]
+        run_start = new_t | flip
+        rows = []
+        df = pd.DataFrame({"t": et, "up": up, "rs": run_start})
+        for t, g in df.groupby("t", sort=False):
+            npos = int(g["up"].sum())
+            nneg = int((~g["up"]).sum())
+            r = int(g["rs"].sum())
+            n = float(npos + nneg)
+            mu = 2.0 * npos * nneg / n + 1.0
+            var = (2.0 * npos * nneg
+                   * (2.0 * npos * nneg - n)) / (n * n * (n - 1.0))
+            z = (r - mu) / np.sqrt(var)
+            rows.append((t, npos, nneg, r, round(float(z), 6)))
+        return pd.DataFrame(rows, columns=["event_type", "n_pos",
+                                           "n_neg", "n_runs", "z"])
+
+    out = grouped_apply(ds, ["event_type"], runs).to_pandas()
+    out = out.astype({"n_pos": "int64", "n_neg": "int64",
+                      "n_runs": "int64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -6450,6 +6547,8 @@ def build_queries() -> dict:
         "doc_rake_keywords": doc_rake_keywords,
         "q_events_type_drift": q_events_type_drift,
         "doc_ttr": doc_ttr,
+        "q_events_burstiness": q_events_burstiness,
+        "q_events_runs_test": q_events_runs_test,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -7505,6 +7604,67 @@ def _build_oracle_sql_literal() -> dict:
                    round(sy / n - b1 * s1 / n - b2 * s2 / n, 6)
                        AS intercept
             FROM b ORDER BY l_returnflag
+        """,
+        "q_events_burstiness": """
+            WITH h AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                           AS hour
+                FROM events),
+            c AS (SELECT event_type, hour, count(*) AS n
+                  FROM h GROUP BY event_type, hour),
+            sp AS (SELECT max(hour) - min(hour) + 1 AS span FROM c),
+            a AS (
+                SELECT event_type, sum(n) AS total,
+                       sum(CAST(n AS DOUBLE) * n) AS ss
+                FROM c GROUP BY event_type),
+            a2 AS (
+                SELECT event_type, total, ss,
+                       total / (SELECT CAST(span AS DOUBLE) FROM sp)
+                           AS mu
+                FROM a)
+            SELECT event_type, CAST(total AS BIGINT) AS n_events,
+                   round(mu, 6) AS mean_per_hour,
+                   round(((ss - 2.0 * mu * total
+                           + (SELECT span FROM sp) * mu * mu)
+                          / (SELECT span FROM sp)) / mu, 6) AS fano
+            FROM a2 ORDER BY event_type
+        """,
+        "q_events_runs_test": """
+            WITH m AS (
+                SELECT quantile_cont(CAST(value AS DOUBLE), 0.5)
+                    AS med
+                FROM events),
+            u AS (
+                SELECT event_type, ts, event_id,
+                       CASE WHEN CAST(value AS DOUBLE)
+                                > (SELECT med FROM m)
+                            THEN 1 ELSE 0 END AS up
+                FROM events
+                WHERE CAST(value AS DOUBLE) <> (SELECT med FROM m)),
+            f AS (
+                SELECT event_type, up,
+                       CASE WHEN lag(up) OVER w IS NULL
+                                 OR up <> lag(up) OVER w
+                            THEN 1 ELSE 0 END AS rs
+                FROM u WINDOW w AS (PARTITION BY event_type
+                                    ORDER BY ts, event_id)),
+            agg AS (
+                SELECT event_type, sum(up) AS npos,
+                       sum(1 - up) AS nneg, sum(rs) AS r
+                FROM f GROUP BY event_type)
+            SELECT event_type, CAST(npos AS BIGINT) AS n_pos,
+                   CAST(nneg AS BIGINT) AS n_neg,
+                   CAST(r AS BIGINT) AS n_runs,
+                   round((r - (2.0 * npos * nneg / (npos + nneg)
+                               + 1.0))
+                         / sqrt((2.0 * npos * nneg
+                                 * (2.0 * npos * nneg
+                                    - (npos + nneg)))
+                                / (CAST(npos + nneg AS DOUBLE)
+                                   * (npos + nneg)
+                                   * (npos + nneg - 1.0))), 6) AS z
+            FROM agg ORDER BY event_type
         """,
         "q_events_type_drift": """
             WITH c AS (

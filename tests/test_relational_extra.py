@@ -986,3 +986,44 @@ def test_ttr_matches_pandas_and_is_bounded():
         assert abs(out.loc[r["doc_id"], "ttr"]
                    - len(set(ws)) / len(ws)) < 2e-6
     assert ((out["ttr"] > 0) & (out["ttr"] <= 1)).all()
+
+
+def test_burstiness_matches_dense_span_recompute():
+    from jerex_ray.pipelines.queries import q_events_burstiness
+    out = q_events_burstiness(SF).set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    h = ev["ts"].astype("datetime64[us]").astype("int64") \
+        // 3_600_000_000
+    ev = ev.assign(h=h)
+    span = int(h.max() - h.min() + 1)
+    for t, g in ev.groupby("event_type"):
+        counts = np.zeros(span)
+        vc = (g["h"] - h.min()).value_counts()
+        counts[vc.index.to_numpy()] = vc.to_numpy()
+        fano = counts.var() / counts.mean()
+        assert abs(out.loc[t, "fano"] - fano) < 1e-4
+        assert out.loc[t, "n_events"] == len(g)
+
+
+def test_runs_test_matches_serial_runs_count_and_z():
+    from jerex_ray.pipelines.queries import q_events_runs_test
+    out = q_events_runs_test(SF).set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type", "ts",
+                                "value"]).to_pandas()
+    med = np.quantile(ev["value"].to_numpy(np.float64), 0.5)
+    ev = ev[ev["value"] != med]
+    for t, g in ev.groupby("event_type"):
+        up = (g.sort_values(["ts", "event_id"])["value"]
+              .to_numpy(np.float64) > med)
+        r = 1 + int((up[1:] != up[:-1]).sum())
+        npos, nneg = int(up.sum()), int((~up).sum())
+        n = npos + nneg
+        mu = 2.0 * npos * nneg / n + 1.0
+        var = (2.0 * npos * nneg * (2.0 * npos * nneg - n)) \
+            / (n * n * (n - 1.0))
+        z = (r - mu) / np.sqrt(var)
+        assert out.loc[t, "n_runs"] == r
+        assert out.loc[t, "n_pos"] == npos
+        assert abs(out.loc[t, "z"] - round(z, 6)) < 2e-6
