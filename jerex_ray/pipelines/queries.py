@@ -6465,6 +6465,32 @@ def q_events_runs_test(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def doc_pair_similarity(sf_dir: str):
+    """All-pairs TF-IDF cosine similarity ≥ 0.8 via the inverted-index
+    self-join (``ops/simjoin.tfidf_cosine_pairs``, Elsayed et al.
+    '08): one df combiner pass, broadcast idf, doc-local norms, one
+    term hash shuffle with block-local wedge partial products, final
+    pair combiner. Hubs (df > ⌊0.9·N⌋) are pruned from the vector
+    space — the explicit all-pairs scale lever, mirrored in the
+    oracle. Both sides round to 6 decimals and threshold on the
+    ROUNDED cosine."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    from jerex_ray.ops.simjoin import tfidf_cosine_pairs
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet") \
+        .metadata.num_rows
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = tfidf_cosine_pairs(ds, threshold=0.8,
+                             max_df=int(math.floor(0.9 * n_docs))) \
+        .to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -6549,6 +6575,7 @@ def build_queries() -> dict:
         "doc_ttr": doc_ttr,
         "q_events_burstiness": q_events_burstiness,
         "q_events_runs_test": q_events_runs_test,
+        "doc_pair_similarity": doc_pair_similarity,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -7665,6 +7692,46 @@ def _build_oracle_sql_literal() -> dict:
                                    * (npos + nneg)
                                    * (npos + nneg - 1.0))), 6) AS z
             FROM agg ORDER BY event_type
+        """,
+        "doc_pair_similarity": """
+            WITH words AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents),
+            tok AS (
+                SELECT doc_id, len(ws) AS dlen, unnest(ws) AS term
+                FROM words),
+            tf AS (
+                SELECT doc_id, term, dlen, count(*) AS cnt
+                FROM tok GROUP BY doc_id, term, dlen),
+            dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nd AS (SELECT count(*) AS n FROM documents),
+            w AS (
+                SELECT tf.doc_id, tf.term, dfreq.df,
+                       (CAST(cnt AS DOUBLE) / dlen)
+                       * (ln((1.0 + (SELECT n FROM nd)) / (1.0 + df))
+                          + 1.0) AS w
+                FROM tf JOIN dfreq USING (term)
+                WHERE dfreq.df <= CAST(floor(
+                    0.9 * (SELECT n FROM nd)) AS BIGINT)),
+            nrm AS (
+                SELECT doc_id, sqrt(sum(w * w)) AS nm
+                FROM w GROUP BY doc_id),
+            p AS (
+                SELECT w.doc_id, w.term, w.w / nrm.nm AS wn
+                FROM w JOIN nrm USING (doc_id)
+                WHERE w.df >= 2),
+            pair AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       round(sum(a.wn * b.wn), 6) AS cosine
+                FROM p a JOIN p b
+                     ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b, cosine FROM pair
+            WHERE cosine >= 0.8
+            ORDER BY doc_a, doc_b
         """,
         "q_events_type_drift": """
             WITH c AS (

@@ -1027,3 +1027,39 @@ def test_runs_test_matches_serial_runs_count_and_z():
         assert out.loc[t, "n_runs"] == r
         assert out.loc[t, "n_pos"] == npos
         assert abs(out.loc[t, "z"] - round(z, 6)) < 2e-6
+
+
+def test_pair_similarity_matches_serial_tfidf_cosine():
+    import math
+    from jerex_ray.pipelines.queries import doc_pair_similarity
+    out = doc_pair_similarity(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    N = len(docs)
+    words = docs["text"].fillna("").str.lower().str.split()
+    lens = words.str.len().to_numpy()
+    flat = pd.DataFrame({
+        "doc": np.repeat(docs["doc_id"].to_numpy(), lens),
+        "term": np.concatenate(words.to_numpy())})
+    tf = flat.groupby(["doc", "term"]).size().reset_index(name="cnt")
+    dfreq = tf.groupby("term")["doc"].nunique()
+    kept = dfreq[dfreq <= int(math.floor(0.9 * N))]
+    idf = {t: math.log((1 + N) / (1 + d)) + 1 for t, d in kept.items()}
+    dl = dict(zip(docs["doc_id"], lens))
+    t2 = tf[tf["term"].isin(kept.index)].copy()
+    t2["w"] = (t2["cnt"] / t2["doc"].map(dl)) * t2["term"].map(idf)
+    nrm = np.sqrt(t2.groupby("doc")["w"].apply(lambda s: (s ** 2).sum()))
+    t2["wn"] = t2["w"] / t2["doc"].map(nrm)
+    p = t2[t2["term"].isin(kept[kept >= 2].index)]
+    m = p.merge(p, on="term")
+    m = m[m["doc_x"] < m["doc_y"]]
+    cos = ((m["wn_x"] * m["wn_y"])
+           .groupby([m["doc_x"], m["doc_y"]]).sum().round(6))
+    ref = cos[cos >= 0.8].reset_index()
+    ref.columns = ["doc_a", "doc_b", "cosine"]
+    ref = ref.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(out) == len(ref) and len(out) > 0
+    assert (out["doc_a"].to_numpy() == ref["doc_a"].to_numpy()).all()
+    assert (out["doc_b"].to_numpy() == ref["doc_b"].to_numpy()).all()
+    assert np.allclose(out["cosine"], ref["cosine"], atol=2e-6)
+    assert (out["cosine"] <= 1.0 + 1e-9).all()
