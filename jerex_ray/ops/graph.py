@@ -844,3 +844,86 @@ def degree_assortativity(edges_ds, *, src: str = "a", dst: str = "b",
                          "n_edges": [np.int64(n_edges)],
                          "r": [None if np.isnan(r)
                                else round(float(r), 6)]})
+
+
+def hits(pairs_ds, *, hub_col: str, auth_col: str, iters: int = 4,
+         num_partitions: int | None = None) -> pd.DataFrame:
+    """HITS hubs & authorities (Kleinberg '99) over a bipartite
+    incidence Dataset — which customers are broad buyers (hubs) and
+    which items are broadly bought (authorities).
+
+    Power iteration of A·Aᵀ expressed Ray-Data-first, same shape as
+    :func:`pagerank`'s broadcast mode: the distinct incidence table
+    materializes ONCE (combiner-reduced), each half-step broadcasts
+    the node-sized score vector via ``ray.put`` and streams the edges
+    through ``map_batches`` emitting per-destination PARTIAL sums that
+    a grouped combiner finishes — per iteration only node-sized state
+    moves.
+
+    Parity-by-construction: iterations run UNNORMALIZED (scale factors
+    out of the power direction), so with h₀ = 1 every intermediate
+    score is an exact INTEGER in float64 — the SQL chained-CTE oracle
+    reproduces them bit-for-bit regardless of summation order — and
+    only the FINAL L1 normalization divides (both sides round to 6
+    decimals). The op guards the 2⁵³ exact-integer ceiling and raises
+    rather than silently losing parity on deeper iterations.
+
+    The reference has no graph algorithms (SURVEY.md §2.7); engine
+    extension for the LLM-data charter.
+    """
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    edges = grouped_aggregate(pairs_ds, [hub_col, auth_col],
+                              {"n": (None, "count")},
+                              num_partitions=num_partitions) \
+        .drop_columns(["n"]).materialize()
+
+    EMPTY = pd.DataFrame({"side": pd.Series(dtype="object"),
+                          "node": pd.Series(dtype="int64"),
+                          "score": pd.Series(dtype="float64")})
+    hubs_df = grouped_aggregate(edges, [hub_col],
+                                {"d": (None, "count")},
+                                num_partitions=num_partitions).to_pandas()
+    if hubs_df.empty or hub_col not in hubs_df.columns:
+        return EMPTY
+
+    def half_step(scores: dict, src: str, dst: str) -> dict:
+        """dst_score(v) = Σ_{(u,v)∈E} src_score(u), distributed."""
+        ref = ray.put(scores)
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            sc = ray.get(ref)
+            w = df[src].map(sc).to_numpy(np.float64)
+            part = (pd.DataFrame({"v": df[dst].to_numpy(), "w": w})
+                    .groupby("v", sort=False)["w"].sum())
+            return pd.DataFrame({"v": part.index.to_numpy(),
+                                 "w": part.to_numpy()})
+
+        out = grouped_aggregate(
+            edges.map_batches(contrib, batch_format="pandas"),
+            ["v"], {"s": ("w", "sum")},
+            num_partitions=num_partitions).to_pandas()
+        vals = out["s"].to_numpy(np.float64)
+        if vals.size and np.max(vals) >= 2.0 ** 53:
+            raise OverflowError(
+                "hits: unnormalized scores left the exact-integer "
+                "float64 range; reduce iters")
+        return dict(zip(out["v"], vals))
+
+    h = dict.fromkeys(hubs_df[hub_col], 1.0)
+    a: dict = {}
+    for _ in range(iters):
+        a = half_step(h, hub_col, auth_col)
+        h = half_step(a, auth_col, hub_col)
+
+    def norm_rows(scores: dict, side: str) -> pd.DataFrame:
+        nodes = np.array(sorted(scores))
+        vals = np.array([scores[n] for n in nodes], dtype=np.float64)
+        return pd.DataFrame({"side": side, "node": nodes,
+                             "score": np.round(vals / vals.sum(), 6)})
+
+    out = pd.concat([norm_rows(a, "auth"), norm_rows(h, "hub")],
+                    ignore_index=True)
+    return out.sort_values(["side", "node"]).reset_index(drop=True)

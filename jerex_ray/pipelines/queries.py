@@ -6491,6 +6491,30 @@ def doc_pair_similarity(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def q_part_hits(sf_dir: str):
+    """HITS hubs (customers) & authorities (parts) over the
+    customer–part bipartite purchase graph (``ops/graph.hits``): the
+    orders⋈lineitem incidence is a hash-partitioned fact-fact
+    ``Dataset.join``; iterations broadcast node-sized score vectors
+    and reduce per-destination partials through the combiner.
+    Unnormalized iterates are exact integers in float64, so the
+    chained-CTE oracle matches bit-for-bit; only the final L1
+    normalization rounds."""
+    from jerex_ray.ops.graph import hits
+    from jerex_ray.runtime import read_parquet_sized, shuffle_partitions
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    orders = read_parquet_sized(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    j = li.join(orders, join_type="inner",
+                num_partitions=shuffle_partitions(8),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    out = hits(j, hub_col="o_custkey", auth_col="l_partkey", iters=4)
+    out["node"] = out["node"].astype("int64")
+    return out
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -6576,6 +6600,7 @@ def build_queries() -> dict:
         "q_events_burstiness": q_events_burstiness,
         "q_events_runs_test": q_events_runs_test,
         "doc_pair_similarity": doc_pair_similarity,
+        "q_part_hits": q_part_hits,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -6942,6 +6967,40 @@ def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
     sql += f"""
         SELECT node AS doc_id, round(pr, 6) AS pr
         FROM {prev} ORDER BY doc_id"""
+    return sql
+
+
+def _hits_oracle_sql(iters: int = 4) -> str:
+    """Chained-CTE recomputation of ``q_part_hits``: distinct
+    customer–part incidences, then one authority CTE and one hub CTE
+    per HITS iteration (unnormalized — exact integers — mirroring
+    ``ops/graph.hits``), with a single L1 normalization at the end."""
+    sql = """
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS u, l_partkey AS v
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        h0 AS (SELECT u, 1.0 AS s FROM (SELECT DISTINCT u FROM e))"""
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        sql += f""",
+        a{k} AS MATERIALIZED (
+            SELECT v, sum({prev_h}.s) AS s
+            FROM e JOIN {prev_h} USING (u) GROUP BY v),
+        h{k} AS MATERIALIZED (
+            SELECT u, sum(a{k}.s) AS s
+            FROM e JOIN a{k} USING (v) GROUP BY u)"""
+        prev_h = f"h{k}"
+    last = iters
+    sql += f"""
+        SELECT side, node, score FROM (
+            SELECT 'auth' AS side, v AS node,
+                   round(s / (SELECT sum(s) FROM a{last}), 6) AS score
+            FROM a{last}
+            UNION ALL
+            SELECT 'hub', u,
+                   round(s / (SELECT sum(s) FROM h{last}), 6)
+            FROM h{last})
+        ORDER BY side, node"""
     return sql
 
 
@@ -8829,6 +8888,7 @@ def _build_oracle_sql_literal() -> dict:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "doc_pagerank": _pagerank_oracle_sql(),
+        "q_part_hits": _hits_oracle_sql(),
         "doc_vocab": """
             WITH w AS (
                 SELECT unnest(list_filter(

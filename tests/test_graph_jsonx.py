@@ -626,3 +626,46 @@ def test_part_abc_invariants():
     assert (d["abc_class"].to_numpy() == cls).all()
     for r in out.itertuples():
         assert per.loc[r.l_partkey] == r.cents
+
+
+def _dense_hits(edges, iters=4):
+    """In-memory HITS reference: unnormalized alternation, final L1."""
+    hubs = sorted({u for u, _ in edges})
+    auths = sorted({v for _, v in edges})
+    hp = {u: i for i, u in enumerate(hubs)}
+    ap = {v: i for i, v in enumerate(auths)}
+    A = np.zeros((len(hubs), len(auths)))
+    for u, v in edges:
+        A[hp[u], ap[v]] = 1.0
+    h = np.ones(len(hubs))
+    for _ in range(iters):
+        a = A.T @ h
+        h = A @ a
+    return dict(zip(auths, a / a.sum())), dict(zip(hubs, h / h.sum()))
+
+
+def test_hits_matches_dense_reference():
+    from jerex_ray.ops.graph import hits
+    rng = np.random.default_rng(7)
+    edges = sorted({(int(rng.integers(0, 12)), int(rng.integers(100, 120)))
+                    for _ in range(80)})
+    dup = edges + edges[:10]  # duplicate incidences must collapse
+    ds = rd.from_pandas(pd.DataFrame(dup, columns=["cust", "part"]))
+    out = hits(ds, hub_col="cust", auth_col="part", iters=4)
+    a_ref, h_ref = _dense_hits(edges)
+    got_a = out[out["side"] == "auth"].set_index("node")["score"]
+    got_h = out[out["side"] == "hub"].set_index("node")["score"]
+    assert set(got_a.index) == set(a_ref) and set(got_h.index) == set(h_ref)
+    for v, s in a_ref.items():
+        assert abs(got_a.loc[v] - round(s, 6)) < 2e-6
+    for u, s in h_ref.items():
+        assert abs(got_h.loc[u] - round(s, 6)) < 2e-6
+    assert abs(got_a.sum() - 1.0) < 1e-4 and abs(got_h.sum() - 1.0) < 1e-4
+
+
+def test_hits_empty_input_returns_typed_empty():
+    from jerex_ray.ops.graph import hits
+    ds = rd.from_pandas(pd.DataFrame({"cust": pd.Series(dtype="int64"),
+                                      "part": pd.Series(dtype="int64")}))
+    out = hits(ds, hub_col="cust", auth_col="part")
+    assert out.empty and list(out.columns) == ["side", "node", "score"]
