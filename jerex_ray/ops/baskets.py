@@ -1,0 +1,107 @@
+"""Market-basket association rules (Agrawal & Srikant '94, the
+pair/2-itemset tier of Apriori) — the classic co-purchase miner, and
+the same shape a training-data pipeline uses to mine co-occurring
+tags/sources/labels.
+
+For every unordered item pair co-occurring in ≥ ``min_pair_count``
+baskets, both directed rules a→b are emitted with
+support = c(a,b)/N, confidence = c(a,b)/c(a) and
+lift = N·c(a,b)/(c(a)·c(b)).
+
+Dataflow, scale-shaped: the distinct (basket, item) incidence reduces
+through the combiner; baskets co-locate via ONE hash shuffle and each
+block emits its per-basket item-pair wedges from a vectorized
+self-merge (a basket of size s emits s(s−1)/2 wedges — the natural
+cap is basket size, not corpus size); wedge partials reduce to pair
+counts; the item-frequency table (item-bounded, dimension-sized)
+broadcasts into the final streaming score pass. All counts are
+integers, every statistic is a single division of exact float64
+integers, so the SQL oracle matches bit-for-bit before the shared
+6-decimal rounding.
+
+The reference has no frequent-itemset mining (SURVEY.md §2.7); engine
+extension for the LLM-data charter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_EMPTY = {
+    "antecedent": pd.Series(dtype="int64"),
+    "consequent": pd.Series(dtype="int64"),
+    "pair_count": pd.Series(dtype="int64"),
+    "support": pd.Series(dtype="float64"),
+    "confidence": pd.Series(dtype="float64"),
+    "lift": pd.Series(dtype="float64"),
+}
+
+
+def association_rules(pairs_ds, *, basket_col: str, item_col: str,
+                      min_pair_count: int = 2,
+                      num_partitions: int | None = None):
+    """Directed pair association rules over a (basket, item) Dataset;
+    returns a Dataset of
+    (antecedent, consequent, pair_count, support, confidence, lift)."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+
+    inc = grouped_aggregate(pairs_ds, [basket_col, item_col],
+                            {"n": (None, "count")},
+                            num_partitions=num_partitions) \
+        .drop_columns(["n"]).materialize()
+
+    item_df = grouped_aggregate(inc, [item_col], {"c": (None, "count")},
+                                num_partitions=num_partitions).to_pandas()
+    if item_df.empty or item_col not in item_df.columns:
+        return ray.data.from_pandas(pd.DataFrame(_EMPTY))
+    n_baskets = int(
+        grouped_aggregate(inc, [basket_col], {"c": (None, "count")},
+                          num_partitions=num_partitions).count())
+    item_counts = ray.put(dict(zip(item_df[item_col],
+                                   item_df["c"].astype(int))))
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"ia": pd.Series(dtype="int64"),
+                                 "ib": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        m = df.merge(df, on=basket_col)
+        xa, xb = f"{item_col}_x", f"{item_col}_y"
+        m = m[m[xa] < m[xb]]
+        g = m.groupby([xa, xb], sort=False).size().reset_index(name="c")
+        return pd.DataFrame({"ia": g[xa].to_numpy(),
+                             "ib": g[xb].to_numpy(),
+                             "c": g["c"].to_numpy(np.int64)})
+
+    pair_counts = grouped_aggregate(
+        grouped_apply(inc, [basket_col], wedges,
+                      num_partitions=num_partitions),
+        ["ia", "ib"], {"cab": ("c", "sum")},
+        num_partitions=num_partitions)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "cab" not in df.columns:
+            return pd.DataFrame(_EMPTY)
+        ic = ray.get(item_counts)
+        df = df[df["cab"] >= min_pair_count]
+        if df.empty:
+            return pd.DataFrame(_EMPTY)
+        both = pd.concat([
+            df.rename(columns={"ia": "antecedent", "ib": "consequent"}),
+            df.rename(columns={"ib": "antecedent", "ia": "consequent"})],
+            ignore_index=True)
+        cab = both["cab"].to_numpy(np.float64)
+        ca = both["antecedent"].map(ic).to_numpy(np.float64)
+        cb = both["consequent"].map(ic).to_numpy(np.float64)
+        return pd.DataFrame({
+            "antecedent": both["antecedent"].astype("int64"),
+            "consequent": both["consequent"].astype("int64"),
+            "pair_count": both["cab"].astype("int64"),
+            "support": np.round(cab / n_baskets, 6),
+            "confidence": np.round(cab / ca, 6),
+            "lift": np.round(float(n_baskets) * cab / (ca * cb), 6)})
+
+    return pair_counts.map_batches(score, batch_format="pandas")

@@ -6515,6 +6515,27 @@ def q_part_hits(sf_dir: str):
     return out
 
 
+def q_basket_rules(sf_dir: str):
+    """Pair association rules over order baskets
+    (``ops/baskets.association_rules``, Apriori's 2-itemset tier):
+    distinct (order, part) incidences reduce through the combiner,
+    one basket hash shuffle emits vectorized item-pair wedges
+    (bounded by basket size²), the item-frequency table broadcasts
+    into the streaming score pass. Counts are integer-exact; every
+    statistic is one division, matching the SQL self-join oracle
+    bit-for-bit before the shared 6-decimal rounding."""
+    from jerex_ray.ops.baskets import association_rules
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    out = association_rules(li, basket_col="l_orderkey",
+                            item_col="l_partkey",
+                            min_pair_count=2).to_pandas()
+    return out.sort_values(["antecedent", "consequent"]) \
+        .reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -6601,6 +6622,7 @@ def build_queries() -> dict:
         "q_events_runs_test": q_events_runs_test,
         "doc_pair_similarity": doc_pair_similarity,
         "q_part_hits": q_part_hits,
+        "q_basket_rules": q_basket_rules,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -8889,6 +8911,31 @@ def _build_oracle_sql_literal() -> dict:
         """,
         "doc_pagerank": _pagerank_oracle_sql(),
         "q_part_hits": _hits_oracle_sql(),
+        "q_basket_rules": """
+            WITH inc AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+                FROM lineitem),
+            n AS (SELECT count(DISTINCT o) AS nb FROM inc),
+            cnt AS (SELECT i, count(*) AS c FROM inc GROUP BY i),
+            pair AS (
+                SELECT a.i AS ia, b.i AS ib, count(*) AS cab
+                FROM inc a JOIN inc b ON a.o = b.o AND a.i < b.i
+                GROUP BY a.i, b.i
+                HAVING count(*) >= 2),
+            dirs AS (
+                SELECT ia AS ant, ib AS con, cab FROM pair
+                UNION ALL SELECT ib, ia, cab FROM pair)
+            SELECT d.ant AS antecedent, d.con AS consequent,
+                   cab AS pair_count,
+                   round(CAST(cab AS DOUBLE) / (SELECT nb FROM n), 6)
+                       AS support,
+                   round(CAST(cab AS DOUBLE) / ca.c, 6) AS confidence,
+                   round(CAST((SELECT nb FROM n) AS DOUBLE) * cab
+                         / (ca.c * cb.c), 6) AS lift
+            FROM dirs d JOIN cnt ca ON ca.i = d.ant
+                        JOIN cnt cb ON cb.i = d.con
+            ORDER BY antecedent, consequent
+        """,
         "doc_vocab": """
             WITH w AS (
                 SELECT unnest(list_filter(

@@ -1063,3 +1063,35 @@ def test_pair_similarity_matches_serial_tfidf_cosine():
     assert (out["doc_b"].to_numpy() == ref["doc_b"].to_numpy()).all()
     assert np.allclose(out["cosine"], ref["cosine"], atol=2e-6)
     assert (out["cosine"] <= 1.0 + 1e-9).all()
+
+
+def test_basket_rules_matches_serial_recompute():
+    from jerex_ray.pipelines.queries import q_basket_rules
+    out = q_basket_rules(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    inc = li.drop_duplicates()
+    nb = inc["l_orderkey"].nunique()
+    cnt = inc.groupby("l_partkey").size()
+    m = inc.merge(inc, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    cab = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    cab = cab[cab >= 2]
+    rows = []
+    for (a, b), c in cab.items():
+        for ant, con in ((a, b), (b, a)):
+            rows.append((ant, con, int(c), round(c / nb, 6),
+                         round(c / cnt[ant], 6),
+                         round(nb * c / (cnt[ant] * cnt[con]), 6)))
+    ref = pd.DataFrame(rows, columns=["antecedent", "consequent",
+                                      "pair_count", "support",
+                                      "confidence", "lift"]) \
+        .sort_values(["antecedent", "consequent"]).reset_index(drop=True)
+    assert len(out) == len(ref) and len(out) > 0
+    pd.testing.assert_frame_equal(
+        out.astype({"pair_count": "int64"}), ref.astype(
+            {"antecedent": "int64", "consequent": "int64",
+             "pair_count": "int64"}), atol=2e-6)
+    # every rule's mirror exists with the same pair_count
+    key = set(zip(out["antecedent"], out["consequent"]))
+    assert all((b, a) in key for a, b in key)
