@@ -6536,6 +6536,26 @@ def q_basket_rules(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_events_best_split(sf_dir: str):
+    """Best decision-stump split of `value` for the conversion label
+    (event_type ∈ {click, purchase}) — the histogram-method GBDT
+    primitive (``ops/tree.best_stump_split``): one combiner pass to a
+    feature-grid-bounded histogram, vectorized prefix-sum Gini scan.
+    Integer-exact counts + an identically-sequenced gain expression
+    make the argmax bit-stable against the SQL window oracle."""
+    from jerex_ray.ops.tree import best_stump_split
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def label(batch: pd.DataFrame) -> np.ndarray:
+        return batch["event_type"].isin(["click", "purchase"]) \
+            .to_numpy(np.int64)
+
+    return best_stump_split(ds, feature="value", label_fn=label)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -6623,6 +6643,7 @@ def build_queries() -> dict:
         "doc_pair_similarity": doc_pair_similarity,
         "q_part_hits": q_part_hits,
         "q_basket_rules": q_basket_rules,
+        "q_events_best_split": q_events_best_split,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -7813,6 +7834,52 @@ def _build_oracle_sql_literal() -> dict:
             SELECT doc_a, doc_b, cosine FROM pair
             WHERE cosine >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        "q_events_best_split": """
+            WITH lab AS (
+                SELECT CAST(value AS DOUBLE) AS v,
+                       CASE WHEN event_type IN ('click', 'purchase')
+                            THEN 1 ELSE 0 END AS y
+                FROM events),
+            h AS (SELECT v, count(*) AS n, sum(y) AS pos
+                  FROM lab GROUP BY v),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n,
+                           CAST(sum(pos) AS DOUBLE) AS pos
+                    FROM h),
+            cum AS (
+                SELECT v,
+                       CAST(sum(n) OVER (ORDER BY v) AS DOUBLE) AS nl,
+                       CAST(sum(pos) OVER (ORDER BY v) AS DOUBLE)
+                           AS posl
+                FROM h),
+            cand AS (
+                SELECT v, nl, posl,
+                       (SELECT n FROM tot) - nl AS nr,
+                       (SELECT pos FROM tot) - posl AS posr
+                FROM cum WHERE nl < (SELECT n FROM tot)),
+            g AS (
+                SELECT v, nl, posl, nr, posr,
+                       (1.0 - (pos / n) * (pos / n)
+                            - ((n - pos) / n) * ((n - pos) / n)) AS gp,
+                       (1.0 - (posl / nl) * (posl / nl)
+                            - ((nl - posl) / nl) * ((nl - posl) / nl))
+                           AS gl,
+                       (1.0 - (posr / nr) * (posr / nr)
+                            - ((nr - posr) / nr) * ((nr - posr) / nr))
+                           AS gr
+                FROM cand, tot),
+            sc AS (
+                SELECT v, nl, posl, nr, posr, gp,
+                       gp - (nl / (SELECT n FROM tot)) * gl
+                          - (nr / (SELECT n FROM tot)) * gr AS gain
+                FROM g)
+            SELECT v AS threshold, round(gain, 6) AS gain,
+                   round(gp, 6) AS gini_parent,
+                   CAST(nl AS BIGINT) AS n_left,
+                   CAST(nr AS BIGINT) AS n_right,
+                   CAST(posl AS BIGINT) AS pos_left,
+                   CAST(posr AS BIGINT) AS pos_right
+            FROM sc ORDER BY gain DESC, v ASC LIMIT 1
         """,
         "q_events_type_drift": """
             WITH c AS (

@@ -1095,3 +1095,35 @@ def test_basket_rules_matches_serial_recompute():
     # every rule's mirror exists with the same pair_count
     key = set(zip(out["antecedent"], out["consequent"]))
     assert all((b, a) in key for a, b in key)
+
+
+def test_best_split_matches_exhaustive_serial_scan():
+    from jerex_ray.pipelines.queries import q_events_best_split
+    out = q_events_best_split(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    y = ev["event_type"].isin(["click", "purchase"]).to_numpy(np.int64)
+    v = ev["value"].to_numpy(np.float64)
+
+    def gini(pos, n):
+        p, q = pos / n, (n - pos) / n
+        return 1.0 - p * p - q * q
+
+    n, pos = len(v), y.sum()
+    gp = gini(float(pos), float(n))
+    best = (-1.0, None)
+    for t in np.unique(v)[:-1]:
+        m = v <= t
+        nl, posl = float(m.sum()), float(y[m].sum())
+        nr, posr = n - nl, pos - posl
+        gain = gp - (nl / n) * gini(posl, nl) - (nr / n) * gini(posr, nr)
+        if gain > best[0]:
+            best = (gain, t, nl, nr, posl, posr)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["threshold"] == best[1]
+    assert abs(r["gain"] - round(best[0], 6)) < 2e-6
+    assert r["n_left"] == best[2] and r["n_right"] == best[3]
+    assert r["pos_left"] == best[4] and r["pos_right"] == best[5]
+    # split must actually reduce impurity
+    assert r["gain"] > 0
