@@ -6556,6 +6556,185 @@ def q_events_best_split(sf_dir: str):
     return best_stump_split(ds, feature="value", label_fn=label)
 
 
+def q_user_seq_patterns(sf_dir: str):
+    """Frequent 2-sequences (GSP tier 2, Srikant & Agrawal '96): for
+    every ordered type pair (ant, con), the number of users with some
+    ant event strictly before some con event, and its support share.
+    The existence test compresses to min-ts(ant) < max-ts(con), so ONE
+    (user, type) min/max combiner pass reduces the corpus to a
+    users×types table; users co-locate once and each block self-merges
+    its per-user type rows (≤ |types|² pairs per user). Counts are
+    integer-exact; support is one division, 6-decimal rounded."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts"])
+    mt = grouped_aggregate(ds, ["user_id", "event_type"],
+                           {"mn": ("ts", "min"), "mx": ("ts", "max")},
+                           result_hint="large").materialize()
+    n_users = int(grouped_aggregate(mt, ["user_id"],
+                                    {"c": (None, "count")}).count())
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"ant": pd.Series(dtype="object"),
+                                 "con": pd.Series(dtype="object")})
+        m = df.merge(df, on="user_id")
+        m = m[m["mn_x"] < m["mx_y"]]
+        return pd.DataFrame({"ant": m["event_type_x"].to_numpy(),
+                             "con": m["event_type_y"].to_numpy()})
+
+    cnt = grouped_aggregate(
+        grouped_apply(mt, ["user_id"], pairs),
+        ["ant", "con"], {"n_users": (None, "count")}).to_pandas()
+    cnt["n_users"] = cnt["n_users"].astype("int64")
+    cnt["support"] = np.round(
+        cnt["n_users"].to_numpy(np.float64) / n_users, 6)
+    return cnt.sort_values(["ant", "con"]).reset_index(drop=True)
+
+
+def q_events_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift test between the `value`
+    distributions of click vs error events: one combiner pass reduces
+    the corpus to a value-grid-bounded (v, n_click, n_error)
+    histogram, then a vectorized prefix-sum CDF scan finds
+    D = max|F₁−F₂|. The gap expression is sequenced identically to
+    the SQL window oracle (exact-integer counts, single divisions),
+    so the argmax location is bit-stable; the one-term Kolmogorov
+    p ≈ 2·exp(−2·m·D²) uses math.exp = glibc = DuckDB's exp."""
+    import math
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["click", "error"])]
+        if df.empty:
+            return pd.DataFrame({"v": pd.Series(dtype="float64"),
+                                 "na": pd.Series(dtype="int64"),
+                                 "nb": pd.Series(dtype="int64")})
+        g = (pd.DataFrame({
+            "v": df["value"].to_numpy(np.float64),
+            "na": (df["event_type"] == "click").to_numpy(np.int64),
+            "nb": (df["event_type"] == "error").to_numpy(np.int64)})
+            .groupby("v", sort=False).sum().reset_index())
+        return g
+
+    hist = grouped_aggregate(
+        ds.map_batches(partials, batch_format="pandas", batch_size=8192),
+        ["v"], {"na": ("na", "sum"), "nb": ("nb", "sum")}).to_pandas()
+    hist = hist.sort_values("v").reset_index(drop=True)
+    na = float(hist["na"].sum())
+    nb = float(hist["nb"].sum())
+    ca = np.cumsum(hist["na"].to_numpy(np.float64))
+    cb = np.cumsum(hist["nb"].to_numpy(np.float64))
+    dv = np.abs(ca / na - cb / nb)
+    v = hist["v"].to_numpy(np.float64)
+    best = np.lexsort((v, -dv))[0]        # dv DESC, v ASC
+    d = float(dv[best])
+    m = na * nb / (na + nb)
+    p = 2.0 * math.exp(-2.0 * m * d * d)
+    return pd.DataFrame({"n_a": [np.int64(na)], "n_b": [np.int64(nb)],
+                         "d_stat": [round(d, 6)],
+                         "at_value": [v[best]],
+                         "p_approx": [round(p, 6)]})
+
+
+def q_events_attribution(sf_dir: str):
+    """Linear multi-touch attribution: every purchase splits one unit
+    of credit equally across the SAME user's non-purchase events in
+    the preceding 24 h window; credit totals per touching event type.
+    Users co-locate once; inside each block the window memberships
+    come from two searchsorted bounds per purchase and the per-touch
+    credits from an interval-add difference array (np.add.at +
+    cumsum) — no pair materialization, per-user cost is events +
+    purchases, not their product. The SQL oracle materializes the
+    pair join; both sides round the float credit sums to 6."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts"])
+    win = np.timedelta64(24, "h").astype("timedelta64[us]").astype(
+        np.int64)
+
+    def per_block(block: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                              "touches": pd.Series(dtype="int64"),
+                              "credit": pd.Series(dtype="float64")})
+        if block.empty:
+            return empty
+        d = block.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = d["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = d["user_id"].to_numpy()
+        is_p = (d["event_type"] == "purchase").to_numpy()
+        # touches keep their within-user ordinal + a block-global
+        # segment base, so one diff-array pass serves every user
+        t = pd.DataFrame({"user_id": uid[~is_p], "t": ts[~is_p],
+                          "et": d["event_type"].to_numpy()[~is_p]})
+        p = pd.DataFrame({"user_id": uid[is_p], "t": ts[is_p]})
+        if t.empty or p.empty:
+            return empty
+        t["idx"] = t.groupby("user_id", sort=False).cumcount() + 1
+        seg_sizes = t.groupby("user_id", sort=False).size()
+        seg_base = dict(zip(seg_sizes.index,
+                            np.r_[0, np.cumsum(seg_sizes.to_numpy())[:-1]]))
+        t_sorted = t.sort_values("t", kind="mergesort")
+
+        def count_before(keys: pd.DataFrame, col: str) -> np.ndarray:
+            """#touches of the same user with ts strictly < keys[col]."""
+            m = pd.merge_asof(
+                keys.sort_values(col, kind="mergesort"),
+                t_sorted[["user_id", "t", "idx"]],
+                left_on=col, right_on="t", by="user_id",
+                direction="backward", allow_exact_matches=False)
+            return (m.set_index("__row")["idx"].fillna(0)
+                    .astype(np.int64).sort_index().to_numpy())
+
+        p = p.reset_index(drop=True)
+        p["__row"] = p.index
+        p["lo_key"] = p["t"] - win
+        hi = count_before(p[["user_id", "t", "__row"]].copy(), "t")
+        lo = count_before(p[["user_id", "lo_key", "__row"]].copy(),
+                          "lo_key")
+        k = (hi - lo).astype(np.float64)
+        ok = k > 0
+        if not ok.any():
+            return empty
+        base = p["user_id"].map(seg_base).to_numpy(np.int64)[ok]
+        lo_g, hi_g = base + lo[ok], base + hi[ok]
+        diff = np.zeros(len(t) + 1)
+        np.add.at(diff, lo_g, 1.0 / k[ok])
+        np.add.at(diff, hi_g, -(1.0 / k[ok]))
+        cred = np.cumsum(diff[:-1])
+        diffc = np.zeros(len(t) + 1)
+        np.add.at(diffc, lo_g, 1.0)
+        np.add.at(diffc, hi_g, -1.0)
+        cover = np.rint(np.cumsum(diffc[:-1])).astype(np.int64)
+        touched = cover > 0
+        agg = (pd.DataFrame({"event_type": t["et"].to_numpy()[touched],
+                             "credit": cred[touched],
+                             "touches": cover[touched]})
+               .groupby("event_type", sort=False)
+               .agg(touches=("touches", "sum"), credit=("credit", "sum"))
+               .reset_index())
+        return pd.DataFrame({"event_type": agg["event_type"],
+                             "touches": agg["touches"].astype(np.int64),
+                             "credit": agg["credit"]})
+
+    out = grouped_aggregate(
+        grouped_apply(ds, ["user_id"], per_block),
+        ["event_type"], {"touches": ("touches", "sum"),
+                         "credit": ("credit", "sum")}).to_pandas()
+    out["touches"] = out["touches"].astype("int64")
+    out["credit"] = out["credit"].round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -6644,6 +6823,9 @@ def build_queries() -> dict:
         "q_part_hits": q_part_hits,
         "q_basket_rules": q_basket_rules,
         "q_events_best_split": q_events_best_split,
+        "q_user_seq_patterns": q_user_seq_patterns,
+        "q_events_ks_test": q_events_ks_test,
+        "q_events_attribution": q_events_attribution,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -7834,6 +8016,76 @@ def _build_oracle_sql_literal() -> dict:
             SELECT doc_a, doc_b, cosine FROM pair
             WHERE cosine >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        "q_events_attribution": """
+            WITH p AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'),
+            c AS (
+                SELECT user_id, ts, event_type FROM events
+                WHERE event_type <> 'purchase'),
+            pair AS (
+                SELECT p.event_id AS pid, p.user_id, c.event_type AS et
+                FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.ts < p.ts
+                     AND c.ts >= p.ts - INTERVAL 24 HOUR),
+            k AS (SELECT pid, count(*) AS k FROM pair GROUP BY pid),
+            cred AS (
+                SELECT pair.et, 1.0 / k.k AS w
+                FROM pair JOIN k USING (pid))
+            SELECT et AS event_type, count(*) AS touches,
+                   round(sum(w), 6) AS credit
+            FROM cred GROUP BY et ORDER BY et
+        """,
+        "q_events_ks_test": """
+            WITH s AS (
+                SELECT CAST(value AS DOUBLE) AS v,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                           END AS ia,
+                       CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                           END AS ib
+                FROM events
+                WHERE event_type IN ('click', 'error')),
+            h AS (SELECT v, sum(ia) AS na, sum(ib) AS nb
+                  FROM s GROUP BY v),
+            tot AS (SELECT CAST(sum(na) AS DOUBLE) AS na,
+                           CAST(sum(nb) AS DOUBLE) AS nb
+                    FROM h),
+            cum AS (
+                SELECT v,
+                       CAST(sum(na) OVER (ORDER BY v) AS DOUBLE) AS ca,
+                       CAST(sum(nb) OVER (ORDER BY v) AS DOUBLE) AS cb
+                FROM h),
+            d AS (
+                SELECT v,
+                       abs(ca / (SELECT na FROM tot)
+                           - cb / (SELECT nb FROM tot)) AS dv
+                FROM cum)
+            SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+                   CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
+                   round(dv, 6) AS d_stat,
+                   v AS at_value,
+                   round(2.0 * exp(-2.0
+                       * ((SELECT na FROM tot) * (SELECT nb FROM tot)
+                          / ((SELECT na FROM tot)
+                             + (SELECT nb FROM tot)))
+                       * dv * dv), 6) AS p_approx
+            FROM d ORDER BY dv DESC, v ASC LIMIT 1
+        """,
+        "q_user_seq_patterns": """
+            WITH mt AS (
+                SELECT user_id, event_type,
+                       min(ts) AS mn, max(ts) AS mx
+                FROM events GROUP BY user_id, event_type),
+            tot AS (SELECT count(DISTINCT user_id) AS nu FROM events)
+            SELECT a.event_type AS ant, b.event_type AS con,
+                   count(*) AS n_users,
+                   round(CAST(count(*) AS DOUBLE)
+                         / (SELECT nu FROM tot), 6) AS support
+            FROM mt a JOIN mt b
+                 ON a.user_id = b.user_id AND a.mn < b.mx
+            GROUP BY a.event_type, b.event_type
+            ORDER BY ant, con
         """,
         "q_events_best_split": """
             WITH lab AS (

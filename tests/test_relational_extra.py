@@ -1127,3 +1127,62 @@ def test_best_split_matches_exhaustive_serial_scan():
     assert r["pos_left"] == best[4] and r["pos_right"] == best[5]
     # split must actually reduce impurity
     assert r["gain"] > 0
+
+
+def test_seq_patterns_matches_serial_existence_scan():
+    from jerex_ray.pipelines.queries import q_user_seq_patterns
+    out = q_user_seq_patterns(SF).set_index(["ant", "con"])
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "ts"]).to_pandas()
+    nu = ev["user_id"].nunique()
+    from collections import Counter
+    c = Counter()
+    for _, g in ev.groupby("user_id"):
+        mt = g.groupby("event_type")["ts"].agg(["min", "max"])
+        for a in mt.index:
+            for b in mt.index:
+                if mt.loc[a, "min"] < mt.loc[b, "max"]:
+                    c[(a, b)] += 1
+    assert len(out) == len(c) and len(out) > 0
+    for (a, b), n in c.items():
+        assert out.loc[(a, b), "n_users"] == n
+        assert abs(out.loc[(a, b), "support"] - round(n / nu, 6)) < 2e-6
+
+
+def test_ks_test_matches_scipy_style_recompute():
+    from jerex_ray.pipelines.queries import q_events_ks_test
+    out = q_events_ks_test(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    a = np.sort(ev.loc[ev["event_type"] == "click", "value"].to_numpy())
+    b = np.sort(ev.loc[ev["event_type"] == "error", "value"].to_numpy())
+    grid = np.unique(np.r_[a, b])
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    d = np.abs(fa - fb)
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert abs(out["d_stat"] - round(d.max(), 6)) < 2e-6
+    assert out["at_value"] == grid[np.lexsort((grid, -d))[0]]
+    assert 0.0 <= out["p_approx"] <= 2.0
+
+
+def test_attribution_matches_serial_pair_join():
+    from jerex_ray.pipelines.queries import q_events_attribution
+    out = q_events_attribution(SF).set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "event_type",
+                                "ts"]).to_pandas()
+    win = pd.Timedelta(hours=24)
+    p = ev[ev["event_type"] == "purchase"]
+    c = ev[ev["event_type"] != "purchase"]
+    m = p.merge(c, on="user_id", suffixes=("_p", "_c"))
+    m = m[(m["ts_c"] < m["ts_p"]) & (m["ts_c"] >= m["ts_p"] - win)]
+    k = m.groupby("event_id_p").size()
+    m = m.assign(w=1.0 / m["event_id_p"].map(k))
+    ref = m.groupby("event_type_c")["w"].agg(["count", "sum"])
+    assert len(out) == len(ref) and len(out) > 0
+    for et, row in ref.iterrows():
+        assert out.loc[et, "touches"] == row["count"]
+        assert abs(out.loc[et, "credit"] - round(row["sum"], 6)) < 2e-6
+    # per-purchase credit conservation: total credit = purchases with >=1 touch
+    assert abs(out["credit"].sum() - k.size) < 1e-3
