@@ -299,3 +299,43 @@ def semdedup(emb_ds, *, k: int = 8, threshold: float = 0.95,
 
     return grouped_apply(joined, ["cluster"], prune,
                          num_partitions=num_partitions)
+
+
+def procrustes_align(pairs_ds, *, x_col: str = "x", y_col: str = "y"):
+    """Orthogonal Procrustes alignment (Schönemann '66): the rotation
+    R = argmin_{RᵀR=I} ‖XR − Y‖_F between two PAIRED embedding
+    spaces — the classic cross-model / cross-lingual embedding
+    alignment step (Smith et al. '17 use exactly this SVD solution).
+
+    Scale shape mirrors ``_moment_partials``: ONE streaming pass
+    reduces each batch to (n, XᵀY, ‖X‖², ‖Y‖²) — d² + 2 floats per
+    batch regardless of rows — the driver runs the d×d SVD (d = the
+    embedding width, tiny) and R = UVᵀ. Returns
+    (R, residual_sq, n) where residual_sq = ‖X‖² + ‖Y‖² − 2Σσᵢ is the
+    optimal squared alignment error.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = _matrix(batch[x_col])
+        y = _matrix(batch[y_col])
+        if x.size == 0:
+            return pd.DataFrame({"n": pd.Series(dtype="int64"),
+                                 "xty": pd.Series(dtype="object"),
+                                 "ssx": pd.Series(dtype="float64"),
+                                 "ssy": pd.Series(dtype="float64")})
+        return pd.DataFrame({"n": [np.int64(x.shape[0])],
+                             "xty": [(x.T @ y).ravel()],
+                             "ssx": [float((x * x).sum())],
+                             "ssy": [float((y * y).sum())]})
+
+    parts = pairs_ds.map_batches(partial, batch_format="pandas",
+                                 batch_size=4096).to_pandas()
+    if parts.empty or int(parts["n"].sum()) == 0:
+        return None, 0.0, 0
+    n = int(parts["n"].sum())
+    xty = np.sum([np.asarray(v) for v in parts["xty"]], axis=0)
+    d = int(round(np.sqrt(xty.size)))
+    u, s, vt = np.linalg.svd(xty.reshape(d, d))
+    r = u @ vt
+    residual = float(parts["ssx"].sum() + parts["ssy"].sum()
+                     - 2.0 * s.sum())
+    return r, residual, n

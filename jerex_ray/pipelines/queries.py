@@ -6735,6 +6735,150 @@ def q_events_attribution(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_events_woe_iv(sf_dir: str):
+    """Weight-of-evidence / information-value profile of `value`
+    against the conversion label — the credit-scoring feature audit
+    (Siddiqi '06): exact decile edges from the shuffle-free quantile
+    selector, ONE combiner pass to per-bucket (n, pos), then
+    WOE_i = ln((pos_i/pos)/(neg_i/neg)) and its IV term. Bucket
+    membership is '# edges strictly below v' (searchsorted-left ==
+    the SQL v > e count, boundary-stable); counts are integer-exact
+    and ln is glibc on both sides; floats round to 6."""
+    import math
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    qs = [i / 10 for i in range(1, 10)]
+    edges = np.asarray(distributed_quantiles(ds, "value", qs),
+                       dtype=np.float64)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        y = df["event_type"].isin(["click", "purchase"]) \
+            .to_numpy(np.int64)
+        b = np.searchsorted(edges, v, side="left").astype(np.int64)
+        g = (pd.DataFrame({"bucket": b, "n": 1, "pos": y})
+             .groupby("bucket", sort=False).sum().reset_index())
+        return g
+
+    h = grouped_aggregate(
+        ds.map_batches(partials, batch_format="pandas",
+                       batch_size=8192),
+        ["bucket"], {"n": ("n", "sum"), "pos": ("pos", "sum")}) \
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    pos_t = float(h["pos"].sum())
+    neg_t = float((h["n"] - h["pos"]).sum())
+    rows = []
+    for _, r in h.iterrows():
+        pos_i, neg_i = float(r["pos"]), float(r["n"] - r["pos"])
+        if pos_i == 0.0 or neg_i == 0.0:
+            continue
+        ps, ns = pos_i / pos_t, neg_i / neg_t
+        woe = math.log(ps / ns)
+        rows.append((int(r["bucket"]), int(r["n"]), int(r["pos"]),
+                     round(woe, 6), round((ps - ns) * woe, 6)))
+    return pd.DataFrame(rows, columns=["bucket", "n", "pos", "woe",
+                                       "iv_term"])
+
+
+def emb_procrustes(sf_dir: str):
+    """Orthogonal Procrustes alignment between the embedding table
+    and a deterministically rotated + perturbed copy of itself
+    (fixed Householder rotation, seeded sin-grid noise): the
+    distributed one-pass (n, XᵀY, ‖X‖², ‖Y‖²) reduction feeds the
+    d×d driver SVD (``ops/embed.procrustes_align``). Emits the
+    recovered rotation as flat (i, j, r) rows plus an
+    ``alignment`` row block with the residual. Rows-only: SVD is not
+    SQL-expressible; planted-rotation recovery is pytest-gated
+    (tests/test_sketch_embed.py)."""
+    from jerex_ray.ops.embed import procrustes_align
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+
+    def add_pair(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d = x.shape[1]
+        h = _householder_rotation(d)
+        ids = df["vec_id"].to_numpy(np.int64)
+        noise = 1e-3 * np.sin(
+            ids[:, None] * d + np.arange(d)[None, :])
+        y = x @ h + noise
+        return pd.DataFrame({"x": list(x), "y": list(y)})
+
+    r, residual, n = procrustes_align(
+        ds.map_batches(add_pair, batch_format="pandas"))
+    d = r.shape[0]
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    out = pd.DataFrame({"i": ii.ravel().astype(np.int64),
+                        "j": jj.ravel().astype(np.int64),
+                        "r": np.round(r.ravel(), 6)})
+    out.attrs["residual_sq"] = residual
+    out.attrs["n"] = n
+    return out
+
+
+def _householder_rotation(d: int) -> np.ndarray:
+    """Fixed orthogonal matrix H = I − 2uuᵀ from a deterministic unit
+    vector (no RNG — resume-safe)."""
+    u = np.sin(np.arange(d, dtype=np.float64) + 1.0)
+    u /= np.linalg.norm(u)
+    return np.eye(d) - 2.0 * np.outer(u, u)
+
+
+def q_events_isotonic(sf_dir: str):
+    """Isotonic (monotone non-decreasing) calibration of the
+    conversion rate against `value` — pool-adjacent-violators
+    (Barlow et al. '72), the classic probability-calibration step.
+    ONE combiner pass reduces the corpus to an integer-bucket
+    histogram (⌊value⌋, n, pos) — grid-bounded like the stump/WOE
+    ops — then the driver runs the linear PAV stack over ≤ a few
+    hundred buckets with EXACT integer cross-multiplication
+    comparisons (no float-compare drift). Each pool's fit is one
+    division of two exact integers, so it matches the SQL oracle —
+    which recomputes the fit through Barlow's minimax identity
+    fit(i) = max_{s≤i} min_{t≥i} avg(s..t) in O(buckets²) — before
+    the shared 6-decimal rounding."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(df["value"].to_numpy(np.float64)).astype(np.int64)
+        y = df["event_type"].isin(["click", "purchase"]) \
+            .to_numpy(np.int64)
+        return (pd.DataFrame({"bucket": b, "n": 1, "pos": y})
+                .groupby("bucket", sort=False).sum().reset_index())
+
+    h = grouped_aggregate(
+        ds.map_batches(partials, batch_format="pandas",
+                       batch_size=8192),
+        ["bucket"], {"n": ("n", "sum"), "pos": ("pos", "sum")}) \
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    # PAV stack: pools of (weight, pos, #buckets); exact integer
+    # cross-multiplication keeps merges float-drift-free
+    pools: list[list[int]] = []
+    for _, r in h.iterrows():
+        w, p, c = int(r["n"]), int(r["pos"]), 1
+        while pools and pools[-1][1] * w >= p * pools[-1][0]:
+            pw, pp, pc = pools.pop()
+            w, p, c = w + pw, p + pp, c + pc
+        pools.append([w, p, c])
+    fit = np.concatenate([np.full(c, float(p) / float(w))
+                          for w, p, c in pools])
+    return pd.DataFrame({"bucket": h["bucket"].astype("int64"),
+                         "n": h["n"].astype("int64"),
+                         "pos": h["pos"].astype("int64"),
+                         "fit": np.round(fit, 6)})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -6826,6 +6970,9 @@ def build_queries() -> dict:
         "q_user_seq_patterns": q_user_seq_patterns,
         "q_events_ks_test": q_events_ks_test,
         "q_events_attribution": q_events_attribution,
+        "q_events_woe_iv": q_events_woe_iv,
+        "emb_procrustes": emb_procrustes,
+        "q_events_isotonic": q_events_isotonic,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -8016,6 +8163,92 @@ def _build_oracle_sql_literal() -> dict:
             SELECT doc_a, doc_b, cosine FROM pair
             WHERE cosine >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        "q_events_isotonic": """
+            WITH lab AS (
+                SELECT CAST(floor(CAST(value AS DOUBLE)) AS BIGINT)
+                           AS b,
+                       CASE WHEN event_type IN ('click', 'purchase')
+                            THEN 1 ELSE 0 END AS y
+                FROM events),
+            h AS (SELECT b, count(*) AS n, sum(y) AS pos
+                  FROM lab GROUP BY b),
+            base AS MATERIALIZED (
+                SELECT b, n, pos,
+                       row_number() OVER (ORDER BY b) AS i,
+                       CAST(sum(n) OVER (ORDER BY b) AS DOUBLE) AS cw,
+                       CAST(sum(pos) OVER (ORDER BY b) AS DOUBLE)
+                           AS cp
+                FROM h),
+            pairs AS MATERIALIZED (
+                -- avg(s..t) over the block [s, t]
+                SELECT s.i AS s, t.i AS t,
+                       (t.cp - (s.cp - s.pos))
+                       / (t.cw - (s.cw - s.n)) AS a
+                FROM base s JOIN base t ON s.i <= t.i),
+            m AS MATERIALIZED (
+                -- m(s, i) = min over t >= i of avg(s..t)
+                SELECT s, t AS i,
+                       min(a) OVER (PARTITION BY s
+                                    ORDER BY t DESC) AS mn
+                FROM pairs),
+            fit AS (
+                -- Barlow minimax: fit(i) = max over s <= i of m(s,i)
+                SELECT i, max(mn) AS fitv FROM m GROUP BY i)
+            SELECT base.b AS bucket, CAST(base.n AS BIGINT) AS n,
+                   CAST(base.pos AS BIGINT) AS pos,
+                   round(fit.fitv, 6) AS fit
+            FROM base JOIN fit USING (i)
+            ORDER BY bucket
+        """,
+        "q_events_woe_iv": """
+            WITH lab AS (
+                SELECT CAST(value AS DOUBLE) AS v,
+                       CASE WHEN event_type IN ('click', 'purchase')
+                            THEN 1 ELSE 0 END AS y
+                FROM events),
+            ed AS (
+                SELECT quantile_cont(v, 0.1) AS e1,
+                       quantile_cont(v, 0.2) AS e2,
+                       quantile_cont(v, 0.3) AS e3,
+                       quantile_cont(v, 0.4) AS e4,
+                       quantile_cont(v, 0.5) AS e5,
+                       quantile_cont(v, 0.6) AS e6,
+                       quantile_cont(v, 0.7) AS e7,
+                       quantile_cont(v, 0.8) AS e8,
+                       quantile_cont(v, 0.9) AS e9
+                FROM lab),
+            b AS (
+                SELECT (CASE WHEN v > e1 THEN 1 ELSE 0 END)
+                     + (CASE WHEN v > e2 THEN 1 ELSE 0 END)
+                     + (CASE WHEN v > e3 THEN 1 ELSE 0 END)
+                     + (CASE WHEN v > e4 THEN 1 ELSE 0 END)
+                     + (CASE WHEN v > e5 THEN 1 ELSE 0 END)
+                     + (CASE WHEN v > e6 THEN 1 ELSE 0 END)
+                     + (CASE WHEN v > e7 THEN 1 ELSE 0 END)
+                     + (CASE WHEN v > e8 THEN 1 ELSE 0 END)
+                     + (CASE WHEN v > e9 THEN 1 ELSE 0 END) AS bucket,
+                       y
+                FROM lab, ed),
+            h AS (SELECT bucket, count(*) AS n, sum(y) AS pos
+                  FROM b GROUP BY bucket),
+            tot AS (SELECT CAST(sum(pos) AS DOUBLE) AS pos_t,
+                           CAST(sum(n - pos) AS DOUBLE) AS neg_t
+                    FROM h)
+            SELECT bucket, CAST(n AS BIGINT) AS n,
+                   CAST(pos AS BIGINT) AS pos,
+                   round(ln((pos / (SELECT pos_t FROM tot))
+                            / ((n - pos) / (SELECT neg_t FROM tot))),
+                         6) AS woe,
+                   round(((pos / (SELECT pos_t FROM tot))
+                          - ((n - pos) / (SELECT neg_t FROM tot)))
+                         * ln((pos / (SELECT pos_t FROM tot))
+                              / ((n - pos)
+                                 / (SELECT neg_t FROM tot))), 6)
+                       AS iv_term
+            FROM h
+            WHERE pos > 0 AND n - pos > 0
+            ORDER BY bucket
         """,
         "q_events_attribution": """
             WITH p AS (

@@ -1186,3 +1186,68 @@ def test_attribution_matches_serial_pair_join():
         assert abs(out.loc[et, "credit"] - round(row["sum"], 6)) < 2e-6
     # per-purchase credit conservation: total credit = purchases with >=1 touch
     assert abs(out["credit"].sum() - k.size) < 1e-3
+
+
+def test_woe_iv_matches_serial_decile_recompute():
+    import math
+    from jerex_ray.pipelines.queries import q_events_woe_iv
+    out = q_events_woe_iv(SF).set_index("bucket")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    v = ev["value"].to_numpy(np.float64)
+    y = ev["event_type"].isin(["click", "purchase"]).to_numpy(np.int64)
+    edges = np.quantile(v, [i / 10 for i in range(1, 10)])
+    b = np.searchsorted(edges, v, side="left")
+    h = pd.DataFrame({"b": b, "y": y}).groupby("b")["y"] \
+        .agg(["count", "sum"])
+    pos_t, neg_t = y.sum(), (1 - y).sum()
+    n_checked = 0
+    for bk, r in h.iterrows():
+        pos_i, neg_i = r["sum"], r["count"] - r["sum"]
+        if pos_i == 0 or neg_i == 0:
+            assert bk not in out.index
+            continue
+        ps, ns = pos_i / pos_t, neg_i / neg_t
+        woe = math.log(ps / ns)
+        assert abs(out.loc[bk, "woe"] - round(woe, 6)) < 2e-6
+        assert abs(out.loc[bk, "iv_term"]
+                   - round((ps - ns) * woe, 6)) < 2e-6
+        assert out.loc[bk, "n"] == r["count"]
+        n_checked += 1
+    assert n_checked == len(out) > 0
+    # IV is a sum of non-negative terms by construction
+    assert (out["iv_term"] >= -1e-9).all()
+
+
+def test_isotonic_pav_properties_and_minimax_parity():
+    from jerex_ray.pipelines.queries import q_events_isotonic
+    out = q_events_isotonic(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    b = np.floor(ev["value"].to_numpy(np.float64)).astype(np.int64)
+    y = ev["event_type"].isin(["click", "purchase"]).to_numpy(np.int64)
+    h = pd.DataFrame({"b": b, "y": y}).groupby("b")["y"] \
+        .agg(["count", "sum"]).sort_index()
+    assert (out["bucket"].to_numpy() == h.index.to_numpy()).all()
+    fit = out["fit"].to_numpy()
+    # monotone non-decreasing (up to the 6dp rounding)
+    assert (np.diff(fit) >= -1.5e-6).all()
+    # weighted mean preserved: sum(fit*n) == sum(pos)
+    assert abs((fit * out["n"]).sum() - out["pos"].sum()) < 1e-2
+    # minimax identity on a small prefix of buckets
+    n = min(60, len(h))
+    cw = np.r_[0, np.cumsum(h["count"].to_numpy()[:n])]
+    cp = np.r_[0, np.cumsum(h["sum"].to_numpy()[:n])]
+    full_cw = np.r_[0, np.cumsum(h["count"].to_numpy())]
+    full_cp = np.r_[0, np.cumsum(h["sum"].to_numpy())]
+    N = len(h)
+    for i in range(min(20, N)):
+        best = -np.inf
+        for s in range(i + 1):
+            mn = np.inf
+            for t in range(i, N):
+                a = (full_cp[t + 1] - full_cp[s]) \
+                    / (full_cw[t + 1] - full_cw[s])
+                mn = min(mn, a)
+            best = max(best, mn)
+        assert abs(fit[i] - round(best, 6)) < 2e-6

@@ -287,3 +287,31 @@ def test_semdedup_prunes_planted_duplicates():
     dropped = sorted(set(range(len(vecs))) - kept)
     for d in dropped:
         assert (nv[:d] @ nv[d] >= 0.99).any(), d
+
+
+def test_procrustes_recovers_planted_rotation():
+    from jerex_ray.pipelines.queries import (_householder_rotation,
+                                             emb_procrustes)
+    out = emb_procrustes("/root/testdata/sf0.001")
+    d = int(out["i"].max()) + 1
+    r = out["r"].to_numpy().reshape(d, d)
+    h = _householder_rotation(d)
+    # noise is 1e-3 → recovered rotation within a loose noise bound
+    assert np.abs(r - h).max() < 1e-2
+    # orthogonality of the recovered matrix (r is rounded to 6dp)
+    assert np.abs(r @ r.T - np.eye(d)).max() < 1e-4
+    assert out.attrs["residual_sq"] >= -1e-6
+
+
+def test_procrustes_exact_on_noiseless_rotation():
+    import ray.data as rd
+    from jerex_ray.ops.embed import procrustes_align
+    from jerex_ray.pipelines.queries import _householder_rotation
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(200, 16))
+    h = _householder_rotation(16)
+    ds = rd.from_pandas(pd.DataFrame({"x": list(x), "y": list(x @ h)}))
+    r, residual, n = procrustes_align(ds)
+    assert n == 200
+    assert np.abs(r - h).max() < 1e-9
+    assert abs(residual) < 1e-6
