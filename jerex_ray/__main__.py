@@ -30,8 +30,13 @@ def cmd_synth(args) -> int:
     ray = _ray_session()
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
     ds = read_synthetic_transcripts(args.n_convs)
-    ds.write_parquet(args.output)
-    print(json.dumps({"written": args.output, "n_convs": args.n_convs}))
+    if getattr(args, "format", "parquet") == "jsonl":
+        from jerex_ray.sources.jsonl import write_transcripts_jsonl
+        write_transcripts_jsonl(ds, args.output)
+    else:
+        ds.write_parquet(args.output)
+    print(json.dumps({"written": args.output, "n_convs": args.n_convs,
+                      "format": getattr(args, "format", "parquet")}))
     ray.shutdown()
     return 0
 
@@ -44,7 +49,11 @@ def cmd_run(args) -> int:
     from jerex_ray.runtime import configure_data_context
     configure_data_context()
     cfg = PipelineConfig(num_output_partitions=args.num_partitions)
-    ds = rd.read_parquet(args.input)
+    if getattr(args, "input_format", "parquet") == "jsonl":
+        from jerex_ray.sources.jsonl import read_transcripts_jsonl
+        ds = read_transcripts_jsonl(args.input)
+    else:
+        ds = rd.read_parquet(args.input)
     scorer_cls = scorer_kwargs = None
     if getattr(args, "model_type", "rule") != "rule":
         from jerex_ray.registry import resolve_model
@@ -236,10 +245,16 @@ def main(argv=None) -> int:
     s = sub.add_parser("synth", help="write a synthetic transcript corpus")
     s.add_argument("--n-convs", type=int, default=10_000)
     s.add_argument("--output", required=True)
+    s.add_argument("--format", default="parquet",
+                   choices=["parquet", "jsonl"],
+                   help="on-disk corpus format")
     s.set_defaults(fn=cmd_synth)
 
     r = sub.add_parser("run", help="run the KG pipeline (resumable)")
     r.add_argument("--input", required=True)
+    r.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "jsonl"],
+                   help="transcript corpus format at --input")
     r.add_argument("--output", required=True)
     r.add_argument("--num-partitions", type=int, default=16)
     r.add_argument("--no-resume", action="store_true")

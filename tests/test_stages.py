@@ -2,6 +2,7 @@
 candidate spans, scorer semantics on crafted documents."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -276,3 +277,40 @@ def test_hf_scorer_end_to_end_with_torch():
         torch.save(heads, f"{d}/heads.pt")
         sc = HFScorer(PipelineConfig(), checkpoint_path=d)
         assert sc._impl.H == 32
+
+
+def test_jsonl_transcript_roundtrip_and_pipeline_parity(tmp_path):
+    import ray.data as rd
+    from jerex_ray.sources.jsonl import (read_transcripts_jsonl,
+                                         write_transcripts_jsonl)
+    from jerex_ray.sources.transcripts import generate_transcripts_table
+    tbl = generate_transcripts_table(40)
+    write_transcripts_jsonl(rd.from_arrow(tbl), str(tmp_path / "j"))
+    back = read_transcripts_jsonl(str(tmp_path / "j")).to_pandas()
+    orig = tbl.to_pandas()
+    key = ["conv_id", "turn_idx"]
+    back = back.sort_values(key).reset_index(drop=True)
+    orig = orig.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, orig[back.columns])
+
+
+def test_jsonl_source_feeds_kg_pipeline(tmp_path):
+    import ray.data as rd
+    from jerex_ray.config import PipelineConfig
+    from jerex_ray.pipelines.kg import run_kg_pipeline
+    from jerex_ray.sinks.parquet_sink import read_triples
+    from jerex_ray.sources.jsonl import (read_transcripts_jsonl,
+                                         write_transcripts_jsonl)
+    from jerex_ray.sources.transcripts import (generate_transcripts_table,
+                                               ground_truth_triples)
+    write_transcripts_jsonl(rd.from_arrow(generate_transcripts_table(30)),
+                            str(tmp_path / "j"))
+    out = str(tmp_path / "kg")
+    run_kg_pipeline(read_transcripts_jsonl(str(tmp_path / "j")), out,
+                    PipelineConfig().scaled_for_tests(), shuffle_blocks=4)
+    pred = read_triples(out).to_pandas()
+    gt = ground_truth_triples(30).to_pandas()
+    key = ["conv_id", "subj", "pred", "obj"]
+    ps = set(map(tuple, pred[key].itertuples(index=False)))
+    gs = set(map(tuple, gt[key].itertuples(index=False)))
+    assert ps == gs
