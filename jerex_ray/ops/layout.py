@@ -1,0 +1,95 @@
+"""Z-order (Morton-curve) data-layout primitives — the multi-column
+clustering key behind Delta/Iceberg `Z-ORDER BY` and classic
+multidimensional indexing (Morton '66, Orenstein & Merrett '84).
+
+Interleaving the bits of several sort keys gives a single integer
+whose ranges are small hyper-rectangles in key space: sorting or
+bucketing 100 TB by the z-value co-locates rows that are close on
+EVERY key at once, so per-file min/max zone maps prune multi-predicate
+scans. The ops here are exact and integer-only end to end, so the SQL
+oracle replays them bit-for-bit:
+
+* ``add_zvalue``: one streaming ``map_batches`` computing the
+  interleaved code with 16 vectorized shift/mask steps per key bit —
+  no Python row loops, no shuffle.
+* ``zorder_layout_stats``: buckets rows by ``zval·nbuckets // (maxz+1)``
+  (exact integer arithmetic; maxz from one scalar aggregate) and
+  reduces per-bucket key envelopes (n, min/max per key) through the
+  combiner — the zone-map audit showing how tight each bucket's
+  rectangle is.
+
+The reference has no storage-layout ops (SURVEY.md §2.8); engine
+extension for the LLM-data charter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_BITS = 16
+
+
+def morton_interleave(cols: list[np.ndarray]) -> np.ndarray:
+    """Bit-interleave k uint arrays (< 2^16 each) into one int64
+    z-value: bit i of column j lands at position i*k + j."""
+    k = len(cols)
+    z = np.zeros(len(cols[0]), dtype=np.int64)
+    for j, c in enumerate(cols):
+        c = c.astype(np.int64)
+        if c.size and (c.min() < 0 or c.max() >= (1 << _BITS)):
+            raise ValueError(f"zorder key {j} outside [0, 2^{_BITS})")
+        for i in range(_BITS):
+            z |= ((c >> i) & 1) << (i * k + j)
+    return z
+
+
+def add_zvalue(ds, *, cols: list[str], out_col: str = "zval"):
+    """Append the Morton z-value of ``cols`` to every row."""
+    def zmap(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[out_col] = morton_interleave(
+            [batch[c].to_numpy() for c in cols])
+        return batch
+
+    return ds.map_batches(zmap, batch_format="pandas", batch_size=8192)
+
+
+def zorder_layout_stats(ds, *, cols: list[str], nbuckets: int = 64,
+                        num_partitions: int | None = None) -> pd.DataFrame:
+    """Zone-map audit of a z-order bucketing: per bucket, row count
+    and the min/max envelope of every key (bucket-bounded result)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    zds = add_zvalue(ds, cols=cols).materialize()
+    mx = grouped_aggregate(
+        zds.map_batches(lambda df: pd.DataFrame(
+            {"__all": [0], "mz": [np.int64(df["zval"].max())
+                                  if len(df) else np.int64(-1)]}),
+            batch_format="pandas"),
+        ["__all"], {"maxz": ("mz", "max")}).to_pandas()
+    if mx.empty or int(mx["maxz"].iloc[0]) < 0:
+        cols_out = {"bucket": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64")}
+        for c in cols:
+            cols_out[f"{c}_min"] = pd.Series(dtype="int64")
+            cols_out[f"{c}_max"] = pd.Series(dtype="int64")
+        return pd.DataFrame(cols_out)
+    maxz = int(mx["maxz"].iloc[0])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = (batch["zval"].to_numpy(np.int64)
+                           * np.int64(nbuckets)) // np.int64(maxz + 1)
+        return batch
+
+    specs = {"n": (None, "count")}
+    for c in cols:
+        specs[f"{c}_min"] = (c, "min")
+        specs[f"{c}_max"] = (c, "max")
+    out = grouped_aggregate(
+        zds.map_batches(bucketize, batch_format="pandas"),
+        ["bucket"], specs, num_partitions=num_partitions).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)

@@ -6879,6 +6879,50 @@ def q_events_isotonic(sf_dir: str):
                          "fit": np.round(fit, 6)})
 
 
+def q_lineitem_zorder(sf_dir: str):
+    """Z-order clustering audit of lineitem on (l_partkey, l_suppkey)
+    (``ops/layout``, the Delta/Iceberg Z-ORDER primitive): vectorized
+    Morton interleave, exact-integer bucket assignment
+    zval·64 // (maxz+1), per-bucket zone-map envelopes through the
+    combiner. Everything is integer arithmetic, so the generated SQL
+    bit-expression oracle replays it exactly."""
+    from jerex_ray.ops.layout import zorder_layout_stats
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+    return zorder_layout_stats(ds, cols=["l_partkey", "l_suppkey"],
+                               nbuckets=64)
+
+
+def _zorder_oracle_sql(cols=("l_partkey", "l_suppkey"),
+                       nbuckets: int = 64, bits: int = 16) -> str:
+    """Generated bit-interleave oracle for ``q_lineitem_zorder``:
+    bit i of column j lands at position i·k + j, matching
+    ``ops/layout.morton_interleave``."""
+    k = len(cols)
+    terms = [f"((({c} >> {i}) & 1) << {i * k + j})"
+             for j, c in enumerate(cols) for i in range(bits)]
+    zexpr = "\n                 + ".join(terms)
+    aggs = ",\n                   ".join(
+        f"min({c}) AS {c}_min, max({c}) AS {c}_max" for c in cols)
+    return f"""
+        WITH z AS (
+            SELECT {', '.join(cols)},
+                   ({zexpr}) AS zval
+            FROM lineitem),
+        mx AS (SELECT max(zval) AS m FROM z),
+        b AS (
+            SELECT {', '.join(cols)},
+                   (zval * {nbuckets}) // ((SELECT m FROM mx) + 1)
+                       AS bucket
+            FROM z)
+        SELECT bucket, count(*) AS n,
+               {aggs}
+        FROM b GROUP BY bucket ORDER BY bucket
+    """
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -6973,6 +7017,7 @@ def build_queries() -> dict:
         "q_events_woe_iv": q_events_woe_iv,
         "emb_procrustes": emb_procrustes,
         "q_events_isotonic": q_events_isotonic,
+        "q_lineitem_zorder": q_lineitem_zorder,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -9463,6 +9508,7 @@ def _build_oracle_sql_literal() -> dict:
         """,
         "doc_pagerank": _pagerank_oracle_sql(),
         "q_part_hits": _hits_oracle_sql(),
+        "q_lineitem_zorder": _zorder_oracle_sql(),
         "q_basket_rules": """
             WITH inc AS MATERIALIZED (
                 SELECT DISTINCT l_orderkey AS o, l_partkey AS i

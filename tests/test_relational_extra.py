@@ -1251,3 +1251,36 @@ def test_isotonic_pav_properties_and_minimax_parity():
                 mn = min(mn, a)
             best = max(best, mn)
         assert abs(fit[i] - round(best, 6)) < 2e-6
+
+
+def test_zorder_interleave_and_locality():
+    from jerex_ray.ops.layout import morton_interleave
+    from jerex_ray.pipelines.queries import q_lineitem_zorder
+    # bit-exactness of the interleave on known values
+    p = np.array([0b1010, 0b1111, 0], dtype=np.int64)
+    s = np.array([0b0101, 0b0000, 0], dtype=np.int64)
+    z = morton_interleave([p, s])
+    # p bits at even positions, s bits at odd
+    assert z[0] == sum(((0b1010 >> i) & 1) << (2 * i) for i in range(16)) \
+        + sum(((0b0101 >> i) & 1) << (2 * i + 1) for i in range(16))
+    assert z[2] == 0
+    out = q_lineitem_zorder(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey"]).to_pandas()
+    assert out["n"].sum() == len(li)
+    # zone maps must be nested inside the global key envelope and
+    # buckets must actually localize: mean per-bucket partkey span
+    # well under the global span
+    span = out["l_partkey_max"] - out["l_partkey_min"]
+    global_span = li["l_partkey"].max() - li["l_partkey"].min()
+    assert span.mean() < 0.6 * global_span
+    assert (out["l_partkey_min"] >= li["l_partkey"].min()).all()
+    assert (out["l_suppkey_max"] <= li["l_suppkey"].max()).all()
+
+
+def test_zorder_rejects_out_of_range_keys():
+    import pytest as _pytest
+    from jerex_ray.ops.layout import morton_interleave
+    with _pytest.raises(ValueError):
+        morton_interleave([np.array([1 << 16], dtype=np.int64),
+                           np.array([0], dtype=np.int64)])
