@@ -6923,6 +6923,61 @@ def _zorder_oracle_sql(cols=("l_partkey", "l_suppkey"),
     """
 
 
+def q_events_rate_limit(sf_dir: str, *, cap: float = 2.0,
+                        refill_per_min: float = 0.005):
+    """Per-user token-bucket rate limiting replayed over the event
+    log (capacity 2, 0.005 token/min continuous refill, 1 token per
+    event) — the standard admission-control audit ("which historical
+    events WOULD have been throttled"). Users co-locate in one hash
+    shuffle; each block runs the rank-stepped vectorized recursion
+    (loop over max series length, not rows) with the SAME float64
+    expression sequence as the oracle's recursive CTE —
+    least(cap, prev + Δµs/6e7) — so admit branches and token levels
+    are bit-identical; the half-away mirror rounds token levels."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def bucket(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "admitted": pd.Series(dtype="int64"),
+                                 "tokens": pd.Series(dtype="float64")})
+        b = block.sort_values(["user_id", "ts", "event_id"])
+        t = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = b["user_id"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_user)
+        lens = np.diff(np.r_[starts, len(t)])
+        rn = np.arange(len(t)) - np.repeat(starts, lens)
+        tokens = np.empty(len(t))
+        admitted = np.empty(len(t), dtype=np.int64)
+        first = rn == 0
+        # first event: full bucket, always admitted (cap >= 1)
+        tokens[first] = cap - 1.0
+        admitted[first] = 1
+        for r in range(1, int(rn.max()) + 1 if len(rn) else 0):
+            idx = np.flatnonzero(rn == r)
+            before = np.minimum(
+                cap, tokens[idx - 1]
+                + (t[idx] - t[idx - 1]) / 60000000.0 * refill_per_min)
+            adm = before >= 1.0
+            tokens[idx] = np.where(adm, before - 1.0, before)
+            admitted[idx] = adm.astype(np.int64)
+        rt = np.copysign(np.floor(np.abs(tokens) * 1e6 + 0.5),
+                         tokens) / 1e6
+        return pd.DataFrame({"event_id": b["event_id"].to_numpy(),
+                             "admitted": admitted,
+                             "tokens": rt})
+
+    out = grouped_apply(ds, ["user_id"], bucket).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["admitted"] = out["admitted"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -7018,6 +7073,7 @@ def build_queries() -> dict:
         "emb_procrustes": emb_procrustes,
         "q_events_isotonic": q_events_isotonic,
         "q_lineitem_zorder": q_lineitem_zorder,
+        "q_events_rate_limit": q_events_rate_limit,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -8208,6 +8264,39 @@ def _build_oracle_sql_literal() -> dict:
             SELECT doc_a, doc_b, cosine FROM pair
             WHERE cosine >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        "q_events_rate_limit": """
+            WITH RECURSIVE seq AS MATERIALIZED (
+                SELECT event_id, user_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS t,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                           AS rn
+                FROM events),
+            rec AS (
+                SELECT event_id, user_id, rn, t,
+                       CAST(1 AS DOUBLE) AS tokens, 1 AS admitted
+                FROM seq WHERE rn = 1
+                UNION ALL
+                SELECT s.event_id, s.user_id, s.rn, s.t,
+                       CASE WHEN least(CAST(2 AS DOUBLE), r.tokens
+                                 + (s.t - r.t) / 60000000.0 * 0.005)
+                                >= 1.0
+                            THEN least(CAST(2 AS DOUBLE), r.tokens
+                                 + (s.t - r.t) / 60000000.0 * 0.005)
+                                 - 1.0
+                            ELSE least(CAST(2 AS DOUBLE), r.tokens
+                                 + (s.t - r.t) / 60000000.0 * 0.005)
+                            END,
+                       CASE WHEN least(CAST(2 AS DOUBLE), r.tokens
+                                 + (s.t - r.t) / 60000000.0 * 0.005)
+                                >= 1.0
+                            THEN 1 ELSE 0 END
+                FROM rec r JOIN seq s
+                     ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+            SELECT event_id, CAST(admitted AS BIGINT) AS admitted,
+                   round(tokens, 6) AS tokens
+            FROM rec ORDER BY event_id
         """,
         "q_events_isotonic": """
             WITH lab AS (

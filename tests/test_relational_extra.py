@@ -1284,3 +1284,26 @@ def test_zorder_rejects_out_of_range_keys():
     with _pytest.raises(ValueError):
         morton_interleave([np.array([1 << 16], dtype=np.int64),
                            np.array([0], dtype=np.int64)])
+
+
+def test_rate_limit_matches_serial_token_bucket():
+    from jerex_ray.pipelines.queries import q_events_rate_limit
+    out = q_events_rate_limit(SF).set_index("event_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        tok, prev = 2.0, None
+        for eid, ti in zip(g["event_id"], t):
+            if prev is not None:
+                tok = min(2.0, tok + (ti - prev) / 60000000.0 * 0.005)
+            adm = tok >= 1.0
+            if adm:
+                tok -= 1.0
+            prev = ti
+            assert out.loc[eid, "admitted"] == int(adm)
+            assert abs(out.loc[eid, "tokens"] - tok) < 2e-6
+    # both outcomes must occur on real traffic
+    assert 0 < out["admitted"].sum() < len(out)
+    assert (out["tokens"] >= -1e-9).all() and (out["tokens"] <= 2.0).all()
