@@ -6978,6 +6978,112 @@ def q_events_rate_limit(sf_dir: str, *, cap: float = 2.0,
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _kg_triples_ds(sf_dir: str):
+    from jerex_ray.pipelines.kg import extract_triples
+    from jerex_ray.sources.transcripts import read_synthetic_transcripts
+    configure_data_context()
+    return extract_triples(read_synthetic_transcripts(_sf_convs(sf_dir)),
+                           _kg_config())
+
+
+def kg_type_signatures(sf_dir: str):
+    """Relation type-signature audit (schema induction over the
+    emitted KG): per predicate, the distribution over
+    (subj_type, obj_type) pairs with each signature's share and a
+    dominant flag — the standard KG-quality check that a predicate's
+    argument types are coherent. Streams the triple Dataset through
+    two combiner aggregates (signature counts, then per-pred totals
+    broadcast); the result is signature-bounded. Rows-only: inputs
+    are model extractions, not SQL views; pandas parity is
+    pytest-gated."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    tri = _kg_triples_ds(sf_dir)
+    sig = grouped_aggregate(
+        tri.map_batches(
+            lambda df: df[["pred", "subj_type", "obj_type"]],
+            batch_format="pandas"),
+        ["pred", "subj_type", "obj_type"],
+        {"n": (None, "count")}).to_pandas()
+    if sig.empty:
+        return pd.DataFrame({"pred": pd.Series(dtype="object")})
+    tot = sig.groupby("pred")["n"].transform("sum")
+    mx = sig.groupby("pred")["n"].transform("max")
+    out = sig.assign(share=np.round(sig["n"] / tot, 6),
+                     dominant=(sig["n"] == mx).astype(np.int64))
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["pred", "subj_type", "obj_type"]) \
+        .reset_index(drop=True)
+
+
+def kg_functional_conflicts(sf_dir: str):
+    """Functional-predicate violation audit: per predicate, how many
+    subjects assert MORE THAN ONE distinct object (a works_at subject
+    with two employers is either polysemy, a coref merge error, or a
+    genuine multi-value predicate). Two chained combiner aggregates —
+    (pred, subj, obj)-distinct → per-(pred, subj) object counts →
+    per-pred rollup — nothing bigger than the entity vocabulary ever
+    reduces to the driver. Rows-only; pandas parity pytest-gated."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    tri = _kg_triples_ds(sf_dir)
+    per_subj = grouped_aggregate(
+        grouped_aggregate(
+            tri.map_batches(
+                lambda df: df[["pred", "subj_norm", "obj_norm"]],
+                batch_format="pandas"),
+            ["pred", "subj_norm", "obj_norm"], {"n": (None, "count")},
+            result_hint="large"),
+        ["pred", "subj_norm"], {"n_obj": (None, "count")},
+        result_hint="large")
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "pred" not in df.columns:
+            return pd.DataFrame({
+                "pred": pd.Series(dtype="object"),
+                "n_subjects": pd.Series(dtype="int64"),
+                "n_multi": pd.Series(dtype="int64"),
+                "max_objects": pd.Series(dtype="int64")})
+        g = (df.groupby("pred")
+             .agg(n_subjects=("subj_norm", "count"),
+                  n_multi=("n_obj", lambda s: int((s > 1).sum())),
+                  max_objects=("n_obj", "max")).reset_index())
+        return g
+
+    out = grouped_aggregate(
+        per_subj.map_batches(roll, batch_format="pandas"),
+        ["pred"], {"n_subjects": ("n_subjects", "sum"),
+                   "n_multi": ("n_multi", "sum"),
+                   "max_objects": ("max_objects", "max")}).to_pandas()
+    for c in ("n_subjects", "n_multi", "max_objects"):
+        out[c] = out[c].astype("int64")
+    out["multi_share"] = np.round(out["n_multi"] / out["n_subjects"], 6)
+    return out.sort_values("pred").reset_index(drop=True)
+
+
+def kg_provenance(sf_dir: str):
+    """Provenance rollup of the emitted KG: per canonical triple
+    (subj_norm, pred, obj_norm), the number of distinct supporting
+    conversations and total mention count — the evidence-strength
+    table a downstream curator ranks by. Two combiner aggregates
+    ((triple, conv)-distinct → triple rollup). Rows-only; pandas
+    parity pytest-gated."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    tri = _kg_triples_ds(sf_dir)
+    per_conv = grouped_aggregate(
+        tri.map_batches(
+            lambda df: df[["subj_norm", "pred", "obj_norm", "conv_id"]],
+            batch_format="pandas"),
+        ["subj_norm", "pred", "obj_norm", "conv_id"],
+        {"n_mentions": (None, "count")}, result_hint="large")
+    out = grouped_aggregate(
+        per_conv, ["subj_norm", "pred", "obj_norm"],
+        {"n_convs": (None, "count"),
+         "n_mentions": ("n_mentions", "sum")}).to_pandas()
+    out["n_convs"] = out["n_convs"].astype("int64")
+    out["n_mentions"] = out["n_mentions"].astype("int64")
+    return out.sort_values(["subj_norm", "pred", "obj_norm"]) \
+        .reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -7074,6 +7180,9 @@ def build_queries() -> dict:
         "q_events_isotonic": q_events_isotonic,
         "q_lineitem_zorder": q_lineitem_zorder,
         "q_events_rate_limit": q_events_rate_limit,
+        "kg_type_signatures": kg_type_signatures,
+        "kg_functional_conflicts": kg_functional_conflicts,
+        "kg_provenance": kg_provenance,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,

@@ -246,3 +246,35 @@ def test_corrupt_manifest_recomputes_only_that_partition(
     got = read_triples(out2).to_pandas().sort_values(
         ["conv_id", "subj", "pred", "obj"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_kg_quality_audits_match_pandas_recompute():
+    from jerex_ray.pipelines.queries import (kg_functional_conflicts,
+                                             kg_provenance,
+                                             kg_type_signatures,
+                                             kg_triples)
+    sf = "/root/testdata/sf0.001"
+    tri = kg_triples(sf)  # deduped triple table for the reference calc
+    # provenance parity (per-conv distinct is exactly the dedup grain)
+    prov = kg_provenance(sf)
+    ref = (tri.groupby(["subj_norm", "pred", "obj_norm"])["conv_id"]
+           .nunique().reset_index(name="n_convs"))
+    got = prov[["subj_norm", "pred", "obj_norm", "n_convs"]]
+    merged = ref.merge(got, on=["subj_norm", "pred", "obj_norm"],
+                       suffixes=("_ref", ""))
+    assert len(merged) == len(ref) == len(prov) > 0
+    assert (merged["n_convs_ref"] == merged["n_convs"]).all()
+    assert (prov["n_mentions"] >= prov["n_convs"]).all()
+    # type signatures: shares sum to 1 per pred, dominant unique-max
+    sig = kg_type_signatures(sf)
+    sums = sig.groupby("pred")["share"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    assert (sig.groupby("pred")["dominant"].sum() >= 1).all()
+    # functional conflicts: n_multi consistent with a direct recount
+    fc = kg_functional_conflicts(sf).set_index("pred")
+    per = (tri.drop_duplicates(["pred", "subj_norm", "obj_norm"])
+           .groupby(["pred", "subj_norm"])["obj_norm"].nunique())
+    for pred, grp in per.groupby(level=0):
+        assert fc.loc[pred, "n_subjects"] == len(grp)
+        assert fc.loc[pred, "n_multi"] == int((grp > 1).sum())
+        assert fc.loc[pred, "max_objects"] == int(grp.max())
