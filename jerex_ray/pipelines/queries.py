@@ -7084,6 +7084,114 @@ def kg_provenance(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_events_ohlc(sf_dir: str):
+    """Hourly OHLC bars of event value (open/high/low/close + count)
+    — the classic time-bar compaction. Open/close are argmin/argmax
+    by (ts, event_id) inside each hour: every batch emits ONE
+    candidate row per hour it sees (partial argmin/argmax + min/max/
+    count), and a bucket-bounded merge pass picks winners — the
+    corpus streams once, only hour-bucket rows shuffle. SQL-oracled
+    via window row_number first/last."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "hour": pd.Series(dtype="int64"),
+                "o_ts": pd.Series(dtype="int64"),
+                "o_id": pd.Series(dtype="int64"),
+                "open": pd.Series(dtype="float64"),
+                "c_ts": pd.Series(dtype="int64"),
+                "c_id": pd.Series(dtype="int64"),
+                "close": pd.Series(dtype="float64"),
+                "high": pd.Series(dtype="float64"),
+                "low": pd.Series(dtype="float64"),
+                "n": pd.Series(dtype="int64")})
+        t = df["ts"].astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame({"hour": t // 3_600_000_000, "t": t,
+                          "id": df["event_id"].astype("int64"),
+                          "v": df["value"].to_numpy(np.float64)})
+        d = d.sort_values(["hour", "t", "id"])
+        g = d.groupby("hour", sort=False)
+        first, last = g.head(1), g.tail(1)
+        agg = g["v"].agg(["max", "min", "count"]).reset_index()
+        out = agg.rename(columns={"max": "high", "min": "low",
+                                  "count": "n"})
+        out = out.merge(first.rename(columns={
+            "t": "o_ts", "id": "o_id", "v": "open"}), on="hour") \
+            .merge(last.rename(columns={
+                "t": "c_ts", "id": "c_id", "v": "close"}), on="hour")
+        out["n"] = out["n"].astype(np.int64)
+        return out[["hour", "o_ts", "o_id", "open", "c_ts", "c_id",
+                    "close", "high", "low", "n"]]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "hour" not in df.columns:
+            return pd.DataFrame({
+                "hour": pd.Series(dtype="int64"),
+                "open": pd.Series(dtype="float64"),
+                "high": pd.Series(dtype="float64"),
+                "low": pd.Series(dtype="float64"),
+                "close": pd.Series(dtype="float64"),
+                "n": pd.Series(dtype="int64")})
+        d = df.sort_values(["hour", "o_ts", "o_id"])
+        opens = d.groupby("hour", sort=False).head(1)[["hour", "open"]]
+        d2 = df.sort_values(["hour", "c_ts", "c_id"])
+        closes = d2.groupby("hour", sort=False).tail(1)[["hour",
+                                                         "close"]]
+        agg = (df.groupby("hour")
+               .agg(high=("high", "max"), low=("low", "min"),
+                    n=("n", "sum")).reset_index())
+        out = agg.merge(opens, on="hour").merge(closes, on="hour")
+        out["hour"] = out["hour"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out[["hour", "open", "high", "low", "close", "n"]]
+
+    out = grouped_apply(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=8192),
+        ["hour"], merge).to_pandas()
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+def q_user_markov_backtest(sf_dir: str):
+    """Top-1 next-event backtest of the first-order Markov model:
+    predict the most frequent successor of each type (tie → type
+    asc) and score it on the SAME transition table — accuracy per
+    source state from one distributed count pass
+    (``ops/windows.transition_matrix``); no second corpus scan, the
+    |types|²-bounded table answers both fit and eval. Integer counts,
+    one division, SQL row_number oracle."""
+    from jerex_ray.ops.windows import transition_matrix
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    tm = transition_matrix(ds, key="user_id", ts_col="ts",
+                           id_col="event_id", type_col="event_type")
+    if tm.empty:
+        return pd.DataFrame({"prev": pd.Series(dtype="object")})
+    tm = tm.sort_values(["prev_type", "cnt", "next_type"],
+                        ascending=[True, False, True])
+    best = tm.groupby("prev_type", sort=False).head(1)
+    totals = tm.groupby("prev_type")["cnt"].sum()
+    out = pd.DataFrame({
+        "prev": best["prev_type"].to_numpy(),
+        "n_transitions": best["prev_type"].map(totals)
+        .to_numpy(np.int64),
+        "predicted": best["next_type"].to_numpy(),
+        "n_correct": best["cnt"].to_numpy(np.int64)})
+    out["accuracy"] = np.round(
+        out["n_correct"].to_numpy(np.float64)
+        / out["n_transitions"].to_numpy(np.float64), 6)
+    return out.sort_values("prev").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -7183,6 +7291,8 @@ def build_queries() -> dict:
         "kg_type_signatures": kg_type_signatures,
         "kg_functional_conflicts": kg_functional_conflicts,
         "kg_provenance": kg_provenance,
+        "q_events_ohlc": q_events_ohlc,
+        "q_user_markov_backtest": q_user_markov_backtest,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -8373,6 +8483,51 @@ def _build_oracle_sql_literal() -> dict:
             SELECT doc_a, doc_b, cosine FROM pair
             WHERE cosine >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        "q_user_markov_backtest": """
+            WITH tr AS (
+                SELECT event_type AS prev,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+                FROM events),
+            c AS (SELECT prev, nxt, count(*) AS n
+                  FROM tr WHERE nxt IS NOT NULL GROUP BY prev, nxt),
+            p AS (
+                SELECT prev, nxt AS predicted, n AS n_correct,
+                       row_number() OVER (PARTITION BY prev
+                                          ORDER BY n DESC, nxt ASC)
+                           AS rk,
+                       sum(n) OVER (PARTITION BY prev)
+                           AS n_transitions
+                FROM c)
+            SELECT prev, CAST(n_transitions AS BIGINT)
+                       AS n_transitions,
+                   predicted, CAST(n_correct AS BIGINT) AS n_correct,
+                   round(CAST(n_correct AS DOUBLE) / n_transitions, 6)
+                       AS accuracy
+            FROM p WHERE rk = 1 ORDER BY prev
+        """,
+        "q_events_ohlc": """
+            WITH b AS (
+                SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                           AS hour,
+                       ts, event_id, CAST(value AS DOUBLE) AS v,
+                       row_number() OVER (
+                           PARTITION BY CAST(epoch_us(ts) AS BIGINT)
+                                        // 3600000000
+                           ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (
+                           PARTITION BY CAST(epoch_us(ts) AS BIGINT)
+                                        // 3600000000
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM events)
+            SELECT hour,
+                   max(CASE WHEN rn_a = 1 THEN v END) AS open,
+                   max(v) AS high, min(v) AS low,
+                   max(CASE WHEN rn_d = 1 THEN v END) AS close,
+                   count(*) AS n
+            FROM b GROUP BY hour ORDER BY hour
         """,
         "q_events_rate_limit": """
             WITH RECURSIVE seq AS MATERIALIZED (

@@ -1307,3 +1307,46 @@ def test_rate_limit_matches_serial_token_bucket():
     # both outcomes must occur on real traffic
     assert 0 < out["admitted"].sum() < len(out)
     assert (out["tokens"] >= -1e-9).all() and (out["tokens"] <= 2.0).all()
+
+
+def test_ohlc_matches_serial_bars():
+    from jerex_ray.pipelines.queries import q_events_ohlc
+    out = q_events_ohlc(SF).set_index("hour")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "value"]).to_pandas()
+    t = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.assign(h=t // 3_600_000_000, t=t) \
+        .sort_values(["t", "event_id"])
+    ref = ev.groupby("h").agg(open=("value", "first"),
+                              high=("value", "max"),
+                              low=("value", "min"),
+                              close=("value", "last"),
+                              n=("value", "count"))
+    assert len(out) == len(ref) > 0
+    for h, r in ref.iterrows():
+        for c in ("open", "high", "low", "close"):
+            assert out.loc[h, c] == r[c], (h, c)
+        assert out.loc[h, "n"] == r["n"]
+    assert (out["low"] <= out[["open", "close"]].min(axis=1)).all()
+    assert (out["high"] >= out[["open", "close"]].max(axis=1)).all()
+
+
+def test_markov_backtest_matches_serial_argmax():
+    from jerex_ray.pipelines.queries import q_user_markov_backtest
+    out = q_user_markov_backtest(SF).set_index("prev")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts",
+                                "event_type"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    same = ev["user_id"].to_numpy()[1:] == ev["user_id"].to_numpy()[:-1]
+    prev = ev["event_type"].to_numpy()[:-1][same]
+    nxt = ev["event_type"].to_numpy()[1:][same]
+    c = pd.DataFrame({"p": prev, "n": nxt}).value_counts()
+    for p in np.unique(prev):
+        row = c[p].sort_index()
+        pred = row.index[np.lexsort((row.index, -row.to_numpy()))[0]]
+        assert out.loc[p, "predicted"] == pred
+        assert out.loc[p, "n_transitions"] == row.sum()
+        assert out.loc[p, "n_correct"] == row[pred]
+        assert abs(out.loc[p, "accuracy"]
+                   - round(row[pred] / row.sum(), 6)) < 2e-6
