@@ -93,3 +93,41 @@ def zorder_layout_stats(ds, *, cols: list[str], nbuckets: int = 64,
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+def plan_partitions(ds, *, key: str, n_partitions: int = 8,
+                    num_partitions: int | None = None) -> pd.DataFrame:
+    """Skew-aware co-location plan: assign each key to one of
+    ``n_partitions`` so hot keys don't stack — greedy LPT bin packing
+    (Graham '69: process keys by count DESC, key ASC; each goes to
+    the least-loaded partition, lowest id on ties), the planner
+    behind explicit skew-managed shuffles when hash-mod placement
+    would hotspot.
+
+    ONE combiner pass reduces the corpus to per-key counts (the plan
+    input is KEY-VOCABULARY bounded — for unbounded key domains feed
+    pre-hashed buckets); the greedy scan runs on the driver over that
+    bounded table with exact integer loads. Guarantees makespan ≤
+    (4/3 − 1/3m)·OPT (Graham's bound, pytest-gated). Returns
+    (key, n_rows, partition)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    counts = grouped_aggregate(ds, [key], {"n_rows": (None, "count")},
+                               num_partitions=num_partitions).to_pandas()
+    if counts.empty or key not in counts.columns:
+        return pd.DataFrame({key: pd.Series(dtype="int64"),
+                             "n_rows": pd.Series(dtype="int64"),
+                             "partition": pd.Series(dtype="int64")})
+    counts = counts.sort_values(["n_rows", key],
+                                ascending=[False, True]) \
+        .reset_index(drop=True)
+    loads = np.zeros(n_partitions, dtype=np.int64)
+    assign = np.empty(len(counts), dtype=np.int64)
+    cnt = counts["n_rows"].to_numpy(np.int64)
+    for i in range(len(counts)):
+        p = int(np.argmin(loads))     # first minimal index = lowest id
+        assign[i] = p
+        loads[p] += cnt[i]
+    out = counts.assign(partition=assign)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values([key]).reset_index(drop=True)

@@ -7192,6 +7192,59 @@ def q_user_markov_backtest(sf_dir: str):
     return out.sort_values("prev").reset_index(drop=True)
 
 
+def q_events_partition_plan(sf_dir: str, *, n_partitions: int = 8):
+    """Skew-aware co-location plan for user_id over the event log
+    (``ops/layout.plan_partitions``, Graham '69 LPT): one combiner
+    pass to per-key counts, driver-side greedy assignment with exact
+    integer loads. The recursive-CTE oracle replays the greedy scan
+    state (one load column per partition) key by key — integer-exact,
+    so assignment parity is bitwise."""
+    from jerex_ray.ops.layout import plan_partitions
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+    out = plan_partitions(ds, key="user_id",
+                          n_partitions=n_partitions)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
+def _partition_plan_oracle_sql(m: int = 8) -> str:
+    """Generated recursive-CTE replay of the LPT greedy scan: state =
+    m integer load columns; pick = lowest index reaching least(l…)."""
+    least_r = "least(" + ", ".join(f"r.l{k}" for k in range(m)) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN r.l{k} = {least_r} THEN {k}" for k in range(m)) + " END"
+    first_loads = ", ".join(
+        ("CAST(n_rows AS BIGINT) AS l0" if k == 0
+         else f"CAST(0 AS BIGINT) AS l{k}") for k in range(m))
+    upd = ", ".join(
+        f"r.l{k} + CASE WHEN ({pick}) = {k} THEN s.n_rows ELSE 0 END"
+        f" AS l{k}" for k in range(m))
+    return f"""
+        WITH RECURSIVE counts AS MATERIALIZED (
+            SELECT user_id, count(*) AS n_rows
+            FROM events GROUP BY user_id),
+        seq AS MATERIALIZED (
+            SELECT user_id, n_rows,
+                   row_number() OVER (ORDER BY n_rows DESC,
+                                      user_id ASC) AS rk
+            FROM counts),
+        rec AS (
+            SELECT rk, user_id, n_rows, 0 AS "partition",
+                   {first_loads}
+            FROM seq WHERE rk = 1
+            UNION ALL
+            SELECT s.rk, s.user_id, s.n_rows, ({pick}) AS "partition",
+                   {upd}
+            FROM rec r JOIN seq s ON s.rk = r.rk + 1)
+        SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST("partition" AS BIGINT) AS "partition"
+        FROM rec ORDER BY user_id
+    """
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -7293,6 +7346,7 @@ def build_queries() -> dict:
         "kg_provenance": kg_provenance,
         "q_events_ohlc": q_events_ohlc,
         "q_user_markov_backtest": q_user_markov_backtest,
+        "q_events_partition_plan": q_events_partition_plan,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -9862,6 +9916,7 @@ def _build_oracle_sql_literal() -> dict:
         "doc_pagerank": _pagerank_oracle_sql(),
         "q_part_hits": _hits_oracle_sql(),
         "q_lineitem_zorder": _zorder_oracle_sql(),
+        "q_events_partition_plan": _partition_plan_oracle_sql(),
         "q_basket_rules": """
             WITH inc AS MATERIALIZED (
                 SELECT DISTINCT l_orderkey AS o, l_partkey AS i

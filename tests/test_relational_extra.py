@@ -1350,3 +1350,34 @@ def test_markov_backtest_matches_serial_argmax():
         assert out.loc[p, "n_correct"] == row[pred]
         assert abs(out.loc[p, "accuracy"]
                    - round(row[pred] / row.sum(), 6)) < 2e-6
+
+
+def test_partition_plan_lpt_properties():
+    from jerex_ray.pipelines.queries import q_events_partition_plan
+    out = q_events_partition_plan(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    counts = ev.groupby("user_id").size()
+    assert len(out) == len(counts)
+    assert (out.set_index("user_id")["n_rows"]
+            .sort_index() == counts.sort_index()).all()
+    m = 8
+    loads = out.groupby("partition")["n_rows"].sum()
+    assert out["partition"].between(0, m - 1).all()
+    # Graham's LPT bound: makespan <= (4/3 - 1/(3m)) * OPT, and
+    # OPT >= max(total/m, max single key)
+    opt_lb = max(counts.sum() / m, counts.max())
+    assert loads.max() <= (4.0 / 3.0 - 1.0 / (3 * m)) * opt_lb + 1e-9
+    # deterministic replay of the greedy scan
+    order = counts.reset_index()
+    order.columns = ["user_id", "n"]
+    order = order.sort_values(["n", "user_id"],
+                              ascending=[False, True])
+    lo = np.zeros(m, dtype=np.int64)
+    exp = {}
+    for _, r in order.iterrows():
+        p = int(np.argmin(lo))
+        exp[r["user_id"]] = p
+        lo[p] += r["n"]
+    got = dict(zip(out["user_id"], out["partition"]))
+    assert got == exp
