@@ -7245,6 +7245,115 @@ def _partition_plan_oracle_sql(m: int = 8) -> str:
     """
 
 
+def _bootstrap_ci_oracle_sql(reps: int = 32) -> str:
+    """Replays the Poisson bootstrap bit-for-bit: same md5-uniform,
+    same threshold literals (repr round-trips to the identical
+    double), same replicate means and type-7 percentiles."""
+    thr = _poisson1_thresholds()
+    case = "CASE " + " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(thr)) \
+        + f" ELSE {len(thr)} END"
+    return f"""
+        WITH reps AS (SELECT unnest(range(0, {reps})) AS rep),
+        r AS (
+            SELECT reps.rep, CAST(e.value AS DOUBLE) AS v,
+                   CAST(CAST('0x' || substr(md5('boot|'
+                       || CAST(e.event_id AS VARCHAR) || '|'
+                       || CAST(reps.rep AS VARCHAR)), 1, 16)
+                       AS UBIGINT) AS DOUBLE)
+                   / 18446744073709551616.0 AS u
+            FROM events e, reps),
+        w AS (SELECT rep, v, ({case}) AS w FROM r),
+        mu AS (SELECT rep, sum(w * v) / sum(w) AS m
+               FROM w GROUP BY rep),
+        q AS (SELECT quantile_cont(m, 0.025) AS lo,
+                     quantile_cont(m, 0.975) AS hi
+              FROM mu),
+        t AS (SELECT count(*) AS n,
+                     sum(CAST(value AS DOUBLE)) / count(*) AS mean
+              FROM events)
+        SELECT CAST(t.n AS BIGINT) AS n,
+               round(t.mean, 6) AS mean,
+               round(q.lo, 6) AS ci_lo,
+               round(q.hi, 6) AS ci_hi
+        FROM t, q
+    """
+
+
+_POISSON1_CDF = None
+
+
+def _poisson1_thresholds(kmax: int = 9) -> list:
+    """P(X ≤ k) for Poisson(1), k = 0..kmax−1 — shared literals
+    between the engine kernel and the SQL oracle."""
+    global _POISSON1_CDF
+    if _POISSON1_CDF is None:
+        import math
+        term, cdf, out = math.exp(-1.0), 0.0, []
+        for k in range(kmax):
+            if k > 0:
+                term = term / k
+            cdf += term
+            out.append(cdf)
+        _POISSON1_CDF = out
+    return _POISSON1_CDF
+
+
+def q_events_bootstrap_ci(sf_dir: str, *, reps: int = 32):
+    """95 % bootstrap CI for the mean event value via the POISSON
+    bootstrap (Chamandy et al. '12, "Estimating uncertainty for
+    massive data streams") — the resampling scheme that works in one
+    streaming pass: each row gets an independent Poisson(1) weight
+    per replicate from a seeded md5-uniform, so no replicate ever
+    materializes and the corpus is read ONCE. Per batch only 2·B
+    partial sums (Σw, Σw·v per replicate) leave; replicate means and
+    the type-7 percentile CI finish on the driver. Deterministic
+    md5 weights mean the SQL oracle replays the identical resample
+    bit-for-bit (same thresholds literals, same u); half-away mirror
+    rounding on the float outputs."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.util import md5_hash64
+    configure_data_context()
+    thr = np.array(_poisson1_thresholds(), dtype=np.float64)
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["event_id"].astype("int64").to_numpy()
+        v = df["value"].to_numpy(np.float64)
+        rows = []
+        for b in range(reps):
+            h = np.fromiter(
+                (md5_hash64(f"boot|{i}|{b}") for i in ids),
+                dtype=np.uint64, count=len(ids))
+            u = h.astype(np.float64) / 18446744073709551616.0
+            w = np.searchsorted(thr, u, side="right").astype(
+                np.float64)
+            rows.append((b, float(w.sum()), float((w * v).sum()),
+                         np.int64(len(v)), float(v.sum())))
+        return pd.DataFrame(rows, columns=["rep", "sw", "swv", "n",
+                                           "sv"])
+
+    agg = grouped_aggregate(
+        ds.map_batches(partials, batch_format="pandas",
+                       batch_size=8192),
+        ["rep"], {"sw": ("sw", "sum"), "swv": ("swv", "sum"),
+                  "n": ("n", "sum"), "sv": ("sv", "sum")}).to_pandas()
+    mu = (agg["swv"] / agg["sw"]).to_numpy(np.float64)
+    n = int(agg["n"].iloc[0])
+    mean = float(agg["sv"].iloc[0]) / n
+    lo = float(np.quantile(mu, 0.025))
+    hi = float(np.quantile(mu, 0.975))
+
+    def mirror(x: float) -> float:
+        return float(np.copysign(np.floor(abs(x) * 1e6 + 0.5), x)
+                     / 1e6)
+
+    return pd.DataFrame({"n": [np.int64(n)], "mean": [mirror(mean)],
+                         "ci_lo": [mirror(lo)], "ci_hi": [mirror(hi)]})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -7347,6 +7456,7 @@ def build_queries() -> dict:
         "q_events_ohlc": q_events_ohlc,
         "q_user_markov_backtest": q_user_markov_backtest,
         "q_events_partition_plan": q_events_partition_plan,
+        "q_events_bootstrap_ci": q_events_bootstrap_ci,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -9917,6 +10027,7 @@ def _build_oracle_sql_literal() -> dict:
         "q_part_hits": _hits_oracle_sql(),
         "q_lineitem_zorder": _zorder_oracle_sql(),
         "q_events_partition_plan": _partition_plan_oracle_sql(),
+        "q_events_bootstrap_ci": _bootstrap_ci_oracle_sql(),
         "q_basket_rules": """
             WITH inc AS MATERIALIZED (
                 SELECT DISTINCT l_orderkey AS o, l_partkey AS i

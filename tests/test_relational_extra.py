@@ -1381,3 +1381,28 @@ def test_partition_plan_lpt_properties():
         lo[p] += r["n"]
     got = dict(zip(out["user_id"], out["partition"]))
     assert got == exp
+
+
+def test_bootstrap_ci_matches_serial_poisson_resample():
+    from jerex_ray.pipelines.queries import (_poisson1_thresholds,
+                                             q_events_bootstrap_ci)
+    from jerex_ray.util import md5_hash64
+    out = q_events_bootstrap_ci(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "value"]).to_pandas()
+    v = ev["value"].to_numpy(np.float64)
+    ids = ev["event_id"].to_numpy()
+    thr = np.array(_poisson1_thresholds())
+    mus = []
+    for b in range(32):
+        u = np.array([md5_hash64(f"boot|{i}|{b}") for i in ids],
+                     dtype=np.uint64).astype(np.float64) / 2.0 ** 64
+        w = np.searchsorted(thr, u, side="right").astype(np.float64)
+        mus.append((w * v).sum() / w.sum())
+    lo, hi = np.quantile(mus, 0.025), np.quantile(mus, 0.975)
+    assert out["n"] == len(v)
+    assert abs(out["mean"] - v.mean()) < 2e-6
+    assert abs(out["ci_lo"] - lo) < 2e-6
+    assert abs(out["ci_hi"] - hi) < 2e-6
+    # CI must bracket the point estimate and be non-degenerate
+    assert out["ci_lo"] < out["mean"] < out["ci_hi"]
