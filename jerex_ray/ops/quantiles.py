@@ -298,3 +298,64 @@ def grouped_quantile_buckets(ds, key: str, col: str,
 
     return ds.map_batches(assign, batch_format="pandas",
                           batch_size=65536)
+
+
+def approx_quantiles_histogram(ds, col: str, qs: list[float], *,
+                               nbins: int = 2048,
+                               num_partitions: int | None = None):
+    """Approximate quantiles from a fixed uniform histogram — the
+    mergeable one-number-per-bin sketch (the equi-width tier of
+    Greenwald-Khanna-style summaries; what query engines use for
+    NDV-cheap percentile estimates). Two passes, both combiner-shaped:
+    global (min, max, n), then bin counts (grid-bounded regardless of
+    corpus size; bin partials are ADDITIVE, so shards merge by
+    summing). The driver walks the cumulative histogram and answers
+    each quantile with the bin's upper edge, giving the deterministic
+    guarantee |approx − v_(⌊q(n−1)⌋)| ≤ (max − min)/nbins against the
+    rank-floor order statistic (pytest-gated against the exact
+    selector). NaNs are ignored, matching ``distributed_quantiles``."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    stats = grouped_aggregate(
+        ds.map_batches(lambda df: pd.DataFrame({
+            "__all": [0],
+            "mn": [float(np.nanmin(df[col].to_numpy(np.float64)))
+                   if df[col].notna().any() else np.inf],
+            "mx": [float(np.nanmax(df[col].to_numpy(np.float64)))
+                   if df[col].notna().any() else -np.inf],
+            "n": [int(df[col].notna().sum())]}),
+            batch_format="pandas", batch_size=65536),
+        ["__all"], {"mn": ("mn", "min"), "mx": ("mx", "max"),
+                    "n": ("n", "sum")},
+        num_partitions=num_partitions).to_pandas()
+    if stats.empty or int(stats["n"].iloc[0]) == 0:
+        return [float("nan")] * len(qs)
+    lo, hi = float(stats["mn"].iloc[0]), float(stats["mx"].iloc[0])
+    n = int(stats["n"].iloc[0])
+    if hi == lo:
+        return [lo] * len(qs)
+    width = (hi - lo) / nbins
+
+    def bin_counts(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        b = np.minimum(((v - lo) / width).astype(np.int64), nbins - 1)
+        g = pd.Series(b).value_counts()
+        return pd.DataFrame({"bin": g.index.to_numpy(np.int64),
+                             "c": g.to_numpy(np.int64)})
+
+    counts = grouped_aggregate(
+        ds.map_batches(bin_counts, batch_format="pandas",
+                       batch_size=65536),
+        ["bin"], {"c": ("c", "sum")},
+        num_partitions=num_partitions).to_pandas()
+    full = np.zeros(nbins, dtype=np.int64)
+    full[counts["bin"].to_numpy(np.int64)] = counts["c"].to_numpy(
+        np.int64)
+    cum = np.cumsum(full)
+    out = []
+    for q in qs:
+        rank = q * (n - 1)  # type-7 target rank
+        b = int(np.searchsorted(cum, np.floor(rank) + 1, side="left"))
+        out.append(lo + (min(b, nbins - 1) + 1) * width)
+    return out

@@ -7354,6 +7354,73 @@ def q_events_bootstrap_ci(sf_dir: str, *, reps: int = 32):
                          "ci_lo": [mirror(lo)], "ci_hi": [mirror(hi)]})
 
 
+def q_events_quantile_sketch(sf_dir: str):
+    """Approximate value quantiles from the mergeable equi-width
+    histogram sketch (``ops/quantiles.approx_quantiles_histogram``,
+    2048 bins) next to their exact twins — the deliberately-
+    approximate sibling of ``q_events_value_quantiles`` (which IS the
+    oracle-checked exact path). Rows-only: the sketch's answer is an
+    upper bin edge, not a SQL-recomputable statistic; the
+    (max−min)/nbins error bound vs the rank-floor order statistic is
+    pytest-gated (tests/test_relational_extra.py)."""
+    from jerex_ray.ops.quantiles import (approx_quantiles_histogram,
+                                         distributed_quantiles)
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["value"])
+    qs = [0.25, 0.5, 0.75, 0.99]
+    approx = approx_quantiles_histogram(ds, "value", qs)
+    exact = distributed_quantiles(ds, "value", qs)
+    return pd.DataFrame({"q": qs,
+                         "approx": np.round(approx, 6),
+                         "exact": np.round(exact, 6)})
+
+
+def emb_mrr(sf_dir: str, *, k: int = 10):
+    """Retrieval-quality eval: MRR@10 per label with same-label
+    relevance — every vector queries the corpus (the oracle-proven
+    ``brute_force_topk`` kernel: one broadcast matrix, deterministic
+    cosine/vec_id ordering), self excluded; a query scores 1/rank of
+    its first same-label neighbor, 0 if none in the top-k. The
+    per-label mean uses the half-away mirror; ranks are
+    integer-exact so the SQL row_number oracle agrees on every
+    reciprocal."""
+    import pyarrow.parquet as _pq
+
+    from jerex_ray.ops.ann import brute_force_topk
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    qdf = tbl.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    top = brute_force_topk(ds, np.stack(qdf["embedding"].to_numpy()),
+                           k=k + 1)
+    qid = qdf["vec_id"].to_numpy()
+    labels = dict(zip(qdf["vec_id"], qdf["label"].astype(int)))
+    t = top.copy()
+    t["qvec"] = qid[t["query_idx"].to_numpy()]
+    t = t[t["vec_id"] != t["qvec"]]
+    t["rk"] = t.groupby("qvec", sort=False).cumcount() + 1
+    t = t[t["rk"] <= k]
+    t["match"] = (t["vec_id"].map(labels).to_numpy()
+                  == t["qvec"].map(labels).to_numpy())
+    first = (t[t["match"]].groupby("qvec")["rk"].min())
+    rr = pd.Series(0.0, index=qid)
+    rr.loc[first.index] = 1.0 / first
+    lab = pd.Series({v: labels[v] for v in qid})
+    grp = pd.DataFrame({"label": lab, "rr": rr}).groupby("label")["rr"]
+    mrr = grp.sum() / grp.count()
+    out = pd.DataFrame({
+        "label": mrr.index.astype("int64"),
+        "n_queries": grp.count().to_numpy(np.int64),
+        "mrr": [float(np.copysign(np.floor(abs(x) * 1e6 + 0.5), x)
+                      / 1e6) for x in mrr.to_numpy()]})
+    return out.sort_values("label").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -7457,6 +7524,8 @@ def build_queries() -> dict:
         "q_user_markov_backtest": q_user_markov_backtest,
         "q_events_partition_plan": q_events_partition_plan,
         "q_events_bootstrap_ci": q_events_bootstrap_ci,
+        "q_events_quantile_sketch": q_events_quantile_sketch,
+        "emb_mrr": emb_mrr,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -9670,6 +9739,30 @@ def _build_oracle_sql_literal() -> dict:
                 FROM embeddings q CROSS JOIN embeddings e
                 WHERE q.vec_id < 3
             ) WHERE rk <= 5 ORDER BY query_idx, vec_id
+        """,
+        "emb_mrr": """
+            WITH nn AS (
+                SELECT q.vec_id AS qv, q.label AS ql,
+                       e.label AS el,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding, q.embedding) DESC,
+                                    e.vec_id) AS rk
+                FROM embeddings q JOIN embeddings e
+                     ON e.vec_id <> q.vec_id),
+            hit AS (
+                SELECT qv, min(rk) AS mrk
+                FROM nn WHERE rk <= 10 AND el = ql GROUP BY qv),
+            rr AS (
+                SELECT a.label AS ql,
+                       coalesce(CAST(1 AS DOUBLE) / hit.mrk,
+                                CAST(0 AS DOUBLE)) AS rr
+                FROM embeddings a LEFT JOIN hit ON hit.qv = a.vec_id)
+            SELECT CAST(ql AS BIGINT) AS label,
+                   count(*) AS n_queries,
+                   round(sum(rr) / count(*), 6) AS mrr
+            FROM rr GROUP BY ql ORDER BY label
         """,
         "emb_knn_predict": """
             WITH nn AS (

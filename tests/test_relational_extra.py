@@ -1406,3 +1406,18 @@ def test_bootstrap_ci_matches_serial_poisson_resample():
     assert abs(out["ci_hi"] - hi) < 2e-6
     # CI must bracket the point estimate and be non-degenerate
     assert out["ci_lo"] < out["mean"] < out["ci_hi"]
+
+
+def test_quantile_sketch_error_bound_and_merge_shape():
+    from jerex_ray.pipelines.queries import q_events_quantile_sketch
+    out = q_events_quantile_sketch(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["value"]).to_pandas()
+    v = np.sort(ev["value"].to_numpy(np.float64))
+    width = (v[-1] - v[0]) / 2048
+    for _, r in out.iterrows():
+        rank_floor = int(np.floor(r["q"] * (len(v) - 1)))
+        assert abs(r["approx"] - v[rank_floor]) <= width + 2e-6
+        # approx must sit at or above the rank-floor order statistic
+        assert r["approx"] >= v[rank_floor] - 2e-6
+    assert (out["approx"] - out["exact"]).abs().max() <= width + 1e-4

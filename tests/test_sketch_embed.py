@@ -315,3 +315,29 @@ def test_procrustes_exact_on_noiseless_rotation():
     assert n == 200
     assert np.abs(r - h).max() < 1e-9
     assert abs(residual) < 1e-6
+
+
+def test_mrr_matches_serial_ranking():
+    from jerex_ray.pipelines.queries import emb_mrr
+    sf = "/root/testdata/sf0.001"
+    out = emb_mrr(sf).set_index("label")
+    import pyarrow.parquet as pq
+    df = pq.read_table(f"{sf}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = x @ x.T
+    labels = df["label"].to_numpy()
+    ids = df["vec_id"].to_numpy()
+    rrs = {}
+    for i in range(len(df)):
+        order = np.lexsort((ids, -sims[i]))
+        order = order[ids[order] != ids[i]][:10]
+        match = np.flatnonzero(labels[order] == labels[i])
+        rr = 1.0 / (match[0] + 1) if match.size else 0.0
+        rrs.setdefault(labels[i], []).append(rr)
+    for lab, vals in rrs.items():
+        assert out.loc[lab, "n_queries"] == len(vals)
+        assert abs(out.loc[lab, "mrr"]
+                   - round(sum(vals) / len(vals), 6)) < 2e-6
+    assert (out["mrr"] > 0).any()
