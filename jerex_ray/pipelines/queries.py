@@ -7421,6 +7421,197 @@ def emb_mrr(sf_dir: str, *, k: int = 10):
     return out.sort_values("label").reset_index(drop=True)
 
 
+def q_events_theilsen(sf_dir: str):
+    """Theil–Sen robust trend of hourly mean event value (median of
+    all pairwise bucket slopes — 29.4 % breakdown vs OLS's 0): one
+    combiner pass reduces the corpus to the hour-bucket mean series
+    (grid-bounded), the O(buckets²) pairwise-slope median runs
+    vectorized on the driver. Slopes are identical divisions on both
+    sides; the median interpolates type-7 like quantile_cont; the
+    OLS slope rides along for the robustness contrast."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].astype("datetime64[us]").astype("int64") \
+            // 3_600_000_000
+        g = (pd.DataFrame({"hour": h.to_numpy(np.int64),
+                           "s": df["value"].to_numpy(np.float64),
+                           "n": 1})
+             .groupby("hour", sort=False).sum().reset_index())
+        return g
+
+    m = grouped_aggregate(
+        ds.map_batches(partials, batch_format="pandas",
+                       batch_size=8192),
+        ["hour"], {"s": ("s", "sum"), "n": ("n", "sum")}) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    hr = m["hour"].to_numpy(np.float64)
+    mu = m["s"].to_numpy(np.float64) / m["n"].to_numpy(np.float64)
+    i, j = np.triu_indices(len(hr), k=1)
+    slopes = (mu[j] - mu[i]) / (hr[j] - hr[i])
+    ts_slope = float(np.quantile(slopes, 0.5))
+    # OLS on the same buckets for contrast (two-pass centered)
+    xc, yc = hr - hr.mean(), mu - mu.mean()
+    ols = float((xc * yc).sum() / (xc * xc).sum())
+
+    def mirror(x: float) -> float:
+        return float(np.copysign(np.floor(abs(x) * 1e6 + 0.5), x)
+                     / 1e6)
+
+    return pd.DataFrame({"n_buckets": [np.int64(len(hr))],
+                         "n_pairs": [np.int64(len(slopes))],
+                         "theilsen_slope": [mirror(ts_slope)],
+                         "ols_slope": [mirror(ols)]})
+
+
+def q_part_modularity(sf_dir: str):
+    """Newman modularity of the BRAND partition over the part
+    co-purchase graph — does purchasing cluster along brand lines?
+    Per brand: within-community edges e_c, degree mass d_c, and the
+    contribution e_c/m − (d_c/2m)² (Q = Σ contributions). Edges are
+    the combiner-distinct per-order wedges; the brand map is a
+    dimension broadcast; every statistic is an exact-integer count
+    with identically-sequenced divisions, so the SQL oracle agrees
+    bit-for-bit before rounding."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    brand = pd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_brand"])
+    bmap = ray.put(dict(zip(brand["p_partkey"], brand["p_brand"])))
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"a": m["l_partkey_x"].to_numpy(),
+                             "b": m["l_partkey_y"].to_numpy()})
+
+    edges = grouped_aggregate(
+        grouped_apply(li, ["l_orderkey"], pairs_block),
+        ["a", "b"], {"n": (None, "count")}, result_hint="large") \
+        .drop_columns(["n"]).materialize()
+    n_edges = int(edges.count())
+
+    def within_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(bmap)
+        ba = df["a"].map(bm)
+        bb = df["b"].map(bm)
+        same = ba[ba == bb]
+        g = same.value_counts()
+        return pd.DataFrame({"brand": g.index.to_numpy(),
+                             "ec": g.to_numpy(np.int64)})
+
+    within = grouped_aggregate(
+        edges.map_batches(within_partial, batch_format="pandas"),
+        ["brand"], {"ec": ("ec", "sum")}).to_pandas()
+
+    def stub_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(bmap)
+        s = pd.concat([df["a"].map(bm), df["b"].map(bm)])
+        g = s.value_counts()
+        return pd.DataFrame({"brand": g.index.to_numpy(),
+                             "dc": g.to_numpy(np.int64)})
+
+    dsum = grouped_aggregate(
+        edges.map_batches(stub_partial, batch_format="pandas"),
+        ["brand"], {"dc": ("dc", "sum")}).to_pandas()
+    out = dsum.merge(within, on="brand", how="left")
+    out["ec"] = out["ec"].fillna(0).astype("int64")
+    out["dc"] = out["dc"].astype("int64")
+    m = float(n_edges)
+    ec = out["ec"].to_numpy(np.float64)
+    dc = out["dc"].to_numpy(np.float64)
+    out["contribution"] = np.round(
+        ec / m - (dc / (2.0 * m)) * (dc / (2.0 * m)), 6)
+    out = out.rename(columns={"ec": "n_within", "dc": "deg_sum"})
+    return out[["brand", "n_within", "deg_sum", "contribution"]] \
+        .sort_values("brand").reset_index(drop=True)
+
+
+def q_supplier_hhi(sf_dir: str):
+    """Herfindahl–Hirschman revenue-concentration index per nation:
+    supplier revenue shares within each nation, HHI = Σ share².
+    lineitem streams once (revenue partials per supplier through the
+    combiner); the supplier→nation map is a dimension broadcast;
+    the nation-level share/square pass is vocabulary-bounded.
+    Shares are single divisions of the same sums on both sides;
+    6-decimal rounding absorbs summation order."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.functions.join import broadcast_join
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_extendedprice",
+                                     "l_discount"])
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_suppkey": df["l_suppkey"].to_numpy(),
+            "revenue": df["l_extendedprice"].to_numpy(np.float64)
+            * (1.0 - df["l_discount"].to_numpy(np.float64))})
+
+    per_supp = grouped_aggregate(
+        li.map_batches(rev, batch_format="pandas"),
+        ["l_suppkey"], {"revenue": ("revenue", "sum")})
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    j = broadcast_join(per_supp, supp, left_on="l_suppkey",
+                       right_on="s_suppkey").to_pandas()
+    tot = j.groupby("s_nationkey")["revenue"].transform("sum")
+    share = j["revenue"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+    j = j.assign(sq=share * share)
+    out = (j.groupby("s_nationkey")
+           .agg(n_suppliers=("l_suppkey", "count"), hhi=("sq", "sum"))
+           .reset_index().rename(columns={"s_nationkey": "nationkey"}))
+    out["nationkey"] = out["nationkey"].astype("int64")
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    out["hhi"] = out["hhi"].round(6)
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+def doc_compression_ratio(sf_dir: str):
+    """Per-document zlib compressibility (level 6) — the classic
+    cheap quality/repetition signal web-corpus pipelines filter on
+    (highly compressible ⇒ boilerplate or repetition; cf. Gopher's
+    repetition rules): ratio = deflated bytes / raw utf-8 bytes.
+    One streaming pass; zlib does the per-row work in C. Rows-only:
+    DEFLATE output is not SQL-reproducible; determinism and a
+    hand-recompute parity check are pytest-gated."""
+    import zlib
+
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def ratios(df: pd.DataFrame) -> pd.DataFrame:
+        raw = [t.encode("utf-8") for t in df["text"].fillna("")]
+        rb = np.array([len(b) for b in raw], dtype=np.int64)
+        cb = np.array([len(zlib.compress(b, 6)) for b in raw],
+                      dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "raw_bytes": rb, "gz_bytes": cb,
+            "ratio": np.round(np.where(rb > 0, cb / np.maximum(rb, 1),
+                                       np.nan), 6)})
+
+    out = ds.map_batches(ratios, batch_format="pandas",
+                         batch_size=8192).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -7526,6 +7717,10 @@ def build_queries() -> dict:
         "q_events_bootstrap_ci": q_events_bootstrap_ci,
         "q_events_quantile_sketch": q_events_quantile_sketch,
         "emb_mrr": emb_mrr,
+        "q_events_theilsen": q_events_theilsen,
+        "q_part_modularity": q_part_modularity,
+        "q_supplier_hhi": q_supplier_hhi,
+        "doc_compression_ratio": doc_compression_ratio,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -9739,6 +9934,88 @@ def _build_oracle_sql_literal() -> dict:
                 FROM embeddings q CROSS JOIN embeddings e
                 WHERE q.vec_id < 3
             ) WHERE rk <= 5 ORDER BY query_idx, vec_id
+        """,
+        "q_part_modularity": """
+            WITH inc AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+            e AS MATERIALIZED (
+                SELECT DISTINCT a.p AS pa, b.p AS pb
+                FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p),
+            mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+            deg AS (
+                SELECT u, count(*) AS d FROM (
+                    SELECT pa AS u FROM e
+                    UNION ALL SELECT pb FROM e)
+                GROUP BY u),
+            br AS (SELECT p_partkey, p_brand FROM part),
+            w AS (
+                SELECT x.p_brand AS brand, count(*) AS ec
+                FROM e JOIN br x ON x.p_partkey = e.pa
+                       JOIN br y ON y.p_partkey = e.pb
+                WHERE x.p_brand = y.p_brand
+                GROUP BY x.p_brand),
+            ds AS (
+                SELECT br.p_brand AS brand, sum(deg.d) AS dc
+                FROM deg JOIN br ON br.p_partkey = deg.u
+                GROUP BY br.p_brand)
+            SELECT ds.brand,
+                   CAST(coalesce(w.ec, 0) AS BIGINT) AS n_within,
+                   CAST(ds.dc AS BIGINT) AS deg_sum,
+                   round(coalesce(w.ec, 0) / (SELECT m FROM mm)
+                         - (ds.dc / (2.0 * (SELECT m FROM mm)))
+                           * (ds.dc / (2.0 * (SELECT m FROM mm))), 6)
+                       AS contribution
+            FROM ds LEFT JOIN w USING (brand)
+            ORDER BY brand
+        """,
+        "q_supplier_hhi": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice AS DOUBLE)
+                           * (1.0 - CAST(l_discount AS DOUBLE)))
+                           AS revenue
+                FROM lineitem GROUP BY l_suppkey),
+            j AS (
+                SELECT r.l_suppkey, r.revenue, s.s_nationkey
+                FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey),
+            t AS (
+                SELECT s_nationkey, sum(revenue) AS tot
+                FROM j GROUP BY s_nationkey)
+            SELECT CAST(j.s_nationkey AS BIGINT) AS nationkey,
+                   count(*) AS n_suppliers,
+                   round(sum((j.revenue / t.tot)
+                             * (j.revenue / t.tot)), 6) AS hhi
+            FROM j JOIN t USING (s_nationkey)
+            GROUP BY j.s_nationkey
+            ORDER BY nationkey
+        """,
+        "q_events_theilsen": """
+            WITH h AS (
+                SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                           AS hour,
+                       sum(CAST(value AS DOUBLE)) AS s,
+                       count(*) AS n
+                FROM events GROUP BY hour),
+            m AS (SELECT hour, s / n AS mu FROM h),
+            p AS (
+                SELECT (b.mu - a.mu)
+                       / (CAST(b.hour AS DOUBLE) - a.hour) AS slope
+                FROM m a JOIN m b ON a.hour < b.hour),
+            mx AS (SELECT avg(CAST(hour AS DOUBLE)) AS mh,
+                          avg(mu) AS mm
+                   FROM m),
+            ols AS (
+                SELECT sum((hour - mx.mh) * (mu - mx.mm))
+                       / sum((hour - mx.mh) * (hour - mx.mh)) AS sl
+                FROM m, mx)
+            SELECT CAST((SELECT count(*) FROM m) AS BIGINT)
+                       AS n_buckets,
+                   CAST((SELECT count(*) FROM p) AS BIGINT)
+                       AS n_pairs,
+                   round((SELECT quantile_cont(slope, 0.5) FROM p), 6)
+                       AS theilsen_slope,
+                   round((SELECT sl FROM ols), 6) AS ols_slope
         """,
         "emb_mrr": """
             WITH nn AS (

@@ -1421,3 +1421,87 @@ def test_quantile_sketch_error_bound_and_merge_shape():
         # approx must sit at or above the rank-floor order statistic
         assert r["approx"] >= v[rank_floor] - 2e-6
     assert (out["approx"] - out["exact"]).abs().max() <= width + 1e-4
+
+
+def test_theilsen_matches_serial_median_of_slopes():
+    from jerex_ray.pipelines.queries import q_events_theilsen
+    out = q_events_theilsen(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    h = ev["ts"].astype("datetime64[us]").astype("int64") \
+        // 3_600_000_000
+    m = ev.groupby(h.to_numpy())["value"].mean()
+    hr = m.index.to_numpy(np.float64)
+    mu = m.to_numpy(np.float64)
+    i, j = np.triu_indices(len(hr), k=1)
+    slopes = (mu[j] - mu[i]) / (hr[j] - hr[i])
+    assert out["n_buckets"] == len(hr)
+    assert out["n_pairs"] == len(slopes)
+    assert abs(out["theilsen_slope"] - np.quantile(slopes, 0.5)) < 2e-6
+    xc, yc = hr - hr.mean(), mu - mu.mean()
+    assert abs(out["ols_slope"] - (xc * yc).sum() / (xc * xc).sum()) \
+        < 2e-6
+
+
+def test_modularity_matches_serial_and_sums_to_Q():
+    from jerex_ray.pipelines.queries import q_part_modularity
+    out = q_part_modularity(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    part = pq.read_table(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    bm = dict(zip(part["p_partkey"], part["p_brand"]))
+    inc = li.drop_duplicates()
+    m = inc.merge(inc, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    e = m[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+    ne = len(e)
+    ba = e["l_partkey_x"].map(bm)
+    bb = e["l_partkey_y"].map(bm)
+    ec = ba[ba == bb].value_counts()
+    dc = pd.concat([ba, bb]).value_counts()
+    got = out.set_index("brand")
+    assert len(got) == len(dc)
+    q = 0.0
+    for brand, d in dc.items():
+        w = int(ec.get(brand, 0))
+        assert got.loc[brand, "n_within"] == w
+        assert got.loc[brand, "deg_sum"] == d
+        contrib = w / ne - (d / (2 * ne)) ** 2
+        assert abs(got.loc[brand, "contribution"] - contrib) < 2e-6
+        q += contrib
+    # modularity of a real attribute partition is a small number in (-1, 1)
+    assert -1.0 < q < 1.0
+
+
+def test_hhi_matches_serial_and_bounds():
+    from jerex_ray.pipelines.queries import q_supplier_hhi
+    out = q_supplier_hhi(SF).set_index("nationkey")
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_suppkey", "l_extendedprice",
+                                "l_discount"]).to_pandas()
+    supp = pq.read_table(f"{SF}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    li["rev"] = li["l_extendedprice"] * (1 - li["l_discount"])
+    per = li.groupby("l_suppkey")["rev"].sum().reset_index()
+    per = per.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    for nk, g in per.groupby("s_nationkey"):
+        sh = g["rev"] / g["rev"].sum()
+        assert abs(out.loc[nk, "hhi"] - (sh ** 2).sum()) < 2e-6
+        assert out.loc[nk, "n_suppliers"] == len(g)
+        # HHI bounds: 1/n <= hhi <= 1
+        assert 1.0 / len(g) - 1e-9 <= out.loc[nk, "hhi"] <= 1.0 + 1e-9
+
+
+def test_compression_ratio_matches_zlib_recompute():
+    import zlib
+    from jerex_ray.pipelines.queries import doc_compression_ratio
+    out = doc_compression_ratio(SF).set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    for _, r in docs.head(50).iterrows():
+        b = r["text"].encode("utf-8")
+        assert out.loc[r["doc_id"], "raw_bytes"] == len(b)
+        assert out.loc[r["doc_id"], "gz_bytes"] == len(zlib.compress(b, 6))
+    # repetitive synthetic docs compress well below 1.0
+    assert out["ratio"].median() < 1.0
