@@ -94,8 +94,17 @@ def cmd_graph(args) -> int:
         return 0
     triples = rd.read_parquet(paths)   # streams; never one big table
     n_nodes, n_edges = materialize_graph(triples, args.output)
-    print(json.dumps({"output": args.output,
-                      "n_nodes": int(n_nodes), "n_edges": int(n_edges)}))
+    summary = {"output": args.output,
+               "n_nodes": int(n_nodes), "n_edges": int(n_edges)}
+    if getattr(args, "graphml", None):
+        from jerex_ray.sinks.graphml import write_graphml
+        nodes = rd.read_parquet(os.path.join(args.output, "nodes")) \
+            .to_pandas()
+        edges = rd.read_parquet(os.path.join(args.output, "edges")) \
+            .to_pandas()
+        write_graphml(nodes, edges, args.graphml)
+        summary["graphml"] = args.graphml
+    print(json.dumps(summary))
     ray.shutdown()
     return 0
 
@@ -271,6 +280,9 @@ def main(argv=None) -> int:
                        "from a triple output dir")
     g.add_argument("--pred", required=True)
     g.add_argument("--output", required=True)
+    g.add_argument("--graphml", default=None,
+                   help="also export one GraphML file (the graph "
+                        "tables are vocabulary-bounded)")
     g.set_defaults(fn=cmd_graph)
 
     e = sub.add_parser("eval", help="triple P/R vs planted ground truth")

@@ -7612,6 +7612,70 @@ def doc_compression_ratio(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_postings_size(sf_dir: str):
+    """Inverted-index size estimation under delta + varint coding
+    (the storage model of every posting-list format since VByte,
+    Williams & Zobel '99): per term, raw 8-byte postings vs
+    gap-encoded varint bytes. One distinct (term, doc) explode, one
+    term hash shuffle; gaps and byte classes are vectorized per
+    block. Integer-exact end to end — the SQL LAG oracle agrees on
+    every byte."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "doc_id": pd.Series(dtype="int64")})
+        ids = df["doc_id"].astype("int64").to_numpy()
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(ids, lens),
+            "term": np.concatenate([w for w in words.to_numpy() if w])})
+        return flat.drop_duplicates()[["term", "doc_id"]]
+
+    inc = grouped_aggregate(
+        ds.map_batches(explode, batch_format="pandas",
+                       batch_size=8192),
+        ["term", "doc_id"], {"n": (None, "count")},
+        result_hint="large").drop_columns(["n"])
+
+    def sizes(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({
+                "term": pd.Series(dtype="object"),
+                "df": pd.Series(dtype="int64"),
+                "raw_bytes": pd.Series(dtype="int64"),
+                "varint_bytes": pd.Series(dtype="int64"),
+                "ratio": pd.Series(dtype="float64")})
+        b = block.sort_values(["term", "doc_id"])
+        ids = b["doc_id"].to_numpy(np.int64)
+        terms = b["term"].to_numpy()
+        new_t = np.r_[True, terms[1:] != terms[:-1]]
+        gaps = np.diff(np.r_[np.int64(0), ids])
+        gaps[new_t] = ids[new_t]        # first posting: absolute id
+        vb = np.select([gaps < 128, gaps < 16384, gaps < 2097152,
+                        gaps < 268435456], [1, 2, 3, 4], 5)
+        g = pd.DataFrame({"term": terms, "vb": vb}) \
+            .groupby("term", sort=False)["vb"].agg(["count", "sum"]) \
+            .reset_index()
+        df_ = g["count"].to_numpy(np.int64)
+        vbytes = g["sum"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "term": g["term"], "df": df_, "raw_bytes": df_ * 8,
+            "varint_bytes": vbytes,
+            "ratio": np.round(vbytes / (df_ * 8.0), 6)})
+
+    out = grouped_apply(inc, ["term"], sizes).to_pandas()
+    for c in ("df", "raw_bytes", "varint_bytes"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("term").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -7721,6 +7785,7 @@ def build_queries() -> dict:
         "q_part_modularity": q_part_modularity,
         "q_supplier_hhi": q_supplier_hhi,
         "doc_compression_ratio": doc_compression_ratio,
+        "doc_postings_size": doc_postings_size,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -9934,6 +9999,34 @@ def _build_oracle_sql_literal() -> dict:
                 FROM embeddings q CROSS JOIN embeddings e
                 WHERE q.vec_id < 3
             ) WHERE rk <= 5 ORDER BY query_idx, vec_id
+        """,
+        "doc_postings_size": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents),
+            g AS (
+                SELECT term, doc_id,
+                       doc_id - lag(doc_id) OVER (
+                           PARTITION BY term ORDER BY doc_id) AS gap
+                FROM tok),
+            b AS (SELECT term, coalesce(gap, doc_id) AS gp FROM g),
+            sz AS (
+                SELECT term, count(*) AS df,
+                       sum(CASE WHEN gp < 128 THEN 1
+                                WHEN gp < 16384 THEN 2
+                                WHEN gp < 2097152 THEN 3
+                                WHEN gp < 268435456 THEN 4
+                                ELSE 5 END) AS vbytes
+                FROM b GROUP BY term)
+            SELECT term, CAST(df AS BIGINT) AS df,
+                   CAST(df * 8 AS BIGINT) AS raw_bytes,
+                   CAST(vbytes AS BIGINT) AS varint_bytes,
+                   round(CAST(vbytes AS DOUBLE) / (df * 8), 6)
+                       AS ratio
+            FROM sz ORDER BY term
         """,
         "q_part_modularity": """
             WITH inc AS MATERIALIZED (

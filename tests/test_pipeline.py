@@ -278,3 +278,23 @@ def test_kg_quality_audits_match_pandas_recompute():
         assert fc.loc[pred, "n_subjects"] == len(grp)
         assert fc.loc[pred, "n_multi"] == int((grp > 1).sum())
         assert fc.loc[pred, "max_objects"] == int(grp.max())
+
+
+def test_graphml_export_roundtrip(tmp_path):
+    import ray.data as rd
+    from jerex_ray.pipelines.kg import extract_triples, graph_tables
+    from jerex_ray.config import PipelineConfig
+    from jerex_ray.sinks.graphml import read_graphml_counts, write_graphml
+    from jerex_ray.sources.transcripts import generate_transcripts_table
+    tri = extract_triples(rd.from_arrow(generate_transcripts_table(25)),
+                          PipelineConfig().scaled_for_tests())
+    nodes, edges = graph_tables(tri)
+    ndf = nodes.to_pandas()
+    edf = edges.to_pandas()
+    path = str(tmp_path / "kg.graphml")
+    write_graphml(ndf, edf, path)
+    n, e = read_graphml_counts(path)
+    assert n == len(ndf) > 0 and e == len(edf) > 0
+    # escaping: no raw ampersands/brackets leak from surfaces
+    import xml.etree.ElementTree as ET
+    ET.parse(path)  # must be well-formed XML

@@ -1505,3 +1505,29 @@ def test_compression_ratio_matches_zlib_recompute():
         assert out.loc[r["doc_id"], "gz_bytes"] == len(zlib.compress(b, 6))
     # repetitive synthetic docs compress well below 1.0
     assert out["ratio"].median() < 1.0
+
+
+def test_postings_size_matches_serial_varint():
+    from jerex_ray.pipelines.queries import doc_postings_size
+    out = doc_postings_size(SF).set_index("term")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    posting = {}
+    for did, txt in zip(docs["doc_id"], docs["text"].fillna("")):
+        for w in set(txt.lower().split()):
+            posting.setdefault(w, []).append(did)
+
+    def vbytes(g):
+        return 1 if g < 128 else 2 if g < 16384 else 3 \
+            if g < 2097152 else 4 if g < 268435456 else 5
+
+    assert len(out) == len(posting)
+    for t, ids in posting.items():
+        ids = sorted(ids)
+        gaps = [ids[0]] + [b - a for a, b in zip(ids, ids[1:])]
+        vb = sum(vbytes(g) for g in gaps)
+        assert out.loc[t, "df"] == len(ids)
+        assert out.loc[t, "varint_bytes"] == vb
+        assert out.loc[t, "raw_bytes"] == 8 * len(ids)
+    # delta+varint must beat raw int64 postings on real data
+    assert (out["varint_bytes"] < out["raw_bytes"]).all()
