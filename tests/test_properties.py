@@ -170,3 +170,64 @@ def test_bloom_positions_in_range_and_deterministic(hs, k):
     assert pos.shape == (len(hs), k)
     assert (pos >= 0).all() and (pos < (1 << 12)).all()
     np.testing.assert_array_equal(pos, _bloom_positions(h, 1 << 12, k))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+                min_size=1, max_size=50))
+def test_morton_interleave_roundtrip_and_order(pairs):
+    from jerex_ray.ops.layout import morton_interleave
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    z = morton_interleave([a, b])
+    # deinterleave recovers both keys exactly
+    ra = np.zeros_like(a)
+    rb = np.zeros_like(b)
+    for i in range(16):
+        ra |= ((z >> (2 * i)) & 1) << i
+        rb |= ((z >> (2 * i + 1)) & 1) << i
+    assert (ra == a).all() and (rb == b).all()
+    # dominance: strictly larger on both keys => strictly larger z
+    for i in range(min(len(a), 8)):
+        for j in range(min(len(a), 8)):
+            if a[i] > a[j] and b[i] > b[j]:
+                assert z[i] > z[j]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 100), st.integers(0, 10)),
+                min_size=1, max_size=60))
+def test_pav_stack_is_isotonic_and_mean_preserving(cells):
+    # replicate the PAV kernel from q_events_isotonic on arbitrary
+    # (n, pos<=n) histograms
+    h = [(n + 1, min(p, n + 1)) for n, p in cells]
+    pools = []
+    for w, p in h:
+        c = 1
+        while pools and pools[-1][1] * w >= p * pools[-1][0]:
+            pw, pp, pc = pools.pop()
+            w, p, c = w + pw, p + pp, c + pc
+        pools.append([w, p, c])
+    fit = np.concatenate([np.full(c, p / w) for w, p, c in pools])
+    assert (np.diff(fit) >= -1e-12).all()                # isotonic
+    tot_w = sum(w for w, _, _ in pools)
+    assert tot_w == sum(w for w, _ in h) and len(fit) == len(h)
+    ws = np.array([w for w, _ in h], dtype=float)
+    ps = np.array([p for _, p in h], dtype=float)
+    # weighted-mean preservation
+    assert abs((fit * ws).sum() - ps.sum()) < 1e-6
+    # fit stays within [0, 1] for rates
+    assert (fit >= -1e-12).all() and (fit <= 1 + 1e-12).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(1, 1000), min_size=1, max_size=80),
+       st.integers(2, 12))
+def test_lpt_respects_graham_bound(counts, m):
+    loads = np.zeros(m, dtype=np.int64)
+    for c in sorted(counts, reverse=True):
+        loads[int(np.argmin(loads))] += c
+    # provable greedy bound: the last job placed on the max machine
+    # landed on a then-least-loaded machine => load <= total/m + max
+    assert loads.max() <= sum(counts) / m + max(counts) + 1e-9
+    assert loads.sum() == sum(counts)

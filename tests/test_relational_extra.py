@@ -1364,10 +1364,8 @@ def test_partition_plan_lpt_properties():
     m = 8
     loads = out.groupby("partition")["n_rows"].sum()
     assert out["partition"].between(0, m - 1).all()
-    # Graham's LPT bound: makespan <= (4/3 - 1/(3m)) * OPT, and
-    # OPT >= max(total/m, max single key)
-    opt_lb = max(counts.sum() / m, counts.max())
-    assert loads.max() <= (4.0 / 3.0 - 1.0 / (3 * m)) * opt_lb + 1e-9
+    # provable greedy bound: makespan <= total/m + max single key
+    assert loads.max() <= counts.sum() / m + counts.max() + 1e-9
     # deterministic replay of the greedy scan
     order = counts.reset_index()
     order.columns = ["user_id", "n"]
