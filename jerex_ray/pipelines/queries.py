@@ -7676,6 +7676,40 @@ def doc_postings_size(sf_dir: str):
     return out.sort_values("term").reset_index(drop=True)
 
 
+def kg_pr_curve(sf_dir: str):
+    """Precision/recall/F1 threshold sweep of the head-math model
+    (NumpyScorer) against the planted reference triples — the
+    operating-point curve behind the single-point ``kg_eval`` gate:
+    ONE model pass over the corpus, then the sweep re-thresholds the
+    scored triple table (score is per-triple max over supporting
+    extractions) without touching the corpus again. Rows-only
+    (model inference); monotone-recall and count invariants are
+    pytest-gated."""
+    from jerex_ray.eval.scoring import evaluate_triples
+    from jerex_ray.pipelines.kg import extract_triples
+    from jerex_ray.sources.transcripts import (ground_truth_triples,
+                                               read_synthetic_transcripts)
+    from jerex_ray.stages.numpy_scorer import NumpyScorer
+    configure_data_context()
+    n = _sf_convs(sf_dir)
+    t = extract_triples(read_synthetic_transcripts(n), _kg_config(),
+                        scorer_cls=NumpyScorer).to_pandas()
+    scored = t.assign(score=t.groupby(
+        ["conv_id", "subj_norm", "pred", "obj_norm"])["score"]
+        .transform("max"))
+    gt = ground_truth_triples(n).to_pandas()
+    rows = []
+    for thr in [0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70, 0.75,
+                0.80]:
+        keep = scored[scored["score"] >= thr]
+        m = evaluate_triples(keep, gt)
+        rows.append((thr, int(m["tp"] + m["fp"]), int(m["tp"]),
+                     round(m["precision"], 6), round(m["recall"], 6),
+                     round(m["f1"], 6)))
+    return pd.DataFrame(rows, columns=["threshold", "n_pred", "tp",
+                                       "precision", "recall", "f1"])
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -7786,6 +7820,7 @@ def build_queries() -> dict:
         "q_supplier_hhi": q_supplier_hhi,
         "doc_compression_ratio": doc_compression_ratio,
         "doc_postings_size": doc_postings_size,
+        "kg_pr_curve": kg_pr_curve,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,

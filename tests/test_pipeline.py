@@ -3,6 +3,7 @@ canonicalization, resumability (kill/resume → identical output)."""
 
 import shutil
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -298,3 +299,16 @@ def test_graphml_export_roundtrip(tmp_path):
     # escaping: no raw ampersands/brackets leak from surfaces
     import xml.etree.ElementTree as ET
     ET.parse(path)  # must be well-formed XML
+
+
+def test_pr_curve_threshold_invariants():
+    from jerex_ray.pipelines.queries import kg_pr_curve
+    out = kg_pr_curve("/root/testdata/sf0.001")
+    assert len(out) == 9
+    # tighter thresholds can only shrink the prediction set
+    assert (np.diff(out["n_pred"]) <= 0).all()
+    assert (np.diff(out["tp"]) <= 0).all()
+    # recall is monotone non-increasing in the threshold
+    assert (np.diff(out["recall"]) <= 1e-9).all()
+    assert out["n_pred"].iloc[0] > 0
+    assert ((out["precision"] >= 0) & (out["precision"] <= 1)).all()
