@@ -7710,6 +7710,79 @@ def kg_pr_curve(sf_dir: str):
                                        "precision", "recall", "f1"])
 
 
+def q_events_kanonymity(sf_dir: str, *, k: int = 5):
+    """k-anonymity audit of the event log under the quasi-identifier
+    (user-id bucket, hour-of-day, event_type) — Sweeney '02: what
+    share of rows sit in equivalence classes smaller than k (the
+    re-identifiable tail a release would need to suppress or
+    generalize)? One combiner pass to class counts (QI-vocabulary
+    bounded), then a class-size rollup. Integer-exact; SQL-oracled."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def qi(df: pd.DataFrame) -> pd.DataFrame:
+        hod = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 3_600_000_000) % 24
+        return pd.DataFrame({
+            "ubucket": df["user_id"].to_numpy(np.int64) // 10,
+            "hod": hod.to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(),
+            "n": 1}).groupby(["ubucket", "hod", "event_type"],
+                             sort=False).sum().reset_index()
+
+    cls = grouped_aggregate(
+        ds.map_batches(qi, batch_format="pandas", batch_size=8192),
+        ["ubucket", "hod", "event_type"], {"n": ("n", "sum")},
+        result_hint="large").to_pandas()
+    n_rows = int(cls["n"].sum())
+    small = cls[cls["n"] < k]
+    return pd.DataFrame({
+        "n_rows": [np.int64(n_rows)],
+        "n_classes": [np.int64(len(cls))],
+        "n_small_classes": [np.int64(len(small))],
+        "rows_at_risk": [np.int64(small["n"].sum())],
+        "risk_share": [round(float(small["n"].sum()) / n_rows, 6)],
+        "min_class": [np.int64(cls["n"].min())]})
+
+
+def q_user_ab_assignment(sf_dir: str):
+    """Deterministic experiment bucketing + sample-ratio-mismatch
+    check (the first audit any A/B platform runs): arm = md5(user)
+    parity (the oracle replays the identical hash), per-arm user and
+    event counts, and the SRM chi-square (na−nb)²/(na+nb) on USER
+    counts with its ~χ²₁ threshold flag. One combiner pass over
+    (user → events), arm assignment on the user-bounded table."""
+    import hashlib
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+    users = grouped_aggregate(ds, ["user_id"],
+                              {"n_events": (None, "count")}).to_pandas()
+    arm = np.array([
+        int.from_bytes(hashlib.md5(f"ab|{u}".encode()).digest()[:8],
+                       "big") % 2
+        for u in users["user_id"]], dtype=np.int64)
+    users = users.assign(arm=arm)
+    g = users.groupby("arm").agg(n_users=("user_id", "count"),
+                                 n_events=("n_events", "sum"))
+    na = float(g.loc[0, "n_users"]) if 0 in g.index else 0.0
+    nb = float(g.loc[1, "n_users"]) if 1 in g.index else 0.0
+    chi2 = (na - nb) * (na - nb) / (na + nb)
+    out = g.reset_index()
+    out["arm"] = out["arm"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["srm_chi2"] = round(chi2, 6)
+    out["srm_flag"] = np.int64(chi2 > 3.841459)  # chi2_1 at alpha=.05
+    return out.sort_values("arm").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -7821,6 +7894,8 @@ def build_queries() -> dict:
         "doc_compression_ratio": doc_compression_ratio,
         "doc_postings_size": doc_postings_size,
         "kg_pr_curve": kg_pr_curve,
+        "q_events_kanonymity": q_events_kanonymity,
+        "q_user_ab_assignment": q_user_ab_assignment,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -10034,6 +10109,57 @@ def _build_oracle_sql_literal() -> dict:
                 FROM embeddings q CROSS JOIN embeddings e
                 WHERE q.vec_id < 3
             ) WHERE rk <= 5 ORDER BY query_idx, vec_id
+        """,
+        "q_events_kanonymity": """
+            WITH cls AS (
+                SELECT user_id // 10 AS ubucket,
+                       (CAST(epoch_us(ts) AS BIGINT) // 3600000000)
+                           % 24 AS hod,
+                       event_type, count(*) AS n
+                FROM events GROUP BY 1, 2, 3),
+            tot AS (SELECT sum(n) AS n_rows, count(*) AS n_classes,
+                           min(n) AS mn
+                    FROM cls),
+            sm AS (SELECT count(*) AS n_small,
+                          coalesce(sum(n), 0) AS at_risk
+                   FROM cls WHERE n < 5)
+            SELECT CAST(tot.n_rows AS BIGINT) AS n_rows,
+                   CAST(tot.n_classes AS BIGINT) AS n_classes,
+                   CAST(sm.n_small AS BIGINT) AS n_small_classes,
+                   CAST(sm.at_risk AS BIGINT) AS rows_at_risk,
+                   round(CAST(sm.at_risk AS DOUBLE) / tot.n_rows, 6)
+                       AS risk_share,
+                   CAST(tot.mn AS BIGINT) AS min_class
+            FROM tot, sm
+        """,
+        "q_user_ab_assignment": """
+            WITH u AS (
+                SELECT user_id, count(*) AS n_events
+                FROM events GROUP BY user_id),
+            a AS (
+                SELECT user_id, n_events,
+                       CAST(CAST('0x' || substr(md5('ab|'
+                           || CAST(user_id AS VARCHAR)), 1, 16)
+                           AS UBIGINT) % 2 AS BIGINT) AS arm
+                FROM u),
+            g AS (
+                SELECT arm, count(*) AS n_users,
+                       sum(n_events) AS n_events
+                FROM a GROUP BY arm),
+            s AS (
+                SELECT (max(CASE WHEN arm = 0 THEN n_users END)
+                        - max(CASE WHEN arm = 1 THEN n_users END))
+                       AS d,
+                       sum(n_users) AS t
+                FROM g)
+            SELECT g.arm, CAST(g.n_users AS BIGINT) AS n_users,
+                   CAST(g.n_events AS BIGINT) AS n_events,
+                   round(CAST(s.d AS DOUBLE) * s.d / s.t, 6)
+                       AS srm_chi2,
+                   CAST(CASE WHEN CAST(s.d AS DOUBLE) * s.d / s.t
+                                  > 3.841459
+                             THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+            FROM g, s ORDER BY g.arm
         """,
         "doc_postings_size": """
             WITH tok AS (

@@ -1529,3 +1529,41 @@ def test_postings_size_matches_serial_varint():
         assert out.loc[t, "raw_bytes"] == 8 * len(ids)
     # delta+varint must beat raw int64 postings on real data
     assert (out["varint_bytes"] < out["raw_bytes"]).all()
+
+
+def test_kanonymity_matches_serial_recount():
+    from jerex_ray.pipelines.queries import q_events_kanonymity
+    out = q_events_kanonymity(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type"]).to_pandas()
+    hod = (ev["ts"].astype("datetime64[us]").astype("int64")
+           // 3_600_000_000) % 24
+    cls = ev.assign(ub=ev["user_id"] // 10, hod=hod) \
+        .groupby(["ub", "hod", "event_type"]).size()
+    assert out["n_rows"] == len(ev)
+    assert out["n_classes"] == len(cls)
+    small = cls[cls < 5]
+    assert out["n_small_classes"] == len(small)
+    assert out["rows_at_risk"] == small.sum()
+    assert out["min_class"] == cls.min()
+    assert 0 <= out["risk_share"] <= 1
+
+
+def test_ab_assignment_deterministic_and_balanced():
+    import hashlib
+    from jerex_ray.pipelines.queries import q_user_ab_assignment
+    out = q_user_ab_assignment(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    users = ev["user_id"].unique()
+    arms = {u: int.from_bytes(hashlib.md5(f"ab|{u}".encode())
+                              .digest()[:8], "big") % 2 for u in users}
+    na = sum(1 for a in arms.values() if a == 0)
+    got = out.set_index("arm")
+    assert got.loc[0, "n_users"] == na
+    assert got.loc[1, "n_users"] == len(users) - na
+    assert got["n_events"].sum() == len(ev)
+    d = na - (len(users) - na)
+    chi2 = d * d / len(users)
+    assert abs(got.loc[0, "srm_chi2"] - round(chi2, 6)) < 2e-6
+    assert got.loc[0, "srm_flag"] == int(chi2 > 3.841459)
