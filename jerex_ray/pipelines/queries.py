@@ -7783,6 +7783,80 @@ def q_user_ab_assignment(sf_dir: str):
     return out.sort_values("arm").reset_index(drop=True)
 
 
+def q_user_km_survival(sf_dir: str):
+    """Kaplan–Meier survival curve of inter-purchase times with
+    right-censoring (Kaplan & Meier '58) — "how long until a user
+    buys again", the churn/retention primitive done properly: the
+    gap after each user's LAST purchase is censored at the stream
+    horizon instead of dropped. Users co-locate once for the LAG
+    pass; (duration, censored) rows reduce through the combiner to a
+    distinct-duration grid; at-risk counts are a reverse cumulative
+    sum on that grid and S(t) = exp(Σ ln(1−dᵢ/nᵢ)) accumulates with
+    math.log/exp (glibc — the same libm DuckDB's ln/exp bind), so
+    the window-sum oracle matches at 6 decimals."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    ts_col = _pq.read_table(f"{sf_dir}/events.parquet",
+                            columns=["ts"])["ts"].to_pandas()
+    horizon = int(ts_col.astype("datetime64[us]").astype("int64")
+                  .max())
+
+    def durations(block: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"dur": pd.Series(dtype="int64"),
+                              "cens": pd.Series(dtype="int64"),
+                              "n": pd.Series(dtype="int64")})
+        b = block[block["event_type"] == "purchase"]
+        if b.empty:
+            return empty
+        b = b.sort_values(["user_id", "ts", "event_id"])
+        t = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = b["user_id"].to_numpy()
+        same = np.r_[uid[1:] == uid[:-1], False]
+        dur = np.where(same, np.r_[t[1:], 0] - t, horizon - t)
+        cens = (~same).astype(np.int64)
+        g = (pd.DataFrame({"dur": dur, "cens": cens, "n": 1})
+             .groupby(["dur", "cens"], sort=False).sum().reset_index())
+        return g
+
+    grid = grouped_aggregate(
+        grouped_apply(ds, ["user_id"], durations),
+        ["dur", "cens"], {"n": ("n", "sum")}).to_pandas()
+    grid = grid.sort_values("dur").reset_index(drop=True)
+    total = int(grid["n"].sum())
+    # at-risk just before t = total - (#durations strictly < t)
+    by_t = grid.groupby("dur").agg(
+        all_n=("n", "sum"),
+        d=("n", lambda s: 0)).reset_index()
+    dcounts = grid[grid["cens"] == 0].groupby("dur")["n"].sum()
+    by_t["d"] = by_t["dur"].map(dcounts).fillna(0).astype(np.int64)
+    before = np.r_[0, np.cumsum(by_t["all_n"].to_numpy(np.int64))[:-1]]
+    by_t["n_risk"] = total - before
+    ev = by_t[by_t["d"] > 0].reset_index(drop=True)
+    # terminal grid point may absorb every remaining at-risk row
+    # (d == n_risk): S drops to exactly 0 there — guard the log on
+    # both engines identically
+    logs = [0.0 if int(r["d"]) == int(r["n_risk"])
+            else math.log(1.0 - int(r["d"]) / float(r["n_risk"]))
+            for _, r in ev.iterrows()]
+    cums = np.cumsum(logs) if logs else np.array([])
+    surv = [0.0 if int(r["d"]) == int(r["n_risk"])
+            else math.exp(c)
+            for (_, r), c in zip(ev.iterrows(), cums)]
+    return pd.DataFrame({
+        "dur_us": ev["dur"].astype("int64"),
+        "n_risk": ev["n_risk"].astype("int64"),
+        "n_events": ev["d"].astype("int64"),
+        "survival": np.round(surv, 6)})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -7896,6 +7970,7 @@ def build_queries() -> dict:
         "kg_pr_curve": kg_pr_curve,
         "q_events_kanonymity": q_events_kanonymity,
         "q_user_ab_assignment": q_user_ab_assignment,
+        "q_user_km_survival": q_user_km_survival,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -10109,6 +10184,47 @@ def _build_oracle_sql_literal() -> dict:
                 FROM embeddings q CROSS JOIN embeddings e
                 WHERE q.vec_id < 3
             ) WHERE rk <= 5 ORDER BY query_idx, vec_id
+        """,
+        "q_user_km_survival": """
+            WITH pp AS (
+                SELECT user_id, event_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS t
+                FROM events WHERE event_type = 'purchase'),
+            h AS (SELECT max(CAST(epoch_us(ts) AS BIGINT)) AS horizon
+                  FROM events),
+            d AS (
+                SELECT CASE WHEN lead(t) OVER w IS NULL
+                            THEN (SELECT horizon FROM h) - t
+                            ELSE lead(t) OVER w - t END AS dur,
+                       CASE WHEN lead(t) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS cens
+                FROM pp
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY t, event_id)),
+            grid AS (
+                SELECT dur, count(*) AS all_n, sum(1 - cens) AS dd
+                FROM d GROUP BY dur),
+            tot AS (SELECT sum(all_n) AS total FROM grid),
+            r AS (
+                SELECT dur, dd,
+                       (SELECT total FROM tot)
+                       - coalesce(sum(all_n) OVER (
+                             ORDER BY dur
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS n_risk
+                FROM grid),
+            e AS (
+                SELECT dur, dd, n_risk,
+                       sum(CASE WHEN dd = n_risk THEN 0.0
+                                ELSE ln(1.0 - CAST(dd AS DOUBLE)
+                                        / n_risk) END)
+                           OVER (ORDER BY dur) AS ls
+                FROM r WHERE dd > 0)
+            SELECT dur AS dur_us, CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(dd AS BIGINT) AS n_events,
+                   CASE WHEN dd = n_risk THEN 0.0
+                        ELSE round(exp(ls), 6) END AS survival
+            FROM e ORDER BY dur_us
         """,
         "q_events_kanonymity": """
             WITH cls AS (

@@ -1567,3 +1567,41 @@ def test_ab_assignment_deterministic_and_balanced():
     chi2 = d * d / len(users)
     assert abs(got.loc[0, "srm_chi2"] - round(chi2, 6)) < 2e-6
     assert got.loc[0, "srm_flag"] == int(chi2 > 3.841459)
+
+
+def test_km_survival_matches_serial_estimator():
+    from jerex_ray.pipelines.queries import q_user_km_survival
+    out = q_user_km_survival(SF)
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    horizon = int(ev["ts"].astype("datetime64[us]").astype("int64").max())
+    p = ev[ev["event_type"] == "purchase"] \
+        .sort_values(["user_id", "ts", "event_id"])
+    durs, cens = [], []
+    for _, g in p.groupby("user_id"):
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        durs.extend(np.diff(t))
+        cens.extend([0] * (len(t) - 1))
+        durs.append(horizon - t[-1])
+        cens.append(1)
+    df = pd.DataFrame({"dur": durs, "cens": cens}).sort_values("dur")
+    total = len(df)
+    s = 1.0
+    rows = {}
+    seen = 0
+    for dur, g in df.groupby("dur"):
+        n_risk = total - seen
+        d = int((g["cens"] == 0).sum())
+        if d > 0:
+            s = 0.0 if d == n_risk else s * (1.0 - d / n_risk)
+            rows[dur] = (n_risk, d, s)
+        seen += len(g)
+    got = out.set_index("dur_us")
+    assert len(got) == len(rows) > 0
+    for dur, (n_risk, d, s) in rows.items():
+        assert got.loc[dur, "n_risk"] == n_risk
+        assert got.loc[dur, "n_events"] == d
+        assert abs(got.loc[dur, "survival"] - s) < 5e-6
+    # survival is monotone non-increasing in (0, 1]
+    sv = out["survival"].to_numpy()
+    assert (np.diff(sv) <= 1e-9).all()
+    assert sv[0] <= 1.0 and (sv >= 0).all()
