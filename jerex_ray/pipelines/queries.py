@@ -7857,6 +7857,86 @@ def q_user_km_survival(sf_dir: str):
         "survival": np.round(surv, 6)})
 
 
+def q_user_logrank(sf_dir: str):
+    """Log-rank test (Mantel '66) between the even- and odd-user
+    cohorts' inter-purchase survival — "does cohort A churn back to
+    purchase faster?", the hypothesis-test companion of
+    ``q_user_km_survival``. Same one co-located LAG pass, now with a
+    cohort key; per pooled event time the hypergeometric moments
+    E₁ = d·n₁/n and V accumulate over the duration grid (driver
+    arithmetic, grid-bounded; at corpus scale quantize durations to
+    keep the grid bounded). χ² = (Σ(d₁−E₁))²/ΣV. Integer counts +
+    identically-sequenced float terms → SQL parity at 6 decimals."""
+    import pyarrow.parquet as _pq
+
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    ts_col = _pq.read_table(f"{sf_dir}/events.parquet",
+                            columns=["ts"])["ts"].to_pandas()
+    horizon = int(ts_col.astype("datetime64[us]").astype("int64")
+                  .max())
+
+    def durations(block: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"dur": pd.Series(dtype="int64"),
+                              "cens": pd.Series(dtype="int64"),
+                              "grp": pd.Series(dtype="int64"),
+                              "n": pd.Series(dtype="int64")})
+        b = block[block["event_type"] == "purchase"]
+        if b.empty:
+            return empty
+        b = b.sort_values(["user_id", "ts", "event_id"])
+        t = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = b["user_id"].to_numpy(np.int64)
+        same = np.r_[uid[1:] == uid[:-1], False]
+        dur = np.where(same, np.r_[t[1:], 0] - t, horizon - t)
+        return (pd.DataFrame({"dur": dur,
+                              "cens": (~same).astype(np.int64),
+                              "grp": uid % 2, "n": 1})
+                .groupby(["dur", "cens", "grp"], sort=False)
+                .sum().reset_index())
+
+    grid = grouped_aggregate(
+        grouped_apply(ds, ["user_id"], durations),
+        ["dur", "cens", "grp"], {"n": ("n", "sum")}).to_pandas()
+    total = int(grid["n"].sum())
+    total1 = int(grid.loc[grid["grp"] == 1, "n"].sum())
+    by_t = grid.groupby("dur").agg(all_n=("n", "sum")).reset_index() \
+        .sort_values("dur").reset_index(drop=True)
+    d_all = grid[grid["cens"] == 0].groupby("dur")["n"].sum()
+    d1 = grid[(grid["cens"] == 0) & (grid["grp"] == 1)] \
+        .groupby("dur")["n"].sum()
+    all1 = grid[grid["grp"] == 1].groupby("dur")["n"].sum()
+    by_t["d"] = by_t["dur"].map(d_all).fillna(0).astype(np.int64)
+    by_t["d1"] = by_t["dur"].map(d1).fillna(0).astype(np.int64)
+    by_t["a1"] = by_t["dur"].map(all1).fillna(0).astype(np.int64)
+    before = np.r_[0, np.cumsum(by_t["all_n"].to_numpy(np.int64))[:-1]]
+    before1 = np.r_[0, np.cumsum(by_t["a1"].to_numpy(np.int64))[:-1]]
+    n_risk = (total - before).astype(np.float64)
+    n1_risk = (total1 - before1).astype(np.float64)
+    ev = by_t["d"].to_numpy(np.float64)
+    ev1 = by_t["d1"].to_numpy(np.float64)
+    keep = (ev > 0)
+    n, n1, d, dd1 = n_risk[keep], n1_risk[keep], ev[keep], ev1[keep]
+    e1 = d * n1 / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        v = np.where(n > 1.0,
+                     d * (n1 / n) * (1.0 - n1 / n) * (n - d)
+                     / (n - 1.0), 0.0)
+    omE = float((dd1 - e1).sum())
+    V = float(v.sum())
+    chi2 = omE * omE / V
+    return pd.DataFrame({
+        "n_events_1": [np.int64(dd1.sum())],
+        "n_events_0": [np.int64((d - dd1).sum())],
+        "obs_minus_exp": [round(omE, 6)],
+        "variance": [round(V, 6)],
+        "chi2": [round(chi2, 6)]})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -7971,6 +8051,7 @@ def build_queries() -> dict:
         "q_events_kanonymity": q_events_kanonymity,
         "q_user_ab_assignment": q_user_ab_assignment,
         "q_user_km_survival": q_user_km_survival,
+        "q_user_logrank": q_user_logrank,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -10184,6 +10265,62 @@ def _build_oracle_sql_literal() -> dict:
                 FROM embeddings q CROSS JOIN embeddings e
                 WHERE q.vec_id < 3
             ) WHERE rk <= 5 ORDER BY query_idx, vec_id
+        """,
+        "q_user_logrank": """
+            WITH pp AS (
+                SELECT user_id, event_id, user_id % 2 AS grp,
+                       CAST(epoch_us(ts) AS BIGINT) AS t
+                FROM events WHERE event_type = 'purchase'),
+            h AS (SELECT max(CAST(epoch_us(ts) AS BIGINT)) AS horizon
+                  FROM events),
+            d AS (
+                SELECT grp,
+                       CASE WHEN lead(t) OVER w IS NULL
+                            THEN (SELECT horizon FROM h) - t
+                            ELSE lead(t) OVER w - t END AS dur,
+                       CASE WHEN lead(t) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS cens
+                FROM pp
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY t, event_id)),
+            grid AS (
+                SELECT dur, count(*) AS all_n, sum(1 - cens) AS dd,
+                       sum(CASE WHEN cens = 0 AND grp = 1
+                                THEN 1 ELSE 0 END) AS dd1,
+                       sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS a1
+                FROM d GROUP BY dur),
+            tot AS (SELECT sum(all_n) AS total, sum(a1) AS total1
+                    FROM grid),
+            r AS (
+                SELECT dur, dd, dd1,
+                       (SELECT total FROM tot)
+                       - coalesce(sum(all_n) OVER (
+                             ORDER BY dur
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS n,
+                       (SELECT total1 FROM tot)
+                       - coalesce(sum(a1) OVER (
+                             ORDER BY dur
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS n1
+                FROM grid),
+            terms AS (
+                SELECT dd, dd1,
+                       CAST(dd1 AS DOUBLE)
+                       - CAST(dd AS DOUBLE) * n1 / n AS om,
+                       CASE WHEN n > 1
+                            THEN CAST(dd AS DOUBLE)
+                                 * (CAST(n1 AS DOUBLE) / n)
+                                 * (1.0 - CAST(n1 AS DOUBLE) / n)
+                                 * (n - dd) / (n - 1.0)
+                            ELSE 0.0 END AS v
+                FROM r WHERE dd > 0)
+            SELECT CAST(sum(dd1) AS BIGINT) AS n_events_1,
+                   CAST(sum(dd - dd1) AS BIGINT) AS n_events_0,
+                   round(sum(om), 6) AS obs_minus_exp,
+                   round(sum(v), 6) AS variance,
+                   round(sum(om) * sum(om) / sum(v), 6) AS chi2
+            FROM terms
         """,
         "q_user_km_survival": """
             WITH pp AS (

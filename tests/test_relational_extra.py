@@ -1605,3 +1605,43 @@ def test_km_survival_matches_serial_estimator():
     sv = out["survival"].to_numpy()
     assert (np.diff(sv) <= 1e-9).all()
     assert sv[0] <= 1.0 and (sv >= 0).all()
+
+
+def test_logrank_matches_serial_hypergeometric():
+    from jerex_ray.pipelines.queries import q_user_logrank
+    out = q_user_logrank(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    horizon = int(ev["ts"].astype("datetime64[us]").astype("int64").max())
+    p = ev[ev["event_type"] == "purchase"] \
+        .sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for uid, g in p.groupby("user_id"):
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        grp = uid % 2
+        for a, b in zip(t, t[1:]):
+            rows.append((b - a, 0, grp))
+        rows.append((horizon - t[-1], 1, grp))
+    df = pd.DataFrame(rows, columns=["dur", "cens", "grp"]) \
+        .sort_values("dur")
+    total, total1 = len(df), int((df["grp"] == 1).sum())
+    seen = seen1 = 0
+    om = V = d1_tot = d0_tot = 0.0
+    for dur, g in df.groupby("dur"):
+        n = total - seen
+        n1 = total1 - seen1
+        d = int((g["cens"] == 0).sum())
+        d1 = int(((g["cens"] == 0) & (g["grp"] == 1)).sum())
+        if d > 0:
+            om += d1 - d * n1 / n
+            if n > 1:
+                V += d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1)
+            d1_tot += d1
+            d0_tot += d - d1
+        seen += len(g)
+        seen1 += int((g["grp"] == 1).sum())
+    assert out["n_events_1"] == d1_tot
+    assert out["n_events_0"] == d0_tot
+    assert abs(out["obs_minus_exp"] - om) < 5e-5
+    assert abs(out["variance"] - V) < 5e-5
+    assert abs(out["chi2"] - om * om / V) < 5e-4
+    assert out["chi2"] >= 0
