@@ -7385,7 +7385,9 @@ def emb_mrr(sf_dir: str, *, k: int = 10):
     its first same-label neighbor, 0 if none in the top-k. The
     per-label mean uses the half-away mirror; ranks are
     integer-exact so the SQL row_number oracle agrees on every
-    reciprocal."""
+    reciprocal. Scale note: eval queries are a BOUNDED set by
+    contract (here the labeled table itself) — at corpus scale you
+    sample the query side; the corpus side already streams."""
     import pyarrow.parquet as _pq
 
     from jerex_ray.ops.ann import brute_force_topk
@@ -7793,7 +7795,10 @@ def q_user_km_survival(sf_dir: str):
     distinct-duration grid; at-risk counts are a reverse cumulative
     sum on that grid and S(t) = exp(Σ ln(1−dᵢ/nᵢ)) accumulates with
     math.log/exp (glibc — the same libm DuckDB's ln/exp bind), so
-    the window-sum oracle matches at 6 decimals."""
+    the window-sum oracle matches at 6 decimals. Scale note: at
+    corpus scale quantize durations (seconds/minutes) so the grid
+    stays bounded — the estimator is unchanged on the quantized
+    grid."""
     import math
 
     import pyarrow.parquet as _pq
@@ -7937,6 +7942,72 @@ def q_user_logrank(sf_dir: str):
         "chi2": [round(chi2, 6)]})
 
 
+def q_user_cuped(sf_dir: str):
+    """CUPED variance reduction (Deng et al., WSDM '13) on the A/B
+    cohorts: per-user post-period mean value adjusted by the
+    pre-period covariate, θ = Σx̃ỹ/Σx̃² fitted globally, then per-arm
+    variance of Y vs Y_adj — the experimentation-platform op that
+    shrinks CIs without touching the treatment. Pre/post split at
+    the stream's timestamp midpoint; per-user means through ONE
+    combiner pass; θ and the per-arm two-pass variances run on the
+    user-bounded table. Same expression sequencing as the SQL
+    oracle; 6-decimal rounding absorbs sum-order dust."""
+    import pyarrow.parquet as _pq
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ts_col = _pq.read_table(f"{sf_dir}/events.parquet",
+                            columns=["ts"])["ts"].to_pandas() \
+        .astype("datetime64[us]").astype("int64")
+    mid = (int(ts_col.min()) + int(ts_col.max())) // 2
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        post = (t > mid).astype(np.int64)
+        return (pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                              "period": post,
+                              "s": df["value"].to_numpy(np.float64),
+                              "n": 1})
+                .groupby(["user_id", "period"], sort=False)
+                .sum().reset_index())
+
+    m = grouped_aggregate(
+        ds.map_batches(partials, batch_format="pandas",
+                       batch_size=8192),
+        ["user_id", "period"], {"s": ("s", "sum"), "n": ("n", "sum")},
+        result_hint="large").to_pandas()
+    wide = m.pivot(index="user_id", columns="period",
+                   values=["s", "n"])
+    both = wide.dropna()
+    x = (both[("s", 0)] / both[("n", 0)]).to_numpy(np.float64)
+    y = (both[("s", 1)] / both[("n", 1)]).to_numpy(np.float64)
+    uid = both.index.to_numpy(np.int64)
+    mx, my = x.mean(), y.mean()
+    theta = ((x - mx) * (y - my)).sum() / ((x - mx) * (x - mx)).sum()
+    yadj = y - theta * (x - mx)
+    def mirror(v: float) -> float:
+        return float(np.copysign(np.floor(abs(v) * 1e6 + 0.5), v)
+                     / 1e6)
+
+    rows = []
+    for arm in (0, 1):
+        sel = (uid % 2) == arm
+        ya, yj = y[sel], yadj[sel]
+        va = ((ya - ya.mean()) ** 2).sum() / len(ya)
+        vj = ((yj - yj.mean()) ** 2).sum() / len(yj)
+        rows.append((arm, len(ya), mirror(float(ya.mean())),
+                     mirror(float(yj.mean())), mirror(float(va)),
+                     mirror(float(vj)), mirror(float(theta)),
+                     mirror(float(1.0 - vj / va))))
+    return pd.DataFrame(rows, columns=[
+        "arm", "n_users", "mean_y", "mean_y_adj", "var_y",
+        "var_y_adj", "theta", "var_reduction"])
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -8052,6 +8123,7 @@ def build_queries() -> dict:
         "q_user_ab_assignment": q_user_ab_assignment,
         "q_user_km_survival": q_user_km_survival,
         "q_user_logrank": q_user_logrank,
+        "q_user_cuped": q_user_cuped,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -10265,6 +10337,54 @@ def _build_oracle_sql_literal() -> dict:
                 FROM embeddings q CROSS JOIN embeddings e
                 WHERE q.vec_id < 3
             ) WHERE rk <= 5 ORDER BY query_idx, vec_id
+        """,
+        "q_user_cuped": """
+            WITH b AS (
+                SELECT min(CAST(epoch_us(ts) AS BIGINT)) AS mn,
+                       max(CAST(epoch_us(ts) AS BIGINT)) AS mx
+                FROM events),
+            per AS (
+                SELECT user_id,
+                       CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                                 > (SELECT (mn + mx) // 2 FROM b)
+                            THEN 1 ELSE 0 END AS period,
+                       sum(CAST(value AS DOUBLE)) AS s,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+            w AS (
+                SELECT p0.user_id, p0.s / p0.n AS x, p1.s / p1.n AS y
+                FROM per p0 JOIN per p1 ON p0.user_id = p1.user_id
+                WHERE p0.period = 0 AND p1.period = 1),
+            mm AS (SELECT avg(x) AS mx, avg(y) AS my FROM w),
+            th AS (
+                SELECT sum((x - mm.mx) * (y - mm.my))
+                       / sum((x - mm.mx) * (x - mm.mx)) AS theta
+                FROM w, mm),
+            adj AS (
+                SELECT user_id % 2 AS arm, y,
+                       y - (SELECT theta FROM th)
+                           * (x - (SELECT mx FROM mm)) AS yadj
+                FROM w),
+            am AS (
+                SELECT arm, count(*) AS nu, avg(y) AS mya,
+                       avg(yadj) AS myj
+                FROM adj GROUP BY arm),
+            v AS (
+                SELECT adj.arm,
+                       sum((adj.y - am.mya) * (adj.y - am.mya))
+                           / max(am.nu) AS va,
+                       sum((adj.yadj - am.myj) * (adj.yadj - am.myj))
+                           / max(am.nu) AS vj
+                FROM adj JOIN am ON am.arm = adj.arm
+                GROUP BY adj.arm)
+            SELECT am.arm, CAST(am.nu AS BIGINT) AS n_users,
+                   round(am.mya, 6) AS mean_y,
+                   round(am.myj, 6) AS mean_y_adj,
+                   round(v.va, 6) AS var_y,
+                   round(v.vj, 6) AS var_y_adj,
+                   round((SELECT theta FROM th), 6) AS theta,
+                   round(1.0 - v.vj / v.va, 6) AS var_reduction
+            FROM am JOIN v USING (arm) ORDER BY am.arm
         """,
         "q_user_logrank": """
             WITH pp AS (

@@ -1645,3 +1645,35 @@ def test_logrank_matches_serial_hypergeometric():
     assert abs(out["variance"] - V) < 5e-5
     assert abs(out["chi2"] - om * om / V) < 5e-4
     assert out["chi2"] >= 0
+
+
+def test_cuped_matches_serial_and_reduces_variance():
+    from jerex_ray.pipelines.queries import q_user_cuped
+    out = q_user_cuped(SF).set_index("arm")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "value"]).to_pandas()
+    t = ev["ts"].astype("datetime64[us]").astype("int64")
+    mid = (int(t.min()) + int(t.max())) // 2
+    ev = ev.assign(period=(t > mid).astype(int))
+    per = ev.groupby(["user_id", "period"])["value"].mean().unstack()
+    per = per.dropna()
+    x, y = per[0].to_numpy(), per[1].to_numpy()
+    uid = per.index.to_numpy()
+    theta = ((x - x.mean()) * (y - y.mean())).sum() \
+        / ((x - x.mean()) ** 2).sum()
+    yadj = y - theta * (x - x.mean())
+    for arm in (0, 1):
+        sel = (uid % 2) == arm
+        ya, yj = y[sel], yadj[sel]
+        assert out.loc[arm, "n_users"] == sel.sum()
+        assert abs(out.loc[arm, "mean_y"] - ya.mean()) < 2e-6
+        va = ((ya - ya.mean()) ** 2).mean()
+        vj = ((yj - yj.mean()) ** 2).mean()
+        assert abs(out.loc[arm, "var_y"] - va) < 5e-5
+        assert abs(out.loc[arm, "var_y_adj"] - vj) < 5e-5
+        assert abs(out.loc[arm, "theta"] - theta) < 2e-6
+    # the global guarantee: theta is the OLS minimizer, so pooled
+    # variance can only drop (per-arm variance may wiggle either way)
+    vg = ((y - y.mean()) ** 2).mean()
+    vgj = ((yadj - yadj.mean()) ** 2).mean()
+    assert vgj <= vg + 1e-9
