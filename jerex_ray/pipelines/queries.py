@@ -8008,6 +8008,57 @@ def q_user_cuped(sf_dir: str):
         "var_y_adj", "theta", "var_reduction"])
 
 
+def q_events_changepoint(sf_dir: str):
+    """Single least-squares changepoint of the hourly event-count
+    series (the binary-segmentation step, Scott & Knott '74 /
+    ruptures' l2 model): argmin over split points of
+    SSE_left + SSE_right, each SSE = Σy² − (Σy)²/len from exact
+    integer prefix sums — so every candidate's cost is bit-identical
+    to the SQL window oracle and the argmin cannot flip (tie →
+    earliest hour). One combiner pass to the hour grid; the O(grid)
+    scan is vectorized on the driver."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].astype("datetime64[us]").astype("int64") \
+            // 3_600_000_000
+        g = pd.Series(h.to_numpy()).value_counts()
+        return pd.DataFrame({"hour": g.index.to_numpy(np.int64),
+                             "c": g.to_numpy(np.int64)})
+
+    m = grouped_aggregate(
+        ds.map_batches(partials, batch_format="pandas",
+                       batch_size=65536),
+        ["hour"], {"c": ("c", "sum")}) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    y = m["c"].to_numpy(np.float64)
+    hr = m["hour"].to_numpy(np.int64)
+    n = len(y)
+    s = np.cumsum(y)
+    s2 = np.cumsum(y * y)
+    tot_s, tot_s2 = s[-1], s2[-1]
+    k = np.arange(1, n)                  # left segment = [0, k)
+    sse_l = s2[k - 1] - (s[k - 1] * s[k - 1]) / k
+    sse_r = (tot_s2 - s2[k - 1]) \
+        - ((tot_s - s[k - 1]) * (tot_s - s[k - 1])) / (n - k)
+    cost = sse_l + sse_r
+    best = np.lexsort((hr[k], cost))[0]  # cost ASC, hour ASC
+    kb = int(k[best])
+    sse_tot = tot_s2 - (tot_s * tot_s) / n
+    return pd.DataFrame({
+        "split_hour": [np.int64(hr[kb])],
+        "n_left": [np.int64(kb)], "n_right": [np.int64(n - kb)],
+        "mean_left": [round(float(s[kb - 1] / kb), 6)],
+        "mean_right": [round(float((tot_s - s[kb - 1]) / (n - kb)),
+                             6)],
+        "sse_total": [round(float(sse_tot), 6)],
+        "sse_split": [round(float(cost[best]), 6)]})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -8124,6 +8175,7 @@ def build_queries() -> dict:
         "q_user_km_survival": q_user_km_survival,
         "q_user_logrank": q_user_logrank,
         "q_user_cuped": q_user_cuped,
+        "q_events_changepoint": q_events_changepoint,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -10337,6 +10389,54 @@ def _build_oracle_sql_literal() -> dict:
                 FROM embeddings q CROSS JOIN embeddings e
                 WHERE q.vec_id < 3
             ) WHERE rk <= 5 ORDER BY query_idx, vec_id
+        """,
+        "q_events_changepoint": """
+            WITH g AS (
+                SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                           AS hour,
+                       count(*) AS c
+                FROM events GROUP BY 1),
+            o AS (
+                SELECT hour, CAST(c AS DOUBLE) AS y,
+                       row_number() OVER (ORDER BY hour) AS i,
+                       sum(CAST(c AS DOUBLE)) OVER (ORDER BY hour)
+                           AS s,
+                       sum(CAST(c AS DOUBLE) * c) OVER
+                           (ORDER BY hour) AS s2
+                FROM g),
+            tot AS (SELECT max(s) AS ts_, max(s2) AS ts2,
+                           max(i) AS n
+                    FROM o),
+            cand AS (
+                SELECT o2.hour AS split_hour, o.i AS k,
+                       o.s, o.s2
+                FROM o JOIN o o2 ON o2.i = o.i + 1),
+            cost AS (
+                SELECT split_hour, k,
+                       (s2 - (s * s) / k)
+                       + (((SELECT ts2 FROM tot) - s2)
+                          - (((SELECT ts_ FROM tot) - s)
+                             * ((SELECT ts_ FROM tot) - s))
+                            / ((SELECT n FROM tot) - k)) AS sse,
+                       s
+                FROM cand),
+            best AS (
+                SELECT * FROM cost
+                ORDER BY sse ASC, split_hour ASC LIMIT 1)
+            SELECT split_hour,
+                   CAST(k AS BIGINT) AS n_left,
+                   CAST((SELECT n FROM tot) - k AS BIGINT)
+                       AS n_right,
+                   round(s / k, 6) AS mean_left,
+                   round(((SELECT ts_ FROM tot) - s)
+                         / ((SELECT n FROM tot) - k), 6)
+                       AS mean_right,
+                   round((SELECT ts2 FROM tot)
+                         - ((SELECT ts_ FROM tot)
+                            * (SELECT ts_ FROM tot))
+                           / (SELECT n FROM tot), 6) AS sse_total,
+                   round(sse, 6) AS sse_split
+            FROM best
         """,
         "q_user_cuped": """
             WITH b AS (

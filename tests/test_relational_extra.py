@@ -1677,3 +1677,28 @@ def test_cuped_matches_serial_and_reduces_variance():
     vg = ((y - y.mean()) ** 2).mean()
     vgj = ((yadj - yadj.mean()) ** 2).mean()
     assert vgj <= vg + 1e-9
+
+
+def test_changepoint_matches_exhaustive_scan():
+    from jerex_ray.pipelines.queries import q_events_changepoint
+    out = q_events_changepoint(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    h = ev["ts"].astype("datetime64[us]").astype("int64") \
+        // 3_600_000_000
+    c = pd.Series(h.to_numpy()).value_counts().sort_index()
+    y = c.to_numpy(np.float64)
+    hr = c.index.to_numpy()
+    n = len(y)
+    best = (np.inf, None)
+    for k in range(1, n):
+        l, r = y[:k], y[k:]
+        sse = ((l - l.mean()) ** 2).sum() + ((r - r.mean()) ** 2).sum()
+        if sse < best[0] - 1e-9:
+            best = (sse, k)
+    k = best[1]
+    assert out["split_hour"] == hr[k]
+    assert out["n_left"] == k and out["n_right"] == n - k
+    assert abs(out["sse_split"] - best[0]) < 1e-3
+    assert abs(out["mean_left"] - y[:k].mean()) < 2e-6
+    assert abs(out["mean_right"] - y[k:].mean()) < 2e-6
+    assert out["sse_split"] <= out["sse_total"] + 1e-9
