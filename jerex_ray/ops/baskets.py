@@ -105,3 +105,118 @@ def association_rules(pairs_ds, *, basket_col: str, item_col: str,
             "lift": np.round(float(n_baskets) * cab / (ca * cb), 6)})
 
     return pair_counts.map_batches(score, batch_format="pandas")
+
+
+def frequent_triples(pairs_ds, *, basket_col: str, item_col: str,
+                     min_count: int = 2,
+                     num_partitions: int | None = None) -> pd.DataFrame:
+    """Apriori level 3 (Agrawal & Srikant '94, with the real
+    candidate-generation + pruning step): frequent 3-itemsets over
+    baskets.
+
+    1. Frequent pairs from the wedge pass (anti-monotonicity: any
+       frequent triple's pairs are at least as frequent, so pruning
+       at the SAME min_count is lossless).
+    2. Candidate triples joined on a shared prefix — (a,b)+(a,c) →
+       (a,b,c) kept only if (b,c) is also frequent — on the driver
+       over the PAIR-BOUNDED table.
+    3. Support counting streams baskets once: block-local joins of
+       (basket, item) rows against the broadcast candidate prefix,
+       then two membership semi-joins — never a full 3-way item
+       explosion.
+
+    Returns (item_a, item_b, item_c, support_count) with
+    support_count ≥ min_count, integer-exact vs the SQL 3-way
+    self-join oracle."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+
+    inc = grouped_aggregate(pairs_ds, [basket_col, item_col],
+                            {"n": (None, "count")},
+                            num_partitions=num_partitions) \
+        .drop_columns(["n"]).materialize()
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"ia": pd.Series(dtype="int64"),
+                                 "ib": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        m = df.merge(df, on=basket_col)
+        xa, xb = f"{item_col}_x", f"{item_col}_y"
+        m = m[m[xa] < m[xb]]
+        g = m.groupby([xa, xb], sort=False).size().reset_index(name="c")
+        return pd.DataFrame({"ia": g[xa].to_numpy(),
+                             "ib": g[xb].to_numpy(),
+                             "c": g["c"].to_numpy(np.int64)})
+
+    pairs = grouped_aggregate(
+        grouped_apply(inc, [basket_col], wedges,
+                      num_partitions=num_partitions),
+        ["ia", "ib"], {"cab": ("c", "sum")},
+        num_partitions=num_partitions).to_pandas()
+    EMPTY = pd.DataFrame({"item_a": pd.Series(dtype="int64"),
+                          "item_b": pd.Series(dtype="int64"),
+                          "item_c": pd.Series(dtype="int64"),
+                          "support_count": pd.Series(dtype="int64")})
+    if pairs.empty or "cab" not in pairs.columns:
+        return EMPTY
+    freq = pairs[pairs["cab"] >= min_count][["ia", "ib"]]
+    if freq.empty:
+        return EMPTY
+    # candidate gen: shared first item, then prune on the (b, c) pair
+    cand = freq.merge(freq, on="ia")
+    cand = cand[cand["ib_x"] < cand["ib_y"]].rename(
+        columns={"ib_x": "b", "ib_y": "c", "ia": "a"})
+    pairset = set(zip(freq["ia"], freq["ib"]))
+    keep = [
+        (a, b, c) for a, b, c in zip(cand["a"], cand["b"], cand["c"])
+        if (b, c) in pairset]
+    if not keep:
+        return EMPTY
+    cand_df = pd.DataFrame(keep, columns=["a", "b", "c"])
+    cand_ref = ray.put(cand_df)
+
+    def count_triples(df: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                  "b": pd.Series(dtype="int64"),
+                                  "c": pd.Series(dtype="int64"),
+                                  "n": pd.Series(dtype="int64")})
+        if df.empty:
+            return out_empty
+        cd = ray.get(cand_ref)
+        items = df.rename(columns={item_col: "item"})
+        j = items.merge(cd, left_on="item", right_on="a")
+        if j.empty:
+            return out_empty
+        # membership semi-joins for b and c inside the same basket
+        key = items[[basket_col, "item"]]
+        j = j.merge(key, left_on=[basket_col, "b"],
+                    right_on=[basket_col, "item"],
+                    suffixes=("", "_b"))
+        if j.empty:
+            return out_empty
+        j = j.merge(key, left_on=[basket_col, "c"],
+                    right_on=[basket_col, "item"],
+                    suffixes=("", "_c"))
+        if j.empty:
+            return out_empty
+        g = j.groupby(["a", "b", "c"], sort=False).size() \
+            .reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    counts = grouped_aggregate(
+        grouped_apply(inc, [basket_col], count_triples,
+                      num_partitions=num_partitions),
+        ["a", "b", "c"], {"n": ("n", "sum")},
+        num_partitions=num_partitions).to_pandas()
+    if counts.empty or "n" not in counts.columns:
+        return EMPTY
+    out = counts[counts["n"] >= min_count].rename(
+        columns={"a": "item_a", "b": "item_b", "c": "item_c",
+                 "n": "support_count"})
+    for col in out.columns:
+        out[col] = out[col].astype("int64")
+    return out.sort_values(["item_a", "item_b", "item_c"]) \
+        .reset_index(drop=True)

@@ -8059,6 +8059,23 @@ def q_events_changepoint(sf_dir: str):
         "sse_split": [round(float(cost[best]), 6)]})
 
 
+def q_basket_triples(sf_dir: str):
+    """Frequent 3-itemsets over order baskets — Apriori proper
+    (``ops/baskets.frequent_triples``): frequent pairs → prefix-join
+    candidate generation with (b,c) pruning (anti-monotone, lossless
+    at the shared min_count) → one streaming support-count pass with
+    block-local membership semi-joins. Integer-exact vs the 3-way
+    self-join SQL oracle (which needs no pruning — it IS the ground
+    truth the pruned engine must reproduce)."""
+    from jerex_ray.ops.baskets import frequent_triples
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    return frequent_triples(li, basket_col="l_orderkey",
+                            item_col="l_partkey", min_count=2)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -8176,6 +8193,7 @@ def build_queries() -> dict:
         "q_user_logrank": q_user_logrank,
         "q_user_cuped": q_user_cuped,
         "q_events_changepoint": q_events_changepoint,
+        "q_basket_triples": q_basket_triples,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -11125,6 +11143,18 @@ def _build_oracle_sql_literal() -> dict:
         "q_lineitem_zorder": _zorder_oracle_sql(),
         "q_events_partition_plan": _partition_plan_oracle_sql(),
         "q_events_bootstrap_ci": _bootstrap_ci_oracle_sql(),
+        "q_basket_triples": """
+            WITH inc AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+                FROM lineitem)
+            SELECT a.i AS item_a, b.i AS item_b, c.i AS item_c,
+                   count(*) AS support_count
+            FROM inc a JOIN inc b ON a.o = b.o AND a.i < b.i
+                       JOIN inc c ON a.o = c.o AND b.i < c.i
+            GROUP BY a.i, b.i, c.i
+            HAVING count(*) >= 2
+            ORDER BY item_a, item_b, item_c
+        """,
         "q_basket_rules": """
             WITH inc AS MATERIALIZED (
                 SELECT DISTINCT l_orderkey AS o, l_partkey AS i

@@ -1702,3 +1702,26 @@ def test_changepoint_matches_exhaustive_scan():
     assert abs(out["mean_left"] - y[:k].mean()) < 2e-6
     assert abs(out["mean_right"] - y[k:].mean()) < 2e-6
     assert out["sse_split"] <= out["sse_total"] + 1e-9
+
+
+def test_frequent_triples_match_bruteforce_apriori():
+    from itertools import combinations
+    from jerex_ray.pipelines.queries import q_basket_triples
+    out = q_basket_triples(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    inc = li.drop_duplicates()
+    from collections import Counter
+    c = Counter()
+    for _, g in inc.groupby("l_orderkey"):
+        for t in combinations(sorted(g["l_partkey"]), 3):
+            c[t] += 1
+    want = sorted(t for t, n in c.items() if n >= 2)
+    got = sorted(map(tuple, out[["item_a", "item_b", "item_c"]]
+                     .itertuples(index=False)))
+    assert got == want and len(got) > 0
+    for t, n in c.items():
+        if n >= 2:
+            row = out[(out["item_a"] == t[0]) & (out["item_b"] == t[1])
+                      & (out["item_c"] == t[2])]
+            assert int(row["support_count"].iloc[0]) == n
