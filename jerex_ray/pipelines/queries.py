@@ -8076,6 +8076,51 @@ def q_basket_triples(sf_dir: str):
                             item_col="l_partkey", min_count=2)
 
 
+def q_events_hill_tail(sf_dir: str, *, k: int = 200):
+    """Hill estimator of the value distribution's tail index (Hill
+    '75) over the top-k order statistics — the heavy-tail audit that
+    decides whether means/variances are even finite:
+    α̂ = k / Σ ln(x_(i)/x_(k+1)). The top-(k+1) values come from a
+    per-block partial top-k + single merge (no global sort); logs
+    accumulate with math.log (glibc = DuckDB ln). Deterministic
+    ties via value ordering only (order statistics, ids
+    irrelevant); 6-decimal rounding."""
+    import math
+
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["value"])
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return pd.DataFrame({"v": pd.Series(dtype="float64")})
+        top = np.sort(v)[-(k + 1):]
+        return pd.DataFrame({"v": top})
+
+    def merge_top(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["v"].to_numpy(np.float64))[-(k + 1):]
+        return pd.DataFrame({"v": v})
+
+    top = grouped_apply(
+        ds.map_batches(local_top, batch_format="pandas",
+                       batch_size=65536),
+        [], merge_top, single_block=True).to_pandas()
+    v = np.sort(top["v"].to_numpy(np.float64))[::-1]
+    xk1 = float(v[k])
+    logs = [math.log(float(x) / xk1) for x in v[:k]]
+    ssum = float(np.sum(logs))
+    alpha = k / ssum
+    return pd.DataFrame({
+        "k": [np.int64(k)],
+        "x_k1": [round(xk1, 6)],
+        "log_sum": [round(ssum, 6)],
+        "alpha": [round(alpha, 6)]})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -8194,6 +8239,7 @@ def build_queries() -> dict:
         "q_user_cuped": q_user_cuped,
         "q_events_changepoint": q_events_changepoint,
         "q_basket_triples": q_basket_triples,
+        "q_events_hill_tail": q_events_hill_tail,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -10407,6 +10453,23 @@ def _build_oracle_sql_literal() -> dict:
                 FROM embeddings q CROSS JOIN embeddings e
                 WHERE q.vec_id < 3
             ) WHERE rk <= 5 ORDER BY query_idx, vec_id
+        """,
+        "q_events_hill_tail": """
+            WITH t AS (
+                SELECT CAST(value AS DOUBLE) AS v FROM events
+                WHERE value IS NOT NULL
+                ORDER BY v DESC LIMIT 201),
+            r AS (SELECT v, row_number() OVER (ORDER BY v DESC)
+                      AS rk
+                  FROM t),
+            xk AS (SELECT v AS xk1 FROM r WHERE rk = 201),
+            s AS (SELECT sum(ln(v / (SELECT xk1 FROM xk))) AS ls
+                  FROM r WHERE rk <= 200)
+            SELECT CAST(200 AS BIGINT) AS k,
+                   round((SELECT xk1 FROM xk), 6) AS x_k1,
+                   round(s.ls, 6) AS log_sum,
+                   round(200 / s.ls, 6) AS alpha
+            FROM s
         """,
         "q_events_changepoint": """
             WITH g AS (

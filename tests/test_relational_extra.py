@@ -1725,3 +1725,20 @@ def test_frequent_triples_match_bruteforce_apriori():
             row = out[(out["item_a"] == t[0]) & (out["item_b"] == t[1])
                       & (out["item_c"] == t[2])]
             assert int(row["support_count"].iloc[0]) == n
+
+
+def test_hill_tail_matches_serial_estimator():
+    import math
+    from jerex_ray.pipelines.queries import q_events_hill_tail
+    out = q_events_hill_tail(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["value"]).to_pandas()
+    v = np.sort(ev["value"].to_numpy(np.float64))[::-1]
+    k = 200
+    xk1 = v[k]
+    ls = sum(math.log(x / xk1) for x in v[:k])
+    assert out["k"] == k
+    assert abs(out["x_k1"] - xk1) < 1e-9
+    assert abs(out["log_sum"] - ls) < 2e-6
+    assert abs(out["alpha"] - k / ls) < 2e-6
+    assert out["alpha"] > 0
