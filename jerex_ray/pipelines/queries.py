@@ -8121,6 +8121,61 @@ def q_events_hill_tail(sf_dir: str, *, k: int = 200):
         "alpha": [round(alpha, 6)]})
 
 
+def emb_ndcg(sf_dir: str, *, k: int = 10):
+    """NDCG@10 per label with binary same-label relevance — the
+    graded companion of ``emb_mrr`` over the same oracle-proven
+    exact top-k kernel: DCG = Σ rel_r/log2(r+1) over each query's
+    top-k (self excluded), IDCG from the label's achievable ideal
+    (min(k, label size − 1)); math.log2 = glibc = DuckDB log2, so
+    every discount matches bit-for-bit; per-label means mirror-
+    rounded. Eval queries are a bounded set by contract (sample the
+    query side at corpus scale)."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    from jerex_ray.ops.ann import brute_force_topk
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    qdf = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"]) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    top = brute_force_topk(ds, np.stack(qdf["embedding"].to_numpy()),
+                           k=k + 1)
+    qid = qdf["vec_id"].to_numpy()
+    labels = dict(zip(qdf["vec_id"], qdf["label"].astype(int)))
+    lab_sizes = qdf["label"].astype(int).value_counts().to_dict()
+    disc = {r: 1.0 / math.log2(r + 1.0) for r in range(1, k + 1)}
+    t = top.copy()
+    t["qvec"] = qid[t["query_idx"].to_numpy()]
+    t = t[t["vec_id"] != t["qvec"]]
+    t["rk"] = t.groupby("qvec", sort=False).cumcount() + 1
+    t = t[t["rk"] <= k]
+    t["rel"] = (t["vec_id"].map(labels).to_numpy()
+                == t["qvec"].map(labels).to_numpy())
+    dcg = (t[t["rel"]].assign(d=lambda d: d["rk"].map(disc))
+           .groupby("qvec")["d"].sum())
+    rows = {}
+    for v in qid:
+        lab = labels[v]
+        r_max = min(k, lab_sizes[lab] - 1)
+        idcg = sum(disc[r] for r in range(1, r_max + 1))
+        nd = float(dcg.get(v, 0.0)) / idcg
+        rows.setdefault(lab, []).append(nd)
+    out = pd.DataFrame(
+        [(lab, len(vals),
+          float(np.copysign(np.floor(abs(np.sum(vals) / len(vals))
+                                     * 1e6 + 0.5),
+                            np.sum(vals) / len(vals)) / 1e6))
+         for lab, vals in sorted(rows.items())],
+        columns=["label", "n_queries", "ndcg"])
+    out["label"] = out["label"].astype("int64")
+    out["n_queries"] = out["n_queries"].astype("int64")
+    return out
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -8240,6 +8295,7 @@ def build_queries() -> dict:
         "q_events_changepoint": q_events_changepoint,
         "q_basket_triples": q_basket_triples,
         "q_events_hill_tail": q_events_hill_tail,
+        "emb_ndcg": emb_ndcg,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -10824,6 +10880,47 @@ def _build_oracle_sql_literal() -> dict:
                    round((SELECT quantile_cont(slope, 0.5) FROM p), 6)
                        AS theilsen_slope,
                    round((SELECT sl FROM ols), 6) AS ols_slope
+        """,
+        "emb_ndcg": """
+            WITH nn AS (
+                SELECT q.vec_id AS qv, q.label AS ql,
+                       e.label AS el,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding, q.embedding) DESC,
+                                    e.vec_id) AS rk
+                FROM embeddings q JOIN embeddings e
+                     ON e.vec_id <> q.vec_id),
+            dcg AS (
+                SELECT qv,
+                       sum(CASE WHEN el = ql
+                                THEN 1.0 / log2(CAST(rk AS DOUBLE)
+                                                + 1.0)
+                                ELSE 0.0 END) AS dcg
+                FROM nn WHERE rk <= 10 GROUP BY qv),
+            labcnt AS (
+                SELECT label, count(*) AS c
+                FROM embeddings GROUP BY label),
+            idcg AS (
+                SELECT l.label,
+                       sum(1.0 / log2(CAST(r.g AS DOUBLE) + 1.0))
+                           AS idcg
+                FROM labcnt l,
+                     LATERAL (SELECT unnest(range(1,
+                         CAST(least(10, l.c - 1) AS BIGINT) + 1))
+                         AS g) r
+                GROUP BY l.label),
+            nd AS (
+                SELECT a.label,
+                       coalesce(dcg.dcg, 0.0) / idcg.idcg AS ndcg
+                FROM embeddings a
+                LEFT JOIN dcg ON dcg.qv = a.vec_id
+                JOIN idcg ON idcg.label = a.label)
+            SELECT CAST(label AS BIGINT) AS label,
+                   count(*) AS n_queries,
+                   round(sum(ndcg) / count(*), 6) AS ndcg
+            FROM nd GROUP BY label ORDER BY label
         """,
         "emb_mrr": """
             WITH nn AS (

@@ -341,3 +341,33 @@ def test_mrr_matches_serial_ranking():
         assert abs(out.loc[lab, "mrr"]
                    - round(sum(vals) / len(vals), 6)) < 2e-6
     assert (out["mrr"] > 0).any()
+
+
+def test_ndcg_matches_serial_ranking():
+    import math
+    from jerex_ray.pipelines.queries import emb_ndcg
+    sf = "/root/testdata/sf0.001"
+    out = emb_ndcg(sf).set_index("label")
+    import pyarrow.parquet as pq
+    df = pq.read_table(f"{sf}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = x @ x.T
+    labels = df["label"].astype(int).to_numpy()
+    ids = df["vec_id"].to_numpy()
+    sizes = pd.Series(labels).value_counts().to_dict()
+    vals = {}
+    for i in range(len(df)):
+        order = np.lexsort((ids, -sims[i]))
+        order = order[ids[order] != ids[i]][:10]
+        dcg = sum(1.0 / math.log2(r + 2)
+                  for r, j in enumerate(order)
+                  if labels[j] == labels[i])
+        rmax = min(10, sizes[labels[i]] - 1)
+        idcg = sum(1.0 / math.log2(r + 1) for r in range(1, rmax + 1))
+        vals.setdefault(labels[i], []).append(dcg / idcg)
+    for lab, vs in vals.items():
+        assert out.loc[lab, "n_queries"] == len(vs)
+        assert abs(out.loc[lab, "ndcg"] - sum(vs) / len(vs)) < 2e-6
+    assert ((out["ndcg"] >= 0) & (out["ndcg"] <= 1 + 1e-9)).all()
