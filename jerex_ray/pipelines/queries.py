@@ -8176,6 +8176,42 @@ def emb_ndcg(sf_dir: str, *, k: int = 10):
     return out
 
 
+def emb_ivf_recall(sf_dir: str, *, k: int = 10):
+    """Recall@10 of the IVF index against exact brute force as a
+    function of n_probe — the accuracy/cost curve every ANN
+    deployment tunes, surfaced as a first-class result instead of a
+    hidden pytest number. One exact pass (the oracle-proven kernel)
+    + one IVF pass per probe setting over the SAME fixed query set;
+    recall = |ivf ∩ exact| / k averaged over queries. Rows-only
+    (approximate by design); monotone-recall and floor invariants
+    are pytest-gated."""
+    import pyarrow.parquet as _pq
+
+    from jerex_ray.ops.ann import brute_force_topk, ivf_topk
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    qdf = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]) \
+        .to_pandas().sort_values("vec_id").head(64) \
+        .reset_index(drop=True)
+    queries = np.stack(qdf["embedding"].to_numpy())
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    exact = brute_force_topk(ds, queries, k=k)
+    truth = {qi: set(g["vec_id"]) for qi, g in
+             exact.groupby("query_idx")}
+    rows = []
+    for n_probe in (1, 2, 4, 16):   # 16 = n_cells: full probe == exact
+        approx = ivf_topk(ds, queries, k=k, n_probe=n_probe)
+        got = {qi: set(g["vec_id"]) for qi, g in
+               approx.groupby("query_idx")}
+        rec = np.mean([len(got.get(qi, set()) & t) / len(t)
+                       for qi, t in truth.items()])
+        rows.append((n_probe, len(truth), round(float(rec), 6)))
+    return pd.DataFrame(rows, columns=["n_probe", "n_queries",
+                                       "recall_at_10"])
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -8296,6 +8332,7 @@ def build_queries() -> dict:
         "q_basket_triples": q_basket_triples,
         "q_events_hill_tail": q_events_hill_tail,
         "emb_ndcg": emb_ndcg,
+        "emb_ivf_recall": emb_ivf_recall,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,

@@ -371,3 +371,15 @@ def test_ndcg_matches_serial_ranking():
         assert out.loc[lab, "n_queries"] == len(vs)
         assert abs(out.loc[lab, "ndcg"] - sum(vs) / len(vs)) < 2e-6
     assert ((out["ndcg"] >= 0) & (out["ndcg"] <= 1 + 1e-9)).all()
+
+
+def test_ivf_recall_curve_monotone_and_high_at_full_probe():
+    from jerex_ray.pipelines.queries import emb_ivf_recall
+    out = emb_ivf_recall("/root/testdata/sf0.001")
+    assert list(out["n_probe"]) == [1, 2, 4, 16]
+    r = out["recall_at_10"].to_numpy()
+    # probing more cells can only help (same index, same queries)
+    assert (np.diff(r) >= -1e-9).all()
+    # probing every cell degenerates to brute force -> exact recall
+    assert r[-1] >= 1.0 - 1e-9
+    assert (out["n_queries"] > 0).all()
