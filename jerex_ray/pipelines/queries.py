@@ -8212,6 +8212,56 @@ def emb_ivf_recall(sf_dir: str, *, k: int = 10):
                                        "recall_at_10"])
 
 
+def q_join_skew_audit(sf_dir: str):
+    """Pre-join skew diagnostic for orders⋈lineitem on orderkey —
+    the audit you run BEFORE committing to a hash join at scale:
+    per-side key-fanout distribution (n_keys, total, max, exact
+    p50/p99 of rows-per-key via the shuffle-free quantile selector
+    over the key-cardinality-bounded counts Dataset — never
+    collected). A hot key on both sides multiplies; the planner
+    (``q_events_partition_plan``) is the mitigation. Integer counts
+    + quantile_cont-parity percentiles; SQL-oracled."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    sides = [
+        ("lineitem", read_parquet_sized(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]),
+         "l_orderkey"),
+        ("orders", read_parquet_sized(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey"]),
+         "o_orderkey"),
+    ]
+    rows = []
+    for name, ds, key in sides:
+        counts = grouped_aggregate(ds, [key], {"n": (None, "count")},
+                                   result_hint="large").materialize()
+
+        def as_float(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"n": df["n"].to_numpy(np.float64)})
+
+        cf = counts.map_batches(as_float, batch_format="pandas")
+        p50, p99 = distributed_quantiles(cf, "n", [0.5, 0.99])
+        stats = grouped_aggregate(
+            counts.map_batches(
+                lambda df: pd.DataFrame(
+                    {"__all": [0], "keys": [len(df)],
+                     "total": [int(df["n"].sum())],
+                     "mx": [int(df["n"].max()) if len(df) else 0]}),
+                batch_format="pandas", batch_size=None),
+            ["__all"], {"keys": ("keys", "sum"),
+                        "total": ("total", "sum"),
+                        "mx": ("mx", "max")}).to_pandas().iloc[0]
+        rows.append((name, np.int64(stats["keys"]),
+                     np.int64(stats["total"]), np.int64(stats["mx"]),
+                     round(float(p50), 6), round(float(p99), 6)))
+    return pd.DataFrame(rows, columns=["side", "n_keys", "total_rows",
+                                       "max_rows", "p50_rows",
+                                       "p99_rows"]) \
+        .sort_values("side").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -8333,6 +8383,7 @@ def build_queries() -> dict:
         "q_events_hill_tail": q_events_hill_tail,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
+        "q_join_skew_audit": q_join_skew_audit,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_incremental": dedup_incremental,
@@ -10546,6 +10597,32 @@ def _build_oracle_sql_literal() -> dict:
                 FROM embeddings q CROSS JOIN embeddings e
                 WHERE q.vec_id < 3
             ) WHERE rk <= 5 ORDER BY query_idx, vec_id
+        """,
+        "q_join_skew_audit": """
+            WITH lc AS (
+                SELECT l_orderkey AS k, count(*) AS n
+                FROM lineitem GROUP BY 1),
+            oc AS (
+                SELECT o_orderkey AS k, count(*) AS n
+                FROM orders GROUP BY 1),
+            l AS (
+                SELECT 'lineitem' AS side, count(*) AS n_keys,
+                       sum(n) AS total_rows, max(n) AS max_rows,
+                       quantile_cont(CAST(n AS DOUBLE), 0.5) AS p50,
+                       quantile_cont(CAST(n AS DOUBLE), 0.99) AS p99
+                FROM lc),
+            o AS (
+                SELECT 'orders' AS side, count(*) AS n_keys,
+                       sum(n) AS total_rows, max(n) AS max_rows,
+                       quantile_cont(CAST(n AS DOUBLE), 0.5) AS p50,
+                       quantile_cont(CAST(n AS DOUBLE), 0.99) AS p99
+                FROM oc)
+            SELECT side, CAST(n_keys AS BIGINT) AS n_keys,
+                   CAST(total_rows AS BIGINT) AS total_rows,
+                   CAST(max_rows AS BIGINT) AS max_rows,
+                   round(p50, 6) AS p50_rows, round(p99, 6) AS p99_rows
+            FROM (SELECT * FROM l UNION ALL SELECT * FROM o)
+            ORDER BY side
         """,
         "q_events_hill_tail": """
             WITH t AS (

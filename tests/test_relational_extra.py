@@ -1742,3 +1742,21 @@ def test_hill_tail_matches_serial_estimator():
     assert abs(out["log_sum"] - ls) < 2e-6
     assert abs(out["alpha"] - k / ls) < 2e-6
     assert out["alpha"] > 0
+
+
+def test_join_skew_audit_matches_serial_counts():
+    from jerex_ray.pipelines.queries import q_join_skew_audit
+    out = q_join_skew_audit(SF).set_index("side")
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey"]).to_pandas()
+    lc = li.groupby("l_orderkey").size().to_numpy(np.float64)
+    assert out.loc["lineitem", "n_keys"] == len(lc)
+    assert out.loc["lineitem", "total_rows"] == len(li)
+    assert out.loc["lineitem", "max_rows"] == lc.max()
+    assert abs(out.loc["lineitem", "p50_rows"]
+               - np.quantile(lc, 0.5)) < 2e-6
+    assert abs(out.loc["lineitem", "p99_rows"]
+               - np.quantile(lc, 0.99)) < 2e-6
+    # orders side: primary key, every count is exactly 1
+    assert out.loc["orders", "max_rows"] == 1
+    assert out.loc["orders", "p99_rows"] == 1.0
