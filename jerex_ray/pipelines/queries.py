@@ -8262,6 +8262,205 @@ def q_join_skew_audit(sf_dir: str):
         .sort_values("side").reset_index(drop=True)
 
 
+def q_events_mutual_info(sf_dir: str):
+    """Mutual information (nats) between event type and hour-of-day —
+    the dependence audit behind 'is traffic mix time-shifted?': one
+    combiner pass reduces the corpus to the type × 24-hour joint grid
+    (vocabulary-bounded, never more than #types·24 rows leave the
+    scan), marginals and MI = Σ p_xy·ln(p_xy/(p_x·p_y)) on the
+    driver with math.log (glibc = DuckDB ln). Also H(type), H(hour)
+    and the normalized NMI = MI/√(H_x·H_y); 6-decimal rounding
+    absorbs the ~200-term summation-order dust."""
+    import math
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def joint(df: pd.DataFrame) -> pd.DataFrame:
+        hod = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 3_600_000_000) % 24
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "hod": hod.to_numpy(np.int64),
+            "n": 1}).groupby(["event_type", "hod"],
+                             sort=False).sum().reset_index()
+
+    jt = grouped_aggregate(
+        ds.map_batches(joint, batch_format="pandas", batch_size=65536),
+        ["event_type", "hod"], {"n": ("n", "sum")}).to_pandas() \
+        .sort_values(["event_type", "hod"]).reset_index(drop=True)
+    n = float(jt["n"].sum())
+    px = jt.groupby("event_type")["n"].sum() / n
+    py = jt.groupby("hod")["n"].sum() / n
+    mi = 0.0
+    for t, h, c in zip(jt["event_type"], jt["hod"], jt["n"]):
+        pxy = c / n
+        mi += pxy * math.log(pxy / (float(px[t]) * float(py[h])))
+    hx = -sum(p * math.log(p) for p in px.sort_index())
+    hy = -sum(p * math.log(p) for p in py.sort_index())
+    return pd.DataFrame({
+        "n": [np.int64(n)],
+        "h_type": [round(hx, 6)], "h_hour": [round(hy, 6)],
+        "mi": [round(mi, 6)],
+        "nmi": [round(mi / math.sqrt(hx * hy), 6)]})
+
+
+def q_events_drawdown(sf_dir: str):
+    """Maximum drawdown of the cumulative hourly net event value —
+    the risk/monitoring primitive (how far below its running peak did
+    the cumulative series fall, and where). EXACT integer cents
+    throughout: one combiner pass to per-hour Σcents (int64), then a
+    driver scan of the hour grid — cum/running-max/drawdown are all
+    integer comparisons, so peak/trough selection has zero
+    float-boundary hazard on either engine. Ties: largest drawdown →
+    earliest trough hour; peak = earliest hour ≤ trough attaining the
+    running max."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+
+    def hours(df: pd.DataFrame) -> pd.DataFrame:
+        hr = (df["ts"].astype("datetime64[us]").astype("int64")
+              // 3_600_000_000)
+        cents = np.round(df["value"].to_numpy(np.float64)
+                         * 100).astype(np.int64)
+        return pd.DataFrame({"hour": hr.to_numpy(np.int64),
+                             "c": cents}) \
+            .groupby("hour", sort=False).sum().reset_index()
+
+    g = grouped_aggregate(
+        ds.map_batches(hours, batch_format="pandas", batch_size=65536),
+        ["hour"], {"c": ("c", "sum")}).to_pandas() \
+        .sort_values("hour").reset_index(drop=True)
+    hr = g["hour"].to_numpy(np.int64)
+    cum = g["c"].to_numpy(np.int64).cumsum()
+    runmax = np.maximum.accumulate(cum)
+    dd = runmax - cum
+    ti = int(np.lexsort((hr, -dd))[0])      # dd DESC, hour ASC
+    peak_cum = int(runmax[ti])
+    pi = int(np.flatnonzero(cum[:ti + 1] == peak_cum)[0])
+    return pd.DataFrame({
+        "peak_hour": [np.int64(hr[pi])],
+        "trough_hour": [np.int64(hr[ti])],
+        "peak_cum": [round(peak_cum / 100.0, 2)],
+        "trough_cum": [round(int(cum[ti]) / 100.0, 2)],
+        "max_drawdown": [round(int(dd[ti]) / 100.0, 2)]})
+
+
+def q_events_kmv_distinct(sf_dir: str, *, k: int = 64):
+    """KMV (k-minimum-values) distinct-user estimate per event type
+    (Bar-Yossef '02) — the mergeable bottom-k sketch companion to the
+    HLL op, with an estimate the oracle can replay EXACTLY: per type
+    keep the k smallest distinct md5-64 hashes of user_id; est =
+    (k−1)/(h_k/2⁶⁴). h_k/2⁶⁴ is an exponent shift (exact in binary),
+    so est is the identical double on both engines; fewer than k
+    distinct hashes degrades to the exact count. Per-block partial
+    bottom-k through the combiner; only #types·k hashes reach the
+    merge."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.util import md5_hash64_batch
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+
+    def local_bottom(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t, g in df.groupby("event_type", sort=False):
+            h = np.unique(md5_hash64_batch(
+                g["user_id"].astype(str).to_numpy()))
+            out.append(pd.DataFrame({"event_type": t, "h": h[:k]}))
+        if not out:
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "h": pd.Series(dtype="uint64")})
+        return pd.concat(out, ignore_index=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in df.groupby("event_type", sort=False):
+            h = np.unique(g["h"].to_numpy(np.uint64))
+            nk = min(k, len(h))
+            frac = float(int(h[nk - 1])) / float(1 << 64)
+            est = float(nk) if nk < k else (k - 1) / frac
+            rows.append((t, np.int64(nk), round(frac, 6),
+                         round(est, 6)))
+        return pd.DataFrame(rows, columns=["event_type", "k_used",
+                                           "kth_frac", "est_distinct"])
+
+    out = grouped_apply(
+        ds.map_batches(local_bottom, batch_format="pandas",
+                       batch_size=65536),
+        [], merge, single_block=True).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_events_xcorr(sf_dir: str, *, max_lag: int = 3):
+    """Lagged cross-correlation between the hourly count series of
+    the two most frequent event types (lead/lag discovery: does type
+    A's traffic predict type B's?). One combiner pass to the two
+    types' (hour, count) rows; the driver zero-fills the shared dense
+    hour grid (span-bounded) and computes Pearson r of (a[t],
+    b[t+lag]) for lag ∈ [−max_lag, max_lag] from integer sums — only
+    the final correlate divides floats, and 6-decimal rounding
+    absorbs the dust. Type pick: count DESC, name ASC."""
+    import math
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def hours(df: pd.DataFrame) -> pd.DataFrame:
+        hr = (df["ts"].astype("datetime64[us]").astype("int64")
+              // 3_600_000_000)
+        return pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                             "hour": hr.to_numpy(np.int64),
+                             "n": 1}) \
+            .groupby(["event_type", "hour"], sort=False).sum() \
+            .reset_index()
+
+    g = grouped_aggregate(
+        ds.map_batches(hours, batch_format="pandas", batch_size=65536),
+        ["event_type", "hour"], {"n": ("n", "sum")}).to_pandas()
+    tot = g.groupby("event_type")["n"].sum()
+    ta, tb = tot.reset_index().sort_values(
+        ["n", "event_type"], ascending=[False, True])["event_type"] \
+        .head(2).tolist()
+    hmin = int(g.loc[g["event_type"].isin([ta, tb]), "hour"].min())
+    hmax = int(g.loc[g["event_type"].isin([ta, tb]), "hour"].max())
+    span = hmax - hmin + 1
+    a = np.zeros(span, dtype=np.int64)
+    b = np.zeros(span, dtype=np.int64)
+    for arr, t in ((a, ta), (b, tb)):
+        sub = g[g["event_type"] == t]
+        arr[sub["hour"].to_numpy(np.int64) - hmin] = \
+            sub["n"].to_numpy(np.int64)
+    rows = []
+    for lag in range(-max_lag, max_lag + 1):
+        if lag >= 0:
+            x, y = a[:span - lag], b[lag:]
+        else:
+            x, y = a[-lag:], b[:span + lag]
+        m = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        sxy = int((x.astype(np.int64) * y).sum())
+        num = m * sxy - sx * sy
+        den = math.sqrt(float(m * sxx - sx * sx)) \
+            * math.sqrt(float(m * syy - sy * sy))
+        rows.append((np.int64(lag), np.int64(m),
+                     round(num / den, 6)))
+    return pd.DataFrame(rows, columns=["lag", "n_hours", "r"]) \
+        .sort_values("lag").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -8381,6 +8580,10 @@ def build_queries() -> dict:
         "q_events_changepoint": q_events_changepoint,
         "q_basket_triples": q_basket_triples,
         "q_events_hill_tail": q_events_hill_tail,
+        "q_events_mutual_info": q_events_mutual_info,
+        "q_events_drawdown": q_events_drawdown,
+        "q_events_kmv_distinct": q_events_kmv_distinct,
+        "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
         "q_join_skew_audit": q_join_skew_audit,
@@ -10640,6 +10843,144 @@ def _build_oracle_sql_literal() -> dict:
                    round(s.ls, 6) AS log_sum,
                    round(200 / s.ls, 6) AS alpha
             FROM s
+        """,
+        "q_events_mutual_info": """
+            WITH j AS (
+                SELECT event_type,
+                       (CAST(epoch_us(ts) AS BIGINT) // 3600000000)
+                           % 24 AS hod,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2),
+            tot AS (SELECT sum(c) AS n FROM j),
+            mx AS (SELECT event_type, sum(c) AS cx FROM j GROUP BY 1),
+            my AS (SELECT hod, sum(c) AS cy FROM j GROUP BY 1),
+            mi AS (
+                SELECT sum((j.c / t.n)
+                           * ln((j.c / t.n)
+                                / ((mx.cx / t.n) * (my.cy / t.n))))
+                           AS mi
+                FROM j
+                CROSS JOIN tot t
+                JOIN mx ON j.event_type = mx.event_type
+                JOIN my ON j.hod = my.hod),
+            hx AS (SELECT -sum((cx / t.n) * ln(cx / t.n)) AS h
+                   FROM mx, tot t),
+            hy AS (SELECT -sum((cy / t.n) * ln(cy / t.n)) AS h
+                   FROM my, tot t)
+            SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+                   round((SELECT h FROM hx), 6) AS h_type,
+                   round((SELECT h FROM hy), 6) AS h_hour,
+                   round((SELECT mi FROM mi), 6) AS mi,
+                   round((SELECT mi FROM mi)
+                         / sqrt((SELECT h FROM hx)
+                                * (SELECT h FROM hy)), 6) AS nmi
+        """,
+        "q_events_drawdown": """
+            WITH g AS (
+                SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                           AS hour,
+                       sum(CAST(round(value * 100, 0) AS BIGINT)) AS c
+                FROM events GROUP BY 1),
+            o AS (
+                SELECT hour,
+                       sum(c) OVER (ORDER BY hour) AS cum
+                FROM g),
+            m AS (
+                SELECT hour, cum,
+                       max(cum) OVER (ORDER BY hour) AS runmax
+                FROM o),
+            t AS (
+                SELECT hour AS trough_hour, cum AS trough_cum, runmax
+                FROM m ORDER BY runmax - cum DESC, hour ASC LIMIT 1)
+            SELECT
+                (SELECT min(m.hour) FROM m, t
+                 WHERE m.cum = t.runmax
+                   AND m.hour <= t.trough_hour) AS peak_hour,
+                t.trough_hour,
+                round(t.runmax / 100.0, 2) AS peak_cum,
+                round(t.trough_cum / 100.0, 2) AS trough_cum,
+                round((t.runmax - t.trough_cum) / 100.0, 2)
+                    AS max_drawdown
+            FROM t
+        """,
+        "q_events_kmv_distinct": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       CAST('0x' || substr(
+                           md5(CAST(user_id AS VARCHAR)), 1, 16)
+                           AS UBIGINT) AS hash
+                FROM events),
+            r AS (
+                SELECT event_type, hash,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY hash) AS rk,
+                       count(*) OVER (PARTITION BY event_type) AS nd
+                FROM h),
+            kth AS (
+                SELECT event_type,
+                       CAST(least(nd, 64) AS BIGINT) AS k_used,
+                       CAST(hash AS DOUBLE)
+                           / 18446744073709551616.0 AS frac,
+                       nd
+                FROM r WHERE rk = least(nd, 64))
+            SELECT event_type, k_used,
+                   round(frac, 6) AS kth_frac,
+                   round(CASE WHEN k_used < 64
+                              THEN CAST(k_used AS DOUBLE)
+                              ELSE 63.0 / frac END, 6)
+                       AS est_distinct
+            FROM kth ORDER BY event_type
+        """,
+        "q_events_xcorr": """
+            WITH g AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                           AS hour,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2),
+            pick AS (
+                SELECT event_type,
+                       row_number() OVER (ORDER BY sum(c) DESC,
+                                          event_type ASC) AS rk
+                FROM g GROUP BY event_type),
+            span AS (
+                SELECT min(hour) AS hmin, max(hour) AS hmax
+                FROM g JOIN pick USING (event_type)
+                WHERE pick.rk <= 2),
+            grid AS (
+                SELECT unnest(generate_series(
+                    (SELECT hmin FROM span),
+                    (SELECT hmax FROM span))) AS hour),
+            a AS (
+                SELECT grid.hour, coalesce(g.c, 0) AS c
+                FROM grid LEFT JOIN
+                     (SELECT hour, c FROM g JOIN pick USING (event_type)
+                      WHERE pick.rk = 1) g USING (hour)),
+            b AS (
+                SELECT grid.hour, coalesce(g.c, 0) AS c
+                FROM grid LEFT JOIN
+                     (SELECT hour, c FROM g JOIN pick USING (event_type)
+                      WHERE pick.rk = 2) g USING (hour)),
+            lags AS (
+                SELECT unnest(generate_series(-3, 3)) AS lag),
+            pair AS (
+                SELECT l.lag, a.c AS x, b.c AS y
+                FROM lags l
+                JOIN a ON TRUE
+                JOIN b ON b.hour = a.hour + l.lag),
+            s AS (
+                SELECT lag, count(*) AS m,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy,
+                       sum(x * y) AS sxy
+                FROM pair GROUP BY lag)
+            SELECT CAST(lag AS BIGINT) AS lag,
+                   CAST(m AS BIGINT) AS n_hours,
+                   round((m * sxy - sx * sy)
+                         / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(m * syy - sy * sy AS DOUBLE))),
+                         6) AS r
+            FROM s ORDER BY lag
         """,
         "q_events_changepoint": """
             WITH g AS (

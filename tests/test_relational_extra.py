@@ -1760,3 +1760,94 @@ def test_join_skew_audit_matches_serial_counts():
     # orders side: primary key, every count is exactly 1
     assert out.loc["orders", "max_rows"] == 1
     assert out.loc["orders", "p99_rows"] == 1.0
+
+
+def test_mutual_info_matches_serial_and_bounds():
+    import math
+    from jerex_ray.pipelines.queries import q_events_mutual_info
+    out = q_events_mutual_info(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    hod = (ev["ts"].astype("datetime64[us]").astype("int64")
+           // 3_600_000_000) % 24
+    jt = pd.crosstab(ev["event_type"], hod)
+    n = jt.to_numpy().sum()
+    p = jt.to_numpy(np.float64) / n
+    px, py = p.sum(1, keepdims=True), p.sum(0, keepdims=True)
+    nz = p > 0
+    mi = float((p[nz] * np.log(p[nz] / (px @ py)[nz])).sum())
+    hx = float(-(px[px > 0] * np.log(px[px > 0])).sum())
+    hy = float(-(py[py > 0] * np.log(py[py > 0])).sum())
+    assert out["n"] == n
+    assert abs(out["mi"] - mi) < 2e-6
+    assert abs(out["h_type"] - hx) < 2e-6
+    assert abs(out["h_hour"] - hy) < 2e-6
+    # information inequalities: 0 <= MI <= min(H_x, H_y), NMI in [0,1]
+    assert -1e-9 <= out["mi"] <= min(hx, hy) + 1e-9
+    assert -1e-9 <= out["nmi"] <= 1 + 1e-9
+    assert abs(out["nmi"] - mi / math.sqrt(hx * hy)) < 2e-6
+
+
+def test_drawdown_matches_serial_scan():
+    from jerex_ray.pipelines.queries import q_events_drawdown
+    out = q_events_drawdown(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    hr = (ev["ts"].astype("datetime64[us]").astype("int64")
+          // 3_600_000_000).to_numpy()
+    cents = np.round(ev["value"].to_numpy(np.float64) * 100) \
+        .astype(np.int64)
+    g = pd.DataFrame({"h": hr, "c": cents}).groupby("h")["c"].sum() \
+        .sort_index()
+    cum = g.to_numpy().cumsum()
+    runmax = np.maximum.accumulate(cum)
+    dd = runmax - cum
+    best = dd.max()
+    ti = int(np.flatnonzero(dd == best)[0])
+    assert out["trough_hour"] == g.index[ti]
+    assert abs(out["max_drawdown"] - best / 100.0) < 1e-9
+    assert abs(out["trough_cum"] - cum[ti] / 100.0) < 1e-9
+    # peak precedes trough and attains the running max
+    assert out["peak_hour"] <= out["trough_hour"]
+    pi = int(np.flatnonzero(g.index.to_numpy() == out["peak_hour"])[0])
+    assert cum[pi] == runmax[ti]
+
+
+def test_kmv_estimate_brackets_exact_distinct():
+    from jerex_ray.pipelines.queries import q_events_kmv_distinct
+    out = q_events_kmv_distinct(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    for _, r in out.iterrows():
+        ex = int(exact[r["event_type"]])
+        if r["k_used"] < 64:
+            # degenerate leg is the exact distinct-hash count
+            assert r["est_distinct"] == r["k_used"] == ex
+        else:
+            # KMV relative error ~ 1/sqrt(k-1) ≈ 12.6%; allow 4 sigma
+            assert abs(r["est_distinct"] - ex) / ex < 0.51
+        assert 0.0 < r["kth_frac"] <= 1.0
+
+
+def test_xcorr_zero_lag_matches_numpy_corrcoef():
+    from jerex_ray.pipelines.queries import q_events_xcorr
+    out = q_events_xcorr(SF).set_index("lag")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    hr = (ev["ts"].astype("datetime64[us]").astype("int64")
+          // 3_600_000_000)
+    top2 = ev["event_type"].value_counts().sort_values(
+        ascending=False).index[:2].tolist()
+    cnt = pd.crosstab(hr, ev["event_type"])
+    hmin = int(cnt[(cnt[top2[0]] > 0) | (cnt[top2[1]] > 0)].index.min())
+    hmax = int(cnt[(cnt[top2[0]] > 0) | (cnt[top2[1]] > 0)].index.max())
+    grid = np.arange(hmin, hmax + 1)
+    a = cnt.reindex(grid, fill_value=0)[top2[0]].to_numpy(np.float64)
+    b = cnt.reindex(grid, fill_value=0)[top2[1]].to_numpy(np.float64)
+    r0 = float(np.corrcoef(a, b)[0, 1])
+    assert abs(out.loc[0, "r"] - r0) < 2e-6
+    assert out.loc[0, "n_hours"] == len(grid)
+    for lag in (-3, 3):
+        assert out.loc[lag, "n_hours"] == len(grid) - 3
+        assert -1 - 1e-9 <= out.loc[lag, "r"] <= 1 + 1e-9
