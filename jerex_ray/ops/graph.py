@@ -578,6 +578,127 @@ def bfs_levels(edges_ds, source: int, *, src: str = "a", dst: str = "b",
     return out.sort_values("node").reset_index(drop=True)
 
 
+def multi_bfs_levels(edges_ds, sources: list[int], *, src: str = "a",
+                     dst: str = "b", undirected: bool = True,
+                     max_rounds: int = 32,
+                     num_partitions: int | None = None) -> pd.DataFrame:
+    """K-source BFS in ONE grid pass: (source, node, level) for every
+    node reachable from each of ``sources``. Same frontier-expansion
+    BSP as ``bfs_levels`` — edges hash-partitioned once by ``u``,
+    level state co-partitioned by ``hash(node)`` — but the frontier
+    rows carry a ``source`` lane, so K centrality-style sweeps share
+    one edge partitioning instead of K full reruns (the multi-source
+    trick behind harmonic/closeness centrality sampling). Per-round
+    traffic is (sum of K frontiers)-sized; per-partition state is
+    bounded by K × nodes-owned, never on the driver during the loop."""
+    import ray
+
+    from jerex_ray.functions.components import (_as_returns, _part_of,
+                                                _split_by)
+
+    P = num_partitions or 8
+    sources = sorted({int(s) for s in sources})
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"source": pd.Series(dtype="int64"),
+                             "node": pd.Series(dtype="int64"),
+                             "level": pd.Series(dtype="int64")})
+
+    @ray.remote
+    def route_out(block: pd.DataFrame):
+        e = pd.DataFrame({"u": pd.Series(dtype="int64"),
+                          "v": pd.Series(dtype="int64")})
+        if not block.empty and src in block.columns:
+            a = block[[src, dst]].rename(columns={src: "u", dst: "v"})
+            frames = [a]
+            if undirected:
+                frames.append(block[[dst, src]]
+                              .rename(columns={dst: "u", src: "v"}))
+            e = pd.concat(frames, ignore_index=True) \
+                .astype({"u": "int64", "v": "int64"}).drop_duplicates()
+        return _as_returns(_split_by(e, "u", P), P)
+
+    @ray.remote
+    def concat_edges(*shards):
+        return pd.concat(list(shards), ignore_index=True) \
+            .drop_duplicates()
+
+    @ray.remote
+    def expand(edge_part: pd.DataFrame, frontier: pd.DataFrame):
+        if frontier.empty or edge_part.empty:
+            msgs = pd.DataFrame({"source": pd.Series(dtype="int64"),
+                                 "node": pd.Series(dtype="int64")})
+        else:
+            m = edge_part.merge(
+                frontier[["source", "node"]].drop_duplicates(),
+                left_on="u", right_on="node")
+            msgs = m[["source", "v"]].rename(columns={"v": "node"}) \
+                .drop_duplicates().astype({"source": "int64",
+                                           "node": "int64"})
+        return _as_returns(_split_by(msgs, "node", P), P)
+
+    @ray.remote(num_returns=2)
+    def absorb(level_part: pd.DataFrame, level: int, *msg_shards):
+        cand = pd.concat(list(msg_shards), ignore_index=True) \
+            .drop_duplicates()
+        if cand.empty:
+            fresh = _empty()
+        else:
+            seen = cand.merge(level_part[["source", "node"]],
+                              on=["source", "node"], how="left",
+                              indicator=True)
+            new = seen[seen["_merge"] == "left_only"]
+            fresh = pd.DataFrame({"source": new["source"].to_numpy(),
+                                  "node": new["node"].to_numpy(),
+                                  "level": np.int64(level)}) \
+                .astype({"source": "int64", "node": "int64",
+                         "level": "int64"})
+        return (pd.concat([level_part, fresh], ignore_index=True),
+                fresh)
+
+    @ray.remote
+    def nrows(df: pd.DataFrame) -> int:
+        return len(df)
+
+    blocks = edges_ds.to_pandas_refs()
+    routed = [route_out.options(num_returns=P).remote(b) for b in blocks]
+    if P == 1:
+        routed = [[r] for r in routed]
+    edge_parts = [concat_edges.remote(*[r[p] for r in routed])
+                  for p in range(P)]
+
+    seed_all = pd.DataFrame({"source": sources, "node": sources,
+                             "level": np.int64(0)}) \
+        .astype({"source": "int64", "node": "int64", "level": "int64"})
+    owners = _part_of(seed_all["node"].to_numpy(np.int64), P)
+    levels = [ray.put(seed_all[owners == p].reset_index(drop=True))
+              for p in range(P)]
+    frontier = [ray.put(seed_all[owners == p].reset_index(drop=True))
+                for p in range(P)]
+
+    for r in range(1, max_rounds + 1):
+        msgs = [expand.options(num_returns=P)
+                .remote(edge_parts[p], frontier[p]) for p in range(P)]
+        if P == 1:
+            msgs = [[m] for m in msgs]
+        pairs = [absorb.remote(levels[q], r,
+                               *[msgs[p][q] for p in range(P)])
+                 for q in range(P)]
+        levels = [pr[0] for pr in pairs]
+        frontier = [pr[1] for pr in pairs]
+        grew = sum(ray.get([nrows.remote(f) for f in frontier]))
+        if grew == 0:
+            break
+    else:
+        import logging
+        logging.getLogger(__name__).warning(
+            "multi_bfs_levels: %d rounds exhausted with a non-empty "
+            "frontier — levels beyond the cap are MISSING", max_rounds)
+
+    out = pd.concat(ray.get(levels), ignore_index=True)
+    return out.sort_values(["source", "node"]).reset_index(drop=True)
+
+
 def sssp_distances(edges_ds, source: int, *, src: str = "a",
                    dst: str = "b", weight: str = "w",
                    undirected: bool = True, max_rounds: int = 64,

@@ -8461,6 +8461,193 @@ def q_events_xcorr(sf_dir: str, *, max_lag: int = 3):
         .sort_values("lag").reset_index(drop=True)
 
 
+def kg_jw_name_pairs(sf_dir: str, *, threshold: float = 0.88):
+    """Jaro-Winkler record-linkage candidates over distinct PER
+    surface norms (Winkler '90 — the similarity the census linkage
+    literature standardized on): first-token blocking bounds the
+    quadratic stage to each given-name group, one vectorized
+    ``jaro_winkler_batch`` call scores every within-block pair, kept
+    at sim ≥ threshold. The float expressions mirror DuckDB's
+    ``jaro_winkler_similarity`` bit-for-bit (verified on 51k pairs),
+    so the ≥ comparison can't flip at the boundary; the reported
+    score is rounded half-away to 6. Companion of the Levenshtein
+    variant ``kg_fuzzy_name_pairs`` — same blocking, graded metric."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+
+    rows = read_parquet_sized(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"]).map_batches(
+        _CapMentionStage, batch_format="pandas", batch_size=4096,
+        concurrency=(1, 4), fn_constructor_kwargs={"mode": "doc_norms"})
+    names = grouped_aggregate(
+        rows.map_batches(
+            lambda df: df[df["entity_type"] == "PER"][["norm"]],
+            batch_format="pandas"),
+        ["norm"], {"n": (None, "count")}, result_hint="large")
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        from jerex_ray.util import jaro_winkler_batch
+        empty = pd.DataFrame({"norm_a": pd.Series(dtype="object"),
+                              "norm_b": pd.Series(dtype="object"),
+                              "jw": pd.Series(dtype="float64")})
+        if df.empty:
+            return empty
+        d = df[["norm", "__blk"]]
+        m = d.merge(d, on="__blk")
+        m = m[m["norm_x"] < m["norm_y"]]
+        if m.empty:
+            return empty
+        sims = jaro_winkler_batch(
+            list(zip(m["norm_x"].tolist(), m["norm_y"].tolist())))
+        keep = sims >= threshold
+        return pd.DataFrame({"norm_a": m["norm_x"].to_numpy()[keep],
+                             "norm_b": m["norm_y"].to_numpy()[keep],
+                             "jw": _round_half_away(sims[keep], 6)})
+
+    blocked = names.map_batches(
+        lambda df: df.assign(
+            __blk=df["norm"].str.split().str[0].fillna("")),
+        batch_format="pandas")
+    out = grouped_apply(blocked, ["__blk"], block_pairs).to_pandas()
+    if "norm_a" not in out.columns:
+        return pd.DataFrame({"norm_a": pd.Series(dtype="object"),
+                             "norm_b": pd.Series(dtype="object"),
+                             "jw": pd.Series(dtype="float64")})
+    out["jw"] = out["jw"].astype("float64")
+    return out.sort_values(["norm_a", "norm_b"]).reset_index(drop=True)
+
+
+def q_part_harmonic(sf_dir: str, *, n_sources: int = 8):
+    """Harmonic centrality (Boldi-Vigna '14) of the ``n_sources``
+    smallest parts in the co-purchase graph — the sampled-source
+    centrality sweep every graph-health audit runs. ONE
+    ``multi_bfs_levels`` grid pass carries all K sources' frontiers
+    over a single edge partitioning (K separate BFS runs would
+    re-shuffle the edge table K times). Exactness: levels are capped
+    at 8 on BOTH engines (the dense co-purchase graph's eccentricity
+    is ~3), and the harmonic sum is computed as the INTEGER
+    ``h840 = Σ 840/level`` (840 = lcm(1..8), so every term is exact)
+    — the float column is just h840/840 rounded, no accumulation-order
+    hazard."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.ops.graph import multi_bfs_levels
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"a": m["l_partkey_x"].to_numpy(),
+                             "b": m["l_partkey_y"].to_numpy()})
+
+    parts = grouped_aggregate(
+        li.map_batches(lambda df: df[["l_partkey"]],
+                       batch_format="pandas"),
+        ["l_partkey"], {"n": (None, "count")}).to_pandas()
+    sources = sorted(parts["l_partkey"].astype("int64"))[:n_sources]
+    edges = grouped_apply(li, ["l_orderkey"], pairs_block)
+    lv = multi_bfs_levels(edges, sources, src="a", dst="b",
+                          max_rounds=8)
+    lv = lv[lv["level"] > 0]
+    g = lv.assign(term=(840 // lv["level"]).astype("int64")) \
+        .groupby("source", sort=False) \
+        .agg(n_reached=("node", "size"), h840=("term", "sum")) \
+        .reindex(sources, fill_value=0).reset_index()
+    g["harmonic"] = _round_half_away(
+        g["h840"].to_numpy(np.float64) / 840.0, 6)
+    return pd.DataFrame({"src": np.asarray(sources, dtype=np.int64),
+                         "n_reached": g["n_reached"].astype("int64"),
+                         "h840": g["h840"].astype("int64"),
+                         "harmonic": g["harmonic"].astype("float64")})
+
+
+def q_part_wl_colors(sf_dir: str, *, rounds: int = 2):
+    """1-WL color refinement (Weisfeiler-Lehman '68 — the graph
+    fingerprint GNN expressivity is measured against) over the part
+    co-purchase graph: round-0 color = distinct-neighbor degree,
+    round r color = md5(own ‖ '|' ‖ comma-joined SORTED neighbor
+    colors). Per round: ONE co-location of the symmetric edge table
+    by destination (``grouped_apply``), neighbor colors attached from
+    the broadcast node→color table (node-vocabulary-bounded — the
+    same contract as the HITS/PageRank vectors), new colors collected
+    driver-side to refresh the broadcast. Color strings are pure
+    ASCII (digits / md5 hex) so Python ``sorted`` = DuckDB binary
+    ``ORDER BY`` and the digests match bit-for-bit. Output: the
+    color-class histogram after ``rounds`` refinements."""
+    import hashlib
+
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+        return pd.DataFrame({"u": m["l_partkey_x"].to_numpy(),
+                             "v": m["l_partkey_y"].to_numpy()})
+
+    # symmetric directed edges; (u,v) dupes across orders removed
+    # inside each u's co-located block (block-local dedup IS global
+    # dedup — all rows of a u land in one block)
+    # materialized once: three co-location passes (degree + 2 rounds)
+    # consume it; lazy re-execution would re-read and re-shuffle
+    sym = grouped_apply(li, ["l_orderkey"], pairs_block).materialize()
+
+    def deg_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="object")})
+        d = df.drop_duplicates(["u", "v"]).groupby("u", sort=False) \
+            .size().reset_index(name="n")
+        return pd.DataFrame({"u": d["u"].to_numpy(),
+                             "c": d["n"].astype(str).to_numpy()})
+
+    colors = grouped_apply(sym, ["u"], deg_block).to_pandas()
+    cmap = dict(zip(colors["u"].astype("int64"),
+                    colors["c"].astype(str)))
+
+    for _ in range(rounds):
+        cur = cmap
+
+        def refine_block(df: pd.DataFrame,
+                         _cm=cur) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                     "c": pd.Series(dtype="object")})
+            d = df.drop_duplicates(["u", "v"]).copy()
+            d["cv"] = d["v"].map(_cm)
+            rows = []
+            for u, grp in d.groupby("u", sort=False):
+                joined = ",".join(sorted(grp["cv"].tolist()))
+                rows.append((int(u), hashlib.md5(
+                    (_cm[int(u)] + "|" + joined).encode()
+                ).hexdigest()))
+            return pd.DataFrame(rows, columns=["u", "c"])
+
+        colors = grouped_apply(sym, ["u"], refine_block).to_pandas()
+        cmap = dict(zip(colors["u"].astype("int64"),
+                        colors["c"].astype(str)))
+
+    hist = colors.groupby("c", sort=False).size() \
+        .reset_index(name="n_nodes")
+    hist.columns = ["color", "n_nodes"]
+    hist["n_nodes"] = hist["n_nodes"].astype("int64")
+    return hist.sort_values("color").reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -8688,6 +8875,9 @@ def build_queries() -> dict:
         "kg_distant_supervision": kg_distant_supervision,
         "kg_pair_pmi": kg_pair_pmi,
         "kg_fuzzy_name_pairs": kg_fuzzy_name_pairs,
+        "kg_jw_name_pairs": kg_jw_name_pairs,
+        "q_part_harmonic": q_part_harmonic,
+        "q_part_wl_colors": q_part_wl_colors,
         "kg_distant_negatives": kg_distant_negatives,
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
@@ -11959,6 +12149,79 @@ def _build_oracle_sql_literal() -> dict:
             FROM b a JOIN b bb ON a.blk = bb.blk AND a.norm < bb.norm
             WHERE levenshtein(a.norm, bb.norm) <= 3
             ORDER BY norm_a, norm_b
+        """,
+        "kg_jw_name_pairs": f"""
+            WITH dm AS ({_doc_mentions_sql()}),
+            names AS (SELECT DISTINCT norm FROM dm
+                      WHERE entity_type = 'PER'),
+            b AS (SELECT norm, split_part(norm, ' ', 1) AS blk
+                  FROM names)
+            SELECT a.norm AS norm_a, bb.norm AS norm_b,
+                   round(jaro_winkler_similarity(a.norm, bb.norm), 6)
+                       AS jw
+            FROM b a JOIN b bb ON a.blk = bb.blk AND a.norm < bb.norm
+            WHERE jaro_winkler_similarity(a.norm, bb.norm) >= 0.88
+            ORDER BY norm_a, norm_b
+        """,
+        "q_part_harmonic": """
+            WITH RECURSIVE inc AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+            e AS MATERIALIZED (
+                SELECT DISTINCT a.p AS pa, b.p AS pb
+                FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p),
+            sym AS MATERIALIZED (
+                SELECT pa AS u, pb AS v FROM e
+                UNION ALL SELECT pb, pa FROM e),
+            srcs AS (SELECT DISTINCT p FROM inc ORDER BY p LIMIT 8),
+            bfs AS (
+                SELECT p AS src, p AS node, 0 AS level FROM srcs
+                UNION
+                SELECT bfs.src, sym.v, bfs.level + 1
+                FROM bfs JOIN sym ON sym.u = bfs.node
+                WHERE bfs.level < 8),
+            lv AS (SELECT src, node, min(level) AS lvl
+                   FROM bfs GROUP BY src, node)
+            SELECT src,
+                   CAST(count(*) FILTER (WHERE lvl > 0) AS BIGINT)
+                       AS n_reached,
+                   CAST(coalesce(sum(840 // lvl)
+                                 FILTER (WHERE lvl > 0), 0) AS BIGINT)
+                       AS h840,
+                   round(CAST(coalesce(sum(840 // lvl)
+                                       FILTER (WHERE lvl > 0), 0)
+                              AS DOUBLE) / 840.0, 6) AS harmonic
+            FROM lv GROUP BY src ORDER BY src
+        """,
+        "q_part_wl_colors": """
+            WITH inc AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+            e AS MATERIALIZED (
+                SELECT DISTINCT a.p AS pa, b.p AS pb
+                FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p),
+            sym AS MATERIALIZED (
+                SELECT pa AS u, pb AS v FROM e
+                UNION ALL SELECT pb, pa FROM e),
+            c0 AS MATERIALIZED (
+                SELECT u, CAST(count(*) AS VARCHAR) AS c
+                FROM sym GROUP BY u),
+            c1 AS MATERIALIZED (
+                SELECT s.u, md5(max(cu.c) || '|' ||
+                                string_agg(cv.c, ',' ORDER BY cv.c))
+                           AS c
+                FROM sym s JOIN c0 cu ON cu.u = s.u
+                           JOIN c0 cv ON cv.u = s.v
+                GROUP BY s.u),
+            c2 AS (
+                SELECT s.u, md5(max(cu.c) || '|' ||
+                                string_agg(cv.c, ',' ORDER BY cv.c))
+                           AS c
+                FROM sym s JOIN c1 cu ON cu.u = s.u
+                           JOIN c1 cv ON cv.u = s.v
+                GROUP BY s.u)
+            SELECT c AS color, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM c2 GROUP BY c ORDER BY color
         """,
         "doc_source_gini": f"""
             WITH d AS (SELECT source,

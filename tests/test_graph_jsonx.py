@@ -669,3 +669,81 @@ def test_hits_empty_input_returns_typed_empty():
                                       "part": pd.Series(dtype="int64")}))
     out = hits(ds, hub_col="cust", auth_col="part")
     assert out.empty and list(out.columns) == ["side", "node", "score"]
+
+
+def test_multi_bfs_levels_matches_single_source_runs():
+    from jerex_ray.ops.graph import bfs_levels, multi_bfs_levels
+    rng = np.random.default_rng(19)
+    edges = pd.DataFrame({"a": rng.integers(0, 50, 140),
+                          "b": rng.integers(0, 50, 140)})
+    edges = edges[edges["a"] != edges["b"]].reset_index(drop=True)
+    sources = [0, 3, 7, 99]  # 99 has no edges
+    multi = multi_bfs_levels(rd.from_pandas(edges).repartition(3),
+                             sources, num_partitions=3)
+    for s in sources:
+        single = bfs_levels(rd.from_pandas(edges).repartition(3), s,
+                            num_partitions=3)
+        sub = multi[multi["source"] == s]
+        assert dict(zip(sub["node"], sub["level"])) == \
+            dict(zip(single["node"], single["level"])), s
+
+
+def test_q_part_harmonic_serial_parity():
+    import collections
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_part_harmonic
+    sf = "/root/testdata/sf0.001"
+    out = q_part_harmonic(sf)
+    li = pq.read_table(f"{sf}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    inc = li.drop_duplicates()
+    adj = collections.defaultdict(set)
+    for _, grp in inc.groupby("l_orderkey"):
+        ps = sorted(grp["l_partkey"])
+        for i, x in enumerate(ps):
+            for y in ps[i + 1:]:
+                adj[x].add(y)
+                adj[y].add(x)
+    sources = sorted(inc["l_partkey"].unique())[:8]
+    assert list(out["src"]) == [int(s) for s in sources]
+    for _, row in out.iterrows():
+        seen, frontier, lvl = {row["src"]: 0}, {row["src"]}, 0
+        while frontier and lvl < 8:
+            lvl += 1
+            frontier = {v for u in frontier for v in adj[u]
+                        if v not in seen}
+            for v in frontier:
+                seen[v] = lvl
+        h840 = sum(840 // d for d in seen.values() if d > 0)
+        assert int(row["n_reached"]) == sum(1 for d in seen.values()
+                                            if d > 0)
+        assert int(row["h840"]) == h840
+
+
+def test_q_part_wl_colors_serial_parity():
+    import collections
+    import hashlib
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_part_wl_colors
+    sf = "/root/testdata/sf0.001"
+    out = q_part_wl_colors(sf, rounds=2)
+    li = pq.read_table(f"{sf}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    inc = li.drop_duplicates()
+    adj = collections.defaultdict(set)
+    for _, grp in inc.groupby("l_orderkey"):
+        ps = sorted(grp["l_partkey"])
+        for i, x in enumerate(ps):
+            for y in ps[i + 1:]:
+                adj[x].add(y)
+                adj[y].add(x)
+    colors = {u: str(len(vs)) for u, vs in adj.items()}
+    for _ in range(2):
+        colors = {u: hashlib.md5(
+            (colors[u] + "|"
+             + ",".join(sorted(colors[v] for v in vs))).encode()
+        ).hexdigest() for u, vs in adj.items()}
+    hist = collections.Counter(colors.values())
+    got = dict(zip(out["color"], out["n_nodes"]))
+    assert got == {c: n for c, n in hist.items()}
+    assert int(out["n_nodes"].sum()) == len(adj)
