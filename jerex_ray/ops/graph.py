@@ -452,6 +452,86 @@ def bipartite_jaccard(pairs_ds, *, left_col: str, right_col: str,
         .head(top_k).reset_index(drop=True)
 
 
+def adamic_adar(pairs_ds, *, left_col: str, right_col: str,
+                top_k: int = 50,
+                num_partitions: int | None = None) -> pd.DataFrame:
+    """Adamic-Adar link-prediction scores over a bipartite graph
+    (Adamic & Adar '03): for LEFT pairs sharing right neighbors,
+    AA(a,b) = Σ_z 1/ln(deg(z)) — rare shared neighbors count more
+    than hubs. Same dataflow as ``bipartite_jaccard`` (one combiner
+    pass to distinct incidences, right-node co-location, vectorized
+    wedge self-merge) except each z's wedges carry the weight
+    1/ln(deg(z)) computed IN the co-located block (deg(z) is the
+    local group size — no degree join needed for the weight), and
+    partial (count, weight) sums reduce per pair. ln on integer
+    degrees is glibc on both engines; the ranking orders by the
+    ROUNDED score (round-before-rank) so top-k membership can't flip
+    on accumulation-order dust. Hub caution as for Jaccard: degree-d
+    right nodes emit d(d−1)/2 wedges — cap or sample hubs upstream
+    for power-law graphs."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+
+    inc = grouped_aggregate(pairs_ds, [left_col, right_col],
+                            {"n": (None, "count")},
+                            num_partitions=num_partitions) \
+        .drop_columns(["n"])
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "c": pd.Series(dtype="int64"),
+                              "w": pd.Series(dtype="float64")})
+        if df.empty:
+            return empty
+        deg = df.groupby(right_col, sort=False)[left_col] \
+            .transform("size")
+        d = df.assign(__w=1.0 / np.log(deg.to_numpy(np.float64)))
+        m = d.merge(d[[left_col, right_col]], on=right_col)
+        la, lb = f"{left_col}_x", f"{left_col}_y"
+        m = m[m[la] < m[lb]]
+        if m.empty:
+            return empty
+        g = m.groupby([la, lb], sort=False)["__w"] \
+            .agg(["size", "sum"]).reset_index()
+        return pd.DataFrame({"a": g[la].to_numpy(),
+                             "b": g[lb].to_numpy(),
+                             "c": g["size"].to_numpy(np.int64),
+                             "w": g["sum"].to_numpy(np.float64)})
+
+    scored = grouped_aggregate(
+        grouped_apply(inc, [right_col], wedges,
+                      num_partitions=num_partitions),
+        ["a", "b"], {"shared": ("c", "sum"), "aa": ("w", "sum")},
+        num_partitions=num_partitions)
+
+    EMPTY = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "shared": pd.Series(dtype="int64"),
+                          "aa": pd.Series(dtype="float64")})
+
+    def head_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "a" not in df.columns:
+            return EMPTY
+        df = df.copy()
+        df["aa"] = df["aa"].round(6)
+        return df.sort_values(["aa", "a", "b"],
+                              ascending=[False, True, True]).head(top_k)
+
+    final = scored.map_batches(head_block, batch_format="pandas",
+                               batch_size=None) \
+        .repartition(1) \
+        .map_batches(head_block, batch_format="pandas",
+                     batch_size=None).to_pandas()
+    if final.empty or "a" not in final.columns:
+        return EMPTY
+    final["shared"] = final["shared"].astype("int64")
+    final["a"] = final["a"].astype("int64")
+    final["b"] = final["b"].astype("int64")
+    return final.sort_values(["aa", "a", "b"],
+                             ascending=[False, True, True]) \
+        .head(top_k).reset_index(drop=True)
+
+
 # --- single-source BFS levels (hop distance) ---
 
 def bfs_levels(edges_ds, source: int, *, src: str = "a", dst: str = "b",

@@ -8648,6 +8648,117 @@ def q_part_wl_colors(sf_dir: str, *, rounds: int = 2):
     return hist.sort_values("color").reset_index(drop=True)
 
 
+def q_supplier_adamic(sf_dir: str):
+    """Adamic-Adar link prediction over the supplier–part bipartite
+    graph (``ops/graph.adamic_adar``): top-50 supplier pairs by
+    Σ 1/ln(deg(part)) over shared parts — the hub-discounted
+    companion of ``q_supplier_jaccard`` on the same incidence. Wedge
+    weights are computed inside the part-co-located block (degree =
+    local group size), so no degree join is shipped; ranking is
+    round-before-rank on the 6-dp score."""
+    from jerex_ray.ops.graph import adamic_adar
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_partkey"])
+    out = adamic_adar(ds, left_col="l_suppkey",
+                      right_col="l_partkey", top_k=50)
+    return out
+
+
+def q_part_diameter(sf_dir: str):
+    """Diameter lower bound of the co-purchase graph by the classic
+    double sweep (Magnien-Latapy-Habib '09): BFS from the smallest
+    part, hop to the farthest node (tie → smallest id), BFS again —
+    the second eccentricity bounds the diameter from below and is
+    exact on trees/many real graphs. Two ``bfs_levels`` grid passes;
+    every reported quantity is an integer, so the oracle (two chained
+    recursive CTEs) matches bit-for-bit. Levels capped at 16 on both
+    engines."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.ops.graph import bfs_levels
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"a": m["l_partkey_x"].to_numpy(),
+                             "b": m["l_partkey_y"].to_numpy()})
+
+    parts = grouped_aggregate(
+        li.map_batches(lambda df: df[["l_partkey"]],
+                       batch_format="pandas"),
+        ["l_partkey"], {"n": (None, "count")}).to_pandas()
+    seed = int(parts["l_partkey"].min())
+    edges = grouped_apply(li, ["l_orderkey"], pairs_block).materialize()
+    l1 = bfs_levels(edges, seed, src="a", dst="b", max_rounds=16)
+    far = l1.sort_values(["level", "node"],
+                         ascending=[False, True]).iloc[0]
+    l2 = bfs_levels(edges, int(far["node"]), src="a", dst="b",
+                    max_rounds=16)
+    return pd.DataFrame({
+        "seed": [np.int64(seed)],
+        "ecc_seed": [np.int64(l1["level"].max())],
+        "far_node": [np.int64(far["node"])],
+        "diameter_lb": [np.int64(l2["level"].max())],
+        "n_reached": [np.int64(len(l2))]})
+
+
+_FD_SPECS = [
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("nation", "n_nationkey", "n_regionkey"),
+]
+
+
+def q_fd_audit(sf_dir: str):
+    """Functional-dependency audit (the profiling step schema
+    -inference and normalization tools run): for each candidate
+    det→dep column pair, A→B holds iff no A value maps to two
+    distinct B values. Per pair: one combiner pass to distinct
+    (det, dep) rows, one to per-det distinct-dep counts, then
+    block-partial (n_keys, n_violating) scalars — nothing
+    key-vocabulary-sized reaches the driver beyond the per-block
+    partials. Integer-exact on both engines."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    rows = []
+    for tbl, det, dep in _FD_SPECS:
+        ds = read_parquet_sized(f"{sf_dir}/{tbl}.parquet",
+                                columns=[det, dep])
+        distinct = grouped_aggregate(ds, [det, dep],
+                                     {"n": (None, "count")}) \
+            .drop_columns(["n"])
+        per_det = grouped_aggregate(distinct, [det],
+                                    {"nd": (None, "count")})
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "k": [np.int64(len(df))],
+                "v": [np.int64((df["nd"].to_numpy(np.int64) > 1)
+                               .sum()) if len(df) else np.int64(0)]})
+
+        p = per_det.map_batches(partial, batch_format="pandas",
+                                batch_size=None).to_pandas()
+        n_keys, n_viol = int(p["k"].sum()), int(p["v"].sum())
+        rows.append((tbl, det, dep, np.int64(n_keys),
+                     np.int64(n_viol),
+                     np.int64(1 if n_viol == 0 else 0)))
+    out = pd.DataFrame(rows, columns=["tbl", "det", "dep", "n_keys",
+                                      "n_violating", "holds"])
+    return out.sort_values(["tbl", "det", "dep"]).reset_index(drop=True)
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -8878,6 +8989,9 @@ def build_queries() -> dict:
         "kg_jw_name_pairs": kg_jw_name_pairs,
         "q_part_harmonic": q_part_harmonic,
         "q_part_wl_colors": q_part_wl_colors,
+        "q_supplier_adamic": q_supplier_adamic,
+        "q_part_diameter": q_part_diameter,
+        "q_fd_audit": q_fd_audit,
         "kg_distant_negatives": kg_distant_negatives,
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
@@ -12162,6 +12276,112 @@ def _build_oracle_sql_literal() -> dict:
             FROM b a JOIN b bb ON a.blk = bb.blk AND a.norm < bb.norm
             WHERE jaro_winkler_similarity(a.norm, bb.norm) >= 0.88
             ORDER BY norm_a, norm_b
+        """,
+        "q_supplier_adamic": """
+            WITH inc AS MATERIALIZED (
+                SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                FROM lineitem),
+            deg AS (SELECT p, count(*) AS d FROM inc GROUP BY p),
+            w AS (
+                SELECT a.s AS a, b.s AS b,
+                       count(*) AS shared,
+                       sum(1.0 / ln(deg.d)) AS aa
+                FROM inc a JOIN inc b ON a.p = b.p AND a.s < b.s
+                     JOIN deg ON deg.p = a.p
+                GROUP BY a.s, b.s)
+            SELECT a, b, CAST(shared AS BIGINT) AS shared,
+                   round(aa, 6) AS aa
+            FROM w
+            ORDER BY round(aa, 6) DESC, a, b LIMIT 50
+        """,
+        "q_part_diameter": """
+            WITH RECURSIVE inc AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+            e AS MATERIALIZED (
+                SELECT DISTINCT a.p AS pa, b.p AS pb
+                FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p),
+            sym AS MATERIALIZED (
+                SELECT pa AS u, pb AS v FROM e
+                UNION ALL SELECT pb, pa FROM e),
+            seed AS (SELECT min(p) AS s FROM inc),
+            b1 AS (
+                SELECT (SELECT s FROM seed) AS node, 0 AS level
+                UNION
+                SELECT sym.v, b1.level + 1
+                FROM b1 JOIN sym ON sym.u = b1.node
+                WHERE b1.level < 16),
+            l1 AS (SELECT node, min(level) AS lvl FROM b1
+                   GROUP BY node),
+            far AS (SELECT node, lvl FROM l1
+                    ORDER BY lvl DESC, node LIMIT 1),
+            b2 AS (
+                SELECT (SELECT node FROM far) AS node, 0 AS level
+                UNION
+                SELECT sym.v, b2.level + 1
+                FROM b2 JOIN sym ON sym.u = b2.node
+                WHERE b2.level < 16),
+            l2 AS (SELECT node, min(level) AS lvl FROM b2
+                   GROUP BY node)
+            SELECT CAST((SELECT s FROM seed) AS BIGINT) AS seed,
+                   CAST((SELECT max(lvl) FROM l1) AS BIGINT)
+                       AS ecc_seed,
+                   CAST((SELECT node FROM far) AS BIGINT) AS far_node,
+                   CAST((SELECT max(lvl) FROM l2) AS BIGINT)
+                       AS diameter_lb,
+                   CAST((SELECT count(*) FROM l2) AS BIGINT)
+                       AS n_reached
+        """,
+        "q_fd_audit": """
+            SELECT * FROM (
+                SELECT 'customer' AS tbl, 'c_custkey' AS det,
+                       'c_nationkey' AS dep,
+                       CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT)
+                           AS n_violating,
+                       CAST(CASE WHEN count(*) FILTER (WHERE nd > 1)
+                                      = 0 THEN 1 ELSE 0 END AS BIGINT)
+                           AS holds
+                FROM (SELECT c_custkey,
+                             count(DISTINCT c_nationkey) AS nd
+                      FROM customer GROUP BY c_custkey)
+                UNION ALL
+                SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+                       CAST(count(*) AS BIGINT),
+                       CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT),
+                       CAST(CASE WHEN count(*) FILTER (WHERE nd > 1)
+                                      = 0 THEN 1 ELSE 0 END AS BIGINT)
+                FROM (SELECT c_nationkey,
+                             count(DISTINCT c_mktsegment) AS nd
+                      FROM customer GROUP BY c_nationkey)
+                UNION ALL
+                SELECT 'orders', 'o_orderkey', 'o_custkey',
+                       CAST(count(*) AS BIGINT),
+                       CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT),
+                       CAST(CASE WHEN count(*) FILTER (WHERE nd > 1)
+                                      = 0 THEN 1 ELSE 0 END AS BIGINT)
+                FROM (SELECT o_orderkey,
+                             count(DISTINCT o_custkey) AS nd
+                      FROM orders GROUP BY o_orderkey)
+                UNION ALL
+                SELECT 'orders', 'o_custkey', 'o_orderpriority',
+                       CAST(count(*) AS BIGINT),
+                       CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT),
+                       CAST(CASE WHEN count(*) FILTER (WHERE nd > 1)
+                                      = 0 THEN 1 ELSE 0 END AS BIGINT)
+                FROM (SELECT o_custkey,
+                             count(DISTINCT o_orderpriority) AS nd
+                      FROM orders GROUP BY o_custkey)
+                UNION ALL
+                SELECT 'nation', 'n_nationkey', 'n_regionkey',
+                       CAST(count(*) AS BIGINT),
+                       CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT),
+                       CAST(CASE WHEN count(*) FILTER (WHERE nd > 1)
+                                      = 0 THEN 1 ELSE 0 END AS BIGINT)
+                FROM (SELECT n_nationkey,
+                             count(DISTINCT n_regionkey) AS nd
+                      FROM nation GROUP BY n_nationkey)
+            ) ORDER BY tbl, det, dep
         """,
         "q_part_harmonic": """
             WITH RECURSIVE inc AS MATERIALIZED (

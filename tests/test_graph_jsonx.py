@@ -747,3 +747,83 @@ def test_q_part_wl_colors_serial_parity():
     got = dict(zip(out["color"], out["n_nodes"]))
     assert got == {c: n for c, n in hist.items()}
     assert int(out["n_nodes"].sum()) == len(adj)
+
+
+def test_adamic_adar_matches_bruteforce():
+    import collections
+    import math
+    from jerex_ray.ops.graph import adamic_adar
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({"L": rng.integers(0, 12, 300),
+                       "R": rng.integers(0, 25, 300)})
+    got = adamic_adar(rd.from_pandas(df).repartition(4),
+                      left_col="L", right_col="R", top_k=100)
+    inc = df.drop_duplicates()
+    nbrs = collections.defaultdict(set)
+    rdeg = inc.groupby("R").size().to_dict()
+    for l, r in inc.itertuples(index=False):
+        nbrs[l].add(r)
+    exp = {}
+    ls = sorted(nbrs)
+    for i, a in enumerate(ls):
+        for b in ls[i + 1:]:
+            sh = nbrs[a] & nbrs[b]
+            if sh:
+                exp[(a, b)] = (len(sh),
+                               round(sum(1.0 / math.log(rdeg[z])
+                                         for z in sh), 6))
+    assert len(got) == min(100, len(exp))
+    for _, row in got.iterrows():
+        e = exp[(row["a"], row["b"])]
+        assert int(row["shared"]) == e[0]
+        assert abs(row["aa"] - e[1]) < 2e-6, (row["a"], row["b"])
+
+
+def test_q_part_diameter_and_fd_audit_serial():
+    import collections
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_fd_audit, q_part_diameter
+    sf = "/root/testdata/sf0.001"
+    out = q_part_diameter(sf)
+    li = pq.read_table(f"{sf}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    inc = li.drop_duplicates()
+    adj = collections.defaultdict(set)
+    for _, grp in inc.groupby("l_orderkey"):
+        ps = sorted(grp["l_partkey"])
+        for i, x in enumerate(ps):
+            for y in ps[i + 1:]:
+                adj[x].add(y)
+                adj[y].add(x)
+
+    def bfs(s):
+        seen, frontier, lvl = {s: 0}, {s}, 0
+        while frontier:
+            lvl += 1
+            frontier = {v for u in frontier for v in adj[u]
+                        if v not in seen}
+            for v in frontier:
+                seen[v] = lvl
+        return seen
+
+    seed = int(inc["l_partkey"].min())
+    l1 = bfs(seed)
+    ecc = max(l1.values())
+    far = min(n for n, d in l1.items() if d == ecc)
+    l2 = bfs(far)
+    row = out.iloc[0]
+    assert (int(row["seed"]), int(row["ecc_seed"]),
+            int(row["far_node"]), int(row["diameter_lb"]),
+            int(row["n_reached"])) == \
+        (seed, ecc, far, max(l2.values()), len(l2))
+
+    fd = q_fd_audit(sf)
+    cust = pq.read_table(f"{sf}/customer.parquet").to_pandas()
+    nd = cust.groupby("c_nationkey")["c_mktsegment"].nunique()
+    r = fd[(fd["det"] == "c_nationkey")].iloc[0]
+    assert int(r["n_keys"]) == len(nd)
+    assert int(r["n_violating"]) == int((nd > 1).sum())
+    # key columns are genuine FDs
+    assert int(fd[fd["det"] == "o_orderkey"]["holds"].iloc[0]) == 1
+    assert int(fd[fd["det"] == "c_custkey"]["holds"].iloc[0]) == 1
+    assert int(fd[fd["det"] == "n_nationkey"]["holds"].iloc[0]) == 1
