@@ -532,6 +532,89 @@ def adamic_adar(pairs_ds, *, left_col: str, right_col: str,
         .head(top_k).reset_index(drop=True)
 
 
+def greedy_matching(pairs_ds, *, left_col: str, right_col: str,
+                    max_rounds: int = 32,
+                    num_partitions: int | None = None) -> pd.DataFrame:
+    """Maximal bipartite matching by deterministic parallel greedy:
+    every edge gets a distinct md5-64 priority, and each round keeps
+    the edges that are the priority-minimum at BOTH endpoints (the
+    local-minima rule). With distinct priorities this converges to
+    EXACTLY the matching sequential greedy-by-priority produces (the
+    lexicographically-first MIS of the conflict graph — round order
+    can't change it), in O(log E) expected rounds (Blelloch et al.
+    '12). Dataflow per round: two combiner passes to per-node min
+    priorities (node-vocabulary-bounded tables — the same broadcast
+    contract as HITS/PageRank), a broadcast filter picks winners, a
+    broadcast anti-filter drops every edge touching a matched node.
+    The matched set (≤ min(|L|,|R|) rows) is the only driver-side
+    accumulation."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.util import md5_hash64_batch
+
+    EMPTY = pd.DataFrame({"s": pd.Series(dtype="int64"),
+                          "p": pd.Series(dtype="int64"),
+                          "pr": pd.Series(dtype="uint64")})
+
+    inc = grouped_aggregate(pairs_ds, [left_col, right_col],
+                            {"n": (None, "count")},
+                            num_partitions=num_partitions) \
+        .drop_columns(["n"])
+
+    def with_pr(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return EMPTY
+        pr = md5_hash64_batch(
+            (df[left_col].astype(str) + "|"
+             + df[right_col].astype(str)).tolist())
+        return pd.DataFrame({"s": df[left_col].to_numpy(),
+                             "p": df[right_col].to_numpy(),
+                             "pr": pr}) \
+            .astype({"s": "int64", "p": "int64", "pr": "uint64"})
+
+    alive = inc.map_batches(with_pr,
+                            batch_format="pandas").materialize()
+    matched: list[pd.DataFrame] = []
+    for _ in range(max_rounds):
+        if alive.count() == 0:
+            break
+        ms = grouped_aggregate(alive, ["s"],
+                               {"m": ("pr", "min")}).to_pandas()
+        mp = grouped_aggregate(alive, ["p"],
+                               {"m": ("pr", "min")}).to_pandas()
+        ms_d = dict(zip(ms["s"].astype("int64"),
+                        ms["m"].astype("uint64")))
+        mp_d = dict(zip(mp["p"].astype("int64"),
+                        mp["m"].astype("uint64")))
+
+        def pick(df: pd.DataFrame, _ms=ms_d, _mp=mp_d) -> pd.DataFrame:
+            if df.empty:
+                return EMPTY
+            pr = df["pr"].to_numpy(np.uint64)
+            keep = ((pr == df["s"].map(_ms).to_numpy(np.uint64))
+                    & (pr == df["p"].map(_mp).to_numpy(np.uint64)))
+            return df[keep]
+
+        m = alive.map_batches(pick, batch_format="pandas").to_pandas()
+        if m.empty or "s" not in m.columns:
+            break
+        matched.append(m)
+        sset, pset = set(m["s"]), set(m["p"])
+
+        def drop(df: pd.DataFrame, _s=sset, _p=pset) -> pd.DataFrame:
+            if df.empty:
+                return EMPTY
+            return df[~df["s"].isin(_s) & ~df["p"].isin(_p)]
+
+        alive = alive.map_batches(drop,
+                                  batch_format="pandas").materialize()
+    if not matched:
+        return EMPTY.rename(columns={"s": left_col, "p": right_col})
+    out = pd.concat(matched, ignore_index=True) \
+        .rename(columns={"s": left_col, "p": right_col})
+    return out.sort_values([left_col, right_col]) \
+        .reset_index(drop=True)
+
+
 # --- single-source BFS levels (hop distance) ---
 
 def bfs_levels(edges_ds, source: int, *, src: str = "a", dst: str = "b",

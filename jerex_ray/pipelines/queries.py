@@ -8759,6 +8759,145 @@ def q_fd_audit(sf_dir: str):
     return out.sort_values(["tbl", "det", "dep"]).reset_index(drop=True)
 
 
+def _kleinberg_burst_dp(k: np.ndarray):
+    """Forward Viterbi of the 2-state Kleinberg burst automaton over
+    an hourly count vector: returns (c0s, c1s, states) — per-step
+    min costs ending in each state and the backtracked optimal state
+    sequence. Float order matches the SQL recursion exactly (see
+    ``q_events_burst_dp``). Brute-force-optimality pytest-gated."""
+    import math
+    span = len(k)
+    total = int(k.sum())
+    r0 = total / span
+    r1 = 2.0 * r0
+    gam = math.log(float(span))
+    lr0, lr1 = math.log(r0), math.log(r1)
+    c0s = np.empty(span, dtype=np.float64)
+    c1s = np.empty(span, dtype=np.float64)
+    back0 = np.zeros(span, dtype=np.int8)
+    back1 = np.ones(span, dtype=np.int8)
+    c0 = r0 - float(k[0]) * lr0
+    c1 = gam + (r1 - float(k[0]) * lr1)
+    c0s[0], c1s[0] = c0, c1
+    for t in range(1, span):
+        kt = float(k[t])
+        back0[t] = 0 if c0 <= c1 else 1
+        back1[t] = 1 if c1 <= c0 + gam else 0
+        n0 = (r0 - kt * lr0) + min(c0, c1)
+        n1 = (r1 - kt * lr1) + min(c1, c0 + gam)
+        c0, c1 = n0, n1
+        c0s[t], c1s[t] = c0, c1
+    states = np.zeros(span, dtype=np.int8)
+    st = 0 if c0 <= c1 else 1
+    states[span - 1] = st
+    for t in range(span - 1, 0, -1):
+        st = back0[t] if st == 0 else back1[t]
+        states[t - 1] = st
+    return c0s, c1s, states
+
+
+def _top_type_hour_grid(sf_dir: str):
+    """(hmin, zero-filled hourly count vector) of the most frequent
+    event type — the shared reduction both burst queries start from
+    (one combiner pass; only the span-bounded grid reaches the
+    driver)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+    tot = grouped_aggregate(
+        ds.map_batches(lambda df: pd.DataFrame(
+            {"event_type": df["event_type"]}), batch_format="pandas"),
+        ["event_type"], {"n": (None, "count")}).to_pandas()
+    top = tot.sort_values(["n", "event_type"],
+                          ascending=[False, True]).iloc[0]["event_type"]
+
+    def hours(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == top]
+        hr = (df["ts"].astype("datetime64[us]").astype("int64")
+              // 3_600_000_000)
+        return pd.DataFrame({"hour": hr.to_numpy(np.int64), "n": 1}) \
+            .groupby("hour", sort=False).sum().reset_index()
+
+    g = grouped_aggregate(
+        ds.map_batches(hours, batch_format="pandas",
+                       batch_size=65536),
+        ["hour"], {"n": ("n", "sum")}).to_pandas()
+    hmin, hmax = int(g["hour"].min()), int(g["hour"].max())
+    k = np.zeros(hmax - hmin + 1, dtype=np.int64)
+    k[g["hour"].to_numpy(np.int64) - hmin] = g["n"].to_numpy(np.int64)
+    return hmin, k
+
+
+def q_supplier_matching(sf_dir: str):
+    """Maximal supplier–part matching by deterministic parallel
+    greedy (``ops/graph.greedy_matching``): md5-64 edge priorities,
+    per-round local-minima picks — provably identical to sequential
+    greedy-by-priority, so the SQL oracle can replay the SAME rounds
+    with windowed mins over a chained-CTE cascade. Maximality +
+    greedy-prefix equality are pytest-gated."""
+    from jerex_ray.ops.graph import greedy_matching
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_partkey"])
+    out = greedy_matching(ds, left_col="l_suppkey",
+                          right_col="l_partkey")
+    return out[["l_suppkey", "l_partkey"]]
+
+
+def q_events_burst_dp(sf_dir: str):
+    """Kleinberg 2-state burst-detection DP (Kleinberg '02) over the
+    top event type's hourly count series: state costs are Poisson
+    negative log-likelihoods with the shared ln(k!) term dropped (it
+    cancels in every state comparison), base rate r0 = mean hourly
+    count, burst rate r1 = 2·r0, entering the burst state costs
+    γ = ln(T). The corpus reduces to the span-bounded hourly grid
+    through one combiner pass; the DP recursion itself is inherently
+    sequential and runs on the driver over the zero-filled grid
+    (span-bounded — the changepoint/Holt contract). Both engines
+    execute the IDENTICAL float sequence (the recursion fixes the
+    order), so the per-hour cost table matches bit-for-bit before
+    the 6-dp output rounding. Backtracked burst intervals:
+    ``q_events_burst_states`` (rows-only)."""
+    hmin, k = _top_type_hour_grid(sf_dir)
+    c0s, c1s, _ = _kleinberg_burst_dp(k)
+    return pd.DataFrame({
+        "hour": np.arange(hmin, hmin + len(k), dtype=np.int64),
+        "k": k,
+        "c0": _round_half_away(c0s, 6),
+        "c1": _round_half_away(c1s, 6)})
+
+
+def q_events_burst_states(sf_dir: str):
+    """Backtracked Viterbi burst intervals from the
+    ``q_events_burst_dp`` cost table: argmin final state, walk the
+    stored decisions backwards, emit maximal burst (state-1) islands.
+    Rows-only: the backward walk is not SQL-expressible on top of the
+    already-oracled forward table without re-deriving it; DP
+    optimality is pytest-gated by exhaustive path enumeration."""
+    hmin, k = _top_type_hour_grid(sf_dir)
+    _, _, states = _kleinberg_burst_dp(k)
+    span = len(k)
+    # maximal state-1 islands
+    rows = []
+    t = 0
+    while t < span:
+        if states[t] == 1:
+            s = t
+            while t + 1 < span and states[t + 1] == 1:
+                t += 1
+            rows.append((np.int64(hmin + s), np.int64(hmin + t),
+                         np.int64(t - s + 1),
+                         np.int64(int(k[s:t + 1].sum()))))
+        t += 1
+    return pd.DataFrame(rows, columns=["start_hour", "end_hour",
+                                       "n_hours", "n_events"]) \
+        .astype({"start_hour": "int64", "end_hour": "int64",
+                 "n_hours": "int64", "n_events": "int64"})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -8992,6 +9131,9 @@ def build_queries() -> dict:
         "q_supplier_adamic": q_supplier_adamic,
         "q_part_diameter": q_part_diameter,
         "q_fd_audit": q_fd_audit,
+        "q_supplier_matching": q_supplier_matching,
+        "q_events_burst_dp": q_events_burst_dp,
+        "q_events_burst_states": q_events_burst_states,
         "kg_distant_negatives": kg_distant_negatives,
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
@@ -9232,6 +9374,46 @@ def _kcore_oracle_sql(k: int = 80, rounds: int = 8) -> str:
     return sql
 
 
+def _matching_oracle_sql(rounds: int = 16) -> str:
+    """Chained-CTE replay of ``q_supplier_matching``'s parallel
+    greedy rounds: per round, windowed per-endpoint priority minima
+    pick the local-minimum edges, and a NOT IN filter removes every
+    edge touching a matched node. ``rounds`` only has to exceed the
+    actual convergence round count (O(log E) expected; pytest pins
+    maximality, so an unconverged oracle would mismatch the gate)."""
+    sql = """
+        WITH a0 AS MATERIALIZED (
+            SELECT s, p, CAST('0x' || substr(md5(
+                       CAST(s AS VARCHAR) || '|'
+                       || CAST(p AS VARCHAR)), 1, 16) AS UBIGINT)
+                   AS pr
+            FROM (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                  FROM lineitem))"""
+    parts = []
+    prev = "a0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+        w{r} AS MATERIALIZED (
+            SELECT s, p, pr,
+                   min(pr) OVER (PARTITION BY s) AS ms,
+                   min(pr) OVER (PARTITION BY p) AS mp
+            FROM {prev}),
+        m{r} AS MATERIALIZED (
+            SELECT s, p FROM w{r} WHERE pr = ms AND pr = mp),
+        a{r} AS MATERIALIZED (
+            SELECT s, p, pr FROM w{r}
+            WHERE s NOT IN (SELECT s FROM m{r})
+              AND p NOT IN (SELECT p FROM m{r}))"""
+        parts.append(f"SELECT s, p FROM m{r}")
+        prev = f"a{r}"
+    sql += f"""
+        SELECT CAST(s AS BIGINT) AS l_suppkey,
+               CAST(p AS BIGINT) AS l_partkey
+        FROM ({" UNION ALL ".join(parts)})
+        ORDER BY l_suppkey, l_partkey"""
+    return sql
+
+
 def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE recomputation of ``doc_pagerank``: the exact-Jaccard
     edge CTE, undirected explode, degree table, then one CTE per power
@@ -9426,6 +9608,7 @@ def _pretrain_corpus_oracle_sql() -> str:
 
 def build_oracle_sql() -> dict:
     oracles = _build_oracle_sql_literal()
+    oracles["q_supplier_matching"] = _matching_oracle_sql(rounds=16)
     oracles["doc_pretrain_corpus"] = _pretrain_corpus_oracle_sql()
     # one-sided Bloom parity (see doc_decontaminate_bloom docstring)
     oracles["doc_decontaminate_bloom"] = oracles["doc_decontaminate"]
@@ -12276,6 +12459,54 @@ def _build_oracle_sql_literal() -> dict:
             FROM b a JOIN b bb ON a.blk = bb.blk AND a.norm < bb.norm
             WHERE jaro_winkler_similarity(a.norm, bb.norm) >= 0.88
             ORDER BY norm_a, norm_b
+        """,
+        "q_events_burst_dp": """
+            WITH RECURSIVE top1 AS (
+                SELECT event_type FROM events GROUP BY event_type
+                ORDER BY count(*) DESC, event_type LIMIT 1),
+            h AS (
+                SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                           AS hr,
+                       count(*) AS k
+                FROM events
+                WHERE event_type = (SELECT event_type FROM top1)
+                GROUP BY hr),
+            span AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM h),
+            grid AS (
+                SELECT unnest(generate_series(h0, h1)) AS hr
+                FROM span),
+            g2 AS MATERIALIZED (
+                SELECT grid.hr,
+                       row_number() OVER (ORDER BY grid.hr) AS rk,
+                       CAST(coalesce(h.k, 0) AS BIGINT) AS k
+                FROM grid LEFT JOIN h USING (hr)),
+            params AS (
+                SELECT CAST(sum(k) AS DOUBLE) / count(*) AS r0,
+                       2.0 * (CAST(sum(k) AS DOUBLE) / count(*))
+                           AS r1,
+                       ln(CAST(count(*) AS DOUBLE)) AS gam
+                FROM g2),
+            dp AS (
+                SELECT rk, hr, k,
+                       (SELECT r0 FROM params)
+                           - k * ln((SELECT r0 FROM params)) AS c0,
+                       (SELECT gam FROM params)
+                           + ((SELECT r1 FROM params)
+                              - k * ln((SELECT r1 FROM params))) AS c1
+                FROM g2 WHERE rk = 1
+                UNION ALL
+                SELECT g2.rk, g2.hr, g2.k,
+                       ((SELECT r0 FROM params)
+                        - g2.k * ln((SELECT r0 FROM params)))
+                           + least(dp.c0, dp.c1),
+                       ((SELECT r1 FROM params)
+                        - g2.k * ln((SELECT r1 FROM params)))
+                           + least(dp.c1,
+                                   dp.c0 + (SELECT gam FROM params))
+                FROM dp JOIN g2 ON g2.rk = dp.rk + 1)
+            SELECT hr AS hour, k, round(c0, 6) AS c0,
+                   round(c1, 6) AS c1
+            FROM dp ORDER BY hour
         """,
         "q_supplier_adamic": """
             WITH inc AS MATERIALIZED (

@@ -827,3 +827,57 @@ def test_q_part_diameter_and_fd_audit_serial():
     assert int(fd[fd["det"] == "o_orderkey"]["holds"].iloc[0]) == 1
     assert int(fd[fd["det"] == "c_custkey"]["holds"].iloc[0]) == 1
     assert int(fd[fd["det"] == "n_nationkey"]["holds"].iloc[0]) == 1
+
+
+def test_greedy_matching_equals_sequential_greedy():
+    from jerex_ray.ops.graph import greedy_matching
+    from jerex_ray.util import md5_hash64
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({"L": rng.integers(0, 30, 400),
+                       "R": rng.integers(0, 40, 400)})
+    got = greedy_matching(rd.from_pandas(df).repartition(4),
+                          left_col="L", right_col="R")
+    inc = df.drop_duplicates().reset_index(drop=True)
+    inc["pr"] = [md5_hash64(f"{l}|{r}")
+                 for l, r in zip(inc["L"], inc["R"])]
+    taken_l, taken_r, seq = set(), set(), []
+    for _, row in inc.sort_values(["pr", "L", "R"]).iterrows():
+        if row["L"] not in taken_l and row["R"] not in taken_r:
+            taken_l.add(row["L"])
+            taken_r.add(row["R"])
+            seq.append((row["L"], row["R"]))
+    assert set(map(tuple, got[["L", "R"]].values)) == set(seq)
+    # maximality: every original edge touches a matched node
+    ml, mr = set(got["L"]), set(got["R"])
+    assert all(l in ml or r in mr
+               for l, r in inc[["L", "R"]].itertuples(index=False))
+
+
+def test_kleinberg_burst_dp_is_optimal_and_backtrack_consistent():
+    import itertools
+    import math
+    from jerex_ray.pipelines.queries import _kleinberg_burst_dp
+    k = np.array([1, 0, 2, 9, 11, 10, 1, 0, 1, 8, 9, 0], dtype=np.int64)
+    c0s, c1s, states = _kleinberg_burst_dp(k)
+    span = len(k)
+    r0 = int(k.sum()) / span
+    r1 = 2.0 * r0
+    gam = math.log(float(span))
+
+    def path_cost(path):
+        cost = gam if path[0] == 1 else 0.0
+        for t, st in enumerate(path):
+            r = r1 if st else r0
+            cost += r - float(k[t]) * math.log(r)
+            if t and st == 1 and path[t - 1] == 0:
+                cost += gam
+        return cost
+
+    best = min(path_cost(p)
+               for p in itertools.product([0, 1], repeat=span))
+    assert abs(min(c0s[-1], c1s[-1]) - best) < 1e-9
+    assert abs(path_cost(tuple(states)) - best) < 1e-9
+    # the planted high-count stretches are flagged as bursts
+    assert states[3] == states[4] == states[5] == 1
+    assert states[9] == states[10] == 1
+    assert states[1] == 0 and states[7] == 0
