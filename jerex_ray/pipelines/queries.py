@@ -8898,6 +8898,49 @@ def q_events_burst_states(sf_dir: str):
                  "n_hours": "int64", "n_events": "int64"})
 
 
+def q_user_dbscan(sf_dir: str, *, eps: int = 2, min_pts: int = 3):
+    """DBSCAN over per-user behavior points (x = event count,
+    y = total spend in 10-dollar units — both exact integers):
+    grid-bucketed ε-pair generation, core/border/noise roles, cluster
+    = min core id of the density-connected component
+    (``ops/dbscan.dbscan_2d``; deterministic min-rule border
+    assignment). Integer coordinates + integer ε² predicate mean the
+    all-pairs + recursive-closure SQL oracle matches exactly."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.ops.dbscan import dbscan_2d
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "n": np.int64(1),
+            "cents": np.round(df["value"].to_numpy(np.float64)
+                              * 100.0).astype(np.int64)})
+
+    agg = grouped_aggregate(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["user_id"], {"x": ("n", "sum"), "cents": ("cents", "sum")})
+
+    def to_pts(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                 "x": pd.Series(dtype="int64"),
+                                 "y": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "id": df["user_id"].to_numpy(np.int64),
+            "x": df["x"].to_numpy(np.int64),
+            "y": np.floor_divide(df["cents"].to_numpy(np.int64),
+                                 10000)})
+
+    pts = agg.map_batches(to_pts, batch_format="pandas")
+    out = dbscan_2d(pts, id_col="id", x_col="x", y_col="y",
+                    eps=eps, min_pts=min_pts)
+    return out.rename(columns={"id": "user_id"})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -9134,6 +9177,7 @@ def build_queries() -> dict:
         "q_supplier_matching": q_supplier_matching,
         "q_events_burst_dp": q_events_burst_dp,
         "q_events_burst_states": q_events_burst_states,
+        "q_user_dbscan": q_user_dbscan,
         "kg_distant_negatives": kg_distant_negatives,
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
@@ -12459,6 +12503,60 @@ def _build_oracle_sql_literal() -> dict:
             FROM b a JOIN b bb ON a.blk = bb.blk AND a.norm < bb.norm
             WHERE jaro_winkler_similarity(a.norm, bb.norm) >= 0.88
             ORDER BY norm_a, norm_b
+        """,
+        "q_user_dbscan": """
+            WITH RECURSIVE pts AS MATERIALIZED (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            // 10000 AS BIGINT) AS y
+                FROM events GROUP BY user_id),
+            pairs AS MATERIALIZED (
+                SELECT a.user_id AS ua, b.user_id AS ub
+                FROM pts a JOIN pts b ON a.user_id < b.user_id
+                  AND (a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y) <= 4),
+            cnt AS (SELECT u, count(*) + 1 AS n FROM (
+                        SELECT ua AS u FROM pairs
+                        UNION ALL SELECT ub FROM pairs) GROUP BY u),
+            core AS MATERIALIZED (
+                SELECT p.user_id FROM pts p
+                LEFT JOIN cnt ON cnt.u = p.user_id
+                WHERE coalesce(cnt.n, 1) >= 3),
+            ce AS MATERIALIZED (
+                SELECT ua, ub FROM pairs
+                WHERE ua IN (SELECT user_id FROM core)
+                  AND ub IN (SELECT user_id FROM core)),
+            sym AS MATERIALIZED (
+                SELECT ua AS u, ub AS v FROM ce
+                UNION ALL SELECT ub, ua FROM ce),
+            reach AS (
+                SELECT user_id AS a, user_id AS b FROM core
+                UNION
+                SELECT reach.a, sym.v
+                FROM reach JOIN sym ON sym.u = reach.b),
+            comp AS MATERIALIZED (
+                SELECT a AS user_id, min(b) AS comp
+                FROM reach GROUP BY a),
+            bj AS (
+                SELECT x.u AS user_id, min(comp.comp) AS comp FROM (
+                    SELECT ua AS u, ub AS c FROM pairs
+                    WHERE ub IN (SELECT user_id FROM core)
+                      AND ua NOT IN (SELECT user_id FROM core)
+                    UNION ALL
+                    SELECT ub, ua FROM pairs
+                    WHERE ua IN (SELECT user_id FROM core)
+                      AND ub NOT IN (SELECT user_id FROM core)) x
+                JOIN comp ON comp.user_id = x.c GROUP BY x.u)
+            SELECT p.user_id,
+                   CASE WHEN comp.comp IS NOT NULL THEN 'core'
+                        WHEN bj.comp IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   CAST(coalesce(comp.comp, bj.comp, -1) AS BIGINT)
+                       AS cluster
+            FROM pts p
+            LEFT JOIN comp ON comp.user_id = p.user_id
+            LEFT JOIN bj ON bj.user_id = p.user_id
+            ORDER BY p.user_id
         """,
         "q_events_burst_dp": """
             WITH RECURSIVE top1 AS (

@@ -881,3 +881,58 @@ def test_kleinberg_burst_dp_is_optimal_and_backtrack_consistent():
     assert states[3] == states[4] == states[5] == 1
     assert states[9] == states[10] == 1
     assert states[1] == 0 and states[7] == 0
+
+
+def test_dbscan_2d_matches_bruteforce():
+    from jerex_ray.ops.dbscan import dbscan_2d
+    rng = np.random.default_rng(53)
+    # three planted blobs + scattered noise, integer coords
+    blobs = [(10, 10), (30, 12), (18, 40)]
+    xs, ys = [], []
+    for bx, by in blobs:
+        xs += list(bx + rng.integers(-2, 3, 12))
+        ys += list(by + rng.integers(-2, 3, 12))
+    xs += list(rng.integers(0, 60, 10))
+    ys += list(rng.integers(0, 60, 10))
+    pts = pd.DataFrame({"id": np.arange(len(xs), dtype=np.int64),
+                        "x": np.asarray(xs, dtype=np.int64),
+                        "y": np.asarray(ys, dtype=np.int64)})
+    eps, minp = 3, 4
+    got = dbscan_2d(rd.from_pandas(pts).repartition(3),
+                    id_col="id", x_col="x", y_col="y",
+                    eps=eps, min_pts=minp)
+
+    # serial reference with the same deterministic rules
+    n = len(pts)
+    X = pts[["x", "y"]].to_numpy(np.int64)
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    nbr = (d2 <= eps * eps) & ~np.eye(n, dtype=bool)
+    is_core = nbr.sum(axis=1) + 1 >= minp
+    # components over core-core adjacency, label = min id
+    comp = {}
+    for i in np.where(is_core)[0]:
+        if i in comp:
+            continue
+        stack, seen = [i], {int(i)}
+        while stack:
+            u = stack.pop()
+            for v in np.where(nbr[u] & is_core)[0]:
+                if int(v) not in seen:
+                    seen.add(int(v))
+                    stack.append(v)
+        lab = min(seen)
+        for u in seen:
+            comp[u] = lab
+    exp = {}
+    for i in range(n):
+        if is_core[i]:
+            exp[i] = ("core", comp[int(i)])
+        else:
+            cores = [comp[int(j)] for j in np.where(nbr[i])[0]
+                     if is_core[j]]
+            exp[i] = ("border", min(cores)) if cores else ("noise", -1)
+    got_map = {int(r["id"]): (r["role"], int(r["cluster"]))
+               for _, r in got.iterrows()}
+    assert got_map == exp
+    assert sum(1 for r, _ in exp.values() if r == "core") > 20
+    assert any(r == "noise" for r, _ in exp.values())
