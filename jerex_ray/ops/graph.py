@@ -59,17 +59,24 @@ def _directed_edges(edges_ds, *, src: str, dst: str, undirected: bool):
 def pagerank(edges_ds, *, src: str = "doc_a", dst: str = "doc_b",
              damping: float = 0.85, iters: int = 5,
              undirected: bool = True, mode: str = "broadcast",
+             personalize: int | None = None,
              num_partitions: int | None = None) -> pd.DataFrame:
     """PageRank over an edge-list Dataset; returns a node-sized pandas
     table ``(node, pr)`` (broadcast mode's contract is precisely that
     node-sized state is small; join mode callers wanting a Dataset can
-    wrap the result, which is already reduced)."""
+    wrap the result, which is already reduced). ``personalize=<node>``
+    concentrates ALL teleport mass on one seed (personalized PageRank
+    / random walk with restart, Jeh & Widom '03): init rank = 1 at
+    the seed, per-step rank = (1−d)·[node=seed] + d·inflow — broadcast
+    mode only (the teleport is a vector, not a scalar)."""
     import ray
 
     from jerex_ray.functions.aggregate import grouped_aggregate
 
     if mode not in ("broadcast", "join"):
         raise ValueError(f"unknown mode {mode!r}")
+    if personalize is not None and mode != "broadcast":
+        raise ValueError("personalize requires mode='broadcast'")
     edges = _directed_edges(edges_ds, src=src, dst=dst,
                             undirected=undirected).materialize()
     deg_df = grouped_aggregate(edges, ["u"], {"deg": (None, "count")},
@@ -84,7 +91,13 @@ def pagerank(edges_ds, *, src: str = "doc_a", dst: str = "doc_b",
     if mode == "broadcast":
         nodes = deg_df["u"].to_numpy()
         deg = deg_df["deg"].to_numpy(np.float64)
-        rank = np.full(n, 1.0 / n)
+        if personalize is None:
+            tele = np.full(n, teleport)
+            rank = np.full(n, 1.0 / n)
+        else:
+            seed_mask = nodes == personalize
+            tele = np.where(seed_mask, 1.0 - damping, 0.0)
+            rank = np.where(seed_mask, 1.0, 0.0)
         node_pos = pd.Series(np.arange(n), index=nodes)
         for _ in range(iters):
             ref = ray.put(rank / deg)
@@ -104,7 +117,7 @@ def pagerank(edges_ds, *, src: str = "doc_a", dst: str = "doc_b",
             s = np.zeros(n)
             s[node_pos.loc[sums["v"].to_numpy()].to_numpy()] = \
                 sums["s"].to_numpy(np.float64)
-            rank = teleport + damping * s
+            rank = tele + damping * s
         return pd.DataFrame({"node": nodes, "pr": rank}) \
             .sort_values("node").reset_index(drop=True)
 

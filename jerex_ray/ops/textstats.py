@@ -613,6 +613,118 @@ def chunk_documents(docs_ds, *, chunk_words: int = 64,
                                batch_size=4096)
 
 
+def _flat_bigrams(batch: pd.DataFrame):
+    """(doc_index, prev, cur) arrays for all in-doc word adjacencies
+    — shared by the bigram-LM scorers (whitespace tokens, lowercased,
+    doc boundaries masked via the repeat-index trick)."""
+    words = batch["text"].fillna("").str.lower().str.split()
+    lens = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+    if lens.sum() < 2:
+        return None
+    flat = np.concatenate([w for w in words.to_numpy() if w])
+    owner = np.repeat(np.arange(len(batch)), lens)
+    m = owner[:-1] == owner[1:]
+    if not m.any():
+        return None
+    return owner[:-1][m], flat[:-1][m], flat[1:][m]
+
+
+def _bigram_counts(docs_ds, num_partitions=None) -> pd.DataFrame:
+    """Corpus bigram count table (w1, w2, n) through the combiner —
+    vocabulary²-bounded, the fit artifact of both bigram LMs."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"w1": pd.Series(dtype="object"),
+                              "w2": pd.Series(dtype="object"),
+                              "c": pd.Series(dtype="int64")})
+        got = _flat_bigrams(batch)
+        if got is None:
+            return empty
+        _, prev, cur = got
+        g = pd.DataFrame({"w1": prev, "w2": cur}) \
+            .groupby(["w1", "w2"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    return grouped_aggregate(
+        docs_ds.map_batches(explode, batch_format="pandas",
+                            batch_size=8192),
+        ["w1", "w2"], {"n": ("c", "sum")},
+        num_partitions=num_partitions).to_pandas()
+
+
+def kneser_ney_logppl(docs_ds, *, discount: float = 0.75,
+                      num_partitions: int | None = None):
+    """Interpolated Kneser-Ney bigram-LM quality score (Kneser & Ney
+    '95; Chen & Goodman '96 eq. 4.17) — the smoothing that scores a
+    bigram's novelty by how many CONTEXTS its unigram completes, not
+    how often it occurs:
+
+        P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·)
+                   + (D·N₁₊(w₁•)/c(w₁·)) · (N₁₊(•w₂)/B)
+
+    with D = ``discount``, N₁₊ the distinct-continuation counts and
+    B the number of distinct bigram types. Per doc: mean −ln P over
+    its bigram tokens (self-scoring the fit corpus, so every bigram
+    is in the table — scoring foreign text raises rather than
+    silently back off).
+
+    Dataflow: ONE combiner pass to the vocabulary²-bounded bigram
+    table; all four statistic tables derive from it driver-side and
+    broadcast once via ``ray.put``; one streaming pass scores. Every
+    probability is a fixed arithmetic expression over integers + D,
+    sequenced identically to the SQL oracle."""
+    import ray
+
+    counts = _bigram_counts(docs_ds, num_partitions)
+    if counts.empty or "w1" not in counts.columns:
+        table = {}
+    else:
+        c1 = counts.groupby("w1", sort=False)["n"].transform("sum") \
+            .to_numpy(np.float64)
+        n1f = counts.groupby("w1", sort=False)["w2"] \
+            .transform("size").to_numpy(np.float64)
+        n1b_map = counts.groupby("w2", sort=False).size()
+        n1b = counts["w2"].map(n1b_map).to_numpy(np.float64)
+        B = float(len(counts))
+        c2 = counts["n"].to_numpy(np.float64)
+        p = np.maximum(c2 - discount, 0.0) / c1 \
+            + (discount * n1f) / c1 * (n1b / B)
+        lp = -np.log(p)
+        sep = "\x00"
+        table = dict(zip(counts["w1"] + sep + counts["w2"], lp))
+    ref = ray.put(table)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        tbl = ray.get(ref)
+        n_bi = np.zeros(len(batch), dtype=np.int64)
+        logppl = np.zeros(len(batch), dtype=np.float64)
+        got = _flat_bigrams(batch)
+        if got is not None:
+            owner, prev, cur = got
+            keys = pd.Series(prev, dtype="object") + "\x00" \
+                + pd.Series(cur, dtype="object")
+            l = keys.map(tbl)
+            if l.isna().any():
+                raise ValueError(
+                    "kneser_ney_logppl scores its own fit corpus; "
+                    "unseen bigram encountered")
+            l = l.to_numpy(np.float64)
+            n_bi = np.bincount(owner, minlength=len(batch)) \
+                .astype(np.int64)
+            sums = np.bincount(owner, weights=l, minlength=len(batch))
+            nz = n_bi > 0
+            logppl[nz] = sums[nz] / n_bi[nz]
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
+                             "n_bigrams": n_bi,
+                             "logppl": logppl})
+
+    return docs_ds.map_batches(score, batch_format="pandas",
+                               batch_size=8192)
+
+
 def bigram_logppl(docs_ds, *, k: float = 0.5,
                   num_partitions: int | None = None):
     """Add-k smoothed bigram-LM quality score (Chen & Goodman '96
@@ -633,19 +745,6 @@ def bigram_logppl(docs_ds, *, k: float = 0.5,
     import ray
 
     from jerex_ray.functions.aggregate import grouped_aggregate
-
-    def _flat_bigrams(batch: pd.DataFrame):
-        """(doc_index, prev, cur) arrays for all in-doc adjacencies."""
-        words = batch["text"].fillna("").str.lower().str.split()
-        lens = words.str.len().fillna(0).to_numpy(dtype=np.int64)
-        if lens.sum() < 2:
-            return None
-        flat = np.concatenate([w for w in words.to_numpy() if w])
-        owner = np.repeat(np.arange(len(batch)), lens)
-        m = owner[:-1] == owner[1:]
-        if not m.any():
-            return None
-        return owner[:-1][m], flat[:-1][m], flat[1:][m]
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"w1": pd.Series(dtype="object"),

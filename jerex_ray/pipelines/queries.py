@@ -8941,6 +8941,115 @@ def q_user_dbscan(sf_dir: str, *, eps: int = 2, min_pts: int = 3):
     return out.rename(columns={"id": "user_id"})
 
 
+def doc_ppr(sf_dir: str, *, damping: float = 0.85, iters: int = 5):
+    """Personalized PageRank / random walk with restart (Jeh & Widom
+    '03) from the smallest doc in the exact-Jaccard near-dup graph:
+    all teleport mass on the seed, so scores measure similarity-graph
+    proximity TO that doc (the "more like this" primitive). Same
+    broadcast power iteration as ``doc_pagerank`` with a teleport
+    VECTOR; oracled by a chained-CTE replay whose per-round LEFT JOIN
+    keeps zero-rank nodes alive."""
+    import ray
+
+    from jerex_ray.ops.dedup import jaccard_edges_exact
+    from jerex_ray.ops.graph import pagerank
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    edges = jaccard_edges_exact(ds, threshold=0.7).to_pandas()
+    if "doc_a" not in edges.columns or edges.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "pr": pd.Series(dtype="float64")})
+    seed = int(min(edges["doc_a"].min(), edges["doc_b"].min()))
+    pr = pagerank(ray.data.from_pandas(edges[["doc_a", "doc_b"]]),
+                  damping=damping, iters=iters, personalize=seed)
+    pr["pr"] = pr["pr"].round(6)
+    pr = pr.rename(columns={"node": "doc_id"})
+    pr["doc_id"] = pr["doc_id"].astype("int64")
+    return pr.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_kn_logppl(sf_dir: str):
+    """Interpolated Kneser-Ney bigram quality score
+    (``ops/textstats.kneser_ney_logppl``): per-doc mean −ln P with
+    the continuation-count smoothing (D = 0.75) — the LM-quality
+    signal one smoothing class above the add-k scorer
+    ``doc_bigram_logppl``. One combiner pass fits; one broadcast
+    pass scores; SQL-oracled with the identically-sequenced
+    probability expression."""
+    from jerex_ray.ops.textstats import kneser_ney_logppl
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = kneser_ney_logppl(ds).to_pandas()
+    out["logppl"] = out["logppl"].round(6)
+    out["n_bigrams"] = out["n_bigrams"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def emb_label_prop(sf_dir: str, *, k: int = 5, rounds: int = 2):
+    """Semi-supervised label propagation (Zhu & Ghahramani '02) over
+    the exact cosine k-NN graph: even vec_ids are labeled seeds, odd
+    ones start unlabeled; each round every non-seed takes the
+    majority label of its k nearest neighbors' CURRENT labels
+    (unlabeled neighbors abstain; ties break to the smallest label;
+    seeds are clamped). Deterministic, so fully SQL-oracled via the
+    row_number kNN CTE plus one vote CTE per round. The graph comes
+    from the oracle-proven broadcast-matmul top-k kernel; per-round
+    votes are a grouped count over the edge Dataset with the
+    node-bounded label table broadcast."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+    df = ds.to_pandas()
+    edges = emb_knn_graph(sf_dir, k=k)
+    edges_ds = ray.data.from_pandas(edges).materialize()
+    ids = df["vec_id"].astype("int64")
+    seed = {int(v): int(l) for v, l in zip(ids, df["label"])
+            if int(v) % 2 == 0}
+    labels = {int(v): seed.get(int(v), -1) for v in ids}
+
+    for _ in range(rounds):
+        cur = labels
+
+        def vote_block(b: pd.DataFrame, _l=cur) -> pd.DataFrame:
+            empty = pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                  "lab": pd.Series(dtype="int64")})
+            if b.empty:
+                return empty
+            b = b.copy()
+            b["lab"] = b["dst"].map(_l)
+            b = b[b["lab"] != -1]
+            if b.empty:
+                return empty
+            cnt = b.groupby(["src", "lab"], sort=False).size() \
+                .reset_index(name="c")
+            top = cnt.sort_values(["src", "c", "lab"],
+                                  ascending=[True, False, True]) \
+                .groupby("src", sort=False).head(1)
+            return pd.DataFrame({
+                "src": top["src"].to_numpy(np.int64),
+                "lab": top["lab"].to_numpy(np.int64)})
+
+        votes = grouped_apply(edges_ds, ["src"], vote_block) \
+            .to_pandas()
+        vmap = dict(zip(votes["src"].astype("int64"),
+                        votes["lab"].astype("int64"))) \
+            if not votes.empty and "src" in votes.columns else {}
+        labels = {v: (seed[v] if v in seed else vmap.get(v, -1))
+                  for v in labels}
+
+    out = pd.DataFrame(sorted(labels.items()),
+                       columns=["vec_id", "label_pred"])
+    return out.astype({"vec_id": "int64", "label_pred": "int64"})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -9178,6 +9287,9 @@ def build_queries() -> dict:
         "q_events_burst_dp": q_events_burst_dp,
         "q_events_burst_states": q_events_burst_states,
         "q_user_dbscan": q_user_dbscan,
+        "doc_ppr": doc_ppr,
+        "doc_kn_logppl": doc_kn_logppl,
+        "emb_label_prop": emb_label_prop,
         "kg_distant_negatives": kg_distant_negatives,
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
@@ -9458,6 +9570,43 @@ def _matching_oracle_sql(rounds: int = 16) -> str:
     return sql
 
 
+def _ppr_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Chained-CTE replay of ``doc_ppr``: same edge CTE and power
+    iteration as the PageRank oracle, but teleport mass sits entirely
+    on the min-id seed and a per-round LEFT JOIN against the node
+    table keeps zero-rank nodes in play."""
+    sql = f"""
+        WITH edges AS ({_EXACT_JACCARD_EDGES_SQL}),
+        dir AS (SELECT doc_a AS u, doc_b AS v FROM edges
+                UNION ALL SELECT doc_b, doc_a FROM edges),
+        deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS dg
+                FROM dir GROUP BY u),
+        nodes AS (SELECT u AS node FROM deg),
+        seed AS (SELECT min(node) AS s FROM nodes),
+        r0 AS (SELECT node,
+                      CASE WHEN node = (SELECT s FROM seed)
+                           THEN 1.0 ELSE 0.0 END AS pr
+               FROM nodes)"""
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql += f""",
+        r{k} AS (SELECT nodes.node,
+                        (CASE WHEN nodes.node = (SELECT s FROM seed)
+                              THEN {1.0 - damping!r} ELSE 0.0 END)
+                        + {damping!r} * coalesce(c.s, 0.0) AS pr
+                 FROM nodes LEFT JOIN (
+                     SELECT dir.v AS node,
+                            sum({prev}.pr / deg.dg) AS s
+                     FROM dir JOIN {prev} ON {prev}.node = dir.u
+                              JOIN deg ON deg.u = dir.u
+                     GROUP BY dir.v) c ON c.node = nodes.node)"""
+        prev = f"r{k}"
+    sql += f"""
+        SELECT node AS doc_id, round(pr, 6) AS pr
+        FROM {prev} ORDER BY doc_id"""
+    return sql
+
+
 def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE recomputation of ``doc_pagerank``: the exact-Jaccard
     edge CTE, undirected explode, degree table, then one CTE per power
@@ -9653,6 +9802,7 @@ def _pretrain_corpus_oracle_sql() -> str:
 def build_oracle_sql() -> dict:
     oracles = _build_oracle_sql_literal()
     oracles["q_supplier_matching"] = _matching_oracle_sql(rounds=16)
+    oracles["doc_ppr"] = _ppr_oracle_sql(iters=5, damping=0.85)
     oracles["doc_pretrain_corpus"] = _pretrain_corpus_oracle_sql()
     # one-sided Bloom parity (see doc_decontaminate_bloom docstring)
     oracles["doc_decontaminate_bloom"] = oracles["doc_decontaminate"]
@@ -12503,6 +12653,88 @@ def _build_oracle_sql_literal() -> dict:
             FROM b a JOIN b bb ON a.blk = bb.blk AND a.norm < bb.norm
             WHERE jaro_winkler_similarity(a.norm, bb.norm) >= 0.88
             ORDER BY norm_a, norm_b
+        """,
+        "doc_kn_logppl": """
+            WITH w AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents),
+            pos AS (
+                SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                FROM w, LATERAL (SELECT unnest(range(1, len(ws)))
+                                 AS i) t),
+            bg AS (SELECT w1, w2, count(*) AS c2 FROM pos
+                   GROUP BY w1, w2),
+            ctx AS (SELECT w1, count(*) AS c1 FROM pos GROUP BY w1),
+            f AS (SELECT w1, count(*) AS n1f FROM bg GROUP BY w1),
+            b AS (SELECT w2, count(*) AS n1b FROM bg GROUP BY w2),
+            bt AS (SELECT count(*) AS b FROM bg),
+            lp AS (
+                SELECT p.doc_id,
+                       -ln(greatest(bg.c2 - 0.75, 0) / ctx.c1
+                           + 0.75 * f.n1f / ctx.c1
+                             * (b.n1b / bt.b)) AS l
+                FROM pos p
+                JOIN bg ON bg.w1 = p.w1 AND bg.w2 = p.w2
+                JOIN ctx ON ctx.w1 = p.w1
+                JOIN f ON f.w1 = p.w1
+                JOIN b ON b.w2 = p.w2
+                CROSS JOIN bt),
+            per AS (SELECT doc_id, count(*) AS n_bigrams,
+                           round(avg(l), 6) AS logppl
+                    FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_bigrams, 0) AS BIGINT)
+                       AS n_bigrams,
+                   coalesce(per.logppl, 0.0) AS logppl
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            ORDER BY d.doc_id
+        """,
+        "emb_label_prop": """
+            WITH knn AS MATERIALIZED (
+                SELECT src, dst FROM (
+                    SELECT q.vec_id AS src, e.vec_id AS dst,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   e.embedding, q.embedding) DESC,
+                                        e.vec_id) AS rk
+                    FROM embeddings q CROSS JOIN embeddings e
+                    WHERE e.vec_id <> q.vec_id
+                ) WHERE rk <= 5),
+            s0 AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
+                   FROM embeddings WHERE vec_id % 2 = 0),
+            allv AS (SELECT vec_id FROM embeddings),
+            v1 AS (SELECT k.src, s0.lab, count(*) AS c
+                   FROM knn k JOIN s0 ON s0.vec_id = k.dst
+                   GROUP BY k.src, s0.lab),
+            p1 AS (SELECT src, lab FROM (
+                       SELECT src, lab, row_number() OVER (
+                           PARTITION BY src
+                           ORDER BY c DESC, lab) AS rk FROM v1)
+                   WHERE rk = 1),
+            l1 AS (SELECT a.vec_id,
+                          coalesce(s0.lab, p1.lab, -1) AS lab
+                   FROM allv a
+                   LEFT JOIN s0 ON s0.vec_id = a.vec_id
+                   LEFT JOIN p1 ON p1.src = a.vec_id),
+            v2 AS (SELECT k.src, l1.lab, count(*) AS c
+                   FROM knn k JOIN l1 ON l1.vec_id = k.dst
+                   WHERE l1.lab <> -1
+                   GROUP BY k.src, l1.lab),
+            p2 AS (SELECT src, lab FROM (
+                       SELECT src, lab, row_number() OVER (
+                           PARTITION BY src
+                           ORDER BY c DESC, lab) AS rk FROM v2)
+                   WHERE rk = 1)
+            SELECT a.vec_id,
+                   CAST(coalesce(s0.lab, p2.lab, -1) AS BIGINT)
+                       AS label_pred
+            FROM allv a
+            LEFT JOIN s0 ON s0.vec_id = a.vec_id
+            LEFT JOIN p2 ON p2.src = a.vec_id
+            ORDER BY a.vec_id
         """,
         "q_user_dbscan": """
             WITH RECURSIVE pts AS MATERIALIZED (

@@ -269,3 +269,38 @@ def test_phrase_search_matches_bruteforce():
     # 3-term phrase
     out3 = phrase_search(ds, "fast key order")
     assert dict(zip(out3["doc_id"], out3["n_matches"])) == {0: 1}
+
+
+def test_kneser_ney_logppl_vs_bruteforce_and_normalization():
+    import math
+    from collections import Counter
+    from jerex_ray.ops.textstats import kneser_ney_logppl
+    texts = ["the cat sat on the mat", "the cat ran fast",
+             "a dog ran", "the the the", "x y"]
+    out = kneser_ney_logppl(_docs(texts)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = [t.lower().split() for t in texts]
+    bg = Counter((a, b) for d in docs for a, b in zip(d, d[1:]))
+    ctx = Counter(a for a, _ in bg.elements())
+    n1f = Counter(a for a, _ in bg)
+    n1b = Counter(b for _, b in bg)
+    B = len(bg)
+    D = 0.75
+
+    def p(w1, w2):
+        return max(bg[(w1, w2)] - D, 0) / ctx[w1] \
+            + (D * n1f[w1]) / ctx[w1] * (n1b[w2] / B)
+
+    for i, d in enumerate(docs):
+        pairs = list(zip(d, d[1:]))
+        assert out.loc[i, "n_bigrams"] == len(pairs)
+        if pairs:
+            exp = sum(-math.log(p(a, b)) for a, b in pairs) \
+                / len(pairs)
+            assert abs(out.loc[i, "logppl"] - exp) < 1e-9
+    # KN is a proper distribution: sum over the full vocab of
+    # P(.|w1) == 1 for every context (the interpolation identity)
+    vocab = {w for d in docs for w in d}
+    for w1 in ctx:
+        s = sum(p(w1, w2) for w2 in vocab)
+        assert abs(s - 1.0) < 1e-9, (w1, s)

@@ -936,3 +936,79 @@ def test_dbscan_2d_matches_bruteforce():
     assert got_map == exp
     assert sum(1 for r, _ in exp.values() if r == "core") > 20
     assert any(r == "noise" for r, _ in exp.values())
+
+
+def test_personalized_pagerank_matches_dense_recompute():
+    from jerex_ray.ops.graph import pagerank
+    edges = pd.DataFrame({"doc_a": [1, 2, 3, 3, 10],
+                          "doc_b": [2, 3, 4, 5, 11]})
+    got = pagerank(rd.from_pandas(edges), damping=0.85, iters=5,
+                   personalize=1)
+    nodes = sorted(set(edges["doc_a"]) | set(edges["doc_b"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for a, b in edges.itertuples(index=False):
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1.0
+    P = A / A.sum(axis=1, keepdims=True)
+    r = np.zeros(n)
+    r[idx[1]] = 1.0
+    tele = np.zeros(n)
+    tele[idx[1]] = 0.15
+    for _ in range(5):
+        r = tele + 0.85 * (P.T @ r)
+    exp = dict(zip(nodes, r))
+    for _, row in got.iterrows():
+        assert abs(row["pr"] - exp[row["node"]]) < 1e-9
+    # mass never reaches the disconnected 10-11 component
+    assert exp[10] == exp[11] == 0.0
+
+
+def test_emb_label_prop_invariants():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import emb_label_prop
+    sf = "/root/testdata/sf0.001"
+    out = emb_label_prop(sf)
+    emb = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "label"]).to_pandas()
+    truth = dict(zip(emb["vec_id"].astype("int64"),
+                     emb["label"].astype("int64")))
+    got = dict(zip(out["vec_id"], out["label_pred"]))
+    # seeds are clamped
+    for v, l in truth.items():
+        if v % 2 == 0:
+            assert got[v] == l
+    # full serial recompute of the 2-round vote over the exact kNN
+    # graph (the fixture's labels are random w.r.t. the vectors, so
+    # parity — not accuracy — is the correctness statement)
+    full = pq.read_table(f"{sf}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    M = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    ids = full["vec_id"].to_numpy(np.int64)
+    S = M @ M.T / (np.linalg.norm(M, axis=1)[:, None]
+                   * np.linalg.norm(M, axis=1)[None, :])
+    nbrs = {}
+    for i, v in enumerate(ids):
+        order = sorted(range(len(ids)),
+                       key=lambda j: (-S[i, j], ids[j]))
+        nbrs[int(v)] = [int(ids[j]) for j in order
+                        if ids[j] != v][:5]
+    seed = {int(v): int(l) for v, l in zip(ids, full["label"])
+            if v % 2 == 0}
+    lab = {int(v): seed.get(int(v), -1) for v in ids}
+    for _ in range(2):
+        new = {}
+        for v in lab:
+            if v in seed:
+                new[v] = seed[v]
+                continue
+            votes = [lab[u] for u in nbrs[v] if lab[u] != -1]
+            if votes:
+                cnt = pd.Series(votes).value_counts()
+                best = cnt.max()
+                new[v] = min(int(l) for l, c in cnt.items()
+                             if c == best)
+            else:
+                new[v] = -1
+        lab = new
+    assert got == lab
