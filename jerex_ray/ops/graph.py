@@ -628,6 +628,108 @@ def greedy_matching(pairs_ds, *, left_col: str, right_col: str,
         .reset_index(drop=True)
 
 
+def ktruss(edges_ds, *, k: int = 3, src: str = "a", dst: str = "b",
+           max_rounds: int = 8,
+           num_partitions: int | None = None) -> pd.DataFrame:
+    """k-truss decomposition (Cohen '08): iteratively drop every edge
+    supported by fewer than k−2 triangles until stable; the surviving
+    subgraph is the densest cohesion core one level below cliques.
+    Per round: adjacency explodes to (node, nbr) and co-locates by
+    node, each block emits its node's neighbor-pair wedges, wedge
+    counts reduce per pair, and the pair∩edge semi-join (broadcast —
+    edge-bounded; swap to a distributed join past driver scale) gives
+    per-edge support. Deterministic (pure set arithmetic), so a
+    chained-CTE SQL oracle replays the identical rounds. Returns the
+    truss edges with their in-truss support."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+
+    EMPTY = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "support": pd.Series(dtype="int64")})
+    thr = k - 2
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return EMPTY[["a", "b"]]
+        a = df[src].to_numpy(np.int64)
+        b = df[dst].to_numpy(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        return out[out["a"] != out["b"]].drop_duplicates()
+
+    edges = edges_ds.map_batches(canon, batch_format="pandas") \
+        .materialize()
+
+    def support_table(cur) -> "pd.DataFrame":
+        """(a, b, support) for every current edge (0-support edges
+        absent)."""
+        import ray.data as rd
+
+        def explode_adj(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "a" not in df.columns:
+                return pd.DataFrame({"z": pd.Series(dtype="int64"),
+                                     "n": pd.Series(dtype="int64")})
+            return pd.DataFrame({
+                "z": np.concatenate([df["a"].to_numpy(np.int64),
+                                     df["b"].to_numpy(np.int64)]),
+                "n": np.concatenate([df["b"].to_numpy(np.int64),
+                                     df["a"].to_numpy(np.int64)])})
+
+        def wedge_block(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                  "b": pd.Series(dtype="int64")})
+            if df.empty:
+                return empty
+            outs = []
+            for _, g in df.groupby("z", sort=False):
+                ns = np.unique(g["n"].to_numpy(np.int64))
+                if len(ns) < 2:
+                    continue
+                iu, jv = np.triu_indices(len(ns), 1)
+                outs.append(pd.DataFrame({"a": ns[iu], "b": ns[jv]}))
+            if not outs:
+                return empty
+            return pd.concat(outs, ignore_index=True)
+
+        wedges = grouped_apply(
+            cur.map_batches(explode_adj, batch_format="pandas"),
+            ["z"], wedge_block, num_partitions=num_partitions)
+        cnt = grouped_aggregate(wedges, ["a", "b"],
+                                {"support": (None, "count")},
+                                num_partitions=num_partitions)
+        eset = set(map(tuple, cur.to_pandas()[["a", "b"]].values))
+
+        def only_edges(df: pd.DataFrame, _e=eset) -> pd.DataFrame:
+            if df.empty or "a" not in df.columns:
+                return EMPTY
+            keep = [(x, y) in _e for x, y in zip(df["a"], df["b"])]
+            return df[np.asarray(keep, dtype=bool)]
+
+        return cnt.map_batches(only_edges,
+                               batch_format="pandas").to_pandas()
+
+    import ray.data as rd
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            return EMPTY
+        sup = support_table(edges)
+        if sup.empty or "a" not in sup.columns:
+            return EMPTY
+        keep = sup[sup["support"] >= thr][["a", "b"]]
+        if len(keep) == n_edges:
+            out = sup[["a", "b", "support"]].copy()
+            out["support"] = out["support"].astype("int64")
+            return out.sort_values(["a", "b"]).reset_index(drop=True)
+        n_edges = len(keep)
+        edges = rd.from_pandas(keep.reset_index(drop=True)) \
+            .materialize() if n_edges else rd.from_pandas(
+            EMPTY[["a", "b"]])
+    raise RuntimeError(
+        f"ktruss: no fixed point within {max_rounds} rounds — "
+        "raise max_rounds (the SQL oracle replays a fixed cascade)")
+
+
 # --- single-source BFS levels (hop distance) ---
 
 def bfs_levels(edges_ds, source: int, *, src: str = "a", dst: str = "b",

@@ -9050,6 +9050,109 @@ def emb_label_prop(sf_dir: str, *, k: int = 5, rounds: int = 2):
     return out.astype({"vec_id": "int64", "label_pred": "int64"})
 
 
+def q_part_ktruss(sf_dir: str, *, k: int = 3, min_cocount: int = 2):
+    """k-truss cohesion core (Cohen '08) of the REPEAT co-purchase
+    graph (parts sharing ≥ ``min_cocount`` orders — the thresholded
+    graph where triangle structure is signal, not density noise):
+    iterative support peeling on the BSP wedge-count dataflow
+    (``ops/graph.ktruss``), emitting the surviving edges with their
+    in-truss triangle support. Pure set arithmetic → the chained-CTE
+    oracle replays the identical rounds."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.ops.graph import ktruss
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        g = m.groupby(["l_partkey_x", "l_partkey_y"], sort=False) \
+            .size().reset_index(name="c")
+        return pd.DataFrame({"a": g["l_partkey_x"].to_numpy(),
+                             "b": g["l_partkey_y"].to_numpy(),
+                             "c": g["c"].to_numpy(np.int64)})
+
+    cnt = grouped_aggregate(
+        grouped_apply(li, ["l_orderkey"], pairs_block),
+        ["a", "b"], {"n": ("c", "sum")})
+    edges = cnt.map_batches(
+        lambda df: df[df["n"] >= min_cocount][["a", "b"]]
+        if "a" in df.columns else df, batch_format="pandas")
+    out = ktruss(edges, k=k)
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    return out
+
+
+def q_events_kfold_cv(sf_dir: str, *, folds: int = 5):
+    """k-fold cross-validated OLS of event value against time (the
+    model-eval loop every feature pipeline runs): deterministic md5
+    fold assignment, and BOTH the per-fold fit and its held-out MSE
+    close over ONE grouped-moments pass — train moments are
+    total − fold (the leave-fold-out identity), test MSE expands to
+    the same six sums, so no second corpus scan exists. Identical
+    float sequencing to the SQL oracle; 6-dp rounding."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "value"])
+    epoch0 = pd.Timestamp("1995-01-01")
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        from jerex_ray.util import md5_hash64_batch
+        fold = (md5_hash64_batch(
+            df["event_id"].astype(str).tolist()) % folds) \
+            .astype(np.int64)
+        x = ((df["ts"] - epoch0) / pd.Timedelta(days=1)) \
+            .to_numpy(np.float64)
+        y = df["value"].to_numpy(np.float64)
+        g = pd.DataFrame({"fold": fold, "n": 1, "sx": x, "sy": y,
+                          "sxx": x * x, "sxy": x * y, "syy": y * y})
+        return g.groupby("fold", sort=False, as_index=False).sum()
+
+    m = grouped_aggregate(
+        ds.map_batches(moments, batch_format="pandas"),
+        ["fold"],
+        {k: (k, "sum") for k in ("n", "sx", "sy", "sxx", "sxy",
+                                 "syy")}).to_pandas() \
+        .sort_values("fold").reset_index(drop=True)
+    tn = float(m["n"].sum())
+    tsx, tsy = float(m["sx"].sum()), float(m["sy"].sum())
+    tsxx = float(m["sxx"].sum())
+    tsxy = float(m["sxy"].sum())
+    n_tr = tn - m["n"].to_numpy(np.float64)
+    sx_tr = tsx - m["sx"].to_numpy(np.float64)
+    sy_tr = tsy - m["sy"].to_numpy(np.float64)
+    sxx_tr = tsxx - m["sxx"].to_numpy(np.float64)
+    sxy_tr = tsxy - m["sxy"].to_numpy(np.float64)
+    b = (sxy_tr - sx_tr * sy_tr / n_tr) \
+        / (sxx_tr - sx_tr * sx_tr / n_tr)
+    a = sy_tr / n_tr - b * sx_tr / n_tr
+    nf = m["n"].to_numpy(np.float64)
+    mse = (m["syy"].to_numpy(np.float64)
+           - 2 * a * m["sy"].to_numpy(np.float64)
+           - 2 * b * m["sxy"].to_numpy(np.float64)
+           + nf * a * a
+           + 2 * a * b * m["sx"].to_numpy(np.float64)
+           + b * b * m["sxx"].to_numpy(np.float64)) / nf
+    return pd.DataFrame({
+        "fold": m["fold"].astype("int64"),
+        "n_test": m["n"].astype("int64"),
+        "slope": _round_half_away(b, 6),
+        "intercept": _round_half_away(a, 6),
+        "mse": _round_half_away(mse, 6)})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -9290,6 +9393,8 @@ def build_queries() -> dict:
         "doc_ppr": doc_ppr,
         "doc_kn_logppl": doc_kn_logppl,
         "emb_label_prop": emb_label_prop,
+        "q_part_ktruss": q_part_ktruss,
+        "q_events_kfold_cv": q_events_kfold_cv,
         "kg_distant_negatives": kg_distant_negatives,
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
@@ -9570,6 +9675,45 @@ def _matching_oracle_sql(rounds: int = 16) -> str:
     return sql
 
 
+def _ktruss_oracle_sql(k: int = 3, min_cocount: int = 2,
+                       rounds: int = 6) -> str:
+    """Chained-CTE replay of ``q_part_ktruss``: thresholded
+    co-purchase edges, then per round a wedge self-join counts each
+    surviving edge's common neighbors and the support filter drops
+    weak edges. ``rounds`` only has to exceed the convergence round
+    (the Ray side terminates naturally and RAISES past its cap)."""
+    thr = k - 2
+    sql = f"""
+        WITH inc AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+        e0 AS MATERIALIZED (
+            SELECT a.p AS a, b.p AS b
+            FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p HAVING count(*) >= {min_cocount})"""
+    prev = "e0"
+    last_sup = None
+    for r in range(1, rounds + 1):
+        sql += f""",
+        sym{r} AS (SELECT a AS u, b AS v FROM {prev}
+                   UNION ALL SELECT b, a FROM {prev}),
+        sup{r} AS MATERIALIZED (
+            SELECT w.a, w.b, count(*) AS c FROM (
+                SELECT s1.v AS a, s2.v AS b
+                FROM sym{r} s1 JOIN sym{r} s2
+                  ON s1.u = s2.u AND s1.v < s2.v) w
+            JOIN {prev} ee ON ee.a = w.a AND ee.b = w.b
+            GROUP BY w.a, w.b),
+        e{r} AS MATERIALIZED (
+            SELECT a, b FROM sup{r} WHERE c >= {thr})"""
+        prev = f"e{r}"
+        last_sup = f"sup{r}"
+    sql += f"""
+        SELECT a, b, CAST(c AS BIGINT) AS support
+        FROM {last_sup} WHERE c >= {thr} ORDER BY a, b"""
+    return sql
+
+
 def _ppr_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE replay of ``doc_ppr``: same edge CTE and power
     iteration as the PageRank oracle, but teleport mass sits entirely
@@ -9803,6 +9947,8 @@ def build_oracle_sql() -> dict:
     oracles = _build_oracle_sql_literal()
     oracles["q_supplier_matching"] = _matching_oracle_sql(rounds=16)
     oracles["doc_ppr"] = _ppr_oracle_sql(iters=5, damping=0.85)
+    oracles["q_part_ktruss"] = _ktruss_oracle_sql(k=3, min_cocount=2,
+                                                  rounds=6)
     oracles["doc_pretrain_corpus"] = _pretrain_corpus_oracle_sql()
     # one-sided Bloom parity (see doc_decontaminate_bloom docstring)
     oracles["doc_decontaminate_bloom"] = oracles["doc_decontaminate"]
@@ -12653,6 +12799,46 @@ def _build_oracle_sql_literal() -> dict:
             FROM b a JOIN b bb ON a.blk = bb.blk AND a.norm < bb.norm
             WHERE jaro_winkler_similarity(a.norm, bb.norm) >= 0.88
             ORDER BY norm_a, norm_b
+        """,
+        "q_events_kfold_cv": """
+            WITH e AS (
+                SELECT CAST(CAST('0x' || substr(md5(
+                           CAST(event_id AS VARCHAR)), 1, 16)
+                           AS UBIGINT) % 5 AS BIGINT) AS fold,
+                       (epoch(ts) - epoch(TIMESTAMP '1995-01-01'))
+                           / 86400.0 AS x,
+                       value AS y
+                FROM events),
+            m AS (SELECT fold, CAST(count(*) AS DOUBLE) AS n,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(x * y) AS sxy,
+                         sum(y * y) AS syy
+                  FROM e GROUP BY fold),
+            t AS (SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+                         sum(sxx) AS sxx, sum(sxy) AS sxy
+                  FROM m),
+            tr AS (SELECT m.fold, m.n, m.sx, m.sy, m.sxx, m.sxy,
+                          m.syy,
+                          t.n - m.n AS nt, t.sx - m.sx AS sxt,
+                          t.sy - m.sy AS syt, t.sxx - m.sxx AS sxxt,
+                          t.sxy - m.sxy AS sxyt
+                   FROM m CROSS JOIN t),
+            fit AS (SELECT fold, n, sx, sy, sxx, sxy, syy,
+                           (sxyt - sxt * syt / nt)
+                               / (sxxt - sxt * sxt / nt) AS b,
+                           syt / nt
+                               - (sxyt - sxt * syt / nt)
+                                 / (sxxt - sxt * sxt / nt)
+                                 * sxt / nt AS a
+                    FROM tr)
+            SELECT CAST(fold AS BIGINT) AS fold,
+                   CAST(n AS BIGINT) AS n_test,
+                   round(b, 6) AS slope,
+                   round(a, 6) AS intercept,
+                   round((syy - 2 * a * sy - 2 * b * sxy
+                          + n * a * a + 2 * a * b * sx
+                          + b * b * sxx) / n, 6) AS mse
+            FROM fit ORDER BY fold
         """,
         "doc_kn_logppl": """
             WITH w AS (

@@ -1012,3 +1012,55 @@ def test_emb_label_prop_invariants():
                 new[v] = -1
         lab = new
     assert got == lab
+
+
+def test_ktruss_matches_serial_peeling():
+    from jerex_ray.ops.graph import ktruss
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame({"a": rng.integers(0, 25, 200),
+                       "b": rng.integers(0, 25, 200)})
+    df = df[df["a"] != df["b"]]
+    got = ktruss(rd.from_pandas(df).repartition(3), k=4)
+    # serial reference
+    edges = {(min(a, b), max(a, b))
+             for a, b in df.itertuples(index=False)}
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+        drop = [e for e, s in sup.items() if s < 2]
+        if not drop:
+            break
+        edges -= set(drop)
+    exp = {e: s for e, s in sup.items() if e in edges}
+    got_map = {(int(r["a"]), int(r["b"])): int(r["support"])
+               for _, r in got.iterrows()}
+    assert got_map == exp
+    assert len(exp) > 0  # the random graph actually has a 4-truss
+
+
+def test_kfold_cv_matches_lstsq():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_events_kfold_cv
+    from jerex_ray.util import md5_hash64
+    sf = "/root/testdata/sf0.001"
+    out = q_events_kfold_cv(sf)
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "ts", "value"]).to_pandas()
+    x = ((ev["ts"] - pd.Timestamp("1995-01-01"))
+         / pd.Timedelta(days=1)).to_numpy(np.float64)
+    y = ev["value"].to_numpy(np.float64)
+    fold = np.array([md5_hash64(str(i)) % 5 for i in ev["event_id"]])
+    assert list(out["fold"]) == [0, 1, 2, 3, 4]
+    for f in range(5):
+        tr, te = fold != f, fold == f
+        A = np.stack([x[tr], np.ones(tr.sum())], axis=1)
+        coef, *_ = np.linalg.lstsq(A, y[tr], rcond=None)
+        row = out[out["fold"] == f].iloc[0]
+        assert int(row["n_test"]) == int(te.sum())
+        assert abs(row["slope"] - coef[0]) < 1e-5
+        assert abs(row["intercept"] - coef[1]) < 1e-3
+        pred = coef[0] * x[te] + coef[1]
+        assert abs(row["mse"] - ((y[te] - pred) ** 2).mean()) < 1e-3
