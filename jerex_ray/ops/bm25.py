@@ -132,3 +132,85 @@ def bm25_topk(docs_ds, queries: list[str], *, k: int = 10,
                              ascending=[True, False, True])
             .groupby("query_idx", sort=False).head(k)
             .reset_index(drop=True))
+
+
+def dirichlet_ql_scores(docs_ds, queries: list[str], *, mu: float = 100.0,
+                        num_partitions: int | None = None):
+    """Dirichlet-smoothed query-likelihood retrieval scores (Zhai &
+    Lafferty '01 — the language-modeling alternative to BM25):
+
+        score(q, d) = Σ_t ln( (c(t,d) + μ·(ctf(t)/|C|)) / (|d| + μ) )
+
+    over each query's sorted distinct terms; ctf is the CORPUS term
+    frequency (collection model), so every document scores against
+    every query — the smoothing never zeroes. Query terms absent from
+    the corpus are dropped (their collection probability is 0; the
+    BM25 sibling handles them with a 0 idf term instead).
+
+    Same scale shape as ``bm25_scores``: one combiner stats pass
+    (query-vocabulary ctf + corpus length), one ``ray.put``
+    broadcast, one streaming scoring pass; documents never ride a
+    shuffle."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    q_terms = [sorted(set(q.lower().split())) for q in queries]
+    vocab = {t for ts in q_terms for t in ts}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = _tokenize(batch["text"])
+        rows = {"term": [" len"], "c": [int(lens.sum())]}
+        if len(flat):
+            keep = np.isin(flat, list(vocab))
+            if keep.any():
+                vc = pd.Series(flat[keep]).value_counts()
+                rows["term"] = rows["term"] + list(vc.index)
+                rows["c"] = rows["c"] + [int(v) for v in vc.to_numpy()]
+        return pd.DataFrame(rows)
+
+    agg = grouped_aggregate(
+        docs_ds.map_batches(partial, batch_format="pandas",
+                            batch_size=8192),
+        ["term"], {"n": ("c", "sum")},
+        num_partitions=num_partitions).to_pandas()
+    EMPTY = pd.DataFrame({"query_idx": pd.Series(dtype="int64"),
+                          "doc_id": pd.Series(dtype="int64"),
+                          "score": pd.Series(dtype="float64")})
+    if agg.empty or "n" not in agg.columns:
+        import ray.data as rd
+        return rd.from_pandas(EMPTY)
+    by = dict(zip(agg["term"], agg["n"].astype(int)))
+    total_len = by.pop(" len", 0)
+    # drop OOV terms; keep each query's sorted in-corpus term list
+    q_eff = [[t for t in ts if by.get(t, 0) > 0] for ts in q_terms]
+    ref = ray.put((q_eff, by, float(total_len)))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qt, ctf, L = ray.get(ref)
+        flat, lens = _tokenize(batch["text"])
+        ids = batch["doc_id"].astype("int64").to_numpy()
+        n = len(batch)
+        dl = lens.astype(np.float64)
+        frames = []
+        doc_idx = np.repeat(np.arange(n), lens) if len(flat) else None
+        for qi, terms in enumerate(qt):
+            if not terms:
+                continue
+            s = np.zeros(n, dtype=np.float64)
+            for t in terms:
+                cd = np.zeros(n, dtype=np.float64)
+                if doc_idx is not None:
+                    hit = flat == t
+                    if hit.any():
+                        cd = np.bincount(doc_idx[hit],
+                                         minlength=n).astype(np.float64)
+                s = s + np.log((cd + mu * (ctf[t] / L)) / (dl + mu))
+            frames.append(pd.DataFrame({"query_idx": np.int64(qi),
+                                        "doc_id": ids, "score": s}))
+        if not frames:
+            return EMPTY
+        return pd.concat(frames, ignore_index=True)
+
+    return docs_ds.map_batches(score, batch_format="pandas",
+                               batch_size=8192)

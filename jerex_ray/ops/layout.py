@@ -131,3 +131,31 @@ def plan_partitions(ds, *, key: str, n_partitions: int = 8,
     out = counts.assign(partition=assign)
     out["n_rows"] = out["n_rows"].astype("int64")
     return out.sort_values([key]).reset_index(drop=True)
+
+
+def consistent_hash_ring(servers: list[str], *, vnodes: int = 16):
+    """Karger '97 consistent-hash ring: each server contributes
+    ``vnodes`` virtual nodes at md5-64 positions; returns
+    (sorted_positions uint64, server_per_position). Tiny by
+    construction (servers × vnodes) — broadcast it, never shuffle
+    keys to build it."""
+    from jerex_ray.util import md5_hash64
+
+    pos, owner = [], []
+    for s in servers:
+        for v in range(vnodes):
+            pos.append(md5_hash64(f"{s}#{v}"))
+            owner.append(s)
+    order = np.lexsort((np.asarray(owner, dtype=object),
+                        np.asarray(pos, dtype=np.uint64)))
+    return (np.asarray(pos, dtype=np.uint64)[order],
+            np.asarray(owner, dtype=object)[order])
+
+
+def ring_assign(key_hashes: np.ndarray, ring_pos: np.ndarray,
+                ring_owner: np.ndarray) -> np.ndarray:
+    """Successor lookup on the ring: owner of the smallest position
+    ≥ key hash, wrapping to the globally smallest position."""
+    idx = np.searchsorted(ring_pos, key_hashes, side="left")
+    idx[idx == len(ring_pos)] = 0
+    return ring_owner[idx]

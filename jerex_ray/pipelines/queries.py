@@ -9153,6 +9153,73 @@ def q_events_kfold_cv(sf_dir: str, *, folds: int = 5):
         "mse": _round_half_away(mse, 6)})
 
 
+def doc_dirichlet_ql(sf_dir: str):
+    """Dirichlet-smoothed query-likelihood scores of every doc
+    against the three fixed BM25 queries (Zhai & Lafferty '01,
+    ``ops/bm25.dirichlet_ql_scores``, μ=100) — the language-modeling
+    retrieval twin of ``doc_bm25_scores`` over the identical query
+    set; every doc scores against every query because the collection
+    model never zeroes. 6-dp rounding absorbs per-doc term-sum order
+    differences."""
+    from jerex_ray.ops.bm25 import dirichlet_ql_scores
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = dirichlet_ql_scores(ds, _BM25_QUERIES, mu=100.0).to_pandas()
+    out["score"] = out["score"].round(6)
+    out["query_idx"] = out["query_idx"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["query_idx", "doc_id"]) \
+        .reset_index(drop=True)
+
+
+def q_customer_chash(sf_dir: str, *, vnodes: int = 16):
+    """Consistent-hashing placement audit (Karger '97): customers
+    hash onto an 8-server × 16-vnode md5 ring, then server s8 joins —
+    the classic elasticity claim is that only ~1/9 of keys move, all
+    TO the new server. One broadcast of the two (tiny) rings, one
+    streaming assignment pass, combiner counts per (before, after)
+    server pair; reports per-server key counts before/after and the
+    moved-out counts. Pure md5/integer arithmetic, bit-replayed by
+    the SQL oracle's correlated successor lookup."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.ops.layout import consistent_hash_ring, ring_assign
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey"])
+    r8 = consistent_hash_ring([f"s{i}" for i in range(8)],
+                              vnodes=vnodes)
+    r9 = consistent_hash_ring([f"s{i}" for i in range(9)],
+                              vnodes=vnodes)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        from jerex_ray.util import md5_hash64_batch
+        h = md5_hash64_batch(df["c_custkey"].astype(str).tolist())
+        s8 = ring_assign(h, *r8)
+        s9 = ring_assign(h, *r9)
+        g = pd.DataFrame({"s8": s8, "s9": s9, "n": 1}) \
+            .groupby(["s8", "s9"], sort=False).sum().reset_index()
+        return g
+
+    j = grouped_aggregate(
+        ds.map_batches(assign, batch_format="pandas",
+                       batch_size=65536),
+        ["s8", "s9"], {"n": ("n", "sum")}).to_pandas()
+    servers = [f"s{i}" for i in range(9)]
+    before = j.groupby("s8")["n"].sum()
+    after = j.groupby("s9")["n"].sum()
+    moved = j[j["s8"] != j["s9"]].groupby("s8")["n"].sum()
+    return pd.DataFrame({
+        "server": servers,
+        "n_before": [int(before.get(s, 0)) for s in servers],
+        "n_after": [int(after.get(s, 0)) for s in servers],
+        "moved_out": [int(moved.get(s, 0)) for s in servers]}) \
+        .astype({"n_before": "int64", "n_after": "int64",
+                 "moved_out": "int64"})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -9395,6 +9462,8 @@ def build_queries() -> dict:
         "emb_label_prop": emb_label_prop,
         "q_part_ktruss": q_part_ktruss,
         "q_events_kfold_cv": q_events_kfold_cv,
+        "doc_dirichlet_ql": doc_dirichlet_ql,
+        "q_customer_chash": q_customer_chash,
         "kg_distant_negatives": kg_distant_negatives,
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
@@ -12799,6 +12868,94 @@ def _build_oracle_sql_literal() -> dict:
             FROM b a JOIN b bb ON a.blk = bb.blk AND a.norm < bb.norm
             WHERE jaro_winkler_similarity(a.norm, bb.norm) >= 0.88
             ORDER BY norm_a, norm_b
+        """,
+        "doc_dirichlet_ql": """
+            WITH w AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents),
+            tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+            tot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS l FROM w),
+            q(qi, t) AS (VALUES
+                (0, 'fast'), (0, 'join'), (0, 'spark'),
+                (1, 'dup'),
+                (2, 'query'), (2, 'sort'), (2, 'stream'),
+                (2, 'window')),
+            ctf AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+                    FROM tok GROUP BY t),
+            qq AS (SELECT q.qi, q.t, ctf.c
+                   FROM q JOIN ctf ON ctf.t = q.t),
+            ctd AS (SELECT tok.doc_id, tok.t,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM tok JOIN (SELECT DISTINCT t FROM qq) s
+                         ON s.t = tok.t
+                    GROUP BY tok.doc_id, tok.t),
+            dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl
+                   FROM w),
+            lp AS (
+                SELECT d.doc_id, qq.qi,
+                       ln((coalesce(ctd.c, 0)
+                           + 100.0 * (qq.c / (SELECT l FROM tot)))
+                          / (d.dl + 100.0)) AS l
+                FROM dl d CROSS JOIN qq
+                LEFT JOIN ctd ON ctd.doc_id = d.doc_id
+                             AND ctd.t = qq.t)
+            SELECT qi AS query_idx, doc_id,
+                   round(sum(l), 6) AS score
+            FROM lp GROUP BY qi, doc_id ORDER BY query_idx, doc_id
+        """,
+        "q_customer_chash": """
+            WITH r8 AS (
+                SELECT 's' || CAST(s AS VARCHAR) AS server,
+                       CAST('0x' || substr(md5(
+                           's' || CAST(s AS VARCHAR) || '#'
+                           || CAST(v AS VARCHAR)), 1, 16) AS UBIGINT)
+                           AS pos
+                FROM range(8) t(s), range(16) u(v)),
+            r9 AS (
+                SELECT 's' || CAST(s AS VARCHAR) AS server,
+                       CAST('0x' || substr(md5(
+                           's' || CAST(s AS VARCHAR) || '#'
+                           || CAST(v AS VARCHAR)), 1, 16) AS UBIGINT)
+                           AS pos
+                FROM range(9) t(s), range(16) u(v)),
+            k AS (SELECT c_custkey AS key,
+                         CAST('0x' || substr(md5(
+                             CAST(c_custkey AS VARCHAR)), 1, 16)
+                             AS UBIGINT) AS pos
+                  FROM customer),
+            a8 AS (SELECT k.key, coalesce(
+                       (SELECT r.server FROM r8 r
+                        WHERE r.pos >= k.pos
+                        ORDER BY r.pos, r.server LIMIT 1),
+                       (SELECT r.server FROM r8 r
+                        ORDER BY r.pos, r.server LIMIT 1)) AS s8
+                   FROM k),
+            a9 AS (SELECT k.key, coalesce(
+                       (SELECT r.server FROM r9 r
+                        WHERE r.pos >= k.pos
+                        ORDER BY r.pos, r.server LIMIT 1),
+                       (SELECT r.server FROM r9 r
+                        ORDER BY r.pos, r.server LIMIT 1)) AS s9
+                   FROM k),
+            j AS (SELECT a8.key, a8.s8, a9.s9
+                  FROM a8 JOIN a9 USING (key)),
+            srv AS (SELECT 's' || CAST(s AS VARCHAR) AS server
+                    FROM range(9) t(s))
+            SELECT srv.server,
+                   CAST(coalesce(b.n, 0) AS BIGINT) AS n_before,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS n_after,
+                   CAST(coalesce(m.n, 0) AS BIGINT) AS moved_out
+            FROM srv
+            LEFT JOIN (SELECT s8 AS server, count(*) AS n
+                       FROM j GROUP BY s8) b USING (server)
+            LEFT JOIN (SELECT s9, count(*) AS n FROM j GROUP BY s9) a
+                   ON a.s9 = srv.server
+            LEFT JOIN (SELECT s8, count(*) AS n FROM j
+                       WHERE s8 <> s9 GROUP BY s8) m
+                   ON m.s8 = srv.server
+            ORDER BY server
         """,
         "q_events_kfold_cv": """
             WITH e AS (

@@ -304,3 +304,35 @@ def test_kneser_ney_logppl_vs_bruteforce_and_normalization():
     for w1 in ctx:
         s = sum(p(w1, w2) for w2 in vocab)
         assert abs(s - 1.0) < 1e-9, (w1, s)
+
+
+def test_dirichlet_ql_vs_bruteforce():
+    import math
+    from collections import Counter
+    from jerex_ray.ops.bm25 import dirichlet_ql_scores
+    texts = ["spark join fast spark", "slow window sort",
+             "dup dup dup", "plain words here", ""]
+    queries = ["spark fast", "dup", "zzz-oov"]
+    out = dirichlet_ql_scores(_docs(texts), queries, mu=50.0) \
+        .to_pandas()
+    docs = [t.lower().split() for t in texts]
+    ctf = Counter(w for d in docs for w in d)
+    L = sum(len(d) for d in docs)
+    for qi, q in enumerate(queries):
+        terms = [t for t in sorted(set(q.lower().split()))
+                 if ctf[t] > 0]
+        sub = out[out["query_idx"] == qi]
+        if not terms:
+            assert sub.empty  # fully-OOV query emits nothing
+            continue
+        assert len(sub) == len(texts)
+        for i, d in enumerate(docs):
+            c = Counter(d)
+            exp = sum(math.log((c[t] + 50.0 * (ctf[t] / L))
+                               / (len(d) + 50.0)) for t in terms)
+            got = sub[sub["doc_id"] == i]["score"].iloc[0]
+            assert abs(got - exp) < 1e-9
+    # the doc containing the term outranks an equal-length doc without
+    s0 = out[(out["query_idx"] == 1) & (out["doc_id"] == 2)]["score"]
+    s1 = out[(out["query_idx"] == 1) & (out["doc_id"] == 3)]["score"]
+    assert s0.iloc[0] > s1.iloc[0]

@@ -1064,3 +1064,28 @@ def test_kfold_cv_matches_lstsq():
         assert abs(row["intercept"] - coef[1]) < 1e-3
         pred = coef[0] * x[te] + coef[1]
         assert abs(row["mse"] - ((y[te] - pred) ** 2).mean()) < 1e-3
+
+
+def test_consistent_hash_ring_properties():
+    from jerex_ray.ops.layout import consistent_hash_ring, ring_assign
+    from jerex_ray.util import md5_hash64
+    servers8 = [f"s{i}" for i in range(8)]
+    r8 = consistent_hash_ring(servers8, vnodes=16)
+    r9 = consistent_hash_ring(servers8 + ["s8"], vnodes=16)
+    keys = np.array([md5_hash64(str(i)) for i in range(5000)],
+                    dtype=np.uint64)
+    a8 = ring_assign(keys.copy(), *r8)
+    a9 = ring_assign(keys.copy(), *r9)
+    moved = a8 != a9
+    # monotonicity: adding a server only steals keys FOR itself
+    assert set(a9[moved]) == {"s8"}
+    # movement fraction near the 16/(9*16) = 1/9 ideal
+    frac = moved.mean()
+    assert 0.04 < frac < 0.22, frac
+    # brute-force successor lookup agrees
+    pos, owner = r8
+    for h in keys[:200]:
+        ge = [p for p in pos if p >= h]
+        exp = owner[list(pos).index(min(ge))] if ge \
+            else owner[int(np.argmin(pos))]
+        assert exp == a8[list(keys).index(h)]
