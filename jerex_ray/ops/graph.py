@@ -730,6 +730,153 @@ def ktruss(edges_ds, *, k: int = 3, src: str = "a", dst: str = "b",
         "raise max_rounds (the SQL oracle replays a fixed cascade)")
 
 
+def betweenness_sampled(edges_ds, sources: list[int], *,
+                        src_col: str = "a", dst_col: str = "b",
+                        max_depth: int = 6,
+                        num_partitions: int | None = None) -> pd.DataFrame:
+    """Depth-bounded Brandes betweenness (Brandes '01) from K sampled
+    sources: one ``multi_bfs_levels`` grid pass gives every source's
+    BFS levels, then the σ (shortest-path counts) sweep forward and
+    the δ (dependency) sweep backward each run as ``max_depth``
+    streaming passes over the SAME edge Dataset with the
+    (K × nodes)-bounded σ/δ tables broadcast per level — the
+    HITS/PageRank node-vector contract, level by level. σ stays
+    integer-exact; δ ratios are fixed-order float expressions, so a
+    chained-CTE SQL oracle reproduces the result to 6 dp. Depths
+    beyond ``max_depth`` are truncated on BOTH engines (document as
+    k-hop betweenness; exact when max_depth ≥ the sources'
+    eccentricity). Input contract: DISTINCT undirected edges (one
+    canonical row per pair) — duplicate or mirrored rows inflate σ."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    sources = sorted({int(s) for s in sources})
+    lv = multi_bfs_levels(edges_ds, sources, src=src_col, dst=dst_col,
+                          max_rounds=max_depth,
+                          num_partitions=num_partitions)
+    level = {(int(r.source), int(r.node)): int(r.level)
+             for r in lv.itertuples(index=False)}
+
+    def sym_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or src_col not in df.columns:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64")})
+        a = df[src_col].to_numpy(np.int64)
+        b = df[dst_col].to_numpy(np.int64)
+        return pd.DataFrame({"u": np.concatenate([a, b]),
+                             "v": np.concatenate([b, a])}) \
+            .drop_duplicates()
+
+    sym = edges_ds.map_batches(sym_block,
+                               batch_format="pandas").materialize()
+
+    # per-source lookup tables (K × nodes bounded — broadcast-sized)
+    lv_by_s = {s: {} for s in sources}
+    for (s, n), l in level.items():
+        lv_by_s[s][n] = l
+
+    # forward σ sweep: level-(l−1) σ flows along edges into level-l
+    sigma_by_s = {s: {s: 1} for s in sources}
+    for l in range(1, max_depth + 1):
+        cur = {s: {n: sg for n, sg in sigma_by_s[s].items()
+                   if lv_by_s[s].get(n) == l - 1} for s in sources}
+
+        def fwd(df: pd.DataFrame, _sig=cur, _lv=lv_by_s,
+                _l=l) -> pd.DataFrame:
+            empty = pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                  "node": pd.Series(dtype="int64"),
+                                  "s": pd.Series(dtype="int64")})
+            if df.empty:
+                return empty
+            u = df["u"]
+            v = df["v"]
+            frames = []
+            for s in sources:
+                su = u.map(_sig[s])
+                lvv = v.map(_lv[s])
+                keep = (su.notna() & (lvv == _l)).to_numpy()
+                if keep.any():
+                    frames.append(pd.DataFrame({
+                        "src": np.int64(s),
+                        "node": v.to_numpy(np.int64)[keep],
+                        "s": su.to_numpy(np.float64)[keep]
+                        .astype(np.int64)}))
+            if not frames:
+                return empty
+            return pd.concat(frames, ignore_index=True) \
+                .groupby(["src", "node"], sort=False).sum() \
+                .reset_index()
+
+        agg = grouped_aggregate(
+            sym.map_batches(fwd, batch_format="pandas"),
+            ["src", "node"], {"s": ("s", "sum")},
+            num_partitions=num_partitions).to_pandas()
+        if agg.empty or "src" not in agg.columns or not len(agg):
+            break
+        for r in agg.itertuples(index=False):
+            sigma_by_s[int(r.src)][int(r.node)] = int(r.s)
+
+    # backward δ sweep: successor dependencies flow down the levels
+    delta_by_s = {s: {n: 0.0 for n in sigma_by_s[s]} for s in sources}
+    for l in range(max_depth - 1, -1, -1):
+        snap = {s: dict(delta_by_s[s]) for s in sources}
+
+        def bwd(df: pd.DataFrame, _sig=sigma_by_s, _del=snap,
+                _lv=lv_by_s, _l=l) -> pd.DataFrame:
+            empty = pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                  "node": pd.Series(dtype="int64"),
+                                  "d": pd.Series(dtype="float64")})
+            if df.empty:
+                return empty
+            u = df["u"]
+            v = df["v"]
+            frames = []
+            for s in sources:
+                lvu = u.map(_lv[s])
+                lvv = v.map(_lv[s])
+                keep = ((lvu == _l) & (lvv == _l + 1)).to_numpy()
+                if not keep.any():
+                    continue
+                su = u.map(_sig[s]).to_numpy(np.float64)[keep]
+                sw = v.map(_sig[s]).to_numpy(np.float64)[keep]
+                dw = v.map(_del[s]).to_numpy(np.float64)[keep]
+                frames.append(pd.DataFrame({
+                    "src": np.int64(s),
+                    "node": u.to_numpy(np.int64)[keep],
+                    "d": su / sw * (1.0 + dw)}))
+            if not frames:
+                return empty
+            return pd.concat(frames, ignore_index=True) \
+                .groupby(["src", "node"], sort=False).sum() \
+                .reset_index()
+
+        agg = grouped_aggregate(
+            sym.map_batches(bwd, batch_format="pandas"),
+            ["src", "node"], {"d": ("d", "sum")},
+            num_partitions=num_partitions).to_pandas()
+        upd = {s: {} for s in sources}
+        if not agg.empty and "src" in agg.columns:
+            for r in agg.itertuples(index=False):
+                upd[int(r.src)][int(r.node)] = float(r.d)
+        for s in sources:
+            for n in delta_by_s[s]:
+                if lv_by_s[s].get(n) == l:
+                    delta_by_s[s][n] = upd[s].get(n, 0.0)
+
+    bc = {}
+    for s in sources:
+        for v, d in delta_by_s[s].items():
+            if v != s:
+                bc[v] = bc.get(v, 0.0) + d
+    node_df = grouped_aggregate(sym, ["u"], {"n": (None, "count")},
+                                num_partitions=num_partitions) \
+        .to_pandas()
+    nodes = sorted(int(n) for n in node_df["u"])
+    return pd.DataFrame({
+        "node": np.asarray(nodes, dtype=np.int64),
+        "bc": np.asarray([round(bc.get(n, 0.0), 6) for n in nodes],
+                         dtype=np.float64)})
+
+
 # --- single-source BFS levels (hop distance) ---
 
 def bfs_levels(edges_ds, source: int, *, src: str = "a", dst: str = "b",

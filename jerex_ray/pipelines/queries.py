@@ -9050,6 +9050,66 @@ def emb_label_prop(sf_dir: str, *, k: int = 5, rounds: int = 2):
     return out.astype({"vec_id": "int64", "label_pred": "int64"})
 
 
+def _repeat_copurchase_edges(sf_dir: str, min_cocount: int = 2):
+    """Thresholded co-purchase edge Dataset (a, b): part pairs sharing
+    ≥ ``min_cocount`` orders — the sparse graph where triangle/path
+    structure is signal rather than density noise. One per-order
+    co-location pass + one pair-count combiner."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        g = m.groupby(["l_partkey_x", "l_partkey_y"], sort=False) \
+            .size().reset_index(name="c")
+        return pd.DataFrame({"a": g["l_partkey_x"].to_numpy(),
+                             "b": g["l_partkey_y"].to_numpy(),
+                             "c": g["c"].to_numpy(np.int64)})
+
+    cnt = grouped_aggregate(
+        grouped_apply(li, ["l_orderkey"], pairs_block),
+        ["a", "b"], {"n": ("c", "sum")})
+    return cnt.map_batches(
+        lambda df: df[df["n"] >= min_cocount][["a", "b"]]
+        if "a" in df.columns else df, batch_format="pandas")
+
+
+def q_part_betweenness(sf_dir: str, *, n_sources: int = 4,
+                       max_depth: int = 6):
+    """Depth-bounded Brandes betweenness centrality (Brandes '01)
+    from the ``n_sources`` smallest parts of the repeat co-purchase
+    graph (``ops/graph.betweenness_sampled``): one multi-source BFS
+    grid pass for levels, σ forward and δ backward as per-level
+    streaming passes over the edge Dataset with broadcast node
+    tables. σ is integer-exact; δ's fixed-order ratio expressions
+    let the unrolled chained-CTE oracle match to 6 dp."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.ops.graph import betweenness_sampled
+    configure_data_context()
+    edges = _repeat_copurchase_edges(sf_dir).materialize()
+    nd = grouped_aggregate(
+        edges.map_batches(
+            lambda df: pd.DataFrame({"u": np.concatenate(
+                [df["a"].to_numpy(np.int64),
+                 df["b"].to_numpy(np.int64)])})
+            if "a" in df.columns else pd.DataFrame(
+                {"u": pd.Series(dtype="int64")}),
+            batch_format="pandas"),
+        ["u"], {"n": (None, "count")}).to_pandas()
+    sources = sorted(int(u) for u in nd["u"])[:n_sources]
+    out = betweenness_sampled(edges, sources, max_depth=max_depth)
+    out["node"] = out["node"].astype("int64")
+    return out
+
+
 def q_part_ktruss(sf_dir: str, *, k: int = 3, min_cocount: int = 2):
     """k-truss cohesion core (Cohen '08) of the REPEAT co-purchase
     graph (parts sharing ≥ ``min_cocount`` orders — the thresholded
@@ -9464,6 +9524,7 @@ def build_queries() -> dict:
         "q_events_kfold_cv": q_events_kfold_cv,
         "doc_dirichlet_ql": doc_dirichlet_ql,
         "q_customer_chash": q_customer_chash,
+        "q_part_betweenness": q_part_betweenness,
         "kg_distant_negatives": kg_distant_negatives,
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
@@ -9783,6 +9844,73 @@ def _ktruss_oracle_sql(k: int = 3, min_cocount: int = 2,
     return sql
 
 
+def _betweenness_oracle_sql(n_sources: int = 4, max_depth: int = 6,
+                            min_cocount: int = 2) -> str:
+    """Unrolled Brandes replay for ``q_part_betweenness``: recursive
+    BFS levels, one σ CTE per forward level (integer path counts),
+    one δ CTE per backward level (correlated successor-dependency
+    sums with the identical ratio expression), summed over sources."""
+    L = max_depth
+    sql = f"""
+        WITH RECURSIVE inc AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+        e0 AS MATERIALIZED (
+            SELECT a.p AS a, b.p AS b
+            FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p HAVING count(*) >= {min_cocount}),
+        sym AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM e0
+            UNION ALL SELECT b, a FROM e0),
+        nodes AS (SELECT DISTINCT u FROM sym),
+        srcs AS (SELECT u FROM nodes ORDER BY u LIMIT {n_sources}),
+        bfs AS (
+            SELECT u AS src, u AS node, 0 AS lvl FROM srcs
+            UNION
+            SELECT bfs.src, sym.v, bfs.lvl + 1
+            FROM bfs JOIN sym ON sym.u = bfs.node
+            WHERE bfs.lvl < {L}),
+        lv AS MATERIALIZED (
+            SELECT src, node, min(lvl) AS lvl FROM bfs
+            GROUP BY src, node),
+        sig0 AS (SELECT u AS src, u AS node,
+                        CAST(1 AS BIGINT) AS sigma FROM srcs)"""
+    for l in range(1, L + 1):
+        sql += f""",
+        sig{l} AS MATERIALIZED (
+            SELECT v.src, v.node, CAST(sum(p.sigma) AS BIGINT)
+                       AS sigma
+            FROM lv v JOIN sym e ON e.v = v.node
+                 JOIN sig{l - 1} p ON p.src = v.src
+                                  AND p.node = e.u
+            WHERE v.lvl = {l}
+            GROUP BY v.src, v.node)"""
+    sql += f""",
+        del{L} AS (SELECT src, node, 0.0 AS delta FROM sig{L})"""
+    for l in range(L - 1, 0, -1):
+        sql += f""",
+        del{l} AS MATERIALIZED (
+            SELECT su.src, su.node,
+                   coalesce((SELECT sum(su.sigma / sw.sigma
+                                        * (1.0 + dw.delta))
+                             FROM sym e
+                             JOIN sig{l + 1} sw ON sw.src = su.src
+                                               AND sw.node = e.v
+                             JOIN del{l + 1} dw ON dw.src = su.src
+                                               AND dw.node = e.v
+                             WHERE e.u = su.node), 0.0) AS delta
+            FROM sig{l} su)"""
+    union = " UNION ALL ".join(
+        f"SELECT node, delta FROM del{l}" for l in range(1, L + 1))
+    sql += f""",
+        bc AS (SELECT node, sum(delta) AS s
+               FROM ({union}) GROUP BY node)
+        SELECT nodes.u AS node, round(coalesce(bc.s, 0.0), 6) AS bc
+        FROM nodes LEFT JOIN bc ON bc.node = nodes.u
+        ORDER BY node"""
+    return sql
+
+
 def _ppr_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE replay of ``doc_ppr``: same edge CTE and power
     iteration as the PageRank oracle, but teleport mass sits entirely
@@ -10018,6 +10146,8 @@ def build_oracle_sql() -> dict:
     oracles["doc_ppr"] = _ppr_oracle_sql(iters=5, damping=0.85)
     oracles["q_part_ktruss"] = _ktruss_oracle_sql(k=3, min_cocount=2,
                                                   rounds=6)
+    oracles["q_part_betweenness"] = _betweenness_oracle_sql(
+        n_sources=4, max_depth=6, min_cocount=2)
     oracles["doc_pretrain_corpus"] = _pretrain_corpus_oracle_sql()
     # one-sided Bloom parity (see doc_decontaminate_bloom docstring)
     oracles["doc_decontaminate_bloom"] = oracles["doc_decontaminate"]

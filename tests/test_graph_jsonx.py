@@ -1089,3 +1089,52 @@ def test_consistent_hash_ring_properties():
         exp = owner[list(pos).index(min(ge))] if ge \
             else owner[int(np.argmin(pos))]
         assert exp == a8[list(keys).index(h)]
+
+
+def test_betweenness_sampled_matches_serial_brandes():
+    import collections
+    from jerex_ray.ops.graph import betweenness_sampled
+    rng = np.random.default_rng(71)
+    raw = pd.DataFrame({"a": rng.integers(0, 30, 90),
+                        "b": rng.integers(0, 30, 90)})
+    raw = raw[raw["a"] != raw["b"]]
+    # the op's contract: distinct undirected edges
+    df = pd.DataFrame({"a": np.minimum(raw["a"], raw["b"]),
+                       "b": np.maximum(raw["a"], raw["b"])}) \
+        .drop_duplicates().reset_index(drop=True)
+    sources = [0, 1, 2, 3]
+    got = betweenness_sampled(rd.from_pandas(df).repartition(3),
+                              sources, max_depth=6)
+    adj = collections.defaultdict(set)
+    for a, b in df.itertuples(index=False):
+        adj[int(a)].add(int(b))
+        adj[int(b)].add(int(a))
+    bc = collections.defaultdict(float)
+    for s in sources:
+        # BFS levels (depth-capped like the op)
+        lvl = {s: 0}
+        frontier, d = {s}, 0
+        order = [s]
+        while frontier and d < 6:
+            d += 1
+            frontier = {v for u in frontier for v in adj[u]
+                        if v not in lvl}
+            for v in sorted(frontier):
+                lvl[v] = d
+                order.append(v)
+        sigma = collections.defaultdict(int)
+        sigma[s] = 1
+        for v in order[1:]:
+            sigma[v] = sum(sigma[u] for u in adj[v]
+                           if lvl.get(u) == lvl[v] - 1)
+        delta = collections.defaultdict(float)
+        for v in reversed(order):
+            for u in adj[v]:
+                if lvl.get(u) == lvl[v] - 1:
+                    delta[u] += sigma[u] / sigma[v] * (1.0 + delta[v])
+        for v, dv in delta.items():
+            if v != s:
+                bc[v] += dv
+    for _, row in got.iterrows():
+        assert abs(row["bc"] - bc.get(int(row["node"]), 0.0)) < 1e-6
+    assert got["bc"].sum() > 0
