@@ -9280,6 +9280,173 @@ def q_customer_chash(sf_dir: str, *, vnodes: int = 16):
                  "moved_out": "int64"})
 
 
+_ENC_SPECS = [
+    ("lineitem", "l_returnflag", "l_orderkey", "l_linenumber"),
+    ("lineitem", "l_linestatus", "l_orderkey", "l_linenumber"),
+    ("orders", "o_orderpriority", "o_custkey", "o_orderkey"),
+    ("customer", "c_mktsegment", "c_nationkey", "c_custkey"),
+]
+
+
+def q_encoding_audit(sf_dir: str):
+    """Storage-encoding advisor (the Parquet/ORC encoding-chooser
+    audit): for each candidate string column, exact plain-encoding
+    bytes, dictionary-encoding bytes (distinct value bytes +
+    ⌈n·bitwidth/8⌉, bitwidth = bit_length(d−1)), and the RLE run
+    count under the column's natural within-group order (runs reset
+    at group boundaries — the row-group model; the value itself is
+    the final sort key so order-key ties can't make the run count
+    ambiguous). One co-location pass
+    per spec for runs + byte partials, one combiner pass for the
+    dictionary; all integers, bit-exact vs SQL."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    rows = []
+    for tbl, col, grp, ordc in _ENC_SPECS:
+        ds = read_parquet_sized(f"{sf_dir}/{tbl}.parquet",
+                                columns=[col, grp, ordc])
+
+        def run_block(df: pd.DataFrame, _c=col, _g=grp,
+                      _o=ordc) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({"n": pd.Series(dtype="int64"),
+                                     "runs": pd.Series(dtype="int64"),
+                                     "pb": pd.Series(dtype="int64")})
+            d = df.sort_values([_g, _o, _c])
+            v = d[_c].astype(str)
+            new_grp = d[_g].ne(d[_g].shift())
+            changed = v.ne(v.shift())
+            runs = int((new_grp | changed).sum())
+            return pd.DataFrame({
+                "n": [np.int64(len(d))],
+                "runs": [np.int64(runs)],
+                "pb": [np.int64(v.str.len().sum())]})
+
+        part = grouped_apply(ds, [grp], run_block).to_pandas()
+        n = int(part["n"].sum())
+        runs = int(part["runs"].sum())
+        plain = int(part["pb"].sum())
+        dv = grouped_aggregate(
+            ds.map_batches(lambda df, _c=col: pd.DataFrame(
+                {"v": df[_c].astype(str)}), batch_format="pandas"),
+            ["v"], {"n": (None, "count")}).to_pandas()
+        d = len(dv)
+        dict_val_bytes = int(dv["v"].str.len().sum())
+        bw = (d - 1).bit_length() if d > 1 else 0
+        dict_bytes = dict_val_bytes + (n * bw + 7) // 8
+        rows.append((tbl, col, np.int64(n), np.int64(d),
+                     np.int64(runs), np.int64(plain),
+                     np.int64(dict_bytes)))
+    return pd.DataFrame(rows, columns=[
+        "tbl", "col", "n", "n_distinct", "n_runs", "plain_bytes",
+        "dict_bytes"]).sort_values(["tbl", "col"]) \
+        .reset_index(drop=True)
+
+
+def q_join_cardinality(sf_dir: str):
+    """Join-cardinality estimation audit (the System R uniformity
+    formula |A⋈B| ≈ |A|·|B|/max(d_A, d_B) vs ground truth): the
+    ACTUAL size comes WITHOUT materializing any join — per-key counts
+    co-locate once and Σ c_A(k)·c_B(k) reduces through the combiner.
+    Reports estimate, actual, and the q-error max(est/act, act/est)
+    for three classic equi-joins."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    specs = [("orders", "o_orderkey", "lineitem", "l_orderkey"),
+             ("customer", "c_custkey", "orders", "o_custkey"),
+             ("part", "p_partkey", "lineitem", "l_partkey")]
+    rows = []
+    for ta, ka, tb, kb in specs:
+        da = read_parquet_sized(f"{sf_dir}/{ta}.parquet",
+                                columns=[ka])
+        db = read_parquet_sized(f"{sf_dir}/{tb}.parquet",
+                                columns=[kb])
+        ca = grouped_aggregate(
+            da.map_batches(lambda df, _k=ka: pd.DataFrame(
+                {"k": df[_k].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            ["k"], {"n": (None, "count")})
+        cb = grouped_aggregate(
+            db.map_batches(lambda df, _k=kb: pd.DataFrame(
+                {"k": df[_k].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            ["k"], {"n": (None, "count")})
+
+        def tag(side):
+            def f(df: pd.DataFrame) -> pd.DataFrame:
+                if df.empty or "k" not in df.columns:
+                    return pd.DataFrame(
+                        {"k": pd.Series(dtype="int64"),
+                         "side": pd.Series(dtype="object"),
+                         "n": pd.Series(dtype="int64")})
+                return pd.DataFrame({"k": df["k"].to_numpy(np.int64),
+                                     "side": side,
+                                     "n": df["n"].to_numpy(np.int64)})
+            return f
+
+        both = ca.map_batches(tag("a"), batch_format="pandas").union(
+            cb.map_batches(tag("b"), batch_format="pandas"))
+
+        def prod_block(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "k" not in df.columns:
+                return pd.DataFrame({"s": pd.Series(dtype="int64")})
+            p = df.pivot_table(index="k", columns="side", values="n",
+                               aggfunc="sum", fill_value=0)
+            if "a" not in p.columns or "b" not in p.columns:
+                return pd.DataFrame({"s": [np.int64(0)]})
+            return pd.DataFrame({"s": [np.int64(
+                int((p["a"].to_numpy(np.int64)
+                     * p["b"].to_numpy(np.int64)).sum()))]})
+
+        actual = int(grouped_apply(both, ["k"], prod_block)
+                     .to_pandas()["s"].sum())
+        stats_a = ca.map_batches(
+            lambda df: pd.DataFrame({"c": [int(df["n"].sum())],
+                                     "d": [len(df)]}),
+            batch_format="pandas", batch_size=None).to_pandas().sum()
+        stats_b = cb.map_batches(
+            lambda df: pd.DataFrame({"c": [int(df["n"].sum())],
+                                     "d": [len(df)]}),
+            batch_format="pandas", batch_size=None).to_pandas().sum()
+        na, daa = int(stats_a["c"]), int(stats_a["d"])
+        nb, dbb = int(stats_b["c"]), int(stats_b["d"])
+        est = na * nb / max(daa, dbb)
+        qerr = max(est / actual, actual / est) if actual and est \
+            else 0.0
+        rows.append((ta, tb, np.int64(na), np.int64(nb),
+                     float(_round_half_away(est, 6)),
+                     np.int64(actual),
+                     float(_round_half_away(qerr, 6))))
+    return pd.DataFrame(rows, columns=[
+        "tbl_a", "tbl_b", "n_a", "n_b", "est", "actual", "q_error"]) \
+        .sort_values(["tbl_a", "tbl_b"]).reset_index(drop=True)
+
+
+def q_events_seasonal_naive(sf_dir: str, *, season: int = 168):
+    """Seasonal-naive forecast backtest with MASE (Hyndman &
+    Koehler '06) over the top event type's hourly series: forecast
+    k(t) = k(t−168) (same hour last week), error scaled by the naive
+    random-walk error k(t−1) — the standard "is your forecaster
+    better than last week's value" gate. All sums are exact integers
+    over the zero-filled dense grid (one combiner pass); only the
+    final MASE ratio divides floats."""
+    hmin, k = _top_type_hour_grid(sf_dir)
+    span = len(k)
+    sae_s = int(np.abs(k[season:] - k[:-season]).sum()) \
+        if span > season else 0
+    n_s = max(span - season, 0)
+    sae_1 = int(np.abs(k[1:] - k[:-1]).sum()) if span > 1 else 0
+    n_1 = max(span - 1, 0)
+    mase = (sae_s / n_s) / (sae_1 / n_1) if n_s and sae_1 else 0.0
+    return pd.DataFrame({
+        "n_eval": [np.int64(n_s)],
+        "sae_seasonal": [np.int64(sae_s)],
+        "sae_naive1": [np.int64(sae_1)],
+        "mase": [_round_half_away(np.float64(mase), 6)]})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -9525,6 +9692,9 @@ def build_queries() -> dict:
         "doc_dirichlet_ql": doc_dirichlet_ql,
         "q_customer_chash": q_customer_chash,
         "q_part_betweenness": q_part_betweenness,
+        "q_encoding_audit": q_encoding_audit,
+        "q_join_cardinality": q_join_cardinality,
+        "q_events_seasonal_naive": q_events_seasonal_naive,
         "kg_distant_negatives": kg_distant_negatives,
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
@@ -12998,6 +13168,213 @@ def _build_oracle_sql_literal() -> dict:
             FROM b a JOIN b bb ON a.blk = bb.blk AND a.norm < bb.norm
             WHERE jaro_winkler_similarity(a.norm, bb.norm) >= 0.88
             ORDER BY norm_a, norm_b
+        """,
+        "q_encoding_audit": """
+            WITH s1 AS (
+                SELECT 'lineitem' AS tbl, 'l_returnflag' AS col,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(DISTINCT l_returnflag) AS BIGINT)
+                           AS n_distinct,
+                       CAST((SELECT count(*) FROM (
+                            SELECT CASE WHEN lag(l_returnflag) OVER w
+                                        IS NULL
+                                     OR lag(l_returnflag) OVER w
+                                        <> l_returnflag
+                                     OR lag(l_orderkey) OVER w2
+                                        IS DISTINCT FROM l_orderkey
+                                        THEN 1 ELSE 0 END AS st
+                            FROM lineitem
+                            WINDOW w AS (PARTITION BY l_orderkey
+                                         ORDER BY l_linenumber,
+                                                  l_returnflag),
+                                   w2 AS (PARTITION BY l_orderkey
+                                          ORDER BY l_linenumber,
+                                                   l_returnflag)
+                            ) WHERE st = 1) AS BIGINT) AS n_runs,
+                       CAST(sum(length(l_returnflag)) AS BIGINT)
+                           AS plain_bytes,
+                       CAST((SELECT sum(length(v)) FROM (
+                                SELECT DISTINCT l_returnflag AS v
+                                FROM lineitem))
+                            + (count(*) * (CASE
+                                WHEN count(DISTINCT l_returnflag) = 1
+                                THEN 0
+                                ELSE length(format('{:b}',
+                                    count(DISTINCT l_returnflag) - 1))
+                                END) + 7) // 8 AS BIGINT)
+                           AS dict_bytes
+                FROM lineitem),
+            s2 AS (
+                SELECT 'lineitem', 'l_linestatus',
+                       CAST(count(*) AS BIGINT),
+                       CAST(count(DISTINCT l_linestatus) AS BIGINT),
+                       CAST((SELECT count(*) FROM (
+                            SELECT CASE WHEN lag(l_linestatus) OVER w
+                                        IS NULL
+                                     OR lag(l_linestatus) OVER w
+                                        <> l_linestatus
+                                        THEN 1 ELSE 0 END AS st
+                            FROM lineitem
+                            WINDOW w AS (PARTITION BY l_orderkey
+                                         ORDER BY l_linenumber,
+                                                  l_linestatus)
+                            ) WHERE st = 1) AS BIGINT),
+                       CAST(sum(length(l_linestatus)) AS BIGINT),
+                       CAST((SELECT sum(length(v)) FROM (
+                                SELECT DISTINCT l_linestatus AS v
+                                FROM lineitem))
+                            + (count(*) * (CASE
+                                WHEN count(DISTINCT l_linestatus) = 1
+                                THEN 0
+                                ELSE length(format('{:b}',
+                                    count(DISTINCT l_linestatus) - 1))
+                                END) + 7) // 8 AS BIGINT)
+                FROM lineitem),
+            s3 AS (
+                SELECT 'orders', 'o_orderpriority',
+                       CAST(count(*) AS BIGINT),
+                       CAST(count(DISTINCT o_orderpriority)
+                            AS BIGINT),
+                       CAST((SELECT count(*) FROM (
+                            SELECT CASE WHEN lag(o_orderpriority)
+                                        OVER w IS NULL
+                                     OR lag(o_orderpriority) OVER w
+                                        <> o_orderpriority
+                                        THEN 1 ELSE 0 END AS st
+                            FROM orders
+                            WINDOW w AS (PARTITION BY o_custkey
+                                         ORDER BY o_orderkey,
+                                                  o_orderpriority)
+                            ) WHERE st = 1) AS BIGINT),
+                       CAST(sum(length(o_orderpriority)) AS BIGINT),
+                       CAST((SELECT sum(length(v)) FROM (
+                                SELECT DISTINCT o_orderpriority AS v
+                                FROM orders))
+                            + (count(*) * (CASE
+                                WHEN count(DISTINCT o_orderpriority)
+                                     = 1 THEN 0
+                                ELSE length(format('{:b}',
+                                    count(DISTINCT o_orderpriority)
+                                    - 1)) END) + 7) // 8 AS BIGINT)
+                FROM orders),
+            s4 AS (
+                SELECT 'customer', 'c_mktsegment',
+                       CAST(count(*) AS BIGINT),
+                       CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+                       CAST((SELECT count(*) FROM (
+                            SELECT CASE WHEN lag(c_mktsegment) OVER w
+                                        IS NULL
+                                     OR lag(c_mktsegment) OVER w
+                                        <> c_mktsegment
+                                        THEN 1 ELSE 0 END AS st
+                            FROM customer
+                            WINDOW w AS (PARTITION BY c_nationkey
+                                         ORDER BY c_custkey,
+                                                  c_mktsegment)
+                            ) WHERE st = 1) AS BIGINT),
+                       CAST(sum(length(c_mktsegment)) AS BIGINT),
+                       CAST((SELECT sum(length(v)) FROM (
+                                SELECT DISTINCT c_mktsegment AS v
+                                FROM customer))
+                            + (count(*) * (CASE
+                                WHEN count(DISTINCT c_mktsegment) = 1
+                                THEN 0
+                                ELSE length(format('{:b}',
+                                    count(DISTINCT c_mktsegment)
+                                    - 1)) END) + 7) // 8 AS BIGINT)
+                FROM customer)
+            SELECT * FROM (
+                SELECT * FROM s1 UNION ALL SELECT * FROM s2
+                UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+            ) ORDER BY tbl, col
+        """,
+        "q_join_cardinality": """
+            WITH j1 AS (
+                SELECT 'orders' AS tbl_a, 'lineitem' AS tbl_b,
+                       (SELECT count(*) FROM orders) AS n_a,
+                       (SELECT count(*) FROM lineitem) AS n_b,
+                       (SELECT count(DISTINCT o_orderkey)
+                        FROM orders) AS d_a,
+                       (SELECT count(DISTINCT l_orderkey)
+                        FROM lineitem) AS d_b,
+                       (SELECT count(*) FROM orders
+                        JOIN lineitem ON o_orderkey = l_orderkey)
+                           AS actual),
+            j2 AS (
+                SELECT 'customer', 'orders',
+                       (SELECT count(*) FROM customer),
+                       (SELECT count(*) FROM orders),
+                       (SELECT count(DISTINCT c_custkey)
+                        FROM customer),
+                       (SELECT count(DISTINCT o_custkey)
+                        FROM orders),
+                       (SELECT count(*) FROM customer
+                        JOIN orders ON c_custkey = o_custkey)),
+            j3 AS (
+                SELECT 'part', 'lineitem',
+                       (SELECT count(*) FROM part),
+                       (SELECT count(*) FROM lineitem),
+                       (SELECT count(DISTINCT p_partkey) FROM part),
+                       (SELECT count(DISTINCT l_partkey)
+                        FROM lineitem),
+                       (SELECT count(*) FROM part
+                        JOIN lineitem ON p_partkey = l_partkey))
+            SELECT tbl_a, tbl_b,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   round(CAST(n_a AS DOUBLE) * n_b
+                         / greatest(d_a, d_b), 6) AS est,
+                   CAST(actual AS BIGINT) AS actual,
+                   round(greatest(
+                       (CAST(n_a AS DOUBLE) * n_b
+                        / greatest(d_a, d_b)) / actual,
+                       actual / (CAST(n_a AS DOUBLE) * n_b
+                                 / greatest(d_a, d_b))), 6)
+                       AS q_error
+            FROM (SELECT * FROM j1 UNION ALL SELECT * FROM j2
+                  UNION ALL SELECT * FROM j3)
+            ORDER BY tbl_a, tbl_b
+        """,
+        "q_events_seasonal_naive": """
+            WITH top1 AS (
+                SELECT event_type FROM events GROUP BY event_type
+                ORDER BY count(*) DESC, event_type LIMIT 1),
+            h AS (
+                SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                           AS hr,
+                       count(*) AS k
+                FROM events
+                WHERE event_type = (SELECT event_type FROM top1)
+                GROUP BY hr),
+            span AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM h),
+            grid AS (
+                SELECT unnest(generate_series(h0, h1)) AS hr
+                FROM span),
+            g2 AS MATERIALIZED (
+                SELECT grid.hr,
+                       CAST(coalesce(h.k, 0) AS BIGINT) AS k
+                FROM grid LEFT JOIN h USING (hr)),
+            lagged AS (
+                SELECT k,
+                       lag(k, 168) OVER (ORDER BY hr) AS ks,
+                       lag(k, 1) OVER (ORDER BY hr) AS k1
+                FROM g2),
+            agg AS (
+                SELECT CAST(count(ks) AS BIGINT) AS n_eval,
+                       CAST(coalesce(sum(abs(k - ks)), 0) AS BIGINT)
+                           AS sae_seasonal,
+                       CAST(coalesce(sum(abs(k - k1)), 0) AS BIGINT)
+                           AS sae_naive1,
+                       CAST(count(k1) AS BIGINT) AS n1
+                FROM lagged)
+            SELECT n_eval, sae_seasonal, sae_naive1,
+                   CASE WHEN n_eval > 0 AND sae_naive1 > 0
+                        THEN round((CAST(sae_seasonal AS DOUBLE)
+                                    / n_eval)
+                                   / (CAST(sae_naive1 AS DOUBLE)
+                                      / n1), 6)
+                        ELSE 0.0 END AS mase
+            FROM agg
         """,
         "doc_dirichlet_ql": """
             WITH w AS (

@@ -1851,3 +1851,70 @@ def test_xcorr_zero_lag_matches_numpy_corrcoef():
     for lag in (-3, 3):
         assert out.loc[lag, "n_hours"] == len(grid) - 3
         assert -1 - 1e-9 <= out.loc[lag, "r"] <= 1 + 1e-9
+
+
+def test_encoding_audit_serial_parity():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import q_encoding_audit
+    sf = "/root/testdata/sf0.001"
+    out = q_encoding_audit(sf)
+    li = pq.read_table(f"{sf}/lineitem.parquet",
+                       columns=["l_returnflag", "l_orderkey",
+                                "l_linenumber"]).to_pandas()
+    d = li.sort_values(["l_orderkey", "l_linenumber",
+                        "l_returnflag"])
+    v = d["l_returnflag"]
+    runs = int((d["l_orderkey"].ne(d["l_orderkey"].shift())
+                | v.ne(v.shift())).sum())
+    r = out[(out["tbl"] == "lineitem")
+            & (out["col"] == "l_returnflag")].iloc[0]
+    assert int(r["n"]) == len(li)
+    assert int(r["n_runs"]) == runs
+    assert int(r["n_distinct"]) == li["l_returnflag"].nunique()
+    assert int(r["plain_bytes"]) == int(v.str.len().sum())
+    dct = sorted(li["l_returnflag"].unique())
+    bw = (len(dct) - 1).bit_length() if len(dct) > 1 else 0
+    assert int(r["dict_bytes"]) == \
+        sum(len(x) for x in dct) + (len(li) * bw + 7) // 8
+    # dictionary should beat plain for a 3-value column
+    assert int(r["dict_bytes"]) < int(r["plain_bytes"])
+
+
+def test_join_cardinality_and_seasonal_naive_serial():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import (q_events_seasonal_naive,
+                                             q_join_cardinality)
+    sf = "/root/testdata/sf0.001"
+    out = q_join_cardinality(sf)
+    o = pq.read_table(f"{sf}/orders.parquet",
+                      columns=["o_orderkey"]).to_pandas()
+    l = pq.read_table(f"{sf}/lineitem.parquet",
+                      columns=["l_orderkey"]).to_pandas()
+    actual = int(o.merge(l, left_on="o_orderkey",
+                         right_on="l_orderkey").shape[0])
+    r = out[(out["tbl_a"] == "orders")].iloc[0]
+    assert int(r["actual"]) == actual
+    est = len(o) * len(l) / max(o["o_orderkey"].nunique(),
+                                l["l_orderkey"].nunique())
+    assert abs(r["est"] - est) < 1e-6
+    assert r["q_error"] >= 1.0
+
+    sn = q_events_seasonal_naive(sf).iloc[0]
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    top = ev.groupby("event_type").size().reset_index(name="n") \
+        .sort_values(["n", "event_type"],
+                     ascending=[False, True]).iloc[0]["event_type"]
+    sub = ev[ev["event_type"] == top]
+    hr = (sub["ts"].astype("datetime64[us]").astype("int64")
+          // 3_600_000_000)
+    import numpy as np
+    hmin, hmax = int(hr.min()), int(hr.max())
+    k = np.zeros(hmax - hmin + 1, dtype=np.int64)
+    for h, c in hr.value_counts().items():
+        k[int(h) - hmin] = c
+    sae_s = int(np.abs(k[168:] - k[:-168]).sum())
+    sae_1 = int(np.abs(k[1:] - k[:-1]).sum())
+    assert int(sn["sae_seasonal"]) == sae_s
+    assert int(sn["sae_naive1"]) == sae_1
+    assert int(sn["n_eval"]) == max(len(k) - 168, 0)
