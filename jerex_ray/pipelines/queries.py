@@ -9447,6 +9447,98 @@ def q_events_seasonal_naive(sf_dir: str, *, season: int = 168):
         "mase": [_round_half_away(np.float64(mase), 6)]})
 
 
+def q_events_enrichment(sf_dir: str, *, threshold: float = 50.0):
+    """Fisher-exact enrichment of high-value events (value ≥ 50) per
+    event type — the GO-enrichment / over-representation test shape:
+    right-tail hypergeometric p = Σᵢ exp(lnC(K,i)+lnC(N−K,n−i)
+    −lnC(N,n)) via lgamma (bit-identical glibc on both engines), plus
+    the ratio (k/n)/(K/N). One combiner pass to per-type (n, k)
+    counts; the tail sums run over type-bounded grids."""
+    import math
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        hi = (df["value"].to_numpy(np.float64)
+              >= threshold).astype(np.int64)
+        return pd.DataFrame({"event_type": df["event_type"]
+                             .to_numpy(), "n": np.int64(1), "k": hi}) \
+            .groupby("event_type", sort=False, as_index=False).sum()
+
+    m = grouped_aggregate(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["event_type"], {"n": ("n", "sum"), "k": ("k", "sum")}) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    N = int(m["n"].sum())
+    K = int(m["k"].sum())
+
+    def lnC(a, b):
+        return (math.lgamma(a + 1.0) - math.lgamma(b + 1.0)
+                - math.lgamma(a - b + 1.0))
+
+    rows = []
+    for r in m.itertuples(index=False):
+        n, k = int(r.n), int(r.k)
+        hi = min(K, n)
+        p = 0.0
+        for i in range(k, hi + 1):
+            p = p + math.exp(lnC(K, i) + lnC(N - K, n - i)
+                             - lnC(N, n))
+        ratio = (k / n) / (K / N)
+        rows.append((r.event_type, np.int64(n), np.int64(k),
+                     float(_round_half_away(ratio, 6)),
+                     float(_round_half_away(p, 6))))
+    return pd.DataFrame(rows, columns=["event_type", "n", "k",
+                                       "ratio", "p_value"])
+
+
+def doc_front_coding(sf_dir: str):
+    """Front-coding dictionary audit (Witten-Moffat-Bell: store each
+    sorted word as (lcp with predecessor, suffix)) over the corpus
+    vocabulary — the term-dictionary compression every inverted index
+    uses. One combiner pass to the distinct-word table (vocabulary-
+    bounded driver close, the BPE/vocab contract), sorted ascending,
+    suffix bytes = len − lcp(prev). Integer-exact."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.split()
+        flat = [w for ws in words.to_numpy() if ws for w in ws]
+        if not flat:
+            return pd.DataFrame({"w": pd.Series(dtype="object")})
+        return pd.DataFrame({"w": pd.unique(np.asarray(flat,
+                                                       dtype=object))})
+
+    vocab = grouped_aggregate(
+        ds.map_batches(explode, batch_format="pandas",
+                       batch_size=8192),
+        ["w"], {"n": (None, "count")}).to_pandas()
+    ws = sorted(str(w) for w in vocab["w"])
+    raw = sum(len(w) for w in ws)
+    front = 0
+    prev = ""
+    for w in ws:
+        l = 0
+        for a, b in zip(prev, w):
+            if a != b:
+                break
+            l += 1
+        front += len(w) - l
+        prev = w
+    return pd.DataFrame({
+        "n_words": [np.int64(len(ws))],
+        "raw_bytes": [np.int64(raw)],
+        "front_bytes": [np.int64(front)]})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -9695,6 +9787,8 @@ def build_queries() -> dict:
         "q_encoding_audit": q_encoding_audit,
         "q_join_cardinality": q_join_cardinality,
         "q_events_seasonal_naive": q_events_seasonal_naive,
+        "q_events_enrichment": q_events_enrichment,
+        "doc_front_coding": doc_front_coding,
         "kg_distant_negatives": kg_distant_negatives,
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
@@ -13168,6 +13262,58 @@ def _build_oracle_sql_literal() -> dict:
             FROM b a JOIN b bb ON a.blk = bb.blk AND a.norm < bb.norm
             WHERE jaro_winkler_similarity(a.norm, bb.norm) >= 0.88
             ORDER BY norm_a, norm_b
+        """,
+        "q_events_enrichment": """
+            WITH m AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(*) FILTER (WHERE value >= 50.0)
+                            AS BIGINT) AS k
+                FROM events GROUP BY event_type),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                         CAST(sum(k) AS BIGINT) AS kk FROM m),
+            grid AS (
+                SELECT m.event_type, m.n, m.k, t.nn, t.kk,
+                       unnest(generate_series(
+                           m.k, least(t.kk, m.n))) AS i
+                FROM m CROSS JOIN t),
+            p AS (
+                SELECT event_type, sum(exp(
+                    (lgamma(kk + 1.0) - lgamma(i + 1.0)
+                     - lgamma(kk - i + 1.0))
+                    + (lgamma(nn - kk + 1.0) - lgamma(n - i + 1.0)
+                       - lgamma(nn - kk - (n - i) + 1.0))
+                    - (lgamma(nn + 1.0) - lgamma(n + 1.0)
+                       - lgamma(nn - n + 1.0)))) AS pv
+                FROM grid GROUP BY event_type)
+            SELECT m.event_type, m.n, m.k,
+                   round((CAST(m.k AS DOUBLE) / m.n)
+                         / (CAST(t.kk AS DOUBLE) / t.nn), 6)
+                       AS ratio,
+                   round(p.pv, 6) AS p_value
+            FROM m CROSS JOIN t JOIN p USING (event_type)
+            ORDER BY m.event_type
+        """,
+        "doc_front_coding": """
+            WITH w AS (
+                SELECT DISTINCT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '')) AS w
+                FROM documents),
+            o AS (SELECT w, lag(w) OVER (ORDER BY w) AS pw FROM w),
+            l AS (
+                SELECT w, CASE WHEN pw IS NULL THEN 0 ELSE
+                    coalesce((SELECT max(i) FROM
+                        (SELECT unnest(generate_series(1,
+                             least(length(w), length(pw)))) AS i)
+                        t(i)
+                        WHERE substr(w, 1, i) = substr(pw, 1, i)),
+                        0) END AS lcp
+                FROM o)
+            SELECT CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(length(w)) AS BIGINT) AS raw_bytes,
+                   CAST(sum(length(w) - lcp) AS BIGINT)
+                       AS front_bytes
+            FROM l
         """,
         "q_encoding_audit": """
             WITH s1 AS (

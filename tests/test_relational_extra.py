@@ -1918,3 +1918,48 @@ def test_join_cardinality_and_seasonal_naive_serial():
     assert int(sn["sae_seasonal"]) == sae_s
     assert int(sn["sae_naive1"]) == sae_1
     assert int(sn["n_eval"]) == max(len(k) - 168, 0)
+
+
+def test_enrichment_and_front_coding_serial():
+    import math
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import (doc_front_coding,
+                                             q_events_enrichment)
+    sf = "/root/testdata/sf0.001"
+    out = q_events_enrichment(sf)
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    N = len(ev)
+    K = int((ev["value"] >= 50.0).sum())
+    def lnC(a, b):
+        return (math.lgamma(a + 1.0) - math.lgamma(b + 1.0)
+                - math.lgamma(a - b + 1.0))
+
+    for _, r in out.iterrows():
+        sub = ev[ev["event_type"] == r["event_type"]]
+        n = len(sub)
+        k = int((sub["value"] >= 50.0).sum())
+        assert int(r["n"]) == n and int(r["k"]) == k
+        p = sum(math.exp(lnC(K, i) + lnC(N - K, n - i) - lnC(N, n))
+                for i in range(k, min(K, n) + 1))
+        assert abs(r["p_value"] - p) < 1e-6
+        assert 0.0 <= r["p_value"] <= 1.000001
+
+    fc = doc_front_coding(sf).iloc[0]
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    vocab = sorted({w for t in docs["text"].fillna("")
+                    for w in t.lower().split()})
+    raw = sum(len(w) for w in vocab)
+    front, prev = 0, ""
+    for w in vocab:
+        l = 0
+        for a, b in zip(prev, w):
+            if a != b:
+                break
+            l += 1
+        front += len(w) - l
+        prev = w
+    assert (int(fc["n_words"]), int(fc["raw_bytes"]),
+            int(fc["front_bytes"])) == (len(vocab), raw, front)
+    assert front < raw
