@@ -1473,3 +1473,148 @@ def hits(pairs_ds, *, hub_col: str, auth_col: str, iters: int = 4,
     out = pd.concat([norm_rows(a, "auth"), norm_rows(h, "hub")],
                     ignore_index=True)
     return out.sort_values(["side", "node"]).reset_index(drop=True)
+
+
+def bellman_ford_sssp(edges_ds, source: int, *, src: str = "a",
+                      dst: str = "b", weight: str = "w",
+                      undirected: bool = True, max_rounds: int = 64,
+                      num_partitions: int | None = None) -> pd.DataFrame:
+    """Single-source shortest paths with non-negative INTEGER edge
+    weights (Bellman-Ford, synchronized-relaxation form — the
+    weighted sibling of ``bfs_levels``): (node, dist) for every node
+    reachable from ``source``, dist = exact integer weight of the
+    cheapest path. Same BSP grid as ``bfs_levels``:
+
+    * weighted edges hash-partitioned ONCE by source endpoint ``u``
+      (both directions when ``undirected``);
+    * the dist table lives as P (node, dist) blocks co-partitioned by
+      ``hash(node)``, never on the driver during the loop;
+    * round r: nodes IMPROVED last round join their local out-edges,
+      candidate (v, dist_u + w) rows route to their owners, the owner
+      keeps per-node minima and absorbs only strict improvements —
+      the next frontier. Empty global frontier = fixpoint (exact
+      distances; the monotone lattice makes the result independent of
+      round count past convergence, which is what lets a fixed-depth
+      SQL replay oracle match it).
+
+    Per-round traffic is (improved frontier × out-degree)-sized.
+    Integer dist arithmetic ⇒ no float accumulation-order hazard.
+    Raises past ``max_rounds`` (an unconverged dist table is NOT a
+    shortest-path table — the loud-cap contract of ``ktruss``).
+    Returns the node-bounded (node, dist) table sorted by node, and
+    the convergence round count as an attribute column ``rounds``
+    (constant — handy for oracle-depth assertions)."""
+    import ray
+
+    from jerex_ray.functions.components import (_as_returns, _part_of,
+                                                _split_by)
+
+    P = num_partitions or 8
+    source = int(source)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="int64")})
+
+    @ray.remote
+    def route_out(block: pd.DataFrame):
+        e = pd.DataFrame({"u": pd.Series(dtype="int64"),
+                          "v": pd.Series(dtype="int64"),
+                          "w": pd.Series(dtype="int64")})
+        if not block.empty and src in block.columns:
+            a = block[[src, dst, weight]].rename(
+                columns={src: "u", dst: "v", weight: "w"})
+            frames = [a]
+            if undirected:
+                frames.append(block[[dst, src, weight]].rename(
+                    columns={dst: "u", src: "v", weight: "w"}))
+            e = pd.concat(frames, ignore_index=True).astype(
+                {"u": "int64", "v": "int64", "w": "int64"})
+            # parallel edges: only the lightest can ever relax
+            e = e.groupby(["u", "v"], sort=False, as_index=False)["w"].min()
+        return _as_returns(_split_by(e, "u", P), P)
+
+    @ray.remote
+    def concat_edges(*shards):
+        df = pd.concat(list(shards), ignore_index=True)
+        if df.empty:
+            return df
+        return df.groupby(["u", "v"], sort=False, as_index=False)["w"].min()
+
+    @ray.remote
+    def relax(edge_part: pd.DataFrame, frontier: pd.DataFrame):
+        """Improved nodes owned here ⋈ local out-edges → candidate
+        (v, dist_u + w) routed to owners, pre-min'd per target."""
+        if frontier.empty or edge_part.empty:
+            msgs = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "dist": pd.Series(dtype="int64")})
+        else:
+            m = edge_part.merge(frontier, left_on="u", right_on="node")
+            cand = pd.DataFrame({"node": m["v"].to_numpy(np.int64),
+                                 "dist": (m["dist"] + m["w"])
+                                 .to_numpy(np.int64)})
+            msgs = cand.groupby("node", sort=False,
+                                as_index=False)["dist"].min()
+        return _as_returns(_split_by(msgs, "node", P), P)
+
+    @ray.remote(num_returns=2)
+    def absorb(dist_part: pd.DataFrame, *msg_shards):
+        """Keep strict improvements; they update the dist table and
+        form this partition's next frontier."""
+        cand = pd.concat(list(msg_shards), ignore_index=True)
+        if cand.empty:
+            return dist_part, _empty()
+        cand = cand.groupby("node", sort=False,
+                            as_index=False)["dist"].min()
+        m = cand.merge(dist_part, on="node", how="left",
+                       suffixes=("", "_old"))
+        better = m["dist_old"].isna() | (m["dist"] < m["dist_old"])
+        fresh = m.loc[better, ["node", "dist"]].astype(
+            {"node": "int64", "dist": "int64"})
+        if fresh.empty:
+            return dist_part, _empty()
+        keep = dist_part[~dist_part["node"].isin(fresh["node"])]
+        return (pd.concat([keep, fresh], ignore_index=True),
+                fresh)
+
+    @ray.remote
+    def nrows(df: pd.DataFrame) -> int:
+        return len(df)
+
+    blocks = edges_ds.to_pandas_refs()
+    routed = [route_out.options(num_returns=P).remote(b) for b in blocks]
+    if P == 1:
+        routed = [[r] for r in routed]
+    edge_parts = [concat_edges.remote(*[r[p] for r in routed])
+                  for p in range(P)]
+
+    owner = int(_part_of(np.array([source], dtype=np.int64), P)[0])
+    seed = pd.DataFrame({"node": [source], "dist": [0]}).astype(
+        {"node": "int64", "dist": "int64"})
+    dists = [ray.put(seed if p == owner else _empty()) for p in range(P)]
+    frontier = [ray.put(seed if p == owner else _empty())
+                for p in range(P)]
+
+    converged_round = None
+    for r in range(1, max_rounds + 1):
+        msgs = [relax.options(num_returns=P)
+                .remote(edge_parts[p], frontier[p]) for p in range(P)]
+        if P == 1:
+            msgs = [[m] for m in msgs]
+        pairs = [absorb.remote(dists[q], *[msgs[p][q] for p in range(P)])
+                 for q in range(P)]
+        dists = [pr[0] for pr in pairs]
+        frontier = [pr[1] for pr in pairs]
+        grew = sum(ray.get([nrows.remote(f) for f in frontier]))
+        if grew == 0:
+            converged_round = r
+            break
+    if converged_round is None:
+        raise RuntimeError(
+            f"bellman_ford_sssp: no fixpoint within {max_rounds} rounds "
+            "— distances are NOT shortest paths; raise max_rounds")
+
+    out = pd.concat(ray.get(dists), ignore_index=True)
+    out = out.sort_values("node").reset_index(drop=True)
+    out["rounds"] = np.int64(converged_round)
+    return out

@@ -575,6 +575,40 @@ def kg_graph_pagerank(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def kg_transe(sf_dir: str):
+    """TransE knowledge-graph embeddings (Bordes '13) trained over the
+    materialized KG edge table — the canonical downstream consumer of
+    a kg_construct engine (link prediction). Three epochs of
+    margin-ranking SGD with md5-deterministic corrupted tails; per
+    epoch ONE streaming gradient pass over the edge Dataset with the
+    (vocab × d) matrices broadcast via ray.put and gradients reduced
+    by the combiner. Returns the per-epoch loss history with the
+    post-training tail-prediction metrics (train-set protocol, raw
+    optimistic ranks — integer-exact) as constant columns. Rows-only:
+    embedding training is not SQL-expressible; the gradient math is
+    parity-tested against a serial recompute and the planted-structure
+    rank gain is pytest-gated."""
+    from jerex_ray.ops.kge import transe_link_prediction, transe_train
+    from jerex_ray.pipelines.kg import extract_triples, graph_tables
+    from jerex_ray.sources.transcripts import read_synthetic_transcripts
+    configure_data_context()
+    cfg = _kg_config()
+    triples = extract_triples(read_synthetic_transcripts(
+        _sf_convs(sf_dir)), cfg)
+    _, edges = graph_tables(triples)
+    loss_df, ent_emb, rel_emb = transe_train(edges, dim=16, epochs=3)
+    losses = loss_df["loss"].to_numpy()
+    assert (np.diff(losses) < 0).all(), f"loss not decreasing: {losses}"
+    lp = transe_link_prediction(edges, ent_emb, rel_emb)
+    out = loss_df.copy()
+    out["loss"] = out["loss"].round(6)
+    for c in ("n_edges", "n_entities", "sum_rank"):
+        out[c] = int(lp[c].iloc[0])
+    out["mean_rank"] = round(float(lp["mean_rank"].iloc[0]), 6)
+    out["hits_at_10"] = round(float(lp["hits_at_10"].iloc[0]), 6)
+    return out
+
+
 def kg_eval(sf_dir: str):
     """Triple P/R vs the planted reference extractions (the ≥0.95 gate)."""
     from jerex_ray.eval.scoring import evaluate_triples
@@ -9153,6 +9187,57 @@ def q_part_ktruss(sf_dir: str, *, k: int = 3, min_cocount: int = 2):
     return out
 
 
+def q_part_sssp(sf_dir: str, *, oracle_depth: int = 24):
+    """Weighted single-source shortest paths over the repeat
+    co-purchase graph (synchronized Bellman-Ford relaxation,
+    ``ops/graph.bellman_ford_sssp`` — the weighted sibling of the
+    BFS/double-sweep family): edge weight = 1 + md5_64("a|b") % 9
+    (deterministic and SQL-replayable — the ``md5_hash64`` contract),
+    source = the smallest part id in the graph. Distances are exact
+    integers, so there is no float accumulation-order hazard anywhere;
+    the engine runs to the natural fixpoint and ASSERTS it converged
+    within the oracle's fixed replay depth, which makes the
+    chained-CTE relax-round oracle land on the identical monotone
+    lattice fixpoint."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.ops.graph import bellman_ford_sssp
+    from jerex_ray.util import md5_hash64_batch
+    configure_data_context()
+    edges = _repeat_copurchase_edges(sf_dir)
+
+    def with_w(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "a" not in df.columns:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "w": pd.Series(dtype="int64")})
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        w = 1 + (md5_hash64_batch(
+            [f"{x}|{y}" for x, y in zip(a, b)]) % 9).astype(np.int64)
+        return pd.DataFrame({"a": a, "b": b, "w": w})
+
+    wedges = edges.map_batches(with_w,
+                               batch_format="pandas").materialize()
+    nd = grouped_aggregate(
+        wedges.map_batches(
+            lambda df: pd.DataFrame({"u": np.concatenate(
+                [df["a"].to_numpy(np.int64),
+                 df["b"].to_numpy(np.int64)])})
+            if "a" in df.columns else pd.DataFrame(
+                {"u": pd.Series(dtype="int64")}),
+            batch_format="pandas"),
+        ["u"], {"n": (None, "count")}).to_pandas()
+    if nd.empty or "u" not in nd.columns:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="int64")})
+    source = int(nd["u"].min())
+    out = bellman_ford_sssp(wedges, source, max_rounds=64)
+    rounds = int(out["rounds"].iloc[0]) if len(out) else 0
+    assert rounds <= oracle_depth, \
+        f"fixpoint at round {rounds} > oracle depth {oracle_depth}"
+    return out[["node", "dist"]].reset_index(drop=True)
+
+
 def q_events_kfold_cv(sf_dir: str, *, folds: int = 5):
     """k-fold cross-validated OLS of event value against time (the
     model-eval loop every feature pipeline runs): deterministic md5
@@ -9780,6 +9865,7 @@ def build_queries() -> dict:
         "doc_kn_logppl": doc_kn_logppl,
         "emb_label_prop": emb_label_prop,
         "q_part_ktruss": q_part_ktruss,
+        "q_part_sssp": q_part_sssp,
         "q_events_kfold_cv": q_events_kfold_cv,
         "doc_dirichlet_ql": doc_dirichlet_ql,
         "q_customer_chash": q_customer_chash,
@@ -9792,6 +9878,7 @@ def build_queries() -> dict:
         "kg_distant_negatives": kg_distant_negatives,
         "kg_graph_edges": kg_graph_edges,
         "kg_graph_pagerank": kg_graph_pagerank,
+        "kg_transe": kg_transe,
         "media_image_resize": media_image_resize,
         "q_lineitem_corr": q_lineitem_corr,
         "q_events_funnel": q_events_funnel,
@@ -10108,6 +10195,47 @@ def _ktruss_oracle_sql(k: int = 3, min_cocount: int = 2,
     return sql
 
 
+def _sssp_oracle_sql(rounds: int = 24, min_cocount: int = 2) -> str:
+    """Chained-CTE replay of ``q_part_sssp``: the thresholded
+    co-purchase edge CTE, md5-derived integer weights, undirected
+    explode, then one synchronized Bellman-Ford relax round per CTE
+    (min over the previous table ∪ one-hop extensions). The lattice
+    is monotone, so any depth ≥ the engine's asserted convergence
+    round lands on the identical integer fixpoint."""
+    sql = f"""
+        WITH inc AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+        e0 AS MATERIALIZED (
+            SELECT a.p AS a, b.p AS b
+            FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p HAVING count(*) >= {min_cocount}),
+        we AS MATERIALIZED (
+            SELECT a, b, CAST(1 + CAST('0x' || substr(md5(
+                       CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)),
+                       1, 16) AS UBIGINT) % 9 AS BIGINT) AS w
+            FROM e0),
+        dir AS MATERIALIZED (
+            SELECT a AS u, b AS v, w FROM we
+            UNION ALL SELECT b, a, w FROM we),
+        d0 AS (SELECT (SELECT min(u) FROM dir) AS node,
+                      CAST(0 AS BIGINT) AS dist)"""
+    prev = "d0"
+    for k in range(1, rounds + 1):
+        sql += f""",
+        d{k} AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM {prev}
+                UNION ALL
+                SELECT dir.v AS node, {prev}.dist + dir.w AS dist
+                FROM dir JOIN {prev} ON {prev}.node = dir.u) t
+            GROUP BY node)"""
+        prev = f"d{k}"
+    sql += f"""
+        SELECT node, dist FROM {prev} ORDER BY node"""
+    return sql
+
+
 def _betweenness_oracle_sql(n_sources: int = 4, max_depth: int = 6,
                             min_cocount: int = 2) -> str:
     """Unrolled Brandes replay for ``q_part_betweenness``: recursive
@@ -10412,6 +10540,7 @@ def build_oracle_sql() -> dict:
                                                   rounds=6)
     oracles["q_part_betweenness"] = _betweenness_oracle_sql(
         n_sources=4, max_depth=6, min_cocount=2)
+    oracles["q_part_sssp"] = _sssp_oracle_sql(rounds=24, min_cocount=2)
     oracles["doc_pretrain_corpus"] = _pretrain_corpus_oracle_sql()
     # one-sided Bloom parity (see doc_decontaminate_bloom docstring)
     oracles["doc_decontaminate_bloom"] = oracles["doc_decontaminate"]

@@ -1138,3 +1138,52 @@ def test_betweenness_sampled_matches_serial_brandes():
     for _, row in got.iterrows():
         assert abs(row["bc"] - bc.get(int(row["node"]), 0.0)) < 1e-6
     assert got["bc"].sum() > 0
+
+
+def test_bellman_ford_matches_dijkstra():
+    from jerex_ray.ops.graph import bellman_ford_sssp
+    rng = np.random.default_rng(19)
+    n = 40
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((int(min(a, b)), int(max(a, b))))
+    edges = sorted(edges)
+    w = rng.integers(1, 10, len(edges))
+    ds = rd.from_pandas(pd.DataFrame(
+        {"a": [a for a, _ in edges], "b": [b for _, b in edges],
+         "w": w}))
+    src = min(min(e) for e in edges)
+    got = bellman_ford_sssp(ds, src, max_rounds=64)
+
+    # serial Dijkstra
+    import heapq
+    adj = {}
+    for (a, b), ww in zip(edges, w):
+        adj.setdefault(a, []).append((b, int(ww)))
+        adj.setdefault(b, []).append((a, int(ww)))
+    dist = {src: 0}
+    pq = [(0, src)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 60):
+            continue
+        for v, ww in adj.get(u, []):
+            nd = d + ww
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    ref = pd.DataFrame(sorted(dist.items()), columns=["node", "dist"])
+    pd.testing.assert_frame_equal(
+        got[["node", "dist"]].reset_index(drop=True),
+        ref.astype({"node": "int64", "dist": "int64"}))
+
+
+def test_bellman_ford_parallel_edges_and_unreachable():
+    from jerex_ray.ops.graph import bellman_ford_sssp
+    # parallel edges keep the min weight; node 99 is disconnected
+    df = pd.DataFrame({"a": [0, 0, 1, 99], "b": [1, 1, 2, 98],
+                       "w": [7, 3, 2, 5]})
+    got = bellman_ford_sssp(rd.from_pandas(df), 0)
+    assert dict(zip(got["node"], got["dist"])) == {0: 0, 1: 3, 2: 5}
