@@ -9238,6 +9238,84 @@ def q_part_sssp(sf_dir: str, *, oracle_depth: int = 24):
     return out[["node", "dist"]].reset_index(drop=True)
 
 
+def q_lineitem_auc(sf_dir: str):
+    """Exact ROC-AUC of "quantity predicts a return" — does
+    l_quantity separate returned (l_returnflag = 'R') from kept line
+    items? Mann-Whitney rank-sum with midrank ties
+    (``ops/mleval.auc_mann_whitney``): ONE combiner pass reduces the
+    lineitem scan to ≤50 per-quantity (n_pos, n_neg) counts, the rank-sum
+    closes on the driver carrying 2·U so everything before the single
+    final divide is INTEGER-exact — the SQL window oracle lands on the
+    identical bits."""
+    from jerex_ray.ops.mleval import auc_mann_whitney
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_returnflag"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"s": pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "s": np.floor(df["l_quantity"].to_numpy(np.float64)
+                          + 0.5).astype(np.int64),
+            "pos": (df["l_returnflag"].to_numpy() == "R")
+            .astype(np.int64)})
+
+    out = auc_mann_whitney(ds.map_batches(prep, batch_format="pandas"))
+    out["auc"] = out["auc"].round(6)
+    for c in ("n_pos", "n_neg", "u2"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_orders_benford(sf_dir: str):
+    """Benford first-significant-digit audit of order totals (Newcomb
+    1881 / Benford '38 — the classic fraud/synthetic-data screen):
+    leading digit of the integer cents of o_totalprice vs the Benford
+    expectation n·log10(1 + 1/d), with the per-digit chi-square term.
+    ONE combiner pass to the 9-row digit histogram; every output float
+    is an independent fixed-order expression (no multi-term float
+    accumulation), so the SQL oracle matches bit-for-bit before the
+    shared 6-decimal rounding."""
+    import math
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/orders.parquet",
+                            columns=["o_totalprice"])
+
+    def digits(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"digit": pd.Series(dtype="int64")})
+        # mirror DuckDB CAST(x*100 AS BIGINT): half-away (prices > 0)
+        cents = np.floor(df["o_totalprice"].to_numpy(np.float64)
+                         * 100.0 + 0.5).astype(np.int64)
+        first = pd.Series(cents).astype(str).str[0].astype(np.int64)
+        return pd.DataFrame({"digit": first})
+
+    g = grouped_aggregate(ds.map_batches(digits, batch_format="pandas"),
+                          ["digit"], {"n_obs": (None, "count")}) \
+        .to_pandas()
+    if g.empty or "digit" not in g.columns:
+        return pd.DataFrame({"digit": pd.Series(dtype="int64"),
+                             "n_obs": pd.Series(dtype="int64"),
+                             "expected": pd.Series(dtype="float64"),
+                             "chi2_term": pd.Series(dtype="float64")})
+    g = g.sort_values("digit").reset_index(drop=True)
+    tot = int(g["n_obs"].sum())
+    exp_n = np.array([math.log10(1.0 + 1.0 / int(d)) * tot
+                      for d in g["digit"]])
+    obs = g["n_obs"].to_numpy(np.float64)
+    term = (obs - exp_n) * (obs - exp_n) / exp_n
+    return pd.DataFrame({"digit": g["digit"].astype("int64"),
+                         "n_obs": g["n_obs"].astype("int64"),
+                         "expected": np.round(exp_n, 6),
+                         "chi2_term": np.round(term, 6)})
+
+
 def q_events_kfold_cv(sf_dir: str, *, folds: int = 5):
     """k-fold cross-validated OLS of event value against time (the
     model-eval loop every feature pipeline runs): deterministic md5
@@ -9866,6 +9944,8 @@ def build_queries() -> dict:
         "emb_label_prop": emb_label_prop,
         "q_part_ktruss": q_part_ktruss,
         "q_part_sssp": q_part_sssp,
+        "q_lineitem_auc": q_lineitem_auc,
+        "q_orders_benford": q_orders_benford,
         "q_events_kfold_cv": q_events_kfold_cv,
         "doc_dirichlet_ql": doc_dirichlet_ql,
         "q_customer_chash": q_customer_chash,
@@ -10541,6 +10621,39 @@ def build_oracle_sql() -> dict:
     oracles["q_part_betweenness"] = _betweenness_oracle_sql(
         n_sources=4, max_depth=6, min_cocount=2)
     oracles["q_part_sssp"] = _sssp_oracle_sql(rounds=24, min_cocount=2)
+    oracles["q_lineitem_auc"] = """
+        WITH g AS (
+            SELECT CAST(l_quantity AS BIGINT) AS s,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS np_, count(*) AS n
+            FROM lineitem GROUP BY 1),
+        w AS (
+            SELECT s, np_, n - np_ AS nn,
+                   coalesce(sum(n - np_) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS below
+            FROM g)
+        SELECT CAST(sum(np_) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               CAST(sum(np_ * (2 * below + nn)) AS BIGINT) AS u2,
+               round(CAST(sum(np_ * (2 * below + nn)) AS DOUBLE)
+                     / (2.0 * sum(np_) * sum(nn)), 6) AS auc
+        FROM w"""
+    oracles["q_orders_benford"] = """
+        WITH c AS (SELECT CAST(o_totalprice * 100 AS BIGINT) AS cents
+                   FROM orders),
+        d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                          AS BIGINT) AS digit, count(*) AS n_obs
+              FROM c GROUP BY 1),
+        e AS (SELECT digit, n_obs,
+                     log10(1.0 + 1.0 / digit)
+                     * (SELECT sum(n_obs) FROM d) AS exp_n
+              FROM d)
+        SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+               round(exp_n, 6) AS expected,
+               round((n_obs - exp_n) * (n_obs - exp_n) / exp_n, 6)
+                   AS chi2_term
+        FROM e ORDER BY digit"""
     oracles["doc_pretrain_corpus"] = _pretrain_corpus_oracle_sql()
     # one-sided Bloom parity (see doc_decontaminate_bloom docstring)
     oracles["doc_decontaminate_bloom"] = oracles["doc_decontaminate"]

@@ -797,3 +797,32 @@ def test_ivfpq_topk_recall_and_exact_cosines():
         # self-vector found (nearest cell is probed first)
         assert qi in a
     assert hits / 20 >= 0.5
+
+
+def test_auc_mann_whitney_brute_force():
+    import ray.data as rd
+
+    from jerex_ray.ops.mleval import auc_mann_whitney
+    rng = np.random.default_rng(5)
+    s = rng.integers(0, 8, 400)
+    # positives skew high with heavy ties
+    pos = (rng.random(400) < (s + 1) / 12).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"s": s, "pos": pos}))
+    out = auc_mann_whitney(ds)
+    sp, sn = s[pos == 1], s[pos == 0]
+    wins = (sp[:, None] > sn[None, :]).sum()
+    ties = (sp[:, None] == sn[None, :]).sum()
+    u2 = int(2 * wins + ties)
+    assert int(out["u2"].iloc[0]) == u2
+    assert out["auc"].iloc[0] == u2 / (2.0 * len(sp) * len(sn))
+    assert int(out["n_pos"].iloc[0]) == len(sp)
+
+
+def test_auc_mann_whitney_degenerate_single_class():
+    import ray.data as rd
+
+    from jerex_ray.ops.mleval import auc_mann_whitney
+    ds = rd.from_pandas(pd.DataFrame({"s": [1, 2, 3],
+                                      "pos": [1, 1, 1]}))
+    out = auc_mann_whitney(ds)
+    assert out["auc"].iloc[0] == 0.0 and int(out["n_neg"].iloc[0]) == 0
