@@ -3661,9 +3661,10 @@ def doc_source_kl(sf_dir: str):
     return source_kl(ds)
 
 
-def q_orders_benford(sf_dir: str):
-    """Benford first-digit audit of order totals: digit shares vs
-    log10(1+1/d) expectations. Digit extracted from the EXACT
+def q_orders_benford_shares(sf_dir: str):
+    """Benford first-digit audit of order totals, share flavor
+    (digit share vs the log10(1+1/d) probability; the chi-square
+    decomposition lives in ``q_orders_benford``). Digit extracted from the EXACT
     fixed-point integer rendering (never float log10 — the one place
     engines can disagree at power-of-ten boundaries). One combiner
     pass, 9-row result, SQL-oracled."""
@@ -4400,9 +4401,11 @@ def emb_label_outliers(sf_dir: str, *, frac: float = 0.05):
         .sort_values(["label", "vec_id"]).reset_index(drop=True)
 
 
-def q_part_sssp(sf_dir: str):
+def q_part_sssp_tiered(sf_dir: str):
     """Weighted single-source shortest paths over the part co-purchase
-    graph from part 1: edge cost 1 between strongly-tied parts
+    graph from part 1, tiered-cost flavor (the md5-weighted
+    repeat-copurchase flavor lives in ``q_part_sssp``): edge cost 1
+    between strongly-tied parts
     (co-purchased in ≥2 distinct orders), cost 2 for weak ties — the
     weighted sibling of ``q_part_bfs``.
 
@@ -9900,7 +9903,7 @@ def build_queries() -> dict:
         "emb_knn_graph": emb_knn_graph,
         "emb_hard_negatives": emb_hard_negatives,
         "emb_label_outliers": emb_label_outliers,
-        "q_part_sssp": q_part_sssp,
+        "q_part_sssp_tiered": q_part_sssp_tiered,
         "doc_feature_hash": doc_feature_hash,
         "q_events_max_concurrency": q_events_max_concurrency,
         "q_events_incremental_hourly": q_events_incremental_hourly,
@@ -10009,7 +10012,7 @@ def build_queries() -> dict:
         "q_part_clustering": q_part_clustering,
         "q_events_hourly_autocorr": q_events_hourly_autocorr,
         "doc_source_vocab_jaccard": doc_source_vocab_jaccard,
-        "q_orders_benford": q_orders_benford,
+        "q_orders_benford_shares": q_orders_benford_shares,
         "q_orders_profile": q_orders_profile,
         "q_events_geomean": q_events_geomean,
         "q_events_dod_overlap": q_events_dod_overlap,
@@ -14653,7 +14656,7 @@ def _build_oracle_sql_literal() -> dict:
             FROM d WHERE rk <= ceil(0.05 * n)
             ORDER BY label, vec_id
         """,
-        "q_part_sssp": """
+        "q_part_sssp_tiered": """
             WITH RECURSIVE pairs AS MATERIALIZED (
                 SELECT a.l_partkey AS u, b.l_partkey AS v,
                        CASE WHEN count(DISTINCT a.l_orderkey) >= 2
@@ -15430,7 +15433,7 @@ def _build_oracle_sql_literal() -> dict:
             SELECT source, round(sum(term), 6) AS kl_bits
             FROM terms GROUP BY source ORDER BY source
         """,
-        "q_orders_benford": """
+        "q_orders_benford_shares": """
             WITH d AS (
                 SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
                            AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
