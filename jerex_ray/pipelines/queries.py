@@ -9241,6 +9241,33 @@ def q_part_sssp(sf_dir: str, *, oracle_depth: int = 24):
     return out[["node", "dist"]].reset_index(drop=True)
 
 
+def q_orders_bloom_semijoin(sf_dir: str):
+    """Bloom-filter semi-join pushdown audit (Bloom '70; Mackert &
+    Lohman '86 — the runtime filter every distributed engine pushes
+    below a join): how well does a 65,536-bit / 3-hash bloom built
+    over URGENT orders' keys prune the lineitem probe side, versus the
+    exact semi-join? ``ops/bloomjoin.bloom_semijoin_audit``: the only
+    cross-cluster state is the m-bit bitmap (bit positions reduce
+    through the combiner, vocabulary bounded by m), the probe streams
+    once against the broadcast bitmap, and the exact counts come from
+    ONE hash co-location of per-key partials — never a pair join.
+    md5-derived bit positions make the SQL oracle replay the identical
+    bitmap and per-key verdicts; every output is integer-exact except
+    the single fp_rate divide."""
+    import pyarrow.compute as _pc
+
+    from jerex_ray.ops.bloomjoin import bloom_semijoin_audit
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    keys = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"],
+        filter=_pc.field("o_orderpriority") == "1-URGENT")
+    probe = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey"])
+    return bloom_semijoin_audit(keys, probe, key_col="o_orderkey",
+                                probe_col="l_orderkey")
+
+
 def q_lineitem_auc(sf_dir: str):
     """Exact ROC-AUC of "quantity predicts a return" — does
     l_quantity separate returned (l_returnflag = 'R') from kept line
@@ -9947,6 +9974,7 @@ def build_queries() -> dict:
         "emb_label_prop": emb_label_prop,
         "q_part_ktruss": q_part_ktruss,
         "q_part_sssp": q_part_sssp,
+        "q_orders_bloom_semijoin": q_orders_bloom_semijoin,
         "q_lineitem_auc": q_lineitem_auc,
         "q_orders_benford": q_orders_benford,
         "q_events_kfold_cv": q_events_kfold_cv,
@@ -10624,6 +10652,46 @@ def build_oracle_sql() -> dict:
     oracles["q_part_betweenness"] = _betweenness_oracle_sql(
         n_sources=4, max_depth=6, min_cocount=2)
     oracles["q_part_sssp"] = _sssp_oracle_sql(rounds=24, min_cocount=2)
+    oracles["q_orders_bloom_semijoin"] = """
+        WITH keys AS (
+            SELECT DISTINCT o_orderkey AS k FROM orders
+            WHERE o_orderpriority = '1-URGENT'),
+        hs AS (SELECT unnest([0, 1, 2]) AS i),
+        bits AS (
+            SELECT DISTINCT CAST(
+                CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '#' ||
+                     CAST(i AS VARCHAR)), 1, 16) AS UBIGINT)
+                % 65536 AS BIGINT) AS b
+            FROM keys CROSS JOIN hs),
+        pk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        ph AS (
+            SELECT pk.k, CAST(
+                CAST('0x' || substr(md5(CAST(pk.k AS VARCHAR) || '#' ||
+                     CAST(hs.i AS VARCHAR)), 1, 16) AS UBIGINT)
+                % 65536 AS BIGINT) AS b
+            FROM pk CROSS JOIN hs),
+        pass AS (
+            SELECT k FROM ph JOIN bits USING (b)
+            GROUP BY k HAVING count(*) = 3),
+        agg AS (SELECT
+            (SELECT count(*) FROM keys) AS n_keys,
+            (SELECT count(*) FROM bits) AS bits_set,
+            (SELECT count(*) FROM lineitem) AS n_probe,
+            (SELECT count(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT k FROM pass)) AS n_pass,
+            (SELECT count(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT k FROM keys)) AS n_true)
+        SELECT CAST(n_keys AS BIGINT) AS n_keys,
+               CAST(bits_set AS BIGINT) AS bits_set,
+               CAST(n_probe AS BIGINT) AS n_probe,
+               CAST(n_pass AS BIGINT) AS n_pass,
+               CAST(n_true AS BIGINT) AS n_true,
+               CAST(n_pass - n_true AS BIGINT) AS n_false_pos,
+               round(CASE WHEN n_probe - n_true > 0
+                     THEN CAST(n_pass - n_true AS DOUBLE)
+                          / (n_probe - n_true)
+                     ELSE 0.0 END, 6) AS fp_rate
+        FROM agg"""
     oracles["q_lineitem_auc"] = """
         WITH g AS (
             SELECT CAST(l_quantity AS BIGINT) AS s,

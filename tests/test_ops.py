@@ -826,3 +826,48 @@ def test_auc_mann_whitney_degenerate_single_class():
                                       "pos": [1, 1, 1]}))
     out = auc_mann_whitney(ds)
     assert out["auc"].iloc[0] == 0.0 and int(out["n_neg"].iloc[0]) == 0
+
+
+def test_bloom_semijoin_audit_serial_parity():
+    import ray.data as rd
+
+    from jerex_ray.ops.bloomjoin import bloom_semijoin_audit
+    from jerex_ray.util import md5_hash64
+
+    rng = np.random.default_rng(11)
+    keys = np.unique(rng.integers(0, 300, 120))
+    probe = rng.integers(0, 600, 2000)
+    out = bloom_semijoin_audit(
+        rd.from_pandas(pd.DataFrame({"k": keys})),
+        rd.from_pandas(pd.DataFrame({"p": probe})),
+        key_col="k", probe_col="p", m=1024, n_hashes=3)
+    # serial bloom replay
+    m = 1024
+    bits = {md5_hash64(f"{k}#{i}") % m for k in keys for i in range(3)}
+    kset = set(keys.tolist())
+    n_pass = sum(
+        1 for v in probe
+        if all(md5_hash64(f"{v}#{i}") % m in bits for i in range(3)))
+    n_true = sum(1 for v in probe if v in kset)
+    row = out.iloc[0]
+    assert int(row["n_keys"]) == len(keys)
+    assert int(row["bits_set"]) == len(bits)
+    assert int(row["n_probe"]) == len(probe)
+    assert int(row["n_pass"]) == n_pass
+    assert int(row["n_true"]) == n_true
+    assert int(row["n_false_pos"]) == n_pass - n_true
+    # a small filter on a wide probe domain MUST show false positives
+    # pruned and true matches always passing (no false negatives)
+    assert n_pass >= n_true
+
+
+def test_bloom_semijoin_audit_empty_build_side():
+    import ray.data as rd
+
+    from jerex_ray.ops.bloomjoin import bloom_semijoin_audit
+    out = bloom_semijoin_audit(
+        rd.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64")})),
+        rd.from_pandas(pd.DataFrame({"p": [1, 2, 3]})),
+        key_col="k", probe_col="p")
+    assert int(out["n_keys"].iloc[0]) == 0
+    assert int(out["n_pass"].iloc[0]) == 0
