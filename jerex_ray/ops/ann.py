@@ -496,3 +496,71 @@ def mmr_select(emb_ds, query: np.ndarray, *, k: int = 10,
     return pd.DataFrame({"rank": np.arange(len(sel_ids), dtype=np.int64),
                          "vec_id": np.array(sel_ids, dtype=np.int64),
                          "mmr_score": np.round(sel_scores, 6)})
+
+
+def binary_hamming_topk(emb_ds, queries: np.ndarray, *, k: int = 10,
+                        shortlist: int = 50) -> pd.DataFrame:
+    """Binary-quantization search (the 1-bit-per-dim scheme modern
+    vector stores use to shrink the scan 32×): sign-bit signatures
+    (``dim > 0``), a Hamming-distance shortlist, then an EXACT cosine
+    rerank of the shortlist only.
+
+    Returns (query_idx, vec_id, hamming, cosine): the k rerank winners
+    per query, ordered by (cosine desc, vec_id). The shortlist cut is
+    INTEGER-exact and fully deterministic — (hamming asc, vec_id asc),
+    with the same take-all-at-boundary-then-lexsort handling as
+    ``brute_force_topk`` — so a SQL oracle replays the identical
+    candidate set; the rerank inherits the established cosine-order
+    parity of the exact kernel.
+
+    Scale shape: one streaming pass; each block emits at most
+    ``shortlist`` candidate rows per query (signatures never
+    materialize corpus-wide), the driver merges the L-bounded
+    partials. Queries are a bounded broadcast set by contract."""
+    q = np.asarray(queries, dtype=np.float32)
+    qn = _normalize(q)
+    qsig = q > 0                                     # (Q, d)
+    q_ref = ray.put((qn, qsig))
+    L = shortlist
+
+    def local_short(batch: pd.DataFrame) -> pd.DataFrame:
+        qn_, qs_ = ray.get(q_ref)
+        raw = _as_matrix(batch["embedding"])
+        vsig = raw > 0                               # (B, d)
+        vn = _normalize(raw)
+        ids = batch["vec_id"].to_numpy()
+        ham = (qs_[:, None, :] != vsig[None, :, :]).sum(-1)  # (Q, B)
+        cos = qn_ @ vn.T
+        rows = []
+        for qi in range(qs_.shape[0]):
+            h = ham[qi]
+            ll = min(L, h.size)
+            kth = np.partition(h, ll - 1)[ll - 1]
+            ci = np.flatnonzero(h <= kth)
+            order = np.lexsort((ids[ci], h[ci]))[:ll]
+            sel = ci[order]
+            rows.append(pd.DataFrame({
+                "query_idx": np.full(len(sel), qi),
+                "vec_id": ids[sel],
+                "hamming": h[sel].astype(np.int64),
+                "cosine": cos[qi, sel].astype(np.float64)}))
+        return pd.concat(rows, ignore_index=True) if rows else \
+            pd.DataFrame({"query_idx": pd.Series(dtype="int64"),
+                          "vec_id": pd.Series(dtype="int64"),
+                          "hamming": pd.Series(dtype="int64"),
+                          "cosine": pd.Series(dtype="float64")})
+
+    partials = emb_ds.map_batches(local_short, batch_format="pandas",
+                                  batch_size=4096).to_pandas()
+    if partials.empty:
+        return partials
+    out = []
+    for qi, g in partials.groupby("query_idx"):
+        cand = g.sort_values(["hamming", "vec_id"]).head(L)
+        top = cand.sort_values(["cosine", "vec_id"],
+                               ascending=[False, True]).head(k)
+        out.append(top)
+    res = pd.concat(out, ignore_index=True)
+    return res.sort_values(["query_idx", "cosine", "vec_id"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)

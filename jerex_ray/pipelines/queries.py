@@ -9241,6 +9241,28 @@ def q_part_sssp(sf_dir: str, *, oracle_depth: int = 24):
     return out[["node", "dist"]].reset_index(drop=True)
 
 
+def emb_hamming_topk(sf_dir: str):
+    """Binary-quantization vector search (sign-bit signatures →
+    Hamming shortlist → exact cosine rerank, the 1-bit compression
+    modern vector stores run before rerank;
+    ``ops/ann.binary_hamming_topk``): top-5 per query from a
+    Hamming-top-50 shortlist. The shortlist cut is integer-exact with
+    (hamming, vec_id) ties, so the SQL oracle replays the identical
+    candidate set; the rerank inherits ``ann_topk``'s established
+    cosine-order parity. Output carries the integer hamming distance;
+    the same fixed query set (vec_id < 3) as the ANN family."""
+    from jerex_ray.ops.ann import binary_hamming_topk
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    queries, qids = _query_vectors(sf_dir)
+    out = binary_hamming_topk(ds, queries, k=5, shortlist=50)
+    out["query_idx"] = qids[out["query_idx"].to_numpy()]
+    return out[["query_idx", "vec_id", "hamming"]].astype("int64") \
+        .sort_values(["query_idx", "vec_id"]).reset_index(drop=True)
+
+
 def q_orders_bloom_semijoin(sf_dir: str):
     """Bloom-filter semi-join pushdown audit (Bloom '70; Mackert &
     Lohman '86 — the runtime filter every distributed engine pushes
@@ -9975,6 +9997,7 @@ def build_queries() -> dict:
         "q_part_ktruss": q_part_ktruss,
         "q_part_sssp": q_part_sssp,
         "q_orders_bloom_semijoin": q_orders_bloom_semijoin,
+        "emb_hamming_topk": emb_hamming_topk,
         "q_lineitem_auc": q_lineitem_auc,
         "q_orders_benford": q_orders_benford,
         "q_events_kfold_cv": q_events_kfold_cv,
@@ -10692,6 +10715,28 @@ def build_oracle_sql() -> dict:
                           / (n_probe - n_true)
                      ELSE 0.0 END, 6) AS fp_rate
         FROM agg"""
+    oracles["emb_hamming_topk"] = """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                   FROM embeddings WHERE vec_id < 3),
+        ham AS (
+            SELECT q.qid, e.vec_id,
+                   len(list_filter(range(1, 65),
+                       i -> (q.qe[i] > 0) <> (e.embedding[i] > 0)))
+                       AS hamming,
+                   list_cosine_similarity(e.embedding, q.qe) AS cos
+            FROM q CROSS JOIN embeddings e),
+        short AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY hamming, vec_id) AS hrk
+            FROM ham),
+        rer AS (
+            SELECT qid, vec_id, hamming, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+            FROM short WHERE hrk <= 50)
+        SELECT CAST(qid AS BIGINT) AS query_idx,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(hamming AS BIGINT) AS hamming
+        FROM rer WHERE rk <= 5 ORDER BY query_idx, vec_id"""
     oracles["q_lineitem_auc"] = """
         WITH g AS (
             SELECT CAST(l_quantity AS BIGINT) AS s,

@@ -871,3 +871,54 @@ def test_bloom_semijoin_audit_empty_build_side():
         key_col="k", probe_col="p")
     assert int(out["n_keys"].iloc[0]) == 0
     assert int(out["n_pass"].iloc[0]) == 0
+
+
+def test_binary_hamming_topk_serial_parity():
+    import ray.data as rd
+
+    from jerex_ray.ops.ann import binary_hamming_topk
+
+    rng = np.random.default_rng(17)
+    n, d = 400, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    q = vecs[:3]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": list(vecs)}))
+    out = binary_hamming_topk(ds, q, k=5, shortlist=40)
+    # serial replay: identical shortlist rule, identical rerank
+    qs, vs = q > 0, vecs > 0
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qi in range(3):
+        ham = (qs[qi][None, :] != vs).sum(1)
+        order = np.lexsort((np.arange(n), ham))[:40]
+        cos = (qn[qi] @ vn[order].T).astype(np.float64)
+        rer = order[np.lexsort((order, -cos))[:5]]
+        got = out[out["query_idx"] == qi]
+        assert set(got["vec_id"]) == set(rer.tolist())
+        # self at hamming 0 always survives the rerank
+        assert qi in set(got["vec_id"])
+        assert int(got.loc[got["vec_id"] == qi, "hamming"].iloc[0]) == 0
+
+
+def test_binary_hamming_shortlist_recall_reasonable():
+    import ray.data as rd
+
+    from jerex_ray.ops.ann import binary_hamming_topk, brute_force_topk
+
+    rng = np.random.default_rng(23)
+    # clustered corpus: binary signatures preserve cluster geometry
+    centers = rng.standard_normal((8, 64)).astype(np.float32) * 3
+    vecs = (centers[rng.integers(0, 8, 600)]
+            + rng.standard_normal((600, 64)).astype(np.float32))
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(600), "embedding": list(vecs)}))
+    q = vecs[:5]
+    exact = brute_force_topk(ds, q, k=10)
+    approx = binary_hamming_topk(ds, q, k=10, shortlist=60)
+    hits = 0
+    for qi in range(5):
+        e = set(exact[exact["query_idx"] == qi]["vec_id"])
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        hits += len(e & a)
+    assert hits / 50 >= 0.6
