@@ -9241,6 +9241,67 @@ def q_part_sssp(sf_dir: str, *, oracle_depth: int = 24):
     return out[["node", "dist"]].reset_index(drop=True)
 
 
+def emb_map10(sf_dir: str, *, k: int = 10):
+    """MAP@10 per label (mean average precision — the third classic
+    retrieval eval next to ``emb_mrr`` / ``emb_ndcg``, over the SAME
+    oracle-proven exact top-k kernel): every vector queries the
+    corpus, self excluded, relevance = same label; AP@10 normalizes by
+    min(R, 10) with R the query's relevant-count.
+
+    Integer-exact signature: precision terms hit_idx/rk are scaled by
+    LCM(1..10) = 2520 and the per-query normalization by 2520 again,
+    so EVERY sum is integer (``ap_num`` lands bit-for-bit) and the
+    single float divide per label happens after all accumulation —
+    no float-ordering hazard anywhere, unlike a naive Σ P@i mean."""
+    import pyarrow.parquet as _pq
+
+    from jerex_ray.ops.ann import brute_force_topk
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    qdf = tbl.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    top = brute_force_topk(ds, np.stack(qdf["embedding"].to_numpy()),
+                           k=k + 1)
+    qid = qdf["vec_id"].to_numpy()
+    labels = dict(zip(qdf["vec_id"], qdf["label"].astype(int)))
+    lab_n = qdf["label"].astype(int).value_counts().to_dict()
+    t = top.copy()
+    t["qvec"] = qid[t["query_idx"].to_numpy()]
+    t = t[t["vec_id"] != t["qvec"]]
+    t["rk"] = t.groupby("qvec", sort=False).cumcount() + 1
+    t = t[t["rk"] <= k]
+    hits = t[t["vec_id"].map(labels).to_numpy()
+             == t["qvec"].map(labels).to_numpy()].copy()
+    hits["hit_idx"] = hits.groupby("qvec", sort=False).cumcount() + 1
+    hits["term"] = (hits["hit_idx"].to_numpy(np.int64)
+                    * (2520 // hits["rk"].to_numpy(np.int64)))
+    sc = hits.groupby("qvec")["term"].sum()
+    rows = []
+    for v in qid:
+        ql = labels[v]
+        r = lab_n[ql] - 1
+        if r <= 0:
+            continue
+        qsc = int(sc.get(v, 0)) * (2520 // min(r, k))
+        rows.append((ql, qsc))
+    per = pd.DataFrame(rows, columns=["label", "qsc"])
+    g = per.groupby("label")["qsc"]
+    total = g.sum().astype("int64")
+    n_q = g.count().astype("int64")
+    map10 = total.to_numpy(np.float64) / (2520.0 * 2520.0
+                                          * n_q.to_numpy(np.float64))
+    out = pd.DataFrame({
+        "label": total.index.astype("int64"),
+        "n_queries": n_q.to_numpy(np.int64),
+        "ap_num": total.to_numpy(np.int64),
+        "map10": np.copysign(np.floor(np.abs(map10) * 1e6 + 0.5),
+                             map10) / 1e6})
+    return out.sort_values("label").reset_index(drop=True)
+
+
 def emb_hamming_topk(sf_dir: str):
     """Binary-quantization vector search (sign-bit signatures →
     Hamming shortlist → exact cosine rerank, the 1-bit compression
@@ -9998,6 +10059,7 @@ def build_queries() -> dict:
         "q_part_sssp": q_part_sssp,
         "q_orders_bloom_semijoin": q_orders_bloom_semijoin,
         "emb_hamming_topk": emb_hamming_topk,
+        "emb_map10": emb_map10,
         "q_lineitem_auc": q_lineitem_auc,
         "q_orders_benford": q_orders_benford,
         "q_events_kfold_cv": q_events_kfold_cv,
@@ -10715,6 +10777,39 @@ def build_oracle_sql() -> dict:
                           / (n_probe - n_true)
                      ELSE 0.0 END, 6) AS fp_rate
         FROM agg"""
+    oracles["emb_map10"] = """
+        WITH nn AS (
+            SELECT q.vec_id AS qv, q.label AS ql, e.label AS el,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding, q.embedding) DESC,
+                                e.vec_id) AS rk
+            FROM embeddings q JOIN embeddings e
+                 ON e.vec_id <> q.vec_id),
+        h AS (
+            SELECT qv, rk,
+                   row_number() OVER (
+                       PARTITION BY qv ORDER BY rk) AS hit_idx
+            FROM nn WHERE rk <= 10 AND el = ql),
+        s AS (
+            SELECT qv, sum(hit_idx * (2520 // rk)) AS sc
+            FROM h GROUP BY qv),
+        rel AS (SELECT label, count(*) AS n
+                FROM embeddings GROUP BY label),
+        perq AS (
+            SELECT a.label AS ql,
+                   coalesce(s.sc, 0)
+                   * (2520 // least(rel.n - 1, 10)) AS qsc
+            FROM embeddings a JOIN rel ON rel.label = a.label
+            LEFT JOIN s ON s.qv = a.vec_id
+            WHERE rel.n > 1)
+        SELECT CAST(ql AS BIGINT) AS label,
+               count(*) AS n_queries,
+               CAST(sum(qsc) AS BIGINT) AS ap_num,
+               round(CAST(sum(qsc) AS DOUBLE)
+                     / (2520.0 * 2520.0 * count(*)), 6) AS map10
+        FROM perq GROUP BY ql ORDER BY label"""
     oracles["emb_hamming_topk"] = """
         WITH q AS (SELECT vec_id AS qid, embedding AS qe
                    FROM embeddings WHERE vec_id < 3),

@@ -922,3 +922,47 @@ def test_binary_hamming_shortlist_recall_reasonable():
         a = set(approx[approx["query_idx"] == qi]["vec_id"])
         hits += len(e & a)
     assert hits / 50 >= 0.6
+
+
+def test_map10_matches_textbook_average_precision(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    rng = np.random.default_rng(31)
+    n, d = 120, 16
+    labels = rng.integers(0, 4, n).astype(np.int32)
+    # label-clustered so MAP is far from 0
+    centers = rng.standard_normal((4, d)).astype(np.float32) * 2
+    vecs = (centers[labels]
+            + 0.7 * rng.standard_normal((n, d)).astype(np.float32))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())}),
+        str(tmp_path / "embeddings.parquet"))
+    out = E.queries()["emb_map10"](str(tmp_path))
+    # textbook AP@10: mean over queries of
+    #   (1/min(R,10)) * sum_{hits} (#hits<=i)/i
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    per_label = {}
+    for qi in range(n):
+        s = sims[qi].copy()
+        order = np.lexsort((np.arange(n), -s))
+        order = order[order != qi][:10]
+        rel = labels[order] == labels[qi]
+        r_total = int((labels == labels[qi]).sum()) - 1
+        hits = 0
+        ap = 0.0
+        for i, isrel in enumerate(rel, start=1):
+            if isrel:
+                hits += 1
+                ap += hits / i
+        ap /= min(r_total, 10)
+        per_label.setdefault(int(labels[qi]), []).append(ap)
+    for _, row in out.iterrows():
+        expect = float(np.mean(per_label[int(row["label"])]))
+        assert abs(row["map10"] - expect) < 1e-5
+    assert (out["map10"] > 0.2).all()   # clustered corpus retrieves
