@@ -9815,6 +9815,166 @@ def doc_front_coding(sf_dir: str):
         "front_bytes": [np.int64(front)]})
 
 
+def q_events_ams_f2(sf_dir: str):
+    """AMS second-frequency-moment sketch of the user-id stream
+    (Alon–Matias–Szegedy '96, the tug-of-war sketch): 16 ±1-sign
+    estimators from independent md5 bits, each Z_j = Σ rows sign_j —
+    the classic self-join-size / skew estimator a planner consults
+    before committing a join. Median-of-means over 4 groups of 4; the
+    only divides are by 4 and 8 (exact binary), so the estimate is the
+    identical double in SQL. Exact F2 = Σ_u c_u² from a user-vocab
+    bounded combiner pass for the audit column. Cross-cluster state:
+    16 integers (plus the user-count table for the exact leg)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.util import md5_hash64_batch
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+
+    def signs_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_hash64_batch(
+            ("ams|" + df["user_id"].astype("int64").astype(str))
+            .to_numpy())
+        js = np.arange(16, dtype=np.uint64)
+        # (B, 16) sign matrix: +1 where bit j of md5 is set, else −1
+        bits = ((h[:, None] >> js[None, :]) & np.uint64(1)) \
+            .astype(np.int64)
+        z = (2 * bits - 1).sum(axis=0)
+        return pd.DataFrame({"j": np.arange(16, dtype=np.int64),
+                             "z": z, "n": np.int64(len(df))})
+
+    zt = grouped_aggregate(
+        ds.map_batches(signs_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["j"], {"z": ("z", "sum"), "n": ("n", "sum")},
+        result_hint="small").to_pandas().sort_values("j")
+    z = zt["z"].to_numpy(np.int64)
+    n_rows = int(zt["n"].iloc[0])       # same total replicated per j
+    # group sums of squares (python ints: overflow-proof)
+    s4 = [sum(int(z[4 * g + i]) ** 2 for i in range(4))
+          for g in range(4)]
+    s4s = sorted(s4)
+    est = float(s4s[1] + s4s[2]) / 8.0    # median of means, /4 then /2
+    counts = grouped_aggregate(
+        ds, ["user_id"], {"c": (None, "count")},
+        result_hint="small").to_pandas()
+    exact = sum(int(c) ** 2 for c in counts["c"])
+    return pd.DataFrame({
+        "n_rows": [np.int64(n_rows)],
+        "exact_f2": [np.int64(exact)],
+        "est_f2": [est],
+        "rel_err": [round(abs(est - exact) / exact, 6)]})
+
+
+def q_events_kmv_overlap(sf_dir: str, *, k: int = 64):
+    """KMV set-operation estimates between the top-3 event types'
+    user sets (Beyer et al. '07 §4, the mergeable-distinct-sketch
+    algebra): per type keep the bottom-k distinct md5-64 user hashes;
+    per pair the union sketch is the bottom-k of the merged hash set,
+    K∩ counts union-sketch members present in BOTH sides, jaccard_est
+    = K∩/k′ and union_est = (k′−1)/frac(h_k′). Exact jaccard rides a
+    per-user type-bitmask pass (types are vocabulary-bounded, so the
+    bitmask histogram is ≤2^#types rows). Only #types·k hashes and the
+    bitmask histogram reach the driver. Type pick: count DESC, name
+    ASC; pair order by (rank_a, rank_b)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, \
+        grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.util import md5_hash64_batch
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+
+    tc = grouped_aggregate(ds, ["event_type"],
+                           {"c": (None, "count")},
+                           result_hint="small").to_pandas()
+    tc = tc.sort_values(["c", "event_type"],
+                        ascending=[False, True]).reset_index(drop=True)
+    top = list(tc["event_type"].head(3))
+
+    def local_bottom(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t, g in df.groupby("event_type", sort=False):
+            if t not in top:
+                continue
+            h = np.unique(md5_hash64_batch(
+                g["user_id"].astype("int64").astype(str).to_numpy()))
+            out.append(pd.DataFrame({"event_type": t, "h": h[:k]}))
+        if not out:
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "h": pd.Series(dtype="uint64")})
+        return pd.concat(out, ignore_index=True)
+
+    def merge_bottom(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in df.groupby("event_type", sort=False):
+            h = np.unique(g["h"].to_numpy(np.uint64))[:k]
+            rows.append(pd.DataFrame({"event_type": t, "h": h}))
+        return pd.concat(rows, ignore_index=True)
+
+    sk = grouped_apply(
+        ds.map_batches(local_bottom, batch_format="pandas",
+                       batch_size=65536),
+        [], merge_bottom, single_block=True).to_pandas()
+    sketches = {t: set(g["h"].tolist())
+                for t, g in sk.groupby("event_type")}
+
+    # exact per-pair jaccard via the per-user membership bitmask
+    t_index = {t: i for i, t in enumerate(top)}
+
+    def _or_by_user(u: np.ndarray, m: np.ndarray) -> tuple:
+        order = np.argsort(u, kind="stable")
+        u, m = u[order], m[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        return u[starts], np.bitwise_or.reduceat(m, starts)
+
+    def mask_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"].isin(top)]
+        if not len(d):
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "mask": pd.Series(dtype="int64")})
+        m = np.left_shift(
+            np.int64(1),
+            d["event_type"].map(t_index).to_numpy(np.int64))
+        u, masks = _or_by_user(d["user_id"].to_numpy(np.int64), m)
+        return pd.DataFrame({"user_id": u, "mask": masks})
+
+    def mask_merge(df: pd.DataFrame) -> pd.DataFrame:
+        u, masks = _or_by_user(df["user_id"].to_numpy(np.int64),
+                               df["mask"].to_numpy(np.int64))
+        vals, cnt = np.unique(masks, return_counts=True)
+        return pd.DataFrame({"mask": vals, "n": cnt.astype(np.int64)})
+
+    hist = grouped_apply(
+        ds.map_batches(mask_partial, batch_format="pandas",
+                       batch_size=65536),
+        [], mask_merge, single_block=True).to_pandas()
+    mask_n = dict(zip(hist["mask"].astype(int), hist["n"].astype(int)))
+
+    rows = []
+    for ia in range(len(top)):
+        for ib in range(ia + 1, len(top)):
+            a, b = top[ia], top[ib]
+            sa, sb = sketches.get(a, set()), sketches.get(b, set())
+            uni = np.array(sorted(sa | sb), dtype=np.uint64)[:k]
+            kp = len(uni)
+            both = set(uni.tolist()) & sa & sb
+            j_est = len(both) / kp if kp else 0.0
+            frac = float(int(uni[-1])) / float(1 << 64) if kp else 1.0
+            u_est = float(kp) if kp < k else (k - 1) / frac
+            inter = sum(n for m, n in mask_n.items()
+                        if (m >> ia) & 1 and (m >> ib) & 1)
+            union = sum(n for m, n in mask_n.items()
+                        if (m >> ia) & 1 or (m >> ib) & 1)
+            rows.append((a, b, np.int64(kp), np.int64(len(both)),
+                         round(j_est, 6), round(u_est, 6),
+                         round(inter / union, 6) if union else 0.0))
+    return pd.DataFrame(rows, columns=[
+        "type_a", "type_b", "k_used", "k_common",
+        "jaccard_est", "union_est", "jaccard_exact"])
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -9937,6 +10097,8 @@ def build_queries() -> dict:
         "q_events_mutual_info": q_events_mutual_info,
         "q_events_drawdown": q_events_drawdown,
         "q_events_kmv_distinct": q_events_kmv_distinct,
+        "q_events_kmv_overlap": q_events_kmv_overlap,
+        "q_events_ams_f2": q_events_ams_f2,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -16037,5 +16199,108 @@ def _build_oracle_sql_literal() -> dict:
                                     AS i) t)
             SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
             FROM p GROUP BY a, b ORDER BY a, b
+        """,
+        "q_events_ams_f2": """
+            WITH js AS (SELECT unnest(range(16)) AS j),
+            h AS (
+                SELECT CAST('0x' || substr(
+                    md5('ams|' || CAST(user_id AS VARCHAR)), 1, 16)
+                    AS UBIGINT) AS h
+                FROM events),
+            s AS (
+                SELECT j,
+                       SUM(CASE WHEN (h >> CAST(j AS UBIGINT))
+                                     & CAST(1 AS UBIGINT)
+                                     = CAST(1 AS UBIGINT)
+                                THEN 1 ELSE -1 END) AS z
+                FROM h CROSS JOIN js GROUP BY j),
+            g AS (SELECT j // 4 AS grp, SUM(z * z) AS s4
+                  FROM s GROUP BY 1),
+            m AS (SELECT s4, row_number() OVER (ORDER BY s4) AS rk
+                  FROM g),
+            med AS (SELECT SUM(s4) AS s2 FROM m WHERE rk IN (2, 3)),
+            ex AS (SELECT SUM(c * c) AS f2, SUM(c) AS n
+                   FROM (SELECT count(*) AS c FROM events
+                         GROUP BY user_id))
+            SELECT CAST(ex.n AS BIGINT) AS n_rows,
+                   CAST(ex.f2 AS BIGINT) AS exact_f2,
+                   CAST(med.s2 AS DOUBLE) / 8.0 AS est_f2,
+                   round(abs(CAST(med.s2 AS DOUBLE) / 8.0
+                             - CAST(ex.f2 AS DOUBLE))
+                         / CAST(ex.f2 AS DOUBLE), 6) AS rel_err
+            FROM ex, med
+        """,
+        "q_events_kmv_overlap": """
+            WITH tc AS (
+                SELECT event_type, count(*) AS c
+                FROM events GROUP BY 1),
+            top AS (
+                SELECT event_type,
+                       row_number() OVER (ORDER BY c DESC,
+                                          event_type ASC) AS rk
+                FROM tc QUALIFY rk <= 3),
+            h AS (
+                SELECT DISTINCT t.rk, t.event_type,
+                       CAST('0x' || substr(
+                           md5(CAST(e.user_id AS VARCHAR)), 1, 16)
+                           AS UBIGINT) AS h
+                FROM events e JOIN top t USING (event_type)),
+            sk AS (
+                SELECT rk, event_type, h,
+                       row_number() OVER (PARTITION BY rk
+                                          ORDER BY h) AS hr
+                FROM h QUALIFY hr <= 64),
+            pairs AS (
+                SELECT a.rk AS ra, b.rk AS rb,
+                       a.event_type AS type_a, b.event_type AS type_b
+                FROM (SELECT DISTINCT rk, event_type FROM sk) a
+                JOIN (SELECT DISTINCT rk, event_type FROM sk) b
+                     ON a.rk < b.rk),
+            uni0 AS (
+                SELECT p.ra, p.rb, s.h,
+                       count(DISTINCT s.rk) AS sides
+                FROM pairs p JOIN sk s ON s.rk IN (p.ra, p.rb)
+                GROUP BY 1, 2, 3),
+            uni AS (
+                SELECT ra, rb, h, sides,
+                       row_number() OVER (PARTITION BY ra, rb
+                                          ORDER BY h) AS ur
+                FROM uni0 QUALIFY ur <= 64),
+            stats AS (
+                SELECT ra, rb, count(*) AS kp,
+                       sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END)
+                           AS kc,
+                       max(h) AS maxh
+                FROM uni GROUP BY 1, 2),
+            eu AS (
+                SELECT DISTINCT t.rk, e.user_id
+                FROM events e JOIN top t USING (event_type)),
+            exj AS (
+                SELECT p.ra, p.rb, eu.user_id,
+                       count(DISTINCT eu.rk) AS cnt
+                FROM pairs p JOIN eu ON eu.rk IN (p.ra, p.rb)
+                GROUP BY 1, 2, 3),
+            ex AS (
+                SELECT ra, rb,
+                       sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
+                           AS inter,
+                       count(*) AS un
+                FROM exj GROUP BY 1, 2)
+            SELECT p.type_a, p.type_b,
+                   CAST(s.kp AS BIGINT) AS k_used,
+                   CAST(s.kc AS BIGINT) AS k_common,
+                   round(CAST(s.kc AS DOUBLE) / s.kp, 6)
+                       AS jaccard_est,
+                   round(CASE WHEN s.kp < 64
+                              THEN CAST(s.kp AS DOUBLE)
+                              ELSE 63.0 / (CAST(s.maxh AS DOUBLE)
+                                   / 18446744073709551616.0) END, 6)
+                       AS union_est,
+                   round(CAST(ex.inter AS DOUBLE) / ex.un, 6)
+                       AS jaccard_exact
+            FROM pairs p
+            JOIN stats s ON s.ra = p.ra AND s.rb = p.rb
+            JOIN ex ON ex.ra = p.ra AND ex.rb = p.rb
+            ORDER BY p.ra, p.rb
         """,
     }

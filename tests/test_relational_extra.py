@@ -1963,3 +1963,53 @@ def test_enrichment_and_front_coding_serial():
     assert (int(fc["n_words"]), int(fc["raw_bytes"]),
             int(fc["front_bytes"])) == (len(vocab), raw, front)
     assert front < raw
+
+
+def test_ams_f2_serial_parity():
+    from jerex_ray.pipelines.queries import q_events_ams_f2
+    from jerex_ray.util import md5_hash64
+    out = q_events_ams_f2(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    # serial recompute of the 16 sign sums and the median-of-means
+    z = [0] * 16
+    for u in ev["user_id"]:
+        h = md5_hash64(f"ams|{int(u)}")
+        for j in range(16):
+            z[j] += 1 if (h >> j) & 1 else -1
+    s4 = sorted(sum(z[4 * g + i] ** 2 for i in range(4))
+                for g in range(4))
+    est = float(s4[1] + s4[2]) / 8.0
+    exact = int((ev.groupby("user_id").size() ** 2).sum())
+    assert int(out["n_rows"]) == len(ev)
+    assert int(out["exact_f2"]) == exact
+    assert float(out["est_f2"]) == est
+    assert float(out["rel_err"]) == round(abs(est - exact) / exact, 6)
+
+
+def test_kmv_overlap_serial_parity():
+    from jerex_ray.pipelines.queries import q_events_kmv_overlap
+    from jerex_ray.util import md5_hash64
+    out = q_events_kmv_overlap(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    tc = ev.groupby("event_type").size().reset_index(name="c") \
+        .sort_values(["c", "event_type"], ascending=[False, True])
+    top = list(tc["event_type"].head(3))
+    users = {t: set(ev.loc[ev["event_type"] == t, "user_id"]
+                    .astype(int)) for t in top}
+    sk = {t: set(sorted(md5_hash64(str(u)) for u in users[t])[:64])
+          for t in top}
+    assert len(out) == 3
+    for _, r in out.iterrows():
+        a, b = r["type_a"], r["type_b"]
+        uni = sorted(sk[a] | sk[b])[:64]
+        kp = len(uni)
+        kc = len(set(uni) & sk[a] & sk[b])
+        assert int(r["k_used"]) == kp and int(r["k_common"]) == kc
+        assert float(r["jaccard_est"]) == round(kc / kp, 6)
+        inter = len(users[a] & users[b])
+        un = len(users[a] | users[b])
+        assert float(r["jaccard_exact"]) == round(inter / un, 6)
+        # the sketch estimate should land near the exact jaccard
+        assert abs(r["jaccard_est"] - r["jaccard_exact"]) < 0.35
