@@ -9975,6 +9975,76 @@ def q_events_kmv_overlap(sf_dir: str, *, k: int = 64):
         "jaccard_est", "union_est", "jaccard_exact"])
 
 
+def doc_select_coverage(sf_dir: str):
+    """Greedy max-coverage training-data selection (Nemhauser, Wolsey
+    & Fisher '78: the submodular greedy's (1-1/e) guarantee; coverage
+    of a hashed word-trigram space is the classic instance — the
+    "pick a diverse seed subset" curation op). 8 rounds over 4096 md5
+    buckets: per-doc bucket sets materialize once (no shuffle — a doc
+    is one row), then each round ships one 4096-bit covered bitmap out
+    and ONE candidate row per block back; integer gains with doc_id
+    tie-break make the scan deterministic, so the generated
+    chained-CTE oracle replays the identical greedy selection."""
+    from jerex_ray.ops.select import coverage_select
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return coverage_select(ds, k=8, n=3, buckets=4096)
+
+
+def doc_dsir_select(sf_dir: str):
+    """DSIR data selection (Xie et al. '23, arXiv:2302.03169):
+    importance-resampling scores of raw docs (lang<>'en') under
+    hashed-unigram bag models of the target (lang='en') vs raw corpus.
+    Log-probability ratios are quantized to integer micro-nats
+    (floor(1e6·Δln), add-one smoothing over 1024 buckets), so each
+    doc's score is an INTEGER sum — order-independent and bit-exact in
+    SQL. Dataflow: one vocab-bounded combiner pass for both sides'
+    bucket counts, one broadcast of the 1024-int ratio table, one
+    streaming scoring pass with per-block top-50 + driver merge."""
+    from jerex_ray.ops.select import dsir_scores
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+    return dsir_scores(ds, buckets=1024, top_k=50)
+
+
+def _coverage_oracle_sql(k: int = 8, buckets: int = 4096) -> str:
+    """Generated chained-CTE replay of the greedy max-coverage scan:
+    stage s{r} re-derives round r's argmax (count of not-yet-covered
+    buckets, ties to smallest doc_id), c{r} accumulates the covered
+    set — the same integer recurrence the engine runs."""
+    head = """t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '\\s+'), x -> x <> '') AS ws FROM documents),
+    g AS (
+        SELECT DISTINCT doc_id,
+               CAST(CAST('0x' || substr(md5('cov|' || g), 1, 16)
+                    AS UBIGINT) %% %d AS BIGINT) AS b
+        FROM (SELECT doc_id,
+                     unnest([array_to_string(ws[i:i+2], ' ')
+                             for i in range(1, len(ws) - 1)]) AS g
+              FROM t WHERE len(ws) >= 3)),
+    c0 AS (SELECT CAST(NULL AS BIGINT) AS b WHERE FALSE)""" % buckets
+    parts = [head]
+    for r in range(1, k + 1):
+        parts.append(f"""s{r} AS (
+            SELECT doc_id, count(*) AS gain FROM g
+            WHERE b NOT IN (SELECT b FROM c{r - 1})
+            GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+        c{r} AS (SELECT b FROM c{r - 1}
+                 UNION SELECT g.b FROM g JOIN s{r} USING (doc_id))""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS sel_rank, doc_id,"
+        f" CAST(gain AS BIGINT) AS gain,"
+        f" (SELECT count(*) FROM c{r}) AS covered_total FROM s{r}"
+        for r in range(1, k + 1))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT * FROM ({sel}) ORDER BY sel_rank")
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -10099,6 +10169,8 @@ def build_queries() -> dict:
         "q_events_kmv_distinct": q_events_kmv_distinct,
         "q_events_kmv_overlap": q_events_kmv_overlap,
         "q_events_ams_f2": q_events_ams_f2,
+        "doc_select_coverage": doc_select_coverage,
+        "doc_dsir_select": doc_dsir_select,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -11028,6 +11100,8 @@ def build_oracle_sql() -> dict:
                    AS chi2_term
         FROM e ORDER BY digit"""
     oracles["doc_pretrain_corpus"] = _pretrain_corpus_oracle_sql()
+    oracles["doc_select_coverage"] = _coverage_oracle_sql(k=8,
+                                                          buckets=4096)
     # one-sided Bloom parity (see doc_decontaminate_bloom docstring)
     oracles["doc_decontaminate_bloom"] = oracles["doc_decontaminate"]
     oracles["doc_dup_spans"] = f"""
@@ -16229,6 +16303,47 @@ def _build_oracle_sql_literal() -> dict:
                              - CAST(ex.f2 AS DOUBLE))
                          / CAST(ex.f2 AS DOUBLE), 6) AS rel_err
             FROM ex, med
+        """,
+        "doc_dsir_select": """
+            WITH w AS (
+                SELECT doc_id, lang,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(text), '\\s+'), x -> x <> '')) AS w
+                FROM documents),
+            b AS (
+                SELECT doc_id, lang,
+                       CAST(CAST('0x' || substr(md5('dsir|' || w),
+                                                1, 16) AS UBIGINT)
+                            % 1024 AS BIGINT) AS b
+                FROM w),
+            ct AS (SELECT b, count(*) AS c FROM b
+                   WHERE lang = 'en' GROUP BY b),
+            cr AS (SELECT b, count(*) AS c FROM b
+                   WHERE lang <> 'en' GROUP BY b),
+            tot AS (SELECT
+                (SELECT count(*) FROM b WHERE lang = 'en') AS t,
+                (SELECT count(*) FROM b WHERE lang <> 'en') AS r),
+            m AS (
+                SELECT bb.b,
+                       CAST(floor(1e6 * (
+                           ln((coalesce(ct.c, 0) + 1.0)
+                              / (tot.t + 1024))
+                           - ln((coalesce(cr.c, 0) + 1.0)
+                                / (tot.r + 1024)))) AS BIGINT) AS m
+                FROM (SELECT unnest(range(1024)) AS b) bb
+                LEFT JOIN ct ON ct.b = bb.b
+                LEFT JOIN cr ON cr.b = bb.b
+                CROSS JOIN tot),
+            sc AS (
+                SELECT b.doc_id, SUM(m.m) AS score_micro
+                FROM b JOIN m ON m.b = b.b WHERE b.lang <> 'en'
+                GROUP BY b.doc_id)
+            SELECT CAST(row_number() OVER (
+                       ORDER BY score_micro DESC, doc_id)
+                       AS BIGINT) AS sel_rank,
+                   doc_id,
+                   CAST(score_micro AS BIGINT) AS score_micro
+            FROM sc ORDER BY score_micro DESC, doc_id LIMIT 50
         """,
         "q_events_kmv_overlap": """
             WITH tc AS (

@@ -2013,3 +2013,69 @@ def test_kmv_overlap_serial_parity():
         assert float(r["jaccard_exact"]) == round(inter / un, 6)
         # the sketch estimate should land near the exact jaccard
         assert abs(r["jaccard_est"] - r["jaccard_exact"]) < 0.35
+
+
+def test_coverage_select_serial_greedy():
+    from jerex_ray.pipelines.queries import doc_select_coverage
+    from jerex_ray.util import md5_hash64
+    out = doc_select_coverage(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    sets_ = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"].fillna("")):
+        ws = text.lower().split()
+        if len(ws) < 3:
+            continue
+        grams = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+        sets_[int(doc_id)] = {md5_hash64("cov|" + g) % 4096
+                              for g in grams}
+    covered, exp = set(), []
+    for r in range(8):
+        best = max(sets_.items(),
+                   key=lambda kv: (len(kv[1] - covered), -kv[0]))
+        gain = len(best[1] - covered)
+        if gain <= 0:
+            break
+        covered |= best[1]
+        exp.append((r + 1, best[0], gain, len(covered)))
+    assert [tuple(int(v) for v in row) for row in out.to_numpy()] == exp
+    gains = [g for _, _, g, _ in exp]
+    assert gains == sorted(gains, reverse=True)  # submodular greedy
+
+
+def test_dsir_select_serial_parity():
+    import math
+    from jerex_ray.pipelines.queries import doc_dsir_select
+    from jerex_ray.util import md5_hash64
+    out = doc_dsir_select(SF)
+    docs = pq.read_table(
+        f"{SF}/documents.parquet",
+        columns=["doc_id", "text", "lang"]).to_pandas()
+    B = 1024
+    ct, cr = [0] * B, [0] * B
+    for lang, text in zip(docs["lang"], docs["text"].fillna("")):
+        for w in text.lower().split():
+            (ct if lang == "en" else cr)[md5_hash64("dsir|" + w)
+                                         % B] += 1
+    T, R = sum(ct), sum(cr)
+    m = [math.floor(1e6 * (math.log((ct[b] + 1.0) / (T + B))
+                           - math.log((cr[b] + 1.0) / (R + B))))
+         for b in range(B)]
+    scores = []
+    for doc_id, lang, text in zip(docs["doc_id"], docs["lang"],
+                                  docs["text"].fillna("")):
+        if lang == "en":
+            continue
+        ws = text.lower().split()
+        if not ws:
+            continue
+        scores.append((int(doc_id),
+                       sum(m[md5_hash64("dsir|" + w) % B]
+                           for w in ws)))
+    scores.sort(key=lambda t: (-t[1], t[0]))
+    exp = scores[:50]
+    assert len(out) == len(exp)
+    for i, (did, sc) in enumerate(exp):
+        assert int(out["sel_rank"].iloc[i]) == i + 1
+        assert int(out["doc_id"].iloc[i]) == did
+        assert int(out["score_micro"].iloc[i]) == sc
