@@ -44,11 +44,45 @@ def morton_interleave(cols: list[np.ndarray]) -> np.ndarray:
     return z
 
 
-def add_zvalue(ds, *, cols: list[str], out_col: str = "zval"):
-    """Append the Morton z-value of ``cols`` to every row."""
+def hilbert_interleave(cols: list[np.ndarray],
+                       bits: int = _BITS) -> np.ndarray:
+    """Hilbert-curve index of two uint arrays (< 2^bits each) — the
+    classic xy→d transform (Hilbert 1891; iterative rotate/reflect
+    form as in Warren, Hacker's Delight §16 / the public xy2d
+    routine), vectorized: ``bits`` shift/mask/where steps, no row
+    loop. Unlike Morton, consecutive Hilbert codes are always
+    grid-adjacent (no diagonal jumps), which is why it clusters
+    strictly better on average (Moon et al. '01)."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_interleave needs exactly 2 keys")
+    x = cols[0].astype(np.int64).copy()
+    y = cols[1].astype(np.int64).copy()
+    for j, c in enumerate((x, y)):
+        if c.size and (c.min() < 0 or c.max() >= (1 << bits)):
+            raise ValueError(f"hilbert key {j} outside [0, 2^{bits})")
+    d = np.zeros(len(x), dtype=np.int64)
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        swap = ry == 0
+        refl = swap & (rx == 1)
+        x2 = np.where(refl, s - 1 - x, x)
+        y2 = np.where(refl, s - 1 - y, y)
+        x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
+        s >>= 1
+    return d
+
+
+def add_zvalue(ds, *, cols: list[str], out_col: str = "zval",
+               interleave=morton_interleave):
+    """Append the space-filling-curve value of ``cols`` to every row
+    (Morton by default; pass ``interleave=hilbert_interleave`` for
+    the Hilbert code)."""
     def zmap(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch[out_col] = morton_interleave(
+        batch[out_col] = interleave(
             [batch[c].to_numpy() for c in cols])
         return batch
 
@@ -56,12 +90,15 @@ def add_zvalue(ds, *, cols: list[str], out_col: str = "zval"):
 
 
 def zorder_layout_stats(ds, *, cols: list[str], nbuckets: int = 64,
-                        num_partitions: int | None = None) -> pd.DataFrame:
-    """Zone-map audit of a z-order bucketing: per bucket, row count
-    and the min/max envelope of every key (bucket-bounded result)."""
+                        num_partitions: int | None = None,
+                        interleave=morton_interleave) -> pd.DataFrame:
+    """Zone-map audit of a space-filling-curve bucketing: per bucket,
+    row count and the min/max envelope of every key (bucket-bounded
+    result). ``interleave`` picks the curve (Morton default)."""
     from jerex_ray.functions.aggregate import grouped_aggregate
 
-    zds = add_zvalue(ds, cols=cols).materialize()
+    zds = add_zvalue(ds, cols=cols, interleave=interleave) \
+        .materialize()
     mx = grouped_aggregate(
         zds.map_batches(lambda df: pd.DataFrame(
             {"__all": [0], "mz": [np.int64(df["zval"].max())

@@ -10045,6 +10045,193 @@ def _coverage_oracle_sql(k: int = 8, buckets: int = 4096) -> str:
             + f"\nSELECT * FROM ({sel}) ORDER BY sel_rank")
 
 
+def _dtw_table(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Integer DTW DP table (Sakoe & Chiba '78): dp[i,j] =
+    |a_i − b_j| + min(dp[i−1,j], dp[i,j−1], dp[i−1,j−1]), first
+    row/column cumulative. All int64 — no float anywhere."""
+    n, m = len(a), len(b)
+    cost = np.abs(a[:, None].astype(np.int64)
+                  - b[None, :].astype(np.int64))
+    dp = np.zeros((n, m), dtype=np.int64)
+    dp[0, 0] = cost[0, 0]
+    for j in range(1, m):
+        dp[0, j] = dp[0, j - 1] + cost[0, j]
+    for i in range(1, n):
+        dp[i, 0] = dp[i - 1, 0] + cost[i, 0]
+        for j in range(1, m):
+            dp[i, j] = cost[i, j] + min(
+                int(dp[i - 1, j]), int(dp[i, j - 1]),
+                int(dp[i - 1, j - 1]))
+    return dp
+
+
+def q_events_dtw(sf_dir: str):
+    """Dynamic-time-warping alignment (Sakoe–Chiba '78) between the
+    diurnal hour-of-day count profiles of the top-2 event types
+    (count DESC, name ASC) — the elastic-series-similarity primitive
+    behind profile matching and drift triage. Distributed part: ONE
+    vocabulary-bounded combiner pass (≤ #types × 24 rows cross the
+    cluster); the 24×24 integer DP grid is metadata-sized and runs on
+    the driver. All-integer costs let the generated wavefront oracle
+    (one chained CTE per anti-diagonal, three LEFT JOIN predecessors)
+    replay the DP bit-for-bit. Output: per row i, type-A's hour count
+    and dp[i, 24] (prefix-A-vs-all-B alignment cost); row 24's dp_end
+    is the DTW distance."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "event_type": df["event_type"],
+            "h": df["ts"].dt.hour.astype("int64")})
+            .groupby(["event_type", "h"], sort=False)
+            .size().reset_index(name="c"))
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        ["event_type", "h"], {"c": ("c", "sum")},
+        result_hint="small").to_pandas()
+    tc = counts.groupby("event_type")["c"].sum().reset_index() \
+        .sort_values(["c", "event_type"], ascending=[False, True])
+    top = list(tc["event_type"].head(2))
+    prof = []
+    for t in top:
+        v = np.zeros(24, dtype=np.int64)
+        sub = counts[counts["event_type"] == t]
+        v[sub["h"].to_numpy(np.int64)] = sub["c"].to_numpy(np.int64)
+        prof.append(v)
+    dp = _dtw_table(prof[0], prof[1])
+    return pd.DataFrame({"i": np.arange(1, 25, dtype=np.int64),
+                         "count_a": prof[0],
+                         "dp_end": dp[:, 23]})
+
+
+def _dtw_oracle_sql(n: int = 24) -> str:
+    """Generated anti-diagonal wavefront replay of the DTW DP: w{d}
+    holds the cells with i+j=d, each computed from the two previous
+    diagonals; missing predecessors coalesce to a +inf sentinel."""
+    big = 1 << 40
+    stages = []
+    for dd in range(3, 2 * n + 1):
+        # MATERIALIZED is load-bearing: each w{d} is referenced three
+        # times downstream; an inlined CTE would re-evaluate the whole
+        # prefix chain exponentially.
+        stages.append(f"""w{dd} AS MATERIALIZED (
+            SELECT g.i, g.j, g.cost + least(
+                coalesce(a.v, {big}), coalesce(bb.v, {big}),
+                coalesce(c2.v, {big})) AS v
+            FROM grid g
+            LEFT JOIN w{dd - 1} a ON a.i = g.i - 1 AND a.j = g.j
+            LEFT JOIN w{dd - 1} bb ON bb.i = g.i AND bb.j = g.j - 1
+            LEFT JOIN w{dd - 2} c2 ON c2.i = g.i - 1
+                                   AND c2.j = g.j - 1
+            WHERE g.i + g.j = {dd})""")
+    union = "\nUNION ALL ".join(
+        f"SELECT i, v FROM w{dd} WHERE j = {n}"
+        for dd in range(n + 1, 2 * n + 1))
+    return f"""
+        WITH tc AS MATERIALIZED (SELECT event_type, count(*) AS c
+                    FROM events GROUP BY 1),
+        top2 AS MATERIALIZED (SELECT event_type,
+                        row_number() OVER (ORDER BY c DESC,
+                                           event_type) AS rk
+                 FROM tc QUALIFY rk <= 2),
+        hrs AS (SELECT unnest(range({n})) AS h),
+        ca AS MATERIALIZED (
+               SELECT EXTRACT(hour FROM e.ts) AS h, count(*) AS c
+               FROM events e JOIN top2 t USING (event_type)
+               WHERE t.rk = 1 GROUP BY 1),
+        cb AS MATERIALIZED (
+               SELECT EXTRACT(hour FROM e.ts) AS h, count(*) AS c
+               FROM events e JOIN top2 t USING (event_type)
+               WHERE t.rk = 2 GROUP BY 1),
+        pa AS MATERIALIZED (
+               SELECT hrs.h + 1 AS i, coalesce(ca.c, 0) AS av
+               FROM hrs LEFT JOIN ca ON ca.h = hrs.h),
+        pb AS MATERIALIZED (
+               SELECT hrs.h + 1 AS j, coalesce(cb.c, 0) AS bv
+               FROM hrs LEFT JOIN cb ON cb.h = hrs.h),
+        grid AS MATERIALIZED (
+                 SELECT pa.i, pb.j, abs(pa.av - pb.bv) AS cost
+                 FROM pa CROSS JOIN pb),
+        w1 AS (SELECT CAST(NULL AS BIGINT) AS i,
+                      CAST(NULL AS BIGINT) AS j,
+                      CAST(NULL AS BIGINT) AS v WHERE FALSE),
+        w2 AS (SELECT i, j, cost AS v FROM grid
+               WHERE i = 1 AND j = 1),
+        {','.join(stages)}
+        SELECT u.i, CAST(pa.av AS BIGINT) AS count_a,
+               CAST(u.v AS BIGINT) AS dp_end
+        FROM ({union}) u JOIN pa ON pa.i = u.i ORDER BY u.i
+    """
+
+
+def q_lineitem_hilbert(sf_dir: str):
+    """Hilbert-curve clustering audit of lineitem on
+    (l_partkey, l_suppkey) — the locality-stronger twin of
+    q_lineitem_zorder (consecutive Hilbert codes are always
+    grid-adjacent, so bucket envelopes are tighter on average; Moon
+    et al. '01). Same dataflow as the Z-order audit: one vectorized
+    xy→d pass (16 shift/mask/where steps, no row loop), exact-integer
+    bucket assignment d·64 // (maxd+1), per-bucket zone-map envelopes
+    through the combiner. Integer-only end to end, so the generated
+    16-stage rotate/reflect CTE oracle replays it bit-for-bit."""
+    from jerex_ray.ops.layout import hilbert_interleave, \
+        zorder_layout_stats
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+    return zorder_layout_stats(ds, cols=["l_partkey", "l_suppkey"],
+                               nbuckets=64,
+                               interleave=hilbert_interleave)
+
+
+def _hilbert_oracle_sql(cols=("l_partkey", "l_suppkey"),
+                        nbuckets: int = 64, bits: int = 16) -> str:
+    """Generated unroll of the Hilbert xy→d transform: one CTE per
+    bit level carrying (x, y, d) through the rotate/reflect step,
+    originals preserved for the zone-map envelopes."""
+    cx, cy = cols
+    stages = [f"""h0 AS (
+        SELECT {cx} AS ox, {cy} AS oy,
+               CAST({cx} AS BIGINT) AS x, CAST({cy} AS BIGINT) AS y,
+               CAST(0 AS BIGINT) AS d
+        FROM lineitem)"""]
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        stages.append(f"""h{i + 1} AS (
+            SELECT ox, oy,
+                CASE WHEN (y & {s}) = 0
+                     THEN CASE WHEN (x & {s}) > 0
+                               THEN {s} - 1 - y ELSE y END
+                     ELSE x END AS x,
+                CASE WHEN (y & {s}) = 0
+                     THEN CASE WHEN (x & {s}) > 0
+                               THEN {s} - 1 - x ELSE x END
+                     ELSE y END AS y,
+                d + {s * s} * xor(
+                    3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                    CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d
+            FROM h{i})""")
+    return f"""
+        WITH {','.join(stages)},
+        mx AS (SELECT max(d) AS m FROM h{bits}),
+        b AS (SELECT ox, oy,
+                     (d * {nbuckets}) // ((SELECT m FROM mx) + 1)
+                         AS bucket
+              FROM h{bits})
+        SELECT bucket, count(*) AS n,
+               min(ox) AS {cx}_min, max(ox) AS {cx}_max,
+               min(oy) AS {cy}_min, max(oy) AS {cy}_max
+        FROM b GROUP BY bucket ORDER BY bucket
+    """
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -10171,6 +10358,8 @@ def build_queries() -> dict:
         "q_events_ams_f2": q_events_ams_f2,
         "doc_select_coverage": doc_select_coverage,
         "doc_dsir_select": doc_dsir_select,
+        "q_events_dtw": q_events_dtw,
+        "q_lineitem_hilbert": q_lineitem_hilbert,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -11102,6 +11291,9 @@ def build_oracle_sql() -> dict:
     oracles["doc_pretrain_corpus"] = _pretrain_corpus_oracle_sql()
     oracles["doc_select_coverage"] = _coverage_oracle_sql(k=8,
                                                           buckets=4096)
+    oracles["q_events_dtw"] = _dtw_oracle_sql(n=24)
+    oracles["q_lineitem_hilbert"] = _hilbert_oracle_sql(
+        cols=("l_partkey", "l_suppkey"), nbuckets=64, bits=16)
     # one-sided Bloom parity (see doc_decontaminate_bloom docstring)
     oracles["doc_decontaminate_bloom"] = oracles["doc_decontaminate"]
     oracles["doc_dup_spans"] = f"""

@@ -2079,3 +2079,97 @@ def test_dsir_select_serial_parity():
         assert int(out["sel_rank"].iloc[i]) == i + 1
         assert int(out["doc_id"].iloc[i]) == did
         assert int(out["score_micro"].iloc[i]) == sc
+
+
+def _xy2d_ref(bits: int, x: int, y: int) -> int:
+    # scalar reference: the public iterative Hilbert xy->d routine
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_interleave_matches_scalar_reference():
+    import numpy as np
+    from jerex_ray.ops.layout import hilbert_interleave
+    # tiny known curve: 2x2 first-order Hilbert visits
+    # (0,0)->(0,1)->(1,1)->(1,0)
+    xs = np.array([0, 0, 1, 1]); ys = np.array([0, 1, 1, 0])
+    assert list(hilbert_interleave([xs, ys], bits=1)) == [0, 1, 2, 3]
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1 << 16, size=300)
+    y = rng.integers(0, 1 << 16, size=300)
+    got = hilbert_interleave([x, y], bits=16)
+    exp = [_xy2d_ref(16, int(a), int(b)) for a, b in zip(x, y)]
+    assert list(got) == exp
+    # bijectivity on a full small grid: every cell gets a unique code
+    g = np.arange(16)
+    gx, gy = np.meshgrid(g, g)
+    codes = hilbert_interleave([gx.ravel(), gy.ravel()], bits=4)
+    assert sorted(codes) == list(range(256))
+
+
+def test_dtw_table_textbook_example():
+    import numpy as np
+    from jerex_ray.pipelines.queries import _dtw_table
+    a = np.array([1, 3, 4, 9], dtype=np.int64)
+    b = np.array([1, 2, 2, 4, 7], dtype=np.int64)
+    dp = _dtw_table(a, b)
+    # hand-checked DP: identical series align at 0, this pair at 4
+    assert dp[0, 0] == 0
+    assert int(dp[-1, -1]) == int(_dtw_table(a, b)[-1, -1])
+    same = _dtw_table(b, b)
+    assert int(same[-1, -1]) == 0
+    # brute-force check of the final cell over all warping paths
+    import itertools
+    n, m = len(a), len(b)
+    best = None
+    # enumerate monotone paths via DP-free recursion (small grid)
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def rec(i, j):
+        c = abs(int(a[i]) - int(b[j]))
+        if i == 0 and j == 0:
+            return c
+        cands = []
+        if i > 0:
+            cands.append(rec(i - 1, j))
+        if j > 0:
+            cands.append(rec(i, j - 1))
+        if i > 0 and j > 0:
+            cands.append(rec(i - 1, j - 1))
+        return c + min(cands)
+
+    assert int(dp[-1, -1]) == rec(n - 1, m - 1)
+
+
+def test_events_dtw_serial_parity():
+    import numpy as np
+    from jerex_ray.pipelines.queries import q_events_dtw, _dtw_table
+    out = q_events_dtw(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    tc = ev.groupby("event_type").size().reset_index(name="c") \
+        .sort_values(["c", "event_type"], ascending=[False, True])
+    top = list(tc["event_type"].head(2))
+    prof = []
+    for t in top:
+        v = np.zeros(24, dtype=np.int64)
+        hh = ev.loc[ev["event_type"] == t, "ts"].dt.hour \
+            .value_counts()
+        v[hh.index.to_numpy()] = hh.to_numpy()
+        prof.append(v)
+    dp = _dtw_table(prof[0], prof[1])
+    assert list(out["count_a"]) == list(prof[0])
+    assert list(out["dp_end"]) == list(dp[:, 23])
+    assert list(out["i"]) == list(range(1, 25))
