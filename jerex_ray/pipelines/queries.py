@@ -10232,6 +10232,97 @@ def _hilbert_oracle_sql(cols=("l_partkey", "l_suppkey"),
     """
 
 
+def q_customer_linkage_fs(sf_dir: str):
+    """Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    '69, the decision-theoretic core of every modern ER system) over
+    nation-blocked customer pairs. Three comparison fields — market
+    segment, 100-unit balance band (exact integer cents, offset
+    positive so ``//`` floors identically in numpy and SQL), custkey
+    last digit — scored with quantized integer log-weights
+    ``wa=floor(1e6·(ln m − ln u))`` / ``wd=floor(1e6·(ln(1−m) −
+    ln(1−u)))``, where each field's u-probability is the exact global
+    agreement odds Σ c_v(c_v−1)/(N(N−1)) from a vocab-bounded
+    histogram pass. Integer pair scores ⇒ the SQL self-join oracle
+    reproduces the top-100 bit-for-bit. Dataflow: histogram combiner
+    passes for u, ONE hash co-location by blocking key, vectorized
+    in-block pair enumeration (triu indices — pairs never cross the
+    cluster), per-block top-100 + driver merge."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, \
+        grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["c_acctbal"].to_numpy(np.float64)
+                         * 100).astype(np.int64)
+        return pd.DataFrame({
+            "id": df["c_custkey"].astype("int64"),
+            "nk": df["c_nationkey"].astype("int64"),
+            "f1": df["c_mktsegment"].astype(str),
+            "f2": (cents + 100000) // 10000,
+            "f3": df["c_custkey"].astype("int64") % 10})
+
+    fds = ds.map_batches(feats, batch_format="pandas",
+                         batch_size=65536).materialize()
+    m_probs = (0.95, 0.9, 0.85)
+    wa, wd = [], []
+    for f, m in zip(("f1", "f2", "f3"), m_probs):
+        h = grouped_aggregate(fds, [f], {"c": (None, "count")},
+                              result_hint="small").to_pandas()
+        c = h["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        u = float(int((c * (c - 1)).sum())) / float(n * (n - 1))
+        wa.append(int(np.floor(1e6 * (np.log(m) - np.log(u)))))
+        wd.append(int(np.floor(1e6 * (np.log(1.0 - m)
+                                      - np.log(1.0 - u)))))
+    wa_v, wd_v = np.array(wa, dtype=np.int64), \
+        np.array(wd, dtype=np.int64)
+    empty = pd.DataFrame({
+        "id_a": pd.Series(dtype="int64"),
+        "id_b": pd.Series(dtype="int64"),
+        "agree_seg": pd.Series(dtype="int64"),
+        "agree_bal": pd.Series(dtype="int64"),
+        "agree_digit": pd.Series(dtype="int64"),
+        "score_micro": pd.Series(dtype="int64")})
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in df.groupby("nk", sort=False):
+            g = g.sort_values("id")
+            ids = g["id"].to_numpy(np.int64)
+            if len(ids) < 2:
+                continue
+            i, j = np.triu_indices(len(ids), k=1)
+            score = np.zeros(len(i), dtype=np.int64)
+            agrees = []
+            for fi, f in enumerate(("f1", "f2", "f3")):
+                v = g[f].to_numpy()
+                a = v[i] == v[j]
+                agrees.append(a.astype(np.int64))
+                score += np.where(a, wa_v[fi], wd_v[fi])
+            d = pd.DataFrame({"id_a": ids[i], "id_b": ids[j],
+                              "agree_seg": agrees[0],
+                              "agree_bal": agrees[1],
+                              "agree_digit": agrees[2],
+                              "score_micro": score})
+            rows.append(d.sort_values(
+                ["score_micro", "id_a", "id_b"],
+                ascending=[False, True, True]).head(100))
+        return pd.concat(rows, ignore_index=True) if rows else empty
+
+    cand = grouped_apply(fds, ["nk"], block_pairs).to_pandas()
+    if cand.empty:
+        return empty
+    out = cand.sort_values(["score_micro", "id_a", "id_b"],
+                           ascending=[False, True, True]) \
+        .head(100).reset_index(drop=True)
+    return out.astype({c: "int64" for c in out.columns})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -10360,6 +10451,7 @@ def build_queries() -> dict:
         "doc_dsir_select": doc_dsir_select,
         "q_events_dtw": q_events_dtw,
         "q_lineitem_hilbert": q_lineitem_hilbert,
+        "q_customer_linkage_fs": q_customer_linkage_fs,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -16495,6 +16587,59 @@ def _build_oracle_sql_literal() -> dict:
                              - CAST(ex.f2 AS DOUBLE))
                          / CAST(ex.f2 AS DOUBLE), 6) AS rel_err
             FROM ex, med
+        """,
+        "q_customer_linkage_fs": """
+            WITH f AS MATERIALIZED (
+                SELECT c_custkey AS id, c_nationkey AS nk,
+                       c_mktsegment AS f1,
+                       (CAST(round(c_acctbal * 100) AS BIGINT)
+                        + 100000) // 10000 AS f2,
+                       c_custkey % 10 AS f3
+                FROM customer),
+            nn AS (SELECT count(*) AS n FROM f),
+            u1 AS (SELECT SUM(c * (c - 1)) AS num FROM
+                   (SELECT count(*) AS c FROM f GROUP BY f1)),
+            u2 AS (SELECT SUM(c * (c - 1)) AS num FROM
+                   (SELECT count(*) AS c FROM f GROUP BY f2)),
+            u3 AS (SELECT SUM(c * (c - 1)) AS num FROM
+                   (SELECT count(*) AS c FROM f GROUP BY f3)),
+            w AS (SELECT
+                CAST(floor(1e6 * (ln(0.95) - ln(CAST(u1.num AS DOUBLE)
+                    / (nn.n * (nn.n - 1))))) AS BIGINT) AS wa1,
+                CAST(floor(1e6 * (ln(1.0 - 0.95)
+                    - ln(1.0 - CAST(u1.num AS DOUBLE)
+                         / (nn.n * (nn.n - 1))))) AS BIGINT) AS wd1,
+                CAST(floor(1e6 * (ln(0.9) - ln(CAST(u2.num AS DOUBLE)
+                    / (nn.n * (nn.n - 1))))) AS BIGINT) AS wa2,
+                CAST(floor(1e6 * (ln(1.0 - 0.9)
+                    - ln(1.0 - CAST(u2.num AS DOUBLE)
+                         / (nn.n * (nn.n - 1))))) AS BIGINT) AS wd2,
+                CAST(floor(1e6 * (ln(0.85) - ln(CAST(u3.num AS DOUBLE)
+                    / (nn.n * (nn.n - 1))))) AS BIGINT) AS wa3,
+                CAST(floor(1e6 * (ln(1.0 - 0.85)
+                    - ln(1.0 - CAST(u3.num AS DOUBLE)
+                         / (nn.n * (nn.n - 1))))) AS BIGINT) AS wd3
+                FROM u1, u2, u3, nn),
+            p AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       CAST(CASE WHEN a.f1 = b.f1
+                                 THEN 1 ELSE 0 END AS BIGINT)
+                           AS agree_seg,
+                       CAST(CASE WHEN a.f2 = b.f2
+                                 THEN 1 ELSE 0 END AS BIGINT)
+                           AS agree_bal,
+                       CAST(CASE WHEN a.f3 = b.f3
+                                 THEN 1 ELSE 0 END AS BIGINT)
+                           AS agree_digit
+                FROM f a JOIN f b ON a.nk = b.nk AND a.id < b.id)
+            SELECT id_a, id_b, agree_seg, agree_bal, agree_digit,
+                   (CASE WHEN agree_seg = 1 THEN w.wa1 ELSE w.wd1 END
+                    + CASE WHEN agree_bal = 1
+                           THEN w.wa2 ELSE w.wd2 END
+                    + CASE WHEN agree_digit = 1
+                           THEN w.wa3 ELSE w.wd3 END) AS score_micro
+            FROM p, w
+            ORDER BY score_micro DESC, id_a, id_b LIMIT 100
         """,
         "doc_dsir_select": """
             WITH w AS (

@@ -2173,3 +2173,44 @@ def test_events_dtw_serial_parity():
     assert list(out["count_a"]) == list(prof[0])
     assert list(out["dp_end"]) == list(dp[:, 23])
     assert list(out["i"]) == list(range(1, 25))
+
+
+def test_linkage_fs_serial_parity():
+    import math
+    import numpy as np
+    from jerex_ray.pipelines.queries import q_customer_linkage_fs
+    out = q_customer_linkage_fs(SF)
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    f1 = cu["c_mktsegment"].astype(str).to_numpy()
+    cents = np.round(cu["c_acctbal"].to_numpy(np.float64) * 100) \
+        .astype(np.int64)
+    f2 = (cents + 100000) // 10000
+    f3 = cu["c_custkey"].to_numpy(np.int64) % 10
+    n = len(cu)
+    wa, wd = [], []
+    for vals, m in zip((f1, f2, f3), (0.95, 0.9, 0.85)):
+        _, c = np.unique(vals, return_counts=True)
+        u = float(int((c * (c - 1)).sum())) / float(n * (n - 1))
+        wa.append(math.floor(1e6 * (math.log(m) - math.log(u))))
+        wd.append(math.floor(1e6 * (math.log(1.0 - m)
+                                    - math.log(1.0 - u))))
+    ids = cu["c_custkey"].to_numpy(np.int64)
+    nk = cu["c_nationkey"].to_numpy(np.int64)
+    pairs = []
+    order = np.argsort(ids)
+    for a in range(n):
+        for b in range(a + 1, n):
+            ia, ib = order[a], order[b]
+            if nk[ia] != nk[ib]:
+                continue
+            ag = (int(f1[ia] == f1[ib]), int(f2[ia] == f2[ib]),
+                  int(f3[ia] == f3[ib]))
+            sc = sum(wa[k] if ag[k] else wd[k] for k in range(3))
+            pairs.append((int(ids[ia]), int(ids[ib]), *ag, sc))
+    pairs.sort(key=lambda t: (-t[5], t[0], t[1]))
+    exp = pairs[:100]
+    assert len(out) == len(exp)
+    got = [tuple(int(v) for v in row) for row in out.to_numpy()]
+    assert got == exp
+    # sanity: full-agreement pairs outrank full-disagreement pairs
+    assert exp[0][5] == max(p[5] for p in pairs)
