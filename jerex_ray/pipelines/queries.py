@@ -10323,6 +10323,76 @@ def q_customer_linkage_fs(sf_dir: str):
     return out.astype({c: "int64" for c in out.columns})
 
 
+def q_join_order_dp(sf_dir: str):
+    """Cost-based join-order planning (Selinger et al. '79) over the
+    nation⋈customer⋈orders⋈lineitem chain — the planner audit an
+    engine consults before committing a join tree. Distributed part:
+    exact row counts and per-edge distinct-key counts (the System-R
+    statistics pass). Driver part: the contiguous-range DP over the
+    metadata-sized range table with the classic cardinality model
+    |A⋈B| = |A|·|B| / max(d_A, d_B) kept EXACT — one big-int product
+    divided once per range (Python ints / SQL HUGEINT, both
+    truncating positives), Cout cost = |output| summed over
+    intermediates, ties to the smallest split. Everything integer ⇒
+    the SQL oracle replays plan costs and split choices bit-for-bit.
+    Output: one row per contiguous range (r_from, r_to, est_card,
+    best_cost, best_split; singles cost 0 / split 0)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+
+    def _distinct(path: str, col: str) -> int:
+        d = read_parquet_sized(path, columns=[col])
+        return grouped_aggregate(d, [col], {"c": (None, "count")},
+                                 result_hint="small").count()
+
+    paths = {t: f"{sf_dir}/{t}.parquet"
+             for t in ("nation", "customer", "orders", "lineitem")}
+    rows = [read_parquet_sized(paths[t]).count()
+            for t in ("nation", "customer", "orders", "lineitem")]
+    # edge k joins relation k and k+1; denominator = max distinct
+    dens = [
+        max(_distinct(paths["nation"], "n_nationkey"),
+            _distinct(paths["customer"], "c_nationkey")),
+        max(_distinct(paths["customer"], "c_custkey"),
+            _distinct(paths["orders"], "o_custkey")),
+        max(_distinct(paths["orders"], "o_orderkey"),
+            _distinct(paths["lineitem"], "l_orderkey")),
+    ]
+
+    def card(i: int, j: int) -> int:          # 1-indexed inclusive
+        num = 1
+        for t in range(i, j + 1):
+            num *= rows[t - 1]
+        den = 1
+        for e in range(i, j):
+            den *= dens[e - 1]
+        return num // den
+
+    cost: dict[tuple, int] = {}
+    split: dict[tuple, int] = {}
+    for i in range(1, 5):
+        cost[(i, i)] = 0
+        split[(i, i)] = 0
+    for ln in range(2, 5):
+        for i in range(1, 6 - ln):
+            j = i + ln - 1
+            best_c, best_k = None, None
+            for k in range(i, j):
+                c = cost[(i, k)] + cost[(k + 1, j)]
+                if best_c is None or c < best_c:
+                    best_c, best_k = c, k
+            cost[(i, j)] = best_c + card(i, j)
+            split[(i, j)] = best_k
+    out = [(i, j, card(i, j) if i != j else rows[i - 1],
+            cost[(i, j)], split[(i, j)])
+           for i in range(1, 5) for j in range(i, 5)]
+    out.sort()
+    return pd.DataFrame(out, columns=["r_from", "r_to", "est_card",
+                                      "best_cost", "best_split"]) \
+        .astype("int64")
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -10452,6 +10522,7 @@ def build_queries() -> dict:
         "q_events_dtw": q_events_dtw,
         "q_lineitem_hilbert": q_lineitem_hilbert,
         "q_customer_linkage_fs": q_customer_linkage_fs,
+        "q_join_order_dp": q_join_order_dp,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -16587,6 +16658,70 @@ def _build_oracle_sql_literal() -> dict:
                              - CAST(ex.f2 AS DOUBLE))
                          / CAST(ex.f2 AS DOUBLE), 6) AS rel_err
             FROM ex, med
+        """,
+        "q_join_order_dp": """
+            WITH st AS (SELECT
+                (SELECT count(*) FROM nation) AS r1,
+                (SELECT count(*) FROM customer) AS r2,
+                (SELECT count(*) FROM orders) AS r3,
+                (SELECT count(*) FROM lineitem) AS r4,
+                greatest(
+                    (SELECT count(DISTINCT n_nationkey) FROM nation),
+                    (SELECT count(DISTINCT c_nationkey)
+                     FROM customer)) AS e1,
+                greatest(
+                    (SELECT count(DISTINCT c_custkey) FROM customer),
+                    (SELECT count(DISTINCT o_custkey)
+                     FROM orders)) AS e2,
+                greatest(
+                    (SELECT count(DISTINCT o_orderkey) FROM orders),
+                    (SELECT count(DISTINCT l_orderkey)
+                     FROM lineitem)) AS e3),
+            c AS (SELECT *,
+                CAST(r1 AS HUGEINT) * r2 // e1 AS c12,
+                CAST(r2 AS HUGEINT) * r3 // e2 AS c23,
+                CAST(r3 AS HUGEINT) * r4 // e3 AS c34,
+                CAST(r1 AS HUGEINT) * r2 * r3
+                    // (CAST(e1 AS HUGEINT) * e2) AS c13,
+                CAST(r2 AS HUGEINT) * r3 * r4
+                    // (CAST(e2 AS HUGEINT) * e3) AS c24,
+                CAST(r1 AS HUGEINT) * r2 * r3 * r4
+                    // (CAST(e1 AS HUGEINT) * e2 * e3) AS c14
+                FROM st),
+            d AS (SELECT *,
+                least(c23, c12) + c13 AS k13,
+                least(c34, c23) + c24 AS k24
+                FROM c),
+            f AS (SELECT *,
+                least(k24, c12 + c34, k13) + c14 AS k14,
+                CASE WHEN k24 <= c12 + c34 AND k24 <= k13 THEN 1
+                     WHEN c12 + c34 <= k13 THEN 2
+                     ELSE 3 END AS s14
+                FROM d)
+            SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS r_from,
+                       CAST(1 AS BIGINT) AS r_to,
+                       CAST(r1 AS BIGINT) AS est_card,
+                       CAST(0 AS BIGINT) AS best_cost,
+                       CAST(0 AS BIGINT) AS best_split FROM f
+                UNION ALL SELECT 1, 2, CAST(c12 AS BIGINT),
+                       CAST(c12 AS BIGINT), 1 FROM f
+                UNION ALL SELECT 1, 3, CAST(c13 AS BIGINT),
+                       CAST(k13 AS BIGINT),
+                       CASE WHEN c23 <= c12 THEN 1 ELSE 2 END FROM f
+                UNION ALL SELECT 1, 4, CAST(c14 AS BIGINT),
+                       CAST(k14 AS BIGINT), s14 FROM f
+                UNION ALL SELECT 2, 2, CAST(r2 AS BIGINT), 0, 0 FROM f
+                UNION ALL SELECT 2, 3, CAST(c23 AS BIGINT),
+                       CAST(c23 AS BIGINT), 2 FROM f
+                UNION ALL SELECT 2, 4, CAST(c24 AS BIGINT),
+                       CAST(k24 AS BIGINT),
+                       CASE WHEN c34 <= c23 THEN 2 ELSE 3 END FROM f
+                UNION ALL SELECT 3, 3, CAST(r3 AS BIGINT), 0, 0 FROM f
+                UNION ALL SELECT 3, 4, CAST(c34 AS BIGINT),
+                       CAST(c34 AS BIGINT), 3 FROM f
+                UNION ALL SELECT 4, 4, CAST(r4 AS BIGINT), 0, 0 FROM f
+            ) ORDER BY r_from, r_to
         """,
         "q_customer_linkage_fs": """
             WITH f AS MATERIALIZED (

@@ -2214,3 +2214,48 @@ def test_linkage_fs_serial_parity():
     assert got == exp
     # sanity: full-agreement pairs outrank full-disagreement pairs
     assert exp[0][5] == max(p[5] for p in pairs)
+
+
+def test_join_order_dp_serial_parity():
+    from jerex_ray.pipelines.queries import q_join_order_dp
+    out = q_join_order_dp(SF)
+    tables = {t: pq.read_table(f"{SF}/{t}.parquet").to_pandas()
+              for t in ("nation", "customer", "orders", "lineitem")}
+    rows = [len(tables[t])
+            for t in ("nation", "customer", "orders", "lineitem")]
+    dens = [
+        max(tables["nation"]["n_nationkey"].nunique(),
+            tables["customer"]["c_nationkey"].nunique()),
+        max(tables["customer"]["c_custkey"].nunique(),
+            tables["orders"]["o_custkey"].nunique()),
+        max(tables["orders"]["o_orderkey"].nunique(),
+            tables["lineitem"]["l_orderkey"].nunique())]
+
+    def card(i, j):
+        num = 1
+        for t in range(i, j + 1):
+            num *= rows[t - 1]
+        den = 1
+        for e in range(i, j):
+            den *= dens[e - 1]
+        return num // den
+
+    cost, split = {}, {}
+    for i in range(1, 5):
+        cost[(i, i)], split[(i, i)] = 0, 0
+    for ln in range(2, 5):
+        for i in range(1, 6 - ln):
+            j = i + ln - 1
+            cands = [(cost[(i, k)] + cost[(k + 1, j)], k)
+                     for k in range(i, j)]
+            bc, bk = min(cands)      # smallest k on cost ties
+            cost[(i, j)], split[(i, j)] = bc + card(i, j), bk
+    exp = sorted((i, j, card(i, j) if i != j else rows[i - 1],
+                  cost[(i, j)], split[(i, j)])
+                 for i in range(1, 5) for j in range(i, 5))
+    got = [tuple(int(v) for v in r) for r in out.to_numpy()]
+    assert got == exp
+    # the DP optimum never exceeds the naive left-deep chain cost
+    left_deep = card(1, 2) + card(1, 3) + card(1, 4)
+    assert int(out.loc[(out.r_from == 1) & (out.r_to == 4),
+                       "best_cost"].iloc[0]) <= left_deep
