@@ -10393,6 +10393,95 @@ def q_join_order_dp(sf_dir: str):
         .astype("int64")
 
 
+def q_events_ldiversity(sf_dir: str, *, el: int = 3):
+    """Distinct l-diversity audit (Machanavajjhala et al. '06, the
+    k-anonymity successor): under the quasi-identifier (user-id
+    bucket, hour-of-day) with event_type as the SENSITIVE attribute,
+    how many equivalence classes carry fewer than l distinct sensitive
+    values — the homogeneity-attack surface k-anonymity misses. Two
+    combiner passes, both QI-vocabulary bounded: class×sensitive
+    counts, then per-class (rows, distinct-sensitive, max-sensitive
+    run). Integer-exact throughout; the worst single-value share is
+    one final divide of exact integers."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def qi(df: pd.DataFrame) -> pd.DataFrame:
+        hod = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 3_600_000_000) % 24
+        return pd.DataFrame({
+            "ubucket": df["user_id"].to_numpy(np.int64) // 10,
+            "hod": hod.to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(),
+            "n": 1}).groupby(["ubucket", "hod", "event_type"],
+                             sort=False).sum().reset_index()
+
+    cells = grouped_aggregate(
+        ds.map_batches(qi, batch_format="pandas", batch_size=8192),
+        ["ubucket", "hod", "event_type"], {"n": ("n", "sum")},
+        result_hint="large")
+    cls = grouped_aggregate(
+        cells, ["ubucket", "hod"],
+        {"rows": ("n", "sum"), "n_sens": (None, "count"),
+         "max_run": ("n", "max")}, result_hint="small").to_pandas()
+    low = cls[cls["n_sens"] < el]
+    # worst homogeneity: the class maximizing max_run/rows, ties to
+    # the largest max_run then smallest rows — exact integer compare
+    # via cross-multiplication is overkill here since we only report
+    # the share of ONE class picked by integer sort keys
+    worst = cls.sort_values(["max_run", "rows"],
+                            ascending=[False, True]).iloc[0]
+    return pd.DataFrame({
+        "n_classes": [np.int64(len(cls))],
+        "n_low_div": [np.int64(len(low))],
+        "rows_at_risk": [np.int64(low["rows"].sum())],
+        "min_distinct_sens": [np.int64(cls["n_sens"].min())],
+        "worst_run": [np.int64(worst["max_run"])],
+        "worst_share": [round(float(worst["max_run"])
+                              / float(worst["rows"]), 6)]})
+
+
+def q_lineitem_gains(sf_dir: str):
+    """Cumulative gains curve of quantity-predicts-return (the
+    marketing "decile lift" table at score-value granularity, which
+    sidesteps NTILE tie-splitting entirely): for each quantity value
+    scanned best-first, cumulative rows and cumulative positives
+    (l_returnflag = 'R'). The score vocabulary is bounded (integer
+    quantities), so ONE combiner pass reduces the corpus to ≤50 rows
+    and the cumulative sums are exact integers on a driver-side
+    table; completes the AUC/ROC eval family with the gains/lift
+    view. SQL-oracled via window sums."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_returnflag"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        pos = (df["l_returnflag"] == "R").to_numpy(np.int64)
+        return (pd.DataFrame({"quantity": q, "n": 1, "pos": pos})
+                .groupby("quantity", sort=False).sum().reset_index())
+
+    h = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        ["quantity"], {"n": ("n", "sum"), "pos": ("pos", "sum")},
+        result_hint="small").to_pandas() \
+        .sort_values("quantity", ascending=False) \
+        .reset_index(drop=True)
+    h["cum_n"] = h["n"].cumsum()
+    h["cum_pos"] = h["pos"].cumsum()
+    tot_pos = int(h["pos"].sum())
+    h["gain_share"] = np.round(
+        h["cum_pos"].to_numpy(np.float64) / float(tot_pos), 6)
+    return h.astype({c: "int64" for c in
+                     ("quantity", "n", "pos", "cum_n", "cum_pos")})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -10523,6 +10612,8 @@ def build_queries() -> dict:
         "q_lineitem_hilbert": q_lineitem_hilbert,
         "q_customer_linkage_fs": q_customer_linkage_fs,
         "q_join_order_dp": q_join_order_dp,
+        "q_events_ldiversity": q_events_ldiversity,
+        "q_lineitem_gains": q_lineitem_gains,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -16658,6 +16749,53 @@ def _build_oracle_sql_literal() -> dict:
                              - CAST(ex.f2 AS DOUBLE))
                          / CAST(ex.f2 AS DOUBLE), 6) AS rel_err
             FROM ex, med
+        """,
+        "q_events_ldiversity": """
+            WITH cells AS (
+                SELECT user_id // 10 AS ubucket,
+                       (epoch_us(ts) // 3600000000) % 24 AS hod,
+                       event_type, count(*) AS n
+                FROM events GROUP BY 1, 2, 3),
+            cls AS (
+                SELECT ubucket, hod, SUM(n) AS rows_, count(*) AS ns,
+                       max(n) AS max_run
+                FROM cells GROUP BY 1, 2),
+            low AS (SELECT * FROM cls WHERE ns < 3),
+            worst AS (SELECT * FROM cls
+                      ORDER BY max_run DESC, rows_ ASC LIMIT 1)
+            SELECT CAST((SELECT count(*) FROM cls) AS BIGINT)
+                       AS n_classes,
+                   CAST((SELECT count(*) FROM low) AS BIGINT)
+                       AS n_low_div,
+                   CAST((SELECT coalesce(SUM(rows_), 0) FROM low)
+                        AS BIGINT) AS rows_at_risk,
+                   CAST((SELECT min(ns) FROM cls) AS BIGINT)
+                       AS min_distinct_sens,
+                   CAST(worst.max_run AS BIGINT) AS worst_run,
+                   round(CAST(worst.max_run AS DOUBLE) / worst.rows_,
+                         6) AS worst_share
+            FROM worst
+        """,
+        "q_lineitem_gains": """
+            WITH h AS (
+                SELECT CAST(l_quantity AS BIGINT) AS quantity,
+                       count(*) AS n,
+                       SUM(CASE WHEN l_returnflag = 'R'
+                                THEN 1 ELSE 0 END) AS pos
+                FROM lineitem GROUP BY 1),
+            c AS (
+                SELECT quantity, n, pos,
+                       SUM(n) OVER (ORDER BY quantity DESC) AS cum_n,
+                       SUM(pos) OVER (ORDER BY quantity DESC)
+                           AS cum_pos
+                FROM h)
+            SELECT quantity, CAST(n AS BIGINT) AS n,
+                   CAST(pos AS BIGINT) AS pos,
+                   CAST(cum_n AS BIGINT) AS cum_n,
+                   CAST(cum_pos AS BIGINT) AS cum_pos,
+                   round(CAST(cum_pos AS DOUBLE)
+                         / (SELECT SUM(pos) FROM h), 6) AS gain_share
+            FROM c ORDER BY quantity DESC
         """,
         "q_join_order_dp": """
             WITH st AS (SELECT

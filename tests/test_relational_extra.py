@@ -2259,3 +2259,50 @@ def test_join_order_dp_serial_parity():
     left_deep = card(1, 2) + card(1, 3) + card(1, 4)
     assert int(out.loc[(out.r_from == 1) & (out.r_to == 4),
                        "best_cost"].iloc[0]) <= left_deep
+
+
+def test_ldiversity_serial_parity():
+    from jerex_ray.pipelines.queries import q_events_ldiversity
+    out = q_events_ldiversity(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type"]) \
+        .to_pandas()
+    ev["ubucket"] = ev["user_id"] // 10
+    ev["hod"] = (ev["ts"].astype("datetime64[us]").astype("int64")
+                 // 3_600_000_000) % 24
+    g = ev.groupby(["ubucket", "hod"])["event_type"]
+    rows = g.size()
+    nsens = g.nunique()
+    max_run = ev.groupby(["ubucket", "hod", "event_type"]).size() \
+        .groupby(["ubucket", "hod"]).max()
+    assert int(out["n_classes"]) == len(rows)
+    low = nsens[nsens < 3]
+    assert int(out["n_low_div"]) == len(low)
+    assert int(out["rows_at_risk"]) == int(rows[low.index].sum())
+    assert int(out["min_distinct_sens"]) == int(nsens.min())
+    df = (pd.DataFrame({"rows": rows, "max_run": max_run})
+          .sort_values(["max_run", "rows"],
+                       ascending=[False, True]))
+    w = df.iloc[0]
+    assert int(out["worst_run"]) == int(w["max_run"])
+    assert float(out["worst_share"]) == round(
+        float(w["max_run"]) / float(w["rows"]), 6)
+
+
+def test_gains_curve_serial_and_monotone():
+    from jerex_ray.pipelines.queries import q_lineitem_gains
+    out = q_lineitem_gains(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_quantity", "l_returnflag"]) \
+        .to_pandas()
+    li["quantity"] = li["l_quantity"].astype("int64")
+    li["pos"] = (li["l_returnflag"] == "R").astype("int64")
+    h = li.groupby("quantity").agg(n=("pos", "size"),
+                                   pos=("pos", "sum")) \
+        .sort_index(ascending=False)
+    assert list(out["quantity"]) == list(h.index)
+    assert list(out["n"]) == list(h["n"])
+    assert list(out["cum_pos"]) == list(h["pos"].cumsum())
+    # gains curve is monotone and ends at 1.0
+    gs = out["gain_share"].to_numpy()
+    assert (np.diff(gs) >= 0).all() and gs[-1] == 1.0
