@@ -1618,3 +1618,94 @@ def bellman_ford_sssp(edges_ds, source: int, *, src: str = "a",
     out = out.sort_values("node").reset_index(drop=True)
     out["rounds"] = np.int64(converged_round)
     return out
+
+
+def katz_bipartite(pairs_ds, *, u_col: str, v_col: str,
+                   iters: int = 4, alpha_denom: int = 4,
+                   num_partitions: int | None = None) -> pd.DataFrame:
+    """Katz centrality (Katz '53) on the undirected bipartite
+    incidence graph, kept EXACT: with attenuation α = 1/alpha_denom,
+    clearing denominators gives katz_scaled(i) = Σ_{k=1..K}
+    alpha_denom^{K−k} · (A^k 1)_i — integer walk counts times integer
+    weights, so summation order never matters and the chained-CTE SQL
+    oracle matches bit-for-bit. Same broadcast-SpMV dataflow as
+    :func:`hits`: the distinct incidence materializes once
+    (combiner-reduced); each iteration broadcasts the node-sized
+    score vector via ``ray.put`` and streams the edges once per
+    direction, combiner-reducing per-destination partials — only
+    node-sized state moves per round. Guards the 2^53 exact-integer
+    float64 ceiling. Returns (side, node, katz_scaled) for every
+    node, side ∈ {u_col, v_col}."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+
+    edges = grouped_aggregate(pairs_ds, [u_col, v_col],
+                              {"n": (None, "count")},
+                              num_partitions=num_partitions) \
+        .drop_columns(["n"]).materialize()
+    EMPTY = pd.DataFrame({"side": pd.Series(dtype="object"),
+                          "node": pd.Series(dtype="int64"),
+                          "katz_scaled": pd.Series(dtype="int64")})
+    u_nodes = grouped_aggregate(edges, [u_col],
+                                {"d": (None, "count")},
+                                num_partitions=num_partitions) \
+        .to_pandas()
+    if u_nodes.empty or u_col not in u_nodes.columns:
+        return EMPTY
+    v_nodes = grouped_aggregate(edges, [v_col],
+                                {"d": (None, "count")},
+                                num_partitions=num_partitions) \
+        .to_pandas()
+
+    def half_step(scores: dict, src: str, dst: str) -> dict:
+        ref = ray.put(scores)
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            sc = ray.get(ref)
+            w = df[src].map(sc).to_numpy(np.float64)
+            part = (pd.DataFrame({"v": df[dst].to_numpy(), "w": w})
+                    .groupby("v", sort=False)["w"].sum())
+            return pd.DataFrame({"v": part.index.to_numpy(),
+                                 "w": part.to_numpy()})
+
+        out = grouped_aggregate(
+            edges.map_batches(contrib, batch_format="pandas"),
+            ["v"], {"s": ("w", "sum")},
+            num_partitions=num_partitions).to_pandas()
+        vals = out["s"].to_numpy(np.float64)
+        if vals.size and np.max(vals) >= 2.0 ** 53:
+            raise OverflowError(
+                "katz: walk counts left the exact-integer float64 "
+                "range; reduce iters or raise alpha_denom")
+        return dict(zip(out["v"], vals))
+
+    su = dict.fromkeys(u_nodes[u_col], 1.0)
+    sv = dict.fromkeys(v_nodes[v_col], 1.0)
+    acc_u = dict.fromkeys(su, 0.0)
+    acc_v = dict.fromkeys(sv, 0.0)
+    for k in range(1, iters + 1):
+        new_u = half_step(sv, v_col, u_col)
+        new_v = half_step(su, u_col, v_col)
+        su, sv = new_u, new_v
+        w = float(alpha_denom ** (iters - k))
+        for n, s in su.items():
+            acc_u[n] += w * s
+        for n, s in sv.items():
+            acc_v[n] += w * s
+        if max(max(acc_u.values(), default=0.0),
+               max(acc_v.values(), default=0.0)) >= 2.0 ** 53:
+            raise OverflowError("katz: accumulated scores left the "
+                                "exact-integer float64 range")
+
+    def rows(acc: dict, side: str) -> pd.DataFrame:
+        nodes = np.array(sorted(acc))
+        return pd.DataFrame({
+            "side": side, "node": nodes,
+            "katz_scaled": np.array([acc[n] for n in nodes],
+                                    dtype=np.float64)
+            .astype(np.int64)})
+
+    out = pd.concat([rows(acc_u, u_col), rows(acc_v, v_col)],
+                    ignore_index=True)
+    return out.sort_values(["side", "node"]).reset_index(drop=True)

@@ -10482,6 +10482,218 @@ def q_lineitem_gains(sf_dir: str):
                      ("quantity", "n", "pos", "cum_n", "cum_pos")})
 
 
+def q_part_katz(sf_dir: str):
+    """Katz centrality (Katz '53) over the customer–part purchase
+    incidence, exact-integer form (``ops/graph.katz_bipartite``):
+    α = 1/4 cleared by scaling, so every score is an integer
+    walk-count combination and the chained-CTE oracle replays the
+    4 SpMV rounds bit-for-bit. Broadcast-SpMV dataflow — incidence
+    materializes once, node-sized vectors move per round."""
+    from jerex_ray.ops.graph import katz_bipartite
+    from jerex_ray.runtime import read_parquet_sized, \
+        shuffle_partitions
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    orders = read_parquet_sized(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    j = li.join(orders, join_type="inner",
+                num_partitions=shuffle_partitions(8),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    out = katz_bipartite(j, u_col="o_custkey", v_col="l_partkey",
+                         iters=4, alpha_denom=4)
+    out["node"] = out["node"].astype("int64")
+    return out
+
+
+def _katz_oracle_sql(iters: int = 4, denom: int = 4) -> str:
+    """Chained-CTE replay of ``q_part_katz``: one u-side and one
+    v-side SpMV CTE per iteration over the distinct incidence, then
+    the integer-weighted sum Σ denom^{K−k}·s_k per node."""
+    sql = """
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS u, l_partkey AS v
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        su0 AS (SELECT u, CAST(1 AS BIGINT) AS s
+                FROM (SELECT DISTINCT u FROM e)),
+        sv0 AS (SELECT v, CAST(1 AS BIGINT) AS s
+                FROM (SELECT DISTINCT v FROM e))"""
+    for k in range(1, iters + 1):
+        sql += f""",
+        su{k} AS MATERIALIZED (
+            SELECT u, sum(sv{k - 1}.s) AS s
+            FROM e JOIN sv{k - 1} USING (v) GROUP BY u),
+        sv{k} AS MATERIALIZED (
+            SELECT v, sum(su{k - 1}.s) AS s
+            FROM e JOIN su{k - 1} USING (u) GROUP BY v)"""
+    wu = " + ".join(f"{denom ** (iters - k)} * su{k}.s"
+                    for k in range(1, iters + 1))
+    wv = " + ".join(f"{denom ** (iters - k)} * sv{k}.s"
+                    for k in range(1, iters + 1))
+    ju = " ".join(f"JOIN su{k} USING (u)"
+                  for k in range(2, iters + 1))
+    jv = " ".join(f"JOIN sv{k} USING (v)"
+                  for k in range(2, iters + 1))
+    sql += f"""
+        SELECT side, node, katz_scaled FROM (
+            SELECT 'o_custkey' AS side, su1.u AS node,
+                   CAST({wu} AS BIGINT) AS katz_scaled
+            FROM su1 {ju}
+            UNION ALL
+            SELECT 'l_partkey', sv1.v, CAST({wv} AS BIGINT)
+            FROM sv1 {jv})
+        ORDER BY side, node"""
+    return sql
+
+
+def q_events_viterbi(sf_dir: str, *, steps: int = 4):
+    """Viterbi decode (Viterbi '67) over the per-user event-type
+    Markov chain: the most likely length-4 state sequence under the
+    transition-COUNT max-product objective (counts, not normalized
+    probabilities — products of exact integers, so the DP has no
+    float hazard and the generated SQL stages replay it exactly).
+    Distributed part: the |types|²-bounded transition matrix from one
+    hash co-location (``ops/windows.transition_matrix``); the
+    |types|×steps DP runs on the driver over that metadata-sized
+    table. Ties break to the lexicographically smallest predecessor.
+    Output: (step, state, best_score, prev_state) for every
+    reachable state at every step."""
+    from jerex_ray.ops.windows import transition_matrix
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    tm = transition_matrix(ds, key="user_id", ts_col="ts",
+                           id_col="event_id", type_col="event_type")
+    states = sorted(set(tm["prev_type"]) | set(tm["next_type"]))
+    trans = {(r["prev_type"], r["next_type"]): int(r["cnt"])
+             for _, r in tm.iterrows()}
+    v = {s: (1, "") for s in states}           # score, backpointer
+    rows = [(0, s, 1, "") for s in states]
+    for k in range(1, steps):
+        nv: dict = {}
+        for (s, t), c in trans.items():
+            if s not in v:
+                continue
+            cand = v[s][0] * c
+            if t not in nv or cand > nv[t][0] \
+                    or (cand == nv[t][0] and s < nv[t][1]):
+                nv[t] = (cand, s)
+        v = nv
+        rows.extend((k, t, sc, bp)
+                    for t, (sc, bp) in sorted(v.items()))
+    out = pd.DataFrame(rows, columns=["step", "state", "best_score",
+                                      "prev_state"])
+    return out.astype({"step": "int64", "best_score": "int64"}) \
+        .sort_values(["step", "state"]).reset_index(drop=True)
+
+
+def _viterbi_oracle_sql(steps: int = 4) -> str:
+    """Generated DP-stage replay of ``q_events_viterbi``: the LEAD
+    transition counts, then one CTE per step taking the row_number-1
+    (score DESC, predecessor ASC) candidate per state."""
+    sql = """
+        WITH seq AS MATERIALIZED (
+            SELECT event_type AS s,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS t
+            FROM events),
+        tm AS MATERIALIZED (
+            SELECT s AS prev_type, t AS next_type, count(*) AS cnt
+            FROM seq WHERE t IS NOT NULL GROUP BY 1, 2),
+        st AS (SELECT DISTINCT prev_type AS state FROM tm
+               UNION SELECT DISTINCT next_type FROM tm),
+        v0 AS (SELECT state, CAST(1 AS BIGINT) AS s,
+                      '' AS bp FROM st)"""
+    for k in range(1, steps):
+        sql += f""",
+        v{k} AS MATERIALIZED (
+            SELECT state, s, bp FROM (
+                SELECT t.next_type AS state,
+                       v.s * t.cnt AS s, v.state AS bp,
+                       row_number() OVER (
+                           PARTITION BY t.next_type
+                           ORDER BY v.s * t.cnt DESC, v.state ASC)
+                           AS rn
+                FROM v{k - 1} v
+                JOIN tm t ON t.prev_type = v.state)
+            WHERE rn = 1)"""
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, state,"
+        f" CAST(s AS BIGINT) AS best_score, bp AS prev_state"
+        f" FROM v{k}"
+        for k in range(steps))
+    return sql + f"\nSELECT * FROM ({union}) ORDER BY step, state"
+
+
+def q_events_butterflies(sf_dir: str):
+    """Bipartite butterfly (2×2 biclique) counting on the user ×
+    event-type graph (Sanei-Mehri et al. '18, the bipartite
+    clustering primitive): per type pair, the common-user count n and
+    C(n,2) butterflies. The type vocabulary is bounded, so ONE
+    distinct-incidence combiner pass plus a per-user type-bitmask
+    histogram (≤2^#types rows) computes every pair exactly — no
+    user-pair materialization anywhere. Integer-exact; SQL-oracled
+    via the incidence self-join."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    ut = grouped_aggregate(ds, ["user_id", "event_type"],
+                           {"n": (None, "count")},
+                           result_hint="large").drop_columns(["n"]) \
+        .materialize()
+    types = sorted(ut.unique("event_type"))
+    t_index = {t: i for i, t in enumerate(types)}
+
+    def mask_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.left_shift(
+            np.int64(1),
+            df["event_type"].map(t_index).to_numpy(np.int64))
+        g = (pd.DataFrame({"user_id": df["user_id"], "m": m})
+             .groupby("user_id", sort=False)["m"].sum())
+        return pd.DataFrame({"user_id": g.index.to_numpy(),
+                             "mask": g.to_numpy(np.int64)})
+
+    # the incidence rows are globally DISTINCT, so each (user, type)
+    # bit appears in exactly one partial — per-user SUM of partial
+    # masks IS the bitwise OR, and grouped_aggregate's sum combiner
+    # merges them exactly
+    masks = grouped_aggregate(
+        ut.map_batches(mask_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["user_id"], {"mask": ("mask", "sum")},
+        result_hint="large")
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals, cnt = np.unique(df["mask"].to_numpy(np.int64),
+                              return_counts=True)
+        return pd.DataFrame({"mask": vals,
+                             "n": cnt.astype(np.int64)})
+
+    hist = grouped_aggregate(
+        masks.map_batches(hist_partial, batch_format="pandas",
+                          batch_size=65536),
+        ["mask"], {"n": ("n", "sum")},
+        result_hint="small").to_pandas()
+    mask_n = dict(zip(hist["mask"].astype(int),
+                      hist["n"].astype(int)))
+    rows = []
+    for ia in range(len(types)):
+        for ib in range(ia + 1, len(types)):
+            n = sum(c for m, c in mask_n.items()
+                    if (m >> ia) & 1 and (m >> ib) & 1)
+            if n == 0:
+                continue
+            rows.append((types[ia], types[ib], np.int64(n),
+                         np.int64(n * (n - 1) // 2)))
+    return pd.DataFrame(rows, columns=["type_a", "type_b",
+                                       "n_common_users",
+                                       "butterflies"])
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -10614,6 +10826,9 @@ def build_queries() -> dict:
         "q_join_order_dp": q_join_order_dp,
         "q_events_ldiversity": q_events_ldiversity,
         "q_lineitem_gains": q_lineitem_gains,
+        "q_part_katz": q_part_katz,
+        "q_events_viterbi": q_events_viterbi,
+        "q_events_butterflies": q_events_butterflies,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -11546,6 +11761,8 @@ def build_oracle_sql() -> dict:
     oracles["doc_select_coverage"] = _coverage_oracle_sql(k=8,
                                                           buckets=4096)
     oracles["q_events_dtw"] = _dtw_oracle_sql(n=24)
+    oracles["q_part_katz"] = _katz_oracle_sql(iters=4, denom=4)
+    oracles["q_events_viterbi"] = _viterbi_oracle_sql(steps=4)
     oracles["q_lineitem_hilbert"] = _hilbert_oracle_sql(
         cols=("l_partkey", "l_suppkey"), nbuckets=64, bits=16)
     # one-sided Bloom parity (see doc_decontaminate_bloom docstring)
@@ -16749,6 +16966,17 @@ def _build_oracle_sql_literal() -> dict:
                              - CAST(ex.f2 AS DOUBLE))
                          / CAST(ex.f2 AS DOUBLE), 6) AS rel_err
             FROM ex, med
+        """,
+        "q_events_butterflies": """
+            WITH ut AS MATERIALIZED (
+                SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_common_users,
+                   CAST(count(*) * (count(*) - 1) // 2 AS BIGINT)
+                       AS butterflies
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+                               AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q_events_ldiversity": """
             WITH cells AS (

@@ -2306,3 +2306,93 @@ def test_gains_curve_serial_and_monotone():
     # gains curve is monotone and ends at 1.0
     gs = out["gain_share"].to_numpy()
     assert (np.diff(gs) >= 0).all() and gs[-1] == 1.0
+
+
+def test_katz_serial_parity():
+    from jerex_ray.pipelines.queries import q_part_katz
+    out = q_part_katz(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey"]).to_pandas()
+    e = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")[
+        ["o_custkey", "l_partkey"]].drop_duplicates()
+    adj_u, adj_v = {}, {}
+    for u, v in e.itertuples(index=False):
+        adj_u.setdefault(u, []).append(v)
+        adj_v.setdefault(v, []).append(u)
+    su = dict.fromkeys(adj_u, 1)
+    sv = dict.fromkeys(adj_v, 1)
+    acc_u = dict.fromkeys(adj_u, 0)
+    acc_v = dict.fromkeys(adj_v, 0)
+    for k in range(1, 5):
+        nu = {u: sum(sv[v] for v in vs) for u, vs in adj_u.items()}
+        nv = {v: sum(su[u] for u in us) for v, us in adj_v.items()}
+        su, sv = nu, nv
+        w = 4 ** (4 - k)
+        for n in acc_u:
+            acc_u[n] += w * su[n]
+        for n in acc_v:
+            acc_v[n] += w * sv[n]
+    exp = sorted([("l_partkey", n, s) for n, s in acc_v.items()]
+                 + [("o_custkey", n, s) for n, s in acc_u.items()])
+    got = [(r["side"], int(r["node"]), int(r["katz_scaled"]))
+           for _, r in out.iterrows()]
+    assert got == exp
+
+
+def test_viterbi_serial_parity():
+    from jerex_ray.pipelines.queries import q_events_viterbi
+    out = q_events_viterbi(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts",
+                                "event_type"]).to_pandas() \
+        .sort_values(["user_id", "ts", "event_id"])
+    trans = {}
+    g = ev.groupby("user_id")["event_type"]
+    for _, seq in g:
+        s = seq.to_numpy()
+        for a, b in zip(s[:-1], s[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    states = sorted({a for a, _ in trans} | {b for _, b in trans})
+    v = {s: (1, "") for s in states}
+    exp = [(0, s, 1, "") for s in states]
+    for k in range(1, 4):
+        nv = {}
+        for (s, t), c in trans.items():
+            if s not in v:
+                continue
+            cand = v[s][0] * c
+            if t not in nv or cand > nv[t][0] or \
+                    (cand == nv[t][0] and s < nv[t][1]):
+                nv[t] = (cand, s)
+        v = nv
+        exp.extend((k, t, sc, bp)
+                   for t, (sc, bp) in sorted(v.items()))
+    got = [(int(r["step"]), r["state"], int(r["best_score"]),
+            r["prev_state"]) for _, r in out.iterrows()]
+    assert got == exp
+    # viterbi scores are monotone non-decreasing in step (counts >= 1
+    # on every kept transition)
+    best_by_step = out.groupby("step")["best_score"].max()
+    assert (best_by_step.diff().dropna() >= 0).all()
+
+
+def test_butterflies_serial_parity():
+    from jerex_ray.pipelines.queries import q_events_butterflies
+    out = q_events_butterflies(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    ut = ev.drop_duplicates()
+    types = sorted(ut["event_type"].unique())
+    users = {t: set(ut.loc[ut["event_type"] == t, "user_id"])
+             for t in types}
+    exp = []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            n = len(users[types[i]] & users[types[j]])
+            if n:
+                exp.append((types[i], types[j], n, n * (n - 1) // 2))
+    got = [(r["type_a"], r["type_b"], int(r["n_common_users"]),
+            int(r["butterflies"])) for _, r in out.iterrows()]
+    assert got == exp
