@@ -10694,6 +10694,86 @@ def q_events_butterflies(sf_dir: str):
                                        "butterflies"])
 
 
+def q_events_shapley(sf_dir: str):
+    """EXACT Shapley-value reach attribution (Shapley '53; the
+    game-theoretic attribution modern marketing/feature-importance
+    stacks approximate by sampling): channels = event types, reach
+    game v(S) = #users touched by at least one type in S, and each
+    type's Shapley value φ_i = Σ_{S∌i} |S|!(n−|S|−1)!/n! · (v(S∪i) −
+    v(S)) splits total reach exactly (Σφ = v(N), efficiency — the
+    pytest invariant). The user-side reduces to the per-user
+    type-bitmask HISTOGRAM (≤2ⁿ rows) via the distinct-incidence
+    sum-is-OR combiner trick, so v(S) for all 2ⁿ coalitions — and the
+    full exact Shapley sum — is driver-side arithmetic over a
+    metadata-sized table; everything stays integer by scaling with n!
+    (one final divide for the share). SQL-oracled bit-for-bit via
+    range(64) subset enumeration + bit_count (needs #types ≤ 6;
+    fixtures have 5)."""
+    import math
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    ut = grouped_aggregate(ds, ["user_id", "event_type"],
+                           {"n": (None, "count")},
+                           result_hint="large").drop_columns(["n"]) \
+        .materialize()
+    types = sorted(ut.unique("event_type"))
+    n = len(types)
+    t_index = {t: i for i, t in enumerate(types)}
+
+    def mask_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.left_shift(
+            np.int64(1),
+            df["event_type"].map(t_index).to_numpy(np.int64))
+        g = (pd.DataFrame({"user_id": df["user_id"], "m": m})
+             .groupby("user_id", sort=False)["m"].sum())
+        return pd.DataFrame({"user_id": g.index.to_numpy(),
+                             "mask": g.to_numpy(np.int64)})
+
+    masks = grouped_aggregate(
+        ut.map_batches(mask_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["user_id"], {"mask": ("mask", "sum")},
+        result_hint="large")
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals, cnt = np.unique(df["mask"].to_numpy(np.int64),
+                              return_counts=True)
+        return pd.DataFrame({"mask": vals,
+                             "n": cnt.astype(np.int64)})
+
+    hist = grouped_aggregate(
+        masks.map_batches(hist_partial, batch_format="pandas",
+                          batch_size=65536),
+        ["mask"], {"n": ("n", "sum")},
+        result_hint="small").to_pandas()
+    mask_n = dict(zip(hist["mask"].astype(int),
+                      hist["n"].astype(int)))
+
+    def v(S: int) -> int:
+        return sum(c for m, c in mask_n.items() if m & S)
+
+    vs = [v(S) for S in range(1 << n)]
+    phi = []
+    for i in range(n):
+        acc = 0
+        for S in range(1 << n):
+            if S & (1 << i):
+                continue
+            size = bin(S).count("1")
+            w = math.factorial(size) * math.factorial(n - size - 1)
+            acc += w * (vs[S | (1 << i)] - vs[S])
+        phi.append(acc)
+    tot = sum(phi)                       # = n! · v(N) (efficiency)
+    return pd.DataFrame({
+        "channel": types,
+        "shapley_scaled": np.array(phi, dtype=np.int64),
+        "share": [round(float(p) / float(tot), 6) for p in phi]})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -10829,6 +10909,7 @@ def build_queries() -> dict:
         "q_part_katz": q_part_katz,
         "q_events_viterbi": q_events_viterbi,
         "q_events_butterflies": q_events_butterflies,
+        "q_events_shapley": q_events_shapley,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -16966,6 +17047,48 @@ def _build_oracle_sql_literal() -> dict:
                              - CAST(ex.f2 AS DOUBLE))
                          / CAST(ex.f2 AS DOUBLE), 6) AS rel_err
             FROM ex, med
+        """,
+        "q_events_shapley": """
+            WITH ut AS MATERIALIZED (
+                SELECT DISTINCT user_id, event_type FROM events),
+            ty AS MATERIALIZED (
+                SELECT event_type,
+                       CAST(row_number() OVER (ORDER BY event_type)
+                            - 1 AS BIGINT) AS idx
+                FROM (SELECT DISTINCT event_type FROM ut)),
+            nch AS (SELECT count(*) AS n FROM ty),
+            um AS (
+                SELECT user_id, SUM(1 << ty.idx) AS mask
+                FROM ut JOIN ty USING (event_type)
+                GROUP BY user_id),
+            hist AS MATERIALIZED (
+                SELECT mask, count(*) AS c FROM um GROUP BY mask),
+            subs AS (SELECT unnest(range(64)) AS s),
+            vs AS MATERIALIZED (
+                SELECT s.s,
+                       coalesce(SUM(CASE WHEN (h.mask & s.s) <> 0
+                                         THEN h.c ELSE 0 END), 0)
+                           AS v
+                FROM subs s CROSS JOIN hist h
+                WHERE s.s < (1 << (SELECT n FROM nch))
+                GROUP BY s.s),
+            phi AS (
+                SELECT t.event_type AS channel,
+                    SUM(CAST(factorial(CAST(bit_count(
+                            CAST(v0.s AS BIGINT)) AS INTEGER))
+                            AS BIGINT)
+                        * CAST(factorial(CAST((SELECT n FROM nch)
+                            - bit_count(CAST(v0.s AS BIGINT)) - 1
+                            AS INTEGER)) AS BIGINT)
+                        * (v1.v - v0.v)) AS phi
+                FROM ty t
+                JOIN vs v0 ON (v0.s & (1 << t.idx)) = 0
+                JOIN vs v1 ON v1.s = (v0.s | (1 << t.idx))
+                GROUP BY t.event_type)
+            SELECT channel, CAST(phi AS BIGINT) AS shapley_scaled,
+                   round(CAST(phi AS DOUBLE)
+                         / (SELECT SUM(phi) FROM phi), 6) AS share
+            FROM phi ORDER BY channel
         """,
         "q_events_butterflies": """
             WITH ut AS MATERIALIZED (

@@ -2396,3 +2396,39 @@ def test_butterflies_serial_parity():
     got = [(r["type_a"], r["type_b"], int(r["n_common_users"]),
             int(r["butterflies"])) for _, r in out.iterrows()]
     assert got == exp
+
+
+def test_shapley_efficiency_and_serial_parity():
+    import math
+    from jerex_ray.pipelines.queries import q_events_shapley
+    out = q_events_shapley(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    ut = ev.drop_duplicates()
+    types = sorted(ut["event_type"].unique())
+    n = len(types)
+    idx = {t: i for i, t in enumerate(types)}
+    user_masks = ut.assign(b=ut["event_type"].map(idx)) \
+        .groupby("user_id")["b"] \
+        .agg(lambda s: sum(1 << int(b) for b in set(s)))
+    from collections import Counter
+    mask_n = Counter(user_masks)
+
+    def v(S):
+        return sum(c for m, c in mask_n.items() if m & S)
+
+    phi = []
+    for i in range(n):
+        acc = 0
+        for S in range(1 << n):
+            if S & (1 << i):
+                continue
+            sz = bin(S).count("1")
+            acc += (math.factorial(sz) * math.factorial(n - sz - 1)
+                    * (v(S | (1 << i)) - v(S)))
+        phi.append(acc)
+    assert list(out["channel"]) == types
+    assert [int(x) for x in out["shapley_scaled"]] == phi
+    # efficiency: Σφ = n! * v(N) — the Shapley axioms' budget check
+    assert sum(phi) == math.factorial(n) * v((1 << n) - 1)
+    assert abs(out["share"].sum() - 1.0) < 1e-4
