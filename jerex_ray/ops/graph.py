@@ -1709,3 +1709,108 @@ def katz_bipartite(pairs_ds, *, u_col: str, v_col: str,
     out = pd.concat([rows(acc_u, u_col), rows(acc_v, v_col)],
                     ignore_index=True)
     return out.sort_values(["side", "node"]).reset_index(drop=True)
+
+
+def deterministic_walks(edges_ds, *, src: str = "a", dst: str = "b",
+                        walks: int = 2, length: int = 3,
+                        seed_prefix: str = "walk",
+                        num_partitions: int | None = None) -> pd.DataFrame:
+    """DeepWalk-style random-walk corpus (Perozzi et al. '14) with
+    DERANDOMIZED hops: from every graph node, ``walks`` walks of
+    ``length`` steps where step s picks neighbor rank
+    md5(prefix|start|walk|s|cur) % deg(cur) over the
+    sorted-ascending adjacency — deterministic, shard-independent,
+    and exactly replayable by a SQL oracle (the md5-seeded twin of
+    the engine's seeded-sampling convention, SURVEY.md §2.5).
+
+    Dataflow: undirected adjacency with per-node neighbor ranks and
+    degrees builds once via a hash co-location; each step joins the
+    node-sized frontier to the degree table (computes the pick), then
+    equi-joins (cur, pick)=(u, rank) into the adjacency — no
+    neighborhood blow-up ever materializes. Per step only
+    frontier-sized state moves. Returns (start, walk, step, node)
+    rows for steps 0..length."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import shuffle_partitions
+    from jerex_ray.util import md5_hash64_batch
+
+    def both(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "u": np.r_[df[src].to_numpy(np.int64),
+                       df[dst].to_numpy(np.int64)],
+            "nbr": np.r_[df[dst].to_numpy(np.int64),
+                         df[src].to_numpy(np.int64)]})
+
+    def rank_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "u": pd.Series(dtype="int64"),
+                "nbr": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+                "deg": pd.Series(dtype="int64")})
+        d = df.sort_values(["u", "nbr"]).drop_duplicates()
+        g = d.groupby("u", sort=False)["nbr"]
+        return pd.DataFrame({
+            "u": d["u"].to_numpy(np.int64),
+            "nbr": d["nbr"].to_numpy(np.int64),
+            "rank": g.cumcount().to_numpy(np.int64),
+            "deg": g.transform("size").to_numpy(np.int64)})
+
+    adj = grouped_apply(edges_ds.map_batches(
+        both, batch_format="pandas", batch_size=65536),
+        ["u"], rank_block,
+        num_partitions=num_partitions).materialize()
+    deg = adj.map_batches(
+        lambda df: df.loc[df["rank"] == 0, ["u", "deg"]],
+        batch_format="pandas").materialize()
+
+    starts = deg.map_batches(
+        lambda df: pd.DataFrame({
+            "start": np.repeat(df["u"].to_numpy(np.int64), walks),
+            "walk": np.tile(np.arange(walks, dtype=np.int64),
+                            len(df)),
+        }).assign(cur=lambda x: x["start"]),
+        batch_format="pandas").materialize()
+
+    out_steps = [starts.to_pandas().assign(step=np.int64(0))]
+    frontier = starts
+    np_ = shuffle_partitions(num_partitions or 8)
+    for step in range(1, length + 1):
+        with_deg = frontier.join(
+            deg, join_type="inner", num_partitions=np_,
+            on=("cur",), right_on=("u",)).materialize()
+
+        def pick(df: pd.DataFrame, *, _s=step) -> pd.DataFrame:
+            key = (seed_prefix + "|"
+                   + df["start"].astype("int64").astype(str)
+                   + "|" + df["walk"].astype("int64").astype(str)
+                   + f"|{_s}|"
+                   + df["cur"].astype("int64").astype(str))
+            h = md5_hash64_batch(key.to_numpy())
+            dg = df["deg"].to_numpy(np.int64).astype(np.uint64)
+            return pd.DataFrame({
+                "start": df["start"].astype("int64"),
+                "walk": df["walk"].astype("int64"),
+                "cur": df["cur"].astype("int64"),
+                "pick": (h % dg).astype(np.int64)})
+
+        picked = with_deg.map_batches(
+            pick, batch_format="pandas").materialize()
+        stepped = picked.join(
+            adj, join_type="inner", num_partitions=np_,
+            on=("cur", "pick"), right_on=("u", "rank")).materialize()
+        frontier = stepped.map_batches(
+            lambda df: pd.DataFrame({
+                "start": df["start"].astype("int64"),
+                "walk": df["walk"].astype("int64"),
+                "cur": df["nbr"].astype("int64")}),
+            batch_format="pandas").materialize()
+        out_steps.append(frontier.to_pandas()
+                         .assign(step=np.int64(step)))
+
+    out = pd.concat(out_steps, ignore_index=True) \
+        .rename(columns={"cur": "node"})
+    out = out[["start", "walk", "step", "node"]] \
+        .astype("int64")
+    return out.sort_values(["start", "walk", "step"]) \
+        .reset_index(drop=True)

@@ -10774,6 +10774,83 @@ def q_events_shapley(sf_dir: str):
         "share": [round(float(p) / float(tot), 6) for p in phi]})
 
 
+def q_part_walks(sf_dir: str):
+    """Deterministic DeepWalk corpus (Perozzi et al. '14) over the
+    part co-purchase graph: 2 walks × 3 steps from every node, hop s
+    = sorted-neighbor rank md5('walk|start|w|s|cur') % deg — the
+    md5-seeded twin of the engine's per-doc seeded sampling, so the
+    corpus is shard-independent and the generated SQL oracle replays
+    every hop bit-for-bit (``ops/graph.deterministic_walks``). Per
+    step only node-sized frontier state moves; the pick happens
+    against the degree table BEFORE touching adjacency, so no
+    neighborhood blow-up materializes."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.ops.graph import deterministic_walks
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"a": m["l_partkey_x"].to_numpy(),
+                             "b": m["l_partkey_y"].to_numpy()}) \
+            .drop_duplicates()
+
+    edges = grouped_apply(li, ["l_orderkey"], pairs_block)
+    return deterministic_walks(edges, src="a", dst="b",
+                               walks=2, length=3)
+
+
+def _walks_oracle_sql(walks: int = 2, length: int = 3) -> str:
+    """Generated per-step replay of ``q_part_walks``: ranked sorted
+    adjacency via row_number, each step CTE picks rank
+    md5-hash % deg exactly as the engine does."""
+    sql = """
+        WITH inc AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ed AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM inc a JOIN inc b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+        adj AS MATERIALIZED (
+            SELECT u, nbr,
+                   row_number() OVER (PARTITION BY u ORDER BY nbr)
+                       - 1 AS rnk,
+                   count(*) OVER (PARTITION BY u) AS deg
+            FROM (SELECT a AS u, b AS nbr FROM ed
+                  UNION ALL SELECT b, a FROM ed)),
+        dg AS MATERIALIZED (SELECT DISTINCT u, deg FROM adj),
+        f0 AS MATERIALIZED (
+            SELECT n.u AS start, w.w AS walk, n.u AS cur
+            FROM (SELECT DISTINCT u FROM adj) n
+            CROSS JOIN (SELECT unnest(range(%d)) AS w) w)""" % walks
+    for s in range(1, length + 1):
+        sql += f""",
+        f{s} AS MATERIALIZED (
+            SELECT f.start, f.walk, a.nbr AS cur
+            FROM f{s - 1} f
+            JOIN dg d ON d.u = f.cur
+            JOIN adj a ON a.u = f.cur AND a.rnk = CAST(
+                CAST('0x' || substr(md5(
+                    'walk|' || f.start || '|' || f.walk
+                    || '|{s}|' || f.cur), 1, 16) AS UBIGINT)
+                % CAST(d.deg AS UBIGINT) AS BIGINT))"""
+    union = "\nUNION ALL ".join(
+        f"SELECT start, walk, CAST({s} AS BIGINT) AS step,"
+        f" cur AS node FROM f{s}"
+        for s in range(length + 1))
+    return sql + f"""
+        SELECT * FROM ({union})
+        ORDER BY start, walk, step"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -10910,6 +10987,7 @@ def build_queries() -> dict:
         "q_events_viterbi": q_events_viterbi,
         "q_events_butterflies": q_events_butterflies,
         "q_events_shapley": q_events_shapley,
+        "q_part_walks": q_part_walks,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -11843,6 +11921,7 @@ def build_oracle_sql() -> dict:
                                                           buckets=4096)
     oracles["q_events_dtw"] = _dtw_oracle_sql(n=24)
     oracles["q_part_katz"] = _katz_oracle_sql(iters=4, denom=4)
+    oracles["q_part_walks"] = _walks_oracle_sql(walks=2, length=3)
     oracles["q_events_viterbi"] = _viterbi_oracle_sql(steps=4)
     oracles["q_lineitem_hilbert"] = _hilbert_oracle_sql(
         cols=("l_partkey", "l_suppkey"), nbuckets=64, bits=16)

@@ -2432,3 +2432,41 @@ def test_shapley_efficiency_and_serial_parity():
     # efficiency: Σφ = n! * v(N) — the Shapley axioms' budget check
     assert sum(phi) == math.factorial(n) * v((1 << n) - 1)
     assert abs(out["share"].sum() - 1.0) < 1e-4
+
+
+def test_walks_serial_parity_and_validity():
+    from jerex_ray.pipelines.queries import q_part_walks
+    from jerex_ray.util import md5_hash64
+    out = q_part_walks(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]) \
+        .to_pandas().drop_duplicates()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    edges = set(zip(m["l_partkey_x"], m["l_partkey_y"]))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    adj = {u: sorted(vs) for u, vs in adj.items()}
+    exp = []
+    for start in sorted(adj):
+        for w in range(2):
+            cur = start
+            exp.append((start, w, 0, cur))
+            for s in range(1, 4):
+                nbrs = adj[cur]
+                r = md5_hash64(f"walk|{start}|{w}|{s}|{cur}") \
+                    % len(nbrs)
+                cur = nbrs[r]
+                exp.append((start, w, s, cur))
+    got = [tuple(int(v) for v in r) for r in out.to_numpy()]
+    assert sorted(got) == sorted(exp)
+    # every hop is a real edge
+    byw = {}
+    for st, w, s, node in got:
+        byw.setdefault((st, w), {})[s] = node
+    for (st, w), path in byw.items():
+        for s in range(1, 4):
+            a, b = path[s - 1], path[s]
+            assert (min(a, b), max(a, b)) in edges
