@@ -10851,6 +10851,106 @@ def _walks_oracle_sql(walks: int = 2, length: int = 3) -> str:
         ORDER BY start, walk, step"""
 
 
+def q_events_tcloseness(sf_dir: str, *, top: int = 10):
+    """t-closeness audit (Li et al. '07, completing the k-anonymity /
+    l-diversity privacy triad): per QI class (user-bucket, hour), the
+    variational distance between the class's sensitive (event_type)
+    distribution and the global one, kept EXACT — tvd_num =
+    Σ_v |cnt_cv·N − cnt_gv·n_c| is an integer (cross-multiplied
+    common denominator), tvd = tvd_num / (2·n_c·N) is one final
+    divide. Reports the ``top`` worst classes ordered by the
+    identical double (num/n_c) on both engines, ties to (ubucket,
+    hod). Two QI-vocabulary-bounded combiner passes; the class ×
+    sensitive grid is metadata-sized on the driver."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def qi(df: pd.DataFrame) -> pd.DataFrame:
+        hod = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 3_600_000_000) % 24
+        return pd.DataFrame({
+            "ubucket": df["user_id"].to_numpy(np.int64) // 10,
+            "hod": hod.to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(),
+            "n": 1}).groupby(["ubucket", "hod", "event_type"],
+                             sort=False).sum().reset_index()
+
+    cells = grouped_aggregate(
+        ds.map_batches(qi, batch_format="pandas", batch_size=8192),
+        ["ubucket", "hod", "event_type"], {"n": ("n", "sum")},
+        result_hint="large").to_pandas()
+    glob = cells.groupby("event_type")["n"].sum()
+    types = sorted(glob.index)
+    g_vec = glob[types].to_numpy(np.int64)
+    n_tot = int(g_vec.sum())
+    piv = cells.pivot_table(index=["ubucket", "hod"],
+                            columns="event_type", values="n",
+                            aggfunc="sum", fill_value=0) \
+        .reindex(columns=types, fill_value=0)
+    cnt = piv.to_numpy(np.int64)
+    n_c = cnt.sum(axis=1)
+    tvd_num = np.abs(cnt * n_tot - g_vec[None, :] * n_c[:, None]) \
+        .sum(axis=1)
+    out = pd.DataFrame({
+        "ubucket": piv.index.get_level_values(0).astype("int64"),
+        "hod": piv.index.get_level_values(1).astype("int64"),
+        "n_rows": n_c, "tvd_num": tvd_num,
+        "key": tvd_num.astype(np.float64) / n_c.astype(np.float64)})
+    out = out.sort_values(["key", "ubucket", "hod"],
+                          ascending=[False, True, True]).head(top)
+    out["tvd"] = np.round(
+        out["tvd_num"].to_numpy(np.float64)
+        / (2.0 * out["n_rows"].to_numpy(np.float64) * float(n_tot)),
+        6)
+    return out.drop(columns=["key"]) \
+        .astype({"ubucket": "int64", "hod": "int64",
+                 "n_rows": "int64", "tvd_num": "int64"}) \
+        .reset_index(drop=True)
+
+
+def q_doc_langid_kappa(sf_dir: str):
+    """Cohen's kappa (Cohen '60) between the engine's stopword-profile
+    language ID and the corpus's labeled lang column — the standard
+    annotator-agreement audit of a labeling pipeline. Exact integers
+    end to end: kappa = (N·Σn_kk − Σr_k·c_k)/(N² − Σr_k·c_k) is one
+    final divide of exact integer sums from the label-vocabulary-
+    bounded confusion matrix (one distributed join + one combiner
+    pass). Output also carries the raw agreement and chance terms."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.ops.textstats import run_langid
+    from jerex_ray.runtime import read_parquet_sized, \
+        shuffle_partitions
+    configure_data_context()
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+    pred = run_langid(docs.drop_columns(["lang"])).materialize()
+    truth = docs.drop_columns(["text"]).materialize()
+    j = pred.join(truth, join_type="inner",
+                  num_partitions=shuffle_partitions(8),
+                  on=("doc_id",))
+    conf = grouped_aggregate(j, ["lang", "lang_pred"],
+                             {"n": (None, "count")},
+                             result_hint="small").to_pandas()
+    n_tot = int(conf["n"].sum())
+    agree = int(conf.loc[conf["lang"] == conf["lang_pred"],
+                         "n"].sum())
+    rs = conf.groupby("lang")["n"].sum()
+    cs = conf.groupby("lang_pred")["n"].sum()
+    labels = sorted(set(rs.index) | set(cs.index))
+    chance = sum(int(rs.get(lb, 0)) * int(cs.get(lb, 0))
+                 for lb in labels)
+    kappa = float(n_tot * agree - chance) \
+        / float(n_tot * n_tot - chance)
+    return pd.DataFrame({
+        "n_docs": [np.int64(n_tot)],
+        "n_agree": [np.int64(agree)],
+        "chance_cross": [np.int64(chance)],
+        "kappa": [round(kappa, 6)]})
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -10988,6 +11088,8 @@ def build_queries() -> dict:
         "q_events_butterflies": q_events_butterflies,
         "q_events_shapley": q_events_shapley,
         "q_part_walks": q_part_walks,
+        "q_events_tcloseness": q_events_tcloseness,
+        "q_doc_langid_kappa": q_doc_langid_kappa,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -11922,6 +12024,62 @@ def build_oracle_sql() -> dict:
     oracles["q_events_dtw"] = _dtw_oracle_sql(n=24)
     oracles["q_part_katz"] = _katz_oracle_sql(iters=4, denom=4)
     oracles["q_part_walks"] = _walks_oracle_sql(walks=2, length=3)
+    oracles["q_events_tcloseness"] = """
+        WITH cells AS MATERIALIZED (
+            SELECT user_id // 10 AS ubucket,
+                   (epoch_us(ts) // 3600000000) % 24 AS hod,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2, 3),
+        g AS MATERIALIZED (
+            SELECT event_type, SUM(n) AS gn FROM cells GROUP BY 1),
+        nt AS (SELECT SUM(gn) AS n_tot FROM g),
+        cls AS MATERIALIZED (
+            SELECT ubucket, hod, SUM(n) AS n_c
+            FROM cells GROUP BY 1, 2),
+        grid AS (
+            SELECT cls.ubucket, cls.hod, cls.n_c, g.gn,
+                   coalesce(c.n, 0) AS n
+            FROM cls CROSS JOIN g
+            LEFT JOIN cells c ON c.ubucket = cls.ubucket
+                             AND c.hod = cls.hod
+                             AND c.event_type = g.event_type),
+        tv AS (
+            SELECT ubucket, hod, any_value(n_c) AS n_c,
+                   SUM(abs(n * (SELECT n_tot FROM nt) - gn * n_c))
+                       AS tvd_num
+            FROM grid GROUP BY 1, 2)
+        SELECT ubucket, hod, CAST(n_c AS BIGINT) AS n_rows,
+               CAST(tvd_num AS BIGINT) AS tvd_num,
+               round(CAST(tvd_num AS DOUBLE)
+                     / (2.0 * n_c * (SELECT n_tot FROM nt)), 6)
+                   AS tvd
+        FROM tv
+        ORDER BY CAST(tvd_num AS DOUBLE) / n_c DESC, ubucket, hod
+        LIMIT 10"""
+    oracles["q_doc_langid_kappa"] = f"""
+        WITH lp AS MATERIALIZED ({oracles["doc_langid"]}),
+        j AS (SELECT d.lang, lp.lang_pred
+              FROM documents d JOIN lp USING (doc_id)),
+        conf AS (SELECT lang, lang_pred, count(*) AS n
+                 FROM j GROUP BY 1, 2),
+        agg AS (SELECT SUM(n) AS n_tot,
+                       SUM(CASE WHEN lang = lang_pred
+                                THEN n ELSE 0 END) AS agree
+                FROM conf),
+        rs AS (SELECT lang AS lb, SUM(n) AS r FROM conf GROUP BY 1),
+        cs AS (SELECT lang_pred AS lb, SUM(n) AS c
+               FROM conf GROUP BY 1),
+        ch AS (SELECT SUM(coalesce(rs.r, 0) * coalesce(cs.c, 0))
+                   AS chance
+               FROM rs FULL JOIN cs USING (lb))
+        SELECT CAST(agg.n_tot AS BIGINT) AS n_docs,
+               CAST(agg.agree AS BIGINT) AS n_agree,
+               CAST(ch.chance AS BIGINT) AS chance_cross,
+               round(CAST(agg.n_tot * agg.agree - ch.chance
+                          AS DOUBLE)
+                     / (agg.n_tot * agg.n_tot - ch.chance), 6)
+                   AS kappa
+        FROM agg, ch"""
     oracles["q_events_viterbi"] = _viterbi_oracle_sql(steps=4)
     oracles["q_lineitem_hilbert"] = _hilbert_oracle_sql(
         cols=("l_partkey", "l_suppkey"), nbuckets=64, bits=16)

@@ -2470,3 +2470,57 @@ def test_walks_serial_parity_and_validity():
         for s in range(1, 4):
             a, b = path[s - 1], path[s]
             assert (min(a, b), max(a, b)) in edges
+
+
+def test_tcloseness_serial_parity():
+    from jerex_ray.pipelines.queries import q_events_tcloseness
+    out = q_events_tcloseness(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type"]) \
+        .to_pandas()
+    ev["ubucket"] = ev["user_id"] // 10
+    ev["hod"] = (ev["ts"].astype("datetime64[us]").astype("int64")
+                 // 3_600_000_000) % 24
+    glob = ev.groupby("event_type").size()
+    types = sorted(glob.index)
+    n_tot = len(ev)
+    rows = []
+    for (ub, hd), g in ev.groupby(["ubucket", "hod"]):
+        cnt = g.groupby("event_type").size() \
+            .reindex(types, fill_value=0)
+        n_c = len(g)
+        num = int(sum(abs(int(cnt[t]) * n_tot
+                          - int(glob[t]) * n_c) for t in types))
+        rows.append((ub, hd, n_c, num, num / n_c))
+    rows.sort(key=lambda t: (-t[4], t[0], t[1]))
+    exp = [(int(a), int(b), int(c), int(d),
+            round(d / (2.0 * c * n_tot), 6))
+           for a, b, c, d, _ in rows[:10]]
+    got = [(int(r["ubucket"]), int(r["hod"]), int(r["n_rows"]),
+            int(r["tvd_num"]), float(r["tvd"]))
+           for _, r in out.iterrows()]
+    assert got == exp
+    # tvd is a distance in [0, 1]
+    assert ((out["tvd"] >= 0) & (out["tvd"] <= 1)).all()
+
+
+def test_langid_kappa_serial_parity():
+    from jerex_ray.pipelines.queries import q_doc_langid_kappa, \
+        doc_langid
+    out = q_doc_langid_kappa(SF).iloc[0]
+    pred = doc_langid(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    j = pred.merge(docs, on="doc_id")
+    n = len(j)
+    agree = int((j["lang"] == j["lang_pred"]).sum())
+    rs = j.groupby("lang").size()
+    cs = j.groupby("lang_pred").size()
+    labels = sorted(set(rs.index) | set(cs.index))
+    chance = sum(int(rs.get(lb, 0)) * int(cs.get(lb, 0))
+                 for lb in labels)
+    assert int(out["n_docs"]) == n
+    assert int(out["n_agree"]) == agree
+    assert int(out["chance_cross"]) == chance
+    assert float(out["kappa"]) == round(
+        float(n * agree - chance) / float(n * n - chance), 6)
