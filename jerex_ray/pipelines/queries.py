@@ -10951,6 +10951,138 @@ def q_doc_langid_kappa(sf_dir: str):
         "kappa": [round(kappa, 6)]})
 
 
+def q_events_mondrian(sf_dir: str, *, levels: int = 3):
+    """Mondrian multidimensional k-anonymization (LeFevre et al.
+    '06) over the (user-bucket, hour-of-day) QI space — the actual
+    GENERALIZATION operator, not just the audit: recursive
+    median-split partitioning, at each level splitting every region
+    with ≥ 2k rows on its widest dimension (ties → user-bucket) at
+    the weighted lower median, keeping the split only if both halves
+    hold ≥ k rows. k = N//16 + 1 (data-proportional, computed
+    identically on both engines). Both QI dims are vocabulary-bounded
+    so ONE combiner pass reduces the corpus to the joint histogram
+    and the whole recursion is exact integer arithmetic on that
+    metadata-sized table; the generated per-level SQL oracle replays
+    every split decision bit-for-bit. Output: final regions with
+    row counts and generalized ranges."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def qi(df: pd.DataFrame) -> pd.DataFrame:
+        hod = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 3_600_000_000) % 24
+        return pd.DataFrame({
+            "ub": df["user_id"].to_numpy(np.int64) // 10,
+            "hod": hod.to_numpy(np.int64),
+            "w": 1}).groupby(["ub", "hod"],
+                             sort=False).sum().reset_index()
+
+    hist = grouped_aggregate(
+        ds.map_batches(qi, batch_format="pandas", batch_size=8192),
+        ["ub", "hod"], {"w": ("w", "sum")},
+        result_hint="small").to_pandas().reset_index(drop=True)
+    n_total = int(hist["w"].sum())
+    k = n_total // 16 + 1
+    region = np.zeros(len(hist), dtype=np.int64)
+    for _ in range(levels):
+        new_region = region * 2
+        for r in np.unique(region):
+            idx = np.flatnonzero(region == r)
+            sub = hist.iloc[idx]
+            n = int(sub["w"].sum())
+            if n < 2 * k:
+                continue
+            rng_ub = int(sub["ub"].max()) - int(sub["ub"].min())
+            rng_hod = int(sub["hod"].max()) - int(sub["hod"].min())
+            dim = "ub" if rng_ub >= rng_hod else "hod"
+            marg = sub.groupby(dim)["w"].sum().sort_index()
+            cw = marg.cumsum().to_numpy()
+            med = int(marg.index[int(np.argmax(cw >= (n + 1) // 2))])
+            right = sub[dim].to_numpy(np.int64) > med
+            nl = n - int(sub["w"].to_numpy(np.int64)[right].sum())
+            if nl >= k and n - nl >= k:
+                new_region[idx] = r * 2 + right.astype(np.int64)
+        region = new_region
+    hist = hist.assign(region=region)
+    out = hist.groupby("region").agg(
+        n=("w", "sum"), ub_min=("ub", "min"), ub_max=("ub", "max"),
+        hod_min=("hod", "min"), hod_max=("hod", "max")) \
+        .reset_index().sort_values("region").reset_index(drop=True)
+    # every surviving region honors k-anonymity
+    assert (out["n"] >= k).all()
+    return out.astype("int64")
+
+
+def _mondrian_oracle_sql(levels: int = 3) -> str:
+    """Generated per-level replay of ``q_events_mondrian``: h{l}
+    carries (ub, hod, w, r); each level derives per-region ranges,
+    weighted lower medians of both dims, the widest-dim choice, the
+    both-halves-≥k gate, and the child region codes."""
+    sql = """
+        WITH h0 AS MATERIALIZED (
+            SELECT user_id // 10 AS ub,
+                   (epoch_us(ts) // 3600000000) % 24 AS hod,
+                   count(*) AS w, CAST(0 AS BIGINT) AS r
+            FROM events GROUP BY 1, 2),
+        kk AS (SELECT SUM(w) // 16 + 1 AS k FROM h0)"""
+    for lv in range(levels):
+        sql += f""",
+        t{lv} AS MATERIALIZED (
+            SELECT r, SUM(w) AS n, max(ub) - min(ub) AS rub,
+                   max(hod) - min(hod) AS rhd
+            FROM h{lv} GROUP BY r),
+        cu{lv} AS (SELECT r, ub AS v, SUM(w) AS wv
+                   FROM h{lv} GROUP BY r, ub),
+        cc{lv} AS (SELECT r, v, SUM(wv) OVER (
+                       PARTITION BY r ORDER BY v) AS cw
+                   FROM cu{lv}),
+        mu{lv} AS (SELECT cc.r, min(v) AS med
+                   FROM cc{lv} cc JOIN t{lv} t ON t.r = cc.r
+                   WHERE cc.cw >= (t.n + 1) // 2 GROUP BY cc.r),
+        du{lv} AS (SELECT r, hod AS v, SUM(w) AS wv
+                   FROM h{lv} GROUP BY r, hod),
+        dc{lv} AS (SELECT r, v, SUM(wv) OVER (
+                       PARTITION BY r ORDER BY v) AS cw
+                   FROM du{lv}),
+        mh{lv} AS (SELECT dc.r, min(v) AS med
+                   FROM dc{lv} dc JOIN t{lv} t ON t.r = dc.r
+                   WHERE dc.cw >= (t.n + 1) // 2 GROUP BY dc.r),
+        d{lv} AS MATERIALIZED (
+            SELECT t.r, t.n,
+                   CASE WHEN t.rub >= t.rhd THEN 0 ELSE 1 END AS dim,
+                   CASE WHEN t.rub >= t.rhd
+                        THEN mu.med ELSE mh.med END AS med
+            FROM t{lv} t
+            JOIN mu{lv} mu ON mu.r = t.r
+            JOIN mh{lv} mh ON mh.r = t.r),
+        nl{lv} AS (SELECT h.r, SUM(h.w) AS nl
+                   FROM h{lv} h JOIN d{lv} d ON d.r = h.r
+                   WHERE (d.dim = 0 AND h.ub <= d.med)
+                      OR (d.dim = 1 AND h.hod <= d.med)
+                   GROUP BY h.r),
+        s{lv} AS MATERIALIZED (
+            SELECT d.r, d.dim, d.med,
+                   (d.n >= 2 * (SELECT k FROM kk)
+                    AND nl.nl >= (SELECT k FROM kk)
+                    AND d.n - nl.nl >= (SELECT k FROM kk)) AS split
+            FROM d{lv} d JOIN nl{lv} nl ON nl.r = d.r),
+        h{lv + 1} AS MATERIALIZED (
+            SELECT h.ub, h.hod, h.w,
+                   h.r * 2 + CASE WHEN s.split AND (
+                       (s.dim = 0 AND h.ub > s.med)
+                       OR (s.dim = 1 AND h.hod > s.med))
+                       THEN 1 ELSE 0 END AS r
+            FROM h{lv} h JOIN s{lv} s ON s.r = h.r)"""
+    return sql + f"""
+        SELECT r AS region, CAST(SUM(w) AS BIGINT) AS n,
+               min(ub) AS ub_min, max(ub) AS ub_max,
+               min(hod) AS hod_min, max(hod) AS hod_max
+        FROM h{levels} GROUP BY r ORDER BY r"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -11090,6 +11222,7 @@ def build_queries() -> dict:
         "q_part_walks": q_part_walks,
         "q_events_tcloseness": q_events_tcloseness,
         "q_doc_langid_kappa": q_doc_langid_kappa,
+        "q_events_mondrian": q_events_mondrian,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -12024,6 +12157,7 @@ def build_oracle_sql() -> dict:
     oracles["q_events_dtw"] = _dtw_oracle_sql(n=24)
     oracles["q_part_katz"] = _katz_oracle_sql(iters=4, denom=4)
     oracles["q_part_walks"] = _walks_oracle_sql(walks=2, length=3)
+    oracles["q_events_mondrian"] = _mondrian_oracle_sql(levels=3)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

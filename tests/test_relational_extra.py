@@ -2524,3 +2524,46 @@ def test_langid_kappa_serial_parity():
     assert int(out["chance_cross"]) == chance
     assert float(out["kappa"]) == round(
         float(n * agree - chance) / float(n * n - chance), 6)
+
+
+def test_mondrian_serial_parity_and_k_guarantee():
+    from jerex_ray.pipelines.queries import q_events_mondrian
+    out = q_events_mondrian(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ub = (ev["user_id"] // 10).to_numpy()
+    hod = ((ev["ts"].astype("datetime64[us]").astype("int64")
+            // 3_600_000_000) % 24).to_numpy()
+    df = pd.DataFrame({"ub": ub, "hod": hod})
+    n_total = len(df)
+    k = n_total // 16 + 1
+    df["r"] = 0
+    for _ in range(3):
+        nr = df["r"] * 2
+        for r in sorted(df["r"].unique()):
+            m = df["r"] == r
+            sub = df[m]
+            n = len(sub)
+            if n < 2 * k:
+                continue
+            dim = "ub" if (sub["ub"].max() - sub["ub"].min()
+                           >= sub["hod"].max() - sub["hod"].min()) \
+                else "hod"
+            vals = np.sort(sub[dim].to_numpy())
+            med = int(vals[(n + 1) // 2 - 1])
+            right = sub[dim] > med
+            nl = int((~right).sum())
+            if nl >= k and n - nl >= k:
+                nr.loc[m] = r * 2 + right.astype(int)
+        df["r"] = nr
+    exp = df.groupby("r").agg(
+        n=("ub", "size"), ub_min=("ub", "min"), ub_max=("ub", "max"),
+        hod_min=("hod", "min"), hod_max=("hod", "max")) \
+        .reset_index().rename(columns={"r": "region"}) \
+        .sort_values("region").reset_index(drop=True)
+    got = out.astype("int64")
+    assert got.values.tolist() == exp.astype("int64").values.tolist()
+    # the k-anonymity guarantee on every emitted region
+    assert (out["n"] >= k).all()
+    # regions partition the corpus exactly
+    assert int(out["n"].sum()) == n_total
