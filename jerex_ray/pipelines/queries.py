@@ -11083,6 +11083,135 @@ def _mondrian_oracle_sql(levels: int = 3) -> str:
         FROM h{levels} GROUP BY r ORDER BY r"""
 
 
+def q_events_voptimal(sf_dir: str, *, buckets: int = 4):
+    """V-optimal-style histogram construction (Jagadish et al. '98's
+    DP shape — the optimizer-statistics bucketing primitive):
+    partition the 24-point hour-of-day count series into 4 contiguous
+    buckets minimizing the COUNT-WEIGHTED SSE, scaled integer form
+    len·Σy² − (Σy)² per segment so the whole DP is exact integer
+    arithmetic (no float compare anywhere); ties take the smallest
+    split. ONE vocabulary-bounded combiner pass reduces the corpus to
+    24 rows; the B×24 DP runs on the driver and the generated SQL
+    stage oracle replays costs, argmins, and the backtracked bucket
+    boundaries bit-for-bit."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hod = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 3_600_000_000) % 24
+        v, c = np.unique(hod.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"hod": v, "y": c.astype(np.int64)})
+
+    h = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        ["hod"], {"y": ("y", "sum")},
+        result_hint="small").to_pandas().sort_values("hod")
+    y = np.zeros(24, dtype=object)
+    y[h["hod"].to_numpy(np.int64)] = [int(v) for v in h["y"]]
+    ps = np.concatenate([[0], np.cumsum(y)])          # prefix sums
+    ps2 = np.concatenate([[0], np.cumsum([v * v for v in y])])
+
+    def seg(i: int, j: int) -> int:                  # 1-indexed incl
+        n = j - i + 1
+        s = int(ps[j] - ps[i - 1])
+        ss = int(ps2[j] - ps2[i - 1])
+        return n * ss - s * s
+
+    INF = 1 << 62
+    cost = [[INF] * 25 for _ in range(buckets + 1)]
+    best = [[0] * 25 for _ in range(buckets + 1)]
+    for i in range(1, 25):
+        cost[1][i] = seg(1, i)
+    for b in range(2, buckets + 1):
+        for i in range(b, 25):
+            bc, bj = INF, 0
+            for j in range(b - 1, i):
+                c = cost[b - 1][j] + seg(j + 1, i)
+                if c < bc:
+                    bc, bj = c, j
+            cost[b][i], best[b][i] = bc, bj
+    bounds = [24]
+    for b in range(buckets, 1, -1):
+        bounds.append(best[b][bounds[-1]])
+    bounds.append(0)
+    bounds = bounds[::-1]                            # 0, j1, .., 24
+    rows = []
+    for b in range(buckets):
+        i, j = bounds[b] + 1, bounds[b + 1]
+        rows.append((b + 1, i - 1, j - 1, j - i + 1, seg(i, j)))
+    return pd.DataFrame(rows, columns=[
+        "bucket", "h_start", "h_end", "n_hours", "sse_scaled"]) \
+        .astype("int64")
+
+
+def _voptimal_oracle_sql(buckets: int = 4) -> str:
+    """Generated DP replay of ``q_events_voptimal``: prefix sums over
+    the padded 24-hour grid, seg cost as a pure integer expression,
+    one CTE per bucket level keeping the (cost ASC, split ASC)
+    row_number-1 candidate per endpoint, then backtracked bounds."""
+    sql = """
+        WITH hrs AS (SELECT unnest(range(24)) AS h),
+        raw AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS h,
+                       count(*) AS y
+                FROM events GROUP BY 1),
+        grid AS MATERIALIZED (
+            SELECT hrs.h + 1 AS i, coalesce(raw.y, 0) AS y
+            FROM hrs LEFT JOIN raw ON raw.h = hrs.h),
+        pre AS MATERIALIZED (
+            SELECT i, y,
+                   SUM(y) OVER (ORDER BY i) AS s,
+                   SUM(y * y) OVER (ORDER BY i) AS s2
+            FROM grid),
+        pre0 AS MATERIALIZED (
+            SELECT i, s, s2 FROM pre
+            UNION ALL SELECT 0, 0, 0),
+        segc AS MATERIALIZED (
+            SELECT lo.i + 1 AS i, hi.i AS j,
+                   (hi.i - lo.i) * (hi.s2 - lo.s2)
+                   - (hi.s - lo.s) * (hi.s - lo.s) AS c
+            FROM pre0 lo JOIN pre0 hi ON lo.i < hi.i),
+        c1 AS MATERIALIZED (
+            SELECT j AS i, c AS cost, 0 AS bj
+            FROM segc WHERE i = 1)"""
+    for b in range(2, buckets + 1):
+        sql += f""",
+        c{b} AS MATERIALIZED (
+            SELECT i, cost, bj FROM (
+                SELECT s.j AS i, p.cost + s.c AS cost, p.i AS bj,
+                       row_number() OVER (
+                           PARTITION BY s.j
+                           ORDER BY p.cost + s.c ASC, p.i ASC) AS rn
+                FROM c{b - 1} p JOIN segc s ON s.i = p.i + 1
+                WHERE p.i >= {b - 1})
+            WHERE rn = 1)"""
+    # backtrack the bounds b{buckets}..b1 (b{k} = end of bucket k)
+    sql += f""",
+        bt{buckets} AS (SELECT CAST(24 AS BIGINT) AS e)"""
+    for b in range(buckets, 1, -1):
+        sql += f""",
+        bt{b - 1} AS (SELECT c{b}.bj AS e
+                      FROM c{b}, bt{b} WHERE c{b}.i = bt{b}.e)"""
+    sql += """,
+        bt0 AS (SELECT CAST(0 AS BIGINT) AS e)"""
+    parts = []
+    for b in range(1, buckets + 1):
+        parts.append(f"""
+            SELECT CAST({b} AS BIGINT) AS bucket,
+                   CAST(lo.e AS BIGINT) AS h_start,
+                   CAST(hi.e - 1 AS BIGINT) AS h_end,
+                   CAST(hi.e - lo.e AS BIGINT) AS n_hours,
+                   CAST(s.c AS BIGINT) AS sse_scaled
+            FROM bt{b - 1} lo CROSS JOIN bt{b} hi
+            JOIN segc s ON s.i = lo.e + 1 AND s.j = hi.e""")
+    return sql + "\nSELECT * FROM (" \
+        + "\nUNION ALL ".join(parts) + ") ORDER BY bucket"
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -11223,6 +11352,7 @@ def build_queries() -> dict:
         "q_events_tcloseness": q_events_tcloseness,
         "q_doc_langid_kappa": q_doc_langid_kappa,
         "q_events_mondrian": q_events_mondrian,
+        "q_events_voptimal": q_events_voptimal,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -12158,6 +12288,7 @@ def build_oracle_sql() -> dict:
     oracles["q_part_katz"] = _katz_oracle_sql(iters=4, denom=4)
     oracles["q_part_walks"] = _walks_oracle_sql(walks=2, length=3)
     oracles["q_events_mondrian"] = _mondrian_oracle_sql(levels=3)
+    oracles["q_events_voptimal"] = _voptimal_oracle_sql(buckets=4)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -2567,3 +2567,41 @@ def test_mondrian_serial_parity_and_k_guarantee():
     assert (out["n"] >= k).all()
     # regions partition the corpus exactly
     assert int(out["n"].sum()) == n_total
+
+
+def test_voptimal_serial_parity_and_optimality():
+    import itertools
+    from jerex_ray.pipelines.queries import q_events_voptimal
+    out = q_events_voptimal(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts"]).to_pandas()
+    hod = ((ev["ts"].astype("datetime64[us]").astype("int64")
+            // 3_600_000_000) % 24).to_numpy()
+    y = np.bincount(hod, minlength=24).astype(object)
+
+    def seg(i, j):           # 0-indexed inclusive hours
+        w = y[i:j + 1]
+        n = len(w)
+        s = int(sum(w))
+        ss = int(sum(v * v for v in w))
+        return n * ss - s * s
+
+    # brute force over all 3-split placements: the DP must be optimal
+    best_cost, best_bounds = None, None
+    for a, b, c in itertools.combinations(range(1, 24), 3):
+        cost = (seg(0, a - 1) + seg(a, b - 1) + seg(b, c - 1)
+                + seg(c, 23))
+        key = (cost, (a, b, c))
+        if best_cost is None or key < (best_cost, best_bounds):
+            best_cost, best_bounds = cost, (a, b, c)
+    got_cost = int(out["sse_scaled"].sum())
+    assert got_cost == best_cost
+    a, b, c = best_bounds
+    exp_rows = [(1, 0, a - 1, a, seg(0, a - 1)),
+                (2, a, b - 1, b - a, seg(a, b - 1)),
+                (3, b, c - 1, c - b, seg(b, c - 1)),
+                (4, c, 23, 24 - c, seg(c, 23))]
+    got = [tuple(int(v) for v in r) for r in out.to_numpy()]
+    assert got == exp_rows
+    # buckets tile the 24 hours exactly
+    assert int(out["n_hours"].sum()) == 24
