@@ -1814,3 +1814,136 @@ def deterministic_walks(edges_ds, *, src: str = "a", dst: str = "b",
         .astype("int64")
     return out.sort_values(["start", "walk", "step"]) \
         .reset_index(drop=True)
+
+
+def boruvka_mst(edges_ds, *, src: str = "a", dst: str = "b",
+                weight: str = "w",
+                max_rounds: int = 8) -> pd.DataFrame:
+    """Minimum spanning forest by synchronized Borůvka rounds
+    (Borůvka 1926 — the log-round component-hooking MST algorithm
+    that parallel/distributed engines actually run, cf. GHS '83).
+    The effective edge weight is the lexicographic key
+    ``(w, a, b)`` — a strict total order, so the MSF is UNIQUE and
+    equal to Kruskal's under the same key (classic distinct-weights
+    uniqueness argument), which is what lets both a serial-Kruskal
+    pytest and a round-replay SQL oracle pin the exact edge set.
+
+    Dataflow per round (≤ ⌈log₂ n⌉ rounds total):
+
+    * the node-bounded component labeling rides the object store via
+      one ``ray.put``; ONE streaming pass over the (never-moving)
+      edge Dataset maps endpoints to components, keeps cross edges,
+      and emits per-component lexmin PARTIALS per block — the
+      combiner shape, nothing edge-sized ever reaches the driver;
+    * the driver reduces the (components × blocks)-bounded partials
+      to each component's true minimum outgoing edge, dedupes the
+      chosen set (an edge picked from both sides joins once), and
+      contracts: hook edges between components close under a
+      min-label union-find on the component-bounded table;
+    * chosen edges are recorded with their round — the round replay
+      is part of the oracle contract.
+
+    Empty cross-edge set = the forest is complete. Raises past
+    ``max_rounds`` (an unfinished contraction is NOT a spanning
+    forest — the loud-cap contract of ``ktruss``). Returns
+    (a, b, w, round) sorted by (a, b); per component the edge count
+    is n_nodes − 1 (pytest-pinned)."""
+    import ray
+
+    cols = [src, dst, weight]
+    EMPTY = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "w": pd.Series(dtype="int64"),
+                          "round": pd.Series(dtype="int64")})
+
+    edges = edges_ds.materialize()
+    nodes_df = edges.map_batches(
+        lambda df: pd.DataFrame({"u": np.unique(np.r_[
+            df[src].to_numpy(np.int64), df[dst].to_numpy(np.int64)])})
+        if src in df.columns and len(df) else
+        pd.DataFrame({"u": pd.Series(dtype="int64")}),
+        batch_format="pandas").to_pandas()
+    if nodes_df.empty or "u" not in nodes_df.columns:
+        return EMPTY
+    nodes = np.unique(nodes_df["u"].to_numpy(np.int64))
+    comp = dict(zip((int(u) for u in nodes), (int(u) for u in nodes)))
+
+    chosen_rounds: list[pd.DataFrame] = []
+    converged = None
+    for rnd in range(1, max_rounds + 1):
+        ref = ray.put(comp)
+
+        def partial_min(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "c": pd.Series(dtype="int64"),
+                "w": pd.Series(dtype="int64"),
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "ca": pd.Series(dtype="int64"),
+                "cb": pd.Series(dtype="int64")})
+            if df.empty or src not in df.columns:
+                return empty
+            lab = ray.get(ref)
+            a = df[src].to_numpy(np.int64)
+            b = df[dst].to_numpy(np.int64)
+            w = df[weight].to_numpy(np.int64)
+            ca = pd.Series(a).map(lab).to_numpy(np.int64)
+            cb = pd.Series(b).map(lab).to_numpy(np.int64)
+            keep = ca != cb
+            if not keep.any():
+                return empty
+            base = pd.DataFrame({"w": w[keep], "a": a[keep],
+                                 "b": b[keep], "ca": ca[keep],
+                                 "cb": cb[keep]})
+            both = pd.concat([base.assign(c=base["ca"]),
+                              base.assign(c=base["cb"])],
+                             ignore_index=True)
+            both = both.sort_values(["c", "w", "a", "b"],
+                                    kind="mergesort")
+            return both.drop_duplicates("c")[
+                ["c", "w", "a", "b", "ca", "cb"]].reset_index(drop=True)
+
+        partials = edges.map_batches(
+            partial_min, batch_format="pandas").to_pandas()
+        if partials.empty or "c" not in partials.columns or \
+                not len(partials):
+            converged = rnd
+            break
+        best = partials.sort_values(["c", "w", "a", "b"],
+                                    kind="mergesort") \
+            .drop_duplicates("c")
+        chosen = best.drop_duplicates(["a", "b"]) \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        chosen_rounds.append(
+            chosen[["a", "b", "w"]].assign(round=np.int64(rnd)))
+
+        # contract: min-label union-find over the hook edges
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for ca_, cb_ in zip(chosen["ca"], chosen["cb"]):
+            ra, rb = find(int(ca_)), find(int(cb_))
+            if ra != rb:            # min label becomes the root
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        remap = {c: find(c) for c in set(parent)}
+        comp = {n: remap.get(c, c) for n, c in comp.items()}
+
+    if converged is None:
+        raise RuntimeError(
+            f"boruvka_mst: contraction incomplete after {max_rounds} "
+            "rounds — the edge set is NOT a spanning forest; raise "
+            "max_rounds")
+    if not chosen_rounds:
+        return EMPTY
+    out = pd.concat(chosen_rounds, ignore_index=True) \
+        .astype({"a": "int64", "b": "int64", "w": "int64",
+                 "round": "int64"})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

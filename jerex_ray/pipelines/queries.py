@@ -11212,6 +11212,113 @@ def _voptimal_oracle_sql(buckets: int = 4) -> str:
         + "\nUNION ALL ".join(parts) + ") ORDER BY bucket"
 
 
+def q_part_mst(sf_dir: str, *, oracle_rounds: int = 6,
+               min_cocount: int = 2):
+    """Minimum spanning forest of the repeat co-purchase graph by
+    synchronized Borůvka rounds (Borůvka 1926 / GHS '83 — the
+    log-round component-hooking MST every distributed engine runs;
+    ``ops/graph.boruvka_mst``). Edge weight = 1 + md5_64("a|b") % 97
+    (the SQL-replayable ``md5_hash64`` contract); the effective
+    weight is the STRICT total order (w, a, b), so the forest is
+    unique and equal to Kruskal's under the same key — pinned by a
+    serial-Kruskal pytest AND by the per-round CTE oracle, which
+    replays every component's minimum outgoing edge and the
+    min-label contraction closure. Per round: one streaming pass
+    over the never-moving edge Dataset with the node-bounded label
+    map broadcast via ``ray.put``; only (components × blocks)
+    lexmin partials reach the driver. Asserts convergence within
+    the oracle's unrolled depth (the ``q_part_sssp`` contract)."""
+    from jerex_ray.ops.graph import boruvka_mst
+    from jerex_ray.util import md5_hash64_batch
+    configure_data_context()
+    edges = _repeat_copurchase_edges(sf_dir, min_cocount=min_cocount)
+
+    def with_w(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "a" not in df.columns:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "w": pd.Series(dtype="int64")})
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        w = 1 + (md5_hash64_batch(
+            [f"{x}|{y}" for x, y in zip(a, b)]) % 97).astype(np.int64)
+        return pd.DataFrame({"a": a, "b": b, "w": w})
+
+    wedges = edges.map_batches(with_w, batch_format="pandas")
+    out = boruvka_mst(wedges, max_rounds=32)
+    if len(out):
+        rounds = int(out["round"].max())
+        assert rounds <= oracle_rounds, \
+            f"MST finished at round {rounds} > oracle depth " \
+            f"{oracle_rounds}"
+    return out
+
+
+def _mst_oracle_sql(rounds: int = 6, min_cocount: int = 2) -> str:
+    """Per-round Borůvka replay of ``q_part_mst``: the thresholded
+    co-purchase edge CTE with md5-derived weights, then per round a
+    cross-edge CTE under the current labeling, the per-component
+    rank-1 pick over both orientations ordered by the strict key
+    (w, a, b), the deduped chosen set, and the min-label contraction
+    via a recursive reachability closure over the hook edges. Any
+    unroll depth ≥ the engine's asserted convergence round yields
+    the identical (unique) forest."""
+    sql = f"""
+        WITH RECURSIVE inc AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+        e0 AS MATERIALIZED (
+            SELECT a.p AS a, b.p AS b
+            FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p HAVING count(*) >= {min_cocount}),
+        we AS MATERIALIZED (
+            SELECT a, b, CAST(1 + CAST('0x' || substr(md5(
+                       CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)),
+                       1, 16) AS UBIGINT) % 97 AS BIGINT) AS w
+            FROM e0),
+        lab1 AS MATERIALIZED (
+            SELECT u AS node, u AS c FROM (
+                SELECT a AS u FROM we UNION SELECT b FROM we))"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+        x{r} AS MATERIALIZED (
+            SELECT e.a, e.b, e.w, la.c AS ca, lb.c AS cb
+            FROM we e JOIN lab{r} la ON la.node = e.a
+                      JOIN lab{r} lb ON lb.node = e.b
+            WHERE la.c <> lb.c),
+        pick{r} AS MATERIALIZED (
+            SELECT a, b FROM (
+                SELECT c, a, b, row_number() OVER (
+                        PARTITION BY c ORDER BY w, a, b) AS rn
+                FROM (SELECT ca AS c, a, b, w FROM x{r}
+                      UNION ALL SELECT cb, a, b, w FROM x{r}))
+            WHERE rn = 1),
+        ch{r} AS MATERIALIZED (
+            SELECT DISTINCT x.a, x.b, x.w, x.ca, x.cb
+            FROM x{r} x JOIN (SELECT DISTINCT a, b FROM pick{r}) p
+                 ON p.a = x.a AND p.b = x.b),
+        hk{r} AS MATERIALIZED (
+            SELECT ca AS u, cb AS v FROM ch{r}
+            UNION SELECT cb, ca FROM ch{r}),
+        rc{r} AS (
+            SELECT u AS root, u AS node FROM (
+                SELECT DISTINCT u FROM hk{r})
+            UNION
+            SELECT rc{r}.root, h.v
+            FROM rc{r} JOIN hk{r} h ON h.u = rc{r}.node),
+        nl{r} AS MATERIALIZED (
+            SELECT root AS c, min(node) AS newc
+            FROM rc{r} GROUP BY root),
+        lab{r + 1} AS MATERIALIZED (
+            SELECT l.node, coalesce(n.newc, l.c) AS c
+            FROM lab{r} l LEFT JOIN nl{r} n ON n.c = l.c)"""
+    parts = [f"""
+        SELECT a, b, w, CAST({r} AS BIGINT) AS round FROM ch{r}"""
+             for r in range(1, rounds + 1)]
+    return sql + "\nSELECT * FROM (" \
+        + "\nUNION ALL ".join(parts) + ") ORDER BY a, b"
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -11353,6 +11460,7 @@ def build_queries() -> dict:
         "q_doc_langid_kappa": q_doc_langid_kappa,
         "q_events_mondrian": q_events_mondrian,
         "q_events_voptimal": q_events_voptimal,
+        "q_part_mst": q_part_mst,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -12289,6 +12397,7 @@ def build_oracle_sql() -> dict:
     oracles["q_part_walks"] = _walks_oracle_sql(walks=2, length=3)
     oracles["q_events_mondrian"] = _mondrian_oracle_sql(levels=3)
     oracles["q_events_voptimal"] = _voptimal_oracle_sql(buckets=4)
+    oracles["q_part_mst"] = _mst_oracle_sql(rounds=6, min_cocount=2)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -2605,3 +2605,41 @@ def test_voptimal_serial_parity_and_optimality():
     assert got == exp_rows
     # buckets tile the 24 hours exactly
     assert int(out["n_hours"].sum()) == 24
+
+
+def test_mst_kruskal_parity_and_forest_invariants():
+    from jerex_ray.pipelines.queries import (_repeat_copurchase_edges,
+                                             q_part_mst)
+    from jerex_ray.util import md5_hash64_batch
+    out = q_part_mst(SF)
+    edges = _repeat_copurchase_edges(SF).to_pandas()
+    a = edges["a"].to_numpy(np.int64)
+    b = edges["b"].to_numpy(np.int64)
+    w = 1 + (md5_hash64_batch(
+        [f"{x}|{y}" for x, y in zip(a, b)]) % 97).astype(np.int64)
+
+    # serial Kruskal under the identical strict key (w, a, b)
+    order = sorted(range(len(a)), key=lambda i: (w[i], a[i], b[i]))
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    kruskal = set()
+    for i in order:
+        ra, rb = find(int(a[i])), find(int(b[i]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            kruskal.add((int(a[i]), int(b[i]), int(w[i])))
+    got = set(map(tuple, out[["a", "b", "w"]].to_numpy()))
+    assert got == kruskal            # unique MSF under the strict key
+
+    # spanning-forest invariant: edges = nodes - components
+    nodes = set(map(int, a)) | set(map(int, b))
+    roots = {find(n) for n in nodes}
+    assert len(out) == len(nodes) - len(roots)
+    # every round is within the oracle's unrolled depth
+    assert int(out["round"].max()) <= 6
