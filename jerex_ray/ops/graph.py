@@ -1947,3 +1947,93 @@ def boruvka_mst(edges_ds, *, src: str = "a", dst: str = "b",
         .astype({"a": "int64", "b": "int64", "w": "int64",
                  "round": "int64"})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def scc_condensation(nodes, edges) -> pd.DataFrame:
+    """Strongly connected components + condensation layering of a
+    directed graph (iterative Tarjan '72). Driver-side by design —
+    callers feed it VOCABULARY-BOUNDED graphs (event-type flows,
+    state machines) whose node count is metadata-sized; corpus-scale
+    component problems go through the BSP grid in
+    ``functions/components.py`` instead.
+
+    Returns DataFrame[node, scc_id, scc_size, layer] sorted by node:
+    ``scc_id`` = lexicographically smallest member (deterministic),
+    ``layer`` = length of the longest condensation-DAG path ENDING
+    at the node's SCC (sources are 0) — computed in the reverse
+    topological order Tarjan emits for free."""
+    nodes = sorted(nodes)
+    adj: dict = {t: [] for t in nodes}
+    for u, v in edges:
+        adj[u].append(v)
+
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    sccs: list[list] = []
+    counter = [0]
+
+    def strongconnect(root) -> None:
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            nbrs = adj[v]
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            if work:
+                u = work[-1][0]
+                low[u] = min(low[u], low[v])
+
+    for t in nodes:
+        if t not in index:
+            strongconnect(t)
+
+    scc_of = {t: min(comp) for comp in sccs for t in comp}
+    size_of = {min(comp): len(comp) for comp in sccs}
+    cedges: set = set()
+    for u in nodes:
+        for v in adj[u]:
+            if scc_of[u] != scc_of[v]:
+                cedges.add((scc_of[u], scc_of[v]))
+    # Tarjan emits SCCs in REVERSE topological order of the
+    # condensation, so the forward sweep below sees every
+    # predecessor's final layer before extending it.
+    layer = {min(comp): 0 for comp in sccs}
+    for comp in reversed(sccs):
+        c = min(comp)
+        for (u, v) in cedges:
+            if u == c:
+                layer[v] = max(layer[v], layer[c] + 1)
+    return pd.DataFrame({
+        "node": nodes,
+        "scc_id": [scc_of[t] for t in nodes],
+        "scc_size": np.array([size_of[scc_of[t]] for t in nodes],
+                             dtype=np.int64),
+        "layer": np.array([layer[scc_of[t]] for t in nodes],
+                          dtype=np.int64),
+    }).sort_values("node").reset_index(drop=True)

@@ -11319,6 +11319,87 @@ def _mst_oracle_sql(rounds: int = 6, min_cocount: int = 2) -> str:
         + "\nUNION ALL ".join(parts) + ") ORDER BY a, b"
 
 
+def q_events_scc(sf_dir: str):
+    """Strongly connected components and condensation depth of the
+    DOMINANT-FLOW event-type graph (Tarjan '72 — the directed-graph
+    decomposition the rest of the graph family lacks): directed edge
+    u→v iff strictly more users transition u→v than v→u (ties and
+    self-loops drop, so the graph is an orientation of the type
+    tournament and SCCs are its dominance cycles). ONE per-user
+    co-location pass reduces the corpus to the |types|² transition
+    count table (``ops/windows.transition_matrix``'s combiner); the
+    SCC recursion and the condensation longest-path layering both
+    run driver-side on that metadata-sized table — the Viterbi/DTW
+    convention. Returns (etype, scc_id = lexicographically smallest
+    member, scc_size, layer = longest condensation path ENDING at
+    the SCC), all deterministic; the oracle replays reachability
+    with a recursive closure and mutual-reach min, and the layers
+    with a recursive path-length walk over the condensation DAG."""
+    from jerex_ray.ops.windows import transition_matrix
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    from jerex_ray.ops.graph import scc_condensation
+    tm = transition_matrix(ds, key="user_id", ts_col="ts",
+                           id_col="event_id", type_col="event_type")
+    types = sorted(set(tm["prev_type"]) | set(tm["next_type"]))
+    cnt = {(p, n): int(c) for p, n, c in
+           zip(tm["prev_type"], tm["next_type"], tm["cnt"])}
+    edges = [(p, n) for (p, n), c in cnt.items()
+             if p != n and c > cnt.get((n, p), 0)]
+    out = scc_condensation(types, edges)
+    return out.rename(columns={"node": "etype"})
+
+
+_SCC_ORACLE_SQL = """
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id) AS nxt
+        FROM events),
+    t AS MATERIALIZED (
+        SELECT event_type AS p, nxt AS n, count(*) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    nodes AS MATERIALIZED (
+        SELECT p AS t FROM t UNION SELECT n FROM t),
+    dom AS MATERIALIZED (
+        SELECT a.p AS u, a.n AS v
+        FROM t a LEFT JOIN t b ON b.p = a.n AND b.n = a.p
+        WHERE a.p <> a.n AND a.c > coalesce(b.c, 0)),
+    reach AS (
+        SELECT t AS src, t AS dst FROM nodes
+        UNION
+        SELECT reach.src, dom.v
+        FROM reach JOIN dom ON dom.u = reach.dst),
+    scc AS MATERIALIZED (
+        SELECT a.src AS t, min(a.dst) AS scc_id
+        FROM reach a JOIN reach b
+             ON a.dst = b.src AND b.dst = a.src
+        GROUP BY a.src),
+    sz AS (SELECT scc_id, count(*) AS scc_size
+           FROM scc GROUP BY scc_id),
+    ced AS MATERIALIZED (
+        SELECT DISTINCT su.scc_id AS u, sv.scc_id AS v
+        FROM dom JOIN scc su ON su.t = dom.u
+                 JOIN scc sv ON sv.t = dom.v
+        WHERE su.scc_id <> sv.scc_id),
+    lp AS (
+        SELECT scc_id AS c, 0 AS l FROM sz
+        UNION
+        SELECT ced.v, lp.l + 1
+        FROM lp JOIN ced ON ced.u = lp.c),
+    lay AS (SELECT c, max(l) AS layer FROM lp GROUP BY c)
+    SELECT scc.t AS etype, scc.scc_id,
+           CAST(sz.scc_size AS BIGINT) AS scc_size,
+           CAST(lay.layer AS BIGINT) AS layer
+    FROM scc JOIN sz ON sz.scc_id = scc.scc_id
+             JOIN lay ON lay.c = scc.scc_id
+    ORDER BY etype"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -11461,6 +11542,7 @@ def build_queries() -> dict:
         "q_events_mondrian": q_events_mondrian,
         "q_events_voptimal": q_events_voptimal,
         "q_part_mst": q_part_mst,
+        "q_events_scc": q_events_scc,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -12398,6 +12480,7 @@ def build_oracle_sql() -> dict:
     oracles["q_events_mondrian"] = _mondrian_oracle_sql(levels=3)
     oracles["q_events_voptimal"] = _voptimal_oracle_sql(buckets=4)
     oracles["q_part_mst"] = _mst_oracle_sql(rounds=6, min_cocount=2)
+    oracles["q_events_scc"] = _SCC_ORACLE_SQL
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -2643,3 +2643,62 @@ def test_mst_kruskal_parity_and_forest_invariants():
     assert len(out) == len(nodes) - len(roots)
     # every round is within the oracle's unrolled depth
     assert int(out["round"].max()) <= 6
+
+
+def _scc_brute(nodes, edges):
+    """Mutual-reachability closure + longest condensation path."""
+    nodes = sorted(nodes)
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    R = np.eye(n, dtype=bool)
+    for u, v in edges:
+        R[idx[u], idx[v]] = True
+    for k in range(n):                       # Floyd-Warshall closure
+        R |= np.outer(R[:, k], R[k, :])
+    scc_of = {a: min(b for b in nodes
+                     if R[idx[a], idx[b]] and R[idx[b], idx[a]])
+              for a in nodes}
+    sizes = {}
+    for a in nodes:
+        sizes[scc_of[a]] = sizes.get(scc_of[a], 0) + 1
+    ced = {(scc_of[u], scc_of[v]) for u, v in edges
+           if scc_of[u] != scc_of[v]}
+    layer = dict.fromkeys(set(scc_of.values()), 0)
+    for _ in range(len(layer)):              # relax to fixpoint (DAG)
+        for u, v in ced:
+            layer[v] = max(layer[v], layer[u] + 1)
+    return {a: (scc_of[a], sizes[scc_of[a]], layer[scc_of[a]])
+            for a in nodes}
+
+
+def test_scc_condensation_planted_graphs_and_corpus():
+    from jerex_ray.pipelines.queries import q_events_scc
+    from jerex_ray.ops.graph import scc_condensation
+    cases = [
+        # two 3-cycles bridged into a DAG of SCCs, plus a sink chain
+        (list("abcdefgh"),
+         [("a", "b"), ("b", "c"), ("c", "a"),
+          ("c", "d"),
+          ("d", "e"), ("e", "f"), ("f", "d"),
+          ("f", "g"), ("g", "h")]),
+        # pure DAG: layers are path depths
+        (list("pqrst"),
+         [("p", "q"), ("q", "r"), ("p", "r"), ("r", "s"),
+          ("s", "t"), ("p", "t")]),
+        # one giant cycle + isolated node
+        (list("uvwxy"),
+         [("u", "v"), ("v", "w"), ("w", "x"), ("x", "u")]),
+        # empty edge set
+        (list("mn"), []),
+    ]
+    for nodes, edges in cases:
+        out = scc_condensation(nodes, edges)
+        exp = _scc_brute(nodes, edges)
+        got = {r.node: (r.scc_id, int(r.scc_size), int(r.layer))
+               for r in out.itertuples()}
+        assert got == exp, (nodes, edges)
+
+    # corpus run: partitions the type vocabulary exactly
+    out = q_events_scc(SF)
+    assert int(out.groupby("scc_id")["scc_size"].first().sum()) \
+        == len(out)
