@@ -11400,6 +11400,97 @@ _SCC_ORACLE_SQL = """
     ORDER BY etype"""
 
 
+def q_events_matrix_profile(sf_dir: str, *, m: int = 24):
+    """Matrix profile of the hourly event-count series (Yeh et al.
+    '16's all-pairs-similarity-search shape, kept EXACT): for every
+    length-``m`` window the nearest other window under the
+    UNNORMALIZED squared Euclidean distance — integer counts make
+    every distance an exact integer, so argmin decisions carry no
+    float hazard and the SQL oracle lands bit-for-bit. The standard
+    trivial-match exclusion zone |i−j| < m applies; ties take the
+    smallest neighbor index. Discord (max) and motif (min) rows of
+    this table are the anomaly/repetition audit.
+
+    Scale shape: ONE time-bounded combiner pass reduces the corpus
+    to the zero-filled hour grid; the O(n·m) distance work runs
+    driver-side on that metadata-sized series via one integer
+    Gram matmul of the sliding-window matrix (dist² = ssq_i + ssq_j
+    − 2·W_i·W_j) — the DTW/burst-DP convention."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["ts"].astype("datetime64[us]").astype("int64")
+             // 3_600_000_000)
+        v, c = np.unique(h.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"h": v, "y": c.astype(np.int64)})
+
+    g = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        ["h"], {"y": ("y", "sum")}, result_hint="small").to_pandas()
+    empty = pd.DataFrame({"w_start": pd.Series(dtype="int64"),
+                          "nn_start": pd.Series(dtype="int64"),
+                          "dist2": pd.Series(dtype="int64")})
+    if g.empty or "h" not in g.columns:
+        return empty
+    h0 = int(g["h"].min())
+    T = int(g["h"].max()) - h0 + 1
+    y = np.zeros(T, dtype=np.int64)
+    y[g["h"].to_numpy(np.int64) - h0] = g["y"].to_numpy(np.int64)
+    n = T - m + 1
+    if n < m + 1:            # no window has a non-trivial neighbor
+        return empty
+    W = np.lib.stride_tricks.sliding_window_view(y, m).astype(np.int64)
+    ssq = (W * W).sum(axis=1)
+    D = ssq[:, None] + ssq[None, :] - 2 * (W @ W.T)
+    ii = np.arange(n)
+    D[np.abs(ii[:, None] - ii[None, :]) < m] = np.iinfo(np.int64).max
+    nn = D.argmin(axis=1)          # first minimum = smallest j tie
+    return pd.DataFrame({
+        "w_start": ii.astype(np.int64),
+        "nn_start": nn.astype(np.int64),
+        "dist2": D[ii, nn].astype(np.int64)})
+
+
+def _matrix_profile_oracle_sql(m: int = 24) -> str:
+    """Replay of ``q_events_matrix_profile``: the zero-filled hour
+    grid, a starts × starts × k three-way join summing the exact
+    integer squared differences outside the |i−j| < m exclusion
+    zone, then the (dist2, j) rank-1 neighbor per window."""
+    return f"""
+        WITH b AS (SELECT min(epoch_us(ts) // 3600000000) AS h0,
+                          max(epoch_us(ts) // 3600000000) AS h1
+                   FROM events),
+        hrs AS (SELECT unnest(range(0, CAST(h1 - h0 + 1 AS BIGINT)))
+                       AS h FROM b),
+        raw AS (SELECT epoch_us(ts) // 3600000000
+                       - (SELECT h0 FROM b) AS h, count(*) AS y
+                FROM events GROUP BY 1),
+        grid AS MATERIALIZED (
+            SELECT hrs.h, coalesce(raw.y, 0) AS y
+            FROM hrs LEFT JOIN raw ON raw.h = hrs.h),
+        starts AS (SELECT h AS i FROM grid
+                   WHERE h <= (SELECT max(h) FROM grid) - {m - 1}),
+        d AS MATERIALIZED (
+            SELECT s1.i, s2.i AS j,
+                   sum((g1.y - g2.y) * (g1.y - g2.y)) AS d2
+            FROM starts s1 JOIN starts s2
+                 ON abs(s1.i - s2.i) >= {m}
+                 JOIN grid g1 ON g1.h >= s1.i AND g1.h < s1.i + {m}
+                 JOIN grid g2 ON g2.h = s2.i + (g1.h - s1.i)
+            GROUP BY s1.i, s2.i)
+        SELECT CAST(i AS BIGINT) AS w_start,
+               CAST(j AS BIGINT) AS nn_start,
+               CAST(d2 AS BIGINT) AS dist2
+        FROM (SELECT i, j, d2, row_number() OVER (
+                  PARTITION BY i ORDER BY d2, j) AS rn FROM d)
+        WHERE rn = 1 ORDER BY w_start"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -11543,6 +11634,7 @@ def build_queries() -> dict:
         "q_events_voptimal": q_events_voptimal,
         "q_part_mst": q_part_mst,
         "q_events_scc": q_events_scc,
+        "q_events_matrix_profile": q_events_matrix_profile,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -12481,6 +12573,7 @@ def build_oracle_sql() -> dict:
     oracles["q_events_voptimal"] = _voptimal_oracle_sql(buckets=4)
     oracles["q_part_mst"] = _mst_oracle_sql(rounds=6, min_cocount=2)
     oracles["q_events_scc"] = _SCC_ORACLE_SQL
+    oracles["q_events_matrix_profile"] = _matrix_profile_oracle_sql(m=24)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -2702,3 +2702,32 @@ def test_scc_condensation_planted_graphs_and_corpus():
     out = q_events_scc(SF)
     assert int(out.groupby("scc_id")["scc_size"].first().sum()) \
         == len(out)
+
+
+def test_matrix_profile_serial_parity_and_exclusion():
+    from jerex_ray.pipelines.queries import q_events_matrix_profile
+    m = 24
+    out = q_events_matrix_profile(SF, m=m)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts"]).to_pandas()
+    h = (ev["ts"].astype("datetime64[us]").astype("int64")
+         // 3_600_000_000).to_numpy()
+    h0 = int(h.min())
+    y = np.bincount(h - h0, minlength=int(h.max()) - h0 + 1) \
+        .astype(np.int64)
+    n = len(y) - m + 1
+    rows = {}
+    for i in range(n):                      # serial O(n^2 m) replay
+        best = None
+        for j in range(n):
+            if abs(i - j) < m:
+                continue
+            d = int(((y[i:i + m] - y[j:j + m]) ** 2).sum())
+            if best is None or (d, j) < best:
+                best = (d, j)
+        rows[i] = (best[1], best[0])
+    got = {int(r.w_start): (int(r.nn_start), int(r.dist2))
+           for r in out.itertuples()}
+    assert got == rows
+    # exclusion-zone invariant
+    assert (np.abs(out["w_start"] - out["nn_start"]) >= m).all()
