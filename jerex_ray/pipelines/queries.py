@@ -11491,6 +11491,158 @@ def _matrix_profile_oracle_sql(m: int = 24) -> str:
         WHERE rn = 1 ORDER BY w_start"""
 
 
+def q_events_emd(sf_dir: str):
+    """1-D Wasserstein / earth-mover's distance (Monge 1781; the
+    optimal-transport drift metric completing the KL/PSI/TVD/KS
+    distance family) between the hour-of-day profiles of the top-2
+    event types (count DESC, name ASC — the DTW pick): on the line
+    with unit bin spacing EMD = Σ_h |CDF_A(h) − CDF_B(h)|, kept
+    EXACT by cross-multiplying the integer cumulative counts
+    (Σ_h |cumA·n_B − cumB·n_A|, one final divide by n_A·n_B). ONE
+    vocabulary-bounded combiner pass crosses the cluster; the 24-bin
+    arithmetic runs on the driver."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "event_type": df["event_type"],
+            "h": df["ts"].dt.hour.astype("int64")})
+            .groupby(["event_type", "h"], sort=False)
+            .size().reset_index(name="c"))
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        ["event_type", "h"], {"c": ("c", "sum")},
+        result_hint="small").to_pandas()
+    tot = counts.groupby("event_type")["c"].sum().reset_index()
+    tot = tot.sort_values(["c", "event_type"],
+                          ascending=[False, True])
+    ta, tb = str(tot["event_type"].iloc[0]), \
+        str(tot["event_type"].iloc[1])
+
+    def profile(t: str) -> np.ndarray:
+        g = counts[counts["event_type"] == t]
+        y = np.zeros(24, dtype=np.int64)
+        y[g["h"].to_numpy(np.int64)] = g["c"].to_numpy(np.int64)
+        return y
+
+    a, b = profile(ta), profile(tb)
+    na, nb = int(a.sum()), int(b.sum())
+    ca, cb = np.cumsum(a), np.cumsum(b)
+    emd_scaled = int(np.abs(ca * nb - cb * na).sum())
+    return pd.DataFrame({
+        "type_a": [ta], "type_b": [tb],
+        "n_a": np.array([na], dtype=np.int64),
+        "n_b": np.array([nb], dtype=np.int64),
+        "emd_scaled": np.array([emd_scaled], dtype=np.int64),
+        "emd": [round(emd_scaled / (na * nb), 6)]})
+
+
+_EMD_ORACLE_SQL = """
+    WITH hc AS MATERIALIZED (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+               count(*) AS c
+        FROM events GROUP BY 1, 2),
+    top2 AS (SELECT event_type,
+                    row_number() OVER (ORDER BY sum(c) DESC,
+                                       event_type ASC) AS rk
+             FROM hc GROUP BY event_type QUALIFY rk <= 2),
+    hrs AS (SELECT unnest(range(24)) AS h),
+    grid AS MATERIALIZED (
+        SELECT t.rk, hrs.h, coalesce(hc.c, 0) AS c
+        FROM top2 t CROSS JOIN hrs
+        LEFT JOIN hc ON hc.event_type = t.event_type
+                    AND hc.h = hrs.h),
+    cum AS MATERIALIZED (
+        SELECT rk, h, SUM(c) OVER (PARTITION BY rk ORDER BY h)
+                      AS cs
+        FROM grid),
+    n AS (SELECT sum(CASE WHEN rk = 1 THEN c END) AS na,
+                 sum(CASE WHEN rk = 2 THEN c END) AS nb
+          FROM grid),
+    e AS (SELECT sum(abs(a.cs * n.nb - b.cs * n.na)) AS emd_scaled
+          FROM cum a JOIN cum b ON a.h = b.h
+                     AND a.rk = 1 AND b.rk = 2
+          CROSS JOIN n)
+    SELECT (SELECT event_type FROM top2 WHERE rk = 1) AS type_a,
+           (SELECT event_type FROM top2 WHERE rk = 2) AS type_b,
+           CAST(n.na AS BIGINT) AS n_a,
+           CAST(n.nb AS BIGINT) AS n_b,
+           CAST(e.emd_scaled AS BIGINT) AS emd_scaled,
+           round(e.emd_scaled / (n.na * n.nb * 1.0), 6) AS emd
+    FROM n CROSS JOIN e"""
+
+
+def doc_vocab_coverage(sf_dir: str):
+    """Species-richness and coverage estimators over the corpus
+    vocabulary: Chao1 richness (Chao '84, bias-corrected form
+    S + f1·(f1−1)/(2·(f2+1)) — defined even with no doubletons) and
+    Good-Turing unseen-mass estimate f1/N (Good '53) — the 'how much
+    vocabulary haven't we crawled yet' audit for corpus growth.
+    f1/f2 are singleton/doubleton counts from ONE distributed
+    word-count combiner pass; everything after is exact integer
+    arithmetic plus two final divides (identical expressions on both
+    engines)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"w": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        flat = np.concatenate([w for w in words.to_numpy() if w])
+        u, c = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"w": u, "c": c.astype(np.int64)})
+
+    wc = grouped_aggregate(
+        ds.map_batches(explode, batch_format="pandas",
+                       batch_size=4096),
+        ["w"], {"n": ("c", "sum")}).to_pandas()
+    n = wc["n"].to_numpy(np.int64)
+    N = int(n.sum())
+    S = int(len(n))
+    f1 = int((n == 1).sum())
+    f2 = int((n == 2).sum())
+    return pd.DataFrame({
+        "n_tokens": np.array([N], dtype=np.int64),
+        "vocab": np.array([S], dtype=np.int64),
+        "f1": np.array([f1], dtype=np.int64),
+        "f2": np.array([f2], dtype=np.int64),
+        "chao1": [round(S + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6)],
+        "gt_unseen_mass": [round(f1 / (N * 1.0), 6)]})
+
+
+_VOCAB_COVERAGE_ORACLE_SQL = """
+    WITH w AS (
+        SELECT unnest(list_filter(
+            regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+            x -> x <> '')) AS word
+        FROM documents),
+    c AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+    s AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS vocab,
+                 CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS f1,
+                 CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS f2
+          FROM c)
+    SELECT n_tokens, vocab, f1, f2,
+           round(vocab + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6)
+               AS chao1,
+           round(f1 / (n_tokens * 1.0), 6) AS gt_unseen_mass
+    FROM s"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -11635,6 +11787,8 @@ def build_queries() -> dict:
         "q_part_mst": q_part_mst,
         "q_events_scc": q_events_scc,
         "q_events_matrix_profile": q_events_matrix_profile,
+        "q_events_emd": q_events_emd,
+        "doc_vocab_coverage": doc_vocab_coverage,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -12574,6 +12728,8 @@ def build_oracle_sql() -> dict:
     oracles["q_part_mst"] = _mst_oracle_sql(rounds=6, min_cocount=2)
     oracles["q_events_scc"] = _SCC_ORACLE_SQL
     oracles["q_events_matrix_profile"] = _matrix_profile_oracle_sql(m=24)
+    oracles["q_events_emd"] = _EMD_ORACLE_SQL
+    oracles["doc_vocab_coverage"] = _VOCAB_COVERAGE_ORACLE_SQL
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -2731,3 +2731,48 @@ def test_matrix_profile_serial_parity_and_exclusion():
     assert got == rows
     # exclusion-zone invariant
     assert (np.abs(out["w_start"] - out["nn_start"]) >= m).all()
+
+
+def test_emd_serial_parity_and_metric_axioms():
+    from jerex_ray.pipelines.queries import q_events_emd
+    out = q_events_emd(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    ev["h"] = ev["ts"].dt.hour
+    tot = ev.groupby("event_type").size().reset_index(name="c") \
+        .sort_values(["c", "event_type"], ascending=[False, True])
+    ta, tb = tot["event_type"].iloc[0], tot["event_type"].iloc[1]
+
+    def prof(t):
+        return np.bincount(ev.loc[ev["event_type"] == t, "h"],
+                           minlength=24).astype(np.int64)
+
+    a, b = prof(ta), prof(tb)
+    na, nb = int(a.sum()), int(b.sum())
+    exp = int(np.abs(np.cumsum(a) * nb - np.cumsum(b) * na).sum())
+    r = out.iloc[0]
+    assert (r["type_a"], r["type_b"]) == (ta, tb)
+    assert int(r["emd_scaled"]) == exp
+    assert r["emd"] >= 0
+    # identity axiom: EMD(A, A) must be zero under the same formula
+    assert int(np.abs(np.cumsum(a) * na - np.cumsum(a) * na).sum()) == 0
+
+
+def test_vocab_coverage_serial_parity():
+    from collections import Counter
+    from jerex_ray.pipelines.queries import doc_vocab_coverage
+    out = doc_vocab_coverage(SF).iloc[0]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    cnt = Counter()
+    for t in docs["text"].fillna(""):
+        cnt.update(t.lower().split())
+    N = sum(cnt.values())
+    S = len(cnt)
+    f1 = sum(1 for v in cnt.values() if v == 1)
+    f2 = sum(1 for v in cnt.values() if v == 2)
+    assert (int(out["n_tokens"]), int(out["vocab"]),
+            int(out["f1"]), int(out["f2"])) == (N, S, f1, f2)
+    assert out["chao1"] == round(S + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6)
+    assert out["chao1"] >= S          # richness can only exceed observed
+    assert 0.0 <= out["gt_unseen_mass"] <= 1.0
