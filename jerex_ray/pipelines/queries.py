@@ -11643,6 +11643,92 @@ _VOCAB_COVERAGE_ORACLE_SQL = """
     FROM s"""
 
 
+def q_events_huffman(sf_dir: str, *, oracle_merges: int = 4):
+    """Huffman code lengths (Huffman '52 — the optimal-prefix-code
+    source-coding audit beside the front-coding/varint dictionary
+    family) over the event-type frequency table: greedy merge of the
+    two smallest trees under the STRICT key (weight, min-member
+    symbol), new tree id = min member — fully deterministic, so the
+    generated per-merge CTE oracle replays every pick bit-for-bit.
+    ONE vocabulary-bounded combiner pass crosses the cluster; the
+    |types|−1 merge loop runs driver-side on that metadata-sized
+    table. Returns (etype, cnt, code_len, bits = cnt·code_len);
+    Kraft equality Σ 2^−len = 1 and the Shannon H ≤ L̄ < H+1 bound
+    are pytest-pinned. Asserts the type count matches the oracle's
+    unrolled merge depth (the ``q_part_mst`` contract)."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type"])
+    cnt = grouped_aggregate(
+        ds, ["event_type"], {"cnt": (None, "count")},
+        result_hint="small").to_pandas().sort_values("event_type")
+    types = [str(t) for t in cnt["event_type"]]
+    ws = {t: int(c) for t, c in zip(types, cnt["cnt"])}
+    assert len(types) == oracle_merges + 1, \
+        f"{len(types)} types != oracle merge depth {oracle_merges}+1"
+
+    # greedy merges under the strict (weight, id) key
+    active = {t: ws[t] for t in types}          # id -> weight
+    depth = dict.fromkeys(types, 0)             # symbol -> code len
+    members = {t: [t] for t in types}           # id -> symbols
+    while len(active) > 1:
+        (i1, w1), (i2, w2) = sorted(
+            active.items(), key=lambda kv: (kv[1], kv[0]))[:2]
+        for s in members[i1] + members[i2]:
+            depth[s] += 1
+        nid = min(i1, i2)
+        members[nid] = members.pop(i1) + members.pop(i2)
+        del active[i1], active[i2]
+        active[nid] = w1 + w2
+    return pd.DataFrame({
+        "etype": types,
+        "cnt": np.array([ws[t] for t in types], dtype=np.int64),
+        "code_len": np.array([depth[t] for t in types],
+                             dtype=np.int64),
+        "bits": np.array([ws[t] * depth[t] for t in types],
+                         dtype=np.int64)})
+
+
+def _huffman_oracle_sql(merges: int = 4) -> str:
+    """Per-merge replay of ``q_events_huffman``: rank the active
+    trees by the strict (weight, id) key, merge ranks 1–2 into a
+    tree keyed by the smaller id, and bump the merged members'
+    depths — one CTE triple per merge."""
+    sql = """
+        WITH a1 AS MATERIALIZED (
+            SELECT event_type AS id, count(*) AS w
+            FROM events GROUP BY 1),
+        mb1 AS MATERIALIZED (
+            SELECT id AS owner, id AS sym, 0 AS d FROM a1)"""
+    for r in range(1, merges + 1):
+        sql += f""",
+        rk{r} AS MATERIALIZED (
+            SELECT id, w, row_number() OVER (ORDER BY w, id) AS rn
+            FROM a{r}),
+        a{r + 1} AS MATERIALIZED (
+            SELECT id, w FROM rk{r} WHERE rn > 2
+            UNION ALL
+            SELECT min(id), sum(w) FROM rk{r} WHERE rn <= 2),
+        mb{r + 1} AS MATERIALIZED (
+            SELECT CASE WHEN m.owner IN (
+                       SELECT id FROM rk{r} WHERE rn <= 2)
+                   THEN (SELECT min(id) FROM rk{r} WHERE rn <= 2)
+                   ELSE m.owner END AS owner,
+                   m.sym,
+                   m.d + CASE WHEN m.owner IN (
+                       SELECT id FROM rk{r} WHERE rn <= 2)
+                   THEN 1 ELSE 0 END AS d
+            FROM mb{r} m)"""
+    return sql + f"""
+        SELECT m.sym AS etype, CAST(a.w AS BIGINT) AS cnt,
+               CAST(m.d AS BIGINT) AS code_len,
+               CAST(a.w * m.d AS BIGINT) AS bits
+        FROM mb{merges + 1} m JOIN a1 a ON a.id = m.sym
+        ORDER BY etype"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -11789,6 +11875,7 @@ def build_queries() -> dict:
         "q_events_matrix_profile": q_events_matrix_profile,
         "q_events_emd": q_events_emd,
         "doc_vocab_coverage": doc_vocab_coverage,
+        "q_events_huffman": q_events_huffman,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -12730,6 +12817,7 @@ def build_oracle_sql() -> dict:
     oracles["q_events_matrix_profile"] = _matrix_profile_oracle_sql(m=24)
     oracles["q_events_emd"] = _EMD_ORACLE_SQL
     oracles["doc_vocab_coverage"] = _VOCAB_COVERAGE_ORACLE_SQL
+    oracles["q_events_huffman"] = _huffman_oracle_sql(merges=4)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

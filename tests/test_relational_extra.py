@@ -2776,3 +2776,33 @@ def test_vocab_coverage_serial_parity():
     assert out["chao1"] == round(S + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6)
     assert out["chao1"] >= S          # richness can only exceed observed
     assert 0.0 <= out["gt_unseen_mass"] <= 1.0
+
+
+def test_huffman_kraft_entropy_and_heapq_parity():
+    import heapq
+    import math
+    from jerex_ray.pipelines.queries import q_events_huffman
+    out = q_events_huffman(SF)
+    # Kraft equality: a full binary Huffman tree satisfies it exactly
+    assert sum(2.0 ** -int(l) for l in out["code_len"]) == 1.0
+    # Shannon bound: H <= expected length < H + 1
+    c = out["cnt"].to_numpy(np.int64)
+    l = out["code_len"].to_numpy(np.int64)
+    N = int(c.sum())
+    H = sum(ci / N * math.log2(N / ci) for ci in c)
+    L = int((c * l).sum()) / N
+    assert H <= L + 1e-12 < H + 1
+    # independent heapq replay with the identical strict tie key
+    heap = [(int(ci), str(t), [str(t)]) for t, ci in
+            zip(out["etype"], out["cnt"])]
+    heapq.heapify(heap)
+    depth = dict.fromkeys(out["etype"].astype(str), 0)
+    while len(heap) > 1:
+        w1, i1, m1 = heapq.heappop(heap)
+        w2, i2, m2 = heapq.heappop(heap)
+        for s in m1 + m2:
+            depth[s] += 1
+        heapq.heappush(heap, (w1 + w2, min(i1, i2), m1 + m2))
+    got = dict(zip(out["etype"].astype(str),
+                   out["code_len"].astype(int)))
+    assert got == depth
