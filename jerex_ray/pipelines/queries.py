@@ -11729,6 +11729,91 @@ def _huffman_oracle_sql(merges: int = 4) -> str:
         ORDER BY etype"""
 
 
+def doc_budget_knapsack(sf_dir: str, *, n_items: int = 12):
+    """0/1-knapsack value function (Bellman '57 DP) for
+    budget-constrained corpus selection: over the ``n_items``
+    longest documents (n_tokens DESC, doc_id ASC — strict order),
+    maximize total DISTINCT-WORD count (the diversity payoff) under
+    a token budget B = ⌊Σ weights / 2⌋. Everything is exact integer
+    arithmetic; the result is the full value function (budget,
+    best_value) for budget 0..B — the selection frontier a curator
+    reads the knee from, with no backtrack-ambiguity surface.
+
+    Scale shape: per-doc (tokens, distinct words) come from the
+    vectorized per-doc stats pass; the item list is a per-block
+    top-k reduced on the driver (k-bounded), and the
+    items × budget DP runs driver-side on that metadata-sized
+    table — the V-optimal/Viterbi convention. The generated oracle
+    replays the DP with one CTE per item."""
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "w": toks.str.len().fillna(0).astype(np.int64),
+            "v": np.array([len(set(x.lower() for x in t))
+                           for t in toks], dtype=np.int64)})
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["w", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(n_items)
+
+    per_block = ds.map_batches(stats, batch_format="pandas",
+                               batch_size=8192) \
+        .map_batches(block_top, batch_format="pandas").to_pandas()
+    items = per_block.sort_values(["w", "doc_id"],
+                                  ascending=[False, True],
+                                  kind="mergesort").head(n_items)
+    ws = items["w"].to_numpy(np.int64)
+    vs = items["v"].to_numpy(np.int64)
+    B = int(ws.sum()) // 2
+    best = np.zeros(B + 1, dtype=np.int64)
+    for wi, vi in zip(ws, vs):
+        if wi <= B:
+            upd = best[:B + 1 - wi] + vi
+            best[wi:] = np.maximum(best[wi:], upd)
+    return pd.DataFrame({
+        "budget": np.arange(B + 1, dtype=np.int64),
+        "best_value": best})
+
+
+def _knapsack_oracle_sql(n_items: int = 12) -> str:
+    """Per-item DP replay of ``doc_budget_knapsack``: the strict
+    (n_tokens DESC, doc_id ASC) item ranking, B = Σw // 2, a budget
+    spine CTE, then one max(skip, take) CTE per item."""
+    val = ("array_length(list_distinct(list_filter("
+           "regexp_split_to_array(lower(coalesce(text, '')), "
+           "'\\s+'), x -> x <> '')))")
+    sql = f"""
+        WITH it AS MATERIALIZED (
+            SELECT doc_id, {_N_TOKENS_SQL} AS w, {val} AS v,
+                   row_number() OVER (
+                       ORDER BY {_N_TOKENS_SQL} DESC, doc_id ASC)
+                       AS rk
+            FROM documents QUALIFY rk <= {n_items}),
+        bmax AS (SELECT CAST(sum(w) // 2 AS BIGINT) AS b FROM it),
+        caps AS (SELECT unnest(range(0, b + 1)) AS cap FROM bmax),
+        k0 AS (SELECT cap, CAST(0 AS BIGINT) AS best FROM caps)"""
+    for i in range(1, n_items + 1):
+        sql += f""",
+        k{i} AS MATERIALIZED (
+            SELECT p.cap, greatest(p.best,
+                       coalesce(t.best + (SELECT v FROM it
+                                          WHERE rk = {i}), 0))
+                       AS best
+            FROM k{i - 1} p
+            LEFT JOIN k{i - 1} t
+                 ON t.cap = p.cap - (SELECT w FROM it WHERE rk = {i}))"""
+    return sql + f"""
+        SELECT cap AS budget, best AS best_value
+        FROM k{n_items} ORDER BY budget"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -11876,6 +11961,7 @@ def build_queries() -> dict:
         "q_events_emd": q_events_emd,
         "doc_vocab_coverage": doc_vocab_coverage,
         "q_events_huffman": q_events_huffman,
+        "doc_budget_knapsack": doc_budget_knapsack,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -12818,6 +12904,7 @@ def build_oracle_sql() -> dict:
     oracles["q_events_emd"] = _EMD_ORACLE_SQL
     oracles["doc_vocab_coverage"] = _VOCAB_COVERAGE_ORACLE_SQL
     oracles["q_events_huffman"] = _huffman_oracle_sql(merges=4)
+    oracles["doc_budget_knapsack"] = _knapsack_oracle_sql(n_items=12)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -2806,3 +2806,34 @@ def test_huffman_kraft_entropy_and_heapq_parity():
     got = dict(zip(out["etype"].astype(str),
                    out["code_len"].astype(int)))
     assert got == depth
+
+
+def test_knapsack_brute_force_optimality():
+    import itertools
+    from jerex_ray.pipelines.queries import doc_budget_knapsack
+    out = doc_budget_knapsack(SF, n_items=12)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = docs["text"].fillna("").str.split()
+    docs["w"] = toks.str.len().fillna(0).astype(np.int64)
+    docs["v"] = [len({x.lower() for x in t}) for t in toks]
+    items = docs.sort_values(["w", "doc_id"],
+                             ascending=[False, True]).head(12)
+    ws = items["w"].to_numpy(np.int64)
+    vs = items["v"].to_numpy(np.int64)
+    B = int(ws.sum()) // 2
+    assert len(out) == B + 1
+    best = out.set_index("budget")["best_value"]
+    # brute force over all 2^12 subsets at a spread of budgets
+    probes = sorted({0, 1, B // 4, B // 2, B - 1, B})
+    exact = dict.fromkeys(probes, 0)
+    for mask in itertools.product([0, 1], repeat=12):
+        m = np.array(mask, dtype=bool)
+        tw, tv = int(ws[m].sum()), int(vs[m].sum())
+        for p in probes:
+            if tw <= p and tv > exact[p]:
+                exact[p] = tv
+    for p in probes:
+        assert int(best.loc[p]) == exact[p], p
+    # value function is monotone non-decreasing in budget
+    assert (np.diff(out["best_value"].to_numpy()) >= 0).all()
