@@ -11814,6 +11814,133 @@ def _knapsack_oracle_sql(n_items: int = 12) -> str:
         FROM k{n_items} ORDER BY budget"""
 
 
+def q_part_item_cosine(sf_dir: str, *, k: int = 5,
+                       min_cocount: int = 2):
+    """Item-item cosine kNN (Sarwar et al. '01 — the neighborhood
+    collaborative-filtering primitive beside the ALS factor step):
+    over the binary part × order incidence, cos(a,b) =
+    n_ab / √(d_a·d_b) with n_ab = orders containing both and d =
+    the part's distinct-order degree; per part the top-``k``
+    neighbors by (cos DESC, neighbor ASC). The ONLY float is the
+    single-divide score n²/(d_a·d_b) — one identical expression on
+    both engines, so the rank cut is deterministic (the t-closeness
+    identical-double convention); the reported cos rounds to 6.
+
+    Scale shape: pair counts come from the per-order co-location
+    combiner (the thresholded ``_repeat_copurchase_edges`` pass),
+    degrees from a distinct-incidence combiner broadcast as a
+    node-bounded map, and the top-k cut is per-block exact after ONE
+    hash co-location by center part."""
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        g = m.groupby(["l_partkey_x", "l_partkey_y"], sort=False) \
+            .size().reset_index(name="c")
+        return pd.DataFrame({"a": g["l_partkey_x"].to_numpy(),
+                             "b": g["l_partkey_y"].to_numpy(),
+                             "c": g["c"].to_numpy(np.int64)})
+
+    cnt = grouped_aggregate(
+        grouped_apply(li, ["l_orderkey"], pairs_block),
+        ["a", "b"], {"n": ("c", "sum")})
+    edges = cnt.map_batches(
+        lambda df: df[df["n"] >= min_cocount]
+        if "a" in df.columns else df, batch_format="pandas")
+
+    deg = grouped_aggregate(
+        li.map_batches(
+            lambda df: df.drop_duplicates(
+                ["l_orderkey", "l_partkey"]).rename(
+                columns={"l_partkey": "p"})[["p"]],
+            batch_format="pandas"),
+        ["p"], {"d": (None, "count")}).to_pandas()
+    dmap = dict(zip(deg["p"].astype("int64"),
+                    deg["d"].astype("int64")))
+    import ray
+    dref = ray.put(dmap)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "a" not in df.columns:
+            return pd.DataFrame({"p": pd.Series(dtype="int64"),
+                                 "nbr": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        return pd.DataFrame({"p": np.r_[a, b], "nbr": np.r_[b, a],
+                             "n": np.r_[n, n]})
+
+    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "p": pd.Series(dtype="int64"),
+                "nbr": pd.Series(dtype="int64"),
+                "n_common": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64")})
+        dm = ray.get(dref)
+        da = df["p"].map(dm).to_numpy(np.int64)
+        db = df["nbr"].map(dm).to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        score = (n * n) / (da * db)          # the one shared divide
+        out = df.assign(score=score)
+        out = out.sort_values(["p", "score", "nbr"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        out = out.groupby("p", sort=False).head(k)
+        return pd.DataFrame({
+            "p": out["p"].to_numpy(np.int64),
+            "nbr": out["nbr"].to_numpy(np.int64),
+            "n_common": out["n"].to_numpy(np.int64),
+            "cos": np.round(np.sqrt(out["score"].to_numpy()), 6)})
+
+    out = grouped_apply(edges.map_batches(
+        both_dirs, batch_format="pandas"), ["p"], topk_block) \
+        .to_pandas()
+    if out.empty or "p" not in out.columns:
+        return pd.DataFrame({"p": pd.Series(dtype="int64"),
+                             "nbr": pd.Series(dtype="int64"),
+                             "n_common": pd.Series(dtype="int64"),
+                             "cos": pd.Series(dtype="float64")})
+    return out.sort_values(["p", "nbr"]).reset_index(drop=True)
+
+
+def _item_cosine_oracle_sql(k: int = 5, min_cocount: int = 2) -> str:
+    return f"""
+        WITH inc AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+        deg AS MATERIALIZED (
+            SELECT p, count(*) AS d FROM inc GROUP BY p),
+        e0 AS MATERIALIZED (
+            SELECT a.p AS a, b.p AS b, count(*) AS n
+            FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p HAVING count(*) >= {min_cocount}),
+        bi AS (SELECT a AS p, b AS nbr, n FROM e0
+               UNION ALL SELECT b, a, n FROM e0),
+        sc AS (SELECT bi.p, bi.nbr, bi.n,
+                      (bi.n * bi.n) / (da.d * db.d * 1.0) AS score
+               FROM bi JOIN deg da ON da.p = bi.p
+                       JOIN deg db ON db.p = bi.nbr),
+        rk AS (SELECT p, nbr, n, score, row_number() OVER (
+                   PARTITION BY p ORDER BY score DESC, nbr ASC)
+                   AS rn
+               FROM sc)
+        SELECT p, nbr, CAST(n AS BIGINT) AS n_common,
+               round(sqrt(score), 6) AS cos
+        FROM rk WHERE rn <= {k} ORDER BY p, nbr"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -11962,6 +12089,7 @@ def build_queries() -> dict:
         "doc_vocab_coverage": doc_vocab_coverage,
         "q_events_huffman": q_events_huffman,
         "doc_budget_knapsack": doc_budget_knapsack,
+        "q_part_item_cosine": q_part_item_cosine,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -12905,6 +13033,8 @@ def build_oracle_sql() -> dict:
     oracles["doc_vocab_coverage"] = _VOCAB_COVERAGE_ORACLE_SQL
     oracles["q_events_huffman"] = _huffman_oracle_sql(merges=4)
     oracles["doc_budget_knapsack"] = _knapsack_oracle_sql(n_items=12)
+    oracles["q_part_item_cosine"] = _item_cosine_oracle_sql(
+        k=5, min_cocount=2)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -2837,3 +2837,34 @@ def test_knapsack_brute_force_optimality():
         assert int(best.loc[p]) == exact[p], p
     # value function is monotone non-decreasing in budget
     assert (np.diff(out["best_value"].to_numpy()) >= 0).all()
+
+
+def test_item_cosine_serial_parity_and_bounds():
+    from jerex_ray.pipelines.queries import q_part_item_cosine
+    k = 5
+    out = q_part_item_cosine(SF, k=k)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    inc = li.drop_duplicates()
+    deg = inc.groupby("l_partkey").size().to_dict()
+    m = inc.merge(inc, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    pc = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    pc = pc[pc >= 2]
+    best = {}
+    for (a, b), n in pc.items():
+        for p, nbr in ((a, b), (b, a)):
+            s = (n * n) / (deg[p] * deg[nbr])
+            best.setdefault(p, []).append((-s, nbr, int(n)))
+    exp = set()
+    for p, cand in best.items():
+        for negs, nbr, n in sorted(cand)[:k]:
+            exp.add((int(p), int(nbr), n,
+                     round(float(np.sqrt(-negs)), 6)))
+    got = {(int(r.p), int(r.nbr), int(r.n_common), float(r.cos))
+           for r in out.itertuples()}
+    assert got == exp
+    # cosine similarity is bounded (0, 1]
+    assert ((out["cos"] > 0) & (out["cos"] <= 1.0)).all()
+    # no part lists more than k neighbors
+    assert int(out.groupby("p").size().max()) <= k
