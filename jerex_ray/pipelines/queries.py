@@ -11941,6 +11941,132 @@ def _item_cosine_oracle_sql(k: int = 5, min_cocount: int = 2) -> str:
         FROM rk WHERE rn <= {k} ORDER BY p, nbr"""
 
 
+def q_events_holt_winters(sf_dir: str, *, alpha: float = 0.2,
+                          beta: float = 0.1, gamma: float = 0.3,
+                          period: int = 24):
+    """Holt-Winters additive triple-exponential smoothing (Winters
+    '60 — the seasonal completion of ``q_events_holt``) of the
+    zero-filled hourly count series, with the classic two-season
+    seed: l = mean(season 1), b = (mean(season 2) − mean(season 1))
+    / period, s_i = y_i − l. Every update is performed in the exact
+    float64 expression order the generated recursive-CTE oracle
+    replays — the seasonal state rides the recursion as ``period``
+    explicit slot columns, one CASE per slot — so final level,
+    trend, and all 24 seasonal components land bit-for-bit after
+    mirrored 6-dp rounding (the ``q_events_holt`` convention).
+
+    Scale shape: ONE time-bounded combiner pass reduces the corpus
+    to the hour grid; the O(T) three-state recursion runs
+    driver-side on that metadata-sized series."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["ts"].astype("datetime64[us]").astype("int64")
+             // 3_600_000_000)
+        v, c = np.unique(h.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"h": v, "y": c.astype(np.int64)})
+
+    g = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        ["h"], {"y": ("y", "sum")}, result_hint="small").to_pandas()
+    h0 = int(g["h"].min())
+    T = int(g["h"].max()) - h0 + 1
+    y = np.zeros(T, dtype=np.int64)
+    y[g["h"].to_numpy(np.int64) - h0] = g["y"].to_numpy(np.int64)
+    assert T >= 2 * period, "need two full seasons to seed"
+
+    lev = float(int(y[:period].sum()) / float(period))
+    tr = float((int(y[period:2 * period].sum()) / float(period)
+                - int(y[:period].sum()) / float(period)) / period)
+    seas = [float(y[i]) - lev for i in range(period)]
+    for t in range(period, T):
+        slot = t % period
+        l_new = (alpha * (float(y[t]) - seas[slot])
+                 + (1.0 - alpha) * (lev + tr))
+        tr = beta * (l_new - lev) + (1.0 - beta) * tr
+        seas[slot] = (gamma * (float(y[t]) - l_new)
+                      + (1.0 - gamma) * seas[slot])
+        lev = l_new
+
+    def r6(x: float) -> float:
+        return float(np.copysign(np.floor(abs(x) * 1e6 + 0.5), x)
+                     / 1e6)
+
+    return pd.DataFrame({
+        "slot": np.arange(period, dtype=np.int64),
+        "seasonal": [r6(s) for s in seas],
+        "level": [r6(lev)] * period,
+        "trend": [r6(tr)] * period})
+
+
+def _holt_winters_oracle_sql(alpha: float = 0.2, beta: float = 0.1,
+                             gamma: float = 0.3,
+                             period: int = 24) -> str:
+    """Recursive-CTE replay of ``q_events_holt_winters``: the
+    seasonal state rides as ``period`` explicit slot columns; the
+    inlined l_new expression reproduces the engine's float64 op
+    order exactly."""
+    P, a, b_, c = period, alpha, beta, gamma
+    scols = ", ".join(
+        f"CAST((SELECT y FROM grid WHERE t = {i}) AS DOUBLE) "
+        f"- (SELECT sum(y) FROM grid WHERE t < {P}) / {float(P)} "
+        f"AS s{i}"
+        for i in range(P))
+    slot_ref = "CASE (rec.t + 1) % " + str(P) + " " + " ".join(
+        f"WHEN {i} THEN rec.s{i}" for i in range(P)) + " END"
+    l_new = (f"{a} * (CAST(g.y AS DOUBLE) - ({slot_ref})) "
+             f"+ {1.0 - a} * (rec.l + rec.b)")
+    supd = ", ".join(
+        f"CASE WHEN (rec.t + 1) % {P} = {i} THEN "
+        f"{c} * (CAST(g.y AS DOUBLE) - ({l_new})) "
+        f"+ {1.0 - c} * rec.s{i} ELSE rec.s{i} END AS s{i}"
+        for i in range(P))
+    return f"""
+        WITH RECURSIVE bnd AS (
+            SELECT min(epoch_us(ts) // 3600000000) AS h0,
+                   max(epoch_us(ts) // 3600000000) AS h1
+            FROM events),
+        hrs AS (SELECT unnest(range(0, CAST(h1 - h0 + 1 AS BIGINT)))
+                       AS t FROM bnd),
+        raw AS (SELECT epoch_us(ts) // 3600000000
+                       - (SELECT h0 FROM bnd) AS t, count(*) AS y
+                FROM events GROUP BY 1),
+        grid AS MATERIALIZED (
+            SELECT hrs.t, coalesce(raw.y, 0) AS y
+            FROM hrs LEFT JOIN raw ON raw.t = hrs.t),
+        rec AS (
+            SELECT CAST({P - 1} AS BIGINT) AS t,
+                   (SELECT sum(y) FROM grid WHERE t < {P})
+                       / {float(P)} AS l,
+                   ((SELECT sum(y) FROM grid
+                     WHERE t >= {P} AND t < {2 * P}) / {float(P)}
+                    - (SELECT sum(y) FROM grid WHERE t < {P})
+                      / {float(P)}) / {float(P)} AS b,
+                   {scols}
+            UNION ALL
+            SELECT rec.t + 1,
+                   {l_new} AS l,
+                   {b_} * (({l_new}) - rec.l) + {1.0 - b_} * rec.b
+                       AS b,
+                   {supd}
+            FROM rec JOIN grid g ON g.t = rec.t + 1),
+        fin AS (SELECT * FROM rec
+                WHERE t = (SELECT max(t) FROM grid))
+        SELECT CAST(u.slot AS BIGINT) AS slot,
+               round(CASE u.slot {' '.join(
+                   f'WHEN {i} THEN fin.s{i}' for i in range(P))}
+                     END, 6) AS seasonal,
+               round(fin.l, 6) AS level,
+               round(fin.b, 6) AS trend
+        FROM fin, (SELECT unnest(range({P})) AS slot) u
+        ORDER BY slot"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -12090,6 +12216,7 @@ def build_queries() -> dict:
         "q_events_huffman": q_events_huffman,
         "doc_budget_knapsack": doc_budget_knapsack,
         "q_part_item_cosine": q_part_item_cosine,
+        "q_events_holt_winters": q_events_holt_winters,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -13035,6 +13162,7 @@ def build_oracle_sql() -> dict:
     oracles["doc_budget_knapsack"] = _knapsack_oracle_sql(n_items=12)
     oracles["q_part_item_cosine"] = _item_cosine_oracle_sql(
         k=5, min_cocount=2)
+    oracles["q_events_holt_winters"] = _holt_winters_oracle_sql()
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

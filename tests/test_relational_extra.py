@@ -2868,3 +2868,37 @@ def test_item_cosine_serial_parity_and_bounds():
     assert ((out["cos"] > 0) & (out["cos"] <= 1.0)).all()
     # no part lists more than k neighbors
     assert int(out.groupby("p").size().max()) <= k
+
+
+def test_holt_winters_serial_parity():
+    from jerex_ray.pipelines.queries import q_events_holt_winters
+    a, b_, c, P = 0.2, 0.1, 0.3, 24
+    out = q_events_holt_winters(SF, alpha=a, beta=b_, gamma=c,
+                                period=P)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts"]).to_pandas()
+    h = (ev["ts"].astype("datetime64[us]").astype("int64")
+         // 3_600_000_000).to_numpy()
+    h0 = int(h.min())
+    y = np.bincount(h - h0, minlength=int(h.max()) - h0 + 1) \
+        .astype(np.int64)
+    lev = float(int(y[:P].sum()) / float(P))
+    tr = float((int(y[P:2 * P].sum()) / float(P)
+                - int(y[:P].sum()) / float(P)) / P)
+    seas = [float(y[i]) - lev for i in range(P)]
+    for t in range(P, len(y)):
+        s = t % P
+        ln = a * (float(y[t]) - seas[s]) + (1.0 - a) * (lev + tr)
+        tr = b_ * (ln - lev) + (1.0 - b_) * tr
+        seas[s] = c * (float(y[t]) - ln) + (1.0 - c) * seas[s]
+        lev = ln
+
+    def r6(x):
+        return float(np.copysign(np.floor(abs(x) * 1e6 + 0.5), x)
+                     / 1e6)
+
+    assert out["level"].nunique() == 1
+    assert out["trend"].nunique() == 1
+    assert float(out["level"].iloc[0]) == r6(lev)
+    assert float(out["trend"].iloc[0]) == r6(tr)
+    assert [float(v) for v in out["seasonal"]] == [r6(s) for s in seas]
