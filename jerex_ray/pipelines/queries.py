@@ -12067,6 +12067,74 @@ def _holt_winters_oracle_sql(alpha: float = 0.2, beta: float = 0.1,
         ORDER BY slot"""
 
 
+def q_events_bh_fdr(sf_dir: str, *, alpha: float = 0.1):
+    """Benjamini–Hochberg FDR control (Benjamini & Hochberg '95 —
+    the multiple-testing layer over the per-type Fisher enrichment
+    family): rank the 6-dp-rounded enrichment p-values ascending
+    (p ASC, type ASC strict ties), k* = max rank with
+    p ≤ rank·α/m, reject ranks ≤ k*. The comparison operand
+    rank·α/m is one identical double expression on both engines,
+    and ranking the ROUNDED p removes any sub-6-dp ordering hazard.
+    Distributed work is exactly the enrichment pass (one combiner to
+    per-type counts); BH runs driver-side on the type-bounded
+    table."""
+    enr = q_events_enrichment(sf_dir)
+    m = len(enr)
+    d = enr.sort_values(["p_value", "event_type"]) \
+        .reset_index(drop=True)
+    rank = np.arange(1, m + 1, dtype=np.int64)
+    crit = rank * alpha / m
+    ok = d["p_value"].to_numpy(np.float64) <= crit
+    kstar = int(rank[ok].max()) if ok.any() else 0
+    d["rank"] = rank
+    d["bh_crit"] = np.round(crit, 6)
+    d["rejected"] = rank <= kstar
+    return d[["event_type", "n", "k", "p_value", "rank",
+              "bh_crit", "rejected"]] \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+def _bh_fdr_oracle_sql(alpha: float = 0.1) -> str:
+    """BH replay over the embedded enrichment CTE (the nested-WITH
+    reuse convention of the kappa oracle)."""
+    return f"""
+        WITH m AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (WHERE value >= 50.0)
+                        AS BIGINT) AS k
+            FROM events GROUP BY event_type),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                     CAST(sum(k) AS BIGINT) AS kk FROM m),
+        grid AS (
+            SELECT m.event_type, m.n, m.k, t.nn, t.kk,
+                   unnest(generate_series(
+                       m.k, least(t.kk, m.n))) AS i
+            FROM m CROSS JOIN t),
+        p AS (
+            SELECT event_type, sum(exp(
+                (lgamma(kk + 1.0) - lgamma(i + 1.0)
+                 - lgamma(kk - i + 1.0))
+                + (lgamma(nn - kk + 1.0) - lgamma(n - i + 1.0)
+                   - lgamma(nn - kk - (n - i) + 1.0))
+                - (lgamma(nn + 1.0) - lgamma(n + 1.0)
+                   - lgamma(nn - n + 1.0)))) AS pv
+            FROM grid GROUP BY event_type),
+        e AS (SELECT m.event_type, m.n, m.k,
+                     round(p.pv, 6) AS p_value
+              FROM m JOIN p USING (event_type)),
+        rk AS (SELECT *, row_number() OVER (
+                   ORDER BY p_value ASC, event_type ASC) AS rank,
+                   (SELECT count(*) FROM e) AS mm
+               FROM e),
+        ks AS (SELECT coalesce(max(rank), 0) AS kstar
+               FROM rk WHERE p_value <= rank * {alpha} / mm)
+        SELECT event_type, n, k, p_value, CAST(rank AS BIGINT)
+                   AS rank,
+               round(rank * {alpha} / mm, 6) AS bh_crit,
+               rank <= ks.kstar AS rejected
+        FROM rk CROSS JOIN ks ORDER BY event_type"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -12217,6 +12285,7 @@ def build_queries() -> dict:
         "doc_budget_knapsack": doc_budget_knapsack,
         "q_part_item_cosine": q_part_item_cosine,
         "q_events_holt_winters": q_events_holt_winters,
+        "q_events_bh_fdr": q_events_bh_fdr,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -13163,6 +13232,7 @@ def build_oracle_sql() -> dict:
     oracles["q_part_item_cosine"] = _item_cosine_oracle_sql(
         k=5, min_cocount=2)
     oracles["q_events_holt_winters"] = _holt_winters_oracle_sql()
+    oracles["q_events_bh_fdr"] = _bh_fdr_oracle_sql(alpha=0.1)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

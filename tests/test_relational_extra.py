@@ -2902,3 +2902,28 @@ def test_holt_winters_serial_parity():
     assert float(out["level"].iloc[0]) == r6(lev)
     assert float(out["trend"].iloc[0]) == r6(tr)
     assert [float(v) for v in out["seasonal"]] == [r6(s) for s in seas]
+
+
+def test_bh_fdr_stepup_properties():
+    from jerex_ray.pipelines.queries import q_events_bh_fdr
+    alpha = 0.1
+    out = q_events_bh_fdr(SF, alpha=alpha)
+    m = len(out)
+    d = out.sort_values("rank").reset_index(drop=True)
+    p = d["p_value"].to_numpy(np.float64)
+    rej = d["rejected"].to_numpy(bool)
+    # p is non-decreasing in rank
+    assert (np.diff(p) >= 0).all()
+    # step-up: the rejection set is a prefix of the ranking
+    if rej.any():
+        kstar = int(np.max(np.flatnonzero(rej))) + 1
+        assert rej[:kstar].all() and not rej[kstar:].any()
+        # the boundary rank satisfies its own BH criterion
+        assert p[kstar - 1] <= kstar * alpha / m
+    # no rank past k* may satisfy its criterion (maximality)
+    crit = (np.arange(1, m + 1) * alpha / m)
+    sat = np.flatnonzero(p <= crit)
+    if len(sat):
+        assert rej[: int(sat.max()) + 1].all()
+    else:
+        assert not rej.any()
