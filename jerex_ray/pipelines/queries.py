@@ -12135,6 +12135,122 @@ def _bh_fdr_oracle_sql(alpha: float = 0.1) -> str:
         FROM rk CROSS JOIN ks ORDER BY event_type"""
 
 
+def emb_kcenter_select(sf_dir: str, *, k: int = 6):
+    """Farthest-first-traversal k-center coreset selection (Gonzalez
+    '85 — the 2-approximation diverse-subset primitive beside MMR
+    and SemDeDup in the curation family): seed at the smallest
+    vec_id, then ``k``−1 rounds each selecting the point FARTHEST
+    from the chosen set. Distances are squared Euclidean over the
+    3-decimal-quantized embedding grid (mirror-rounded float32 →
+    int), so every distance is an EXACT INTEGER and the argmax cut
+    (dist DESC, vec_id ASC) carries zero float hazard — the
+    integer-cents convention applied to vectors.
+
+    Scale shape: the ≤k selected centers broadcast per round; ONE
+    streaming pass over the embeddings recomputes each point's
+    min-distance-to-set (stateless k× recompute beats carrying a
+    distributed min table at k this small) and emits per-block
+    argmax partials; the driver reduces the block-bounded partials.
+    Returns the selection order with each center's selection
+    distance — the covering-radius curve."""
+    import pyarrow.parquet as _pq
+
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]) \
+        .materialize()
+
+    def quant(m: np.ndarray) -> np.ndarray:
+        return np.copysign(np.floor(np.abs(m.astype(np.float64))
+                                    * 1000.0 + 0.5), m) \
+            .astype(np.int64)
+
+    first = int(ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"m": [df["vec_id"].min()]}),
+        batch_format="pandas").to_pandas()["m"].min())
+    tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "==", first)])
+    import ray
+    sel = [(1, first, 0)]
+    cents = [quant(np.stack(tbl["embedding"].to_pandas()
+                            .to_numpy())[0])]
+    for r in range(2, k + 1):
+        cref = ray.put(np.stack(cents))
+
+        def block_argmax(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                     "d2": pd.Series(dtype="int64")})
+            C = ray.get(cref)
+            Q = quant(np.stack(df["embedding"].to_numpy()))
+            # (n, c) exact-integer squared distances
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) \
+                .min(axis=1)
+            vid = df["vec_id"].to_numpy(np.int64)
+            o = np.lexsort((vid, -d2))[0]
+            return pd.DataFrame({"vec_id": [int(vid[o])],
+                                 "d2": [int(d2[o])]})
+
+        part = ds.map_batches(block_argmax,
+                              batch_format="pandas").to_pandas()
+        part = part.sort_values(["d2", "vec_id"],
+                                ascending=[False, True])
+        vid, d2 = int(part["vec_id"].iloc[0]), int(part["d2"].iloc[0])
+        sel.append((r, vid, d2))
+        t = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "==", vid)])
+        cents.append(quant(np.stack(
+            t["embedding"].to_pandas().to_numpy())[0]))
+    return pd.DataFrame(sel, columns=["sel_rank", "vec_id", "d2"]) \
+        .astype("int64")
+
+
+def _kcenter_oracle_sql(k: int = 6, dim: int = 64) -> str:
+    """Per-round replay of ``emb_kcenter_select``: quantized integer
+    vectors, a correlated exact-integer distance sum per candidate,
+    running least() min-distance, and the strict (d2 DESC, vec_id)
+    pick."""
+    sql = f"""
+        WITH q AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0)
+                          AS BIGINT)) AS v
+            FROM embeddings),
+        idx AS (SELECT unnest(range(1, {dim + 1})) AS i),
+        p1 AS (SELECT min(vec_id) AS cid FROM q),
+        m1 AS MATERIALIZED (
+            SELECT q.vec_id,
+                   (SELECT sum((q.v[idx.i] - c.v[idx.i])
+                               * (q.v[idx.i] - c.v[idx.i]))
+                    FROM idx) AS d2
+            FROM q JOIN q c ON c.vec_id = (SELECT cid FROM p1))"""
+    for r in range(2, k + 1):
+        sql += f""",
+        p{r} AS (SELECT vec_id AS cid, d2 FROM m{r - 1}
+                 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+        m{r} AS MATERIALIZED (
+            SELECT m.vec_id, least(m.d2,
+                   (SELECT sum((q.v[idx.i] - c.v[idx.i])
+                               * (q.v[idx.i] - c.v[idx.i]))
+                    FROM idx)) AS d2
+            FROM m{r - 1} m JOIN q ON q.vec_id = m.vec_id
+                 JOIN q c ON c.vec_id = (SELECT cid FROM p{r}))"""
+    parts = ["""
+        SELECT CAST(1 AS BIGINT) AS sel_rank,
+               (SELECT cid FROM p1) AS vec_id,
+               CAST(0 AS BIGINT) AS d2"""]
+    for r in range(2, k + 1):
+        parts.append(f"""
+        SELECT CAST({r} AS BIGINT), cid, CAST(d2 AS BIGINT)
+        FROM p{r}""")
+    return sql + "\nSELECT * FROM (" \
+        + "\nUNION ALL ".join(parts) + ") ORDER BY sel_rank"
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -12286,6 +12402,7 @@ def build_queries() -> dict:
         "q_part_item_cosine": q_part_item_cosine,
         "q_events_holt_winters": q_events_holt_winters,
         "q_events_bh_fdr": q_events_bh_fdr,
+        "emb_kcenter_select": emb_kcenter_select,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -13233,6 +13350,7 @@ def build_oracle_sql() -> dict:
         k=5, min_cocount=2)
     oracles["q_events_holt_winters"] = _holt_winters_oracle_sql()
     oracles["q_events_bh_fdr"] = _bh_fdr_oracle_sql(alpha=0.1)
+    oracles["emb_kcenter_select"] = _kcenter_oracle_sql(k=6, dim=64)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

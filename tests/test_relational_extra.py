@@ -2927,3 +2927,31 @@ def test_bh_fdr_stepup_properties():
         assert rej[: int(sat.max()) + 1].all()
     else:
         assert not rej.any()
+
+
+def test_kcenter_serial_parity_and_monotone_radius():
+    from jerex_ray.pipelines.queries import emb_kcenter_select
+    k = 6
+    out = emb_kcenter_select(SF, k=k)
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    vid = emb["vec_id"].to_numpy(np.int64)
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    Q = np.copysign(np.floor(np.abs(M) * 1000.0 + 0.5), M) \
+        .astype(np.int64)
+    sel = [int(vid.min())]
+    dists = [0]
+    mind = None
+    for _ in range(k - 1):
+        c = Q[vid == sel[-1]][0]
+        d = ((Q - c) ** 2).sum(axis=1)
+        mind = d if mind is None else np.minimum(mind, d)
+        o = np.lexsort((vid, -mind))[0]
+        sel.append(int(vid[o]))
+        dists.append(int(mind[o]))
+    assert out["vec_id"].tolist() == sel
+    assert out["d2"].tolist() == dists
+    # farthest-first: selection distances are non-increasing
+    assert (np.diff(out["d2"].to_numpy()[1:]) <= 0).all()
+    # centers are distinct points
+    assert out["vec_id"].nunique() == k
