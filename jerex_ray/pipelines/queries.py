@@ -12251,6 +12251,95 @@ def _kcenter_oracle_sql(k: int = 6, dim: int = 64) -> str:
         + "\nUNION ALL ".join(parts) + ") ORDER BY sel_rank"
 
 
+def q_user_lis(sf_dir: str, *, oracle_levels: int = 30):
+    """Longest strictly-increasing subsequence of each user's value
+    sequence in (ts, id) order (patience sorting / Schensted '61 —
+    the non-contiguous monotone-trend length beside the contiguous
+    ``q_user_streaks``): the engagement-escalation audit. Users
+    co-locate in ONE hash shuffle; inside each block the patience
+    update is RANK-STEPPED across all of the block's users at once
+    (the ``q_events_ewma`` convention): at rank r every user's
+    insertion slot is the vectorized count of its tails < v (tails
+    rows stay sorted by construction), so the loop is over max
+    series length, not rows. Value comparisons are exact float64
+    order tests — no arithmetic, no accumulation hazard. The oracle
+    replays level-by-level: L_k = ends of strictly-increasing
+    chains of length k (EXISTS-deduped, so rows per level stay
+    n-bounded); lis_len = max populated level. Asserts the corpus
+    max fits the oracle's unrolled depth."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "value"])
+
+    def lis_block(block: pd.DataFrame) -> pd.DataFrame:
+        if block.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "lis_len": pd.Series(dtype="int64")})
+        b = block.sort_values(["user_id", "ts", "event_id"])
+        v = b["value"].to_numpy(np.float64)
+        uid = b["user_id"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_user)
+        lens = np.diff(np.r_[starts, len(v)])
+        rn = np.arange(len(v)) - np.repeat(starts, lens)
+        U, L = len(starts), int(lens.max())
+        tails = np.full((U, L), np.inf)
+        urow = np.repeat(np.arange(U), lens)
+        for r in range(L):
+            idx = np.flatnonzero(rn == r)
+            u = urow[idx]
+            val = v[idx]
+            pos = (tails[u] < val[:, None]).sum(axis=1)
+            tails[u, pos] = val
+        return pd.DataFrame({
+            "user_id": uid[starts],
+            "n": lens.astype("int64"),
+            "lis_len": np.isfinite(tails).sum(axis=1)
+            .astype("int64")})
+
+    out = grouped_apply(ds, ["user_id"], lis_block).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out = out.sort_values("user_id").reset_index(drop=True)
+    assert int(out["lis_len"].max()) <= oracle_levels, \
+        "LIS exceeds oracle's unrolled depth"
+    return out
+
+
+def _lis_oracle_sql(levels: int = 30) -> str:
+    """Level-unrolled chain replay of ``q_user_lis``: L_k holds the
+    distinct (user, rank) positions ending a strictly-increasing
+    chain of length k."""
+    sql = """
+        WITH seq AS MATERIALIZED (
+            SELECT user_id, value AS v, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events),
+        l1 AS (SELECT user_id, rn FROM seq)"""
+    for k in range(2, levels + 1):
+        sql += f""",
+        l{k} AS MATERIALIZED (
+            SELECT DISTINCT b.user_id, b.rn
+            FROM l{k - 1} p
+            JOIN seq a ON a.user_id = p.user_id AND a.rn = p.rn
+            JOIN seq b ON b.user_id = a.user_id
+                      AND b.rn > a.rn AND b.v > a.v)"""
+    lens = ["SELECT user_id, 1 AS k FROM l1"]
+    lens += [f"SELECT user_id, {k} FROM l{k}"
+             for k in range(2, levels + 1)]
+    return sql + f""",
+        allk AS ({' UNION ALL '.join(lens)}),
+        n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+              FROM seq GROUP BY user_id)
+        SELECT n.user_id, n.n,
+               CAST(max(allk.k) AS BIGINT) AS lis_len
+        FROM n JOIN allk ON allk.user_id = n.user_id
+        GROUP BY n.user_id, n.n ORDER BY n.user_id"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -12403,6 +12492,7 @@ def build_queries() -> dict:
         "q_events_holt_winters": q_events_holt_winters,
         "q_events_bh_fdr": q_events_bh_fdr,
         "emb_kcenter_select": emb_kcenter_select,
+        "q_user_lis": q_user_lis,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -13351,6 +13441,7 @@ def build_oracle_sql() -> dict:
     oracles["q_events_holt_winters"] = _holt_winters_oracle_sql()
     oracles["q_events_bh_fdr"] = _bh_fdr_oracle_sql(alpha=0.1)
     oracles["emb_kcenter_select"] = _kcenter_oracle_sql(k=6, dim=64)
+    oracles["q_user_lis"] = _lis_oracle_sql(levels=30)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -2955,3 +2955,28 @@ def test_kcenter_serial_parity_and_monotone_radius():
     assert (np.diff(out["d2"].to_numpy()[1:]) <= 0).all()
     # centers are distinct points
     assert out["vec_id"].nunique() == k
+
+
+def test_lis_serial_bisect_parity_and_bounds():
+    import bisect
+    from jerex_ray.pipelines.queries import q_user_lis
+    out = q_user_lis(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts",
+                                "value"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    exp = {}
+    for uid, g in ev.groupby("user_id"):
+        tails = []
+        for v in g["value"].to_numpy(np.float64):
+            i = bisect.bisect_left(tails, v)
+            if i == len(tails):
+                tails.append(v)
+            else:
+                tails[i] = v
+        exp[int(uid)] = (len(g), len(tails))
+    got = {int(r.user_id): (int(r.n), int(r.lis_len))
+           for r in out.itertuples()}
+    assert got == exp
+    # LIS is at least 1 and at most the sequence length
+    assert ((out["lis_len"] >= 1) & (out["lis_len"] <= out["n"])).all()
