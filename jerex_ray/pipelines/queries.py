@@ -12340,6 +12340,143 @@ def _lis_oracle_sql(levels: int = 30) -> str:
         GROUP BY n.user_id, n.n ORDER BY n.user_id"""
 
 
+def doc_heaps_law(sf_dir: str, *, checkpoints: int = 10):
+    """Heaps'-law vocabulary growth fit V = K·N^β (Heaps '78 — the
+    growth-curve companion of the Chao1/Good-Turing coverage audit
+    and the Zipf slope): at ``checkpoints`` equal doc-id range cuts,
+    the cumulative token count N and cumulative vocabulary V, plus
+    the log-log OLS slope β and intercept ln K over those points.
+    The prefix trick keeps it ONE-pass distributed: V(t) = #words
+    whose MIN doc_id ≤ t (a word-min combiner), N(t) = Σ tokens of
+    docs with doc_id ≤ t (a per-doc-stats combiner) — no sequential
+    corpus scan anywhere. The checkpoint table is exact integers;
+    the 10-point OLS runs in the identical expression order on both
+    engines (glibc ln), rounded to 6 dp."""
+    import math
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"w": pd.Series(dtype="object"),
+                                 "d": pd.Series(dtype="int64")})
+        flat = np.concatenate([w for w in words.to_numpy() if w])
+        docs = np.repeat(ids, lens)
+        g = pd.DataFrame({"w": flat, "d": docs}) \
+            .groupby("w", sort=False)["d"].min().reset_index()
+        return g
+
+    wmin = grouped_aggregate(
+        ds.map_batches(explode, batch_format="pandas",
+                       batch_size=4096),
+        ["w"], {"d": ("d", "min")})
+
+    # doc-id bounds: one metadata-sized combiner pass
+    bounds = ds.map_batches(
+        lambda df: pd.DataFrame({"lo": [df["doc_id"].min()],
+                                 "hi": [df["doc_id"].max()]}),
+        batch_format="pandas").to_pandas()
+    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
+    ths = np.array([lo + (hi - lo + 1) * i // checkpoints - 1
+                    for i in range(1, checkpoints + 1)],
+                   dtype=np.int64)
+
+    # bucket histograms: neither the vocabulary nor the per-doc
+    # table ever reaches the driver — only #checkpoint rows do
+    def word_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "d" not in df.columns:
+            return pd.DataFrame({"bkt": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64")})
+        b = np.searchsorted(ths, df["d"].to_numpy(np.int64),
+                            side="left")
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bkt": u.astype(np.int64),
+                             "v": c.astype(np.int64)})
+
+    vh = grouped_aggregate(
+        wmin.map_batches(word_bucket, batch_format="pandas"),
+        ["bkt"], {"v": ("v", "sum")},
+        result_hint="small").to_pandas()
+
+    def tok_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.split()
+        n = words.str.len().fillna(0).to_numpy(np.int64)
+        b = np.searchsorted(ths, batch["doc_id"].to_numpy(np.int64),
+                            side="left")
+        g = pd.DataFrame({"bkt": b, "n": n}) \
+            .groupby("bkt", sort=False)["n"].sum().reset_index()
+        return g.astype({"bkt": "int64", "n": "int64"})
+
+    nh = grouped_aggregate(
+        ds.map_batches(tok_bucket, batch_format="pandas",
+                       batch_size=8192),
+        ["bkt"], {"n": ("n", "sum")},
+        result_hint="small").to_pandas()
+    vcum = np.zeros(checkpoints, dtype=np.int64)
+    ncum = np.zeros(checkpoints, dtype=np.int64)
+    vcum[vh["bkt"].to_numpy(np.int64)] = vh["v"].to_numpy(np.int64)
+    ncum[nh["bkt"].to_numpy(np.int64)] = nh["n"].to_numpy(np.int64)
+    vcum, ncum = np.cumsum(vcum), np.cumsum(ncum)
+    rows = [(np.int64(i + 1), np.int64(ths[i]), np.int64(ncum[i]),
+             np.int64(vcum[i])) for i in range(checkpoints)]
+    pts = [(math.log(float(N)), math.log(float(V)))
+           for _, _, N, V in rows]
+    n = float(len(pts))
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    lnk = (sy - beta * sx) / n
+    out = pd.DataFrame(rows, columns=["checkpoint", "max_doc_id",
+                                      "n_tokens", "vocab"])
+    out["beta"] = _round_half_away(beta, 6)
+    out["ln_k"] = _round_half_away(lnk, 6)
+    return out
+
+
+_HEAPS_ORACLE_SQL = """
+    WITH w AS (
+        SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+            x -> x <> '')) AS word
+        FROM documents),
+    wmin AS MATERIALIZED (
+        SELECT word, min(doc_id) AS d FROM w GROUP BY word),
+    dt AS MATERIALIZED (
+        SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+    b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+          FROM documents),
+    th AS (SELECT i, lo + ((hi - lo + 1) * i) // 10 - 1 AS t
+           FROM b, (SELECT unnest(range(1, 11)) AS i)),
+    cp AS MATERIALIZED (
+        SELECT th.i AS checkpoint, th.t AS max_doc_id,
+               (SELECT CAST(coalesce(sum(n), 0) AS BIGINT)
+                FROM dt WHERE doc_id <= th.t) AS n_tokens,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM wmin WHERE d <= th.t) AS vocab
+        FROM th),
+    s AS (SELECT count(*) * 1.0 AS n,
+                 sum(ln(n_tokens * 1.0)) AS sx,
+                 sum(ln(vocab * 1.0)) AS sy,
+                 sum(ln(n_tokens * 1.0) * ln(n_tokens * 1.0)) AS sxx,
+                 sum(ln(n_tokens * 1.0) * ln(vocab * 1.0)) AS sxy
+          FROM cp),
+    f AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+                 sx, sy, n FROM s)
+    SELECT cp.checkpoint, cp.max_doc_id, cp.n_tokens, cp.vocab,
+           round(f.beta, 6) AS beta,
+           round((f.sy - f.beta * f.sx) / f.n, 6) AS ln_k
+    FROM cp CROSS JOIN f ORDER BY cp.checkpoint"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -12493,6 +12630,7 @@ def build_queries() -> dict:
         "q_events_bh_fdr": q_events_bh_fdr,
         "emb_kcenter_select": emb_kcenter_select,
         "q_user_lis": q_user_lis,
+        "doc_heaps_law": doc_heaps_law,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -13442,6 +13580,7 @@ def build_oracle_sql() -> dict:
     oracles["q_events_bh_fdr"] = _bh_fdr_oracle_sql(alpha=0.1)
     oracles["emb_kcenter_select"] = _kcenter_oracle_sql(k=6, dim=64)
     oracles["q_user_lis"] = _lis_oracle_sql(levels=30)
+    oracles["doc_heaps_law"] = _HEAPS_ORACLE_SQL
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

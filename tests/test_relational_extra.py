@@ -2980,3 +2980,35 @@ def test_lis_serial_bisect_parity_and_bounds():
     assert got == exp
     # LIS is at least 1 and at most the sequence length
     assert ((out["lis_len"] >= 1) & (out["lis_len"] <= out["n"])).all()
+
+
+def test_heaps_law_serial_parity_and_growth_invariants():
+    import math
+    from jerex_ray.pipelines.queries import doc_heaps_law
+    out = doc_heaps_law(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    lo, hi = int(docs["doc_id"].min()), int(docs["doc_id"].max())
+    ths = [lo + (hi - lo + 1) * i // 10 - 1 for i in range(1, 11)]
+    for i, t in enumerate(ths):
+        sub = docs[docs["doc_id"] <= t]
+        toks = [w for txt in sub["text"].fillna("")
+                for w in txt.lower().split()]
+        assert int(out["n_tokens"].iloc[i]) == len(toks)
+        assert int(out["vocab"].iloc[i]) == len(set(toks))
+    # cumulative curves are monotone and sublinear (V <= N)
+    assert (np.diff(out["n_tokens"].to_numpy()) >= 0).all()
+    assert (np.diff(out["vocab"].to_numpy()) >= 0).all()
+    assert (out["vocab"] <= out["n_tokens"]).all()
+    # fit replay
+    pts = [(math.log(float(N)), math.log(float(V)))
+           for N, V in zip(out["n_tokens"], out["vocab"])]
+    n = float(len(pts))
+    sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(float(out["beta"].iloc[0]) - beta) < 1e-6
+    # sublinear growth: 0 <= beta <= 1 (the synthetic corpus draws
+    # from a fixed vocabulary, so saturation — beta == 0 — is legal)
+    assert 0.0 <= float(out["beta"].iloc[0]) <= 1.0
