@@ -12477,6 +12477,96 @@ _HEAPS_ORACLE_SQL = """
     FROM cp CROSS JOIN f ORDER BY cp.checkpoint"""
 
 
+def q_user_interval_schedule(sf_dir: str):
+    """Weighted interval scheduling DP (the Bellman-style classic,
+    Kleinberg–Tardos ch. 6) over the heaviest user's event
+    intervals: event at t with value v spans [t, t + cents·3.6 ms·
+    1000) µs (cents = round(v·100) — spans proportional to value so
+    the schedule genuinely conflicts), weight = integer cents.
+    Intervals sort under the strict (end, start, id) key; p(i) =
+    last interval with end ≤ start_i; opt(i) = max(opt(i−1),
+    w_i + opt(p(i))) — all EXACT integers. Output is the full opt
+    table (rank, start, end, w, p, opt), so the optimum and every
+    DP decision are hash-checked with no backtrack ambiguity.
+
+    Scale shape: the heaviest user comes from a combiner count
+    (ties → smallest id); one streaming filtered pass extracts that
+    user's rows; the user-bounded DP runs on the driver. The oracle
+    carries the growing opt vector as a LIST column through a
+    recursive CTE — one list_append per rank."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "value"])
+    cnt = grouped_aggregate(ds, ["user_id"],
+                            {"n": (None, "count")}).to_pandas()
+    cnt = cnt.sort_values(["n", "user_id"],
+                          ascending=[False, True])
+    top = int(cnt["user_id"].iloc[0])
+    ev = ds.filter(expr=f"user_id == {top}").to_pandas()
+    ts = ev["ts"].astype("datetime64[us]").astype("int64") \
+        .to_numpy(np.int64)
+    cents = np.copysign(np.floor(np.abs(
+        ev["value"].to_numpy(np.float64)) * 100.0 + 0.5),
+        ev["value"].to_numpy(np.float64)).astype(np.int64)
+    d = pd.DataFrame({"eid": ev["event_id"].to_numpy(np.int64),
+                      "start": ts, "end": ts + cents * 3_600_000,
+                      "w": cents})
+    d = d.sort_values(["end", "start", "eid"], kind="mergesort") \
+        .reset_index(drop=True)
+    n = len(d)
+    ends = d["end"].to_numpy(np.int64)
+    starts = d["start"].to_numpy(np.int64)
+    w = d["w"].to_numpy(np.int64)
+    p = np.searchsorted(ends, starts, side="right")  # 0 = none
+    opt = np.zeros(n + 1, dtype=np.int64)
+    for i in range(1, n + 1):
+        opt[i] = max(opt[i - 1], w[i - 1] + opt[p[i - 1]])
+    return pd.DataFrame({
+        "rank": np.arange(1, n + 1, dtype=np.int64),
+        "start": starts, "end": ends, "w": w,
+        "p": p.astype(np.int64), "opt": opt[1:]})
+
+
+_INTERVAL_SCHEDULE_ORACLE_SQL = """
+    WITH RECURSIVE topu AS (
+        SELECT user_id FROM events GROUP BY user_id
+        ORDER BY count(*) DESC, user_id ASC LIMIT 1),
+    iv AS MATERIALIZED (
+        SELECT epoch_us(ts) AS s,
+               epoch_us(ts) + CAST(round(value * 100.0, 0)
+                                   AS BIGINT) * 3600000 AS e,
+               CAST(round(value * 100.0, 0) AS BIGINT) AS w,
+               event_id AS eid
+        FROM events WHERE user_id = (SELECT user_id FROM topu)),
+    rk AS MATERIALIZED (
+        SELECT s, e, w, row_number() OVER (
+            ORDER BY e, s, eid) AS rank
+        FROM iv),
+    pp AS MATERIALIZED (
+        SELECT rk.rank, rk.s, rk.e, rk.w,
+               coalesce((SELECT max(o.rank) FROM rk o
+                         WHERE o.e <= rk.s), 0) AS p
+        FROM rk),
+    dp AS (
+        SELECT CAST(0 AS BIGINT) AS i, [CAST(0 AS BIGINT)] AS opts
+        UNION ALL
+        SELECT dp.i + 1,
+               list_append(dp.opts, greatest(
+                   dp.opts[CAST(dp.i + 1 AS INT)],
+                   pp.w + dp.opts[CAST(pp.p + 1 AS INT)]))
+        FROM dp JOIN pp ON pp.rank = dp.i + 1),
+    fin AS (SELECT opts FROM dp
+            WHERE i = (SELECT count(*) FROM pp))
+    SELECT pp.rank, CAST(pp.s AS BIGINT) AS start,
+           CAST(pp.e AS BIGINT) AS "end", pp.w,
+           CAST(pp.p AS BIGINT) AS p,
+           fin.opts[CAST(pp.rank + 1 AS INT)] AS opt
+    FROM pp CROSS JOIN fin ORDER BY pp.rank"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -12631,6 +12721,7 @@ def build_queries() -> dict:
         "emb_kcenter_select": emb_kcenter_select,
         "q_user_lis": q_user_lis,
         "doc_heaps_law": doc_heaps_law,
+        "q_user_interval_schedule": q_user_interval_schedule,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -13581,6 +13672,7 @@ def build_oracle_sql() -> dict:
     oracles["emb_kcenter_select"] = _kcenter_oracle_sql(k=6, dim=64)
     oracles["q_user_lis"] = _lis_oracle_sql(levels=30)
     oracles["doc_heaps_law"] = _HEAPS_ORACLE_SQL
+    oracles["q_user_interval_schedule"] = _INTERVAL_SCHEDULE_ORACLE_SQL
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

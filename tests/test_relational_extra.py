@@ -3012,3 +3012,50 @@ def test_heaps_law_serial_parity_and_growth_invariants():
     # sublinear growth: 0 <= beta <= 1 (the synthetic corpus draws
     # from a fixed vocabulary, so saturation — beta == 0 — is legal)
     assert 0.0 <= float(out["beta"].iloc[0]) <= 1.0
+
+
+def test_interval_schedule_brute_force_optimality():
+    import itertools
+    from jerex_ray.pipelines.queries import q_user_interval_schedule
+    out = q_user_interval_schedule(SF)
+    n = len(out)
+    starts = out["start"].to_numpy(np.int64)
+    ends = out["end"].to_numpy(np.int64)
+    w = out["w"].to_numpy(np.int64)
+    opt = int(out["opt"].iloc[-1])
+    # DP invariants
+    assert (np.diff(out["opt"].to_numpy()) >= 0).all()
+    assert (out["p"].to_numpy() < out["rank"].to_numpy()).all()
+    if n <= 20:
+        best = 0
+        for mask in itertools.product([0, 1], repeat=n):
+            sel = [i for i in range(n) if mask[i]]
+            if all(ends[a] <= starts[b]
+                   for a, b in zip(sel, sel[1:])):
+                best = max(best, int(w[list(sel)].sum()))
+        assert opt == best
+    else:
+        # greedy-by-density feasible solutions never beat the DP
+        order = np.lexsort((starts, -w))
+        chosen, tend = [], None
+        total = 0
+        for i in order:
+            if all(not (starts[i] < ends[j] and starts[j] < ends[i])
+                   for j in chosen):
+                chosen.append(i)
+                total += int(w[i])
+        assert opt >= total
+        # and the DP value is achievable: reconstruct via backtrack
+        p = out["p"].to_numpy(np.int64)
+        optv = np.r_[0, out["opt"].to_numpy(np.int64)]
+        i, picked = n, []
+        while i > 0:
+            if optv[i] == optv[i - 1]:
+                i -= 1
+            else:
+                picked.append(i - 1)
+                i = int(p[i - 1])
+        picked = picked[::-1]
+        assert all(ends[a] <= starts[b]
+                   for a, b in zip(picked, picked[1:]))
+        assert int(w[picked].sum()) == opt
