@@ -12567,6 +12567,131 @@ _INTERVAL_SCHEDULE_ORACLE_SQL = """
     FROM pp CROSS JOIN fin ORDER BY pp.rank"""
 
 
+def q_stable_matching(sf_dir: str, *, n: int = 8,
+                      oracle_rounds: int = 16):
+    """Gale–Shapley stable matching (Gale & Shapley '62) between
+    the top-``n`` customers and top-``n`` suppliers by account
+    balance (strict (balance DESC, key ASC) pick): preference ranks
+    on both sides come from md5("c|s") / md5("s|c") — the
+    SQL-replayable ``md5_hash64`` contract, distinct with
+    overwhelming probability and pinned strict by the (hash, id)
+    tie key. Runs the ROUND-SYNCHRONOUS proposer variant (all free
+    customers propose to their best not-yet-tried supplier; each
+    supplier keeps its best suitor) — deterministic and identical
+    to classic deferred acceptance's result (the proposer-optimal
+    stable matching is unique), which is what the generated
+    per-round CTE oracle replays. Stability (no blocking pair) is
+    pytest-verified by brute force.
+
+    Scale shape: two combiner top-k passes pick the participants;
+    the n×n preference table is metadata-sized and the proposal
+    rounds run driver-side (the Selinger/Viterbi convention).
+    Asserts convergence within the oracle's unrolled depth."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.util import md5_hash64
+    configure_data_context()
+
+    def top_keys(table: str, key: str, bal: str) -> list[int]:
+        ds = read_parquet_sized(f"{sf_dir}/{table}.parquet",
+                                columns=[key, bal])
+        t = grouped_aggregate(ds, [key], {"b": (bal, "max")}) \
+            .to_pandas()
+        t = t.sort_values(["b", key], ascending=[False, True])
+        return [int(v) for v in t[key].head(n)]
+
+    cs = top_keys("customer", "c_custkey", "c_acctbal")
+    ss = top_keys("supplier", "s_suppkey", "s_acctbal")
+    # customer c's preference list: suppliers by md5("c|s") ASC
+    pref_c = {c: sorted(ss, key=lambda s: (md5_hash64(f"{c}|{s}"), s))
+              for c in cs}
+    # supplier s prefers the suitor with smaller md5("s|c")
+    srank = {(s, c): (md5_hash64(f"{s}|{c}"), c)
+             for s in ss for c in cs}
+
+    nxt = dict.fromkeys(cs, 0)        # next proposal index
+    engaged: dict[int, int] = {}      # supplier -> customer
+    rounds = 0
+    while True:
+        rounds += 1
+        free = [c for c in cs if c not in engaged.values()
+                and nxt[c] < n]
+        if not free:
+            break
+        props: dict[int, list[int]] = {}
+        for c in free:
+            s = pref_c[c][nxt[c]]
+            nxt[c] += 1
+            props.setdefault(s, []).append(c)
+        for s, suitors in props.items():
+            cand = suitors + ([engaged[s]] if s in engaged else [])
+            engaged[s] = min(cand, key=lambda c: srank[(s, c)])
+        assert rounds <= oracle_rounds, \
+            f"GS still running at round {rounds} > {oracle_rounds}"
+    return pd.DataFrame(
+        sorted((c, s) for s, c in engaged.items()),
+        columns=["c_custkey", "s_suppkey"]).astype("int64")
+
+
+def _stable_matching_oracle_sql(n: int = 8,
+                                rounds: int = 16) -> str:
+    """Per-round replay of ``q_stable_matching``: the proposal
+    state is (customer, tried-count, engaged supplier or NULL);
+    each round free customers propose to preference rank
+    tried+1, suppliers keep the md5-smallest suitor."""
+    h = ("CAST('0x' || substr(md5(CAST({a} AS VARCHAR) || '|' || "
+         "CAST({b} AS VARCHAR)), 1, 16) AS UBIGINT)")
+    hc = h.format(a="c.c", b="s.s")
+    hs = h.format(a="s.s", b="c.c")
+    sql = f"""
+        WITH cs AS MATERIALIZED (
+            SELECT c_custkey AS c FROM customer
+            ORDER BY c_acctbal DESC, c_custkey ASC LIMIT {n}),
+        ss AS MATERIALIZED (
+            SELECT s_suppkey AS s FROM supplier
+            ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT {n}),
+        pr AS MATERIALIZED (
+            SELECT c.c, s.s,
+                   row_number() OVER (PARTITION BY c.c
+                       ORDER BY {hc}, s.s) AS crk,
+                   {hs} AS shash
+            FROM cs c CROSS JOIN ss s),
+        st0 AS (SELECT c, 0 AS tried, CAST(NULL AS BIGINT) AS eng
+                FROM cs)"""
+    for r in range(1, rounds + 1):
+        p, q = f"st{r - 1}", f"st{r}"
+        sql += f""",
+        pp{r} AS MATERIALIZED (
+            SELECT {p}.c, pr.s, pr.shash
+            FROM {p} JOIN pr ON pr.c = {p}.c
+                             AND pr.crk = {p}.tried + 1
+            WHERE {p}.eng IS NULL AND {p}.tried < {n}),
+        win{r} AS MATERIALIZED (
+            SELECT s, c FROM (
+                SELECT u.s, u.c, row_number() OVER (
+                    PARTITION BY u.s ORDER BY u.shash, u.c) AS rn
+                FROM (
+                    SELECT s, c, shash FROM pp{r}
+                    UNION ALL
+                    SELECT p0.eng AS s, p0.c,
+                           (SELECT shash FROM pr
+                            WHERE pr.c = p0.c AND pr.s = p0.eng)
+                    FROM {p} p0 WHERE p0.eng IS NOT NULL) u)
+            WHERE rn = 1),
+        {q} AS MATERIALIZED (
+            SELECT {p}.c,
+                   {p}.tried + CASE WHEN pp{r}.c IS NOT NULL
+                                    THEN 1 ELSE 0 END AS tried,
+                   w.s AS eng
+            FROM {p}
+            LEFT JOIN pp{r} ON pp{r}.c = {p}.c
+            LEFT JOIN win{r} w ON w.c = {p}.c)"""
+    return sql + f"""
+        SELECT c AS c_custkey, eng AS s_suppkey
+        FROM st{rounds} WHERE eng IS NOT NULL
+        ORDER BY c_custkey"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -12722,6 +12847,7 @@ def build_queries() -> dict:
         "q_user_lis": q_user_lis,
         "doc_heaps_law": doc_heaps_law,
         "q_user_interval_schedule": q_user_interval_schedule,
+        "q_stable_matching": q_stable_matching,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -13673,6 +13799,8 @@ def build_oracle_sql() -> dict:
     oracles["q_user_lis"] = _lis_oracle_sql(levels=30)
     oracles["doc_heaps_law"] = _HEAPS_ORACLE_SQL
     oracles["q_user_interval_schedule"] = _INTERVAL_SCHEDULE_ORACLE_SQL
+    oracles["q_stable_matching"] = _stable_matching_oracle_sql(
+        n=8, rounds=16)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -3059,3 +3059,56 @@ def test_interval_schedule_brute_force_optimality():
         assert all(ends[a] <= starts[b]
                    for a, b in zip(picked, picked[1:]))
         assert int(w[picked].sum()) == opt
+
+
+def test_stable_matching_no_blocking_pair_and_gs_parity():
+    from jerex_ray.pipelines.queries import q_stable_matching
+    from jerex_ray.util import md5_hash64
+    n = 8
+    out = q_stable_matching(SF, n=n)
+    assert len(out) == n
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_acctbal"]) \
+        .to_pandas().sort_values(["c_acctbal", "c_custkey"],
+                                 ascending=[False, True])
+    supp = pq.read_table(f"{SF}/supplier.parquet",
+                         columns=["s_suppkey", "s_acctbal"]) \
+        .to_pandas().sort_values(["s_acctbal", "s_suppkey"],
+                                 ascending=[False, True])
+    cs = [int(v) for v in cust["c_custkey"].head(n)]
+    ss = [int(v) for v in supp["s_suppkey"].head(n)]
+    prefc = {c: sorted(ss, key=lambda s: (md5_hash64(f"{c}|{s}"), s))
+             for c in cs}
+    ranks = {(s, c): (md5_hash64(f"{s}|{c}"), c)
+             for s in ss for c in cs}
+
+    # textbook SEQUENTIAL deferred acceptance — must coincide with
+    # the engine's round-synchronous variant (GS output is unique)
+    nxt = dict.fromkeys(cs, 0)
+    eng = {}
+    free = list(cs)
+    while free:
+        c = free.pop(0)
+        s = prefc[c][nxt[c]]
+        nxt[c] += 1
+        if s not in eng:
+            eng[s] = c
+        elif ranks[(s, c)] < ranks[(s, eng[s])]:
+            free.append(eng[s])
+            eng[s] = c
+        else:
+            free.append(c)
+    exp = sorted((c, s) for s, c in eng.items())
+    assert list(map(tuple, out.to_numpy())) == exp
+
+    # stability: no blocking pair
+    match_c = dict(out.to_numpy())
+    match_s = {s: c for c, s in match_c.items()}
+    for c in cs:
+        for s in ss:
+            if match_c[c] == s:
+                continue
+            c_prefers = prefc[c].index(s) \
+                < prefc[c].index(match_c[c])
+            s_prefers = ranks[(s, c)] < ranks[(s, match_s[s])]
+            assert not (c_prefers and s_prefers), (c, s)
