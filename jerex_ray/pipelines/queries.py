@@ -12692,6 +12692,117 @@ def _stable_matching_oracle_sql(n: int = 8,
         ORDER BY c_custkey"""
 
 
+def q_doc_token_align(sf_dir: str):
+    """Token-level global alignment distance (Needleman–Wunsch '70
+    with unit costs = Levenshtein on the token alphabet) between the
+    two LONGEST documents (n_tokens DESC, doc_id ASC — the knapsack
+    pick): the document-scale sibling of the char-level edit
+    distance the canonicalizer uses (M8). The DP row update is
+    fully vectorized via the prefix-min identity dp[i][j] = j +
+    min_{k≤j}(c_k − k) (one ``np.minimum.accumulate`` per row — no
+    inner loop despite the left-cell dependency). The oracle maps
+    each distinct token of the pair to one printable ASCII char
+    (asserted ≤ 94 — loud, not silent, on vocabulary growth) and
+    asks DuckDB's byte-level ``levenshtein`` on the encoded
+    strings, which on a 1-byte alphabet IS token-level NW.
+
+    Scale shape: the pair pick is an exact per-block top-k; the
+    O(len²) DP runs driver-side on the two-document payload."""
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n": toks.str.len().fillna(0).astype(np.int64),
+            "text": df["text"].fillna("")})
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(2)
+
+    top = ds.map_batches(stats, batch_format="pandas",
+                         batch_size=8192) \
+        .map_batches(block_top, batch_format="pandas").to_pandas()
+    top = top.sort_values(["n", "doc_id"],
+                          ascending=[False, True],
+                          kind="mergesort").head(2) \
+        .reset_index(drop=True)
+    da, db_ = int(top["doc_id"].iloc[0]), int(top["doc_id"].iloc[1])
+    if da > db_:            # canonical (doc_a < doc_b) output order
+        top = top.iloc[[1, 0]].reset_index(drop=True)
+        da, db_ = db_, da
+    a = [t.lower() for t in top["text"].iloc[0].split()]
+    b = [t.lower() for t in top["text"].iloc[1].split()]
+    assert len(set(a) | set(b)) <= 94, \
+        "pair vocabulary exceeds the oracle's 1-byte alphabet"
+    bv = np.array(b, dtype=object)
+    prev = np.arange(len(b) + 1, dtype=np.int64)
+    for i, ta in enumerate(a, 1):
+        sub = (bv != ta).astype(np.int64)
+        c = np.minimum(prev[:-1] + sub, prev[1:] + 1)
+        cand = np.r_[np.int64(i), c] \
+            - np.arange(len(b) + 1, dtype=np.int64)
+        prev = np.arange(len(b) + 1, dtype=np.int64) \
+            + np.minimum.accumulate(cand)
+    d = int(prev[-1])
+    la, lb = len(a), len(b)
+    return pd.DataFrame({
+        "doc_a": np.array([da], dtype=np.int64),
+        "doc_b": np.array([db_], dtype=np.int64),
+        "len_a": np.array([la], dtype=np.int64),
+        "len_b": np.array([lb], dtype=np.int64),
+        "edist": np.array([d], dtype=np.int64),
+        "sim": [round(1.0 - d / max(la, lb), 6)]})
+
+
+def _token_align_oracle_sql() -> str:
+    return f"""
+    WITH it AS MATERIALIZED (
+        SELECT doc_id, lower(coalesce(text, '')) AS t,
+               {_N_TOKENS_SQL} AS n,
+               row_number() OVER (
+                   ORDER BY {_N_TOKENS_SQL} DESC, doc_id ASC) AS rk
+        FROM documents QUALIFY rk <= 2),
+    pair AS (SELECT min(doc_id) AS da, max(doc_id) AS db FROM it),
+    tok AS MATERIALIZED (
+        SELECT it.doc_id, p.i AS pos,
+               list_filter(regexp_split_to_array(it.t, '\\s+'),
+                           x -> x <> '')[p.i] AS w
+        FROM it, LATERAL (SELECT unnest(range(1,
+            array_length(list_filter(regexp_split_to_array(it.t,
+                '\\s+'), x -> x <> '')) + 1)) AS i) p),
+    dict AS MATERIALIZED (
+        SELECT w, chr(32 + CAST(row_number() OVER (ORDER BY w)
+                                AS INT)) AS ch
+        FROM (SELECT DISTINCT w FROM tok)),
+    enc AS MATERIALIZED (
+        SELECT tok.doc_id,
+               string_agg(dict.ch, '' ORDER BY tok.pos) AS s,
+               count(*) AS n
+        FROM tok JOIN dict ON dict.w = tok.w
+        GROUP BY tok.doc_id),
+    d AS (SELECT levenshtein(
+              (SELECT s FROM enc, pair WHERE doc_id = pair.da),
+              (SELECT s FROM enc, pair WHERE doc_id = pair.db))
+              AS dist)
+    SELECT pair.da AS doc_a, pair.db AS doc_b,
+           CAST((SELECT n FROM enc WHERE doc_id = pair.da)
+                AS BIGINT) AS len_a,
+           CAST((SELECT n FROM enc WHERE doc_id = pair.db)
+                AS BIGINT) AS len_b,
+           CAST(d.dist AS BIGINT) AS edist,
+           round(1.0 - d.dist / greatest(
+               (SELECT n FROM enc WHERE doc_id = pair.da),
+               (SELECT n FROM enc WHERE doc_id = pair.db)) * 1.0, 6)
+               AS sim
+    FROM pair CROSS JOIN d"""  # noqa: E501
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -12848,6 +12959,7 @@ def build_queries() -> dict:
         "doc_heaps_law": doc_heaps_law,
         "q_user_interval_schedule": q_user_interval_schedule,
         "q_stable_matching": q_stable_matching,
+        "q_doc_token_align": q_doc_token_align,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -13801,6 +13913,7 @@ def build_oracle_sql() -> dict:
     oracles["q_user_interval_schedule"] = _INTERVAL_SCHEDULE_ORACLE_SQL
     oracles["q_stable_matching"] = _stable_matching_oracle_sql(
         n=8, rounds=16)
+    oracles["q_doc_token_align"] = _token_align_oracle_sql()
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -3112,3 +3112,34 @@ def test_stable_matching_no_blocking_pair_and_gs_parity():
                 < prefc[c].index(match_c[c])
             s_prefers = ranks[(s, c)] < ranks[(s, match_s[s])]
             assert not (c_prefers and s_prefers), (c, s)
+
+
+def test_token_align_serial_dp_parity_and_metric_bounds():
+    from jerex_ray.pipelines.queries import q_doc_token_align
+    out = q_doc_token_align(SF).iloc[0]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = docs["text"].fillna("").str.split()
+    docs["n"] = toks.str.len().fillna(0).astype(np.int64)
+    top = docs.sort_values(["n", "doc_id"],
+                           ascending=[False, True]).head(2)
+    ids = sorted(int(v) for v in top["doc_id"])
+    assert [int(out["doc_a"]), int(out["doc_b"])] == ids
+    texts = {int(r.doc_id): r.text for r in top.itertuples()}
+    a = texts[ids[0]].lower().split()
+    b = texts[ids[1]].lower().split()
+
+    # classic O(mn) scalar DP
+    prev = list(range(len(b) + 1))
+    for i, ta in enumerate(a, 1):
+        cur = [i]
+        for j, tb in enumerate(b, 1):
+            cur.append(min(prev[j - 1] + (ta != tb),
+                           prev[j] + 1, cur[-1] + 1))
+        prev = cur
+    d = prev[-1]
+    assert int(out["edist"]) == d
+    # metric bounds: |la-lb| <= d <= max(la, lb)
+    la, lb = int(out["len_a"]), int(out["len_b"])
+    assert abs(la - lb) <= d <= max(la, lb)
+    assert 0.0 <= float(out["sim"]) <= 1.0
