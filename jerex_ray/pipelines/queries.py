@@ -12803,6 +12803,152 @@ def _token_align_oracle_sql() -> str:
     FROM pair CROSS JOIN d"""  # noqa: E501
 
 
+def _cdc_chunks(text: str, k: int, divisor: int,
+                hash_batch) -> list[str]:
+    """Content-defined chunk strings of ``text``: a cut after char
+    i+k−1 wherever md5_64(text[i:i+k]) % divisor == 0 (gram hashes
+    md5-derived — the ``winnowing_md5`` SQL-replay convention), plus
+    the forced tail cut. Chunk boundaries move with content, not
+    offsets, so insertions only reshape neighboring chunks — the
+    LBFS property."""
+    t = text.lower()
+    n = len(t) - k + 1
+    if n < 1:
+        return [t] if t else []
+    grams = [t[i:i + k] for i in range(n)]
+    h = hash_batch(grams) % np.uint64(divisor)
+    cuts = (np.flatnonzero(h == 0) + k).tolist()
+    if not cuts or cuts[-1] != len(t):
+        cuts.append(len(t))
+    out, prev = [], 0
+    for c in cuts:
+        if c > prev:
+            out.append(t[prev:c])
+            prev = c
+    return out
+
+
+def doc_cdc_chunks(sf_dir: str, *, k: int = 8, divisor: int = 64):
+    """Content-defined chunking audit (LBFS, Muthitacharoen et al.
+    '01 — the Rabin-cut storage-dedup primitive beside the
+    winnowing fingerprints): per document, the chunk count and how
+    many of its DISTINCT chunk hashes are shared with at least one
+    other document (the dedup win a content-addressed store would
+    realize). Cuts derive from md5 char-``k``-gram hashes
+    (% ``divisor`` == 0), so the SQL oracle replays every boundary
+    and chunk hash bit-for-bit.
+
+    Scale shape: pass 1 emits distinct (doc, chunk-hash) rows and
+    reduces them through the combiner to per-hash doc counts; only
+    hashes with ≥2 docs (bounded by the cross-doc duplicate volume,
+    the MinHash-family broadcast contract) reach the driver and
+    broadcast; pass 2 recomputes each doc's chunks and counts
+    membership — no corpus-sized join, no chunk text ever
+    shuffled."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.util import md5_hash64_batch
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def hash_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, hs = [], []
+        for did, txt in zip(batch["doc_id"], batch["text"].fillna("")):
+            ch = _cdc_chunks(txt, k, divisor, md5_hash64_batch)
+            if not ch:
+                continue
+            hh = np.unique((md5_hash64_batch(ch)
+                            % np.uint64(1 << 63)).astype(np.int64))
+            ids.extend([int(did)] * len(hh))
+            hs.extend(int(v) for v in hh)
+        return pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                             "chash": np.array(hs, dtype=np.int64)})
+
+    counts = grouped_aggregate(
+        ds.map_batches(hash_rows, batch_format="pandas",
+                       batch_size=1024),
+        ["chash"], {"n_docs": (None, "count")})
+    shared_df = counts.map_batches(
+        lambda df: df[df["n_docs"] >= 2][["chash"]]
+        if "chash" in df.columns else df,
+        batch_format="pandas").to_pandas()
+    shared = set(int(v) for v in shared_df["chash"]) \
+        if "chash" in shared_df.columns else set()
+    sref = ray.put(shared)
+
+    def per_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = ray.get(sref)
+        rows = []
+        for did, txt in zip(batch["doc_id"], batch["text"].fillna("")):
+            ch = _cdc_chunks(txt, k, divisor, md5_hash64_batch)
+            hh = set(int(v) for v in (md5_hash64_batch(ch)
+                                      % np.uint64(1 << 63))) \
+                if ch else set()
+            rows.append((int(did), len(txt), len(ch), len(hh),
+                         sum(1 for v in hh if v in sh)))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "n_chars", "n_chunks", "uniq_chunks",
+            "shared_chunks"]).astype("int64")
+
+    out = ds.map_batches(per_doc, batch_format="pandas",
+                         batch_size=1024).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _cdc_oracle_sql(k: int = 8, divisor: int = 64) -> str:
+    return f"""
+        WITH d AS MATERIALIZED (
+            SELECT doc_id, lower(coalesce(text, '')) AS t
+            FROM documents),
+        g AS MATERIALIZED (
+            SELECT d.doc_id, p.i,
+                   CAST('0x' || substr(md5(substr(d.t, p.i, {k})),
+                        1, 16) AS UBIGINT) % {divisor} AS hmod
+            FROM d, LATERAL (SELECT unnest(range(1,
+                greatest(length(d.t) - {k} + 1, 0) + 1)) AS i) p),
+        cuts AS MATERIALIZED (
+            SELECT doc_id, i + {k} - 1 AS c FROM g WHERE hmod = 0
+            UNION
+            SELECT doc_id, length(t) FROM d WHERE length(t) > 0),
+        ch AS MATERIALIZED (
+            SELECT doc_id, substr((SELECT t FROM d
+                                   WHERE d.doc_id = cuts.doc_id),
+                       coalesce(lag(c) OVER (PARTITION BY doc_id
+                                             ORDER BY c), 0) + 1,
+                       c - coalesce(lag(c) OVER (PARTITION BY doc_id
+                                                 ORDER BY c), 0))
+                       AS chunk
+            FROM cuts),
+        chh AS MATERIALIZED (
+            SELECT DISTINCT doc_id,
+                   CAST(CAST('0x' || substr(md5(chunk), 1, 16)
+                        AS UBIGINT) % 9223372036854775808
+                        AS BIGINT) AS chash
+            FROM ch WHERE chunk <> ''),
+        nd AS (SELECT chash, count(*) AS n_docs
+               FROM chh GROUP BY chash),
+        stats AS (
+            SELECT d.doc_id, length(d.t) AS n_chars,
+                   (SELECT count(*) FROM ch
+                    WHERE ch.doc_id = d.doc_id
+                      AND ch.chunk <> '') AS n_chunks,
+                   (SELECT count(*) FROM chh
+                    WHERE chh.doc_id = d.doc_id) AS uniq_chunks,
+                   (SELECT count(*) FROM chh JOIN nd USING (chash)
+                    WHERE chh.doc_id = d.doc_id
+                      AND nd.n_docs >= 2) AS shared_chunks
+            FROM d)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_chunks AS BIGINT) AS n_chunks,
+               CAST(uniq_chunks AS BIGINT) AS uniq_chunks,
+               CAST(shared_chunks AS BIGINT) AS shared_chunks
+        FROM stats ORDER BY doc_id"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -12960,6 +13106,7 @@ def build_queries() -> dict:
         "q_user_interval_schedule": q_user_interval_schedule,
         "q_stable_matching": q_stable_matching,
         "q_doc_token_align": q_doc_token_align,
+        "doc_cdc_chunks": doc_cdc_chunks,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -13914,6 +14061,7 @@ def build_oracle_sql() -> dict:
     oracles["q_stable_matching"] = _stable_matching_oracle_sql(
         n=8, rounds=16)
     oracles["q_doc_token_align"] = _token_align_oracle_sql()
+    oracles["doc_cdc_chunks"] = _cdc_oracle_sql(k=8, divisor=64)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

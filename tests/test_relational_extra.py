@@ -3143,3 +3143,37 @@ def test_token_align_serial_dp_parity_and_metric_bounds():
     la, lb = int(out["len_a"]), int(out["len_b"])
     assert abs(la - lb) <= d <= max(la, lb)
     assert 0.0 <= float(out["sim"]) <= 1.0
+
+
+def test_cdc_chunks_serial_parity_and_shift_resistance():
+    from jerex_ray.pipelines.queries import _cdc_chunks, doc_cdc_chunks
+    from jerex_ray.util import md5_hash64_batch
+    out = doc_cdc_chunks(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    hcnt = {}
+    per_doc = {}
+    for r in docs.itertuples():
+        ch = _cdc_chunks(r.text or "", 8, 64, md5_hash64_batch)
+        hh = {int(v) for v in (md5_hash64_batch(ch)
+                               % np.uint64(1 << 63))} if ch else set()
+        per_doc[int(r.doc_id)] = (len(r.text or ""), len(ch), hh)
+        for v in hh:
+            hcnt[v] = hcnt.get(v, 0) + 1
+    for r in out.itertuples():
+        n_chars, n_chunks, hh = per_doc[int(r.doc_id)]
+        assert (int(r.n_chars), int(r.n_chunks),
+                int(r.uniq_chunks)) == (n_chars, n_chunks, len(hh))
+        assert int(r.shared_chunks) == \
+            sum(1 for v in hh if hcnt[v] >= 2)
+    # chunks reassemble the document exactly
+    t = (docs["text"].iloc[0] or "").lower()
+    assert "".join(_cdc_chunks(t, 8, 64, md5_hash64_batch)) == t
+    # the LBFS property: a prefix insertion leaves the tail chunk
+    # sequence untouched past the first post-insertion boundary
+    base = _cdc_chunks(t, 8, 64, md5_hash64_batch)
+    shifted = _cdc_chunks("INSERTED PREFIX " + t, 8, 64,
+                          md5_hash64_batch)
+    assert len(base) > 2
+    common = set(base[1:]) & set(shifted)
+    assert len(common) >= len(base) - 2   # all interior+tail survive
