@@ -12949,6 +12949,157 @@ def _cdc_oracle_sql(k: int = 8, divisor: int = 64) -> str:
         FROM stats ORDER BY doc_id"""
 
 
+def q_events_did(sf_dir: str):
+    """Difference-in-differences estimate (the Card–Krueger '94
+    two-period design, completing the SRM/CUPED experimentation
+    family): arms from the md5("ab|user") parity bucketing the A/B
+    family shares, periods split at the stream's integer timestamp
+    midpoint, metric = mean event value. All four cell aggregates
+    stay EXACT integers (event counts + value cents); the four
+    means and DiD = (T̄post − T̄pre) − (C̄post − C̄pre) are computed
+    in one identical expression order on both engines, rounded to
+    6. ONE combiner pass over (arm, period) partials — the corpus
+    never moves."""
+    import pyarrow.parquet as _pq
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.util import md5_hash64_batch
+    configure_data_context()
+    ts = _pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["ts"])["ts"].to_pandas() \
+        .astype("datetime64[us]").astype("int64")
+    mid = (int(ts.min()) + int(ts.max())) // 2
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        arm = (md5_hash64_batch(
+            [f"ab|{u}" for u in df["user_id"]]) % 2).astype(np.int64)
+        post = (df["ts"].astype("datetime64[us]").astype("int64")
+                .to_numpy() > mid).astype(np.int64)
+        v = df["value"].to_numpy(np.float64)
+        cents = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v) \
+            .astype(np.int64)
+        g = pd.DataFrame({"arm": arm, "post": post, "c": cents,
+                          "n": np.int64(1)}) \
+            .groupby(["arm", "post"], sort=False, as_index=False) \
+            .sum()
+        return g.astype({"arm": "int64", "post": "int64",
+                         "c": "int64", "n": "int64"})
+
+    cells = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        ["arm", "post"], {"sum_cents": ("c", "sum"),
+                          "n": ("n", "sum")},
+        result_hint="small").to_pandas() \
+        .sort_values(["arm", "post"]).reset_index(drop=True)
+
+    def mean(arm: int, post: int) -> float:
+        r = cells[(cells["arm"] == arm) & (cells["post"] == post)]
+        return float(int(r["sum_cents"].iloc[0])
+                     / (int(r["n"].iloc[0]) * 100.0))
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    cells["mean_value"] = [
+        _round_half_away(mean(int(a), int(p)), 6)
+        for a, p in zip(cells["arm"], cells["post"])]
+    cells["did"] = _round_half_away(did, 6)
+    return cells[["arm", "post", "n", "sum_cents", "mean_value",
+                  "did"]]
+
+
+_DID_ORACLE_SQL = """
+    WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                   AS mid FROM events),
+    cells AS MATERIALIZED (
+        SELECT CAST('0x' || substr(md5('ab|' ||
+                   CAST(user_id AS VARCHAR)), 1, 16) AS UBIGINT)
+                   % 2 AS arm,
+               CASE WHEN epoch_us(ts) > (SELECT mid FROM b)
+                    THEN 1 ELSE 0 END AS post,
+               CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    m AS (SELECT
+        (SELECT sum_cents / (n * 100.0) FROM cells
+         WHERE arm = 1 AND post = 1) AS t1,
+        (SELECT sum_cents / (n * 100.0) FROM cells
+         WHERE arm = 1 AND post = 0) AS t0,
+        (SELECT sum_cents / (n * 100.0) FROM cells
+         WHERE arm = 0 AND post = 1) AS c1,
+        (SELECT sum_cents / (n * 100.0) FROM cells
+         WHERE arm = 0 AND post = 0) AS c0)
+    SELECT CAST(cells.arm AS BIGINT) AS arm,
+           CAST(cells.post AS BIGINT) AS post, cells.n,
+           cells.sum_cents,
+           round(cells.sum_cents / (cells.n * 100.0), 6)
+               AS mean_value,
+           round((m.t1 - m.t0) - (m.c1 - m.c0), 6) AS did
+    FROM cells CROSS JOIN m ORDER BY arm, post"""
+
+
+def q_events_lincount(sf_dir: str, *, m: int = 4096):
+    """Linear-counting distinct estimate (Whang et al. '90 — the
+    load-factor sketch completing the HLL/KMV/AMS/CMS/Bloom family)
+    of the distinct event users: bitmap position md5("lc|u") % m,
+    estimate = m·ln(m/(m−occupied)). The ONLY cross-cluster state
+    is the position table (≤ m rows through the combiner — the
+    Bloom-bitmap contract); the exact distinct count rides the same
+    pass for the error column. ln is glibc on both engines; one
+    final expression, rounded to 6."""
+    import math
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.util import md5_hash64_batch
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+    users = grouped_aggregate(ds, ["user_id"],
+                              {"n": (None, "count")})
+    exact = users.count()
+
+    def pos(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "user_id" not in df.columns:
+            return pd.DataFrame({"p": pd.Series(dtype="int64")})
+        h = (md5_hash64_batch([f"lc|{u}" for u in df["user_id"]])
+             % m).astype(np.int64)
+        return pd.DataFrame({"p": np.unique(h)})
+
+    occ = grouped_aggregate(users.map_batches(
+        pos, batch_format="pandas"), ["p"],
+        {"n": (None, "count")}).count()
+    est = m * math.log(m / float(m - occ))
+    return pd.DataFrame({
+        "m": np.array([m], dtype=np.int64),
+        "occupied": np.array([occ], dtype=np.int64),
+        "exact_distinct": np.array([exact], dtype=np.int64),
+        "estimate": [_round_half_away(est, 6)],
+        "rel_err": [_round_half_away(est / exact - 1.0, 6)]})
+
+
+def _lincount_oracle_sql(m: int = 4096) -> str:
+    return f"""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        p AS (SELECT DISTINCT CAST('0x' || substr(md5('lc|' ||
+                  CAST(user_id AS VARCHAR)), 1, 16) AS UBIGINT)
+                  % {m} AS p
+              FROM u),
+        s AS (SELECT (SELECT count(*) FROM p) AS occ,
+                     (SELECT count(*) FROM u) AS ex)
+        SELECT CAST({m} AS BIGINT) AS m,
+               CAST(occ AS BIGINT) AS occupied,
+               CAST(ex AS BIGINT) AS exact_distinct,
+               round({m} * ln({m} / CAST({m} - occ AS DOUBLE)), 6)
+                   AS estimate,
+               round({m} * ln({m} / CAST({m} - occ AS DOUBLE)) / ex
+                     - 1.0, 6) AS rel_err
+        FROM s"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -13107,6 +13258,8 @@ def build_queries() -> dict:
         "q_stable_matching": q_stable_matching,
         "q_doc_token_align": q_doc_token_align,
         "doc_cdc_chunks": doc_cdc_chunks,
+        "q_events_did": q_events_did,
+        "q_events_lincount": q_events_lincount,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -14062,6 +14215,8 @@ def build_oracle_sql() -> dict:
         n=8, rounds=16)
     oracles["q_doc_token_align"] = _token_align_oracle_sql()
     oracles["doc_cdc_chunks"] = _cdc_oracle_sql(k=8, divisor=64)
+    oracles["q_events_did"] = _DID_ORACLE_SQL
+    oracles["q_events_lincount"] = _lincount_oracle_sql(m=4096)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -3177,3 +3177,47 @@ def test_cdc_chunks_serial_parity_and_shift_resistance():
     assert len(base) > 2
     common = set(base[1:]) & set(shifted)
     assert len(common) >= len(base) - 2   # all interior+tail survive
+
+
+def test_did_serial_parity_and_cell_partition():
+    import hashlib
+    from jerex_ray.pipelines.queries import q_events_did
+    out = q_events_did(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "value"]).to_pandas()
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    mid = (int(us.min()) + int(us.max())) // 2
+    arm = ev["user_id"].map(
+        lambda u: int.from_bytes(
+            hashlib.md5(f"ab|{u}".encode()).digest()[:8], "big") % 2)
+    post = (us > mid).astype(int)
+    v = ev["value"].to_numpy(np.float64)
+    cents = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v) \
+        .astype(np.int64)
+    g = pd.DataFrame({"arm": arm, "post": post, "c": cents}) \
+        .groupby(["arm", "post"])["c"].agg(["sum", "count"])
+    means = {}
+    for (a, p), r in g.iterrows():
+        row = out[(out["arm"] == a) & (out["post"] == p)].iloc[0]
+        assert int(row["sum_cents"]) == int(r["sum"])
+        assert int(row["n"]) == int(r["count"])
+        means[(a, p)] = int(r["sum"]) / (int(r["count"]) * 100.0)
+    did = (means[(1, 1)] - means[(1, 0)]) \
+        - (means[(0, 1)] - means[(0, 0)])
+    assert abs(float(out["did"].iloc[0]) - did) < 1e-6
+    # the four cells partition the corpus exactly
+    assert int(out["n"].sum()) == len(ev)
+
+
+def test_lincount_error_bound_and_exactness():
+    from jerex_ray.pipelines.queries import q_events_lincount
+    out = q_events_lincount(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    exact = ev["user_id"].nunique()
+    assert int(out["exact_distinct"]) == exact
+    assert 0 < int(out["occupied"]) <= min(exact, 4096)
+    # at load factor n/m << 1 linear counting is tight: 10% here
+    assert abs(float(out["rel_err"])) < 0.10
+    # estimate >= occupied (ln expansion only adds collisions back)
+    assert float(out["estimate"]) >= int(out["occupied"]) - 1e-9
