@@ -13100,6 +13100,86 @@ def _lincount_oracle_sql(m: int = 4096) -> str:
         FROM s"""
 
 
+def q_events_mann_kendall(sf_dir: str):
+    """Mann–Kendall trend test (Mann '45 / Kendall '75 — the
+    nonparametric significance twin of the Theil–Sen slope) on the
+    zero-filled hourly count series: S = Σ_{i<j} sign(y_j − y_i)
+    and the tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5)]/18 are EXACT INTEGERS (variance carried ×18),
+    so the only floats are the final continuity-corrected
+    Z = (S∓1)/√Var — one identical expression on both engines.
+    ONE time-bounded combiner pass reduces the corpus to the hour
+    grid; the O(T²) sign count is one vectorized comparison matrix
+    driver-side on that metadata-sized series."""
+    import math
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["ts"].astype("datetime64[us]").astype("int64")
+             // 3_600_000_000)
+        v, c = np.unique(h.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"h": v, "y": c.astype(np.int64)})
+
+    g = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        ["h"], {"y": ("y", "sum")}, result_hint="small").to_pandas()
+    h0 = int(g["h"].min())
+    T = int(g["h"].max()) - h0 + 1
+    y = np.zeros(T, dtype=np.int64)
+    y[g["h"].to_numpy(np.int64) - h0] = g["y"].to_numpy(np.int64)
+    diff = np.sign(y[None, :] - y[:, None])
+    S = int(np.triu(diff, 1).sum())
+    _, tie = np.unique(y, return_counts=True)
+    var18 = int(T) * (T - 1) * (2 * T + 5) \
+        - int(sum(int(t) * (t - 1) * (2 * t + 5) for t in tie))
+    var = var18 / 18.0
+    z = ((S - 1) / math.sqrt(var) if S > 0
+         else (S + 1) / math.sqrt(var) if S < 0 else 0.0)
+    return pd.DataFrame({
+        "n": np.array([T], dtype=np.int64),
+        "s": np.array([S], dtype=np.int64),
+        "var18": np.array([var18], dtype=np.int64),
+        "z": [_round_half_away(z, 6)]})
+
+
+_MANN_KENDALL_ORACLE_SQL = """
+    WITH b AS (SELECT min(epoch_us(ts) // 3600000000) AS h0,
+                      max(epoch_us(ts) // 3600000000) AS h1
+               FROM events),
+    hrs AS (SELECT unnest(range(0, CAST(h1 - h0 + 1 AS BIGINT)))
+                   AS h FROM b),
+    raw AS (SELECT epoch_us(ts) // 3600000000
+                   - (SELECT h0 FROM b) AS h, count(*) AS y
+            FROM events GROUP BY 1),
+    grid AS MATERIALIZED (
+        SELECT hrs.h, coalesce(raw.y, 0) AS y
+        FROM hrs LEFT JOIN raw ON raw.h = hrs.h),
+    s AS (SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+                               WHEN b.y < a.y THEN -1
+                               ELSE 0 END) AS BIGINT) AS s
+          FROM grid a JOIN grid b ON a.h < b.h),
+    n AS (SELECT count(*) AS n FROM grid),
+    ties AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                         AS BIGINT) AS tt
+             FROM (SELECT count(*) AS t FROM grid GROUP BY y)),
+    v AS (SELECT CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tt
+                      AS BIGINT) AS var18
+          FROM n CROSS JOIN ties)
+    SELECT CAST(n.n AS BIGINT) AS n, s.s, v.var18,
+           round(CASE WHEN s.s > 0
+                      THEN (s.s - 1) / sqrt(v.var18 / 18.0)
+                      WHEN s.s < 0
+                      THEN (s.s + 1) / sqrt(v.var18 / 18.0)
+                      ELSE 0.0 END, 6) AS z
+    FROM n CROSS JOIN s CROSS JOIN v"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -13260,6 +13340,7 @@ def build_queries() -> dict:
         "doc_cdc_chunks": doc_cdc_chunks,
         "q_events_did": q_events_did,
         "q_events_lincount": q_events_lincount,
+        "q_events_mann_kendall": q_events_mann_kendall,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -14217,6 +14298,7 @@ def build_oracle_sql() -> dict:
     oracles["doc_cdc_chunks"] = _cdc_oracle_sql(k=8, divisor=64)
     oracles["q_events_did"] = _DID_ORACLE_SQL
     oracles["q_events_lincount"] = _lincount_oracle_sql(m=4096)
+    oracles["q_events_mann_kendall"] = _MANN_KENDALL_ORACLE_SQL
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -3221,3 +3221,36 @@ def test_lincount_error_bound_and_exactness():
     assert abs(float(out["rel_err"])) < 0.10
     # estimate >= occupied (ln expansion only adds collisions back)
     assert float(out["estimate"]) >= int(out["occupied"]) - 1e-9
+
+
+def test_mann_kendall_serial_parity_and_antisymmetry():
+    import math
+    from jerex_ray.pipelines.queries import q_events_mann_kendall
+    out = q_events_mann_kendall(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts"]).to_pandas()
+    h = (ev["ts"].astype("datetime64[us]").astype("int64")
+         // 3_600_000_000).to_numpy()
+    h0 = int(h.min())
+    y = np.bincount(h - h0, minlength=int(h.max()) - h0 + 1) \
+        .astype(np.int64)
+    T = len(y)
+    S = 0
+    for i in range(T):
+        for j in range(i + 1, T):
+            S += int(np.sign(y[j] - y[i]))
+    _, tie = np.unique(y, return_counts=True)
+    var18 = T * (T - 1) * (2 * T + 5) \
+        - sum(int(t) * (t - 1) * (2 * t + 5) for t in tie)
+    assert (int(out["n"]), int(out["s"]), int(out["var18"])) \
+        == (T, S, var18)
+    z = ((S - 1) / math.sqrt(var18 / 18.0) if S > 0
+         else (S + 1) / math.sqrt(var18 / 18.0) if S < 0 else 0.0)
+    assert abs(float(out["z"]) - z) < 1e-6
+    # antisymmetry: reversing the series flips S exactly
+    Sr = 0
+    yr = y[::-1]
+    for i in range(T):
+        for j in range(i + 1, T):
+            Sr += int(np.sign(yr[j] - yr[i]))
+    assert Sr == -S
