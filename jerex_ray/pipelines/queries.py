@@ -13180,6 +13180,119 @@ _MANN_KENDALL_ORACLE_SQL = """
     FROM n CROSS JOIN s CROSS JOIN v"""
 
 
+def doc_source_logodds(sf_dir: str, *, alpha: float = 0.01,
+                       top: int = 10):
+    """Log-odds-ratio with informative Dirichlet prior (Monroe et
+    al. '08, "Fightin' Words") between the two largest sources (doc
+    count DESC, name ASC): the per-word "which words distinguish
+    source A from B" ranking that the distribution-level KL/Jaccard
+    source audits can't give. δ_w = ln((y1+α)/(n1+αV−y1−α)) −
+    ln((y2+α)/(n2+αV−y2−α)), z = δ/√(1/(y1+α)+1/(y2+α)); counts
+    are exact integers from ONE (source, word) combiner pass, and
+    the ranking cut (|z| DESC, word ASC) is decided by the
+    identical glibc-ln double on both engines (the t-closeness
+    convention). Returns the top-``top`` discriminating words."""
+    import math
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source", "text"])
+
+    ndocs = grouped_aggregate(
+        ds.map_batches(lambda df: df[["source", "doc_id"]]
+                       .drop_duplicates(), batch_format="pandas"),
+        ["source"], {"n": (None, "count")}).to_pandas()
+    ndocs = ndocs.sort_values(["n", "source"],
+                              ascending=[False, True])
+    sa, sb = str(ndocs["source"].iloc[0]), \
+        str(ndocs["source"].iloc[1])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[batch["source"].isin([sa, sb])]
+        words = m["text"].fillna("").str.lower().str.split()
+        lens = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "w": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        flat = np.concatenate([w for w in words.to_numpy() if w])
+        src = np.repeat(m["source"].to_numpy(), lens)
+        g = pd.DataFrame({"source": src, "w": flat}) \
+            .groupby(["source", "w"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    wc = grouped_aggregate(
+        ds.map_batches(explode, batch_format="pandas",
+                       batch_size=4096),
+        ["source", "w"], {"c": ("c", "sum")}).to_pandas()
+    piv = wc.pivot_table(index="w", columns="source", values="c",
+                         fill_value=0, aggfunc="sum")
+    y1 = piv.get(sa, pd.Series(0, index=piv.index)) \
+        .to_numpy(np.int64)
+    y2 = piv.get(sb, pd.Series(0, index=piv.index)) \
+        .to_numpy(np.int64)
+    n1, n2 = int(y1.sum()), int(y2.sum())
+    V = len(piv)
+    A = alpha * V
+    words = piv.index.to_numpy()
+    rows = []
+    for w, a_, b_ in zip(words, y1, y2):
+        d = (math.log((a_ + alpha) / (n1 + A - a_ - alpha))
+             - math.log((b_ + alpha) / (n2 + A - b_ - alpha)))
+        z = d / math.sqrt(1.0 / (a_ + alpha) + 1.0 / (b_ + alpha))
+        rows.append((str(w), int(a_), int(b_), z))
+    rows.sort(key=lambda r: (-abs(r[3]), r[0]))
+    out = pd.DataFrame(rows[:top],
+                       columns=["word", "y1", "y2", "z"])
+    out["source_a"], out["source_b"] = sa, sb
+    out["z"] = [_round_half_away(z, 6) for z in out["z"]]
+    out = out.astype({"y1": "int64", "y2": "int64"})
+    return out[["source_a", "source_b", "word", "y1", "y2", "z"]] \
+        .sort_values("word").reset_index(drop=True)
+
+
+def _logodds_oracle_sql(alpha: float = 0.01, top: int = 10) -> str:
+    return f"""
+        WITH top2 AS MATERIALIZED (
+            SELECT source, row_number() OVER (
+                ORDER BY count(DISTINCT doc_id) DESC, source ASC)
+                AS rk
+            FROM documents GROUP BY source QUALIFY rk <= 2),
+        w AS MATERIALIZED (
+            SELECT t.rk, unnest(list_filter(
+                regexp_split_to_array(lower(coalesce(text, '')),
+                                      '\\s+'), x -> x <> '')) AS w
+            FROM documents d JOIN top2 t ON t.source = d.source),
+        c AS MATERIALIZED (
+            SELECT w,
+                   CAST(count(*) FILTER (WHERE rk = 1) AS BIGINT)
+                       AS y1,
+                   CAST(count(*) FILTER (WHERE rk = 2) AS BIGINT)
+                       AS y2
+            FROM w GROUP BY w),
+        tot AS (SELECT sum(y1) AS n1, sum(y2) AS n2,
+                       count(*) * {alpha} AS aa FROM c),
+        z AS MATERIALIZED (
+            SELECT c.w, c.y1, c.y2,
+                   (ln((c.y1 + {alpha})
+                       / (tot.n1 + tot.aa - c.y1 - {alpha}))
+                    - ln((c.y2 + {alpha})
+                         / (tot.n2 + tot.aa - c.y2 - {alpha})))
+                   / sqrt(1.0 / (c.y1 + {alpha})
+                          + 1.0 / (c.y2 + {alpha})) AS z
+            FROM c CROSS JOIN tot),
+        rk AS (SELECT *, row_number() OVER (
+                   ORDER BY abs(z) DESC, w ASC) AS rn FROM z)
+        SELECT (SELECT source FROM top2 WHERE rk = 1) AS source_a,
+               (SELECT source FROM top2 WHERE rk = 2) AS source_b,
+               w AS word, y1, y2, round(z, 6) AS z
+        FROM rk WHERE rn <= {top} ORDER BY word"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -13341,6 +13454,7 @@ def build_queries() -> dict:
         "q_events_did": q_events_did,
         "q_events_lincount": q_events_lincount,
         "q_events_mann_kendall": q_events_mann_kendall,
+        "doc_source_logodds": doc_source_logodds,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -14299,6 +14413,8 @@ def build_oracle_sql() -> dict:
     oracles["q_events_did"] = _DID_ORACLE_SQL
     oracles["q_events_lincount"] = _lincount_oracle_sql(m=4096)
     oracles["q_events_mann_kendall"] = _MANN_KENDALL_ORACLE_SQL
+    oracles["doc_source_logodds"] = _logodds_oracle_sql(
+        alpha=0.01, top=10)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

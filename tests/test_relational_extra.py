@@ -3254,3 +3254,43 @@ def test_mann_kendall_serial_parity_and_antisymmetry():
         for j in range(i + 1, T):
             Sr += int(np.sign(yr[j] - yr[i]))
     assert Sr == -S
+
+
+def test_logodds_serial_parity_and_sign_semantics():
+    import math
+    from collections import Counter
+    from jerex_ray.pipelines.queries import doc_source_logodds
+    alpha = 0.01
+    out = doc_source_logodds(SF, alpha=alpha, top=10)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "text"]) \
+        .to_pandas()
+    nd = docs.groupby("source")["doc_id"].nunique().reset_index()
+    nd = nd.sort_values(["doc_id", "source"],
+                        ascending=[False, True])
+    sa, sb = nd["source"].iloc[0], nd["source"].iloc[1]
+    assert (out["source_a"].iloc[0], out["source_b"].iloc[0]) \
+        == (sa, sb)
+    ca, cb = Counter(), Counter()
+    for r in docs.itertuples():
+        if r.source == sa:
+            ca.update((r.text or "").lower().split())
+        elif r.source == sb:
+            cb.update((r.text or "").lower().split())
+    vocab = set(ca) | set(cb)
+    n1, n2 = sum(ca.values()), sum(cb.values())
+    A = alpha * len(vocab)
+    zs = {}
+    for w in vocab:
+        y1, y2 = ca.get(w, 0), cb.get(w, 0)
+        d = (math.log((y1 + alpha) / (n1 + A - y1 - alpha))
+             - math.log((y2 + alpha) / (n2 + A - y2 - alpha)))
+        zs[w] = d / math.sqrt(1.0 / (y1 + alpha)
+                              + 1.0 / (y2 + alpha))
+    exp = sorted(vocab, key=lambda w: (-abs(zs[w]), w))[:10]
+    assert set(out["word"]) == set(exp)
+    for r in out.itertuples():
+        assert abs(float(r.z) - zs[r.word]) < 1e-6
+        # sign semantics: z > 0 iff the word leans source A
+        if float(r.z) > 0:
+            assert ca[r.word] * n2 >= cb[r.word] * n1 - n1 * n2
