@@ -13293,6 +13293,83 @@ def _logodds_oracle_sql(alpha: float = 0.01, top: int = 10) -> str:
         FROM rk WHERE rn <= {top} ORDER BY word"""
 
 
+def doc_multi_pattern(sf_dir: str, *, top: int = 20,
+                      min_len: int = 4):
+    """One-pass multi-pattern gazetteer scan (Aho–Corasick '75,
+    ``ops/match.py``) of the corpus against its own top-``top``
+    frequent words of length ≥ ``min_len`` (count DESC, word ASC —
+    a deterministic stand-in for the PII/entity lexicon a curation
+    pipeline sweeps at 100 TB): per (doc, pattern) the OVERLAPPING
+    substring occurrence count, i.e. hits at every position — the
+    semantics a positions × patterns SQL lateral replays exactly
+    (regex/replace counting is non-overlapping and would not).
+    The automaton builds ONCE PER ACTOR in ``__init__`` and every
+    batch streams through it — the stateful actor-pool contract."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.ops.match import run_multi_pattern_counts
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]) \
+        .materialize()
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.split()
+        flat = [w for ws in words.to_numpy() if isinstance(ws, list)
+                for w in ws if len(w) >= min_len]
+        if not flat:
+            return pd.DataFrame({"w": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        u, c = np.unique(np.array(flat, dtype=object),
+                         return_counts=True)
+        return pd.DataFrame({"w": u, "c": c.astype(np.int64)})
+
+    wc = grouped_aggregate(
+        ds.map_batches(explode, batch_format="pandas",
+                       batch_size=4096),
+        ["w"], {"c": ("c", "sum")}).to_pandas()
+    wc = wc.sort_values(["c", "w"], ascending=[False, True])
+    patterns = [str(w) for w in wc["w"].head(top)]
+
+    out = run_multi_pattern_counts(ds, patterns).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "pattern": pd.Series(dtype="object"),
+                             "n_matches": pd.Series(dtype="int64")})
+    return out.sort_values(["doc_id", "pattern"]) \
+        .reset_index(drop=True)
+
+
+def _multi_pattern_oracle_sql(top: int = 20,
+                              min_len: int = 4) -> str:
+    return f"""
+        WITH w AS (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(lower(coalesce(text, '')),
+                                      '\\s+'),
+                x -> length(x) >= {min_len})) AS w
+            FROM documents),
+        pat AS MATERIALIZED (
+            SELECT w AS p, row_number() OVER (
+                ORDER BY count(*) DESC, w ASC) AS rk
+            FROM w GROUP BY w QUALIFY rk <= {top}),
+        d AS MATERIALIZED (
+            SELECT doc_id, lower(coalesce(text, '')) AS t
+            FROM documents),
+        hits AS (
+            SELECT d.doc_id, pat.p AS pattern,
+                   count(*) AS n_matches
+            FROM d CROSS JOIN pat,
+                 LATERAL (SELECT unnest(range(1,
+                     greatest(length(d.t) - length(pat.p) + 1, 0)
+                     + 1)) AS i) pos
+            WHERE substr(d.t, pos.i, length(pat.p)) = pat.p
+            GROUP BY d.doc_id, pat.p)
+        SELECT doc_id, pattern,
+               CAST(n_matches AS BIGINT) AS n_matches
+        FROM hits ORDER BY doc_id, pattern"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -13455,6 +13532,7 @@ def build_queries() -> dict:
         "q_events_lincount": q_events_lincount,
         "q_events_mann_kendall": q_events_mann_kendall,
         "doc_source_logodds": doc_source_logodds,
+        "doc_multi_pattern": doc_multi_pattern,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -14415,6 +14493,8 @@ def build_oracle_sql() -> dict:
     oracles["q_events_mann_kendall"] = _MANN_KENDALL_ORACLE_SQL
     oracles["doc_source_logodds"] = _logodds_oracle_sql(
         alpha=0.01, top=10)
+    oracles["doc_multi_pattern"] = _multi_pattern_oracle_sql(
+        top=20, min_len=4)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -3294,3 +3294,39 @@ def test_logodds_serial_parity_and_sign_semantics():
         # sign semantics: z > 0 iff the word leans source A
         if float(r.z) > 0:
             assert ca[r.word] * n2 >= cb[r.word] * n1 - n1 * n2
+
+
+def test_aho_corasick_overlap_semantics_and_corpus_parity():
+    from jerex_ray.ops.match import AhoCorasickCounter
+    from jerex_ray.pipelines.queries import doc_multi_pattern
+    # overlapping + nested-pattern semantics on crafted strings
+    ac = AhoCorasickCounter(["aa", "aaa", "ab", "b"])
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["aaaa", "abab"]})
+    out = ac(df)
+    got = {(int(r.doc_id), r.pattern): int(r.n_matches)
+           for r in out.itertuples()}
+    # "aaaa": "aa" at 0,1,2 (overlapping); "aaa" at 0,1
+    assert got[(1, "aa")] == 3 and got[(1, "aaa")] == 2
+    # "abab": "ab" at 0,2; "b" at 1,3
+    assert got[(2, "ab")] == 2 and got[(2, "b")] == 2
+    assert (1, "ab") not in got
+
+    # corpus: naive per-position scan parity on a doc sample
+    res = doc_multi_pattern(SF)
+    pats = sorted(set(res["pattern"]))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .head(50)
+    exp = {}
+    for r in docs.itertuples():
+        t = (r.text or "").lower()
+        for p in pats:
+            n = sum(1 for i in range(len(t) - len(p) + 1)
+                    if t[i:i + len(p)] == p)
+            if n:
+                exp[(int(r.doc_id), p)] = n
+    sub = res[res["doc_id"].isin(docs["doc_id"])]
+    got = {(int(r.doc_id), r.pattern): int(r.n_matches)
+           for r in sub.itertuples()}
+    assert got == exp
