@@ -13370,6 +13370,127 @@ def _multi_pattern_oracle_sql(top: int = 20,
         FROM hits ORDER BY doc_id, pattern"""
 
 
+def doc_string_complexity(sf_dir: str):
+    """Stringology complexity audit of the LONGEST document
+    (n_chars DESC, doc_id ASC): distinct-substring count via a
+    suffix automaton (Blumer et al. '85 — Σ len(v) − len(link(v))
+    over states, built online in O(n)) and the equal-letter run
+    count of the Burrows–Wheeler transform (Burrows & Wheeler '94 —
+    the r that r-index compressed structures scale with; low r =
+    highly repetitive text). Both are EXACT integers the oracle
+    recomputes from first principles: all-substrings DISTINCT count,
+    and the BWT via sorted rotations of the doubled string with a
+    LAG run count (equal rotations share last chars, so tie order
+    cannot change runs).
+
+    Scale shape: the doc pick is an exact per-block top-k; the O(n)
+    automaton and the rotation sort run driver-side on the single
+    selected payload."""
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n": t.str.len().astype(np.int64),
+            "text": t})
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(1)
+
+    top = ds.map_batches(stats, batch_format="pandas",
+                         batch_size=8192) \
+        .map_batches(block_top, batch_format="pandas").to_pandas()
+    top = top.sort_values(["n", "doc_id"],
+                          ascending=[False, True],
+                          kind="mergesort").head(1)
+    did = int(top["doc_id"].iloc[0])
+    t = str(top["text"].iloc[0]).lower()
+    n = len(t)
+
+    # suffix automaton (online construction)
+    sa_len = [0]
+    sa_link = [-1]
+    sa_next: list[dict] = [{}]
+    last = 0
+    for ch in t:
+        cur = len(sa_len)
+        sa_len.append(sa_len[last] + 1)
+        sa_link.append(-1)
+        sa_next.append({})
+        p = last
+        while p != -1 and ch not in sa_next[p]:
+            sa_next[p][ch] = cur
+            p = sa_link[p]
+        if p == -1:
+            sa_link[cur] = 0
+        else:
+            q = sa_next[p][ch]
+            if sa_len[p] + 1 == sa_len[q]:
+                sa_link[cur] = q
+            else:
+                clone = len(sa_len)
+                sa_len.append(sa_len[p] + 1)
+                sa_link.append(sa_link[q])
+                sa_next.append(dict(sa_next[q]))
+                while p != -1 and sa_next[p].get(ch) == q:
+                    sa_next[p][ch] = clone
+                    p = sa_link[p]
+                sa_link[q] = clone
+                sa_link[cur] = clone
+        last = cur
+    distinct = sum(sa_len[v] - sa_len[sa_link[v]]
+                   for v in range(1, len(sa_len)))
+
+    # BWT run count via sorted rotations of the doubled string
+    dd = t + t
+    rot = sorted(range(n), key=lambda i: dd[i:i + n])
+    bwt = "".join(t[(i - 1) % n] for i in rot)
+    runs = 1 + sum(1 for a, b in zip(bwt, bwt[1:]) if a != b) \
+        if n else 0
+    return pd.DataFrame({
+        "doc_id": np.array([did], dtype=np.int64),
+        "n_chars": np.array([n], dtype=np.int64),
+        "distinct_substrings": np.array([distinct], dtype=np.int64),
+        "bwt_runs": np.array([runs], dtype=np.int64)})
+
+
+_STRING_COMPLEXITY_ORACLE_SQL = """
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, lower(coalesce(text, '')) AS t,
+               length(coalesce(text, '')) AS n,
+               row_number() OVER (
+                   ORDER BY length(coalesce(text, '')) DESC,
+                            doc_id ASC) AS rk
+        FROM documents QUALIFY rk = 1),
+    subs AS (
+        SELECT count(DISTINCT substr(d.t, p.i, p2.l)) AS ds
+        FROM d, LATERAL (SELECT unnest(range(1, d.n + 1)) AS i) p,
+             LATERAL (SELECT unnest(range(1, d.n - p.i + 2))
+                      AS l) p2),
+    rot AS MATERIALIZED (
+        SELECT substr(d.t || d.t, p.i, d.n) AS r,
+               substr(d.t, CASE WHEN p.i = 1 THEN d.n
+                                ELSE p.i - 1 END, 1) AS last_ch
+        FROM d, LATERAL (SELECT unnest(range(1, d.n + 1)) AS i) p),
+    bwt AS (SELECT last_ch, lag(last_ch) OVER (ORDER BY r)
+                       AS prev
+            FROM rot),
+    runs AS (SELECT 1 + count(*) FILTER (
+                 WHERE prev IS NOT NULL AND last_ch <> prev)
+                 AS runs
+             FROM bwt)
+    SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars,
+           CAST(subs.ds AS BIGINT) AS distinct_substrings,
+           CAST(runs.runs AS BIGINT) AS bwt_runs
+    FROM d CROSS JOIN subs CROSS JOIN runs"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -13533,6 +13654,7 @@ def build_queries() -> dict:
         "q_events_mann_kendall": q_events_mann_kendall,
         "doc_source_logodds": doc_source_logodds,
         "doc_multi_pattern": doc_multi_pattern,
+        "doc_string_complexity": doc_string_complexity,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -14495,6 +14617,7 @@ def build_oracle_sql() -> dict:
         alpha=0.01, top=10)
     oracles["doc_multi_pattern"] = _multi_pattern_oracle_sql(
         top=20, min_len=4)
+    oracles["doc_string_complexity"] = _STRING_COMPLEXITY_ORACLE_SQL
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -3330,3 +3330,27 @@ def test_aho_corasick_overlap_semantics_and_corpus_parity():
     got = {(int(r.doc_id), r.pattern): int(r.n_matches)
            for r in sub.itertuples()}
     assert got == exp
+
+
+def test_string_complexity_brute_force_and_known_cases():
+    from jerex_ray.pipelines.queries import doc_string_complexity
+    out = doc_string_complexity(SF).iloc[0]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs["n"] = docs["text"].fillna("").str.len()
+    top = docs.sort_values(["n", "doc_id"],
+                           ascending=[False, True]).iloc[0]
+    assert int(out["doc_id"]) == int(top["doc_id"])
+    t = (top["text"] or "").lower()
+    n = len(t)
+    # brute-force distinct substrings
+    subs = {t[i:j] for i in range(n) for j in range(i + 1, n + 1)}
+    assert int(out["distinct_substrings"]) == len(subs)
+    # brute-force BWT runs
+    rots = sorted(t[i:] + t[:i] for i in range(n))
+    bwt = "".join(r[-1] for r in rots)
+    runs = 1 + sum(1 for a, b in zip(bwt, bwt[1:]) if a != b)
+    assert int(out["bwt_runs"]) == runs
+    # sanity bounds: r <= n, distinct <= n(n+1)/2
+    assert int(out["bwt_runs"]) <= n
+    assert int(out["distinct_substrings"]) <= n * (n + 1) // 2
