@@ -13491,6 +13491,103 @@ _STRING_COMPLEXITY_ORACLE_SQL = """
     FROM d CROSS JOIN subs CROSS JOIN runs"""
 
 
+def q_events_kendall_tau(sf_dir: str):
+    """Kendall τ-b rank correlation (Kendall '45, the tie-corrected
+    form) between the hourly event COUNT and the hourly total VALUE
+    in integer cents — the ordinal companion of the Pearson
+    correlation and Theil–Sen queries: concordant/discordant pair
+    counts and both tie terms are EXACT INTEGERS (vectorized sign
+    matrices over the time-bounded grid), the only float is the
+    final τ = (C−D)/√((n0−n1)(n0−n2)) expression, identical on
+    both engines. ONE combiner pass reduces the corpus to the hour
+    grid; the O(T²) pair census is two sign matmuls driver-side."""
+    import math
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["ts"].astype("datetime64[us]").astype("int64")
+             // 3_600_000_000).to_numpy(np.int64)
+        v = df["value"].to_numpy(np.float64)
+        cents = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v) \
+            .astype(np.int64)
+        g = pd.DataFrame({"h": h, "n": np.int64(1), "c": cents}) \
+            .groupby("h", sort=False, as_index=False).sum()
+        return g.astype({"h": "int64", "n": "int64", "c": "int64"})
+
+    g = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        ["h"], {"n": ("n", "sum"), "c": ("c", "sum")},
+        result_hint="small").to_pandas()
+    h0 = int(g["h"].min())
+    T = int(g["h"].max()) - h0 + 1
+    x = np.zeros(T, dtype=np.int64)
+    y = np.zeros(T, dtype=np.int64)
+    idx = g["h"].to_numpy(np.int64) - h0
+    x[idx] = g["n"].to_numpy(np.int64)
+    y[idx] = g["c"].to_numpy(np.int64)
+    sx = np.sign(x[None, :] - x[:, None])
+    sy = np.sign(y[None, :] - y[:, None])
+    prod = np.triu(sx * sy, 1)
+    C = int((prod == 1).sum())
+    D = int((prod == -1).sum())
+    n0 = T * (T - 1) // 2
+    _, tx = np.unique(x, return_counts=True)
+    _, ty = np.unique(y, return_counts=True)
+    n1 = int(sum(int(t) * (t - 1) // 2 for t in tx))
+    n2 = int(sum(int(t) * (t - 1) // 2 for t in ty))
+    tau = (C - D) / math.sqrt(float((n0 - n1)) * (n0 - n2))
+    return pd.DataFrame({
+        "n": np.array([T], dtype=np.int64),
+        "concordant": np.array([C], dtype=np.int64),
+        "discordant": np.array([D], dtype=np.int64),
+        "ties_x": np.array([n1], dtype=np.int64),
+        "ties_y": np.array([n2], dtype=np.int64),
+        "tau_b": [_round_half_away(tau, 6)]})
+
+
+_KENDALL_TAU_ORACLE_SQL = """
+    WITH b AS (SELECT min(epoch_us(ts) // 3600000000) AS h0,
+                      max(epoch_us(ts) // 3600000000) AS h1
+               FROM events),
+    hrs AS (SELECT unnest(range(0, CAST(h1 - h0 + 1 AS BIGINT)))
+                   AS h FROM b),
+    raw AS (SELECT epoch_us(ts) // 3600000000
+                   - (SELECT h0 FROM b) AS h,
+                   count(*) AS n,
+                   sum(CAST(round(value * 100.0, 0) AS BIGINT))
+                       AS c
+            FROM events GROUP BY 1),
+    grid AS MATERIALIZED (
+        SELECT hrs.h, coalesce(raw.n, 0) AS x,
+               coalesce(raw.c, 0) AS y
+        FROM hrs LEFT JOIN raw ON raw.h = hrs.h),
+    pairs AS (
+        SELECT CAST(count(*) FILTER (WHERE
+                   (b.x - a.x) * (b.y - a.y) > 0) AS BIGINT) AS c,
+               CAST(count(*) FILTER (WHERE
+                   (b.x - a.x) * (b.y - a.y) < 0) AS BIGINT) AS d
+        FROM grid a JOIN grid b ON a.h < b.h),
+    n AS (SELECT count(*) AS n FROM grid),
+    tx AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0)
+                       AS BIGINT) AS n1
+           FROM (SELECT count(*) AS t FROM grid GROUP BY x)),
+    ty AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0)
+                       AS BIGINT) AS n2
+           FROM (SELECT count(*) AS t FROM grid GROUP BY y))
+    SELECT CAST(n.n AS BIGINT) AS n, pairs.c AS concordant,
+           pairs.d AS discordant, tx.n1 AS ties_x, ty.n2 AS ties_y,
+           round((pairs.c - pairs.d) / sqrt(
+               CAST(n.n * (n.n - 1) // 2 - tx.n1 AS DOUBLE)
+               * (n.n * (n.n - 1) // 2 - ty.n2)), 6) AS tau_b
+    FROM n CROSS JOIN pairs CROSS JOIN tx CROSS JOIN ty"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -13655,6 +13752,7 @@ def build_queries() -> dict:
         "doc_source_logodds": doc_source_logodds,
         "doc_multi_pattern": doc_multi_pattern,
         "doc_string_complexity": doc_string_complexity,
+        "q_events_kendall_tau": q_events_kendall_tau,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -14618,6 +14716,7 @@ def build_oracle_sql() -> dict:
     oracles["doc_multi_pattern"] = _multi_pattern_oracle_sql(
         top=20, min_len=4)
     oracles["doc_string_complexity"] = _STRING_COMPLEXITY_ORACLE_SQL
+    oracles["q_events_kendall_tau"] = _KENDALL_TAU_ORACLE_SQL
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -3354,3 +3354,35 @@ def test_string_complexity_brute_force_and_known_cases():
     # sanity bounds: r <= n, distinct <= n(n+1)/2
     assert int(out["bwt_runs"]) <= n
     assert int(out["distinct_substrings"]) <= n * (n + 1) // 2
+
+
+def test_kendall_tau_serial_parity_and_identities():
+    import math
+    from jerex_ray.pipelines.queries import q_events_kendall_tau
+    out = q_events_kendall_tau(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    h = (ev["ts"].astype("datetime64[us]").astype("int64")
+         // 3_600_000_000).to_numpy()
+    v = ev["value"].to_numpy(np.float64)
+    cents = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v) \
+        .astype(np.int64)
+    h0 = int(h.min())
+    T = int(h.max()) - h0 + 1
+    x = np.bincount(h - h0, minlength=T).astype(np.int64)
+    y = np.bincount(h - h0, weights=cents.astype(np.float64),
+                    minlength=T).astype(np.int64)
+    C = D = 0
+    for i in range(T):
+        for j in range(i + 1, T):
+            p = int(np.sign(x[j] - x[i])) * int(np.sign(y[j] - y[i]))
+            C += p == 1
+            D += p == -1
+    assert (int(out["concordant"]), int(out["discordant"])) == (C, D)
+    n0 = T * (T - 1) // 2
+    n1, n2 = int(out["ties_x"]), int(out["ties_y"])
+    # pair census identity: C + D + ties-involving pairs = n0
+    assert C + D <= n0 and n1 <= n0 and n2 <= n0
+    tau = (C - D) / math.sqrt(float(n0 - n1) * (n0 - n2))
+    assert abs(float(out["tau_b"]) - tau) < 1e-6
+    assert -1.0 <= float(out["tau_b"]) <= 1.0
