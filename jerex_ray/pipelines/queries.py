@@ -13588,6 +13588,109 @@ _KENDALL_TAU_ORACLE_SQL = """
     FROM n CROSS JOIN pairs CROSS JOIN tx CROSS JOIN ty"""
 
 
+def q_events_perm_test(sf_dir: str, *, n_perms: int = 20):
+    """Derandomized permutation test (Fisher '35 exact-resampling
+    logic, md5-seeded — the resampling member of the
+    Welch/chi²/KS/logrank testing family): does mean event value
+    differ between the md5("ab|u") arms? Each pseudo-permutation k
+    reassigns users by md5("perm{k}|u") parity; the mean
+    difference comparison |diff_k| ≥ |diff_obs| is decided EXACTLY
+    by cross-multiplied integer cents (|s1·n0 − s0·n1| terms scaled
+    by the other side's n1·n0 — Python big ints here, HUGEINT in
+    the oracle), so the p-value (more_extreme+1)/(K+1) carries zero
+    float hazard. ONE combiner pass computes all K+1 labelings'
+    (arm, sum, n) cells at once; the K-bounded comparison table is
+    driver-side."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.util import md5_hash64_batch
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "value"])
+
+    salts = ["ab"] + [f"perm{k}" for k in range(n_perms)]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        cents = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v) \
+            .astype(np.int64)
+        users = df["user_id"].to_numpy()
+        frames = []
+        for ki, salt in enumerate(salts):
+            arm = (md5_hash64_batch(
+                [f"{salt}|{u}" for u in users]) % 2).astype(np.int64)
+            g = pd.DataFrame({"k": np.int64(ki), "arm": arm,
+                              "s": cents, "n": np.int64(1)}) \
+                .groupby(["k", "arm"], sort=False, as_index=False) \
+                .sum()
+            frames.append(g)
+        return pd.concat(frames, ignore_index=True).astype(
+            {"k": "int64", "arm": "int64", "s": "int64",
+             "n": "int64"})
+
+    cells = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        ["k", "arm"], {"s": ("s", "sum"), "n": ("n", "sum")},
+        result_hint="small").to_pandas()
+
+    def stat(ki: int) -> tuple[int, int]:
+        """(|s1·n0 − s0·n1|, n1·n0) as exact Python ints."""
+        c = cells[cells["k"] == ki]
+        r0 = c[c["arm"] == 0].iloc[0]
+        r1 = c[c["arm"] == 1].iloc[0]
+        num = abs(int(r1["s"]) * int(r0["n"])
+                  - int(r0["s"]) * int(r1["n"]))
+        return num, int(r1["n"]) * int(r0["n"])
+
+    num_o, den_o = stat(0)
+    more = sum(1 for ki in range(1, n_perms + 1)
+               if stat(ki)[0] * den_o >= num_o * stat(ki)[1])
+    p = (more + 1) / (n_perms + 1)
+    return pd.DataFrame({
+        "n_perms": np.array([n_perms], dtype=np.int64),
+        "more_extreme": np.array([more], dtype=np.int64),
+        "diff_obs": [_round_half_away(num_o / den_o / 100.0
+                                      if den_o else 0.0, 6)],
+        "p_value": [_round_half_away(p, 6)]})
+
+
+def _perm_test_oracle_sql(n_perms: int = 20) -> str:
+    return f"""
+        WITH salts AS (
+            SELECT 0 AS k, 'ab' AS salt
+            UNION ALL
+            SELECT i + 1, 'perm' || CAST(i AS VARCHAR)
+            FROM (SELECT unnest(range({n_perms})) AS i)),
+        cells AS MATERIALIZED (
+            SELECT s.k,
+                   CAST('0x' || substr(md5(s.salt || '|' ||
+                       CAST(e.user_id AS VARCHAR)), 1, 16)
+                       AS UBIGINT) % 2 AS arm,
+                   CAST(sum(CAST(round(e.value * 100.0, 0)
+                                 AS BIGINT)) AS HUGEINT) AS sm,
+                   CAST(count(*) AS HUGEINT) AS n
+            FROM events e CROSS JOIN salts s
+            GROUP BY 1, 2),
+        st AS MATERIALIZED (
+            SELECT a.k, abs(b.sm * a.n - a.sm * b.n) AS num,
+                   b.n * a.n AS den
+            FROM cells a JOIN cells b ON a.k = b.k
+            WHERE a.arm = 0 AND b.arm = 1),
+        obs AS (SELECT num, den FROM st WHERE k = 0),
+        cmp AS (SELECT CAST(count(*) FILTER (
+                    WHERE st.num * obs.den >= obs.num * st.den)
+                    AS BIGINT) AS more
+                FROM st CROSS JOIN obs WHERE st.k > 0)
+        SELECT CAST({n_perms} AS BIGINT) AS n_perms,
+               cmp.more AS more_extreme,
+               round(CAST(obs.num AS DOUBLE) / CAST(obs.den
+                     AS DOUBLE) / 100.0, 6) AS diff_obs,
+               round((cmp.more + 1) / ({n_perms} + 1.0), 6)
+                   AS p_value
+        FROM cmp CROSS JOIN obs"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -13753,6 +13856,7 @@ def build_queries() -> dict:
         "doc_multi_pattern": doc_multi_pattern,
         "doc_string_complexity": doc_string_complexity,
         "q_events_kendall_tau": q_events_kendall_tau,
+        "q_events_perm_test": q_events_perm_test,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -14717,6 +14821,7 @@ def build_oracle_sql() -> dict:
         top=20, min_len=4)
     oracles["doc_string_complexity"] = _STRING_COMPLEXITY_ORACLE_SQL
     oracles["q_events_kendall_tau"] = _KENDALL_TAU_ORACLE_SQL
+    oracles["q_events_perm_test"] = _perm_test_oracle_sql(n_perms=20)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -3386,3 +3386,34 @@ def test_kendall_tau_serial_parity_and_identities():
     tau = (C - D) / math.sqrt(float(n0 - n1) * (n0 - n2))
     assert abs(float(out["tau_b"]) - tau) < 1e-6
     assert -1.0 <= float(out["tau_b"]) <= 1.0
+
+
+def test_perm_test_serial_parity_and_null_calibration():
+    import hashlib
+    from jerex_ray.pipelines.queries import q_events_perm_test
+    K = 20
+    out = q_events_perm_test(SF, n_perms=K).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "value"]).to_pandas()
+    v = ev["value"].to_numpy(np.float64)
+    cents = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v) \
+        .astype(np.int64)
+
+    def cellstat(salt):
+        arm = ev["user_id"].map(lambda u: int.from_bytes(
+            hashlib.md5(f"{salt}|{u}".encode()).digest()[:8],
+            "big") % 2).to_numpy()
+        s1, n1 = int(cents[arm == 1].sum()), int((arm == 1).sum())
+        s0, n0 = int(cents[arm == 0].sum()), int((arm == 0).sum())
+        return abs(s1 * n0 - s0 * n1), n1 * n0
+
+    num_o, den_o = cellstat("ab")
+    more = sum(1 for k in range(K)
+               if cellstat(f"perm{k}")[0] * den_o
+               >= num_o * cellstat(f"perm{k}")[1])
+    assert int(out["more_extreme"]) == more
+    assert abs(float(out["p_value"]) - (more + 1) / (K + 1)) < 1e-6
+    # the observed arms ARE one md5 labeling of a null corpus, so
+    # the test must not report the impossible p-values
+    assert 1.0 / (K + 1) <= float(out["p_value"]) <= 1.0
+    assert float(out["diff_obs"]) >= 0.0
