@@ -13691,6 +13691,156 @@ def _perm_test_oracle_sql(n_perms: int = 20) -> str:
         FROM cmp CROSS JOIN obs"""
 
 
+def q_part_luby_mis(sf_dir: str, *, oracle_rounds: int = 8,
+                    min_cocount: int = 2):
+    """Maximal independent set by derandomized Luby rounds (Luby
+    '86 — THE parallel-round symmetry-breaking algorithm; md5 node
+    priorities replace its coin flips, the engine's seeded-sampling
+    convention) over the repeat co-purchase graph: each round every
+    still-alive node with a strictly smaller md5 priority than ALL
+    alive neighbors joins the MIS, then it and its neighbors leave
+    the graph. Pure order tests on distinct-w.h.p. hashes with the
+    (priority, node) strict tie key — deterministic,
+    shard-independent, and replayed round-by-round by the generated
+    CTE oracle. Independence and maximality are pytest-verified.
+
+    Scale shape: per round ONE streaming pass over the never-moving
+    edge Dataset with the alive-set broadcast computes per-node min
+    neighbor priority partials (combiner); winners and removals are
+    node-bounded driver work. Rounds are O(log n) w.h.p.; asserts
+    convergence within the oracle's unrolled depth."""
+    import ray
+
+    from jerex_ray.util import md5_hash64
+    configure_data_context()
+    edges = _repeat_copurchase_edges(
+        sf_dir, min_cocount=min_cocount).materialize()
+    nd = edges.map_batches(
+        lambda df: pd.DataFrame({"u": np.unique(np.r_[
+            df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)])})
+        if "a" in df.columns and len(df) else
+        pd.DataFrame({"u": pd.Series(dtype="int64")}),
+        batch_format="pandas").to_pandas()
+    nodes = sorted(int(u) for u in np.unique(nd["u"].to_numpy())) \
+        if "u" in nd.columns and len(nd) else []
+    prio = {u: (md5_hash64(f"mis|{u}"), u) for u in nodes}
+    alive = set(nodes)
+    mis: set[int] = set()
+    rounds = 0
+    while alive:
+        rounds += 1
+        assert rounds <= oracle_rounds, \
+            f"Luby still running at round {rounds} > {oracle_rounds}"
+        aref = ray.put(alive)
+
+        def min_nbr(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "a" not in df.columns:
+                return pd.DataFrame({
+                    "u": pd.Series(dtype="int64"),
+                    "h": pd.Series(dtype="uint64"),
+                    "n": pd.Series(dtype="int64")})
+            al = ray.get(aref)
+            a = df["a"].to_numpy(np.int64)
+            b = df["b"].to_numpy(np.int64)
+            keep = np.array([x in al and y in al
+                             for x, y in zip(a, b)], dtype=bool)
+            a, b = a[keep], b[keep]
+            both = pd.DataFrame({
+                "u": np.r_[a, b],
+                "h": np.array([prio[int(v)][0] for v in
+                               np.r_[b, a]], dtype=np.uint64),
+                "n": np.r_[b, a]})
+            both = both.sort_values(["u", "h", "n"],
+                                    kind="mergesort")
+            return both.drop_duplicates("u")
+
+        partials = edges.map_batches(
+            min_nbr, batch_format="pandas").to_pandas()
+        best: dict[int, tuple] = {}
+        if "u" in partials.columns:
+            for r in partials.itertuples():
+                k = (np.uint64(r.h), int(r.n))
+                u = int(r.u)
+                if u not in best or k < best[u]:
+                    best[u] = k
+        winners = {u for u in alive
+                   if u not in best
+                   or (prio[u][0], u) < (int(best[u][0]),
+                                         int(best[u][1]))}
+        mis |= winners
+        # second streaming pass: ALL alive neighbors of winners
+        # leave (not just nodes whose MIN-priority neighbor won)
+        wref = ray.put(winners)
+
+        def nbr_of_winner(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "a" not in df.columns:
+                return pd.DataFrame({"u": pd.Series(dtype="int64")})
+            w = ray.get(wref)
+            al = ray.get(aref)
+            a = df["a"].to_numpy(np.int64)
+            b = df["b"].to_numpy(np.int64)
+            out = [int(x) for x, y in zip(a, b)
+                   if int(x) in al and int(y) in w]
+            out += [int(y) for x, y in zip(a, b)
+                    if int(y) in al and int(x) in w]
+            return pd.DataFrame({"u": np.unique(
+                np.array(out, dtype=np.int64))})
+
+        rem = edges.map_batches(nbr_of_winner,
+                                batch_format="pandas").to_pandas()
+        removed = set(winners)
+        if "u" in rem.columns:
+            removed |= {int(u) for u in rem["u"]}
+        alive -= removed
+    return pd.DataFrame({"node": sorted(mis)}).astype("int64")
+
+
+def _luby_mis_oracle_sql(rounds: int = 8,
+                         min_cocount: int = 2) -> str:
+    """Per-round Luby replay: alive edges under the current set,
+    per-node strict-key min neighbor priority, winners, and the
+    winner+neighbor removal."""
+    h = ("CAST('0x' || substr(md5('mis|' || CAST({x} AS VARCHAR)), "
+         "1, 16) AS UBIGINT)")
+    sql = f"""
+        WITH inc AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+        e0 AS MATERIALIZED (
+            SELECT a.p AS a, b.p AS b
+            FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p HAVING count(*) >= {min_cocount}),
+        sym AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM e0
+            UNION ALL SELECT b, a FROM e0),
+        alive1 AS (SELECT DISTINCT u FROM sym)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+        mn{r} AS MATERIALIZED (
+            SELECT s.u, min(struct_pack(
+                       h := {h.format(x='s.v')}, n := s.v)) AS k
+            FROM sym s
+            JOIN alive{r} x ON x.u = s.u
+            JOIN alive{r} y ON y.u = s.v
+            GROUP BY s.u),
+        win{r} AS MATERIALIZED (
+            SELECT a.u FROM alive{r} a LEFT JOIN mn{r} m
+                 ON m.u = a.u
+            WHERE m.u IS NULL
+               OR struct_pack(h := {h.format(x='a.u')}, n := a.u)
+                  < m.k),
+        alive{r + 1} AS MATERIALIZED (
+            SELECT a.u FROM alive{r} a
+            WHERE a.u NOT IN (SELECT u FROM win{r})
+              AND a.u NOT IN (
+                  SELECT s.u FROM sym s
+                  JOIN win{r} w ON w.u = s.v
+                  JOIN alive{r} x ON x.u = s.u))"""
+    parts = [f"SELECT u FROM win{r}" for r in range(1, rounds + 1)]
+    return sql + "\nSELECT CAST(u AS BIGINT) AS node FROM (" \
+        + "\nUNION ALL ".join(parts) + ") ORDER BY node"
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -13857,6 +14007,7 @@ def build_queries() -> dict:
         "doc_string_complexity": doc_string_complexity,
         "q_events_kendall_tau": q_events_kendall_tau,
         "q_events_perm_test": q_events_perm_test,
+        "q_part_luby_mis": q_part_luby_mis,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -14822,6 +14973,8 @@ def build_oracle_sql() -> dict:
     oracles["doc_string_complexity"] = _STRING_COMPLEXITY_ORACLE_SQL
     oracles["q_events_kendall_tau"] = _KENDALL_TAU_ORACLE_SQL
     oracles["q_events_perm_test"] = _perm_test_oracle_sql(n_perms=20)
+    oracles["q_part_luby_mis"] = _luby_mis_oracle_sql(
+        rounds=8, min_cocount=2)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

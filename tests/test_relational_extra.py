@@ -3417,3 +3417,34 @@ def test_perm_test_serial_parity_and_null_calibration():
     # the test must not report the impossible p-values
     assert 1.0 / (K + 1) <= float(out["p_value"]) <= 1.0
     assert float(out["diff_obs"]) >= 0.0
+
+
+def test_luby_mis_independence_maximality_and_serial_parity():
+    from jerex_ray.pipelines.queries import (_repeat_copurchase_edges,
+                                             q_part_luby_mis)
+    from jerex_ray.util import md5_hash64
+    out = q_part_luby_mis(SF)
+    mis = set(int(v) for v in out["node"])
+    edges = _repeat_copurchase_edges(SF).to_pandas()
+    E = [(int(a), int(b)) for a, b in
+         zip(edges["a"], edges["b"])] if "a" in edges.columns else []
+    nodes = {u for e in E for u in e}
+    adj = {u: set() for u in nodes}
+    for a, b in E:
+        adj[a].add(b)
+        adj[b].add(a)
+    # independence: no edge inside the MIS
+    assert all(not (a in mis and b in mis) for a, b in E)
+    # maximality: every non-MIS node has a MIS neighbor
+    assert all(u in mis or adj[u] & mis for u in nodes)
+    # serial Luby replay with the identical strict key
+    prio = {u: (md5_hash64(f"mis|{u}"), u) for u in nodes}
+    alive = set(nodes)
+    exp = set()
+    while alive:
+        win = {u for u in alive
+               if all(prio[u] < prio[v]
+                      for v in adj[u] if v in alive)}
+        exp |= win
+        alive -= win | {v for u in win for v in adj[u]}
+    assert mis == exp
