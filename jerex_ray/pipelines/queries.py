@@ -13841,6 +13841,114 @@ def _luby_mis_oracle_sql(rounds: int = 8,
         + "\nUNION ALL ".join(parts) + ") ORDER BY node"
 
 
+def q_events_median_polish(sf_dir: str, *, iters: int = 2):
+    """Tukey median polish (Tukey '77 EDA ch. 10 — the robust
+    two-way decomposition beside the mean-based rollups) of the
+    day-of-week × hour-of-day count grid: ``iters`` alternating
+    row/column median sweeps split each cell into row effect +
+    column effect + residual. Worked in 16×-SCALED integers: cell
+    values start as multiples of 16 and each median (average of two
+    middles) at worst halves the granularity, so four sweeps stay
+    EXACT integers end-to-end — no float anywhere, and the unrolled
+    window-median SQL replays every sweep bit-for-bit. ONE
+    vocabulary-bounded combiner pass (≤168 cells) crosses the
+    cluster; the sweeps run driver-side on that grid."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        days = us // 86_400_000_000
+        dow = ((days + 4) % 7).astype(np.int64)   # 1970-01-01 = Thu
+        hod = ((us // 3_600_000_000) % 24).astype(np.int64)
+        g = pd.DataFrame({"dow": dow, "hod": hod}) \
+            .groupby(["dow", "hod"], sort=False).size() \
+            .reset_index(name="c")
+        return g.astype({"dow": "int64", "hod": "int64",
+                         "c": "int64"})
+
+    g = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        ["dow", "hod"], {"c": ("c", "sum")},
+        result_hint="small").to_pandas()
+    M = np.zeros((7, 24), dtype=np.int64)
+    M[g["dow"].to_numpy(np.int64), g["hod"].to_numpy(np.int64)] = \
+        g["c"].to_numpy(np.int64)
+    R = M * 16                      # scaled residuals
+    row_eff = np.zeros(7, dtype=np.int64)
+    col_eff = np.zeros(24, dtype=np.int64)
+    for _ in range(iters):
+        rm = np.median(R, axis=1).astype(np.int64)
+        R = R - rm[:, None]
+        row_eff = row_eff + rm
+        cm = np.median(R, axis=0).astype(np.int64)
+        R = R - cm[None, :]
+        col_eff = col_eff + cm
+    dows = np.repeat(np.arange(7, dtype=np.int64), 24)
+    hods = np.tile(np.arange(24, dtype=np.int64), 7)
+    return pd.DataFrame({
+        "dow": dows, "hod": hods,
+        "y": M[dows, hods],
+        "row_eff16": row_eff[dows],
+        "col_eff16": col_eff[hods],
+        "resid16": R[dows, hods]})
+
+
+def _median_polish_oracle_sql(iters: int = 2) -> str:
+    sql = """
+        WITH dows AS (SELECT unnest(range(7)) AS dow),
+        hods AS (SELECT unnest(range(24)) AS hod),
+        raw AS (SELECT ((epoch_us(ts) // 86400000000) + 4) % 7
+                           AS dow,
+                       (epoch_us(ts) // 3600000000) % 24 AS hod,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2),
+        m0 AS MATERIALIZED (
+            SELECT dows.dow, hods.hod,
+                   coalesce(raw.c, 0) AS y,
+                   coalesce(raw.c, 0) * 16 AS v
+            FROM dows CROSS JOIN hods
+            LEFT JOIN raw ON raw.dow = dows.dow
+                         AND raw.hod = hods.hod)"""
+    prev, step = "m0", 0
+    reff = []
+    ceff = []
+    for _ in range(iters):
+        step += 1
+        sql += f""",
+        rm{step} AS (SELECT dow, CAST(median(v) AS BIGINT) AS m
+                     FROM {prev} GROUP BY dow),
+        mr{step} AS MATERIALIZED (
+            SELECT p.dow, p.hod, p.y, p.v - r.m AS v
+            FROM {prev} p JOIN rm{step} r ON r.dow = p.dow)"""
+        reff.append(f"rm{step}")
+        prev = f"mr{step}"
+        sql += f""",
+        cm{step} AS (SELECT hod, CAST(median(v) AS BIGINT) AS m
+                     FROM {prev} GROUP BY hod),
+        mc{step} AS MATERIALIZED (
+            SELECT p.dow, p.hod, p.y, p.v - c.m AS v
+            FROM {prev} p JOIN cm{step} c ON c.hod = p.hod)"""
+        ceff.append(f"cm{step}")
+        prev = f"mc{step}"
+    rsum = " + ".join(f"(SELECT m FROM {t} WHERE {t}.dow = f.dow)"
+                      for t in reff)
+    csum = " + ".join(f"(SELECT m FROM {t} WHERE {t}.hod = f.hod)"
+                      for t in ceff)
+    return sql + f"""
+        SELECT CAST(f.dow AS BIGINT) AS dow,
+               CAST(f.hod AS BIGINT) AS hod,
+               CAST(f.y AS BIGINT) AS y,
+               CAST({rsum} AS BIGINT) AS row_eff16,
+               CAST({csum} AS BIGINT) AS col_eff16,
+               CAST(f.v AS BIGINT) AS resid16
+        FROM {prev} f ORDER BY dow, hod"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -14008,6 +14116,7 @@ def build_queries() -> dict:
         "q_events_kendall_tau": q_events_kendall_tau,
         "q_events_perm_test": q_events_perm_test,
         "q_part_luby_mis": q_part_luby_mis,
+        "q_events_median_polish": q_events_median_polish,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -14975,6 +15084,8 @@ def build_oracle_sql() -> dict:
     oracles["q_events_perm_test"] = _perm_test_oracle_sql(n_perms=20)
     oracles["q_part_luby_mis"] = _luby_mis_oracle_sql(
         rounds=8, min_cocount=2)
+    oracles["q_events_median_polish"] = _median_polish_oracle_sql(
+        iters=2)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

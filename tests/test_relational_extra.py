@@ -3448,3 +3448,35 @@ def test_luby_mis_independence_maximality_and_serial_parity():
         exp |= win
         alive -= win | {v for u in win for v in adj[u]}
     assert mis == exp
+
+
+def test_median_polish_decomposition_invariants():
+    from jerex_ray.pipelines.queries import q_events_median_polish
+    out = q_events_median_polish(SF)
+    assert len(out) == 168
+    # exact additivity: 16*y = row_eff + col_eff + resid per cell
+    lhs = 16 * out["y"].to_numpy(np.int64)
+    rhs = (out["row_eff16"] + out["col_eff16"]
+           + out["resid16"]).to_numpy(np.int64)
+    assert (lhs == rhs).all()
+    # after the final column sweep every column's residual median = 0
+    for _, g in out.groupby("hod"):
+        assert float(np.median(g["resid16"].to_numpy())) == 0.0
+    # serial replay
+    M = out.pivot(index="dow", columns="hod", values="y") \
+        .to_numpy().astype(np.int64)
+    R = M * 16
+    re_ = np.zeros(7, dtype=np.int64)
+    ce = np.zeros(24, dtype=np.int64)
+    for _ in range(2):
+        rm = np.median(R, axis=1).astype(np.int64)
+        R -= rm[:, None]
+        re_ += rm
+        cm = np.median(R, axis=0).astype(np.int64)
+        R -= cm[None, :]
+        ce += cm
+    got = out.pivot(index="dow", columns="hod",
+                    values="resid16").to_numpy().astype(np.int64)
+    assert (got == R).all()
+    assert (out.groupby("dow")["row_eff16"].first().to_numpy()
+            == re_).all()
