@@ -13949,6 +13949,102 @@ def _median_polish_oracle_sql(iters: int = 2) -> str:
         FROM {prev} f ORDER BY dow, hod"""
 
 
+def q_part_rich_club(sf_dir: str, *, min_cocount: int = 2):
+    """Rich-club coefficient curve (Zhou & Mondragón '04 — do the
+    hubs preferentially connect to each other?) of the repeat
+    co-purchase graph: for every degree threshold k in the degree
+    vocabulary, φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph of
+    nodes with degree > k. Both censuses are EXACT integers via the
+    suffix trick — an edge belongs to every level below
+    min(deg_a, deg_b), a node to every level below its degree, so
+    one histogram + reverse cumulative per side replaces any
+    per-level subgraph pass; the single divide is the identical
+    double on both engines. Degrees come from one combiner pass and
+    broadcast as the node-bounded map; edge min-degrees from one
+    streaming pass."""
+    import ray
+
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    configure_data_context()
+    edges = _repeat_copurchase_edges(
+        sf_dir, min_cocount=min_cocount).materialize()
+    deg_df = grouped_aggregate(
+        edges.map_batches(
+            lambda df: pd.DataFrame({"u": np.r_[
+                df["a"].to_numpy(np.int64),
+                df["b"].to_numpy(np.int64)]})
+            if "a" in df.columns and len(df) else
+            pd.DataFrame({"u": pd.Series(dtype="int64")}),
+            batch_format="pandas"),
+        ["u"], {"d": (None, "count")}).to_pandas()
+    dmap = dict(zip(deg_df["u"].astype("int64"),
+                    deg_df["d"].astype("int64")))
+    dref = ray.put(dmap)
+
+    def edge_mindeg(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "a" not in df.columns:
+            return pd.DataFrame({"md": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        dm = ray.get(dref)
+        md = np.minimum(df["a"].map(dm).to_numpy(np.int64),
+                        df["b"].map(dm).to_numpy(np.int64))
+        u, c = np.unique(md, return_counts=True)
+        return pd.DataFrame({"md": u, "n": c.astype(np.int64)})
+
+    eh = grouped_aggregate(
+        edges.map_batches(edge_mindeg, batch_format="pandas"),
+        ["md"], {"n": ("n", "sum")},
+        result_hint="small").to_pandas()
+    degs = np.sort(deg_df["d"].to_numpy(np.int64))
+    ks = np.unique(degs)[:-1]            # top level has N_k <= 1
+    rows = []
+    e_md = dict(zip(eh["md"].astype(int), eh["n"].astype(int)))
+    for k in ks:
+        Nk = int((degs > k).sum())
+        if Nk < 2:
+            continue
+        Ek = sum(n for md, n in e_md.items() if md > k)
+        rows.append((int(k), Nk, Ek,
+                     _round_half_away(2.0 * Ek / (Nk * (Nk - 1)),
+                                      6)))
+    return pd.DataFrame(rows, columns=["k", "n_nodes", "n_edges",
+                                       "phi"]).astype(
+        {"k": "int64", "n_nodes": "int64", "n_edges": "int64"})
+
+
+def _rich_club_oracle_sql(min_cocount: int = 2) -> str:
+    return f"""
+        WITH inc AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+        e0 AS MATERIALIZED (
+            SELECT a.p AS a, b.p AS b
+            FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p HAVING count(*) >= {min_cocount}),
+        deg AS MATERIALIZED (
+            SELECT u, count(*) AS d FROM (
+                SELECT a AS u FROM e0
+                UNION ALL SELECT b FROM e0)
+            GROUP BY u),
+        ks AS (SELECT DISTINCT d AS k FROM deg
+               WHERE d < (SELECT max(d) FROM deg)),
+        lv AS MATERIALIZED (
+            SELECT ks.k,
+                   (SELECT count(*) FROM deg
+                    WHERE deg.d > ks.k) AS n_nodes,
+                   (SELECT count(*) FROM e0
+                    JOIN deg da ON da.u = e0.a
+                    JOIN deg db ON db.u = e0.b
+                    WHERE least(da.d, db.d) > ks.k) AS n_edges
+            FROM ks)
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_edges AS BIGINT) AS n_edges,
+               round(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 6)
+                   AS phi
+        FROM lv WHERE n_nodes >= 2 ORDER BY k"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -14117,6 +14213,7 @@ def build_queries() -> dict:
         "q_events_perm_test": q_events_perm_test,
         "q_part_luby_mis": q_part_luby_mis,
         "q_events_median_polish": q_events_median_polish,
+        "q_part_rich_club": q_part_rich_club,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -15086,6 +15183,7 @@ def build_oracle_sql() -> dict:
         rounds=8, min_cocount=2)
     oracles["q_events_median_polish"] = _median_polish_oracle_sql(
         iters=2)
+    oracles["q_part_rich_club"] = _rich_club_oracle_sql(min_cocount=2)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -3480,3 +3480,30 @@ def test_median_polish_decomposition_invariants():
     assert (got == R).all()
     assert (out.groupby("dow")["row_eff16"].first().to_numpy()
             == re_).all()
+
+
+def test_rich_club_serial_parity_and_suffix_identity():
+    from jerex_ray.pipelines.queries import (_repeat_copurchase_edges,
+                                             q_part_rich_club)
+    out = q_part_rich_club(SF)
+    edges = _repeat_copurchase_edges(SF).to_pandas()
+    E = [(int(a), int(b)) for a, b in zip(edges["a"], edges["b"])]
+    deg = {}
+    for a, b in E:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for r in out.itertuples():
+        k = int(r.k)
+        nodes_k = {u for u, d in deg.items() if d > k}
+        edges_k = [(a, b) for a, b in E
+                   if a in nodes_k and b in nodes_k]
+        assert int(r.n_nodes) == len(nodes_k)
+        assert int(r.n_edges) == len(edges_k)
+        phi = 2.0 * len(edges_k) / (len(nodes_k)
+                                    * (len(nodes_k) - 1))
+        assert abs(float(r.phi) - phi) < 1e-6
+        assert 0.0 <= float(r.phi) <= 1.0
+    # subgraph-membership identity: an edge survives level k iff
+    # min(deg_a, deg_b) > k, so edge counts are non-increasing in k
+    assert (np.diff(out.sort_values("k")["n_edges"]
+                    .to_numpy()) <= 0).all()
