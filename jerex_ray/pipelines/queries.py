@@ -14045,6 +14045,110 @@ def _rich_club_oracle_sql(min_cocount: int = 2) -> str:
         FROM lv WHERE n_nodes >= 2 ORDER BY k"""
 
 
+def q_user_nelson_aalen(sf_dir: str):
+    """Nelson–Aalen cumulative hazard (Nelson '72 / Aalen '78) of
+    the inter-purchase durations with right-censoring — the hazard
+    companion of ``q_user_km_survival`` (same one co-located LAG
+    pass, same censoring-at-horizon contract): H(t) = Σ_{tᵢ≤t}
+    dᵢ/nᵢ accumulated in duration order (np.cumsum ↔ the oracle's
+    window prefix sum — identical sequential float order), plus
+    the Breslow survival exp(−H). Integer d/n counts from the
+    combiner-reduced duration grid; 6-dp mirrored rounding."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    from jerex_ray.functions.aggregate import grouped_aggregate, grouped_apply
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    ts_col = _pq.read_table(f"{sf_dir}/events.parquet",
+                            columns=["ts"])["ts"].to_pandas()
+    horizon = int(ts_col.astype("datetime64[us]").astype("int64")
+                  .max())
+
+    def durations(block: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"dur": pd.Series(dtype="int64"),
+                              "cens": pd.Series(dtype="int64"),
+                              "n": pd.Series(dtype="int64")})
+        b = block[block["event_type"] == "purchase"]
+        if b.empty:
+            return empty
+        b = b.sort_values(["user_id", "ts", "event_id"])
+        t = b["ts"].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        uid = b["user_id"].to_numpy()
+        same = np.r_[uid[1:] == uid[:-1], False]
+        dur = np.where(same, np.r_[t[1:], 0] - t, horizon - t)
+        cens = (~same).astype(np.int64)
+        g = (pd.DataFrame({"dur": dur, "cens": cens, "n": 1})
+             .groupby(["dur", "cens"], sort=False).sum()
+             .reset_index())
+        return g
+
+    grid = grouped_aggregate(
+        grouped_apply(ds, ["user_id"], durations),
+        ["dur", "cens"], {"n": ("n", "sum")}).to_pandas()
+    grid = grid.sort_values("dur").reset_index(drop=True)
+    total = int(grid["n"].sum())
+    by_t = grid.groupby("dur").agg(all_n=("n", "sum")).reset_index()
+    dcounts = grid[grid["cens"] == 0].groupby("dur")["n"].sum()
+    by_t["d"] = by_t["dur"].map(dcounts).fillna(0).astype(np.int64)
+    before = np.r_[0, np.cumsum(
+        by_t["all_n"].to_numpy(np.int64))[:-1]]
+    by_t["n_risk"] = total - before
+    ev = by_t[by_t["d"] > 0].reset_index(drop=True)
+    terms = [int(r["d"]) / float(r["n_risk"])
+             for _, r in ev.iterrows()]
+    H = np.cumsum(terms) if terms else np.array([])
+    return pd.DataFrame({
+        "dur_us": ev["dur"].astype("int64"),
+        "n_risk": ev["n_risk"].astype("int64"),
+        "n_events": ev["d"].astype("int64"),
+        "cum_hazard": [_round_half_away(h, 6) for h in H],
+        "s_breslow": [_round_half_away(math.exp(-h), 6)
+                      for h in H]})
+
+
+_NELSON_AALEN_ORACLE_SQL = """
+    WITH p AS MATERIALIZED (
+        SELECT user_id, epoch_us(ts) AS t,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id) AS nxt
+        FROM events WHERE event_type = 'purchase'),
+    hz AS (SELECT max(epoch_us(ts)) AS h FROM events),
+    durs AS MATERIALIZED (
+        SELECT CASE WHEN nxt IS NULL
+                    THEN (SELECT h FROM hz) - t
+                    ELSE nxt - t END AS dur,
+               CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS cens
+        FROM p),
+    gridt AS MATERIALIZED (
+        SELECT dur, count(*) AS all_n,
+               count(*) FILTER (WHERE cens = 0) AS d
+        FROM durs GROUP BY dur),
+    risk AS MATERIALIZED (
+        SELECT dur, d,
+               (SELECT count(*) FROM durs) -
+               coalesce(sum(all_n) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n_risk
+        FROM gridt),
+    ev AS MATERIALIZED (
+        SELECT dur, d, n_risk,
+               sum(d * 1.0 / n_risk) OVER (ORDER BY dur) AS h
+        FROM risk WHERE d > 0)
+    SELECT CAST(dur AS BIGINT) AS dur_us,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(h, 6) AS cum_hazard,
+           round(exp(-h), 6) AS s_breslow
+    FROM ev ORDER BY dur_us"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -14214,6 +14318,7 @@ def build_queries() -> dict:
         "q_part_luby_mis": q_part_luby_mis,
         "q_events_median_polish": q_events_median_polish,
         "q_part_rich_club": q_part_rich_club,
+        "q_user_nelson_aalen": q_user_nelson_aalen,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -15184,6 +15289,7 @@ def build_oracle_sql() -> dict:
     oracles["q_events_median_polish"] = _median_polish_oracle_sql(
         iters=2)
     oracles["q_part_rich_club"] = _rich_club_oracle_sql(min_cocount=2)
+    oracles["q_user_nelson_aalen"] = _NELSON_AALEN_ORACLE_SQL
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -3507,3 +3507,25 @@ def test_rich_club_serial_parity_and_suffix_identity():
     # min(deg_a, deg_b) > k, so edge counts are non-increasing in k
     assert (np.diff(out.sort_values("k")["n_edges"]
                     .to_numpy()) <= 0).all()
+
+
+def test_nelson_aalen_vs_km_and_monotonicity():
+    from jerex_ray.pipelines.queries import (q_user_km_survival,
+                                             q_user_nelson_aalen)
+    na = q_user_nelson_aalen(SF)
+    km = q_user_km_survival(SF)
+    # identical event-time grid, at-risk and event counts as KM
+    assert na["dur_us"].tolist() == km["dur_us"].tolist()
+    assert na["n_risk"].tolist() == km["n_risk"].tolist()
+    assert na["n_events"].tolist() == km["n_events"].tolist()
+    # cumulative hazard is nonnegative and non-decreasing
+    h = na["cum_hazard"].to_numpy(np.float64)
+    assert (h >= 0).all() and (np.diff(h) >= -1e-9).all()
+    # Breslow survival dominates Kaplan-Meier: exp(-d/n) >= 1 - d/n
+    s_b = na["s_breslow"].to_numpy(np.float64)
+    s_km = km["survival"].to_numpy(np.float64)
+    assert (s_b >= s_km - 1e-9).all()
+    # serial recompute of H from the shared (d, n_risk) grid
+    exp_h = np.cumsum(na["n_events"].to_numpy(np.int64)
+                      / na["n_risk"].to_numpy(np.float64))
+    assert np.allclose(h, exp_h, atol=1e-6)
