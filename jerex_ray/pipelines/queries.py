@@ -14149,6 +14149,108 @@ _NELSON_AALEN_ORACLE_SQL = """
     FROM ev ORDER BY dur_us"""
 
 
+def q_events_ransac(sf_dir: str, *, k: int = 32, eps: int = 5):
+    """Derandomized RANSAC line fit (Fischler & Bolles '81 — the
+    outlier-immune model-fitting loop, md5-seeded like every
+    sampling op here) on the hourly (t, count) points: candidate
+    c picks the two DISTINCT support points with md5("ransac|c|0/1")
+    ranks over the hour grid, and a point is an inlier iff its
+    vertical distance to the candidate line is ≤ ``eps`` — decided
+    EXACTLY by the cross-multiplied integer test
+    |y·Δt − y₁·Δt − Δy·(t−t₁)| ≤ eps·|Δt| (no division anywhere).
+    Best candidate by (inliers DESC, candidate ASC). ONE combiner
+    pass to the grid; the k×T inlier census is one vectorized
+    integer matrix driver-side; the oracle replays every candidate
+    via a grid × candidates lateral."""
+    from jerex_ray.functions.aggregate import grouped_aggregate
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.util import md5_hash64
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["ts"].astype("datetime64[us]").astype("int64")
+             // 3_600_000_000)
+        v, c = np.unique(h.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"h": v, "y": c.astype(np.int64)})
+
+    g = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536),
+        ["h"], {"y": ("y", "sum")}, result_hint="small").to_pandas()
+    h0 = int(g["h"].min())
+    T = int(g["h"].max()) - h0 + 1
+    y = np.zeros(T, dtype=np.int64)
+    y[g["h"].to_numpy(np.int64) - h0] = g["y"].to_numpy(np.int64)
+    t = np.arange(T, dtype=np.int64)
+    rows = []
+    for c in range(k):
+        i = md5_hash64(f"ransac|{c}|0") % T
+        j = md5_hash64(f"ransac|{c}|1") % (T - 1)
+        j = j + (j >= i)                # distinct second pick
+        t1, y1 = int(t[i]), int(y[i])
+        dt, dy = int(t[j]) - t1, int(y[j]) - y1
+        lhs = np.abs(y * dt - y1 * dt - dy * (t - t1))
+        inl = int((lhs <= eps * abs(dt)).sum())
+        rows.append((c, t1, int(t[j]), inl))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    best = rows[0]
+    out = pd.DataFrame(rows, columns=["cand", "t1", "t2",
+                                      "inliers"]).astype("int64")
+    out["best_cand"] = np.int64(best[0])
+    out["best_inliers"] = np.int64(best[3])
+    return out.sort_values("cand").reset_index(drop=True)
+
+
+def _ransac_oracle_sql(k: int = 32, eps: int = 5) -> str:
+    h = ("CAST('0x' || substr(md5('ransac|' || CAST(c.c AS VARCHAR)"
+         " || '|{b}'), 1, 16) AS UBIGINT)")
+    return f"""
+        WITH b AS (SELECT min(epoch_us(ts) // 3600000000) AS h0,
+                          max(epoch_us(ts) // 3600000000) AS h1
+                   FROM events),
+        hrs AS (SELECT unnest(range(0,
+                    CAST(h1 - h0 + 1 AS BIGINT))) AS t FROM b),
+        raw AS (SELECT epoch_us(ts) // 3600000000
+                       - (SELECT h0 FROM b) AS t, count(*) AS y
+                FROM events GROUP BY 1),
+        grid AS MATERIALIZED (
+            SELECT hrs.t, coalesce(raw.y, 0) AS y
+            FROM hrs LEFT JOIN raw ON raw.t = hrs.t),
+        n AS (SELECT count(*) AS t FROM grid),
+        cand AS MATERIALIZED (
+            SELECT c.c,
+                   CAST({h.format(b='0')} % n.t AS BIGINT) AS i,
+                   CAST({h.format(b='1')} % (n.t - 1) AS BIGINT)
+                       AS j0
+            FROM (SELECT unnest(range({k})) AS c) c CROSS JOIN n),
+        picks AS MATERIALIZED (
+            SELECT c, i AS t1,
+                   CASE WHEN j0 >= i THEN j0 + 1 ELSE j0 END AS t2
+            FROM cand),
+        lines AS MATERIALIZED (
+            SELECT p.c, p.t1, p.t2, g1.y AS y1,
+                   p.t2 - p.t1 AS dt, g2.y - g1.y AS dy
+            FROM picks p JOIN grid g1 ON g1.t = p.t1
+                         JOIN grid g2 ON g2.t = p.t2),
+        census AS MATERIALIZED (
+            SELECT l.c, l.t1, l.t2,
+                   CAST(count(*) FILTER (WHERE
+                       abs(g.y * l.dt - l.y1 * l.dt
+                           - l.dy * (g.t - l.t1))
+                       <= {eps} * abs(l.dt)) AS BIGINT) AS inliers
+            FROM lines l CROSS JOIN grid g
+            GROUP BY l.c, l.t1, l.t2),
+        best AS (SELECT c AS bc, inliers AS bi FROM census
+                 ORDER BY inliers DESC, c ASC LIMIT 1)
+        SELECT CAST(c AS BIGINT) AS cand, CAST(t1 AS BIGINT) AS t1,
+               CAST(t2 AS BIGINT) AS t2, inliers,
+               CAST(best.bc AS BIGINT) AS best_cand,
+               CAST(best.bi AS BIGINT) AS best_inliers
+        FROM census CROSS JOIN best ORDER BY cand"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -14319,6 +14421,7 @@ def build_queries() -> dict:
         "q_events_median_polish": q_events_median_polish,
         "q_part_rich_club": q_part_rich_club,
         "q_user_nelson_aalen": q_user_nelson_aalen,
+        "q_events_ransac": q_events_ransac,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -15290,6 +15393,7 @@ def build_oracle_sql() -> dict:
         iters=2)
     oracles["q_part_rich_club"] = _rich_club_oracle_sql(min_cocount=2)
     oracles["q_user_nelson_aalen"] = _NELSON_AALEN_ORACLE_SQL
+    oracles["q_events_ransac"] = _ransac_oracle_sql(k=32, eps=5)
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -3529,3 +3529,38 @@ def test_nelson_aalen_vs_km_and_monotonicity():
     exp_h = np.cumsum(na["n_events"].to_numpy(np.int64)
                       / na["n_risk"].to_numpy(np.float64))
     assert np.allclose(h, exp_h, atol=1e-6)
+
+
+def test_ransac_serial_parity_and_planted_line():
+    from jerex_ray.pipelines.queries import q_events_ransac
+    from jerex_ray.util import md5_hash64
+    eps = 5
+    out = q_events_ransac(SF, eps=eps)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts"]).to_pandas()
+    h = (ev["ts"].astype("datetime64[us]").astype("int64")
+         // 3_600_000_000).to_numpy()
+    h0 = int(h.min())
+    y = np.bincount(h - h0, minlength=int(h.max()) - h0 + 1) \
+        .astype(np.int64)
+    T = len(y)
+    for r in out.itertuples():
+        c = int(r.cand)
+        i = md5_hash64(f"ransac|{c}|0") % T
+        j = md5_hash64(f"ransac|{c}|1") % (T - 1)
+        j = j + (j >= i)
+        assert (int(r.t1), int(r.t2)) == (i, j)
+        t1, y1 = i, int(y[i])
+        dt, dy = j - i, int(y[j]) - y1
+        inl = sum(1 for t in range(T)
+                  if abs(int(y[t]) * dt - y1 * dt - dy * (t - t1))
+                  <= eps * abs(dt))
+        assert int(r.inliers) == inl
+    # the winner maximizes inliers with the smallest-candidate tie
+    mx = out["inliers"].max()
+    assert int(out["best_inliers"].iloc[0]) == mx
+    assert int(out["best_cand"].iloc[0]) == \
+        int(out[out["inliers"] == mx]["cand"].min())
+    # exact-arithmetic sanity: both support points are inliers of
+    # their own line (distance 0)
+    assert (out["inliers"] >= 2).all()
