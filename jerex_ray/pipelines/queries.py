@@ -14251,6 +14251,123 @@ def _ransac_oracle_sql(k: int = 32, eps: int = 5) -> str:
         FROM census CROSS JOIN best ORDER BY cand"""
 
 
+def q_events_concurrency_histogram(sf_dir: str):
+    """Time-at-concurrency histogram — for every concurrency level
+    k, the total microseconds the system spent with exactly k
+    sessions active (each event occupies [ts, ts + value minutes)):
+    the full sweep-line distribution whose max row is
+    ``q_events_max_concurrency`` and whose Σ k·dur / horizon is
+    Little's-law L. Same distributed exact-prefix-sum machinery:
+    endpoint explode → per-timestamp net delta (combiner) →
+    quantile range buckets → per-bucket LOCAL level histograms and
+    boundary metadata → driver shifts each bucket's histogram by
+    its offset and adds the bucket-spanning gaps. Level keys and
+    integer-µs durations are exact; nothing endpoint-sized
+    collects (per-bucket histograms are level-bounded)."""
+    import ray
+
+    from jerex_ray.functions.aggregate import (grouped_aggregate,
+                                               grouped_apply)
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    from jerex_ray.runtime import read_parquet_sized
+    configure_data_context()
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"t_us": pd.Series(dtype="int64"),
+                                 "d": pd.Series(dtype="int64")})
+        start = df["ts"].astype("int64").to_numpy()
+        dur = np.floor(df["value"].to_numpy(np.float64)
+                       * 60000000.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "t_us": np.concatenate([start, start + dur]),
+            "d": np.concatenate([np.ones(len(df), dtype=np.int64),
+                                 -np.ones(len(df),
+                                          dtype=np.int64)])})
+
+    nd = grouped_aggregate(ds.map_batches(endpoints,
+                                          batch_format="pandas"),
+                           ["t_us"], {"nd": ("d", "sum")},
+                           result_hint="large").materialize()
+    qs = [i / 16 for i in range(1, 16)]
+    pivots = np.unique(np.asarray(
+        distributed_quantiles(nd, "t_us", qs), dtype=np.float64))
+    piv_ref = ray.put(pivots)
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__b"] = np.searchsorted(
+            ray.get(piv_ref), df["t_us"].to_numpy(np.float64),
+            side="left").astype(np.int64)
+        return out
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for b, g in df.groupby("__b", sort=False):
+            g = g.sort_values("t_us")
+            t = g["t_us"].to_numpy(np.int64)
+            cum = g["nd"].to_numpy(np.int64).cumsum()
+            # in-bucket gaps at local level cum[i]
+            if len(t) > 1:
+                gaps = t[1:] - t[:-1]
+                hist = pd.DataFrame({"lvl": cum[:-1], "dur": gaps}) \
+                    .groupby("lvl")["dur"].sum()
+                for lvl, dur in hist.items():
+                    rows.append((int(b), 0, int(lvl), int(dur)))
+            # boundary metadata row (kind=1)
+            rows.append((int(b), 1, int(cum[-1]),
+                         int(t[0])))
+            rows.append((int(b), 2, int(t[-1]), 0))
+        return pd.DataFrame(rows, columns=["__b", "kind", "a", "b2"])
+
+    parts = grouped_apply(nd.map_batches(with_bucket,
+                                         batch_format="pandas"),
+                          ["__b"], bucket_partial).to_pandas()
+    parts = parts.sort_values(["__b", "kind", "a"])
+    buckets = sorted(int(b) for b in parts["__b"].unique())
+    hist: dict[int, int] = {}
+    offset = 0
+    prev_last_t = None
+    for b in buckets:
+        pb = parts[parts["__b"] == b]
+        first_t = int(pb[pb["kind"] == 1]["b2"].iloc[0])
+        total = int(pb[pb["kind"] == 1]["a"].iloc[0])
+        last_t = int(pb[pb["kind"] == 2]["a"].iloc[0])
+        if prev_last_t is not None and first_t > prev_last_t:
+            hist[offset] = hist.get(offset, 0) \
+                + (first_t - prev_last_t)
+        for r in pb[pb["kind"] == 0].itertuples():
+            lvl = offset + int(r.a)
+            hist[lvl] = hist.get(lvl, 0) + int(r.b2)
+        offset += total
+        prev_last_t = last_t
+    out = pd.DataFrame(sorted(hist.items()),
+                       columns=["level", "total_us"]) \
+        .astype("int64")
+    return out[out["total_us"] > 0].reset_index(drop=True)
+
+
+_CONCURRENCY_HIST_ORACLE_SQL = """
+    WITH ep AS (
+        SELECT epoch_us(ts) AS t, 1 AS d FROM events
+        UNION ALL
+        SELECT epoch_us(ts)
+               + CAST(value * 60000000.0 AS BIGINT), -1
+        FROM events),
+    nd AS MATERIALIZED (
+        SELECT t, sum(d) AS nd FROM ep GROUP BY t),
+    lv AS MATERIALIZED (
+        SELECT t, SUM(nd) OVER (ORDER BY t) AS lvl,
+               lead(t) OVER (ORDER BY t) AS nxt
+        FROM nd)
+    SELECT CAST(lvl AS BIGINT) AS level,
+           CAST(sum(nxt - t) AS BIGINT) AS total_us
+    FROM lv WHERE nxt IS NOT NULL
+    GROUP BY lvl HAVING sum(nxt - t) > 0 ORDER BY level"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -14422,6 +14539,7 @@ def build_queries() -> dict:
         "q_part_rich_club": q_part_rich_club,
         "q_user_nelson_aalen": q_user_nelson_aalen,
         "q_events_ransac": q_events_ransac,
+        "q_events_concurrency_histogram": q_events_concurrency_histogram,
         "q_events_xcorr": q_events_xcorr,
         "emb_ndcg": emb_ndcg,
         "emb_ivf_recall": emb_ivf_recall,
@@ -15394,6 +15512,8 @@ def build_oracle_sql() -> dict:
     oracles["q_part_rich_club"] = _rich_club_oracle_sql(min_cocount=2)
     oracles["q_user_nelson_aalen"] = _NELSON_AALEN_ORACLE_SQL
     oracles["q_events_ransac"] = _ransac_oracle_sql(k=32, eps=5)
+    oracles["q_events_concurrency_histogram"] = \
+        _CONCURRENCY_HIST_ORACLE_SQL
     oracles["q_events_tcloseness"] = """
         WITH cells AS MATERIALIZED (
             SELECT user_id // 10 AS ubucket,

@@ -3564,3 +3564,38 @@ def test_ransac_serial_parity_and_planted_line():
     # exact-arithmetic sanity: both support points are inliers of
     # their own line (distance 0)
     assert (out["inliers"] >= 2).all()
+
+
+def test_concurrency_histogram_identities():
+    from jerex_ray.pipelines.queries import (
+        q_events_concurrency_histogram, q_events_max_concurrency)
+    out = q_events_concurrency_histogram(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    start = ev["ts"].astype("int64").to_numpy()
+    dur = np.floor(ev["value"].to_numpy(np.float64)
+                   * 60000000.0 + 0.5).astype(np.int64)
+    # serial sweep
+    times = np.concatenate([start, start + dur])
+    deltas = np.concatenate([np.ones(len(ev), dtype=np.int64),
+                             -np.ones(len(ev), dtype=np.int64)])
+    order = np.argsort(times, kind="mergesort")
+    t, d = times[order], deltas[order]
+    tu, idx = np.unique(t, return_index=True)
+    nd = np.add.reduceat(d, idx)
+    lvl = np.cumsum(nd)
+    gaps = tu[1:] - tu[:-1]
+    exp = {}
+    for g, l in zip(gaps, lvl[:-1]):
+        exp[int(l)] = exp.get(int(l), 0) + int(g)
+    got = dict(zip(out["level"].astype(int),
+                   out["total_us"].astype(int)))
+    assert got == {k: v for k, v in exp.items() if v > 0}
+    # total time conservation: sum durs = horizon span
+    assert int(out["total_us"].sum()) == int(tu[-1] - tu[0])
+    # Little's law identity: integral of level = sum of durations
+    integral = sum(k * v for k, v in got.items())
+    assert integral == int(dur.sum())
+    # the histogram's max level matches max_concurrency
+    mx = q_events_max_concurrency(SF)
+    assert int(out["level"].max()) == int(mx["max_concurrency"].iloc[0])
