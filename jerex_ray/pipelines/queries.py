@@ -14368,6 +14368,106 @@ _CONCURRENCY_HIST_ORACLE_SQL = """
     GROUP BY lvl HAVING sum(nxt - t) > 0 ORDER BY level"""
 
 
+def q_part_eigenvector(sf_dir: str, *, iters: int = 4,
+                       scale: int = 1_000_000, min_cocount: int = 2):
+    """Eigenvector centrality (Bonacich '72) by EXACT-INTEGER power
+    iteration (the von Mises power method) over the repeat
+    co-purchase graph — the spectral member of the centrality family
+    beside degree / Katz / PageRank / HITS / harmonic / betweenness.
+    Derandomized exactness: x₀ = ``scale`` for every node; each round
+    y = A·x is an integer SpMV (int64 sums — order-free, zero float
+    hazard), then the max-rescale x ← (y·scale) // max(y) is exact
+    integer division (all values positive, so truncation = floor on
+    both engines), making every round bit-replayable: the generated
+    per-round CTE oracle matches bit-for-bit, and each round's argmax
+    node sits at exactly ``scale``.
+
+    Scale shape: per round ONE streaming pass over the never-moving
+    edge Dataset with the node-bounded score vector broadcast via
+    ``ray.put`` emits per-node partial sums (combiner); the max and
+    rescale are node-bounded driver work. Overflow guard: y·scale
+    must stay under 2⁶³ (asserted each round)."""
+    import ray
+    configure_data_context()
+    edges = _repeat_copurchase_edges(
+        sf_dir, min_cocount=min_cocount).materialize()
+    nd = edges.map_batches(
+        lambda df: pd.DataFrame({"u": np.unique(np.r_[
+            df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)])})
+        if "a" in df.columns and len(df) else
+        pd.DataFrame({"u": pd.Series(dtype="int64")}),
+        batch_format="pandas").to_pandas()
+    nodes = sorted(int(u) for u in np.unique(nd["u"].to_numpy())) \
+        if "u" in nd.columns and len(nd) else []
+    if not nodes:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="int64")})
+    x = {u: scale for u in nodes}
+    for _ in range(iters):
+        xref = ray.put(x)
+
+        def spmv(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "a" not in df.columns:
+                return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                     "s": pd.Series(dtype="int64")})
+            xv = ray.get(xref)
+            a = df["a"].to_numpy(np.int64)
+            b = df["b"].to_numpy(np.int64)
+            part = pd.DataFrame({
+                "u": np.r_[a, b],
+                "s": np.array([xv[int(v)] for v in np.r_[b, a]],
+                              dtype=np.int64)})
+            g = part.groupby("u", sort=False)["s"].sum()
+            return pd.DataFrame({"u": g.index.to_numpy(np.int64),
+                                 "s": g.to_numpy(np.int64)})
+
+        partials = edges.map_batches(
+            spmv, batch_format="pandas").to_pandas()
+        y = {u: 0 for u in nodes}
+        if "u" in partials.columns:
+            for r in partials.itertuples():
+                y[int(r.u)] += int(r.s)
+        m = max(y.values())
+        assert 0 < m and m * scale < 2 ** 63, \
+            "eigenvector: rescale overflow"
+        x = {u: (y[u] * scale) // m for u in nodes}
+    return pd.DataFrame({"node": np.array(nodes, dtype=np.int64),
+                         "score": np.array([x[u] for u in nodes],
+                                           dtype=np.int64)})
+
+
+def _eigenvector_oracle_sql(iters: int = 4, scale: int = 1_000_000,
+                            min_cocount: int = 2) -> str:
+    """Per-round replay of ``q_part_eigenvector``: integer SpMV over
+    the symmetric edge CTE, then the exact integer max-rescale."""
+    sql = f"""
+        WITH inc AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+        e0 AS MATERIALIZED (
+            SELECT a.p AS a, b.p AS b
+            FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p HAVING count(*) >= {min_cocount}),
+        sym AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM e0
+            UNION ALL SELECT b, a FROM e0),
+        x0 AS (SELECT u, CAST({scale} AS BIGINT) AS x
+               FROM (SELECT DISTINCT u FROM sym))"""
+    for k in range(1, iters + 1):
+        sql += f""",
+        y{k} AS MATERIALIZED (
+            SELECT s.u, CAST(sum(p.x) AS BIGINT) AS y
+            FROM sym s JOIN x{k - 1} p ON p.u = s.v
+            GROUP BY s.u),
+        x{k} AS MATERIALIZED (
+            SELECT u, CAST((y * {scale}) //
+                (SELECT max(y) FROM y{k}) AS BIGINT) AS x
+            FROM y{k})"""
+    return sql + f"""
+        SELECT CAST(u AS BIGINT) AS node, x AS score
+        FROM x{iters} ORDER BY node"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -14537,6 +14637,7 @@ def build_queries() -> dict:
         "q_part_luby_mis": q_part_luby_mis,
         "q_events_median_polish": q_events_median_polish,
         "q_part_rich_club": q_part_rich_club,
+        "q_part_eigenvector": q_part_eigenvector,
         "q_user_nelson_aalen": q_user_nelson_aalen,
         "q_events_ransac": q_events_ransac,
         "q_events_concurrency_histogram": q_events_concurrency_histogram,
@@ -15510,6 +15611,8 @@ def build_oracle_sql() -> dict:
     oracles["q_events_median_polish"] = _median_polish_oracle_sql(
         iters=2)
     oracles["q_part_rich_club"] = _rich_club_oracle_sql(min_cocount=2)
+    oracles["q_part_eigenvector"] = _eigenvector_oracle_sql(
+        iters=4, scale=1_000_000, min_cocount=2)
     oracles["q_user_nelson_aalen"] = _NELSON_AALEN_ORACLE_SQL
     oracles["q_events_ransac"] = _ransac_oracle_sql(k=32, eps=5)
     oracles["q_events_concurrency_histogram"] = \

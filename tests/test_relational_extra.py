@@ -3599,3 +3599,28 @@ def test_concurrency_histogram_identities():
     # the histogram's max level matches max_concurrency
     mx = q_events_max_concurrency(SF)
     assert int(out["level"].max()) == int(mx["max_concurrency"].iloc[0])
+
+
+def test_eigenvector_serial_power_iteration_parity():
+    from jerex_ray.pipelines.queries import (_repeat_copurchase_edges,
+                                             q_part_eigenvector)
+    out = q_part_eigenvector(SF)
+    edges = _repeat_copurchase_edges(SF).to_pandas()
+    nodes = sorted({int(v) for v in edges["a"]}
+                   | {int(v) for v in edges["b"]})
+    idx = {u: i for i, u in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=object)
+    for a, b in zip(edges["a"], edges["b"]):
+        A[idx[int(a)], idx[int(b)]] = 1
+        A[idx[int(b)], idx[int(a)]] = 1
+    x = np.full(len(nodes), 1_000_000, dtype=object)
+    for _ in range(4):
+        y = A @ x
+        m = max(y)
+        x = np.array([(int(v) * 1_000_000) // int(m) for v in y],
+                     dtype=object)
+    got = dict(zip(out["node"].astype(int), out["score"].astype(int)))
+    assert got == {u: int(x[idx[u]]) for u in nodes}
+    # each round's argmax node sits at exactly scale; scores bounded
+    s = out["score"].to_numpy(np.int64)
+    assert s.max() == 1_000_000 and (s >= 0).all()
