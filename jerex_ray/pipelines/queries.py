@@ -14468,6 +14468,104 @@ def _eigenvector_oracle_sql(iters: int = 4, scale: int = 1_000_000,
         FROM x{iters} ORDER BY node"""
 
 
+def emb_principal_direction(sf_dir: str, *, iters: int = 16,
+                            scale: int = 10_000):
+    """Top principal direction of the embedding cloud by
+    EXACT-INTEGER power iteration on the d×d Gram matrix
+    G = Σᵢ qᵢqᵢᵀ (Pearson 1901 / Hotelling '33 PCA's first
+    component; the von Mises power method) — the SQL-oracled
+    companion of the rows-only full ``emb_pca``. Vectors quantize to
+    the 3-decimal mirror-rounded integer grid (the ``emb_kcenter``
+    convention), so G is exact int64 from ONE distributed combiner
+    pass; the ``iters`` power-iteration rounds then run driver-side
+    on the d²-bounded (metadata-sized) G with Python big ints:
+    y = G·w, then the mirror-truncating max-rescale
+    w ← sign(y)·((|y|·scale) // max|y|) — exact integer division on
+    both engines (HUGEINT in the oracle), bit-replayable with zero
+    float hazard. w₀ = ones fixes the sign convention.
+
+    Scale shape: distributed cost is ONE streaming pass regardless
+    of rounds — per-block d² partial Gram sums (order-free int64)
+    reduce through the combiner; nothing row-sized leaves the
+    blocks. The d×d driver DP is independent of corpus size."""
+    configure_data_context()
+    from jerex_ray.runtime import read_parquet_sized
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+
+    def quant(m: np.ndarray) -> np.ndarray:
+        return np.copysign(np.floor(np.abs(m.astype(np.float64))
+                                    * 1000.0 + 0.5), m) \
+            .astype(np.int64)
+
+    def gram_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"j": pd.Series(dtype="int64"),
+                                 "k": pd.Series(dtype="int64"),
+                                 "g": pd.Series(dtype="int64")})
+        Q = quant(np.stack(df["embedding"].to_numpy()))
+        G = Q.T @ Q  # exact: |q| ≤ ~32k ⇒ block sums fit int64
+        d = G.shape[0]
+        jj, kk = np.meshgrid(np.arange(d), np.arange(d),
+                             indexing="ij")
+        return pd.DataFrame({"j": jj.ravel(), "k": kk.ravel(),
+                             "g": G.ravel()})
+
+    parts = ds.map_batches(gram_block,
+                           batch_format="pandas").to_pandas()
+    if parts.empty or "j" not in parts.columns:
+        return pd.DataFrame({"dim_idx": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="int64")})
+    gd = parts.groupby(["j", "k"], sort=True)["g"].sum()
+    d = int(parts["j"].max()) + 1
+    G = [[int(gd.loc[(j, k)]) for k in range(d)] for j in range(d)]
+    w = [scale] * d
+    for _ in range(iters):
+        y = [sum(G[j][k] * w[k] for k in range(d)) for j in range(d)]
+        m = max(abs(v) for v in y)
+        assert m > 0, "principal direction: zero Gram product"
+        w = [(abs(v) * scale) // m * (1 if v >= 0 else -1)
+             for v in y]
+    return pd.DataFrame({"dim_idx": np.arange(1, d + 1,
+                                              dtype=np.int64),
+                         "score": np.array(w, dtype=np.int64)})
+
+
+def _principal_direction_oracle_sql(iters: int = 16,
+                                    scale: int = 10_000,
+                                    dim: int = 64) -> str:
+    """Per-round replay of ``emb_principal_direction``: quantized
+    integer Gram via an explode-group pass, then HUGEINT SpMV +
+    mirror-truncating max-rescale per round."""
+    sql = f"""
+        WITH q AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0)
+                          AS BIGINT)) AS v
+            FROM embeddings),
+        idx AS (SELECT unnest(range(1, {dim + 1})) AS i),
+        g AS MATERIALIZED (
+            SELECT a.i AS j, b.i AS k,
+                   CAST(sum(q.v[a.i] * q.v[b.i]) AS HUGEINT) AS gv
+            FROM q, idx a, idx b GROUP BY a.i, b.i),
+        w0 AS (SELECT i, CAST({scale} AS HUGEINT) AS w FROM idx)"""
+    for r in range(1, iters + 1):
+        sql += f""",
+        y{r} AS MATERIALIZED (
+            SELECT g.j AS i, sum(g.gv * p.w) AS y
+            FROM g JOIN w{r - 1} p ON p.i = g.k GROUP BY g.j),
+        m{r} AS (SELECT max(abs(y)) AS m FROM y{r}),
+        w{r} AS MATERIALIZED (
+            SELECT i, CASE WHEN y >= 0
+                THEN (y * {scale}) // (SELECT m FROM m{r})
+                ELSE -((-y * {scale}) // (SELECT m FROM m{r}))
+                END AS w
+            FROM y{r})"""
+    return sql + f"""
+        SELECT CAST(i AS BIGINT) AS dim_idx, CAST(w AS BIGINT) AS score
+        FROM w{iters} ORDER BY dim_idx"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -14638,6 +14736,7 @@ def build_queries() -> dict:
         "q_events_median_polish": q_events_median_polish,
         "q_part_rich_club": q_part_rich_club,
         "q_part_eigenvector": q_part_eigenvector,
+        "emb_principal_direction": emb_principal_direction,
         "q_user_nelson_aalen": q_user_nelson_aalen,
         "q_events_ransac": q_events_ransac,
         "q_events_concurrency_histogram": q_events_concurrency_histogram,
@@ -15613,6 +15712,9 @@ def build_oracle_sql() -> dict:
     oracles["q_part_rich_club"] = _rich_club_oracle_sql(min_cocount=2)
     oracles["q_part_eigenvector"] = _eigenvector_oracle_sql(
         iters=4, scale=1_000_000, min_cocount=2)
+    oracles["emb_principal_direction"] = \
+        _principal_direction_oracle_sql(iters=16, scale=10_000,
+                                        dim=64)
     oracles["q_user_nelson_aalen"] = _NELSON_AALEN_ORACLE_SQL
     oracles["q_events_ransac"] = _ransac_oracle_sql(k=32, eps=5)
     oracles["q_events_concurrency_histogram"] = \

@@ -383,3 +383,43 @@ def test_ivf_recall_curve_monotone_and_high_at_full_probe():
     # probing every cell degenerates to brute force -> exact recall
     assert r[-1] >= 1.0 - 1e-9
     assert (out["n_queries"] > 0).all()
+
+
+def test_principal_direction_serial_parity_and_rayleigh():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import emb_principal_direction
+    SF = "/root/testdata/sf0.001"
+    out = emb_principal_direction(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["embedding"]).to_pandas()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    Q = np.copysign(np.floor(np.abs(X) * 1000.0 + 0.5), X) \
+        .astype(object)
+    G = Q.T @ Q  # exact big-int Gram
+    d = G.shape[0]
+    Gf = np.array([[float(G[j][k]) for k in range(d)]
+                   for j in range(d)])
+
+    def rayleigh(v):
+        v = np.asarray(v, dtype=np.float64)
+        return float(v @ Gf @ v / (v @ v))
+
+    w = [10_000] * d
+    r_prev = rayleigh(w)
+    for _ in range(16):
+        y = [sum(int(G[j][k]) * w[k] for k in range(d))
+             for j in range(d)]
+        m = max(abs(v) for v in y)
+        w = [(abs(v) * 10_000) // m * (1 if v >= 0 else -1)
+             for v in y]
+    assert out["score"].astype(int).tolist() == w
+    assert out["dim_idx"].tolist() == list(range(1, d + 1))
+    s_ = out["score"].to_numpy(np.float64)
+    assert int(np.abs(s_).max()) == 10_000
+    # power iteration on a PSD matrix drives the Rayleigh quotient
+    # toward lambda_max: after 16 rounds it must reach >= 0.9 of it
+    # and strictly beat the all-ones start
+    lam_max = float(np.linalg.eigvalsh(Gf)[-1])
+    r_final = rayleigh(w)
+    assert r_final > r_prev
+    assert r_final >= 0.9 * lam_max, (r_final, lam_max)
