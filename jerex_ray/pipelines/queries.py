@@ -14566,6 +14566,163 @@ def _principal_direction_oracle_sql(iters: int = 16,
         FROM w{iters} ORDER BY dim_idx"""
 
 
+def q_events_sprt_srm(sf_dir: str, *, p1: float = 0.55):
+    """Wald's sequential probability ratio test (Wald '45) run as a
+    SEQUENTIAL sample-ratio-mismatch monitor — the always-valid
+    companion of the fixed-horizon ``q_events_srm`` chi-square:
+    H₀ p = 0.5 vs H₁ p = ``p1`` over the md5("ab|user") treatment
+    indicator stream in global (ts, event_id) order, stopping at the
+    first n where LLRₙ = k·ln(p1/0.5) + (n−k)·ln((1−p1)/0.5) leaves
+    (−ln 19, ln 19) (α = β = 0.05). The LLR is one identical
+    float64 expression of the exact integer prefix pair (n, k) on
+    both engines, so every crossing decision is bit-deterministic
+    and the window-cumsum oracle replays the stopped state exactly.
+
+    Scale shape: the prefix-sum decomposition — exact-quantile time
+    buckets, ONE combiner pass for per-bucket (n, k) totals, driver
+    prefix offsets over the bucket-bounded table, then one
+    co-located pass finds each bucket's earliest in-bucket crossing
+    under its broadcast offset; the driver reduces the ≤ #buckets
+    candidate rows. Nothing event-sized ever collects."""
+    import ray
+
+    from jerex_ray.functions.aggregate import (grouped_aggregate,
+                                               grouped_apply)
+    from jerex_ray.ops.quantiles import distributed_quantiles
+    from jerex_ray.runtime import read_parquet_sized
+    from jerex_ray.util import md5_hash64_batch
+    configure_data_context()
+    c1 = float(np.log(p1 / 0.5))
+    c0 = float(np.log((1.0 - p1) / 0.5))
+    bound = float(np.log(0.95 / 0.05))
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def obs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"t": pd.Series(dtype="int64"),
+                                 "e": pd.Series(dtype="int64"),
+                                 "x": pd.Series(dtype="int64")})
+        t = df["ts"].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        x = (md5_hash64_batch([f"ab|{u}" for u in df["user_id"]])
+             % 2).astype(np.int64)
+        return pd.DataFrame({"t": t,
+                             "e": df["event_id"].to_numpy(np.int64),
+                             "x": x})
+
+    o = ds.map_batches(obs, batch_format="pandas").materialize()
+    qs = [i / 16 for i in range(1, 16)]
+    pivots = np.unique(np.asarray(
+        distributed_quantiles(o, "t", qs), dtype=np.float64))
+    piv_ref = ray.put(pivots)
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__b"] = np.searchsorted(
+            ray.get(piv_ref), df["t"].to_numpy(np.float64),
+            side="left").astype(np.int64)
+        return out
+
+    ob = o.map_batches(with_bucket,
+                       batch_format="pandas").materialize()
+
+    def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"__b": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "k": pd.Series(dtype="int64")})
+        g = df.groupby("__b", as_index=False) \
+            .agg(n=("x", "size"), k=("x", "sum"))
+        return g.astype("int64")
+
+    tot = grouped_aggregate(
+        ob.map_batches(tot_partial, batch_format="pandas"),
+        ["__b"], {"n": ("n", "sum"), "k": ("k", "sum")},
+        result_hint="small").to_pandas() \
+        .sort_values("__b").reset_index(drop=True)
+    tot["N0"] = tot["n"].cumsum() - tot["n"]
+    tot["K0"] = tot["k"].cumsum() - tot["k"]
+    off_ref = ray.put(tot[["__b", "N0", "K0"]]
+                      .set_index("__b"))
+
+    def bucket_cross(block: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n": pd.Series(dtype="int64"),
+                "k": pd.Series(dtype="int64"),
+                "llr": pd.Series(dtype="float64")}
+        if block.empty or "__b" not in block.columns:
+            return pd.DataFrame(cols)
+        off = ray.get(off_ref)
+        rows = []
+        for bb, g in block.groupby("__b", sort=False):
+            g = g.sort_values(["t", "e"])
+            n0 = int(off.loc[int(bb), "N0"])
+            k0 = int(off.loc[int(bb), "K0"])
+            k = k0 + g["x"].to_numpy(np.int64).cumsum()
+            n = n0 + np.arange(1, len(g) + 1, dtype=np.int64)
+            llr = k * c1 + (n - k) * c0
+            hit = np.flatnonzero((llr >= bound) | (llr <= -bound))
+            if len(hit):
+                i = int(hit[0])
+                rows.append((int(n[i]), int(k[i]), float(llr[i])))
+        return pd.DataFrame(rows, columns=["n", "k", "llr"]) \
+            if rows else pd.DataFrame(cols)
+
+    hits = grouped_apply(ob, ["__b"], bucket_cross).to_pandas()
+    n_tot, k_tot = int(tot["n"].sum()), int(tot["k"].sum())
+    if len(hits) and "n" in hits.columns:
+        hits = hits.sort_values("n")
+        n_, k_ = int(hits["n"].iloc[0]), int(hits["k"].iloc[0])
+        llr_ = float(hits["llr"].iloc[0])
+        decision = "h1" if llr_ > 0 else "h0"
+    else:
+        n_, k_ = n_tot, k_tot
+        llr_ = k_ * c1 + (n_ - k_) * c0
+        decision = "continue"
+    return pd.DataFrame({
+        "decision": [decision],
+        "n_obs": np.array([n_], dtype=np.int64),
+        "k_treat": np.array([k_], dtype=np.int64),
+        "llr": [float(_round_half_away(llr_, 6))]})
+
+
+def _sprt_srm_oracle_sql(p1: float = 0.55) -> str:
+    """Window-cumsum replay of ``q_events_sprt_srm``: exact integer
+    (n, k) prefixes in (ts, event_id) order, the identical LLR
+    expression, earliest boundary crossing else the final state."""
+    return f"""
+        WITH obs AS (
+            SELECT epoch_us(ts) AS t, event_id,
+                   CAST(CAST('0x' || substr(md5('ab|' ||
+                        CAST(user_id AS VARCHAR)), 1, 16) AS UBIGINT)
+                        % 2 AS BIGINT) AS x
+            FROM events),
+        w AS (
+            SELECT row_number() OVER (ORDER BY t, event_id) AS n,
+                   SUM(x) OVER (ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS k
+            FROM obs),
+        l AS (
+            SELECT n, k,
+                   k * ln({p1} / 0.5)
+                   + (n - k) * ln({1.0 - p1} / 0.5) AS llr
+            FROM w),
+        c AS (
+            SELECT * FROM l
+            WHERE llr >= ln(0.95 / 0.05) OR llr <= -ln(0.95 / 0.05)
+            ORDER BY n LIMIT 1),
+        fin AS (SELECT * FROM l ORDER BY n DESC LIMIT 1)
+        SELECT decision, CAST(n AS BIGINT) AS n_obs,
+               CAST(k AS BIGINT) AS k_treat, round(llr, 6) AS llr
+        FROM (
+            SELECT CASE WHEN llr > 0 THEN 'h1' ELSE 'h0' END
+                       AS decision, n, k, llr
+            FROM c
+            UNION ALL
+            SELECT 'continue', n, k, llr FROM fin
+            WHERE (SELECT count(*) FROM c) = 0)"""
+
+
 # ---------- registry ----------
 
 def build_queries() -> dict:
@@ -14737,6 +14894,7 @@ def build_queries() -> dict:
         "q_part_rich_club": q_part_rich_club,
         "q_part_eigenvector": q_part_eigenvector,
         "emb_principal_direction": emb_principal_direction,
+        "q_events_sprt_srm": q_events_sprt_srm,
         "q_user_nelson_aalen": q_user_nelson_aalen,
         "q_events_ransac": q_events_ransac,
         "q_events_concurrency_histogram": q_events_concurrency_histogram,
@@ -15715,6 +15873,7 @@ def build_oracle_sql() -> dict:
     oracles["emb_principal_direction"] = \
         _principal_direction_oracle_sql(iters=16, scale=10_000,
                                         dim=64)
+    oracles["q_events_sprt_srm"] = _sprt_srm_oracle_sql(p1=0.55)
     oracles["q_user_nelson_aalen"] = _NELSON_AALEN_ORACLE_SQL
     oracles["q_events_ransac"] = _ransac_oracle_sql(k=32, eps=5)
     oracles["q_events_concurrency_histogram"] = \

@@ -3624,3 +3624,40 @@ def test_eigenvector_serial_power_iteration_parity():
     # each round's argmax node sits at exactly scale; scores bounded
     s = out["score"].to_numpy(np.int64)
     assert s.max() == 1_000_000 and (s >= 0).all()
+
+
+def test_sprt_srm_serial_walk_parity_and_wald_boundaries():
+    from jerex_ray.pipelines.queries import q_events_sprt_srm
+    from jerex_ray.util import md5_hash64
+    out = q_events_sprt_srm(SF)
+    assert len(out) == 1
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]) \
+        .to_pandas()
+    ev["t"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.sort_values(["t", "event_id"])
+    x = np.array([md5_hash64(f"ab|{u}") % 2
+                  for u in ev["user_id"]], dtype=np.int64)
+    p1 = 0.55
+    c1 = float(np.log(p1 / 0.5))
+    c0 = float(np.log((1.0 - p1) / 0.5))
+    bound = float(np.log(0.95 / 0.05))
+    k = x.cumsum()
+    n = np.arange(1, len(x) + 1, dtype=np.int64)
+    llr = k * c1 + (n - k) * c0
+    hit = np.flatnonzero((llr >= bound) | (llr <= -bound))
+    r = out.iloc[0]
+    if len(hit):
+        i = int(hit[0])
+        assert int(r["n_obs"]) == int(n[i])
+        assert int(r["k_treat"]) == int(k[i])
+        assert r["decision"] == ("h1" if llr[i] > 0 else "h0")
+        # Wald optional-stopping: no earlier index crosses
+        assert (np.abs(llr[:i]) < bound).all()
+        assert abs(llr[i]) >= bound
+    else:
+        assert r["decision"] == "continue"
+        assert int(r["n_obs"]) == len(x)
+        assert int(r["k_treat"]) == int(k[-1])
+    assert abs(float(r["llr"])
+               - float(llr[int(r["n_obs"]) - 1])) < 1e-6
