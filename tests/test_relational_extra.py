@@ -3661,3 +3661,44 @@ def test_sprt_srm_serial_walk_parity_and_wald_boundaries():
         assert int(r["k_treat"]) == int(k[-1])
     assert abs(float(r["llr"])
                - float(llr[int(r["n_obs"]) - 1])) < 1e-6
+
+
+def test_adaboost_serial_replay_and_reweight_identity():
+    from jerex_ray.pipelines.queries import (_ADABOOST_CANDS,
+                                             q_lineitem_adaboost)
+    out = q_lineitem_adaboost(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_quantity", "l_discount",
+                                "l_returnflag"]).to_pandas()
+    q = li["l_quantity"].to_numpy(np.float64).astype(np.int64)
+    d = np.floor(np.abs(li["l_discount"].to_numpy(np.float64))
+                 * 100.0 + 0.5).astype(np.int64)
+    y = np.where(li["l_returnflag"].to_numpy() == "R", 1, -1) \
+        .astype(np.int64)
+    w = np.ones(len(y), dtype=np.float64)
+    picked = []
+    for t in range(3):
+        best = None
+        for (ci, f, th, pl) in _ADABOOST_CANDS:
+            fv = q if f == 1 else d
+            pred = np.where(fv <= th, pl, -pl)
+            err = float(w[pred != y].sum() / w.sum())
+            if best is None or (err, ci) < best[0]:
+                best = ((err, ci), ci, f, th, pl, pred)
+        (err, ci), _, f, th, pl, pred = best
+        alpha = 0.5 * float(np.log((1.0 - err) / err))
+        picked.append((t + 1, ci, f, th, pl, err, alpha))
+        w = w * np.exp(np.where(pred == y, -alpha, alpha))
+        # reweighting identity: the just-picked stump's error
+        # under the NEW weights is exactly 1/2 in real arithmetic
+        e_next = float(w[pred != y].sum() / w.sum())
+        assert abs(e_next - 0.5) < 1e-9
+    for r, (t, ci, f, th, pl, err, alpha) in zip(
+            out.itertuples(), picked):
+        assert (int(r.round), int(r.cand_id), int(r.feature),
+                int(r.thr), int(r.pol)) == (t, ci, f, th, pl)
+        assert abs(float(r.err) - err) < 1e-6
+        assert abs(float(r.alpha) - alpha) < 1e-6
+    # errors are genuinely informative (better than chance) in
+    # round 1: the all-negative stump exploits class imbalance
+    assert float(out["err"].iloc[0]) < 0.5
