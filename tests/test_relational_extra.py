@@ -3702,3 +3702,44 @@ def test_adaboost_serial_replay_and_reweight_identity():
     # errors are genuinely informative (better than chance) in
     # round 1: the all-negative stump exploits class imbalance
     assert float(out["err"].iloc[0]) < 0.5
+
+
+def test_perceptron_serial_replay_and_novikoff_convergence():
+    import re as _re
+    from jerex_ray.pipelines.queries import (_PERCEPTRON_MARKERS,
+                                             doc_perceptron)
+    out = doc_perceptron(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    wre = _re.compile(r"[a-zà-ÿ]+")
+    X = []
+    for t in docs["text"].fillna(""):
+        toks = wre.findall(t.lower())
+        X.append([toks.count(m) for m in _PERCEPTRON_MARKERS] + [1])
+    X = np.array(X, dtype=np.int64)
+    y = np.where(X[:, 0] > X[:, 1], 1, -1).astype(np.int64)
+    sample = docs["doc_id"].to_numpy() < 128
+    w = np.zeros(X.shape[1], dtype=np.int64)
+    mist = 0
+    for i in np.flatnonzero(sample):
+        pred = 1 if int(X[i] @ w) > 0 else -1
+        if pred != y[i]:
+            w += y[i] * X[i]
+            mist += 1
+    r = out.iloc[0]
+    got_w = [int(r[f"w_{m}"]) for m in _PERCEPTRON_MARKERS] \
+        + [int(r["w_bias"])]
+    assert got_w == w.tolist()
+    assert int(r["mistakes"]) == mist
+    # corpus accuracy census under the final w
+    pred = np.where(X @ w > 0, 1, -1)
+    assert int(r["n_correct"]) == int((pred == y).sum())
+    assert int(r["n_total"]) == len(y)
+    # the concept is separable with margin 1 by w* = (1,-1,0,0):
+    # Novikoff bound (R/gamma)^2 caps mistakes, R^2 = max ||x||^2
+    R2 = int((X[sample] ** 2).sum(axis=1).max())
+    w_star_norm2 = 2  # ||(1,-1,0,0)||^2
+    assert mist <= R2 * w_star_norm2
+    # at this sf the learner in fact separates the whole corpus
+    assert int(r["n_correct"]) == len(y)
