@@ -3743,3 +3743,77 @@ def test_perceptron_serial_replay_and_novikoff_convergence():
     assert mist <= R2 * w_star_norm2
     # at this sf the learner in fact separates the whole corpus
     assert int(r["n_correct"]) == len(y)
+
+
+def test_price_hull_convexity_and_bruteforce_parity():
+    from jerex_ray.pipelines.queries import q_lineitem_price_hull
+    out = q_lineitem_price_hull(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_quantity", "l_extendedprice"]) \
+        .to_pandas()
+    q = li["l_quantity"].to_numpy(np.float64).astype(np.int64)
+    c = np.floor(np.abs(li["l_extendedprice"]
+                        .to_numpy(np.float64)) * 100.0 + 0.5) \
+        .astype(np.int64)
+    grid = pd.DataFrame({"q": q, "y": c}).groupby("q")["y"].max()
+    pts = [(int(k), int(v)) for k, v in grid.items()]
+
+    def brute_upper_hull(points):
+        keep = []
+        for p in points:
+            above_all = True
+            for a in points:
+                for b in points:
+                    if a[0] < p[0] < b[0] and \
+                            (b[0] - a[0]) * p[1] <= \
+                            a[1] * (b[0] - p[0]) \
+                            + b[1] * (p[0] - a[0]):
+                        above_all = False
+                        break
+                if not above_all:
+                    break
+            if above_all:
+                keep.append(p)
+        return keep
+
+    exp = brute_upper_hull(pts)
+    got = [(int(r.q), int(r.y)) for r in out.itertuples()]
+    assert got == exp
+    # frontier invariants: endpoints kept, q strictly increasing,
+    # slopes strictly decreasing (strict concavity, no collinear)
+    assert got[0][0] == pts[0][0] and got[-1][0] == pts[-1][0]
+    qs = np.array([g[0] for g in got], dtype=np.int64)
+    ys = np.array([g[1] for g in got], dtype=np.int64)
+    assert (np.diff(qs) > 0).all()
+    if len(got) >= 3:
+        # cross-multiplied strict slope decrease
+        dq, dy = np.diff(qs), np.diff(ys)
+        assert (dy[:-1] * dq[1:] > dy[1:] * dq[:-1]).all()
+    # every grid point lies on or below every hull edge it spans
+    for (x1, y1), (x2, y2) in zip(got[:-1], got[1:]):
+        for (px, py) in pts:
+            if x1 <= px <= x2:
+                assert (x2 - x1) * py <= y1 * (x2 - px) \
+                    + y2 * (px - x1)
+    # chain parity on adversarial grids incl. collinear runs
+    rng = np.random.default_rng(7)
+    from jerex_ray.pipelines.queries import q_lineitem_price_hull \
+        as _unused  # noqa: F401
+    for trial in range(20):
+        xs = np.sort(rng.choice(np.arange(1, 30), size=10,
+                                replace=False))
+        ys_ = rng.integers(0, 50, size=10).astype(np.int64)
+        if trial % 3 == 0:
+            ys_[:] = 3 * xs + 1  # fully collinear
+        ppts = list(zip(xs.tolist(), ys_.tolist()))
+        hull = []
+        for p in ppts:
+            while len(hull) >= 2:
+                (a1, b1), (a2, b2) = hull[-2], hull[-1]
+                if (a2 - a1) * (p[1] - b1) \
+                        - (b2 - b1) * (p[0] - a1) >= 0:
+                    hull.pop()
+                else:
+                    break
+            hull.append(p)
+        assert hull == brute_upper_hull(ppts), (ppts, hull)
