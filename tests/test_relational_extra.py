@@ -3817,3 +3817,67 @@ def test_price_hull_convexity_and_bruteforce_parity():
                     break
             hull.append(p)
         assert hull == brute_upper_hull(ppts), (ppts, hull)
+
+
+def test_bridges_bruteforce_parity_and_cut_property():
+    from jerex_ray.pipelines.queries import (_repeat_copurchase_edges,
+                                             q_part_bridges)
+    out = q_part_bridges(SF)
+    edges = _repeat_copurchase_edges(SF, min_cocount=3).to_pandas()
+    E = sorted({(int(a), int(b))
+                for a, b in zip(edges["a"], edges["b"])})
+
+    nodes = sorted({v for e in E for v in e})
+
+    def components(es, ns=None):
+        ns = nodes if ns is None else ns
+        adj = {v: [] for v in ns}
+        for a, b in es:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        seen, comps = set(), 0
+        for s in adj:
+            if s in seen:
+                continue
+            comps += 1
+            stack = [s]
+            seen.add(s)
+            while stack:
+                u = stack.pop()
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+        return comps
+
+    base = components(E)
+    exp = sorted(e for e in E
+                 if components([x for x in E if x != e]) > base)
+    got = [(int(r.a), int(r.b)) for r in out.itertuples()]
+    assert got == exp
+    assert len(got) > 0  # the thresholded graph does have cut edges
+    # every bridge is an edge; no bridge lies on a cycle (its
+    # endpoints share no other path — component count rises by 1)
+    for e in got:
+        assert e in E
+        assert components([x for x in E if x != e]) == base + 1
+    # random planted graphs: chain of triangles joined by bridges
+    from jerex_ray.pipelines.queries import q_part_bridges as _  # noqa
+    rng = np.random.default_rng(3)
+    for _t in range(10):
+        k = int(rng.integers(2, 6))
+        es = []
+        for i in range(k):
+            b0 = 10 * i
+            es += [(b0, b0 + 1), (b0 + 1, b0 + 2), (b0, b0 + 2)]
+            if i:
+                es.append((10 * (i - 1), b0))  # the bridge
+        planted = sorted((min(a, b), max(a, b)) for a, b in es)
+        pn = sorted({v for e in planted for v in e})
+        base_p = components(planted, pn)
+        exp_p = sorted(e for e in planted
+                       if components([x for x in planted
+                                      if x != e], pn) > base_p)
+        # bridges of the chain-of-triangles = exactly the joiners
+        assert exp_p == sorted((10 * (i - 1), 10 * i)
+                               for i in range(1, k))
