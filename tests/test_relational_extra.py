@@ -3881,3 +3881,54 @@ def test_bridges_bruteforce_parity_and_cut_property():
         # bridges of the chain-of-triangles = exactly the joiners
         assert exp_p == sorted((10 * (i - 1), 10 * i)
                                for i in range(1, k))
+
+
+def test_articulation_bruteforce_parity_and_barbell():
+    from jerex_ray.pipelines.queries import (_repeat_copurchase_edges,
+                                             q_part_articulation)
+    out = q_part_articulation(SF)
+    edges = _repeat_copurchase_edges(SF, min_cocount=3).to_pandas()
+    E = sorted({(int(a), int(b))
+                for a, b in zip(edges["a"], edges["b"])})
+    nodes = sorted({v for e in E for v in e})
+
+    def comps(es, ns):
+        adj = {v: [] for v in ns}
+        for a, b in es:
+            adj[a].append(b)
+            adj[b].append(a)
+        seen, c = set(), 0
+        for s in adj:
+            if s in seen:
+                continue
+            c += 1
+            st = [s]
+            seen.add(s)
+            while st:
+                u = st.pop()
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        st.append(v)
+        return c
+
+    base = comps(E, nodes)
+    # removing v removes its own singleton contribution too: v is an
+    # articulation point iff the remaining graph has MORE components
+    # than base (v itself no longer counted)
+    exp = sorted(
+        v for v in nodes
+        if comps([e for e in E if v not in e],
+                 [u for u in nodes if u != v]) > base)
+    got = sorted(int(v) for v in out["node"])
+    assert got == exp
+    assert len(got) > 0
+    # barbell: two triangles joined through a middle vertex — the
+    # middle is the unique articulation point
+    bar = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    bn = sorted({v for e in bar for v in e})
+    bb = comps(bar, bn)
+    barts = sorted(v for v in bn
+                   if comps([e for e in bar if v not in e],
+                            [u for u in bn if u != v]) > bb)
+    assert barts == [3, 4]
