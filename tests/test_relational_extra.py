@@ -3932,3 +3932,53 @@ def test_articulation_bruteforce_parity_and_barbell():
                    if comps([e for e in bar if v not in e],
                             [u for u in bn if u != v]) > bb)
     assert barts == [3, 4]
+
+
+def test_attack_curve_monotonicity_and_serial_parity():
+    from jerex_ray.pipelines.queries import (_repeat_copurchase_edges,
+                                             q_part_attack_curve)
+    out = q_part_attack_curve(SF)
+    assert out["j"].tolist() == list(range(9))
+    # structural monotonicity: nodes/edges/giant never grow as hubs
+    # are removed; node count drops by exactly 1 per step
+    assert (np.diff(out["n_nodes"].to_numpy(np.int64)) == -1).all()
+    assert (np.diff(out["n_edges"].to_numpy(np.int64)) <= 0).all()
+    assert (np.diff(out["giant"].to_numpy(np.int64)) <= 0).all()
+    # serial replay with an independent degree-rank + BFS census
+    edges = _repeat_copurchase_edges(SF, min_cocount=3).to_pandas()
+    E = sorted({(int(a), int(b))
+                for a, b in zip(edges["a"], edges["b"])})
+    deg = {}
+    for a, b in E:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    rank = sorted(deg, key=lambda v: (-deg[v], v))
+    for r in out.itertuples():
+        removed = set(rank[:int(r.j)])
+        ns = [v for v in deg if v not in removed]
+        es = [e for e in E if not (set(e) & removed)]
+        assert int(r.n_nodes) == len(ns)
+        assert int(r.n_edges) == len(es)
+        adj = {v: [] for v in ns}
+        for a, b in es:
+            adj[a].append(b)
+            adj[b].append(a)
+        seen, nc, gi = set(), 0, 0
+        for s in ns:
+            if s in seen:
+                continue
+            nc += 1
+            sz, st = 0, [s]
+            seen.add(s)
+            while st:
+                u = st.pop()
+                sz += 1
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        st.append(v)
+            gi = max(gi, sz)
+        assert (int(r.n_components), int(r.giant)) == (nc, gi)
+    # the targeted attack genuinely fragments: giant shrinks by
+    # more than the 8 removed nodes alone would account for
+    assert int(out["giant"].iloc[-1]) < int(out["giant"].iloc[0]) - 8
