@@ -3982,3 +3982,26 @@ def test_attack_curve_monotonicity_and_serial_parity():
     # the targeted attack genuinely fragments: giant shrinks by
     # more than the 8 removed nodes alone would account for
     assert int(out["giant"].iloc[-1]) < int(out["giant"].iloc[0]) - 8
+
+
+def test_periodogram_parseval_and_fft_parity():
+    from jerex_ray.pipelines.queries import q_events_periodogram
+    out = q_events_periodogram(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts"]).to_pandas()
+    us = ev["ts"].astype("datetime64[us]").astype("int64") \
+        .to_numpy()
+    y = np.bincount(((us // 3_600_000_000) % 24).astype(np.int64),
+                    minlength=24).astype(np.float64)
+    # numpy FFT is an independent implementation of the same DFT
+    F = np.fft.fft(y)
+    for r in out.itertuples():
+        k = int(r.k)
+        # engine convention has +sin; numpy fft uses e^{-i...}
+        assert abs(float(r.c_k) - F[k].real) < 1e-4
+        assert abs(float(r.s_k) + F[k].imag) < 1e-4
+        assert abs(float(r.power) - abs(F[k]) ** 2) < 1e-2
+    # power is nonnegative and bounded by the Parseval total
+    tot = float((np.abs(F) ** 2).sum())
+    p = out["power"].to_numpy(np.float64)
+    assert (p >= 0).all() and (p <= tot + 1e-6).all()
