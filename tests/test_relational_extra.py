@@ -4005,3 +4005,43 @@ def test_periodogram_parseval_and_fft_parity():
     tot = float((np.abs(F) ** 2).sum())
     p = out["power"].to_numpy(np.float64)
     assert (p >= 0).all() and (p <= tot + 1e-6).all()
+
+
+def test_mannwhitney_serial_rank_parity_and_identities():
+    import hashlib
+    import math
+    from jerex_ray.pipelines.queries import q_events_mannwhitney
+    out = q_events_mannwhitney(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "value"]).to_pandas()
+    v = ev["value"].to_numpy(np.float64)
+    cents = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v) \
+        .astype(np.int64)
+    arm = ev["user_id"].map(lambda u: int.from_bytes(
+        hashlib.md5(f"ab|{u}".encode()).digest()[:8],
+        "big") % 2).to_numpy()
+    # serial average-rank computation (independent of the grid walk):
+    # rank of x = (#less) + (#equal + 1)/2, doubled to stay integer
+    order = np.sort(cents)
+    less = np.searchsorted(order, cents, side="left")
+    leq = np.searchsorted(order, cents, side="right")
+    dr = less + leq + 1                      # 2*avg_rank, exact int
+    n1, n0 = int((arm == 1).sum()), int((arm == 0).sum())
+    r1_x2 = int(dr[arm == 1].sum())
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    assert int(out["n0"]) == n0 and int(out["n1"]) == n1
+    assert int(out["u1_x2"]) == u1_x2
+    # U1 + U2 = n0*n1 (doubled: 2*n0*n1), so u2 is determined
+    u2_x2 = 2 * n0 * n1 - u1_x2
+    assert 0 <= u1_x2 <= 2 * n0 * n1 and 0 <= u2_x2
+    # tie term equals the direct per-value census
+    _, tcounts = np.unique(cents, return_counts=True)
+    tie = int(sum(int(t) ** 3 - int(t) for t in tcounts))
+    assert int(out["tie_term"]) == tie
+    n = n0 + n1
+    z = ((u1_x2 / 2.0 - (n1 * n0) / 2.0)
+         / math.sqrt((n1 * n0) / 12.0
+                     * ((n + 1) - tie / (n * (n - 1.0)))))
+    assert abs(float(out["z"]) - z) < 1e-6
+    # the md5 arms are a null split of one stream: |z| can't be huge
+    assert abs(float(out["z"])) < 6.0
