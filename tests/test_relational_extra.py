@@ -4045,3 +4045,32 @@ def test_mannwhitney_serial_rank_parity_and_identities():
     assert abs(float(out["z"]) - z) < 1e-6
     # the md5 arms are a null split of one stream: |z| can't be huge
     assert abs(float(out["z"])) < 6.0
+
+
+def test_spearman_equals_pearson_on_ranks_and_bounds():
+    from jerex_ray.pipelines.queries import q_events_spearman
+    out = q_events_spearman(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    h = (ev["ts"].astype("datetime64[us]").astype("int64")
+         // 3_600_000_000).to_numpy()
+    v = ev["value"].to_numpy(np.float64)
+    cents = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v) \
+        .astype(np.int64)
+    h0 = int(h.min())
+    T = int(h.max()) - h0 + 1
+    x = np.bincount(h - h0, minlength=T).astype(np.int64)
+    y = np.bincount(h - h0, weights=cents.astype(np.float64),
+                    minlength=T).astype(np.int64)
+    # independent implementation: pandas average ranks + corrcoef
+    rx = pd.Series(x).rank(method="average").to_numpy()
+    ry = pd.Series(y).rank(method="average").to_numpy()
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert abs(float(out["rho"]) - rho) < 1e-6
+    assert -1.0 <= float(out["rho"]) <= 1.0
+    assert int(out["n"]) == T
+    # exact-integer identity: num/sqrt(dx*dy) reproduces rho
+    import math
+    num, dx, dy = int(out["num"]), int(out["den_x"]), int(out["den_y"])
+    assert dx > 0 and dy > 0
+    assert abs(num / math.sqrt(float(dx) * dy) - rho) < 1e-9
