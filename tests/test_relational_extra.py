@@ -4074,3 +4074,42 @@ def test_spearman_equals_pearson_on_ranks_and_bounds():
     num, dx, dy = int(out["num"]), int(out["den_x"]), int(out["den_y"])
     assert dx > 0 and dy > 0
     assert abs(num / math.sqrt(float(dx) * dy) - rho) < 1e-9
+
+
+def test_kruskal_serial_parity_and_mannwhitney_consistency():
+    import hashlib
+    from jerex_ray.pipelines.queries import q_events_kruskal
+    out = q_events_kruskal(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "value"]).to_pandas()
+    v = ev["value"].to_numpy(np.float64)
+    cents = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v) \
+        .astype(np.int64)
+    arm = ev["user_id"].map(lambda u: int.from_bytes(
+        hashlib.md5(f"arm4|{u}".encode()).digest()[:8],
+        "big") % 4).to_numpy()
+    # independent average ranks (1-based) and the H formula
+    r = pd.Series(cents).rank(method="average").to_numpy()
+    n = len(cents)
+    ngs, rgs = [], []
+    inner = 0.0
+    for a in range(4):
+        m = arm == a
+        ngs.append(int(m.sum()))
+        rgs.append(float(r[m].sum()))
+        inner += rgs[-1] ** 2 / ngs[-1]
+    h = 12.0 / (n * (n + 1)) * inner - 3 * (n + 1)
+    _, tc = np.unique(cents, return_counts=True)
+    tie = float(sum(int(t) ** 3 - int(t) for t in tc))
+    hc = h / (1.0 - tie / (n ** 3 - n))
+    assert int(out["n"]) == n
+    for a in range(4):
+        assert int(out[f"n{a}"]) == ngs[a]
+        assert abs(int(out[f"r{a}_x2"]) / 2.0 - rgs[a]) < 1e-9
+    assert abs(float(out["h"]) - h) < 1e-6
+    assert abs(float(out["h_c"]) - hc) < 1e-6
+    # rank sums partition the total: sum R_g = n(n+1)/2
+    assert sum(int(out[f"r{a}_x2"]) for a in range(4)) \
+        == n * (n + 1)
+    # null md5 split: H_c should not be astronomically large
+    assert 0.0 <= float(out["h_c"]) < 30.0
