@@ -4113,3 +4113,28 @@ def test_kruskal_serial_parity_and_mannwhitney_consistency():
         == n * (n + 1)
     # null md5 split: H_c should not be astronomically large
     assert 0.0 <= float(out["h_c"]) < 30.0
+
+
+def test_hodges_lehmann_brute_force_and_robustness_bounds():
+    from jerex_ray.pipelines.queries import q_events_hodges_lehmann
+    out = q_events_hodges_lehmann(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts"]).to_pandas()
+    h = (ev["ts"].astype("datetime64[us]").astype("int64")
+         // 3_600_000_000).to_numpy()
+    h0 = int(h.min())
+    T = int(h.max()) - h0 + 1
+    x = np.bincount(h - h0, minlength=T).astype(np.int64)
+    # brute-force Walsh averages (python loop, independent impl)
+    walsh = sorted((int(x[i]) + int(x[j]))
+                   for i in range(T) for j in range(i, T))
+    m = len(walsh)
+    assert int(out["m"]) == m == T * (T + 1) // 2
+    assert int(out["w_lo"]) == walsh[(m - 1) // 2]
+    assert int(out["w_hi"]) == walsh[m // 2]
+    hl = (walsh[(m - 1) // 2] + walsh[m // 2]) / 4.0
+    assert abs(float(out["hl"]) - hl) < 1e-9
+    # the HL estimate lies between min and max of the series
+    assert x.min() <= hl <= x.max()
+    # and between the two middle order statistics' halves
+    assert out["w_lo"] <= out["w_hi"]
