@@ -4138,3 +4138,30 @@ def test_hodges_lehmann_brute_force_and_robustness_bounds():
     assert x.min() <= hl <= x.max()
     # and between the two middle order statistics' halves
     assert out["w_lo"] <= out["w_hi"]
+
+
+def test_yule_walker_matches_float_autocovariance_solve():
+    from jerex_ray.pipelines.queries import q_events_yule_walker
+    out = q_events_yule_walker(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts"]).to_pandas()
+    h = (ev["ts"].astype("datetime64[us]").astype("int64")
+         // 3_600_000_000).to_numpy()
+    h0 = int(h.min())
+    T = int(h.max()) - h0 + 1
+    x = np.bincount(h - h0, minlength=T).astype(np.float64)
+    # independent float implementation: biased autocovariances +
+    # 2x2 linear solve
+    xc = x - x.mean()
+    c = [float((xc[:T - k] * xc[k:]).sum()) / T for k in range(3)]
+    phi = np.linalg.solve([[c[0], c[1]], [c[1], c[0]]],
+                          [c[1], c[2]])
+    assert abs(float(out["phi1"]) - phi[0]) < 1e-5
+    assert abs(float(out["phi2"]) - phi[1]) < 1e-5
+    # exact-integer identity: A_k = T^3 * c_k (scaled lag products)
+    for k, name in enumerate(["a0", "a1", "a2"]):
+        assert abs(int(out[name]) - T ** 2 * c[k] * T) < 1e-3 * abs(
+            int(out[name]) or 1)
+    # stationarity of the fitted model on real count data
+    p1, p2 = float(out["phi1"]), float(out["phi2"])
+    assert abs(p2) < 1.0 and p2 + p1 < 1.0 and p2 - p1 < 1.0
