@@ -423,3 +423,35 @@ def test_principal_direction_serial_parity_and_rayleigh():
     r_final = rayleigh(w)
     assert r_final > r_prev
     assert r_final >= 0.9 * lam_max, (r_final, lam_max)
+
+
+def test_cka_matches_float_reference_and_self_similarity():
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import emb_cka
+    SF = "/root/testdata/sf0.001"
+    out = emb_cka(SF).iloc[0]
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["embedding"]).to_pandas()
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    Q = np.copysign(np.floor(np.abs(M) * 1000.0 + 0.5), M)
+    d = Q.shape[1]
+    X, Y = Q[:, :d // 2], Q[:, d // 2:]
+
+    def cka(a, b):
+        ac = a - a.mean(axis=0)
+        bc = b - b.mean(axis=0)
+        num = np.linalg.norm(ac.T @ bc, "fro") ** 2
+        return num / (np.linalg.norm(ac.T @ ac, "fro")
+                      * np.linalg.norm(bc.T @ bc, "fro"))
+
+    ref = cka(X, Y)
+    assert abs(float(out["cka"]) - ref) < 1e-6
+    assert 0.0 <= float(out["cka"]) <= 1.0
+    # self-similarity sanity of the reference implementation the
+    # engine is checked against: CKA(X, X) = 1 exactly
+    assert abs(cka(X, X) - 1.0) < 1e-12
+    # the exact-integer Frobenius blocks reproduce the ratio
+    import math
+    a, b, c = (float(out["a_frob"]), float(out["b_frob"]),
+               float(out["c_frob"]))
+    assert abs(a / math.sqrt(b * c) - ref) < 1e-9
