@@ -339,3 +339,67 @@ def procrustes_align(pairs_ds, *, x_col: str = "x", y_col: str = "y"):
     residual = float(parts["ssx"].sum() + parts["ssy"].sum()
                      - 2.0 * s.sum())
     return r, residual, n
+
+
+def closest_pair_sq(emb_ds, *, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> pd.DataFrame:
+    """EXACT closest pair of the embedding cloud under squared
+    Euclidean distance on the 3-decimal mirror-rounded integer grid
+    (the ``emb_kcenter`` quantization) — the all-pairs-similarity
+    certificate: every distance is an EXACT int64, so the
+    (dist, vec_a, vec_b) argmin carries zero float hazard.
+
+    Dataflow: the quantized matrix is broadcast ONCE (``ray.put``,
+    the ann/brute-force contract); each block matmuls its rows
+    against the columns with larger vec_id (id-ordered half-matrix,
+    no duplicate pairs) and emits ONE per-block champion row; the
+    driver reduces the #blocks-bounded partials under the same
+    lexicographic rule. Exact closest pair is inherently all-pairs
+    O(N²/2) compares — at corpus scale run it on LSH/semdedup
+    candidate buckets (the scale path this repo ships); this is the
+    exact small-side primitive those pipelines are verified against.
+    """
+    import ray
+
+    full = emb_ds.to_pandas()
+    if len(full) < 2:
+        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                             "vec_b": pd.Series(dtype="int64"),
+                             "dist_sq": pd.Series(dtype="int64")})
+    ids = full[id_col].to_numpy(np.int64)
+    m = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    q = np.copysign(np.floor(np.abs(m) * 1000.0 + 0.5), m) \
+        .astype(np.int64)
+    ref = ray.put((ids, q))
+
+    def block(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64"),
+                              "dist_sq": pd.Series(dtype="int64")})
+        if batch.empty:
+            return empty
+        ids_all, q_all = ray.get(ref)
+        mb = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        qb = np.copysign(np.floor(np.abs(mb) * 1000.0 + 0.5), mb) \
+            .astype(np.int64)
+        idb = batch[id_col].to_numpy(np.int64)
+        aa = (qb * qb).sum(axis=1)[:, None]
+        bb = (q_all * q_all).sum(axis=1)[None, :]
+        d2 = aa + bb - 2 * (qb @ q_all.T)
+        mask = idb[:, None] < ids_all[None, :]
+        if not mask.any():
+            return empty
+        d2m = np.where(mask, d2, np.iinfo(np.int64).max)
+        md = int(d2m.min())
+        ii, jj = np.nonzero(d2m == md)
+        va, vb = min(zip(idb[ii].tolist(), ids_all[jj].tolist()))
+        return pd.DataFrame({"vec_a": np.array([va], dtype=np.int64),
+                             "vec_b": np.array([vb], dtype=np.int64),
+                             "dist_sq": np.array([md],
+                                                 dtype=np.int64)})
+
+    parts = emb_ds.map_batches(block, batch_format="pandas",
+                               batch_size=4096).to_pandas()
+    best = parts.sort_values(["dist_sq", "vec_a", "vec_b"]) \
+        .reset_index(drop=True).iloc[[0]]
+    return best[["vec_a", "vec_b", "dist_sq"]].reset_index(drop=True)

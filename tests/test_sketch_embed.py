@@ -455,3 +455,41 @@ def test_cka_matches_float_reference_and_self_similarity():
     a, b, c = (float(out["a_frob"]), float(out["b_frob"]),
                float(out["c_frob"]))
     assert abs(a / math.sqrt(b * c) - ref) < 1e-9
+
+
+def test_closest_pair_brute_force_and_planted_pair():
+    import ray.data as rd
+    from jerex_ray.ops.embed import closest_pair_sq
+
+    # brute force parity on random cloud
+    pts = RNG.normal(size=(80, 8)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(80, dtype=np.int64),
+        "embedding": list(pts)}))
+    out = closest_pair_sq(ds)
+    q = np.copysign(np.floor(np.abs(pts.astype(np.float64))
+                             * 1000.0 + 0.5), pts).astype(np.int64)
+    best = None
+    for i in range(80):
+        for j in range(i + 1, 80):
+            d = int(((q[i] - q[j]) ** 2).sum())
+            cand = (d, i, j)
+            best = cand if best is None or cand < best else best
+    assert (int(out["dist_sq"].iloc[0]), int(out["vec_a"].iloc[0]),
+            int(out["vec_b"].iloc[0])) == best
+
+    # planted near-identical pair must win
+    pts2 = RNG.normal(size=(60, 8)).astype(np.float32) * 10
+    pts2[41] = pts2[7] + 1e-4
+    ds2 = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(60, dtype=np.int64),
+        "embedding": list(pts2)}))
+    out2 = closest_pair_sq(ds2)
+    assert (int(out2["vec_a"].iloc[0]),
+            int(out2["vec_b"].iloc[0])) == (7, 41)
+
+    # degenerate inputs: <2 rows → empty result
+    ds1 = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.array([0], dtype=np.int64),
+        "embedding": [pts[0]]}))
+    assert len(closest_pair_sq(ds1)) == 0
