@@ -4165,3 +4165,53 @@ def test_yule_walker_matches_float_autocovariance_solve():
     # stationarity of the fitted model on real count data
     p1, p2 = float(out["phi1"]), float(out["phi2"])
     assert abs(p2) < 1.0 and p2 + p1 < 1.0 and p2 - p1 < 1.0
+
+
+def test_bleu_pair_crafted_overlap_and_clipping(tmp_path):
+    import math
+    import pyarrow as pa
+    from jerex_ray.pipelines.queries import doc_bleu_pair
+    # ref (longest): 12 tokens; cand (2nd): 10 tokens sharing a
+    # 6-token run; filler doc must be ignored by the top-2 pick
+    ref = "the cat sat on the mat and then ran far away quickly"
+    cand = "a dog sat on the mat and then ran home"
+    filler = "short doc"
+    pa.parquet.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": [ref, cand, filler],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": pa.array([len(ref), len(cand), len(filler)],
+                            type=pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    out = doc_bleu_pair(str(tmp_path)).iloc[0]
+    assert (int(out["doc_ref"]), int(out["doc_cand"])) == (1, 2)
+    a, b = ref.split(), cand.split()
+
+    # independent clipping implementation: decrement a mutable copy
+    def clipped(n):
+        from collections import Counter
+        pool = Counter(tuple(a[i:i + n]) for i in range(len(a) - n + 1))
+        m = 0
+        for i in range(len(b) - n + 1):
+            g = tuple(b[i:i + n])
+            if pool[g] > 0:
+                pool[g] -= 1
+                m += 1
+        return m
+
+    ms = [clipped(n) for n in range(1, 5)]
+    for n in range(4):
+        assert int(out[f"m{n + 1}"]) == ms[n]
+    ps = [ms[n] / (len(b) - n) for n in range(4)]
+    bp = math.exp(1 - len(a) / len(b))
+    bleu = bp * math.exp(sum(math.log(p) for p in ps) / 4)
+    assert abs(float(out["bleu"]) - bleu) < 1e-6
+    assert 0.0 < float(out["bleu"]) < 1.0
+    # identical docs give BLEU exactly 1 (BP = 1, all p_n = 1)
+    pa.parquet.write_table(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": [ref, ref], "lang": ["en"] * 2, "source": ["s"] * 2,
+        "n_chars": pa.array([len(ref)] * 2, type=pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    out2 = doc_bleu_pair(str(tmp_path)).iloc[0]
+    assert float(out2["bleu"]) == 1.0
