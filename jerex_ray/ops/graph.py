@@ -2037,3 +2037,35 @@ def scc_condensation(nodes, edges) -> pd.DataFrame:
         "layer": np.array([layer[scc_of[t]] for t in nodes],
                           dtype=np.int64),
     }).sort_values("node").reset_index(drop=True)
+
+
+def greedy_coloring(edges: pd.DataFrame, *, src: str = "a",
+                    dst: str = "b") -> pd.DataFrame:
+    """Greedy sequential graph coloring in Welsh–Powell order
+    (Welsh & Powell '67): nodes ranked (degree DESC, node ASC), each
+    assigned the smallest color absent from its already-colored
+    neighbors (mex). Guarantees ≤ Δ+1 colors; fully deterministic —
+    pure integer structure, zero arithmetic, so a per-step SQL
+    recursion replays every pick. Runs on a DRIVER-SIDE edge frame
+    (the thresholded/metadata-sized graph contract of the
+    bridges/articulation audits); corpus-scale graphs take the
+    BSP/Luby-MIS family instead."""
+    if edges.empty:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "color": pd.Series(dtype="int64")})
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(edges[src], edges[dst]):
+        a, b = int(a), int(b)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    order = sorted(adj, key=lambda v: (-len(adj[v]), v))
+    color: dict[int, int] = {}
+    for v in order:
+        used = {color[u] for u in adj[v] if u in color}
+        c = 0
+        while c in used:
+            c += 1
+        color[v] = c
+    out = pd.DataFrame(sorted(color.items()),
+                       columns=["node", "color"])
+    return out.astype({"node": "int64", "color": "int64"})

@@ -4215,3 +4215,40 @@ def test_bleu_pair_crafted_overlap_and_clipping(tmp_path):
         str(tmp_path / "documents.parquet"))
     out2 = doc_bleu_pair(str(tmp_path)).iloc[0]
     assert float(out2["bleu"]) == 1.0
+
+
+def test_greedy_coloring_proper_bounds_and_fixtures():
+    from jerex_ray.ops.graph import greedy_coloring
+    from jerex_ray.pipelines.queries import (_repeat_copurchase_edges,
+                                             q_part_coloring)
+
+    # real graph: proper coloring, every node colored, <= maxdeg+1
+    out = q_part_coloring(SF, min_cocount=2)
+    edges = _repeat_copurchase_edges(SF, min_cocount=2).to_pandas()
+    col = dict(zip(out["node"], out["color"]))
+    deg = {}
+    for a, b in zip(edges["a"], edges["b"]):
+        assert col[int(a)] != col[int(b)]          # proper
+        deg[int(a)] = deg.get(int(a), 0) + 1
+        deg[int(b)] = deg.get(int(b), 0) + 1
+    assert set(col) == set(deg)                     # full cover
+    assert int(out["color"].max()) <= max(deg.values())  # <= Δ+1-1
+
+    # K5 clique needs exactly 5 colors
+    k5 = pd.DataFrame([(i, j) for i in range(5)
+                       for j in range(i + 1, 5)], columns=["a", "b"])
+    c5 = greedy_coloring(k5)
+    assert sorted(c5["color"]) == [0, 1, 2, 3, 4]
+
+    # odd cycle C5: greedy in Welsh-Powell order uses <= 3 colors
+    # and cannot 2-color it
+    c = pd.DataFrame([(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)],
+                     columns=["a", "b"])
+    cc = greedy_coloring(c)
+    m = dict(zip(cc["node"], cc["color"]))
+    for a, b in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]:
+        assert m[a] != m[b]
+    assert int(cc["color"].max()) == 2              # χ(C5) = 3
+
+    # empty graph → empty frame
+    assert len(greedy_coloring(pd.DataFrame(columns=["a", "b"]))) == 0
