@@ -73,3 +73,63 @@ def test_duplicate_ratio():
     assert out.loc[0, "covered"] == 8 and out.loc[0, "n_words"] == 10
     assert abs(out.loc[0, "dup_ratio"] - 0.8) < 1e-9
     assert out.loc[2, "covered"] == 0 and out.loc[2, "dup_ratio"] == 0.0
+
+
+def test_lz78_classic_fixture_and_bounds(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from jerex_ray.pipelines.queries import doc_lz78
+
+    # Classic LZ78 example: 'aaabbabaabaaabab' parses as
+    # a|aa|b|ba|baa|baaa|bab -> wait, replay the rule by hand below.
+    def lz78(t):
+        d, cur, cnt = set(), "", 0
+        for ch in t:
+            cand = cur + ch
+            if cand in d:
+                cur = cand
+            else:
+                d.add(cand)
+                cnt += 1
+                cur = ""
+        return cnt + (1 if cur else 0), cnt
+
+    cases = {
+        1: "aaabbabaabaaabab",
+        2: "abababababababab",        # highly repetitive -> few
+        3: "abcdefghijklmnop",        # all distinct -> n phrases
+    }
+    rows = {"doc_id": [], "text": [], "lang": [], "source": [],
+            "n_chars": []}
+    for i, t in cases.items():
+        rows["doc_id"].append(i)
+        rows["text"].append(t)
+        rows["lang"].append("en")
+        rows["source"].append("s")
+        rows["n_chars"].append(len(t))
+    # make doc 1 the longest so the pick lands on it
+    rows["text"][0] = cases[1] * 4
+    rows["n_chars"][0] = len(rows["text"][0])
+    pq_.write_table(pa.table({
+        "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+        "text": rows["text"], "lang": rows["lang"],
+        "source": rows["source"],
+        "n_chars": pa.array(rows["n_chars"], type=pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    out = doc_lz78(str(tmp_path)).iloc[0]
+    t = rows["text"][0]
+    want_total, want_complete = lz78(t)
+    assert int(out["doc_id"]) == 1
+    assert int(out["n_chars"]) == len(t)
+    assert int(out["n_complete"]) == want_complete
+    assert int(out["n_phrases"]) == want_total
+    # complexity bounds: every phrase distinct and nonempty means
+    # sum of lengths = n with all-distinct lengths possible ->
+    # phrases <= n, and >= ceil(sqrt(2n)) - 1 loose lower bound
+    n = len(t)
+    assert want_total <= n
+    assert want_total >= int((2 * n) ** 0.5) - 1
+    # repetitive beats all-distinct in phrase count at equal length
+    r_total, _ = lz78("ab" * 8)
+    d_total, _ = lz78("abcdefghijklmnop")
+    assert r_total < d_total
