@@ -4252,3 +4252,30 @@ def test_greedy_coloring_proper_bounds_and_fixtures():
 
     # empty graph → empty frame
     assert len(greedy_coloring(pd.DataFrame(columns=["a", "b"]))) == 0
+
+
+def test_theil_indices_serial_parity_and_inequality_axioms():
+    import math
+    from jerex_ray.pipelines.queries import doc_theil_inequality
+    out = doc_theil_inequality(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "n_chars"]).to_pandas()
+    docs = docs[docs["n_chars"] > 0]
+    for r in out.itertuples():
+        x = docs.loc[docs["source"] == r.source, "n_chars"] \
+            .to_numpy(np.float64)
+        mu = x.mean()
+        # direct definitional forms (independent of the closed form)
+        t_ref = float(np.mean((x / mu) * np.log(x / mu)))
+        l_ref = float(np.mean(np.log(mu / x)))
+        assert abs(float(r.theil_t) - t_ref) < 1e-6
+        assert abs(float(r.theil_l) - l_ref) < 1e-6
+        # nonnegativity (Jensen) and the T=L=0 iff equal distribution
+        assert float(r.theil_t) >= -1e-9
+        assert float(r.theil_l) >= -1e-9
+        assert int(r.n_docs) == len(x)
+        assert int(r.total_chars) == int(x.sum())
+    # axiom: a perfectly equal synthetic source has T = L = 0
+    eq = np.full(10, 100.0)
+    mu = eq.mean()
+    assert abs(np.mean((eq / mu) * np.log(eq / mu))) < 1e-12
