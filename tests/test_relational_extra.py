@@ -4279,3 +4279,34 @@ def test_theil_indices_serial_parity_and_inequality_axioms():
     eq = np.full(10, 100.0)
     mu = eq.mean()
     assert abs(np.mean((eq / mu) * np.log(eq / mu))) < 1e-12
+
+
+def test_sax_serial_parity_and_symbol_semantics():
+    from jerex_ray.pipelines.queries import q_events_sax
+    W = 16
+    out = q_events_sax(SF, word=W)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts"]).to_pandas()
+    h = (ev["ts"].astype("datetime64[us]").astype("int64")
+         // 3_600_000_000).to_numpy()
+    h0 = int(h.min())
+    T = int(h.max()) - h0 + 1
+    x = np.bincount(h - h0, minlength=T).astype(np.int64)
+    srt = np.sort(x)
+    b = [int(srt[T // 4]), int(srt[T // 2]), int(srt[3 * T // 4])]
+    assert len(out) == W
+    # segments partition the grid and sums conserve the total
+    assert int(out["seg_len"].sum()) == T
+    assert int(out["seg_sum"].sum()) == int(x.sum())
+    for r in out.itertuples():
+        lo = [i for i in range(T) if (i * W) // T == r.seg]
+        assert int(r.seg_len) == len(lo)
+        assert int(r.seg_sum) == int(x[lo].sum())
+        mean = r.seg_sum / r.seg_len
+        # symbol counts breakpoints strictly below the PAA mean
+        want = sum(1 for bp in b if mean > bp)
+        assert int(r.symbol) == want
+        assert 0 <= int(r.symbol) <= 3
+    # breakpoints are the exact order statistics
+    assert [int(out["b1"].iloc[0]), int(out["b2"].iloc[0]),
+            int(out["b3"].iloc[0])] == b
