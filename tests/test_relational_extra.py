@@ -4310,3 +4310,35 @@ def test_sax_serial_parity_and_symbol_semantics():
     # breakpoints are the exact order statistics
     assert [int(out["b1"].iloc[0]), int(out["b2"].iloc[0]),
             int(out["b3"].iloc[0])] == b
+
+
+def test_kalman_serial_replay_and_steady_state():
+    from jerex_ray.pipelines.queries import q_events_kalman
+    Q, R = 1.0, 4.0
+    out = q_events_kalman(SF, q_var=Q, r_var=R).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts"]).to_pandas()
+    h = (ev["ts"].astype("datetime64[us]").astype("int64")
+         // 3_600_000_000).to_numpy()
+    h0 = int(h.min())
+    T = int(h.max()) - h0 + 1
+    y = np.bincount(h - h0, minlength=T).astype(np.float64)
+    x, p, sse, k = y[0], 1.0, 0.0, 0.0
+    for t in range(1, T):
+        k = (p + Q) / ((p + Q) + R)
+        sse = sse + (y[t] - x) ** 2
+        x = x + k * (y[t] - x)
+        p = (1.0 - k) * (p + Q)
+    assert int(out["t"]) == T
+    assert abs(float(out["level"]) - x) < 1e-6
+    assert abs(float(out["p_cov"]) - p) < 1e-6
+    assert abs(float(out["gain"]) - k) < 1e-6
+    assert abs(float(out["sse"]) - sse) < 1e-4
+    # steady-state gain of the local-level model solves
+    # k* = (k*R + Q)/(k*R + Q + R) -> P* = (Q + sqrt(Q^2+4QR))/2
+    import math
+    p_star = (Q + math.sqrt(Q * Q + 4 * Q * R)) / 2.0
+    k_star = p_star / (p_star + R)
+    assert abs(float(out["gain"]) - k_star) < 1e-3   # converged
+    # the filtered level lies inside the data range
+    assert y.min() <= float(out["level"]) <= y.max()
