@@ -4342,3 +4342,49 @@ def test_kalman_serial_replay_and_steady_state():
     assert abs(float(out["gain"]) - k_star) < 1e-3   # converged
     # the filtered level lies inside the data range
     assert y.min() <= float(out["level"]) <= y.max()
+
+
+def test_winnow_serial_replay_mistake_bound_and_separation():
+    import math
+    import re
+    from jerex_ray.pipelines.queries import _WINNOW_MARKERS, doc_winnow
+    out = doc_winnow(SF, sample_max_id=128, theta=5.0).iloc[0]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id")
+    word_re = re.compile(r"[a-zà-ÿ]+")
+    d = len(_WINNOW_MARKERS)
+
+    def featrow(text):
+        s = set(word_re.findall(str(text).lower()))
+        x = [1 if m in s else 0 for m in _WINNOW_MARKERS]
+        return x, (1 if x[0] + x[1] > 0 else -1)
+
+    w = [1.0] * d
+    mistakes = 0
+    for r in docs[docs["doc_id"] < 128].itertuples():
+        x, y = featrow(r.text)
+        score = sum(w[j] * x[j] for j in range(d))
+        pred = 1 if score > 5.0 else -1
+        if pred != y:
+            mistakes += 1
+            for j in range(d):
+                if x[j]:
+                    w[j] = w[j] * 2.0 if y == 1 else w[j] / 2.0
+    for j, m in enumerate(_WINNOW_MARKERS):
+        assert float(out[f"w_{m}"]) == w[j]
+        # every weight is an exact power of two
+        assert math.log2(w[j]) == int(math.log2(w[j]))
+    assert int(out["mistakes"]) == mistakes
+    # Littlestone's bound for a k-literal monotone disjunction over
+    # n attributes (Winnow2, theta = n): O(k log n) — loose check
+    k, n = 2, d
+    assert mistakes <= 3 * k * (math.log2(n) + 1) + 2
+    # the learned weights separate the whole corpus
+    ok = 0
+    for r in docs.itertuples():
+        x, y = featrow(r.text)
+        pred = 1 if sum(w[j] * x[j] for j in range(d)) > 5.0 else -1
+        ok += pred == y
+    assert int(out["n_correct"]) == ok
+    assert int(out["n_total"]) == len(docs)
