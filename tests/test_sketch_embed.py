@@ -493,3 +493,40 @@ def test_closest_pair_brute_force_and_planted_pair():
         "vec_id": np.array([0], dtype=np.int64),
         "embedding": [pts[0]]}))
     assert len(closest_pair_sq(ds1)) == 0
+
+
+def test_jl_distortion_serial_parity_and_concentration():
+    import hashlib
+    import pyarrow.parquet as pq
+    from jerex_ray.pipelines.queries import emb_jl_distortion
+    SF = "/root/testdata/sf0.001"
+    K = 8
+    out = emb_jl_distortion(SF, k=K)
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    Q = np.copysign(np.floor(np.abs(M) * 1000.0 + 0.5), M) \
+        .astype(np.int64)
+    d = Q.shape[1]
+    signs = np.array([[1 if int.from_bytes(hashlib.md5(
+        f"jl|{i}|{j}".encode()).digest()[:8], "big") % 2 == 0
+        else -1 for j in range(K)] for i in range(d)],
+        dtype=np.int64)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    for r in out.itertuples():
+        a, b = idx[int(r.vec_a)], idx[int(r.vec_b)]
+        diff = Q[a] - Q[b]
+        d2o = int((diff * diff).sum())
+        z = diff @ signs
+        d2p = int((z * z).sum())
+        assert int(r.d2_orig) == d2o and int(r.d2_proj) == d2p
+        assert abs(float(r.jl_ratio) - d2p / (K * d2o)) < 1e-6
+    # JL concentration: the mean ratio over pairs is near 1 and no
+    # ratio is wildly off (k=8 gives heavy but bounded tails)
+    ratios = out["jl_ratio"].to_numpy(np.float64)
+    assert 0.7 < ratios.mean() < 1.3
+    assert (ratios > 0.02).all() and (ratios < 6.0).all()
+    # pairing covers consecutive ids only
+    assert ((out["vec_b"] - out["vec_a"]) == 1).all()
