@@ -94,3 +94,92 @@ def best_stump_split(ds, *, feature: str, label_fn,
         "n_right": [np.int64(nr[best])],
         "pos_left": [np.int64(posl[best])],
         "pos_right": [np.int64(posr[best])]})
+
+
+def _hist_best_split(hist: pd.DataFrame, feat_cols: list[str]):
+    """Best (gain DESC, feature ASC, threshold ASC) split of a joint
+    label histogram (columns ``feat_cols`` + n + pos). Returns
+    (feature, threshold, gain, nl, posl, nr, posr) or None. The gain
+    expression tree matches ``best_stump_split`` (and the SQL oracle)
+    term for term."""
+    n_tot = float(hist["n"].sum())
+    pos_tot = float(hist["pos"].sum())
+    if n_tot == 0:
+        return None
+
+    def gini(pos, n):
+        p = pos / n
+        q = (n - pos) / n
+        return 1.0 - p * p - q * q
+
+    gp = float(gini(np.array([pos_tot]), np.array([n_tot]))[0])
+    best = None
+    for f in sorted(feat_cols):
+        a = hist.groupby(f, sort=True)[["n", "pos"]].sum() \
+            .reset_index()
+        nl = np.cumsum(a["n"].to_numpy(np.float64))
+        posl = np.cumsum(a["pos"].to_numpy(np.float64))
+        keep = nl < n_tot
+        v = a[f].to_numpy(np.float64)[keep]
+        nl, posl = nl[keep], posl[keep]
+        if v.size == 0:
+            continue
+        nr, posr = n_tot - nl, pos_tot - posl
+        gain = gp - (nl / n_tot) * gini(posl, nl) \
+            - (nr / n_tot) * gini(posr, nr)
+        for i in range(len(v)):
+            cand = (-gain[i], f, v[i], nl[i], posl[i], nr[i],
+                    posr[i])
+            if best is None or cand[:3] < best[:3]:
+                best = cand
+    if best is None:
+        return None
+    g, f, thr, nl, posl, nr, posr = (-best[0], best[1], best[2],
+                                     best[3], best[4], best[5],
+                                     best[6])
+    return (f, float(thr), float(g), int(nl), int(posl), int(nr),
+            int(posr))
+
+
+def depth2_tree_from_hist(hist: pd.DataFrame,
+                          feat_cols: list[str]) -> pd.DataFrame:
+    """Greedy depth-2 CART tree (Breiman et al. '84) from ONE joint
+    (features × label) histogram: because every candidate split of
+    every node is a marginal of the same table, the root AND both
+    children come from a single combiner pass — the histogram-method
+    GBDT trick one level deeper than ``best_stump_split``. Pick rule
+    (gain DESC, feature ASC, threshold ASC) is bit-stable: counts
+    are exact integers and the gain expression is sequenced
+    identically to the SQL oracle. Returns rows (node, feature,
+    threshold, gain, n, pos, gini)."""
+    def gini_s(pos: float, n: float) -> float:
+        p = pos / n
+        q = (n - pos) / n
+        return 1.0 - p * p - q * q
+
+    rows = []
+
+    def emit(node: str, h: pd.DataFrame):
+        n = int(h["n"].sum())
+        pos = int(h["pos"].sum())
+        g = gini_s(float(pos), float(n)) if n else 0.0
+        b = _hist_best_split(h, feat_cols) if n else None
+        if b is None:
+            rows.append((node, "none", 0.0, 0.0, n, pos,
+                         round(g, 6)))
+            return None
+        f, thr, gain, *_ = b
+        rows.append((node, f, thr, round(gain, 6), n, pos,
+                     round(g, 6)))
+        return f, thr
+
+    root = emit("root", hist)
+    if root is not None:
+        f, thr = root
+        left = hist[hist[f].to_numpy(np.float64) <= thr]
+        right = hist[hist[f].to_numpy(np.float64) > thr]
+        emit("left", left)
+        emit("right", right)
+    out = pd.DataFrame(rows, columns=["node", "feature", "threshold",
+                                      "gain", "n", "pos", "gini"])
+    return out.astype({"n": "int64", "pos": "int64"})
