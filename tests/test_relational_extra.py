@@ -4446,3 +4446,32 @@ def test_tree2_brute_force_parity_and_gain_semantics():
     # each child finds the clean second split (gain = parent gini)
     assert abs(float(tl["gain"]) - 0.5) < 1e-9
     assert abs(float(tr["gain"]) - 0.5) < 1e-9
+
+
+def test_bayes_ab_exact_cases_swap_identity_and_mc():
+    import numpy as np
+
+    from jerex_ray.pipelines.queries import beta_prob_b_beats_a
+
+    # closed-form exact cases: uniform vs uniform = 1/2;
+    # Beta(2,1) vs uniform = integral 2x*x dx = 2/3
+    assert beta_prob_b_beats_a(1, 1, 1, 1) == 0.5
+    assert abs(beta_prob_b_beats_a(1, 1, 2, 1) - 2.0 / 3.0) < 1e-15
+    # continuous posteriors: P(B>A) + P(A>B) = 1 under arm swap
+    for (aa, ba, ab_, bb) in [(72, 1, 80, 1), (30, 41, 25, 50),
+                              (1, 9, 4, 4)]:
+        p = beta_prob_b_beats_a(aa, ba, ab_, bb)
+        q = beta_prob_b_beats_a(ab_, bb, aa, ba)
+        assert abs(p + q - 1.0) < 1e-12
+    # Monte Carlo agreement on a representative posterior
+    rng = np.random.default_rng(7)
+    n = 400_000
+    mc = float((rng.beta(25, 50, n) > rng.beta(30, 41, n)).mean())
+    p = beta_prob_b_beats_a(30, 41, 25, 50)
+    # 4-sigma band of the MC estimate
+    sd = (p * (1 - p) / n) ** 0.5
+    assert abs(mc - p) < 4 * sd + 1e-9
+    # monotonicity: more successes in B raises P(B>A)
+    ps = [beta_prob_b_beats_a(10, 10, 1 + s, 1 + 20 - s)
+          for s in range(0, 21, 5)]
+    assert all(b > a for a, b in zip(ps, ps[1:]))
