@@ -403,3 +403,96 @@ def closest_pair_sq(emb_ds, *, id_col: str = "vec_id",
     best = parts.sort_values(["dist_sq", "vec_a", "vec_b"]) \
         .reset_index(drop=True).iloc[[0]]
     return best[["vec_a", "vec_b", "dist_sq"]].reset_index(drop=True)
+
+
+def lof_scores(emb_ds, *, k: int = 3, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> pd.DataFrame:
+    """Local Outlier Factor (Breunig, Kriegel, Ng & Sander '00) of
+    every vector under squared Euclidean distance on the 3-decimal
+    mirror-rounded integer grid (the ``closest_pair_sq``
+    quantization) — density-based outlier scoring, the anomaly audit
+    an embedding-quality pass runs before training: LOF ≈ 1 means
+    the point sits at its neighbors' density, LOF ≫ 1 flags an
+    isolated (mis-embedded / contaminated) point.
+
+    Exactness: distances, k-distances, reachability distances
+    reach(p,o) = max(kdist(o), d²(p,o)) and their sums Σreach are
+    ALL exact int64 on the grid; LOF_p = (Σ_o lrd_o/lrd_p)/k
+    simplifies to (Σ_o rsum_p/rsum_o)/k, evaluated as the fixed-order
+    k-term sum of single int/int divisions — bit-identical in the
+    SQL oracle. Degenerate duplicate clusters (any Σreach = 0, i.e.
+    ≥ k+1 coincident points) take LOF = 1.0 by convention on both
+    engines.
+
+    Dataflow: the quantized matrix broadcasts once (``ray.put``, the
+    ann/brute-force contract); each block computes its rows' k
+    nearest under the (d², id) lexicographic rule (stable argsort
+    over id-ordered columns) and emits one kNN row per point; the
+    reach/rsum/LOF joins run on the vector-count-bounded driver
+    table. At corpus scale swap the brute-force kNN for the IVF/LSH
+    kNN-graph path — the LOF algebra downstream is unchanged."""
+    import ray
+
+    cols = [f"n{i + 1}" for i in range(k)]
+    empty = pd.DataFrame({
+        "vec_id": pd.Series(dtype="int64"),
+        **{c: pd.Series(dtype="int64") for c in cols},
+        "kdist_sq": pd.Series(dtype="int64"),
+        "rsum": pd.Series(dtype="int64"),
+        "lof": pd.Series(dtype="float64")})
+    full = emb_ds.to_pandas()
+    if len(full) <= k:
+        return empty
+    full = full.sort_values(id_col).reset_index(drop=True)
+    ids = full[id_col].to_numpy(np.int64)
+    m = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    q = np.copysign(np.floor(np.abs(m) * 1000.0 + 0.5), m) \
+        .astype(np.int64)
+    ref = ray.put((ids, q))
+
+    def block(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return empty[["vec_id", *cols, "kdist_sq"]].assign(
+                **{f"d{i + 1}": pd.Series(dtype="int64")
+                   for i in range(k)})
+        ids_all, q_all = ray.get(ref)
+        mb = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        qb = np.copysign(np.floor(np.abs(mb) * 1000.0 + 0.5), mb) \
+            .astype(np.int64)
+        idb = batch[id_col].to_numpy(np.int64)
+        aa = (qb * qb).sum(axis=1)[:, None]
+        bb = (q_all * q_all).sum(axis=1)[None, :]
+        d2 = aa + bb - 2 * (qb @ q_all.T)
+        d2[idb[:, None] == ids_all[None, :]] = np.iinfo(np.int64).max
+        # columns are id-ascending ⇒ stable argsort = (d², id) lex
+        nn = np.argsort(d2, axis=1, kind="stable")[:, :k]
+        nd = np.take_along_axis(d2, nn, axis=1)
+        out = {"vec_id": idb}
+        for i in range(k):
+            out[cols[i]] = ids_all[nn[:, i]]
+            out[f"d{i + 1}"] = nd[:, i]
+        out["kdist_sq"] = nd[:, k - 1]
+        return pd.DataFrame(out)
+
+    knn = emb_ds.map_batches(block, batch_format="pandas",
+                             batch_size=2048).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    # N-bounded driver joins: reach(p,o) = max(kdist_o, d²_po)
+    kdist = knn.set_index("vec_id")["kdist_sq"]
+    rsum = np.zeros(len(knn), dtype=np.int64)
+    for i in range(k):
+        kd_o = kdist.reindex(knn[cols[i]]).to_numpy(np.int64)
+        rsum += np.maximum(kd_o, knn[f"d{i + 1}"].to_numpy(np.int64))
+    rs = pd.Series(rsum, index=knn["vec_id"].to_numpy())
+    ro = np.stack([rs.reindex(knn[c]).to_numpy(np.int64)
+                   for c in cols], axis=1)
+    deg = (rsum == 0) | (ro == 0).any(axis=1)
+    safe = np.where(ro == 0, 1, ro)
+    acc = rsum / safe[:, 0]
+    for i in range(1, k):
+        acc = acc + rsum / safe[:, i]
+    lof = np.where(deg, 1.0, acc / float(k))
+    out = knn[["vec_id", *cols, "kdist_sq"]].copy()
+    out["rsum"] = rsum
+    out["lof"] = np.round(lof, 6)
+    return out.reset_index(drop=True)

@@ -530,3 +530,64 @@ def test_jl_distortion_serial_parity_and_concentration():
     assert (ratios > 0.02).all() and (ratios < 6.0).all()
     # pairing covers consecutive ids only
     assert ((out["vec_b"] - out["vec_a"]) == 1).all()
+
+
+def test_lof_brute_force_parity_outlier_and_duplicates():
+    from fractions import Fraction
+
+    import ray.data as rd
+
+    from jerex_ray.ops.embed import lof_scores
+
+    # random cloud + one planted far outlier
+    pts = RNG.normal(size=(50, 8)).astype(np.float32)
+    pts[37] = 25.0  # isolated corner point
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(50, dtype=np.int64),
+        "embedding": list(pts)}))
+    out = lof_scores(ds, k=3).set_index("vec_id")
+
+    # independent exact-rational LOF (textbook lrd formulation)
+    q = np.copysign(np.floor(np.abs(pts.astype(np.float64))
+                             * 1000.0 + 0.5), pts).astype(np.int64)
+    n = len(q)
+    d2 = ((q[:, None, :] - q[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    nbr = {i: sorted(range(n), key=lambda j: (d2[i, j], j))[:3]
+           for i in range(n)}
+    kdist = {i: int(d2[i, nbr[i][2]]) for i in range(n)}
+    lrd = {i: Fraction(3, sum(max(kdist[o], int(d2[i, o]))
+                              for o in nbr[i])) for i in range(n)}
+    for i in range(n):
+        terms = [lrd[o] / lrd[i] for o in nbr[i]]
+        # same fixed neighbor-rank order as the engine
+        lof_ref = (float(terms[0]) + float(terms[1])
+                   + float(terms[2])) / 3.0
+        # engine output is round-6; reference is unrounded
+        assert abs(float(out.loc[i, "lof"]) - lof_ref) < 6e-7
+        assert list(out.loc[i, ["n1", "n2", "n3"]]) == nbr[i]
+        assert int(out.loc[i, "kdist_sq"]) == kdist[i]
+    # the planted outlier dominates and reads as anomalous
+    assert out["lof"].idxmax() == 37
+    assert float(out.loc[37, "lof"]) > 2.0
+    # the bulk of the cloud sits near density 1
+    assert float(out.drop(37)["lof"].median()) < 1.3
+
+    # duplicate cluster (>= k+1 coincident points): convention LOF=1
+    dup = np.zeros((6, 4), dtype=np.float32)
+    dup[4] = [5, 5, 5, 5]
+    dup[5] = [5, 5, 5, 6]
+    ds2 = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(6, dtype=np.int64),
+        "embedding": list(dup)}))
+    out2 = lof_scores(ds2, k=3).set_index("vec_id")
+    for i in range(4):          # coincident points: rsum = 0
+        assert int(out2.loc[i, "rsum"]) == 0
+        assert float(out2.loc[i, "lof"]) == 1.0
+    # points whose neighbors are all duplicates also take 1.0
+    assert float(out2.loc[4, "lof"]) == 1.0
+
+    # <= k rows → empty
+    assert len(lof_scores(rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(3, dtype=np.int64),
+        "embedding": list(pts[:3])})), k=3)) == 0
