@@ -196,3 +196,40 @@ def ring_assign(key_hashes: np.ndarray, ring_pos: np.ndarray,
     idx = np.searchsorted(ring_pos, key_hashes, side="left")
     idx[idx == len(ring_pos)] = 0
     return ring_owner[idx]
+
+
+def jump_consistent_hash(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Jump consistent hash (Lamping & Veach '14) — the stateless,
+    memory-free shard assigner whose resize property a fixed-size
+    cluster relies on: growing S → S+1 moves exactly the ~1/(S+1)
+    of keys that land in the NEW bucket and no others (no ring, no
+    lookup table to rebuild). Bit-exact translation of the paper's
+    loop, vectorized with a lane mask:
+
+        key = key * 2862933555777941757 + 1   (mod 2⁶⁴)
+        j   = ⌊(b+1) · 2³¹ / ((key >> 33) + 1)⌋
+
+    The mod-2⁶⁴ LCG wraps intentionally (errstate-guarded uint64);
+    the float step is one IEEE divide + multiply + truncation, so a
+    SQL replay (split-multiply for the 128-bit product, floor() —
+    DuckDB CAST(double AS BIGINT) ROUNDS, it does not truncate)
+    reproduces every assignment bit-for-bit. O(ln S) expected
+    iterations per key, stateless per row — embarrassingly parallel
+    inside map_batches at any scale."""
+    out = np.full(len(keys), -1, dtype=np.int64)
+    if len(keys) == 0:
+        return out
+    k = keys.astype(np.uint64).copy()
+    j = np.zeros(len(keys), dtype=np.int64)
+    active = j < num_buckets
+    with np.errstate(over="ignore"):
+        while active.any():
+            out[active] = j[active]
+            k[active] = (k[active] * np.uint64(2862933555777941757)
+                         + np.uint64(1))
+            denom = (k[active] >> np.uint64(33)).astype(np.float64) \
+                + 1.0
+            j[active] = ((out[active] + 1)
+                         * (2147483648.0 / denom)).astype(np.int64)
+            active = j < num_buckets
+    return out

@@ -1187,3 +1187,45 @@ def test_bellman_ford_parallel_edges_and_unreachable():
                        "w": [7, 3, 2, 5]})
     got = bellman_ford_sssp(rd.from_pandas(df), 0)
     assert dict(zip(got["node"], got["dist"])) == {0: 0, 1: 3, 2: 5}
+
+
+def test_jump_consistent_hash_reference_parity_and_resize_contract():
+    import numpy as np
+
+    from jerex_ray.ops.layout import jump_consistent_hash
+
+    # scalar translation of the paper's C loop as the reference
+    def ref(key: int, s: int) -> int:
+        b, j = -1, 0
+        while j < s:
+            b = j
+            key = (key * 2862933555777941757 + 1) & ((1 << 64) - 1)
+            j = int((b + 1) * (2147483648.0 / ((key >> 33) + 1)))
+        return b
+
+    rng = np.random.default_rng(11)
+    keys = np.concatenate([
+        np.arange(200, dtype=np.int64),
+        rng.integers(0, 2**62, 300, dtype=np.int64)])
+    for s in (1, 2, 7, 32, 33, 100):
+        got = jump_consistent_hash(keys, s)
+        assert (got == np.array([ref(int(k), s)
+                                 for k in keys])).all()
+        assert got.min() >= 0 and got.max() < s
+
+    # resize contract: S -> S+1 moves keys ONLY into the new bucket
+    big = rng.integers(0, 2**62, 20000, dtype=np.int64)
+    a = jump_consistent_hash(big, 32)
+    b = jump_consistent_hash(big, 33)
+    moved = a != b
+    assert (b[moved] == 32).all()
+    # expected movement fraction 1/33 ~ 3%; generous 4-sigma band
+    frac = moved.mean()
+    assert 0.01 < frac < 0.06
+    # balance: every shard within 3x of the uniform share
+    counts = np.bincount(a, minlength=32)
+    assert counts.min() > 0 and counts.max() < 3 * len(big) / 32
+
+    # empty input
+    assert len(jump_consistent_hash(np.array([], dtype=np.int64),
+                                    32)) == 0
