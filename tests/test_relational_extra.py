@@ -4475,3 +4475,57 @@ def test_bayes_ab_exact_cases_swap_identity_and_mc():
     ps = [beta_prob_b_beats_a(10, 10, 1 + s, 1 + 20 - s)
           for s in range(0, 21, 5)]
     assert all(b > a for a, b in zip(ps, ps[1:]))
+
+
+def test_calibration_independent_recompute_and_murphy_identity():
+    import pyarrow.parquet as pq
+
+    from jerex_ray.pipelines.queries import q_user_calibration
+
+    sf = "/root/testdata/sf0.001"
+    out = q_user_calibration(sf)
+
+    # independent pandas recompute from the raw parquet
+    ev = pq.read_table(
+        f"{sf}/events.parquet",
+        columns=["user_id", "event_type", "value"]).to_pandas()
+    ev["isp"] = (ev["event_type"] == "purchase").astype(int)
+    ev["y"] = (ev["isp"].astype(bool)
+               & (ev["value"] >= 150.0)).astype(int)
+    u = ev.groupby("user_id").agg(
+        n_e=("isp", "size"), n_p=("isp", "sum"),
+        y=("y", "max")).reset_index()
+    u["pq"] = (u["n_p"] * 1000) // u["n_e"]
+    u["bin"] = np.minimum((u["n_p"] * 10) // u["n_e"], 9)
+    g = u.groupby("bin").agg(
+        n=("pq", "size"), sum_pq=("pq", "sum"),
+        sum_y=("y", "sum")).reset_index()
+    assert (out["bin"].to_numpy() == g["bin"].to_numpy()).all()
+    assert (out["n"].to_numpy() == g["n"].to_numpy()).all()
+    assert (out["sum_pq"].to_numpy() == g["sum_pq"].to_numpy()).all()
+    assert (out["sum_y"].to_numpy() == g["sum_y"].to_numpy()).all()
+
+    # generalized Murphy decomposition on the quantized predictions:
+    # Brier = WBV + 2·CROSS + (REL - RES)/N + UNC, where WBV is the
+    # within-bin prediction variance and CROSS the within-bin
+    # covariance term (both vanish when predictions are constant
+    # per bin — the textbook case)
+    N = int(out["n"].sum())
+    brier = float(out["brier_num"].sum()) / (1e6 * N)
+    p = u["pq"].to_numpy(float) / 1000.0
+    pbar = u.groupby("bin")["pq"].transform("mean").to_numpy(float) \
+        / 1000.0
+    yv = u["y"].to_numpy(float)
+    wbv = float(((p - pbar) ** 2).mean())
+    cross = float(((p - pbar) * (pbar - yv)).mean())
+    base = float(u["y"].sum()) / N
+    unc = base * (1.0 - base)
+    rel = float(out["rel_contrib"].sum()) / N
+    res = float(out["res_contrib"].sum()) / N
+    # rel/res ship round-6 per bin; 1e-6 absorbs that
+    assert abs(brier - (wbv + 2 * cross + rel - res + unc)) < 1e-6
+    # bin semantics: mean_pred lies inside its decile
+    for _, r in out.iterrows():
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0 + 1e-9
+        assert lo - 1e-9 <= r["mean_pred"] <= (
+            hi if r["bin"] < 9 else 1.0 + 1e-9)
