@@ -2069,3 +2069,60 @@ def greedy_coloring(edges: pd.DataFrame, *, src: str = "a",
     out = pd.DataFrame(sorted(color.items()),
                        columns=["node", "color"])
     return out.astype({"node": "int64", "color": "int64"})
+
+
+def simrank_fixed_point(edges: pd.DataFrame, *, rounds: int = 3,
+                        scale: int = 1_000_000, src: str = "a",
+                        dst: str = "b") -> pd.DataFrame:
+    """SimRank (Jeh & Widom '02) on an undirected graph in EXACT
+    integer fixed-point arithmetic — "two objects are similar if
+    their neighbors are similar", the structural-similarity
+    companion of Adamic-Adar (which only sees distance-2): with
+    C = 4/5 and scores scaled by ``scale``, every round is
+
+        S' = (4 · A·S·Aᵀ) // (5 · deg_a · deg_b),   S'(a,a) = scale
+
+    — an integer matrix product, an integer floor division and a
+    diagonal reset, so every round replays bit-for-bit in the
+    generated per-round SQL oracle (int64 sums are order-free; no
+    float appears until the final display division). Floor-quantized
+    SimRank underestimates the real-valued fixed point by < rounds /
+    scale per entry. Returns pairs a < b with nonzero similarity.
+
+    Scale shape: the graph arrives metadata-sized from the
+    ≥ min_cocount streaming combiner; the O(rounds · n · m) matrix
+    recursion is driver-side by design (SimRank state is inherently
+    O(n²) — corpus-scale graphs take the sampled random-walk
+    estimator instead)."""
+    cols = {"node_a": "int64", "node_b": "int64",
+            "simrank_fp": "int64", "simrank": "float64"}
+    if edges.empty or src not in edges.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in cols.items()})
+    a = edges[src].to_numpy(np.int64)
+    b = edges[dst].to_numpy(np.int64)
+    nodes = np.unique(np.r_[a, b])
+    n = len(nodes)
+    pos = {int(u): i for i, u in enumerate(nodes)}
+    A = np.zeros((n, n), dtype=np.int64)
+    for u, v in zip(a, b):
+        A[pos[int(u)], pos[int(v)]] = 1
+        A[pos[int(v)], pos[int(u)]] = 1
+    deg = A.sum(axis=1)
+    assert int(deg.max()) ** 2 * scale * 4 < 2 ** 63, \
+        "simrank: fixed-point overflow"
+    dd = 5 * np.outer(deg, deg)
+    S = np.zeros((n, n), dtype=np.int64)
+    np.fill_diagonal(S, scale)
+    for _ in range(rounds):
+        S = (4 * (A @ S @ A)) // dd
+        np.fill_diagonal(S, scale)
+    iu, ju = np.triu_indices(n, k=1)
+    keep = S[iu, ju] > 0
+    iu, ju = iu[keep], ju[keep]
+    s = S[iu, ju]
+    out = pd.DataFrame({
+        "node_a": nodes[iu], "node_b": nodes[ju],
+        "simrank_fp": s, "simrank": np.round(s / float(scale), 6)})
+    return out.sort_values(["node_a", "node_b"]) \
+        .reset_index(drop=True).astype(cols)

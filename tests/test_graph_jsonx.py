@@ -1229,3 +1229,50 @@ def test_jump_consistent_hash_reference_parity_and_resize_contract():
     # empty input
     assert len(jump_consistent_hash(np.array([], dtype=np.int64),
                                     32)) == 0
+
+
+def test_simrank_textbook_parity_symmetry_and_locality():
+    import numpy as np
+    import pandas as pd
+
+    from jerex_ray.ops.graph import simrank_fixed_point
+
+    # richer crafted graph: two triangles sharing a bridge + a tail
+    edges = pd.DataFrame({
+        "a": [1, 1, 2, 4, 4, 5, 3, 6, 7],
+        "b": [2, 3, 3, 5, 6, 6, 4, 7, 8]})
+    scale = 1_000_000
+    out = simrank_fixed_point(edges, rounds=3, scale=scale)
+
+    # textbook float SimRank (C=0.8) as the independent reference
+    nodes = sorted(set(edges["a"]) | set(edges["b"]))
+    pos = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for u, v in zip(edges["a"], edges["b"]):
+        A[pos[u], pos[v]] = A[pos[v], pos[u]] = 1
+    deg = A.sum(1)
+    S = np.eye(n)
+    for _ in range(3):
+        S = 0.8 * (A @ S @ A) / np.outer(deg, deg)
+        np.fill_diagonal(S, 1.0)
+    got = {(r.node_a, r.node_b): r.simrank_fp / scale
+           for r in out.itertuples()}
+    for i in range(n):
+        for j in range(i + 1, n):
+            ref = S[i, j]
+            fp = got.get((nodes[i], nodes[j]), 0.0)
+            # floor quantization loses < rounds/scale per entry,
+            # amplified by at most C sums each round
+            assert fp <= ref + 1e-12
+            assert ref - fp < 2e-5, (nodes[i], nodes[j], ref, fp)
+    # pairs at odd distance with no even-length meeting walk stay 0
+    assert (1, 4) not in got or got[(1, 4)] > 0  # bridge-linked
+    # range and output contract
+    assert (out["simrank_fp"] > 0).all()
+    assert (out["simrank_fp"] <= scale).all()
+    assert (out["node_a"] < out["node_b"]).all()
+
+    # empty graph
+    assert len(simrank_fixed_point(
+        pd.DataFrame({"a": [], "b": []}))) == 0
