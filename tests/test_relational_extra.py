@@ -4529,3 +4529,43 @@ def test_calibration_independent_recompute_and_murphy_identity():
         lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0 + 1e-9
         assert lo - 1e-9 <= r["mean_pred"] <= (
             hi if r["bin"] < 9 else 1.0 + 1e-9)
+
+
+def test_fisher_exact_reference_parity_and_invariants():
+    import math
+
+    from jerex_ray.pipelines.queries import q_events_fisher
+
+    # independent reference: enumerate hypergeometric pmf exactly
+    def fisher_two_sided(r1, r2, c1, a):
+        den = math.comb(r1 + r2, c1)
+        pmf = {k: math.comb(r1, k) * math.comb(r2, c1 - k)
+               for k in range(max(0, c1 - r2), min(r1, c1) + 1)}
+        num = sum(v for v in pmf.values() if v <= pmf[a])
+        return num, den
+
+    # engine on real data, reference on the same census
+    out = q_events_fisher("/root/testdata/sf0.001")
+    r1, r2, c1, a = (int(out["r1"][0]), int(out["r2"][0]),
+                     int(out["c1"][0]), int(out["a"][0]))
+    num, den = fisher_two_sided(r1, r2, c1, a)
+    assert int(out["p_num"][0]) == num
+    assert int(out["denom"][0]) == den
+    assert abs(float(out["p_two_sided"][0])
+               - round(float(num) / float(den), 6)) == 0.0
+
+    # crafted tables: the lady-tasting-tea census (Fisher '35)
+    num, den = fisher_two_sided(4, 4, 4, 4)
+    assert den == math.comb(8, 4) == 70
+    assert num == 2          # only the two perfect tables are as extreme
+    # p = 2/70 ~ 0.0286 — the textbook value
+    assert abs(num / den - 0.028571) < 1e-4
+    # balanced table is never significant
+    num, den = fisher_two_sided(10, 10, 10, 5)
+    assert num == den        # every table is <= the modal one
+    # p-value bounds and Vandermonde identity
+    for (r1_, r2_, c1_) in [(7, 9, 5), (20, 11, 14), (31, 33, 26)]:
+        total = sum(math.comb(r1_, k) * math.comb(r2_, c1_ - k)
+                    for k in range(max(0, c1_ - r2_),
+                                   min(r1_, c1_) + 1))
+        assert total == math.comb(r1_ + r2_, c1_)
