@@ -496,3 +496,103 @@ def lof_scores(emb_ds, *, k: int = 3, id_col: str = "vec_id",
     out["rsum"] = rsum
     out["lof"] = np.round(lof, 6)
     return out.reset_index(drop=True)
+
+
+def kmedoids_voronoi(emb_ds, *, k: int = 4, iters: int = 4,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> pd.DataFrame:
+    """k-medoids by Gonzalez farthest-first seeding + the Park–Jun
+    ('09) Voronoi iteration, under squared Euclidean distance on the
+    3-decimal mirror-rounded integer grid — the ROBUST clustering
+    member beside ``kmeans`` (centers are real data points, so the
+    result survives the outliers LOF flags, and the medoid is the
+    natural cluster exemplar for curation). Exactness: every
+    distance, within-cluster cost and argmin/argmax cut is EXACT
+    int64 with (value, id) lexicographic tie rules — zero float
+    anywhere — so a generated per-iteration SQL oracle replays
+    seeding, every assignment and every medoid update bit-for-bit.
+
+    Dataflow: quantized matrix broadcast once; each Voronoi
+    iteration is ONE blocked map_batches pass in which a block
+    assigns its rows AND accumulates their same-cluster distance
+    sums against all columns (the closest-pair contract); the
+    per-cluster (within, id) argmin is N-bounded driver work.
+    Fixed ``iters`` rounds (cost is non-increasing; pytest-pinned).
+    At corpus scale: seed on a uniform sample, assign via the
+    ANN index, update medoids per LSH bucket — the algebra here is
+    the exact small-side primitive those paths verify against."""
+    import ray
+
+    cols = {"vec_id": "int64", "medoid": "int64", "d2": "int64"}
+    full = emb_ds.to_pandas()
+    if len(full) < k:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in cols.items()})
+    full = full.sort_values(id_col).reset_index(drop=True)
+    ids = full[id_col].to_numpy(np.int64)
+    m = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    q = np.copysign(np.floor(np.abs(m) * 1000.0 + 0.5), m) \
+        .astype(np.int64)
+    sq = (q * q).sum(axis=1)
+
+    def d2_to(j: int) -> np.ndarray:
+        return sq + sq[j] - 2 * (q @ q[j])
+
+    # Gonzalez seeding from the smallest id (ids ascending, so
+    # argmax/argmin first-hit = smallest-id tie rule)
+    med_pos = [0]
+    dmin = d2_to(0)
+    for _ in range(k - 1):
+        nxt = int(np.argmax(dmin))
+        med_pos.append(nxt)
+        dmin = np.minimum(dmin, d2_to(nxt))
+    med_ids = np.sort(ids[med_pos])
+
+    pos_of = {int(u): i for i, u in enumerate(ids)}
+    for _ in range(iters):
+        ref = ray.put((ids, q, sq, med_ids))
+
+        def passes(batch: pd.DataFrame) -> pd.DataFrame:
+            if batch.empty:
+                return pd.DataFrame({
+                    "vec_id": pd.Series(dtype="int64"),
+                    "medoid": pd.Series(dtype="int64"),
+                    "within": pd.Series(dtype="int64")})
+            ids_all, q_all, sq_all, meds = ray.get(ref)
+            mp = np.searchsorted(ids_all, meds)
+            dall = (sq_all[:, None] + sq_all[mp][None, :]
+                    - 2 * (q_all @ q_all[mp].T))
+            clu = np.argmin(dall, axis=1)      # first-min = smallest
+            bids = batch["vec_id"].to_numpy(np.int64)
+            bp = np.searchsorted(ids_all, bids)
+            mb = q_all[bp]
+            d2b = (sq_all[bp][:, None] + sq_all[None, :]
+                   - 2 * (mb @ q_all.T))
+            same = clu[bp][:, None] == clu[None, :]
+            within = np.where(same, d2b, 0).sum(axis=1)
+            return pd.DataFrame({
+                "vec_id": bids, "medoid": meds[clu[bp]],
+                "within": within})
+
+        w = emb_ds.map_batches(passes, batch_format="pandas",
+                               batch_size=2048).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        new = []
+        for mid in med_ids:
+            members = w[w["medoid"] == mid]
+            if members.empty:          # degenerate: keep old medoid
+                new.append(int(mid))
+            else:
+                best = members.sort_values(["within", "vec_id"]) \
+                    .iloc[0]
+                new.append(int(best["vec_id"]))
+        med_ids = np.sort(np.array(new, dtype=np.int64))
+
+    # final assignment from the converged medoids (N-bounded)
+    mp = np.searchsorted(ids, med_ids)
+    dall = sq[:, None] + sq[mp][None, :] - 2 * (q @ q[mp].T)
+    clu = np.argmin(dall, axis=1)
+    out = pd.DataFrame({
+        "vec_id": ids, "medoid": med_ids[clu],
+        "d2": dall[np.arange(len(ids)), clu]})
+    return out.astype(cols)

@@ -591,3 +591,68 @@ def test_lof_brute_force_parity_outlier_and_duplicates():
     assert len(lof_scores(rd.from_pandas(pd.DataFrame({
         "vec_id": np.arange(3, dtype=np.int64),
         "embedding": list(pts[:3])})), k=3)) == 0
+
+
+def test_kmedoids_membership_optimality_and_robust_fixture():
+    import ray.data as rd
+
+    from jerex_ray.ops.embed import kmedoids_voronoi
+
+    # crafted: two tight blobs + one extreme outlier; k=2 medoids
+    # must be blob MEMBERS (robustness — a mean would be dragged)
+    pts = np.zeros((21, 4), dtype=np.float32)
+    pts[0:10] = RNG.normal(0, 0.05, (10, 4)) + [0, 0, 0, 0]
+    pts[10:20] = RNG.normal(0, 0.05, (10, 4)) + [5, 5, 5, 5]
+    pts[20] = [500, 500, 500, 500]
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(21, dtype=np.int64),
+        "embedding": list(pts)}))
+    out = kmedoids_voronoi(ds, k=3, iters=4).set_index("vec_id")
+    meds = set(out["medoid"])
+    # medoids are data points (robustness: a mean would sit between)
+    assert meds <= set(range(21))
+    # each blob resolves to a single medoid INSIDE that blob; the
+    # outlier is its own singleton cluster
+    blob0 = out.loc[0:9, "medoid"]
+    blob1 = out.loc[10:19, "medoid"]
+    assert blob0.nunique() == 1 and int(blob0.iloc[0]) in range(0, 10)
+    assert blob1.nunique() == 1 and int(blob1.iloc[0]) in range(10, 20)
+    assert int(out.loc[20, "medoid"]) == 20
+    assert int(out.loc[20, "d2"]) == 0
+
+    # real data: assignment optimality + medoid membership
+    from jerex_ray.runtime import read_parquet_sized
+    eds = read_parquet_sized(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+    full = eds.to_pandas().sort_values("vec_id")
+    ids = full["vec_id"].to_numpy(np.int64)
+    m = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    q = np.copysign(np.floor(np.abs(m) * 1000.0 + 0.5), m) \
+        .astype(np.int64)
+    res = kmedoids_voronoi(eds, k=4, iters=4)
+    meds = np.sort(res["medoid"].unique())
+    assert set(meds) <= set(ids.tolist())
+    pos = {int(u): i for i, u in enumerate(ids)}
+    mp = np.array([pos[int(u)] for u in meds])
+    sq = (q * q).sum(1)
+    dall = sq[:, None] + sq[mp][None, :] - 2 * (q @ q[mp].T)
+    # every point sits with its closest medoid (smallest-id ties)
+    best = np.argmin(dall, axis=1)
+    got = res.sort_values("vec_id")["medoid"].to_numpy()
+    assert (got == meds[best]).all()
+    assert (res.sort_values("vec_id")["d2"].to_numpy()
+            == dall[np.arange(len(ids)), best]).all()
+
+    # Voronoi iteration cost is non-increasing round over round
+    costs = []
+    for it in range(1, 5):
+        r = kmedoids_voronoi(eds, k=4, iters=it)
+        costs.append(int(r["d2"].sum()))
+    assert all(b <= a for a, b in zip(costs, costs[1:])), costs
+
+    # < k rows → empty
+    tiny = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(2, dtype=np.int64),
+        "embedding": list(pts[:2])}))
+    assert len(kmedoids_voronoi(tiny, k=4)) == 0
