@@ -128,3 +128,46 @@ def test_streaming_docred_jsonl_multi_block(tmp_path):
     assert got["conv_id"].nunique() == 40
     import pandas as pd
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_comention_paths_structure_and_brute_force():
+    import numpy as np
+    import pandas as pd
+
+    from jerex_ray.pipelines.queries import kg_comention_paths
+
+    out = kg_comention_paths("/root/testdata/sf0.001")
+    if len(out) == 0:
+        return  # tiny corpus may have no 2-hop structure
+    # structural contract
+    assert (out["ent_a"] < out["ent_c"]).all()
+    assert (out["n_paths"] >= 1).all()
+    assert (out["best_width"] >= 1).all()
+    assert set(out["has_direct"].unique()) <= {0, 1}
+
+    # brute-force recompute of the path aggregation from the pairwise
+    # edge table implied by the output is impossible without the raw
+    # edges; instead verify on a crafted star+chain fixture through
+    # the same path algebra the query uses
+    edges = pd.DataFrame({
+        "ea": [1, 1, 2, 4],
+        "eb": [2, 3, 4, 5],
+        "w":  [3, 1, 2, 5]})
+    sym = pd.concat([
+        edges.rename(columns={"ea": "u", "eb": "v"}),
+        edges.rename(columns={"ea": "v", "eb": "u"})])
+    m = sym.merge(sym, left_on="v", right_on="u",
+                  suffixes=("_1", "_2"))
+    m = m[m["u_1"] < m["v_2"]]
+    width = np.minimum(m["w_1"], m["w_2"])
+    g = pd.DataFrame({"a": m["u_1"], "c": m["v_2"], "w": width}) \
+        .groupby(["a", "c"], as_index=False) \
+        .agg(n_paths=("w", "size"), best_width=("w", "max"))
+    ref = {(r.a, r.c): (r.n_paths, r.best_width)
+           for r in g.itertuples()}
+    # hand-checked: 2-3 via 1 (width 1), 1-4 via 2 (width 2),
+    # 2-5 via 4 (width 2), 1-5? needs 3 hops -> absent
+    assert ref[(2, 3)] == (1, 1)
+    assert ref[(1, 4)] == (1, 2)
+    assert ref[(2, 5)] == (1, 2)
+    assert (1, 5) not in ref
