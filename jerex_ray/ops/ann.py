@@ -564,3 +564,164 @@ def binary_hamming_topk(emb_ds, queries: np.ndarray, *, k: int = 10,
     return res.sort_values(["query_idx", "cosine", "vec_id"],
                            ascending=[True, False, True]) \
         .reset_index(drop=True)
+
+
+class HnswIndex:
+    """Hierarchical Navigable Small World graph (Malkov & Yashunin
+    '16) over normalized vectors with cosine similarity — the
+    graph-based ANN completing the scale family beside IVF / PQ /
+    IVFADC / LSH: O(log N) expected hops per query, no training
+    pass, incremental inserts. Determinism: insertion order is
+    vec_id ascending and the level draw is derandomized through the
+    md5-uniform l = ⌊−ln(u)·mL⌋ (u from md5('hnsw|id'), the repo's
+    derandomization convention), so two builds over the same rows
+    are identical — batch-order independence falls out.
+
+    Neighbor selection is the paper's simple closest-M rule (§4,
+    SELECT-NEIGHBORS-SIMPLE) with Mmax = M on upper layers and 2M on
+    layer 0; search is the standard best-first beam with an
+    ``ef``-bounded result heap. All candidate scoring is one numpy
+    gather + matmul per hop (vectorized over the frontier's
+    adjacency), not per-edge Python.
+
+    Scale shape: the index is STATE FOR AN ACTOR POOL — build once
+    per actor in ``__init__`` (or shard per partition and route, the
+    distributed deployment), stream query batches through
+    ``map_batches``; this class is the exact in-actor primitive."""
+
+    def __init__(self, ids: np.ndarray, vecs: np.ndarray, *,
+                 m: int = 8, ef_construction: int = 64):
+        from jerex_ray.util import md5_hash64
+
+        self.ids = np.asarray(ids, dtype=np.int64)
+        order = np.argsort(self.ids, kind="stable")
+        self.ids = self.ids[order]
+        self.vecs = _normalize(np.asarray(vecs,
+                                          dtype=np.float32))[order]
+        self.m = int(m)
+        self.ef_c = int(ef_construction)
+        n = len(self.ids)
+        ml = 1.0 / np.log(self.m)
+        u = np.array([(md5_hash64(f"hnsw|{int(i)}") + 1)
+                      / float(2 ** 64) for i in self.ids])
+        self.levels = np.floor(-np.log(u) * ml).astype(np.int64)
+        self.max_level = -1
+        self.entry = -1
+        # adjacency: per level, list of int lists
+        self.adj: list[list[list[int]]] = []
+        for i in range(n):
+            self._insert(i)
+
+    def _dist(self, q: np.ndarray, cand: np.ndarray) -> np.ndarray:
+        return -(self.vecs[cand] @ q)
+
+    def _search_layer(self, q: np.ndarray, eps: list[int], ef: int,
+                      layer: int) -> list[tuple[float, int]]:
+        import heapq as hq
+        adj = self.adj[layer]
+        visited = set(eps)
+        d0 = self._dist(q, np.array(eps, dtype=np.int64))
+        cand = [(float(d), e) for d, e in zip(d0, eps)]
+        hq.heapify(cand)
+        best = [(-float(d), e) for d, e in zip(d0, eps)]
+        hq.heapify(best)
+        while cand:
+            d, c = hq.heappop(cand)
+            if d > -best[0][0]:
+                break
+            nbrs = [x for x in adj[c] if x not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            nd = self._dist(q, np.array(nbrs, dtype=np.int64))
+            for dd, x in zip(nd, nbrs):
+                dd = float(dd)
+                if len(best) < ef or dd < -best[0][0]:
+                    hq.heappush(cand, (dd, x))
+                    hq.heappush(best, (-dd, x))
+                    if len(best) > ef:
+                        hq.heappop(best)
+        out = sorted(((-d, x) for d, x in best))
+        return out
+
+    def _insert(self, i: int) -> None:
+        lvl = int(self.levels[i])
+        q = self.vecs[i]
+        while len(self.adj) <= lvl:
+            self.adj.append([[] for _ in range(len(self.ids))])
+        if self.entry < 0:
+            self.entry, self.max_level = i, lvl
+            return
+        ep = [self.entry]
+        for layer in range(self.max_level, lvl, -1):
+            ep = [self._search_layer(q, ep, 1, layer)[0][1]]
+        for layer in range(min(self.max_level, lvl), -1, -1):
+            found = self._search_layer(q, ep, self.ef_c, layer)
+            mmax = self.m * 2 if layer == 0 else self.m
+            sel = [x for _, x in found[:self.m]]
+            adj = self.adj[layer]
+            adj[i] = list(sel)
+            for x in sel:
+                adj[x].append(i)
+                if len(adj[x]) > mmax:   # prune to closest mmax
+                    arr = np.array(adj[x], dtype=np.int64)
+                    d = self._dist(self.vecs[x], arr)
+                    keep = np.argsort(d, kind="stable")[:mmax]
+                    adj[x] = arr[keep].tolist()
+            ep = [x for _, x in found]
+        if lvl > self.max_level:
+            self.max_level, self.entry = lvl, i
+
+    def search(self, queries: np.ndarray, k: int = 10, *,
+               ef_search: int = 64) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (ids (Q,k), cosines (Q,k)); rows padded with
+        (-1, -2) when the graph holds fewer than k nodes."""
+        qn = _normalize(np.asarray(queries, dtype=np.float32))
+        out_i = np.full((len(qn), k), -1, dtype=np.int64)
+        out_c = np.full((len(qn), k), -2.0, dtype=np.float32)
+        for qi, q in enumerate(qn):
+            ep = [self.entry]
+            for layer in range(self.max_level, 0, -1):
+                ep = [self._search_layer(q, ep, 1, layer)[0][1]]
+            found = self._search_layer(q, ep, max(ef_search, k), 0)
+            found = found[:k]
+            for j, (d, x) in enumerate(found):
+                out_i[qi, j] = self.ids[x]
+                out_c[qi, j] = -d
+        return out_i, out_c
+
+
+def hnsw_topk(emb_ds, queries: np.ndarray, k: int = 10, *,
+              m: int = 8, ef_construction: int = 64,
+              ef_search: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> pd.DataFrame:
+    """HNSW approximate cosine top-k with the brute-force interface:
+    build the graph once (actor-state contract — here once on the
+    collected vector table, the same broadcast-side bound as every
+    ANN index build in this module), then answer all queries.
+    Returns (query_idx, vec_id, cosine) sorted by (query_idx,
+    -cosine, vec_id). Recall is pytest-gated, not oracled (rows-only
+    by design, like IVF)."""
+    full = emb_ds.to_pandas()
+    if full.empty:
+        return pd.DataFrame({"query_idx": pd.Series(dtype="int64"),
+                             "vec_id": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float32")})
+    idx = HnswIndex(full[id_col].to_numpy(np.int64),
+                    _as_matrix(full[vec_col]), m=m,
+                    ef_construction=ef_construction)
+    ids, cos = idx.search(np.asarray(queries, dtype=np.float32),
+                          k=k, ef_search=ef_search)
+    rows = []
+    for qi in range(ids.shape[0]):
+        for j in range(ids.shape[1]):
+            if ids[qi, j] >= 0:
+                rows.append((qi, int(ids[qi, j]),
+                             float(cos[qi, j])))
+    out = pd.DataFrame(rows, columns=["query_idx", "vec_id",
+                                      "cosine"])
+    return out.astype({"query_idx": "int64", "vec_id": "int64",
+                       "cosine": "float32"}) \
+        .sort_values(["query_idx", "cosine", "vec_id"],
+                     ascending=[True, False, True]) \
+        .reset_index(drop=True)

@@ -966,3 +966,52 @@ def test_map10_matches_textbook_average_precision(tmp_path):
         expect = float(np.mean(per_label[int(row["label"])]))
         assert abs(row["map10"] - expect) < 1e-5
     assert (out["map10"] > 0.2).all()   # clustered corpus retrieves
+
+
+def test_hnsw_recall_determinism_and_contracts():
+    import ray.data as rd
+
+    from jerex_ray.ops.ann import HnswIndex, brute_force_topk, hnsw_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(400, 32)).astype(np.float32)
+    ids = np.arange(400, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    qs = rng.normal(size=(15, 32)).astype(np.float32)
+
+    h = hnsw_topk(rd.from_pandas(df), qs, k=10)
+    b = brute_force_topk(rd.from_pandas(df), qs, k=10)
+    recalls = []
+    for qi in range(15):
+        hs = set(h[h["query_idx"] == qi]["vec_id"])
+        bs = set(b[b["query_idx"] == qi]["vec_id"])
+        recalls.append(len(hs & bs) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
+
+    # determinism + row-order independence: shuffled input, same graph
+    perm = rng.permutation(400)
+    h2 = hnsw_topk(rd.from_pandas(df.iloc[perm]), qs, k=10)
+    pd.testing.assert_frame_equal(h.reset_index(drop=True),
+                                  h2.reset_index(drop=True))
+
+    # the returned cosines are EXACT (re-checkable against raw vecs)
+    from jerex_ray.ops.ann import _normalize
+    vn = _normalize(vecs)
+    qn = _normalize(qs)
+    for r in h.head(40).itertuples():
+        want = float(qn[r.query_idx] @ vn[r.vec_id])
+        assert abs(float(r.cosine) - want) < 1e-6
+
+    # graph sanity: levels follow the derandomized draw, max degree
+    # bounded by 2M at layer 0 and M above
+    idx = HnswIndex(ids, vecs, m=8)
+    assert idx.max_level == int(idx.levels.max())
+    assert max(len(a) for a in idx.adj[0]) <= 16
+    for layer in range(1, len(idx.adj)):
+        assert max((len(a) for a in idx.adj[layer]), default=0) <= 8
+
+    # tiny/empty contracts
+    small = hnsw_topk(rd.from_pandas(df.head(3)), qs[:2], k=10)
+    assert (small.groupby("query_idx").size() <= 3).all()
+    empty = hnsw_topk(rd.from_pandas(df.head(0)), qs[:2], k=5)
+    assert len(empty) == 0
