@@ -133,3 +133,60 @@ def stream_window_aggregate(events_ds, *, id_col: str = "event_id",
         ["window_start"],
         {"n_events": (None, "count"), "sum_value": (value_col, "sum")},
         num_partitions=num_partitions)
+
+
+def dgim_replay(one_positions: np.ndarray, n_stream: int,
+                window: int) -> dict:
+    """DGIM sliding-window bit counting (Datar, Gionis, Indyk &
+    Motwani '02) — approximate 'how many 1s in the last W stream
+    positions' in O(log² W) memory with a ≤50% error guarantee (in
+    practice ~2%: the error is at most half the OLDEST bucket). The
+    canonical single-consumer streaming sketch completing the family
+    beside Misra-Gries / CMS / AMS / HLL / KMV.
+
+    Exact replay semantics (both engines): buckets are (end, size)
+    with sizes powers of two, at most TWO of each size; on each
+    1-bit arrival expired buckets (end ≤ p−W) drop FIRST, a size-1
+    bucket appends, then while any size has three buckets the two
+    OLDEST of the smallest such size merge into one of twice the
+    size ending at the newer end — each merge is a discrete step the
+    SQL oracle replays one recursion at a time. The estimate is
+    Σsizes − oldest + oldest//2 (all integer arithmetic).
+
+    Scale shape: the sketch IS the scale story — a DGIM per
+    key/shard lives inside a stateful actor consuming its partition
+    in order; this function is the exact replay harness those
+    actors verify against (inputs are the one-bit POSITIONS only,
+    ones-bounded)."""
+    from collections import Counter
+
+    buckets: list[tuple[int, int]] = []   # (end, size), end ascending
+    n_merges = 0
+    for p in one_positions:
+        p = int(p)
+        buckets = [(e, s) for e, s in buckets if e > p - window]
+        buckets.append((p, 1))
+        while True:
+            c = Counter(s for _, s in buckets)
+            cand = [s for s, n in c.items() if n >= 3]
+            if not cand:
+                break
+            s3 = min(cand)
+            olds = sorted((e, s) for e, s in buckets
+                          if s == s3)[:2]
+            buckets = [(e, s) for e, s in buckets
+                       if (e, s) not in olds]
+            buckets.append((olds[1][0], 2 * s3))
+            buckets.sort()
+            n_merges += 1
+    live = [(e, s) for e, s in buckets if e > n_stream - window]
+    total = sum(s for _, s in live)
+    oldest = live[0][1] if live else 0
+    exact = int((np.asarray(one_positions)
+                 > n_stream - window).sum())
+    estimate = total - oldest + oldest // 2
+    return {"n_stream": int(n_stream), "window_w": int(window),
+            "ones_in_window": exact, "estimate": int(estimate),
+            "n_buckets": len(live),
+            "largest": max((s for _, s in live), default=0),
+            "abs_error": abs(int(estimate) - exact)}

@@ -516,3 +516,47 @@ def test_referential_integrity_counts():
     # audit must COUNT them, not assume TPC-H's closed-world keys
     assert out["lineitem_orphans"] == li
     assert out["orders_childless"] == oc
+
+
+def test_dgim_guarantee_structure_and_crafted_streams():
+    import numpy as np
+
+    from jerex_ray.ops.streaming import dgim_replay
+
+    # all-ones stream: buckets are the canonical power-of-two
+    # staircase; at most two of each size
+    n, w = 1000, 256
+    res = dgim_replay(np.arange(1, n + 1), n, w)
+    assert res["ones_in_window"] == w
+    # 50% guarantee: error at most half the oldest bucket <= half
+    # the true count
+    assert res["abs_error"] * 2 <= res["ones_in_window"]
+    assert res["largest"] >= 1
+
+    # sparse stream: all ones in window, far apart -> exact answer
+    pos = np.array([100, 300, 500, 700, 900])
+    res2 = dgim_replay(pos, 1000, 950)
+    assert res2["ones_in_window"] == 5
+    # sizes stay 1 (never three of a size within expiry) -> exact
+    # except the oldest-half rule on a size-1 bucket
+    assert res2["abs_error"] <= 1
+
+    # guarantee over random streams and windows
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        nn = 4000
+        bits = rng.random(nn) < 0.3
+        ones = np.nonzero(bits)[0] + 1
+        for ww in (64, 512, 2048):
+            r = dgim_replay(ones, nn, ww)
+            exact = int((ones > nn - ww).sum())
+            assert r["ones_in_window"] == exact
+            if exact:
+                assert r["abs_error"] <= exact * 0.5 + 1
+            # memory bound: O(log^2 W) buckets — generous 4x bound
+            assert r["n_buckets"] <= 4 * max(
+                1, int(np.log2(ww)) ** 2)
+
+    # empty stream
+    r0 = dgim_replay(np.array([], dtype=np.int64), 100, 10)
+    assert r0["estimate"] == 0 and r0["ones_in_window"] == 0
