@@ -4612,3 +4612,26 @@ def test_croston_serial_replay_and_intermittent_semantics():
     assert (out["p"] <= max(1.0, float(ivs.max())) + 1e-9).all()
     # intermittency premise: the series has gaps (intervals > 1)
     assert (out["interval"].to_numpy()[1:] >= 1).all()
+
+
+def test_mcnemar_census_identity_and_crafted_cases():
+    import pyarrow.parquet as pq
+
+    from jerex_ray.pipelines.queries import q_events_mcnemar
+
+    sf = "/root/testdata/sf0.001"
+    out = q_events_mcnemar(sf)
+    # paired census partitions the user set
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    n_users = ev["user_id"].nunique()
+    total = int(out[["n_both", "n_neither", "b_lapsed",
+                     "c_new"]].sum(axis=1).iloc[0])
+    assert total == n_users
+    # chi2 recomputes from the shipped discordant counts
+    b, c = int(out["b_lapsed"][0]), int(out["c_new"][0])
+    want = 0.0 if b + c == 0 else (b - c) ** 2 / (b + c)
+    assert abs(float(out["chi2"][0]) - round(want, 6)) < 1e-12
+    # crafted: b=c -> chi2 = 0; b=10,c=0 -> chi2 = 10 (significant)
+    assert (5 - 5) ** 2 / 10 == 0.0
+    assert (10 - 0) ** 2 / 10 == 10.0 > 3.841459
