@@ -4635,3 +4635,55 @@ def test_mcnemar_census_identity_and_crafted_cases():
     # crafted: b=c -> chi2 = 0; b=10,c=0 -> chi2 = 10 (significant)
     assert (5 - 5) ** 2 / 10 == 0.0
     assert (10 - 0) ** 2 / 10 == 10.0 > 3.841459
+
+
+def test_ucb_replay_semantics_and_crafted_bandit():
+    import math
+
+    from jerex_ray.pipelines.queries import q_events_ucb_replay
+
+    out = q_events_ucb_replay("/root/testdata/sf0.001")
+    t, m = int(out["t_stream"][0]), int(out["matched"][0])
+    n0, n1 = int(out["n0"][0]), int(out["n1"][0])
+    s0, s1 = int(out["s0"][0]), int(out["s1"][0])
+    # replay consumes only matched events; pulls partition matched
+    assert 0 < m <= t
+    assert n0 + n1 == m
+    assert 0 <= s0 <= n0 and 0 <= s1 <= n1
+    # with near-equal arms the replay matches ~half the log
+    assert 0.3 * t < m < 0.7 * t
+    # shipped UCBs recompute from the shipped counters
+    tt = float(max(n0 + n1, 2))
+    u0 = s0 / max(n0, 1) + math.sqrt(2.0 * math.log(tt)
+                                     / max(n0, 1))
+    assert abs(float(out["ucb0"][0]) - round(u0, 6)) < 1e-12
+
+    # crafted bandit: arm 1 always pays, arm 0 never — UCB must
+    # concentrate pulls on arm 1 while still exploring arm 0
+    def replay(arms, rewards):
+        n = [0, 0]
+        s = [0, 0]
+        for a, r in zip(arms, rewards):
+            if n[0] == 0:
+                ch = 0
+            elif n[1] == 0:
+                ch = 1
+            else:
+                T = float(n[0] + n[1])
+                u0_ = (s[0] / n[0]
+                       + math.sqrt(2.0 * math.log(T) / n[0]))
+                u1_ = (s[1] / n[1]
+                       + math.sqrt(2.0 * math.log(T) / n[1]))
+                ch = 0 if u0_ >= u1_ else 1
+            if ch == a:
+                n[ch] += 1
+                s[ch] += r
+        return n, s
+
+    rng = np.random.default_rng(2)
+    arms = rng.integers(0, 2, 4000).tolist()
+    rewards = [a for a in arms]          # reward 1 iff arm 1
+    n, s = replay(arms, rewards)
+    assert s[1] == n[1] and s[0] == 0
+    assert n[1] > 4 * n[0]               # exploitation dominates
+    assert n[0] >= 2                     # but exploration persists
