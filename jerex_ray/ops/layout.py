@@ -233,3 +233,55 @@ def jump_consistent_hash(keys: np.ndarray, num_buckets: int) -> np.ndarray:
                          * (2147483648.0 / denom)).astype(np.int64)
             active = j < num_buckets
     return out
+
+
+def cuckoo_place(ids: np.ndarray, *, b: int = 256,
+                 max_kicks: int = 32) -> pd.DataFrame:
+    """Cuckoo hashing placement audit (Pagh & Rodler '01) — two
+    md5 hash tables of ``b`` slots each, insert in id order, evict
+    and re-place on collision (the displaced item moves to its
+    OTHER table), give up after ``max_kicks`` evictions in one
+    chain (the stashed-item rule: the item carried at cutoff is
+    dropped and the INITIATOR's chain is marked -1). The
+    worst-case-O(1)-lookup layout audit beside the ring and jump
+    hash: 'does this key set fit two tables at this load with
+    bounded displacement?'. Pure md5/integer arithmetic — the
+    recursive-CTE oracle replays every placement and every kick
+    bit-for-bit. Returns (id, tbl, slot, chain_kicks) with
+    tbl = -1 for stashed items.
+
+    Scale: insertion is inherently sequential per table PAIR — at
+    corpus scale shard keys first (jump hash) and run one cuckoo
+    pair per shard inside an actor; this is the per-shard
+    primitive."""
+    from jerex_ray.util import md5_hash64
+
+    ids = np.sort(np.asarray(ids, dtype=np.int64))
+    occ: dict[int, int] = {}
+    chain: dict[int, int] = {}
+    for u in ids:
+        u = int(u)
+        carry, k, kicks = u, int(md5_hash64(f"c1|{u}") % b), 0
+        while True:
+            if k not in occ:
+                occ[k] = carry
+                chain[u] = kicks
+                break
+            if kicks >= max_kicks:
+                chain[u] = -1
+                break
+            old = occ[k]
+            occ[k] = carry
+            k = (b + int(md5_hash64(f"c2|{old}") % b)) if k < b \
+                else int(md5_hash64(f"c1|{old}") % b)
+            carry = old
+            kicks += 1
+    loc = {v: kk for kk, v in occ.items()}
+    rows = [(int(u),
+             loc[int(u)] // b if int(u) in loc else -1,
+             loc[int(u)] % b if int(u) in loc else -1,
+             chain[int(u)]) for u in ids]
+    return pd.DataFrame(rows, columns=["user_id", "tbl", "slot",
+                                       "chain_kicks"]) \
+        .astype({"user_id": "int64", "tbl": "int64",
+                 "slot": "int64", "chain_kicks": "int64"})

@@ -1276,3 +1276,38 @@ def test_simrank_textbook_parity_symmetry_and_locality():
     # empty graph
     assert len(simrank_fixed_point(
         pd.DataFrame({"a": [], "b": []}))) == 0
+
+
+def test_cuckoo_place_invariants_chains_and_failure():
+    import numpy as np
+
+    from jerex_ray.ops.layout import cuckoo_place
+    from jerex_ray.util import md5_hash64
+
+    rng = np.random.default_rng(9)
+    ids = rng.choice(100000, 300, replace=False).astype(np.int64)
+    out = cuckoo_place(ids, b=256)
+    placed = out[out["tbl"] >= 0]
+    # every item placed (load 300/512 < 0.59 — cuckoo holds here)
+    assert len(placed) == len(out)
+    # no slot collision
+    key = placed["tbl"] * 256 + placed["slot"]
+    assert key.is_unique
+    # every item sits at one of ITS two hash slots
+    for r in placed.itertuples():
+        h1 = md5_hash64(f"c1|{r.user_id}") % 256
+        h2 = md5_hash64(f"c2|{r.user_id}") % 256
+        assert (r.tbl, r.slot) in ((0, h1), (1, h2))
+    # kicks happened at this load but stayed bounded
+    assert out["chain_kicks"].max() >= 1
+    assert out["chain_kicks"].max() <= 32
+
+    # forced failure: b=1 gives 2 total slots; a third id must stash
+    tiny = cuckoo_place(np.array([1, 2, 3], dtype=np.int64), b=1)
+    assert (tiny["tbl"] == -1).sum() >= 1
+    assert (tiny["chain_kicks"] == -1).sum() >= 1
+
+    # insertion-order canonicalization: shuffled input, same output
+    out2 = cuckoo_place(ids[rng.permutation(300)], b=256)
+    assert out.reset_index(drop=True).equals(
+        out2.reset_index(drop=True))
