@@ -4687,3 +4687,43 @@ def test_ucb_replay_semantics_and_crafted_bandit():
     assert s[1] == n[1] and s[0] == 0
     assert n[1] > 4 * n[0]               # exploitation dominates
     assert n[0] >= 2                     # but exploration persists
+
+
+def test_mantel_haenszel_identities_and_crafted_confounding():
+    import math
+
+    from jerex_ray.pipelines.queries import q_events_mantel_haenszel
+
+    out = q_events_mantel_haenszel("/root/testdata/sf0.001")
+    # strata partition the users; 2x2 margins are coherent
+    assert (out[["a", "b", "c", "d"]].sum(axis=1)
+            == out["n"]).all()
+    # pooled numerators recompute from the shipped per-stratum 2x2s
+    ns = out["n"].tolist()
+    P = math.prod(ns)
+    r = sum(int(row.a) * int(row.d) * (P // int(row.n))
+            for row in out.itertuples())
+    s = sum(int(row.b) * int(row.c) * (P // int(row.n))
+            for row in out.itertuples())
+    assert int(out["r_num"].iloc[0]) == r
+    assert int(out["s_num"].iloc[0]) == s
+    if s:
+        assert abs(float(out["or_mh"].iloc[0])
+                   - round(float(r) / float(s), 6)) < 1e-12
+
+    # crafted Simpson's-paradox fixture: crude OR reverses, MH
+    # agrees with the common within-stratum effect (OR = 1)
+    strata = [(9, 1, 27, 3), (3, 27, 1, 9)]   # each stratum OR = 1
+    ns = [sum(t) for t in strata]
+    P = math.prod(ns)
+    r = sum(a * d * (P // n)
+            for (a, b, c, d), n in zip(strata, ns))
+    s = sum(b * c * (P // n)
+            for (a, b, c, d), n in zip(strata, ns))
+    assert r == s                      # OR_MH = 1 exactly
+    # crude (pooled-table) OR is NOT 1 — the confounding MH removes
+    A = sum(t[0] for t in strata)
+    B = sum(t[1] for t in strata)
+    C = sum(t[2] for t in strata)
+    D = sum(t[3] for t in strata)
+    assert A * D != B * C
