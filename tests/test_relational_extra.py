@@ -4727,3 +4727,41 @@ def test_mantel_haenszel_identities_and_crafted_confounding():
     C = sum(t[2] for t in strata)
     D = sum(t[3] for t in strata)
     assert A * D != B * C
+
+
+def test_cochran_armitage_identities_and_crafted_trend():
+    from jerex_ray.pipelines.queries import q_events_cochran_armitage
+
+    out = q_events_cochran_armitage("/root/testdata/sf0.001")
+    # T and V2 recompute from the shipped group census
+    N = int(out["n"].sum())
+    A = int(out["a"].sum())
+    T = sum(int(r.g) * (int(r.a) * N - int(r.n) * A)
+            for r in out.itertuples())
+    v2 = N * sum(int(r.g) ** 2 * int(r.n)
+                 for r in out.itertuples()) \
+        - sum(int(r.g) * int(r.n) for r in out.itertuples()) ** 2
+    assert int(out["t_stat"].iloc[0]) == T
+    assert int(out["v2"].iloc[0]) == v2
+    den = A * (N - A) * v2
+    if den:
+        assert abs(float(out["z2"].iloc[0])
+                   - round(T * T * N / den, 6)) < 1e-9
+
+    # crafted monotone trend: rates 10% / 50% / 90% across g=0,1,2
+    rows = [(0, 100, 10), (1, 100, 50), (2, 100, 90)]
+    N = 300
+    A = 150
+    T = sum(g * (a * N - n * A) for g, n, a in rows)
+    v2 = N * sum(g * g * n for g, n, a in rows) \
+        - sum(g * n for g, n, a in rows) ** 2
+    z2 = T * T * N / (A * (N - A) * v2)
+    assert z2 > 100          # overwhelming trend
+    # flat rates -> T = 0 exactly (the null)
+    flat = [(0, 100, 30), (1, 100, 30), (2, 100, 30)]
+    Tf = sum(g * (a * 300 - n * 90) for g, n, a in flat)
+    assert Tf == 0
+    # reversing the order flips the sign of T (antisymmetry)
+    rev = [(2, 100, 10), (1, 100, 50), (0, 100, 90)]
+    Tr = sum(g * (a * N - n * A) for g, n, a in rev)
+    assert Tr == -T
