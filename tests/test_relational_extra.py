@@ -4765,3 +4765,35 @@ def test_cochran_armitage_identities_and_crafted_trend():
     rev = [(2, 100, 10), (1, 100, 50), (0, 100, 90)]
     Tr = sum(g * (a * N - n * A) for g, n, a in rev)
     assert Tr == -T
+
+
+def test_randomized_response_unbiasedness_and_bounds():
+    from jerex_ray.pipelines.queries import q_user_randomized_response
+
+    out = q_user_randomized_response("/root/testdata/sf0.001")
+    N = int(out["n_users"][0])
+    ny = int(out["n_reported_yes"][0])
+    nt = int(out["n_true_yes"][0])
+    # estimator recomputes from shipped counts
+    assert abs(float(out["pi_hat"][0])
+               - round((4 * ny - N) / (2 * N), 6)) < 1e-12
+    assert 0 <= ny <= N and 0 <= nt <= N
+    # md5 flips are ~25%: the estimator's sampling noise at N=15 is
+    # large, so only pin the coarse band
+    assert -0.5 <= float(out["pi_hat"][0]) <= 1.5
+
+    # unbiasedness across the md5 flip population: simulate Warner's
+    # mechanism exactly over a large synthetic cohort
+    import hashlib
+    import numpy as np
+    rng = np.random.default_rng(4)
+    truth = (rng.random(20000) < 0.37)
+    keep = np.array([
+        int.from_bytes(hashlib.md5(f"rr|{i}".encode())
+                       .digest()[:8], "big") % 4 < 3
+        for i in range(20000)])
+    report = np.where(keep, truth, ~truth)
+    pi_hat = (4 * report.sum() - 20000) / (2 * 20000)
+    assert abs(pi_hat - truth.mean()) < 0.02
+    # epsilon = ln(p/(1-p)) = ln 3 local DP for p = 3/4
+    assert abs(np.log(0.75 / 0.25) - np.log(3.0)) == 0.0
