@@ -4797,3 +4797,34 @@ def test_randomized_response_unbiasedness_and_bounds():
     assert abs(pi_hat - truth.mean()) < 0.02
     # epsilon = ln(p/(1-p)) = ln 3 local DP for p = 3/4
     assert abs(np.log(0.75 / 0.25) - np.log(3.0)) == 0.0
+
+
+def test_hurst_rs_persistent_antipersistent_and_random():
+    from jerex_ray.pipelines.queries import hurst_rs_levels
+
+    rng = np.random.default_rng(8)
+    # random iid counts -> H near 0.5 (R/S overestimates at small n
+    # — the Anis-Lloyd small-sample bias — so the band is generous
+    # upward)
+    y = rng.poisson(5, 4096).astype(np.int64)
+    _, h_rand = hurst_rs_levels(y)
+    assert 0.4 < h_rand < 0.75, h_rand
+
+    # persistent series (integrated noise -> trending) -> H near 1
+    steps = rng.integers(0, 2, 4096) * 2 - 1
+    y_pers = np.cumsum(steps) + 5000
+    _, h_pers = hurst_rs_levels(y_pers.astype(np.int64))
+    assert h_pers > 0.8, h_pers
+
+    # perfectly anti-persistent alternating series -> H = 0 exactly
+    # (range of cumulative deviations is O(1) at every scale)
+    y_anti = np.tile(np.array([4, 6], dtype=np.int64), 2048)
+    _, h_anti = hurst_rs_levels(y_anti)
+    assert h_anti == 0.0, h_anti
+
+    # ordering sanity: persistence strictly orders the three
+    assert h_anti < h_rand < h_pers
+    # constant series: every block skipped -> sentinel
+    lv, h_const = hurst_rs_levels(np.full(2048, 7, dtype=np.int64))
+    assert h_const == -1.0
+    assert all(c == 0 for _, c, _ in lv)
