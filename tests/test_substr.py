@@ -133,3 +133,30 @@ def test_lz78_classic_fixture_and_bounds(tmp_path):
     r_total, _ = lz78("ab" * 8)
     d_total, _ = lz78("abcdefghijklmnop")
     assert r_total < d_total
+
+
+def test_rice_param_bit_census_and_optimality():
+    import numpy as np
+
+    from jerex_ray.pipelines.queries import doc_rice_param
+
+    out = doc_rice_param("/root/testdata/sf0.001")
+    assert list(out["k"]) == list(range(8))
+    # same gap count at every k (the census is over one gap set)
+    assert out["n"].nunique() == 1
+    # k_star marks the global integer argmin with smallest-k ties
+    tb = out["total_bits"].to_numpy()
+    star = out.loc[out["k_star"] == 1, "k"]
+    assert len(star) == 1
+    assert tb[int(star.iloc[0])] == tb.min()
+    assert int(star.iloc[0]) == int(np.argmin(tb))
+
+    # closed-form check: geometric-ish gaps of mean ~2^k want k
+    rng = np.random.default_rng(6)
+    for k_true, lam in ((0, 1.0), (3, 11.0), (5, 45.0)):
+        gaps = rng.geometric(1.0 / lam, 50000).astype(np.int64)
+        bits = [int((gaps >> k).sum() + len(gaps) * (1 + k))
+                for k in range(8)]
+        k_opt = int(np.argmin(bits))
+        # Rice theory: k* ~ log2(mean gap) within one step
+        assert abs(k_opt - k_true) <= 1, (k_true, k_opt)
