@@ -4828,3 +4828,42 @@ def test_hurst_rs_persistent_antipersistent_and_random():
     lv, h_const = hurst_rs_levels(np.full(2048, 7, dtype=np.int64))
     assert h_const == -1.0
     assert all(c == 0 for _, c, _ in lv)
+
+
+def test_gumbel_fit_recovers_planted_params_and_orderings():
+    import math
+
+    from jerex_ray.pipelines.queries import q_events_gumbel
+
+    out = q_events_gumbel("/root/testdata/sf0.001")
+    B = int(out["n_days"][0])
+    S = int(out["s_sum"][0])
+    S2 = int(out["s2_sum"][0])
+    mbar = S / B
+    sigma = (math.sqrt((B * S2 - S * S) / (B * (B - 1)))
+             * math.sqrt(6.0) / math.pi)
+    mu = mbar - 0.5772156649015329 * sigma
+    assert abs(float(out["mu"][0]) - round(mu, 6)) < 1e-9
+    assert abs(float(out["sigma"][0]) - round(sigma, 6)) < 1e-9
+    # return levels order: year > month > location > 0
+    assert (float(out["rl_365d"][0]) > float(out["rl_30d"][0])
+            > float(out["mu"][0]))
+    # the fitted law is plausible for the observed peak
+    assert float(out["max_daily_peak"][0]) <= \
+        float(out["rl_365d"][0]) * 3
+
+    # method-of-moments recovers planted Gumbel parameters
+    rng = np.random.default_rng(12)
+    mu0, sg0 = 40.0, 7.0
+    draws = mu0 - sg0 * np.log(-np.log(rng.random(200000)))
+    m, s = draws.mean(), draws.std(ddof=1)
+    sg_hat = s * math.sqrt(6.0) / math.pi
+    mu_hat = m - 0.5772156649015329 * sg_hat
+    assert abs(sg_hat - sg0) < 0.1
+    assert abs(mu_hat - mu0) < 0.1
+    # return-level formula inverts the Gumbel CDF: at x = rl_T the
+    # exceedance probability is exactly 1/T
+    T = 30.0
+    rl = mu0 - sg0 * math.log(-math.log(1.0 - 1.0 / T))
+    p_exceed = 1.0 - math.exp(-math.exp(-(rl - mu0) / sg0))
+    assert abs(p_exceed - 1.0 / T) < 1e-12
