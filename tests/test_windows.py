@@ -560,3 +560,56 @@ def test_dgim_guarantee_structure_and_crafted_streams():
     # empty stream
     r0 = dgim_replay(np.array([], dtype=np.int64), 100, 10)
     assert r0["estimate"] == 0 and r0["ones_in_window"] == 0
+
+
+def test_allen_classify_all_13_relations_and_census_identity():
+    import numpy as np
+
+    from jerex_ray.pipelines.queries import (_ALLEN_RELATIONS,
+                                             _allen_classify,
+                                             q_user_allen_census)
+
+    # one crafted pair per basic relation, checked by name
+    cases = {
+        "before":        ((0, 2), (5, 9)),
+        "meets":         ((0, 5), (5, 9)),
+        "overlaps":      ((0, 6), (5, 9)),
+        "starts":        ((5, 7), (5, 9)),
+        "during":        ((6, 8), (5, 9)),
+        "finishes":      ((6, 9), (5, 9)),
+        "equals":        ((5, 9), (5, 9)),
+        "after":         ((10, 12), (5, 9)),
+        "met_by":        ((9, 12), (5, 9)),
+        "overlapped_by": ((6, 12), (5, 9)),
+        "started_by":    ((5, 12), (5, 9)),
+        "contains":      ((4, 12), (5, 9)),
+        "finished_by":   ((4, 9), (5, 9)),
+    }
+    for name, ((s1, e1), (s2, e2)) in cases.items():
+        code = int(_allen_classify(
+            np.array([s1]), np.array([e1]),
+            np.array([s2]), np.array([e2]))[0])
+        assert _ALLEN_RELATIONS[code] == name, (name, code)
+
+    # exhaustiveness + mutual exclusivity on random integer pairs
+    rng = np.random.default_rng(13)
+    s1 = rng.integers(0, 50, 4000)
+    d1 = rng.integers(1, 30, 4000)
+    s2 = rng.integers(0, 50, 4000)
+    d2 = rng.integers(1, 30, 4000)
+    codes = _allen_classify(s1, s1 + d1, s2, s2 + d2)
+    assert (codes >= 0).all() and (codes <= 12).all()
+    # inverse symmetry: swapping the pair maps relation -> inverse
+    inv = {0: 7, 1: 8, 2: 9, 3: 10, 4: 11, 5: 12, 6: 6,
+           7: 0, 8: 1, 9: 2, 10: 3, 11: 4, 12: 5}
+    swapped = _allen_classify(s2, s2 + d2, s1, s1 + d1)
+    assert (swapped == np.array([inv[int(c)]
+                                 for c in codes])).all()
+
+    # census sums to C(n, 2) over the real data
+    out = q_user_allen_census("/root/testdata/sf0.001")
+    import pyarrow.parquet as pq
+    n = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["user_id"]).to_pandas() \
+        ["user_id"].nunique()
+    assert int(out["n"].sum()) == n * (n - 1) // 2
