@@ -4867,3 +4867,36 @@ def test_gumbel_fit_recovers_planted_params_and_orderings():
     rl = mu0 - sg0 * math.log(-math.log(1.0 - 1.0 / T))
     p_exceed = 1.0 - math.exp(-math.exp(-(rl - mu0) / sg0))
     assert abs(p_exceed - 1.0 / T) < 1e-12
+
+
+def test_conformal_coverage_guarantee_and_rank_formula():
+    from jerex_ray.pipelines.queries import q_events_conformal
+
+    out = q_events_conformal("/root/testdata/sf0.001")
+    n_cal = int(out["n_cal"][0])
+    n_test = int(out["n_test"][0])
+    assert n_cal + n_test > 0 and n_test >= n_cal
+    cov = float(out["coverage"][0])
+    assert 0.0 <= cov <= 1.0
+    # the ceil((n+1)(1-alpha)) rank formula, alpha = 0.1
+    rank = -(-((n_cal + 1) * 9) // 10)
+    assert rank == int(np.ceil((n_cal + 1) * 0.9))
+
+    # marginal coverage >= 1 - alpha on exchangeable (iid) scores:
+    # split-conformal's distribution-free guarantee
+    rng = np.random.default_rng(21)
+    hits = []
+    for _ in range(30):
+        scores = rng.exponential(3.0, 400)
+        cal, test = scores[:200], scores[200:]
+        rk = min(-(-((200 + 1) * 9) // 10), 200)
+        qhat = np.sort(cal)[rk - 1]
+        hits.append((test <= qhat).mean())
+    # average across trials concentrates at >= 0.9
+    assert np.mean(hits) >= 0.88, np.mean(hits)
+    # and a crafted heavy calibration tail widens the interval
+    cal_wide = np.r_[np.ones(190), np.full(10, 100.0)]
+    rk = min(-(-((200 + 1) * 9) // 10), 200)
+    q_wide = np.sort(cal_wide)[rk - 1]
+    q_narrow = np.sort(np.ones(200))[rk - 1]
+    assert q_wide >= q_narrow
