@@ -4900,3 +4900,40 @@ def test_conformal_coverage_guarantee_and_rank_formula():
     q_wide = np.sort(cal_wide)[rk - 1]
     q_narrow = np.sort(np.ones(200))[rk - 1]
     assert q_wide >= q_narrow
+
+
+def test_control_chart_rules_on_crafted_series():
+    from jerex_ray.pipelines.queries import q_events_control_chart
+
+    out = q_events_control_chart("/root/testdata/sf0.001")
+    assert list(out["rule"]) == [1, 2, 3, 4]
+    assert (out["n_violations"] >= 0).all()
+    # first_hour is -1 exactly when the rule never fires
+    for r in out.itertuples():
+        assert (r.first_hour == -1) == (r.n_violations == 0)
+
+    # crafted verification of the integer sigma-band algebra
+    # (note: ONE spike among 9 flats sits at EXACTLY 3 sigma —
+    # d^2 = 9V — a boundary the strict > correctly excludes; with
+    # 11 flats the spike clears the band)
+    y = np.array([5] * 11 + [50], dtype=np.int64)
+    T = len(y)
+    S = int(y.sum())
+    V = T * int((y * y).sum()) - S * S
+    d = T * y - S
+    assert d[11] ** 2 > 9 * V
+    # the flat points are within 1 sigma
+    assert all(d[i] ** 2 <= V for i in range(11))
+    # and the exact-3-sigma boundary case does NOT alarm
+    yb = np.array([5] * 9 + [50], dtype=np.int64)
+    Tb, Sb = len(yb), int(yb.sum())
+    Vb = Tb * int((yb * yb).sum()) - Sb * Sb
+    db = Tb * yb - Sb
+    assert db[9] ** 2 == 9 * Vb
+    # rule 4: nine consecutive above-mean points trip the 8-run
+    y2 = np.r_[np.full(9, 10), np.full(9, 2)].astype(np.int64)
+    T2, S2 = len(y2), int(y2.sum())
+    d2 = T2 * y2 - S2
+    side = np.sign(d2)
+    runs = [side[i - 7:i + 1].sum() for i in range(7, T2)]
+    assert 8 in runs and -8 in runs
