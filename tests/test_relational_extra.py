@@ -4937,3 +4937,45 @@ def test_control_chart_rules_on_crafted_series():
     side = np.sign(d2)
     runs = [side[i - 7:i + 1].sum() for i in range(7, T2)]
     assert 8 in runs and -8 in runs
+
+
+def test_cindex_bounds_perfect_and_random_scores():
+    from jerex_ray.pipelines.queries import q_user_cindex
+
+    out = q_user_cindex("/root/testdata/sf0.001")
+    n_comp = int(out["n_comp"][0])
+    num2 = int(out["num2"][0])
+    if n_comp:
+        c = float(out["c_index"][0])
+        assert 0.0 <= c <= 1.0
+        assert abs(c - round(num2 / (2 * n_comp), 6)) < 1e-12
+        assert 0 <= num2 <= 2 * n_comp
+
+    # crafted checks through the same doubled-numerator algebra
+    def cidx(dur, ev, risk):
+        dur = np.asarray(dur)
+        ev = np.asarray(ev)
+        risk = np.asarray(risk)
+        comp = (dur[:, None] < dur[None, :]) & (ev[:, None] == 1)
+        c2 = np.where(comp,
+                      2 * (risk[:, None] > risk[None, :])
+                      + (risk[:, None] == risk[None, :]), 0)
+        return int(c2.sum()), int(comp.sum())
+
+    # perfect discrimination: risk reverse-orders durations
+    dur = [10, 20, 30, 40]
+    risk = [4, 3, 2, 1]
+    num2, nc = cidx(dur, [1, 1, 1, 1], risk)
+    assert nc == 6 and num2 == 12          # C = 1
+    # anti-discrimination: C = 0
+    num2, nc = cidx(dur, [1, 1, 1, 1], [1, 2, 3, 4])
+    assert num2 == 0
+    # constant scores: all ties -> C = 1/2 exactly
+    num2, nc = cidx(dur, [1, 1, 1, 1], [7, 7, 7, 7])
+    assert num2 == nc                       # num2/(2 nc) = 1/2
+    # censored short time is NOT comparable
+    num2a, nca = cidx([10, 20], [0, 1], [5, 1])
+    assert nca == 0
+    # time ties are not comparable either
+    _, ncb = cidx([10, 10], [1, 1], [5, 1])
+    assert ncb == 0
