@@ -5024,3 +5024,36 @@ def test_max_excess_window_brute_force_and_identities():
     y = np.array([1, 1, 9, 9, 9, 1, 1], dtype=np.int64)
     bs, st, en = kadane(y)
     assert (st, en) == (2, 4)
+
+
+def test_secretary_replay_one_over_e_law_and_edges():
+    from jerex_ray.pipelines.queries import q_user_secretary
+
+    out = q_user_secretary("/root/testdata/sf0.001")
+    n, s = int(out["n_users"][0]), int(out["n_success"][0])
+    assert 0 <= s <= n and n > 0
+
+    # the classic law: on random permutations of distinct values the
+    # rule succeeds with probability -> 1/e ~ 0.368
+    def replay(v):
+        n = len(v)
+        c = (n * 367879) // 1000000
+        prefmax = max(v[:c]) if c else -1.0
+        acc = next((x for x in v[c:] if x > prefmax), v[-1])
+        return acc == max(v)
+
+    rng = np.random.default_rng(19)
+    wins = sum(replay(list(rng.permutation(100).astype(float)))
+               for _ in range(3000))
+    rate = wins / 3000
+    assert abs(rate - 0.3679) < 0.03, rate
+
+    # edge cases: n = 1 always succeeds
+    assert replay([5.0])
+    # increasing sequence is the rule's classic FAILURE mode: it
+    # accepts the first improver (3), not the eventual max (6)
+    assert not replay([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    # a strong early benchmark followed by the true max succeeds
+    assert replay([3.0, 1.0, 2.0, 6.0])
+    # decreasing sequence: forced onto the last = the minimum
+    assert not replay([6.0, 5.0, 4.0, 3.0, 2.0, 1.0])
