@@ -5057,3 +5057,49 @@ def test_secretary_replay_one_over_e_law_and_edges():
     assert replay([3.0, 1.0, 2.0, 6.0])
     # decreasing sequence: forced onto the last = the minimum
     assert not replay([6.0, 5.0, 4.0, 3.0, 2.0, 1.0])
+
+
+def test_kendall_w_exact_cases_and_spearman_identity():
+    from jerex_ray.pipelines.queries import q_events_kendall_w
+
+    out = q_events_kendall_w("/root/testdata/sf0.001")
+    w = float(out["w"][0])
+    assert -0.2 <= w <= 1.0
+
+    # closed-form machinery on crafted judge matrices
+    def kendall_w(grid):
+        k, n = grid.shape
+        r2 = np.zeros(n, dtype=np.int64)
+        tie = 0
+        for j in range(k):
+            v = grid[j]
+            lo = (v[None, :] < v[:, None]).sum(axis=1)
+            t = (v[None, :] == v[:, None]).sum(axis=1)
+            r2 += 2 * lo + t + 1
+            _, c = np.unique(v, return_counts=True)
+            tie += int((c ** 3 - c).sum())
+        s = int((r2.astype(object) ** 2).sum())
+        num = 3 * (s - k * k * n * (n + 1) * (n + 1))
+        den = k * k * n * (n * n - 1) - k * tie
+        return num / den
+
+    # identical rankings -> W = 1 exactly
+    ident = np.tile(np.arange(24, dtype=np.int64), (7, 1))
+    assert kendall_w(ident) == 1.0
+    # k=2 judges: W relates to Spearman rho by W = (rho + 1)/2
+    rng = np.random.default_rng(23)
+    a = rng.permutation(20).astype(np.int64)
+    b = rng.permutation(20).astype(np.int64)
+    w2 = kendall_w(np.stack([a, b]))
+    rho = np.corrcoef(np.argsort(np.argsort(a)),
+                      np.argsort(np.argsort(b)))[0, 1]
+    assert abs(w2 - (rho + 1) / 2) < 1e-12
+    # reversed pair of rankings -> rho = -1 -> W = 0
+    assert abs(kendall_w(np.stack([a, a[::-1] * 0 + a.max() - a]))
+               - 0.0) < 1e-12
+    # all-constant judges: den and num both collapse by ties —
+    # fully tied input means zero variance; guard the den
+    const = np.zeros((3, 10), dtype=np.int64)
+    k, n = const.shape
+    tie = 3 * (10 ** 3 - 10)
+    assert k * k * n * (n * n - 1) - k * tie == 0
