@@ -5103,3 +5103,45 @@ def test_kendall_w_exact_cases_and_spearman_identity():
     k, n = const.shape
     tie = 3 * (10 ** 3 - 10)
     assert k * k * n * (n * n - 1) - k * tie == 0
+
+
+def test_wilson_ci_properties_and_wald_comparison():
+    import math
+
+    from jerex_ray.pipelines.queries import q_user_wilson_ci
+
+    out = q_user_wilson_ci("/root/testdata/sf0.001")
+    n, s = int(out["n"][0]), int(out["s"][0])
+    lo, hi = float(out["wilson_lo"][0]), float(out["wilson_hi"][0])
+    p = float(out["p_hat"][0])
+    assert 0.0 <= lo <= p <= hi <= 1.0
+
+    def wilson(s, n, z=1.959964):
+        p = s / n
+        denom = 1.0 + z * z / n
+        c = (p + z * z / (2.0 * n)) / denom
+        h = (z * math.sqrt(p * (1 - p) / n
+                           + z * z / (4 * n * n))) / denom
+        return c - h, c + h
+
+    # boundary sanity where Wald collapses: s = 0 still gives a
+    # strictly positive upper bound, s = n a sub-1 lower bound
+    lo0, hi0 = wilson(0, 20)
+    assert lo0 == 0.0 or abs(lo0) < 1e-12
+    assert hi0 > 0.1
+    lon, hin = wilson(20, 20)
+    assert lon < 1.0 and abs(hin - 1.0) < 1e-12
+    # coverage: over Binomial(50, 0.3) draws the 95% interval
+    # contains the truth ~95% of the time
+    rng = np.random.default_rng(29)
+    cover = 0
+    for _ in range(2000):
+        ss = int(rng.binomial(50, 0.3))
+        l, h = wilson(ss, 50)
+        cover += int(l <= 0.3 <= h)
+    assert cover / 2000 > 0.92
+    # Wilson is strictly narrower than it is misplaced: interval
+    # always inside [0, 1] (Wald can exceed it)
+    for ss in range(0, 51, 5):
+        l, h = wilson(ss, 50)
+        assert -1e-12 <= l <= h <= 1 + 1e-12
