@@ -593,6 +593,10 @@ class HnswIndex:
                  m: int = 8, ef_construction: int = 64):
         from jerex_ray.util import md5_hash64
 
+        if int(m) < 2:
+            raise ValueError(
+                f"HnswIndex: m must be >= 2 (got {m}) — the level "
+                "scale 1/log(m) is undefined at m=1")
         self.ids = np.asarray(ids, dtype=np.int64)
         order = np.argsort(self.ids, kind="stable")
         self.ids = self.ids[order]

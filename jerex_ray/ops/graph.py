@@ -2109,8 +2109,11 @@ def simrank_fixed_point(edges: pd.DataFrame, *, rounds: int = 3,
         A[pos[int(u)], pos[int(v)]] = 1
         A[pos[int(v)], pos[int(u)]] = 1
     deg = A.sum(axis=1)
-    assert int(deg.max()) ** 2 * scale * 4 < 2 ** 63, \
-        "simrank: fixed-point overflow"
+    if int(deg.max()) ** 2 * scale * 4 >= 2 ** 63:
+        # hard error (not assert: must survive python -O) — the int64
+        # matmul would silently wrap past this bound
+        raise ValueError("simrank: fixed-point overflow "
+                         f"(max degree {int(deg.max())}, scale {scale})")
     dd = 5 * np.outer(deg, deg)
     S = np.zeros((n, n), dtype=np.int64)
     np.fill_diagonal(S, scale)
