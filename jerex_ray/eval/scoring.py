@@ -209,13 +209,11 @@ def pred_structures_from_scored(scored: pd.DataFrame) -> dict:
     return out
 
 
-def joint_metrics(scored: pd.DataFrame, gt: dict) -> pd.DataFrame:
-    """The reference's joint evaluation tables (mention, coreference,
-    typed-entity, relation, strict rel_nec — ``joint_evaluator.py``)
-    over a whole corpus: micro P/R/F1 per level, plus per-type macro
-    for the typed levels. ``gt`` comes from
-    ``ground_truth_structures``; convs absent from predictions (e.g.
-    filler-only) count as empty documents."""
+def joint_level_tuples(scored: pd.DataFrame, gt: dict) -> tuple:
+    """Shared derivation for ``joint_metrics`` and its SQL-oracle side
+    tables: per-conv ground-truth / predicted tuple lists at all five
+    levels. Returns ``(convs, levels)`` where ``levels`` maps level
+    name → (gt_docs, pred_docs)."""
     pred = pred_structures_from_scored(scored)
     convs = sorted(gt)
 
@@ -246,6 +244,24 @@ def joint_metrics(scored: pd.DataFrame, gt: dict) -> pd.DataFrame:
         p_rn.append([(fs[h], st["cl_types"][h], fs[t],
                       st["cl_types"][t], r)
                      for h, t, r in st["relations"]])
+    return convs, {"mention": (g_m, p_m), "coref": (g_c, p_c),
+                   "entity": (g_e, p_e), "relation": (g_r, p_r),
+                   "rel_nec": (g_rn, p_rn)}
+
+
+def joint_metrics(scored: pd.DataFrame, gt: dict) -> pd.DataFrame:
+    """The reference's joint evaluation tables (mention, coreference,
+    typed-entity, relation, strict rel_nec — ``joint_evaluator.py``)
+    over a whole corpus: micro P/R/F1 per level, plus per-type macro
+    for the typed levels. ``gt`` comes from
+    ``ground_truth_structures``; convs absent from predictions (e.g.
+    filler-only) count as empty documents."""
+    _, lv = joint_level_tuples(scored, gt)
+    g_m, p_m = lv["mention"]
+    g_c, p_c = lv["coref"]
+    g_e, p_e = lv["entity"]
+    g_r, p_r = lv["relation"]
+    g_rn, p_rn = lv["rel_nec"]
 
     rows = []
 
