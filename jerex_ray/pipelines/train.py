@@ -37,7 +37,10 @@ class TrainingLossStage:
         import ray
 
         from jerex_ray.stages.numpy_scorer import NumpyScorer
-        self._gt = ray.get(gt_ref)   # conv → (mentions, relations, cl_types)
+        # gt_ref=None → co-located mode: GT arrives as per-doc packed
+        # list columns on the batch itself (``attach_gt``), nothing is
+        # broadcast. Otherwise: conv → (mentions, relations, cl_types)
+        self._gt = None if gt_ref is None else ray.get(gt_ref)
         self.types = types or DEFAULT_TYPES
         self.config = config or PipelineConfig()
         self.scorer = NumpyScorer(self.config, variant=variant, seed=seed,
@@ -64,16 +67,21 @@ class TrainingLossStage:
         se_vals, se_offs = flat_with_offsets(batch["tok_sub_end"], np.int64)
         conv_ids = batch["conv_id"].to_pylist()
         doc_ids = batch["doc_id"].to_pylist()
+        gt_rows = (None if self._gt is not None
+                   else parse_gt_columns(batch, self.types))
 
         for d in range(batch.num_rows):
             conv, doc_id = conv_ids[d], doc_ids[d]
-            # GT coordinates are DOC-scoped: a conversation chunked at
-            # the 700-sub-word ceiling has per-chunk sentence/cluster
-            # indices, so lookup is by doc_id first (silver GT is
-            # emitted per chunk); plain conv_id works for unchunked
-            # externally-annotated corpora
-            gt_m, gt_r, cl_types = self._gt.get(
-                doc_id, self._gt.get(conv, ([], [], [])))
+            if gt_rows is not None:
+                gt_m, gt_r, cl_types = gt_rows[d]
+            else:
+                # GT coordinates are DOC-scoped: a conversation chunked
+                # at the 700-sub-word ceiling has per-chunk sentence/
+                # cluster indices, so lookup is by doc_id first (silver
+                # GT is emitted per chunk); plain conv_id works for
+                # unchunked externally-annotated corpora
+                gt_m, gt_r, cl_types = self._gt.get(
+                    doc_id, self._gt.get(conv, ([], [], [])))
             sample = sample_document(
                 conv_id=conv,
                 phrases=phrase_vals[phrase_offs[d]:phrase_offs[d + 1]]
@@ -94,6 +102,14 @@ class TrainingLossStage:
 
         out = {k: [] for k in ("conv_id", "doc_id", "loss", "mention_loss",
                                "coref_loss", "entity_loss", "rel_loss")}
+        if batch.num_rows == 0 or "tok_phrase" not in batch.column_names:
+            # schema-less empty block from the co-location merge
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.string()),
+                **{k: pa.array([], pa.float64())
+                   for k in ("loss", "mention_loss", "coref_loss",
+                             "entity_loss", "rel_loss")}})
         for conv, doc_id, sample, kw in self._doc_steps(batch):
             losses = training_step(self.scorer, sample=sample, **kw)
             out["conv_id"].append(conv)
@@ -133,7 +149,10 @@ class TrainingGradStage(TrainingLossStage):
         loss_sums = {k: 0.0 for k in ("loss", "mention_loss", "coref_loss",
                                       "entity_loss", "rel_loss")}
         n = 0
-        for conv, doc_id, sample, kw in self._doc_steps(batch):
+        empty = (batch.num_rows == 0
+                 or "tok_phrase" not in batch.column_names)
+        for conv, doc_id, sample, kw in \
+                (() if empty else self._doc_steps(batch)):
             losses, grads = training_step_grads(self.scorer, sample=sample,
                                                 **kw)
             flat = flatten_grads(grads)
@@ -153,61 +172,260 @@ class TrainingGradStage(TrainingLossStage):
         })
 
 
+def _doc_gt_struct(m_rows, r_rows, types: TypeVocabulary):
+    """One document's raw GT rows → the (mentions, relations,
+    cl_types) structure ``sample_document`` consumes — CANONICALLY
+    ordered (mentions by (sent, start, end, cluster), relations by
+    (head, tail, pred)) so the broadcast-dict and hash-join paths
+    produce bit-identical samples regardless of shuffle row order.
+
+    ``m_rows``: iterable of (cluster, sent_id, start, end, type|None);
+    ``r_rows``: iterable of (head, tail, pred). Cluster type = first
+    mention's type in canonical order (``datasets.py:126-128``)."""
+    m_sorted = sorted(m_rows, key=lambda t: (t[1], t[2], t[3], t[0]))
+    mentions = [(int(c), int(s), int(a), int(b))
+                for c, s, a, b, _ in m_sorted]
+    cl_first: dict[int, str] = {}
+    for c, _s, _a, _b, ty in m_sorted:
+        if ty is not None:
+            cl_first.setdefault(int(c), ty)
+    cl_ids = sorted({m[0] for m in mentions})
+    cl_types = [types.entity_id(cl_first[c])
+                if c in cl_first and cl_first[c] in types.entity_types
+                else 0
+                for c in cl_ids]
+    relations = sorted((int(h), int(t), p) for h, t, p in r_rows)
+    return mentions, relations, cl_types
+
+
 def build_gt_dict(gt_mentions: pa.Table, gt_relations: pa.Table,
                   types: TypeVocabulary | None = None) -> dict:
-    """GT tables → conv_id-keyed dict the stage broadcasts.
+    """GT tables → conv_id-keyed dict the stage broadcasts (the
+    SMALL-GT fast path; corpus-sized GT goes through ``attach_gt``).
 
     ``gt_mentions``: (conv_id, cluster, sent_id, start, end[,
-    entity_type]); ``gt_relations``: (conv_id, head, tail, pred).
-    Cluster type = first mention's type (``datasets.py:126-128``),
-    mapped to the dense type index."""
+    entity_type]); ``gt_relations``: (conv_id, head, tail, pred)."""
     types = types or DEFAULT_TYPES
-    gt: dict = {}
+    raw: dict = {}
 
-    mdf = gt_mentions.to_pandas().sort_values(
-        ["conv_id", "sent_id", "start", "end"])
+    mdf = gt_mentions.to_pandas()
     has_type = "entity_type" in mdf.columns
     for conv, g in mdf.groupby("conv_id", sort=False):
-        mentions = [(int(c), int(s), int(a), int(b))
-                    for c, s, a, b in zip(g["cluster"], g["sent_id"],
-                                          g["start"], g["end"])]
-        cl_first: dict[int, str] = {}
-        if has_type:
-            for c, t in zip(g["cluster"], g["entity_type"]):
-                cl_first.setdefault(int(c), t)
-        cl_ids = sorted({m[0] for m in mentions})
-        cl_types = [types.entity_id(cl_first[c])
-                    if c in cl_first and cl_first[c] in types.entity_types
-                    else 0
-                    for c in cl_ids]
-        gt[conv] = (mentions, [], cl_types)
-
+        tys = g["entity_type"] if has_type else [None] * len(g)
+        raw[conv] = [list(zip(g["cluster"], g["sent_id"], g["start"],
+                              g["end"], tys)), []]
     rdf = gt_relations.to_pandas()
     for conv, g in rdf.groupby("conv_id", sort=False):
-        if conv not in gt:
-            gt[conv] = ([], [], [])
-        gt[conv] = (gt[conv][0],
-                    [(int(h), int(t), p) for h, t, p in
-                     zip(g["head"], g["tail"], g["pred"])],
-                    gt[conv][2])
-    return gt
+        raw.setdefault(conv, [[], []])
+        raw[conv][1] = list(zip(g["head"], g["tail"], g["pred"]))
+    return {conv: _doc_gt_struct(m, r, types)
+            for conv, (m, r) in raw.items()}
 
 
-def training_objective(tokenized_ds, gt_mentions: pa.Table,
-                       gt_relations: pa.Table, *,
+GT_PACK_COLS = ["gt_m_cluster", "gt_m_sent", "gt_m_start", "gt_m_end",
+                "gt_m_type", "gt_r_head", "gt_r_tail", "gt_r_pred"]
+
+_GT_PACK_SCHEMA = pa.schema(
+    [("gt_key", pa.string())]
+    + [(c, pa.list_(pa.string() if c in ("gt_m_type", "gt_r_pred")
+                    else pa.int64())) for c in GT_PACK_COLS])
+
+
+def parse_gt_columns(batch: pa.Table, types: TypeVocabulary) -> list:
+    """Per-row GT from the packed list columns ``attach_gt`` joined
+    onto the batch → list of (mentions, relations, cl_types) per doc.
+    Docs without GT (null lists from the left-outer join) get the
+    empty structure."""
+    n = batch.num_rows
+    if not all(c in batch.column_names for c in GT_PACK_COLS):
+        return [([], [], [])] * n
+    data = {c: batch[c].to_pylist() for c in GT_PACK_COLS}
+    out = []
+    for d in range(n):
+        mc = data["gt_m_cluster"][d] or []
+        ms = data["gt_m_sent"][d] or []
+        ma = data["gt_m_start"][d] or []
+        mb = data["gt_m_end"][d] or []
+        mt = data["gt_m_type"][d] or [None] * len(mc)
+        rh = data["gt_r_head"][d] or []
+        rt = data["gt_r_tail"][d] or []
+        rp = data["gt_r_pred"][d] or []
+        out.append(_doc_gt_struct(zip(mc, ms, ma, mb, mt),
+                                  zip(rh, rt, rp), types))
+    return out
+
+
+def _rows_to_ipc_blobs(t: pa.Table) -> list[bytes]:
+    """Each row → the Arrow-IPC bytes of its 1-row table (schema
+    preserved, list columns intact) so wide jagged doc rows can ride a
+    NARROW uniform shuffle schema — Acero (``Dataset.join``) rejects
+    list-typed payload columns outright, and a heterogeneous union
+    breaks hash-shuffle finalize."""
+    out = []
+    for i in range(t.num_rows):
+        row = t.slice(i, 1)
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, row.schema) as w:
+            w.write_table(row)
+        out.append(sink.getvalue().to_pybytes())
+    return out
+
+
+def attach_gt(tokenized_ds, gt_m_ds, gt_r_ds, *,
+              num_partitions: int | None = None):
+    """Hash-join co-location of GT rows against tokenized docs on
+    doc id — the SCALE path for corpus-sized GT (silver distillation
+    generates GT from the corpus itself, so at 100× the broadcast
+    dict becomes an unbounded driver materialization). Nothing GT- or
+    corpus-sized touches the driver, and there is exactly ONE
+    all-to-all exchange:
+
+    1. Docs, GT mention rows and GT relation rows are tagged into ONE
+       narrow uniform schema (key, side, blob, 4 ints, 1 string); the
+       wide jagged doc row travels as its 1-row Arrow-IPC blob.
+    2. One hash co-location on the key (``grouped_apply``) puts every
+       doc next to its GT rows (silver GT is doc/chunk-keyed, and
+       unchunked external corpora have doc_id == conv_id).
+    3. The per-block merge reconstructs the doc rows zero-copy from
+       their IPC blobs and appends the 8 ``GT_PACK_COLS`` list
+       columns; docs without GT get empty lists. No further shuffle
+       touches the (list-columned) output — it feeds the loss stage
+       directly."""
+    from jerex_ray.functions.aggregate import grouped_apply
+    from jerex_ray.runtime import configure_data_context, \
+        shuffle_partitions
+    configure_data_context(ds=tokenized_ds)
+
+    def _narrow(key, side, n, **over):
+        base = {
+            "gt_key": pa.array(key, pa.string()),
+            "side": pa.array(np.full(n, side, dtype=np.int8)),
+            "blob": pa.array(over.pop("blob", [b""] * n), pa.binary()),
+            "ia": pa.array(over.pop("ia", np.zeros(n, np.int64))),
+            "ib": pa.array(over.pop("ib", np.zeros(n, np.int64))),
+            "ic": pa.array(over.pop("ic", np.zeros(n, np.int64))),
+            "idd": pa.array(over.pop("idd", np.zeros(n, np.int64))),
+            "s": pa.array(over.pop("s", [""] * n), pa.string()),
+        }
+        return pa.table(base)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return _narrow(t["doc_id"].to_pylist(), 0, t.num_rows,
+                       blob=_rows_to_ipc_blobs(t))
+
+    def tag_m(t: pa.Table) -> pa.Table:
+        has_type = "entity_type" in t.column_names
+        return _narrow(
+            t["conv_id"].to_pylist(), 1, t.num_rows,
+            ia=t["cluster"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            ib=t["sent_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            ic=t["start"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            idd=t["end"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            s=(t["entity_type"].to_pylist() if has_type
+               else [""] * t.num_rows))
+
+    def tag_r(t: pa.Table) -> pa.Table:
+        return _narrow(
+            t["conv_id"].to_pylist(), 2, t.num_rows,
+            ia=t["head"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            ib=t["tail"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            s=t["pred"].to_pylist())
+
+    tagged = tokenized_ds.map_batches(tag_docs, batch_format="pyarrow") \
+        .union(gt_m_ds.map_batches(tag_m, batch_format="pyarrow")) \
+        .union(gt_r_ds.map_batches(tag_r, batch_format="pyarrow"))
+
+    def merge(block: pd.DataFrame) -> pa.Table:
+        if block.empty or "side" not in block.columns:
+            return pa.table({})
+        doc_tables, gt_cols = [], {c: [] for c in GT_PACK_COLS}
+        for _key, g in block.groupby("gt_key", sort=False):
+            docs = g[g["side"] == 0]
+            if docs.empty:
+                continue          # GT for a doc not in this corpus
+            m = g[g["side"] == 1]
+            r = g[g["side"] == 2]
+            for blob in docs["blob"]:
+                with pa.ipc.open_stream(pa.py_buffer(blob)) as rd_:
+                    doc_tables.append(rd_.read_all())
+                gt_cols["gt_m_cluster"].append(m["ia"].tolist())
+                gt_cols["gt_m_sent"].append(m["ib"].tolist())
+                gt_cols["gt_m_start"].append(m["ic"].tolist())
+                gt_cols["gt_m_end"].append(m["idd"].tolist())
+                gt_cols["gt_m_type"].append(m["s"].tolist())
+                gt_cols["gt_r_head"].append(r["ia"].tolist())
+                gt_cols["gt_r_tail"].append(r["ib"].tolist())
+                gt_cols["gt_r_pred"].append(r["s"].tolist())
+        if not doc_tables:
+            return pa.table({})
+        out = pa.concat_tables(doc_tables, promote_options="default")
+        for name in GT_PACK_COLS:
+            if name in out.column_names:   # idempotent re-attach
+                out = out.drop_columns([name])
+            out = out.append_column(
+                pa.field(name, _GT_PACK_SCHEMA.field(name).type),
+                pa.array(gt_cols[name],
+                         _GT_PACK_SCHEMA.field(name).type))
+        return out
+
+    np_ = shuffle_partitions(num_partitions)
+    return grouped_apply(tagged, ["gt_key"], merge,
+                         num_partitions=np_)
+
+
+def _gt_input_mode(gt_mentions, gt_relations, broadcast_rows):
+    """Pick the GT delivery path: arrow tables under the row budget
+    broadcast (fast path); Datasets or over-budget tables co-locate
+    via ``attach_gt`` (nothing GT-sized on the driver)."""
+    import ray.data
+    is_tbl = isinstance(gt_mentions, pa.Table)
+    if is_tbl and (gt_mentions.num_rows + gt_relations.num_rows
+                   <= broadcast_rows):
+        return "broadcast", gt_mentions, gt_relations
+    if is_tbl:
+        return ("join", ray.data.from_arrow(gt_mentions),
+                ray.data.from_arrow(gt_relations))
+    return "join", gt_mentions, gt_relations
+
+
+def training_objective(tokenized_ds, gt_mentions,
+                       gt_relations, *,
                        types: TypeVocabulary | None = None,
                        config: PipelineConfig | None = None,
                        variant: str = "multi_instance", seed: int = 13,
-                       concurrency=(1, 4), **knobs):
+                       concurrency=(1, 4),
+                       gt_broadcast_rows: int = 500_000,
+                       num_partitions: int | None = None, **knobs):
     """tokenized docs + GT tables → (per-doc loss Dataset,
     corpus-mean loss DataFrame). The mean is a combiner aggregate
-    (one row), per-doc losses stream."""
+    (one row), per-doc losses stream.
+
+    GT arrives either as arrow tables (≤ ``gt_broadcast_rows`` rows:
+    broadcast once via ``ray.put``, the annotated-corpus fast path) or
+    as Datasets / over-budget tables: then the GT rows are
+    hash-join co-located with the tokenized docs on doc id
+    (``attach_gt``) and NEVER pass through the driver — the
+    silver-distillation scale path where GT is corpus-sized."""
     import ray
 
     from jerex_ray.functions.aggregate import grouped_aggregate
 
-    gt_ref = ray.put(build_gt_dict(gt_mentions, gt_relations, types))
-    per_doc = tokenized_ds.map_batches(
+    mode, gt_m, gt_r = _gt_input_mode(gt_mentions, gt_relations,
+                                      gt_broadcast_rows)
+    if mode == "broadcast":
+        gt_ref = ray.put(build_gt_dict(gt_m, gt_r, types))
+        stage_in = tokenized_ds
+    else:
+        gt_ref = None
+        stage_in = attach_gt(tokenized_ds, gt_m, gt_r,
+                             num_partitions=num_partitions)
+    per_doc = stage_in.map_batches(
         TrainingLossStage, batch_format="pyarrow", batch_size=64,
         concurrency=concurrency,
         fn_constructor_kwargs={"gt_ref": gt_ref, "types": types,
@@ -225,14 +443,16 @@ def training_objective(tokenized_ds, gt_mentions: pa.Table,
     return per_doc, mean
 
 
-def train_epochs(tokenized_ds, gt_mentions: pa.Table,
-                 gt_relations: pa.Table, *, epochs: int = 3,
+def train_epochs(tokenized_ds, gt_mentions,
+                 gt_relations, *, epochs: int = 3,
                  lr: float = 5e-5, weight_decay: float = 0.01,
                  warmup_ratio: float = 0.1,
                  types: TypeVocabulary | None = None,
                  config: PipelineConfig | None = None,
                  variant: str = "multi_instance", seed: int = 13,
                  concurrency=(1, 4), resample_per_epoch: bool = True,
+                 gt_broadcast_rows: int = 500_000,
+                 num_partitions: int | None = None,
                  **knobs):
     """Synchronous data-parallel training of the HEAD parameters: per
     epoch, every document's analytic gradient is computed in the actor
@@ -252,7 +472,18 @@ def train_epochs(tokenized_ds, gt_mentions: pa.Table,
     from jerex_ray.stages.numpy_scorer import (TRAINABLE, NumpyScorer,
                                                unflatten_grads)
 
-    gt_ref = ray.put(build_gt_dict(gt_mentions, gt_relations, types))
+    mode, gt_m, gt_r = _gt_input_mode(gt_mentions, gt_relations,
+                                      gt_broadcast_rows)
+    if mode == "broadcast":
+        gt_ref = ray.put(build_gt_dict(gt_m, gt_r, types))
+        epoch_ds = tokenized_ds
+    else:
+        # corpus-sized GT: join it onto the tokenized blocks ONCE;
+        # the epoch loop then re-reads GT-carrying blocks and the
+        # workers parse GT from columns — nothing broadcast
+        gt_ref = None
+        epoch_ds = attach_gt(tokenized_ds, gt_m, gt_r,
+                             num_partitions=num_partitions)
     template = NumpyScorer(config or PipelineConfig(), variant=variant,
                            seed=seed, types=types)
     weights = template.get_weights(TRAINABLE)
@@ -263,7 +494,7 @@ def train_epochs(tokenized_ds, gt_mentions: pa.Table,
     # assembly+tokenization per epoch. For corpora far beyond the
     # object store, write the tokenized table to parquet once and pass
     # `read_parquet(...)` here — each epoch then streams from storage.
-    blocks = tokenized_ds.materialize().to_arrow_refs()
+    blocks = epoch_ds.materialize().to_arrow_refs()
 
     # PERSISTENT raw-actor fleet (the Dataset API would re-create its
     # actor pool every epoch — an iterative algorithm is the one place
@@ -401,7 +632,8 @@ def _explode_gt_relations(batch: pa.Table) -> pa.Table:
 def silver_gt_from_rule_scorer(transcripts_ds,
                                config: PipelineConfig | None = None,
                                output_dir: str | None = None,
-                               return_tokenized: bool = False):
+                               return_tokenized: bool = False,
+                               as_datasets: bool = False):
     """Silver ground truth distilled from the frozen RuleScorer: its
     mentions/clusters/relations become the GT tables the training
     objective consumes (a distillation-style setup; real corpora
@@ -438,6 +670,13 @@ def silver_gt_from_rule_scorer(transcripts_ds,
     if output_dir:
         gt_m_ds.write_parquet(f"{output_dir}/mentions")
         gt_r_ds.write_parquet(f"{output_dir}/relations")
+    if as_datasets:
+        # corpus-scale distillation: hand the GT back as DATASETS so
+        # training co-locates them via ``attach_gt`` — the driver
+        # never materializes a row
+        if return_tokenized:
+            return gt_m_ds, gt_r_ds, tok
+        return gt_m_ds, gt_r_ds
 
     def collect_typed(ds, schema: pa.Schema) -> pa.Table:
         # an all-empty Dataset surfaces SCHEMA-LESS through to_pandas —
