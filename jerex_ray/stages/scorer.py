@@ -486,47 +486,77 @@ class HFScorer:
     batch_size=B)`` — weights never leave the actor, blocks stay
     Arrow outside it (reference load: ``model.py:356-362``).
 
-    Not runnable in this sandbox (no torch/transformers) — the guard
-    raises NotImplementedError; the import-skipped test in
-    ``tests/test_stages.py`` exercises it where torch exists, and the
-    checkpoint weight MAPPING is tested torch-free. NOTE: a real run
-    also swaps the whitespace stub in ``stages/tokenize.py`` for the
-    checkpoint's tokenizer so sub-word encodings match the encoder."""
+    Not runnable with a REAL checkpoint in this sandbox (no
+    torch/transformers) — the guard raises NotImplementedError on the
+    checkpoint path; but the WIRING (decode hook, ``_cur`` stash,
+    head-weight mapping, H/M re-derivation) is torch-free: inject
+    duck-typed ``tokenizer`` (``.decode(list[int]) -> str``),
+    ``encoder`` (``encoding -> (len, H) float64 ndarray``) and
+    ``head_state`` (name → numpy array, reference state-dict layout)
+    and the whole composition runs on pure numpy — the always-run leg
+    of the test split; the torch leg loads the real objects from
+    ``checkpoint_path``. NOTE: a real run also swaps the whitespace
+    stub in ``stages/tokenize.py`` for the checkpoint's tokenizer so
+    sub-word encodings match the encoder."""
 
     def __new__(cls, config=None, *, checkpoint_path: str = "",
                 variant: str = "multi_instance", device: str = "cpu",
-                types=None):
-        try:
-            import torch  # noqa: F401
-            import transformers  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "HFScorer needs torch+transformers; this sandbox ships "
-                "neither — NumpyScorer provides the full head dataflow "
-                "with frozen weights, RuleScorer the frozen semantics"
-            ) from e
+                types=None, tokenizer=None, encoder=None,
+                head_state: dict | None = None):
+        if tokenizer is None or encoder is None or head_state is None:
+            try:
+                import torch  # noqa: F401
+                import transformers  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "HFScorer needs torch+transformers for the "
+                    "checkpoint path; this sandbox ships neither — "
+                    "inject tokenizer/encoder/head_state for the "
+                    "torch-free wiring, or use NumpyScorer (full head "
+                    "dataflow, frozen weights) / RuleScorer (frozen "
+                    "semantics)"
+                ) from e
         return super().__new__(cls)
 
     def __init__(self, config=None, *, checkpoint_path: str = "",
                  variant: str = "multi_instance", device: str = "cpu",
-                 types=None):
-        import torch
-        import transformers
-
+                 types=None, tokenizer=None, encoder=None,
+                 head_state: dict | None = None):
         from jerex_ray.stages.numpy_scorer import NumpyScorer
 
         # compose rather than subclass so the guard can fire before
         # any NumpyScorer weight allocation happens
         self._impl = NumpyScorer(config, variant=variant, types=types)
         self.config = self._impl.config
-        self._tokenizer = transformers.AutoTokenizer.from_pretrained(
-            checkpoint_path)
-        self._encoder = transformers.AutoModel.from_pretrained(
-            checkpoint_path).to(device).eval()
         self._device = device
-        state = torch.load(f"{checkpoint_path}/heads.pt",
-                           map_location="cpu")
-        sd = {k: v.numpy() for k, v in state.items()}
+        if tokenizer is None or encoder is None or head_state is None:
+            import torch
+            import transformers
+
+            self._tokenizer = transformers.AutoTokenizer \
+                .from_pretrained(checkpoint_path)
+            self._encoder = transformers.AutoModel \
+                .from_pretrained(checkpoint_path).to(device).eval()
+            state = torch.load(f"{checkpoint_path}/heads.pt",
+                               map_location="cpu")
+            sd = {k: v.numpy() for k, v in state.items()}
+            scorer_outer = self
+
+            # real contextual embeddings: BERT last hidden state
+            def embed_fn(encoding):
+                with torch.no_grad():
+                    ids = torch.as_tensor(
+                        encoding, dtype=torch.long,
+                        device=scorer_outer._device)[None]
+                    h = scorer_outer._encoder(
+                        input_ids=ids)["last_hidden_state"]
+                return h[0].cpu().numpy().astype(np.float64)
+        else:
+            # injected duck-typed components (torch-free wiring leg)
+            self._tokenizer = tokenizer
+            self._encoder = encoder
+            sd = {k: np.asarray(v) for k, v in head_state.items()}
+            embed_fn = encoder
         n = load_head_weights_from_state_dict(self._impl, sd)
         if n == 0:
             raise ValueError("checkpoint contains no recognized head "
@@ -536,13 +566,8 @@ class HFScorer:
         impl = self._impl
         scorer = self
 
-        # real contextual embeddings: BERT last hidden state
         def _embed(encoding):
-            with torch.no_grad():
-                ids = torch.as_tensor(encoding, dtype=torch.long,
-                                      device=scorer._device)[None]
-                h = scorer._encoder(input_ids=ids)["last_hidden_state"]
-            return h[0].cpu().numpy().astype(np.float64)
+            return embed_fn(encoding)
 
         # reference decode hook (misc.py:32-34): tokenizer.decode of
         # the mention's sub-word slice, stripped

@@ -240,6 +240,90 @@ def test_hf_scorer_guard_without_torch():
         HFScorer(checkpoint_path="/nonexistent")
 
 
+class _FakeTokenizer:
+    """Duck-typed decode hook: records every sub-word slice it is
+    asked to decode (proving the ``_cur`` stash routed the doc's
+    encoding) and returns a deterministic surface."""
+
+    def __init__(self):
+        self.calls = []
+
+    def decode(self, ids):
+        self.calls.append(list(ids))
+        return " ".join(f"w{i % 97}" for i in ids)
+
+
+def test_hf_scorer_wiring_torch_free():
+    """The always-run leg of the HFScorer split: the full composition
+    — duck-typed tokenizer/encoder injection, head-weight mapping,
+    H/M re-derivation from the checkpoint shapes, decode hook through
+    the ``_cur`` encoding stash, scoring a real tokenized batch —
+    exercised on pure numpy, no torch anywhere."""
+    import ray
+
+    import ray.data as rd
+
+    from jerex_ray.config import PipelineConfig
+    from jerex_ray.pipelines.kg import _with_part_key
+    from jerex_ray.sources.transcripts import generate_transcripts_table
+    from jerex_ray.stages.assemble import assemble_documents
+    from jerex_ray.stages.numpy_scorer import NumpyScorer
+    from jerex_ray.stages.scorer import _HF_WEIGHT_MAP, HFScorer
+    from jerex_ray.stages.tokenize import tokenize_documents
+
+    cfg = PipelineConfig().scaled_for_tests()
+    # donor with NON-DEFAULT sizes: proves H/M are re-derived from the
+    # checkpoint shapes, not inherited from the fresh NumpyScorer
+    donor = NumpyScorer(cfg, hidden_size=48, meta_size=6)
+    # push the mention-classifier bias slightly positive so the
+    # random-weight checkpoint localizes SOME mentions — the decode
+    # hook only fires on mentions (3.0 would accept every candidate
+    # span and turn coref quadratic)
+    donor.b_ml2 = np.full_like(donor.b_ml2, 0.55)
+    head_state = {}
+    mapping = dict(_HF_WEIGHT_MAP)
+    mapping["relation_classification.rel_classifier.weight"] = \
+        ("W_rel2", True)
+    mapping["relation_classification.rel_classifier.bias"] = \
+        ("b_rel2", False)
+    for key, (attr, transpose) in mapping.items():
+        if not hasattr(donor, attr):
+            continue
+        w = getattr(donor, attr)
+        head_state["model." + key] = w.T.copy() if transpose else w
+    head_state["model.bert.encoder.layer.0.weight"] = \
+        np.zeros((2, 2))           # encoder entries must be ignored
+
+    tok = _FakeTokenizer()
+
+    def encoder(encoding):
+        ids = np.asarray(encoding, np.int64)
+        # deterministic (L, 48) contextual stand-in
+        return np.tanh(np.sin(
+            ids[:, None] * (np.arange(48)[None, :] + 1) * 0.01))
+
+    hf = HFScorer(cfg, tokenizer=tok, encoder=encoder,
+                  head_state=head_state)
+    assert hf._impl.H == 48 and hf._impl.M == 6
+    np.testing.assert_array_equal(hf._impl.W_ml1, donor.W_ml1)
+    np.testing.assert_array_equal(hf._impl.E_size, donor.E_size)
+    np.testing.assert_array_equal(hf._impl.W_rel2, donor.W_rel2)
+
+    tokenized = tokenize_documents(
+        assemble_documents(_with_part_key(
+            rd.from_arrow(generate_transcripts_table(3)), cfg)), cfg,
+        concurrency=(1, 2))
+    batch = pa.concat_tables(
+        ray.get(tokenized.materialize().to_arrow_refs()))
+    out = hf(batch)
+    assert out.num_rows == batch.num_rows
+    assert "m_start" in out.column_names
+    # decode hook ran through the _cur stash and saw sub-word slices
+    assert len(tok.calls) > 0
+    assert all(len(c) >= 1 for c in tok.calls)
+    assert hf._cur is None         # stash reset after every doc
+
+
 def test_hf_scorer_end_to_end_with_torch():
     """Full real-checkpoint drive — runs only where torch+transformers
     exist (skipped in this sandbox). Saves a tiny random encoder +
