@@ -443,6 +443,47 @@ def training_objective(tokenized_ds, gt_mentions,
     return per_doc, mean
 
 
+def _save_train_checkpoint(ckpt_dir: str, ep: int, weights: dict,
+                           opt, hist: dict) -> str:
+    """Atomically write one epoch's full training state: weights,
+    AdamW moments + step counter, and the loss history so far —
+    everything a resumed run needs to reproduce the uninterrupted
+    history bit-for-bit (same manifest write-then-rename discipline
+    as the parquet sink)."""
+    import os
+    os.makedirs(ckpt_dir, exist_ok=True)
+    arrs = {"t": np.int64(opt.t), "epoch": np.int64(ep)}
+    for n, w in weights.items():
+        arrs["w__" + n] = w
+    for n, m in opt.m.items():
+        arrs["m__" + n] = m
+    for n, v in opt.v.items():
+        arrs["v__" + n] = v
+    for k, vals in hist.items():
+        arrs["h__" + k] = np.asarray(vals)
+    path = os.path.join(ckpt_dir, f"epoch-{ep}.npz")
+    tmp = os.path.join(ckpt_dir, f".epoch-{ep}.npz.tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrs)
+    os.replace(tmp, path)
+    return path
+
+
+def _load_latest_train_checkpoint(ckpt_dir: str):
+    """Newest complete epoch checkpoint in ``ckpt_dir`` (atomic
+    renames mean every ``epoch-*.npz`` present is complete), or
+    None."""
+    import glob
+    import os
+    import re
+    files = glob.glob(os.path.join(ckpt_dir, "epoch-*.npz"))
+    if not files:
+        return None
+    latest = max(files, key=lambda p: int(
+        re.search(r"epoch-(\d+)\.npz$", p).group(1)))
+    return np.load(latest, allow_pickle=False)
+
+
 def train_epochs(tokenized_ds, gt_mentions,
                  gt_relations, *, epochs: int = 3,
                  lr: float = 5e-5, weight_decay: float = 0.01,
@@ -453,6 +494,7 @@ def train_epochs(tokenized_ds, gt_mentions,
                  concurrency=(1, 4), resample_per_epoch: bool = True,
                  gt_broadcast_rows: int = 500_000,
                  num_partitions: int | None = None,
+                 checkpoint_dir: str | None = None,
                  **knobs):
     """Synchronous data-parallel training of the HEAD parameters: per
     epoch, every document's analytic gradient is computed in the actor
@@ -465,7 +507,17 @@ def train_epochs(tokenized_ds, gt_mentions,
     dataset per epoch (``data_module.py:114-127``). The frozen encoder stand-in mirrors the
     reference's BERT-vs-heads split. Returns (history DataFrame with
     the per-epoch corpus-mean loss BEFORE each update, trained
-    weights dict)."""
+    weights dict).
+
+    ``checkpoint_dir`` enables epoch-level checkpoint/resume
+    (reference ``model.py:320-323`` checkpoints per epoch; best-k
+    selection stays a consumer choice since every epoch file is
+    kept): after each update the weights, AdamW moments + step
+    counter, and loss history are written atomically to
+    ``epoch-<k>.npz``; a rerun with the same ``checkpoint_dir``
+    restores the newest one and continues, reproducing the
+    uninterrupted loss history bit-for-bit (gradients depend only on
+    restored weights + the epoch index)."""
     import ray
 
     from jerex_ray.functions.optim import AdamW
@@ -516,8 +568,20 @@ def train_epochs(tokenized_ds, gt_mentions,
             "coref_loss": [], "entity_loss": [], "rel_loss": [], "lr": []}
     loss_keys = ("loss", "mention_loss", "coref_loss", "entity_loss",
                  "rel_loss")
+    start_ep = 0
+    if checkpoint_dir:
+        ck = _load_latest_train_checkpoint(checkpoint_dir)
+        if ck is not None:
+            for n in weights:
+                weights[n][...] = ck["w__" + n]
+                opt.m[n][...] = ck["m__" + n]
+                opt.v[n][...] = ck["v__" + n]
+            opt.t = int(ck["t"])
+            start_ep = int(ck["epoch"]) + 1
+            for k in hist:
+                hist[k] = ck["h__" + k].tolist()
     try:
-        for ep in range(epochs):
+        for ep in range(start_ep, epochs):
             wref = ray.put({n: w.copy() for n, w in weights.items()})
             futures = [workers[i % n_workers].grads.remote(
                 blocks[i], wref, ep if resample_per_epoch else 0)
@@ -532,6 +596,9 @@ def train_epochs(tokenized_ds, gt_mentions,
             for k in loss_keys:
                 hist[k].append(sum(r[1][k] for r in results) / n)
             hist["lr"].append(opt.step(unflatten_grads(grad, template)))
+            if checkpoint_dir:
+                _save_train_checkpoint(checkpoint_dir, ep, weights,
+                                       opt, hist)
     finally:
         for w in workers:
             ray.kill(w)

@@ -93,3 +93,60 @@ def test_train_epochs_join_path_matches_broadcast():
         assert np.allclose(w_b[k], w_j[k], rtol=1e-9, atol=1e-12), k
     assert (np.diff(h_b["loss"].to_numpy()) < 0).all()
     assert (np.diff(h_j["loss"].to_numpy()) < 0).all()
+
+
+def test_train_epochs_checkpoint_resume_bitexact(tmp_path):
+    """Round-4 item 4: kill-between-epochs resume. A run checkpointed
+    per epoch and killed after epoch 2, then resumed from the same
+    checkpoint_dir, reproduces the uninterrupted 4-epoch loss history
+    BIT-FOR-BIT (weights + AdamW moments + step counter + history all
+    restored from the atomic epoch-<k>.npz)."""
+    import os
+
+    gt_m, gt_r = silver_gt_from_rule_scorer(
+        rd.from_arrow(generate_transcripts_table(10)), CFG)
+    kw = dict(lr=5e-3, warmup_ratio=0.0, config=CFG,
+              concurrency=(1, 2))
+    h_full, w_full = train_epochs(
+        _tokenized(rd.from_arrow(generate_transcripts_table(10))),
+        gt_m, gt_r, epochs=4, **kw)
+
+    ck = str(tmp_path / "ckpt")
+    # "killed" run: SAME epochs=4 schedule (the lr schedule's total
+    # must match the real run), killed right after the epoch-1
+    # checkpoint lands
+    import jerex_ray.pipelines.train as T
+    import pytest
+    real_save = T._save_train_checkpoint
+
+    def save_then_die(ckpt_dir, ep, *a, **k):
+        out = real_save(ckpt_dir, ep, *a, **k)
+        if ep == 1:
+            raise RuntimeError("simulated kill")
+        return out
+
+    T._save_train_checkpoint = save_then_die
+    try:
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            train_epochs(
+                _tokenized(rd.from_arrow(generate_transcripts_table(10))),
+                gt_m, gt_r, epochs=4, checkpoint_dir=ck, **kw)
+    finally:
+        T._save_train_checkpoint = real_save
+    assert sorted(os.listdir(ck)) == ["epoch-0.npz", "epoch-1.npz"]
+    # resumed run: continues at epoch 2, reuses restored state
+    h_res, w_res = train_epochs(
+        _tokenized(rd.from_arrow(generate_transcripts_table(10))),
+        gt_m, gt_r, epochs=4, checkpoint_dir=ck, **kw)
+
+    assert h_res["epoch"].tolist() == [0, 1, 2, 3]
+    assert h_res["loss"].tolist() == h_full["loss"].tolist()
+    assert h_res["lr"].tolist() == h_full["lr"].tolist()
+    assert h_res["n_docs"].tolist() == h_full["n_docs"].tolist()
+    for k in w_full:
+        assert np.array_equal(w_full[k], w_res[k]), k
+    # resume-on-finished: nothing recomputed, history returned intact
+    h_noop, _ = train_epochs(
+        _tokenized(rd.from_arrow(generate_transcripts_table(10))),
+        gt_m, gt_r, epochs=4, checkpoint_dir=ck, **kw)
+    assert h_noop["loss"].tolist() == h_full["loss"].tolist()
