@@ -4698,15 +4698,18 @@ def test_mantel_haenszel_identities_and_crafted_confounding():
     # strata partition the users; 2x2 margins are coherent
     assert (out[["a", "b", "c", "d"]].sum(axis=1)
             == out["n"]).all()
-    # pooled numerators recompute from the shipped per-stratum 2x2s
+    # pooled numerators recompute from the shipped per-stratum 2x2s;
+    # the query ships the gcd-REDUCED fraction (round-4 overflow
+    # guard), so reduce the recomputation identically
     ns = out["n"].tolist()
     P = math.prod(ns)
     r = sum(int(row.a) * int(row.d) * (P // int(row.n))
             for row in out.itertuples())
     s = sum(int(row.b) * int(row.c) * (P // int(row.n))
             for row in out.itertuples())
-    assert int(out["r_num"].iloc[0]) == r
-    assert int(out["s_num"].iloc[0]) == s
+    gg = math.gcd(r, s) or 1
+    assert int(out["r_num"].iloc[0]) == r // gg
+    assert int(out["s_num"].iloc[0]) == s // gg
     if s:
         assert abs(float(out["or_mh"].iloc[0])
                    - round(float(r) / float(s), 6)) < 1e-12
