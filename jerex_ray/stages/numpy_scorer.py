@@ -77,6 +77,14 @@ def _relu(x):
     return np.maximum(x, 0.0)
 
 
+def _offdiag_cols(n: int) -> np.ndarray:
+    """Column indices of the n×n off-diagonal in row-major order —
+    the reference's nested-loop pair order without materializing a
+    meshgrid + boolean mask: row i contributes cols [0..n-1] \\ {i}."""
+    base = np.broadcast_to(np.arange(n - 1), (n, n - 1))
+    return (base + (base >= np.arange(n)[:, None])).ravel()
+
+
 def _sparse_max_table(h: np.ndarray) -> list[np.ndarray]:
     """Sparse table for O(1) range-max queries over the rows of ``h``:
     ``st[k][i] = max(h[i : i + 2^k])`` elementwise. Build is
@@ -266,6 +274,36 @@ class NumpyScorer(RuleScorer):
             mixed[:-1] += 0.3 * e[1:]
         return np.tanh(mixed)
 
+    def _proj_blocks(self):
+        """Block-decomposed first-layer weights for the pair-heavy
+        heads (J4 coref, J9 mention-pair): ``concat(parts) @ W`` ==
+        ``Σ part @ W_block``, so the per-MENTION and per-ENTITY-PAIR
+        blocks are projected ONCE per doc and gathered per pair, and
+        the embedding blocks collapse to precomputed lookup tables —
+        the P-sized (quadratic) axis only ever sees adds and one ctx
+        matmul. Cached per weight-object identity so ``set_weights``
+        / checkpoint loads / HF head mapping invalidate naturally.
+        Block sums re-associate float addition vs the fused matmul
+        (last-ulp dust); the chunk-cap parity contract is unaffected
+        because chunking never splits the feature axis."""
+        key = (id(self.W_pair), id(self.W_co1), id(self.E_tokdist),
+               id(self.E_sentdist), id(self.E_ed))
+        if getattr(self, "_blk_key", None) != key:
+            H, M = self.H, self.M
+            W = self.W_pair
+            self._Wp_ctx = np.ascontiguousarray(W[0:H])
+            self._Wp_a = np.ascontiguousarray(W[H:2 * H])
+            self._Wp_b = np.ascontiguousarray(W[2 * H:3 * H])
+            self._Wp_ep = np.ascontiguousarray(W[3 * H:5 * H])
+            self._proj_td = self.E_tokdist @ W[5 * H:5 * H + M]
+            self._proj_sd = self.E_sentdist @ W[5 * H + M:5 * H + 2 * M]
+            C = self.W_co1
+            self._Wc_a = np.ascontiguousarray(C[0:H])
+            self._Wc_b = np.ascontiguousarray(C[H:2 * H])
+            self._proj_ed = self.E_ed @ C[2 * H:2 * H + M]
+            self._blk_key = key
+        return self
+
     def _decode_phrase(self, phrases: list[str], s: int, e: int) -> str:
         """Decode hook for J3 (``misc.py:32-34`` decodes the sub-word
         slice). The stub tokenizer lowercases and re-joins losslessly,
@@ -327,46 +365,58 @@ class NumpyScorer(RuleScorer):
         mentions = [(int(s), int(e), int(si))
                     for s, e, si in zip(v_start, v_end, v_sent)]
 
-        # J3: ordered pairs + decoded-phrase edit distances
+        # J3: ordered pairs + decoded-phrase edit distances.
+        # ED depends only on the UNIQUE decoded-phrase pair, so the
+        # per-pair work collapses: unique phrases (u ≤ n) → unique
+        # unordered uid pairs → one memo lookup / batched-DP entry per
+        # unique pair → one vectorized gather back to all n(n-1) rows.
+        # No Python loop ever touches the O(n²) pair axis.
         decoded = [self._decode_phrase(phrases, s, e) for s, e, _ in mentions]
         if n > 1:
-            ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
-            mask = ii != jj
-            pa_, pb_ = ii[mask], jj[mask]      # reference nested-loop order
-            eds = np.empty(len(pa_), dtype=np.int64)
+            pa_ = np.repeat(np.arange(n), n - 1)   # reference order
+            pb_ = _offdiag_cols(n)
+            uniq_phr, uid = np.unique(decoded, return_inverse=True)
+            ua, ub = uid[pa_], uid[pb_]
+            lo, hi = np.minimum(ua, ub), np.maximum(ua, ub)
+            pairkey = lo * len(uniq_phr) + hi
+            uk, inv2 = np.unique(pairkey, return_inverse=True)
+            uk_lo, uk_hi = uk // len(uniq_phr), uk % len(uniq_phr)
+            uvals = np.empty(len(uk), dtype=np.int64)
             memo = self._ed_memo
-            # memo lookups first; the doc's memo-missing phrase pairs
-            # are Levenshtein'd in ONE batched numpy DP
-            # (edit_distances_batch), not a Python loop per pair
-            missing: dict[tuple[str, str], list[int]] = {}
-            for k, (a, b) in enumerate(zip(pa_.tolist(), pb_.tolist())):
-                d1, d2 = decoded[a], decoded[b]
-                key = (d1, d2) if d1 <= d2 else (d2, d1)
+            missing_idx, missing_keys = [], []
+            for k, (a, b) in enumerate(zip(uk_lo.tolist(),
+                                           uk_hi.tolist())):
+                if a == b:
+                    uvals[k] = 0
+                    continue
+                key = (uniq_phr[a], uniq_phr[b])
                 ed = memo.get(key)
                 if ed is None:
-                    missing.setdefault(key, []).append(k)
+                    missing_idx.append(k)
+                    missing_keys.append(key)
                 else:
-                    eds[k] = ed
-            if missing:
-                keys = list(missing)
-                vals = edit_distances_batch(keys)
-                cache = len(memo) < 500_000
-                for key, ed in zip(keys, vals.tolist()):
-                    if cache:
-                        memo[key] = ed
-                    for k in missing[key]:
-                        eds[k] = ed
-            eds = np.clip(eds, 0, _ED_EMB - 1)
+                    uvals[k] = ed
+            if missing_keys:
+                vals = edit_distances_batch(missing_keys)
+                uvals[np.asarray(missing_idx, dtype=np.int64)] = vals
+                if len(memo) < 500_000:
+                    memo.update(zip(missing_keys, vals.tolist()))
+            eds = np.clip(uvals[inv2], 0, _ED_EMB - 1)
 
-            # J4: chunked coref classification
+            # J4: chunked coref classification — per-mention blocks
+            # projected once (n×H matmuls), gathered per pair; the
+            # E_ed block is a precomputed 300-row lookup
+            self._proj_blocks()
+            cA = v_reprs @ self._Wc_a
+            cB = v_reprs @ self._Wc_b
             P = len(pa_)
             co_logits = np.empty(P)
             max_pairs = cfg.max_coref_pairs or P
             for i in range(0, P, max_pairs):   # the J4 chunk loop
                 sl = slice(i, i + max_pairs)
-                xc = np.concatenate([v_reprs[pa_[sl]], v_reprs[pb_[sl]],
-                                     self.E_ed[eds[sl]]], axis=1)
-                co_logits[sl] = (_relu(xc @ self.W_co1 + self.b_co1)
+                xc = cA[pa_[sl]] + cB[pb_[sl]] + self._proj_ed[eds[sl]]
+                xc += self.b_co1
+                co_logits[sl] = (_relu(xc)
                                  @ self.W_co2 + self.b_co2).ravel()
             co_probs = _sigmoid(co_logits)
             # below-threshold pairs are indistinguishable from missing
@@ -402,14 +452,15 @@ class NumpyScorer(RuleScorer):
             relations = self._relations_global(clusters, ent_reprs, etype_idx)
         else:
             relations = self._relations_multi_instance(
-                clusters, ent_reprs, etype_idx, mentions, v_reprs,
-                v_ss, v_se, st)
+                clusters, ent_reprs, etype_idx, v_start, v_end, v_sent,
+                v_reprs, v_ss, v_se, st)
         return mentions, clusters, reps, types, relations
 
     # --- J8 + J9: multi-instance relation classification ---
 
     def _relations_multi_instance(self, clusters, ent_reprs, etype_idx,
-                                  mentions, v_reprs, v_ss, v_se, st):
+                                  m_start, m_end, m_sent,
+                                  v_reprs, v_ss, v_se, st):
         cfg = self.config
         nC = len(clusters)
         if nC < 2:
@@ -441,10 +492,12 @@ class NumpyScorer(RuleScorer):
         ctx_end = np.where(succ, s2s, s1s)
 
         # word-level token distance (get_mention_token_dist_tensors,
-        # sampling_common.py:305-314) and sentence distance
-        m_start = np.asarray([m[0] for m in mentions], dtype=np.int64)
-        m_end = np.asarray([m[1] for m in mentions], dtype=np.int64)
-        m_sent = np.asarray([m[2] for m in mentions], dtype=np.int64)
+        # sampling_common.py:305-314) and sentence distance; the
+        # m_* arrays arrive as the caller's v_start/v_end/v_sent —
+        # no per-mention tuple rebuild
+        m_start = np.asarray(m_start, dtype=np.int64)
+        m_end = np.asarray(m_end, dtype=np.int64)
+        m_sent = np.asarray(m_sent, dtype=np.int64)
         w1s, w1e = m_start[mp_a], m_end[mp_a]
         w2s, w2e = m_start[mp_b], m_end[mp_b]
         first_e = np.where(w1s < w2s, w1e, w2e)
@@ -459,9 +512,16 @@ class NumpyScorer(RuleScorer):
                                   axis=1)
 
         # J9 chunked mention-pair representations — each chunk is ONE
-        # range-max query batch + ONE feature-matrix assembly + ONE
-        # matmul, the numpy mirror of the reference's per-chunk tensor
-        # op (relation_classification_multi_instance.py:32-51)
+        # range-max query batch + block-decomposed projection: the
+        # per-mention and per-entity-pair blocks are projected ONCE
+        # (n- and nC²-sized matmuls) and GATHERED per pair; only the
+        # ctx block (unique per pair) multiplies on the P axis. Numpy
+        # mirror of the reference's per-chunk tensor op
+        # (relation_classification_multi_instance.py:32-51)
+        self._proj_blocks()
+        pA = v_reprs @ self._Wp_a
+        pB = v_reprs @ self._Wp_b
+        pEP = ep_reprs @ self._Wp_ep + self.b_pair
         local = np.empty((P, self.H))
         max_pairs = cfg.max_rel_pairs or P
         T = st[0].shape[0]
@@ -471,12 +531,13 @@ class NumpyScorer(RuleScorer):
             # vector (relation_classification_multi_instance.py:78)
             ctx = _range_max(st, ctx_start[sl],
                              np.minimum(ctx_end[sl], T), self.H)
-            x = np.concatenate([
-                ctx, v_reprs[mp_a[sl]], v_reprs[mp_b[sl]],
-                ep_reprs[mp_ep[sl]],
-                self.E_tokdist[tok_dist[sl]],
-                self.E_sentdist[sent_dist[sl]]], axis=1)
-            local[sl] = x @ self.W_pair + self.b_pair   # no relu here
+            x = ctx @ self._Wp_ctx
+            x += pA[mp_a[sl]]
+            x += pB[mp_b[sl]]
+            x += pEP[mp_ep[sl]]
+            x += self._proj_td[tok_dist[sl]]
+            x += self._proj_sd[sent_dist[sl]]
+            local[sl] = x
 
         # multi-instance max-pool per entity pair (G3): mention-pair
         # rows are contiguous per entity pair ⇒ one reduceat
