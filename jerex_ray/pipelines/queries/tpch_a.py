@@ -181,6 +181,11 @@ def q_part_kcore(sf_dir: str):
 
     edges = grouped_apply(li, ["l_orderkey"], pairs_block)
     out = kcore(edges, k=80, max_rounds=8).to_pandas()
+    if "node" not in out.columns:
+        # tiny corpora can peel the whole graph away: an all-empty
+        # Dataset collects SCHEMA-LESS — rebuild the typed frame
+        out = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                            "deg": pd.Series(dtype="int64")})
     out["node"] = out["node"].astype("int64")
     out["deg"] = out["deg"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)

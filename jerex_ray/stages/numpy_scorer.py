@@ -287,20 +287,32 @@ class NumpyScorer(RuleScorer):
         (last-ulp dust); the chunk-cap parity contract is unaffected
         because chunking never splits the feature axis."""
         key = (id(self.W_pair), id(self.W_co1), id(self.E_tokdist),
-               id(self.E_sentdist), id(self.E_ed))
+               id(self.E_sentdist), id(self.E_ed), id(self.W_ml1),
+               id(self.E_size), id(self.W_rel1), id(self.E_etype))
         if getattr(self, "_blk_key", None) != key:
             H, M = self.H, self.M
+            L = self.W_ml1
+            self._Wm_r = np.ascontiguousarray(L[0:H])
+            self._proj_size = self.E_size @ L[H:H + M]
             W = self.W_pair
             self._Wp_ctx = np.ascontiguousarray(W[0:H])
             self._Wp_a = np.ascontiguousarray(W[H:2 * H])
             self._Wp_b = np.ascontiguousarray(W[2 * H:3 * H])
-            self._Wp_ep = np.ascontiguousarray(W[3 * H:5 * H])
+            # ep block split head/tail so ent_reprs projects ONCE
+            # (nC-sized) instead of building the nC²×2H concat
+            self._Wp_eph = np.ascontiguousarray(W[3 * H:4 * H])
+            self._Wp_ept = np.ascontiguousarray(W[4 * H:5 * H])
             self._proj_td = self.E_tokdist @ W[5 * H:5 * H + M]
             self._proj_sd = self.E_sentdist @ W[5 * H + M:5 * H + 2 * M]
             C = self.W_co1
             self._Wc_a = np.ascontiguousarray(C[0:H])
             self._Wc_b = np.ascontiguousarray(C[H:2 * H])
             self._proj_ed = self.E_ed @ C[2 * H:2 * H + M]
+            # J9 second stage: [pooled ‖ etype_h ‖ etype_t] @ W_rel1
+            R = self.W_rel1
+            self._Wr_p = np.ascontiguousarray(R[0:H])
+            self._proj_eth = self.E_etype @ R[H:H + M]
+            self._proj_ett = self.E_etype @ R[H + M:H + 2 * M]
             self._blk_key = key
         return self
 
@@ -343,12 +355,15 @@ class NumpyScorer(RuleScorer):
         cand_ss = sub_start[starts]
         cand_se = sub_end[ends - 1]
 
-        # J1 + J2: mention localization
+        # J1 + J2: mention localization (size block decomposed to a
+        # precomputed 30-row projection table, see _proj_blocks)
+        self._proj_blocks()
         reprs = self._mention_reprs(st, cand_ss, cand_se)
         sizes = np.clip(ends - starts, 0, _SIZE_EMB - 1)
-        x = np.concatenate([reprs, self.E_size[sizes]], axis=1)
-        ml_logits = (_relu(x @ self.W_ml1 + self.b_ml1)
-                     @ self.W_ml2 + self.b_ml2).ravel()
+        x = reprs @ self._Wm_r
+        x += self._proj_size[sizes]
+        x += self.b_ml1
+        ml_logits = (_relu(x) @ self.W_ml2 + self.b_ml2).ravel()
         valid = _sigmoid(ml_logits) >= cfg.mention_threshold   # M3
         if not valid.any():
             return [], [], [], [], []
@@ -507,9 +522,9 @@ class NumpyScorer(RuleScorer):
         sent_dist = np.clip(np.abs(sent1 - sent2), 0, _SENTDIST_EMB - 1)
 
         # entity-pair repr: concat variant [head ‖ tail]
-        # (EntityPairRepresentationCat, entity_pair_representation.py:30-40)
-        ep_reprs = np.concatenate([ent_reprs[heads], ent_reprs[tails]],
-                                  axis=1)
+        # (EntityPairRepresentationCat, entity_pair_representation.py:
+        # 30-40) — realized as split head/tail projections of
+        # ent_reprs (nC-sized), never as the nC²×2H concat
 
         # J9 chunked mention-pair representations — each chunk is ONE
         # range-max query batch + block-decomposed projection: the
@@ -521,7 +536,8 @@ class NumpyScorer(RuleScorer):
         self._proj_blocks()
         pA = v_reprs @ self._Wp_a
         pB = v_reprs @ self._Wp_b
-        pEP = ep_reprs @ self._Wp_ep + self.b_pair
+        pEP = (ent_reprs @ self._Wp_eph)[heads] \
+            + (ent_reprs @ self._Wp_ept)[tails] + self.b_pair
         local = np.empty((P, self.H))
         max_pairs = cfg.max_rel_pairs or P
         T = st[0].shape[0]
@@ -544,10 +560,11 @@ class NumpyScorer(RuleScorer):
         ep_row_starts = np.concatenate(
             ([0], np.cumsum(ep_counts)[:-1])).astype(np.int64)
         pooled = np.maximum.reduceat(local, ep_row_starts, axis=0)
-        xr = np.concatenate([pooled, self.E_etype[etype_idx[heads]],
-                             self.E_etype[etype_idx[tails]]], axis=1)
-        logits = _relu(xr @ self.W_rel1 + self.b_rel1) \
-            @ self.W_rel2 + self.b_rel2
+        xr = pooled @ self._Wr_p
+        xr += self._proj_eth[etype_idx[heads]]
+        xr += self._proj_ett[etype_idx[tails]]
+        xr += self.b_rel1
+        logits = _relu(xr) @ self.W_rel2 + self.b_rel2
         probs = _sigmoid(logits)
         # deterministic evidence: smallest sentence index among the
         # pair's mention pairs (the reference emits no evidence at
