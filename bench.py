@@ -129,12 +129,31 @@ def run_scaling_child() -> dict:
     # untimed warmup: spin up the full worker/actor fleet + page cache
     run_once(3000)
     n_triples, dt = run_once(SCALING_CONVS)
+
+    # honest resource accounting for the dress-rehearsal regime:
+    # driver peak RSS, cluster-wide object-store usage and spill
+    # volume (from Ray's own memory summary)
+    import resource
+    rss_mib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    spilled_mib = obj_store_mib = 0
+    try:
+        from ray._private.internal_api import memory_summary
+        summ = memory_summary(stats_only=True)
+        m = re.search(r"Spilled (\d+) MiB", summ)
+        spilled_mib = int(m.group(1)) if m else 0
+        m = re.search(r"Plasma memory usage (\d+) MiB", summ)
+        obj_store_mib = int(m.group(1)) if m else 0
+    except Exception:
+        pass
     ray.shutdown()
     return {"metric": "kg_extraction_sec", "value": round(dt, 3),
             "unit": "sec", "n_convs": SCALING_CONVS,
             "n_triples": n_triples,
             "triples_per_sec": round(n_triples / dt, 1),
-            "num_cpus": NUM_CPUS}
+            "num_cpus": NUM_CPUS,
+            "driver_peak_rss_mib": rss_mib,
+            "object_store_mib": obj_store_mib,
+            "spilled_mib": spilled_mib}
 
 
 def run_scaling() -> dict:
@@ -213,9 +232,45 @@ def run_stats() -> dict:
             "n_convs": n_convs, "num_cpus": NUM_CPUS, "operators": ops}
 
 
+def run_rehearsal() -> dict:
+    """100×-proxy dress rehearsal (round-4 item 5): ONE recorded run
+    of the flagship at the largest corpus that fits (default 2.4M
+    convs ≈ 21M turns) at 8 and 32 CPUs in fresh processes — wall,
+    triples/s, driver peak RSS, object-store/spill volume, and the
+    8→32 efficiency at that size. Single runs (no min-of-N): at this
+    job length fixed overhead is amortized and the noise share small."""
+    n = int(os.environ.get("GRAFT_REHEARSAL_CONVS", "2400000"))
+
+    def run_one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SCALING_CONVS=str(n))
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__),
+                               "--scaling-child"],
+                              env=env, capture_output=True, text=True,
+                              check=True)
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = run_one(8), run_one(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8) if hi["value"] else 0.0
+    return {
+        "metric": "dress_rehearsal_2p4M_convs",
+        "n_convs": n,
+        "n_triples": hi["n_triples"],
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "triples_per_sec_8": lo["triples_per_sec"],
+        "triples_per_sec_32": hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "driver_peak_rss_mib_32": hi["driver_peak_rss_mib"],
+        "object_store_mib_32": hi["object_store_mib"],
+        "spilled_mib_32": hi["spilled_mib"],
+    }
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         print(json.dumps(run_scaling_child()))
+    elif "--rehearsal" in sys.argv:
+        print(json.dumps(run_rehearsal()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--stats" in sys.argv:

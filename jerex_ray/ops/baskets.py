@@ -93,16 +93,28 @@ def association_rules(pairs_ds, *, basket_col: str, item_col: str,
             df.rename(columns={"ia": "antecedent", "ib": "consequent"}),
             df.rename(columns={"ib": "antecedent", "ia": "consequent"})],
             ignore_index=True)
-        cab = both["cab"].to_numpy(np.float64)
-        ca = both["antecedent"].map(ic).to_numpy(np.float64)
-        cb = both["consequent"].map(ic).to_numpy(np.float64)
+        # all three ratios are EXACT integer rationals, and power-of-2
+        # denominators make 6-decimal HALF TIES real (lift×1e6 can be
+        # k+0.5 exactly) — round half-away in INTEGER arithmetic
+        # (python ints, no overflow at any scale) so numpy-banker's
+        # vs SQL-half-away can never disagree
+        M = 1_000_000
+
+        def ha6(num: int, den: int) -> float:
+            return ((2 * num * M + den) // (2 * den)) / 1e6
+
+        cab = [int(x) for x in both["cab"]]
+        ca = [int(ic[a]) for a in both["antecedent"]]
+        cb = [int(ic[b]) for b in both["consequent"]]
+        nb = int(n_baskets)
         return pd.DataFrame({
             "antecedent": both["antecedent"].astype("int64"),
             "consequent": both["consequent"].astype("int64"),
             "pair_count": both["cab"].astype("int64"),
-            "support": np.round(cab / n_baskets, 6),
-            "confidence": np.round(cab / ca, 6),
-            "lift": np.round(float(n_baskets) * cab / (ca * cb), 6)})
+            "support": [ha6(c, nb) for c in cab],
+            "confidence": [ha6(c, a) for c, a in zip(cab, ca)],
+            "lift": [ha6(nb * c, a * b)
+                     for c, a, b in zip(cab, ca, cb)]})
 
     return pair_counts.map_batches(score, batch_format="pandas")
 

@@ -1653,9 +1653,13 @@ ORACLES = {
         """,
     'q1_pricing_summary': """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                       / 100.0 AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                       / 100.0 AS sum_base_price,
+                   ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                     + 50) // 100) / 100.0 AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1691,9 +1695,20 @@ ORACLES = {
             FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
         """,
     'q_segment_avg_balance': """
-            SELECT c_mktsegment, count(*) AS n_customers,
-                   round(avg(c_acctbal), 4) AS avg_bal
-            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+            WITH g AS (
+                SELECT c_mktsegment,
+                       CAST(count(*) AS BIGINT) AS n_customers,
+                       sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                           * 100 AS s
+                FROM customer GROUP BY c_mktsegment)
+            SELECT c_mktsegment, n_customers,
+                   (CASE WHEN s >= 0
+                         THEN (2 * s + n_customers)
+                              // (2 * n_customers)
+                         ELSE -((2 * (-s) + n_customers)
+                                // (2 * n_customers)) END) / 10000.0
+                       AS avg_bal
+            FROM g ORDER BY c_mktsegment
         """,
     'q_distinct_segments': """
             SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
@@ -1771,11 +1786,16 @@ ORACLES = {
                 UNION ALL SELECT ib, ia, cab FROM pair)
             SELECT d.ant AS antecedent, d.con AS consequent,
                    cab AS pair_count,
-                   round(CAST(cab AS DOUBLE) / (SELECT nb FROM n), 6)
+                   ((2 * CAST(cab AS HUGEINT) * 1000000
+                     + (SELECT nb FROM n))
+                    // (2 * (SELECT nb FROM n))) / 1000000.0
                        AS support,
-                   round(CAST(cab AS DOUBLE) / ca.c, 6) AS confidence,
-                   round(CAST((SELECT nb FROM n) AS DOUBLE) * cab
-                         / (ca.c * cb.c), 6) AS lift
+                   ((2 * CAST(cab AS HUGEINT) * 1000000 + ca.c)
+                    // (2 * ca.c)) / 1000000.0 AS confidence,
+                   ((2 * CAST((SELECT nb FROM n) AS HUGEINT) * cab
+                       * 1000000 + ca.c * cb.c)
+                    // (2 * CAST(ca.c AS HUGEINT) * cb.c)) / 1000000.0
+                       AS lift
             FROM dirs d JOIN cnt ca ON ca.i = d.ant
                         JOIN cnt cb ON cb.i = d.con
             ORDER BY antecedent, consequent

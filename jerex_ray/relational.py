@@ -51,27 +51,50 @@ def q1_pricing_summary(sf_dir: str):
     cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
 
     def prep(t: pa.Table) -> pa.Table:
+        # EXACT integer cents: qty/price carry ≤2 decimals, discount
+        # exactly 2, so ×100 scaling is integral and the group sums are
+        # order-independent integers — float summation order was the
+        # one source of last-digit round(…,2) ties (seen at sf0.001).
+        # The only floats are the final divide-then-round, identical
+        # on both engines.
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
-        disc = pc.multiply(t["l_extendedprice"],
-                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        q100 = pc.cast(pc.round(pc.multiply(t["l_quantity"],
+                                            pa.scalar(100.0))),
+                       pa.int64())
+        p100 = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                            pa.scalar(100.0))),
+                       pa.int64())
+        d100 = pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                            pa.scalar(100.0))),
+                       pa.int64())
+        disc4 = pc.multiply(p100, pc.subtract(pa.scalar(100,
+                                                        pa.int64()),
+                                              d100))
         return pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "l_quantity": t["l_quantity"],
-            "l_extendedprice": t["l_extendedprice"],
-            "disc_price": disc,
+            "qty100": q100,
+            "price100": p100,
+            "disc10000": disc4,
         })
 
     out = grouped_aggregate(
         ds.map_batches(prep, batch_format="pyarrow"),
         ["l_returnflag", "l_linestatus"],
-        {"sum_qty": ("l_quantity", "sum"),
-         "sum_base_price": ("l_extendedprice", "sum"),
-         "sum_disc_price": ("disc_price", "sum"),
+        {"sum_qty100": ("qty100", "sum"),
+         "sum_base100": ("price100", "sum"),
+         "sum_disc10000": ("disc10000", "sum"),
          "count_order": (None, "count")})
     df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"])
     df["count_order"] = df["count_order"].astype("int64")
-    return _round2(df, ["sum_qty", "sum_base_price", "sum_disc_price"]) \
+    df["sum_qty"] = df["sum_qty100"] / 100.0
+    df["sum_base_price"] = df["sum_base100"] / 100.0
+    # half-cent ties are REAL here (cents × (100-disc) can end in 50):
+    # round to cents in INTEGER arithmetic (half away from zero), so
+    # numpy-banker's vs SQL-half-away never disagree
+    df["sum_disc_price"] = ((df["sum_disc10000"] + 50) // 100) / 100.0
+    return df[["l_returnflag", "l_linestatus", "sum_qty",
+               "sum_base_price", "sum_disc_price", "count_order"]] \
         .reset_index(drop=True)
 
 
@@ -169,13 +192,28 @@ def q_supplier_balance(sf_dir: str):
 
 def q_segment_avg_balance(sf_dir: str):
     ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
-    out = grouped_aggregate(ds, ["c_mktsegment"],
+
+    def cents(t: pa.Table) -> pa.Table:
+        # EXACT integer cents → order-independent sums; the 4-decimal
+        # average is then rounded half-away in INTEGER arithmetic, so
+        # numpy/SQL rounding modes can never disagree on a tie
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "bal100": pc.cast(pc.round(pc.multiply(
+                t["c_acctbal"], pa.scalar(100.0))), pa.int64())})
+
+    out = grouped_aggregate(ds.map_batches(cents, batch_format="pyarrow"),
+                            ["c_mktsegment"],
                             {"n_customers": (None, "count"),
-                             "avg_bal": ("c_acctbal", "mean")})
+                             "sum100": ("bal100", "sum")})
     df = out.to_pandas().sort_values("c_mktsegment")
-    df["n_customers"] = df["n_customers"].astype("int64")
-    df["avg_bal"] = df["avg_bal"].round(4)
-    return df.reset_index(drop=True)
+    n = df["n_customers"].astype("int64")
+    s = df["sum100"].astype("int64") * 100          # 1e-4 units × n
+    avg4 = np.sign(s) * ((2 * s.abs() + n) // (2 * n))
+    df["n_customers"] = n
+    df["avg_bal"] = avg4 / 10000.0
+    return df[["c_mktsegment", "n_customers", "avg_bal"]] \
+        .reset_index(drop=True)
 
 
 # --- distinct (shuffle dedup) ---
