@@ -1772,8 +1772,11 @@ _KADANE_ORACLE_SQL = """
         SELECT end_t, pref - mn AS bsum, mn
         FROM c ORDER BY bsum DESC, end_t LIMIT 1),
     startrow AS (
+        -- the excess window STARTS one past the prefix argmin
+        -- (sum = pref[end] - pref[start-1]); min(h)+1 mirrors the
+        -- engine's earliest-strict-min rule
         SELECT CAST(coalesce(
-            (SELECT min(p2.h) FROM p p2, bestrow b
+            (SELECT min(p2.h) + 1 FROM p p2, bestrow b
              WHERE p2.h < b.end_t AND p2.pref = b.mn
                AND b.mn < 0), 0) AS BIGINT) AS start_t)
     SELECT CAST(b.bsum AS BIGINT) AS best_sum_scaled,

@@ -81,3 +81,30 @@ def test_hnsw_m_validated():
     rng = np.random.default_rng(0)
     with pytest.raises(ValueError, match="m must be >= 2"):
         HnswIndex(np.arange(4), rng.normal(size=(4, 8)), m=1)
+
+
+def test_max_excess_window_midseries_start_engine_matches_oracle(tmp_path):
+    """Round-4 oracle bugfix: the Kadane oracle reported the prefix
+    ARGMIN as the window start (off by one) whenever the best window
+    starts mid-series (prefix min < 0); the sf0.01 gate happened to
+    take the min==0 branch and never saw it. Craft a series whose
+    burst sits in the middle and pin engine == oracle."""
+    from jerex_ray.pipelines.queries import q_events_max_excess_window
+    # hours 0-9 quiet (1 event), 10-13 burst (9 events), 14-29 quiet
+    counts = [1] * 10 + [9] * 4 + [1] * 16
+    ts = []
+    for h, c in enumerate(counts):
+        for k in range(c):
+            ts.append(pd.Timestamp("2024-03-01") + pd.Timedelta(
+                hours=h, minutes=k))
+    ev = pd.DataFrame({
+        "ts": pd.Series(ts).astype("datetime64[us]"),
+        "user_id": np.arange(len(ts), dtype=np.int64),
+        "event_type": ["view"] * len(ts),
+        "value": np.full(len(ts), 10.0)})
+    out = _check_vs_oracle(tmp_path, "q_events_max_excess_window",
+                           q_events_max_excess_window, ev)
+    h0 = int(pd.Timestamp("2024-03-01").value // 10**9 // 3600)
+    assert out["start_hour"].iloc[0] == h0 + 10
+    assert out["end_hour"].iloc[0] == h0 + 13
+    assert out["window_len"].iloc[0] == 4
