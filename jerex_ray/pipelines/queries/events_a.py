@@ -7,7 +7,8 @@ import pandas as pd
 from jerex_ray.config import PipelineConfig
 from jerex_ray.runtime import configure_data_context
 from jerex_ray import relational as R
-from jerex_ray.pipelines.queries._shared import ORACLE_REGISTRY
+from jerex_ray.pipelines.queries._shared import (ORACLE_REGISTRY,
+                                                 _round_half_away)
 
 def q_events_welch_ttest(sf_dir: str):
     """Welch's unequal-variance t statistic of event value, each type
@@ -1010,21 +1011,40 @@ def q_events_regression(sf_dir: str):
     time (days since 1995-01-01), from ONE combiner pass of grouped
     co-moments (n, Σx, Σy, Σx², Σy², Σxy per event type — five
     scalars per group reduce, never the rows). Slope/intercept/R²
-    close over the |types|-bounded table on the driver. Time is
-    rescaled to days BEFORE the moments (both sides) so the normal
-    equations don't cancel catastrophically at epoch-second
-    magnitudes. Oracled vs DuckDB regr_slope/regr_intercept/regr_r2."""
+    close over the |types|-bounded table on the driver. Conditioning:
+    time is CENTERED per group at the exact integer midpoint of the
+    group's (min, max) epoch-µs BEFORE the moments (both sides) —
+    raw days-since-1995 magnitudes lose ~3 digits to cancellation in
+    Σx²−(Σx)²/n and made the 6-dp round unstable under summation
+    order; centered, the dust is ~1e-12 absolute. Intercept is still
+    reported on the 1995-01-01 axis (shift identity). Oracled by the
+    identical centered-moment algebra in SQL; half-away rounding on
+    both engines."""
     from jerex_ray.functions.aggregate import grouped_aggregate
     from jerex_ray.runtime import read_parquet_sized
     configure_data_context()
     ds = read_parquet_sized(f"{sf_dir}/events.parquet",
                             columns=["event_type", "ts", "value"])
-    epoch0 = pd.Timestamp("1995-01-01")
+
+    def bounds(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "mn": us, "mx": us})
+        return g.groupby("event_type", sort=False, as_index=False) \
+            .agg(mn=("mn", "min"), mx=("mx", "max"))
+
+    b = grouped_aggregate(
+        ds.map_batches(bounds, batch_format="pandas"),
+        ["event_type"], {"mn": ("mn", "min"), "mx": ("mx", "max")},
+        result_hint="small").to_pandas()
+    centers = {t: (int(mn) + int(mx)) // 2
+               for t, mn, mx in zip(b["event_type"], b["mn"], b["mx"])}
 
     def moments(df: pd.DataFrame) -> pd.DataFrame:
-        # resolution-safe (blocks may arrive as datetime64[us] or [ns])
-        x = ((df["ts"] - epoch0) / pd.Timedelta(days=1)) \
-            .to_numpy(np.float64)
+        us = df["ts"].astype("datetime64[us]").astype("int64") \
+            .to_numpy(np.int64)
+        c = df["event_type"].map(centers).to_numpy(np.int64)
+        x = (us - c) / 86400000000.0
         y = df["value"].to_numpy(np.float64)
         g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
                           "n": 1, "sx": x, "sy": y, "sxx": x * x,
@@ -1036,7 +1056,10 @@ def q_events_regression(sf_dir: str):
         ["event_type"],
         {k: (k, "sum") for k in ("n", "sx", "sy", "sxx", "syy",
                                  "sxy")}).to_pandas()
+    _P95_US = 788918400000000          # µs 1970-01-01 → 1995-01-01
     n = m["n"].to_numpy(np.float64)
+    cdays = np.asarray([(centers[t] - _P95_US) / 86400000000.0
+                        for t in m["event_type"]])
     vx = m["sxx"] - m["sx"] ** 2 / n
     vy = m["syy"] - m["sy"] ** 2 / n
     cov = m["sxy"] - m["sx"] * m["sy"] / n
@@ -1044,9 +1067,12 @@ def q_events_regression(sf_dir: str):
     out = pd.DataFrame({
         "event_type": m["event_type"],
         "n": m["n"].astype("int64"),
-        "slope": slope.round(6),
-        "intercept": (m["sy"] / n - slope * m["sx"] / n).round(6),
-        "r2": (cov * cov / (vx * vy)).round(6)})
+        "slope": _round_half_away(slope.to_numpy(np.float64), 6),
+        "intercept": _round_half_away(
+            ((m["sy"] / n - slope * m["sx"] / n)
+             - slope * cdays).to_numpy(np.float64), 6),
+        "r2": _round_half_away(
+            (cov * cov / (vx * vy)).to_numpy(np.float64), 6)})
     return out.sort_values("event_type").reset_index(drop=True)
 
 def q_events_moving_avg(sf_dir: str):
@@ -1916,17 +1942,35 @@ ORACLES = {
             ORDER BY d.day
         """,
     'q_events_regression': """
-            WITH e AS (
+            WITH c AS (
                 SELECT event_type,
-                       (epoch(ts) - epoch(TIMESTAMP '1995-01-01'))
-                           / 86400.0 AS x,
-                       value AS y
-                FROM events)
-            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                   round(regr_slope(y, x), 6) AS slope,
-                   round(regr_intercept(y, x), 6) AS intercept,
-                   round(regr_r2(y, x), 6) AS r2
-            FROM e GROUP BY event_type ORDER BY event_type
+                       (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                           AS c
+                FROM events GROUP BY event_type),
+            e AS (
+                SELECT ev.event_type,
+                       (epoch_us(ev.ts) - c.c) / 86400000000.0 AS x,
+                       ev.value AS y, c.c AS c
+                FROM events ev JOIN c USING (event_type)),
+            m AS (SELECT event_type, any_value(c) AS c,
+                         CAST(count(*) AS DOUBLE) AS n,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy,
+                         sum(x * y) AS sxy
+                  FROM e GROUP BY event_type),
+            f AS (SELECT event_type, n, c, sx, sy,
+                         sxx - sx * sx / n AS vx,
+                         syy - sy * sy / n AS vy,
+                         sxy - sx * sy / n AS cov
+                  FROM m)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round(cov / vx, 6) AS slope,
+                   round((sy / n - (cov / vx) * sx / n)
+                         - (cov / vx)
+                           * ((c - 788918400000000)
+                              / 86400000000.0), 6) AS intercept,
+                   round(cov * cov / (vx * vy), 6) AS r2
+            FROM f ORDER BY event_type
         """,
     'q_events_moving_avg': """
             SELECT event_id, user_id,

@@ -485,22 +485,37 @@ def q_events_kfold_cv(sf_dir: str, *, folds: int = 5):
     fold assignment, and BOTH the per-fold fit and its held-out MSE
     close over ONE grouped-moments pass — train moments are
     total − fold (the leave-fold-out identity), test MSE expands to
-    the same six sums, so no second corpus scan exists. Identical
-    float sequencing to the SQL oracle; 6-dp rounding."""
+    the same six sums, so no second corpus scan exists. Time is
+    CENTERED at the exact integer midpoint of the corpus (min, max)
+    epoch-µs before the moments (conditioning — see
+    ``q_events_regression``); the intercept is reported back on the
+    1995-01-01 axis via the shift identity. Identical float
+    sequencing to the SQL oracle; half-away 6-dp rounding."""
     from jerex_ray.functions.aggregate import grouped_aggregate
     from jerex_ray.runtime import read_parquet_sized
     configure_data_context()
     ds = read_parquet_sized(f"{sf_dir}/events.parquet",
                             columns=["event_id", "ts", "value"])
-    epoch0 = pd.Timestamp("1995-01-01")
+
+    def bounds(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({"k": [0], "mn": [int(us.min())],
+                             "mx": [int(us.max())]})
+
+    b = grouped_aggregate(
+        ds.map_batches(bounds, batch_format="pandas"),
+        ["k"], {"mn": ("mn", "min"), "mx": ("mx", "max")},
+        result_hint="small").to_pandas()
+    center = (int(b["mn"].iloc[0]) + int(b["mx"].iloc[0])) // 2
 
     def moments(df: pd.DataFrame) -> pd.DataFrame:
         from jerex_ray.util import md5_hash64_batch
         fold = (md5_hash64_batch(
             df["event_id"].astype(str).tolist()) % folds) \
             .astype(np.int64)
-        x = ((df["ts"] - epoch0) / pd.Timedelta(days=1)) \
-            .to_numpy(np.float64)
+        us = df["ts"].astype("datetime64[us]").astype("int64") \
+            .to_numpy(np.int64)
+        x = (us - center) / 86400000000.0
         y = df["value"].to_numpy(np.float64)
         g = pd.DataFrame({"fold": fold, "n": 1, "sx": x, "sy": y,
                           "sxx": x * x, "sxy": x * y, "syy": y * y})
@@ -523,7 +538,7 @@ def q_events_kfold_cv(sf_dir: str, *, folds: int = 5):
     sxy_tr = tsxy - m["sxy"].to_numpy(np.float64)
     b = (sxy_tr - sx_tr * sy_tr / n_tr) \
         / (sxx_tr - sx_tr * sx_tr / n_tr)
-    a = sy_tr / n_tr - b * sx_tr / n_tr
+    a = sy_tr / n_tr - b * sx_tr / n_tr      # intercept, shifted axis
     nf = m["n"].to_numpy(np.float64)
     mse = (m["syy"].to_numpy(np.float64)
            - 2 * a * m["sy"].to_numpy(np.float64)
@@ -531,11 +546,12 @@ def q_events_kfold_cv(sf_dir: str, *, folds: int = 5):
            + nf * a * a
            + 2 * a * b * m["sx"].to_numpy(np.float64)
            + b * b * m["sxx"].to_numpy(np.float64)) / nf
+    cdays = (center - 788918400000000) / 86400000000.0
     return pd.DataFrame({
         "fold": m["fold"].astype("int64"),
         "n_test": m["n"].astype("int64"),
         "slope": _round_half_away(b, 6),
-        "intercept": _round_half_away(a, 6),
+        "intercept": _round_half_away(a - b * cdays, 6),
         "mse": _round_half_away(mse, 6)})
 
 def q_events_mantel_haenszel(sf_dir: str):
@@ -2456,12 +2472,16 @@ ORACLES = {
             FROM agg
         """,
     'q_events_kfold_cv': """
-            WITH e AS (
+            WITH c0 AS (
+                SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                           AS c
+                FROM events),
+            e AS (
                 SELECT CAST(CAST('0x' || substr(md5(
                            CAST(event_id AS VARCHAR)), 1, 16)
                            AS UBIGINT) % 5 AS BIGINT) AS fold,
-                       (epoch(ts) - epoch(TIMESTAMP '1995-01-01'))
-                           / 86400.0 AS x,
+                       (epoch_us(ts) - (SELECT c FROM c0))
+                           / 86400000000.0 AS x,
                        value AS y
                 FROM events),
             m AS (SELECT fold, CAST(count(*) AS DOUBLE) AS n,
@@ -2489,7 +2509,9 @@ ORACLES = {
             SELECT CAST(fold AS BIGINT) AS fold,
                    CAST(n AS BIGINT) AS n_test,
                    round(b, 6) AS slope,
-                   round(a, 6) AS intercept,
+                   round(a - b * (((SELECT c FROM c0)
+                                   - 788918400000000)
+                                  / 86400000000.0), 6) AS intercept,
                    round((syy - 2 * a * sy - 2 * b * sxy
                           + n * a * a + 2 * a * b * sx
                           + b * b * sxx) / n, 6) AS mse
