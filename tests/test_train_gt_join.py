@@ -150,3 +150,33 @@ def test_train_epochs_checkpoint_resume_bitexact(tmp_path):
         _tokenized(rd.from_arrow(generate_transcripts_table(10))),
         gt_m, gt_r, epochs=4, checkpoint_dir=ck, **kw)
     assert h_noop["loss"].tolist() == h_full["loss"].tolist()
+
+
+def test_attach_gt_ignores_orphan_gt_rows():
+    """GT rows whose key matches no document (stale annotations, a
+    filtered corpus) must drop silently in the co-location merge —
+    never crash, never fabricate a doc."""
+    import pyarrow as pa
+
+    from jerex_ray.pipelines.train import attach_gt
+
+    gt_m, gt_r, tok = silver_gt_from_rule_scorer(
+        rd.from_arrow(generate_transcripts_table(8)), CFG,
+        return_tokenized=True)
+    orphan_m = pa.table({
+        "conv_id": pa.array(["no-such-conv"] * 3),
+        "cluster": pa.array([0, 0, 1], pa.int32()),
+        "sent_id": pa.array([0, 1, 0], pa.int32()),
+        "start": pa.array([0, 0, 2], pa.int32()),
+        "end": pa.array([1, 2, 3], pa.int32()),
+        "entity_type": pa.array(["PER"] * 3)})
+    gt_m_all = pa.concat_tables([gt_m, orphan_m])
+    joined = attach_gt(tok, rd.from_arrow(gt_m_all),
+                       rd.from_arrow(gt_r), num_partitions=4)
+    df = joined.to_pandas()
+    df = df[df["doc_id"].notna()] if "doc_id" in df.columns else df
+    n_docs = tok.count()
+    assert len(df) == n_docs
+    assert "no-such-conv" not in set(df["doc_id"])
+    # real docs still carry their GT lists
+    assert df["gt_m_cluster"].map(len).sum() > 0
