@@ -10,7 +10,12 @@ here (or in jerex_ray) calls ``ray.init``/``ray.shutdown``.
   SURVEY.md §2 entry (KG stages, dedup family, similarity search, text
   analysis, relational operators).
 * ``oracle_sql()`` — exact DuckDB equivalents for the SQL-expressible
-  queries; KG/model/LSH queries are rows-only by design.
+  queries. The flagship EVAL JOINS (kg_eval / kg_eval_strict /
+  kg_eval_evidence / kg_joint_metrics) are oracled via parquet side
+  tables the Ray leg writes first (run order: query, then its oracle
+  — the driver and scripts/check_oracle.py both do this); only the
+  model forwards, codecs and recall-gated ANN twins remain rows-only
+  by nature.
 """
 
 from __future__ import annotations

@@ -12,6 +12,11 @@ namespace so all existing ``from jerex_ray.pipelines.queries import
 <anything>`` imports keep working, underscore helpers included.
 
 Usage: python scripts/split_queries.py <outdir>
+
+HISTORICAL ARTIFACT: the monolith no longer exists in the working
+tree — regenerate its source first if you ever need to re-run:
+``git show cef5ea7^:jerex_ray/pipelines/queries.py > /tmp/queries_orig.py``.
+Kept for split-methodology review, not for routine use.
 """
 
 from __future__ import annotations
