@@ -111,12 +111,24 @@ def cmd_graph(args) -> int:
 
 def cmd_eval(args) -> int:
     ray = _ray_session()
-    from jerex_ray.eval.scoring import evaluate_triples
     from jerex_ray.sinks.parquet_sink import read_triples
-    from jerex_ray.sources.transcripts import ground_truth_triples
-    pred = read_triples(args.pred).to_pandas()
-    gt = ground_truth_triples(args.gt_convs).to_pandas()
-    m = evaluate_triples(pred, gt, strict_types=args.strict)
+    if args.distributed:
+        # corpus-scale path: hash-join of pred vs GT keys, both sides
+        # stay Datasets — only three counters reach the driver
+        from jerex_ray.eval.scoring import evaluate_triples_distributed
+        from jerex_ray.sinks.parquet_sink import read_triples_dataset
+        from jerex_ray.sources.transcripts import \
+            read_ground_truth_triples
+        m = evaluate_triples_distributed(
+            read_triples_dataset(args.pred),
+            read_ground_truth_triples(args.gt_convs),
+            strict_types=args.strict)
+    else:
+        from jerex_ray.eval.scoring import evaluate_triples
+        from jerex_ray.sources.transcripts import ground_truth_triples
+        pred = read_triples(args.pred).to_pandas()
+        gt = ground_truth_triples(args.gt_convs).to_pandas()
+        m = evaluate_triples(pred, gt, strict_types=args.strict)
     print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
                       for k, v in m.items()}))
     ray.shutdown()
@@ -290,6 +302,10 @@ def main(argv=None) -> int:
     e.add_argument("--gt-convs", type=int, required=True)
     e.add_argument("--strict", action="store_true",
                    help="rel_nec variant: entity types must match too")
+    e.add_argument("--distributed", action="store_true",
+                   help="hash-join eval with pred AND GT as Datasets "
+                        "(nothing triple-sized on the driver; the "
+                        "corpus-scale path)")
     e.set_defaults(fn=cmd_eval)
 
     t = sub.add_parser("train", help="train head weights on silver GT "

@@ -164,3 +164,17 @@ def read_triples(out_dir: str) -> pa.Table:
     if not parts:
         return pa.table({})
     return pa.concat_tables(parts)
+
+
+def read_triples_dataset(out_dir: str):
+    """Committed partitions as a streaming Dataset (the scale path —
+    ``read_triples`` concatenates on the driver). Only
+    manifest-committed partition files are listed, so a half-written
+    partition never leaks into downstream consumers."""
+    import ray.data as rd
+    paths = [os.path.join(out_dir, f"part_key={k}", "triples.parquet")
+             for k in sorted(completed_partitions(out_dir))]
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        return rd.from_arrow(pa.table({}))
+    return rd.read_parquet(paths)

@@ -240,9 +240,13 @@ def ground_truth_triples(num_convs: int, start: int = 0) -> pa.Table:
     reference ``scoring.py:16-23`` / README.md:62). ``evidence`` holds
     EVERY turn index that expresses the triple (a duplicate plant
     merges its turn into the first row's list)."""
+    return _gt_triples_for_indices(range(start, start + num_convs))
+
+
+def _gt_triples_for_indices(indices) -> pa.Table:
     conv_ids, subjs, stypes, preds, objs, otypes = [], [], [], [], [], []
     evidences: list[list[int]] = []
-    for idx in range(start, start + num_convs):
+    for idx in indices:
         conv_id = conv_id_for(idx)
         _, gt = _conv_script(idx)
         seen: dict[tuple, int] = {}
@@ -270,6 +274,23 @@ def ground_truth_triples(num_convs: int, start: int = 0) -> pa.Table:
         "obj_type": pa.array(otypes, pa.string()),
         "evidence": pa.array(evidences, pa.list_(pa.int32())),
     })
+
+
+def read_ground_truth_triples(num_convs: int, *,
+                              override_num_blocks: int | None = None):
+    """Distributed GT-triples source: the same planted triples as
+    ``ground_truth_triples`` but generated per index block
+    (``ray.data.range`` → ``map_batches``) — GT never materializes on
+    the driver, so the distributed eval join
+    (``evaluate_triples_distributed``) runs with BOTH sides
+    arbitrary-sized."""
+    import ray.data as rd
+
+    def gen(batch: dict[str, np.ndarray]) -> pa.Table:
+        return _gt_triples_for_indices(int(i) for i in batch["id"])
+
+    ds = rd.range(num_convs, override_num_blocks=override_num_blocks)
+    return ds.map_batches(gen, batch_format="numpy", batch_size=256)
 
 
 def _phrase_occurrences(turn_tokens: list[list[str]],

@@ -127,3 +127,42 @@ def test_joint_metrics_oracle_matches_engine_formulas():
             assert int(row["tp"]) == -1
     # 5 micro + 2 macro rows
     assert len(out) == 7
+
+
+def test_distributed_eval_matches_driver_on_misses(tmp_path):
+    """The corpus-scale eval join (pred AND GT as Datasets, three
+    counters to the driver) must agree with the driver-side set eval
+    on imperfect predictions — and the Dataset GT source must equal
+    the driver GT table."""
+    import ray.data as rd
+
+    from jerex_ray.eval.scoring import (evaluate_triples,
+                                        evaluate_triples_distributed)
+    from jerex_ray.sources.transcripts import (
+        ground_truth_triples, read_ground_truth_triples)
+
+    gt_tbl = ground_truth_triples(40)
+    gt_pdf = gt_tbl.to_pandas()
+    # Dataset GT source == driver GT table (row-order-insensitive)
+    ds_pdf = read_ground_truth_triples(40).to_pandas()
+    key = ["conv_id", "subj", "pred", "obj"]
+    assert (set(map(tuple, ds_pdf[key].values))
+            == set(map(tuple, gt_pdf[key].values)))
+
+    # imperfect predictions: drop 5 GT rows, add 3 junk rows
+    pred = gt_pdf.drop(columns=["evidence"]).iloc[5:].copy()
+    junk = pd.DataFrame({
+        "conv_id": ["conv-junk"] * 3,
+        "subj": ["A", "B", "C"], "subj_type": ["person"] * 3,
+        "pred": ["works_at"] * 3,
+        "obj": ["X", "Y", "Z"], "obj_type": ["org"] * 3})
+    pred = pd.concat([pred, junk], ignore_index=True)
+
+    for strict in (False, True):
+        m_drv = evaluate_triples(pred, gt_pdf, strict_types=strict)
+        m_dst = evaluate_triples_distributed(
+            rd.from_pandas(pred), read_ground_truth_triples(40),
+            strict_types=strict)
+        for k in ("tp", "fp", "fn", "precision", "recall", "f1"):
+            assert m_dst[k] == m_drv[k], (strict, k)
+        assert m_drv["fp"] >= 3 and m_drv["fn"] >= 5
