@@ -163,23 +163,30 @@ def cmd_train(args) -> int:
     from jerex_ray.stages.numpy_scorer import NumpyScorer
     configure_data_context()
     cfg = PipelineConfig()
+    gt_join = getattr(args, "gt_join", False)
     if args.gt_dir:
-        # annotated corpus: GT tables from parquet (the layout
+        # annotated corpus: GT from parquet (the layout
         # silver_gt_from_rule_scorer's output_dir writes)
-        import pyarrow.parquet as pq
-
         from jerex_ray.pipelines.kg import _with_part_key
         from jerex_ray.stages.assemble import assemble_documents
         from jerex_ray.stages.tokenize import tokenize_documents
-        gt_m = pq.read_table(f"{args.gt_dir}/mentions")
-        gt_r = pq.read_table(f"{args.gt_dir}/relations")
+        if gt_join:
+            # corpus-sized GT: stream as Datasets → attach_gt
+            # hash-join co-location, nothing GT-sized on the driver
+            gt_m = rd.read_parquet(f"{args.gt_dir}/mentions")
+            gt_r = rd.read_parquet(f"{args.gt_dir}/relations")
+        else:
+            import pyarrow.parquet as pq
+            gt_m = pq.read_table(f"{args.gt_dir}/mentions")
+            gt_r = pq.read_table(f"{args.gt_dir}/relations")
         tok = tokenize_documents(assemble_documents(_with_part_key(
             rd.read_parquet(args.input), cfg)), cfg)
     else:
         # the distillation pass already assembles + tokenizes the
         # corpus — reuse its materialized tokenized Dataset
         gt_m, gt_r, tok = silver_gt_from_rule_scorer(
-            rd.read_parquet(args.input), cfg, return_tokenized=True)
+            rd.read_parquet(args.input), cfg, return_tokenized=True,
+            as_datasets=gt_join)
     hist, weights = train_epochs(tok, gt_m, gt_r, epochs=args.epochs,
                                  lr=args.lr, warmup_ratio=args.warmup,
                                  config=cfg, variant=args.model_type)
@@ -320,6 +327,10 @@ def main(argv=None) -> int:
                         "relations/, the silver-GT output layout); "
                         "default distills silver GT from the rule "
                         "scorer")
+    t.add_argument("--gt-join", action="store_true",
+                   help="co-locate GT with docs by hash join instead "
+                        "of broadcasting it (the corpus-sized-GT "
+                        "scale path; identical losses)")
     t.add_argument("--epochs", type=int, default=3)
     t.add_argument("--lr", type=float, default=5e-3)
     t.add_argument("--warmup", type=float, default=0.0,
