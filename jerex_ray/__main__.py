@@ -138,9 +138,12 @@ def cmd_eval(args) -> int:
 def cmd_report(args) -> int:
     ray = _ray_session()
     from jerex_ray.eval.report import write_examples_report
-    from jerex_ray.sinks.parquet_sink import read_triples
+    from jerex_ray.sinks.parquet_sink import read_triples_dataset
     from jerex_ray.sources.transcripts import ground_truth_triples
-    pred = read_triples(args.pred).to_pandas()
+    # the report is example-bounded — pull a bounded prefix of the
+    # committed partitions, never the whole triple output
+    pred = read_triples_dataset(args.pred) \
+        .limit(max(100_000, 200 * args.limit)).to_pandas()
     gt = ground_truth_triples(args.gt_convs).to_pandas()
     path = write_examples_report(pred, gt, args.output, limit=args.limit)
     print(json.dumps({"report": path}))
