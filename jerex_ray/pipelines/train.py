@@ -182,7 +182,8 @@ def _doc_gt_struct(m_rows, r_rows, types: TypeVocabulary):
     ``m_rows``: iterable of (cluster, sent_id, start, end, type|None);
     ``r_rows``: iterable of (head, tail, pred). Cluster type = first
     mention's type in canonical order (``datasets.py:126-128``)."""
-    m_sorted = sorted(m_rows, key=lambda t: (t[1], t[2], t[3], t[0]))
+    m_sorted = sorted(m_rows, key=lambda t: (t[1], t[2], t[3], t[0],
+                                             t[4] or ""))
     mentions = [(int(c), int(s), int(a), int(b))
                 for c, s, a, b, _ in m_sorted]
     cl_first: dict[int, str] = {}

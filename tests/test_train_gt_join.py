@@ -180,3 +180,33 @@ def test_attach_gt_ignores_orphan_gt_rows():
     assert "no-such-conv" not in set(df["doc_id"])
     # real docs still carry their GT lists
     assert df["gt_m_cluster"].map(len).sum() > 0
+
+
+def test_doc_gt_struct_invariant_under_row_permutation():
+    """The canonical per-doc GT builder must be a pure function of the
+    row SET — any arrival order (broadcast dict vs shuffle-scrambled
+    join columns) yields the identical structure."""
+    import itertools
+    import random
+
+    from jerex_ray.pipelines.train import _doc_gt_struct
+    from jerex_ray.types import DEFAULT_TYPES
+
+    m_rows = [(0, 0, 0, 2, "PER"), (0, 1, 3, 4, "ORG"),
+              (1, 0, 5, 6, "PER"), (2, 2, 0, 1, "TOOL"),
+              (1, 1, 0, 2, "ORG")]
+    r_rows = [(0, 1, "works_at"), (1, 2, "uses_tool"),
+              (0, 2, "uses_tool")]
+    base = _doc_gt_struct(m_rows, r_rows, DEFAULT_TYPES)
+    rng = random.Random(7)
+    for _ in range(20):
+        mp = m_rows[:]
+        rp = r_rows[:]
+        rng.shuffle(mp)
+        rng.shuffle(rp)
+        assert _doc_gt_struct(mp, rp, DEFAULT_TYPES) == base
+    # small-n exhaustive: every permutation of the first 4 mentions
+    for perm in itertools.permutations(m_rows[:4]):
+        got = _doc_gt_struct(list(perm) + m_rows[4:], r_rows,
+                             DEFAULT_TYPES)
+        assert got == base
