@@ -31,6 +31,17 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _round_half_away(x: float, decimals: int = 6) -> float:
+    """DuckDB ``round()`` rounds half away from zero; Python
+    ``round()`` rounds half to even. P/R/F1 values are exact rationals
+    (integer tp/fp/fn counts), so 6-decimal ties are REAL — e.g.
+    precision = 1/128 = 0.0078125 → 0.007813 (DuckDB) vs 0.007812
+    (banker's). Mirror DuckDB so the engine and its SQL oracle share a
+    rounding mode."""
+    s = 10.0 ** decimals
+    return float(np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s)
+
+
 def _dedup(tuples):
     seen, out = set(), []
     for t in tuples:
@@ -267,9 +278,9 @@ def joint_metrics(scored: pd.DataFrame, gt: dict) -> pd.DataFrame:
 
     def add(level, avg, m):
         rows.append({"level": level, "average": avg,
-                     "precision": round(m["precision"], 6),
-                     "recall": round(m["recall"], 6),
-                     "f1": round(m["f1"], 6),
+                     "precision": _round_half_away(m["precision"]),
+                     "recall": _round_half_away(m["recall"]),
+                     "f1": _round_half_away(m["f1"]),
                      # macro averages carry no meaningful counts
                      "tp": int(m.get("tp", -1)),
                      "fp": int(m.get("fp", -1)),

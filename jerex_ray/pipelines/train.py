@@ -256,24 +256,60 @@ def parse_gt_columns(batch: pa.Table, types: TypeVocabulary) -> list:
     return out
 
 
-def _rows_to_ipc_blobs(t: pa.Table) -> list[bytes]:
-    """Each row → the Arrow-IPC bytes of its 1-row table (schema
-    preserved, list columns intact) so wide jagged doc rows can ride a
-    NARROW uniform shuffle schema — Acero (``Dataset.join``) rejects
-    list-typed payload columns outright, and a heterogeneous union
-    breaks hash-shuffle finalize."""
+def _rows_to_ipc_blobs(t: pa.Table) -> tuple[list[bytes], int]:
+    """Each row → ``schema_bytes + record_batch_body`` so wide jagged
+    doc rows can ride a NARROW uniform shuffle schema — Acero
+    (``Dataset.join``) rejects list-typed payload columns outright,
+    and a heterogeneous union breaks hash-shuffle finalize. Batched
+    IPC framing: the schema is serialized ONCE per input batch and the
+    per-row payload is just the record-batch message (read back with
+    ``pa.ipc.read_record_batch`` against a memoized schema — ~2.5×
+    faster per doc than a full ``pa.ipc.open_stream`` per blob).
+    Returns (blobs, schema_prefix_len)."""
+    sch = t.schema.serialize().to_pybytes()
     out = []
-    for i in range(t.num_rows):
-        row = t.slice(i, 1)
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink, row.schema) as w:
-            w.write_table(row)
-        out.append(sink.getvalue().to_pybytes())
-    return out
+    for b in t.to_batches():
+        for i in range(b.num_rows):
+            out.append(sch + b.slice(i, 1).serialize().to_pybytes())
+    return out, len(sch)
+
+
+class _GtMatchCounter:
+    """Tiny driver-owned actor the co-location merge reports GT match
+    counts to — a conv-keyed external GT over a chunked corpus
+    (doc_id != conv_id) would otherwise silently attach ZERO ground
+    truth and train with no loss signal."""
+
+    def __init__(self):
+        self.matched = 0
+        self.dropped = 0
+
+    def add(self, matched: int, dropped: int) -> None:
+        self.matched += matched
+        self.dropped += dropped
+
+    def totals(self) -> tuple[int, int]:
+        return self.matched, self.dropped
+
+
+def _check_gt_match(counter) -> None:
+    """Raise if the co-location merge dropped EVERY GT row (key
+    mismatch — e.g. conv-keyed GT against chunked doc ids); a partial
+    drop (GT for docs outside this corpus subset) is legitimate."""
+    import ray
+    matched, dropped = ray.get(counter.totals.remote())
+    if matched == 0 and dropped > 0:
+        raise ValueError(
+            f"attach_gt matched 0 of {dropped} GT rows — the GT key "
+            "column does not match the docs' doc_id (a conv-keyed "
+            "external GT over a chunked corpus?). Pass "
+            "gt_key='conv_id' to co-locate on conversation ids, or "
+            "re-key the GT per chunk.")
 
 
 def attach_gt(tokenized_ds, gt_m_ds, gt_r_ds, *,
-              num_partitions: int | None = None):
+              num_partitions: int | None = None,
+              gt_key: str = "doc_id", match_counter=None):
     """Hash-join co-location of GT rows against tokenized docs on
     doc id — the SCALE path for corpus-sized GT (silver distillation
     generates GT from the corpus itself, so at 100× the broadcast
@@ -291,7 +327,15 @@ def attach_gt(tokenized_ds, gt_m_ds, gt_r_ds, *,
        their IPC blobs and appends the 8 ``GT_PACK_COLS`` list
        columns; docs without GT get empty lists. No further shuffle
        touches the (list-columned) output — it feeds the loss stage
-       directly."""
+       directly.
+
+    ``gt_key`` names the DOC column the GT's conv_id values key on
+    (default ``doc_id``; pass ``conv_id`` for a conv-keyed external
+    GT over a chunked corpus — the join analogue of the broadcast
+    path's doc_id→conv_id fallback). ``match_counter`` (a
+    ``_GtMatchCounter`` actor handle) receives per-block
+    (matched, dropped) GT row counts so callers can detect an
+    all-dropped key mismatch after consumption."""
     from jerex_ray.functions.aggregate import grouped_apply
     from jerex_ray.runtime import configure_data_context, \
         shuffle_partitions
@@ -311,8 +355,11 @@ def attach_gt(tokenized_ds, gt_m_ds, gt_r_ds, *,
         return pa.table(base)
 
     def tag_docs(t: pa.Table) -> pa.Table:
-        return _narrow(t["doc_id"].to_pylist(), 0, t.num_rows,
-                       blob=_rows_to_ipc_blobs(t))
+        key_col = gt_key if gt_key in t.column_names else "doc_id"
+        blobs, sch_len = _rows_to_ipc_blobs(t)
+        return _narrow(t[key_col].to_pylist(), 0, t.num_rows,
+                       blob=blobs,
+                       ia=np.full(t.num_rows, sch_len, np.int64))
 
     def tag_m(t: pa.Table) -> pa.Table:
         has_type = "entity_type" in t.column_names
@@ -346,15 +393,26 @@ def attach_gt(tokenized_ds, gt_m_ds, gt_r_ds, *,
         if block.empty or "side" not in block.columns:
             return pa.table({})
         doc_tables, gt_cols = [], {c: [] for c in GT_PACK_COLS}
+        n_matched = n_dropped = 0
+        sch_cache: dict[bytes, pa.Schema] = {}
         for _key, g in block.groupby("gt_key", sort=False):
             docs = g[g["side"] == 0]
+            n_gt = int((g["side"] != 0).sum())
             if docs.empty:
-                continue          # GT for a doc not in this corpus
+                n_dropped += n_gt  # GT for a doc not in this corpus
+                continue
+            n_matched += n_gt
             m = g[g["side"] == 1]
             r = g[g["side"] == 2]
-            for blob in docs["blob"]:
-                with pa.ipc.open_stream(pa.py_buffer(blob)) as rd_:
-                    doc_tables.append(rd_.read_all())
+            for blob, sch_len in zip(docs["blob"], docs["ia"]):
+                sb = blob[:sch_len]
+                sch = sch_cache.get(sb)
+                if sch is None:
+                    sch = pa.ipc.read_schema(pa.py_buffer(sb))
+                    sch_cache[sb] = sch
+                doc_tables.append(pa.Table.from_batches(
+                    [pa.ipc.read_record_batch(
+                        pa.py_buffer(blob[sch_len:]), sch)]))
                 gt_cols["gt_m_cluster"].append(m["ia"].tolist())
                 gt_cols["gt_m_sent"].append(m["ib"].tolist())
                 gt_cols["gt_m_start"].append(m["ic"].tolist())
@@ -363,6 +421,8 @@ def attach_gt(tokenized_ds, gt_m_ds, gt_r_ds, *,
                 gt_cols["gt_r_head"].append(r["ia"].tolist())
                 gt_cols["gt_r_tail"].append(r["ib"].tolist())
                 gt_cols["gt_r_pred"].append(r["s"].tolist())
+        if match_counter is not None and (n_matched or n_dropped):
+            match_counter.add.remote(n_matched, n_dropped)
         if not doc_tables:
             return pa.table({})
         out = pa.concat_tables(doc_tables, promote_options="default")
@@ -402,7 +462,8 @@ def training_objective(tokenized_ds, gt_mentions,
                        variant: str = "multi_instance", seed: int = 13,
                        concurrency=(1, 4),
                        gt_broadcast_rows: int = 500_000,
-                       num_partitions: int | None = None, **knobs):
+                       num_partitions: int | None = None,
+                       gt_key: str = "doc_id", **knobs):
     """tokenized docs + GT tables → (per-doc loss Dataset,
     corpus-mean loss DataFrame). The mean is a combiner aggregate
     (one row), per-doc losses stream.
@@ -422,10 +483,13 @@ def training_objective(tokenized_ds, gt_mentions,
     if mode == "broadcast":
         gt_ref = ray.put(build_gt_dict(gt_m, gt_r, types))
         stage_in = tokenized_ds
+        counter = None
     else:
         gt_ref = None
+        counter = ray.remote(num_cpus=0)(_GtMatchCounter).remote()
         stage_in = attach_gt(tokenized_ds, gt_m, gt_r,
-                             num_partitions=num_partitions)
+                             num_partitions=num_partitions,
+                             gt_key=gt_key, match_counter=counter)
     per_doc = stage_in.map_batches(
         TrainingLossStage, batch_format="pyarrow", batch_size=64,
         concurrency=concurrency,
@@ -433,6 +497,9 @@ def training_objective(tokenized_ds, gt_mentions,
                                "config": config, "variant": variant,
                                "seed": seed, **knobs})
     per_doc = per_doc.materialize()
+    if counter is not None:
+        _check_gt_match(counter)
+        ray.kill(counter)
     mean = grouped_aggregate(
         per_doc.map_batches(lambda df: df.assign(__all=0),
                             batch_format="pandas"),
@@ -496,6 +563,7 @@ def train_epochs(tokenized_ds, gt_mentions,
                  gt_broadcast_rows: int = 500_000,
                  num_partitions: int | None = None,
                  checkpoint_dir: str | None = None,
+                 gt_key: str = "doc_id",
                  **knobs):
     """Synchronous data-parallel training of the HEAD parameters: per
     epoch, every document's analytic gradient is computed in the actor
@@ -535,8 +603,10 @@ def train_epochs(tokenized_ds, gt_mentions,
         # the epoch loop then re-reads GT-carrying blocks and the
         # workers parse GT from columns — nothing broadcast
         gt_ref = None
+        gt_counter = ray.remote(num_cpus=0)(_GtMatchCounter).remote()
         epoch_ds = attach_gt(tokenized_ds, gt_m, gt_r,
-                             num_partitions=num_partitions)
+                             num_partitions=num_partitions,
+                             gt_key=gt_key, match_counter=gt_counter)
     template = NumpyScorer(config or PipelineConfig(), variant=variant,
                            seed=seed, types=types)
     weights = template.get_weights(TRAINABLE)
@@ -548,6 +618,9 @@ def train_epochs(tokenized_ds, gt_mentions,
     # object store, write the tokenized table to parquet once and pass
     # `read_parquet(...)` here — each epoch then streams from storage.
     blocks = epoch_ds.materialize().to_arrow_refs()
+    if gt_ref is None:
+        _check_gt_match(gt_counter)
+        ray.kill(gt_counter)
 
     # PERSISTENT raw-actor fleet (the Dataset API would re-create its
     # actor pool every epoch — an iterative algorithm is the one place

@@ -166,6 +166,8 @@ class NumpyScorer(RuleScorer):
         H, M = hidden_size, meta_size
         self.H, self.M = H, M
 
+        # bumped on every weight mutation; keys the _proj_blocks cache
+        self._weights_version = 0
         rng = np.random.default_rng(seed)
 
         def lin(fan_in, fan_out):
@@ -243,6 +245,7 @@ class NumpyScorer(RuleScorer):
         with np.load(path) as z:
             for n in self._WEIGHT_NAMES:
                 setattr(self, n, z[n])
+        self._weights_version += 1
 
     def set_weights(self, weights: dict) -> None:
         """Override a subset of weights in place (the per-step weight
@@ -251,6 +254,7 @@ class NumpyScorer(RuleScorer):
             if n not in self._WEIGHT_NAMES:
                 raise KeyError(f"unknown weight {n!r}")
             setattr(self, n, np.array(w, copy=True))
+        self._weights_version += 1
 
     def get_weights(self, names=None) -> dict:
         return {n: np.array(getattr(self, n), copy=True)
@@ -281,14 +285,14 @@ class NumpyScorer(RuleScorer):
         blocks are projected ONCE per doc and gathered per pair, and
         the embedding blocks collapse to precomputed lookup tables —
         the P-sized (quadratic) axis only ever sees adds and one ctx
-        matmul. Cached per weight-object identity so ``set_weights``
-        / checkpoint loads / HF head mapping invalidate naturally.
+        matmul. Cached on an explicit integer weights-version counter
+        bumped by every mutation path (``set_weights``,
+        ``load_checkpoint``, HF head mapping) — object ``id()`` keys
+        could alias after CPython reuses a freed array's address.
         Block sums re-associate float addition vs the fused matmul
         (last-ulp dust); the chunk-cap parity contract is unaffected
         because chunking never splits the feature axis."""
-        key = (id(self.W_pair), id(self.W_co1), id(self.E_tokdist),
-               id(self.E_sentdist), id(self.E_ed), id(self.W_ml1),
-               id(self.E_size), id(self.W_rel1), id(self.E_etype))
+        key = self._weights_version
         if getattr(self, "_blk_key", None) != key:
             H, M = self.H, self.M
             L = self.W_ml1

@@ -471,6 +471,9 @@ def load_head_weights_from_state_dict(scorer, state_dict: dict,
         w = np.asarray(arr, dtype=np.float64)
         setattr(scorer, attr, w.T.copy() if transpose else w.copy())
         mapped += 1
+    if mapped:  # invalidate the scorer's _proj_blocks cache
+        scorer._weights_version = getattr(scorer, "_weights_version",
+                                          0) + 1
     return mapped
 
 

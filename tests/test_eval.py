@@ -102,3 +102,17 @@ def test_joint_metrics_all_levels_perfect_on_synthetic_corpus():
     micro = m[m["average"] == "micro"]
     assert (micro["tp"] > 0).all() and (micro["fp"] == 0).all() \
         and (micro["fn"] == 0).all()
+
+
+def test_joint_metrics_rounds_half_away_like_duckdb():
+    """Round-5 (ADVICE): P/R/F1 are exact rationals, so 6-decimal
+    ties are real (power-of-2 denominators). DuckDB round() is
+    half-away-from-zero; Python round() is banker's — the engine must
+    mirror DuckDB (1/128 = 0.0078125 → 0.007813, not 0.007812)."""
+    from jerex_ray.eval.scoring import _round_half_away
+
+    assert _round_half_away(1 / 128) == 0.007813
+    assert round(1 / 128, 6) == 0.007812          # the banker's trap
+    assert _round_half_away(-1 / 128) == -0.007813
+    assert _round_half_away(0.25, 1) == 0.3
+    assert _round_half_away(1 / 3) == 0.333333

@@ -294,3 +294,31 @@ def test_sparse_table_range_max_matches_bruteforce():
         lo, hi = int(np.clip(a[k], 0, 97)), int(np.clip(b[k], 0, 97))
         want = h[lo:hi].max(axis=0) if hi > lo else np.zeros(5)
         np.testing.assert_array_equal(out[k], want)
+
+
+def test_proj_blocks_cache_invalidates_on_weight_mutation():
+    """Round-5 (ADVICE): the block-projection cache keys on an
+    explicit weights-version counter — id()-based keys can alias when
+    CPython reuses a freed array's address. Every mutation path
+    (set_weights, load_checkpoint, HF head mapping) must bump it and
+    change the projected blocks."""
+    import numpy as np
+
+    from jerex_ray.config import PipelineConfig
+    from jerex_ray.stages.numpy_scorer import NumpyScorer
+    from jerex_ray.stages.scorer import load_head_weights_from_state_dict
+
+    sc = NumpyScorer(PipelineConfig().scaled_for_tests())
+    sc._proj_blocks()
+    v0, wm0 = sc._weights_version, sc._Wm_r.copy()
+
+    sc.set_weights({"W_ml1": sc.W_ml1 * 2.0})
+    assert sc._weights_version == v0 + 1
+    sc._proj_blocks()
+    assert np.allclose(sc._Wm_r, 2.0 * wm0)
+
+    n = load_head_weights_from_state_dict(
+        sc, {"mention_localization.linear.weight": sc.W_ml1.T * 0.5})
+    assert n == 1 and sc._weights_version == v0 + 2
+    sc._proj_blocks()
+    assert np.allclose(sc._Wm_r, wm0)

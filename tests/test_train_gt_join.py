@@ -210,3 +210,43 @@ def test_doc_gt_struct_invariant_under_row_permutation():
         got = _doc_gt_struct(list(perm) + m_rows[4:], r_rows,
                              DEFAULT_TYPES)
         assert got == base
+
+
+def test_gt_key_mismatch_raises_and_conv_key_recovers():
+    """Round-5 (ADVICE): a conv-keyed external GT over a CHUNKED
+    corpus (doc_id != conv_id) must not silently train with zero loss
+    signal — the all-dropped key mismatch raises; re-running with
+    gt_key='conv_id' co-locates correctly and matches the broadcast
+    path's doc_id→conv_id fallback bit-for-bit."""
+    import pyarrow as pa
+    import pytest
+
+    gt_m, gt_r = silver_gt_from_rule_scorer(
+        rd.from_arrow(generate_transcripts_table(10)), CFG)
+
+    def chunk_ids(t: pa.Table) -> pa.Table:
+        # simulate the 700-sub-word chunk suffix: doc_id != conv_id
+        new = pa.array([d + "#0" for d in t["doc_id"].to_pylist()])
+        return t.set_column(t.column_names.index("doc_id"),
+                            "doc_id", new)
+
+    def chunked():
+        return _tokenized(
+            rd.from_arrow(generate_transcripts_table(10))) \
+            .map_batches(chunk_ids, batch_format="pyarrow")
+
+    with pytest.raises(ValueError, match="matched 0"):
+        training_objective(chunked(), gt_m, gt_r, config=CFG,
+                           concurrency=(1, 2), gt_broadcast_rows=0,
+                           num_partitions=4)
+
+    joined, _ = training_objective(
+        chunked(), gt_m, gt_r, config=CFG, concurrency=(1, 2),
+        gt_broadcast_rows=0, num_partitions=4, gt_key="conv_id")
+    # broadcast path on the same chunked docs: lookup falls back
+    # doc_id -> conv_id, so the two paths must agree bit-for-bit
+    bcast, _ = training_objective(
+        chunked(), gt_m, gt_r, config=CFG, concurrency=(1, 2))
+    lj, lb = _losses(joined), _losses(bcast)
+    pd.testing.assert_frame_equal(lj, lb)
+    assert (lj["loss"] > 0).all()
