@@ -85,6 +85,11 @@ def clusters_from_pair_scores(
         return []
     if len(valid_indices) == 1:
         return [[valid_indices[0]]]
+    if not pair_scores:
+        # missing pairs have distance 1 ≥ the cut for any threshold
+        # in [0, 1] — no merge can happen, every mention is a
+        # singleton (ordered by member index, as below)
+        return [[i] for i in sorted(valid_indices)]
 
     mapping = {m: k for k, m in enumerate(valid_indices)}
     m = len(valid_indices)

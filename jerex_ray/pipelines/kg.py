@@ -106,7 +106,11 @@ def extract_triples(transcripts_ds, config: PipelineConfig | None = None,
             TokenizeAndScore, batch_format="pyarrow",
             batch_size=cfg.score_batch_size,
             concurrency=cfg.scorer_concurrency
-            or pool_concurrency(cfg.actor_num_cpus, cpu_fraction=0.75),
+            # 0.5: the fused pool shares the cluster with assembly,
+            # the conv_id shuffle and the explode/canonicalize tasks —
+            # 0.75 starved them and measured consistently SLOWER
+            # end-to-end (4.6-4.9s vs 4.0-4.6s at sf0.1/32)
+            or pool_concurrency(cfg.actor_num_cpus, cpu_fraction=0.5),
             num_cpus=cfg.actor_num_cpus,
             fn_constructor_kwargs={"config": cfg, "scorer_cls": scorer_cls,
                                    "scorer_kwargs": scorer_kwargs})

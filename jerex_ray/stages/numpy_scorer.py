@@ -60,7 +60,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from jerex_ray.cluster import clusters_from_pair_scores
+from jerex_ray.cluster import complete_linkage_clusters
 from jerex_ray.config import PipelineConfig
 from jerex_ray.stages.scorer import RuleScorer, enumerate_candidate_spans
 from jerex_ray.types import DEFAULT_TYPES, TypeVocabulary
@@ -85,51 +85,66 @@ def _offdiag_cols(n: int) -> np.ndarray:
     return (base + (base >= np.arange(n)[:, None])).ravel()
 
 
-def _sparse_max_table(h: np.ndarray) -> list[np.ndarray]:
-    """Sparse table for O(1) range-max queries over the rows of ``h``:
-    ``st[k][i] = max(h[i : i + 2^k])`` elementwise. Build is
-    O(T log T · H) once per document; every J1/J9 interval max then
-    costs two gathers + one elementwise maximum — replacing the
-    concatenated-gather reduceat, whose work grew with the SUM of
-    interval lengths (the dominant cost for J9's wide between-contexts
-    × thousands of mention pairs)."""
-    st = [h]
-    T = h.shape[0]
-    k = 1
-    while (1 << k) <= T:
-        prev = st[-1]
+def _sparse_max_table(h: np.ndarray) -> tuple:
+    """Sparse table for O(1) range-max queries over the rows of ``h``,
+    stored FLATTENED: one (ΣT_k + 1, H) array whose level-k rows start
+    at ``offs[k]`` (``ST[offs[k] + i] = max(h[i : i + 2^k])``), with a
+    sentinel all-zero LAST row that empty ranges index — so a query
+    batch is pure vectorized arithmetic (no per-level Python loop, no
+    zeros+scatter). Build is O(T log T · H) once per document; every
+    J1/J9 interval max then costs two gathers + one elementwise
+    maximum — replacing the concatenated-gather reduceat, whose work
+    grew with the SUM of interval lengths (the dominant cost for J9's
+    wide between-contexts × thousands of mention pairs).
+    Returns (ST, offs, T) — offs is an int64 array indexable by the
+    per-query level ks."""
+    T, H = h.shape
+    nlev = 1
+    while (1 << nlev) <= T:
+        nlev += 1
+    lens = [T - (1 << k) + 1 for k in range(nlev)]
+    offs = np.concatenate(([0], np.cumsum(lens[:-1]))).astype(np.int64) \
+        if nlev > 1 else np.zeros(1, np.int64)
+    total = int(sum(lens))
+    ST = np.empty((total + 1, H))
+    ST[0:T] = h
+    ST[total] = 0.0                 # sentinel row for empty ranges
+    for k in range(1, nlev):
+        prev = ST[offs[k - 1]:offs[k - 1] + lens[k - 1]]
         half = 1 << (k - 1)
-        n = T - (1 << k) + 1
-        st.append(np.maximum(prev[:n], prev[half:half + n]))
-        k += 1
-    return st
+        n = lens[k]
+        np.maximum(prev[:n], prev[half:half + n],
+                   out=ST[offs[k]:offs[k] + n])
+    return ST, offs, T
 
 
-def _range_max(st: list[np.ndarray], a: np.ndarray, b: np.ndarray,
+def _range_max(st: tuple, a: np.ndarray, b: np.ndarray,
                H: int) -> np.ndarray:
-    """Max-pool ``h[a_k:b_k]`` per row via the sparse table; empty
-    ranges (b ≤ a) give zero rows (the reference's additive −1e30 mask
-    saturates to the same)."""
+    """Max-pool ``h[a_k:b_k]`` per row via the flattened sparse table;
+    empty ranges (b ≤ a) give zero rows (the reference's additive
+    −1e30 mask saturates to the same). One fully vectorized query
+    batch: level = floor(log2(len)) via frexp, two row gathers, one
+    maximum."""
+    ST, offs, T = st
     n = len(a)
-    out = np.zeros((n, H))
     if n == 0:
-        return out
-    T = st[0].shape[0]
+        return np.zeros((0, H))
     a = np.clip(np.asarray(a, dtype=np.int64), 0, T)
     b = np.clip(np.asarray(b, dtype=np.int64), 0, T)
     lens = b - a
-    valid = np.flatnonzero(lens > 0)
-    if valid.size == 0:
-        return out
-    av, bv = a[valid], b[valid]
-    # exact floor(log2(len)) via frexp (len = m·2^e, 0.5 ≤ m < 1)
-    _, exp = np.frexp((bv - av).astype(np.float64))
+    # exact floor(log2(len)) via frexp (len = m·2^e, 0.5 ≤ m < 1);
+    # len ≤ 0 maps to the sentinel zero row
+    _, exp = np.frexp(np.maximum(lens, 1).astype(np.float64))
     ks = exp.astype(np.int64) - 1
-    for k in np.unique(ks):
-        m = ks == k
-        s = st[k]
-        out[valid[m]] = np.maximum(s[av[m]], s[bv[m] - (1 << int(k))])
-    return out
+    base = offs[ks]
+    r1 = base + a
+    r2 = base + b - (1 << ks)
+    sent = len(ST) - 1
+    bad = lens <= 0
+    if bad.any():
+        r1 = np.where(bad, sent, r1)
+        r2 = np.where(bad, sent, r2)
+    return np.maximum(ST[r1], ST[r2])
 
 
 def _sigmoid(x):
@@ -381,8 +396,8 @@ class NumpyScorer(RuleScorer):
         v_reprs = reprs[vsel]
         v_ss, v_se = cand_ss[vsel], cand_se[vsel]
         n = len(vsel)
-        mentions = [(int(s), int(e), int(si))
-                    for s, e, si in zip(v_start, v_end, v_sent)]
+        mentions = list(zip(v_start.tolist(), v_end.tolist(),
+                            v_sent.tolist()))
 
         # J3: ordered pairs + decoded-phrase edit distances.
         # ED depends only on the UNIQUE decoded-phrase pair, so the
@@ -394,7 +409,14 @@ class NumpyScorer(RuleScorer):
         if n > 1:
             pa_ = np.repeat(np.arange(n), n - 1)   # reference order
             pb_ = _offdiag_cols(n)
-            uniq_phr, uid = np.unique(decoded, return_inverse=True)
+            # dict-based unique: np.unique on object arrays pays a
+            # full string sort per doc; first-occurrence ids are
+            # equivalent (only pair IDENTITY matters downstream, and
+            # ED keys are sorted explicitly below)
+            uniq_map: dict[str, int] = {}
+            uid = np.fromiter((uniq_map.setdefault(p, len(uniq_map))
+                               for p in decoded), np.int64, count=n)
+            uniq_phr = list(uniq_map)
             ua, ub = uid[pa_], uid[pb_]
             lo, hi = np.minimum(ua, ub), np.maximum(ua, ub)
             pairkey = lo * len(uniq_phr) + hi
@@ -408,7 +430,11 @@ class NumpyScorer(RuleScorer):
                 if a == b:
                     uvals[k] = 0
                     continue
-                key = (uniq_phr[a], uniq_phr[b])
+                p1, p2 = uniq_phr[a], uniq_phr[b]
+                # memo keys stay lexicographically sorted (shared
+                # with RuleScorer's convention) even though uid order
+                # is first-occurrence, not sorted
+                key = (p1, p2) if p1 <= p2 else (p2, p1)
                 ed = memo.get(key)
                 if ed is None:
                     missing_idx.append(k)
@@ -439,21 +465,35 @@ class NumpyScorer(RuleScorer):
                                  @ self.W_co2 + self.b_co2).ravel()
             co_probs = _sigmoid(co_logits)
             # below-threshold pairs are indistinguishable from missing
-            # pairs for complete linkage (distance ≥ cut either way) —
-            # omit them, keeping the Python dict tiny (same filter as
-            # RuleScorer)
-            keep = np.flatnonzero(co_probs >= cfg.coref_threshold)
-            pair_scores = {(int(pa_[k]), int(pb_[k])): float(co_probs[k])
-                           for k in keep}
+            # pairs for complete linkage (distance ≥ cut either way);
+            # the similarity matrix fills VECTORIZED (valid indices are
+            # already 0..n-1, so the dict round-trip of
+            # clusters_from_pair_scores is pure overhead here — same
+            # semantics: diag 1, missing pairs 0, cut 1-threshold)
+            keep = co_probs >= cfg.coref_threshold
         else:
-            pair_scores = {}
+            keep = None
 
         # J5: complete-linkage clusters
-        clusters = clusters_from_pair_scores(
-            list(range(n)), pair_scores, cfg.coref_threshold)
+        if keep is not None and keep.any():
+            sim = np.zeros((n, n))
+            np.fill_diagonal(sim, 1.0)
+            sim[pa_[keep], pb_[keep]] = co_probs[keep]
+            clusters = complete_linkage_clusters(
+                1.0 - sim, 1.0 - cfg.coref_threshold)
+        else:
+            clusters = [[i] for i in range(n)]
 
         # J6 + J7: entity representation and classification
-        ent_reprs = np.stack([v_reprs[c].max(axis=0) for c in clusters])
+        # per-cluster max-pool as one reduceat over the member gather
+        # (clusters are non-empty; reduceat segments are contiguous)
+        _memb = np.concatenate([np.asarray(c, dtype=np.int64)
+                                for c in clusters])
+        _cl_sizes = np.fromiter((len(c) for c in clusters), np.int64,
+                                count=len(clusters))
+        _cl_starts = np.concatenate(([0], np.cumsum(_cl_sizes)[:-1]))
+        ent_reprs = np.maximum.reduceat(v_reprs[_memb], _cl_starts,
+                                        axis=0)
         ent_clf = _softmax(_relu(ent_reprs @ self.W_ec1 + self.b_ec1)
                            @ self.W_ec2 + self.b_ec2)
         etype_idx = ent_clf.argmax(axis=1)
@@ -492,7 +532,8 @@ class NumpyScorer(RuleScorer):
         sizes = np.asarray([m.size for m in memb], dtype=np.int64)
         mem_flat = np.concatenate(memb)
         cs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
-        heads, tails = np.where(~np.eye(nC, dtype=bool))   # row-major
+        heads = np.repeat(np.arange(nC, dtype=np.int64), nC - 1)
+        tails = _offdiag_cols(nC)            # row-major (i, j != i)
         ep_counts = sizes[heads] * sizes[tails]
         P = int(ep_counts.sum())
         mp_ep = np.repeat(np.arange(len(heads), dtype=np.int64), ep_counts)
@@ -544,7 +585,7 @@ class NumpyScorer(RuleScorer):
             + (ent_reprs @ self._Wp_ept)[tails] + self.b_pair
         local = np.empty((P, self.H))
         max_pairs = cfg.max_rel_pairs or P
-        T = st[0].shape[0]
+        T = st[2]
         for i in range(0, P, max_pairs):          # the J9 chunk loop
             sl = slice(i, min(i + max_pairs, P))
             # adjacent/overlapping spans ⇒ empty interval ⇒ zero ctx
@@ -586,7 +627,8 @@ class NumpyScorer(RuleScorer):
         nC = len(clusters)
         if nC < 2:
             return []
-        heads, tails = np.where(~np.eye(nC, dtype=bool))   # row-major
+        heads = np.repeat(np.arange(nC, dtype=np.int64), nC - 1)
+        tails = _offdiag_cols(nC)            # row-major (i, j != i)
         x = np.concatenate([ent_reprs[heads], ent_reprs[tails],
                             self.E_etype[etype_idx[heads]],
                             self.E_etype[etype_idx[tails]]], axis=1)

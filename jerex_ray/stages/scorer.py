@@ -46,18 +46,20 @@ def enumerate_candidate_spans(tok_sent: np.ndarray, max_span_size: int):
     cross sentence boundaries (``sampling_common.py:77-98``). Vectorized
     over all sentences at once. Returns (starts, ends) int32 arrays."""
     n = tok_sent.shape[0]
-    starts_parts, ends_parts = [], []
-    for size in range(1, max_span_size + 1):
-        if size > n:
-            break
-        s = np.arange(0, n - size + 1, dtype=np.int32)
-        same_sent = tok_sent[s] == tok_sent[s + size - 1]
-        keep = s[same_sent]
-        starts_parts.append(keep)
-        ends_parts.append(keep + size)
-    if not starts_parts:
+    S = min(max_span_size, n)
+    if S <= 0:
         return (np.empty(0, np.int32), np.empty(0, np.int32))
-    return np.concatenate(starts_parts), np.concatenate(ends_parts)
+    # one flat construction over every (size, start) block — same
+    # order as the per-size loop it replaces: sizes ascending,
+    # starts ascending within a size
+    L = n - np.arange(1, S + 1, dtype=np.int64) + 1
+    blockstart = np.concatenate(([0], np.cumsum(L[:-1])))
+    sizes = np.repeat(np.arange(1, S + 1, dtype=np.int32), L)
+    starts = (np.arange(int(L.sum()), dtype=np.int32)
+              - blockstart.astype(np.int32)[sizes - 1])
+    ends = starts + sizes
+    keep = tok_sent[starts] == tok_sent[ends - 1]
+    return starts[keep], ends[keep]
 
 
 class RuleScorer:
