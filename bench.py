@@ -158,13 +158,27 @@ def run_scaling_child() -> dict:
 
 def run_scaling() -> dict:
     """Same flagship job at 8 and 32 CPUs in fresh processes — the
-    sandbox substitute for N vs 4N cluster nodes (BASELINE.md)."""
+    sandbox substitute for N vs 4N cluster nodes (BASELINE.md).
+
+    Each leg is pinned with OS-enforced CPU affinity (``taskset -c
+    0-7`` / ``0-31``, inherited by every Ray worker the child spawns)
+    so the "8-CPU" process cannot overdraw its quarter of the machine
+    — without the pin, Ray's logical CPU accounting is not
+    OS-enforced and the low leg runs faster than a real 8-core node
+    would, understating efficiency. Set GRAFT_PIN_CPUS=0 to disable
+    (e.g. on hosts without taskset)."""
+    import shutil
+    pin = (shutil.which("taskset") is not None
+           and os.environ.get("GRAFT_PIN_CPUS", "1") != "0")
+
     def run_one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__),
-                               "--scaling-child"],
-                              env=env, capture_output=True, text=True,
-                              check=True)
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--scaling-child"]
+        if pin:
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        proc = subprocess.run(cmd, env=env, capture_output=True,
+                              text=True, check=True)
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     def run(ncpu: int) -> dict:
@@ -184,6 +198,7 @@ def run_scaling() -> dict:
         "triples_per_sec_8": lo["triples_per_sec"],
         "triples_per_sec_32": hi["triples_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "cpu_affinity_pinned": pin,
     }
 
 
@@ -240,20 +255,26 @@ def run_rehearsal() -> dict:
     8→32 efficiency at that size. Single runs (no min-of-N): at this
     job length fixed overhead is amortized and the noise share small."""
     n = int(os.environ.get("GRAFT_REHEARSAL_CONVS", "2400000"))
+    import shutil
+    pin = (shutil.which("taskset") is not None
+           and os.environ.get("GRAFT_PIN_CPUS", "1") != "0")
 
     def run_one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SCALING_CONVS=str(n))
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__),
-                               "--scaling-child"],
-                              env=env, capture_output=True, text=True,
-                              check=True)
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--scaling-child"]
+        if pin:   # OS-enforced affinity: see run_scaling
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        proc = subprocess.run(cmd, env=env, capture_output=True,
+                              text=True, check=True)
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     lo, hi = run_one(8), run_one(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8) if hi["value"] else 0.0
     return {
         "metric": "dress_rehearsal_2p4M_convs",
+        "cpu_affinity_pinned": pin,
         "n_convs": n,
         "n_triples": hi["n_triples"],
         "sec_8": lo["value"], "sec_32": hi["value"],

@@ -174,6 +174,18 @@ def kg_entities(sf_dir: str):
     return ents.sort_values("norm").reset_index(drop=True)
 
 def kg_mentions(sf_dir: str):
+    """Flagship mention stage (M1 candidate enumeration + the rule
+    mention localizer's maximal-name-run thresholding, reference
+    ``sampling_common.py:77-98`` + ``conversion.py:20-25`` identity) —
+    SQL-ORACLED via the side-table pattern: the deterministic token
+    stream (doc_id, sent, pos, tok) is written to parquet and the
+    oracle replays the span logic as gaps-and-islands SQL. Mention
+    identity is the word-level orig span; the cluster assignment is a
+    separate (clustering-dependent) stage and not part of this
+    query."""
+    import pyarrow.compute as pc
+
+    from jerex_ray.eval.side_tables import write_side_table
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
     from jerex_ray.stages.assemble import assemble_documents
     from jerex_ray.stages.convert import explode_mentions
@@ -184,8 +196,31 @@ def kg_mentions(sf_dir: str):
     ds = read_synthetic_transcripts(_sf_convs(sf_dir))
     from jerex_ray.pipelines.kg import _with_part_key
     docs = assemble_documents(_with_part_key(ds, cfg))
-    scored = score_documents(tokenize_documents(docs, cfg), cfg)
-    m = scored.map_batches(explode_mentions, batch_format="pyarrow").to_pandas()
+    tok = tokenize_documents(docs, cfg).materialize()
+
+    def token_rows(batch):
+        import pyarrow as pa
+        n_tok = pc.list_value_length(batch["tok_phrase"]) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pa.array(np.repeat(np.arange(batch.num_rows), n_tok))
+        pos = (np.arange(int(n_tok.sum()), dtype=np.int64)
+               - np.repeat(np.concatenate(([0], np.cumsum(n_tok)[:-1])),
+                           n_tok))
+        return pa.table({
+            "doc_id": batch["doc_id"].take(idx),
+            "conv_id": batch["conv_id"].take(idx),
+            "sent_idx": pc.list_flatten(batch["tok_sent"]).cast(pa.int64()),
+            "pos": pa.array(pos),
+            "tok": pc.list_flatten(batch["tok_phrase"])})
+
+    write_side_table(
+        "kg_mentions", "tokens",
+        tok.map_batches(token_rows, batch_format="pyarrow").to_pandas())
+    scored = score_documents(tok, cfg)
+    m = scored.map_batches(explode_mentions, batch_format="pyarrow") \
+        .to_pandas().drop(columns=["cluster"])
+    for c in ("start", "end", "sent_idx"):
+        m[c] = m[c].astype("int64")
     return m.sort_values(["conv_id", "doc_id", "start", "end"]) \
             .reset_index(drop=True)
 
@@ -1192,6 +1227,49 @@ ORACLES['kg_eval_evidence'] = ORACLE_REGISTRY['kg_eval_evidence'] = evidence_eva
         "kg_eval_evidence")
 ORACLES['kg_joint_metrics'] = ORACLE_REGISTRY['kg_joint_metrics'] = joint_metrics_oracle_sql(
         "kg_joint_metrics")
+# flagship mention stage: replay M1 span enumeration + the rule
+# mention localizer (maximal name runs per sentence, <= max_span_size)
+# as gaps-and-islands SQL over the engine-written token side table
+# (the tokenizer itself is pytest-gated; the SPAN logic is what this
+# oracle pins). Mirrors lexicon.is_name_token: NAME_TOKEN_RE +
+# CAP_STOPWORDS.
+ORACLES['kg_mentions'] = ORACLE_REGISTRY['kg_mentions'] = """
+        WITH t AS (
+            SELECT doc_id, conv_id, sent_idx, pos, tok
+            FROM read_parquet(
+                '/tmp/jerex_ray_oracle/kg_mentions/tokens.parquet')
+        ),
+        f AS (
+            SELECT doc_id, conv_id, sent_idx, pos,
+                   (regexp_matches(tok, '^[A-Z][A-Za-z0-9]*$')
+                    AND tok NOT IN ('The','A','An','It','He','She',
+                        'They','We','I','You','This','That','These',
+                        'Those','There','Here','What','Where','When',
+                        'Who','Why','How','Yes','No','Ok','Okay',
+                        'Please','Thanks','Hello','Hi')) AS isname
+            FROM t
+        ),
+        g AS (
+            SELECT doc_id, conv_id, sent_idx, pos, isname,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, sent_idx, isname
+                       ORDER BY pos) AS grp
+            FROM f
+        ),
+        runs AS (
+            SELECT doc_id, conv_id, sent_idx,
+                   min(pos) AS m_start, max(pos) + 1 AS m_end
+            FROM g WHERE isname
+            GROUP BY doc_id, conv_id, sent_idx, grp
+            HAVING count(*) <= 10
+        )
+        SELECT doc_id, conv_id,
+               CAST(m_start AS BIGINT) AS "start",
+               CAST(m_end AS BIGINT) AS "end",
+               CAST(sent_idx AS BIGINT) AS sent_idx
+        FROM runs
+        ORDER BY conv_id, doc_id, "start", "end"
+    """
 ORACLES['kg_coworker_pairs'] = ORACLE_REGISTRY['kg_coworker_pairs'] = f"""
         WITH sup AS ({ORACLE_REGISTRY["kg_distant_supervision"]}),
         e AS (SELECT DISTINCT subj_norm, obj_norm FROM sup)
