@@ -24,12 +24,75 @@ def _sf_convs(sf_dir: str) -> int:
 def _kg_config() -> PipelineConfig:
     return PipelineConfig(num_output_partitions=8)
 
+# the rule-pipeline oracles (kg_mentions / kg_triples / kg_entities)
+# read a deterministic token side table; the extra tokenize pass that
+# writes it only runs at driver-contract corpus sizes so the BENCH
+# timings of the same queries stay pure pipeline. Above the bound the
+# stale side dir is removed so an out-of-scale oracle run fails loudly
+# (missing file) instead of comparing against old tokens.
+_RULE_TOKEN_SIDE_MAX_CONVS = 2000
+
+
+def _token_rows_batch(batch):
+    """Tokenized docs → one row per token (doc_id, conv_id, sent_idx,
+    doc-word pos, tok) — the deterministic input the rule-pipeline SQL
+    oracles replay span/coref/relation logic over."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    n_tok = pc.list_value_length(batch["tok_phrase"]) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = pa.array(np.repeat(np.arange(batch.num_rows), n_tok))
+    pos = (np.arange(int(n_tok.sum()), dtype=np.int64)
+           - np.repeat(np.concatenate(([0], np.cumsum(n_tok)[:-1])),
+                       n_tok))
+    return pa.table({
+        "doc_id": batch["doc_id"].take(idx),
+        "conv_id": batch["conv_id"].take(idx),
+        "sent_idx": pc.list_flatten(batch["tok_sent"]).cast(pa.int64()),
+        "pos": pa.array(pos),
+        "tok": pc.list_flatten(batch["tok_phrase"])})
+
+
+def _write_rule_tokens_side(query: str, tok_ds) -> None:
+    from jerex_ray.eval.side_tables import write_side_table
+    write_side_table(query, "tokens",
+                     tok_ds.map_batches(_token_rows_batch,
+                                        batch_format="pyarrow").to_pandas())
+
+
+def _maybe_write_rule_tokens(query: str, sf_dir: str, cfg) -> None:
+    """Side-table write for the rule-pipeline oracles, gated to
+    driver-contract scale (see _RULE_TOKEN_SIDE_MAX_CONVS)."""
+    import shutil
+
+    from jerex_ray.eval.side_tables import ORACLE_SIDE_DIR
+    from jerex_ray.pipelines.kg import _with_part_key
+    from jerex_ray.sources.transcripts import read_synthetic_transcripts
+    from jerex_ray.stages.assemble import assemble_documents
+    from jerex_ray.stages.tokenize import tokenize_documents
+    n = _sf_convs(sf_dir)
+    if n > _RULE_TOKEN_SIDE_MAX_CONVS:
+        shutil.rmtree(f"{ORACLE_SIDE_DIR}/{query}", ignore_errors=True)
+        return
+    docs = assemble_documents(
+        _with_part_key(read_synthetic_transcripts(n), cfg))
+    _write_rule_tokens_side(query, tokenize_documents(docs, cfg))
+
+
 def kg_triples(sf_dir: str):
+    """Flagship RuleScorer extraction — SQL-ORACLED end-to-end: the
+    oracle replays the ENTIRE frozen-rule pipeline (M1 span islands →
+    J3/J4 coref rules incl. levenshtein → J5 complete-linkage greedy
+    replay as a recursive CTE with the reference's (dist, ca, cb)
+    tie-break → J6/J7 typing → J8/J9 between-context cue relations)
+    over the deterministic token side table."""
     from jerex_ray.pipelines.kg import extract_triples
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
     configure_data_context()
+    cfg = _kg_config()
+    _maybe_write_rule_tokens("kg_triples", sf_dir, cfg)
     ds = read_synthetic_transcripts(_sf_convs(sf_dir))
-    t = extract_triples(ds, _kg_config()).to_pandas()
+    t = extract_triples(ds, cfg).to_pandas()
     cols = ["conv_id", "subj", "subj_type", "pred", "obj", "obj_type",
             "subj_norm", "obj_norm"]
     return t[cols].drop_duplicates().sort_values(cols).reset_index(drop=True)
@@ -165,12 +228,18 @@ def media_video_frames(sf_dir: str):
         .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 def kg_entities(sf_dir: str):
+    """Canonical entity table over the flagship extraction —
+    SQL-ORACLED end-to-end (same full rule-pipeline replay as the
+    ``kg_triples`` oracle, then the md5-id canonical aggregation of
+    ``_canonical_entities_sql``)."""
     from jerex_ray.pipelines.kg import extract_triples
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
     from jerex_ray.stages.canonicalize import build_entity_table
     configure_data_context()
+    cfg = _kg_config()
+    _maybe_write_rule_tokens("kg_entities", sf_dir, cfg)
     ds = read_synthetic_transcripts(_sf_convs(sf_dir))
-    ents = build_entity_table(extract_triples(ds, _kg_config())).to_pandas()
+    ents = build_entity_table(extract_triples(ds, cfg)).to_pandas()
     return ents.sort_values("norm").reset_index(drop=True)
 
 def kg_mentions(sf_dir: str):
@@ -183,9 +252,6 @@ def kg_mentions(sf_dir: str):
     identity is the word-level orig span; the cluster assignment is a
     separate (clustering-dependent) stage and not part of this
     query."""
-    import pyarrow.compute as pc
-
-    from jerex_ray.eval.side_tables import write_side_table
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
     from jerex_ray.stages.assemble import assemble_documents
     from jerex_ray.stages.convert import explode_mentions
@@ -197,25 +263,7 @@ def kg_mentions(sf_dir: str):
     from jerex_ray.pipelines.kg import _with_part_key
     docs = assemble_documents(_with_part_key(ds, cfg))
     tok = tokenize_documents(docs, cfg).materialize()
-
-    def token_rows(batch):
-        import pyarrow as pa
-        n_tok = pc.list_value_length(batch["tok_phrase"]) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = pa.array(np.repeat(np.arange(batch.num_rows), n_tok))
-        pos = (np.arange(int(n_tok.sum()), dtype=np.int64)
-               - np.repeat(np.concatenate(([0], np.cumsum(n_tok)[:-1])),
-                           n_tok))
-        return pa.table({
-            "doc_id": batch["doc_id"].take(idx),
-            "conv_id": batch["conv_id"].take(idx),
-            "sent_idx": pc.list_flatten(batch["tok_sent"]).cast(pa.int64()),
-            "pos": pa.array(pos),
-            "tok": pc.list_flatten(batch["tok_phrase"])})
-
-    write_side_table(
-        "kg_mentions", "tokens",
-        tok.map_batches(token_rows, batch_format="pyarrow").to_pandas())
+    _write_rule_tokens_side("kg_mentions", tok)
     scored = score_documents(tok, cfg)
     m = scored.map_batches(explode_mentions, batch_format="pyarrow") \
         .to_pandas().drop(columns=["cluster"])
@@ -1227,6 +1275,262 @@ ORACLES['kg_eval_evidence'] = ORACLE_REGISTRY['kg_eval_evidence'] = evidence_eva
         "kg_eval_evidence")
 ORACLES['kg_joint_metrics'] = ORACLE_REGISTRY['kg_joint_metrics'] = joint_metrics_oracle_sql(
         "kg_joint_metrics")
+def _rule_pipeline_sql(query: str) -> str:
+    """The WHOLE frozen-rule extraction as one SQL WITH-chain over the
+    ``{query}/tokens.parquet`` side table, ending in a ``trip`` CTE of
+    per-chunk triples — shared by the kg_triples and kg_entities
+    oracles. Stages replayed (reference semantics in parentheses):
+
+    * M1+M3 mention spans: maximal name-token islands per sentence,
+      capped at max_span_size (``sampling_common.py:77-98`` +
+      ``lexicon.is_name_token``);
+    * J3/J4 coref pair scores: phrase equality 0.98 / surname alias
+      0.95 / levenshtein(lower)/maxlen <= 0.2 -> 0.92, else no edge
+      (``lexicon.coref_score``) — distances quantized to
+      {0.02, 0.05, 0.08};
+    * J5 complete-linkage agglomeration (``misc.py:93-158``) as a
+      RECURSIVE CTE replaying the greedy merge loop exactly: per doc,
+      per iteration, the candidate cluster pair with min complete-link
+      distance (every cross mention pair must carry an edge — a
+      missing pair is distance 1 ≥ the 0.15 cut), ties broken by
+      lowest (ca, cb) cluster-id pair (= the numpy argmin row-major
+      tie-break, cluster id = min member mention id);
+    * J6/J7 rep + typing: rep = min (start, end, sent) member
+      (``datasets.py:126-128``), type by ORG/TOOL suffix, LOC
+      gazetteer, PER fallback (``lexicon.entity_type_of``);
+    * J8/J9 relations: ordered cluster pairs × same-sentence ordered
+      mention pairs, between-context [e1, s2) cue sets gated by the
+      (head, tail) types (``lexicon.relation_cue``,
+      ``sampling_common.py:324-330``)."""
+    return f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, conv_id, sent_idx, pos, tok
+            FROM read_parquet(
+                '/tmp/jerex_ray_oracle/{query}/tokens.parquet')
+        ),
+        f AS (
+            SELECT doc_id, conv_id, sent_idx, pos, tok,
+                   (regexp_matches(tok, '^[A-Z][A-Za-z0-9]*$')
+                    AND tok NOT IN ('The','A','An','It','He','She',
+                        'They','We','I','You','This','That','These',
+                        'Those','There','Here','What','Where','When',
+                        'Who','Why','How','Yes','No','Ok','Okay',
+                        'Please','Thanks','Hello','Hi')) AS isname
+            FROM t
+        ),
+        g AS (
+            SELECT doc_id, conv_id, sent_idx, pos, tok, isname,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, sent_idx, isname
+                       ORDER BY pos) AS grp
+            FROM f
+        ),
+        men0 AS (
+            SELECT doc_id, any_value(conv_id) AS conv_id, sent_idx,
+                   min(pos) AS s, max(pos) + 1 AS e,
+                   string_agg(tok, ' ' ORDER BY pos) AS phrase
+            FROM g WHERE isname
+            GROUP BY doc_id, sent_idx, grp
+            HAVING count(*) <= 10
+        ),
+        m AS (
+            SELECT doc_id, conv_id, sent_idx, s, e, phrase,
+                   lower(phrase) AS lp,
+                   regexp_extract(lower(phrase), '[^ ]+$') AS lw,
+                   array_length(string_split(phrase, ' ')) AS nw,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY sent_idx, s, e) - 1 AS mid
+            FROM men0
+        ),
+        edges AS (
+            SELECT * FROM (
+                SELECT a.doc_id, a.mid AS i, b.mid AS j,
+                       CASE WHEN a.lp = b.lp THEN 0.02
+                            WHEN a.lw = b.lw AND (a.nw = 1 OR b.nw = 1)
+                                THEN 0.05
+                            WHEN CAST(levenshtein(a.lp, b.lp) AS DOUBLE)
+                                 / greatest(len(a.lp), len(b.lp)) <= 0.2
+                                THEN 0.08
+                            ELSE NULL END AS d
+                FROM m a JOIN m b
+                  ON a.doc_id = b.doc_id AND a.mid < b.mid
+            ) WHERE d IS NOT NULL
+        ),
+        minit AS (
+            SELECT doc_id, list(mid ORDER BY mid) AS assign
+            FROM m GROUP BY doc_id
+        ),
+        step AS (
+            SELECT doc_id, assign, 0 AS it, false AS done FROM minit
+            UNION ALL
+            SELECT s.doc_id,
+                   CASE WHEN mrg.ca IS NULL THEN s.assign
+                        ELSE list_transform(s.assign,
+                             c -> CASE WHEN c = mrg.cb THEN mrg.ca
+                                       ELSE c END)
+                   END AS assign,
+                   s.it + 1 AS it,
+                   mrg.ca IS NULL AS done
+            FROM step s LEFT JOIN LATERAL (
+                SELECT pd.ca, pd.cb
+                FROM (
+                    SELECT least(s.assign[e.i + 1],
+                                 s.assign[e.j + 1]) AS ca,
+                           greatest(s.assign[e.i + 1],
+                                    s.assign[e.j + 1]) AS cb,
+                           max(e.d) AS dist, count(*) AS ne
+                    FROM edges e
+                    WHERE e.doc_id = s.doc_id
+                      AND s.assign[e.i + 1] <> s.assign[e.j + 1]
+                    GROUP BY ca, cb
+                ) pd
+                WHERE pd.ne = (len(list_filter(s.assign,
+                                               c -> c = pd.ca))
+                               * len(list_filter(s.assign,
+                                                 c -> c = pd.cb)))
+                ORDER BY pd.dist, pd.ca, pd.cb
+                LIMIT 1
+            ) mrg ON true
+            WHERE NOT s.done
+        ),
+        final AS (
+            SELECT doc_id, assign
+            FROM step
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY it DESC) = 1
+        ),
+        cmem AS (
+            SELECT fr.doc_id, fr.c, fr.mid, m.conv_id, m.sent_idx,
+                   m.s, m.e, m.phrase
+            FROM (SELECT doc_id, unnest(assign) AS c,
+                         unnest(range(len(assign))) AS mid
+                  FROM final) fr
+            JOIN m USING (doc_id, mid)
+        ),
+        cinfo AS (
+            SELECT doc_id, c, any_value(conv_id) AS conv_id,
+                   arg_min(phrase,
+                           s * 10000000000 + e * 100000 + sent_idx)
+                       AS rep
+            FROM cmem GROUP BY doc_id, c
+        ),
+        ctyped AS (
+            SELECT doc_id, c, conv_id, rep,
+                   CASE WHEN regexp_extract(rep, '[^ ]+$') IN
+                             ('Corp','Inc','Labs','Systems','Group',
+                              'Ltd') THEN 'ORG'
+                        WHEN regexp_extract(rep, '[^ ]+$') LIKE '%Tool'
+                        THEN 'TOOL'
+                        WHEN array_length(string_split(rep, ' ')) = 1
+                             AND rep IN ('Berlin','Paris','London',
+                             'Tokyo','Osaka','Madrid','Rome','Vienna',
+                             'Zurich','Geneva','Oslo','Stockholm',
+                             'Helsinki','Lisbon','Dublin','Prague',
+                             'Warsaw','Budapest','Athens','Seoul',
+                             'Taipei','Singapore','Sydney','Auckland',
+                             'Toronto','Montreal','Chicago','Boston',
+                             'Seattle','Austin','Denver','Portland',
+                             'Atlanta','Dallas','Houston','Phoenix',
+                             'Miami','Nairobi','Cairo','Lagos','Mumbai',
+                             'Delhi','Jakarta')
+                        THEN 'LOC'
+                        ELSE 'PER' END AS etype
+            FROM cinfo
+        ),
+        mpairs AS (
+            SELECT m1.doc_id, m1.c AS ca, m2.c AS cb, m1.sent_idx,
+                   m1.e AS b_from, m2.s AS b_to
+            FROM cmem m1 JOIN cmem m2
+              ON m1.doc_id = m2.doc_id AND m1.c <> m2.c
+             AND m1.sent_idx = m2.sent_idx AND m1.e <= m2.s
+        ),
+        cues AS (
+            SELECT mp.doc_id, mp.ca, mp.cb,
+                   bool_or(lower(tk.tok) IN ('joined','works','hired'))
+                       AS works_cue,
+                   bool_or(lower(tk.tok) IN ('headquartered','based',
+                       'located','lives','moved')) AS loc_cue,
+                   bool_or(lower(tk.tok) = 'in') AS in_cue,
+                   bool_or(lower(tk.tok) IN ('uses','ran','invoked',
+                       'launched')) AS tool_cue
+            FROM mpairs mp JOIN t tk
+              ON tk.doc_id = mp.doc_id AND tk.pos >= mp.b_from
+             AND tk.pos < mp.b_to
+            GROUP BY mp.doc_id, mp.ca, mp.cb, mp.sent_idx,
+                     mp.b_from, mp.b_to
+        ),
+        rels AS (
+            SELECT DISTINCT c.doc_id, c.ca, c.cb, r.pred
+            FROM cues c
+            JOIN ctyped h ON h.doc_id = c.doc_id AND h.c = c.ca
+            JOIN ctyped tl ON tl.doc_id = c.doc_id AND tl.c = c.cb,
+            LATERAL (
+                SELECT unnest([
+                    CASE WHEN h.etype = 'PER' AND tl.etype = 'ORG'
+                              AND c.works_cue THEN 'works_at' END,
+                    CASE WHEN h.etype IN ('PER','ORG')
+                              AND tl.etype = 'LOC'
+                              AND c.loc_cue AND c.in_cue
+                         THEN 'located_in' END,
+                    CASE WHEN h.etype = 'PER' AND tl.etype = 'TOOL'
+                              AND c.tool_cue THEN 'uses_tool' END])
+                    AS pred
+            ) r
+            WHERE r.pred IS NOT NULL
+        ),
+        trip AS (
+            SELECT r.doc_id, h.conv_id,
+                   h.rep AS subj, h.etype AS subj_type, r.pred,
+                   tl.rep AS obj, tl.etype AS obj_type
+            FROM rels r
+            JOIN ctyped h ON h.doc_id = r.doc_id AND h.c = r.ca
+            JOIN ctyped tl ON tl.doc_id = r.doc_id AND tl.c = r.cb
+        )
+    """
+
+
+ORACLES['kg_triples'] = ORACLE_REGISTRY['kg_triples'] = \
+    _rule_pipeline_sql("kg_triples") + """
+        SELECT DISTINCT conv_id, subj, subj_type, pred, obj, obj_type,
+               lower(subj) AS subj_norm, lower(obj) AS obj_norm
+        FROM trip
+        ORDER BY conv_id, subj, subj_type, pred, obj, obj_type
+    """
+
+# entity table: md5 canonical ids over the trip occurrences (norm =
+# lower(surface) — rule mention surfaces are bare name-token joins, so
+# normalize_surface's punctuation strip is the identity on them)
+ORACLES['kg_entities'] = ORACLE_REGISTRY['kg_entities'] = \
+    _rule_pipeline_sql("kg_entities") + """
+        , occ AS (
+            SELECT subj AS surface, subj_type AS entity_type FROM trip
+            UNION ALL
+            SELECT obj AS surface, obj_type AS entity_type FROM trip
+        ),
+        counts AS (
+            SELECT CAST(CAST('0x' || substr(md5(lower(surface)), 1, 16)
+                        AS UBIGINT) % 9223372036854775808 AS BIGINT)
+                       AS entity_id,
+                   lower(surface) AS norm, surface, entity_type,
+                   count(*) AS n
+            FROM occ GROUP BY entity_id, norm, surface, entity_type
+        ),
+        tot AS (
+            SELECT entity_id, CAST(sum(n) AS BIGINT) AS n_occurrences
+            FROM counts GROUP BY entity_id
+        ),
+        top AS (
+            SELECT entity_id, norm, surface, entity_type,
+                   ROW_NUMBER() OVER (PARTITION BY entity_id
+                       ORDER BY n DESC, surface, entity_type) AS rk
+            FROM counts
+        )
+        SELECT top.entity_id, top.norm, top.surface, top.entity_type,
+               tot.n_occurrences
+        FROM top JOIN tot USING (entity_id) WHERE rk = 1
+        ORDER BY norm
+    """
+
 # flagship mention stage: replay M1 span enumeration + the rule
 # mention localizer (maximal name runs per sentence, <= max_span_size)
 # as gaps-and-islands SQL over the engine-written token side table

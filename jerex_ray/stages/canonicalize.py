@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from jerex_ray.util import normalize_surface, stable_hash64
+from jerex_ray.util import md5_hash64_batch, normalize_surface
 
 _PUNCT_TABLE = str.maketrans(
     {c: " " for c in ".,;:!?\"'`()[]{}<>|/\\-_=+*&^%$#@~"})
@@ -43,9 +43,12 @@ def _normalize_series(s: pd.Series) -> pd.Series:
 
 
 def _hash_keys(norm: pd.Series) -> np.ndarray:
-    uniq = norm.unique()
-    mapping = {u: np.int64(stable_hash64(u) % (1 << 63)) for u in uniq}
-    return norm.map(mapping).to_numpy(dtype=np.int64)
+    """md5-derived canonical id (the §2.6 convention shared with the
+    doc-entity path) — SQL-replicable as
+    ``CAST('0x' || substr(md5(norm), 1, 16) AS UBIGINT) % 2^63`` so
+    the entity/provenance oracles can recompute ids exactly."""
+    return (md5_hash64_batch(norm.to_numpy(dtype=object))
+            % np.uint64(1 << 63)).astype(np.int64)
 
 
 def canonicalize_triples(batch: pd.DataFrame) -> pd.DataFrame:
