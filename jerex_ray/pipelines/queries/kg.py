@@ -70,6 +70,7 @@ def _maybe_write_rule_tokens(query: str, sf_dir: str, cfg) -> None:
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
     from jerex_ray.stages.assemble import assemble_documents
     from jerex_ray.stages.tokenize import tokenize_documents
+    configure_data_context()   # BEFORE any dataset is created
     n = _sf_convs(sf_dir)
     if n > _RULE_TOKEN_SIDE_MAX_CONVS:
         shutil.rmtree(f"{ORACLE_SIDE_DIR}/{query}", ignore_errors=True)
@@ -589,20 +590,24 @@ def kg_graph_edges(sf_dir: str):
     """The materialized KG edge table (north rule "graph materialize"):
     distinct (subj_id, pred, obj_id) with conversation support counts
     and max score — the global aggregate over the canonicalized triple
-    stream (``pipelines/kg.graph_tables``). Rows-only: the input is
-    the synthetic transcript corpus, not a registered SQL table; edge
-    grouping correctness is pytest-gated
+    stream (``pipelines/kg.graph_tables``). SQL-ORACLED via the full
+    rule-pipeline replay (token side table) + the per-conv-distinct →
+    edge rollup in SQL; edge grouping also pytest-gated
     (test_graph_tables_support_counts)."""
     from jerex_ray.pipelines.kg import extract_triples, graph_tables
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
     configure_data_context()
     cfg = _kg_config()
+    _maybe_write_rule_tokens("kg_graph_edges", sf_dir, cfg)
     triples = extract_triples(read_synthetic_transcripts(
         _sf_convs(sf_dir)), cfg)
     _, edges = graph_tables(triples)
     out = edges.to_pandas()
     out["n_support"] = out["n_support"].astype("int64")
-    out["score_max"] = out["score_max"].round(6)
+    # float32 scores can't represent 0.95 — widen BEFORE rounding so
+    # the value equals the oracle's double literal
+    out["score_max"] = _round_half_away(
+        out["score_max"].astype("float64"), 6)
     return out.sort_values(["subj_id", "pred", "obj_id"])         .reset_index(drop=True)
 
 def kg_graph_pagerank(sf_dir: str):
@@ -613,19 +618,20 @@ def kg_graph_pagerank(sf_dir: str):
     by many both rank high (and the similarity-graph PageRank's
     no-dangling-mass invariant holds, ``ops/graph.py`` module notes —
     a directed KG run would silently lose the mass of sink-only
-    entities). Rows-only (synthetic-transcript input); PageRank
-    itself is SQL-oracled on the documents graph (``doc_pagerank``)
-    and dense-reference-tested."""
+    entities). SQL-ORACLED: the full rule-pipeline replay derives the
+    same edge multiset, then one CTE per power iteration (the
+    ``doc_pagerank`` oracle pattern)."""
     from jerex_ray.ops.graph import pagerank
     from jerex_ray.pipelines.kg import extract_triples, graph_tables
     from jerex_ray.sources.transcripts import read_synthetic_transcripts
     configure_data_context()
     cfg = _kg_config()
+    _maybe_write_rule_tokens("kg_graph_pagerank", sf_dir, cfg)
     triples = extract_triples(read_synthetic_transcripts(
         _sf_convs(sf_dir)), cfg)
     _, edges = graph_tables(triples)
     out = pagerank(edges, src="subj_id", dst="obj_id", iters=5)
-    out["pr"] = out["pr"].round(6)
+    out["pr"] = _round_half_away(out["pr"], 6)
     out["node"] = out["node"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
 
@@ -876,10 +882,10 @@ def kg_type_signatures(sf_dir: str):
     dominant flag — the standard KG-quality check that a predicate's
     argument types are coherent. Streams the triple Dataset through
     two combiner aggregates (signature counts, then per-pred totals
-    broadcast); the result is signature-bounded. Rows-only: inputs
-    are model extractions, not SQL views; pandas parity is
-    pytest-gated."""
+    broadcast); the result is signature-bounded. SQL-ORACLED via the
+    full rule-pipeline replay over the token side table."""
     from jerex_ray.functions.aggregate import grouped_aggregate
+    _maybe_write_rule_tokens("kg_type_signatures", sf_dir, _kg_config())
     tri = _kg_triples_ds(sf_dir)
     sig = grouped_aggregate(
         tri.map_batches(
@@ -891,7 +897,7 @@ def kg_type_signatures(sf_dir: str):
         return pd.DataFrame({"pred": pd.Series(dtype="object")})
     tot = sig.groupby("pred")["n"].transform("sum")
     mx = sig.groupby("pred")["n"].transform("max")
-    out = sig.assign(share=np.round(sig["n"] / tot, 6),
+    out = sig.assign(share=_round_half_away(sig["n"] / tot, 6),
                      dominant=(sig["n"] == mx).astype(np.int64))
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["pred", "subj_type", "obj_type"]) \
@@ -904,8 +910,11 @@ def kg_functional_conflicts(sf_dir: str):
     genuine multi-value predicate). Two chained combiner aggregates —
     (pred, subj, obj)-distinct → per-(pred, subj) object counts →
     per-pred rollup — nothing bigger than the entity vocabulary ever
-    reduces to the driver. Rows-only; pandas parity pytest-gated."""
+    reduces to the driver. SQL-ORACLED via the full rule-pipeline
+    replay over the token side table."""
     from jerex_ray.functions.aggregate import grouped_aggregate
+    _maybe_write_rule_tokens("kg_functional_conflicts", sf_dir,
+                             _kg_config())
     tri = _kg_triples_ds(sf_dir)
     per_subj = grouped_aggregate(
         grouped_aggregate(
@@ -937,7 +946,9 @@ def kg_functional_conflicts(sf_dir: str):
                    "max_objects": ("max_objects", "max")}).to_pandas()
     for c in ("n_subjects", "n_multi", "max_objects"):
         out[c] = out[c].astype("int64")
-    out["multi_share"] = np.round(out["n_multi"] / out["n_subjects"], 6)
+    # integer-ratio 6-decimal ties are real — half-away like DuckDB
+    out["multi_share"] = _round_half_away(
+        out["n_multi"] / out["n_subjects"], 6)
     return out.sort_values("pred").reset_index(drop=True)
 
 def kg_provenance(sf_dir: str):
@@ -945,9 +956,10 @@ def kg_provenance(sf_dir: str):
     (subj_norm, pred, obj_norm), the number of distinct supporting
     conversations and total mention count — the evidence-strength
     table a downstream curator ranks by. Two combiner aggregates
-    ((triple, conv)-distinct → triple rollup). Rows-only; pandas
-    parity pytest-gated."""
+    ((triple, conv)-distinct → triple rollup). SQL-ORACLED via the
+    full rule-pipeline replay over the token side table."""
     from jerex_ray.functions.aggregate import grouped_aggregate
+    _maybe_write_rule_tokens("kg_provenance", sf_dir, _kg_config())
     tri = _kg_triples_ds(sf_dir)
     per_conv = grouped_aggregate(
         tri.map_batches(
@@ -1478,7 +1490,11 @@ def _rule_pipeline_sql(query: str) -> str:
             ) r
             WHERE r.pred IS NOT NULL
         ),
-        trip AS (
+        trip AS MATERIALIZED (
+            -- MATERIALIZED: consumers reference trip repeatedly
+            -- (occurrence unions, per-iteration joins); without it
+            -- DuckDB re-inlines the whole recursive chain per
+            -- reference and the pagerank oracle blows memory
             SELECT r.doc_id, h.conv_id,
                    h.rep AS subj, h.etype AS subj_type, r.pred,
                    tl.rep AS obj, tl.etype AS obj_type
@@ -1530,6 +1546,141 @@ ORACLES['kg_entities'] = ORACLE_REGISTRY['kg_entities'] = \
         FROM top JOIN tot USING (entity_id) WHERE rk = 1
         ORDER BY norm
     """
+
+# KG audit/rollup queries over the same full rule-pipeline replay:
+# each reads its own token side table and re-derives the triple stream
+# in SQL, then applies the query's aggregate. The rule model's
+# relation score is the constant 0.95 (lexicon frozen semantics), so
+# score_max is the rounded literal.
+ORACLES['kg_provenance'] = ORACLE_REGISTRY['kg_provenance'] = \
+    _rule_pipeline_sql("kg_provenance") + """
+        , pm AS (
+            SELECT lower(subj) AS subj_norm, pred,
+                   lower(obj) AS obj_norm, conv_id,
+                   count(*) AS n_mentions
+            FROM trip GROUP BY subj_norm, pred, obj_norm, conv_id
+        )
+        SELECT subj_norm, pred, obj_norm,
+               CAST(count(*) AS BIGINT) AS n_convs,
+               CAST(sum(n_mentions) AS BIGINT) AS n_mentions
+        FROM pm GROUP BY subj_norm, pred, obj_norm
+        ORDER BY subj_norm, pred, obj_norm
+    """
+
+ORACLES['kg_graph_edges'] = ORACLE_REGISTRY['kg_graph_edges'] = \
+    _rule_pipeline_sql("kg_graph_edges") + """
+        , ids AS (
+            SELECT conv_id,
+                   CAST(CAST('0x' || substr(md5(lower(subj)), 1, 16)
+                        AS UBIGINT) % 9223372036854775808 AS BIGINT)
+                       AS subj_id,
+                   pred,
+                   CAST(CAST('0x' || substr(md5(lower(obj)), 1, 16)
+                        AS UBIGINT) % 9223372036854775808 AS BIGINT)
+                       AS obj_id
+            FROM trip
+        ),
+        per_conv AS (
+            SELECT DISTINCT conv_id, subj_id, pred, obj_id FROM ids
+        )
+        SELECT subj_id, pred, obj_id,
+               CAST(count(*) AS BIGINT) AS n_support,
+               0.95 AS score_max
+        FROM per_conv GROUP BY subj_id, pred, obj_id
+        ORDER BY subj_id, pred, obj_id
+    """
+
+ORACLES['kg_type_signatures'] = ORACLE_REGISTRY['kg_type_signatures'] = \
+    _rule_pipeline_sql("kg_type_signatures") + """
+        , sig AS (
+            SELECT pred, subj_type, obj_type, count(*) AS n
+            FROM trip GROUP BY pred, subj_type, obj_type
+        ),
+        tot AS (
+            SELECT pred, sum(n) AS t, max(n) AS mx
+            FROM sig GROUP BY pred
+        )
+        SELECT s.pred, s.subj_type, s.obj_type,
+               CAST(s.n AS BIGINT) AS n,
+               round(CAST(s.n AS DOUBLE) / t.t, 6) AS share,
+               CAST(CASE WHEN s.n = t.mx THEN 1 ELSE 0 END AS BIGINT)
+                   AS dominant
+        FROM sig s JOIN tot t USING (pred)
+        ORDER BY s.pred, s.subj_type, s.obj_type
+    """
+
+ORACLES['kg_functional_conflicts'] = \
+    ORACLE_REGISTRY['kg_functional_conflicts'] = \
+    _rule_pipeline_sql("kg_functional_conflicts") + """
+        , d1 AS (
+            SELECT DISTINCT pred, lower(subj) AS subj_norm,
+                   lower(obj) AS obj_norm
+            FROM trip
+        ),
+        d2 AS (
+            SELECT pred, subj_norm, count(*) AS n_obj
+            FROM d1 GROUP BY pred, subj_norm
+        )
+        SELECT pred, CAST(count(*) AS BIGINT) AS n_subjects,
+               CAST(sum(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_multi,
+               CAST(max(n_obj) AS BIGINT) AS max_objects,
+               round(CAST(sum(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS multi_share
+        FROM d2 GROUP BY pred ORDER BY pred
+    """
+
+def _kg_pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Undirected PageRank over the replayed KG edge table — one CTE
+    per power iteration (the ``doc_pagerank`` oracle pattern), edge
+    multiset = one row per distinct (subj_id, pred, obj_id) exactly as
+    ``graph_tables`` feeds ``ops/graph.pagerank`` (parallel edges from
+    different predicates keep their multiplicity)."""
+    sql = _rule_pipeline_sql("kg_graph_pagerank") + """
+        , ids AS (
+            SELECT conv_id,
+                   CAST(CAST('0x' || substr(md5(lower(subj)), 1, 16)
+                        AS UBIGINT) % 9223372036854775808 AS BIGINT)
+                       AS subj_id,
+                   pred,
+                   CAST(CAST('0x' || substr(md5(lower(obj)), 1, 16)
+                        AS UBIGINT) % 9223372036854775808 AS BIGINT)
+                       AS obj_id
+            FROM trip
+        ),
+        per_conv AS (
+            SELECT DISTINCT conv_id, subj_id, pred, obj_id FROM ids
+        ),
+        edg AS (
+            SELECT subj_id, pred, obj_id FROM per_conv
+            GROUP BY subj_id, pred, obj_id
+        ),
+        dir AS MATERIALIZED (
+                SELECT subj_id AS u, obj_id AS v FROM edg
+                UNION ALL SELECT obj_id, subj_id FROM edg),
+        deg AS MATERIALIZED (
+                SELECT u, CAST(count(*) AS DOUBLE) AS dg
+                FROM dir GROUP BY u),
+        r0 AS (SELECT u AS node, 1.0 / (SELECT count(*) FROM deg) AS pr
+               FROM deg)"""
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql += f""",
+        r{k} AS (SELECT dir.v AS node,
+                        (1.0 - {damping}) / (SELECT count(*) FROM deg)
+                        + {damping} * sum({prev}.pr / deg.dg) AS pr
+                 FROM dir JOIN {prev} ON {prev}.node = dir.u
+                          JOIN deg ON deg.u = dir.u
+                 GROUP BY dir.v)"""
+        prev = f"r{k}"
+    sql += f"""
+        SELECT node, round(pr, 6) AS pr
+        FROM {prev} ORDER BY node"""
+    return sql
+
+
+ORACLES['kg_graph_pagerank'] = ORACLE_REGISTRY['kg_graph_pagerank'] = \
+    _kg_pagerank_oracle_sql()
 
 # flagship mention stage: replay M1 span enumeration + the rule
 # mention localizer (maximal name runs per sentence, <= max_span_size)
