@@ -54,10 +54,15 @@ def shuffle_partitions(requested: int | None = None) -> int:
             cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             pass
-    # cpus//2 measured fastest end-to-end on this build: aggregator
-    # actor startup scales with partition count and outweighs the
-    # extra parallelism beyond half the cores
-    cap = max(2, cpus // 2)
+    # cpus//4 measured fastest end-to-end on this build (round-5
+    # sweep at sf0.1/32: 8 partitions beat 16 by ~0.3 s and 24+ by
+    # >0.8 s on the flagship): aggregator actor startup scales with
+    # partition count and outweighs the extra parallelism well below
+    # the core count. Downstream actor parallelism is NOT bound by
+    # this (blocks re-split to DOCS_PER_BLOCK rows after the
+    # shuffle); large corpora should pass an explicit count sized to
+    # partition-memory bounds.
+    cap = max(2, cpus // 4)
     if requested is None:
         return cap
     return max(1, min(requested, cap))
