@@ -95,6 +95,29 @@ def run_bench() -> dict:
 SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "240000"))
 
 
+def _pin_enabled() -> bool:
+    import shutil
+    return (shutil.which("taskset") is not None
+            and os.environ.get("GRAFT_PIN_CPUS", "1") != "0")
+
+
+def _pinned_cmd(ncpu: int, pin: bool) -> list[str]:
+    """``taskset`` prefix confining a child to ``ncpu`` CPUs — chosen
+    from THIS process's actual affinity set (CPU ids need not start at
+    0 inside a cgroup cpuset); falls back to unpinned when fewer than
+    ``ncpu`` CPUs are available rather than crashing the bench."""
+    if not pin:
+        return []
+    try:
+        avail = sorted(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        return []
+    if len(avail) < ncpu:
+        return []
+    ids = ",".join(str(c) for c in avail[:ncpu])
+    return ["taskset", "-c", ids]
+
+
 def run_scaling_child() -> dict:
     """One scaling measurement: the flagship KG extraction over a fixed
     synthetic transcript corpus large enough that model compute (not
@@ -160,23 +183,20 @@ def run_scaling() -> dict:
     """Same flagship job at 8 and 32 CPUs in fresh processes — the
     sandbox substitute for N vs 4N cluster nodes (BASELINE.md).
 
-    Each leg is pinned with OS-enforced CPU affinity (``taskset -c
-    0-7`` / ``0-31``, inherited by every Ray worker the child spawns)
-    so the "8-CPU" process cannot overdraw its quarter of the machine
-    — without the pin, Ray's logical CPU accounting is not
-    OS-enforced and the low leg runs faster than a real 8-core node
-    would, understating efficiency. Set GRAFT_PIN_CPUS=0 to disable
-    (e.g. on hosts without taskset)."""
-    import shutil
-    pin = (shutil.which("taskset") is not None
-           and os.environ.get("GRAFT_PIN_CPUS", "1") != "0")
+    Each leg is pinned with OS-enforced CPU affinity (``taskset``
+    over the first N CPUs of this process's affinity set, inherited
+    by every Ray worker the child spawns) so the "8-CPU" process
+    cannot overdraw its quarter of the machine — without the pin,
+    Ray's logical CPU accounting is not OS-enforced and the low leg
+    runs faster than a real 8-core node would, understating
+    efficiency. Set GRAFT_PIN_CPUS=0 to disable."""
+    pin = _pin_enabled()
 
     def run_one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        cmd = [sys.executable, os.path.abspath(__file__),
-               "--scaling-child"]
-        if pin:
-            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        cmd = _pinned_cmd(ncpu, pin) + [
+            sys.executable, os.path.abspath(__file__),
+            "--scaling-child"]
         proc = subprocess.run(cmd, env=env, capture_output=True,
                               text=True, check=True)
         return json.loads(proc.stdout.strip().splitlines()[-1])
@@ -255,17 +275,15 @@ def run_rehearsal() -> dict:
     8→32 efficiency at that size. Single runs (no min-of-N): at this
     job length fixed overhead is amortized and the noise share small."""
     n = int(os.environ.get("GRAFT_REHEARSAL_CONVS", "2400000"))
-    import shutil
-    pin = (shutil.which("taskset") is not None
-           and os.environ.get("GRAFT_PIN_CPUS", "1") != "0")
+    pin = _pin_enabled()
 
     def run_one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SCALING_CONVS=str(n))
-        cmd = [sys.executable, os.path.abspath(__file__),
-               "--scaling-child"]
-        if pin:   # OS-enforced affinity: see run_scaling
-            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        # OS-enforced affinity: see run_scaling
+        cmd = _pinned_cmd(ncpu, pin) + [
+            sys.executable, os.path.abspath(__file__),
+            "--scaling-child"]
         proc = subprocess.run(cmd, env=env, capture_output=True,
                               text=True, check=True)
         return json.loads(proc.stdout.strip().splitlines()[-1])

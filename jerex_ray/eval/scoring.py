@@ -31,15 +31,19 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _round_half_away(x: float, decimals: int = 6) -> float:
-    """DuckDB ``round()`` rounds half away from zero; Python
-    ``round()`` rounds half to even. P/R/F1 values are exact rationals
-    (integer tp/fp/fn counts), so 6-decimal ties are REAL — e.g.
-    precision = 1/128 = 0.0078125 → 0.007813 (DuckDB) vs 0.007812
-    (banker's). Mirror DuckDB so the engine and its SQL oracle share a
-    rounding mode."""
+def _round_half_away(x, decimals: int = 6):
+    """DuckDB ``round()`` rounds half away from zero; Python/numpy
+    round half to even. Rounded engine outputs are often exact
+    rationals (integer tp/fp/fn counts, count ratios), so 6-decimal
+    ties are REAL — e.g. precision = 1/128 = 0.0078125 → 0.007813
+    (DuckDB) vs 0.007812 (banker's). Mirror DuckDB wherever rounded
+    values feed oracle comparisons or output hashes. Scalar in →
+    float out; array in → float64 array out. (Single definition —
+    ``pipelines/queries/_shared`` re-exports this one.)"""
+    x = np.asarray(x, dtype=np.float64)
     s = 10.0 ** decimals
-    return float(np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s)
+    out = np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s
+    return float(out) if out.ndim == 0 else out
 
 
 def _dedup(tuples):

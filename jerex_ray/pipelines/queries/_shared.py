@@ -83,13 +83,9 @@ def _query_vectors(sf_dir: str):
     qdf = qdf[qdf["vec_id"] < 3].sort_values("vec_id")
     return np.stack(qdf["embedding"].to_numpy()), qdf["vec_id"].to_numpy()
 
-def _round_half_away(x, decimals: int):
-    """DuckDB ``round()`` is half-away-from-zero; numpy/python round
-    half-even — mirror DuckDB wherever rounded values feed comparisons
-    or output hashes."""
-    x = np.asarray(x, dtype=np.float64)
-    s = 10.0 ** decimals
-    return np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s
+# canonical definition lives in eval.scoring (imported there by the
+# metric arithmetic); re-exported here for the query registry
+from jerex_ray.eval.scoring import _round_half_away  # noqa: E402,F401
 
 def _repeat_copurchase_edges(sf_dir: str, min_cocount: int = 2):
     """Thresholded co-purchase edge Dataset (a, b): part pairs sharing

@@ -260,11 +260,23 @@ def kg_mentions(sf_dir: str):
     from jerex_ray.stages.tokenize import tokenize_documents
     configure_data_context()
     cfg = _kg_config()
-    ds = read_synthetic_transcripts(_sf_convs(sf_dir))
+    n = _sf_convs(sf_dir)
+    ds = read_synthetic_transcripts(n)
     from jerex_ray.pipelines.kg import _with_part_key
     docs = assemble_documents(_with_part_key(ds, cfg))
-    tok = tokenize_documents(docs, cfg).materialize()
-    _write_rule_tokens_side("kg_mentions", tok)
+    tok = tokenize_documents(docs, cfg)
+    if n <= _RULE_TOKEN_SIDE_MAX_CONVS:
+        # oracle support at driver-contract scale only (same gate as
+        # _maybe_write_rule_tokens); materialize so the side-table
+        # pass and scoring share one tokenization
+        tok = tok.materialize()
+        _write_rule_tokens_side("kg_mentions", tok)
+    else:
+        import shutil
+
+        from jerex_ray.eval.side_tables import ORACLE_SIDE_DIR
+        shutil.rmtree(f"{ORACLE_SIDE_DIR}/kg_mentions",
+                      ignore_errors=True)
     scored = score_documents(tok, cfg)
     m = scored.map_batches(explode_mentions, batch_format="pyarrow") \
         .to_pandas().drop(columns=["cluster"])
@@ -1420,11 +1432,13 @@ def _rule_pipeline_sql(query: str) -> str:
             JOIN m USING (doc_id, mid)
         ),
         cinfo AS (
-            SELECT doc_id, c, any_value(conv_id) AS conv_id,
-                   arg_min(phrase,
-                           s * 10000000000 + e * 100000 + sent_idx)
-                       AS rep
-            FROM cmem GROUP BY doc_id, c
+            -- rep = lexicographic min (start, end, sent) member;
+            -- ROW_NUMBER, not an integer-packed arg_min key, so no
+            -- overflow cliff at large positions
+            SELECT doc_id, c, conv_id, phrase AS rep
+            FROM cmem
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, c
+                                       ORDER BY s, e, sent_idx) = 1
         ),
         ctyped AS (
             SELECT doc_id, c, conv_id, rep,

@@ -355,9 +355,15 @@ def attach_gt(tokenized_ds, gt_m_ds, gt_r_ds, *,
         return pa.table(base)
 
     def tag_docs(t: pa.Table) -> pa.Table:
-        key_col = gt_key if gt_key in t.column_names else "doc_id"
+        if gt_key not in t.column_names:
+            # an explicit-but-missing key must fail loudly, not
+            # silently fall back and surface later as a confusing
+            # zero-GT-match error
+            raise KeyError(
+                f"attach_gt: gt_key column {gt_key!r} is not in the "
+                f"tokenized doc schema {t.column_names}")
         blobs, sch_len = _rows_to_ipc_blobs(t)
-        return _narrow(t[key_col].to_pylist(), 0, t.num_rows,
+        return _narrow(t[gt_key].to_pylist(), 0, t.num_rows,
                        blob=blobs,
                        ia=np.full(t.num_rows, sch_len, np.int64))
 
@@ -422,7 +428,12 @@ def attach_gt(tokenized_ds, gt_m_ds, gt_r_ds, *,
                 gt_cols["gt_r_tail"].append(r["ib"].tolist())
                 gt_cols["gt_r_pred"].append(r["s"].tolist())
         if match_counter is not None and (n_matched or n_dropped):
-            match_counter.add.remote(n_matched, n_dropped)
+            # synchronous: a fire-and-forget add could still be in
+            # flight when the driver reads totals after materialize(),
+            # letting the all-dropped guard fail open (or a healthy
+            # run trip it). One actor RTT per merged block is noise.
+            import ray
+            ray.get(match_counter.add.remote(n_matched, n_dropped))
         if not doc_tables:
             return pa.table({})
         out = pa.concat_tables(doc_tables, promote_options="default")

@@ -65,7 +65,15 @@ def shuffle_partitions(requested: int | None = None) -> int:
     cap = max(2, cpus // 4)
     if requested is None:
         return cap
-    return max(1, min(requested, cap))
+    # explicit requests are clamped to cpus//2 — the aggregator-fleet
+    # bound that two rounds of testing established as deadlock-safe
+    # (each shuffle partition is an aggregator actor competing with
+    # the map tasks for CPUs; at 4 test CPUs an 8-partition request
+    # starves the cluster). Only the AUTO default moved to cpus//4
+    # for latency; callers needing more partitions for per-partition
+    # memory at scale get up to half the cluster, and the combiner
+    # aggregates bound memory independently of partition count.
+    return max(1, min(requested, max(2, cpus // 2)))
 
 
 def pool_concurrency(actor_num_cpus: float = 1.0,
